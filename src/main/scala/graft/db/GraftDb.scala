@@ -1,0 +1,208 @@
+package graft.db
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.model.Namespace
+import graft.query.QueryCompiler
+import graft.update.UpdateCompiler
+
+/** Fluent query facade mirroring the reference's `db.Session / Database /
+  * Collection / Query` surface (/root/reference/db/interface.go:23-90,
+  * db/wrapper.go:373-520) on top of DataFrames. The builder is lazy exactly
+  * like the reference's: state accumulates until an action
+  * (`all/one/iter/count`).
+  */
+final class GraftSession(val spark: SparkSession, val root: String) {
+  /** session.DB(name) — reference db/interface.go:16. */
+  def db(name: String): GraftDatabase = new GraftDatabase(this, name)
+  /** Catalog listing analog (client/wrapper.go:21-23). */
+  def listDatabaseNames(): Seq[String] = Seq(new java.io.File(root).getName)
+  /** Raw SQL escape hatch — RunCommand analog (client/wrapper.go:32-40). */
+  def runCommand(sql: String): DataFrame = spark.sql(sql)
+}
+
+final class GraftDatabase(s: GraftSession, name: String) {
+  def c(collection: String): GraftCollection =
+    new GraftCollection(s, Namespace(name, collection))
+  def collection(coll: String): GraftCollection = c(coll)
+}
+
+final class GraftCollection(s: GraftSession, val ns: Namespace) {
+  require(ns.isValid, s"invalid namespace $ns")
+  private def path: String = ns.path(s.root)
+
+  def df: DataFrame = graft.sources.Tables.load(s.spark, path)
+
+  /** reference db/wrapper.go:96-102. */
+  def find(query: Map[String, Any] = Map.empty): GraftQuery =
+    new GraftQuery(df, QueryCompiler.compile(query))
+  /** reference db/wrapper.go:104-110. */
+  def findId(id: Any, idCol: String = "_id"): GraftQuery =
+    new GraftQuery(df, col(idCol) === QueryCompiler.toLit(id))
+  /** reference db/wrapper.go:112-115. */
+  def count(): Long = df.count()
+  /** Append documents — reference db/wrapper.go:117-125. */
+  def insert(rows: DataFrame): Unit =
+    rows.write.mode("append").parquet(path)
+  /** Aggregation pipeline — reference db/wrapper.go:88-94. */
+  def pipe(pipeline: Seq[Map[String, Any]]): DataFrame =
+    graft.pipeline.PipelineCompiler.compile(pipeline, tables =
+      other => s.spark.read.parquet(Namespace(ns.db, other).path(s.root)))(df)
+}
+
+/** Lazy query builder — reference db/wrapper.go:373-520. Sort strings use
+  * the reference's `±field` prefix convention (getSort,
+  * db/wrapper.go:620-638). */
+final class GraftQuery private[db] (
+    base: DataFrame,
+    pred: Column,
+    projection: Seq[String] = Nil,
+    sortKeys: Seq[String] = Nil,
+    skipN: Int = 0,
+    limitN: Int = -1) {
+
+  def select(fields: String*): GraftQuery =
+    new GraftQuery(base, pred, fields, sortKeys, skipN, limitN)
+  def sort(keys: String*): GraftQuery =
+    new GraftQuery(base, pred, projection, keys, skipN, limitN)
+  def skip(n: Int): GraftQuery =
+    new GraftQuery(base, pred, projection, sortKeys, n, limitN)
+  def limit(n: Int): GraftQuery =
+    new GraftQuery(base, pred, projection, sortKeys, skipN, n)
+  /** Accept-and-ignore, like index hints have no Spark analog
+    * (SURVEY.md §4). */
+  def hint(index: String): GraftQuery = this
+
+  /** Compile accumulated state to a DataFrame (the exec() analog,
+    * db/wrapper.go:452-481). Skip+limit compose as offset/limit. */
+  def toDF: DataFrame = {
+    var d = base.where(pred)
+    if (sortKeys.nonEmpty) d = d.orderBy(GraftQuery.parseSort(sortKeys): _*)
+    if (skipN > 0) d = d.offset(skipN)
+    if (limitN >= 0) d = d.limit(limitN)
+    if (projection.nonEmpty) d = d.select(projection.map(col): _*)
+    d
+  }
+
+  /** reference db/wrapper.go:390-393. */
+  def count(): Long = base.where(pred).count()
+  /** Query.All — collect every matching row. */
+  def all(): Seq[Row] = toDF.collect().toSeq
+  /** Query.One — exactly-one semantics; reference returns ErrNotFound on
+    * empty (db/wrapper.go:589-591). */
+  def one(): Row = toDF.limit(1).collect().headOption.getOrElse(
+    throw new NoSuchElementException("not found"))
+  /** Query.Iter — pull-based iteration (db/wrapper.go:485-520). */
+  def iter(): Iterator[Row] = {
+    val it = toDF.toLocalIterator()
+    new Iterator[Row] {
+      def hasNext: Boolean = it.hasNext
+      def next(): Row = it.next()
+    }
+  }
+}
+
+object GraftQuery {
+  /** `±field` sort-string parser — reference getSort db/wrapper.go:620-638. */
+  def parseSort(keys: Seq[String]): Seq[Column] = keys.map {
+    case k if k.startsWith("-") => col(k.drop(1)).desc
+    case k if k.startsWith("+") => col(k.drop(1)).asc
+    case k                      => col(k).asc
+  }
+}
+
+/** Before/after change counts — reference db.ChangeInfo
+  * (db/interface.go ChangeInfo usage in wrapper.go:137-244). */
+final case class ChangeInfo(updated: Long = 0, removed: Long = 0,
+    upsertedCount: Long = 0)
+
+/** Bulk/merge-shaped write operations over immutable DataFrames. The
+  * reference's row-at-a-time UpdateOne/Upsert/Bulk (db/wrapper.go:117-344)
+  * become whole-DataFrame MERGE transforms: deterministic last-wins per key,
+  * resolved with one window — no driver-side loops, scales with the data.
+  */
+object TableOps {
+
+  /** UpdateAll: apply a Mongo update doc to matching rows, preserve the
+    * rest — reference db/wrapper.go:237-244. Returns (result, ChangeInfo). */
+  def updateAll(df: DataFrame, query: Map[String, Any],
+      update: Map[String, Any], idCol: String = "_id")
+      : (DataFrame, ChangeInfo) = {
+    val pred = QueryCompiler.compile(query)
+    val matched = df.where(pred).count()
+    (UpdateCompiler.applyUpdate(df, pred, update, idCol),
+      ChangeInfo(updated = matched))
+  }
+
+  /** RemoveAll: anti-filter — reference db/wrapper.go:137-144. */
+  def removeAll(df: DataFrame, query: Map[String, Any])
+      : (DataFrame, ChangeInfo) = {
+    val pred = QueryCompiler.compile(query)
+    val matched = df.where(pred).count()
+    (df.where(!coalesce(pred, lit(false))), ChangeInfo(removed = matched))
+  }
+
+  /** Upsert: update row with key if present, else insert — reference
+    * db/wrapper.go:146-186. `updates` carries full replacement rows (same
+    * schema); last-wins if `updates` itself has duplicate keys. Implemented
+    * as a key-cogrouped merge: rows only shuffle by the key column, no
+    * driver involvement, broadcast-able when `updates` is small. */
+  def upsert(base: DataFrame, updates: DataFrame, keyCol: String): DataFrame = {
+    val cols = base.columns.toSeq
+    require(updates.columns.toSeq == cols,
+      s"upsert schema mismatch: ${updates.columns.toSeq} vs $cols")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__src").desc,
+      col("__seq").desc)
+    base.withColumn("__src", lit(0)).withColumn("__seq", lit(0L))
+      .unionByName(updates.withColumn("__src", lit(1))
+        .withColumn("__seq", monotonically_increasing_id()))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__src", "__seq", "__rn")
+  }
+
+  /** One buffered mixed batch — reference Bulk (db/wrapper.go:246-344).
+    * Ordered application: ops fold over the table in sequence, giving the
+    * reference's ordered-bulk semantics; per-key last-wins falls out of the
+    * fold order. */
+  sealed trait BulkOp
+  final case class BulkInsert(rows: DataFrame) extends BulkOp
+  final case class BulkUpdate(query: Map[String, Any],
+      update: Map[String, Any]) extends BulkOp
+  final case class BulkUpsert(key: Any, row: DataFrame) extends BulkOp
+  final case class BulkRemove(query: Map[String, Any]) extends BulkOp
+
+  def runBulk(base: DataFrame, ops: Seq[BulkOp], idCol: String = "_id")
+      : DataFrame =
+    ops.foldLeft(base) { (df, op) =>
+      op match {
+        case BulkInsert(rows)     => df.unionByName(rows)
+        case BulkUpdate(q, u)     =>
+          UpdateCompiler.applyUpdate(df, QueryCompiler.compile(q), u, idCol)
+        case BulkUpsert(key, row) =>
+          upsert(df, row, idCol)
+        case BulkRemove(q)        =>
+          val p = QueryCompiler.compile(q)
+          df.where(!coalesce(p, lit(false)))
+      }
+    }
+
+  /** findAndModify analog (Query.Apply, db/wrapper.go:395-450): applies the
+    * change to the first sorted matching row and returns (newTable,
+    * affectedRowImage). Not atomic (documented divergence, SURVEY.md §7). */
+  def findAndModify(df: DataFrame, query: Map[String, Any],
+      sortKeys: Seq[String], update: Map[String, Any], remove: Boolean,
+      idCol: String = "_id"): (DataFrame, DataFrame) = {
+    require(!(remove && update.nonEmpty),
+      "cannot remove and update in one findAndModify") // db/data.go:19-26
+    val pred = QueryCompiler.compile(query)
+    var target = df.where(pred)
+    if (sortKeys.nonEmpty)
+      target = target.orderBy(GraftQuery.parseSort(sortKeys): _*)
+    val first = target.limit(1).select(col(idCol))
+    val hit = col(idCol).isin(first.collect().map(_.get(0)).toSeq: _*)
+    if (remove) (df.where(!hit), df.where(hit))
+    else (UpdateCompiler.applyUpdate(df, hit, update, idCol), df.where(hit))
+  }
+}

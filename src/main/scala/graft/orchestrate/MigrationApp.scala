@@ -1,0 +1,182 @@
+package graft.orchestrate
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model._
+import graft.query.QueryCompiler
+import graft.update.UpdateCompiler
+
+/** Executor-side registries for imperative migrations — reference
+  * Environment op/processor registries (/root/reference/environment.go:
+  * 167-252). Pure transforms should compile to Column expressions; these
+  * registries exist only for manual/stream parity. Ops must be idempotent:
+  * Spark task retries give at-least-once-per-partition execution, same
+  * contract as the reference (README.rst:68-70).
+  */
+final class Registries extends Serializable {
+  /** MigrationOperation analog (client/processor.go:15-21): row → row. */
+  @transient private var ops = Map.empty[String, Row => Row]
+  /** Processor analog (client/processor.go:9-13): whole-stream transform. */
+  @transient private var processors = Map.empty[String, Iterator[Row] => Iterator[Row]]
+
+  def registerOperation(name: String, op: Row => Row): Unit =
+    synchronized { ops += name -> op }
+  def registerProcessor(name: String, p: Iterator[Row] => Iterator[Row]): Unit =
+    synchronized { processors += name -> p }
+  def operation(name: String): Option[Row => Row] = ops.get(name)
+  def processor(name: String): Option[Iterator[Row] => Iterator[Row]] =
+    processors.get(name)
+}
+
+/** Result of one migration action. */
+final case class MigrationResult(id: String, matched: Long, hasErrors: Boolean,
+    error: Option[String] = None)
+
+/** The migration application — reference Application
+  * (/root/reference/anser.go:63-129). The reference's two-phase
+  * generate-then-execute per-document job fan-out collapses into one
+  * DataFrame transform per migration (SURVEY.md §2.9); what remains is:
+  *   - dependency DAG validation + topo-layer scheduling,
+  *   - DryRun (plan + match counts only, no writes — anser.go:107-110),
+  *   - Limit (cap rows touched per migration — generator_simple.go:77-79),
+  *   - the metadata ledger gate (dependency_manager.go:60-93): a migration
+  *     runs only when every dependency's ledger row is satisfied.
+  *
+  * Tables live as parquet under `root`; results are written back via
+  * atomic-rename directory swap (write to `<table>.parquet.tmp`, then swap)
+  * so a failed write never corrupts the source.
+  */
+final class MigrationApp(
+    spark: SparkSession,
+    root: String,
+    options: ApplicationOptions = ApplicationOptions(),
+    registries: Registries = new Registries) {
+
+  private val network = new DependencyNetwork
+  private var specs = Map.empty[String, MigrationSpec]
+  val ledger = new MetadataLedger(spark, s"$root/anser_migrations_metadata")
+
+  /** reference Application.Setup (anser.go:63-84). */
+  def setup(migrations: Seq[MigrationSpec]): this.type = {
+    for (m <- migrations) {
+      require(m.options.isValid, s"invalid migration options: ${m.options}")
+      require(!specs.contains(m.id), s"duplicate migration id ${m.id}")
+      specs += m.id -> m
+      network.add(m.id, m.options.dependsOn)
+    }
+    network.validate().left.foreach(errs =>
+      throw new IllegalArgumentException(errs.mkString("; ")))
+    this
+  }
+
+  /** reference Application.Run (anser.go:86-129): topo layers with a barrier
+    * between layers; per migration — dependency-ledger gate, dry-run/limit
+    * handling, execute, record metadata. */
+  def run(): Seq[MigrationResult] = {
+    val results = collection.mutable.ListBuffer.empty[MigrationResult]
+    for (layer <- network.topoLayers(); id <- layer) {
+      val spec = specs(id)
+      val blocked = spec.options.dependsOn.filterNot(ledger.satisfied)
+      val res =
+        if (blocked.nonEmpty)
+          MigrationResult(id, 0, hasErrors = true,
+            Some(s"blocked on unsatisfied dependencies: ${blocked.mkString(",")}"))
+        else runOne(spec)
+      if (!options.dryRun) ledger.record(
+        MigrationMetadata(id, id, res.hasErrors, completed = true))
+      results += res
+    }
+    results.toSeq
+  }
+
+  private def runOne(spec: MigrationSpec): MigrationResult = {
+    val opts = spec.options
+    val path = opts.ns.path(root)
+    try {
+      val raw = graft.sources.Tables.load(spark, path)
+      // Limit semantics (generator_simple.go:77-79,127-129): cap the rows
+      // migrated, selected deterministically (sorted work-list), marked via
+      // a key join rather than a driver-side collect so it scales.
+      val (df, pred) =
+        if (opts.limit > 0) {
+          val keyCol = raw.columns.head
+          val sortCols = graft.db.GraftQuery.parseSort(opts.sortBy) :+ col(keyCol)
+          val workList = raw.where(QueryCompiler.compile(opts.query))
+            .orderBy(sortCols: _*).limit(opts.limit)
+            .select(col(keyCol)).withColumn("__hit", lit(true))
+          val marked = raw.join(broadcast(workList), Seq(keyCol), "left_outer")
+          (marked, coalesce(col("__hit"), lit(false)))
+        } else (raw, QueryCompiler.compile(opts.query))
+      val matched = df.where(pred).count()
+      if (options.dryRun) return MigrationResult(spec.id, matched, hasErrors = false)
+
+      val out: DataFrame = spec match {
+        case SimpleMigration(_, update) =>
+          UpdateCompiler.applyUpdate(df, pred, update)
+        case ManualMigration(_, opName) =>
+          val op = registries.operation(opName).getOrElse(throw new
+            IllegalArgumentException(s"operation $opName is not registered"))
+          mapRows(df, pred, it => it.map(op))
+        case StreamMigration(_, procName) =>
+          val proc = registries.processor(procName).getOrElse(throw new
+            IllegalArgumentException(s"processor $procName is not registered"))
+          mapRows(df, pred, proc)
+      }
+      writeBack(out.drop("__hit"), path)
+      MigrationResult(spec.id, matched, hasErrors = false)
+    } catch {
+      case e: Exception =>
+        MigrationResult(spec.id, 0, hasErrors = true, Some(e.getMessage))
+    }
+  }
+
+  /** Imperative path (manual/stream): matching rows pass through the user
+    * function per partition; non-matching rows are preserved. Requires the
+    * function to keep the schema. */
+  private def mapRows(df: DataFrame, pred: org.apache.spark.sql.Column,
+      f: Iterator[Row] => Iterator[Row]): DataFrame = {
+    val schema = df.schema
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val transformed = df.where(pred).mapPartitions(f)(enc)
+    df.where(!coalesce(pred, lit(false))).unionByName(transformed)
+  }
+
+  /** Atomic-ish write-back: write tmp dir, swap via rename. */
+  private def writeBack(df: DataFrame, path: String): Unit = {
+    val tmp = path + ".tmp"
+    df.write.mode("overwrite").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val bak = new org.apache.hadoop.fs.Path(path + ".bak")
+    if (fs.exists(bak)) fs.delete(bak, true)
+    if (fs.exists(p)) fs.rename(p, bak)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+    fs.delete(bak, true)
+  }
+}
+
+/** Migration metadata ledger — reference MigrationHelper.SaveMigrationEvent
+  * + anser.migrations.metadata (migration_helper_iterator.go:56-107,
+  * environment.go:26-29). Small state table, upserted by id. */
+final class MetadataLedger(spark: SparkSession, path: String) {
+  import spark.implicits._
+
+  def all(): DataFrame =
+    if (new java.io.File(path).exists()) spark.read.parquet(path)
+    else Seq.empty[MigrationMetadata].toDF()
+
+  def record(m: MigrationMetadata): Unit = {
+    // tiny state table: rows bounded by the number of migrations, not the
+    // data — collect + rewrite wholesale is the right scale trade-off.
+    val existing = all().as[MigrationMetadata].collect().toSeq
+      .filterNot(_._id == m._id)
+    (existing :+ m).toDF().coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** dependency gate — reference Satisfied() model/metadata.go:12 +
+    * processEdges dependency_manager.go:60-93. */
+  def satisfied(id: String): Boolean =
+    all().where(col("_id") === id && col("completed") && !col("has_errors"))
+      .limit(1).count() > 0
+}

@@ -1,0 +1,130 @@
+package graft.query
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Compiles MongoDB-style query documents to Catalyst `Column` predicates.
+  *
+  * The reference ships query documents verbatim to the MongoDB server
+  * (/root/reference/db/wrapper.go:452-481, generator_simple.go:81); here the
+  * engine evaluates them itself, compiled to declarative Column expressions so
+  * Catalyst gets predicate pushdown / codegen for free (never row UDFs).
+  *
+  * Supported surface (superset of what anser itself uses — equality, `$gt`,
+  * `$in`, implicit AND, dotted paths; see SURVEY.md §2.2):
+  * `$eq $ne $gt $gte $lt $lte $in $nin $exists $regex $size $all $mod $not
+  * $and $or $nor` and dotted nested paths (bsonutil/helpers.go:7-9 analog).
+  *
+  * Query documents are plain Scala `Map[String, Any]`; values may be String,
+  * Boolean, numeric, java.sql.Timestamp / java.time.Instant / LocalDate,
+  * Seq[...] (for `$in`/`$all`), nested Map (operator docs), or `null`.
+  */
+object QueryCompiler {
+
+  /** Compile a full query document: top-level keys are AND-ed
+    * (implicit conjunction, Mongo semantics). Empty doc matches all rows. */
+  def compile(query: Map[String, Any]): Column =
+    query.map { case (k, v) => clause(k, v) }
+      .reduceOption(_ && _)
+      .getOrElse(lit(true))
+
+  private def clause(key: String, value: Any): Column = key match {
+    case "$and" => subdocs(value, "$and").map(compile).reduce(_ && _)
+    case "$or"  => subdocs(value, "$or").map(compile).reduce(_ || _)
+    case "$nor" => !subdocs(value, "$nor").map(compile).reduce(_ || _)
+    case field  => fieldClause(field, value)
+  }
+
+  private def fieldClause(field: String, value: Any): Column = value match {
+    case ops: Map[_, _] if isOperatorDoc(ops) =>
+      ops.asInstanceOf[Map[String, Any]]
+        .map { case (op, v) => operator(field, op, v) }
+        .reduce(_ && _)
+    case null  => col(field).isNull // Mongo: matches null or missing
+    case other => col(field) === toLit(other)
+  }
+
+  private def operator(field: String, op: String, v: Any): Column = {
+    val c = col(field)
+    op match {
+      case "$eq"  => c === toLit(v)
+      // Mongo $ne also matches documents where the field is null/missing.
+      case "$ne"  => !(c <=> toLit(v))
+      case "$gt"  => c > toLit(v)
+      case "$gte" => c >= toLit(v)
+      case "$lt"  => c < toLit(v)
+      case "$lte" => c <= toLit(v)
+      case "$in"  => c.isin(seqOf(v, "$in").map(toScalaLit): _*)
+      case "$nin" =>
+        val in = c.isin(seqOf(v, "$nin").map(toScalaLit): _*)
+        !coalesce(in, lit(false))
+      case "$exists" => if (v == true) c.isNotNull else c.isNull
+      case "$regex"  => c.rlike(v.toString)
+      case "$size"   => size(c) === toLit(v)
+      case "$all" =>
+        seqOf(v, "$all").map(e => array_contains(c, toLit(e))).reduce(_ && _)
+      case "$mod" =>
+        val Seq(d, r) = seqOf(v, "$mod").map(toLit)
+        c % d === r
+      case "$not" => v match {
+        case m: Map[_, _] => !fieldClause(field, m)
+        case _            => !(c === toLit(v))
+      }
+      case "$elemMatch" => v match {
+        case m: Map[_, _] =>
+          // element-wise: any array element satisfying all operator clauses
+          val preds = m.asInstanceOf[Map[String, Any]]
+          exists(c, x => preds.map { case (op2, v2) =>
+            elemOperator(x, op2, v2)
+          }.reduce(_ && _))
+        case other => array_contains(c, toLit(other))
+      }
+      case other =>
+        throw new IllegalArgumentException(s"unsupported query operator: $other")
+    }
+  }
+
+  private def elemOperator(x: Column, op: String, v: Any): Column = op match {
+    case "$eq"  => x === toLit(v)
+    case "$ne"  => !(x <=> toLit(v))
+    case "$gt"  => x > toLit(v)
+    case "$gte" => x >= toLit(v)
+    case "$lt"  => x < toLit(v)
+    case "$lte" => x <= toLit(v)
+    case "$in"  => seqOf(v, "$in").map(e => x === toLit(e)).reduce(_ || _)
+    case other =>
+      throw new IllegalArgumentException(s"unsupported $$elemMatch op: $other")
+  }
+
+  private def isOperatorDoc(m: Map[_, _]): Boolean =
+    m.nonEmpty && m.keys.forall { case s: String => s.startsWith("$"); case _ => false }
+
+  private def subdocs(v: Any, ctx: String): Seq[Map[String, Any]] = v match {
+    case s: Seq[_] if s.nonEmpty =>
+      s.map {
+        case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+        case other => throw new IllegalArgumentException(
+          s"$ctx expects an array of documents, got: $other")
+      }
+    case other => throw new IllegalArgumentException(
+      s"$ctx expects a non-empty array, got: $other")
+  }
+
+  private def seqOf(v: Any, ctx: String): Seq[Any] = v match {
+    case s: Seq[_] => s
+    case other => throw new IllegalArgumentException(
+      s"$ctx expects an array, got: $other")
+  }
+
+  /** Literal conversion for supported BSON-ish scalar types. */
+  def toLit(v: Any): Column = lit(toScalaLit(v))
+
+  private[graft] def toScalaLit(v: Any): Any = v match {
+    case i: java.time.Instant    => java.sql.Timestamp.from(i)
+    case d: java.time.LocalDate  => java.sql.Date.valueOf(d)
+    case d: java.util.Date if !d.isInstanceOf[java.sql.Timestamp] &&
+                              !d.isInstanceOf[java.sql.Date] =>
+      new java.sql.Timestamp(d.getTime)
+    case other => other
+  }
+}

@@ -1,0 +1,188 @@
+package graft.update
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.query.QueryCompiler.{toLit, toScalaLit}
+
+/** Compiles MongoDB-style update documents into DataFrame transformations.
+  *
+  * The reference passes update documents through to the MongoDB server
+  * (/root/reference/migration_job_simple.go:67, db/wrapper.go:146-235); this
+  * engine evaluates them itself. Everything compiles to Catalyst `Column`
+  * expressions (whole-stage-codegen-friendly; no row UDFs), applied either to
+  * the whole table or, with a predicate, only to matching rows (`UpdateAll`
+  * semantics, db/wrapper.go:237-244) while untouched rows pass through.
+  *
+  * Supported operators (SURVEY.md §2.8 "update compiler"):
+  * `$set $unset $rename $inc $mul $min $max $currentDate $push $addToSet
+  * $pull $pop`, with dotted nested paths resolved via `withField`/`dropFields`.
+  *
+  * Replacement-document dispatch (no `$`-prefixed keys) mirrors
+  * `hasDollarKey` (/root/reference/db/wrapper.go:612-618): the whole row is
+  * replaced — id column kept, listed fields set, remaining fields nulled.
+  */
+object UpdateCompiler {
+
+  /** reference: db/wrapper.go:612-618. */
+  def hasDollarKey(doc: Map[String, Any]): Boolean =
+    doc.keys.exists(_.startsWith("$"))
+
+  /** Compile an update document to a whole-table transform (every row
+    * matches). */
+  def compile(update: Map[String, Any], idCol: String = "_id")
+      : DataFrame => DataFrame =
+    df => applyUpdate(df, lit(true), update, idCol)
+
+  /** Apply an update document to rows matching `pred`; other rows are
+    * preserved unchanged. This is the fused form of the reference's
+    * generate-then-update-each-document dataflow (SURVEY.md §2.9): one
+    * declarative transform instead of per-document jobs. */
+  def applyUpdate(df: DataFrame, pred: Column, update: Map[String, Any],
+      idCol: String = "_id"): DataFrame = {
+    if (!hasDollarKey(update)) return applyReplacement(df, pred, update, idCol)
+    update.foldLeft(df) { case (acc, (op, spec)) =>
+      val fields = spec match {
+        case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+        case other => throw new IllegalArgumentException(
+          s"update operator $op expects a document, got $other")
+      }
+      op match {
+        case "$set" =>
+          fields.foldLeft(acc) { case (d, (path, v)) =>
+            setPath(d, path, pred, _ => toLit(v))
+          }
+        case "$unset" =>
+          fields.keys.foldLeft(acc)((d, path) => unsetPath(d, path, pred))
+        case "$rename" =>
+          fields.foldLeft(acc) { case (d, (from, to)) =>
+            renamePath(d, from, to.toString, pred)
+          }
+        case "$inc" =>
+          fields.foldLeft(acc) { case (d, (path, v)) =>
+            setPath(d, path, pred, old => coalesce(old, lit(0)) + toLit(v))
+          }
+        case "$mul" =>
+          fields.foldLeft(acc) { case (d, (path, v)) =>
+            setPath(d, path, pred, old => coalesce(old, lit(0)) * toLit(v))
+          }
+        case "$min" =>
+          fields.foldLeft(acc) { case (d, (path, v)) =>
+            setPath(d, path, pred, old =>
+              when(old.isNull, toLit(v)).otherwise(least(old, toLit(v))))
+          }
+        case "$max" =>
+          fields.foldLeft(acc) { case (d, (path, v)) =>
+            setPath(d, path, pred, old =>
+              when(old.isNull, toLit(v)).otherwise(greatest(old, toLit(v))))
+          }
+        case "$currentDate" =>
+          fields.keys.foldLeft(acc)((d, path) =>
+            setPath(d, path, pred, _ => current_timestamp()))
+        case "$push" =>
+          fields.foldLeft(acc) { case (d, (path, v)) =>
+            setPath(d, path, pred, old =>
+              array_append(coalesce(old, array()), toLit(v)))
+          }
+        case "$addToSet" =>
+          fields.foldLeft(acc) { case (d, (path, v)) =>
+            setPath(d, path, pred, old =>
+              array_union(coalesce(old, array()), array(toLit(v))))
+          }
+        case "$pull" =>
+          fields.foldLeft(acc) { case (d, (path, v)) =>
+            setPath(d, path, pred, old => filter(old, x => !(x <=> toLit(v))))
+          }
+        case "$pop" =>
+          fields.foldLeft(acc) { case (d, (path, v)) =>
+            val dir = toScalaLit(v) match {
+              case n: Number => n.intValue()
+              case other => throw new IllegalArgumentException(
+                s"$$pop expects 1 or -1, got $other")
+            }
+            setPath(d, path, pred, old =>
+              if (dir >= 0) slice(old, lit(1), greatest(size(old) - 1, lit(0)))
+              else slice(old, lit(2), greatest(size(old) - 1, lit(0))))
+          }
+        case other =>
+          throw new IllegalArgumentException(s"unsupported update operator: $other")
+      }
+    }
+  }
+
+  /** Replacement-document branch: id kept, listed fields set, all other
+    * top-level fields nulled on matching rows (Mongo replace semantics;
+    * reference dispatch db/wrapper.go:153-157). */
+  private def applyReplacement(df: DataFrame, pred: Column,
+      doc: Map[String, Any], idCol: String): DataFrame = {
+    val existing = df.columns.toSeq
+    val replaced = existing.filterNot(_ == idCol).foldLeft(df) { (d, c) =>
+      doc.get(c) match {
+        case Some(v) => d.withColumn(c, when(pred, toLit(v)).otherwise(col(c)))
+        case None =>
+          d.withColumn(c, when(pred, lit(null).cast(d.schema(c).dataType))
+            .otherwise(col(c)))
+      }
+    }
+    // brand-new fields introduced by the replacement doc
+    doc.keys.filterNot(existing.contains).foldLeft(replaced) { (d, c) =>
+      d.withColumn(c, when(pred, toLit(doc(c))).otherwise(lit(null)))
+    }
+  }
+
+  // ---- nested-path helpers (bsonutil.GetDottedKeyName analog) ----
+
+  /** Set `path` to `mk(oldValue)` on rows matching `pred`, keeping the old
+    * value elsewhere. Creates missing top-level columns; supports nested
+    * struct paths on existing struct columns via `withField`. */
+  private[graft] def setPath(df: DataFrame, path: String, pred: Column,
+      mk: Column => Column): DataFrame = {
+    val parts = path.split('.')
+    val top = parts.head
+    if (parts.length == 1) {
+      val old = if (df.columns.contains(top)) col(top) else lit(null)
+      df.withColumn(top, when(pred, mk(old)).otherwise(old))
+    } else {
+      require(df.columns.contains(top),
+        s"nested update requires existing struct column '$top' (path $path)")
+      val rest = parts.tail.mkString(".")
+      val old = col(path)
+      df.withColumn(top,
+        when(pred, col(top).withField(rest, mk(old))).otherwise(col(top)))
+    }
+  }
+
+  /** Mongo $unset removes the field. Whole-table: drop the column / struct
+    * field. Predicated: null it on matching rows (schema is static in Spark —
+    * documented divergence, SURVEY.md §7 "What's hard"). */
+  private[graft] def unsetPath(df: DataFrame, path: String, pred: Column)
+      : DataFrame = {
+    val parts = path.split('.')
+    val top = parts.head
+    if (!df.columns.contains(top)) return df
+    val unconditional = pred.toString.equalsIgnoreCase("true")
+    if (parts.length == 1) {
+      if (unconditional) df.drop(top)
+      else df.withColumn(top,
+        when(pred, lit(null).cast(df.schema(top).dataType)).otherwise(col(top)))
+    } else {
+      val rest = parts.tail.mkString(".")
+      if (unconditional) df.withColumn(top, col(top).dropFields(rest))
+      else df.withColumn(top,
+        when(pred, col(top).withField(rest, lit(null))).otherwise(col(top)))
+    }
+  }
+
+  /** Mongo $rename: value moves from `from` to `to`; `from` is removed.
+    * Top-level whole-table rename is a pure metadata operation. */
+  private[graft] def renamePath(df: DataFrame, from: String, to: String,
+      pred: Column): DataFrame = {
+    val unconditional = pred.toString.equalsIgnoreCase("true")
+    if (unconditional && !from.contains('.') && !to.contains('.')) {
+      df.withColumnRenamed(from, to)
+    } else {
+      val moved = setPath(df, to, pred, _ => col(from))
+      unsetPath(moved, from, pred)
+    }
+  }
+}
