@@ -11,6 +11,7 @@ import graft.db.TableOps._
 import graft.orchestrate.MigrationApp
 import graft.backup.{Backup, BackupOptions}
 import graft.apm.Apm
+import graft.ops.{Dedup, Similarity, TextFunctions, Multimodal}
 
 /** Driver contract — one `queries` entry + matching DuckDB `oracleSql` per
   * implemented operator from SURVEY.md §2 (plus the LLM-pipeline extension
@@ -202,7 +203,143 @@ object SparkEntry {
         sortKeys = Seq("-ts", "event_id"),
         limit = 100))
         .select("event_id", "user_id", "ts")),
+
+    // ---- LLM-pipeline extension operators ----
+
+    // exact dedup (hash-groupBy); dups synthesized by unioning a shifted copy
+    "q17_dedup_exact" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val copies = docs.where(col("doc_id") < 100)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      Dedup.exact(docs.unionByName(copies), Seq("text"), "doc_id")
+        .select("doc_id", "n_copies").orderBy("doc_id")
+    }),
+
+    // n-gram (3-shingle) Jaccard near-dup pairs
+    "q18_dedup_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), "doc_id", "text",
+        k = 3, threshold = 0.5)
+        .orderBy("id_a", "id_b")),
+
+    // MinHash + LSH candidate pairs (12 perms, 4 bands)
+    "q19_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashLshPairs(tbl(s, dir, "documents"), "doc_id", "text",
+        k = 3, numPerms = 12, bands = 4)
+        .orderBy("id_a", "id_b")),
+
+    // 16-bit SimHash fingerprints
+    "q20_simhash" -> ((s, dir) =>
+      TextFunctions.simhash(tbl(s, dir, "documents"), "doc_id", "text", 16)
+        .orderBy("doc_id")),
+
+    // positional rolling-hash document fingerprint
+    "q21_fingerprint" -> ((s, dir) =>
+      TextFunctions.fingerprint(tbl(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // embedding cosine near-duplicate pairs (brute-force block)
+    "q22_embed_neardup" -> ((s, dir) =>
+      Dedup.embeddingNearDup(tbl(s, dir, "embeddings"), "vec_id",
+        "embedding", threshold = 0.3)
+        .orderBy("id_a", "id_b")),
+
+    // exact brute-force cosine top-k (rank output, id tie-break)
+    "q23_ann_brute" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      Similarity.bruteForceTopK(e, e.where(col("vec_id") < 8), "vec_id",
+        "embedding", k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // approximate top-k via deterministic hyperplane LSH (no SQL oracle —
+    // rows-only check; exactness is covered by q23)
+    "q24_ann_lsh" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      Similarity.lshTopK(e, e.where(col("vec_id") < 8), "vec_id",
+        "embedding", k = 10, nPlanes = 4, tables = 16)
+        .orderBy("query_id", "rank")
+    }),
+
+    // language ID (stopword-marker heuristic)
+    "q25_langid" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.langId(col("text")).as("predicted"))
+        .orderBy("doc_id")),
+
+    // quality scoring components + composite score
+    "q26_quality" -> ((s, dir) => {
+      val comps = TextFunctions.qualityComponents(col("text"))
+        .map { case (n, c) => c.as(n) }
+      tbl(s, dir, "documents")
+        .select(col("doc_id") +: comps :+
+          TextFunctions.qualityScore(col("text")).as("score"): _*)
+        .orderBy("doc_id")
+    }),
+
+    // token counting: whitespace + BPE-ish regex
+    "q27_tokens" -> ((s, dir) =>
+      tbl(s, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_ws"),
+        TextFunctions.bpeishTokenCount(col("text")).cast("long").as("n_bpeish"))
+        .orderBy("doc_id")),
+
+    // multimodal plumbing: binary column -> batched partition decode (stub)
+    "q28_multimodal" -> ((s, dir) => {
+      val media = Multimodal.asMedia(tbl(s, dir, "documents"), "doc_id", "text")
+      Multimodal.extractFeatures(media, dim = 3)
+        .select(col("media_id"),
+          element_at(col("features"), 1).as("f0"),
+          element_at(col("features"), 2).as("f1"),
+          element_at(col("features"), 3).as("f2"))
+        .orderBy("media_id")
+    }),
   )
+
+  /** DuckDB mirror of TextFunctions.tokens. */
+  private val toksCte =
+    "toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents)"
+  /** DuckDB mirror of TextFunctions.shingles(k=3) + distinct. */
+  private val shingleCte =
+    """sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+      |  FROM toks, UNNEST(range(1, len(t)-1)) AS u(i) WHERE len(t) >= 3)""".stripMargin
+  /** DuckDB mirror of TextFunctions.tokenHash. */
+  private def sqlHash(e: String): String =
+    s"(('0x'||substr(md5($e),1,15))::BIGINT % 2147483647)"
+
+  /** MinHash-LSH oracle generated from the same constants as
+    * Dedup.minhashLshPairs (a_i=2i+3, b_i=i^2+1, M=2^31-1). */
+  private def minhashOracle(numPerms: Int, bands: Int): String = {
+    val rows = numPerms / bands
+    val minExprs = (0 until numPerms).map { i =>
+      s"MIN((h * ${2 * i + 3} + ${i.toLong * i + 1}) % 2147483647) AS mh$i"
+    }.mkString(", ")
+    val bandSelects = (0 until bands).map { b =>
+      val cols = (0 until rows).map(r => s"mh${b * rows + r}::VARCHAR")
+      s"SELECT doc_id, $b AS band, concat_ws(',', ${cols.mkString(", ")}) AS sig FROM sigs"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $toksCte,
+       |$shingleCte,
+       |h AS (SELECT doc_id, ${sqlHash("sh")} AS h FROM sh),
+       |sigs AS (SELECT doc_id, $minExprs FROM h GROUP BY doc_id),
+       |bands AS ($bandSelects)
+       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** DuckDB double-precision cosine between two float lists, via unnested
+    * positions (cosine gaps dwarf float-association noise; ties broken by
+    * id in every ranked query). */
+  private def cosineCtes(pairsFrom: String): String =
+    s"""d AS (SELECT ia, ib,
+       |  SUM(CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)) AS dot,
+       |  SUM(CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE)) AS na,
+       |  SUM(CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)) AS nb
+       |  FROM $pairsFrom, UNNEST(range(1, len(ea)+1)) AS u(i)
+       |  GROUP BY ia, ib)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_find" ->
@@ -314,5 +451,119 @@ object SparkEntry {
       """SELECT event_id, user_id, ts FROM events
         |WHERE event_type = 'click'
         |ORDER BY ts DESC, event_id LIMIT 100""".stripMargin,
+
+    "q17_dedup_exact" ->
+      """SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_copies
+        |FROM (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 100
+        |) GROUP BY text ORDER BY doc_id""".stripMargin,
+
+    "q18_dedup_jaccard" ->
+      s"""WITH $toksCte,
+         |$shingleCte,
+         |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS inter
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, inter, sa.sz AS size_a, sb.sz AS size_b,
+         |       CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
+         |FROM pairs
+         |JOIN sizes sa ON sa.doc_id = id_a
+         |JOIN sizes sb ON sb.doc_id = id_b
+         |WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q19_dedup_minhash" -> minhashOracle(12, 4),
+
+    "q20_simhash" ->
+      s"""WITH $toksCte,
+         |tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+         |h AS (SELECT doc_id, ${sqlHash("tok")} % 65536 AS h FROM tok),
+         |votes AS (
+         |  SELECT doc_id, j, SUM(CASE WHEN (h >> CAST(j AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+         |  FROM h, UNNEST(range(0, 16)) AS u(j) GROUP BY doc_id, j)
+         |SELECT doc_id, CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+         |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q21_fingerprint" ->
+      s"""WITH $toksCte,
+         |tok AS (SELECT doc_id, i, t[i] AS tok FROM toks, UNNEST(range(1, len(t)+1)) AS u(i))
+         |SELECT doc_id,
+         |  CAST(SUM((${sqlHash("tok")} * i) % 2147483647) % 2147483647 AS BIGINT) AS fingerprint
+         |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q22_embed_neardup" ->
+      s"""WITH p AS (
+         |  SELECT a.vec_id AS ia, b.vec_id AS ib, a.embedding AS ea, b.embedding AS eb
+         |  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id),
+         |${cosineCtes("p")}
+         |SELECT ia AS id_a, ib AS id_b FROM d
+         |WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.3
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q23_ann_brute" ->
+      s"""WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
+         |p AS (
+         |  SELECT q.vec_id AS ia, c.vec_id AS ib, q.embedding AS ea, c.embedding AS eb
+         |  FROM q, embeddings c WHERE c.vec_id <> q.vec_id),
+         |${cosineCtes("p")},
+         |r AS (
+         |  SELECT ia AS query_id, ib AS neighbor_id,
+         |    CAST(row_number() OVER (
+         |      PARTITION BY ia ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, ib) AS INT) AS rank
+         |  FROM d)
+         |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "q25_langid" -> {
+      val scores = TextFunctions.LangMarkers.map { case (lang, ms) =>
+        val lst = ms.map(m => s"'$m'").mkString(", ")
+        s"len(list_filter(t, x -> list_contains([$lst], x))) AS s_$lang"
+      }.mkString(",\n  ")
+      val langs = TextFunctions.LangMarkers.map(_._1)
+      val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+      val total = langs.map("s_" + _).mkString(" + ")
+      val cases = langs.map(l =>
+        s"WHEN ($total) > 0 AND s_$l = $best THEN '$l'").mkString("\n    ")
+      s"""WITH $toksCte,
+         |s AS (SELECT doc_id, $scores FROM toks)
+         |SELECT d.doc_id, d.lang,
+         |  CASE $cases ELSE 'und' END AS predicted
+         |FROM documents d JOIN s ON s.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    },
+
+    "q26_quality" -> {
+      val stop = TextFunctions.Stopwords.map(m => s"'$m'").mkString(", ")
+      s"""WITH $toksCte,
+         |c AS (SELECT d.doc_id,
+         |  CAST(length(d.text) AS BIGINT) AS n_chars,
+         |  CAST(len(t) AS BIGINT) AS n_tokens,
+         |  CAST(length(regexp_replace(d.text, '[^.!?,;:]', '', 'g')) AS BIGINT) AS n_punct,
+         |  CAST(len(list_filter(t, x -> list_contains([$stop], x))) AS BIGINT) AS n_stopword,
+         |  CAST(length(regexp_replace(d.text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha
+         |  FROM documents d JOIN toks ON toks.doc_id = d.doc_id)
+         |SELECT doc_id, n_chars, n_tokens, n_punct, n_stopword, n_alpha,
+         |  CAST(n_stopword AS DOUBLE) / greatest(CAST(n_tokens AS DOUBLE), 1.0) * 0.4
+         |  + CAST(n_alpha AS DOUBLE) / greatest(CAST(n_chars AS DOUBLE), 1.0) * 0.4
+         |  + least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.2 AS score
+         |FROM c ORDER BY doc_id""".stripMargin
+    },
+
+    "q27_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_ws,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpeish
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q28_multimodal" ->
+      """SELECT doc_id AS media_id,
+        |  ('0x'||substr(md5(text), 1, 8))::BIGINT / 4294967295.0 AS f0,
+        |  ('0x'||substr(md5(text), 9, 8))::BIGINT / 4294967295.0 AS f1,
+        |  ('0x'||substr(md5(text), 17, 8))::BIGINT / 4294967295.0 AS f2
+        |FROM documents ORDER BY media_id""".stripMargin,
   )
 }

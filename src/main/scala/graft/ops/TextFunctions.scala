@@ -1,0 +1,136 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, language ID, quality scoring, token counting, document
+  * fingerprinting. All pure `Column` expressions (whole-stage codegen, no
+  * UDFs) so they fuse into the scan stage and cost one pass at 100 TB.
+  *
+  * Determinism contract: every function here is reproducible across engines
+  * (hashes derived from md5; integer arithmetic; fixed tie-break order) so
+  * results can be oracle-checked externally.
+  */
+object TextFunctions {
+
+  /** Large prime modulus for 60-bit md5-derived hashes. */
+  val HashMod: Long = 2147483647L // 2^31 - 1
+
+  /** Whitespace tokens, empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= lit(""))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: alpha runs, digit runs, single punctuation. */
+  def bpeishTokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+
+  /** Deterministic 60-bit hash of a string: first 15 hex digits of md5.
+    * Reproducible in any engine with md5 (DuckDB: ('0x'||substr(md5(s),1,
+    * 15))::BIGINT). */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** hash60 reduced mod 2^31-1 (keeps products inside 64-bit range). */
+  def tokenHash(c: Column): Column = hash60(c) % HashMod
+
+  /** Word k-shingles: overlapping windows of k tokens joined by space.
+    * Empty when the document has fewer than k tokens. */
+  def shingles(text: Column, k: Int): Column = {
+    val t = tokens(text)
+    when(size(t) >= k,
+      transform(sequence(lit(1), size(t) - (k - 1)),
+        i => concat_ws(" ", slice(t, i, lit(k)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  // ---- language ID (stopword-marker heuristic) ----
+
+  /** Marker function words per language; deterministic tie-break order is
+    * the Seq order (first wins on >=). */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "en", "un"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "zu"),
+    "fr" -> Seq("le", "les", "et", "des", "un", "une", "est", "dans"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我"))
+
+  /** Count of tokens of `text` that appear in `markers`. */
+  def markerScore(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(text), t => markers.map(m => t === lit(m))
+      .reduce(_ || _)))
+
+  /** Predicted language code, "und" when no marker hits at all.
+    * Tie-break: LangMarkers order (first language with a maximal score). */
+  def langId(text: Column): Column = {
+    val scores = LangMarkers.map { case (lang, ms) => lang -> markerScore(text, ms) }
+    val total = scores.map(_._2).reduce(_ + _)
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und")) { case ((lang, s), els) =>
+      when(total > 0 && s === best, lit(lang)).otherwise(els)
+    }
+  }
+
+  // ---- quality scoring ----
+
+  /** Common-English stopwords used for the stopword-ratio feature. */
+  val Stopwords: Seq[String] = Seq("the", "and", "of", "to", "a", "in", "is",
+    "it", "for", "on", "with", "as", "at", "by", "an", "be", "or")
+
+  /** Heuristic quality components, all deterministic:
+    * n_chars, n_tokens, punct count, stopword hits, alpha chars. */
+  def qualityComponents(text: Column): Seq[(String, Column)] = Seq(
+    "n_chars" -> length(text).cast("long"),
+    "n_tokens" -> tokenCount(text).cast("long"),
+    "n_punct" -> length(regexp_replace(text, "[^.!?,;:]", "")).cast("long"),
+    "n_stopword" -> markerScore(text, Stopwords).cast("long"),
+    "n_alpha" -> length(regexp_replace(text, "[^A-Za-z]", "")).cast("long"))
+
+  /** Scalar quality score in [0,1]-ish: fixed-order double arithmetic
+    * (reproducible bit-for-bit across engines). */
+  def qualityScore(text: Column): Column = {
+    val comps = qualityComponents(text).toMap
+    val nTok = comps("n_tokens").cast("double")
+    val stopRatio = comps("n_stopword").cast("double") / greatest(nTok, lit(1.0))
+    val alphaRatio = comps("n_alpha").cast("double") /
+      greatest(comps("n_chars").cast("double"), lit(1.0))
+    val lenScore = least(nTok / lit(100.0), lit(1.0))
+    stopRatio * lit(0.4) + alphaRatio * lit(0.4) + lenScore * lit(0.2)
+  }
+
+  /** Positional rolling-hash document fingerprint:
+    * sum_i ((tokenHash(t_i) * i) % M) % M with 1-based positions — an
+    * order-sensitive content hash (anagram texts get different prints,
+    * unlike a bag-of-words hash). One explode + one aggregate. */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val exploded = df.select(col(idCol),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+    exploded
+      .groupBy(idCol)
+      .agg((sum(tokenHash(col("tok")) * (col("pos") + 1) % HashMod) % HashMod)
+        .as("fingerprint"))
+  }
+
+  /** SimHash fingerprint over whitespace tokens, `bits` wide (≤ 30).
+    * Per (doc, bit) the signed token votes are summed; the fingerprint sets
+    * bit j when the vote is positive. Two explodes + two aggregations, all
+    * integer math. */
+  def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 16)
+      : DataFrame = {
+    require(bits > 0 && bits <= 30, "simhash bits must be in 1..30")
+    val toks = df.select(col(idCol),
+      explode(tokens(col(textCol))).as("tok"))
+      .withColumn("h", tokenHash(col("tok")) % (1L << bits))
+    val votes = toks
+      .select(col(idCol), col("h"),
+        explode(sequence(lit(0), lit(bits - 1))).as("j"))
+      .groupBy(col(idCol), col("j"))
+      .agg(sum(when(expr("shiftright(h, cast(j as int)) & 1") === 1, 1)
+        .otherwise(-1)).as("v"))
+    votes.groupBy(idCol)
+      .agg(sum(when(col("v") > 0, expr("shiftleft(1L, cast(j as int))"))
+        .otherwise(0L)).as("simhash"))
+  }
+}
