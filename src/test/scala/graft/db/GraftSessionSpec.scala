@@ -1,0 +1,143 @@
+package graft.db
+
+import graft.SparkSpec
+import java.nio.file.Files
+
+class GraftSessionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val root: String = {
+    val dir = Files.createTempDirectory("graft-db").toString
+    Seq((1L, "a", 30.0), (2L, "b", 10.0), (3L, "c", 20.0), (4L, "a", 40.0))
+      .toDF("_id", "cat", "v")
+      .write.mode("overwrite").parquet(s"$dir/things.parquet")
+    dir
+  }
+  private lazy val coll =
+    new GraftSession(spark, root).db("testdb").c("things")
+
+  test("find + select + sort + skip + limit compose lazily") {
+    val rows = coll.find(Map("v" -> Map("$gte" -> 15.0)))
+      .sort("-v").skip(1).limit(2).select("_id").all()
+    assert(rows.map(_.getLong(0)) == Seq(1L, 3L))
+  }
+
+  test("findId point lookup") {
+    assert(coll.findId(2L).one().getString(1) == "b")
+  }
+
+  test("counts") {
+    assert(coll.count() == 4)
+    assert(coll.find(Map("cat" -> "a")).count() == 2)
+  }
+
+  test("one throws NotFound on empty result") {
+    intercept[NoSuchElementException] {
+      coll.find(Map("cat" -> "zzz")).one()
+    }
+  }
+
+  test("iter streams rows") {
+    assert(coll.find().sort("_id").iter().map(_.getLong(0)).toSeq ==
+      Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("sort string parser handles +/- prefixes") {
+    val asc = coll.find().sort("+v").select("_id").all().map(_.getLong(0))
+    assert(asc == Seq(2L, 3L, 1L, 4L))
+  }
+
+  test("invalid namespace rejected") {
+    intercept[IllegalArgumentException] {
+      new GraftSession(spark, root).db("").c("things").count()
+    }
+  }
+
+  test("pipe resolves sibling tables for lookup") {
+    val out = coll.pipe(Seq(
+      Map("$match" -> Map("cat" -> "a")),
+      Map("$group" -> Map("_id" -> "$cat", "s" -> Map("$sum" -> "$v")))))
+    assert(out.head().getDouble(1) == 70.0)
+  }
+}
+
+class BackupSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.backup._
+
+  test("backup writes parquet + metadata sidecar") {
+    val df = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("_id", "s")
+    val target = Files.createTempDirectory("graft-bak").toString + "/out"
+    val n = Backup.collection(spark, df, target,
+      BackupOptions(query = Map("_id" -> Map("$gte" -> 2L))))
+    assert(n == 2)
+    assert(spark.read.parquet(target).count() == 2)
+    val meta = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(target + ".meta.json")))
+    assert(meta.contains("\"rows\": 2") && meta.contains("\"_id\""))
+  }
+
+  test("metadataOnly counts without writing data") {
+    val df = Seq((1L, "x")).toDF("_id", "s")
+    val target = Files.createTempDirectory("graft-bak2").toString + "/out"
+    val n = Backup.collection(spark, df, target,
+      BackupOptions(metadataOnly = true))
+    assert(n == 1)
+    assert(!new java.io.File(target).exists())
+    assert(new java.io.File(target + ".meta.json").exists())
+  }
+}
+
+class ApmSpec extends SparkSpec {
+  import graft.apm._
+
+  test("monitor accumulates and rotates windows") {
+    val m = new BasicMonitor()
+    val k = EventKey("db", "coll", "find")
+    m.record(k, ok = true, 100); m.record(k, ok = false, 50)
+    val w = m.rotate()
+    assert(w(k) == EventRecord(1, 1, 150))
+    assert(m.rotate().getOrElse(k, EventRecord(0, 0, 0)).succeeded == 0)
+  }
+
+  test("config filters commands/dbs/namespaces; prepopulates cross-product") {
+    val cfg = MonitorConfig(commands = Set("find"),
+      namespaces = Set(("db", "coll")))
+    val m = new BasicMonitor(cfg)
+    m.record(EventKey("db", "coll", "insert"), ok = true, 1) // filtered
+    m.record(EventKey("other", "coll", "find"), ok = true, 1) // filtered
+    m.record(EventKey("db", "coll", "find"), ok = true, 1)
+    val w = m.rotate()
+    assert(w.size == 1 && w.head._2.succeeded == 1)
+  }
+
+  test("spark listener records query executions") {
+    val monitor = Apm.install(spark)
+    import spark.implicits._
+    Seq(1, 2, 3).toDF("n").count()
+    // listener callbacks are async; poll briefly
+    var w = Map.empty[EventKey, EventRecord]
+    val deadline = System.currentTimeMillis() + 5000
+    while (w.isEmpty && System.currentTimeMillis() < deadline) {
+      Thread.sleep(100); w = monitor.rotate().filter(_._2.succeeded > 0)
+    }
+    assert(w.nonEmpty)
+  }
+}
+
+class TablesSpec extends SparkSpec {
+
+  test("nanos timestamps normalize to microsecond TimestampType") {
+    val df = graft.sources.Tables.table(spark, "/root/testdata/sf0.001", "events")
+    assert(df.schema("ts").dataType.typeName == "timestamp")
+    val first = df.orderBy("event_id").select("ts").head().getTimestamp(0)
+    assert(first.toInstant.isAfter(java.time.Instant.parse("2023-12-31T00:00:00Z")))
+  }
+
+  test("tables without nanos columns load unchanged") {
+    val df = graft.sources.Tables.table(spark, "/root/testdata/sf0.001", "orders")
+    // ms-precision parquet without UTC adjustment reads as timestamp_ntz
+    assert(df.schema("o_orderdate").dataType.typeName.startsWith("timestamp"))
+    assert(df.count() == 1500)
+  }
+}

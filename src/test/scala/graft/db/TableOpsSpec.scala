@@ -1,0 +1,75 @@
+package graft.db
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TableOpsSpec extends SparkSpec {
+  import spark.implicits._
+  import TableOps._
+
+  private def base = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+    .toDF("_id", "cat", "v")
+
+  test("updateAll reports matched count and preserves others") {
+    val (out, info) = updateAll(base, Map("_id" -> Map("$lte" -> 2)),
+      Map("$set" -> Map("cat" -> "Z")))
+    assert(info.updated == 2)
+    assert(out.where($"cat" === "Z").count() == 2)
+    assert(out.where($"_id" === 3).select("cat").as[String].head() == "c")
+  }
+
+  test("removeAll anti-filters") {
+    val (out, info) = removeAll(base, Map("cat" -> "b"))
+    assert(info.removed == 1)
+    assert(out.select("_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+  }
+
+  test("upsert: update existing, insert new, last-wins within updates") {
+    val updates = Seq((2L, "b2", 20.0), (4L, "d", 4.0), (4L, "d2", 40.0))
+      .toDF("_id", "cat", "v")
+    val out = upsert(base, updates, "_id").orderBy("_id")
+    assert(out.count() == 4)
+    assert(out.where($"_id" === 2).select("cat").as[String].head() == "b2")
+    assert(out.where($"_id" === 4).select("cat").as[String].head() == "d2")
+    assert(out.where($"_id" === 1).select("cat").as[String].head() == "a")
+  }
+
+  test("upsert rejects schema mismatch") {
+    intercept[IllegalArgumentException] {
+      upsert(base, base.drop("v"), "_id")
+    }
+  }
+
+  test("bulk applies ops in order") {
+    val ins = Seq((9L, "i", 9.0)).toDF("_id", "cat", "v")
+    val out = runBulk(base, Seq(
+      BulkUpdate(Map("_id" -> 1L), Map("$set" -> Map("cat" -> "one"))),
+      BulkRemove(Map("cat" -> "one")), // removes what the update just tagged
+      BulkInsert(ins)))
+    assert(out.select("_id").as[Long].collect().sorted.toSeq ==
+      Seq(2L, 3L, 9L))
+  }
+
+  test("findAndModify updates the first sorted match and returns pre-image") {
+    val (out, hit) = findAndModify(base,
+      Map("v" -> Map("$gt" -> 1.0)), Seq("-v"),
+      Map("$set" -> Map("cat" -> "hit")), remove = false)
+    assert(hit.select("_id").as[Long].head() == 3L)
+    assert(out.where($"cat" === "hit").select("_id").as[Long].head() == 3L)
+    assert(out.count() == 3)
+  }
+
+  test("findAndModify remove pops the row") {
+    val (out, hit) = findAndModify(base, Map.empty, Seq("v"),
+      Map.empty, remove = true)
+    assert(hit.select("_id").as[Long].head() == 1L)
+    assert(out.count() == 2)
+  }
+
+  test("findAndModify rejects remove+update") {
+    intercept[IllegalArgumentException] {
+      findAndModify(base, Map.empty, Nil,
+        Map("$set" -> Map("cat" -> "x")), remove = true)
+    }
+  }
+}

@@ -1,0 +1,207 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "completely different words entirely here now"),
+    (4L, "the quick brown fox jumps over the lazy dog")) // exact dup of 1
+    .toDF("doc_id", "text")
+
+  test("exact dedup keeps min id with counts") {
+    val out = Dedup.exact(docs, Seq("text"), "doc_id")
+    assert(out.count() == 3)
+    assert(out.where($"n_copies" === 2).select("doc_id").as[Long].head() == 1L)
+  }
+
+  test("exactRows keeps whole first row per key") {
+    val out = Dedup.exactRows(docs, Seq("text"), "doc_id")
+    assert(out.count() == 3)
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+  }
+
+  test("ngram jaccard finds near-dup pairs only") {
+    val out = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(out.contains((1L, 2L)) && out.contains((1L, 4L)))
+    assert(!out.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("jaccard of exact duplicates is 1.0") {
+    val j = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .where($"id_a" === 1 && $"id_b" === 4)
+      .select("jaccard").as[Double].head()
+    assert(j == 1.0)
+  }
+
+  test("maxShingleFreq drops stop-shingles") {
+    // every doc shares shingles with doc 1 except doc 3; capping freq at 1
+    // removes all shared shingles -> no pairs survive
+    val out = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.1,
+      maxShingleFreq = 1)
+    assert(out.count() == 0)
+  }
+
+  test("minhash LSH surfaces near-dups and skips distinct docs") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      k = 3, numPerms = 12, bands = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L))) // identical docs always collide
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("simhash near-dup: identical docs at hamming 0") {
+    val out = Dedup.simhashNearDup(docs, "doc_id", "text", bits = 16,
+      maxHamming = 3)
+    val zero = out.where($"hamming" === 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(zero.contains((1L, 4L)))
+  }
+
+  test("embedding near-dup finds the planted duplicate") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.1f, 0.0f)), // near 1
+      (3L, Array(0.0f, 1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Dedup.embeddingNearDup(vecs, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L)))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (1L, Array(1.0f, 0.0f)),
+    (2L, Array(0.9f, 0.1f)),
+    (3L, Array(0.0f, 1.0f)),
+    (4L, Array(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+
+  test("cosine column math") {
+    val c = vecs.where($"vec_id" === 1)
+      .crossJoin(vecs.where($"vec_id" === 4).select($"embedding".as("e2")))
+      .select(Similarity.cosine($"embedding", $"e2")).as[Double].head()
+    assert(math.abs(c + 1.0) < 1e-12)
+  }
+
+  test("brute-force top-k ranks by cosine with id tie-break") {
+    val out = Similarity.bruteForceTopK(vecs,
+      vecs.where($"vec_id" === 1), "vec_id", "embedding", 3)
+      .orderBy("rank")
+      .select("neighbor_id").as[Long].collect().toSeq
+    assert(out == Seq(2L, 3L, 4L))
+  }
+
+  test("lsh top-k finds the strong neighbor") {
+    val out = Similarity.lshTopK(vecs, vecs.where($"vec_id" === 1),
+      "vec_id", "embedding", k = 2, nPlanes = 2, tables = 4)
+      .where($"rank" === 1).select("neighbor_id").as[Long].collect()
+    assert(out.headOption.contains(2L))
+  }
+
+  test("ivf assignment picks nearest centroid") {
+    val centroids = Seq((100L, Array(1.0f, 0.0f)), (200L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.ivfAssign(vecs, "vec_id", "embedding", centroids)
+    val m = out.select("vec_id", "centroid_id").as[(Long, Long)]
+      .collect().toMap
+    assert(m(1L) == 100L && m(2L) == 100L && m(3L) == 200L)
+  }
+}
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(text: String) = Seq((1L, text)).toDF("doc_id", "text")
+
+  test("tokens drop empties; counts match") {
+    val out = one("a  b c ").select(
+      TextFunctions.tokenCount($"text").as("n"),
+      TextFunctions.bpeishTokenCount($"text").as("b")).head()
+    assert(out.getInt(0) == 3)
+    assert(out.getInt(1) == 3)
+  }
+
+  test("bpe-ish splits punctuation and digits") {
+    assert(one("it's 42km!").select(TextFunctions.bpeishTokenCount($"text"))
+      .as[Int].head() == 6) // it ' s 42 km !
+  }
+
+  test("shingles window and boundary") {
+    assert(one("a b c d").select(TextFunctions.shingles($"text", 3))
+      .as[Seq[String]].head() == Seq("a b c", "b c d"))
+    assert(one("a b").select(TextFunctions.shingles($"text", 3))
+      .as[Seq[String]].head().isEmpty)
+  }
+
+  test("langId picks the marker language; und when nothing matches") {
+    assert(one("the cat and the dog of it")
+      .select(TextFunctions.langId($"text")).as[String].head() == "en")
+    assert(one("el perro que ladra y la casa")
+      .select(TextFunctions.langId($"text")).as[String].head() == "es")
+    assert(one("zzz qqq xxx")
+      .select(TextFunctions.langId($"text")).as[String].head() == "und")
+  }
+
+  test("quality score is bounded and favors stopword-rich text") {
+    val hi = one("the cat is on the mat and it is good")
+      .select(TextFunctions.qualityScore($"text")).as[Double].head()
+    val lo = one("zxcv 123 @@@@")
+      .select(TextFunctions.qualityScore($"text")).as[Double].head()
+    assert(hi > lo && hi <= 1.0 && lo >= 0.0)
+  }
+
+  test("fingerprint is order-sensitive and deterministic") {
+    val df = Seq((1L, "a b c"), (2L, "c b a"), (3L, "a b c"))
+      .toDF("doc_id", "text")
+    val fps = TextFunctions.fingerprint(df, "doc_id", "text")
+      .orderBy("doc_id").select("fingerprint").as[Long].collect().toSeq
+    assert(fps(0) == fps(2) && fps(0) != fps(1))
+  }
+
+  test("simhash: identical text -> identical prints; width respected") {
+    val df = Seq((1L, "the quick fox"), (2L, "the quick fox"))
+      .toDF("doc_id", "text")
+    val hs = TextFunctions.simhash(df, "doc_id", "text", 16)
+      .select("simhash").as[Long].collect().toSeq
+    assert(hs.head == hs(1) && hs.head >= 0 && hs.head < (1L << 16))
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def media = Multimodal.asMedia(
+    Seq((1L, "payload-one"), (2L, "payload-two")).toDF("doc_id", "text"),
+    "doc_id", "text")
+
+  test("media schema has binary payload + typed metadata") {
+    assert(media.schema("content").dataType.typeName == "binary")
+    assert(media.select("meta.format").as[String].head() == "fake/raw")
+  }
+
+  test("feature extraction is deterministic and batched") {
+    val f1 = Multimodal.extractFeatures(media, dim = 4)
+      .orderBy("media_id").select("features").as[Seq[Double]].collect()
+    val f2 = Multimodal.extractFeatures(media, dim = 4)
+      .orderBy("media_id").select("features").as[Seq[Double]].collect()
+    assert(f1.toSeq == f2.toSeq)
+    assert(f1.forall(v => v.size == 4 && v.forall(x => x >= 0.0 && x <= 1.0)))
+    assert(f1(0) != f1(1)) // different payloads -> different features
+  }
+
+  test("frame sampling picks evenly spaced indices") {
+    val out = Multimodal.sampleFrameIndices(media, 4)
+    val idx = out.where($"n_frames" >= 4).select("frame_idx")
+      .as[Seq[Int]].collect()
+    assert(idx.forall(s => s.size == 4 && s == s.sorted))
+  }
+}

@@ -1,0 +1,178 @@
+package graft.orchestrate
+
+import graft.SparkSpec
+import graft.model._
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class DependencyNetworkSpec extends SparkSpec {
+
+  test("validate catches undefined dependencies") {
+    val n = new DependencyNetwork
+    n.add("a", Seq("ghost"))
+    val Left(errs) = n.validate(): @unchecked
+    assert(errs.exists(_.contains("ghost")))
+  }
+
+  test("validate catches cycles (tarjan) and self-loops") {
+    val n = new DependencyNetwork
+    n.add("a", Seq("b")); n.add("b", Seq("c")); n.add("c", Seq("a"))
+    val Left(errs) = n.validate(): @unchecked
+    assert(errs.exists(_.contains("cycle")))
+    val self = new DependencyNetwork
+    self.add("x", Seq("x"))
+    assert(self.validate().isLeft)
+  }
+
+  test("topoLayers orders dependencies first") {
+    val n = new DependencyNetwork
+    n.add("c", Seq("a", "b")); n.add("a", Nil); n.add("b", Seq("a"))
+    assert(n.topoLayers() == Seq(Seq("a"), Seq("b"), Seq("c")))
+  }
+
+  test("groups round-trip") {
+    val n = new DependencyNetwork
+    n.addGroup("g", Seq("j1", "j2")); n.addGroup("g", Seq("j3"))
+    assert(n.getGroup("g") == Seq("j1", "j2", "j3"))
+    assert(n.getGroup("missing").isEmpty)
+  }
+
+  test("deep chains don't overflow the stack") {
+    val n = new DependencyNetwork
+    (1 to 20000).foreach(i => n.add(s"j$i", if (i == 1) Nil else Seq(s"j${i - 1}")))
+    assert(n.validate().isRight)
+  }
+}
+
+class MigrationAppSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(): String = {
+    val root = Files.createTempDirectory("graft-app").toString
+    Seq((1L, "x", 1.0), (2L, "y", 2.0), (3L, "x", 3.0))
+      .toDF("_id", "cat", "v")
+      .write.mode("overwrite").parquet(s"$root/items.parquet")
+    root
+  }
+
+  private def simple(id: String, deps: Seq[String] = Nil,
+      query: Map[String, Any] = Map.empty,
+      update: Map[String, Any] = Map("$set" -> Map("cat" -> "done"))) =
+    SimpleMigration(GeneratorOptions(id, deps, Namespace("db", "items"), query),
+      update)
+
+  test("simple migration end-to-end with ledger") {
+    val root = freshRoot()
+    val app = new MigrationApp(spark, root)
+    app.setup(Seq(simple("m1", query = Map("cat" -> "x"))))
+    val res = app.run()
+    assert(res == Seq(MigrationResult("m1", 2, hasErrors = false)))
+    val out = spark.read.parquet(s"$root/items.parquet")
+    assert(out.where($"cat" === "done").count() == 2)
+    assert(app.ledger.satisfied("m1"))
+  }
+
+  test("dry run plans and counts but writes nothing") {
+    val root = freshRoot()
+    val app = new MigrationApp(spark, root, ApplicationOptions(dryRun = true))
+    app.setup(Seq(simple("m1", query = Map("cat" -> "x"))))
+    val res = app.run()
+    assert(res.head.matched == 2)
+    assert(spark.read.parquet(s"$root/items.parquet")
+      .where($"cat" === "done").count() == 0)
+    assert(!app.ledger.satisfied("m1"))
+  }
+
+  test("dependent migrations run in order; ledger gates") {
+    val root = freshRoot()
+    val app = new MigrationApp(spark, root)
+    app.setup(Seq(
+      simple("second", deps = Seq("first"),
+        query = Map("cat" -> "warm"),
+        update = Map("$set" -> Map("cat" -> "hot"))),
+      simple("first", update = Map("$set" -> Map("cat" -> "warm")))))
+    val res = app.run()
+    assert(res.map(_.id) == Seq("first", "second"))
+    assert(res.forall(!_.hasErrors))
+    val out = spark.read.parquet(s"$root/items.parquet")
+    assert(out.where($"cat" === "hot").count() == 3)
+  }
+
+  test("failed dependency blocks the dependent") {
+    val root = freshRoot()
+    val app = new MigrationApp(spark, root)
+    app.setup(Seq(
+      simple("bad", update = Map("$bogus" -> Map("x" -> 1))),
+      simple("child", deps = Seq("bad"))))
+    val res = app.run()
+    assert(res.find(_.id == "bad").get.hasErrors)
+    val child = res.find(_.id == "child").get
+    assert(child.hasErrors && child.error.get.contains("blocked"))
+  }
+
+  test("cycle rejected at setup") {
+    val app = new MigrationApp(spark, freshRoot())
+    intercept[IllegalArgumentException] {
+      app.setup(Seq(simple("a", deps = Seq("b")), simple("b", deps = Seq("a"))))
+    }
+  }
+
+  test("duplicate ids rejected at setup") {
+    val app = new MigrationApp(spark, freshRoot())
+    intercept[IllegalArgumentException] {
+      app.setup(Seq(simple("a"), simple("a")))
+    }
+  }
+
+  test("unregistered manual operation fails that migration only") {
+    val root = freshRoot()
+    val app = new MigrationApp(spark, root)
+    app.setup(Seq(ManualMigration(
+      GeneratorOptions("manual", Nil, Namespace("db", "items")), "ghost-op")))
+    val res = app.run()
+    assert(res.head.hasErrors && res.head.error.get.contains("not registered"))
+  }
+
+  test("manual migration maps rows through the registered op") {
+    val root = freshRoot()
+    val regs = new Registries
+    regs.registerOperation("upcase",
+      r => Row(r.getLong(0), r.getString(1).toUpperCase, r.getDouble(2)))
+    val app = new MigrationApp(spark, root, registries = regs)
+    app.setup(Seq(ManualMigration(
+      GeneratorOptions("manual", Nil, Namespace("db", "items"),
+        Map("cat" -> "x")), "upcase")))
+    assert(app.run().forall(!_.hasErrors))
+    val out = spark.read.parquet(s"$root/items.parquet")
+    assert(out.where($"cat" === "X").count() == 2)
+    assert(out.where($"cat" === "y").count() == 1)
+  }
+
+  test("stream migration processes the matching stream") {
+    val root = freshRoot()
+    val regs = new Registries
+    regs.registerProcessor("drop-evens",
+      it => it.filter(r => r.getLong(0) % 2 == 1))
+    val app = new MigrationApp(spark, root, registries = regs)
+    app.setup(Seq(StreamMigration(
+      GeneratorOptions("stream", Nil, Namespace("db", "items")), "drop-evens")))
+    assert(app.run().forall(!_.hasErrors))
+    assert(spark.read.parquet(s"$root/items.parquet").count() == 2)
+  }
+
+  test("limit caps migrated rows deterministically") {
+    val root = freshRoot()
+    val app = new MigrationApp(spark, root)
+    app.setup(Seq(SimpleMigration(
+      GeneratorOptions("lim", Nil, Namespace("db", "items"),
+        query = Map.empty, limit = 2),
+      Map("$set" -> Map("cat" -> "done")))))
+    assert(app.run().forall(!_.hasErrors))
+    val out = spark.read.parquet(s"$root/items.parquet")
+    assert(out.where($"cat" === "done").count() == 2)
+    // deterministic selection: lowest keys first
+    assert(out.where($"cat" === "done").select("_id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L))
+  }
+}

@@ -1,0 +1,119 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PipelineCompilerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sales = Seq(
+    ("a", 1, 10.0, Seq("x", "y")),
+    ("a", 2, 20.0, Seq("y")),
+    ("b", 3, 30.0, Seq.empty[String]),
+    ("b", 4, 40.0, Seq("z"))).toDF("cat", "n", "amt", "tags")
+
+  private def run(stages: Map[String, Any]*) =
+    PipelineCompiler.compile(stages)(sales)
+
+  test("$match + $group accumulators") {
+    val out = run(
+      Map("$match" -> Map("amt" -> Map("$gte" -> 20.0))),
+      Map("$group" -> Map("_id" -> "$cat",
+        "total" -> Map("$sum" -> "$amt"),
+        "cnt" -> Map("$sum" -> 1),
+        "top" -> Map("$max" -> "$n"))),
+      Map("$sort" -> Map("_id" -> 1)))
+    assert(out.collect().map(r => (r.getString(0), r.getDouble(1),
+      r.getLong(2), r.getInt(3))).toSeq ==
+      Seq(("a", 20.0, 1L, 2), ("b", 70.0, 2L, 4)))
+  }
+
+  test("$group _id null = global aggregation") {
+    val out = run(Map("$group" -> Map("_id" -> null,
+      "s" -> Map("$sum" -> "$amt"))))
+    assert(out.select("s").as[Double].head() == 100.0)
+  }
+
+  test("$group compound _id struct") {
+    val out = run(Map("$group" -> Map(
+      "_id" -> Map("c" -> "$cat", "parity" -> Map("$mod" -> Seq("$n", 2))),
+      "cnt" -> Map("$count" -> Map.empty))))
+    assert(out.count() == 4)
+    assert(out.schema("_id").dataType.typeName == "struct")
+  }
+
+  test("$project include / exclude / computed") {
+    assert(run(Map("$project" -> Map("cat" -> 1, "n" -> 1))).columns.toSeq
+      == Seq("cat", "n"))
+    assert(run(Map("$project" -> Map("tags" -> 0))).columns.toSeq
+      == Seq("cat", "n", "amt"))
+    val computed = run(Map("$project" -> Map(
+      "cat" -> 1, "double_amt" -> Map("$multiply" -> Seq("$amt", 2)))))
+    assert(computed.where($"cat" === "b").agg(sum("double_amt"))
+      .as[Double].head() == 140.0)
+  }
+
+  test("$unwind explodes and drops empties") {
+    val out = run(Map("$unwind" -> "$tags"))
+    assert(out.count() == 4) // "b",3 row with [] disappears
+    assert(out.where($"tags" === "y").count() == 2)
+  }
+
+  test("$sort / $limit / $skip") {
+    val out = run(Map("$sort" -> Map("amt" -> -1)), Map("$skip" -> 1),
+      Map("$limit" -> 2))
+    assert(out.select("n").as[Int].collect().toSeq == Seq(3, 2))
+  }
+
+  test("$count") {
+    assert(run(Map("$count" -> "total")).select("total").as[Long].head() == 4)
+  }
+
+  test("$sortByCount") {
+    val out = run(Map("$unwind" -> "$tags"), Map("$sortByCount" -> "$tags"))
+    assert(out.head().getString(0) == "y")
+    assert(out.head().getLong(1) == 2)
+  }
+
+  test("$lookup + $unwind flattens a join") {
+    val dims = Seq(("a", "Alpha"), ("b", "Beta")).toDF("key", "label")
+    val out = PipelineCompiler.compile(Seq(
+      Map("$lookup" -> Map("from" -> "dims", "localField" -> "cat",
+        "foreignField" -> "key", "as" -> "d")),
+      Map("$unwind" -> "$d"),
+      Map("$project" -> Map("n" -> 1, "label" -> "$d.label"))),
+      tables = { case "dims" => dims })(sales)
+    assert(out.where($"label" === "Beta").select("n").as[Int]
+      .collect().sorted.toSeq == Seq(3, 4))
+  }
+
+  test("$lookup keeps unmatched rows with empty arrays") {
+    val dims = Seq(("a", "Alpha")).toDF("key", "label")
+    val out = PipelineCompiler.compile(Seq(
+      Map("$lookup" -> Map("from" -> "dims", "localField" -> "cat",
+        "foreignField" -> "key", "as" -> "d"))),
+      tables = { case "dims" => dims })(sales)
+    assert(out.where($"cat" === "b").select(size($"d")).as[Int]
+      .collect().toSeq == Seq(0, 0))
+  }
+
+  test("$addFields + expression language") {
+    val out = run(Map("$addFields" -> Map(
+      "label" -> Map("$cond" -> Seq(Map("$gte" -> Seq("$amt", 25.0)),
+        "big", "small")),
+      "upper" -> Map("$toUpper" -> "$cat"))))
+    assert(out.where($"label" === "big").count() == 2)
+    assert(out.select("upper").as[String].collect().toSet == Set("A", "B"))
+  }
+
+  test("$replaceRoot") {
+    val nested = sales.select(struct($"cat", $"n").as("sub"))
+    val out = PipelineCompiler.compile(Seq(
+      Map("$replaceRoot" -> Map("newRoot" -> "$sub"))))(nested)
+    assert(out.columns.toSeq == Seq("cat", "n"))
+  }
+
+  test("unsupported stage rejected") {
+    intercept[IllegalArgumentException] { run(Map("$facet" -> Map.empty)) }
+  }
+}

@@ -1,0 +1,90 @@
+package graft.query
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class QueryCompilerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    (1L, "a", 10.0, Seq(1, 2, 3)),
+    (2L, "b", 20.0, Seq(2, 3)),
+    (3L, "a", 30.0, Seq.empty[Int]),
+    (4L, "c", 40.0, Seq(4))).toDF("_id", "cat", "v", "arr")
+
+  private def ids(q: Map[String, Any]): Seq[Long] =
+    df.where(QueryCompiler.compile(q)).select("_id").as[Long].collect()
+      .toSeq.sorted
+
+  test("empty query matches all") { assert(ids(Map.empty) == Seq(1, 2, 3, 4)) }
+
+  test("equality") { assert(ids(Map("cat" -> "a")) == Seq(1, 3)) }
+
+  test("comparison operators") {
+    assert(ids(Map("v" -> Map("$gt" -> 20.0))) == Seq(3, 4))
+    assert(ids(Map("v" -> Map("$gte" -> 20.0))) == Seq(2, 3, 4))
+    assert(ids(Map("v" -> Map("$lt" -> 20.0))) == Seq(1))
+    assert(ids(Map("v" -> Map("$lte" -> 20.0))) == Seq(1, 2))
+    assert(ids(Map("v" -> Map("$ne" -> 20.0))) == Seq(1, 3, 4))
+    assert(ids(Map("v" -> Map("$gt" -> 10.0, "$lt" -> 40.0))) == Seq(2, 3))
+  }
+
+  test("$in / $nin") {
+    assert(ids(Map("cat" -> Map("$in" -> Seq("a", "c")))) == Seq(1, 3, 4))
+    assert(ids(Map("cat" -> Map("$nin" -> Seq("a", "c")))) == Seq(2))
+  }
+
+  test("implicit AND of fields") {
+    assert(ids(Map("cat" -> "a", "v" -> Map("$gt" -> 15.0))) == Seq(3))
+  }
+
+  test("$and / $or / $nor") {
+    assert(ids(Map("$or" -> Seq(Map("cat" -> "b"), Map("v" -> 40.0)))) == Seq(2, 4))
+    assert(ids(Map("$and" -> Seq(Map("cat" -> "a"), Map("v" -> 10.0)))) == Seq(1))
+    assert(ids(Map("$nor" -> Seq(Map("cat" -> "a"), Map("cat" -> "b")))) == Seq(4))
+  }
+
+  test("$not") {
+    assert(ids(Map("v" -> Map("$not" -> Map("$gt" -> 20.0)))) == Seq(1, 2))
+  }
+
+  test("$exists") {
+    val withNull = df.withColumn("maybe",
+      when($"_id" === 1, lit("x")).otherwise(lit(null)))
+    assert(withNull.where(QueryCompiler.compile(
+      Map("maybe" -> Map("$exists" -> true)))).count() == 1)
+    assert(withNull.where(QueryCompiler.compile(
+      Map("maybe" -> Map("$exists" -> false)))).count() == 3)
+  }
+
+  test("$regex / $size / $all / $mod") {
+    assert(ids(Map("cat" -> Map("$regex" -> "^[ab]$"))) == Seq(1, 2, 3))
+    assert(ids(Map("arr" -> Map("$size" -> 2))) == Seq(2))
+    assert(ids(Map("arr" -> Map("$all" -> Seq(2, 3)))) == Seq(1, 2))
+    assert(ids(Map("_id" -> Map("$mod" -> Seq(2, 0)))) == Seq(2, 4))
+  }
+
+  test("$elemMatch") {
+    assert(ids(Map("arr" -> Map("$elemMatch" ->
+      Map("$gte" -> 3, "$lt" -> 5)))) == Seq(1, 2, 4))
+  }
+
+  test("dotted nested path") {
+    val nested = df.withColumn("sub", struct($"v".as("inner")))
+    assert(nested.where(QueryCompiler.compile(
+      Map("sub.inner" -> Map("$gt" -> 25.0)))).count() == 2)
+  }
+
+  test("null equality matches null") {
+    val withNull = df.withColumn("maybe",
+      when($"_id" === 1, lit("x")).otherwise(lit(null)))
+    assert(withNull.where(QueryCompiler.compile(Map("maybe" -> null)))
+      .count() == 3)
+  }
+
+  test("unknown operator rejected") {
+    intercept[IllegalArgumentException] {
+      QueryCompiler.compile(Map("v" -> Map("$near" -> 1)))
+    }
+  }
+}

@@ -1,0 +1,106 @@
+package graft.update
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class UpdateCompilerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df = Seq(
+    (1L, "a", 10.0, Seq(1, 2)),
+    (2L, "b", 20.0, Seq(2))).toDF("_id", "cat", "v", "arr")
+
+  private def run(u: Map[String, Any]) = UpdateCompiler.compile(u)(df)
+
+  test("$set literal + new column creation") {
+    val out = run(Map("$set" -> Map("cat" -> "z", "fresh" -> 7)))
+    assert(out.select("cat").as[String].collect().toSet == Set("z"))
+    assert(out.select("fresh").as[Int].collect().toSeq == Seq(7, 7))
+  }
+
+  test("$inc / $mul") {
+    val out = run(Map("$inc" -> Map("v" -> 5), "$mul" -> Map("_id" -> 10)))
+    assert(out.select("v").as[Double].collect().sorted.toSeq == Seq(15.0, 25.0))
+    assert(out.select("_id").as[Long].collect().sorted.toSeq == Seq(10L, 20L))
+  }
+
+  test("$min / $max") {
+    val out = run(Map("$min" -> Map("v" -> 15.0)))
+    assert(out.select("v").as[Double].collect().sorted.toSeq == Seq(10.0, 15.0))
+    val out2 = run(Map("$max" -> Map("v" -> 15.0)))
+    assert(out2.select("v").as[Double].collect().sorted.toSeq == Seq(15.0, 20.0))
+  }
+
+  test("$rename whole-table is a metadata rename") {
+    val out = run(Map("$rename" -> Map("v" -> "value")))
+    assert(out.columns.toSeq == Seq("_id", "cat", "value", "arr"))
+  }
+
+  test("$unset whole-table drops the column") {
+    assert(!run(Map("$unset" -> Map("arr" -> 1))).columns.contains("arr"))
+  }
+
+  test("$push / $addToSet / $pull / $pop") {
+    val out = run(Map("$push" -> Map("arr" -> 9)))
+    assert(out.where($"_id" === 1).select("arr").as[Seq[Int]].head()
+      == Seq(1, 2, 9))
+    val dedup = run(Map("$addToSet" -> Map("arr" -> 2)))
+    assert(dedup.where($"_id" === 1).select("arr").as[Seq[Int]].head()
+      == Seq(1, 2))
+    val pulled = run(Map("$pull" -> Map("arr" -> 2)))
+    assert(pulled.where($"_id" === 1).select("arr").as[Seq[Int]].head()
+      == Seq(1))
+    val popped = run(Map("$pop" -> Map("arr" -> 1)))
+    assert(popped.where($"_id" === 1).select("arr").as[Seq[Int]].head()
+      == Seq(1))
+    val shifted = run(Map("$pop" -> Map("arr" -> -1)))
+    assert(shifted.where($"_id" === 1).select("arr").as[Seq[Int]].head()
+      == Seq(2))
+  }
+
+  test("predicated update preserves non-matching rows") {
+    val out = UpdateCompiler.applyUpdate(df, $"cat" === "a",
+      Map("$set" -> Map("v" -> 99.0)))
+    assert(out.where($"_id" === 1).select("v").as[Double].head() == 99.0)
+    assert(out.where($"_id" === 2).select("v").as[Double].head() == 20.0)
+  }
+
+  test("predicated $rename nulls source and fills target per-row") {
+    val out = UpdateCompiler.applyUpdate(df, $"cat" === "a",
+      Map("$rename" -> Map("v" -> "w")))
+    val r1 = out.where($"_id" === 1).select("w", "v").head()
+    assert(r1.getDouble(0) == 10.0 && r1.isNullAt(1))
+    val r2 = out.where($"_id" === 2).select("w", "v").head()
+    assert(r2.isNullAt(0) && r2.getDouble(1) == 20.0)
+  }
+
+  test("nested struct path via withField") {
+    val nested = df.withColumn("sub", struct($"v".as("inner"), $"cat".as("tag")))
+    val out = UpdateCompiler.compile(Map("$set" -> Map("sub.inner" -> 0.5)))(nested)
+    assert(out.select("sub.inner").as[Double].collect().toSet == Set(0.5))
+    assert(out.select("sub.tag").as[String].collect().toSet == Set("a", "b"))
+    val dropped = UpdateCompiler.compile(Map("$unset" -> Map("sub.tag" -> 1)))(nested)
+    assert(dropped.select("sub.*").columns.toSeq == Seq("inner"))
+  }
+
+  test("replacement document (hasDollarKey=false) keeps id, nulls the rest") {
+    val out = UpdateCompiler.applyUpdate(df, $"_id" === 1,
+      Map("cat" -> "only", "extra" -> 42))
+    val r = out.where($"_id" === 1).select("cat", "v", "extra").head()
+    assert(r.getString(0) == "only" && r.isNullAt(1) && r.getInt(2) == 42)
+    val untouched = out.where($"_id" === 2).select("cat", "v", "extra").head()
+    assert(untouched.getString(0) == "b" && untouched.getDouble(1) == 20.0 &&
+      untouched.isNullAt(2))
+  }
+
+  test("$currentDate sets a timestamp") {
+    val out = run(Map("$currentDate" -> Map("seen" -> true)))
+    assert(out.schema("seen").dataType.typeName == "timestamp")
+    assert(out.where($"seen".isNull).count() == 0)
+  }
+
+  test("unknown operator rejected") {
+    intercept[IllegalArgumentException] { run(Map("$bogus" -> Map("a" -> 1))) }
+  }
+}
