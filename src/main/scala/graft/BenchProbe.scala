@@ -1,0 +1,22 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object BenchProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(5000000L).selectExpr("sum(id)").collect()
+    for (q <- Seq("q19_dedup_minhash", "q29_pipeline_expr", "q19_dedup_minhash", "q29_pipeline_expr")) {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(q)(spark, sfDir).count()
+      println(f"[probe] $q ${(System.nanoTime()-t0)/1e9}%.2f s")
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}

@@ -285,6 +285,39 @@ object SparkEntry {
         TextFunctions.bpeishTokenCount(col("text")).cast("long").as("n_bpeish"))
         .orderBy("doc_id")),
 
+    // §2.4 pipeline expression sublanguage ($concat/$toUpper/$cond/$year)
+    "q29_pipeline_expr" -> ((s, dir) =>
+      coll(s, dir, "orders").pipe(Seq(
+        Map("$addFields" -> Map(
+          "key" -> Map("$concat" -> Seq(
+            Map("$toUpper" -> "$o_orderstatus"), "-",
+            Map("$cond" -> Seq(
+              Map("$gte" -> Seq("$o_totalprice", 100000.0)), "big", "small")))),
+          "yr" -> Map("$year" -> "$o_orderdate"))),
+        Map("$group" -> Map("_id" -> "$key",
+          "n" -> Map("$sum" -> 1),
+          "min_year" -> Map("$min" -> "$yr"))),
+        Map("$sort" -> Map("_id" -> 1))))),
+
+    // §2.7 set ops over migration work-lists: union ∪ distinct, except
+    "q30_setops" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+      val o = tbl(s, dir, "orders")
+      val a = li.where(col("l_quantity") > 49)
+        .select(col("l_orderkey").as("k"))
+      val b = o.where(col("o_totalprice") > 400000.0)
+        .select(col("o_orderkey").as("k"))
+      val c = o.where(col("o_orderstatus") === "P")
+        .select(col("o_orderkey").as("k"))
+      a.union(b).distinct().except(c).orderBy("k")
+    }),
+
+    // §2.4 EstimatedDocumentCount: parquet footer metadata, no scan
+    "q31_estimated_count" -> ((s, dir) => {
+      val n = coll(s, dir, "lineitem").estimatedCount()
+      s.range(1).select(lit(n).as("cnt"))
+    }),
+
     // multimodal plumbing: binary column -> batched partition decode (stub)
     "q28_multimodal" -> ((s, dir) => {
       val media = Multimodal.asMedia(tbl(s, dir, "documents"), "doc_id", "text")
@@ -558,6 +591,23 @@ object SparkEntry {
         |  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_ws,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpeish
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q29_pipeline_expr" ->
+      """SELECT upper(o_orderstatus) || '-' ||
+        |  CASE WHEN o_totalprice >= 100000.0 THEN 'big' ELSE 'small' END AS _id,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(MIN(year(o_orderdate)) AS INT) AS min_year
+        |FROM orders GROUP BY 1 ORDER BY _id""".stripMargin,
+
+    "q30_setops" ->
+      """WITH a AS (SELECT l_orderkey AS k FROM lineitem WHERE l_quantity > 49),
+        |b AS (SELECT o_orderkey AS k FROM orders WHERE o_totalprice > 400000.0),
+        |c AS (SELECT o_orderkey AS k FROM orders WHERE o_orderstatus = 'P'),
+        |u AS (SELECT k FROM a UNION SELECT k FROM b)
+        |SELECT k FROM u EXCEPT SELECT k FROM c ORDER BY k""".stripMargin,
+
+    "q31_estimated_count" ->
+      "SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM lineitem",
 
     "q28_multimodal" ->
       """SELECT doc_id AS media_id,

@@ -42,6 +42,10 @@ final class GraftCollection(s: GraftSession, val ns: Namespace) {
     new GraftQuery(df, col(idCol) === QueryCompiler.toLit(id))
   /** reference db/wrapper.go:112-115. */
   def count(): Long = df.count()
+  /** Footer-metadata count, no scan — EstimatedDocumentCount analog
+    * (backup/backup.go:91). */
+  def estimatedCount(): Long =
+    graft.sources.Tables.estimatedRowCount(s.spark, path)
   /** Append documents — reference db/wrapper.go:117-125. */
   def insert(rows: DataFrame): Unit =
     rows.write.mode("append").parquet(path)

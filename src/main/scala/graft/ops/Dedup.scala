@@ -46,12 +46,13 @@ object Dedup {
     val sh = df
       .select(col(idCol).as("id"),
         explode(array_distinct(shingles(col(textCol), k))).as("sh"))
-    val filtered =
+    val filtered = (
       if (maxShingleFreq > 0) {
         val freq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
           .where(col("df") <= maxShingleFreq).select("sh")
         sh.join(freq, "sh")
       } else sh
+    ).persist() // reused by sizes + both self-join sides: 3 consumers
     val sizes = filtered.groupBy("id").agg(count(lit(1)).as("sz"))
     val pairs = filtered.as("a")
       .join(filtered.as("b"),
@@ -88,19 +89,26 @@ object Dedup {
   /** MinHash + LSH candidate pairs: signatures are split into `bands`
     * bands of numPerms/bands rows; docs sharing any band signature become
     * candidates. The band join is a shuffle on the band key — the classic
-    * sub-quadratic near-dup plan for 100 TB corpora. Output: distinct
-    * (id_a, id_b), id_a < id_b. */
+    * sub-quadratic near-dup plan for 100 TB corpora.
+    *
+    * Plan shape matters: signatures are persisted (computing them costs an
+    * explode + wide aggregate; without the persist the band self-join
+    * recomputes that subplan once per side — 8× at 4 bands) and all bands
+    * come from ONE pass via a struct explode rather than a per-band union.
+    * Output: distinct (id_a, id_b), id_a < id_b. */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numPerms: Int = 12, bands: Int = 4): DataFrame = {
     require(numPerms % bands == 0, "numPerms must be divisible by bands")
     val rows = numPerms / bands
-    val sigs = minhashSignatures(df, idCol, textCol, k, numPerms)
-    val bandFrames = (0 until bands).map { b =>
+    val sigs = minhashSignatures(df, idCol, textCol, k, numPerms).persist()
+    val bandStructs = (0 until bands).map { b =>
       val sigCols = (0 until rows).map(r => col(s"mh${b * rows + r}"))
-      sigs.select(col("id"), lit(b).as("band"),
+      struct(lit(b).as("band"),
         concat_ws(",", sigCols.map(_.cast("string")): _*).as("sig"))
     }
-    val banded = bandFrames.reduce(_ unionByName _)
+    val banded = sigs.select(col("id"),
+      explode(array(bandStructs: _*)).as("bs"))
+      .select(col("id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
@@ -138,18 +146,33 @@ object Dedup {
   /** Embedding cosine near-duplicates. Brute-force within-block pairs:
     * at scale pass a `blockCol` (e.g. an LSH bucket from
     * [[Similarity.hyperplaneBucket]]) so the quadratic join stays inside
-    * blocks; with no block column it degrades to full O(n²) — only for
-    * small n. Output: (id_a, id_b), cosine >= threshold. */
+    * blocks; with no block column the right side is broadcast and the left
+    * streams partition-parallel (still O(n²) work — only for bounded n or
+    * per-bucket verification). Norms are computed once per row; the dot
+    * product is the native codegen'd expression.
+    * Output: (id_a, id_b), cosine >= threshold. */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, blockCol: Option[String] = None): DataFrame = {
+    import graft.functions.VectorFunctions.vec_dot
+    val par = df.sparkSession.sparkContext.defaultParallelism
     val base = df.select(
       col(idCol).as("id"), col(vecCol).as("v"),
       blockCol.map(col).getOrElse(lit(0)).as("blk"))
-    val joined = base.as("a").join(base.as("b"),
-      col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .withColumn("nsq", vec_dot(col("v"), col("v")))
+    val a = base.toDF("id_a", "va", "blk", "na").repartition(par)
+    val b = base.toDF("id_b", "vb", "blk", "nb")
+    val joined =
+      if (blockCol.isDefined)
+        a.join(b, Seq("blk")).where(col("id_a") < col("id_b"))
+      else a.drop("blk").join(broadcast(b.drop("blk")),
+        col("id_a") < col("id_b"))
     joined
-      .withColumn("cos", Similarity.cosine(col("a.v"), col("b.v")))
+      .withColumn("cos", {
+        val denom = sqrt(col("na")) * sqrt(col("nb"))
+        when(denom === 0.0, lit(0.0))
+          .otherwise(vec_dot(col("va"), col("vb")) / denom)
+      })
       .where(col("cos") >= threshold)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .select(col("id_a"), col("id_b"))
   }
 }

@@ -3,49 +3,58 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions.vec_dot
 
 /** Similarity search over embedding columns (`Array[Float]`).
   *
   * Two paths:
-  *  - [[bruteForceTopK]]: exact cosine top-k via a block-nested-loop join —
-  *    the baseline, O(|queries| · |corpus|). Fine when |queries| is small
-  *    or the corpus fits a broadcast; the 100 TB path broadcasts the query
-  *    set so the corpus is streamed exactly once, partition-parallel, with
-  *    no shuffle of the corpus itself.
-  *  - [[lshTopK]]: approximate top-k via deterministic random-hyperplane
-  *    LSH — corpus and queries bucket by sign pattern, the join happens
-  *    per bucket (sub-linear candidates), then exact cosine re-ranks.
+  *  - [[bruteForceTopK]]: exact cosine top-k — the query set is broadcast
+  *    and the corpus is streamed exactly once, partition-parallel; per-row
+  *    norms are computed once (not per pair) and the dot product is the
+  *    native codegen'd [[graft.functions.FloatVecDot]] expression.
+  *  - [[lshTopK]]: approximate top-k via multi-table random-hyperplane LSH
+  *    with driver-precomputed deterministic plane constants — bucket
+  *    equi-joins only, sub-linear candidate sets, exact re-rank.
   *
-  * All vector math is `Column` expressions (zip_with/aggregate fuse into
-  * codegen) — no UDFs, no driver-side loops.
+  * At 100 TB the brute-force path is the per-bucket verifier, not the
+  * global plan; LSH/IVF carry the global candidate generation.
   */
 object Similarity {
 
-  /** Dot product of two float-array columns in double precision,
-    * accumulated in index order (deterministic). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Dot product of two float/double array columns in double precision
+    * (native expression, whole-stage codegen). */
+  def dot(a: Column, b: Column): Column = vec_dot(a, b)
 
-  def norm(a: Column): Column = sqrt(dot(a, a))
+  def norm(a: Column): Column = sqrt(vec_dot(a, a))
 
   /** Cosine similarity in double precision; 0 for zero-norm inputs. */
   def cosine(a: Column, b: Column): Column = {
-    val d = dot(a, b)
+    val d = vec_dot(a, b)
     val denom = norm(a) * norm(b)
     when(denom === 0.0, lit(0.0)).otherwise(d / denom)
   }
 
+  /** Cosine from a precomputed dot and squared norms (so norms are
+    * computed once per row, not once per candidate pair). */
+  private def cosineFromParts(d: Column, nsqA: Column, nsqB: Column): Column = {
+    val denom = sqrt(nsqA) * sqrt(nsqB)
+    when(denom === 0.0, lit(0.0)).otherwise(d / denom)
+  }
+
   /** Exact cosine top-k: for every query vector, the k nearest corpus
-    * vectors (excluding itself when ids collide). The query side is
-    * broadcast; ranking is a window per query id with deterministic
-    * id tie-break. Output: (query_id, neighbor_id, rank). */
+    * vectors (excluding identical ids), deterministic id tie-break.
+    * Output: (query_id, neighbor_id, rank). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("cn", vec_dot(col("cv"), col("cv")))
+      .repartition(par) // corpus may arrive as one parquet split
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qn", vec_dot(col("qv"), col("qv")))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos",
+        cosineFromParts(vec_dot(col("qv"), col("cv")), col("qn"), col("cn")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -53,47 +62,64 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank")
   }
 
-  /** Deterministic pseudo-random hyperplane component: plane `j`,
-    * dimension `i` → integer in [-1000, 1000], derived from md5 so any
-    * engine can reproduce it. */
-  private def planeComponent(j: Int, i: Column): Column =
-    TextFunctions.hash60(concat(lit(s"plane$j-"), i.cast("string")))
-      .%(lit(2001L)) - lit(1000L)
+  /** Deterministic pseudo-random hyperplane for LSH, computed once on the
+    * driver (the per-row md5 formulation burned 200+ s at sf0.1):
+    * component i of plane j = hash60("plane<j>-<i>") % 2001 - 1000. */
+  private[ops] def planeVector(j: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim) { i =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"plane$j-$i".getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.take(15)
+      (java.lang.Long.parseLong(hex, 16) % 2001L - 1000L).toDouble
+    }
 
-  /** Sign-pattern LSH bucket id from `nPlanes` hyperplanes (table `table`,
-    * so several independent hash tables can be built): bit j set when
-    * dot(v, plane_{table,j}) >= 0. */
-  def hyperplaneBucket(vec: Column, nPlanes: Int, table: Int = 0): Column =
+  /** Sign-pattern LSH bucket id from `nPlanes` hyperplanes of table
+    * `table`: bit j set when dot(v, plane_{table,j}) >= 0. Plane constants
+    * fold into the generated code. */
+  def hyperplaneBucket(vec: Column, nPlanes: Int, dim: Int, table: Int = 0)
+      : Column =
     (0 until nPlanes).map { j =>
-      val d = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) =>
-            x.cast("double") * planeComponent(table * 1000 + j, i).cast("double")),
-        lit(0.0), (acc, x) => acc + x)
-      when(d >= 0.0, lit(1L << j)).otherwise(lit(0L))
+      val plane = typedlit(planeVector(table * 1000 + j, dim))
+      when(vec_dot(vec, plane) >= 0.0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** Approximate top-k via multi-table hyperplane LSH: `tables`
-    * independent hash tables of `nPlanes` bits each; candidates share the
+    * independent hash tables of `nPlanes` bits; candidates share the
     * query's bucket in ANY table (union ∪ distinct), then exact cosine
-    * re-ranks the candidates. More tables → higher recall, linearly more
-    * candidate rows; each table's join is a bucket-key equi-join — no
-    * cross join anywhere, so the plan scales with bucket occupancy, not
-    * |corpus|·|queries|. */
+    * re-ranks. Every join is a bucket-key equi-join — no cross join, so
+    * the plan scales with bucket occupancy, not |corpus|·|queries|.
+    * `dim` = embedding dimensionality (0 = infer from the first row). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, nPlanes: Int = 8, tables: Int = 8): DataFrame = {
+      vecCol: String, k: Int, nPlanes: Int = 8, tables: Int = 8,
+      dim: Int = 0): DataFrame = {
+    val d =
+      if (dim > 0) dim
+      else corpus.select(size(col(vecCol))).head().getInt(0)
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .repartition(par)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val candidates = (0 until tables).map { t =>
-      c.withColumn("bkt", hyperplaneBucket(col("cv"), nPlanes, t))
-        .join(broadcast(q.withColumn("bkt",
-          hyperplaneBucket(col("qv"), nPlanes, t))), Seq("bkt"))
-        .where(col("query_id") =!= col("neighbor_id"))
-        .select("query_id", "neighbor_id")
-    }.reduce(_ unionByName _).distinct()
+    // all tables' bucket ids in ONE scan pass (struct explode), ONE join on
+    // (table, bucket) — not `tables` separate joins over re-scanned input
+    def withBuckets(df: DataFrame, vec: String): DataFrame =
+      df.select(col("*"), explode(array((0 until tables).map { t =>
+        struct(lit(t).as("t"),
+          hyperplaneBucket(col(vec), nPlanes, d, t).as("bkt"))
+      }: _*)).as("tb"))
+        .select((df.columns.map(col) :+ col("tb.t").as("t") :+
+          col("tb.bkt").as("bkt")): _*)
+    val candidates = withBuckets(c, "cv")
+      .join(broadcast(withBuckets(q, "qv").select("query_id", "t", "bkt")),
+        Seq("t", "bkt"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+      .distinct()
     val scored = candidates
-      .join(broadcast(q), "query_id").join(c, "neighbor_id")
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .join(broadcast(q.withColumn("qn", vec_dot(col("qv"), col("qv")))),
+        "query_id")
+      .join(c.withColumn("cn", vec_dot(col("cv"), col("cv"))), "neighbor_id")
+      .withColumn("cos",
+        cosineFromParts(vec_dot(col("qv"), col("cv")), col("qn"), col("cn")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))

@@ -89,6 +89,13 @@ final class MigrationApp(
     results.toSeq
   }
 
+  /** Count of documents still matching a migration's query — reference
+    * PendingMigrationOperations (migration_helper_legacy.go:101-120). */
+  def pendingMigrationOperations(spec: MigrationSpec): Long = {
+    val df = graft.sources.Tables.load(spark, spec.options.ns.path(root))
+    df.where(QueryCompiler.compile(spec.options.query)).count()
+  }
+
   private def runOne(spec: MigrationSpec): MigrationResult = {
     val opts = spec.options
     val path = opts.ns.path(root)

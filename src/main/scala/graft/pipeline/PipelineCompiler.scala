@@ -28,7 +28,25 @@ object PipelineCompiler {
       tables: TableResolver = name =>
         throw new IllegalArgumentException(s"$$lookup: unknown table $name"))
       : DataFrame => DataFrame =
-    df => pipeline.foldLeft(df)((acc, st) => stage(acc, st, tables))
+    df => fuse(pipeline).foldLeft(df)((acc, st) => stage(acc, st, tables))
+
+  /** Peephole rewrite: `$lookup(as: X)` immediately followed by
+    * `$unwind: "$X"` is semantically an inner join — compile it to one,
+    * skipping the collect_list → explode round-trip (array build + extra
+    * shuffle). The classic Mongo idiom costs ~10× the join at scale. */
+  private def fuse(pipeline: Seq[Map[String, Any]]): Seq[Map[String, Any]] =
+    pipeline match {
+      case lookup +: unwind +: rest
+        if lookup.keySet == Set("$lookup") && unwind.keySet == Set("$unwind") &&
+          (unwind("$unwind") match {
+            case s: String =>
+              s == "$" + lookup("$lookup").asInstanceOf[Map[String, Any]]("as")
+            case _ => false
+          }) =>
+        Map("$__lookupUnwind" -> lookup("$lookup")) +: fuse(rest)
+      case head +: rest => head +: fuse(rest)
+      case empty => empty
+    }
 
   private def stage(df: DataFrame, st: Map[String, Any],
       tables: TableResolver): DataFrame = {
@@ -124,6 +142,16 @@ object PipelineCompiler {
         df.join(grouped, df(local) === grouped("__lk"), "left_outer")
           .drop("__lk")
           .withColumn(as, coalesce(col(as), array()))
+
+      case "$__lookupUnwind" => // fused $lookup + $unwind = inner join
+        val d = doc(spec)
+        val from = tables(d("from").toString)
+        val foreign = d("foreignField").toString
+        val as = d("as").toString
+        val fStruct = struct(from.columns.map(from(_)).toSeq: _*)
+        val right = from.select(col(foreign).as("__lk"), fStruct.as(as))
+        df.join(right, df(d("localField").toString) === right("__lk"), "inner")
+          .drop("__lk")
 
       case "$sortByCount" =>
         val ref = spec.toString

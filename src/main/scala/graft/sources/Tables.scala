@@ -41,6 +41,26 @@ object Tables {
     }
   }
 
+  /** Cheap approximate row count from parquet footer metadata (no data
+    * scan) — the EstimatedDocumentCount analog
+    * (/root/reference/backup/backup.go:91): exact for static files, costs
+    * one footer read per file. */
+  def estimatedRowCount(spark: SparkSession, path: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new Path(path)
+    val fs = FileSystem.get(p.toUri, conf)
+    val files: Seq[Path] =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).map(_.getPath).toSeq
+          .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+      else Seq(p)
+    files.map { f =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+      try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+      finally r.close()
+    }.sum
+  }
+
   /** Top-level INT64 TIMESTAMP(NANOS) columns, from the first footer. */
   private def nanosTimestampColumns(spark: SparkSession, path: String)
       : Seq[String] = {

@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import graft.model.SimpleMigration
+import graft.query.QueryCompiler
+import graft.update.UpdateCompiler
+
+/** Structured-Streaming extension of the migration engine.
+  *
+  * The reference is strictly batch: its only "stream" is a cursor fed to
+  * user code (/root/reference/migration_job_stream.go:70-77; no watermarks
+  * or event-time operators exist — SURVEY.md §1.1/§2.5). This module is the
+  * Spark-native extension of the same semantics to continuous arrival:
+  *  - [[continuousMigration]]: a Simple migration applied to every
+  *    micro-batch of newly arriving files — query compiler + update
+  *    compiler reused verbatim, so batch and streaming semantics can't
+  *    drift apart.
+  *  - [[windowedRollup]]: the APM rotation window (apm/event.go:29-34,
+  *    monitor.go:152-171) as an event-time tumbling window with a
+  *    watermark, i.e. Rotate() without the wall-clock ticker.
+  */
+object StreamingMigrations {
+
+  /** Open a file-based stream over a directory of parquet drops. */
+  def readStream(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(path)
+
+  /** Apply a simple migration spec to a (possibly streaming) frame:
+    * matching rows get the update, others pass through — identical
+    * compilation to the batch path. */
+  def applySpec(spec: SimpleMigration)(df: DataFrame): DataFrame =
+    UpdateCompiler.applyUpdate(df, QueryCompiler.compile(spec.options.query),
+      spec.update)
+
+  /** Continuous migration: stream in, transform, append out, exactly-once
+    * per file via checkpointing. */
+  def continuousMigration(spark: SparkSession, spec: SimpleMigration,
+      sourcePath: String, schema: org.apache.spark.sql.types.StructType,
+      sinkPath: String, checkpoint: String): StreamingQuery =
+    applySpec(spec)(readStream(spark, sourcePath, schema))
+      .writeStream
+      .format("parquet")
+      .option("path", sinkPath)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Event-time windowed success/fail/duration rollup with watermark —
+    * the streaming analog of Apm.rollup + window rotation. */
+  def windowedRollup(events: DataFrame, tsCol: String, keys: Seq[String],
+      okCol: String, durCol: String, windowLen: String = "1 minute",
+      watermark: String = "2 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy((window(col(tsCol), windowLen) +: keys.map(col)): _*)
+      .agg(
+        sum(when(col(okCol), 1L).otherwise(0L)).as("succeeded"),
+        sum(when(col(okCol), 0L).otherwise(1L)).as("failed"),
+        sum(col(durCol)).as("duration_ns"))
+}

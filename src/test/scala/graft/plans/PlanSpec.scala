@@ -1,0 +1,112 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.query.QueryCompiler
+import org.apache.spark.sql.functions._
+
+/** Plan-shape assertions: the scale contract, not just row equality.
+  * These lock in that compiled queries keep Catalyst's pushdown/broadcast
+  * behavior — a regression here is a 100 TB regression even when results
+  * stay correct. */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def explain(df: org.apache.spark.sql.DataFrame): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) { df.explain("formatted") }
+    out.toString
+  }
+
+  test("compiled query predicates push down to the parquet scan") {
+    val df = graft.sources.Tables.table(spark, sf, "lineitem")
+      .where(QueryCompiler.compile(Map(
+        "l_returnflag" -> "R", "l_quantity" -> Map("$gte" -> 30))))
+      .select("l_orderkey")
+    val plan = explain(df)
+    assert(plan.contains("PushedFilters"))
+    assert(plan.contains("IsNotNull(l_returnflag)") ||
+      plan.contains("EqualTo(l_returnflag,R)"))
+  }
+
+  test("projection prunes the parquet read schema") {
+    val df = graft.sources.Tables.table(spark, sf, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    val plan = explain(df)
+    val readSchema = plan.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") &&
+      readSchema.contains("l_quantity") &&
+      !readSchema.contains("l_comment") && !readSchema.contains("l_shipdate"))
+  }
+
+  test("dependency semi-join broadcasts the small side") {
+    val orders = graft.sources.Tables.table(spark, sf, "orders")
+    val edges = graft.sources.Tables.table(spark, sf, "lineitem")
+      .where(col("l_quantity") > 45)
+      .select(col("l_orderkey").as("o_orderkey"))
+    val df = orders.join(broadcast(edges), Seq("o_orderkey"), "left_semi")
+    assert(explain(df).contains("BroadcastHashJoin"))
+  }
+
+  test("fused lookup+unwind compiles to a join, not collect_list+explode") {
+    val ses = new graft.db.GraftSession(spark, sf)
+    val df = ses.db("t").c("orders").pipe(Seq(
+      Map("$lookup" -> Map("from" -> "customer", "localField" -> "o_custkey",
+        "foreignField" -> "c_custkey", "as" -> "cust")),
+      Map("$unwind" -> "$cust")))
+    val plan = explain(df)
+    assert(!plan.contains("Generate")) // no explode
+    assert(!plan.contains("collect_list"))
+    assert(plan.contains("Join") || plan.contains("BroadcastHashJoin"))
+  }
+
+  test("unfused lookup still produces array semantics") {
+    val ses = new graft.db.GraftSession(spark, sf)
+    val df = ses.db("t").c("orders").pipe(Seq(
+      Map("$lookup" -> Map("from" -> "customer", "localField" -> "o_custkey",
+        "foreignField" -> "c_custkey", "as" -> "cust"))))
+    assert(df.schema("cust").dataType.typeName == "array")
+  }
+
+  test("native dot product stays inside whole-stage codegen") {
+    import graft.functions.VectorFunctions.vec_dot
+    val e = graft.sources.Tables.table(spark, sf, "embeddings")
+    val df = e.select(vec_dot(col("embedding"), col("embedding")).as("nsq"))
+    val plan = explain(df)
+    // formatted explain marks codegen'd operators with "[codegen id : N]"
+    assert(plan.contains("codegen id"))
+    assert(plan.contains("floatvecdot"))
+    // value check: dot(v,v) > 0 for non-zero embeddings
+    assert(df.where(col("nsq") > 0).count() == e.count())
+  }
+
+  test("top-k sort+limit compiles to TakeOrderedAndProject") {
+    val df = new graft.db.GraftSession(spark, sf).db("t").c("lineitem")
+      .find().sort("-l_extendedprice").limit(5)
+      .select("l_orderkey", "l_extendedprice").toDF
+    assert(explain(df).contains("TakeOrderedAndProject"))
+  }
+}
+
+class FingerprintSpec extends SparkSpec {
+  import graft.apm.Fingerprint
+
+  test("literals strip to type placeholders; same shape -> same print") {
+    val a = Map("time" -> Map("$gt" -> java.time.Instant.now()), "n" -> 5)
+    val b = Map("n" -> 99, "time" -> Map("$gt" ->
+      java.time.Instant.parse("2020-01-01T00:00:00Z")))
+    assert(Fingerprint.fingerprint(a) == Fingerprint.fingerprint(b))
+    assert(Fingerprint.fingerprint(a).contains("<date>"))
+  }
+
+  test("arrays dedup by element shape") {
+    val fp = Fingerprint.fingerprint(Map("ids" -> Seq(1, 2, 3, "x")))
+    assert(fp == """{"ids": [<int>, <string>]}""")
+  }
+
+  test("different shapes -> different prints") {
+    assert(Fingerprint.fingerprint(Map("a" -> 1)) !=
+      Fingerprint.fingerprint(Map("a" -> Map("$gt" -> 1))))
+  }
+}

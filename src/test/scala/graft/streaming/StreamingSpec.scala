@@ -1,0 +1,54 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.model._
+import java.nio.file.Files
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("continuous migration transforms arriving files exactly once") {
+    val dir = Files.createTempDirectory("graft-stream").toString
+    val src = s"$dir/src"; val sink = s"$dir/sink"; val ck = s"$dir/ck"
+    val batch1 = Seq((1L, "x", 1.0), (2L, "y", 2.0)).toDF("_id", "cat", "v")
+    batch1.write.parquet(src)
+
+    val spec = SimpleMigration(
+      GeneratorOptions("stream-mig", Nil, Namespace("db", "items"),
+        query = Map("cat" -> "x")),
+      update = Map("$set" -> Map("cat" -> "done")))
+
+    val q = StreamingMigrations.continuousMigration(spark, spec, src,
+      batch1.schema, sink, ck)
+    q.awaitTermination(60000)
+
+    val out = spark.read.parquet(sink)
+    assert(out.count() == 2)
+    assert(out.where($"cat" === "done").select("_id").as[Long].head() == 1L)
+
+    // second drop: only the new file is processed (checkpoint dedups)
+    Seq((3L, "x", 3.0)).toDF("_id", "cat", "v")
+      .write.mode("append").parquet(src)
+    val q2 = StreamingMigrations.continuousMigration(spark, spec, src,
+      batch1.schema, sink, ck)
+    q2.awaitTermination(60000)
+    val out2 = spark.read.parquet(sink)
+    assert(out2.count() == 3)
+    assert(out2.where($"cat" === "done").count() == 2)
+  }
+
+  test("windowed rollup groups by event-time window") {
+    val events = Seq(
+      ("2024-01-01 00:00:10", "find", true, 100L),
+      ("2024-01-01 00:00:50", "find", false, 50L),
+      ("2024-01-01 00:01:10", "find", true, 10L))
+      .toDF("ts", "cmd", "ok", "dur")
+      .withColumn("ts", $"ts".cast("timestamp"))
+    val out = StreamingMigrations.windowedRollup(events, "ts", Seq("cmd"),
+      "ok", "dur")
+    val rows = out.orderBy("window.start")
+      .select("succeeded", "failed", "duration_ns")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(rows == Seq((1L, 1L, 150L), (1L, 0L, 10L)))
+  }
+}
