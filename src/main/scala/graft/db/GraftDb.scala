@@ -166,6 +166,40 @@ object TableOps {
       .drop("__src", "__seq", "__rn")
   }
 
+  /** Upsert with an update-operator document (the reference's primary
+    * Upsert form, db/wrapper.go:146-186): matching rows get the update
+    * applied; when nothing matches, one new row is synthesized from the
+    * query's equality fields plus the update's `$set` fields (Mongo upsert
+    * semantics). The existence probe is a pushed-down limit-1 scan. */
+  def upsertDoc(df: DataFrame, query: Map[String, Any],
+      update: Map[String, Any], idCol: String = "_id"): DataFrame = {
+    val pred = QueryCompiler.compile(query)
+    val anyMatch = !df.where(pred).isEmpty
+    if (anyMatch) UpdateCompiler.applyUpdate(df, pred, update, idCol)
+    else {
+      val eqFields = query.collect {
+        case (k, v) if !k.startsWith("$") && !v.isInstanceOf[Map[_, _]] =>
+          k -> v
+      }
+      val setFields =
+        if (UpdateCompiler.hasDollarKey(update))
+          update.getOrElse("$set", Map.empty).asInstanceOf[Map[String, Any]] ++
+            update.getOrElse("$setOnInsert", Map.empty)
+              .asInstanceOf[Map[String, Any]]
+        else update // replacement doc inserts as-is
+      val values = eqFields ++ setFields
+      val newRow = values.foldLeft(
+        df.sparkSession.range(1).select(df.columns.map(c =>
+          lit(null).cast(df.schema(c).dataType).as(c)): _*)) {
+        case (d, (k, v)) =>
+          if (d.columns.contains(k))
+            d.withColumn(k, QueryCompiler.toLit(v).cast(df.schema(k).dataType))
+          else d
+      }
+      df.unionByName(newRow)
+    }
+  }
+
   /** One buffered mixed batch — reference Bulk (db/wrapper.go:246-344).
     * Ordered application: ops fold over the table in sequence, giving the
     * reference's ordered-bulk semantics; per-key last-wins falls out of the

@@ -164,6 +164,15 @@ object PipelineCompiler {
         require(ref.startsWith("$"), s"$$replaceRoot: $ref")
         df.select(col(ref.drop(1) + ".*"))
 
+      case "$sample" =>
+        // Mongo $sample is random; here seeded (deterministic) rand so
+        // pipelines stay reproducible: order by rand(seed), take size.
+        val d = doc(spec)
+        val n = int(d.getOrElse("size",
+          throw new IllegalArgumentException("$sample requires size")))
+        val seed = d.get("seed").map(s => int(s).toLong).getOrElse(42L)
+        df.orderBy(rand(seed)).limit(n)
+
       case "$out" =>
         throw new IllegalArgumentException(
           "$out is a sink; use Backup / DataFrame.write")

@@ -73,3 +73,34 @@ class TableOpsSpec extends SparkSpec {
     }
   }
 }
+
+class UpsertDocSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import TableOps._
+
+  private def base = Seq((1L, "a", 1.0), (2L, "b", 2.0))
+    .toDF("_id", "cat", "v")
+
+  test("upsertDoc updates matching rows in place") {
+    val out = upsertDoc(base, Map("_id" -> 1L),
+      Map("$set" -> Map("cat" -> "hit"), "$inc" -> Map("v" -> 10)))
+    assert(out.count() == 2)
+    val r = out.where($"_id" === 1).select("cat", "v").head()
+    assert(r.getString(0) == "hit" && r.getDouble(1) == 11.0)
+  }
+
+  test("upsertDoc inserts query-equality + $set fields when no match") {
+    val out = upsertDoc(base, Map("_id" -> 9L),
+      Map("$set" -> Map("cat" -> "new")))
+    assert(out.count() == 3)
+    val r = out.where($"_id" === 9).select("cat", "v").head()
+    assert(r.getString(0) == "new" && r.isNullAt(1))
+  }
+
+  test("upsertDoc replacement-doc insert") {
+    val out = upsertDoc(base, Map("_id" -> 7L),
+      Map("cat" -> "repl", "v" -> 5.5))
+    val r = out.where($"_id" === 7).select("cat", "v").head()
+    assert(r.getString(0) == "repl" && r.getDouble(1) == 5.5)
+  }
+}

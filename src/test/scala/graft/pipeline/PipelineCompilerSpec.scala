@@ -117,3 +117,15 @@ class PipelineCompilerSpec extends SparkSpec {
     intercept[IllegalArgumentException] { run(Map("$facet" -> Map.empty)) }
   }
 }
+
+class SampleStageSpec extends graft.SparkSpec {
+  import spark.implicits._
+  test("$sample is deterministic for a fixed seed and bounded by size") {
+    val df = (1 to 100).toDF("n")
+    val s1 = PipelineCompiler.compile(Seq(Map("$sample" ->
+      Map("size" -> 5, "seed" -> 7))))(df).select("n").as[Int].collect().toSeq
+    val s2 = PipelineCompiler.compile(Seq(Map("$sample" ->
+      Map("size" -> 5, "seed" -> 7))))(df).select("n").as[Int].collect().toSeq
+    assert(s1 == s2 && s1.size == 5)
+  }
+}
