@@ -318,6 +318,37 @@ object SparkEntry {
       s.range(1).select(lit(n).as("cnt"))
     }),
 
+    // SimHash near-dup pairs (chunk-band join + bit_count verify)
+    "q32_simhash_neardup" -> ((s, dir) =>
+      Dedup.simhashNearDup(tbl(s, dir, "documents"), "doc_id", "text",
+        bits = 16, maxHamming = 3)
+        .orderBy("id_a", "id_b")),
+
+    // MinHash signature table (the LSH input, verified directly)
+    "q33_minhash_sig" -> ((s, dir) =>
+      Dedup.minhashSignatures(tbl(s, dir, "documents"), "doc_id", "text",
+        k = 3, numPerms = 4)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
+    // §2.9 upsert with an update-operator document, insert branch
+    "q34_upsert_doc" -> ((s, dir) =>
+      TableOps.upsertDoc(tbl(s, dir, "orders"),
+        Map("o_orderkey" -> -1L),
+        Map("$set" -> Map("o_orderstatus" -> "Z")), "o_orderkey")
+        .select("o_orderkey", "o_orderstatus")
+        .orderBy("o_orderkey")),
+
+    // §2.9 findAndModify: update the first sorted match
+    "q35_find_and_modify" -> ((s, dir) => {
+      val (out, _) = TableOps.findAndModify(tbl(s, dir, "orders"),
+        Map("o_orderstatus" -> "O"),
+        Seq("-o_totalprice", "o_orderkey"),
+        Map("$set" -> Map("o_orderpriority" -> "0-TOUCHED")),
+        remove = false, "o_orderkey")
+      out.select("o_orderkey", "o_orderpriority").orderBy("o_orderkey")
+    }),
+
     // multimodal plumbing: binary column -> batched partition decode (stub)
     "q28_multimodal" -> ((s, dir) => {
       val media = Multimodal.asMedia(tbl(s, dir, "documents"), "doc_id", "text")
@@ -608,6 +639,49 @@ object SparkEntry {
 
     "q31_estimated_count" ->
       "SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM lineitem",
+
+    "q32_simhash_neardup" -> {
+      // direct O(n^2)-over-fingerprints oracle; the engine's chunk-band
+      // plan must produce exactly the same pair set
+      s"""WITH $toksCte,
+         |tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+         |h AS (SELECT doc_id, ${sqlHash("tok")} % 65536 AS h FROM tok),
+         |votes AS (
+         |  SELECT doc_id, j, SUM(CASE WHEN (h >> CAST(j AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+         |  FROM h, UNNEST(range(0, 16)) AS u(j) GROUP BY doc_id, j),
+         |sim AS (
+         |  SELECT doc_id, CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS s
+         |  FROM votes GROUP BY doc_id)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+         |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.s, b.s)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "q33_minhash_sig" -> {
+      val minExprs = (0 until 4).map { i =>
+        s"CAST(MIN((h * ${2 * i + 3} + ${i.toLong * i + 1}) % 2147483647) AS BIGINT) AS mh$i"
+      }.mkString(", ")
+      s"""WITH $toksCte,
+         |$shingleCte,
+         |h AS (SELECT doc_id, ${sqlHash("sh")} AS h FROM sh)
+         |SELECT doc_id, $minExprs FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    "q34_upsert_doc" ->
+      """SELECT o_orderkey, o_orderstatus FROM (
+        |  SELECT o_orderkey, o_orderstatus FROM orders
+        |  UNION ALL SELECT -1, 'Z'
+        |) ORDER BY o_orderkey""".stripMargin,
+
+    "q35_find_and_modify" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey = (
+        |    SELECT o_orderkey FROM orders WHERE o_orderstatus = 'O'
+        |    ORDER BY o_totalprice DESC, o_orderkey LIMIT 1)
+        |  THEN '0-TOUCHED' ELSE o_orderpriority END AS o_orderpriority
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q28_multimodal" ->
       """SELECT doc_id AS media_id,
