@@ -349,6 +349,26 @@ object SparkEntry {
       out.select("o_orderkey", "o_orderpriority").orderBy("o_orderkey")
     }),
 
+    // semi-structured payloads: JSON column extraction (the schemaless
+    // document escape hatch — SURVEY §1.2 dynamic payloads)
+    "q36_json_extract" -> ((s, dir) =>
+      tbl(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(sum("k").as("sum_k"), count(lit(1)).as("n"),
+          min("k").as("min_k"), max("k").as("max_k"))
+        .orderBy("event_type")),
+
+    // §2.4 pipeline $bucket histogram
+    "q37_bucket" -> ((s, dir) =>
+      coll(s, dir, "orders").pipe(Seq(
+        Map("$bucket" -> Map(
+          "groupBy" -> "$o_totalprice",
+          "boundaries" -> Seq(0.0, 50000.0, 150000.0, 300000.0, 1000000.0),
+          "n" -> Map("$sum" -> 1),
+          "maxp" -> Map("$max" -> "$o_totalprice"))),
+        Map("$sort" -> Map("_id" -> 1))))),
+
     // multimodal plumbing: binary column -> batched partition decode (stub)
     "q28_multimodal" -> ((s, dir) => {
       val media = Multimodal.asMedia(tbl(s, dir, "documents"), "doc_id", "text")
@@ -682,6 +702,24 @@ object SparkEntry {
         |    ORDER BY o_totalprice DESC, o_orderkey LIMIT 1)
         |  THEN '0-TOUCHED' ELSE o_orderpriority END AS o_orderpriority
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q36_json_extract" ->
+      """SELECT event_type,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+        |  CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q37_bucket" ->
+      """SELECT CASE
+        |    WHEN o_totalprice >= 0.0 AND o_totalprice < 50000.0 THEN 0.0
+        |    WHEN o_totalprice >= 50000.0 AND o_totalprice < 150000.0 THEN 50000.0
+        |    WHEN o_totalprice >= 150000.0 AND o_totalprice < 300000.0 THEN 150000.0
+        |    WHEN o_totalprice >= 300000.0 AND o_totalprice < 1000000.0 THEN 300000.0
+        |    ELSE NULL END AS _id,
+        |  CAST(COUNT(*) AS BIGINT) AS n, MAX(o_totalprice) AS maxp
+        |FROM orders GROUP BY 1 ORDER BY _id""".stripMargin,
 
     "q28_multimodal" ->
       """SELECT doc_id AS media_id,

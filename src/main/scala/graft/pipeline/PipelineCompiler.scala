@@ -164,6 +164,37 @@ object PipelineCompiler {
         require(ref.startsWith("$"), s"$$replaceRoot: $ref")
         df.select(col(ref.drop(1) + ".*"))
 
+      case "$bucket" =>
+        // group rows into explicit boundary buckets: _id = lower bound of
+        // the bucket, rows outside the boundaries go to `default`
+        val d = doc(spec)
+        val groupExpr = expr2col(d("groupBy"))
+        val bounds = d("boundaries") match {
+          case s: Seq[_] => s.map {
+            case n: Number => n.doubleValue()
+            case other => throw new IllegalArgumentException(s"$$bucket: $other")
+          }
+          case other => throw new IllegalArgumentException(s"$$bucket: $other")
+        }
+        require(bounds.size >= 2, "$bucket needs >= 2 boundaries")
+        val defaultId = d.get("default").map(v => lit(
+          graft.query.QueryCompiler.toScalaLit(v)))
+        // Mongo allows a non-numeric default bucket id; Spark columns are
+        // typed, so a string default makes the whole _id column string
+        val stringy = d.get("default").exists(_.isInstanceOf[String])
+        def idLit(lo: Double): Column =
+          if (stringy) lit(lo).cast("string") else lit(lo)
+        val bucketCol = bounds.sliding(2).zipWithIndex.foldRight(
+          defaultId.getOrElse(lit(null))) { case ((Seq(lo, hi), _), els) =>
+          when(groupExpr >= lo && groupExpr < hi, idLit(lo)).otherwise(els)
+        }
+        val aggs = (d - "groupBy" - "boundaries" - "default").toSeq
+          .map { case (as, accDoc) => accumulator(doc(accDoc)).as(as) }
+        val withCount =
+          if (aggs.isEmpty) Seq(count(lit(1)).as("count")) else aggs
+        df.groupBy(bucketCol.as("_id"))
+          .agg(withCount.head, withCount.tail: _*)
+
       case "$sample" =>
         // Mongo $sample is random; here seeded (deterministic) rand so
         // pipelines stay reproducible: order by rand(seed), take size.

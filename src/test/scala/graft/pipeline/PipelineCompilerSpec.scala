@@ -129,3 +129,18 @@ class SampleStageSpec extends graft.SparkSpec {
     assert(s1 == s2 && s1.size == 5)
   }
 }
+
+class BucketStageSpec extends graft.SparkSpec {
+  import spark.implicits._
+  test("$bucket groups into boundary buckets with default") {
+    val df = Seq(5.0, 15.0, 25.0, 95.0).toDF("v")
+    val out = PipelineCompiler.compile(Seq(
+      Map("$bucket" -> Map("groupBy" -> "$v",
+        "boundaries" -> Seq(0.0, 10.0, 30.0),
+        "default" -> "other",
+        "n" -> Map("$sum" -> 1))),
+      Map("$sort" -> Map("_id" -> 1))))(df)
+    val rows = out.collect().map(r => (r.get(0).toString, r.getLong(1))).toSeq
+    assert(rows == Seq(("0.0", 1L), ("10.0", 2L), ("other", 1L)))
+  }
+}
