@@ -369,6 +369,20 @@ object SparkEntry {
           "maxp" -> Map("$max" -> "$o_totalprice"))),
         Map("$sort" -> Map("_id" -> 1))))),
 
+    // as-of (point-in-time) join: events against their user's latest
+    // signup snapshot — one shuffle + window, no range explosion
+    "q38_asof_join" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val snaps = ev.where(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"),
+          col("value").as("signup_value"))
+      graft.ops.AsofJoin.backward(
+        ev.select("event_id", "user_id", "ts"), snaps,
+        "user_id", "ts", "ts", Seq("signup_value"))
+        .select("event_id", "signup_value")
+        .orderBy("event_id")
+    }),
+
     // multimodal plumbing: binary column -> batched partition decode (stub)
     "q28_multimodal" -> ((s, dir) => {
       val media = Multimodal.asMedia(tbl(s, dir, "documents"), "doc_id", "text")
@@ -720,6 +734,14 @@ object SparkEntry {
         |    ELSE NULL END AS _id,
         |  CAST(COUNT(*) AS BIGINT) AS n, MAX(o_totalprice) AS maxp
         |FROM orders GROUP BY 1 ORDER BY _id""".stripMargin,
+
+    "q38_asof_join" ->
+      """WITH r AS (
+        |  SELECT user_id, ts, value AS signup_value FROM events
+        |  WHERE event_type = 'signup')
+        |SELECT l.event_id, r.signup_value FROM events l
+        |ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
 
     "q28_multimodal" ->
       """SELECT doc_id AS media_id,
