@@ -289,6 +289,35 @@ object PipelineCompiler {
         case "$month"      => month(seq.head)
         case "$dayOfMonth" => dayofmonth(seq.head)
         case "$hour"       => hour(seq.head)
+        case "$dateTrunc" =>
+          val mm = doc(args)
+          date_trunc(mm("unit").toString, expr2col(mm("date")))
+        case "$dateToString" =>
+          val mm = doc(args)
+          // Mongo %Y-%m-%d style -> java pattern
+          val fmt = mm.getOrElse("format", "%Y-%m-%d").toString
+            .replace("%Y", "yyyy").replace("%m", "MM").replace("%d", "dd")
+            .replace("%H", "HH").replace("%M", "mm").replace("%S", "ss")
+          date_format(expr2col(mm("date")), fmt)
+        case "$switch" =>
+          val mm = doc(args)
+          val branches = mm("branches") match {
+            case s: Seq[_] => s.map(b => doc(b))
+            case other => throw new IllegalArgumentException(s"$$switch: $other")
+          }
+          val default = mm.get("default").map(expr2col)
+            .getOrElse(lit(null))
+          branches.foldRight(default) { (b, els) =>
+            when(expr2col(b("case")), expr2col(b("then"))).otherwise(els)
+          }
+        case "$toString" => seq.head.cast("string")
+        case "$toInt"    => seq.head.cast("int")
+        case "$toLong"   => seq.head.cast("long")
+        case "$toDouble" => seq.head.cast("double")
+        case "$trim" => args match {
+          case m2: Map[_, _] => trim(expr2col(doc(m2)("input")))
+          case _ => trim(seq.head)
+        }
         case "$cond" => args match {
           case s: Seq[_] => val Seq(i, t, f) = s.map(expr2col)
             when(i, t).otherwise(f)

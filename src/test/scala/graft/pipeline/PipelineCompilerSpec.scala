@@ -144,3 +144,37 @@ class BucketStageSpec extends graft.SparkSpec {
     assert(rows == Seq(("0.0", 1L), ("10.0", 2L), ("other", 1L)))
   }
 }
+
+class ExprLangSpec extends graft.SparkSpec {
+  import spark.implicits._
+  private def df = Seq(("2024-03-15 10:30:00", 25.0), ("2024-07-01 08:00:00", 5.0))
+    .toDF("ts", "v").withColumn("ts", $"ts".cast("timestamp"))
+
+  test("$switch with default") {
+    val out = PipelineCompiler.compile(Seq(Map("$addFields" -> Map(
+      "band" -> Map("$switch" -> Map(
+        "branches" -> Seq(
+          Map("case" -> Map("$gte" -> Seq("$v", 20.0)), "then" -> "high"),
+          Map("case" -> Map("$gte" -> Seq("$v", 10.0)), "then" -> "mid")),
+        "default" -> "low"))))))(df)
+    assert(out.select("band").as[String].collect().toSeq == Seq("high", "low"))
+  }
+
+  test("$dateToString and $dateTrunc") {
+    val out = PipelineCompiler.compile(Seq(Map("$addFields" -> Map(
+      "day" -> Map("$dateToString" -> Map("date" -> "$ts", "format" -> "%Y-%m-%d")),
+      "mon" -> Map("$dateTrunc" -> Map("date" -> "$ts", "unit" -> "month"))))))(df)
+    assert(out.select("day").as[String].head() == "2024-03-15")
+    assert(out.select("mon").as[java.sql.Timestamp].head().toString
+      .startsWith("2024-03-01"))
+  }
+
+  test("type conversions and $trim") {
+    val out = PipelineCompiler.compile(Seq(Map("$addFields" -> Map(
+      "s" -> Map("$toString" -> "$v"),
+      "i" -> Map("$toInt" -> "$v"),
+      "t" -> Map("$trim" -> Map("input" -> Map("$literal" -> "  x  ")))))))(df)
+    val r = out.select("s", "i", "t").head()
+    assert(r.getString(0) == "25.0" && r.getInt(1) == 25 && r.getString(2) == "x")
+  }
+}
