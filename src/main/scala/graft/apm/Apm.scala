@@ -80,6 +80,20 @@ final class SparkApmListener(monitor: BasicMonitor)
     monitor.record(key(qe, funcName), ok = false, 0L)
 }
 
+/** Periodic rotate-and-log — reference loggingMonitor
+  * (apm/wrappers.go:11-40): a daemon ticker that rotates the window and
+  * hands it to `log` every `intervalMs`. */
+final class LoggingMonitor(monitor: BasicMonitor, intervalMs: Long)(
+    log: Map[EventKey, EventRecord] => Unit) extends AutoCloseable {
+  private val exec = java.util.concurrent.Executors
+    .newSingleThreadScheduledExecutor(r => {
+      val t = new Thread(r, "graft-apm-logger"); t.setDaemon(true); t
+    })
+  exec.scheduleAtFixedRate(() => log(monitor.rotate()),
+    intervalMs, intervalMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+  override def close(): Unit = exec.shutdownNow()
+}
+
 object Apm {
   def install(spark: SparkSession,
       config: MonitorConfig = MonitorConfig()): BasicMonitor = {

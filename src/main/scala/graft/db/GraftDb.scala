@@ -26,6 +26,30 @@ final class GraftDatabase(s: GraftSession, name: String) {
   def c(collection: String): GraftCollection =
     new GraftCollection(s, Namespace(name, collection))
   def collection(coll: String): GraftCollection = c(coll)
+
+  /** DDL — reference CreateCollection (db/wrapper.go:63-72): materialize
+    * an empty table with the given schema. */
+  def createCollection(coll: String,
+      schema: org.apache.spark.sql.types.StructType): GraftCollection = {
+    val target = c(coll)
+    s.spark.createDataFrame(
+      new java.util.ArrayList[Row](), schema)
+      .write.mode("errorifexists").parquet(Namespace(name, coll).path(s.root))
+    target
+  }
+
+  /** reference DropCollection (db/wrapper.go:86). */
+  def dropCollection(coll: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(Namespace(name, coll).path(s.root))
+    val fs = org.apache.hadoop.fs.FileSystem.get(p.toUri,
+      s.spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  def listCollections(): Seq[String] =
+    Option(new java.io.File(s.root).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet"))
+      .map(_.getName.stripSuffix(".parquet")).toSeq.sorted
 }
 
 final class GraftCollection(s: GraftSession, val ns: Namespace) {

@@ -141,3 +141,45 @@ class TablesSpec extends SparkSpec {
     assert(df.count() == 1500)
   }
 }
+
+class DdlSpec extends graft.SparkSpec {
+  import org.apache.spark.sql.types._
+  import java.nio.file.Files
+
+  test("create / list / drop collection round-trip") {
+    val root = Files.createTempDirectory("graft-ddl").toString
+    val db = new GraftSession(spark, root).db("d")
+    val schema = StructType(Seq(StructField("_id", LongType),
+      StructField("s", StringType)))
+    val coll = db.createCollection("fresh", schema)
+    assert(coll.count() == 0)
+    assert(coll.df.schema.fieldNames.toSeq == Seq("_id", "s"))
+    assert(db.listCollections() == Seq("fresh"))
+    intercept[Exception] { db.createCollection("fresh", schema) } // exists
+    db.dropCollection("fresh")
+    assert(db.listCollections().isEmpty)
+  }
+
+  test("runCommand executes raw SQL") {
+    val ses = new GraftSession(spark, "/tmp")
+    assert(ses.runCommand("SELECT 1 + 1 AS two").head().getInt(0) == 2)
+  }
+}
+
+class LoggingMonitorSpec extends graft.SparkSpec {
+  import graft.apm._
+
+  test("logging monitor rotates on a ticker") {
+    val m = new BasicMonitor()
+    val seen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val lm = new LoggingMonitor(m, 100)(w => {
+      if (w.nonEmpty) seen.addAndGet(w.values.map(_.succeeded).sum.toInt)
+    })
+    m.record(EventKey("d", "c", "find"), ok = true, 5)
+    val deadline = System.currentTimeMillis() + 5000
+    while (seen.get() == 0 && System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+    lm.close()
+    assert(seen.get() == 1)
+  }
+}
