@@ -383,6 +383,19 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // deterministic hash sampling: stable 10% sample by doc_id
+    "q39_hash_sample" -> ((s, dir) =>
+      graft.ops.Sampling.hashSample(tbl(s, dir, "documents"), "doc_id", 0.1)
+        .select("doc_id").orderBy("doc_id")),
+
+    // stratified per-language sampling with a default fraction
+    "q40_stratified_sample" -> ((s, dir) =>
+      graft.ops.Sampling.stratifiedHashSample(
+        tbl(s, dir, "documents"), "doc_id", "lang",
+        Map("en" -> 0.5, "zh" -> 0.25), defaultFraction = 1.0)
+        .groupBy("lang").agg(count(lit(1)).as("n"))
+        .orderBy("lang")),
+
     // multimodal plumbing: binary column -> batched partition decode (stub)
     "q28_multimodal" -> ((s, dir) => {
       val media = Multimodal.asMedia(tbl(s, dir, "documents"), "doc_id", "text")
@@ -742,6 +755,18 @@ object SparkEntry {
         |SELECT l.event_id, r.signup_value FROM events l
         |ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY l.event_id""".stripMargin,
+
+    "q39_hash_sample" ->
+      """SELECT doc_id FROM documents
+        |WHERE ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 1000000 < 100000
+        |ORDER BY doc_id""".stripMargin,
+
+    "q40_stratified_sample" ->
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents
+        |WHERE ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 1000000 <
+        |  CASE WHEN lang = 'en' THEN 500000
+        |       WHEN lang = 'zh' THEN 250000 ELSE 1000000 END
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q28_multimodal" ->
       """SELECT doc_id AS media_id,

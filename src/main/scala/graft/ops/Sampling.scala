@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import TextFunctions.hash60
+
+/** Deterministic hash-based sampling for training-data pipelines.
+  *
+  * `rand()`-based sampling is irreproducible across retries/engines and
+  * unstable under repartitioning; hashing the row id is the 100 TB
+  * technique: membership is a pure function of the id, so splits are
+  * stable across runs, engines (md5-derived — DuckDB oracles verify),
+  * task retries, and dataset growth (a row's split never changes).
+  * Everything is a codegen'd Column expression evaluated at the scan —
+  * zero shuffles.
+  */
+object Sampling {
+
+  private val Buckets = 1000000L
+
+  /** Uniform pseudo-random bucket in [0, 1e6) from the id column. */
+  def hashBucket(id: Column, salt: String = ""): Column =
+    hash60(concat(id.cast("string"), lit(salt))) % Buckets
+
+  /** Keep ~`fraction` of rows, deterministically by id. */
+  def hashSample(df: DataFrame, idCol: String, fraction: Double,
+      salt: String = ""): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, "fraction in [0,1]")
+    df.where(hashBucket(col(idCol), salt) < (fraction * Buckets).toLong)
+  }
+
+  /** Per-class sampling fractions (e.g. downsample dominant languages).
+    * Classes absent from `fractions` keep `defaultFraction`. */
+  def stratifiedHashSample(df: DataFrame, idCol: String, classCol: String,
+      fractions: Map[String, Double], defaultFraction: Double = 1.0,
+      salt: String = ""): DataFrame = {
+    val cutoff = fractions.foldRight(
+      lit((defaultFraction * Buckets).toLong)) { case ((cls, f), els) =>
+      when(col(classCol) === cls, lit((f * Buckets).toLong)).otherwise(els)
+    }
+    df.where(hashBucket(col(idCol), salt) < cutoff)
+  }
+
+  /** Stable train/test split: returns (train, test); a row's side is a
+    * pure function of its id and the salt. */
+  def trainTestSplit(df: DataFrame, idCol: String, testFraction: Double,
+      salt: String = "split"): (DataFrame, DataFrame) = {
+    val isTest = hashBucket(col(idCol), salt) < (testFraction * Buckets).toLong
+    (df.where(!isTest), df.where(isTest))
+  }
+}
