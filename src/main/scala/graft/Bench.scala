@@ -4,6 +4,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -17,24 +18,38 @@ object Bench {
     // query isn't charged for session startup
     spark.range(5000000L).selectExpr("sum(id)").collect()
     SparkEntry.queries.get("q12_agg_sum").foreach(_(spark, sfDir).count())
-    // min of two runs per query: the host VM has CPU-steal spikes that can
-    // inflate a single run 10-50x; the min is the intrinsic cost
-    def once(fn: (org.apache.spark.sql.SparkSession, String) =>
-        org.apache.spark.sql.DataFrame): Double = {
+    // The host VM has CPU-steal spikes that can inflate a single run
+    // 10-50x, so: min over `rounds` repetitions, with the repetitions
+    // INTERLEAVED (round-robin over all queries) rather than back-to-back —
+    // a multi-second steal burst then hits each query at most once.
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val best = scala.collection.mutable.Map.empty[String, Double]
+    val errors = scala.collection.mutable.Map.empty[String, String]
+    for (_ <- 1 to rounds; (name, fn) <- names) {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        best(name) = math.min(best.getOrElse(name, Double.MaxValue), dt)
+      } catch {
+        // a failed run is recorded as a FAILURE, never as a timing
+        case e: Throwable =>
+          errors(name) = e.toString.takeWhile(_ != '\n').take(200)
+      }
       // drop per-query persisted frames so queries are measured standalone
+      graft.ops.Dedup.releaseCaches()
       spark.catalog.clearCache()
-      dt
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> math.min(once(fn), once(fn))
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // queries that never succeeded are excluded from timings and the total,
+    // and surfaced explicitly in "failures"
+    val failed = errors.keySet -- best.keySet
+    val qs = best.toSeq.sortBy(_._1).map { case (k, v) => s"\"$k\":$v" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val fails = failed.toSeq.sorted
+      .map(k => s"""\"$k\":\"${errors(k).replace("\"", "'")}\"""")
+      .mkString("{", ",", "}")
+    val total = if (best.nonEmpty) best.values.sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fails,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

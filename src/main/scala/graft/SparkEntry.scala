@@ -227,7 +227,7 @@ object SparkEntry {
         k = 3, numPerms = 12, bands = 4)
         .orderBy("id_a", "id_b")),
 
-    // 16-bit SimHash fingerprints
+    // SimHash fingerprints (16-bit here; q32 exercises the 60-bit width)
     "q20_simhash" -> ((s, dir) =>
       TextFunctions.simhash(tbl(s, dir, "documents"), "doc_id", "text", 16)
         .orderBy("doc_id")),
@@ -237,10 +237,11 @@ object SparkEntry {
       TextFunctions.fingerprint(tbl(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
-    // embedding cosine near-duplicate pairs (brute-force block)
+    // embedding cosine near-duplicate pairs (default path: multi-table
+    // hyperplane LSH blocking + exact cosine verify — sub-quadratic)
     "q22_embed_neardup" -> ((s, dir) =>
       Dedup.embeddingNearDup(tbl(s, dir, "embeddings"), "vec_id",
-        "embedding", threshold = 0.3)
+        "embedding", threshold = 0.3, dim = 64)
         .orderBy("id_a", "id_b")),
 
     // exact brute-force cosine top-k (rank output, id tie-break)
@@ -251,12 +252,12 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
-    // approximate top-k via deterministic hyperplane LSH (no SQL oracle —
-    // rows-only check; exactness is covered by q23)
+    // approximate top-k via deterministic hyperplane LSH; the oracle embeds
+    // the same driver-side plane constants as literal dot-product sums
     "q24_ann_lsh" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
       Similarity.lshTopK(e, e.where(col("vec_id") < 8), "vec_id",
-        "embedding", k = 10, nPlanes = 4, tables = 16)
+        "embedding", k = 10, nPlanes = 4, tables = 16, dim = 64)
         .orderBy("query_id", "rank")
     }),
 
@@ -318,10 +319,11 @@ object SparkEntry {
       s.range(1).select(lit(n).as("cnt"))
     }),
 
-    // SimHash near-dup pairs (chunk-band join + bit_count verify)
+    // SimHash near-dup pairs (60-bit fingerprints, 15-bit chunk-band join,
+    // hamming verify before the distinct exchange)
     "q32_simhash_neardup" -> ((s, dir) =>
       Dedup.simhashNearDup(tbl(s, dir, "documents"), "doc_id", "text",
-        bits = 16, maxHamming = 3)
+        bits = 60, maxHamming = 3)
         .orderBy("id_a", "id_b")),
 
     // MinHash signature table (the LSH input, verified directly)
@@ -440,6 +442,41 @@ object SparkEntry {
        |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
        |ORDER BY id_a, id_b""".stripMargin
   }
+
+  /** DuckDB mirror of TextFunctions.simhash(bits): raw 60-bit md5 token
+    * hash reduced mod 2^bits, per-bit signed votes, positive bits set.
+    * Expects `toks` in scope; yields CTEs ending in sim(doc_id, simhash). */
+  private def simhashCtes(bits: Int): String =
+    s"""tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+       |hh AS (SELECT doc_id,
+       |  ('0x'||substr(md5(tok),1,15))::BIGINT % (1::BIGINT << $bits) AS h FROM tok),
+       |votes AS (
+       |  SELECT doc_id, j, SUM(CASE WHEN (h >> CAST(j AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM hh, UNNEST(range(0, $bits)) AS u(j) GROUP BY doc_id, j),
+       |sim AS (SELECT doc_id,
+       |  CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM votes GROUP BY doc_id)""".stripMargin
+
+  /** DuckDB mirror of Similarity.hyperplaneBucket: the dot products are
+    * explicit left-associated sums so double rounding matches FloatVecDot's
+    * index-ordered accumulation bit-for-bit (the >= 0 sign test must agree
+    * exactly between engines). */
+  private def hyperBucketSql(vecExpr: String, table: Int, nPlanes: Int,
+      dim: Int): String =
+    (0 until nPlanes).map { j =>
+      val plane = Similarity.planeVector(table * 1000 + j, dim)
+      val dot = plane.zipWithIndex.map { case (p, i) =>
+        s"CAST($vecExpr[${i + 1}] AS DOUBLE)*($p)" }.mkString(" + ")
+      s"(CASE WHEN $dot >= 0.0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("\n + ")
+
+  /** (vec_id, t, bkt) rows for every embedding across `tables` LSH tables —
+    * the DuckDB side of the multi-table hyperplane bucketing used by
+    * Similarity.lshTopK and Dedup.embeddingNearDup. */
+  private def lshBucketsCte(tables: Int, nPlanes: Int, dim: Int): String =
+    (0 until tables).map { t =>
+      s"SELECT vec_id, $t AS t, ${hyperBucketSql("embedding", t, nPlanes, dim)} AS bkt FROM embeddings"
+    }.mkString("\nUNION ALL\n")
 
   /** DuckDB double-precision cosine between two float lists, via unnested
     * positions (cosine gaps dwarf float-association noise; ties broken by
@@ -591,13 +628,8 @@ object SparkEntry {
 
     "q20_simhash" ->
       s"""WITH $toksCte,
-         |tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
-         |h AS (SELECT doc_id, ${sqlHash("tok")} % 65536 AS h FROM tok),
-         |votes AS (
-         |  SELECT doc_id, j, SUM(CASE WHEN (h >> CAST(j AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
-         |  FROM h, UNNEST(range(0, 16)) AS u(j) GROUP BY doc_id, j)
-         |SELECT doc_id, CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS simhash
-         |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+         |${simhashCtes(16)}
+         |SELECT doc_id, simhash FROM sim ORDER BY doc_id""".stripMargin,
 
     "q21_fingerprint" ->
       s"""WITH $toksCte,
@@ -607,9 +639,16 @@ object SparkEntry {
          |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q22_embed_neardup" ->
-      s"""WITH p AS (
-         |  SELECT a.vec_id AS ia, b.vec_id AS ib, a.embedding AS ea, b.embedding AS eb
-         |  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id),
+      s"""WITH bkts AS (
+         |${lshBucketsCte(4, 8, 64)}),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+         |  FROM bkts a JOIN bkts b
+         |    ON a.t = b.t AND a.bkt = b.bkt AND a.vec_id < b.vec_id),
+         |p AS (
+         |  SELECT ia, ib, x.embedding AS ea, y.embedding AS eb FROM cand
+         |  JOIN embeddings x ON x.vec_id = ia
+         |  JOIN embeddings y ON y.vec_id = ib),
          |${cosineCtes("p")}
          |SELECT ia AS id_a, ib AS id_b FROM d
          |WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.3
@@ -620,6 +659,26 @@ object SparkEntry {
          |p AS (
          |  SELECT q.vec_id AS ia, c.vec_id AS ib, q.embedding AS ea, c.embedding AS eb
          |  FROM q, embeddings c WHERE c.vec_id <> q.vec_id),
+         |${cosineCtes("p")},
+         |r AS (
+         |  SELECT ia AS query_id, ib AS neighbor_id,
+         |    CAST(row_number() OVER (
+         |      PARTITION BY ia ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, ib) AS INT) AS rank
+         |  FROM d)
+         |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "q24_ann_lsh" ->
+      s"""WITH bkts AS (
+         |${lshBucketsCte(16, 4, 64)}),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS ia, c.vec_id AS ib
+         |  FROM bkts c JOIN bkts q ON c.t = q.t AND c.bkt = q.bkt
+         |  WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id),
+         |p AS (
+         |  SELECT ia, ib, x.embedding AS ea, y.embedding AS eb FROM cand
+         |  JOIN embeddings x ON x.vec_id = ia
+         |  JOIN embeddings y ON y.vec_id = ib),
          |${cosineCtes("p")},
          |r AS (
          |  SELECT ia AS query_id, ib AS neighbor_id,
@@ -691,18 +750,11 @@ object SparkEntry {
       // direct O(n^2)-over-fingerprints oracle; the engine's chunk-band
       // plan must produce exactly the same pair set
       s"""WITH $toksCte,
-         |tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
-         |h AS (SELECT doc_id, ${sqlHash("tok")} % 65536 AS h FROM tok),
-         |votes AS (
-         |  SELECT doc_id, j, SUM(CASE WHEN (h >> CAST(j AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
-         |  FROM h, UNNEST(range(0, 16)) AS u(j) GROUP BY doc_id, j),
-         |sim AS (
-         |  SELECT doc_id, CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS s
-         |  FROM votes GROUP BY doc_id)
+         |${simhashCtes(60)}
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |       CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
          |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.s, b.s)) <= 3
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          |ORDER BY id_a, id_b""".stripMargin
     },
 

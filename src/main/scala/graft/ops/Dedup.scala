@@ -12,6 +12,20 @@ import TextFunctions._
   */
 object Dedup {
 
+  /** Frames persisted by the operators below (shingle/signature subplans
+    * that would otherwise recompute once per self-join side). They are
+    * tracked here so callers can release them deterministically —
+    * `spark.catalog.clearCache()` also works but nukes unrelated caches. */
+  private val cachedFrames =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  private def tracked(df: DataFrame): DataFrame = { cachedFrames.add(df); df }
+  /** Unpersist every intermediate frame persisted by Dedup operators.
+    * Call after the returned pair frames have been materialized. */
+  def releaseCaches(): Unit = {
+    var d = cachedFrames.poll()
+    while (d != null) { d.unpersist(false); d = cachedFrames.poll() }
+  }
+
   /** Exact dedup: one survivor (minimal `orderCol`) per distinct key, with
     * the duplicate count. A single hash-partitioned aggregate — the 100 TB
     * path is one shuffle on the (hashed) key. Dedup on hashKey(text) rather
@@ -39,20 +53,31 @@ object Dedup {
     * Output: (id_a, id_b, inter, size_a, size_b, jaccard), id_a < id_b.
     *
     * @param maxShingleFreq drop shingles occurring in more than this many
-    *        docs (0 = keep all; set at scale, e.g. 1000).
+    *        docs. A single hot shingle shared by f docs contributes f²/2
+    *        pairs to the self-join, so the cap is ON by default (10 000) and
+    *        opting OUT (0 = keep all) is the explicit scale hazard. The
+    *        number of dropped stop-shingles is logged.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      k: Int, threshold: Double, maxShingleFreq: Long = 0): DataFrame = {
+      k: Int, threshold: Double, maxShingleFreq: Long = 10000): DataFrame = {
     val sh = df
       .select(col(idCol).as("id"),
         explode(array_distinct(shingles(col(textCol), k))).as("sh"))
-    val filtered = (
+    val filtered = tracked((
       if (maxShingleFreq > 0) {
-        val freq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-          .where(col("df") <= maxShingleFreq).select("sh")
-        sh.join(freq, "sh")
+        // freq is the distinct-shingle aggregate (needed for the semi-join
+        // anyway); persisting it makes the dropped-count probe a cheap
+        // second action instead of a second full shingle pass
+        val freq = tracked(sh.groupBy("sh").agg(count(lit(1)).as("df"))
+          .persist())
+        val dropped = freq.where(col("df") > maxShingleFreq).count()
+        if (dropped > 0)
+          org.apache.log4j.Logger.getLogger(getClass).warn(
+            s"ngramJaccardPairs: dropped $dropped stop-shingles with " +
+              s"doc-frequency > $maxShingleFreq")
+        sh.join(freq.where(col("df") <= maxShingleFreq).select("sh"), "sh")
       } else sh
-    ).persist() // reused by sizes + both self-join sides: 3 consumers
+    ).persist()) // reused by sizes + both self-join sides: 3 consumers
     val sizes = filtered.groupBy("id").agg(count(lit(1)).as("sz"))
     val pairs = filtered.as("a")
       .join(filtered.as("b"),
@@ -95,12 +120,14 @@ object Dedup {
     * explode + wide aggregate; without the persist the band self-join
     * recomputes that subplan once per side — 8× at 4 bands) and all bands
     * come from ONE pass via a struct explode rather than a per-band union.
-    * Output: distinct (id_a, id_b), id_a < id_b. */
+    * The persisted frame is registered for [[releaseCaches]]; call it after
+    * materializing the result. Output: distinct (id_a, id_b), id_a < id_b. */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numPerms: Int = 12, bands: Int = 4): DataFrame = {
     require(numPerms % bands == 0, "numPerms must be divisible by bands")
     val rows = numPerms / bands
-    val sigs = minhashSignatures(df, idCol, textCol, k, numPerms).persist()
+    val sigs = tracked(
+      minhashSignatures(df, idCol, textCol, k, numPerms).persist())
     val bandStructs = (0 until bands).map { b =>
       val sigCols = (0 until rows).map(r => col(s"mh${b * rows + r}"))
       struct(lit(b).as("band"),
@@ -120,59 +147,112 @@ object Dedup {
   /** SimHash near-duplicate pairs within `maxHamming` bit flips, using the
     * band trick: split the fingerprint into maxHamming+1 chunks — any pair
     * within the radius must agree exactly on at least one chunk (pigeonhole)
-    * — join per chunk, then verify the true Hamming distance. */
+    * — join per chunk, then verify the true Hamming distance.
+    *
+    * Scale shape: 60-bit fingerprints by default, so with maxHamming=3 the
+    * 4 chunk keys are 15 bits wide (2^15 buckets per chunk — candidate
+    * volume ∝ 4·n²/2^15, vs n²/16 at the old 16-bit/4-bit layout). All
+    * chunks come from ONE struct-explode pass over the fingerprint frame,
+    * and the hamming verify runs BEFORE the distinct so only surviving
+    * pairs shuffle through the dedup exchange. */
   def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
-      bits: Int = 16, maxHamming: Int = 3): DataFrame = {
+      bits: Int = 60, maxHamming: Int = 3): DataFrame = {
     val fp = TextFunctions.simhash(df, idCol, textCol, bits)
       .withColumnRenamed(idCol, "id")
     val chunks = maxHamming + 1
     val width = math.max(bits / chunks, 1)
-    val chunked = (0 until chunks).map { c =>
+    val chunkStructs = (0 until chunks).map { c =>
       val lo = c * width
       val w = if (c == chunks - 1) bits - lo else width
-      fp.select(col("id"), col("simhash"), lit(c).as("chunk"),
+      struct(lit(c).as("chunk"),
         expr(s"shiftright(simhash, $lo) & ${(1L << w) - 1}").as("key"))
-    }.reduce(_ unionByName _)
+    }
+    val chunked = fp
+      .select(col("id"), col("simhash"),
+        explode(array(chunkStructs: _*)).as("ck"))
+      .select(col("id"), col("simhash"),
+        col("ck.chunk").as("chunk"), col("ck.key").as("key"))
     chunked.as("a")
       .join(chunked.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
-      .distinct()
       .where(col("hamming") <= maxHamming)
+      .distinct()
   }
 
-  /** Embedding cosine near-duplicates. Brute-force within-block pairs:
-    * at scale pass a `blockCol` (e.g. an LSH bucket from
-    * [[Similarity.hyperplaneBucket]]) so the quadratic join stays inside
-    * blocks; with no block column the right side is broadcast and the left
-    * streams partition-parallel (still O(n²) work — only for bounded n or
-    * per-bucket verification). Norms are computed once per row; the dot
-    * product is the native codegen'd expression.
-    * Output: (id_a, id_b), cosine >= threshold. */
+  /** Embedding cosine near-duplicates.
+    *
+    * Default path is sub-quadratic: candidates are generated by multi-table
+    * random-hyperplane LSH blocking ([[Similarity.hyperplaneBucket]] —
+    * `blockTables` independent tables of `blockPlanes` sign bits, all from
+    * ONE struct-explode pass), joined on the (table, bucket) key, then
+    * verified with the exact cosine. Pairs sharing a bucket in ANY table are
+    * candidates, so recall grows with `blockTables` while each join stays a
+    * bucket equi-join that scales with bucket occupancy, not n².
+    *
+    * `blockCol` overrides the blocker with a caller-provided key (e.g. a
+    * domain column). `blockTables = 0` opts IN to the brute-force broadcast
+    * O(n²) path — only for bounded n or per-bucket verification; it is
+    * deliberately not the default (a BroadcastNestedLoopJoin over the corpus
+    * is a scale-killer).
+    *
+    * Norms are computed once per row; the dot product is the native
+    * codegen'd expression. `dim` = embedding dimensionality (0 = infer from
+    * the first row). Output: (id_a, id_b), cosine >= threshold. */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, blockCol: Option[String] = None): DataFrame = {
+      threshold: Double, blockCol: Option[String] = None,
+      blockTables: Int = 4, blockPlanes: Int = 8, dim: Int = 0): DataFrame = {
     import graft.functions.VectorFunctions.vec_dot
     val par = df.sparkSession.sparkContext.defaultParallelism
-    val base = df.select(
-      col(idCol).as("id"), col(vecCol).as("v"),
-      blockCol.map(col).getOrElse(lit(0)).as("blk"))
-      .withColumn("nsq", vec_dot(col("v"), col("v")))
-    val a = base.toDF("id_a", "va", "blk", "na").repartition(par)
-    val b = base.toDF("id_b", "vb", "blk", "nb")
-    val joined =
-      if (blockCol.isDefined)
-        a.join(b, Seq("blk")).where(col("id_a") < col("id_b"))
-      else a.drop("blk").join(broadcast(b.drop("blk")),
-        col("id_a") < col("id_b"))
-    joined
-      .withColumn("cos", {
-        val denom = sqrt(col("na")) * sqrt(col("nb"))
-        when(denom === 0.0, lit(0.0))
-          .otherwise(vec_dot(col("va"), col("vb")) / denom)
-      })
-      .where(col("cos") >= threshold)
-      .select(col("id_a"), col("id_b"))
+    def cos(na: Column, nb: Column, d: Column): Column = {
+      val denom = sqrt(na) * sqrt(nb)
+      when(denom === 0.0, lit(0.0)).otherwise(d / denom)
+    }
+    if (blockCol.isDefined || blockTables <= 0) {
+      val base = df.select(
+        col(idCol).as("id"), col(vecCol).as("v"),
+        blockCol.map(col).getOrElse(lit(0)).as("blk"))
+        .withColumn("nsq", vec_dot(col("v"), col("v")))
+      val a = base.toDF("id_a", "va", "blk", "na").repartition(par)
+      val b = base.toDF("id_b", "vb", "blk", "nb")
+      val joined =
+        if (blockCol.isDefined)
+          a.join(b, Seq("blk")).where(col("id_a") < col("id_b"))
+        else a.drop("blk").join(broadcast(b.drop("blk")),
+          col("id_a") < col("id_b"))
+      joined
+        .withColumn("cos", cos(col("na"), col("nb"),
+          vec_dot(col("va"), col("vb"))))
+        .where(col("cos") >= threshold)
+        .select(col("id_a"), col("id_b"))
+    } else {
+      val d = if (dim > 0) dim
+        else df.select(size(col(vecCol))).head().getInt(0)
+      val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+        .repartition(par)
+      val bkts = base.select(col("id"),
+        explode(array((0 until blockTables).map { t =>
+          struct(lit(t).as("t"),
+            Similarity.hyperplaneBucket(col("v"), blockPlanes, d, t).as("bkt"))
+        }: _*)).as("tb"))
+        .select(col("id"), col("tb.t").as("t"), col("tb.bkt").as("bkt"))
+      val cand = bkts.as("a")
+        .join(bkts.as("b"),
+          col("a.t") === col("b.t") && col("a.bkt") === col("b.bkt") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .distinct()
+      val va = base.toDF("id_a", "va")
+        .withColumn("na", vec_dot(col("va"), col("va")))
+      val vb = base.toDF("id_b", "vb")
+        .withColumn("nb", vec_dot(col("vb"), col("vb")))
+      cand.join(va, "id_a").join(vb, "id_b")
+        .withColumn("cos", cos(col("na"), col("nb"),
+          vec_dot(col("va"), col("vb"))))
+        .where(col("cos") >= threshold)
+        .select(col("id_a"), col("id_b"))
+    }
   }
 }

@@ -65,7 +65,7 @@ object Similarity {
   /** Deterministic pseudo-random hyperplane for LSH, computed once on the
     * driver (the per-row md5 formulation burned 200+ s at sf0.1):
     * component i of plane j = hash60("plane<j>-<i>") % 2001 - 1000. */
-  private[ops] def planeVector(j: Int, dim: Int): Array[Double] =
+  private[graft] def planeVector(j: Int, dim: Int): Array[Double] =
     Array.tabulate(dim) { i =>
       val md = java.security.MessageDigest.getInstance("MD5")
         .digest(s"plane$j-$i".getBytes("UTF-8"))

@@ -113,16 +113,18 @@ object TextFunctions {
         .as("fingerprint"))
   }
 
-  /** SimHash fingerprint over whitespace tokens, `bits` wide (≤ 30).
+  /** SimHash fingerprint over whitespace tokens, `bits` wide (≤ 60 — the
+    * full width of the md5-derived [[hash60]] token hash, so wide
+    * fingerprints feed wide chunk keys in the near-dup band join).
     * Per (doc, bit) the signed token votes are summed; the fingerprint sets
     * bit j when the vote is positive. Two explodes + two aggregations, all
     * integer math. */
   def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 16)
       : DataFrame = {
-    require(bits > 0 && bits <= 30, "simhash bits must be in 1..30")
+    require(bits > 0 && bits <= 60, "simhash bits must be in 1..60")
     val toks = df.select(col(idCol),
       explode(tokens(col(textCol))).as("tok"))
-      .withColumn("h", tokenHash(col("tok")) % (1L << bits))
+      .withColumn("h", hash60(col("tok")) % (1L << bits))
     val votes = toks
       .select(col(idCol), col("h"),
         explode(sequence(lit(0), lit(bits - 1))).as("j"))

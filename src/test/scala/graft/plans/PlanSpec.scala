@@ -81,6 +81,42 @@ class PlanSpec extends SparkSpec {
     assert(df.where(col("nsq") > 0).count() == e.count())
   }
 
+  test("embeddingNearDup default path has no BroadcastNestedLoopJoin") {
+    val e = graft.sources.Tables.table(spark, sf, "embeddings")
+    val df = graft.ops.Dedup.embeddingNearDup(e, "vec_id", "embedding",
+      threshold = 0.3, dim = 64)
+    val plan = explain(df)
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "default embeddingNearDup must block via LSH buckets, not O(n^2)")
+    // the opt-in brute path (blockTables = 0) is the only nested-loop form
+    val brute = graft.ops.Dedup.embeddingNearDup(e, "vec_id", "embedding",
+      threshold = 0.3, blockTables = 0)
+    assert(explain(brute).contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("simhashNearDup verifies hamming before the distinct exchange") {
+    val docs = graft.sources.Tables.table(spark, sf, "documents")
+    val df = graft.ops.Dedup.simhashNearDup(docs, "doc_id", "text")
+    val plan = df.queryExecution.optimizedPlan
+    // the final distinct compiles to an Aggregate whose subtree already
+    // contains the hamming filter — candidates are cut before they shuffle
+    val topAgg = plan.collectFirst {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+          if a.groupingExpressions.exists(_.toString.contains("hamming")) => a
+    }
+    assert(topAgg.isDefined, "distinct aggregate over (id_a,id_b,hamming)")
+    // the verify predicate must run below the distinct: either a Filter
+    // node, or (stronger) fused into the chunk self-join's condition
+    val verifyBelow = topAgg.get.child.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if f.condition.toString.contains("bit_count") => f
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.condition.exists(_.toString.contains("bit_count")) => j
+    }
+    assert(verifyBelow.isDefined,
+      "hamming verify must run below the distinct exchange")
+  }
+
   test("top-k sort+limit compiles to TakeOrderedAndProject") {
     val df = new graft.db.GraftSession(spark, sf).db("t").c("lineitem")
       .find().sort("-l_extendedprice").limit(5)
