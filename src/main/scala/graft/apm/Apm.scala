@@ -42,18 +42,22 @@ final case class MonitorConfig(
 }
 
 final class BasicMonitor(config: MonitorConfig = MonitorConfig()) {
-  private val current = new ConcurrentHashMap[EventKey, EventRecord]()
+  // the live window is swapped atomically on rotate (the reference holds a
+  // mutex, monitor.go:152-171); a copy-then-clear would drop events recorded
+  // between the copy and the clear
+  private val current = new java.util.concurrent.atomic.AtomicReference(
+    new ConcurrentHashMap[EventKey, EventRecord]())
 
   def record(k: EventKey, ok: Boolean, durationNs: Long): Unit =
-    if (config.shouldTrack(k)) current.merge(k,
+    if (config.shouldTrack(k)) current.get().merge(k,
       EventRecord(if (ok) 1 else 0, if (ok) 0 else 1, durationNs), _ + _)
 
   /** Swap the accumulation window — reference Rotate()
     * apm/monitor.go:152-171. Pre-populates the configured key cross-product
     * with zero records (apm/config.go:92-111 PopulateEvents). */
   def rotate(): Map[EventKey, EventRecord] = {
-    val snapshot = new ConcurrentHashMap[EventKey, EventRecord](current)
-    current.clear()
+    val snapshot =
+      current.getAndSet(new ConcurrentHashMap[EventKey, EventRecord]())
     val prepopulated =
       for { c <- config.commands; (d, coll) <- config.namespaces }
         yield EventKey(d, coll, c) -> EventRecord(0, 0, 0)

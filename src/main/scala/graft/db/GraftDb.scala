@@ -145,6 +145,27 @@ object GraftQuery {
 final case class ChangeInfo(updated: Long = 0, removed: Long = 0,
     upsertedCount: Long = 0)
 
+/** Lazily-harvested [[ChangeInfo]]: the matched count is a CollectMetrics
+  * observation embedded in the returned plan, so it rides along with
+  * whatever action the caller runs (write/collect) — NO second scan of the
+  * table per update, the reference's ChangeInfo-with-the-write shape
+  * (db/wrapper.go:137-244). Reading a count before any action triggers one
+  * counting pass. */
+final class LazyChangeInfo private[db] (
+    obs: org.apache.spark.sql.Observation, frame: DataFrame,
+    mk: Long => ChangeInfo) {
+  lazy val info: ChangeInfo = {
+    if (!obs.future.isCompleted) frame.count() // no action has run yet
+    mk(obs.get.get("matched") match {
+      case Some(n: Number) => n.longValue()
+      case _ => 0L
+    })
+  }
+  def updated: Long = info.updated
+  def removed: Long = info.removed
+  def upsertedCount: Long = info.upsertedCount
+}
+
 /** Bulk/merge-shaped write operations over immutable DataFrames. The
   * reference's row-at-a-time UpdateOne/Upsert/Bulk (db/wrapper.go:117-344)
   * become whole-DataFrame MERGE transforms: deterministic last-wins per key,
@@ -153,22 +174,28 @@ final case class ChangeInfo(updated: Long = 0, removed: Long = 0,
 object TableOps {
 
   /** UpdateAll: apply a Mongo update doc to matching rows, preserve the
-    * rest — reference db/wrapper.go:237-244. Returns (result, ChangeInfo). */
+    * rest — reference db/wrapper.go:237-244. The match count is observed
+    * inside the returned plan (see [[LazyChangeInfo]]) — one scan total. */
   def updateAll(df: DataFrame, query: Map[String, Any],
       update: Map[String, Any], idCol: String = "_id")
-      : (DataFrame, ChangeInfo) = {
+      : (DataFrame, LazyChangeInfo) = {
     val pred = QueryCompiler.compile(query)
-    val matched = df.where(pred).count()
-    (UpdateCompiler.applyUpdate(df, pred, update, idCol),
-      ChangeInfo(updated = matched))
+    val obs = org.apache.spark.sql.Observation()
+    val observed = df.observe(obs,
+      sum(when(pred, 1L).otherwise(0L)).as("matched"))
+    val out = UpdateCompiler.applyUpdate(observed, pred, update, idCol)
+    (out, new LazyChangeInfo(obs, out, n => ChangeInfo(updated = n)))
   }
 
   /** RemoveAll: anti-filter — reference db/wrapper.go:137-144. */
   def removeAll(df: DataFrame, query: Map[String, Any])
-      : (DataFrame, ChangeInfo) = {
+      : (DataFrame, LazyChangeInfo) = {
     val pred = QueryCompiler.compile(query)
-    val matched = df.where(pred).count()
-    (df.where(!coalesce(pred, lit(false))), ChangeInfo(removed = matched))
+    val obs = org.apache.spark.sql.Observation()
+    val out = df.observe(obs,
+      sum(when(pred, 1L).otherwise(0L)).as("matched"))
+      .where(!coalesce(pred, lit(false)))
+    (out, new LazyChangeInfo(obs, out, n => ChangeInfo(removed = n)))
   }
 
   /** Upsert: update row with key if present, else insert — reference

@@ -18,14 +18,18 @@ final case class Namespace(db: String, collection: String) {
   def path(root: String): String = s"$root/$collection.parquet"
 }
 
-/** reference: model/generator.go:6-13 (GeneratorOptions). */
+/** reference: model/generator.go:6-13 (GeneratorOptions).
+  * `idColumn` names the unique row key used by the Limit work-list join
+  * (the reference keys work on Mongo's implicit `_id`); when unset the
+  * first column is assumed unique and validated at run time. */
 final case class GeneratorOptions(
     jobId: String,
     dependsOn: Seq[String] = Nil,
     ns: Namespace,
     query: Map[String, Any] = Map.empty,
     limit: Int = 0,
-    sortBy: Seq[String] = Nil) {
+    sortBy: Seq[String] = Nil,
+    idColumn: Option[String] = None) {
   /** reference: model/generator.go:15-33 (IsValid). */
   def isValid: Boolean = jobId.nonEmpty && ns.isValid
 }

@@ -15,8 +15,11 @@ import org.apache.spark.sql.functions._
   *
   *   1. tag left rows 1, right rows 0; union by (key, ts, tag);
   *   2. one shuffle on key + one sort by (ts, tag) per partition;
-  *   3. `last(right_col, ignoreNulls)` over rows unbounded-preceding..current
-  *      carries the latest right values forward;
+  *   3. `last(__snap, ignoreNulls)` over rows unbounded-preceding..current
+  *      carries ONE struct of all right values forward — so the attached
+  *      columns always come from a single right row, and a genuinely-null
+  *      right value is preserved (per-column `last(ignoreNulls)` would both
+  *      mix right rows and resurrect older non-null values);
   *   4. keep the left-tagged rows.
   *
   * Cost at 100 TB: exactly one shuffle of |left| + |right| rows and one
@@ -42,24 +45,25 @@ object AsofJoin {
     require(clash.isEmpty, s"value columns clash with left side: $clash")
 
     val leftCols = left.columns.toSeq
+    val snapSchema = org.apache.spark.sql.types.StructType(
+      valueCols.map(c => right.schema(c)))
     val l = left
       .withColumn("__ts", col(leftTsCol))
       .withColumn("__tag", lit(1))
-    val lPadded = valueCols.foldLeft(l)((d, c) =>
-      d.withColumn(c, lit(null).cast(right.schema(c).dataType)))
-    val r = right.select(
-      (col(keyCol) +: col(rightTsCol).as("__ts") +: lit(0).as("__tag") +:
-        valueCols.map(col)): _*)
+      .withColumn("__snap", lit(null).cast(snapSchema))
+    val r = right.select(col(keyCol), col(rightTsCol).as("__ts"),
+      lit(0).as("__tag"), struct(valueCols.map(col): _*).as("__snap"))
     val rPadded = leftCols.filterNot(_ == keyCol).foldLeft(r)((d, c) =>
       d.withColumn(c, lit(null).cast(left.schema(c).dataType)))
 
-    val unioned = lPadded.unionByName(rPadded)
+    val unioned = l.unionByName(rPadded)
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col("__ts").asc, col("__tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = valueCols.foldLeft(unioned)((d, c) =>
-      d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+    val carried = unioned
+      .withColumn("__snap", last(col("__snap"), ignoreNulls = true).over(w))
     carried.where(col("__tag") === 1)
-      .select((leftCols ++ valueCols).map(col): _*)
+      .select(leftCols.map(col) ++
+        valueCols.map(c => col(s"__snap.`$c`").as(c)): _*)
   }
 }

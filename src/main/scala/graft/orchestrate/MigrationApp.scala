@@ -99,52 +99,87 @@ final class MigrationApp(
   private def runOne(spec: MigrationSpec): MigrationResult = {
     val opts = spec.options
     val path = opts.ns.path(root)
+    var workListFrame: Option[DataFrame] = None
     try {
       val raw = graft.sources.Tables.load(spark, path)
       // Limit semantics (generator_simple.go:77-79,127-129): cap the rows
       // migrated, selected deterministically (sorted work-list), marked via
-      // a key join rather than a driver-side collect so it scales.
+      // a key join rather than a driver-side collect so it scales. The join
+      // key must identify rows: workList keys are deduped so the left_outer
+      // join can never multiply source rows (the corruption hazard); raw
+      // keys that turn out non-unique only over-apply the limit, which the
+      // matched-vs-worklist check below surfaces as an error result.
+      val keyCol = opts.idColumn.getOrElse(raw.columns.head)
+      var workListKeys = -1L
       val (df, pred) =
         if (opts.limit > 0) {
-          val keyCol = raw.columns.head
           val sortCols = graft.db.GraftQuery.parseSort(opts.sortBy) :+ col(keyCol)
           val workList = raw.where(QueryCompiler.compile(opts.query))
             .orderBy(sortCols: _*).limit(opts.limit)
-            .select(col(keyCol)).withColumn("__hit", lit(true))
+            .select(col(keyCol)).dropDuplicates(keyCol)
+            .withColumn("__hit", lit(true)).persist()
+          workListFrame = Some(workList)
+          workListKeys = workList.count()
           val marked = raw.join(broadcast(workList), Seq(keyCol), "left_outer")
           (marked, coalesce(col("__hit"), lit(false)))
         } else (raw, QueryCompiler.compile(opts.query))
-      val matched = df.where(pred).count()
-      if (options.dryRun) return MigrationResult(spec.id, matched, hasErrors = false)
+      if (options.dryRun) {
+        // dry-run's whole purpose is the match count — one counting scan
+        val matched = df.where(pred).count()
+        return MigrationResult(spec.id, matched, hasErrors = false)
+      }
 
+      // Non-dry-run: the match count is OBSERVED inside the write job
+      // (CollectMetrics) rather than counted in a separate scan — one pass
+      // over the table per migration (db/wrapper.go's ChangeInfo comes back
+      // with the write for the same reason).
+      val obs = org.apache.spark.sql.Observation()
       val out: DataFrame = spec match {
         case SimpleMigration(_, update) =>
-          UpdateCompiler.applyUpdate(df, pred, update)
+          val observed = df.observe(obs,
+            sum(when(pred, 1L).otherwise(0L)).as("matched"))
+          UpdateCompiler.applyUpdate(observed, pred, update)
         case ManualMigration(_, opName) =>
           val op = registries.operation(opName).getOrElse(throw new
             IllegalArgumentException(s"operation $opName is not registered"))
-          mapRows(df, pred, it => it.map(op))
+          mapRows(df, pred, obs, it => it.map(op))
         case StreamMigration(_, procName) =>
           val proc = registries.processor(procName).getOrElse(throw new
             IllegalArgumentException(s"processor $procName is not registered"))
-          mapRows(df, pred, proc)
+          mapRows(df, pred, obs, proc)
       }
       writeBack(out.drop("__hit"), path)
+      // blocking get: the write above executed the CollectMetrics node, the
+      // listener delivers the row asynchronously moments later
+      val matched = obs.get.get("matched") match {
+        case Some(n: Number) => n.longValue()
+        case _ => 0L
+      }
+      if (workListKeys >= 0 && matched > workListKeys)
+        throw new IllegalStateException(
+          s"limit work-list key '$keyCol' is not unique in ${opts.ns}: " +
+            s"$matched rows matched ${workListKeys} work-list keys; " +
+            "configure GeneratorOptions.idColumn with a unique column")
       MigrationResult(spec.id, matched, hasErrors = false)
     } catch {
       case e: Exception =>
         MigrationResult(spec.id, 0, hasErrors = true, Some(e.getMessage))
-    }
+    } finally workListFrame.foreach(_.unpersist(false))
   }
 
   /** Imperative path (manual/stream): matching rows pass through the user
     * function per partition; non-matching rows are preserved. Requires the
-    * function to keep the schema. */
+    * function to keep the schema. The matched count is observed on the
+    * matching branch (before the user function, which may drop rows), so
+    * the union's other branch never double-counts. */
   private def mapRows(df: DataFrame, pred: org.apache.spark.sql.Column,
+      obs: org.apache.spark.sql.Observation,
       f: Iterator[Row] => Iterator[Row]): DataFrame = {
     val schema = df.schema
     val enc = org.apache.spark.sql.Encoders.row(schema)
-    val transformed = df.where(pred).mapPartitions(f)(enc)
+    val transformed = df.where(pred)
+      .observe(obs, count(lit(1)).as("matched"))
+      .mapPartitions(f)(enc)
     df.where(!coalesce(pred, lit(false))).unionByName(transformed)
   }
 

@@ -87,13 +87,20 @@ object PipelineCompiler {
           accumulator(doc(accDoc)).as(as) }
         idSpec match {
           case null => // global aggregation, _id: null
+            require(aggs.nonEmpty, "$group {_id: null} needs an accumulator")
             df.agg(aggs.head, aggs.tail: _*)
           case ref: String if ref.startsWith("$") =>
-            df.groupBy(col(ref.drop(1)).as("_id")).agg(aggs.head, aggs.tail: _*)
+            // _id-only $group is Mongo's distinct idiom — no accumulators
+            if (aggs.isEmpty) df.select(col(ref.drop(1)).as("_id")).distinct()
+            else df.groupBy(col(ref.drop(1)).as("_id"))
+              .agg(aggs.head, aggs.tail: _*)
           case m: Map[_, _] => // compound key {k: "$f", ...} → struct _id
             val keys = m.asInstanceOf[Map[String, Any]].toSeq.map {
               case (k, v) => expr2col(v).as(k) }
-            df.groupBy(struct(keys: _*).as("_id")).agg(aggs.head, aggs.tail: _*)
+            if (aggs.isEmpty)
+              df.select(struct(keys: _*).as("_id")).distinct()
+            else df.groupBy(struct(keys: _*).as("_id"))
+              .agg(aggs.head, aggs.tail: _*)
           case other =>
             throw new IllegalArgumentException(s"$$group _id: $other")
         }

@@ -30,6 +30,20 @@ class AsofJoinSpec extends SparkSpec {
     assert(out.count() == 4)
   }
 
+  test("whole-row semantics: nulls in the latest snapshot are preserved") {
+    val l = Seq((1L, 30L, "e")).toDF("k", "ts", "ev")
+    val r = Seq((1L, 10L, Option("old"), Option(5L)),
+      (1L, 20L, Option.empty[String], Option(7L)))
+      .toDF("k", "ts", "snap", "num")
+    val row = AsofJoin.backward(l, r, "k", "ts", "ts", Seq("snap", "num"))
+      .collect()(0)
+    // the latest right row (ts=20) has snap=null: a per-column
+    // last(ignoreNulls) would resurrect "old" from ts=10 and mix rows;
+    // whole-row carry keeps (null, 7) from the single latest row
+    assert(row.getAs[String]("snap") == null)
+    assert(row.getAs[Long]("num") == 7L)
+  }
+
   test("clashing value columns rejected") {
     intercept[IllegalArgumentException] {
       AsofJoin.backward(left, right, "k", "ts", "ts", Seq("ev"))

@@ -175,4 +175,51 @@ class MigrationAppSpec extends SparkSpec {
     assert(out.where($"cat" === "done").select("_id").as[Long]
       .collect().sorted.toSeq == Seq(1L, 2L))
   }
+
+  test("limit with a non-unique key never duplicates rows and is flagged") {
+    val root = Files.createTempDirectory("graft-app").toString
+    // key column 'k' is NOT unique: two rows share k=1
+    Seq((1L, "x", 1.0), (1L, "y", 2.0), (2L, "x", 3.0), (3L, "x", 4.0))
+      .toDF("k", "cat", "v")
+      .write.mode("overwrite").parquet(s"$root/items.parquet")
+    val app = new MigrationApp(spark, root)
+    app.setup(Seq(SimpleMigration(
+      GeneratorOptions("lim", Nil, Namespace("db", "items"),
+        query = Map.empty, limit = 2),
+      Map("$set" -> Map("cat" -> "done")))))
+    val res = app.run()
+    // the deduped work-list join cannot multiply rows...
+    val out = spark.read.parquet(s"$root/items.parquet")
+    assert(out.count() == 4, "left_outer mark join must not duplicate rows")
+    // ...and the over-applied limit (3 rows matched 2 keys) is an error
+    assert(res.head.hasErrors)
+    assert(res.head.error.exists(_.contains("not unique")))
+  }
+
+  test("matched counts are observed in the write job, not a second scan") {
+    val root = freshRoot()
+    val app = new MigrationApp(spark, root)
+    app.setup(Seq(simple("m1", query = Map("cat" -> "x"))))
+    val res = app.run()
+    // the non-dry-run path harvests the count from the CollectMetrics
+    // observation riding the write job; it must match the real selectivity
+    assert(res == Seq(MigrationResult("m1", 2, hasErrors = false)))
+  }
+
+  test("idColumn overrides the work-list join key") {
+    val root = Files.createTempDirectory("graft-app").toString
+    Seq(("a", 10L, "x"), ("b", 20L, "x"), ("c", 30L, "x"))
+      .toDF("name", "uid", "cat")
+      .write.mode("overwrite").parquet(s"$root/items.parquet")
+    val app = new MigrationApp(spark, root)
+    app.setup(Seq(SimpleMigration(
+      GeneratorOptions("lim", Nil, Namespace("db", "items"),
+        query = Map.empty, limit = 1, sortBy = Seq("-uid"),
+        idColumn = Some("uid")),
+      Map("$set" -> Map("cat" -> "done")))))
+    assert(app.run().forall(!_.hasErrors))
+    val out = spark.read.parquet(s"$root/items.parquet")
+    assert(out.where($"cat" === "done").select("uid").as[Long]
+      .collect().toSeq == Seq(30L))
+  }
 }

@@ -34,6 +34,17 @@ class PipelineCompilerSpec extends SparkSpec {
     assert(out.select("s").as[Double].head() == 100.0)
   }
 
+  test("$group with only _id is the distinct idiom") {
+    val out = run(Map("$group" -> Map("_id" -> "$cat")),
+      Map("$sort" -> Map("_id" -> 1)))
+    assert(out.columns.toSeq == Seq("_id"))
+    assert(out.as[String].collect().toSeq == Seq("a", "b"))
+    val compound = run(
+      Map("$group" -> Map("_id" -> Map("c" -> "$cat"))))
+    assert(compound.select("_id.c").distinct().count() == 2)
+    assert(compound.count() == 2)
+  }
+
   test("$group compound _id struct") {
     val out = run(Map("$group" -> Map(
       "_id" -> Map("c" -> "$cat", "parity" -> Map("$mod" -> Seq("$n", 2))),
