@@ -13,7 +13,16 @@ import graft.update.UpdateCompiler
   * like the reference's: state accumulates until an action
   * (`all/one/iter/count`).
   */
-final class GraftSession(val spark: SparkSession, val root: String) {
+final class GraftSession(val spark: SparkSession, val root: String,
+    monitor: Option[graft.apm.OtelMonitor] = None) {
+  /** Command tracing (reference wires apm.NewMonitor into the driver's
+    * CommandMonitor hook, otel_monitor.go:272-287): when a monitor is
+    * given, every command issued through this session emits
+    * started/succeeded/failed events bracketing the action. */
+  private[db] val tracer: Option[graft.apm.CommandTracer] = monitor.map(m =>
+    new graft.apm.CommandTracer(m,
+      s"localhost:4040[${spark.sparkContext.applicationId}]"))
+
   /** session.DB(name) — reference db/interface.go:16. */
   def db(name: String): GraftDatabase = new GraftDatabase(this, name)
   /** Catalog listing analog (client/wrapper.go:21-23). */
@@ -56,28 +65,50 @@ final class GraftCollection(s: GraftSession, val ns: Namespace) {
   require(ns.isValid, s"invalid namespace $ns")
   private def path: String = ns.path(s.root)
 
+  private def traced[T](commandName: String, cmd: Map[String, Any])(
+      body: => T)(replyBytes: T => Long): T =
+    s.tracer match {
+      case Some(t) => t.command(ns.db, commandName, cmd)(body)(replyBytes)
+      case None => body
+    }
+
   def df: DataFrame = graft.sources.Tables.load(s.spark, path)
 
   /** reference db/wrapper.go:96-102. */
   def find(query: Map[String, Any] = Map.empty): GraftQuery =
-    new GraftQuery(df, QueryCompiler.compile(query))
+    new GraftQuery(df, QueryCompiler.compile(query),
+      ctx = s.tracer.map(t => CommandContext(t, ns, query)))
   /** reference db/wrapper.go:104-110. */
   def findId(id: Any, idCol: String = "_id"): GraftQuery =
-    new GraftQuery(df, col(idCol) === QueryCompiler.toLit(id))
+    new GraftQuery(df, col(idCol) === QueryCompiler.toLit(id),
+      ctx = s.tracer.map(t => CommandContext(t, ns, Map(idCol -> id))))
   /** reference db/wrapper.go:112-115. */
-  def count(): Long = df.count()
+  def count(): Long =
+    traced("count", Map("count" -> ns.collection))(df.count())(_ => 8L)
   /** Footer-metadata count, no scan — EstimatedDocumentCount analog
     * (backup/backup.go:91). */
   def estimatedCount(): Long =
     graft.sources.Tables.estimatedRowCount(s.spark, path)
   /** Append documents — reference db/wrapper.go:117-125. */
   def insert(rows: DataFrame): Unit =
-    rows.write.mode("append").parquet(path)
+    traced("insert",
+      Map("insert" -> ns.collection, "ordered" -> true)) {
+      rows.write.mode("append").parquet(path)
+    }(_ => 0L)
   /** Aggregation pipeline — reference db/wrapper.go:88-94. */
   def pipe(pipeline: Seq[Map[String, Any]]): DataFrame =
-    graft.pipeline.PipelineCompiler.compile(pipeline, tables =
-      other => s.spark.read.parquet(Namespace(ns.db, other).path(s.root)))(df)
+    traced("aggregate",
+      Map("aggregate" -> ns.collection, "pipeline" -> pipeline)) {
+      graft.pipeline.PipelineCompiler.compile(pipeline, tables =
+        other => s.spark.read.parquet(Namespace(ns.db, other).path(s.root)))(df)
+    }(_ => 0L)
 }
+
+/** Carries what a [[GraftQuery]] needs to issue its `find` command at
+  * action time (the wire moment in the reference driver). */
+private[db] final case class CommandContext(
+    tracer: graft.apm.CommandTracer, ns: Namespace,
+    filter: Map[String, Any])
 
 /** Lazy query builder — reference db/wrapper.go:373-520. Sort strings use
   * the reference's `±field` prefix convention (getSort,
@@ -88,16 +119,17 @@ final class GraftQuery private[db] (
     projection: Seq[String] = Nil,
     sortKeys: Seq[String] = Nil,
     skipN: Int = 0,
-    limitN: Int = -1) {
+    limitN: Int = -1,
+    ctx: Option[CommandContext] = None) {
 
   def select(fields: String*): GraftQuery =
-    new GraftQuery(base, pred, fields, sortKeys, skipN, limitN)
+    new GraftQuery(base, pred, fields, sortKeys, skipN, limitN, ctx)
   def sort(keys: String*): GraftQuery =
-    new GraftQuery(base, pred, projection, keys, skipN, limitN)
+    new GraftQuery(base, pred, projection, keys, skipN, limitN, ctx)
   def skip(n: Int): GraftQuery =
-    new GraftQuery(base, pred, projection, sortKeys, n, limitN)
+    new GraftQuery(base, pred, projection, sortKeys, n, limitN, ctx)
   def limit(n: Int): GraftQuery =
-    new GraftQuery(base, pred, projection, sortKeys, skipN, n)
+    new GraftQuery(base, pred, projection, sortKeys, skipN, n, ctx)
   /** Accept-and-ignore, like index hints have no Spark analog
     * (SURVEY.md §4). */
   def hint(index: String): GraftQuery = this
@@ -113,22 +145,49 @@ final class GraftQuery private[db] (
     d
   }
 
+  /** The `find` wire command this query would issue — the dissectable
+    * fields extractFind keeps (otel_monitor.go:381-396). */
+  private def findCommand(c: CommandContext): Map[String, Any] = {
+    var m: Map[String, Any] =
+      Map("find" -> c.ns.collection, "filter" -> c.filter)
+    if (sortKeys.nonEmpty)
+      m += "sort" -> sortKeys.map {
+        case k if k.startsWith("-") => k.drop(1) -> -1
+        case k => k.stripPrefix("+") -> 1
+      }.toMap
+    if (limitN >= 0) m += "limit" -> limitN
+    m
+  }
+
+  private def traced[T](commandName: String)(body: => T)(
+      replyBytes: T => Long): T = ctx match {
+    case Some(c) =>
+      val cmd = if (commandName == "count")
+        Map[String, Any]("count" -> c.ns.collection, "query" -> c.filter)
+      else findCommand(c)
+      c.tracer.command(c.ns.db, commandName, cmd)(body)(replyBytes)
+    case None => body
+  }
+
   /** reference db/wrapper.go:390-393. */
-  def count(): Long = base.where(pred).count()
+  def count(): Long = traced("count")(base.where(pred).count())(_ => 8L)
   /** Query.All — collect every matching row. */
-  def all(): Seq[Row] = toDF.collect().toSeq
+  def all(): Seq[Row] = traced("find")(toDF.collect().toSeq)(
+    rows => rows.iterator.map(_.mkString.length.toLong).sum)
   /** Query.One — exactly-one semantics; reference returns ErrNotFound on
     * empty (db/wrapper.go:589-591). */
-  def one(): Row = toDF.limit(1).collect().headOption.getOrElse(
-    throw new NoSuchElementException("not found"))
+  def one(): Row = traced("find") {
+    toDF.limit(1).collect().headOption.getOrElse(
+      throw new NoSuchElementException("not found"))
+  }(_.mkString.length.toLong)
   /** Query.Iter — pull-based iteration (db/wrapper.go:485-520). */
-  def iter(): Iterator[Row] = {
+  def iter(): Iterator[Row] = traced("find") {
     val it = toDF.toLocalIterator()
     new Iterator[Row] {
       def hasNext: Boolean = it.hasNext
       def next(): Row = it.next()
     }
-  }
+  }(_ => 0L)
 }
 
 object GraftQuery {
