@@ -47,6 +47,10 @@ final class GraftDatabase(s: GraftSession, name: String) {
     target
   }
 
+  /** reference DropDatabase (db/wrapper.go:61): drop every collection in
+    * this database (single-root parquet layout — all tables under root). */
+  def dropDatabase(): Unit = listCollections().foreach(dropCollection)
+
   /** reference DropCollection (db/wrapper.go:86). */
   def dropCollection(coll: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(Namespace(name, coll).path(s.root))
@@ -321,27 +325,58 @@ object TableOps {
   final case class BulkUpsert(key: Any, row: DataFrame) extends BulkOp
   final case class BulkRemove(query: Map[String, Any]) extends BulkOp
 
-  def runBulk(base: DataFrame, ops: Seq[BulkOp], idCol: String = "_id")
-      : DataFrame =
-    ops.foldLeft(base) { (df, op) =>
-      op match {
-        case BulkInsert(rows)     => df.unionByName(rows)
-        case BulkUpdate(q, u)     =>
-          UpdateCompiler.applyUpdate(df, QueryCompiler.compile(q), u, idCol)
-        case BulkUpsert(key, row) =>
-          upsert(df, row, idCol)
-        case BulkRemove(q)        =>
-          val p = QueryCompiler.compile(q)
-          df.where(!coalesce(p, lit(false)))
+  /** @param unordered reference Bulk.Unordered (db/wrapper.go:335-344):
+    *        drops the op-order guarantee, which lets the plan batch by op
+    *        type — ONE union for all inserts, ONE merge window for all
+    *        upserts, ONE anti-filter disjunction for all removes — instead
+    *        of a plan layer per op. At scale that's the difference between
+    *        N windows/shuffles and a constant number; prefer it whenever
+    *        ops don't depend on each other, exactly like the reference. */
+  def runBulk(base: DataFrame, ops: Seq[BulkOp], idCol: String = "_id",
+      unordered: Boolean = false): DataFrame =
+    if (!unordered)
+      ops.foldLeft(base) { (df, op) =>
+        op match {
+          case BulkInsert(rows)     => df.unionByName(rows)
+          case BulkUpdate(q, u)     =>
+            UpdateCompiler.applyUpdate(df, QueryCompiler.compile(q), u, idCol)
+          case BulkUpsert(key, row) =>
+            upsert(df, row, idCol)
+          case BulkRemove(q)        =>
+            val p = QueryCompiler.compile(q)
+            df.where(!coalesce(p, lit(false)))
+        }
       }
+    else {
+      // type-batched, applied insert -> upsert -> update -> remove (the
+      // driver batches adjacent same-type models the same way)
+      val inserts = ops.collect { case BulkInsert(r) => r }
+      val upserts = ops.collect { case BulkUpsert(_, r) => r }
+      val updates = ops.collect { case BulkUpdate(q, u) => (q, u) }
+      val removes = ops.collect { case BulkRemove(q) => q }
+      var df = base
+      if (inserts.nonEmpty) df = df.unionByName(inserts.reduce(_ unionByName _))
+      if (upserts.nonEmpty) df = upsert(df, upserts.reduce(_ unionByName _), idCol)
+      df = updates.foldLeft(df) { case (d, (q, u)) =>
+        UpdateCompiler.applyUpdate(d, QueryCompiler.compile(q), u, idCol) }
+      if (removes.nonEmpty) {
+        val anyMatch = removes.map(q =>
+          coalesce(QueryCompiler.compile(q), lit(false))).reduce(_ || _)
+        df = df.where(!anyMatch)
+      }
+      df
     }
 
   /** findAndModify analog (Query.Apply, db/wrapper.go:395-450): applies the
     * change to the first sorted matching row and returns (newTable,
-    * affectedRowImage). Not atomic (documented divergence, SURVEY.md §7). */
+    * affectedRowImage). Not atomic (documented divergence, SURVEY.md §7).
+    * @param returnNew reference Change.ReturnNew (db/data.go:19-26): return
+    *        the post-update image instead of the pre-image (meaningless
+    *        with remove, which always returns the removed pre-image). */
   def findAndModify(df: DataFrame, query: Map[String, Any],
       sortKeys: Seq[String], update: Map[String, Any], remove: Boolean,
-      idCol: String = "_id"): (DataFrame, DataFrame) = {
+      idCol: String = "_id", returnNew: Boolean = false)
+      : (DataFrame, DataFrame) = {
     require(!(remove && update.nonEmpty),
       "cannot remove and update in one findAndModify") // db/data.go:19-26
     val pred = QueryCompiler.compile(query)
@@ -351,6 +386,9 @@ object TableOps {
     val first = target.limit(1).select(col(idCol))
     val hit = col(idCol).isin(first.collect().map(_.get(0)).toSeq: _*)
     if (remove) (df.where(!hit), df.where(hit))
-    else (UpdateCompiler.applyUpdate(df, hit, update, idCol), df.where(hit))
+    else {
+      val updated = UpdateCompiler.applyUpdate(df, hit, update, idCol)
+      (updated, if (returnNew) updated.where(hit) else df.where(hit))
+    }
   }
 }

@@ -67,13 +67,28 @@ object ConfigLoader {
       ns = Namespace(ns.getOrElse("db_name", "").toString,
         ns.getOrElse("collection", "").toString),
       query = doc(m.getOrElse("query", Map.empty)),
-      limit = m.get("limit").collect { case n: Long => n.toInt }.getOrElse(0))
+      limit = m.get("limit").collect { case n: Long => n.toInt }.getOrElse(0),
+      sortBy = m.get("sort_by") match {
+        case Some(s: Seq[_]) => s.map(_.toString)
+        case _ => Nil
+      },
+      idColumn = m.get("id_column").map(_.toString))
   }
 
   /** Build a Configuration from JSON, with the reference's validation. */
   def fromJson(json: String, registries: Registries = new Registries)
+      : Configuration = fromDoc(doc(parseJson(json)), registries)
+
+  /** Build a Configuration from YAML — the reference's config files are
+    * YAML-shaped (model/config.go:7-37 `yaml:` tags); same keys, same
+    * validation. Parses the indentation subset config files actually use
+    * (nested maps, `- ` lists, scalars, inline JSON flow values — JSON is
+    * itself valid YAML). */
+  def fromYaml(yaml: String, registries: Registries = new Registries)
+      : Configuration = fromDoc(doc(parseYaml(yaml)), registries)
+
+  private def fromDoc(root: Map[String, Any], registries: Registries)
       : Configuration = {
-    val root = doc(parseJson(json))
     val opts = doc(root.getOrElse("options", Map.empty))
     val appOptions = ApplicationOptions(
       dryRun = opts.get("dry_run").contains(true),
@@ -115,5 +130,164 @@ object ConfigLoader {
     new MigrationApp(spark, root, conf.options, registries)
       .setup(conf.simpleMigrations ++ conf.manualMigrations ++
         conf.streamMigrations)
+  }
+
+  // ---- spec -> JSON round-trip -------------------------------------------
+
+  /** Serialize a Configuration back to the JSON the loader reads — the
+    * round-trip the reference gets from registering every job type with its
+    * serializer (generator_simple.go:19-22 etc.):
+    * `fromJson(toJson(conf)) == conf`. */
+  def toJson(conf: Configuration): String = renderJson(Map(
+    "options" -> Map(
+      "dry_run" -> conf.options.dryRun, "limit" -> conf.options.limit),
+    "simple_migrations" -> conf.simpleMigrations.map(m =>
+      Map("options" -> optionsDoc(m.options), "update" -> m.update)),
+    "manual_migrations" -> conf.manualMigrations.map(m =>
+      Map("options" -> optionsDoc(m.options), "name" -> m.operationName)),
+    "stream_migrations" -> conf.streamMigrations.map(m =>
+      Map("options" -> optionsDoc(m.options), "name" -> m.processorName))))
+
+  def toJson(spec: MigrationSpec): String = spec match {
+    case SimpleMigration(o, u) =>
+      renderJson(Map("options" -> optionsDoc(o), "update" -> u))
+    case ManualMigration(o, n) =>
+      renderJson(Map("options" -> optionsDoc(o), "name" -> n))
+    case StreamMigration(o, n) =>
+      renderJson(Map("options" -> optionsDoc(o), "name" -> n))
+  }
+
+  private def optionsDoc(o: GeneratorOptions): Map[String, Any] = {
+    var m: Map[String, Any] = Map(
+      "id" -> o.jobId,
+      "dependencies" -> o.dependsOn,
+      "namespace" -> Map(
+        "db_name" -> o.ns.db, "collection" -> o.ns.collection),
+      "query" -> o.query,
+      "limit" -> o.limit)
+    if (o.sortBy.nonEmpty) m += "sort_by" -> o.sortBy
+    o.idColumn.foreach(c => m += "id_column" -> c)
+    m
+  }
+
+  /** Compact JSON renderer for the engine's document representation. */
+  def renderJson(v: Any): String = v match {
+    case null => "null"
+    case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+      .map { case (k, x) => s""""${escapeJson(k)}":${renderJson(x)}""" }
+      .mkString("{", ",", "}")
+    case s: Seq[_] => s.map(renderJson).mkString("[", ",", "]")
+    case s: String => s""""${escapeJson(s)}""""
+    case b: Boolean => b.toString
+    case n @ (_: Int | _: Long | _: Double | _: Float | _: Short |
+        _: Byte) => n.toString
+    case d: BigDecimal => d.toString
+    case other => s""""${escapeJson(other.toString)}""""
+  }
+
+  private def escapeJson(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  // ---- YAML subset parser ------------------------------------------------
+
+  /** Parse the YAML subset the reference's config files use: 2-space-ish
+    * indentation, block maps (`key:` / `key: value`), block lists (`- `),
+    * scalars (null/bool/number/quoted/plain string), and inline JSON flow
+    * values (`query: {"a": {"$gt": 1}}`). Comments (`#` full-line) and
+    * blank lines are skipped. Produces the same Map/Seq/scalar document
+    * form as [[parseJson]]. */
+  def parseYaml(yaml: String): Any = {
+    val lines = collection.mutable.ArrayBuffer.from(
+      yaml.linesIterator
+        .map(_.replace("\t", "  "))
+        .map(l => if (l.trim.startsWith("#")) "" else l)
+        .filterNot(_.trim.isEmpty)
+        .filterNot(_.trim == "---"))
+    if (lines.isEmpty) Map.empty[String, Any]
+    else new YamlBlockParser(lines).parseBlock(indentOf(lines.head))
+  }
+
+  private def indentOf(s: String): Int = s.takeWhile(_ == ' ').length
+
+  private final class YamlBlockParser(
+      lines: collection.mutable.ArrayBuffer[String]) {
+    private var i = 0
+
+    def parseBlock(indent: Int): Any = {
+      if (i >= lines.length || indentOf(lines(i)) < indent)
+        return Map.empty[String, Any]
+      if (lines(i).trim.startsWith("- ") || lines(i).trim == "-")
+        parseList(indentOf(lines(i)))
+      else parseMap(indentOf(lines(i)))
+    }
+
+    private def parseList(indent: Int): Seq[Any] = {
+      val buf = collection.mutable.ArrayBuffer.empty[Any]
+      while (i < lines.length && indentOf(lines(i)) == indent &&
+          (lines(i).trim.startsWith("- ") || lines(i).trim == "-")) {
+        val content = lines(i).trim.stripPrefix("-").trim
+        if (content.isEmpty) { // item body on the following lines
+          i += 1
+          buf += parseBlock(indent + 1)
+        } else if (content.contains(":") && !isFlow(content) &&
+            !isQuoted(content)) {
+          // "- key: value" opens a map item: rewrite the dash as spaces and
+          // re-parse this line as the first entry of a nested map block
+          lines(i) = " " * (indent + 2) +
+            lines(i).trim.stripPrefix("-").trim
+          buf += parseMap(indent + 2)
+        } else { // plain scalar item
+          i += 1
+          buf += scalar(content)
+        }
+      }
+      buf.toSeq
+    }
+
+    private def parseMap(indent: Int): Map[String, Any] = {
+      var m = Map.empty[String, Any]
+      while (i < lines.length && indentOf(lines(i)) == indent &&
+          !lines(i).trim.startsWith("- ") && lines(i).trim != "-") {
+        val t = lines(i).trim
+        val colon = t.indexOf(':')
+        require(colon > 0, s"yaml: expected 'key: value', got '$t'")
+        val key = unquote(t.substring(0, colon).trim)
+        val rest = t.substring(colon + 1).trim
+        i += 1
+        m += key -> (if (rest.isEmpty) parseBlock(indent + 1)
+          else scalar(rest))
+      }
+      m
+    }
+
+    private def isFlow(s: String) = s.startsWith("{") || s.startsWith("[")
+    private def isQuoted(s: String) =
+      s.startsWith("\"") || s.startsWith("'")
+
+    private def scalar(s: String): Any = s match {
+      case "" | "~" | "null" => null
+      case "true" => true
+      case "false" => false
+      case "{}" => Map.empty[String, Any]
+      case "[]" => Seq.empty[Any]
+      case q if isQuoted(q) => unquote(q)
+      case f if isFlow(f) => parseJson(f) // JSON flow is valid YAML
+      case n =>
+        scala.util.Try(n.toLong).toOption
+          .orElse(scala.util.Try(n.toDouble).toOption)
+          .getOrElse(n)
+    }
+
+    private def unquote(s: String): String =
+      if (s.length >= 2 && ((s.head == '"' && s.last == '"') ||
+          (s.head == '\'' && s.last == '\''))) s.substring(1, s.length - 1)
+      else s
   }
 }

@@ -160,6 +160,17 @@ class DdlSpec extends graft.SparkSpec {
     assert(db.listCollections().isEmpty)
   }
 
+  test("dropDatabase drops every collection (db/wrapper.go:61)") {
+    val root = Files.createTempDirectory("graft-dropdb").toString
+    val db = new GraftSession(spark, root).db("d")
+    val schema = StructType(Seq(StructField("_id", LongType)))
+    db.createCollection("one", schema)
+    db.createCollection("two", schema)
+    assert(db.listCollections() == Seq("one", "two"))
+    db.dropDatabase()
+    assert(db.listCollections().isEmpty)
+  }
+
   test("runCommand executes raw SQL") {
     val ses = new GraftSession(spark, "/tmp")
     assert(ses.runCommand("SELECT 1 + 1 AS two").head().getInt(0) == 2)

@@ -50,6 +50,36 @@ class TableOpsSpec extends SparkSpec {
       Seq(2L, 3L, 9L))
   }
 
+  test("unordered bulk batches by type: one union, one merge, one filter") {
+    val ins = Seq((9L, "i", 9.0), (10L, "j", 10.0)).toDF("_id", "cat", "v")
+    val up = Seq((2L, "b2", 20.0)).toDF("_id", "cat", "v")
+    val out = runBulk(base, Seq(
+      BulkInsert(ins.where($"_id" === 9)),
+      BulkUpsert(2L, up),
+      BulkInsert(ins.where($"_id" === 10)),
+      BulkRemove(Map("cat" -> "c")),
+      BulkRemove(Map("cat" -> "j"))), unordered = true)
+    assert(out.select("_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 9L))
+    assert(out.where($"_id" === 2).select("cat").as[String].head() == "b2")
+    // both removes compile to ONE disjunctive anti-filter, not two layers
+    val removeFilters = out.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if f.condition.toString.contains("cat") => f
+    }
+    assert(removeFilters.size == 1,
+      s"expected one batched remove filter: $removeFilters")
+  }
+
+  test("findAndModify returnNew returns the post-image") {
+    val (_, post) = findAndModify(base,
+      Map("v" -> Map("$gt" -> 1.0)), Seq("-v"),
+      Map("$set" -> Map("cat" -> "hit")), remove = false, returnNew = true)
+    val r = post.collect().head
+    assert(r.getAs[Long]("_id") == 3L)
+    assert(r.getAs[String]("cat") == "hit") // post-update image
+  }
+
   test("findAndModify updates the first sorted match and returns pre-image") {
     val (out, hit) = findAndModify(base,
       Map("v" -> Map("$gt" -> 1.0)), Seq("-v"),

@@ -49,4 +49,87 @@ class ConfigLoaderSpec extends SparkSpec {
     assert(out.where($"cat" === "done").count() == 1)
     assert(out.select("v").as[Double].collect().sorted.toSeq == Seq(2.0, 3.0))
   }
+
+  test("spec -> JSON -> spec round-trips (generator_simple.go:19-22 parity)") {
+    val regs = new Registries
+    regs.registerOperation("op1", identity)
+    regs.registerProcessor("proc1", identity)
+    val conf = Configuration(
+      ApplicationOptions(dryRun = true, limit = 3),
+      simpleMigrations = Seq(SimpleMigration(
+        GeneratorOptions("s1", Seq("dep"), Namespace("db", "items"),
+          query = Map("cat" -> "x", "v" -> Map("$gt" -> 2L)),
+          limit = 5, sortBy = Seq("-v"), idColumn = Some("_id")),
+        Map("$set" -> Map("cat" -> "done")))),
+      manualMigrations = Seq(ManualMigration(
+        GeneratorOptions("m1", Nil, Namespace("db", "items")), "op1")),
+      streamMigrations = Seq(StreamMigration(
+        GeneratorOptions("t1", Nil, Namespace("db", "items")), "proc1")))
+    val round = ConfigLoader.fromJson(ConfigLoader.toJson(conf), regs)
+    assert(round == conf)
+    // single-spec writer round-trips through parse too
+    val one = ConfigLoader.parseJson(
+      ConfigLoader.toJson(conf.simpleMigrations.head))
+    assert(ConfigLoader.doc(one).contains("update"))
+  }
+
+  test("YAML config parses to the same configuration as JSON") {
+    val yaml =
+      """# reference configs are yaml-shaped (model/config.go yaml tags)
+        |options:
+        |  dry_run: false
+        |  limit: 0
+        |simple_migrations:
+        |  - options:
+        |      id: first
+        |      dependencies: []
+        |      namespace:
+        |        db_name: mci
+        |        collection: items
+        |      query:
+        |        cat: x
+        |      limit: 0
+        |    update:
+        |      $set:
+        |        cat: done
+        |  - options:
+        |      id: second
+        |      dependencies:
+        |        - first
+        |      namespace: {"db_name": "mci", "collection": "items"}
+        |    update: {"$inc": {"v": 1}}
+        |""".stripMargin
+    val fromYaml = ConfigLoader.fromYaml(yaml)
+    val fromJson = ConfigLoader.fromJson(json)
+    assert(fromYaml.simpleMigrations.map(_.id) ==
+      fromJson.simpleMigrations.map(_.id))
+    assert(fromYaml.simpleMigrations.head.options.query == Map("cat" -> "x"))
+    assert(fromYaml.simpleMigrations.head.update ==
+      Map("$set" -> Map("cat" -> "done")))
+    assert(fromYaml.simpleMigrations(1).options.dependsOn == Seq("first"))
+    assert(fromYaml.simpleMigrations(1).update == Map("$inc" -> Map("v" -> 1L)))
+  }
+
+  test("YAML scalars: null, bool, numbers, quoted strings") {
+    val parsed = ConfigLoader.doc(ConfigLoader.parseYaml(
+      """a: null
+        |b: ~
+        |c: true
+        |d: 42
+        |e: 4.5
+        |f: "quo ted"
+        |g: 'single'
+        |h: plain string
+        |empty_map: {}
+        |empty_list: []
+        |""".stripMargin))
+    assert(parsed("a") == null && parsed("b") == null)
+    assert(parsed("c") == true)
+    assert(parsed("d") == 42L)
+    assert(parsed("e") == 4.5)
+    assert(parsed("f") == "quo ted" && parsed("g") == "single")
+    assert(parsed("h") == "plain string")
+    assert(parsed("empty_map") == Map.empty)
+    assert(parsed("empty_list") == Seq.empty)
+  }
 }
