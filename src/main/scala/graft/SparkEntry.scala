@@ -408,7 +408,131 @@ object SparkEntry {
           element_at(col("features"), 3).as("f2"))
         .orderBy("media_id")
     }),
+
+    // §2.9 manual migration end-to-end: a registered Row => Row operation
+    // through MigrationApp (migration_job_manual.go:41-93) on a temp copy
+    "q41_manual_migration" -> ((s, dir) => {
+      val tmp = tmpCopy(dir, "supplier", "graft-manual")
+      val regs = new graft.orchestrate.Registries
+      regs.registerOperation("upper-name", r => {
+        val i = r.fieldIndex("s_name")
+        org.apache.spark.sql.Row.fromSeq(
+          r.toSeq.updated(i, r.getString(i).toUpperCase))
+      })
+      val app = new MigrationApp(s, tmp, registries = regs)
+      app.setup(Seq(ManualMigration(
+        GeneratorOptions("up", ns = Namespace("db", "supplier"),
+          query = Map("s_nationkey" -> Map("$lt" -> 10))), "upper-name")))
+      val res = app.run()
+      require(res.forall(!_.hasErrors), s"manual migration failed: $res")
+      s.read.parquet(s"$tmp/supplier.parquet")
+        .select("s_suppkey", "s_name", "s_nationkey")
+        .orderBy("s_suppkey")
+    }),
+
+    // §2.9 stream migration end-to-end: a registered whole-stream processor
+    // (may drop rows) through MigrationApp (migration_job_stream.go:38-78)
+    "q42_stream_migration" -> ((s, dir) => {
+      val tmp = tmpCopy(dir, "customer", "graft-stream")
+      val regs = new graft.orchestrate.Registries
+      regs.registerProcessor("evens-upper", it =>
+        it.filter(r => r.getLong(r.fieldIndex("c_custkey")) % 2 == 0)
+          .map { r =>
+            val i = r.fieldIndex("c_name")
+            org.apache.spark.sql.Row.fromSeq(
+              r.toSeq.updated(i, r.getString(i).toUpperCase))
+          })
+      val app = new MigrationApp(s, tmp, registries = regs)
+      app.setup(Seq(StreamMigration(
+        GeneratorOptions("evens", ns = Namespace("db", "customer"),
+          query = Map("c_mktsegment" -> "BUILDING")), "evens-upper")))
+      val res = app.run()
+      require(res.forall(!_.hasErrors), s"stream migration failed: $res")
+      s.read.parquet(s"$tmp/customer.parquet")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    }),
+
+    // §2.1 Insert + read-back through the session facade (db/wrapper.go:
+    // 117-125): append derived rows, then Find over the grown table
+    "q43_insert" -> ((s, dir) => {
+      // seed with a Spark write: collections live in directory layout so
+      // Insert can append files without rewriting the table
+      val tmp = java.nio.file.Files.createTempDirectory("graft-insert").toString
+      tbl(s, dir, "nation").write.parquet(s"$tmp/nation.parquet")
+      val c = new GraftSession(s, tmp).db("db").c("nation")
+      val derived = tbl(s, dir, "nation")
+        .where(col("n_nationkey") < 5)
+        .withColumn("n_nationkey", (col("n_nationkey") + 100).cast("int"))
+      c.insert(derived)
+      c.find().sort("n_nationkey")
+        .select("n_nationkey", "n_name", "n_regionkey").toDF
+    }),
+
+    // §2.1 DDL lifecycle: create with schema, insert twice, list, count,
+    // drop — the environment state changes surface as a one-row result
+    "q44_ddl" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ddlq").toString
+      val db = new GraftSession(s, tmp).db("d")
+      val region = tbl(s, dir, "region")
+      val c = db.createCollection("fresh", region.schema)
+      c.insert(region)
+      c.insert(region)
+      val listed = db.listCollections().mkString(",")
+      val cnt = c.count()
+      db.dropCollection("fresh")
+      val remaining = db.listCollections().size.toLong
+      s.range(1).select(lit(listed).as("listed"), lit(cnt).as("cnt"),
+        lit(remaining).as("after_drop"))
+    }),
+
+    // §2.10 config-file entry point: a YAML configuration drives a simple
+    // migration end-to-end (config.go:16-80, model/config.go yaml tags)
+    "q45_config_yaml" -> ((s, dir) => {
+      val tmp = tmpCopy(dir, "region", "graft-yaml")
+      val yaml =
+        """options:
+          |  dry_run: false
+          |  limit: 0
+          |simple_migrations:
+          |  - options:
+          |      id: tag-regions
+          |      namespace:
+          |        db_name: d
+          |        collection: region
+          |      query: {"r_regionkey": {"$gte": 2}}
+          |    update: {"$set": {"r_name": "TAGGED"}}
+          |""".stripMargin
+      val conf = graft.orchestrate.ConfigLoader.fromYaml(yaml)
+      val app = new MigrationApp(s, tmp, conf.options)
+        .setup(conf.simpleMigrations)
+      val res = app.run()
+      require(res.forall(!_.hasErrors), s"config migration failed: $res")
+      s.read.parquet(s"$tmp/region.parquet")
+        .select("r_regionkey", "r_name").orderBy("r_regionkey")
+    }),
+
+    // §2.1 Query.All: collect through the facade's action path, rebuilt as
+    // a frame (db/wrapper.go:571-587)
+    "q46_query_all" -> ((s, dir) => {
+      val q = coll(s, dir, "orders").find(Map("o_orderstatus" -> "F"))
+        .sort("-o_totalprice", "o_orderkey").limit(25)
+        .select("o_orderkey", "o_totalprice")
+      val rows = q.all()
+      s.createDataFrame(
+        java.util.Arrays.asList(rows: _*), q.toDF.schema)
+    }),
   )
+
+  /** Copy one table's parquet into a fresh temp root so write-back queries
+    * never touch the shared (read-only) testdata. */
+  private def tmpCopy(dir: String, table: String, prefix: String): String = {
+    val tmp = java.nio.file.Files.createTempDirectory(prefix)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/$table.parquet"),
+      tmp.resolve(s"$table.parquet"))
+    tmp.toString
+  }
 
   /** DuckDB mirror of TextFunctions.tokens. */
   private val toksCte =
@@ -826,5 +950,43 @@ object SparkEntry {
         |  ('0x'||substr(md5(text), 9, 8))::BIGINT / 4294967295.0 AS f1,
         |  ('0x'||substr(md5(text), 17, 8))::BIGINT / 4294967295.0 AS f2
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    "q41_manual_migration" ->
+      """SELECT s_suppkey,
+        |  CASE WHEN s_nationkey < 10 THEN upper(s_name) ELSE s_name END
+        |    AS s_name,
+        |  s_nationkey
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+
+    "q42_stream_migration" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE c_mktsegment <> 'BUILDING'
+        |UNION ALL
+        |SELECT c_custkey, upper(c_name), c_mktsegment FROM customer
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey % 2 = 0
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q43_insert" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM (
+        |  SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |  UNION ALL
+        |  SELECT CAST(n_nationkey + 100 AS INTEGER), n_name, n_regionkey
+        |  FROM nation WHERE n_nationkey < 5)
+        |ORDER BY n_nationkey""".stripMargin,
+
+    "q44_ddl" ->
+      """SELECT 'fresh' AS listed, 2 * COUNT(*) AS cnt,
+        |  CAST(0 AS BIGINT) AS after_drop
+        |FROM region""".stripMargin,
+
+    "q45_config_yaml" ->
+      """SELECT r_regionkey,
+        |  CASE WHEN r_regionkey >= 2 THEN 'TAGGED' ELSE r_name END AS r_name
+        |FROM region ORDER BY r_regionkey""".stripMargin,
+
+    "q46_query_all" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderstatus = 'F'
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin,
   )
 }
