@@ -512,6 +512,45 @@ object SparkEntry {
         .select("r_regionkey", "r_name").orderBy("r_regionkey")
     }),
 
+    // streaming extension: the same SimpleMigration spec applied through
+    // Structured Streaming (readStream -> transform -> writeStream,
+    // AvailableNow), proving batch/stream compilation can't drift
+    "q47_streaming_migration" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-sstream").toString
+      val ev = tbl(s, dir, "events")
+      ev.write.parquet(s"$tmp/src")
+      val spec = SimpleMigration(
+        GeneratorOptions("sm", ns = Namespace("d", "events"),
+          query = Map("event_type" -> "click")),
+        Map("$set" -> Map("props" -> "CLICKED")))
+      graft.streaming.StreamingMigrations.continuousMigration(
+        s, spec, s"$tmp/src", ev.schema, s"$tmp/out", s"$tmp/ckpt")
+        .awaitTermination()
+      s.read.parquet(s"$tmp/out")
+        .select("event_id", "event_type", "props").orderBy("event_id")
+    }),
+
+    // §2.1 RunCommand escape hatch: raw SQL through the session
+    // (client/wrapper.go:32-40)
+    "q48_run_command" -> ((s, dir) => {
+      tbl(s, dir, "lineitem").createOrReplaceTempView("lineitem_cmd_v")
+      new GraftSession(s, dir).runCommand(
+        """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS cnt
+          |FROM lineitem_cmd_v GROUP BY l_returnflag
+          |ORDER BY l_returnflag""".stripMargin)
+    }),
+
+    // §2.4 PendingMigrationOperations: count of documents a migration's
+    // query still matches (migration_helper_legacy.go:101-120)
+    "q49_pending_migrations" -> ((s, dir) => {
+      val app = new MigrationApp(s, dir)
+      val n = app.pendingMigrationOperations(SimpleMigration(
+        GeneratorOptions("pending", ns = Namespace("d", "orders"),
+          query = Map("o_orderstatus" -> "O")),
+        Map("$set" -> Map("o_orderpriority" -> "X"))))
+      s.range(1).select(lit(n).as("pending"))
+    }),
+
     // §2.1 Query.All: collect through the facade's action path, rebuilt as
     // a frame (db/wrapper.go:571-587)
     "q46_query_all" -> ((s, dir) => {
@@ -988,5 +1027,20 @@ object SparkEntry {
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE o_orderstatus = 'F'
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin,
+
+    "q47_streaming_migration" ->
+      """SELECT event_id, event_type,
+        |  CASE WHEN event_type = 'click' THEN 'CLICKED' ELSE props END
+        |    AS props
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q48_run_command" ->
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q49_pending_migrations" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS pending FROM orders
+        |WHERE o_orderstatus = 'O'""".stripMargin,
   )
 }
