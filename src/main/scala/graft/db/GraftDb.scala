@@ -236,6 +236,17 @@ final class LazyChangeInfo private[db] (
   */
 object TableOps {
 
+  /** transformDocument analog (db/wrapper.go:599-610): typed value → raw
+    * document. Rows become one raw JSON doc column (the bson.Raw of this
+    * engine); codegen'd `to_json`, no UDF. */
+  def toRawDocs(df: DataFrame, docCol: String = "doc"): DataFrame =
+    df.select(to_json(struct(df.columns.map(col): _*)).as(docCol))
+
+  /** Inverse: raw JSON docs back to typed rows under the given schema. */
+  def fromRawDocs(df: DataFrame, docCol: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    df.select(from_json(col(docCol), schema).as("r")).select(col("r.*"))
+
   /** UpdateAll: apply a Mongo update doc to matching rows, preserve the
     * rest — reference db/wrapper.go:237-244. The match count is observed
     * inside the returned plan (see [[LazyChangeInfo]]) — one scan total. */

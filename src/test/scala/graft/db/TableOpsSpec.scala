@@ -50,6 +50,16 @@ class TableOpsSpec extends SparkSpec {
       Seq(2L, 3L, 9L))
   }
 
+  test("toRawDocs/fromRawDocs round-trip (transformDocument parity)") {
+    val docs = toRawDocs(base)
+    assert(docs.columns.toSeq == Seq("doc"))
+    val sample = docs.orderBy("doc").as[String].head()
+    assert(sample.startsWith("{") && sample.contains("\"_id\""))
+    val back = fromRawDocs(docs, "doc", base.schema)
+    assert(back.orderBy("_id").collect().toSeq ==
+      base.orderBy("_id").collect().toSeq)
+  }
+
   test("unordered bulk batches by type: one union, one merge, one filter") {
     val ins = Seq((9L, "i", 9.0), (10L, "j", 10.0)).toDF("_id", "cat", "v")
     val up = Seq((2L, "b2", 20.0)).toDF("_id", "cat", "v")
