@@ -65,16 +65,20 @@ object Dedup {
         explode(array_distinct(shingles(col(textCol), k))).as("sh"))
     val filtered = tracked((
       if (maxShingleFreq > 0) {
-        // freq is the distinct-shingle aggregate (needed for the semi-join
-        // anyway); persisting it makes the dropped-count probe a cheap
-        // second action instead of a second full shingle pass
-        val freq = tracked(sh.groupBy("sh").agg(count(lit(1)).as("df"))
-          .persist())
-        val dropped = freq.where(col("df") > maxShingleFreq).count()
-        if (dropped > 0)
-          org.apache.log4j.Logger.getLogger(getClass).warn(
-            s"ngramJaccardPairs: dropped $dropped stop-shingles with " +
-              s"doc-frequency > $maxShingleFreq")
+        // the dropped-stop-shingle count is OBSERVED inside the frequency
+        // aggregate (CollectMetrics) and logged asynchronously when the
+        // query materializes — no extra counting pass
+        val obs = org.apache.spark.sql.Observation()
+        val freq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+          .observe(obs, sum(when(col("df") > maxShingleFreq, 1L)
+            .otherwise(0L)).as("dropped"))
+        obs.future.foreach { row =>
+          val dropped = if (row.isNullAt(0)) 0L else row.getLong(0)
+          if (dropped > 0)
+            org.apache.log4j.Logger.getLogger(getClass).warn(
+              s"ngramJaccardPairs: dropped $dropped stop-shingles with " +
+                s"doc-frequency > $maxShingleFreq")
+        }(scala.concurrent.ExecutionContext.global)
         sh.join(freq.where(col("df") <= maxShingleFreq).select("sh"), "sh")
       } else sh
     ).persist()) // reused by sizes + both self-join sides: 3 consumers
