@@ -530,6 +530,14 @@ object SparkEntry {
         .select("event_id", "event_type", "props").orderBy("event_id")
     }),
 
+    // dedup survivor selection: connected components over the MinHash-LSH
+    // near-dup pair graph (hash-min label propagation)
+    "q50_dedup_clusters" -> ((s, dir) =>
+      Dedup.duplicateClusters(
+        Dedup.minhashLshPairs(tbl(s, dir, "documents"), "doc_id", "text",
+          k = 3, numPerms = 12, bands = 4))
+        .orderBy("id")),
+
     // §2.1 RunCommand escape hatch: raw SQL through the session
     // (client/wrapper.go:32-40)
     "q48_run_command" -> ((s, dir) => {
@@ -1042,5 +1050,20 @@ object SparkEntry {
     "q49_pending_migrations" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS pending FROM orders
         |WHERE o_orderstatus = 'O'""".stripMargin,
+
+    // transitive closure over the same pair set the engine's label
+    // propagation converges on; component = min id reachable
+    "q50_dedup_clusters" ->
+      s"""WITH RECURSIVE p AS (
+         |${minhashOracle(12, 4)}
+         |),
+         |und AS (SELECT id_a AS a, id_b AS b FROM p
+         |        UNION SELECT id_b, id_a FROM p),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM und
+         |  UNION
+         |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
+         |SELECT a AS id, LEAST(a, MIN(b)) AS component
+         |FROM reach GROUP BY a ORDER BY id""".stripMargin,
   )
 }

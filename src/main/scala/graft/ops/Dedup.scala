@@ -186,6 +186,52 @@ object Dedup {
       .distinct()
   }
 
+  /** Duplicate-cluster canonicalization: connected components over a
+    * near-dup pair graph (the survivor-selection step after
+    * [[minhashLshPairs]]/[[simhashNearDup]]/[[embeddingNearDup]] — "keep
+    * one document per duplicate cluster").
+    *
+    * Hash-min label propagation: every node starts labeled with its own id;
+    * each iteration propagates the minimum label across edges; converges in
+    * O(cluster diameter) iterations — near-dup clusters are shallow, so a
+    * handful. Each iteration is ONE shuffle join + ONE aggregate over the
+    * edge list, and each generation is truncated with an eager
+    * `localCheckpoint` — without it the logical plan nests every previous
+    * iteration and analysis time grows super-linearly (the standard
+    * iterative-algorithm trap). No driver-side graph: only the
+    * per-iteration convergence count comes back. For graphs bigger than
+    * executor storage, swap localCheckpoint for a reliable checkpoint dir.
+    *
+    * Output: (id, component) for every node appearing in `pairs`, where
+    * component = the minimum id in the cluster (nodes with no duplicate
+    * never appear — union them back as their own component if needed). */
+  def duplicateClusters(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+    val edges = tracked(pairs
+      .select(col(idA).as("src"), col(idB).as("dst"))
+      .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct().persist())
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")).localCheckpoint(true)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id")).agg(min("lbl").as("nlbl"))
+      val next = labels.join(nbrMin, Seq("id"), "left_outer")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("lbl", "old"), "id")
+        .where(col("lbl") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+      it += 1
+    }
+    labels.select(col("id"), col("lbl").as("component"))
+  }
+
   /** Embedding cosine near-duplicates.
     *
     * Default path is sub-quadratic: candidates are generated by multi-table

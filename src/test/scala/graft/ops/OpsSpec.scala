@@ -56,6 +56,23 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("duplicateClusters: chains collapse to min-id components") {
+    // two clusters: {1,2,3} via a chain (1-2, 2-3) and {10,11}; 1-3 never
+    // appear as a direct pair, so convergence needs >1 propagation round
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val comp = Dedup.duplicateClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("duplicateClusters: long path needs multiple iterations") {
+    val chain = (1L to 9L).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("id_a", "id_b")
+    val comp = Dedup.duplicateClusters(chain).as[(Long, Long)].collect().toMap
+    assert(comp.values.toSet == Set(1L))
+    assert(comp.keySet == (1L to 9L).toSet)
+  }
+
   test("simhash near-dup: identical docs at hamming 0") {
     val out = Dedup.simhashNearDup(docs, "doc_id", "text", bits = 16,
       maxHamming = 3)
