@@ -117,6 +117,32 @@ class PlanSpec extends SparkSpec {
       "hamming verify must run below the distinct exchange")
   }
 
+  test("asof join costs exactly one shuffle (union + ordered window)") {
+    val ev = graft.sources.Tables.table(spark, sf, "events")
+    val snaps = ev.where(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), col("value").as("signup_value"))
+    val df = graft.ops.AsofJoin.backward(ev, snaps, "user_id", "ts", "ts",
+      Seq("signup_value"))
+    val plan = df.queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 1,
+      s"asof join must shuffle once (the window partitioning), got $shuffles\n$plan")
+  }
+
+  test("updateAll/removeAll: one table scan, count observed in-plan") {
+    val li = graft.sources.Tables.table(spark, sf, "lineitem")
+    val (updated, _) = graft.db.TableOps.updateAll(li,
+      Map("l_returnflag" -> "A"), Map("$set" -> Map("l_linestatus" -> "X")),
+      "l_orderkey")
+    val scans = updated.queryExecution.optimizedPlan.collectLeaves().size
+    assert(scans == 1, s"updateAll must scan the table once, got $scans")
+    assert(updated.queryExecution.optimizedPlan.toString
+      .contains("CollectMetrics"), "match count must ride the same job")
+    val (removed, _) = graft.db.TableOps.removeAll(li,
+      Map("l_quantity" -> Map("$lt" -> 10)))
+    assert(removed.queryExecution.optimizedPlan.collectLeaves().size == 1)
+  }
+
   test("top-k sort+limit compiles to TakeOrderedAndProject") {
     val df = new graft.db.GraftSession(spark, sf).db("t").c("lineitem")
       .find().sort("-l_extendedprice").limit(5)
