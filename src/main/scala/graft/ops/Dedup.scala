@@ -219,12 +219,31 @@ object Dedup {
       val nbrMin = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id")).agg(min("lbl").as("nlbl"))
-      val next = labels.join(nbrMin, Seq("id"), "left_outer")
+      // the changed-label count is observed INSIDE the checkpoint job
+      // (CollectMetrics) — convergence costs no extra join/count job;
+      // the eager localCheckpoint is the action that fills it
+      val obs = org.apache.spark.sql.Observation()
+      val next = labels.withColumnRenamed("lbl", "old")
+        .join(nbrMin, Seq("id"), "left_outer")
         .select(col("id"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+          least(col("old"), coalesce(col("nlbl"), col("old"))).as("lbl"),
+          col("old"))
+        .observe(obs, sum(when(col("lbl") =!= col("old"), 1L)
+          .otherwise(0L)).as("changed"))
+        .select("id", "lbl")
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("lbl", "old"), "id")
-        .where(col("lbl") =!= col("old")).count()
+      // the checkpoint job has finished; the listener delivers the row
+      // asynchronously moments later — bounded wait, with a counting
+      // fallback in case the checkpoint action bypasses the listener
+      val changed = try {
+        val row = scala.concurrent.Await.result(obs.future,
+          scala.concurrent.duration.Duration(10, "seconds"))
+        if (row.isNullAt(0)) 0L else row.getLong(0)
+      } catch {
+        case _: java.util.concurrent.TimeoutException =>
+          next.join(labels.withColumnRenamed("lbl", "old"), "id")
+            .where(col("lbl") =!= col("old")).count()
+      }
       labels = next
       converged = changed == 0
       it += 1
