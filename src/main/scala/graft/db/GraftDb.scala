@@ -25,8 +25,21 @@ final class GraftSession(val spark: SparkSession, val root: String,
 
   /** session.DB(name) — reference db/interface.go:16. */
   def db(name: String): GraftDatabase = new GraftDatabase(this, name)
-  /** Catalog listing analog (client/wrapper.go:21-23). */
-  def listDatabaseNames(): Seq[String] = Seq(new java.io.File(root).getName)
+  /** Catalog listing analog (client/wrapper.go:21-23): the root itself when
+    * it holds tables (the flat single-db layout), plus any subdirectory
+    * that holds parquet tables (multi-db layout). */
+  def listDatabaseNames(): Seq[String] = {
+    val rootFile = new java.io.File(root)
+    val entries = Option(rootFile.listFiles()).getOrElse(Array.empty)
+    def hasTables(d: java.io.File): Boolean =
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .exists(_.getName.endsWith(".parquet"))
+    val subs = entries
+      .filter(f => f.isDirectory && !f.getName.endsWith(".parquet"))
+      .filter(hasTables).map(_.getName).toSeq.sorted
+    (if (entries.exists(_.getName.endsWith(".parquet")))
+      Seq(rootFile.getName) else Nil) ++ subs
+  }
   /** Raw SQL escape hatch — RunCommand analog (client/wrapper.go:32-40). */
   def runCommand(sql: String): DataFrame = spark.sql(sql)
 }

@@ -160,6 +160,17 @@ class DdlSpec extends graft.SparkSpec {
     assert(db.listCollections().isEmpty)
   }
 
+  test("listDatabaseNames: flat root + multi-db subdirectories") {
+    val root = Files.createTempDirectory("graft-lsdb").toString
+    val ses = new GraftSession(spark, root)
+    assert(ses.listDatabaseNames().isEmpty) // nothing yet
+    val schema = StructType(Seq(StructField("_id", LongType)))
+    new GraftSession(spark, root).db("d").createCollection("t", schema)
+    new GraftSession(spark, s"$root/sub").db("d").createCollection("u", schema)
+    assert(ses.listDatabaseNames() ==
+      Seq(new java.io.File(root).getName, "sub"))
+  }
+
   test("dropDatabase drops every collection (db/wrapper.go:61)") {
     val root = Files.createTempDirectory("graft-dropdb").toString
     val db = new GraftSession(spark, root).db("d")
