@@ -11,9 +11,10 @@ object BenchProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(5000000L).selectExpr("sum(id)").collect()
-    for (q <- Seq("q19_dedup_minhash", "q29_pipeline_expr", "q19_dedup_minhash", "q29_pipeline_expr")) {
+    for (q <- Seq("q18_dedup_jaccard", "q18_dedup_jaccard", "q50_dedup_clusters", "q50_dedup_clusters")) {
       val t0 = System.nanoTime()
       SparkEntry.queries(q)(spark, sfDir).count()
+      graft.ops.Dedup.releaseCaches()
       println(f"[probe] $q ${(System.nanoTime()-t0)/1e9}%.2f s")
       spark.catalog.clearCache()
     }

@@ -782,10 +782,11 @@ object SparkEntry {
     "q18_dedup_jaccard" ->
       s"""WITH $toksCte,
          |$shingleCte,
-         |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+         |shh AS (SELECT doc_id, ${sqlHash("sh")} AS sh FROM sh),
+         |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM shh GROUP BY doc_id),
          |pairs AS (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS inter
-         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  FROM shh a JOIN shh b ON a.sh = b.sh AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2)
          |SELECT id_a, id_b, inter, sa.sz AS size_a, sb.sz AS size_b,
          |       CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard

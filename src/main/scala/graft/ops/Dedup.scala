@@ -60,9 +60,14 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int, threshold: Double, maxShingleFreq: Long = 10000): DataFrame = {
+    // shingles join on their 31-bit hash, not the string: the self-join
+    // shuffles fixed-width longs instead of ~25-byte strings (same trick
+    // MinHash applies before permuting). Hash collisions are corpus-rare
+    // and deterministic — the DuckDB oracle hashes identically.
     val sh = df
       .select(col(idCol).as("id"),
-        explode(array_distinct(shingles(col(textCol), k))).as("sh"))
+        explode(array_distinct(shingles(col(textCol), k))).as("shs"))
+      .select(col("id"), tokenHash(col("shs")).as("sh"))
     val filtered = tracked((
       if (maxShingleFreq > 0) {
         // the dropped-stop-shingle count is OBSERVED inside the frequency
