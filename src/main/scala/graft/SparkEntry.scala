@@ -538,6 +538,19 @@ object SparkEntry {
           k = 3, numPerms = 12, bands = 4))
         .orderBy("id")),
 
+    // §2.8 dotted-path semantics (GetDottedKeyName, bsonutil/helpers.go):
+    // an embedded-doc $addFields builds a struct, then a dotted-path
+    // $match resolves into it
+    "q51_dotted_path" -> ((s, dir) =>
+      coll(s, dir, "documents").pipe(Seq(
+        Map("$addFields" -> Map("nested" ->
+          Map("lang" -> "$lang", "chars" -> "$n_chars"))),
+        Map("$match" -> Map(
+          "nested.lang" -> "en",
+          "nested.chars" -> Map("$gte" -> 200))),
+        Map("$project" -> Map("doc_id" -> 1)),
+        Map("$sort" -> Map("doc_id" -> 1))))),
+
     // §2.1 RunCommand escape hatch: raw SQL through the session
     // (client/wrapper.go:32-40)
     "q48_run_command" -> ((s, dir) => {
@@ -1047,6 +1060,11 @@ object SparkEntry {
       """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS cnt
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    "q51_dotted_path" ->
+      """SELECT doc_id FROM documents
+        |WHERE lang = 'en' AND n_chars >= 200
+        |ORDER BY doc_id""".stripMargin,
 
     "q49_pending_migrations" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS pending FROM orders

@@ -259,6 +259,12 @@ object PipelineCompiler {
   def expr2col(e: Any): Column = e match {
     case s: String if s.startsWith("$$") => lit(s) // variable refs unsupported
     case s: String if s.startsWith("$") => col(s.drop(1))
+    case m: Map[_, _] if m.nonEmpty &&
+        !m.asInstanceOf[Map[String, Any]].keys.exists(_.startsWith("$")) =>
+      // embedded document literal (no $-operators) builds a subdocument —
+      // Mongo's {a: {b: "$f"}} shape → a struct column
+      struct(m.asInstanceOf[Map[String, Any]].toSeq.map {
+        case (k, v) => expr2col(v).as(k) }: _*)
     case m: Map[_, _] =>
       val mm = m.asInstanceOf[Map[String, Any]]
       require(mm.size == 1, s"operator expression must have one key: $mm")

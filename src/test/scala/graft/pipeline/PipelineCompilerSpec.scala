@@ -34,6 +34,16 @@ class PipelineCompilerSpec extends SparkSpec {
     assert(out.select("s").as[Double].head() == 100.0)
   }
 
+  test("embedded-doc literal builds a struct; dotted paths resolve into it") {
+    val out = run(
+      Map("$addFields" -> Map("nested" -> Map("c" -> "$cat", "n2" ->
+        Map("$multiply" -> Seq("$n", 2))))),
+      Map("$match" -> Map("nested.c" -> "a",
+        "nested.n2" -> Map("$gte" -> 4))),
+      Map("$project" -> Map("n" -> 1)))
+    assert(out.as[Int].collect().toSeq == Seq(2))
+  }
+
   test("$group with only _id is the distinct idiom") {
     val out = run(Map("$group" -> Map("_id" -> "$cat")),
       Map("$sort" -> Map("_id" -> 1)))
