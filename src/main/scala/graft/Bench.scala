@@ -1,10 +1,20 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark entrypoint. Prints a cumulative best-times JSON line after
+  * EVERY completed query (the driver parses the last line), so a run killed
+  * at any point still leaves a valid artifact. A wall-clock deadline
+  * (SPARK_GRAFT_BENCH_DEADLINE_S, default 1200 s) stops new query runs so
+  * the process exits cleanly before any external timeout.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
+    val deadlineS = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_S", "1200").toLong
+    val startNanos = System.nanoTime()
+    def elapsedS: Long = (System.nanoTime() - startNanos) / 1000000000L
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -25,31 +35,47 @@ object Bench {
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     val best = scala.collection.mutable.Map.empty[String, Double]
     val errors = scala.collection.mutable.Map.empty[String, String]
-    for (_ <- 1 to rounds; (name, fn) <- names) {
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).count()
-        val dt = (System.nanoTime() - t0) / 1e9
-        best(name) = math.min(best.getOrElse(name, Double.MaxValue), dt)
-      } catch {
-        // a failed run is recorded as a FAILURE, never as a timing
-        case e: Throwable =>
-          errors(name) = e.toString.takeWhile(_ != '\n').take(200)
-      }
-      // drop per-query persisted frames so queries are measured standalone
-      graft.ops.Dedup.releaseCaches()
-      spark.catalog.clearCache()
+
+    def emit(): Unit = {
+      // queries that never succeeded are excluded from timings and the
+      // total, and surfaced explicitly in "failures"
+      val failed = errors.keySet -- best.keySet
+      val qs = best.toSeq.sortBy(_._1).map { case (k, v) => s"\"$k\":$v" }
+        .mkString("{", ",", "}")
+      val fails = failed.toSeq.sorted
+        .map(k => s"""\"$k\":\"${errors(k).replace("\"", "'")}\"""")
+        .mkString("{", ",", "}")
+      val total = if (best.nonEmpty) best.values.sum else 0.0
+      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fails,"sf":"$sfDir","elapsed_s":$elapsedS}""")
+      Console.out.flush()
     }
-    // queries that never succeeded are excluded from timings and the total,
-    // and surfaced explicitly in "failures"
-    val failed = errors.keySet -- best.keySet
-    val qs = best.toSeq.sortBy(_._1).map { case (k, v) => s"\"$k\":$v" }
-      .mkString("{", ",", "}")
-    val fails = failed.toSeq.sorted
-      .map(k => s"""\"$k\":\"${errors(k).replace("\"", "'")}\"""")
-      .mkString("{", ",", "}")
-    val total = if (best.nonEmpty) best.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fails,"sf":"$sfDir"}""")
+
+    var overDeadline = false
+    for (round <- 1 to rounds if !overDeadline) {
+      for ((name, fn) <- names if !overDeadline) {
+        if (elapsedS >= deadlineS) {
+          // never start a query past the deadline; round 1 guarantees every
+          // query at least one attempt unless the deadline already passed
+          overDeadline = true
+        } else {
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).count()
+            val dt = (System.nanoTime() - t0) / 1e9
+            best(name) = math.min(best.getOrElse(name, Double.MaxValue), dt)
+          } catch {
+            // a failed run is recorded as a FAILURE, never as a timing
+            case e: Throwable =>
+              errors(name) = e.toString.takeWhile(_ != '\n').take(200)
+          }
+          // drop per-query persisted frames so queries are measured standalone
+          graft.ops.Dedup.releaseCaches()
+          spark.catalog.clearCache()
+          emit()
+        }
+      }
+    }
+    emit()
     spark.stop()
   }
 }

@@ -582,6 +582,70 @@ object SparkEntry {
       s.createDataFrame(
         java.util.Arrays.asList(rows: _*), q.toDF.schema)
     }),
+
+    // §2.9 UNORDERED Bulk (db/wrapper.go:335-344): ops arrive scrambled;
+    // type-batching reorders them insert -> upsert -> update -> remove and
+    // collapses each class into ONE plan layer (one union / one merge
+    // window / one anti-filter) instead of a layer per op
+    "q52_bulk_unordered" -> ((s, dir) => {
+      val part = tbl(s, dir, "part")
+      val inserts = part.where(col("p_partkey") <= 3)
+        .withColumn("p_partkey", col("p_partkey") + 1000000L)
+      val upserts = part.where(col("p_partkey").between(10, 20))
+          .withColumn("p_retailprice", col("p_retailprice") + 1000.0)
+        .unionByName(part.where(col("p_partkey") <= 2)
+          .withColumn("p_partkey", col("p_partkey") + 2000000L))
+      TableOps.runBulk(part, Seq(
+        BulkRemove(Map("p_retailprice" -> Map("$lt" -> 910.0))),
+        BulkInsert(inserts),
+        BulkUpdate(Map("p_size" -> Map("$gte" -> 40)),
+          Map("$set" -> Map("p_brand" -> "Brand#XL"))),
+        BulkUpsert((), upserts)), "p_partkey", unordered = true)
+        .select("p_partkey", "p_brand", "p_size", "p_retailprice")
+        .orderBy("p_partkey")
+    }),
+
+    // §2.9 findAndModify with Change.ReturnNew (db/data.go:19-26): the
+    // returned image is the POST-update row, not the pre-image
+    "q53_fam_return_new" -> ((s, dir) => {
+      val (_, img) = TableOps.findAndModify(tbl(s, dir, "orders"),
+        Map("o_orderstatus" -> "P"), Seq("o_orderkey"),
+        Map("$set" -> Map("o_orderpriority" -> "RUSH"),
+            "$inc" -> Map("o_totalprice" -> 1000)),
+        remove = false, "o_orderkey", returnNew = true)
+      img.select("o_orderkey", "o_orderstatus", "o_orderpriority",
+        "o_totalprice")
+    }),
+
+    // §2.8 transformDocument round-trip (db/wrapper.go:599-610): typed rows
+    // -> raw JSON docs -> typed rows; the oracle mirrors the trip through
+    // DuckDB's to_json/json_extract so BOTH engines prove the identity
+    "q54_transform_doc" -> ((s, dir) => {
+      val nation = tbl(s, dir, "nation")
+      val raw = TableOps.toRawDocs(nation)
+      TableOps.fromRawDocs(raw, "doc", nation.schema)
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+    }),
+
+    // §2.1 ListDatabaseNames (client/wrapper.go:21-23): a flat root holding
+    // tables plus two multi-db subdirectories (an empty dir is not a db)
+    "q55_list_databases" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-lsdb")
+      val root = tmp.resolve("dbroot")
+      java.nio.file.Files.createDirectory(root)
+      val src = java.nio.file.Paths.get(s"$dir/region.parquet")
+      java.nio.file.Files.copy(src, root.resolve("region.parquet"))
+      for (db <- Seq("alpha", "beta")) {
+        val d = root.resolve(db)
+        java.nio.file.Files.createDirectory(d)
+        java.nio.file.Files.copy(src, d.resolve("region.parquet"))
+      }
+      java.nio.file.Files.createDirectory(root.resolve("empty"))
+      val names = new GraftSession(s, root.toString).listDatabaseNames()
+      s.range(1).select(lit(names.mkString(",")).as("dbs"),
+        lit(names.size.toLong).as("n_dbs"))
+    }),
   )
 
   /** Copy one table's parquet into a fresh temp root so write-back queries
@@ -1084,5 +1148,58 @@ object SparkEntry {
          |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
          |SELECT a AS id, LEAST(a, MIN(b)) AS component
          |FROM reach GROUP BY a ORDER BY id""".stripMargin,
+
+    // unordered bulk = type-batched insert -> upsert -> update -> remove,
+    // regardless of the order ops were queued in
+    "q52_bulk_unordered" ->
+      """WITH ins AS (
+        |  SELECT * FROM part
+        |  UNION ALL
+        |  SELECT p_partkey + 1000000, p_name, p_brand, p_type, p_size,
+        |         p_retailprice
+        |  FROM part WHERE p_partkey <= 3
+        |), ups AS (
+        |  SELECT p_partkey, p_name, p_brand, p_type, p_size,
+        |         p_retailprice + 1000.0 AS p_retailprice
+        |  FROM part WHERE p_partkey BETWEEN 10 AND 20
+        |  UNION ALL
+        |  SELECT p_partkey + 2000000, p_name, p_brand, p_type, p_size,
+        |         p_retailprice
+        |  FROM part WHERE p_partkey <= 2
+        |), m AS (
+        |  SELECT * FROM ups
+        |  UNION ALL
+        |  SELECT * FROM ins
+        |  WHERE p_partkey NOT IN (SELECT p_partkey FROM ups)
+        |), u AS (
+        |  SELECT p_partkey,
+        |    CASE WHEN p_size >= 40 THEN 'Brand#XL' ELSE p_brand END AS p_brand,
+        |    p_size, p_retailprice
+        |  FROM m
+        |)
+        |SELECT p_partkey, p_brand, p_size, p_retailprice FROM u
+        |WHERE NOT (p_retailprice < 910.0)
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q53_fam_return_new" ->
+      """SELECT o_orderkey, o_orderstatus, 'RUSH' AS o_orderpriority,
+        |       o_totalprice + 1000 AS o_totalprice
+        |FROM orders WHERE o_orderstatus = 'P'
+        |ORDER BY o_orderkey LIMIT 1""".stripMargin,
+
+    "q54_transform_doc" ->
+      """WITH raw AS (
+        |  SELECT to_json(struct_pack(n_nationkey := n_nationkey,
+        |    n_name := n_name, n_regionkey := n_regionkey)) AS doc
+        |  FROM nation)
+        |SELECT CAST(json_extract_string(doc, '$.n_nationkey') AS INTEGER)
+        |         AS n_nationkey,
+        |       json_extract_string(doc, '$.n_name') AS n_name,
+        |       CAST(json_extract_string(doc, '$.n_regionkey') AS INTEGER)
+        |         AS n_regionkey
+        |FROM raw ORDER BY n_nationkey""".stripMargin,
+
+    "q55_list_databases" ->
+      "SELECT 'dbroot,alpha,beta' AS dbs, CAST(3 AS BIGINT) AS n_dbs",
   )
 }

@@ -1,36 +1,41 @@
 package graft.apm
 
-import java.util.concurrent.ConcurrentHashMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.util.QueryExecutionListener
 import org.apache.spark.sql.execution.QueryExecution
 
 /** Command/operation monitoring — reference /root/reference/apm/:
-  * events keyed by (db, collection, command) accumulate success/fail counts
-  * and total duration per rotation window (apm/event.go:12-106,
-  * apm/monitor.go:14-171); filter config whitelists commands/dbs/namespaces
-  * (apm/config.go:5-111); loggingMonitor rotates on a ticker
-  * (apm/wrappers.go:11-40).
+  * events keyed by (db, collection, command) accumulate success/fail counts,
+  * total duration, and per-tag counters per rotation window
+  * (apm/event.go:12-106, apm/monitor.go:14-171); filter config whitelists
+  * commands/dbs/namespaces (apm/config.go:5-111); loggingMonitor rotates on
+  * a ticker (apm/wrappers.go:11-40).
   *
   * Spark-first shape: a `QueryExecutionListener` accumulates per-(tables,
-  * operation) metrics in a concurrent map; `rotate()` swaps the window.
-  * The declarative rollup over an events *table* is `groupBy(keys).agg(...)`
-  * — see [[Apm.rollup]].
+  * operation) metrics; `rotate()` swaps the window. The declarative rollup
+  * over an events *table* is `groupBy(keys).agg(...)` — see [[Apm.rollup]].
   */
 final case class EventKey(db: String, collection: String, command: String)
-final case class EventRecord(succeeded: Long, failed: Long, durationNs: Long) {
+final case class EventRecord(succeeded: Long, failed: Long, durationNs: Long,
+    tags: Map[String, Long] = Map.empty) {
   def +(other: EventRecord): EventRecord = EventRecord(
     succeeded + other.succeeded, failed + other.failed,
-    durationNs + other.durationNs)
+    durationNs + other.durationNs,
+    other.tags.foldLeft(tags) { case (m, (t, n)) =>
+      m.updated(t, m.getOrElse(t, 0L) + n)
+    })
 }
 
 /** Filter semantics — reference apm/config.go:57-90 (`shouldTrack`:
-  * command allow-list, db allow-list, namespace allow-list last). */
+  * command allow-list, db allow-list, namespace allow-list last). Tags
+  * (apm/config.go:28-33): a counter is kept per tag seen on an operation,
+  * but only for tags in `tags` — or every tag when `allTags` is set. */
 final case class MonitorConfig(
     commands: Set[String] = Set.empty,
     databases: Set[String] = Set.empty,
     namespaces: Set[(String, String)] = Set.empty,
+    tags: Set[String] = Set.empty,
     allTags: Boolean = false) {
   def shouldTrack(k: EventKey): Boolean = {
     if (commands.nonEmpty && !commands.contains(k.command)) return false
@@ -39,40 +44,99 @@ final case class MonitorConfig(
       return false
     true
   }
+  /** Which of the operation's tags get counted — reference addTags
+    * (apm/monitor.go:140-150). */
+  def trackedTags(opTags: Seq[String]): Seq[String] =
+    if (allTags) opTags else opTags.filter(tags.contains)
+}
+
+/** Ambient operation tags — the Spark analog of the reference's
+  * context-carried tags (apm/context.go:12-22). Scoped per thread;
+  * synchronous record paths (the command tracer, direct `record` calls)
+  * observe them. Inheritable so child task-submission threads keep the
+  * caller's tags. */
+object TagContext {
+  private val tl = new InheritableThreadLocal[Seq[String]] {
+    override def initialValue(): Seq[String] = Nil
+  }
+  def current: Seq[String] = tl.get()
+  /** SetTags-scoped — reference apm/context.go:12-14. */
+  def withTags[T](tags: String*)(body: => T): T = {
+    val prev = tl.get()
+    tl.set(tags.toSeq)
+    try body finally tl.set(prev)
+  }
 }
 
 final class BasicMonitor(config: MonitorConfig = MonitorConfig()) {
-  // the live window is swapped atomically on rotate (the reference holds a
-  // mutex, monitor.go:152-171); a copy-then-clear would drop events recorded
-  // between the copy and the clear
-  private val current = new java.util.concurrent.atomic.AtomicReference(
-    new ConcurrentHashMap[EventKey, EventRecord]())
+  // One lock around record/rotate, exactly like the reference's currentLock
+  // (apm/monitor.go:152-171): a lock-free swap narrows but cannot close the
+  // window where an in-flight record lands in neither window.
+  private val lock = new Object
+  private var current = scala.collection.mutable.Map.empty[EventKey, EventRecord]
 
-  def record(k: EventKey, ok: Boolean, durationNs: Long): Unit =
-    if (config.shouldTrack(k)) current.get().merge(k,
-      EventRecord(if (ok) 1 else 0, if (ok) 0 else 1, durationNs), _ + _)
+  /** Record one operation outcome. Tags explicitly passed are merged with
+    * the ambient [[TagContext]] (the reference reads ctx tags on every
+    * Succeeded/Failed event, apm/monitor.go:109-137). */
+  def record(k: EventKey, ok: Boolean, durationNs: Long,
+      tags: Seq[String] = Nil): Unit =
+    if (config.shouldTrack(k)) {
+      val counted = config.trackedTags((tags ++ TagContext.current).distinct)
+      val rec = EventRecord(if (ok) 1 else 0, if (ok) 0 else 1, durationNs,
+        counted.map(_ -> 1L).toMap)
+      lock.synchronized {
+        current.updateWith(k) {
+          case Some(prev) => Some(prev + rec)
+          case None => Some(rec)
+        }
+      }
+    }
 
   /** Swap the accumulation window — reference Rotate()
     * apm/monitor.go:152-171. Pre-populates the configured key cross-product
     * with zero records (apm/config.go:92-111 PopulateEvents). */
   def rotate(): Map[EventKey, EventRecord] = {
-    val snapshot =
-      current.getAndSet(new ConcurrentHashMap[EventKey, EventRecord]())
+    val snapshot = lock.synchronized {
+      val s = current
+      current = scala.collection.mutable.Map.empty
+      s
+    }
     val prepopulated =
       for { c <- config.commands; (d, coll) <- config.namespaces }
         yield EventKey(d, coll, c) -> EventRecord(0, 0, 0)
-    import scala.jdk.CollectionConverters._
-    prepopulated.toMap ++ snapshot.asScala.toMap
+    prepopulated.toMap ++ snapshot
   }
 }
 
 /** Attaches a BasicMonitor to a SparkSession: every query execution is
   * recorded keyed by (scanned tables, action name) — the DriverAPM analog
-  * (apm/interface.go:10-21). */
+  * (apm/interface.go:10-21). Table identity comes from the scan relations
+  * (catalog identifier, or the file-index root paths for path-based reads),
+  * so two tables roll up under two keys — the reference's per-namespace
+  * events (apm/event.go:12-19). */
 final class SparkApmListener(monitor: BasicMonitor)
     extends QueryExecutionListener {
+  import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, LocalRelation, Range}
+  import org.apache.spark.sql.execution.datasources.{LogicalRelation, HadoopFsRelation}
+  import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+  private def leafName(p: LogicalPlan): String = p match {
+    case lr: LogicalRelation =>
+      lr.catalogTable.map(_.identifier.unquotedString).getOrElse(
+        lr.relation match {
+          case fs: HadoopFsRelation =>
+            fs.location.rootPaths.map(_.getName.stripSuffix(".parquet"))
+              .distinct.sorted.mkString(",")
+          case _ => lr.relation.toString
+        })
+    case dsv2: DataSourceV2Relation => dsv2.table.name()
+    case _: LocalRelation => "local"
+    case _: Range => "range"
+    case other => other.nodeName
+  }
+
   private def key(qe: QueryExecution, funcName: String): EventKey = {
-    val tables = qe.logical.collectLeaves().map(_.nodeName).distinct
+    val tables = qe.logical.collectLeaves().map(leafName).distinct
       .sorted.mkString(",")
     EventKey("spark", tables, funcName)
   }
