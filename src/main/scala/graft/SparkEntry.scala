@@ -859,7 +859,14 @@ object SparkEntry {
     "q18_dedup_jaccard" ->
       s"""WITH $toksCte,
          |$shingleCte,
-         |shh AS (SELECT doc_id, ${sqlHash("sh")} AS sh FROM sh),
+         |shh0 AS (SELECT doc_id, ${sqlHash("sh")} AS sh FROM sh),
+         |-- the engine's AUTO stop-shingle cap: max(1000, n_docs/1000);
+         |-- shingles above the doc-frequency cap are dropped BEFORE sizes
+         |-- and pairs, mirroring ngramJaccardPairs exactly
+         |kept AS (SELECT sh FROM shh0 GROUP BY sh
+         |  HAVING COUNT(*) <= greatest(1000,
+         |    (SELECT COUNT(*) // 1000 FROM documents))),
+         |shh AS (SELECT shh0.doc_id, shh0.sh FROM shh0 JOIN kept USING (sh)),
          |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM shh GROUP BY doc_id),
          |pairs AS (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS inter

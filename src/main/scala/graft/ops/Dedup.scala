@@ -54,12 +54,25 @@ object Dedup {
     *
     * @param maxShingleFreq drop shingles occurring in more than this many
     *        docs. A single hot shingle shared by f docs contributes f²/2
-    *        pairs to the self-join, so the cap is ON by default (10 000) and
-    *        opting OUT (0 = keep all) is the explicit scale hazard. The
-    *        number of dropped stop-shingles is logged.
+    *        pairs to the self-join, so the cap is ON by default. The default
+    *        (-1 = AUTO) derives the cap from the corpus size IN-PLAN —
+    *        `max(1000, n_docs/1000)` via a broadcast one-row subplan, no
+    *        driver round-trip — so the same call is safe at sf0.01 and at
+    *        100 TB. Opting OUT (0 = keep all) is the explicit scale hazard.
+    *        The dropped-stop-shingle count is logged; use
+    *        [[ngramJaccardPairsStats]] to read it programmatically.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      k: Int, threshold: Double, maxShingleFreq: Long = 10000): DataFrame = {
+      k: Int, threshold: Double, maxShingleFreq: Long = -1): DataFrame =
+    ngramJaccardPairsStats(df, idCol, textCol, k, threshold,
+      maxShingleFreq)._1
+
+  /** [[ngramJaccardPairs]] plus the dropped-stop-shingle count as a named
+    * in-plan `Observation` ("dropped"): `obs.get` after materializing the
+    * result — the count rides the frequency aggregate, no extra pass. */
+  def ngramJaccardPairsStats(df: DataFrame, idCol: String, textCol: String,
+      k: Int, threshold: Double, maxShingleFreq: Long = -1)
+      : (DataFrame, Option[org.apache.spark.sql.Observation]) = {
     // shingles join on their 31-bit hash, not the string: the self-join
     // shuffles fixed-width longs instead of ~25-byte strings (same trick
     // MinHash applies before permuting). Hash collisions are corpus-rare
@@ -68,23 +81,38 @@ object Dedup {
       .select(col(idCol).as("id"),
         explode(array_distinct(shingles(col(textCol), k))).as("shs"))
       .select(col("id"), tokenHash(col("shs")).as("sh"))
+    val obsOpt =
+      if (maxShingleFreq != 0) Some(org.apache.spark.sql.Observation())
+      else None
     val filtered = tracked((
-      if (maxShingleFreq > 0) {
+      if (maxShingleFreq != 0) {
+        // the per-shingle cap joins in as a broadcast one-row frame: AUTO
+        // derives it from the corpus row count (a column-pruned count scan),
+        // an explicit cap becomes a literal — either way the filter stays
+        // fully distributed
+        val capDf =
+          if (maxShingleFreq < 0)
+            df.select(greatest(lit(1000L),
+              (count(lit(1)) / lit(1000L)).cast("long")).as("__cap"))
+          else df.sparkSession.range(1)
+            .select(lit(maxShingleFreq).as("__cap"))
         // the dropped-stop-shingle count is OBSERVED inside the frequency
         // aggregate (CollectMetrics) and logged asynchronously when the
         // query materializes — no extra counting pass
-        val obs = org.apache.spark.sql.Observation()
+        val obs = obsOpt.get
         val freq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-          .observe(obs, sum(when(col("df") > maxShingleFreq, 1L)
-            .otherwise(0L)).as("dropped"))
+          .crossJoin(broadcast(capDf))
+          .observe(obs, sum(when(col("df") > col("__cap"), 1L)
+            .otherwise(0L)).as("dropped"),
+            max(col("__cap")).as("cap"))
         obs.future.foreach { row =>
           val dropped = if (row.isNullAt(0)) 0L else row.getLong(0)
           if (dropped > 0)
             org.apache.log4j.Logger.getLogger(getClass).warn(
               s"ngramJaccardPairs: dropped $dropped stop-shingles with " +
-                s"doc-frequency > $maxShingleFreq")
+                s"doc-frequency > cap ${row.get(1)}")
         }(scala.concurrent.ExecutionContext.global)
-        sh.join(freq.where(col("df") <= maxShingleFreq).select("sh"), "sh")
+        sh.join(freq.where(col("df") <= col("__cap")).select("sh"), "sh")
       } else sh
     ).persist()) // reused by sizes + both self-join sides: 3 consumers
     val sizes = filtered.groupBy("id").agg(count(lit(1)).as("sz"))
@@ -93,7 +121,7 @@ object Dedup {
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("inter"))
-    pairs
+    val out = pairs
       .join(sizes.withColumnRenamed("id", "id_a")
         .withColumnRenamed("sz", "size_a"), "id_a")
       .join(sizes.withColumnRenamed("id", "id_b")
@@ -102,6 +130,7 @@ object Dedup {
         col("inter").cast("double") /
           (col("size_a") + col("size_b") - col("inter")).cast("double"))
       .where(col("jaccard") >= threshold)
+    (out, obsOpt)
   }
 
   /** MinHash signatures: for permutation i, h_i(doc) = min over shingles of
@@ -253,6 +282,13 @@ object Dedup {
       converged = changed == 0
       it += 1
     }
+    // a chain-shaped cluster with diameter > maxIter would exit here with
+    // labels still moving — surface it instead of returning silently-wrong
+    // components (raise maxIter; iterations needed = cluster diameter)
+    if (!converged)
+      org.apache.log4j.Logger.getLogger(getClass).warn(
+        s"duplicateClusters: label propagation did NOT converge in $maxIter " +
+          "iterations — components may be split; raise maxIter")
     labels.select(col("id"), col("lbl").as("component"))
   }
 

@@ -44,13 +44,12 @@ object Multimodal {
         (length(col(payloadCol)) % 16 + 1).cast("int").as("n_frames"))
         .as("meta"))
 
-  /** STUB decoder: a real implementation would parse `content` with an
-    * image/audio codec. The fake derives `dim` feature doubles from a
-    * stable byte hash — deterministic, so the plumbing is testable
-    * end-to-end. */
+  /** STUB decoder for non-image payloads (the DuckDB-checked fixtures use
+    * text bytes): derives `dim` feature doubles from a stable byte hash —
+    * deterministic, so the plumbing is testable end-to-end against an
+    * oracle that mirrors the same hash. */
   object DecodeStub extends Serializable {
     def features(content: Array[Byte], dim: Int): Array[Double] = {
-      // ??? <- real codec goes here; deterministic fake below
       val md = java.security.MessageDigest.getInstance("MD5")
         .digest(if (content == null) Array.emptyByteArray else content)
       Array.tabulate(dim) { i =>
@@ -59,6 +58,94 @@ object Multimodal {
           4294967295.0
       }
     }
+  }
+
+  /** REAL image decoder — JDK `javax.imageio`, no new dependency. Parses
+    * JPEG/PNG/GIF/BMP bytes; features are mean luminance (0–1) over a
+    * `dim`-cell vertical band partition of the image — deterministic, and
+    * executor-local (each task decodes only its partition's rows; nothing
+    * is collected). Unrecognized payloads (`ImageIO.read` → null) fall back
+    * to [[DecodeStub]], which keeps the text-byte oracle fixtures on the
+    * hash path while real images get real pixels. */
+  object ImageIoDecoder extends Serializable {
+    import java.awt.image.BufferedImage
+
+    def decode(content: Array[Byte]): Option[BufferedImage] =
+      if (content == null || content.isEmpty) None
+      else try {
+        Option(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(content)))
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** format/width/height sniffed from the payload header, or None for a
+      * non-image (caller keeps its synthetic metadata). Reads only the
+      * header via the registered `ImageReader`, not the full raster. */
+    def meta(content: Array[Byte]): Option[(String, Int, Int)] =
+      if (content == null || content.isEmpty) None
+      else try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(content))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) None
+          else {
+            val r = readers.next()
+            try { r.setInput(iis); Some((r.getFormatName.toLowerCase,
+              r.getWidth(0), r.getHeight(0))) }
+            finally r.dispose()
+          }
+        } finally iis.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    def features(img: BufferedImage, dim: Int): Array[Double] = {
+      val w = img.getWidth; val h = img.getHeight
+      val sums = new Array[Double](dim)
+      val counts = new Array[Long](dim)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val lum = (0.299 * ((rgb >> 16) & 0xff) +
+            0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)) / 255.0
+          val cell = math.min(dim - 1, x * dim / w)
+          sums(cell) += lum; counts(cell) += 1
+          x += 1
+        }
+        y += 1
+      }
+      Array.tabulate(dim)(i => if (counts(i) == 0) 0.0 else sums(i) / counts(i))
+    }
+  }
+
+  /** Decoder seam used by [[extractFeatures]]: real imageio decode when the
+    * payload is a parseable image, deterministic hash fake otherwise. */
+  def decodeFeatures(content: Array[Byte], dim: Int): Array[Double] =
+    ImageIoDecoder.decode(content) match {
+      case Some(img) => ImageIoDecoder.features(img, dim)
+      case None => DecodeStub.features(content, dim)
+    }
+
+  /** Upgrade synthetic metadata with real sniffed format/width/height for
+    * payloads that parse as images (header-only read — no raster decode).
+    * Per-partition, iterator-shaped; non-images keep their metadata. */
+  def sniffMeta(media: DataFrame): DataFrame = {
+    val schema = media.schema
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val metaIx = schema.fieldIndex("meta")
+    val contentIx = schema.fieldIndex("content")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        ImageIoDecoder.meta(r.getAs[Array[Byte]](contentIx)) match {
+          case Some((fmt, w, h)) =>
+            val old = r.getStruct(metaIx)
+            val vals = r.toSeq.updated(metaIx,
+              Row(fmt, w, h, old.getInt(3)))
+            Row.fromSeq(vals)
+          case None => r
+        }
+      }
+    }(enc)
   }
 
   private val featureSchema = StructType(Seq(
@@ -75,7 +162,7 @@ object Multimodal {
         batch.map { r =>
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
-          Row(id, DecodeStub.features(bytes, dim).toSeq)
+          Row(id, decodeFeatures(bytes, dim).toSeq)
         }
       }
     }(enc)

@@ -236,7 +236,7 @@ object ConfigLoader {
         if (content.isEmpty) { // item body on the following lines
           i += 1
           buf += parseBlock(indent + 1)
-        } else if (content.contains(":") && !isFlow(content) &&
+        } else if (isMapEntry(content) && !isFlow(content) &&
             !isQuoted(content)) {
           // "- key: value" opens a map item: rewrite the dash as spaces and
           // re-parse this line as the first entry of a nested map block
@@ -271,7 +271,28 @@ object ConfigLoader {
     private def isQuoted(s: String) =
       s.startsWith("\"") || s.startsWith("'")
 
-    private def scalar(s: String): Any = s match {
+    /** A list item opens a nested map only when it looks like YAML's
+      * `key: ` form — plain-identifier key, colon followed by space or
+      * end-of-line. `- http://host/path` and `- 12:30:00` are scalars, not
+      * `{http: //host/path}`. */
+    private val mapEntryRe =
+      """^([A-Za-z0-9_.$-]+|"[^"]*"|'[^']*'):(\s.*)?$""".r
+    private def isMapEntry(s: String): Boolean = mapEntryRe.matches(s)
+
+    /** Drop an inline ` # comment` from a plain scalar (flow values keep
+      * their text — `#` inside JSON strings is data); a quoted scalar keeps
+      * everything inside its quotes. */
+    private def stripComment(s: String): String =
+      if (isFlow(s)) s
+      else if (isQuoted(s)) {
+        val end = s.indexOf(s.head, 1)
+        if (end > 0) s.substring(0, end + 1) else s
+      } else {
+        val ix = s.indexOf(" #")
+        if (ix >= 0) s.substring(0, ix).trim else s
+      }
+
+    private def scalar(raw: String): Any = stripComment(raw) match {
       case "" | "~" | "null" => null
       case "true" => true
       case "false" => false

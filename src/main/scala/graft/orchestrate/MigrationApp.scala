@@ -148,18 +148,27 @@ final class MigrationApp(
             IllegalArgumentException(s"processor $procName is not registered"))
           mapRows(df, pred, obs, proc)
       }
-      writeBack(out.drop("__hit"), path)
+      // the limit path validates AFTER the write (the matched count only
+      // exists once the write job ran), so its pre-swap backup must outlive
+      // writeBack: on validation failure the original table is restored —
+      // a non-unique idColumn errors AND leaves the data un-migrated
+      val keepBackup = workListKeys >= 0
+      writeBack(out.drop("__hit"), path, keepBackup)
       // blocking get: the write above executed the CollectMetrics node, the
       // listener delivers the row asynchronously moments later
       val matched = obs.get.get("matched") match {
         case Some(n: Number) => n.longValue()
         case _ => 0L
       }
-      if (workListKeys >= 0 && matched > workListKeys)
+      if (workListKeys >= 0 && matched > workListKeys) {
+        restoreBackup(path)
         throw new IllegalStateException(
           s"limit work-list key '$keyCol' is not unique in ${opts.ns}: " +
             s"$matched rows matched ${workListKeys} work-list keys; " +
-            "configure GeneratorOptions.idColumn with a unique column")
+            "the original table was restored from backup; configure " +
+            "GeneratorOptions.idColumn with a unique column")
+      }
+      if (keepBackup) deleteBackup(path)
       MigrationResult(spec.id, matched, hasErrors = false)
     } catch {
       case e: Exception =>
@@ -183,19 +192,32 @@ final class MigrationApp(
     df.where(!coalesce(pred, lit(false))).unionByName(transformed)
   }
 
-  /** Atomic-ish write-back: write tmp dir, swap via rename. */
-  private def writeBack(df: DataFrame, path: String): Unit = {
+  private def fs = org.apache.hadoop.fs.FileSystem.get(
+    spark.sparkContext.hadoopConfiguration)
+
+  /** Atomic-ish write-back: write tmp dir, swap via rename. With
+    * `keepBackup` the displaced original survives as `<path>.bak` so a
+    * post-write validation failure can roll back via [[restoreBackup]]. */
+  private def writeBack(df: DataFrame, path: String,
+      keepBackup: Boolean = false): Unit = {
     val tmp = path + ".tmp"
     df.write.mode("overwrite").parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
     val p = new org.apache.hadoop.fs.Path(path)
     val bak = new org.apache.hadoop.fs.Path(path + ".bak")
     if (fs.exists(bak)) fs.delete(bak, true)
     if (fs.exists(p)) fs.rename(p, bak)
     fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
-    fs.delete(bak, true)
+    if (!keepBackup) fs.delete(bak, true)
   }
+
+  private def restoreBackup(path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val bak = new org.apache.hadoop.fs.Path(path + ".bak")
+    if (fs.exists(bak)) { fs.delete(p, true); fs.rename(bak, p) }
+  }
+
+  private def deleteBackup(path: String): Unit =
+    fs.delete(new org.apache.hadoop.fs.Path(path + ".bak"), true)
 }
 
 /** Migration metadata ledger — reference MigrationHelper.SaveMigrationEvent
@@ -208,12 +230,33 @@ final class MetadataLedger(spark: SparkSession, path: String) {
     if (new java.io.File(path).exists()) spark.read.parquet(path)
     else Seq.empty[MigrationMetadata].toDF()
 
-  def record(m: MigrationMetadata): Unit = {
+  def record(m: MigrationMetadata): Unit = withLock {
     // tiny state table: rows bounded by the number of migrations, not the
     // data — collect + rewrite wholesale is the right scale trade-off.
     val existing = all().as[MigrationMetadata].collect().toSeq
       .filterNot(_._id == m._id)
     (existing :+ m).toDF().coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  // the read-modify-write above is not atomic; a second app sharing the
+  // ledger would lose updates. Guard with an atomically-created lock file
+  // (reference relies on mongo's per-document atomicity instead).
+  private def withLock[T](body: => T): T = {
+    val lock = java.nio.file.Paths.get(path + ".lock")
+    java.nio.file.Files.createDirectories(lock.getParent)
+    val deadline = System.currentTimeMillis() + 30000
+    var acquired = false
+    while (!acquired) {
+      try { java.nio.file.Files.createFile(lock); acquired = true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          if (System.currentTimeMillis() > deadline)
+            throw new IllegalStateException(
+              s"ledger lock $lock held for >30s; remove it if stale")
+          Thread.sleep(50)
+      }
+    }
+    try body finally java.nio.file.Files.deleteIfExists(lock)
   }
 
   /** dependency gate — reference Satisfied() model/metadata.go:12 +

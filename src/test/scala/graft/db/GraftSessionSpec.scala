@@ -86,6 +86,26 @@ class BackupSpec extends SparkSpec {
     assert(!new java.io.File(target).exists())
     assert(new java.io.File(target + ".meta.json").exists())
   }
+
+  test("sidecar carries index docs + per-column stats (backup.go:152-200)") {
+    val df = Seq((1L, "x", Some(10)), (2L, "y", None), (3L, "z", Some(30)))
+      .toDF("_id", "s", "v")
+    val target = Files.createTempDirectory("graft-bak3").toString + "/out"
+    Backup.collection(spark, df, target,
+      BackupOptions(sortKeys = Seq("-_id", "s")))
+    val meta = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(target + ".meta.json")))
+    // reference metadata document shape: options / indexes / uuid
+    assert(meta.contains("\"options\": {}") && meta.contains("\"uuid\": \"\""))
+    // sort keys as mongo-style index docs with direction
+    assert(meta.contains("""{"name": "_id_-1", "key": {"_id": -1}}"""))
+    assert(meta.contains("""{"name": "s_1", "key": {"s": 1}}"""))
+    // one-pass per-column min/max/null_count
+    assert(meta.contains(
+      """{"name": "_id", "null_count": 0, "min": "1", "max": "3"}"""))
+    assert(meta.contains(
+      """{"name": "v", "null_count": 1, "min": "10", "max": "30"}"""))
+  }
 }
 
 class ApmSpec extends SparkSpec {
@@ -122,6 +142,54 @@ class ApmSpec extends SparkSpec {
       Thread.sleep(100); w = monitor.rotate().filter(_._2.succeeded > 0)
     }
     assert(w.nonEmpty)
+  }
+
+  test("spark listener separates namespaces: two tables -> two event keys") {
+    val monitor = Apm.install(spark)
+    graft.sources.Tables.table(spark, "/root/testdata/sf0.001", "nation").count()
+    graft.sources.Tables.table(spark, "/root/testdata/sf0.001", "region").count()
+    var colls = Set.empty[String]
+    val deadline = System.currentTimeMillis() + 5000
+    while (!(colls.contains("nation") && colls.contains("region")) &&
+        System.currentTimeMillis() < deadline) {
+      Thread.sleep(100)
+      colls ++= monitor.rotate().keys.map(_.collection)
+    }
+    // the scan relation's root path names the table — not the node class
+    // name, which would collapse every parquet read into one key
+    assert(colls.contains("nation") && colls.contains("region"))
+  }
+
+  test("allTags counts every operation tag per window") {
+    val m = new BasicMonitor(MonitorConfig(allTags = true))
+    val k = EventKey("db", "coll", "find")
+    m.record(k, ok = true, 10, tags = Seq("alpha", "beta"))
+    m.record(k, ok = true, 10, tags = Seq("alpha"))
+    val w = m.rotate()
+    assert(w(k).tags == Map("alpha" -> 2L, "beta" -> 1L))
+    // rotation resets the counters with the window
+    m.record(k, ok = true, 10, tags = Seq("alpha"))
+    assert(m.rotate()(k).tags == Map("alpha" -> 1L))
+  }
+
+  test("tag whitelist counts only configured tags; default counts none") {
+    val cfg = MonitorConfig(tags = Set("tracked"))
+    val m = new BasicMonitor(cfg)
+    val k = EventKey("db", "coll", "find")
+    m.record(k, ok = true, 10, tags = Seq("tracked", "ignored"))
+    assert(m.rotate()(k).tags == Map("tracked" -> 1L))
+    val none = new BasicMonitor()
+    none.record(k, ok = true, 10, tags = Seq("anything"))
+    assert(none.rotate()(k).tags.isEmpty)
+  }
+
+  test("TagContext scopes ambient tags around synchronous record paths") {
+    val m = new BasicMonitor(MonitorConfig(allTags = true))
+    val k = EventKey("db", "coll", "find")
+    TagContext.withTags("job42") { m.record(k, ok = true, 10) }
+    m.record(k, ok = true, 10) // outside the scope: no tags
+    val w = m.rotate()
+    assert(w(k).succeeded == 2 && w(k).tags == Map("job42" -> 1L))
   }
 }
 

@@ -48,6 +48,25 @@ class DedupSpec extends SparkSpec {
     assert(out.count() == 0)
   }
 
+  test("AUTO cap derives from corpus size and reports the dropped count") {
+    // 1200 docs sharing a hot prefix; AUTO cap = max(1000, 1200/1000) =
+    // 1000, so the two prefix shingles with doc-frequency > 1000 are
+    // dropped ("hot stop shingle" in all 1200 docs, "stop shingle tail" in
+    // the 1198 non-twins) and the only surviving pair is the planted
+    // twin-suffix one
+    val corpus = spark.range(1200).selectExpr("id AS doc_id",
+      "concat('hot stop shingle ', CASE WHEN id IN (7, 9) " +
+        "THEN 'twin twin twin' ELSE concat('tail u', id, ' v', id) END)" +
+        " AS text")
+    val (pairs, obs) = Dedup.ngramJaccardPairsStats(
+      corpus, "doc_id", "text", 3, 0.5)
+    val got = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((7L, 9L)))
+    val dropped = obs.get.get("dropped").asInstanceOf[Long]
+    assert(dropped == 2L)
+    Dedup.releaseCaches()
+  }
+
   test("minhash LSH surfaces near-dups and skips distinct docs") {
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
       k = 3, numPerms = 12, bands = 4)
@@ -220,5 +239,52 @@ class MultimodalSpec extends SparkSpec {
     val idx = out.where($"n_frames" >= 4).select("frame_idx")
       .as[Seq[Int]].collect()
     assert(idx.forall(s => s.size == 4 && s == s.sorted))
+  }
+
+  // a real 6x4 PNG: left half black, right half white
+  private def pngBytes(): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      6, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 6)
+      img.setRGB(x, y, if (x < 3) 0x000000 else 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("imageio path decodes a real PNG: sniffed meta + luminance features") {
+    assert(Multimodal.ImageIoDecoder.meta(pngBytes())
+      .contains(("png", 6, 4)))
+    // band features: left cell pure black (0.0), right cell pure white (1.0)
+    val f = Multimodal.decodeFeatures(pngBytes(), dim = 2)
+    assert(f(0) == 0.0 && f(1) == 1.0)
+    // in-plan: binary payload through extractFeatures hits the real decoder
+    val mediaDf = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(1L, pngBytes(), null)),
+      Multimodal.MediaSchema)
+    val viaPlan = Multimodal.extractFeatures(mediaDf, dim = 2)
+      .select("features").as[Seq[Double]].head()
+    assert(viaPlan == Seq(0.0, 1.0))
+  }
+
+  test("sniffMeta upgrades image payloads and keeps non-images unchanged") {
+    val mixed = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(1L, pngBytes(),
+          org.apache.spark.sql.Row("fake/raw", 0, 0, 1)),
+        org.apache.spark.sql.Row(2L, "not an image".getBytes,
+          org.apache.spark.sql.Row("fake/raw", 9, 9, 2))),
+      Multimodal.MediaSchema)
+    val out = Multimodal.sniffMeta(mixed).orderBy("media_id")
+      .select("meta.format", "meta.width", "meta.height", "meta.n_frames")
+      .as[(String, Int, Int, Int)].collect().toSeq
+    assert(out == Seq(("png", 6, 4, 1), ("fake/raw", 9, 9, 2)))
+  }
+
+  test("non-image payloads keep the deterministic stub feature path") {
+    val bytes = "plain text payload".getBytes
+    assert(Multimodal.decodeFeatures(bytes, 4).toSeq ==
+      Multimodal.DecodeStub.features(bytes, 4).toSeq)
   }
 }

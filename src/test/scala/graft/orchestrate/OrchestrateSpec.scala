@@ -191,9 +191,30 @@ class MigrationAppSpec extends SparkSpec {
     // the deduped work-list join cannot multiply rows...
     val out = spark.read.parquet(s"$root/items.parquet")
     assert(out.count() == 4, "left_outer mark join must not duplicate rows")
-    // ...and the over-applied limit (3 rows matched 2 keys) is an error
+    // ...the over-applied limit (3 rows matched 2 keys) is an error...
     assert(res.head.hasErrors)
     assert(res.head.error.exists(_.contains("not unique")))
+    // ...and the post-write validation failure restored the ORIGINAL table
+    // from the kept .bak (no over-migrated rows survive the error)
+    assert(out.where($"cat" === "done").count() == 0,
+      "validation failure must roll the write back")
+    assert(!new java.io.File(s"$root/items.parquet.bak").exists())
+  }
+
+  test("ledger record is lock-file-guarded against concurrent writers") {
+    val root = freshRoot()
+    val ledger = new MetadataLedger(spark, s"$root/ledger")
+    // a held lock blocks + a released lock unblocks (serialized writers)
+    val lock = java.nio.file.Paths.get(s"$root/ledger.lock")
+    java.nio.file.Files.createFile(lock)
+    val t = new Thread(() => { Thread.sleep(300)
+      java.nio.file.Files.deleteIfExists(lock) })
+    t.start()
+    ledger.record(MigrationMetadata("m1", "m1", has_errors = false,
+      completed = true)) // must wait for the release, then proceed
+    t.join()
+    assert(ledger.satisfied("m1"))
+    assert(!java.nio.file.Files.exists(lock), "lock released after write")
   }
 
   test("matched counts are observed in the write job, not a second scan") {
