@@ -646,6 +646,142 @@ object SparkEntry {
       s.range(1).select(lit(names.mkString(",")).as("dbs"),
         lit(names.size.toLong).as("n_dbs"))
     }),
+
+    // §2.4 $facet: multiple sub-pipelines over ONE input, one output row;
+    // the facet arrays are flattened to deterministic scalars for hashing
+    "q56_facet" -> ((s, dir) => {
+      val out = coll(s, dir, "orders").pipe(Seq(
+        Map("$facet" -> Map(
+          "by_status" -> Seq(
+            Map("$group" -> Map("_id" -> "$o_orderstatus",
+              "cnt" -> Map("$sum" -> 1)))),
+          "big" -> Seq(
+            Map("$match" -> Map("o_totalprice" ->
+              Map("$gte" -> 300000.0))),
+            Map("$count" -> "n"))))))
+      out.select(
+        concat_ws("|", sort_array(expr(
+          "transform(by_status, x -> concat(x._id, ':', cast(x.cnt as string)))")))
+          .as("statuses"),
+        element_at(col("big"), 1).getField("n").as("n_big"))
+    }),
+
+    // §2.4 $merge: pipeline result upserted into a sibling collection
+    // (replace existing keys, insert new, leave untouched keys alone)
+    "q57_merge" -> ((s, dir) => {
+      import s.implicits._
+      val root = tmpCopy(dir, "orders", "graft-merge")
+      // stale row for F (will be replaced) + a key the pipeline won't touch
+      Seq(("F", 0L), ("Z", 99L)).toDF("status", "cnt")
+        .write.parquet(root + "/summary.parquet")
+      new GraftSession(s, root).db("d").c("orders").pipe(Seq(
+        Map("$group" -> Map("_id" -> "$o_orderstatus",
+          "cnt" -> Map("$sum" -> 1))),
+        Map("$project" -> Map("status" -> "$_id", "cnt" -> 1)),
+        Map("$merge" -> Map("into" -> "summary", "on" -> "status"))))
+        .orderBy("status")
+    }),
+
+    // §2.3 $lookup pipeline form (let + correlated $expr $eq + row-local
+    // sub-stages) compiled to ONE equi-join — never a per-row rescan
+    "q58_lookup_pipeline" -> ((s, dir) => {
+      coll(s, dir, "orders").pipe(Seq(
+        Map("$match" -> Map("o_orderkey" -> Map("$lte" -> 200))),
+        Map("$lookup" -> Map(
+          "from" -> "lineitem",
+          "let" -> Map("ok" -> "$o_orderkey"),
+          "pipeline" -> Seq(
+            Map("$match" -> Map("$expr" ->
+              Map("$eq" -> Seq("$l_orderkey", "$$ok")))),
+            Map("$match" -> Map("l_quantity" -> Map("$gte" -> 30.0))),
+            Map("$project" -> Map("l_linenumber" -> 1))),
+          "as" -> "lines"))))
+        .select(col("o_orderkey"),
+          size(col("lines")).cast("long").as("n_lines"),
+          concat_ws(",", expr(
+            "transform(sort_array(transform(lines, x -> x.l_linenumber)), " +
+              "x -> cast(x as string))")).as("line_nums"))
+        .orderBy("o_orderkey")
+    }),
+
+    // §2.4 $graphLookup: recursive ancestor walk (parent = id - 5 chain
+    // derived from nation) as iterated checkpointed equi-joins; the oracle
+    // is DuckDB's recursive CTE over the same derived edge table
+    "q59_graph_lookup" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-graph")
+      tbl(s, dir, "nation").select(
+        col("n_nationkey").as("id"),
+        when(col("n_nationkey") >= 5, col("n_nationkey") - 5).as("parent"))
+        .write.parquet(tmp.toString + "/nodes.parquet")
+      new GraftSession(s, tmp.toString).db("d").c("nodes").pipe(Seq(
+        Map("$graphLookup" -> Map(
+          "from" -> "nodes", "startWith" -> "$parent",
+          "connectFromField" -> "parent", "connectToField" -> "id",
+          "as" -> "anc"))))
+        .select(col("id"),
+          size(col("anc")).cast("long").as("n_anc"),
+          concat_ws(",", expr(
+            "transform(sort_array(transform(anc, x -> x.id)), " +
+              "x -> cast(x as string))")).as("anc_ids"))
+        .orderBy("id")
+    }),
+
+    // §2.5 $setWindowFields: Mongo window functions straight onto Spark
+    // Window — one shuffle on the partition key, codegen'd aggregates
+    "q60_window_fields" -> ((s, dir) => {
+      coll(s, dir, "orders").pipe(Seq(
+        Map("$setWindowFields" -> Map(
+          "partitionBy" -> "$o_orderstatus",
+          "sortBy" -> Map("o_orderkey" -> 1),
+          "output" -> Map(
+            "rn" -> Map("$documentNumber" -> Map.empty),
+            "running_cnt" -> Map("$count" -> 1,
+              "window" -> Map("documents" -> Seq("unbounded", "current"))),
+            "prev_key" -> Map("$shift" -> Map("output" -> "$o_orderkey",
+              "by" -> -1, "default" -> -1)))))))
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("rn").cast("long").as("rn"), col("running_cnt"),
+          col("prev_key").cast("long").as("prev_key"))
+        .orderBy("o_orderkey")
+    }),
+
+    // §2.7 $unionWith: union with a piped sibling collection
+    "q61_union_with" -> ((s, dir) => {
+      coll(s, dir, "customer").pipe(Seq(
+        Map("$project" -> Map("key" -> "$c_custkey", "name" -> "$c_name")),
+        Map("$unionWith" -> Map("coll" -> "supplier", "pipeline" -> Seq(
+          Map("$project" -> Map(
+            "key" -> Map("$add" -> Seq("$s_suppkey", 1000000)),
+            "name" -> "$s_name")))))))
+        .orderBy("key")
+    }),
+
+    // §2.5 $fill locf: last-observation-carried-forward over an ordered
+    // window (nulls synthesized in-pipeline; TPC-H has none)
+    "q62_fill_locf" -> ((s, dir) => {
+      coll(s, dir, "orders").pipe(Seq(
+        Map("$addFields" -> Map("v" -> Map("$cond" -> Seq(
+          Map("$lt" -> Seq("$o_totalprice", 100000.0)),
+          null, "$o_totalprice")))),
+        Map("$fill" -> Map(
+          "partitionBy" -> "$o_orderstatus",
+          "sortBy" -> Map("o_orderkey" -> 1),
+          "output" -> Map("v" -> Map("method" -> "locf"))))))
+        .select("o_orderkey", "o_orderstatus", "v")
+        .orderBy("o_orderkey")
+    }),
+
+    // §2.4 $bucketAuto: ~equal-count buckets via cumulative counts over
+    // DISTINCT values (window over |distinct| rows, data never
+    // single-partition-sorted); oracle mirrors the same construction
+    "q63_bucket_auto" -> ((s, dir) => {
+      coll(s, dir, "orders").pipe(Seq(
+        Map("$bucketAuto" -> Map("groupBy" -> "$o_totalprice",
+          "buckets" -> 5))))
+        .select(col("_id.min").as("bucket_min"),
+          col("_id.max").as("bucket_max"), col("count"))
+        .orderBy("bucket_min")
+    }),
   )
 
   /** Copy one table's parquet into a fresh temp root so write-back queries
@@ -1208,5 +1344,100 @@ object SparkEntry {
 
     "q55_list_databases" ->
       "SELECT 'dbroot,alpha,beta' AS dbs, CAST(3 AS BIGINT) AS n_dbs",
+
+    "q56_facet" ->
+      """SELECT
+        |  (SELECT string_agg(s, '|' ORDER BY s) FROM (
+        |     SELECT o_orderstatus || ':' || CAST(COUNT(*) AS VARCHAR) AS s
+        |     FROM orders GROUP BY o_orderstatus)) AS statuses,
+        |  (SELECT COUNT(*) FROM orders
+        |   WHERE o_totalprice >= 300000.0) AS n_big""".stripMargin,
+
+    "q57_merge" ->
+      """SELECT status, cnt FROM (
+        |  SELECT o_orderstatus AS status, COUNT(*) AS cnt
+        |  FROM orders GROUP BY o_orderstatus
+        |  UNION ALL
+        |  SELECT 'Z' AS status, CAST(99 AS BIGINT) AS cnt
+        |) ORDER BY status""".stripMargin,
+
+    "q58_lookup_pipeline" ->
+      """SELECT o.o_orderkey,
+        |  COALESCE(l.n, 0) AS n_lines,
+        |  COALESCE(l.nums, '') AS line_nums
+        |FROM orders o
+        |LEFT JOIN (
+        |  SELECT l_orderkey, COUNT(*) AS n,
+        |    string_agg(CAST(l_linenumber AS VARCHAR), ','
+        |      ORDER BY l_linenumber) AS nums
+        |  FROM lineitem WHERE l_quantity >= 30.0 GROUP BY l_orderkey
+        |) l ON o.o_orderkey = l.l_orderkey
+        |WHERE o.o_orderkey <= 200
+        |ORDER BY o.o_orderkey""".stripMargin,
+
+    "q59_graph_lookup" ->
+      """WITH RECURSIVE nodes AS (
+        |  SELECT n_nationkey AS id,
+        |    CASE WHEN n_nationkey >= 5 THEN n_nationkey - 5 END AS parent
+        |  FROM nation),
+        |anc AS (
+        |  SELECT id, parent AS aid FROM nodes WHERE parent IS NOT NULL
+        |  UNION
+        |  SELECT a.id, n.parent FROM anc a JOIN nodes n ON a.aid = n.id
+        |  WHERE n.parent IS NOT NULL
+        |)
+        |SELECT n.id, COALESCE(c.n, 0) AS n_anc,
+        |       COALESCE(c.ids, '') AS anc_ids
+        |FROM nodes n LEFT JOIN (
+        |  SELECT id, COUNT(*) AS n,
+        |    string_agg(CAST(aid AS VARCHAR), ',' ORDER BY aid) AS ids
+        |  FROM anc GROUP BY id) c ON n.id = c.id
+        |ORDER BY n.id""".stripMargin,
+
+    "q60_window_fields" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  ROW_NUMBER() OVER
+        |    (PARTITION BY o_orderstatus ORDER BY o_orderkey) AS rn,
+        |  COUNT(*) OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cnt,
+        |  COALESCE(LAG(o_orderkey) OVER
+        |    (PARTITION BY o_orderstatus ORDER BY o_orderkey), -1) AS prev_key
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q61_union_with" ->
+      """SELECT key, name FROM (
+        |  SELECT c_custkey AS key, c_name AS name FROM customer
+        |  UNION ALL
+        |  SELECT s_suppkey + 1000000 AS key, s_name AS name FROM supplier
+        |) ORDER BY key""".stripMargin,
+
+    "q62_fill_locf" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  LAST_VALUE(v IGNORE NULLS) OVER (
+        |    PARTITION BY o_orderstatus ORDER BY o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+        |FROM (SELECT o_orderkey, o_orderstatus,
+        |        CASE WHEN o_totalprice < 100000.0 THEN NULL
+        |             ELSE o_totalprice END AS v
+        |      FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q63_bucket_auto" ->
+      """WITH freq AS (
+        |  SELECT o_totalprice AS bv, COUNT(*) AS f FROM orders GROUP BY bv),
+        |cum AS (
+        |  SELECT bv, f,
+        |    SUM(f) OVER (ORDER BY bv
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - f AS c,
+        |    SUM(f) OVER () AS n
+        |  FROM freq),
+        |assigned AS (
+        |  SELECT bv, f,
+        |    LEAST(CAST(FLOOR(c * 5 / n) AS BIGINT), 4) AS bucket
+        |  FROM cum)
+        |SELECT MIN(bv) AS bucket_min, MAX(bv) AS bucket_max,
+        |       CAST(SUM(f) AS BIGINT) AS count
+        |FROM assigned GROUP BY bucket ORDER BY bucket_min""".stripMargin,
   )
 }

@@ -112,12 +112,47 @@ final class GraftCollection(s: GraftSession, val ns: Namespace) {
       Map("insert" -> ns.collection, "ordered" -> true)) {
       rows.write.mode("append").parquet(path)
     }(_ => 0L)
-  /** Aggregation pipeline — reference db/wrapper.go:88-94. */
+  /** Aggregation pipeline — reference db/wrapper.go:88-94. A trailing
+    * `$merge` stage upserts the result into the sibling collection (one
+    * key-shuffle merge, atomic tmp+rename swap) and returns the merged
+    * table. */
   def pipe(pipeline: Seq[Map[String, Any]]): DataFrame =
     traced("aggregate",
       Map("aggregate" -> ns.collection, "pipeline" -> pipeline)) {
-      graft.pipeline.PipelineCompiler.compile(pipeline, tables =
+      import graft.pipeline.PipelineCompiler
+      val (stages, mergeOpt) = PipelineCompiler.splitMerge(pipeline)
+      val result = PipelineCompiler.compile(stages, tables =
         other => s.spark.read.parquet(Namespace(ns.db, other).path(s.root)))(df)
+      mergeOpt match {
+        case None => result
+        case Some(m) =>
+          val targetPath = Namespace(ns.db, m.into).path(s.root)
+          val fs = org.apache.hadoop.fs.FileSystem.get(
+            new org.apache.hadoop.fs.Path(targetPath).toUri,
+            s.spark.sparkContext.hadoopConfiguration)
+          val exists = fs.exists(new org.apache.hadoop.fs.Path(targetPath))
+          val base =
+            if (exists) s.spark.read.parquet(targetPath) else result.limit(0)
+          val keys = base.select(col(m.on)).distinct()
+          val merged = (m.whenMatched, m.whenNotMatched) match {
+            case ("replace", "insert") => TableOps.upsert(base, result, m.on)
+            case ("replace", "discard") => // update existing keys only
+              TableOps.upsert(base,
+                result.join(keys, Seq(m.on), "left_semi"), m.on)
+            case ("keepExisting", "insert") => // add new keys only
+              base.unionByName(result.join(keys, Seq(m.on), "left_anti"))
+            case ("keepExisting", "discard") => base
+            case other => throw new IllegalArgumentException(
+              s"$$merge: unsupported combination $other")
+          }
+          // write via tmp + rename so a failed job never corrupts the target
+          val tmp = targetPath + ".tmp"
+          merged.write.mode("overwrite").parquet(tmp)
+          val p = new org.apache.hadoop.fs.Path(targetPath)
+          if (fs.exists(p)) fs.delete(p, true)
+          fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+          s.spark.read.parquet(targetPath)
+      }
     }(_ => 0L)
 }
 

@@ -134,6 +134,9 @@ object PipelineCompiler {
         // explode_outer), matching server semantics.
         df.withColumn(f, explode(col(f)))
 
+      case "$lookup" if doc(spec).contains("pipeline") =>
+        lookupPipeline(df, doc(spec), tables)
+
       case "$lookup" =>
         val d = doc(spec)
         val from = tables(d("from").toString)
@@ -211,6 +214,114 @@ object PipelineCompiler {
         val seed = d.get("seed").map(s => int(s).toLong).getOrElse(42L)
         df.orderBy(rand(seed)).limit(n)
 
+      case "$facet" =>
+        // Mongo $facet: every sub-pipeline consumes the same input; the
+        // output is ONE row with one array-of-docs column per facet. Each
+        // facet is an independent aggregation (its own scan) — at scale,
+        // persist the input frame before piping when facet count is high.
+        val facets = doc(spec).toSeq
+        require(facets.nonEmpty, "$facet needs at least one facet")
+        val frames = facets.map { case (as, sub) =>
+          val out = compile(pipelineSeq(sub), tables)(df)
+          out.agg(collect_list(struct(out.columns.map(col).toSeq: _*)).as(as))
+        }
+        // every facet frame is exactly one row: chained cross joins are
+        // 1×1×…; Spark broadcasts them — no shuffle
+        frames.reduce(_.crossJoin(_))
+
+      case "$unionWith" =>
+        // union with another collection, optionally pre-piped. Missing
+        // columns null-fill (Mongo documents just lack the fields).
+        val (collName, sub) = spec match {
+          case s: String => (s, Nil)
+          case m: Map[_, _] =>
+            val d = doc(m)
+            (d("coll").toString,
+              d.get("pipeline").map(pipelineSeq).getOrElse(Nil))
+          case other =>
+            throw new IllegalArgumentException(s"$$unionWith: $other")
+        }
+        val other = compile(sub, tables)(tables(collName))
+        df.unionByName(other, allowMissingColumns = true)
+
+      case "$fill" =>
+        // {$fill: {partitionBy?, sortBy?, output: {f: {method: "locf"} |
+        //  {value: expr}}}} — locf = last non-null over the ordered window
+        // (one shuffle on the partition key); value = per-row coalesce.
+        val d = doc(spec)
+        val partCols = d.get("partitionBy").toSeq.map(expr2col)
+        val sortCols: Seq[Column] = d.get("sortBy").map(s => doc(s).toSeq.map {
+          case (k, 1) => col(k).asc
+          case (k, -1) => col(k).desc
+          case (k, v) =>
+            throw new IllegalArgumentException(s"$$fill sortBy $k: $v")
+        }).getOrElse(Nil)
+        doc(d("output")).toSeq.foldLeft(df) { case (acc, (field, spec0)) =>
+          doc(spec0).toSeq match {
+            case Seq(("value", v)) =>
+              acc.withColumn(field, coalesce(col(field), expr2col(v)))
+            case Seq(("method", "locf")) =>
+              require(sortCols.nonEmpty, "$fill locf requires sortBy")
+              val w = {
+                val p = if (partCols.nonEmpty)
+                  org.apache.spark.sql.expressions.Window
+                    .partitionBy(partCols: _*)
+                else org.apache.spark.sql.expressions.Window.partitionBy()
+                p.orderBy(sortCols: _*)
+                  .rowsBetween(org.apache.spark.sql.expressions.Window
+                    .unboundedPreceding,
+                    org.apache.spark.sql.expressions.Window.currentRow)
+              }
+              acc.withColumn(field,
+                last(col(field), ignoreNulls = true).over(w))
+            case other => throw new IllegalArgumentException(
+              s"$$fill output for $field: $other")
+          }
+        }
+
+      case "$bucketAuto" =>
+        // ~equal-count buckets. Distributed-exact: cumulative counts over
+        // DISTINCT values (the window runs over |distinct| rows, not the
+        // data), then a value→bucket assignment joined back — never a
+        // global single-partition sort of the raw rows. Ties share a
+        // bucket, as in Mongo.
+        val d = doc(spec)
+        val groupExpr = expr2col(d("groupBy"))
+        val nBuckets = int(d("buckets"))
+        val aggs = (d - "groupBy" - "buckets").toSeq
+          .map { case (as, accDoc) => accumulator(doc(accDoc)).as(as) }
+        val withCount2 =
+          if (aggs.isEmpty) Seq(count(lit(1)).as("count")) else aggs
+        val freq = df.select(groupExpr.as("__bv"))
+          .groupBy("__bv").agg(count(lit(1)).as("__f"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy(col("__bv"))
+        val assigned = freq
+          .withColumn("__cum", sum(col("__f")).over(w) - col("__f"))
+          .withColumn("__n", sum(col("__f")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy()))
+          .withColumn("__bucket",
+            least(floor(col("__cum") * nBuckets / col("__n")),
+              lit(nBuckets - 1)).cast("int"))
+          .select("__bv", "__bucket")
+        df.withColumn("__bv", groupExpr)
+          .join(broadcast(assigned), "__bv")
+          .groupBy(col("__bucket"))
+          .agg(min(col("__bv")).as("__min"),
+            (max(col("__bv")).as("__max") +: withCount2): _*)
+          .withColumn("_id",
+            struct(col("__min").as("min"), col("__max").as("max")))
+          .drop("__bv", "__bucket", "__min", "__max")
+
+      case "$graphLookup" => graphLookup(df, doc(spec), tables)
+
+      case "$setWindowFields" => setWindowFields(df, doc(spec))
+
+      case "$merge" =>
+        throw new IllegalArgumentException(
+          "$merge must be the FINAL stage and needs a table sink — run it " +
+            "through GraftCollection.pipe (which splits it off and upserts " +
+            "into the sibling collection)")
+
       case "$out" =>
         throw new IllegalArgumentException(
           "$out is a sink; use Backup / DataFrame.write")
@@ -218,6 +329,267 @@ object PipelineCompiler {
       case other =>
         throw new IllegalArgumentException(s"unsupported pipeline stage: $other")
     }
+  }
+
+  /** `$lookup` pipeline form (`from` + `let` + `pipeline` + `as`) — the
+    * correlated-subquery shape. Supported subset, compiled to ONE equi-join
+    * (never a per-outer-row rescan):
+    *   - stage 1 of the sub-pipeline must be the correlated
+    *     `{$match: {$expr: {$eq: [..]}}}` (or `$and` of `$eq`s), each `$eq`
+    *     pairing one `$$var` (from `let`) with one `$`-field of `from`;
+    *   - remaining stages must be row-local (`$match` without `$$`,
+    *     `$project`/`$addFields`/`$set`/`$unset`), which commute with the
+    *     equality — they run on the `from` side BEFORE the join, keeping the
+    *     join equi-shaped and broadcast-eligible.
+    * Anything beyond that (correlated `$lt`, per-key `$limit`) throws
+    * rather than silently degrading to a nested-loop join. */
+  private def lookupPipeline(df: DataFrame, d: Map[String, Any],
+      tables: TableResolver): DataFrame = {
+    val from = tables(d("from").toString)
+    val as = d("as").toString
+    val lets: Map[String, Column] = d.get("let").map(doc)
+      .getOrElse(Map.empty).map { case (v, e) => v -> expr2col(e) }
+    val sub = pipelineSeq(d("pipeline"))
+    require(sub.nonEmpty && sub.head.keySet == Set("$match"),
+      "$lookup pipeline form: first stage must be the correlated $match")
+    val exprDoc = doc(sub.head("$match")).getOrElse("$expr",
+      throw new IllegalArgumentException(
+        "$lookup pipeline form: correlated $match must use $expr"))
+    // (outer key expr, from-side key expr) pairs from $eq / $and-of-$eq
+    val eqs: Seq[(Column, Column)] = {
+      def one(m: Map[String, Any]): (Column, Column) = m.toSeq match {
+        case Seq(("$eq", args: Seq[_])) =>
+          val sides = args.map {
+            case s: String if s.startsWith("$$") =>
+              Left(lets.getOrElse(s.drop(2), throw new IllegalArgumentException(
+                s"$$lookup: unbound let variable $s")))
+            case s: String if s.startsWith("$") => Right(col(s.drop(1)))
+            case other => throw new IllegalArgumentException(
+              s"$$lookup correlated $$eq side: $other")
+          }
+          (sides.collect { case Left(c) => c },
+            sides.collect { case Right(c) => c }) match {
+            case (Seq(o), Seq(f)) => (o, f)
+            case _ => throw new IllegalArgumentException(
+              "$lookup: each $eq must pair one $$var with one $from-field")
+          }
+        case other => throw new IllegalArgumentException(
+          s"$$lookup correlated condition must be $$eq: $other")
+      }
+      doc(exprDoc).toSeq match {
+        case Seq(("$and", cs: Seq[_])) => cs.map(c => one(doc(c)))
+        case _ => Seq(one(doc(exprDoc)))
+      }
+    }
+    val rest = sub.tail
+    require(!rest.exists(_.toString.contains("$$")),
+      "$lookup pipeline form: only the first $match may be correlated")
+    // derive the join keys BEFORE the row-local stages so a $project can't
+    // drop them; include-style $project is rewritten to retain them
+    val keyCols = eqs.indices.map(i => s"__lk$i")
+    val keyed = eqs.zipWithIndex.foldLeft(from) {
+      case (f, ((_, fk), i)) => f.withColumn(s"__lk$i", fk) }
+    val processed = rest.foldLeft(keyed) { (acc, st) =>
+      val allowed = Set("$match", "$project", "$addFields", "$set", "$unset")
+      require(st.size == 1 && allowed(st.head._1),
+        s"$$lookup pipeline form: row-local stages only, got ${st.head._1}")
+      stage(acc, retainKeys(st, keyCols), tables)
+    }
+    val payload = processed.columns.filterNot(keyCols.contains).toSeq
+    val grouped = processed.groupBy(keyCols.map(processed(_)): _*)
+      .agg(collect_list(struct(payload.map(processed(_)): _*)).as(as))
+    val cond = eqs.zipWithIndex.map { case ((ok, _), i) =>
+      ok === grouped(s"__lk$i") }.reduce(_ && _)
+    df.join(grouped, cond, "left_outer").drop(keyCols: _*)
+      .withColumn(as, coalesce(col(as), array()))
+  }
+
+  /** `$graphLookup` — recursive graph traversal. Spark-first shape: BFS as
+    * an iterated equi-join (one join + one dedup anti-join per generation,
+    * `localCheckpoint` truncating lineage each step — the same pattern as
+    * `Dedup.duplicateClusters`; swap for a reliable checkpoint dir on a
+    * cluster). Iteration count = traversal depth, NOT data size; all work
+    * per generation is distributed equi-joins, never a driver-side walk.
+    * Supported subset: scalar `connectFromField`/`connectToField` (array
+    * `startWith` values explode). `depthField` is supported. */
+  private def graphLookup(df: DataFrame, d: Map[String, Any],
+      tables: TableResolver): DataFrame = {
+    val from = tables(d("from").toString)
+    val as = d("as").toString
+    val cf = d("connectFromField").toString
+    val ct = d("connectToField").toString
+    val maxDepth = d.get("maxDepth").map(int).getOrElse(Int.MaxValue)
+    val depthField = d.get("depthField").map(_.toString)
+    // synthetic row identity for the outer side, frozen by an eager
+    // checkpoint so ids stay stable across the iterated jobs
+    val withId = df.withColumn("__gid", monotonically_increasing_id())
+      .localCheckpoint(true)
+    val startCol = expr2col(d("startWith"))
+    val startIsArray = df.select(startCol).schema.head.dataType
+      .isInstanceOf[org.apache.spark.sql.types.ArrayType]
+    var frontier = withId.select(col("__gid"),
+      (if (startIsArray) explode(startCol) else startCol).as("__to"))
+      .where(col("__to").isNotNull).distinct()
+    val docStruct = struct(from.columns.map(from(_)).toSeq: _*)
+    // doc identity for the visited-set dedup: hash of the full document
+    val fromKeyed = from.select(col(ct).as("__ct"), col(cf).as("__cf"),
+      docStruct.as("__doc"), md5(to_json(docStruct)).as("__dochash"))
+    var visited = df.sparkSession.emptyDataFrame
+    var haveVisited = false
+    var depth = 0
+    var done = false
+    while (!done && depth <= maxDepth) {
+      val matched = fromKeyed.join(frontier,
+          fromKeyed("__ct") === frontier("__to"))
+        .select(col("__gid"), col("__doc"), col("__dochash"), col("__cf"),
+          lit(depth).as("__depth"))
+      val newRows = (if (haveVisited)
+          matched.join(visited.select(col("__gid").as("__vgid"),
+              col("__dochash").as("__vhash")),
+            matched("__gid") === col("__vgid") &&
+              matched("__dochash") === col("__vhash"), "left_anti")
+        else matched).localCheckpoint(true)
+      if (newRows.isEmpty) done = true
+      else {
+        visited = if (haveVisited) visited.unionByName(newRows)
+          else newRows
+        haveVisited = true
+        frontier = newRows.select(col("__gid"), col("__cf").as("__to"))
+          .where(col("__to").isNotNull).distinct()
+        depth += 1
+      }
+    }
+    if (!haveVisited)
+      return withId.withColumn(as, array()).drop("__gid")
+    val perDoc = depthField match {
+      case Some(f) => struct(col("__doc.*"), col("__depth").as(f))
+      case None => col("__doc")
+    }
+    val grouped = visited
+      .select(col("__gid").as("__vgid"), perDoc.as("__node"))
+      .groupBy(col("__vgid"))
+      .agg(collect_list(col("__node")).as(as))
+    withId.join(grouped, col("__gid") === col("__vgid"), "left_outer")
+      .drop("__gid", "__vgid")
+      .withColumn(as, coalesce(col(as), array()))
+  }
+
+  /** `$setWindowFields` — Mongo window functions, compiled straight onto
+    * Spark's `Window` (partitionBy/orderBy + frame). Aggregations stay
+    * whole-stage-codegen'd; one shuffle on the partition key. Supported
+    * output operators: `$sum/$avg/$min/$max/$count/$push`,
+    * `$rank/$denseRank/$documentNumber`, `$shift`. Window frames:
+    * `documents: [lo, hi]` with "unbounded"/"current"/ints. */
+  private def setWindowFields(df: DataFrame, d: Map[String, Any]): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window, WindowSpec}
+    val partCols = d.get("partitionBy").toSeq.map(expr2col)
+    val sortKeys: Seq[Column] = d.get("sortBy").map { s =>
+      doc(s).toSeq.map {
+        case (k, 1) => col(k).asc
+        case (k, -1) => col(k).desc
+        case (k, v) => throw new IllegalArgumentException(
+          s"$$setWindowFields sortBy $k: $v")
+      }
+    }.getOrElse(Nil)
+    def base: WindowSpec = {
+      val p = if (partCols.nonEmpty) Window.partitionBy(partCols: _*)
+        else Window.partitionBy()
+      if (sortKeys.nonEmpty) p.orderBy(sortKeys: _*) else p
+    }
+    def bound(v: Any, lo: Boolean): Long = v match {
+      case "unbounded" =>
+        if (lo) Window.unboundedPreceding else Window.unboundedFollowing
+      case "current" => Window.currentRow
+      case n: Number => n.longValue()
+      case other =>
+        throw new IllegalArgumentException(s"window bound: $other")
+    }
+    val outputs = doc(d("output")).toSeq
+    outputs.foldLeft(df) { case (acc, (field, spec0)) =>
+      val m = doc(spec0)
+      val winDoc = m.get("window").map(doc)
+      val framed: WindowSpec = winDoc.flatMap(_.get("documents")) match {
+        case Some(s: Seq[_]) =>
+          base.rowsBetween(bound(s.head, lo = true), bound(s(1), lo = false))
+        case Some(other) =>
+          throw new IllegalArgumentException(s"window.documents: $other")
+        case None => base
+      }
+      val (op, arg) = (m - "window").head
+      val colExpr = op match {
+        case "$sum" => sum(expr2col(arg)).over(framed)
+        case "$avg" => avg(expr2col(arg)).over(framed)
+        case "$min" => min(expr2col(arg)).over(framed)
+        case "$max" => max(expr2col(arg)).over(framed)
+        case "$count" => count(lit(1)).over(framed)
+        case "$push" => collect_list(expr2col(arg)).over(framed)
+        case "$first" => first(expr2col(arg)).over(framed)
+        case "$last" => last(expr2col(arg)).over(framed)
+        case "$rank" => rank().over(base)
+        case "$denseRank" => dense_rank().over(base)
+        case "$documentNumber" => row_number().over(base)
+        case "$shift" =>
+          val sh = doc(arg)
+          val by = sh.get("by").map(int).getOrElse(1)
+          val out = expr2col(sh("output"))
+          val shifted = if (by >= 0) lead(out, by).over(base)
+            else lag(out, -by).over(base)
+          sh.get("default").map(v =>
+            coalesce(shifted, lit(QueryCompiler.toScalaLit(v))))
+            .getOrElse(shifted)
+        case other => throw new IllegalArgumentException(
+          s"unsupported $$setWindowFields operator: $other")
+      }
+      acc.withColumn(field, colExpr)
+    }
+  }
+
+  /** Rewrite an include-style `$project` inside a lookup sub-pipeline to
+    * also retain the synthesized join-key columns. */
+  private def retainKeys(st: Map[String, Any],
+      keys: Seq[String]): Map[String, Any] = st.head match {
+    case ("$project", spec) =>
+      val fields = doc(spec)
+      val isInclude = fields.exists { case (_, v) => v != 0 && v != false }
+      if (isInclude) Map("$project" -> (fields ++ keys.map(_ -> 1)))
+      else st
+    case _ => st
+  }
+
+  /** `$merge` sink spec — Mongo's merge-into-collection final stage.
+    * Supported: `whenMatched` replace|keepExisting, `whenNotMatched`
+    * insert|discard (the reference passes pipelines through opaquely;
+    * db/wrapper.go:88-94). */
+  final case class MergeSpec(into: String, on: String,
+      whenMatched: String = "replace", whenNotMatched: String = "insert") {
+    require(Set("replace", "keepExisting")(whenMatched),
+      s"$$merge whenMatched: $whenMatched")
+    require(Set("insert", "discard")(whenNotMatched),
+      s"$$merge whenNotMatched: $whenNotMatched")
+  }
+
+  /** Split a trailing `$merge` off a pipeline (it must be last, as in
+    * Mongo). Returns the transform stages and the parsed sink spec. */
+  def splitMerge(pipeline: Seq[Map[String, Any]])
+      : (Seq[Map[String, Any]], Option[MergeSpec]) =
+    pipeline.lastOption match {
+      case Some(st) if st.keySet == Set("$merge") =>
+        require(!pipeline.init.exists(_.contains("$merge")),
+          "$merge must be the final stage")
+        val d = doc(st("$merge"))
+        val spec = MergeSpec(
+          into = d("into").toString,
+          on = d.getOrElse("on", "_id").toString,
+          whenMatched = d.getOrElse("whenMatched", "replace").toString,
+          whenNotMatched = d.getOrElse("whenNotMatched", "insert").toString)
+        (pipeline.init, Some(spec))
+      case _ => (pipeline, None)
+    }
+
+  private def pipelineSeq(v: Any): Seq[Map[String, Any]] = v match {
+    case s: Seq[_] => s.map(doc)
+    case other =>
+      throw new IllegalArgumentException(s"expected pipeline: $other")
   }
 
   private def doc(v: Any): Map[String, Any] = v match {

@@ -59,6 +59,28 @@ class GraftSessionSpec extends SparkSpec {
       Map("$group" -> Map("_id" -> "$cat", "s" -> Map("$sum" -> "$v")))))
     assert(out.head().getDouble(1) == 70.0)
   }
+
+  test("pipe with trailing $merge upserts into the sibling collection") {
+    val dir = Files.createTempDirectory("graft-merge").toString
+    Seq((1L, "a", 30.0), (2L, "b", 10.0)).toDF("_id", "cat", "v")
+      .write.parquet(s"$dir/src.parquet")
+    Seq((1L, "old", 0.0), (9L, "keep", 9.0)).toDF("_id", "cat", "v")
+      .write.parquet(s"$dir/tgt.parquet")
+    val src = new GraftSession(spark, dir).db("d").c("src")
+    val out = src.pipe(Seq(
+      Map("$match" -> Map("v" -> Map("$gte" -> 5.0))),
+      Map("$merge" -> Map("into" -> "tgt", "on" -> "_id"))))
+    // replace+insert (defaults): _id=1 replaced, _id=2 inserted, _id=9 kept
+    val got = out.orderBy("_id").as[(Long, String, Double)].collect().toSeq
+    assert(got == Seq((1L, "a", 30.0), (2L, "b", 10.0), (9L, "keep", 9.0)))
+    assert(spark.read.parquet(s"$dir/tgt.parquet").count() == 3)
+    // keepExisting + discard leaves the target untouched
+    val before = got
+    src.pipe(Seq(Map("$merge" -> Map("into" -> "tgt", "on" -> "_id",
+      "whenMatched" -> "keepExisting", "whenNotMatched" -> "discard"))))
+    assert(spark.read.parquet(s"$dir/tgt.parquet").orderBy("_id")
+      .as[(Long, String, Double)].collect().toSeq == before)
+  }
 }
 
 class BackupSpec extends SparkSpec {

@@ -134,6 +134,200 @@ class PipelineCompilerSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("cat", "n"))
   }
 
+  test("$facet: every sub-pipeline over the same input, one output row") {
+    val out = run(Map("$facet" -> Map(
+      "byCat" -> Seq(
+        Map("$group" -> Map("_id" -> "$cat",
+          "total" -> Map("$sum" -> "$amt"))),
+        Map("$sort" -> Map("_id" -> 1))),
+      "big" -> Seq(
+        Map("$match" -> Map("amt" -> Map("$gte" -> 30.0))),
+        Map("$project" -> Map("n" -> 1))))))
+    assert(out.count() == 1)
+    val row = out.head()
+    val byCat = row.getSeq[org.apache.spark.sql.Row](
+      out.columns.indexOf("byCat"))
+    assert(byCat.map(r => (r.getString(0), r.getDouble(1))) ==
+      Seq(("a", 30.0), ("b", 70.0)))
+    val big = row.getSeq[org.apache.spark.sql.Row](out.columns.indexOf("big"))
+    assert(big.map(_.getInt(0)).sorted == Seq(3, 4))
+  }
+
+  test("$lookup pipeline form: correlated $eq + row-local stages, one join") {
+    val from = Seq(("a", 1, "keep"), ("a", 2, "drop"), ("b", 3, "keep"))
+      .toDF("cat", "v", "flag")
+    val out = PipelineCompiler.compile(
+      Seq(Map("$lookup" -> Map(
+        "from" -> "other",
+        "let" -> Map("c" -> "$cat"),
+        "pipeline" -> Seq(
+          Map("$match" -> Map("$expr" ->
+            Map("$eq" -> Seq("$cat", "$$c")))),
+          Map("$match" -> Map("flag" -> "keep")),
+          Map("$project" -> Map("v" -> 1))),
+        "as" -> "joined"))),
+      tables = _ => from)(sales)
+    val got = out.select($"cat", $"n",
+      expr("transform(joined, x -> x.v)").as("vs"))
+      .as[(String, Int, Seq[Int])].collect()
+      .map { case (c, n, vs) => (c, n, vs.sorted) }.toSet
+    assert(got == Set(("a", 1, Seq(1)), ("a", 2, Seq(1)),
+      ("b", 3, Seq(3)), ("b", 4, Seq(3))))
+  }
+
+  test("$lookup pipeline form rejects correlated non-$eq / non-local stages") {
+    intercept[IllegalArgumentException] {
+      PipelineCompiler.compile(
+        Seq(Map("$lookup" -> Map("from" -> "t", "let" -> Map("c" -> "$cat"),
+          "pipeline" -> Seq(
+            Map("$match" -> Map("$expr" ->
+              Map("$lt" -> Seq("$v", "$$c"))))),
+          "as" -> "j"))), tables = _ => sales)(sales).collect()
+    }
+    intercept[IllegalArgumentException] {
+      PipelineCompiler.compile(
+        Seq(Map("$lookup" -> Map("from" -> "t", "let" -> Map("c" -> "$cat"),
+          "pipeline" -> Seq(
+            Map("$match" -> Map("$expr" ->
+              Map("$eq" -> Seq("$cat", "$$c")))),
+            Map("$limit" -> 1)),
+          "as" -> "j"))), tables = _ => sales)(sales).collect()
+    }
+  }
+
+  test("$graphLookup walks ancestor chains as iterated equi-joins") {
+    // parent chain: 0 <- 1 <- 2 <- 3 (parent = id - 1), 9 isolated
+    val nodes = Seq((0, -1, "root"), (1, 0, "a"), (2, 1, "b"), (3, 2, "c"),
+      (9, 7, "orphan")).toDF("id", "parent", "name")
+    val out = PipelineCompiler.compile(
+      Seq(Map("$graphLookup" -> Map(
+        "from" -> "nodes",
+        "startWith" -> "$parent",
+        "connectFromField" -> "parent",
+        "connectToField" -> "id",
+        "as" -> "ancestors",
+        "depthField" -> "d"))),
+      tables = _ => nodes)(nodes)
+    val got = out.select($"id",
+      expr("sort_array(transform(ancestors, x -> x.id))").as("anc"),
+      expr("sort_array(transform(ancestors, x -> struct(x.id, x.d)))")
+        .as("depths"))
+      .orderBy("id").collect()
+    assert(got.map(r => (r.getInt(0), r.getSeq[Int](1))).toSeq ==
+      Seq((0, Nil), (1, Seq(0)), (2, Seq(0, 1)), (3, Seq(0, 1, 2)),
+        (9, Nil)))
+    // depth counts hops from the start value: node 3's ancestors 2,1,0 at
+    // depth 0,1,2
+    val d3 = got(3).getSeq[org.apache.spark.sql.Row](2)
+      .map(r => (r.getInt(0), r.getInt(1)))
+    assert(d3.toSet == Set((2, 0), (1, 1), (0, 2)))
+  }
+
+  test("$graphLookup respects maxDepth and array startWith") {
+    val nodes = Seq((0, -1), (1, 0), (2, 1), (3, 2)).toDF("id", "parent")
+    val capped = PipelineCompiler.compile(
+      Seq(Map("$graphLookup" -> Map(
+        "from" -> "nodes", "startWith" -> "$parent",
+        "connectFromField" -> "parent", "connectToField" -> "id",
+        "as" -> "anc", "maxDepth" -> 1))),
+      tables = _ => nodes)(nodes)
+    val anc3 = capped.where($"id" === 3)
+      .select(expr("sort_array(transform(anc, x -> x.id))"))
+      .as[Seq[Int]].head()
+    assert(anc3 == Seq(1, 2)) // depth 0 and 1 only, not the root
+    val multi = Seq((100, Seq(0, 2))).toDF("id", "starts")
+    val fan = PipelineCompiler.compile(
+      Seq(Map("$graphLookup" -> Map(
+        "from" -> "nodes", "startWith" -> "$starts",
+        "connectFromField" -> "parent", "connectToField" -> "id",
+        "as" -> "hit", "maxDepth" -> 0))),
+      tables = _ => nodes)(multi)
+    assert(fan.select(expr("sort_array(transform(hit, x -> x.id))"))
+      .as[Seq[Int]].head() == Seq(0, 2))
+  }
+
+  test("$setWindowFields compiles to Spark window functions") {
+    val out = run(Map("$setWindowFields" -> Map(
+      "partitionBy" -> "$cat",
+      "sortBy" -> Map("n" -> 1),
+      "output" -> Map(
+        "rank" -> Map("$rank" -> Map.empty),
+        "running" -> Map("$sum" -> "$amt",
+          "window" -> Map("documents" -> Seq("unbounded", "current"))),
+        "prev" -> Map("$shift" -> Map("output" -> "$n", "by" -> -1,
+          "default" -> -1))))))
+    val got = out.select($"cat", $"n", $"rank", $"running", $"prev")
+      .orderBy("cat", "n")
+      .as[(String, Int, Int, Double, Int)].collect().toSeq
+    assert(got == Seq(
+      ("a", 1, 1, 10.0, -1), ("a", 2, 2, 30.0, 1),
+      ("b", 3, 1, 30.0, -1), ("b", 4, 2, 70.0, 3)))
+  }
+
+  test("$unionWith unions a (piped) sibling, null-filling missing columns") {
+    val other = Seq(("z", 99)).toDF("cat", "extra")
+    val out = PipelineCompiler.compile(
+      Seq(Map("$unionWith" -> Map("coll" -> "other", "pipeline" -> Seq(
+        Map("$match" -> Map("extra" -> Map("$gte" -> 0))))))),
+      tables = _ => other)(sales)
+    assert(out.count() == 5)
+    val z = out.where($"cat" === "z").head()
+    assert(z.getAs[Any]("n") == null && z.getAs[Int]("extra") == 99)
+    assert(sales.columns.forall(out.columns.contains))
+    // string shorthand unions the whole collection
+    assert(PipelineCompiler.compile(Seq(Map("$unionWith" -> "other")),
+      tables = _ => other)(sales).count() == 5)
+  }
+
+  test("$fill: locf carries last non-null forward; value fills constants") {
+    val gaps = Seq(("a", 1, Some(10.0)), ("a", 2, None), ("a", 3, None),
+      ("b", 1, None), ("b", 2, Some(5.0))).toDF("g", "t", "v")
+    val out = PipelineCompiler.compile(Seq(Map("$fill" -> Map(
+      "partitionBy" -> "$g",
+      "sortBy" -> Map("t" -> 1),
+      "output" -> Map("v" -> Map("method" -> "locf"))))),
+      tables = _ => gaps)(gaps)
+    val got = out.orderBy("g", "t").select("v")
+      .collect().map(r => Option(r.get(0))).toSeq
+    assert(got == Seq(Some(10.0), Some(10.0), Some(10.0), None, Some(5.0)))
+    val filled = PipelineCompiler.compile(Seq(Map("$fill" -> Map(
+      "output" -> Map("v" -> Map("value" -> -1.0))))),
+      tables = _ => gaps)(gaps)
+    assert(filled.where($"v" === -1.0).count() == 3)
+  }
+
+  test("$bucketAuto distributes rows into ~equal buckets with min/max ids") {
+    val df = spark.range(1, 101).toDF("x") // 1..100
+    val out = PipelineCompiler.compile(Seq(Map("$bucketAuto" -> Map(
+      "groupBy" -> "$x", "buckets" -> 4))), tables = _ => df)(df)
+    val got = out.select($"_id.min", $"_id.max", $"count")
+      .orderBy($"_id.min").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 25L, 25L), (26L, 50L, 25L),
+      (51L, 75L, 25L), (76L, 100L, 25L)))
+    // ties collapse into one bucket
+    val ties = Seq(1, 1, 1, 1, 2, 3).toDF("x")
+    val tied = PipelineCompiler.compile(Seq(Map("$bucketAuto" -> Map(
+      "groupBy" -> "$x", "buckets" -> 3))), tables = _ => ties)(ties)
+    val m = tied.select($"_id.min", $"count")
+      .as[(Int, Long)].collect().toMap
+    assert(m(1) == 4L)
+  }
+
+  test("splitMerge parses a trailing $merge and rejects a mid-pipeline one") {
+    val (stages, m) = PipelineCompiler.splitMerge(Seq(
+      Map("$match" -> Map("cat" -> "a")),
+      Map("$merge" -> Map("into" -> "tgt", "on" -> "n",
+        "whenMatched" -> "keepExisting", "whenNotMatched" -> "discard"))))
+    assert(stages == Seq(Map("$match" -> Map("cat" -> "a"))))
+    assert(m.contains(PipelineCompiler.MergeSpec("tgt", "n",
+      "keepExisting", "discard")))
+    assert(PipelineCompiler.splitMerge(Seq(Map("$match" -> Map.empty)))._2
+      .isEmpty)
+    intercept[IllegalArgumentException] {
+      PipelineCompiler.MergeSpec("t", "k", "pipeline-update", "insert")
+    }
+  }
+
   test("unsupported stage rejected") {
     intercept[IllegalArgumentException] { run(Map("$facet" -> Map.empty)) }
   }
