@@ -32,7 +32,11 @@ object Bench {
     // 10-50x, so: min over `rounds` repetitions, with the repetitions
     // INTERLEAVED (round-robin over all queries) rather than back-to-back —
     // a multi-second steal burst then hits each query at most once.
+    // optional comma-separated name filter for bisecting bench behavior
+    val only = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
+      .map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val best = scala.collection.mutable.Map.empty[String, Double]
     val errors = scala.collection.mutable.Map.empty[String, String]
 

@@ -532,11 +532,13 @@ object PipelineCompiler {
           val sh = doc(arg)
           val by = sh.get("by").map(int).getOrElse(1)
           val out = expr2col(sh("output"))
-          val shifted = if (by >= 0) lead(out, by).over(base)
-            else lag(out, -by).over(base)
-          sh.get("default").map(v =>
-            coalesce(shifted, lit(QueryCompiler.toScalaLit(v))))
-            .getOrElse(shifted)
+          // lead/lag's own default fills ONLY out-of-partition positions
+          // (Mongo $shift semantics) — a coalesce would also mask genuine
+          // nulls inside the window
+          val dflt = sh.get("default")
+            .map(QueryCompiler.toScalaLit).orNull
+          if (by >= 0) lead(out, by, dflt).over(base)
+          else lag(out, -by, dflt).over(base)
         case other => throw new IllegalArgumentException(
           s"unsupported $$setWindowFields operator: $other")
       }

@@ -54,7 +54,11 @@ object Tables {
         fs.listStatus(p).map(_.getPath).toSeq
           .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
       else Seq(p)
-    files.map { f =>
+    // footer reads parallelize on the driver's fork-join pool: one table at
+    // 100 TB is ~10⁵ files, and each read is an independent small IO —
+    // sequential would serialize ~10⁵ round-trips
+    val par = new scala.collection.parallel.immutable.ParVector(files.toVector)
+    par.map { f =>
       val r = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
       try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
       finally r.close()

@@ -143,6 +143,62 @@ class PlanSpec extends SparkSpec {
     assert(removed.queryExecution.optimizedPlan.collectLeaves().size == 1)
   }
 
+  test("$lookup pipeline form compiles to ONE equi-join, no nested loop") {
+    val ses = new graft.db.GraftSession(spark, sf)
+    val df = ses.db("t").c("orders").pipe(Seq(
+      Map("$lookup" -> Map(
+        "from" -> "lineitem",
+        "let" -> Map("ok" -> "$o_orderkey"),
+        "pipeline" -> Seq(
+          Map("$match" -> Map("$expr" ->
+            Map("$eq" -> Seq("$l_orderkey", "$$ok")))),
+          Map("$match" -> Map("l_quantity" -> Map("$gte" -> 30.0)))),
+        "as" -> "lines"))))
+    val plan = explain(df)
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"))
+    // exactly one join (the correlated equality), not one per sub-stage
+    val joins = "(?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)".r
+      .findAllIn(plan.linesIterator
+        .filter(_.matches("^\\(\\d+\\) .*")).mkString("\n")).size
+    assert(joins == 1, s"expected 1 join node, plan:\n$plan")
+    // the row-local $match filters the from side BELOW the join: the
+    // quantity filter reaches the lineitem scan as a pushed filter
+    assert(plan.contains("GreaterThanOrEqual(l_quantity,30.0)"))
+  }
+
+  test("$setWindowFields keeps aggregates in Window nodes, one shuffle") {
+    val ses = new graft.db.GraftSession(spark, sf)
+    val df = ses.db("t").c("orders").pipe(Seq(
+      Map("$setWindowFields" -> Map(
+        "partitionBy" -> "$o_orderstatus",
+        "sortBy" -> Map("o_orderkey" -> 1),
+        "output" -> Map(
+          "rn" -> Map("$documentNumber" -> Map.empty),
+          "run" -> Map("$sum" -> "$o_totalprice",
+            "window" -> Map("documents" -> Seq("unbounded", "current"))))))))
+    val plan = explain(df)
+    assert(plan.contains("Window"))
+    val exchanges = plan.linesIterator
+      .count(_.matches("^\\(\\d+\\) Exchange.*"))
+    assert(exchanges == 1,
+      s"expected one shuffle on the partition key, got $exchanges:\n$plan")
+  }
+
+  test("$bucketAuto never globally sorts the raw data") {
+    val ses = new graft.db.GraftSession(spark, sf)
+    val df = ses.db("t").c("orders").pipe(Seq(
+      Map("$bucketAuto" -> Map("groupBy" -> "$o_totalprice",
+        "buckets" -> 4))))
+    val plan = explain(df)
+    // the only Sort belongs to the distinct-value window; the raw-row side
+    // joins the broadcast value->bucket map without a global ordering
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"))
+    assert(!plan.contains("rangepartitioning(o_totalprice"),
+      "raw rows must not be range-partitioned for a global sort")
+  }
+
   test("top-k sort+limit compiles to TakeOrderedAndProject") {
     val df = new graft.db.GraftSession(spark, sf).db("t").c("lineitem")
       .find().sort("-l_extendedprice").limit(5)
