@@ -23,6 +23,9 @@ object SparkEntry {
 
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     graft.sources.Tables.table(s, dir, name)
+  /** Unique memory-sink names so repeated runs (bench rounds) never share
+    * a sink table. */
+  private val streamCounter = new java.util.concurrent.atomic.AtomicLong(0)
   private def coll(s: SparkSession, dir: String, name: String) =
     new GraftSession(s, dir).db("testdata").c(name)
 
@@ -771,6 +774,68 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // IVF coarse assignment: nearest of 4 deterministic centroids (the
+    // first 4 vectors) by cosine, centroid-id tie-break; centroids
+    // broadcast, corpus scanned once
+    "q64_ivf_assign" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      Similarity.ivfAssign(e, "vec_id", "embedding",
+        e.where(col("vec_id") < 4))
+        .select("vec_id", "centroid_id")
+        .orderBy("vec_id")
+    }),
+
+    // §2.12 query fingerprinting + OTel statement formatting: the oracle is
+    // the expected constant — both are deterministic driver-side renderings
+    // of a fixed command document (apm/otel_monitor.go:222-250)
+    "q65_fingerprint" -> ((s, dir) => {
+      val doc = Map("find" -> "users",
+        "filter" -> scala.collection.immutable.ListMap(
+          "age" -> Map("$gte" -> 21), "tags" -> Seq(1, 2, "x")))
+      val fp = graft.apm.Fingerprint.fingerprint(
+        doc("filter").asInstanceOf[Map[String, Any]])
+      val full = graft.apm.OtelMonitor.formatStatement(doc, stripped = false)
+      val stripped = graft.apm.OtelMonitor.formatStatement(doc,
+        stripped = true)
+      s.range(1).select(lit(fp).as("fp"),
+        lit(full.contains("21")).as("full_has_values"),
+        lit(stripped.contains("21")).as("stripped_has_values"))
+    }),
+
+    // §2.5/§2.12 streaming windowed rollup: the APM rotation window as an
+    // event-time tumbling window over a file stream (AvailableNow), complete
+    // mode to a memory sink; oracle = the equivalent batch hour-bucket agg
+    "q66_stream_rollup" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-swin").toString
+      val ev = tbl(s, dir, "events")
+      ev.write.parquet(s"$tmp/src")
+      val name = s"graft_q66_${streamCounter.incrementAndGet()}"
+      val stream = graft.streaming.StreamingMigrations
+        .readStream(s, s"$tmp/src", ev.schema)
+        .withColumn("ok", col("event_type") =!= "error")
+        .withColumn("dur", col("event_id") % 1000)
+      graft.streaming.StreamingMigrations
+        .windowedRollup(stream, "ts", Seq("event_type"), "ok", "dur",
+          windowLen = "1 hour", watermark = "2 hours")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+      s.table(name)
+        .select(col("window.start").as("ts_hour"), col("event_type"),
+          col("succeeded"), col("failed"), col("duration_ns"))
+        .orderBy("ts_hour", "event_type")
+    }),
+
+    // skew-mitigated two-stage aggregation: salted partial sums must be
+    // indistinguishable from the plain aggregate (the oracle)
+    "q67_salted_agg" -> ((s, dir) =>
+      graft.ops.Skew.saltedSumCount(tbl(s, dir, "lineitem"), "l_returnflag",
+        "l_quantity", salt = 8)
+        .select(col("l_returnflag"),
+          col("sum").cast("long").as("sum_qty"), col("count").as("cnt"))
+        .orderBy("l_returnflag")),
+
     // §2.4 $bucketAuto: ~equal-count buckets via cumulative counts over
     // DISTINCT values (window over |distinct| rows, data never
     // single-partition-sorted); oracle mirrors the same construction
@@ -1439,5 +1504,43 @@ object SparkEntry {
         |SELECT MIN(bv) AS bucket_min, MAX(bv) AS bucket_max,
         |       CAST(SUM(f) AS BIGINT) AS count
         |FROM assigned GROUP BY bucket ORDER BY bucket_min""".stripMargin,
+
+    "q64_ivf_assign" ->
+      s"""WITH c AS (
+         |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+         |  WHERE vec_id < 4),
+         |p AS (
+         |  SELECT e.vec_id AS ia, c.cid AS ib,
+         |         e.embedding AS ea, c.ce AS eb
+         |  FROM embeddings e, c),
+         |${cosineCtes("p")},
+         |r AS (
+         |  SELECT ia AS vec_id, ib AS centroid_id,
+         |    row_number() OVER (PARTITION BY ia
+         |      ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, ib) AS rn
+         |  FROM d)
+         |SELECT vec_id, centroid_id FROM r WHERE rn = 1
+         |ORDER BY vec_id""".stripMargin,
+
+    "q65_fingerprint" ->
+      """SELECT '{"age": {"$gte": <int>}, "tags": [<int>, <string>]}' AS fp,
+        |       true AS full_has_values, false AS stripped_has_values"""
+        .stripMargin,
+
+    "q66_stream_rollup" ->
+      """SELECT date_trunc('hour', ts) AS ts_hour, event_type,
+        |  CAST(SUM(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS succeeded,
+        |  CAST(SUM(CASE WHEN event_type <> 'error' THEN 0 ELSE 1 END)
+        |    AS BIGINT) AS failed,
+        |  CAST(SUM(event_id % 1000) AS BIGINT) AS duration_ns
+        |FROM events GROUP BY ts_hour, event_type
+        |ORDER BY ts_hour, event_type""".stripMargin,
+
+    "q67_salted_agg" ->
+      """SELECT l_returnflag, CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+        |       COUNT(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
   )
 }

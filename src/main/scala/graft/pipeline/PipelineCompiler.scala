@@ -312,6 +312,57 @@ object PipelineCompiler {
             struct(col("__min").as("min"), col("__max").as("max")))
           .drop("__bv", "__bucket", "__min", "__max")
 
+      case "$densify" =>
+        // {$densify: {field, partitionByFields?, range: {step, bounds:
+        //  "full" | [lo, hi)}}} — synthesize rows for the missing grid
+        // points of `field`; other columns null. The grid derives from a
+        // one-row (or per-partition) min/max aggregate, `sequence()` +
+        // explode generates it DISTRIBUTED, and a left_anti join drops
+        // points that already exist — no driver loop, no global sort.
+        val d = doc(spec)
+        val field = d("field").toString
+        val parts = d.get("partitionByFields").map {
+          case s: Seq[_] => s.map(_.toString)
+          case other =>
+            throw new IllegalArgumentException(s"partitionByFields: $other")
+        }.getOrElse(Nil)
+        val r = doc(d("range"))
+        val step = r("step") match {
+          case n: Number => n.longValue()
+          case other => throw new IllegalArgumentException(s"step: $other")
+        }
+        require(step > 0, "$densify step must be positive")
+        val grid = r.getOrElse("bounds", "full") match {
+          case "full" =>
+            // bounds from the data: global (or per-partition) min/max
+            val agg =
+              if (parts.isEmpty)
+                df.agg(min(col(field)).as("__lo"), max(col(field)).as("__hi"))
+              else df.groupBy(parts.map(col): _*)
+                .agg(min(col(field)).as("__lo"), max(col(field)).as("__hi"))
+            agg.where(col("__lo").isNotNull)
+              .select(parts.map(col) :+
+                explode(sequence(col("__lo").cast("long"),
+                  col("__hi").cast("long"), lit(step))).as(field): _*)
+          case s: Seq[_] =>
+            val Seq(lo, hi) = s.map {
+              case n: Number => n.longValue()
+              case other =>
+                throw new IllegalArgumentException(s"bounds: $other")
+            }
+            // bounds are [lo, hi): the upper bound itself is excluded
+            val base0 = df.sparkSession.range(1)
+              .select(explode(sequence(lit(lo), lit(hi - 1), lit(step)))
+                .as(field))
+            if (parts.isEmpty) base0
+            else base0.crossJoin(df.select(parts.map(col): _*).distinct())
+          case other =>
+            throw new IllegalArgumentException(s"$$densify bounds: $other")
+        }
+        val missing = grid.join(df.select((parts :+ field).map(col): _*),
+            parts :+ field, "left_anti")
+        df.unionByName(missing, allowMissingColumns = true)
+
       case "$graphLookup" => graphLookup(df, doc(spec), tables)
 
       case "$setWindowFields" => setWindowFields(df, doc(spec))

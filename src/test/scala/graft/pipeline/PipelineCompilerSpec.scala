@@ -313,6 +313,33 @@ class PipelineCompilerSpec extends SparkSpec {
     assert(m(1) == 4L)
   }
 
+  test("$densify fills grid gaps with null-padded rows") {
+    val sparse = Seq((1L, 10.0), (4L, 40.0), (6L, 60.0)).toDF("t", "v")
+    val out = PipelineCompiler.compile(Seq(Map("$densify" -> Map(
+      "field" -> "t", "range" -> Map("step" -> 1, "bounds" -> "full")))),
+      tables = _ => sparse)(sparse)
+    val got = out.orderBy("t").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).toSeq
+    assert(got == Seq((1L, Some(10.0)), (2L, None), (3L, None),
+      (4L, Some(40.0)), (5L, None), (6L, Some(60.0))))
+    // explicit [lo, hi) bounds: the upper bound is excluded
+    val bounded = PipelineCompiler.compile(Seq(Map("$densify" -> Map(
+      "field" -> "t", "range" -> Map("step" -> 2,
+        "bounds" -> Seq(0, 7))))), tables = _ => sparse)(sparse)
+    assert(bounded.select("t").as[Long].collect().sorted.toSeq ==
+      Seq(0L, 1L, 2L, 4L, 6L))
+    // per-partition grids
+    val parted = Seq(("a", 1L), ("a", 3L), ("b", 10L), ("b", 11L))
+      .toDF("g", "t")
+    val dens = PipelineCompiler.compile(Seq(Map("$densify" -> Map(
+      "field" -> "t", "partitionByFields" -> Seq("g"),
+      "range" -> Map("step" -> 1, "bounds" -> "full")))),
+      tables = _ => parted)(parted)
+    assert(dens.orderBy("g", "t").select("g", "t").as[(String, Long)]
+      .collect().toSeq ==
+      Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 10L), ("b", 11L)))
+  }
+
   test("splitMerge parses a trailing $merge and rejects a mid-pipeline one") {
     val (stages, m) = PipelineCompiler.splitMerge(Seq(
       Map("$match" -> Map("cat" -> "a")),
