@@ -827,6 +827,20 @@ object SparkEntry {
         .orderBy("ts_hour", "event_type")
     }),
 
+    // §2.5 $densify: per-supplier-count nation grid — missing nation keys
+    // in [0, 25) appear as null-count rows; oracle = generate_series
+    "q68_densify" -> ((s, dir) => {
+      coll(s, dir, "supplier").pipe(Seq(
+        Map("$match" -> Map("s_suppkey" -> Map("$lte" -> 30))),
+        Map("$group" -> Map("_id" -> "$s_nationkey",
+          "n_sup" -> Map("$sum" -> 1))),
+        Map("$project" -> Map("nk" -> "$_id", "n_sup" -> 1)),
+        Map("$densify" -> Map("field" -> "nk",
+          "range" -> Map("step" -> 1, "bounds" -> Seq(0, 25))))))
+        .select(col("nk").cast("long").as("nk"), col("n_sup"))
+        .orderBy("nk")
+    }),
+
     // skew-mitigated two-stage aggregation: salted partial sums must be
     // indistinguishable from the plain aggregate (the oracle)
     "q67_salted_agg" -> ((s, dir) =>
@@ -1542,5 +1556,14 @@ object SparkEntry {
         |       COUNT(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    "q68_densify" ->
+      """WITH counts AS (
+        |  SELECT s_nationkey AS nk, COUNT(*) AS n_sup
+        |  FROM supplier WHERE s_suppkey <= 30 GROUP BY s_nationkey)
+        |SELECT g.nk, c.n_sup
+        |FROM (SELECT UNNEST(range(0, 25)) AS nk) g
+        |LEFT JOIN counts c ON g.nk = c.nk
+        |ORDER BY g.nk""".stripMargin,
   )
 }
