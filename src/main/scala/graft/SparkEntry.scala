@@ -841,6 +841,17 @@ object SparkEntry {
         .orderBy("nk")
     }),
 
+    // §2.4 $out sink: the pipeline result REPLACES the sibling collection
+    // (vs $merge's keyed upsert); output = the replaced table read back
+    "q69_out" -> ((s, dir) => {
+      val root = tmpCopy(dir, "orders", "graft-out")
+      new GraftSession(s, root).db("d").c("orders").pipe(Seq(
+        Map("$match" -> Map("o_orderstatus" -> "F")),
+        Map("$project" -> Map("o_orderkey" -> 1, "o_totalprice" -> 1)),
+        Map("$out" -> "ordsum")))
+        .orderBy("o_orderkey")
+    }),
+
     // skew-mitigated two-stage aggregation: salted partial sums must be
     // indistinguishable from the plain aggregate (the oracle)
     "q67_salted_agg" -> ((s, dir) =>
@@ -1556,6 +1567,10 @@ object SparkEntry {
         |       COUNT(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    "q69_out" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderstatus = 'F' ORDER BY o_orderkey""".stripMargin,
 
     "q68_densify" ->
       """WITH counts AS (

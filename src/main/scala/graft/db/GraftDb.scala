@@ -115,15 +115,28 @@ final class GraftCollection(s: GraftSession, val ns: Namespace) {
   /** Aggregation pipeline — reference db/wrapper.go:88-94. A trailing
     * `$merge` stage upserts the result into the sibling collection (one
     * key-shuffle merge, atomic tmp+rename swap) and returns the merged
-    * table. */
+    * table; a trailing `$out` REPLACES the sibling collection with the
+    * result. */
   def pipe(pipeline: Seq[Map[String, Any]]): DataFrame =
     traced("aggregate",
       Map("aggregate" -> ns.collection, "pipeline" -> pipeline)) {
       import graft.pipeline.PipelineCompiler
-      val (stages, mergeOpt) = PipelineCompiler.splitMerge(pipeline)
+      val (stages0, outOpt) = PipelineCompiler.splitOut(pipeline)
+      val (stages, mergeOpt) = PipelineCompiler.splitMerge(stages0)
       val result = PipelineCompiler.compile(stages, tables =
         other => s.spark.read.parquet(Namespace(ns.db, other).path(s.root)))(df)
-      mergeOpt match {
+      if (outOpt.isDefined) {
+        val targetPath = Namespace(ns.db, outOpt.get).path(s.root)
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new org.apache.hadoop.fs.Path(targetPath).toUri,
+          s.spark.sparkContext.hadoopConfiguration)
+        val tmp = targetPath + ".tmp"
+        result.write.mode("overwrite").parquet(tmp)
+        val p = new org.apache.hadoop.fs.Path(targetPath)
+        if (fs.exists(p)) fs.delete(p, true)
+        fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+        s.spark.read.parquet(targetPath)
+      } else mergeOpt match {
         case None => result
         case Some(m) =>
           val targetPath = Namespace(ns.db, m.into).path(s.root)

@@ -174,6 +174,11 @@ object PipelineCompiler {
         require(ref.startsWith("$"), s"$$replaceRoot: $ref")
         df.select(col(ref.drop(1) + ".*"))
 
+      case "$replaceWith" => // Mongo 4.2 alias: spec IS the newRoot expr
+        val ref = spec.toString
+        require(ref.startsWith("$"), s"$$replaceWith: $ref")
+        df.select(col(ref.drop(1) + ".*"))
+
       case "$bucket" =>
         // group rows into explicit boundary buckets: _id = lower bound of
         // the bucket, rows outside the boundaries go to `default`
@@ -375,7 +380,9 @@ object PipelineCompiler {
 
       case "$out" =>
         throw new IllegalArgumentException(
-          "$out is a sink; use Backup / DataFrame.write")
+          "$out must be the FINAL stage and needs a table sink — run it " +
+            "through GraftCollection.pipe (which splits it off and " +
+            "replaces the sibling collection)")
 
       case other =>
         throw new IllegalArgumentException(s"unsupported pipeline stage: $other")
@@ -620,6 +627,22 @@ object PipelineCompiler {
     require(Set("insert", "discard")(whenNotMatched),
       s"$$merge whenNotMatched: $whenNotMatched")
   }
+
+  /** Split a trailing `{$out: "coll"}` off a pipeline — `$out` REPLACES
+    * the target collection with the pipeline result (Mongo semantics),
+    * unlike `$merge`'s keyed upsert. */
+  def splitOut(pipeline: Seq[Map[String, Any]])
+      : (Seq[Map[String, Any]], Option[String]) =
+    pipeline.lastOption match {
+      case Some(st) if st.keySet == Set("$out") =>
+        val target = st("$out") match {
+          case s: String => s
+          case m: Map[_, _] => doc(m)("coll").toString
+          case other => throw new IllegalArgumentException(s"$$out: $other")
+        }
+        (pipeline.init, Some(target))
+      case _ => (pipeline, None)
+    }
 
   /** Split a trailing `$merge` off a pipeline (it must be last, as in
     * Mongo). Returns the transform stages and the parsed sink spec. */

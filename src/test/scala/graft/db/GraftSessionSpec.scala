@@ -81,6 +81,20 @@ class GraftSessionSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/tgt.parquet").orderBy("_id")
       .as[(Long, String, Double)].collect().toSeq == before)
   }
+
+  test("pipe with trailing $out REPLACES the sibling collection") {
+    val dir = Files.createTempDirectory("graft-out").toString
+    Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("_id", "cat")
+      .write.parquet(s"$dir/src.parquet")
+    Seq((99L, "stale")).toDF("_id", "cat").write.parquet(s"$dir/tgt.parquet")
+    val out = new GraftSession(spark, dir).db("d").c("src").pipe(Seq(
+      Map("$match" -> Map("cat" -> "a")),
+      Map("$out" -> "tgt")))
+    // the stale target content is gone, fully replaced by the result
+    assert(out.orderBy("_id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (3L, "a")))
+    assert(spark.read.parquet(s"$dir/tgt.parquet").count() == 2)
+  }
 }
 
 class BackupSpec extends SparkSpec {

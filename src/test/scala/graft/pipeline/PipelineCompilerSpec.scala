@@ -147,7 +147,9 @@ class PipelineCompilerSpec extends SparkSpec {
     val row = out.head()
     val byCat = row.getSeq[org.apache.spark.sql.Row](
       out.columns.indexOf("byCat"))
-    assert(byCat.map(r => (r.getString(0), r.getDouble(1))) ==
+    // collect_list order after a global agg is not a contract — compare as
+    // a sorted set of (key, total)
+    assert(byCat.map(r => (r.getString(0), r.getDouble(1))).sortBy(_._1) ==
       Seq(("a", 30.0), ("b", 70.0)))
     val big = row.getSeq[org.apache.spark.sql.Row](out.columns.indexOf("big"))
     assert(big.map(_.getInt(0)).sorted == Seq(3, 4))
@@ -353,6 +355,25 @@ class PipelineCompilerSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       PipelineCompiler.MergeSpec("t", "k", "pipeline-update", "insert")
     }
+  }
+
+  test("$replaceWith is the $replaceRoot alias") {
+    val nested = Seq((1, ("x", 2.0))).toDF("id", "doc")
+    val out = PipelineCompiler.compile(
+      Seq(Map("$replaceWith" -> "$doc")), tables = _ => nested)(nested)
+    assert(out.columns.toSeq == Seq("_1", "_2"))
+    assert(out.head().getString(0) == "x")
+  }
+
+  test("splitOut parses a trailing $out (string and {db,coll} forms)") {
+    val (stages, t) = PipelineCompiler.splitOut(Seq(
+      Map("$match" -> Map("a" -> 1)), Map("$out" -> "tgt")))
+    assert(stages == Seq(Map("$match" -> Map("a" -> 1))) &&
+      t.contains("tgt"))
+    assert(PipelineCompiler.splitOut(Seq(Map("$out" ->
+      Map("db" -> "d", "coll" -> "c"))))._2.contains("c"))
+    assert(PipelineCompiler.splitOut(Seq(Map("$match" -> Map.empty)))._2
+      .isEmpty)
   }
 
   test("unsupported stage rejected") {
