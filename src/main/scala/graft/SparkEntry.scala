@@ -852,6 +852,30 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // §2.4 higher-order expression operators ($map/$filter/$reduce with
+    // $$var lambda binding) — all codegen'd Spark lambda functions
+    "q70_expr_lang" -> ((s, dir) => {
+      coll(s, dir, "documents").pipe(Seq(
+        Map("$addFields" -> Map(
+          "toks" -> Map("$filter" -> Map(
+            "input" -> Map("$split" -> Seq("$text", " ")), "as" -> "t",
+            "cond" -> Map("$ne" -> Seq("$$t", "")))))),
+        Map("$addFields" -> Map(
+          "lens" -> Map("$map" -> Map("input" -> "$toks", "as" -> "t",
+            "in" -> Map("$strLenCP" -> "$$t"))))),
+        Map("$addFields" -> Map(
+          "n_toks" -> Map("$toLong" -> Map("$size" -> "$toks")),
+          "total_chars" -> Map("$toLong" -> Map("$reduce" -> Map(
+            "input" -> "$lens", "initialValue" -> 0,
+            "in" -> Map("$add" -> Seq("$$value", "$$this"))))),
+          "long_toks" -> Map("$toLong" -> Map("$size" ->
+            Map("$filter" -> Map("input" -> "$lens", "as" -> "l",
+              "cond" -> Map("$gte" -> Seq("$$l", 6)))))))),
+        Map("$project" -> Map("doc_id" -> 1, "n_toks" -> 1,
+          "total_chars" -> 1, "long_toks" -> 1))))
+        .orderBy("doc_id")
+    }),
+
     // skew-mitigated two-stage aggregation: salted partial sums must be
     // indistinguishable from the plain aggregate (the oracle)
     "q67_salted_agg" -> ((s, dir) =>
@@ -1571,6 +1595,20 @@ object SparkEntry {
     "q69_out" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE o_orderstatus = 'F' ORDER BY o_orderkey""".stripMargin,
+
+    "q70_expr_lang" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |lens AS (
+        |  SELECT doc_id, list_transform(t, x -> length(x)) AS ls FROM toks)
+        |SELECT t.doc_id,
+        |  CAST(len(t.t) AS BIGINT) AS n_toks,
+        |  CAST(COALESCE(list_sum(l.ls), 0) AS BIGINT) AS total_chars,
+        |  CAST(len(list_filter(l.ls, x -> x >= 6)) AS BIGINT) AS long_toks
+        |FROM toks t JOIN lens l ON t.doc_id = l.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
 
     "q68_densify" ->
       """WITH counts AS (

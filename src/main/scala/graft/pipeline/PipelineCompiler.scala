@@ -703,23 +703,32 @@ object PipelineCompiler {
   }
 
   /** Mongo aggregation expression subset → Column: `"$field"` refs,
-    * literals, and operator expressions. */
-  def expr2col(e: Any): Column = e match {
-    case s: String if s.startsWith("$$") => lit(s) // variable refs unsupported
+    * literals, operator expressions, and `$$var` lambda/let variables
+    * (bound by `$map`/`$filter`/`$reduce`/`$let`). */
+  def expr2col(e: Any): Column = expr2col(e, Map.empty)
+
+  private def expr2col(e: Any, env: Map[String, Column]): Column = e match {
+    case s: String if s.startsWith("$$") =>
+      val name = s.drop(2).takeWhile(_ != '.')
+      val base = env.getOrElse(name, throw new IllegalArgumentException(
+        s"unbound pipeline variable $$$$$name"))
+      // "$$v.field" descends into the bound struct
+      s.drop(2).split("\\.").drop(1).foldLeft(base)(_.getField(_))
     case s: String if s.startsWith("$") => col(s.drop(1))
     case m: Map[_, _] if m.nonEmpty &&
         !m.asInstanceOf[Map[String, Any]].keys.exists(_.startsWith("$")) =>
       // embedded document literal (no $-operators) builds a subdocument —
       // Mongo's {a: {b: "$f"}} shape → a struct column
       struct(m.asInstanceOf[Map[String, Any]].toSeq.map {
-        case (k, v) => expr2col(v).as(k) }: _*)
+        case (k, v) => expr2col(v, env).as(k) }: _*)
     case m: Map[_, _] =>
       val mm = m.asInstanceOf[Map[String, Any]]
       require(mm.size == 1, s"operator expression must have one key: $mm")
       val (op, args) = mm.head
+      def expr2colE(x: Any): Column = expr2col(x, env)
       def seq: Seq[Column] = args match {
-        case s: Seq[_] => s.map(expr2col)
-        case single    => Seq(expr2col(single))
+        case s: Seq[_] => s.map(expr2colE)
+        case single    => Seq(expr2colE(single))
       }
       op match {
         case "$add"      => seq.reduce(_ + _)
@@ -731,9 +740,9 @@ object PipelineCompiler {
         case "$ceil"     => ceil(seq.head)
         case "$floor"    => floor(seq.head)
         case "$round"    => args match {
-          case s: Seq[_] => round(expr2col(s.head),
+          case s: Seq[_] => round(expr2colE(s.head),
             s(1).asInstanceOf[Number].intValue())
-          case single => round(expr2col(single))
+          case single => round(expr2colE(single))
         }
         case "$concat"   => concat(seq: _*)
         case "$toLower"  => lower(seq.head)
@@ -743,7 +752,7 @@ object PipelineCompiler {
           val Seq(s, i, n) = seq; s.substr(i + lit(1), n)
         case "$split" => args match { // delimiter is a literal string
           case Seq(sE, d: String) =>
-            split(expr2col(sE), java.util.regex.Pattern.quote(d))
+            split(expr2colE(sE), java.util.regex.Pattern.quote(d))
           case other => throw new IllegalArgumentException(s"$$split: $other")
         }
         case "$year"       => year(seq.head)
@@ -752,14 +761,14 @@ object PipelineCompiler {
         case "$hour"       => hour(seq.head)
         case "$dateTrunc" =>
           val mm = doc(args)
-          date_trunc(mm("unit").toString, expr2col(mm("date")))
+          date_trunc(mm("unit").toString, expr2colE(mm("date")))
         case "$dateToString" =>
           val mm = doc(args)
           // Mongo %Y-%m-%d style -> java pattern
           val fmt = mm.getOrElse("format", "%Y-%m-%d").toString
             .replace("%Y", "yyyy").replace("%m", "MM").replace("%d", "dd")
             .replace("%H", "HH").replace("%M", "mm").replace("%S", "ss")
-          date_format(expr2col(mm("date")), fmt)
+          date_format(expr2colE(mm("date")), fmt)
         case "$switch" =>
           val mm = doc(args)
           val branches = mm("branches") match {
@@ -769,14 +778,14 @@ object PipelineCompiler {
           val default = mm.get("default").map(expr2col)
             .getOrElse(lit(null))
           branches.foldRight(default) { (b, els) =>
-            when(expr2col(b("case")), expr2col(b("then"))).otherwise(els)
+            when(expr2colE(b("case")), expr2colE(b("then"))).otherwise(els)
           }
         case "$toString" => seq.head.cast("string")
         case "$toInt"    => seq.head.cast("int")
         case "$toLong"   => seq.head.cast("long")
         case "$toDouble" => seq.head.cast("double")
         case "$trim" => args match {
-          case m2: Map[_, _] => trim(expr2col(doc(m2)("input")))
+          case m2: Map[_, _] => trim(expr2colE(doc(m2)("input")))
           case _ => trim(seq.head)
         }
         case "$cond" => args match {
@@ -784,8 +793,8 @@ object PipelineCompiler {
             when(i, t).otherwise(f)
           case m2: Map[_, _] =>
             val mm2 = m2.asInstanceOf[Map[String, Any]]
-            when(expr2col(mm2("if")), expr2col(mm2("then")))
-              .otherwise(expr2col(mm2("else")))
+            when(expr2colE(mm2("if")), expr2colE(mm2("then")))
+              .otherwise(expr2colE(mm2("else")))
           case other => throw new IllegalArgumentException(s"$$cond: $other")
         }
         case "$ifNull"   => coalesce(seq: _*)
@@ -801,6 +810,158 @@ object PipelineCompiler {
         case "$not" => !seq.head
         case "$size" => size(seq.head)
         case "$arrayElemAt" => val Seq(a, i) = seq; element_at(a, i + lit(1))
+
+        // ---- higher-order array operators (codegen'd lambda functions,
+        // never UDFs): $$var binding flows through `env` ----
+        case "$map" =>
+          val mm = doc(args)
+          val as = mm.getOrElse("as", "this").toString
+          transform(expr2colE(mm("input")),
+            x => expr2col(mm("in"), env + (as -> x)))
+        case "$filter" =>
+          val mm = doc(args)
+          val as = mm.getOrElse("as", "this").toString
+          filter(expr2colE(mm("input")),
+            x => expr2col(mm("cond"), env + (as -> x)))
+        case "$reduce" =>
+          val mm = doc(args)
+          aggregate(expr2colE(mm("input")), expr2colE(mm("initialValue")),
+            (acc, x) => expr2col(mm("in"),
+              env + ("value" -> acc, "this" -> x)))
+        case "$let" =>
+          val mm = doc(args)
+          val bound = doc(mm("vars")).foldLeft(env) { case (e2, (v, ex)) =>
+            e2 + (v -> expr2col(ex, e2)) }
+          expr2col(mm("in"), bound)
+
+        // ---- array operators ----
+        case "$in" => val Seq(e2, a) = seq; array_contains(a, e2)
+        case "$indexOfArray" => // Mongo 0-based, -1 when absent
+          val Seq(a, e2) = seq; array_position(a, e2).cast("int") - 1
+        case "$concatArrays" => concat(seq: _*)
+        case "$reverseArray" => reverse(seq.head)
+        case "$first" => element_at(seq.head, 1)
+        case "$last" => element_at(seq.head, -1)
+        case "$range" => args match {
+          case s: Seq[_] =>
+            val step = s.lift(2).map {
+              case n: Number => n.longValue()
+              case other =>
+                throw new IllegalArgumentException(s"$$range step: $other")
+            }.getOrElse(1L)
+            require(step != 0, "$range step must be nonzero")
+            val (from, to) = (expr2colE(s.head), expr2colE(s(1)))
+            // Mongo [start, end) — sequence() is inclusive, so pull the
+            // bound one step-sign in and guard the empty range
+            if (step > 0)
+              when(from < to, sequence(from.cast("long"),
+                to.cast("long") - 1, lit(step))).otherwise(
+                array().cast("array<bigint>"))
+            else
+              when(from > to, sequence(from.cast("long"),
+                to.cast("long") + 1, lit(step))).otherwise(
+                array().cast("array<bigint>"))
+          case other => throw new IllegalArgumentException(s"$$range: $other")
+        }
+        case "$zip" => // arrays of pair-structs (Mongo emits pair-arrays;
+          // struct keeps heterogeneous element types typed). Mongo
+          // truncates to the SHORTEST input; arrays_zip null-pads, so cut
+          val mm = doc(args)
+          mm("inputs") match {
+            case s: Seq[_] if s.size == 2 =>
+              val (a, b) = (expr2colE(s.head), expr2colE(s(1)))
+              slice(arrays_zip(a, b), lit(1), least(size(a), size(b)))
+            case other =>
+              throw new IllegalArgumentException(s"$$zip inputs: $other")
+          }
+        case "$slice" => args match {
+          case Seq(aE, nV: Number) => // ±n: first n / last n
+            val n = nV.intValue()
+            if (n >= 0) slice(expr2colE(aE), 1, n)
+            else slice(expr2colE(aE), n, -n)
+          case Seq(aE, pV: Number, nV: Number) => // 0-based position + count
+            slice(expr2colE(aE), pV.intValue() + 1, nV.intValue())
+          case other => throw new IllegalArgumentException(s"$$slice: $other")
+        }
+
+        // ---- set operators (result sorted: Mongo leaves set order
+        // unspecified; sorting makes pipelines deterministic) ----
+        case "$setUnion" =>
+          array_sort(array_distinct(concat(seq: _*)))
+        case "$setIntersection" =>
+          array_sort(array_distinct(seq.reduce(array_intersect)))
+        case "$setDifference" =>
+          val Seq(a, b) = seq; array_sort(array_distinct(array_except(a, b)))
+
+        // ---- math ----
+        case "$pow"   => val Seq(a, b) = seq; pow(a, b)
+        case "$sqrt"  => sqrt(seq.head)
+        case "$exp"   => exp(seq.head)
+        case "$ln"    => log(seq.head)
+        case "$log10" => log10(seq.head)
+        case "$trunc" => args match {
+          case s: Seq[_] if s.size == 2 => // truncate toward zero at place p
+            val p = math.pow(10, s(1).asInstanceOf[Number].intValue())
+            (expr2colE(s.head) * p).cast("long") / p
+          case s: Seq[_] => expr2colE(s.head).cast("long")
+          case single => expr2colE(single).cast("long")
+        }
+        case "$sign" => signum(seq.head).cast("int")
+
+        // ---- strings ----
+        case "$regexMatch" =>
+          val mm = doc(args)
+          expr2colE(mm("input")).rlike(mm("regex").toString)
+        case "$indexOfCP" => // 0-based, -1 when absent (instr is 1-based/0)
+          val Seq(s2, sub) = seq
+          call_function("instr", s2, sub).cast("int") - 1
+        case "$ltrim" => ltrim(expr2colE(doc(args)("input")))
+        case "$rtrim" => rtrim(expr2colE(doc(args)("input")))
+        case "$replaceAll" =>
+          val mm = doc(args)
+          call_function("replace", expr2colE(mm("input")),
+            expr2colE(mm("find")), expr2colE(mm("replacement")))
+
+        // ---- dates ----
+        case "$minute"    => minute(seq.head)
+        case "$second"    => second(seq.head)
+        case "$dayOfYear" => dayofyear(seq.head)
+        case "$week"      => weekofyear(seq.head)
+        case "$dateAdd" =>
+          // fixed-length units via µs arithmetic (exact, codegen'd);
+          // calendar units (month/year) are intentionally unsupported —
+          // their length is locale/calendar-dependent
+          val mm = doc(args)
+          val micros = Map("second" -> 1000000L, "minute" -> 60000000L,
+            "hour" -> 3600000000L, "day" -> 86400000000L,
+            "week" -> 604800000000L)
+          val unit = mm("unit").toString
+          val m2 = micros.getOrElse(unit, throw new IllegalArgumentException(
+            s"$$dateAdd unit: $unit (fixed-length units only)"))
+          timestamp_micros(unix_micros(expr2colE(mm("startDate"))) +
+            expr2colE(mm("amount")).cast("long") * m2)
+        case "$dateDiff" =>
+          // Mongo counts UNIT-BOUNDARY crossings, not elapsed whole units:
+          // trunc both ends to the unit, then difference in units
+          val mm = doc(args)
+          val unit = mm("unit").toString
+          val s0 = expr2colE(mm("startDate"))
+          val e0 = expr2colE(mm("endDate"))
+          unit match {
+            case "day" => datediff(e0.cast("date"), s0.cast("date"))
+              .cast("long")
+            case "week" =>
+              (datediff(date_trunc("week", e0).cast("date"),
+                date_trunc("week", s0).cast("date")) / 7).cast("long")
+            case "hour" | "minute" | "second" =>
+              val secs = Map("hour" -> 3600L, "minute" -> 60L,
+                "second" -> 1L)(unit)
+              ((unix_timestamp(date_trunc(unit, e0)) -
+                unix_timestamp(date_trunc(unit, s0))) / secs).cast("long")
+            case other => throw new IllegalArgumentException(
+              s"$$dateDiff unit: $other")
+          }
+
         case other =>
           throw new IllegalArgumentException(s"unsupported expression: $other")
       }

@@ -440,4 +440,128 @@ class ExprLangSpec extends graft.SparkSpec {
     val r = out.select("s", "i", "t").head()
     assert(r.getString(0) == "25.0" && r.getInt(1) == 25 && r.getString(2) == "x")
   }
+
+  test("$map / $filter / $reduce bind lambda variables through env") {
+    val arr = Seq((1, Seq(1, 2, 3, 4))).toDF("id", "xs")
+    val out = PipelineCompiler.compile(Seq(Map("$addFields" -> Map(
+      "doubled" -> Map("$map" -> Map("input" -> "$xs", "as" -> "x",
+        "in" -> Map("$multiply" -> Seq("$$x", 2)))),
+      "evens" -> Map("$filter" -> Map("input" -> "$xs", "as" -> "x",
+        "cond" -> Map("$eq" -> Seq(Map("$mod" -> Seq("$$x", 2)), 0)))),
+      "total" -> Map("$reduce" -> Map("input" -> "$xs",
+        "initialValue" -> 0,
+        "in" -> Map("$add" -> Seq("$$value", "$$this"))))))))(arr)
+    val r = out.select("doubled", "evens", "total").head()
+    assert(r.getSeq[Int](0) == Seq(2, 4, 6, 8))
+    assert(r.getSeq[Int](1) == Seq(2, 4))
+    assert(r.getInt(2) == 10)
+    // unbound variables are an error, not a silent literal
+    intercept[IllegalArgumentException] {
+      PipelineCompiler.expr2col(Map("$add" -> Seq("$$nope", 1)))
+    }
+  }
+
+  test("$let binds scoped variables; $$v.field descends into structs") {
+    val d2 = Seq((3, 4)).toDF("a", "b")
+    val out = PipelineCompiler.compile(Seq(Map("$addFields" -> Map(
+      "hyp" -> Map("$let" -> Map(
+        "vars" -> Map("p" -> Map("$multiply" -> Seq("$a", "$a")),
+          "q" -> Map("$multiply" -> Seq("$b", "$b"))),
+        "in" -> Map("$sqrt" -> Map("$add" -> Seq("$$p", "$$q")))))))))(d2)
+    assert(out.select("hyp").head().getDouble(0) == 5.0)
+    val nested = Seq((1, Seq((2, "x"), (5, "y")))).toDF("id", "ps")
+    val got = PipelineCompiler.compile(Seq(Map("$addFields" -> Map(
+      "firsts" -> Map("$map" -> Map("input" -> "$ps", "as" -> "p",
+        "in" -> "$$p._1"))))))(nested)
+    assert(got.select("firsts").head().getSeq[Int](0) == Seq(2, 5))
+  }
+
+  test("array operators: in/indexOf/concat/reverse/first/last/range/slice/zip") {
+    val arr = Seq((Seq(10, 20, 30), Seq(40, 50))).toDF("xs", "ys")
+    val out = PipelineCompiler.compile(Seq(Map("$addFields" -> Map(
+      "has20" -> Map("$in" -> Seq(20, "$xs")),
+      "ix" -> Map("$indexOfArray" -> Seq("$xs", 30)),
+      "missing" -> Map("$indexOfArray" -> Seq("$xs", 99)),
+      "cat" -> Map("$concatArrays" -> Seq("$xs", "$ys")),
+      "rev" -> Map("$reverseArray" -> "$xs"),
+      "hd" -> Map("$first" -> "$xs"),
+      "tl" -> Map("$last" -> "$xs"),
+      "rng" -> Map("$range" -> Seq(0, 6, 2)),
+      "emptyRng" -> Map("$range" -> Seq(5, 2)),
+      "negRng" -> Map("$range" -> Seq(4, 0, -2)),
+      "firstTwo" -> Map("$slice" -> Seq("$xs", 2)),
+      "lastOne" -> Map("$slice" -> Seq("$xs", -1)),
+      "mid" -> Map("$slice" -> Seq("$xs", 1, 2)),
+      "zipped" -> Map("$zip" -> Map("inputs" -> Seq("$xs", "$ys")))))))(arr)
+    val r = out.head()
+    def gs(n: String) = r.getSeq[Any](out.columns.indexOf(n))
+    assert(r.getBoolean(out.columns.indexOf("has20")))
+    assert(r.getInt(out.columns.indexOf("ix")) == 2)
+    assert(r.getInt(out.columns.indexOf("missing")) == -1)
+    assert(gs("cat") == Seq(10, 20, 30, 40, 50))
+    assert(gs("rev") == Seq(30, 20, 10))
+    assert(r.getInt(out.columns.indexOf("hd")) == 10)
+    assert(r.getInt(out.columns.indexOf("tl")) == 30)
+    assert(gs("rng") == Seq(0L, 2L, 4L))
+    assert(gs("emptyRng") == Nil)
+    assert(gs("negRng") == Seq(4L, 2L))
+    assert(gs("firstTwo") == Seq(10, 20))
+    assert(gs("lastOne") == Seq(30))
+    assert(gs("mid") == Seq(20, 30))
+    // zip of [10,20,30]+[40,50] truncates to the shorter input (structs)
+    assert(gs("zipped").size == 2)
+  }
+
+  test("set operators are deduped and sorted for determinism") {
+    val d2 = Seq((Seq(3, 1, 2, 2), Seq(2, 4))).toDF("xs", "ys")
+    val out = PipelineCompiler.compile(Seq(Map("$addFields" -> Map(
+      "u" -> Map("$setUnion" -> Seq("$xs", "$ys")),
+      "i" -> Map("$setIntersection" -> Seq("$xs", "$ys")),
+      "d" -> Map("$setDifference" -> Seq("$xs", "$ys"))))))(d2)
+    val r = out.select("u", "i", "d").head()
+    assert(r.getSeq[Int](0) == Seq(1, 2, 3, 4))
+    assert(r.getSeq[Int](1) == Seq(2))
+    assert(r.getSeq[Int](2) == Seq(1, 3))
+  }
+
+  test("math + string operators") {
+    val out = PipelineCompiler.compile(Seq(Map("$addFields" -> Map(
+      "p" -> Map("$pow" -> Seq("$v", 2)),
+      "sq" -> Map("$sqrt" -> "$v"),
+      "tr" -> Map("$trunc" -> Seq(Map("$divide" -> Seq("$v", 7)), 1)),
+      "sg" -> Map("$sign" -> Map("$subtract" -> Seq(0, "$v"))),
+      "rx" -> Map("$regexMatch" -> Map("input" -> Map("$toString" -> "$v"),
+        "regex" -> "^25")),
+      "ixc" -> Map("$indexOfCP" -> Seq(Map("$literal" -> "hello"), "ll")),
+      "rep" -> Map("$replaceAll" -> Map(
+        "input" -> Map("$literal" -> "a-b-c"), "find" -> "-",
+        "replacement" -> "."))))))(df)
+    val r = out.orderBy(org.apache.spark.sql.functions.desc("v")).head()
+    assert(r.getDouble(r.fieldIndex("p")) == 625.0)
+    assert(r.getDouble(r.fieldIndex("sq")) == 5.0)
+    assert(r.getDouble(r.fieldIndex("tr")) == 3.5) // 25/7=3.571 -> 3.5
+    assert(r.getInt(r.fieldIndex("sg")) == -1)
+    assert(r.getBoolean(r.fieldIndex("rx")))
+    assert(r.getInt(r.fieldIndex("ixc")) == 2)
+    assert(r.getString(r.fieldIndex("rep")) == "a.b.c")
+  }
+
+  test("$dateAdd and boundary-crossing $dateDiff") {
+    val d2 = Seq(("2024-03-15 23:59:30", "2024-03-16 00:00:30"))
+      .toDF("s", "e")
+      .withColumn("s", $"s".cast("timestamp"))
+      .withColumn("e", $"e".cast("timestamp"))
+    val out = PipelineCompiler.compile(Seq(Map("$addFields" -> Map(
+      "plus2h" -> Map("$dateAdd" -> Map("startDate" -> "$s",
+        "unit" -> "hour", "amount" -> 2)),
+      // elapsed time is 60 s, but a DAY boundary and a MINUTE boundary
+      // are each crossed once — Mongo counts crossings
+      "dDays" -> Map("$dateDiff" -> Map("startDate" -> "$s",
+        "endDate" -> "$e", "unit" -> "day")),
+      "dMins" -> Map("$dateDiff" -> Map("startDate" -> "$s",
+        "endDate" -> "$e", "unit" -> "minute"))))))(d2)
+    val r = out.select("plus2h", "dDays", "dMins").head()
+    assert(r.getTimestamp(0).toString.startsWith("2024-03-16 01:59:30"))
+    assert(r.getLong(1) == 1L && r.getLong(2) == 1L)
+  }
 }
