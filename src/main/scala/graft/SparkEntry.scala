@@ -876,6 +876,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // §2.4 $topN accumulator + $expr query predicate: first-3
+    // total-prices per status ordered by the unique order key
+    "q71_topn_expr" -> ((s, dir) => {
+      coll(s, dir, "orders").pipe(Seq(
+        Map("$match" -> Map("$expr" ->
+          Map("$eq" -> Seq(Map("$mod" -> Seq("$o_orderkey", 2)), 0L)))),
+        Map("$group" -> Map("_id" -> "$o_orderstatus",
+          "top3" -> Map("$topN" -> Map("output" -> "$o_totalprice",
+            "sortBy" -> Map("o_orderkey" -> 1), "n" -> 3))))))
+        .select(col("_id").as("status"),
+          element_at(col("top3"), 1).as("t1"),
+          element_at(col("top3"), 2).as("t2"),
+          element_at(col("top3"), 3).as("t3"))
+        .orderBy("status")
+    }),
+
     // skew-mitigated two-stage aggregation: salted partial sums must be
     // indistinguishable from the plain aggregate (the oracle)
     "q67_salted_agg" -> ((s, dir) =>
@@ -1595,6 +1611,19 @@ object SparkEntry {
     "q69_out" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE o_orderstatus = 'F' ORDER BY o_orderkey""".stripMargin,
+
+    "q71_topn_expr" ->
+      """SELECT o_orderstatus AS status,
+        |  MAX(CASE WHEN rn = 1 THEN o_totalprice END) AS t1,
+        |  MAX(CASE WHEN rn = 2 THEN o_totalprice END) AS t2,
+        |  MAX(CASE WHEN rn = 3 THEN o_totalprice END) AS t3
+        |FROM (
+        |  SELECT o_orderstatus, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY o_orderkey) AS rn
+        |  FROM orders WHERE o_orderkey % 2 = 0)
+        |WHERE rn <= 3 GROUP BY o_orderstatus
+        |ORDER BY status""".stripMargin,
 
     "q70_expr_lang" ->
       """WITH toks AS (

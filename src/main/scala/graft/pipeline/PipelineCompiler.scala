@@ -697,9 +697,47 @@ object PipelineCompiler {
       case "$count"    => count(lit(1))
       case "$stdDevPop"  => stddev_pop(expr2col(e))
       case "$stdDevSamp" => stddev_samp(expr2col(e))
+      case "$minN" =>
+        val mm = doc(e)
+        slice(array_sort(collect_list(expr2col(mm("input")))), 1,
+          int(mm("n")))
+      case "$maxN" =>
+        val mm = doc(e)
+        slice(reverse(array_sort(collect_list(expr2col(mm("input"))))), 1,
+          int(mm("n")))
+      case "$top" => element_at(topOrdered(doc(e)), 1)
+      case "$bottom" => element_at(topOrdered(doc(e)), -1)
+      case "$topN" =>
+        val mm = doc(e); slice(topOrdered(mm), 1, int(mm("n")))
+      case "$bottomN" =>
+        // Mongo: the LAST n in sortBy order, still in sortBy order
+        val mm = doc(e)
+        val n = int(mm("n"))
+        val arr = topOrdered(mm)
+        when(size(arr) <= n, arr).otherwise(slice(arr, -n, n))
       case other =>
         throw new IllegalArgumentException(s"unsupported accumulator: $other")
     }
+  }
+
+  /** Shared machinery for `$top/$topN/$bottom/$bottomN`: collect
+    * (sortKey, output) pairs, sort by the key (struct field order makes
+    * array_sort order by it first), project the outputs. Single sortBy key,
+    * 1 or -1. Deterministic when the sort key is unique within the group. */
+  private def topOrdered(mm: Map[String, Any]): Column = {
+    val sortBy = doc(mm("sortBy")).toSeq
+    require(sortBy.size == 1,
+      "$top/$bottom accumulators support a single sortBy key")
+    val (k, dir) = sortBy.head
+    val arr = array_sort(collect_list(
+      struct(col(k).as("__k"), expr2col(mm("output")).as("__v"))))
+    val ordered = dir match {
+      case 1 => arr
+      case -1 => reverse(arr)
+      case other =>
+        throw new IllegalArgumentException(s"sortBy $k: $other")
+    }
+    transform(ordered, x => x.getField("__v"))
   }
 
   /** Mongo aggregation expression subset → Column: `"$field"` refs,

@@ -32,6 +32,8 @@ object QueryCompiler {
     case "$and" => subdocs(value, "$and").map(compile).reduce(_ && _)
     case "$or"  => subdocs(value, "$or").map(compile).reduce(_ || _)
     case "$nor" => !subdocs(value, "$nor").map(compile).reduce(_ || _)
+    case "$expr" => // aggregation expression as a predicate (Mongo $expr)
+      graft.pipeline.PipelineCompiler.expr2col(value).cast("boolean")
     case field  => fieldClause(field, value)
   }
 

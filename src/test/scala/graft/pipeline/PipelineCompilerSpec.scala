@@ -44,6 +44,42 @@ class PipelineCompilerSpec extends SparkSpec {
     assert(out.as[Int].collect().toSeq == Seq(2))
   }
 
+  test("$top/$topN/$bottom/$bottomN/$minN/$maxN accumulators") {
+    val out = run(Map("$group" -> Map("_id" -> "$cat",
+      "best" -> Map("$top" -> Map("output" -> "$n",
+        "sortBy" -> Map("amt" -> -1))),
+      "worst" -> Map("$bottom" -> Map("output" -> "$n",
+        "sortBy" -> Map("amt" -> -1))),
+      "top2" -> Map("$topN" -> Map("output" -> "$n",
+        "sortBy" -> Map("amt" -> -1), "n" -> 2)),
+      "bot1" -> Map("$bottomN" -> Map("output" -> "$n",
+        "sortBy" -> Map("amt" -> 1), "n" -> 1)),
+      "small" -> Map("$minN" -> Map("input" -> "$amt", "n" -> 1)),
+      "big" -> Map("$maxN" -> Map("input" -> "$amt", "n" -> 2)))),
+      Map("$sort" -> Map("_id" -> 1)))
+    val rows = out.collect()
+    val a = rows(0)
+    // cat a: rows (n=1, amt=10), (n=2, amt=20)
+    assert(a.getInt(a.fieldIndex("best")) == 2)   // highest amt
+    assert(a.getInt(a.fieldIndex("worst")) == 1)  // lowest amt (desc order last)
+    assert(a.getSeq[Int](a.fieldIndex("top2")) == Seq(2, 1))
+    assert(a.getSeq[Int](a.fieldIndex("bot1")) == Seq(2)) // asc order, last 1
+    assert(a.getSeq[Double](a.fieldIndex("small")) == Seq(10.0))
+    assert(a.getSeq[Double](a.fieldIndex("big")) == Seq(20.0, 10.0))
+  }
+
+  test("$match with $expr evaluates aggregation predicates") {
+    // cross-field comparison (amt = 10n for every row, so amt >= 10n holds
+    // everywhere and amt > 10n nowhere)
+    val all = run(Map("$match" -> Map("$expr" ->
+      Map("$gte" -> Seq("$amt", Map("$multiply" -> Seq("$n", 10)))))))
+    val none = run(Map("$match" -> Map("$expr" ->
+      Map("$gt" -> Seq("$amt", Map("$multiply" -> Seq("$n", 10)))))))
+    val evens = run(Map("$match" -> Map("$expr" ->
+      Map("$eq" -> Seq(Map("$mod" -> Seq("$n", 2)), 0)))))
+    assert(all.count() == 4 && none.count() == 0 && evens.count() == 2)
+  }
+
   test("$group with only _id is the distinct idiom") {
     val out = run(Map("$group" -> Map("_id" -> "$cat")),
       Map("$sort" -> Map("_id" -> 1)))
