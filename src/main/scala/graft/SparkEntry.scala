@@ -892,6 +892,20 @@ object SparkEntry {
         .orderBy("status")
     }),
 
+    // exact $median/$percentile per group — integral quantities at dyadic
+    // ranks make interpolation bit-exact across engines
+    "q72_percentile" -> ((s, dir) => {
+      coll(s, dir, "lineitem").pipe(Seq(
+        Map("$group" -> Map("_id" -> "$l_returnflag",
+          "med" -> Map("$median" -> Map("input" -> "$l_quantity")),
+          "ps" -> Map("$percentile" -> Map("input" -> "$l_quantity",
+            "p" -> Seq(0.25, 0.75)))))))
+        .select(col("_id").as("flag"), col("med"),
+          element_at(col("ps"), 1).as("p25"),
+          element_at(col("ps"), 2).as("p75"))
+        .orderBy("flag")
+    }),
+
     // skew-mitigated two-stage aggregation: salted partial sums must be
     // indistinguishable from the plain aggregate (the oracle)
     "q67_salted_agg" -> ((s, dir) =>
@@ -1611,6 +1625,14 @@ object SparkEntry {
     "q69_out" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE o_orderstatus = 'F' ORDER BY o_orderkey""".stripMargin,
+
+    "q72_percentile" ->
+      """SELECT l_returnflag AS flag,
+        |  quantile_cont(l_quantity, 0.5) AS med,
+        |  quantile_cont(l_quantity, 0.25) AS p25,
+        |  quantile_cont(l_quantity, 0.75) AS p75
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY flag""".stripMargin,
 
     "q71_topn_expr" ->
       """SELECT o_orderstatus AS status,

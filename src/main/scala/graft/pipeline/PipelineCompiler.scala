@@ -697,6 +697,18 @@ object PipelineCompiler {
       case "$count"    => count(lit(1))
       case "$stdDevPop"  => stddev_pop(expr2col(e))
       case "$stdDevSamp" => stddev_samp(expr2col(e))
+      case "$median" => // exact (sort-based) — Mongo 7's t-digest is
+        // approximate; exact is the stronger contract and DuckDB-checkable
+        percentile(expr2col(doc(e)("input")), lit(0.5))
+      case "$percentile" =>
+        val mm = doc(e)
+        val ps = mm("p") match {
+          case s: Seq[_] => s.map(_.asInstanceOf[Number].doubleValue())
+          case other =>
+            throw new IllegalArgumentException(s"$$percentile p: $other")
+        }
+        percentile(expr2col(mm("input")),
+          array(ps.map(lit): _*))
       case "$minN" =>
         val mm = doc(e)
         slice(array_sort(collect_list(expr2col(mm("input")))), 1,
@@ -878,6 +890,15 @@ object PipelineCompiler {
           val Seq(a, e2) = seq; array_position(a, e2).cast("int") - 1
         case "$concatArrays" => concat(seq: _*)
         case "$reverseArray" => reverse(seq.head)
+        case "$sortArray" =>
+          val mm = doc(args)
+          val sorted = array_sort(expr2colE(mm("input")))
+          mm.getOrElse("sortBy", 1) match {
+            case 1 => sorted
+            case -1 => reverse(sorted)
+            case other =>
+              throw new IllegalArgumentException(s"$$sortArray: $other")
+          }
         case "$first" => element_at(seq.head, 1)
         case "$last" => element_at(seq.head, -1)
         case "$range" => args match {

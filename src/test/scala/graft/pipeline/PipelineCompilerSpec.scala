@@ -68,6 +68,24 @@ class PipelineCompilerSpec extends SparkSpec {
     assert(a.getSeq[Double](a.fieldIndex("big")) == Seq(20.0, 10.0))
   }
 
+  test("$median / $percentile are exact; $sortArray orders both ways") {
+    val out = run(Map("$group" -> Map("_id" -> null,
+      "med" -> Map("$median" -> Map("input" -> "$amt")),
+      "ps" -> Map("$percentile" -> Map("input" -> "$amt",
+        "p" -> Seq(0.25, 0.75))))))
+    val r = out.head()
+    assert(r.getDouble(0) == 25.0) // 10,20,30,40 -> interpolated 25
+    assert(r.getSeq[Double](1) == Seq(17.5, 32.5))
+    val arr = Seq(Tuple1(Seq(3, 1, 2))).toDF("xs")
+    val s2 = PipelineCompiler.compile(Seq(Map("$addFields" -> Map(
+      "asc" -> Map("$sortArray" -> Map("input" -> "$xs", "sortBy" -> 1)),
+      "desc" -> Map("$sortArray" -> Map("input" -> "$xs",
+        "sortBy" -> -1))))))(arr)
+    val r2 = s2.select("asc", "desc").head()
+    assert(r2.getSeq[Int](0) == Seq(1, 2, 3) &&
+      r2.getSeq[Int](1) == Seq(3, 2, 1))
+  }
+
   test("$match with $expr evaluates aggregation predicates") {
     // cross-field comparison (amt = 10n for every row, so amt >= 10n holds
     // everywhere and amt > 10n nowhere)
