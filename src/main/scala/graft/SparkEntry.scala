@@ -906,6 +906,21 @@ object SparkEntry {
         .orderBy("flag")
     }),
 
+    // covariance + bitwise accumulators; covariance over integral-valued
+    // doubles decimal-cast for cross-engine exactness
+    "q73_covar_bits" -> ((s, dir) => {
+      coll(s, dir, "part").pipe(Seq(
+        Map("$group" -> Map("_id" -> "$p_brand",
+          "cv" -> Map("$covariancePop" -> Seq("$p_size", "$p_partkey")),
+          "ba" -> Map("$bitAnd" -> "$p_size"),
+          "bo" -> Map("$bitOr" -> "$p_size"),
+          "bx" -> Map("$bitXor" -> "$p_size")))))
+        .select(col("_id").as("brand"),
+          col("cv").cast("decimal(28,6)").cast("double").as("cv"),
+          col("ba"), col("bo"), col("bx"))
+        .orderBy("brand")
+    }),
+
     // skew-mitigated two-stage aggregation: salted partial sums must be
     // indistinguishable from the plain aggregate (the oracle)
     "q67_salted_agg" -> ((s, dir) =>
@@ -1625,6 +1640,15 @@ object SparkEntry {
     "q69_out" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE o_orderstatus = 'F' ORDER BY o_orderkey""".stripMargin,
+
+    "q73_covar_bits" ->
+      """SELECT p_brand AS brand,
+        |  CAST(CAST(covar_pop(p_size, p_partkey) AS DECIMAL(28,6))
+        |    AS DOUBLE) AS cv,
+        |  bit_and(p_size) AS ba, bit_or(p_size) AS bo,
+        |  bit_xor(p_size) AS bx
+        |FROM part GROUP BY p_brand
+        |ORDER BY brand""".stripMargin,
 
     "q72_percentile" ->
       """SELECT l_returnflag AS flag,

@@ -12,8 +12,14 @@ import graft.query.QueryCompiler
   * the corresponding declarative Spark operator so Catalyst can fuse, push
   * down and reorder: `$match`→where, `$project`→select, `$group`→groupBy.agg,
   * `$sort`→orderBy, `$limit`/`$skip`→limit/offset, `$unwind`→explode,
-  * `$count`→count, `$lookup`→left join + collect_list, `$addFields`/`$set`→
-  * withColumn, `$unset`→drop, `$sortByCount`, `$replaceRoot`→select(doc.*).
+  * `$count`→count, `$lookup`(+pipeline form)→join, `$addFields`/`$set`→
+  * withColumn, `$unset`→drop, `$sortByCount`, `$replaceRoot`/`$replaceWith`→
+  * select(doc.*), `$bucket`/`$bucketAuto`, `$sample`, `$facet`,
+  * `$unionWith`, `$graphLookup` (iterated equi-join BFS),
+  * `$setWindowFields`→Window, `$fill`, `$densify`, and the `$merge`/`$out`
+  * sinks (split off by `GraftCollection.pipe`). 17 accumulators and a
+  * 70+-operator expression sublanguage with `$$var` lambda binding
+  * ([[expr2col]]).
   *
   * Stage order in a `Seq[Map[String, Any]]` pipeline; `$sort` documents use
   * `Seq[(String, Int)]`-style ordering via insertion-ordered maps (pass
@@ -697,6 +703,13 @@ object PipelineCompiler {
       case "$count"    => count(lit(1))
       case "$stdDevPop"  => stddev_pop(expr2col(e))
       case "$stdDevSamp" => stddev_samp(expr2col(e))
+      case "$covariancePop" =>
+        val Seq(a, b) = seqOfExpr(e); covar_pop(a, b)
+      case "$covarianceSamp" =>
+        val Seq(a, b) = seqOfExpr(e); covar_samp(a, b)
+      case "$bitAnd" => bit_and(expr2col(e))
+      case "$bitOr"  => bit_or(expr2col(e))
+      case "$bitXor" => bit_xor(expr2col(e))
       case "$median" => // exact (sort-based) — Mongo 7's t-digest is
         // approximate; exact is the stronger contract and DuckDB-checkable
         percentile(expr2col(doc(e)("input")), lit(0.5))
@@ -730,6 +743,12 @@ object PipelineCompiler {
       case other =>
         throw new IllegalArgumentException(s"unsupported accumulator: $other")
     }
+  }
+
+  private def seqOfExpr(v: Any): Seq[Column] = v match {
+    case s: Seq[_] => s.map(expr2col)
+    case other =>
+      throw new IllegalArgumentException(s"expected expression array: $other")
   }
 
   /** Shared machinery for `$top/$topN/$bottom/$bottomN`: collect

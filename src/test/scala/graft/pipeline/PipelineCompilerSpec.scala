@@ -86,6 +86,24 @@ class PipelineCompilerSpec extends SparkSpec {
       r2.getSeq[Int](1) == Seq(3, 2, 1))
   }
 
+  test("covariance and bitwise accumulators") {
+    val d2 = Seq((1, 2, 6), (1, 4, 3), (2, 8, 5)).toDF("g", "x", "y")
+    val out = PipelineCompiler.compile(Seq(
+      Map("$group" -> Map("_id" -> "$g",
+        "cv" -> Map("$covariancePop" -> Seq("$x", "$y")),
+        "cs" -> Map("$covarianceSamp" -> Seq("$x", "$y")),
+        "ba" -> Map("$bitAnd" -> "$x"),
+        "bo" -> Map("$bitOr" -> "$x"),
+        "bx" -> Map("$bitXor" -> "$x"))),
+      Map("$sort" -> Map("_id" -> 1))))(d2)
+    val r = out.head() // group 1: x=(2,4), y=(6,3)
+    assert(r.getDouble(r.fieldIndex("cv")) == -1.5)
+    assert(r.getDouble(r.fieldIndex("cs")) == -3.0)
+    assert(r.getInt(r.fieldIndex("ba")) == 0) // 2 & 4
+    assert(r.getInt(r.fieldIndex("bo")) == 6) // 2 | 4
+    assert(r.getInt(r.fieldIndex("bx")) == 6) // 2 ^ 4
+  }
+
   test("$match with $expr evaluates aggregation predicates") {
     // cross-field comparison (amt = 10n for every row, so amt >= 10n holds
     // everywhere and amt > 10n nowhere)
