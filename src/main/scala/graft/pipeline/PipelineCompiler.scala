@@ -853,6 +853,8 @@ object PipelineCompiler {
         case "$toInt"    => seq.head.cast("int")
         case "$toLong"   => seq.head.cast("long")
         case "$toDouble" => seq.head.cast("double")
+        case "$toBool"   => seq.head.cast("boolean")
+        case "$toDate"   => seq.head.cast("timestamp")
         case "$trim" => args match {
           case m2: Map[_, _] => trim(expr2colE(doc(m2)("input")))
           case _ => trim(seq.head)
@@ -1005,7 +1007,7 @@ object PipelineCompiler {
         case "$second"    => second(seq.head)
         case "$dayOfYear" => dayofyear(seq.head)
         case "$week"      => weekofyear(seq.head)
-        case "$dateAdd" =>
+        case "$dateAdd" | "$dateSubtract" =>
           // fixed-length units via µs arithmetic (exact, codegen'd);
           // calendar units (month/year) are intentionally unsupported —
           // their length is locale/calendar-dependent
@@ -1015,9 +1017,10 @@ object PipelineCompiler {
             "week" -> 604800000000L)
           val unit = mm("unit").toString
           val m2 = micros.getOrElse(unit, throw new IllegalArgumentException(
-            s"$$dateAdd unit: $unit (fixed-length units only)"))
+            s"$op unit: $unit (fixed-length units only)"))
+          val sign = if (op == "$dateAdd") 1L else -1L
           timestamp_micros(unix_micros(expr2colE(mm("startDate"))) +
-            expr2colE(mm("amount")).cast("long") * m2)
+            expr2colE(mm("amount")).cast("long") * (m2 * sign))
         case "$dateDiff" =>
           // Mongo counts UNIT-BOUNDARY crossings, not elapsed whole units:
           // trunc both ends to the unit, then difference in units

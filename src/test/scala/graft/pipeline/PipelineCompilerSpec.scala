@@ -635,5 +635,23 @@ class ExprLangSpec extends graft.SparkSpec {
     val r = out.select("plus2h", "dDays", "dMins").head()
     assert(r.getTimestamp(0).toString.startsWith("2024-03-16 01:59:30"))
     assert(r.getLong(1) == 1L && r.getLong(2) == 1L)
+    // $dateSubtract inverts $dateAdd exactly
+    val back = PipelineCompiler.compile(Seq(Map("$addFields" -> Map(
+      "t" -> Map("$dateSubtract" -> Map(
+        "startDate" -> Map("$dateAdd" -> Map("startDate" -> "$s",
+          "unit" -> "week", "amount" -> 3)),
+        "unit" -> "week", "amount" -> 3))))))(d2)
+    val rb = back.select("t", "s").head()
+    assert(rb.getTimestamp(0) == rb.getTimestamp(1))
+  }
+
+  test("$toDate / $toBool casts") {
+    val d3 = Seq(("2024-01-02 03:04:05", 1)).toDF("s", "i")
+    val out = PipelineCompiler.compile(Seq(Map("$addFields" -> Map(
+      "ts" -> Map("$toDate" -> "$s"),
+      "b" -> Map("$toBool" -> "$i")))))(d3)
+    val r = out.select("ts", "b").head()
+    assert(r.getTimestamp(0).toString.startsWith("2024-01-02 03:04:05"))
+    assert(r.getBoolean(1))
   }
 }
