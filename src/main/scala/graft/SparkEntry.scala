@@ -941,7 +941,113 @@ object SparkEntry {
           col("_id.max").as("bucket_max"), col("count"))
         .orderBy("bucket_min")
     }),
+
+    // full IVF ANN search: shuffle-free coarse assignment (centroid
+    // constants folded into codegen), nprobe query probing, cell-key
+    // equi-join candidates, exact cosine re-rank
+    "q74_ann_ivf" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      Similarity.ivfTopK(e, e.where(col("vec_id") < 8), "vec_id",
+        "embedding", centroids = e.where(col("vec_id") < 16),
+        k = 10, nprobe = 4)
+        .orderBy("query_id", "rank")
+    }),
+
+    // $vectorSearch pipeline stage: literal query vector folded into the
+    // scan, TakeOrdered top-limit — no join anywhere in the plan
+    "q75_vector_search" -> ((s, dir) =>
+      coll(s, dir, "embeddings").pipe(Seq(
+        Map("$vectorSearch" -> Map("path" -> "embedding",
+          "queryVector" -> q75Vec, "limit" -> 25, "tieBreak" -> "vec_id")),
+        Map("$project" -> Map("vec_id" -> 1))))
+        .orderBy("vec_id")),
+
+    // ISO calendar + date construction/deconstruction expression ops
+    "q76_datetime" -> ((s, dir) =>
+      coll(s, dir, "orders").pipe(Seq(
+        Map("$match" -> Map("o_orderkey" -> Map("$lte" -> 2000))),
+        Map("$addFields" -> Map(
+          "dow" -> Map("$dayOfWeek" -> "$o_orderdate"),
+          "idow" -> Map("$isoDayOfWeek" -> "$o_orderdate"),
+          "iwk" -> Map("$isoWeek" -> "$o_orderdate"),
+          "iwy" -> Map("$isoWeekYear" -> "$o_orderdate"),
+          "rebuilt" -> Map("$dateFromParts" -> Map(
+            "year" -> Map("$year" -> "$o_orderdate"),
+            "month" -> Map("$month" -> "$o_orderdate"),
+            "day" -> Map("$dayOfMonth" -> "$o_orderdate"),
+            "hour" -> 12, "minute" -> 30, "second" -> 15,
+            "millisecond" -> 250)))),
+        Map("$addFields" -> Map(
+          "ms" -> Map("$millisecond" -> "$rebuilt"),
+          "parts" -> Map("$dateToParts" -> Map("date" -> "$rebuilt"))))))
+        .select(col("o_orderkey"), col("dow"), col("idow"), col("iwk"),
+          col("iwy"), col("rebuilt"), col("ms"),
+          col("parts.second").as("psec"),
+          col("parts.millisecond").as("pms"))
+        .orderBy("o_orderkey")),
+
+    // trigonometric / logarithmic expression ops; irrational outputs
+    // decimal-rounded in BOTH engines (libm last-ulp differences)
+    "q77_trig" -> ((s, dir) => {
+      def r9(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        c.cast("decimal(18,9)").cast("double")
+      coll(s, dir, "nation").pipe(Seq(
+        Map("$addFields" -> Map(
+          "x" -> Map("$divide" -> Seq("$n_nationkey", 25.0)),
+          "y" -> Map("$divide" -> Seq("$n_nationkey", 10.0)))),
+        Map("$addFields" -> Map(
+          "vsin" -> Map("$sin" -> "$y"), "vcos" -> Map("$cos" -> "$y"),
+          "vtan" -> Map("$tan" -> "$x"),
+          "vasin" -> Map("$asin" -> "$x"), "vacos" -> Map("$acos" -> "$x"),
+          "vatan" -> Map("$atan" -> "$y"),
+          "vatan2" -> Map("$atan2" -> Seq("$y", Map("$add" -> Seq("$x", 1.0)))),
+          "vsinh" -> Map("$sinh" -> "$x"), "vcosh" -> Map("$cosh" -> "$x"),
+          "vtanh" -> Map("$tanh" -> "$x"),
+          "vrad" -> Map("$degreesToRadians" ->
+            Map("$multiply" -> Seq("$n_nationkey", 15))),
+          "vdeg" -> Map("$radiansToDegrees" -> "$x"),
+          "vlog" -> Map("$log" ->
+            Seq(Map("$add" -> Seq("$n_nationkey", 2)), 2.0))))))
+        .select(col("n_nationkey") +: Seq("vsin", "vcos", "vtan", "vasin",
+          "vacos", "vatan", "vatan2", "vsinh", "vcosh", "vtanh", "vrad",
+          "vdeg", "vlog").map(n => r9(col(n)).as(n)): _*)
+        .orderBy("n_nationkey")
+    }),
+
+    // set predicates ($setEquals/$setIsSubset/$allElementsTrue/
+    // $anyElementTrue), array literals, struct field surgery
+    "q78_sets" -> ((s, dir) =>
+      coll(s, dir, "nation").pipe(Seq(
+        Map("$addFields" -> Map(
+          "a" -> Seq(Map("$mod" -> Seq("$n_nationkey", 5)),
+            "$n_regionkey", 2),
+          "b" -> Seq(0, 1, 2, 3, 4),
+          "o" -> Map("x" -> "$n_nationkey", "y" -> "$n_name"))),
+        Map("$addFields" -> Map(
+          "subset" -> Map("$setIsSubset" -> Seq("$a", "$b")),
+          "eq" -> Map("$setEquals" -> Seq("$a",
+            Seq(2, "$n_regionkey", Map("$mod" -> Seq("$n_nationkey", 5))))),
+          "anyBig" -> Map("$anyElementTrue" -> Seq(Map("$map" -> Map(
+            "input" -> "$a", "as" -> "v",
+            "in" -> Map("$gte" -> Seq("$$v", 3)))))),
+          "allNonNeg" -> Map("$allElementsTrue" -> Seq(Map("$map" -> Map(
+            "input" -> "$a", "as" -> "v",
+            "in" -> Map("$gte" -> Seq("$$v", 0)))))),
+          "gf" -> Map("$getField" -> Map("field" -> "y", "input" -> "$o")),
+          "sf" -> Map("$setField" -> Map("field" -> "x", "input" -> "$o",
+            "value" -> Map("$multiply" -> Seq("$n_nationkey", 2)))),
+          "uf" -> Map("$unsetField" ->
+            Map("field" -> "x", "input" -> "$o"))))))
+        .select(col("n_nationkey"), col("subset"), col("eq"),
+          col("anyBig"), col("allNonNeg"), col("gf"),
+          col("sf.x").as("sfx"), col("uf.y").as("ufy"))
+        .orderBy("n_nationkey")),
   )
+
+  /** Deterministic 64-dim query vector for q75 (tenths — exact doubles
+    * that round-trip through SQL text). */
+  private val q75Vec: Seq[Double] =
+    Seq.tabulate(64)(i => ((i * 37) % 19 - 9) / 10.0)
 
   /** Copy one table's parquet into a fresh temp root so write-back queries
     * never touch the shared (read-only) testdata. */
@@ -1031,6 +1137,16 @@ object SparkEntry {
        |  SUM(CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)) AS nb
        |  FROM $pairsFrom, UNNEST(range(1, len(ea)+1)) AS u(i)
        |  GROUP BY ia, ib)""".stripMargin
+
+  /** Flat (left-associated, ascending-index) dot product against literal
+    * constants — the exact FP evaluation order of FloatVecDot. */
+  private def litDotSql(vecExpr: String, v: Seq[Double]): String =
+    v.zipWithIndex.map { case (p, i) =>
+      s"CAST($vecExpr[${i + 1}] AS DOUBLE)*($p)" }.mkString(" + ")
+  private def selfDotSql(vecExpr: String, dim: Int): String =
+    (0 until dim).map { i =>
+      s"CAST($vecExpr[${i + 1}] AS DOUBLE)*CAST($vecExpr[${i + 1}] AS DOUBLE)"
+    }.mkString(" + ")
 
   def oracleSql: Map[String, String] = Map(
     "q01_find" ->
@@ -1238,6 +1354,99 @@ object SparkEntry {
          |  FROM d)
          |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 10
          |ORDER BY query_id, rank""".stripMargin,
+
+    "q74_ann_ivf" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+         |pc AS (
+         |  SELECT e.vec_id AS ia, c.cid AS ib, e.embedding AS ea, c.cv AS eb
+         |  FROM embeddings e CROSS JOIN cents c),
+         |dc AS (SELECT ia, ib,
+         |  SUM(CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)) AS dot,
+         |  SUM(CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE)) AS na,
+         |  SUM(CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)) AS nb
+         |  FROM pc, UNNEST(range(1, len(ea)+1)) AS u(i)
+         |  GROUP BY ia, ib),
+         |asgn AS (SELECT ia, ib AS cell,
+         |  row_number() OVER (PARTITION BY ia
+         |    ORDER BY dot/(sqrt(na)*sqrt(nb)) DESC, ib ASC) AS rn FROM dc),
+         |cellof AS (SELECT ia AS nid, cell FROM asgn WHERE rn = 1),
+         |probes AS (SELECT ia AS qid, cell FROM asgn WHERE ia < 8 AND rn <= 4),
+         |cand AS (
+         |  SELECT p.qid AS ia, c.nid AS ib FROM probes p
+         |  JOIN cellof c ON c.cell = p.cell AND c.nid <> p.qid),
+         |p AS (
+         |  SELECT ia, ib, x.embedding AS ea, y.embedding AS eb FROM cand
+         |  JOIN embeddings x ON x.vec_id = ia
+         |  JOIN embeddings y ON y.vec_id = ib),
+         |${cosineCtes("p")},
+         |r AS (
+         |  SELECT ia AS query_id, ib AS neighbor_id,
+         |    CAST(row_number() OVER (
+         |      PARTITION BY ia ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, ib) AS INT) AS rank
+         |  FROM d)
+         |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "q75_vector_search" -> {
+      val normQ = math.sqrt(q75Vec.map(x => x * x).sum)
+      s"""WITH s AS (SELECT vec_id,
+         |  (${litDotSql("embedding", q75Vec)})
+         |  / (sqrt(${selfDotSql("embedding", 64)}) * $normQ) AS cos
+         |  FROM embeddings),
+         |r AS (SELECT vec_id FROM s ORDER BY cos DESC, vec_id LIMIT 25)
+         |SELECT vec_id FROM r ORDER BY vec_id""".stripMargin
+    },
+
+    "q76_datetime" ->
+      """WITH b AS (
+        |  SELECT o_orderkey,
+        |    CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+        |    CAST(isodow(o_orderdate) AS INT) AS idow,
+        |    CAST(week(o_orderdate) AS INT) AS iwk,
+        |    CAST(isoyear(o_orderdate) AS BIGINT) AS iwy,
+        |    make_timestamp(year(o_orderdate), month(o_orderdate),
+        |      day(o_orderdate), 12, 30, 15.250) AS rebuilt
+        |  FROM orders WHERE o_orderkey <= 2000)
+        |SELECT o_orderkey, dow, idow, iwk, iwy, rebuilt,
+        |  CAST((epoch_us(rebuilt) % 1000000) // 1000 AS INT) AS ms,
+        |  CAST(second(rebuilt) AS BIGINT) AS psec,
+        |  CAST((epoch_us(rebuilt) % 1000000) // 1000 AS BIGINT) AS pms
+        |FROM b ORDER BY o_orderkey""".stripMargin,
+
+    "q77_trig" -> {
+      def r9(e: String): String = s"CAST(CAST($e AS DECIMAL(18,9)) AS DOUBLE)"
+      s"""WITH b AS (SELECT n_nationkey,
+         |  CAST(n_nationkey AS DOUBLE)/25.0 AS x,
+         |  CAST(n_nationkey AS DOUBLE)/10.0 AS y FROM nation)
+         |SELECT n_nationkey,
+         |  ${r9("sin(y)")} AS vsin, ${r9("cos(y)")} AS vcos,
+         |  ${r9("tan(x)")} AS vtan,
+         |  ${r9("asin(x)")} AS vasin, ${r9("acos(x)")} AS vacos,
+         |  ${r9("atan(y)")} AS vatan, ${r9("atan2(y, x + 1.0)")} AS vatan2,
+         |  ${r9("(exp(x) - exp(-x)) / 2.0")} AS vsinh,
+         |  ${r9("(exp(x) + exp(-x)) / 2.0")} AS vcosh,
+         |  ${r9("(exp(x) - exp(-x)) / (exp(x) + exp(-x))")} AS vtanh,
+         |  ${r9("radians(n_nationkey * 15)")} AS vrad,
+         |  ${r9("degrees(x)")} AS vdeg,
+         |  ${r9("ln(n_nationkey + 2) / ln(2.0)")} AS vlog
+         |FROM b ORDER BY n_nationkey""".stripMargin
+    },
+
+    "q78_sets" ->
+      """WITH b AS (SELECT n_nationkey, n_name, n_regionkey,
+        |  [n_nationkey % 5, n_regionkey, 2] AS a,
+        |  [0, 1, 2, 3, 4] AS bb FROM nation)
+        |SELECT n_nationkey,
+        |  len(list_filter(list_distinct(a), v -> NOT list_contains(bb, v))) = 0 AS subset,
+        |  list_sort(list_distinct(a)) =
+        |    list_sort(list_distinct([2, n_regionkey, n_nationkey % 5])) AS eq,
+        |  len(list_filter(a, v -> v >= 3)) > 0 AS "anyBig",
+        |  len(list_filter(a, v -> v >= 0)) = len(a) AS "allNonNeg",
+        |  n_name AS gf,
+        |  CAST(n_nationkey * 2 AS INT) AS sfx,
+        |  n_name AS ufy
+        |FROM b ORDER BY n_nationkey""".stripMargin,
 
     "q25_langid" -> {
       val scores = TextFunctions.LangMarkers.map { case (lang, ms) =>

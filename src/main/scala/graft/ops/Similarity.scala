@@ -142,4 +142,63 @@ object Similarity {
       .where(col("rn") === 1)
       .drop("centv", "cos", "rn")
   }
+
+  /** Per-row array of (cosine-to-centroid, -centroid_id) structs with the
+    * centroid constants folded into the generated code — struct ordering
+    * is lexicographic, so max = highest cosine with smallest-id tie-break.
+    * Zero shuffle: a pure map fused into the scan. */
+  private def cellScores(vec: Column, cents: Seq[(Long, Array[Double])])
+      : Column =
+    array(cents.map { case (cid, cv) =>
+      val plane = typedlit(cv)
+      struct(cosine(vec, plane).as("c"), lit(-cid).as("nid"))
+    }: _*)
+
+  /** Full IVF (inverted-file) ANN search: every corpus vector lives in
+    * exactly ONE cell (its nearest centroid); every query probes its
+    * `nprobe` nearest cells; candidates meet on a cell-id equi-join and
+    * exact cosine re-ranks. Like `lshTopK` this is approximate (recall
+    * depends on nprobe / centroid quality) but the plan is the 100 TB
+    * shape: assignment is shuffle-free (centroid constants are folded into
+    * codegen), the only joins are a broadcast of the probed queries and a
+    * cell-key equi-join — never |corpus|·|queries|.
+    *
+    * `centroids` must be broadcast-small (they are collected to the driver
+    * and embedded as literals, exactly like the LSH plane constants).
+    * Output: (query_id, neighbor_id, rank). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, centroids: DataFrame, k: Int, nprobe: Int = 4)
+      : DataFrame = {
+    val cents: Seq[(Long, Array[Double])] =
+      centroids.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+        .collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1)
+    require(cents.nonEmpty, "ivfTopK: empty centroid set")
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    // corpus → its single nearest cell (argmax via array_max on structs)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .repartition(par)
+      .withColumn("cell",
+        -array_max(cellScores(col("cv"), cents)).getField("nid"))
+      .withColumn("cn", vec_dot(col("cv"), col("cv")))
+    // queries → nprobe nearest cells (sort scores desc, take nprobe, explode)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qn", vec_dot(col("qv"), col("qv")))
+      .withColumn("probe", explode(slice(
+        reverse(array_sort(cellScores(col("qv"), cents))), 1, nprobe)))
+      .withColumn("cell", -col("probe").getField("nid"))
+      .drop("probe")
+    // a corpus row has ONE cell and a query probes DISTINCT cells, so a
+    // (query, neighbor) pair appears at most once — no distinct needed
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        cosineFromParts(vec_dot(col("qv"), col("cv")), col("qn"), col("cn")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
 }

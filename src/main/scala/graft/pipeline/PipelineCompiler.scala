@@ -225,6 +225,40 @@ object PipelineCompiler {
         val seed = d.get("seed").map(s => int(s).toLong).getOrElse(42L)
         df.orderBy(rand(seed)).limit(n)
 
+      case "$vectorSearch" =>
+        // Atlas-style vector search as a pipeline stage: cosine similarity
+        // of `path` against a literal query vector, top-`limit` rows.
+        // The query vector folds into codegen (native FloatVecDot), so the
+        // scan streams once with no join at all — the 100 TB plan is a
+        // TakeOrderedAndProject over the scan. `numCandidates` is accepted
+        // for API parity (this stage is exact, a superset of the ANN
+        // contract); `tieBreak` (extension) names a column that makes the
+        // limit boundary deterministic; `scoreField` (extension) keeps the
+        // cosine score in the output.
+        val d = doc(spec)
+        val path = d("path").toString
+        val qv = d("queryVector") match {
+          case s: Seq[_] => s.map {
+            case n: Number => n.doubleValue()
+            case other =>
+              throw new IllegalArgumentException(s"$$vectorSearch: $other")
+          }.toArray
+          case other =>
+            throw new IllegalArgumentException(s"$$vectorSearch queryVector: $other")
+        }
+        val limit = int(d.getOrElse("limit",
+          throw new IllegalArgumentException("$vectorSearch requires limit")))
+        val score = graft.ops.Similarity.cosine(col(path), typedlit(qv))
+        val ordered = d.get("tieBreak") match {
+          case Some(t) => df.orderBy(score.desc, col(t.toString).asc)
+          case None    => df.orderBy(score.desc)
+        }
+        val limited = ordered.limit(limit)
+        d.get("scoreField") match {
+          case Some(f) => limited.withColumn(f.toString, score)
+          case None    => limited
+        }
+
       case "$facet" =>
         // Mongo $facet: every sub-pipeline consumes the same input; the
         // output is ONE row with one array-of-docs column per facet. Each
@@ -972,6 +1006,28 @@ object PipelineCompiler {
           array_sort(array_distinct(seq.reduce(array_intersect)))
         case "$setDifference" =>
           val Seq(a, b) = seq; array_sort(array_distinct(array_except(a, b)))
+        case "$setEquals" => // pairwise set equality across all args
+          val norm = seq.map(c => array_sort(array_distinct(c)))
+          norm.zip(norm.tail).map { case (a, b) => a === b }.reduce(_ && _)
+        case "$setIsSubset" =>
+          val Seq(a, b) = seq
+          forall(array_distinct(a), x => array_contains(b, x))
+        case "$allElementsTrue" =>
+          forall(seq.head, x => x.cast("boolean"))
+        case "$anyElementTrue" =>
+          exists(seq.head, x => x.cast("boolean"))
+
+        // ---- document (struct) field surgery ----
+        case "$getField" =>
+          val mm = doc(args)
+          expr2colE(mm("input")).getField(mm("field").toString)
+        case "$setField" =>
+          val mm = doc(args)
+          expr2colE(mm("input")).withField(mm("field").toString,
+            expr2colE(mm("value")))
+        case "$unsetField" =>
+          val mm = doc(args)
+          expr2colE(mm("input")).dropFields(mm("field").toString)
 
         // ---- math ----
         case "$pow"   => val Seq(a, b) = seq; pow(a, b)
@@ -979,6 +1035,20 @@ object PipelineCompiler {
         case "$exp"   => exp(seq.head)
         case "$ln"    => log(seq.head)
         case "$log10" => log10(seq.head)
+        case "$log"   => // arbitrary base: ln(n)/ln(base), base may be an expr
+          val Seq(n, b) = seq; log(n) / log(b)
+        case "$sin"   => sin(seq.head)
+        case "$cos"   => cos(seq.head)
+        case "$tan"   => tan(seq.head)
+        case "$asin"  => asin(seq.head)
+        case "$acos"  => acos(seq.head)
+        case "$atan"  => atan(seq.head)
+        case "$atan2" => val Seq(y, x) = seq; atan2(y, x)
+        case "$sinh"  => sinh(seq.head)
+        case "$cosh"  => cosh(seq.head)
+        case "$tanh"  => tanh(seq.head)
+        case "$degreesToRadians" => radians(seq.head)
+        case "$radiansToDegrees" => degrees(seq.head)
         case "$trunc" => args match {
           case s: Seq[_] if s.size == 2 => // truncate toward zero at place p
             val p = math.pow(10, s(1).asInstanceOf[Number].intValue())
@@ -1007,6 +1077,42 @@ object PipelineCompiler {
         case "$second"    => second(seq.head)
         case "$dayOfYear" => dayofyear(seq.head)
         case "$week"      => weekofyear(seq.head)
+        case "$dayOfWeek" => dayofweek(seq.head) // 1 = Sunday (Mongo parity)
+        case "$isoDayOfWeek" => // 1 = Monday … 7 = Sunday
+          (dayofweek(seq.head) + lit(5)) % 7 + 1
+        case "$isoWeek" => weekofyear(seq.head) // Spark weekofyear IS ISO
+        case "$isoWeekYear" =>
+          // the ISO week-numbering year = calendar year of that week's
+          // Thursday (shift to Thursday, take its year)
+          val d0 = seq.head.cast("date")
+          val isoDow = (dayofweek(d0) + lit(5)) % 7 + 1
+          year(date_add(d0, (lit(4) - isoDow).cast("int"))).cast("long")
+        case "$millisecond" =>
+          (pmod(unix_micros(seq.head.cast("timestamp")), lit(1000000L)) /
+            1000).cast("int")
+        case "$dateFromParts" =>
+          val mm = doc(args)
+          def part(k: String, dflt: Int): Column =
+            mm.get(k).map(expr2colE).getOrElse(lit(dflt))
+          val ts = call_function("make_timestamp",
+            part("year", 1970).cast("int"), part("month", 1).cast("int"),
+            part("day", 1).cast("int"), part("hour", 0).cast("int"),
+            part("minute", 0).cast("int"), part("second", 0).cast("int"))
+          mm.get("millisecond") match {
+            case Some(ms) => timestamp_micros(
+              unix_micros(ts) + expr2colE(ms).cast("long") * 1000L)
+            case None => ts
+          }
+        case "$dateToParts" =>
+          val d0 = expr2colE(doc(args)("date"))
+          struct(year(d0).cast("long").as("year"),
+            month(d0).cast("long").as("month"),
+            dayofmonth(d0).cast("long").as("day"),
+            hour(d0).cast("long").as("hour"),
+            minute(d0).cast("long").as("minute"),
+            second(d0).cast("long").as("second"),
+            (pmod(unix_micros(d0.cast("timestamp")), lit(1000000L)) / 1000)
+              .cast("long").as("millisecond"))
         case "$dateAdd" | "$dateSubtract" =>
           // fixed-length units via µs arithmetic (exact, codegen'd);
           // calendar units (month/year) are intentionally unsupported —
@@ -1046,6 +1152,8 @@ object PipelineCompiler {
         case other =>
           throw new IllegalArgumentException(s"unsupported expression: $other")
       }
+    case s: Seq[_] => // array literal of expressions (Mongo's [e1, e2, …])
+      array(s.map(x => expr2col(x, env)): _*)
     case other => lit(QueryCompiler.toScalaLit(other))
   }
 }

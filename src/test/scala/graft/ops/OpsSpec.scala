@@ -151,6 +151,22 @@ class SimilaritySpec extends SparkSpec {
       .collect().toMap
     assert(m(1L) == 100L && m(2L) == 100L && m(3L) == 200L)
   }
+
+  test("ivf top-k probes nprobe cells and re-ranks exactly") {
+    val centroids = Seq((100L, Array(1.0f, 0.0f)), (200L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val q = vecs.where($"vec_id" === 1)
+    // nprobe=1: only the query's own cell (centroid 100 holds ids 1, 2)
+    val near = Similarity.ivfTopK(vecs, q, "vec_id", "embedding",
+      centroids, k = 3, nprobe = 1)
+      .select("neighbor_id").as[Long].collect().toSeq
+    assert(near == Seq(2L))
+    // nprobe=2: both cells — full ranking 2 (cos~1), 3 (cos 0), 4 (cos -1)
+    val all = Similarity.ivfTopK(vecs, q, "vec_id", "embedding",
+      centroids, k = 3, nprobe = 2)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(all == Seq(2L, 3L, 4L))
+  }
 }
 
 class TextFunctionsSpec extends SparkSpec {

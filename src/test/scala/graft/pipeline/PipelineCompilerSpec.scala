@@ -654,4 +654,114 @@ class ExprLangSpec extends graft.SparkSpec {
     assert(r.getTimestamp(0).toString.startsWith("2024-01-02 03:04:05"))
     assert(r.getBoolean(1))
   }
+
+  test("ISO calendar ops: year-boundary weeks") {
+    // 2024-12-30 is a Monday in ISO week 1 of 2025;
+    // 2021-01-01 is a Friday in ISO week 53 of 2020
+    val d = Seq(("2024-12-30"), ("2021-01-01")).toDF("s")
+    val out = PipelineCompiler.compile(Seq(Map("$addFields" -> Map(
+      "d0" -> Map("$toDate" -> "$s"),
+      "dow" -> Map("$dayOfWeek" -> "$s"),
+      "idow" -> Map("$isoDayOfWeek" -> "$s"),
+      "iwk" -> Map("$isoWeek" -> "$s"),
+      "iwy" -> Map("$isoWeekYear" -> "$s")))))(d)
+      .select("s", "dow", "idow", "iwk", "iwy").orderBy("s")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2),
+        r.getInt(3), r.getLong(4))).toSeq
+    assert(out == Seq(("2021-01-01", 6, 5, 53, 2020L),
+      ("2024-12-30", 2, 1, 1, 2025L)))
+  }
+
+  test("$dateFromParts / $dateToParts round-trip with milliseconds") {
+    val d = Seq((2024, 3, 15)).toDF("y", "m", "dd")
+    val out = PipelineCompiler.compile(Seq(
+      Map("$addFields" -> Map("ts" -> Map("$dateFromParts" -> Map(
+        "year" -> "$y", "month" -> "$m", "day" -> "$dd",
+        "hour" -> 7, "minute" -> 8, "second" -> 9,
+        "millisecond" -> 250)))),
+      Map("$addFields" -> Map(
+        "p" -> Map("$dateToParts" -> Map("date" -> "$ts")),
+        "ms" -> Map("$millisecond" -> "$ts")))))(d)
+    val r = out.select("ts", "p.hour", "p.second", "p.millisecond", "ms")
+      .head()
+    assert(r.getTimestamp(0).toString == "2024-03-15 07:08:09.25")
+    assert(r.getLong(1) == 7L && r.getLong(2) == 9L && r.getLong(3) == 250L)
+    assert(r.getInt(4) == 250)
+  }
+
+  test("set predicates and boolean element folds") {
+    val d = Seq((Seq(1, 2, 2), Seq(2, 1), Seq(1, 2, 3))).toDF("a", "b", "c")
+    val out = PipelineCompiler.compile(Seq(Map("$addFields" -> Map(
+      "eqAB" -> Map("$setEquals" -> Seq("$a", "$b")),
+      "eqAC" -> Map("$setEquals" -> Seq("$a", "$c")),
+      "subAB" -> Map("$setIsSubset" -> Seq("$a", "$b")),
+      "subBC" -> Map("$setIsSubset" -> Seq("$b", "$c")),
+      "anyBig" -> Map("$anyElementTrue" -> Seq(Map("$map" -> Map(
+        "input" -> "$a", "as" -> "v",
+        "in" -> Map("$gte" -> Seq("$$v", 2)))))),
+      "allBig" -> Map("$allElementsTrue" -> Seq(Map("$map" -> Map(
+        "input" -> "$a", "as" -> "v",
+        "in" -> Map("$gte" -> Seq("$$v", 2))))))))))(d)
+    val r = out.select("eqAB", "eqAC", "subAB", "subBC", "anyBig", "allBig")
+      .head()
+    assert(r.getBoolean(0) && !r.getBoolean(1) && r.getBoolean(2) &&
+      r.getBoolean(3) && r.getBoolean(4) && !r.getBoolean(5))
+  }
+
+  test("array literals and struct field surgery") {
+    val d = Seq((7, "x")).toDF("n", "s")
+    val out = PipelineCompiler.compile(Seq(
+      Map("$addFields" -> Map(
+        "arr" -> Seq("$n", Map("$multiply" -> Seq("$n", 2)), 99),
+        "o" -> Map("a" -> "$n", "b" -> "$s"))),
+      Map("$addFields" -> Map(
+        "got" -> Map("$getField" -> Map("field" -> "b", "input" -> "$o")),
+        "set" -> Map("$setField" -> Map("field" -> "a", "input" -> "$o",
+          "value" -> 42)),
+        "cut" -> Map("$unsetField" ->
+          Map("field" -> "a", "input" -> "$o"))))))(d)
+    val r = out.select("arr", "got", "set.a", "cut").head()
+    assert(r.getSeq[Int](0) == Seq(7, 14, 99))
+    assert(r.getString(1) == "x")
+    assert(r.getInt(2) == 42)
+    assert(r.getStruct(3).schema.fieldNames.toSeq == Seq("b"))
+  }
+
+  test("trig/log operators match java.lang.Math") {
+    val d = Seq((0.5, 2.0)).toDF("x", "y")
+    val out = PipelineCompiler.compile(Seq(Map("$addFields" -> Map(
+      "s" -> Map("$sin" -> "$x"), "t" -> Map("$tanh" -> "$x"),
+      "a2" -> Map("$atan2" -> Seq("$y", "$x")),
+      "r" -> Map("$degreesToRadians" -> 180),
+      "g" -> Map("$radiansToDegrees" -> Map("$divide" ->
+        Seq(Math.PI, 2.0))),
+      "l" -> Map("$log" -> Seq("$y", 4.0))))))(d)
+    val r = out.select("s", "t", "a2", "r", "g", "l").head()
+    assert(r.getDouble(0) == Math.sin(0.5))
+    assert(r.getDouble(1) == Math.tanh(0.5))
+    assert(r.getDouble(2) == Math.atan2(2.0, 0.5))
+    assert(r.getDouble(3) == Math.PI)
+    assert(math.abs(r.getDouble(4) - 90.0) < 1e-12)
+    assert(math.abs(r.getDouble(5) - 0.5) < 1e-12)
+  }
+}
+
+class VectorSearchStageSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  test("$vectorSearch ranks by cosine, folds the query vector into the scan") {
+    val d = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = PipelineCompiler.compile(Seq(
+      Map("$vectorSearch" -> Map("path" -> "embedding",
+        "queryVector" -> Seq(1.0, 0.0), "limit" -> 2,
+        "tieBreak" -> "vec_id", "scoreField" -> "score"))))(d)
+    val rows = out.select("vec_id", "score").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(math.abs(rows.head.getDouble(1) - 1.0) < 1e-12)
+    // no join anywhere: the plan is scan → project → TakeOrdered
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && plan.contains("TakeOrderedAndProject"))
+  }
 }

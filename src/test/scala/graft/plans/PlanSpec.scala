@@ -94,6 +94,19 @@ class PlanSpec extends SparkSpec {
     assert(explain(brute).contains("BroadcastNestedLoopJoin"))
   }
 
+  test("ivfTopK has no cartesian/nested-loop join (cell-key equi-joins only)") {
+    val e = graft.sources.Tables.table(spark, sf, "embeddings")
+    val df = graft.ops.Similarity.ivfTopK(e,
+      e.where(org.apache.spark.sql.functions.col("vec_id") < 8),
+      "vec_id", "embedding",
+      centroids = e.where(org.apache.spark.sql.functions.col("vec_id") < 16),
+      k = 10, nprobe = 4)
+    val plan = explain(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "IVF candidates must meet on a cell-id equi-join")
+  }
+
   test("simhashNearDup verifies hamming before the distinct exchange") {
     val docs = graft.sources.Tables.table(spark, sf, "documents")
     val df = graft.ops.Dedup.simhashNearDup(docs, "doc_id", "text")
