@@ -11,7 +11,8 @@ import graft.db.TableOps._
 import graft.orchestrate.MigrationApp
 import graft.backup.{Backup, BackupOptions}
 import graft.apm.Apm
-import graft.ops.{Dedup, Similarity, TextFunctions, Multimodal}
+import graft.ops.{Dedup, Similarity, TextFunctions, Multimodal, Chunking,
+  Quantize, Redaction, TfIdf}
 
 /** Driver contract — one `queries` entry + matching DuckDB `oracleSql` per
   * implemented operator from SURVEY.md §2 (plus the LLM-pipeline extension
@@ -1042,6 +1043,51 @@ object SparkEntry {
           col("anyBig"), col("allNonNeg"), col("gf"),
           col("sf.x").as("sfx"), col("uf.y").as("ufy"))
         .orderBy("n_nationkey")),
+
+    // training-pipeline chunking: fixed-size token windows with overlap —
+    // one posexplode fused into the scan, zero shuffles
+    "q79_chunking" -> ((s, dir) =>
+      Chunking.tokenChunks(
+        tbl(s, dir, "documents").where(col("doc_id") < 40),
+        "doc_id", "text", chunkSize = 8, overlap = 2)
+        .orderBy("doc_id", "chunk_idx")),
+
+    // int8 scalar quantization + top-k over the quantized codes: per-vector
+    // scales cancel in cosine, so candidate math is exact integer arithmetic
+    "q80_quantized_ann" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      Quantize.quantizedTopK(e, e.where(col("vec_id") < 8),
+        "vec_id", "embedding", k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // PII redaction: deterministic pii injected into the text (the corpus
+    // itself is synthetic), then redacted + counted per category — one
+    // codegen'd regex pass, zero shuffles
+    "q81_pii_redact" -> ((s, dir) => {
+      val injected = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or 555-123-4567 ssn 123-45-6789 at 10.0.0."),
+        ((col("doc_id") % 250) + 1).cast("string"))
+      tbl(s, dir, "documents").where(col("doc_id") < 50)
+        .select(col("doc_id"),
+          Redaction.redactPii(injected).as("clean"),
+          Redaction.piiCount(injected, "email").cast("long").as("n_email"),
+          Redaction.piiCount(injected, "ssn").cast("long").as("n_ssn"),
+          Redaction.piiCount(injected, "phone").cast("long").as("n_phone"),
+          Redaction.piiCount(injected, "ip").cast("long").as("n_ip"))
+        .orderBy("doc_id")
+    }),
+
+    // TF-IDF top terms per document: one explode + one (doc,term) aggregate
+    // + one term-keyed window — df/N over the WHOLE corpus, output filtered
+    "q82_tfidf" -> ((s, dir) =>
+      TfIdf.topTerms(tbl(s, dir, "documents"), "doc_id", "text", 3)
+        .where(col("doc_id") < 30)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          col("tfidf").cast("decimal(18,9)").cast("double").as("tfidf"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("doc_id", "rank")),
   )
 
   /** Deterministic 64-dim query vector for q75 (tenths — exact doubles
@@ -1447,6 +1493,95 @@ object SparkEntry {
         |  CAST(n_nationkey * 2 AS INT) AS sfx,
         |  n_name AS ufy
         |FROM b ORDER BY n_nationkey""".stripMargin,
+
+    "q79_chunking" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents WHERE doc_id < 40),
+        |st AS (
+        |  SELECT doc_id, t, u.s
+        |  FROM toks, UNNEST(range(1, greatest(len(t) - 2, 1) + 1, 6)) AS u(s)
+        |  WHERE len(t) > 0)
+        |SELECT doc_id, (s - 1) // 6 AS chunk_idx,
+        |  array_to_string(t[s : s + 7], ' ') AS chunk_text,
+        |  least(8, len(t) - s + 1) AS n_tokens
+        |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q80_quantized_ann" ->
+      """WITH base AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |mm AS (
+        |  SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS m
+        |  FROM base),
+        |qq AS (
+        |  SELECT vec_id, CAST(list_transform(e, x -> floor(
+        |    x / (CASE WHEN m > 0 THEN m / 127.0 ELSE 1.0 END) + 0.5))
+        |    AS DOUBLE[]) AS qv
+        |  FROM mm),
+        |n AS (SELECT vec_id, qv, list_dot_product(qv, qv) AS nn FROM qq),
+        |pairs AS (
+        |  SELECT q.vec_id AS ia, c.vec_id AS ib,
+        |    list_dot_product(q.qv, c.qv) AS dot, q.nn AS na, c.nn AS nb
+        |  FROM n q JOIN n c ON c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 8),
+        |r AS (
+        |  SELECT ia AS query_id, ib AS neighbor_id,
+        |    CAST(row_number() OVER (PARTITION BY ia ORDER BY
+        |      CASE WHEN na = 0 OR nb = 0 THEN 0.0
+        |           ELSE dot / (sqrt(na) * sqrt(nb)) END DESC, ib) AS INT)
+        |      AS rank
+        |  FROM pairs)
+        |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "q81_pii_redact" -> {
+      val Seq(email, ssn, phone, ip) = Redaction.Rules.map(_._2)
+      // DuckDB string literals are standard-conforming: '\.' IS backslash-dot
+      def esc(p: String) = p
+      s"""WITH b AS (
+         |  SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |    || '@example.com or 555-123-4567 ssn 123-45-6789 at 10.0.0.'
+         |    || CAST(doc_id % 250 + 1 AS VARCHAR) AS t
+         |  FROM documents WHERE doc_id < 50),
+         |r1 AS (SELECT doc_id, t,
+         |  regexp_replace(t, '${esc(email)}', '<EMAIL>', 'g') AS s1 FROM b),
+         |r2 AS (SELECT doc_id, t, s1,
+         |  regexp_replace(s1, '${esc(ssn)}', '<SSN>', 'g') AS s2 FROM r1),
+         |r3 AS (SELECT doc_id, t, s1, s2,
+         |  regexp_replace(s2, '${esc(phone)}', '<PHONE>', 'g') AS s3 FROM r2)
+         |SELECT doc_id,
+         |  regexp_replace(s3, '${esc(ip)}', '<IP>', 'g') AS clean,
+         |  len(regexp_extract_all(t, '${esc(email)}')) AS n_email,
+         |  len(regexp_extract_all(s1, '${esc(ssn)}')) AS n_ssn,
+         |  len(regexp_extract_all(s2, '${esc(phone)}')) AS n_phone,
+         |  len(regexp_extract_all(s3, '${esc(ip)}')) AS n_ip
+         |FROM r3 ORDER BY doc_id""".stripMargin
+    },
+
+    "q82_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+        |wd AS (
+        |  SELECT doc_id, term, tf, COUNT(*) OVER (PARTITION BY term) AS df
+        |  FROM tf),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |sc AS (
+        |  SELECT doc_id, term, tf, df,
+        |    tf * (ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)) + 1.0) AS tfidf
+        |  FROM wd, n),
+        |r AS (
+        |  SELECT doc_id, term, tf, df, tfidf,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY tfidf DESC, term) AS rank
+        |  FROM sc)
+        |SELECT doc_id, term, tf, df,
+        |  CAST(CAST(tfidf AS DECIMAL(18,9)) AS DOUBLE) AS tfidf, rank
+        |FROM r WHERE rank <= 3 AND doc_id < 30
+        |ORDER BY doc_id, rank""".stripMargin,
 
     "q25_langid" -> {
       val scores = TextFunctions.LangMarkers.map { case (lang, ms) =>

@@ -1,0 +1,137 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DataPipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- Chunking ----
+
+  private lazy val docs = Seq(
+    (1L, "a b c d e f g h i j"), // 10 tokens
+    (2L, "x y z"),               // 3 tokens
+    (3L, ""),                    // 0 tokens — no chunks
+    (4L, "only four small words")
+  ).toDF("doc_id", "text")
+
+  test("tokenChunks covers all tokens with overlap, no redundant tail") {
+    val out = Chunking.tokenChunks(docs, "doc_id", "text", 8, overlap = 2)
+      .orderBy("doc_id", "chunk_idx")
+      .as[(Long, Long, String, Long)].collect()
+    // doc 1: 10 tokens, size 8, stride 6 -> starts 1,7
+    assert(out.filter(_._1 == 1L).map(_._3).toSeq ==
+      Seq("a b c d e f g h", "g h i j"))
+    assert(out.filter(_._1 == 1L).map(_._4).toSeq == Seq(8L, 4L))
+    // doc 2: 3 tokens -> one short chunk
+    assert(out.filter(_._1 == 2L).map(_._3).toSeq == Seq("x y z"))
+    // doc 3: empty -> nothing
+    assert(!out.exists(_._1 == 3L))
+    // chunk_idx is 0-based consecutive
+    assert(out.filter(_._1 == 1L).map(_._2).toSeq == Seq(0L, 1L))
+  }
+
+  test("tokenChunks without overlap emits ceil(n/size) chunks") {
+    val out = Chunking.tokenChunks(docs, "doc_id", "text", 3)
+      .where($"doc_id" === 1L)
+    assert(out.count() == 4) // 10 tokens / 3 -> 3,3,3,1
+    assert(out.agg(sum("n_tokens")).as[Long].head() == 10L)
+  }
+
+  test("tokenChunks rejects overlap >= chunkSize") {
+    intercept[IllegalArgumentException] {
+      Chunking.tokenChunks(docs, "doc_id", "text", 4, overlap = 4)
+    }
+  }
+
+  // ---- Quantize ----
+
+  private lazy val vecs = Seq(
+    (1L, Array(1.0f, -2.0f, 0.5f, 4.0f)),
+    (2L, Array(1.1f, -2.1f, 0.4f, 3.9f)),   // near vec 1
+    (3L, Array(-4.0f, 0.0f, 2.0f, -1.0f)),  // far from vec 1
+    (4L, Array(0.0f, 0.0f, 0.0f, 0.0f))     // zero vector
+  ).toDF("vec_id", "embedding")
+
+  test("quantizeInt8 codes are in [-127,127], max component hits ±127") {
+    val q = Quantize.quantizeInt8(vecs, "embedding")
+      .select($"vec_id", $"qvec", $"qscale").as[(Long, Seq[Int], Double)]
+      .collect().sortBy(_._1)
+    assert(q.forall(_._2.forall(c => c >= -127 && c <= 127)))
+    // scale = 4/127; -2 -> -63.5, half-away-from-neg-inf rounds up to -63
+    assert(q(0)._2 == Seq(32, -63, 16, 127))
+    assert(q(3)._2 == Seq(0, 0, 0, 0) && q(3)._3 == 1.0) // zero vec
+  }
+
+  test("quantized reconstruction error is bounded by scale/2") {
+    val q = Quantize.quantizeInt8(vecs, "embedding")
+      .select($"embedding".cast("array<double>"), $"qvec", $"qscale")
+      .as[(Seq[Double], Seq[Int], Double)].collect()
+    for ((orig, codes, scale) <- q; (x, c) <- orig.zip(codes))
+      assert(math.abs(x - c * scale) <= scale / 2 + 1e-12)
+  }
+
+  test("quantizedTopK ranks the near neighbor first, skips self") {
+    val out = Quantize.quantizedTopK(vecs,
+        vecs.where($"vec_id" === 1L), "vec_id", "embedding", k = 3)
+      .as[(Long, Long, Int)].collect().sortBy(_._3)
+    // vec 2 nearly parallel; zero vec 4 scores 0.0; vec 3 is anti-correlated
+    assert(out.map(_._2).toSeq == Seq(2L, 4L, 3L))
+    assert(out.forall(_._1 == 1L) && !out.exists(_._2 == 1L))
+  }
+
+  // ---- Redaction ----
+
+  test("redactPii replaces all categories globally, in rule order") {
+    val txt = "mail a@b.com and c.d@e.org call 555-123-4567 or 555.123.4567" +
+      " ssn 123-45-6789 host 10.0.0.1"
+    val out = spark.range(1).select(Redaction.redactPii(lit(txt)))
+      .as[String].head()
+    assert(out == "mail <EMAIL> and <EMAIL> call <PHONE> or <PHONE>" +
+      " ssn <SSN> host <IP>")
+  }
+
+  test("piiCount counts per category without double-counting overlaps") {
+    val txt = "a@b.com 123-45-6789 555-123-4567 10.0.0.1 a@b.com"
+    val df = spark.range(1).select(
+      Redaction.piiCount(lit(txt), "email").as("e"),
+      Redaction.piiCount(lit(txt), "ssn").as("s"),
+      Redaction.piiCount(lit(txt), "phone").as("p"),
+      Redaction.piiCount(lit(txt), "ip").as("i"))
+    assert(df.as[(Int, Int, Int, Int)].head() == ((2, 1, 1, 1)))
+  }
+
+  test("piiCount rejects unknown categories") {
+    intercept[IllegalArgumentException] {
+      Redaction.piiCount(lit("x"), "nope")
+    }
+  }
+
+  // ---- TfIdf ----
+
+  private lazy val corpus = Seq(
+    (1L, "apple banana apple"),
+    (2L, "banana cherry"),
+    (3L, "cherry cherry durian")
+  ).toDF("doc_id", "text")
+
+  test("tfidf computes tf, df, and smooth idf") {
+    val rows = TfIdf.tfidf(corpus, "doc_id", "text")
+      .as[(Long, String, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    assert(rows((1L, "apple"))._1 == 2L)   // tf
+    assert(rows((1L, "banana"))._2 == 2L)  // df: docs 1 and 2
+    assert(rows((3L, "durian"))._2 == 1L)
+    val expected = 2.0 * (math.log(4.0 / 2.0) + 1.0) // tf=2, N=3, df=1
+    assert(math.abs(rows((1L, "apple"))._3 - expected) < 1e-12)
+  }
+
+  test("topTerms is deterministic with term-asc tie-break") {
+    val top = TfIdf.topTerms(corpus, "doc_id", "text", 1)
+      .select("doc_id", "term").as[(Long, String)].collect().toMap
+    assert(top(1L) == "apple")
+    assert(top(3L) == "cherry")
+    // doc 2: banana and cherry tie (tf=1, df=2) -> banana wins alphabetically
+    assert(top(2L) == "banana")
+  }
+}
