@@ -12,7 +12,7 @@ import graft.orchestrate.MigrationApp
 import graft.backup.{Backup, BackupOptions}
 import graft.apm.Apm
 import graft.ops.{Dedup, Similarity, TextFunctions, Multimodal, Chunking,
-  Quantize, Redaction, TfIdf}
+  Quantize, Redaction, TfIdf, TextSearch}
 
 /** Driver contract — one `queries` entry + matching DuckDB `oracleSql` per
   * implemented operator from SURVEY.md §2 (plus the LLM-pipeline extension
@@ -1079,6 +1079,60 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // regex find/findAll, checked $convert, $dateFromString, byte-level
+    // string ops — all codegen'd scalar expressions, zero shuffles
+    "q83_string_convert" -> ((s, dir) => {
+      val rf = Map("$regexFind" ->
+        Map("input" -> "$p_brand", "regex" -> "#([0-9]+)"))
+      coll(s, dir, "part").pipe(Seq(
+        Map("$match" -> Map("p_partkey" -> Map("$lte" -> 500))),
+        Map("$addFields" -> Map(
+          "rf_match" -> Map("$getField" ->
+            Map("field" -> "match", "input" -> rf)),
+          "cap" -> Map("$arrayElemAt" -> Seq(Map("$getField" ->
+            Map("field" -> "captures", "input" -> rf)), 0)),
+          "rfa" -> Map("$regexFindAll" ->
+            Map("input" -> "$p_name", "regex" -> "[a-z]{4,}")),
+          "bnum" -> Map("$convert" -> Map(
+            "input" -> Map("$arrayElemAt" -> Seq(Map("$getField" ->
+              Map("field" -> "captures", "input" -> rf)), 0)),
+            "to" -> "int")),
+          "conv_err" -> Map("$convert" -> Map("input" -> "$p_type",
+            "to" -> "int", "onError" -> -1)),
+          "parsed" -> Map("$dateFromString" -> Map(
+            "dateString" -> Map("$concat" -> Seq("2024-0", Map("$toString" ->
+              Map("$add" -> Seq(Map("$mod" -> Seq("$p_size", 9)), 1))),
+              "-15")),
+            "format" -> "%Y-%m-%d")),
+          "blen" -> Map("$strLenBytes" -> "$p_name"),
+          "bsub" -> Map("$substrBytes" -> Seq("$p_name", 2, 6))))))
+        .select(col("p_partkey"), col("rf_match"), col("cap"), col("rfa"),
+          col("bnum"), col("conv_err"), col("parsed"),
+          col("blen").cast("long").as("blen"), col("bsub"))
+        .orderBy("p_partkey")
+    }),
+
+    // bitwise query predicates + $type through the query compiler
+    "q84_query_bits_type" -> ((s, dir) =>
+      coll(s, dir, "part").find(Map(
+        "p_size" -> Map("$bitsAllSet" -> Seq(0, 2)),
+        "p_partkey" -> Map("$bitsAnyClear" -> 6),
+        "p_name" -> Map("$type" -> "string"),
+        "p_retailprice" -> Map("$type" -> "double")))
+        .sort("p_partkey")
+        .select("p_partkey", "p_size")
+        .toDF),
+
+    // BM25 keyword retrieval: query-term filter fused into the explode,
+    // broadcast corpus stats, term-window df, decimal-exact score sum
+    "q85_bm25" -> ((s, dir) =>
+      TextSearch.bm25(tbl(s, dir, "documents"), "doc_id", "text",
+        Seq("data", "query", "spark"), k = 20)
+        .select(col("doc_id"),
+          col("score").cast("decimal(18,9)").cast("double").as("score"),
+          col("matched"))
+        .orderBy(col("score").desc, col("doc_id"))),
+
     // TF-IDF top terms per document: one explode + one (doc,term) aggregate
     // + one term-keyed window — df/N over the WHOLE corpus, output filtered
     "q82_tfidf" -> ((s, dir) =>
@@ -1557,6 +1611,54 @@ object SparkEntry {
          |  len(regexp_extract_all(s3, '${esc(ip)}')) AS n_ip
          |FROM r3 ORDER BY doc_id""".stripMargin
     },
+
+    "q85_bm25" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM tk),
+        |hits AS (
+        |  SELECT doc_id, dl, term, COUNT(*) AS tf FROM toks
+        |  WHERE term IN ('data', 'query', 'spark')
+        |  GROUP BY doc_id, dl, term),
+        |wd AS (
+        |  SELECT doc_id, dl, term, tf,
+        |    COUNT(*) OVER (PARTITION BY term) AS df
+        |  FROM hits),
+        |stats AS (
+        |  SELECT COUNT(*) AS n_docs, avg(CAST(len(t) AS DOUBLE)) AS avgdl
+        |  FROM tk),
+        |sc AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CAST(
+        |      ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * 2.2)
+        |      / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+        |      AS DECIMAL(28,12))) AS DOUBLE) AS score,
+        |    COUNT(*) AS matched
+        |  FROM wd, stats GROUP BY doc_id)
+        |SELECT doc_id, CAST(CAST(score AS DECIMAL(18,9)) AS DOUBLE) AS score,
+        |  matched
+        |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q83_string_convert" ->
+      """SELECT p_partkey,
+        |  regexp_extract(p_brand, '#([0-9]+)', 0) AS rf_match,
+        |  regexp_extract(p_brand, '#([0-9]+)', 1) AS cap,
+        |  regexp_extract_all(p_name, '[a-z]{4,}') AS rfa,
+        |  CAST(regexp_extract(p_brand, '#([0-9]+)', 1) AS INT) AS bnum,
+        |  COALESCE(TRY_CAST(p_type AS INT), -1) AS conv_err,
+        |  strptime('2024-0' || CAST(p_size % 9 + 1 AS VARCHAR) || '-15',
+        |    '%Y-%m-%d') AS parsed,
+        |  strlen(p_name) AS blen,
+        |  substr(p_name, 3, 6) AS bsub
+        |FROM part WHERE p_partkey <= 500 ORDER BY p_partkey""".stripMargin,
+
+    "q84_query_bits_type" ->
+      """SELECT p_partkey, p_size FROM part
+        |WHERE (p_size & 5) = 5 AND (p_partkey & 6) <> 6
+        |ORDER BY p_partkey""".stripMargin,
 
     "q82_tfidf" ->
       """WITH toks AS (

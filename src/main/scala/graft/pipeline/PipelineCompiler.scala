@@ -718,6 +718,13 @@ object PipelineCompiler {
     case other => throw new IllegalArgumentException(s"expected int: $other")
   }
 
+  /** Mongo `%Y-%m-%d`-style date format -> Java datetime pattern
+    * (shared by `$dateToString` and `$dateFromString`). */
+  private def mongoDateFmt(f: String): String = f
+    .replace("%Y", "yyyy").replace("%m", "MM").replace("%d", "dd")
+    .replace("%H", "HH").replace("%M", "mm").replace("%S", "ss")
+    .replace("%L", "SSS").replace("%j", "DDD")
+
   /** Group accumulators: {$sum: expr} etc. */
   private def accumulator(acc: Map[String, Any]): Column = {
     require(acc.size == 1, s"accumulator must have one key: $acc")
@@ -867,10 +874,7 @@ object PipelineCompiler {
           date_trunc(mm("unit").toString, expr2colE(mm("date")))
         case "$dateToString" =>
           val mm = doc(args)
-          // Mongo %Y-%m-%d style -> java pattern
-          val fmt = mm.getOrElse("format", "%Y-%m-%d").toString
-            .replace("%Y", "yyyy").replace("%m", "MM").replace("%d", "dd")
-            .replace("%H", "HH").replace("%M", "mm").replace("%S", "ss")
+          val fmt = mongoDateFmt(mm.getOrElse("format", "%Y-%m-%d").toString)
           date_format(expr2colE(mm("date")), fmt)
         case "$switch" =>
           val mm = doc(args)
@@ -889,6 +893,28 @@ object PipelineCompiler {
         case "$toDouble" => seq.head.cast("double")
         case "$toBool"   => seq.head.cast("boolean")
         case "$toDate"   => seq.head.cast("timestamp")
+        case "$convert" => // checked cast with onError / onNull branches
+          val mm = doc(args)
+          val in = expr2colE(mm("input"))
+          val to = Map("double" -> "double", "string" -> "string",
+            "bool" -> "boolean", "date" -> "timestamp", "int" -> "int",
+            "long" -> "long", "decimal" -> "decimal(38,10)")
+            .getOrElse(mm("to").toString, throw new IllegalArgumentException(
+              s"$$convert to: ${mm("to")}"))
+          val casted = in.try_cast(to) // null instead of ANSI cast error
+          val onErr = mm.get("onError")
+            .map(e => coalesce(casted, expr2colE(e))).getOrElse(casted)
+          mm.get("onNull") match {
+            case Some(nv) => when(in.isNull, expr2colE(nv)).otherwise(onErr)
+            case None     => onErr
+          }
+        case "$dateFromString" =>
+          val mm = doc(args)
+          val ds = expr2colE(mm("dateString"))
+          mm.get("format") match {
+            case Some(f) => to_timestamp(ds, mongoDateFmt(f.toString))
+            case None    => to_timestamp(ds)
+          }
         case "$trim" => args match {
           case m2: Map[_, _] => trim(expr2colE(doc(m2)("input")))
           case _ => trim(seq.head)
@@ -1071,6 +1097,25 @@ object PipelineCompiler {
           val mm = doc(args)
           call_function("replace", expr2colE(mm("input")),
             expr2colE(mm("find")), expr2colE(mm("replacement")))
+        case "$regexFind" => // {match, captures} struct, null when no match
+          val mm = doc(args)
+          val pat = mm("regex").toString
+          val in = expr2colE(mm("input"))
+          val nGroups =
+            java.util.regex.Pattern.compile(pat).matcher("").groupCount()
+          val caps = array((1 to nGroups)
+            .map(g => regexp_extract(in, pat, g)): _*)
+          when(in.rlike(pat),
+            struct(regexp_extract(in, pat, 0).as("match"),
+              caps.as("captures")))
+        case "$regexFindAll" => // array of full matches, in order
+          val mm = doc(args)
+          regexp_extract_all(expr2colE(mm("input")),
+            lit(mm("regex").toString), lit(0))
+        case "$strLenBytes" | "$binarySize" => octet_length(seq.head)
+        case "$substrBytes" => // 0-indexed byte offsets over the UTF-8 form
+          val Seq(s2, i, n2) = seq
+          s2.cast("binary").substr(i + lit(1), n2).cast("string")
 
         // ---- dates ----
         case "$minute"    => minute(seq.head)

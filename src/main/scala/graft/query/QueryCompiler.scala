@@ -13,7 +13,9 @@ import org.apache.spark.sql.functions._
   * Supported surface (superset of what anser itself uses — equality, `$gt`,
   * `$in`, implicit AND, dotted paths; see SURVEY.md §2.2):
   * `$eq $ne $gt $gte $lt $lte $in $nin $exists $regex $size $all $mod $not
-  * $and $or $nor` and dotted nested paths (bsonutil/helpers.go:7-9 analog).
+  * $and $or $nor $expr $elemMatch $type $bitsAllSet $bitsAnySet
+  * $bitsAllClear $bitsAnyClear` and dotted nested paths
+  * (bsonutil/helpers.go:7-9 analog).
   *
   * Query documents are plain Scala `Map[String, Any]`; values may be String,
   * Boolean, numeric, java.sql.Timestamp / java.time.Instant / LocalDate,
@@ -81,6 +83,25 @@ object QueryCompiler {
           }.reduce(_ && _))
         case other => array_contains(c, toLit(other))
       }
+      // bitwise predicates: mask is a number or an array of bit positions
+      case "$bitsAllSet"   => c.bitwiseAND(bitmask(v)) === bitmask(v)
+      case "$bitsAnySet"   => c.bitwiseAND(bitmask(v)) =!= lit(0L)
+      case "$bitsAllClear" => c.bitwiseAND(bitmask(v)) === lit(0L)
+      case "$bitsAnyClear" => c.bitwiseAND(bitmask(v)) =!= bitmask(v)
+      // $type against the (static) Spark type; "null" matches null values
+      case "$type" => v match {
+        case "null" => c.isNull
+        case t: String =>
+          val prefix = Map(
+            "string" -> "string", "int" -> "int", "long" -> "bigint",
+            "double" -> "double", "bool" -> "boolean", "decimal" -> "decimal",
+            "date" -> "timestamp", "array" -> "array", "object" -> "struct")
+            .getOrElse(t, throw new IllegalArgumentException(
+              s"unsupported $$type alias: $t"))
+          c.isNotNull && call_function("typeof", c).startsWith(prefix)
+        case other =>
+          throw new IllegalArgumentException(s"$$type expects a string: $other")
+      }
       case other =>
         throw new IllegalArgumentException(s"unsupported query operator: $other")
     }
@@ -110,6 +131,19 @@ object QueryCompiler {
       }
     case other => throw new IllegalArgumentException(
       s"$ctx expects a non-empty array, got: $other")
+  }
+
+  /** Bit mask for `$bits*` predicates: a plain number, or an array of bit
+    * positions (Mongo's second form). */
+  private def bitmask(v: Any): Column = v match {
+    case n: Number => lit(n.longValue())
+    case s: Seq[_] => lit(s.map {
+      case p: Number => 1L << p.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$$bits* position must be a number: $other")
+    }.sum)
+    case other =>
+      throw new IllegalArgumentException(s"$$bits* mask: $other")
   }
 
   private def seqOf(v: Any, ctx: String): Seq[Any] = v match {

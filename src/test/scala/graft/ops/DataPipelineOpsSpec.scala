@@ -126,6 +126,34 @@ class DataPipelineOpsSpec extends SparkSpec {
     assert(math.abs(rows((1L, "apple"))._3 - expected) < 1e-12)
   }
 
+  // ---- BM25 ----
+
+  test("bm25 matches the textbook formula and ranks deterministically") {
+    val out = TextSearch.bm25(corpus, "doc_id", "text",
+      Seq("apple", "cherry"), k1 = 1.2, b = 0.75)
+      .as[(Long, Double, Long)].collect()
+    // N=3, avgdl=(3+2+3)/3; df(apple)=1, df(cherry)=2
+    val n = 3.0; val avgdl = 8.0 / 3.0
+    def idf(df: Double) = math.log(1 + (n - df + 0.5) / (df + 0.5))
+    def w(tf: Double, dl: Double, df: Double) =
+      idf(df) * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+    val byId = out.map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(math.abs(byId(1L)._1 - w(2, 3, 1)) < 1e-9) // "apple" ×2
+    assert(math.abs(byId(2L)._1 - w(1, 2, 2)) < 1e-9) // "cherry" ×1
+    assert(math.abs(byId(3L)._1 - w(2, 3, 2)) < 1e-9) // "cherry" ×2
+    assert(byId(1L)._2 == 1L && byId(2L)._2 == 1L)
+    // order: score desc — doc 1 (rare term) first
+    assert(out.head._1 == 1L)
+  }
+
+  test("bm25 top-k keeps only the best k; empty query rejected") {
+    assert(TextSearch.bm25(corpus, "doc_id", "text",
+      Seq("apple", "cherry"), k = 1).count() == 1)
+    intercept[IllegalArgumentException] {
+      TextSearch.bm25(corpus, "doc_id", "text", Seq.empty)
+    }
+  }
+
   test("topTerms is deterministic with term-asc tie-break") {
     val top = TfIdf.topTerms(corpus, "doc_id", "text", 1)
       .select("doc_id", "term").as[(Long, String)].collect().toMap

@@ -764,4 +764,54 @@ class VectorSearchStageSpec extends graft.SparkSpec {
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("Join") && plan.contains("TakeOrderedAndProject"))
   }
+
+  test("$regexFind / $regexFindAll") {
+    val d = Seq(("Clerk#000000951", "many tiny words here")).toDF("clerk", "c")
+    val out = PipelineCompiler.compile(Seq(Map("$addFields" -> Map(
+      "rf" -> Map("$regexFind" ->
+        Map("input" -> "$clerk", "regex" -> "#([0-9]+)")),
+      "none" -> Map("$regexFind" ->
+        Map("input" -> "$c", "regex" -> "[0-9]+")),
+      "rfa" -> Map("$regexFindAll" ->
+        Map("input" -> "$c", "regex" -> "[a-z]{4,}"))))))(d)
+    val r = out.select("rf.match", "rf.captures", "none", "rfa").head()
+    assert(r.getString(0) == "#000000951")
+    assert(r.getSeq[String](1) == Seq("000000951"))
+    assert(r.isNullAt(2))
+    assert(r.getSeq[String](3) == Seq("many", "tiny", "words", "here"))
+  }
+
+  test("$convert honors onError and onNull; $dateFromString parses") {
+    val d = Seq(("12", "abc"), (null, "7")).toDF("a", "b")
+    val out = PipelineCompiler.compile(Seq(Map("$addFields" -> Map(
+      "ca" -> Map("$convert" -> Map("input" -> "$a", "to" -> "int",
+        "onError" -> -1, "onNull" -> -2)),
+      "cb" -> Map("$convert" -> Map("input" -> "$b", "to" -> "int",
+        "onError" -> -1)),
+      "ts" -> Map("$dateFromString" -> Map(
+        "dateString" -> Map("$literal" -> "2024/01/02 03:04"),
+        "format" -> "%Y/%m/%d %H:%M"))))))(d)
+    val rows = out.select("ca", "cb", "ts").collect()
+    assert(rows(0).getInt(0) == 12 && rows(0).getInt(1) == -1)
+    assert(rows(1).getInt(0) == -2 && rows(1).getInt(1) == 7)
+    assert(rows(0).getTimestamp(2).toString.startsWith("2024-01-02 03:04"))
+    intercept[IllegalArgumentException] {
+      PipelineCompiler.expr2col(Map("$convert" ->
+        Map("input" -> "$a", "to" -> "objectId")))
+    }
+  }
+
+  test("byte-level string ops count UTF-8 bytes, not codepoints") {
+    val d = Seq(Tuple1("héllo")).toDF("s") // é is 2 UTF-8 bytes
+    val out = PipelineCompiler.compile(Seq(Map("$addFields" -> Map(
+      "cp" -> Map("$strLenCP" -> "$s"),
+      "by" -> Map("$strLenBytes" -> "$s"),
+      "sb" -> Map("$substrBytes" -> Seq("$s", 0, 3)),
+      "bsz" -> Map("$binarySize" -> "$s")))))(d)
+    val r = out.select("cp", "by", "sb", "bsz").head()
+    assert(r.getInt(0) == 5)
+    assert(r.getInt(1) == 6)
+    assert(r.getString(2) == "hé")
+    assert(r.getInt(3) == 6)
+  }
 }

@@ -82,6 +82,29 @@ class QueryCompilerSpec extends SparkSpec {
       .count() == 3)
   }
 
+  test("$bits* predicates accept masks and bit-position arrays") {
+    // _id bits: 1=0b001, 2=0b010, 3=0b011, 4=0b100
+    assert(ids(Map("_id" -> Map("$bitsAllSet" -> 3))) == Seq(3))
+    assert(ids(Map("_id" -> Map("$bitsAllSet" -> Seq(0)))) == Seq(1, 3))
+    assert(ids(Map("_id" -> Map("$bitsAnySet" -> Seq(1, 2)))) == Seq(2, 3, 4))
+    assert(ids(Map("_id" -> Map("$bitsAllClear" -> 6))) == Seq(1))
+    assert(ids(Map("_id" -> Map("$bitsAnyClear" -> 3))) == Seq(1, 2, 4))
+  }
+
+  test("$type matches the static column type; 'null' matches null values") {
+    assert(ids(Map("cat" -> Map("$type" -> "string"))) == Seq(1, 2, 3, 4))
+    assert(ids(Map("v" -> Map("$type" -> "double"))) == Seq(1, 2, 3, 4))
+    assert(ids(Map("arr" -> Map("$type" -> "array"))) == Seq(1, 2, 3, 4))
+    assert(ids(Map("_id" -> Map("$type" -> "long"))) == Seq(1, 2, 3, 4))
+    assert(ids(Map("v" -> Map("$type" -> "string"))) == Seq())
+    val withNull = df.withColumn("maybe", when($"_id" === 1, lit("x")))
+    assert(withNull.where(QueryCompiler.compile(
+      Map("maybe" -> Map("$type" -> "null")))).count() == 3)
+    intercept[IllegalArgumentException] {
+      QueryCompiler.compile(Map("v" -> Map("$type" -> "objectId")))
+    }
+  }
+
   test("unknown operator rejected") {
     intercept[IllegalArgumentException] {
       QueryCompiler.compile(Map("v" -> Map("$near" -> 1)))
