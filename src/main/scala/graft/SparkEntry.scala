@@ -1112,6 +1112,26 @@ object SparkEntry {
         .orderBy("p_partkey")
     }),
 
+    // document-shape surgery: build maps from entry arrays, merge with
+    // last-wins override, explode back to sorted entries — all Column math
+    "q86_object_surgery" -> ((s, dir) =>
+      coll(s, dir, "nation").pipe(Seq(
+        Map("$addFields" -> Map(
+          "m1" -> Map("$arrayToObject" -> Seq(Seq(
+            Map("k" -> "a", "v" -> Map("$toLong" -> "$n_nationkey")),
+            Map("k" -> "b", "v" -> Map("$toLong" -> "$n_regionkey"))))),
+          "m2" -> Map("$arrayToObject" -> Seq(Seq(
+            Map("k" -> "b", "v" -> Map("$multiply" ->
+              Seq(Map("$toLong" -> "$n_regionkey"), 2L))),
+            Map("k" -> "c", "v" -> 7L)))))),
+        Map("$addFields" -> Map(
+          "ents" -> Map("$sortArray" -> Map(
+            "input" -> Map("$objectToArray" ->
+              Map("$mergeObjects" -> Seq("$m1", "$m2"))),
+            "sortBy" -> 1))))))
+        .select(col("n_nationkey"), col("ents"))
+        .orderBy("n_nationkey")),
+
     // bitwise query predicates + $type through the query compiler
     "q84_query_bits_type" -> ((s, dir) =>
       coll(s, dir, "part").find(Map(
@@ -1654,6 +1674,13 @@ object SparkEntry {
         |  strlen(p_name) AS blen,
         |  substr(p_name, 3, 6) AS bsub
         |FROM part WHERE p_partkey <= 500 ORDER BY p_partkey""".stripMargin,
+
+    "q86_object_surgery" ->
+      """SELECT n_nationkey,
+        |  [struct_pack(k := 'a', v := CAST(n_nationkey AS BIGINT)),
+        |   struct_pack(k := 'b', v := CAST(n_regionkey AS BIGINT) * 2),
+        |   struct_pack(k := 'c', v := CAST(7 AS BIGINT))] AS ents
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
 
     "q84_query_bits_type" ->
       """SELECT p_partkey, p_size FROM part

@@ -1097,6 +1097,19 @@ object PipelineCompiler {
           val mm = doc(args)
           call_function("replace", expr2colE(mm("input")),
             expr2colE(mm("find")), expr2colE(mm("replacement")))
+        case "$objectToArray" => // map -> [{k, v}] entries (insertion order)
+          transform(map_entries(seq.head),
+            e => struct(e.getField("key").as("k"), e.getField("value").as("v")))
+        case "$arrayToObject" => // [{k, v}] -> map
+          val a = args match { // Mongo wraps the array arg: [[{k,v},…]]
+            case Seq(one) => expr2colE(one)
+            case other    => expr2colE(other)
+          }
+          map_from_entries(transform(a,
+            e => struct(e.getField("k"), e.getField("v"))))
+        case "$mergeObjects" => // later documents win on key collision
+          seq.reduce((a, b) => map_concat(
+            map_filter(a, (k, _) => !array_contains(map_keys(b), k)), b))
         case "$regexFind" => // {match, captures} struct, null when no match
           val mm = doc(args)
           val pat = mm("regex").toString

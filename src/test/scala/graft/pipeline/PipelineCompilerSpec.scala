@@ -765,6 +765,25 @@ class VectorSearchStageSpec extends graft.SparkSpec {
     assert(!plan.contains("Join") && plan.contains("TakeOrderedAndProject"))
   }
 
+  test("$objectToArray / $arrayToObject / $mergeObjects last-wins") {
+    val d = Seq((1L, 2L)).toDF("x", "y")
+    val out = PipelineCompiler.compile(Seq(
+      Map("$addFields" -> Map(
+        "m1" -> Map("$arrayToObject" -> Seq(Seq(
+          Map("k" -> "a", "v" -> "$x"), Map("k" -> "b", "v" -> "$y")))),
+        "m2" -> Map("$arrayToObject" -> Seq(Seq(
+          Map("k" -> "b", "v" -> Map("$multiply" -> Seq("$y", 10L))),
+          Map("k" -> "c", "v" -> 7L)))))),
+      Map("$addFields" -> Map(
+        "ents" -> Map("$sortArray" -> Map(
+          "input" -> Map("$objectToArray" ->
+            Map("$mergeObjects" -> Seq("$m1", "$m2"))),
+          "sortBy" -> 1))))))(d)
+    val ents = out.select("ents").head().getSeq[org.apache.spark.sql.Row](0)
+    assert(ents.map(r => (r.getString(0), r.getLong(1))) ==
+      Seq(("a", 1L), ("b", 20L), ("c", 7L))) // b overridden by m2
+  }
+
   test("$regexFind / $regexFindAll") {
     val d = Seq(("Clerk#000000951", "many tiny words here")).toDF("clerk", "c")
     val out = PipelineCompiler.compile(Seq(Map("$addFields" -> Map(
