@@ -534,6 +534,41 @@ object SparkEntry {
         .select("event_id", "event_type", "props").orderBy("event_id")
     }),
 
+    // streaming exact dedup: the source directory holds every event TWICE;
+    // dropDuplicatesWithinWatermark keeps one copy per event_id with
+    // watermark-bounded state (AvailableNow, checkpointed)
+    "q87_streaming_dedup" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-sdedup").toString
+      val ev = tbl(s, dir, "events").select("event_id", "event_type", "ts")
+      ev.write.parquet(s"$tmp/src")
+      ev.write.mode("append").parquet(s"$tmp/src") // duplicate arrival
+      graft.streaming.StreamingMigrations.streamingDedup(
+        graft.streaming.StreamingMigrations.readStream(
+          s, s"$tmp/src", ev.schema), "ts", Seq("event_id"))
+        .writeStream.format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+      s.read.parquet(s"$tmp/out")
+        .select("event_id", "event_type").orderBy("event_id")
+    }),
+
+    // hybrid retrieval: reciprocal-rank fusion of the exact float ranking
+    // and the int8-quantized ranking (rank-only consensus, score-scale-free)
+    "q88_hybrid_rrf" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 8)
+      graft.ops.Hybrid.rrfFuse(Seq(
+        Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 10),
+        Quantize.quantizedTopK(e, q, "vec_id", "embedding", k = 10)),
+        k = 10)
+        .select(col("query_id"), col("neighbor_id"),
+          col("score").cast("decimal(18,9)").cast("double").as("score"),
+          col("fused_rank"))
+        .orderBy("query_id", "fused_rank")
+    }),
+
     // dedup survivor selection: connected components over the MinHash-LSH
     // near-dup pair graph (hash-min label propagation)
     "q50_dedup_clusters" -> ((s, dir) =>
@@ -1674,6 +1709,61 @@ object SparkEntry {
         |  strlen(p_name) AS blen,
         |  substr(p_name, 3, 6) AS bsub
         |FROM part WHERE p_partkey <= 500 ORDER BY p_partkey""".stripMargin,
+
+    "q87_streaming_dedup" ->
+      "SELECT event_id, event_type FROM events ORDER BY event_id",
+
+    "q88_hybrid_rrf" ->
+      s"""WITH p AS (
+         |  SELECT q.vec_id AS ia, c.vec_id AS ib,
+         |    q.embedding AS ea, c.embedding AS eb
+         |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 8),
+         |${cosineCtes("p")},
+         |r1 AS (
+         |  SELECT ia AS query_id, ib AS neighbor_id,
+         |    row_number() OVER (PARTITION BY ia
+         |      ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, ib) AS rank
+         |  FROM d),
+         |qbase AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |qmm AS (
+         |  SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS m
+         |  FROM qbase),
+         |qqv AS (
+         |  SELECT vec_id, CAST(list_transform(e, x -> floor(
+         |    x / (CASE WHEN m > 0 THEN m / 127.0 ELSE 1.0 END) + 0.5))
+         |    AS DOUBLE[]) AS qv
+         |  FROM qmm),
+         |qn AS (SELECT vec_id, qv, list_dot_product(qv, qv) AS nn FROM qqv),
+         |qpairs AS (
+         |  SELECT q.vec_id AS ia, c.vec_id AS ib,
+         |    list_dot_product(q.qv, c.qv) AS dot, q.nn AS na, c.nn AS nb
+         |  FROM qn q JOIN qn c ON c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 8),
+         |r2 AS (
+         |  SELECT ia AS query_id, ib AS neighbor_id,
+         |    row_number() OVER (PARTITION BY ia ORDER BY
+         |      CASE WHEN na = 0 OR nb = 0 THEN 0.0
+         |           ELSE dot / (sqrt(na) * sqrt(nb)) END DESC, ib) AS rank
+         |  FROM qpairs),
+         |u AS (
+         |  SELECT query_id, neighbor_id, rank FROM r1 WHERE rank <= 10
+         |  UNION ALL
+         |  SELECT query_id, neighbor_id, rank FROM r2 WHERE rank <= 10),
+         |f AS (
+         |  SELECT query_id, neighbor_id,
+         |    CAST(SUM(CAST(1.0 / (rank + 60) AS DECIMAL(28,12)))
+         |      AS DOUBLE) AS score
+         |  FROM u GROUP BY query_id, neighbor_id),
+         |o AS (
+         |  SELECT query_id, neighbor_id, score,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, neighbor_id) AS INT) AS fused_rank
+         |  FROM f)
+         |SELECT query_id, neighbor_id,
+         |  CAST(CAST(score AS DECIMAL(18,9)) AS DOUBLE) AS score, fused_rank
+         |FROM o WHERE fused_rank <= 10 ORDER BY query_id, fused_rank""".stripMargin,
 
     "q86_object_surgery" ->
       """SELECT n_nationkey,

@@ -48,6 +48,17 @@ object StreamingMigrations {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming exact deduplication: drop rows whose `keyCols` were already
+    * seen within the watermark horizon — the streaming analog of
+    * [[graft.ops.Dedup.exact]] for continuously arriving corpora. State is
+    * bounded: `dropDuplicatesWithinWatermark` evicts keys older than the
+    * horizon, so at 100 TB/day the state store holds one horizon's keys,
+    * not all history. */
+  def streamingDedup(stream: DataFrame, tsCol: String, keyCols: Seq[String],
+      watermark: String = "1 hour"): DataFrame =
+    stream.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Event-time windowed success/fail/duration rollup with watermark —
     * the streaming analog of Apm.rollup + window rotation. */
   def windowedRollup(events: DataFrame, tsCol: String, keys: Seq[String],

@@ -126,6 +126,24 @@ class DataPipelineOpsSpec extends SparkSpec {
     assert(math.abs(rows((1L, "apple"))._3 - expected) < 1e-12)
   }
 
+  // ---- Hybrid RRF ----
+
+  test("rrfFuse sums reciprocal ranks across rankings, reranks top-k") {
+    val r1 = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
+      .toDF("query_id", "neighbor_id", "rank")
+    val r2 = Seq((1L, 11L, 1), (1L, 10L, 2), (1L, 13L, 3))
+      .toDF("query_id", "neighbor_id", "rank")
+    val out = Hybrid.rrfFuse(Seq(r1, r2), k = 3)
+      .as[(Long, Long, Double, Int)].collect().sortBy(_._4)
+    // 10 and 11 both score 1/61 + 1/62; tie breaks on neighbor id
+    assert(out.map(_._2).toSeq == Seq(10L, 11L, 12L))
+    assert(math.abs(out(0)._3 - (1.0 / 61 + 1.0 / 62)) < 1e-9)
+    assert(out(0)._3 == out(1)._3)
+    // 12 (rank 3 in one list) beats nothing below it but outranks 13 by id
+    assert(math.abs(out(2)._3 - 1.0 / 63) < 1e-9)
+    intercept[IllegalArgumentException] { Hybrid.rrfFuse(Seq.empty, 1) }
+  }
+
   // ---- BM25 ----
 
   test("bm25 matches the textbook formula and ranks deterministically") {

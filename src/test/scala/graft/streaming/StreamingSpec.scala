@@ -37,6 +37,27 @@ class StreamingSpec extends SparkSpec {
     assert(out2.where($"cat" === "done").count() == 2)
   }
 
+  test("streamingDedup keeps one row per key across duplicate arrivals") {
+    val tmp = java.nio.file.Files.createTempDirectory("sdedup").toString
+    val rows = Seq(
+      (1L, "a", "2024-01-01 00:00:01"),
+      (2L, "b", "2024-01-01 00:00:02"))
+      .toDF("_id", "cat", "ts").withColumn("ts", $"ts".cast("timestamp"))
+    rows.write.parquet(s"$tmp/src")
+    rows.write.mode("append").parquet(s"$tmp/src") // same keys again
+    StreamingMigrations.streamingDedup(
+      StreamingMigrations.readStream(spark, s"$tmp/src", rows.schema),
+      "ts", Seq("_id"))
+      .writeStream.format("parquet")
+      .option("path", s"$tmp/out")
+      .option("checkpointLocation", s"$tmp/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    val out = spark.read.parquet(s"$tmp/out")
+    assert(out.count() == 2)
+    assert(out.select("_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
   test("windowed rollup groups by event-time window") {
     val events = Seq(
       ("2024-01-01 00:00:10", "find", true, 100L),
