@@ -904,9 +904,13 @@ object PipelineCompiler {
           val casted = in.try_cast(to) // null instead of ANSI cast error
           val onErr = mm.get("onError")
             .map(e => coalesce(casted, expr2colE(e))).getOrElse(casted)
+          // Mongo: onError fires ONLY on conversion failure — a null input
+          // yields onNull (or null), never onError
           mm.get("onNull") match {
             case Some(nv) => when(in.isNull, expr2colE(nv)).otherwise(onErr)
-            case None     => onErr
+            case None if mm.contains("onError") =>
+              when(in.isNull, lit(null).cast(to)).otherwise(onErr)
+            case None => onErr
           }
         case "$dateFromString" =>
           val mm = doc(args)

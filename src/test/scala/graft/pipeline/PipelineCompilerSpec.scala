@@ -814,6 +814,11 @@ class VectorSearchStageSpec extends graft.SparkSpec {
     assert(rows(0).getInt(0) == 12 && rows(0).getInt(1) == -1)
     assert(rows(1).getInt(0) == -2 && rows(1).getInt(1) == 7)
     assert(rows(0).getTimestamp(2).toString.startsWith("2024-01-02 03:04"))
+    // null input + onError but NO onNull: Mongo yields null, not onError
+    val out2 = PipelineCompiler.compile(Seq(Map("$addFields" -> Map(
+      "cn" -> Map("$convert" -> Map("input" -> "$a", "to" -> "int",
+        "onError" -> -1))))))(d)
+    assert(out2.where($"a".isNull).select("cn").head().isNullAt(0))
     intercept[IllegalArgumentException] {
       PipelineCompiler.expr2col(Map("$convert" ->
         Map("input" -> "$a", "to" -> "objectId")))
