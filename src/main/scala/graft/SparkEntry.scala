@@ -554,6 +554,17 @@ object SparkEntry {
         .select("event_id", "event_type").orderBy("event_id")
     }),
 
+    // distributed spherical k-means (trains the IVF coarse centroids):
+    // broadcast-join assignment + decimal-exact component means, 2 Lloyd
+    // iterations, checkpoint-truncated lineage
+    "q89_kmeans" -> ((s, dir) =>
+      graft.ops.Clustering.kmeans(tbl(s, dir, "embeddings"), "vec_id",
+        "embedding", k = 8, iters = 2)
+        .select(col("centroid_id"),
+          transform(col("centroid"),
+            x => x.cast("decimal(18,9)").cast("double")).as("centroid"))
+        .orderBy("centroid_id")),
+
     // hybrid retrieval: reciprocal-rank fusion of the exact float ranking
     // and the int8-quantized ranking (rank-only consensus, score-scale-free)
     "q88_hybrid_rrf" -> ((s, dir) => {
@@ -1303,7 +1314,43 @@ object SparkEntry {
       s"CAST($vecExpr[${i + 1}] AS DOUBLE)*CAST($vecExpr[${i + 1}] AS DOUBLE)"
     }.mkString(" + ")
 
+  /** One unrolled Lloyd iteration for the q89 oracle: assignment by cosine
+    * against `prev` centroids (id tie-break), decimal-exact component
+    * means, empty cells keep the previous centroid. Emits CTEs named
+    * `p$i s$i a$i m$i c$i`. */
+  private def kmeansIterCtes(i: Int, prev: String): String =
+    s"""p$i AS (SELECT d.vec_id, d.v, pc.cid, pc.c FROM data d CROSS JOIN $prev pc),
+       |s$i AS (SELECT vec_id, cid,
+       |  SUM(v[u.i]*c[u.i]) AS dot, SUM(v[u.i]*v[u.i]) AS nv,
+       |  SUM(c[u.i]*c[u.i]) AS nc
+       |  FROM p$i, UNNEST(range(1, len(v)+1)) u(i) GROUP BY vec_id, cid),
+       |a$i AS (SELECT vec_id, cid FROM (
+       |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY CASE WHEN nv = 0 OR nc = 0 THEN 0.0
+       |                  ELSE dot / (sqrt(nv) * sqrt(nc)) END DESC, cid) AS rn
+       |  FROM s$i) WHERE rn = 1),
+       |m$i AS (SELECT a$i.cid, u.i AS pos,
+       |  CAST(SUM(CAST(d.v[u.i] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m
+       |  FROM a$i JOIN data d USING (vec_id),
+       |    UNNEST(range(1, len(d.v)+1)) u(i)
+       |  GROUP BY a$i.cid, u.i),
+       |c$i AS (SELECT pc.cid, COALESCE(n.c, pc.c) AS c FROM $prev pc
+       |  LEFT JOIN (SELECT cid, list(m ORDER BY pos) AS c FROM m$i
+       |             GROUP BY cid) n USING (cid))""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+
+    "q89_kmeans" ->
+      s"""WITH data AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c0 AS (SELECT CAST(vec_id AS BIGINT) AS cid, v AS c FROM data
+         |  ORDER BY vec_id LIMIT 8),
+         |${kmeansIterCtes(1, "c0")},
+         |${kmeansIterCtes(2, "c1")}
+         |SELECT cid AS centroid_id,
+         |  list_transform(c, x -> CAST(CAST(x AS DECIMAL(18,9)) AS DOUBLE))
+         |    AS centroid
+         |FROM c2 ORDER BY cid""".stripMargin,
     "q01_find" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
         |FROM lineitem

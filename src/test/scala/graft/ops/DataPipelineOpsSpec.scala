@@ -126,6 +126,33 @@ class DataPipelineOpsSpec extends SparkSpec {
     assert(math.abs(rows((1L, "apple"))._3 - expected) < 1e-12)
   }
 
+  // ---- k-means ----
+
+  test("kmeans converges to the two obvious spherical clusters") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.1f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val cents = Clustering.kmeans(vecs, "vec_id", "embedding",
+        k = 2, iters = 2)
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    assert(cents.map(_._1).toSeq == Seq(1L, 2L))
+    // after 2 iterations: c1 = mean(v1,v2), c2 = mean(v3,v4)
+    val Seq(c1, c2) = cents.map(_._2).toSeq
+    assert(c1.zip(Seq(0.95, 0.05)).forall { case (a, b) =>
+      math.abs(a - b) < 1e-6 })
+    assert(c2.zip(Seq(0.05, 0.95)).forall { case (a, b) =>
+      math.abs(a - b) < 1e-6 })
+  }
+
+  test("kmeans with zero iterations returns the deterministic seed") {
+    val vecs = Seq((3L, Array(1.0f)), (1L, Array(2.0f)), (2L, Array(3.0f)))
+      .toDF("vec_id", "embedding")
+    val cents = Clustering.kmeans(vecs, "vec_id", "embedding", 2, 0)
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    assert(cents.toSeq == Seq((1L, Seq(2.0)), (2L, Seq(3.0))))
+  }
+
   // ---- Hybrid RRF ----
 
   test("rrfFuse sums reciprocal ranks across rankings, reranks top-k") {
