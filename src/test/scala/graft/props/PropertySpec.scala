@@ -94,3 +94,70 @@ class NestedRoundTripProps extends SparkSpec with GenSampling {
     }
   }
 }
+
+class DataPipelineOpsProps extends SparkSpec with GenSampling {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private val genWords: Gen[List[String]] =
+    Gen.listOf(Gen.oneOf("alpha", "beta", "gamma", "delta", "x1", "y2"))
+
+  test("tokenChunks covers every token exactly once at overlap 0") {
+    for ((words, size) <- samples(
+        Gen.zip(genWords, Gen.choose(1, 7)), 10) if words.nonEmpty) {
+      val df = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+      val chunks = graft.ops.Chunking
+        .tokenChunks(df, "doc_id", "text", size)
+        .orderBy("chunk_idx").select("chunk_text").as[String].collect()
+      assert(chunks.flatMap(_.split(" ")).toSeq == words, s"size=$size")
+    }
+  }
+
+  test("tokenChunks with overlap: consecutive chunks share the overlap") {
+    for ((words, (size, ov)) <- samples(Gen.zip(genWords,
+        Gen.choose(2, 7).flatMap(s =>
+          Gen.choose(1, s - 1).map(o => (s, o)))), 10)
+        if words.size >= 2) {
+      val df = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+      val chunks = graft.ops.Chunking
+        .tokenChunks(df, "doc_id", "text", size, ov)
+        .orderBy("chunk_idx").select("chunk_text").as[String].collect()
+        .map(_.split(" ").toSeq)
+      for (Seq(a, b) <- chunks.toSeq.sliding(2) if a.size == size)
+        assert(a.takeRight(ov) == b.take(ov), s"size=$size ov=$ov")
+      // reconstruction: drop each chunk's leading overlap, concat
+      val rebuilt = chunks.head ++ chunks.tail.flatMap(_.drop(ov))
+      assert(rebuilt == words, s"size=$size ov=$ov")
+    }
+  }
+
+  test("redactPii is idempotent on random pii-bearing text") {
+    val genPii = Gen.oneOf("a@b.com", "123-45-6789", "555-123-4567",
+      "10.0.0.1", "plain", "42")
+    for (parts <- samples(Gen.listOfN(8, genPii), 10)) {
+      val df = Seq(Tuple1(parts.mkString(" "))).toDF("t")
+      val once = df.select(graft.ops.Redaction.redactPii(col("t")).as("r"))
+      val twice = once.select(graft.ops.Redaction.redactPii(col("r")))
+        .as[String].head()
+      assert(twice == once.as[String].head(), s"parts=$parts")
+    }
+  }
+
+  test("quantizeInt8 codes bounded and reconstruction within scale/2") {
+    val genVec = Gen.listOfN(16, Gen.choose(-100.0f, 100.0f))
+    for (vs <- samples(Gen.listOfN(5, genVec), 8)) {
+      val df = vs.zipWithIndex
+        .map { case (v, i) => (i.toLong, v.toArray) }
+        .toDF("vec_id", "embedding")
+      val rows = graft.ops.Quantize.quantizeInt8(df, "embedding")
+        .select(col("embedding").cast("array<double>"), col("qvec"),
+          col("qscale"))
+        .as[(Seq[Double], Seq[Int], Double)].collect()
+      for ((orig, codes, scale) <- rows) {
+        assert(codes.forall(c => c >= -127 && c <= 127))
+        for ((x, c) <- orig.zip(codes))
+          assert(math.abs(x - c * scale) <= scale / 2 + 1e-9)
+      }
+    }
+  }
+}
