@@ -554,6 +554,25 @@ object SparkEntry {
         .select("event_id", "event_type").orderBy("event_id")
     }),
 
+    // ordered $firstN/$lastN window accumulators (deterministic under
+    // sortBy, unlike Mongo's document-order $group forms)
+    "q90_window_firstn" -> ((s, dir) =>
+      coll(s, dir, "orders").pipe(Seq(
+        Map("$match" -> Map("o_orderkey" -> Map("$lte" -> 3000))),
+        Map("$setWindowFields" -> Map(
+          "partitionBy" -> "$o_custkey",
+          "sortBy" -> Map("o_orderkey" -> 1),
+          "output" -> Map(
+            "f2" -> Map(
+              "$firstN" -> Map("input" -> "$o_orderkey", "n" -> 2),
+              "window" -> Map("documents" -> Seq("unbounded", "current"))),
+            "l2" -> Map(
+              "$lastN" -> Map("input" -> "$o_orderkey", "n" -> 2),
+              "window" -> Map("documents" ->
+                Seq("unbounded", "current"))))))))
+        .select(col("o_orderkey"), col("o_custkey"), col("f2"), col("l2"))
+        .orderBy("o_orderkey")),
+
     // distributed spherical k-means (trains the IVF coarse centroids):
     // broadcast-join assignment + decimal-exact component means, 2 Lloyd
     // iterations, checkpoint-truncated lineage
@@ -1339,6 +1358,19 @@ object SparkEntry {
        |             GROUP BY cid) n USING (cid))""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+
+    "q90_window_firstn" ->
+      """WITH b AS (
+        |  SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey <= 3000),
+        |w AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    array_agg(o_orderkey) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS acc
+        |  FROM b)
+        |SELECT o_orderkey, o_custkey, acc[1:2] AS f2,
+        |  acc[greatest(len(acc) - 1, 1) : len(acc)] AS l2
+        |FROM w ORDER BY o_orderkey""".stripMargin,
 
     "q89_kmeans" ->
       s"""WITH data AS (

@@ -575,9 +575,9 @@ object PipelineCompiler {
   /** `$setWindowFields` — Mongo window functions, compiled straight onto
     * Spark's `Window` (partitionBy/orderBy + frame). Aggregations stay
     * whole-stage-codegen'd; one shuffle on the partition key. Supported
-    * output operators: `$sum/$avg/$min/$max/$count/$push`,
-    * `$rank/$denseRank/$documentNumber`, `$shift`. Window frames:
-    * `documents: [lo, hi]` with "unbounded"/"current"/ints. */
+    * output operators: `$sum/$avg/$min/$max/$count/$push/$first/$last/
+    * $firstN/$lastN`, `$rank/$denseRank/$documentNumber`, `$shift`. Window
+    * frames: `documents: [lo, hi]` with "unbounded"/"current"/ints. */
   private def setWindowFields(df: DataFrame, d: Map[String, Any]): DataFrame = {
     import org.apache.spark.sql.expressions.{Window, WindowSpec}
     val partCols = d.get("partitionBy").toSeq.map(expr2col)
@@ -623,6 +623,16 @@ object PipelineCompiler {
         case "$push" => collect_list(expr2col(arg)).over(framed)
         case "$first" => first(expr2col(arg)).over(framed)
         case "$last" => last(expr2col(arg)).over(framed)
+        case "$firstN" | "$lastN" => // ordered => deterministic, unlike the
+          // document-order $group accumulators (intentionally unsupported)
+          val fn = doc(arg)
+          val n = int(fn("n"))
+          val in = collect_list(expr2col(fn("input"))).over(framed)
+          if (op == "$firstN") slice(in, 1, n)
+          else { // last n in window order
+            val sz = size(in)
+            slice(in, greatest(sz - (n - 1), lit(1)), lit(n))
+          }
         case "$rank" => rank().over(base)
         case "$denseRank" => dense_rank().over(base)
         case "$documentNumber" => row_number().over(base)

@@ -338,6 +338,22 @@ class PipelineCompilerSpec extends SparkSpec {
       ("b", 3, 1, 30.0, -1), ("b", 4, 2, 70.0, 3)))
   }
 
+  test("$setWindowFields $firstN/$lastN pick from the ordered frame") {
+    val out = run(Map("$setWindowFields" -> Map(
+      "partitionBy" -> "$cat",
+      "sortBy" -> Map("n" -> 1),
+      "output" -> Map(
+        "f" -> Map("$firstN" -> Map("input" -> "$n", "n" -> 2),
+          "window" -> Map("documents" -> Seq("unbounded", "current"))),
+        "l" -> Map("$lastN" -> Map("input" -> "$n", "n" -> 2),
+          "window" -> Map("documents" -> Seq("unbounded", "current")))))))
+    val got = out.select($"cat", $"n", $"f", $"l").orderBy("cat", "n")
+      .as[(String, Int, Seq[Int], Seq[Int])].collect().toSeq
+    assert(got == Seq(
+      ("a", 1, Seq(1), Seq(1)), ("a", 2, Seq(1, 2), Seq(1, 2)),
+      ("b", 3, Seq(3), Seq(3)), ("b", 4, Seq(3, 4), Seq(3, 4))))
+  }
+
   test("$unionWith unions a (piped) sibling, null-filling missing columns") {
     val other = Seq(("z", 99)).toDF("cat", "extra")
     val out = PipelineCompiler.compile(
