@@ -554,6 +554,21 @@ object SparkEntry {
         .select("event_id", "event_type").orderBy("event_id")
     }),
 
+    // $text query predicate: OR-of-terms token match over the text column
+    // (the engine's text-index convention), composed with other clauses
+    "q91_text_search" -> ((s, dir) =>
+      coll(s, dir, "documents").find(Map(
+        "$text" -> Map("$search" -> "spark shuffle"),
+        "lang" -> "en"))
+        .sort("doc_id").select("doc_id", "lang").toDF),
+
+    // vocabulary pruning (min-count): tokens below global corpus frequency
+    // 500 removed, order preserved; hash-keyed vocab join, never collected
+    "q92_prune_rare" -> ((s, dir) =>
+      TextFunctions.pruneRareTokens(tbl(s, dir, "documents"), "doc_id",
+        "text", minCount = 500)
+        .orderBy("doc_id")),
+
     // ordered $firstN/$lastN window accumulators (deterministic under
     // sortBy, unlike Mongo's document-order $group forms)
     "q90_window_firstn" -> ((s, dir) =>
@@ -1358,6 +1373,36 @@ object SparkEntry {
        |             GROUP BY cid) n USING (cid))""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+
+    "q91_text_search" ->
+      """WITH tk AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents)
+        |SELECT doc_id, lang FROM tk
+        |WHERE lang = 'en'
+        |  AND (list_contains(t, 'spark') OR list_contains(t, 'shuffle'))
+        |ORDER BY doc_id""".stripMargin,
+
+    "q92_prune_rare" -> {
+      s"""WITH base AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')
+         |    AS t
+         |  FROM documents),
+         |toks AS (
+         |  SELECT doc_id, u.i - 1 AS pos, t[u.i] AS tok,
+         |    ${sqlHash("t[u.i]")} AS th
+         |  FROM base, UNNEST(range(1, len(t) + 1)) u(i)),
+         |freq AS (SELECT th, COUNT(*) AS freq FROM toks GROUP BY th),
+         |kept AS (
+         |  SELECT doc_id, array_to_string(list(tok ORDER BY pos), ' ')
+         |    AS pruned
+         |  FROM toks JOIN freq USING (th) WHERE freq >= 500
+         |  GROUP BY doc_id)
+         |SELECT d.doc_id, COALESCE(k.pruned, '') AS pruned
+         |FROM documents d LEFT JOIN kept k USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
+    },
 
     "q90_window_firstn" ->
       """WITH b AS (

@@ -113,6 +113,31 @@ object TextFunctions {
         .as("fingerprint"))
   }
 
+  /** Vocabulary pruning (word2vec-style min-count preprocessing): rebuild
+    * each document keeping only tokens whose GLOBAL corpus frequency is at
+    * least `minCount`, preserving token order. Plan: one posexplode, one
+    * token-frequency aggregate (partial combine), one shuffle join on the
+    * 31-bit token hash, one per-doc ordered reassembly — the vocabulary
+    * table is shuffle-joined (never collected), so an arbitrarily large
+    * vocab scales. Documents whose every token is rare survive with empty
+    * text (LEFT join on the doc id set). */
+  def pruneRareTokens(df: DataFrame, idCol: String, textCol: String,
+      minCount: Long): DataFrame = {
+    val toks = df.select(col(idCol),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+      .withColumn("th", tokenHash(col("tok")))
+    val freq = toks.groupBy("th").agg(count(lit(1)).as("freq"))
+    val kept = toks
+      .join(freq.where(col("freq") >= minCount), "th")
+      .groupBy(idCol)
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("pos"), col("tok")))),
+        e => e.getField("tok"))).as("pruned"))
+    df.select(col(idCol))
+      .join(kept, Seq(idCol), "left_outer")
+      .select(col(idCol), coalesce(col("pruned"), lit("")).as("pruned"))
+  }
+
   /** SimHash fingerprint over whitespace tokens, `bits` wide (≤ 60 — the
     * full width of the md5-derived [[hash60]] token hash, so wide
     * fingerprints feed wide chunk keys in the near-dup band join).

@@ -36,6 +36,22 @@ object QueryCompiler {
     case "$nor" => !subdocs(value, "$nor").map(compile).reduce(_ || _)
     case "$expr" => // aggregation expression as a predicate (Mongo $expr)
       graft.pipeline.PipelineCompiler.expr2col(value).cast("boolean")
+    case "$text" =>
+      // Mongo $text consults a text index; the engine's convention is a
+      // `text` column (FIXTURES.md documents schema). OR-of-terms match on
+      // whitespace tokens, like Mongo's default OR search semantics.
+      val search = value match {
+        case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+          .getOrElse("$search", throw new IllegalArgumentException(
+            "$text requires $search")).toString
+        case s: String => s
+        case other =>
+          throw new IllegalArgumentException(s"$$text: $other")
+      }
+      val terms = search.split("\\s+").filter(_.nonEmpty)
+      require(terms.nonEmpty, "$text: empty $search")
+      val toks = filter(split(col("text"), " "), t => t =!= lit(""))
+      terms.map(t => array_contains(toks, t)).reduce(_ || _)
     case field  => fieldClause(field, value)
   }
 

@@ -126,6 +126,20 @@ class DataPipelineOpsSpec extends SparkSpec {
     assert(math.abs(rows((1L, "apple"))._3 - expected) < 1e-12)
   }
 
+  // ---- vocabulary pruning ----
+
+  test("pruneRareTokens drops below-min-count tokens, keeps order") {
+    val d = Seq(
+      (1L, "common rare1 common other"),
+      (2L, "other common rare2"),
+      (3L, "rare3")).toDF("doc_id", "text")
+    val out = TextFunctions.pruneRareTokens(d, "doc_id", "text", 2)
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "common common other")
+    assert(out(2L) == "other common")
+    assert(out(3L) == "") // all-rare doc survives, empty
+  }
+
   // ---- k-means ----
 
   test("kmeans converges to the two obvious spherical clusters") {

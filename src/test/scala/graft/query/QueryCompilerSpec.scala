@@ -105,6 +105,21 @@ class QueryCompilerSpec extends SparkSpec {
     }
   }
 
+  test("$text OR-matches whitespace tokens of the text column") {
+    val docs = Seq((1L, "spark shuffles data"), (2L, "duck pond"),
+      (3L, "a shuffle appears")).toDF("_id", "text")
+    def hits(search: String): Seq[Long] =
+      docs.where(QueryCompiler.compile(Map("$text" ->
+        Map("$search" -> search)))).select("_id").as[Long]
+        .collect().toSeq.sorted
+    assert(hits("spark shuffle") == Seq(1, 3)) // whole tokens, no substring
+    assert(hits("pond") == Seq(2))
+    assert(hits("absent") == Seq())
+    intercept[IllegalArgumentException] {
+      QueryCompiler.compile(Map("$text" -> Map("$search" -> "  ")))
+    }
+  }
+
   test("unknown operator rejected") {
     intercept[IllegalArgumentException] {
       QueryCompiler.compile(Map("v" -> Map("$near" -> 1)))
