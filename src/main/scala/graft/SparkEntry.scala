@@ -554,6 +554,19 @@ object SparkEntry {
         .select("event_id", "event_type").orderBy("event_id")
     }),
 
+    // leakage-preventing split: near-dup clusters (MinHash-LSH graph)
+    // always land on one side — the split hashes the cluster representative
+    "q93_cluster_split" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        k = 3, numPerms = 12, bands = 4)
+      val (train, test) = graft.ops.Sampling.clusterAwareSplit(
+        docs, "doc_id", pairs, testFraction = 0.3)
+      train.select(col("doc_id"), lit("train").as("side"))
+        .unionByName(test.select(col("doc_id"), lit("test").as("side")))
+        .orderBy("doc_id")
+    }),
+
     // $text query predicate: OR-of-terms token match over the text column
     // (the engine's text-index convention), composed with other clauses
     "q91_text_search" -> ((s, dir) =>
@@ -1373,6 +1386,26 @@ object SparkEntry {
        |             GROUP BY cid) n USING (cid))""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+
+    "q93_cluster_split" ->
+      s"""WITH RECURSIVE p AS (
+         |${minhashOracle(12, 4)}
+         |),
+         |und AS (SELECT id_a AS a, id_b AS b FROM p
+         |        UNION SELECT id_b, id_a FROM p),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM und
+         |  UNION
+         |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+         |comp AS (SELECT a AS id, LEAST(a, MIN(b)) AS component
+         |         FROM reach GROUP BY a),
+         |rep AS (SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS r
+         |        FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+         |SELECT doc_id,
+         |  CASE WHEN ('0x'||substr(md5(r::VARCHAR || 'split'),1,15))::BIGINT
+         |         % 1000000 < 300000
+         |       THEN 'test' ELSE 'train' END AS side
+         |FROM rep ORDER BY doc_id""".stripMargin,
 
     "q91_text_search" ->
       """WITH tk AS (

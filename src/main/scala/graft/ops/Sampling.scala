@@ -48,4 +48,26 @@ object Sampling {
     val isTest = hashBucket(col(idCol), salt) < (testFraction * Buckets).toLong
     (df.where(!isTest), df.where(isTest))
   }
+
+  /** Leakage-preventing train/test split: rows connected by a near-dup
+    * `pairs` graph ((id_a, id_b) edges, e.g. from
+    * [[Dedup.minhashLshPairs]]) always land on the SAME side — the split
+    * hashes each row's duplicate-cluster representative
+    * ([[Dedup.duplicateClusters]] component, own id for singletons)
+    * instead of the row id. Without this, a near-duplicate of a training
+    * document sitting in the eval split silently inflates benchmarks.
+    * One left join against the (small) component table on top of the
+    * cluster propagation; the split itself stays a scan-fused predicate. */
+  def clusterAwareSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+      testFraction: Double, salt: String = "split")
+      : (DataFrame, DataFrame) = {
+    val comps = Dedup.duplicateClusters(pairs)
+      .withColumnRenamed("id", idCol)
+    val withRep = df.join(comps, Seq(idCol), "left_outer")
+      .withColumn("__rep", coalesce(col("component"), col(idCol)))
+    val isTest =
+      hashBucket(col("__rep"), salt) < (testFraction * Buckets).toLong
+    (withRep.where(!isTest).drop("component", "__rep"),
+      withRep.where(isTest).drop("component", "__rep"))
+  }
 }

@@ -37,6 +37,22 @@ class SamplingSpec extends SparkSpec {
       t2.select("id").as[Long].collect().toSet)
   }
 
+  test("clusterAwareSplit keeps near-dup clusters on one side") {
+    import org.apache.spark.sql.functions._
+    val docs = (1L to 400L).toDF("id")
+    // pairs chain 1-2-3 into one cluster; 10-11 into another
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val (train, test) = Sampling.clusterAwareSplit(docs, "id", pairs, 0.5)
+    assert(train.count() + test.count() == 400)
+    assert(train.join(test, "id").count() == 0)
+    def side(d: org.apache.spark.sql.DataFrame, ids: Seq[Long]) =
+      d.where(col("id").isin(ids: _*)).count()
+    // each cluster lands entirely on one side
+    assert(side(train, Seq(1, 2, 3)) == 3 || side(test, Seq(1, 2, 3)) == 3)
+    assert(side(train, Seq(10, 11)) == 2 || side(test, Seq(10, 11)) == 2)
+    graft.ops.Dedup.releaseCaches()
+  }
+
   test("salt changes the sample") {
     val a = Sampling.hashSample(df, "id", 0.2, "s1").select("id").as[Long].collect().toSet
     val b = Sampling.hashSample(df, "id", 0.2, "s2").select("id").as[Long].collect().toSet
