@@ -554,6 +554,18 @@ object SparkEntry {
         .select("event_id", "event_type").orderBy("event_id")
     }),
 
+    // Gopher-rule quality filtering: the published heuristics as one
+    // scan-fused projection (word count, mean word length, alpha ratio,
+    // stopword presence) + the composite keep decision
+    "q94_gopher_quality" -> ((s, dir) => {
+      val flags = TextFunctions.gopherQualityFlags(col("text"))
+        .map { case (n, c) => c.as(n) }
+      tbl(s, dir, "documents")
+        .select(col("doc_id") +: flags :+
+          TextFunctions.gopherKeep(col("text")).as("keep"): _*)
+        .orderBy("doc_id")
+    }),
+
     // leakage-preventing split: near-dup clusters (MinHash-LSH graph)
     // always land on one side — the split hashes the cluster representative
     "q93_cluster_split" -> ((s, dir) => {
@@ -1386,6 +1398,32 @@ object SparkEntry {
        |             GROUP BY cid) n USING (cid))""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+
+    "q94_gopher_quality" -> {
+      val stops = TextFunctions.Stopwords.map(s => s"'$s'").mkString(", ")
+      s"""WITH tk AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, len(t) AS nw,
+         |    CASE WHEN len(t) > 0 THEN
+         |      CAST(list_sum(list_transform(t, w -> strlen(w))) AS DOUBLE)
+         |        / len(t) ELSE 0.0 END AS meanlen,
+         |    CASE WHEN len(t) > 0 THEN
+         |      CAST(len(list_filter(t, w -> regexp_matches(w, '[A-Za-z]')))
+         |        AS DOUBLE) / len(t) ELSE 0.0 END AS alpharatio,
+         |    len(list_intersect(t, [$stops])) AS stophits
+         |  FROM tk)
+         |SELECT doc_id,
+         |  nw >= 50 AND nw <= 100000 AS flag_word_count,
+         |  meanlen >= 3.0 AND meanlen <= 10.0 AS flag_mean_word_len,
+         |  alpharatio > 0.8 AS flag_alpha_ratio,
+         |  stophits >= 2 AS flag_stopwords,
+         |  (nw >= 50 AND nw <= 100000) AND (meanlen >= 3.0 AND meanlen <= 10.0)
+         |    AND alpharatio > 0.8 AND stophits >= 2 AS keep
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
 
     "q93_cluster_split" ->
       s"""WITH RECURSIVE p AS (

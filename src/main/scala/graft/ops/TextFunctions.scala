@@ -113,6 +113,33 @@ object TextFunctions {
         .as("fingerprint"))
   }
 
+  /** Gopher-style document-quality filter rules (Rae et al. 2021, the
+    * published heuristics adapted to space-tokenized text): word-count
+    * bounds, mean-word-length bounds, alphabetic-word ratio, distinct
+    * stopword presence. Pure Column expressions — the whole rule set is one
+    * scan-fused projection, so filtering 100 TB costs one pass. */
+  def gopherQualityFlags(text: Column): Seq[(String, Column)] = {
+    val t = tokens(text)
+    val nWords = size(t).cast("long")
+    val meanLen = when(nWords > 0,
+      aggregate(t, lit(0L), (acc, w) => acc + length(w)).cast("double") /
+        nWords).otherwise(lit(0.0))
+    val alphaRatio = when(nWords > 0,
+      size(filter(t, w => w.rlike("[A-Za-z]"))).cast("double") / nWords)
+      .otherwise(lit(0.0))
+    val stopHits = size(array_intersect(t,
+      typedlit(Stopwords))).cast("long")
+    Seq(
+      "flag_word_count" -> (nWords >= 50 && nWords <= 100000),
+      "flag_mean_word_len" -> (meanLen >= 3.0 && meanLen <= 10.0),
+      "flag_alpha_ratio" -> (alphaRatio > 0.8),
+      "flag_stopwords" -> (stopHits >= 2))
+  }
+
+  /** Conjunction of all [[gopherQualityFlags]] — the keep/drop decision. */
+  def gopherKeep(text: Column): Column =
+    gopherQualityFlags(text).map(_._2).reduce(_ && _)
+
   /** Vocabulary pruning (word2vec-style min-count preprocessing): rebuild
     * each document keeping only tokens whose GLOBAL corpus frequency is at
     * least `minCount`, preserving token order. Plan: one posexplode, one

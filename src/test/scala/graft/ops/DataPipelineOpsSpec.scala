@@ -126,6 +126,25 @@ class DataPipelineOpsSpec extends SparkSpec {
     assert(math.abs(rows((1L, "apple"))._3 - expected) < 1e-12)
   }
 
+  // ---- Gopher quality rules ----
+
+  test("gopher flags fire on the documented boundaries") {
+    val good = (("the and with " * 20) + "alpha beta gamma delta").trim
+    val short = "the and of words"                  // < 50 words
+    val longWords = Seq.fill(60)("pneumonoultramicro").mkString(" ")
+    val d = Seq((1L, good), (2L, short), (3L, longWords))
+      .toDF("doc_id", "text")
+    val out = d.select(col("doc_id") +:
+        TextFunctions.gopherQualityFlags(col("text"))
+          .map { case (n, c) => c.as(n) } :+
+        TextFunctions.gopherKeep(col("text")).as("keep"): _*)
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().sortBy(_._1)
+    assert(out(0)._6)                 // good doc keeps
+    assert(!out(1)._2 && !out(1)._6)  // short doc fails word count
+    assert(!out(2)._3 && !out(2)._6)  // 18-char words fail mean length
+  }
+
   // ---- vocabulary pruning ----
 
   test("pruneRareTokens drops below-min-count tokens, keeps order") {
