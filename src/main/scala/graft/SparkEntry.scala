@@ -554,6 +554,31 @@ object SparkEntry {
         .select("event_id", "event_type").orderBy("event_id")
     }),
 
+    // calendar-unit $dateDiff (month/quarter/year boundary crossings) and
+    // first-occurrence $replaceOne
+    "q95_datediff_replace" -> ((s, dir) =>
+      coll(s, dir, "orders").pipe(Seq(
+        Map("$match" -> Map("o_orderkey" -> Map("$lte" -> 2000))),
+        Map("$addFields" -> Map(
+          "dm" -> Map("$dateDiff" -> Map(
+            "startDate" -> Map("$literal" ->
+              java.time.Instant.parse("2024-06-15T00:00:00Z")),
+            "endDate" -> "$o_orderdate", "unit" -> "month")),
+          "dq" -> Map("$dateDiff" -> Map(
+            "startDate" -> Map("$literal" ->
+              java.time.Instant.parse("2024-06-15T00:00:00Z")),
+            "endDate" -> "$o_orderdate", "unit" -> "quarter")),
+          "dy" -> Map("$dateDiff" -> Map(
+            "startDate" -> Map("$literal" ->
+              java.time.Instant.parse("2024-06-15T00:00:00Z")),
+            "endDate" -> "$o_orderdate", "unit" -> "year")),
+          "rp" -> Map("$replaceOne" -> Map("input" -> "$o_orderpriority",
+            "find" -> "E", "replacement" -> "*")),
+          "rpn" -> Map("$replaceOne" -> Map("input" -> "$o_orderpriority",
+            "find" -> "ZZZ", "replacement" -> "*"))))))
+        .select("o_orderkey", "dm", "dq", "dy", "rp", "rpn")
+        .orderBy("o_orderkey")),
+
     // Gopher-rule quality filtering: the published heuristics as one
     // scan-fused projection (word count, mean word length, alpha ratio,
     // stopword presence) + the composite keep decision
@@ -1398,6 +1423,16 @@ object SparkEntry {
        |             GROUP BY cid) n USING (cid))""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+
+    "q95_datediff_replace" ->
+      """SELECT o_orderkey,
+        |  datediff('month', TIMESTAMP '2024-06-15', o_orderdate) AS dm,
+        |  datediff('quarter', TIMESTAMP '2024-06-15', o_orderdate) AS dq,
+        |  datediff('year', TIMESTAMP '2024-06-15', o_orderdate) AS dy,
+        |  regexp_replace(o_orderpriority, 'E', '*') AS rp,
+        |  o_orderpriority AS rpn
+        |FROM orders WHERE o_orderkey <= 2000
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q94_gopher_quality" -> {
       val stops = TextFunctions.Stopwords.map(s => s"'$s'").mkString(", ")

@@ -1124,6 +1124,15 @@ object PipelineCompiler {
         case "$mergeObjects" => // later documents win on key collision
           seq.reduce((a, b) => map_concat(
             map_filter(a, (k, _) => !array_contains(map_keys(b), k)), b))
+        case "$replaceOne" => // first occurrence only (vs $replaceAll)
+          val mm = doc(args)
+          val in = expr2colE(mm("input"))
+          val find = expr2colE(mm("find"))
+          val repl = expr2colE(mm("replacement"))
+          val pos = call_function("locate", find, in)
+          when(pos === 0, in).otherwise(concat(
+            in.substr(lit(1), pos - 1), repl,
+            in.substr(pos + length(find), length(in))))
         case "$regexFind" => // {match, captures} struct, null when no match
           val mm = doc(args)
           val pat = mm("regex").toString
@@ -1217,6 +1226,12 @@ object PipelineCompiler {
                 "second" -> 1L)(unit)
               ((unix_timestamp(date_trunc(unit, e0)) -
                 unix_timestamp(date_trunc(unit, s0))) / secs).cast("long")
+            // calendar units: boundary crossings, like day/week above
+            case "month" => ((year(e0) - year(s0)) * 12 +
+              (month(e0) - month(s0))).cast("long")
+            case "quarter" => ((year(e0) - year(s0)) * 4 +
+              (quarter(e0) - quarter(s0))).cast("long")
+            case "year" => (year(e0) - year(s0)).cast("long")
             case other => throw new IllegalArgumentException(
               s"$$dateDiff unit: $other")
           }

@@ -760,26 +760,6 @@ class ExprLangSpec extends graft.SparkSpec {
     assert(math.abs(r.getDouble(4) - 90.0) < 1e-12)
     assert(math.abs(r.getDouble(5) - 0.5) < 1e-12)
   }
-}
-
-class VectorSearchStageSpec extends graft.SparkSpec {
-  import spark.implicits._
-
-  test("$vectorSearch ranks by cosine, folds the query vector into the scan") {
-    val d = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
-      (3L, Array(0.0f, 1.0f)), (4L, Array(-1.0f, 0.0f)))
-      .toDF("vec_id", "embedding")
-    val out = PipelineCompiler.compile(Seq(
-      Map("$vectorSearch" -> Map("path" -> "embedding",
-        "queryVector" -> Seq(1.0, 0.0), "limit" -> 2,
-        "tieBreak" -> "vec_id", "scoreField" -> "score"))))(d)
-    val rows = out.select("vec_id", "score").collect()
-    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L))
-    assert(math.abs(rows.head.getDouble(1) - 1.0) < 1e-12)
-    // no join anywhere: the plan is scan → project → TakeOrdered
-    val plan = out.queryExecution.executedPlan.toString
-    assert(!plan.contains("Join") && plan.contains("TakeOrderedAndProject"))
-  }
 
   test("$objectToArray / $arrayToObject / $mergeObjects last-wins") {
     val d = Seq((1L, 2L)).toDF("x", "y")
@@ -798,6 +778,33 @@ class VectorSearchStageSpec extends graft.SparkSpec {
     val ents = out.select("ents").head().getSeq[org.apache.spark.sql.Row](0)
     assert(ents.map(r => (r.getString(0), r.getLong(1))) ==
       Seq(("a", 1L), ("b", 20L), ("c", 7L))) // b overridden by m2
+  }
+
+  test("$dateDiff calendar units count boundary crossings") {
+    val d = Seq(("2023-12-20 10:00:00", "2024-01-05 09:00:00"))
+      .toDF("s", "e")
+      .select($"s".cast("timestamp").as("s"), $"e".cast("timestamp").as("e"))
+    val out = PipelineCompiler.compile(Seq(Map("$addFields" -> Map(
+      "m" -> Map("$dateDiff" -> Map("startDate" -> "$s", "endDate" -> "$e",
+        "unit" -> "month")),
+      "q" -> Map("$dateDiff" -> Map("startDate" -> "$s", "endDate" -> "$e",
+        "unit" -> "quarter")),
+      "y" -> Map("$dateDiff" -> Map("startDate" -> "$s", "endDate" -> "$e",
+        "unit" -> "year"))))))(d)
+    // 16 days apart but one month/quarter/year boundary crossed
+    assert(out.select("m", "q", "y").as[(Long, Long, Long)].head() ==
+      ((1L, 1L, 1L)))
+  }
+
+  test("$replaceOne replaces only the first occurrence") {
+    val d = Seq(Tuple1("banana")).toDF("s")
+    val out = PipelineCompiler.compile(Seq(Map("$addFields" -> Map(
+      "one" -> Map("$replaceOne" -> Map("input" -> "$s", "find" -> "an",
+        "replacement" -> "AN")),
+      "none" -> Map("$replaceOne" -> Map("input" -> "$s", "find" -> "zz",
+        "replacement" -> "AN"))))))(d)
+    assert(out.select("one", "none").as[(String, String)].head() ==
+      (("bANana", "banana")))
   }
 
   test("$regexFind / $regexFindAll") {
@@ -853,5 +860,25 @@ class VectorSearchStageSpec extends graft.SparkSpec {
     assert(r.getInt(1) == 6)
     assert(r.getString(2) == "hé")
     assert(r.getInt(3) == 6)
+  }
+}
+
+class VectorSearchStageSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  test("$vectorSearch ranks by cosine, folds the query vector into the scan") {
+    val d = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = PipelineCompiler.compile(Seq(
+      Map("$vectorSearch" -> Map("path" -> "embedding",
+        "queryVector" -> Seq(1.0, 0.0), "limit" -> 2,
+        "tieBreak" -> "vec_id", "scoreField" -> "score"))))(d)
+    val rows = out.select("vec_id", "score").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(math.abs(rows.head.getDouble(1) - 1.0) < 1e-12)
+    // no join anywhere: the plan is scan → project → TakeOrdered
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && plan.contains("TakeOrderedAndProject"))
   }
 }
