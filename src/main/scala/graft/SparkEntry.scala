@@ -554,6 +554,26 @@ object SparkEntry {
         .select("event_id", "event_type").orderBy("event_id")
     }),
 
+    // chars-aware trims, byte-offset indexOf, expression-level $type /
+    // $isNumber (static-schema type introspection)
+    "q96_trim_type" -> ((s, dir) =>
+      coll(s, dir, "part").pipe(Seq(
+        Map("$match" -> Map("p_partkey" -> Map("$lte" -> 500))),
+        Map("$addFields" -> Map(
+          "lt" -> Map("$ltrim" -> Map("input" -> "$p_name",
+            "chars" -> "clod ")),
+          "rt" -> Map("$rtrim" -> Map("input" -> "$p_name",
+            "chars" -> "te")),
+          "iob" -> Map("$indexOfBytes" -> Seq("$p_name", "widget")),
+          "tname" -> Map("$type" -> "$p_name"),
+          "tsize" -> Map("$type" -> "$p_size"),
+          "tprice" -> Map("$type" -> "$p_retailprice"),
+          "numn" -> Map("$isNumber" -> "$p_name"),
+          "nums" -> Map("$isNumber" -> "$p_size")))))
+        .select("p_partkey", "lt", "rt", "iob", "tname", "tsize",
+          "tprice", "numn", "nums")
+        .orderBy("p_partkey")),
+
     // calendar-unit $dateDiff (month/quarter/year boundary crossings) and
     // first-occurrence $replaceOne
     "q95_datediff_replace" -> ((s, dir) =>
@@ -1423,6 +1443,18 @@ object SparkEntry {
        |             GROUP BY cid) n USING (cid))""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+
+    "q96_trim_type" ->
+      """SELECT p_partkey,
+        |  ltrim(p_name, 'clod ') AS lt,
+        |  rtrim(p_name, 'te') AS rt,
+        |  CAST(strpos(p_name, 'widget') - 1 AS INT) AS iob,
+        |  'string' AS tname,
+        |  'int' AS tsize,
+        |  'double' AS tprice,
+        |  FALSE AS numn,
+        |  TRUE AS nums
+        |FROM part WHERE p_partkey <= 500 ORDER BY p_partkey""".stripMargin,
 
     "q95_datediff_replace" ->
       """SELECT o_orderkey,

@@ -1105,12 +1105,42 @@ object PipelineCompiler {
         case "$indexOfCP" => // 0-based, -1 when absent (instr is 1-based/0)
           val Seq(s2, sub) = seq
           call_function("instr", s2, sub).cast("int") - 1
-        case "$ltrim" => ltrim(expr2colE(doc(args)("input")))
-        case "$rtrim" => rtrim(expr2colE(doc(args)("input")))
+        case "$ltrim" | "$rtrim" => // optional chars set (Mongo `chars`)
+          val mm = doc(args)
+          val in = expr2colE(mm("input"))
+          (op, mm.get("chars")) match {
+            case ("$ltrim", None)    => ltrim(in)
+            case ("$rtrim", None)    => rtrim(in)
+            case ("$ltrim", Some(c)) => ltrim(in, c.toString)
+            case ("$rtrim", Some(c)) => rtrim(in, c.toString)
+            case _ => throw new IllegalStateException
+          }
+        case "$indexOfBytes" => // 0-based byte offset, -1 when absent:
+          // UTF-8 length of the prefix before the (codepoint) match
+          val Seq(s2, sub) = seq
+          val posCP = call_function("instr", s2, sub)
+          when(posCP === 0, lit(-1))
+            .otherwise(octet_length(s2.substr(lit(1), posCP - 1)).cast("int"))
         case "$replaceAll" =>
           val mm = doc(args)
           call_function("replace", expr2colE(mm("input")),
             expr2colE(mm("find")), expr2colE(mm("replacement")))
+        case "$type" => // static Spark type -> Mongo type-name string
+          val t = call_function("typeof", seq.head)
+          val mapped = Seq("string" -> "string", "bigint" -> "long",
+            "int" -> "int", "double" -> "double", "float" -> "double",
+            "boolean" -> "bool", "decimal" -> "decimal",
+            "timestamp" -> "date", "date" -> "date", "array" -> "array",
+            "struct" -> "object", "map" -> "object", "binary" -> "binData")
+            .foldRight(t) { case ((sp, mongo), els) =>
+              when(t.startsWith(sp), lit(mongo)).otherwise(els)
+            }
+          when(seq.head.isNull, lit("null")).otherwise(mapped)
+        case "$isNumber" =>
+          val t = call_function("typeof", seq.head)
+          seq.head.isNotNull && (t.startsWith("int") ||
+            t.startsWith("bigint") || t.startsWith("double") ||
+            t.startsWith("float") || t.startsWith("decimal"))
         case "$objectToArray" => // map -> [{k, v}] entries (insertion order)
           transform(map_entries(seq.head),
             e => struct(e.getField("key").as("k"), e.getField("value").as("v")))

@@ -780,6 +780,26 @@ class ExprLangSpec extends graft.SparkSpec {
       Seq(("a", 1L), ("b", 20L), ("c", 7L))) // b overridden by m2
   }
 
+  test("chars-aware trims, $indexOfBytes, $type and $isNumber") {
+    val d = Seq(("xxhéllozz", 7, 1.5)).toDF("s", "i", "f")
+    val out = PipelineCompiler.compile(Seq(Map("$addFields" -> Map(
+      "lt" -> Map("$ltrim" -> Map("input" -> "$s", "chars" -> "x")),
+      "rt" -> Map("$rtrim" -> Map("input" -> "$s", "chars" -> "z")),
+      "iob" -> Map("$indexOfBytes" -> Seq("$s", "llo")), // after x,x,h,é(2B)
+      "absent" -> Map("$indexOfBytes" -> Seq("$s", "qq")),
+      "ts" -> Map("$type" -> "$s"), "ti" -> Map("$type" -> "$i"),
+      "tf" -> Map("$type" -> "$f"),
+      "ns" -> Map("$isNumber" -> "$s"),
+      "ni" -> Map("$isNumber" -> "$i")))))(d)
+    val r = out.select("lt", "rt", "iob", "absent", "ts", "ti", "tf",
+      "ns", "ni").head()
+    assert(r.getString(0) == "héllozz" && r.getString(1) == "xxhéllo")
+    assert(r.getInt(2) == 5 && r.getInt(3) == -1)
+    assert(r.getString(4) == "string" && r.getString(5) == "int" &&
+      r.getString(6) == "double")
+    assert(!r.getBoolean(7) && r.getBoolean(8))
+  }
+
   test("$dateDiff calendar units count boundary crossings") {
     val d = Seq(("2023-12-20 10:00:00", "2024-01-05 09:00:00"))
       .toDF("s", "e")
