@@ -29,6 +29,12 @@ object Clustering {
   def kmeans(df: DataFrame, idCol: String, vecCol: String, k: Int,
       iters: Int): DataFrame = {
     require(k > 0 && iters >= 0, "kmeans: k > 0, iters >= 0")
+    // centroid ids are longs (they seed ivfAssign's tie-break); a string id
+    // would cast to null and silently merge every cell into one group
+    require(df.schema(idCol).dataType.isInstanceOf[
+      org.apache.spark.sql.types.NumericType],
+      s"kmeans: idCol '$idCol' must be numeric, got " +
+        df.schema(idCol).dataType.simpleString)
     val data = df.select(col(idCol).as("__vid"),
       col(vecCol).cast("array<double>").as("__v"))
     // deterministic seed: the k smallest-id vectors

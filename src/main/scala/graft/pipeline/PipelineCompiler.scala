@@ -1126,34 +1126,43 @@ object PipelineCompiler {
           call_function("replace", expr2colE(mm("input")),
             expr2colE(mm("find")), expr2colE(mm("replacement")))
         case "$type" => // static Spark type -> Mongo type-name string
-          val t = call_function("typeof", seq.head)
-          val mapped = Seq("string" -> "string", "bigint" -> "long",
-            "int" -> "int", "double" -> "double", "float" -> "double",
-            "boolean" -> "bool", "decimal" -> "decimal",
-            "timestamp" -> "date", "date" -> "date", "array" -> "array",
-            "struct" -> "object", "map" -> "object", "binary" -> "binData")
-            .foldRight(t) { case ((sp, mongo), els) =>
-              when(t.startsWith(sp), lit(mongo)).otherwise(els)
-            }
-          when(seq.head.isNull, lit("null")).otherwise(mapped)
+          val in = seq.head
+          val aliases = Seq("string", "int", "long", "double", "bool",
+            "decimal", "date", "array", "object", "binData")
+          val mapped = aliases.foldRight(call_function("typeof", in)) {
+            (alias, els) =>
+              when(QueryCompiler.typeMatches(in, alias), lit(alias))
+                .otherwise(els)
+          }
+          when(in.isNull, lit("null")).otherwise(mapped)
         case "$isNumber" =>
-          val t = call_function("typeof", seq.head)
-          seq.head.isNotNull && (t.startsWith("int") ||
-            t.startsWith("bigint") || t.startsWith("double") ||
-            t.startsWith("float") || t.startsWith("decimal"))
+          val in = seq.head
+          in.isNotNull && Seq("int", "long", "double", "decimal")
+            .map(QueryCompiler.typeMatches(in, _)).reduce(_ || _)
         case "$objectToArray" => // map -> [{k, v}] entries (insertion order)
           transform(map_entries(seq.head),
             e => struct(e.getField("key").as("k"), e.getField("value").as("v")))
-        case "$arrayToObject" => // [{k, v}] -> map
+        case "$arrayToObject" => // [{k, v}] -> map, LAST value wins on a
+          // repeated key (Mongo semantics; a bare map_from_entries would
+          // throw DUPLICATED_MAP_KEY under the default dedup policy)
           val a = args match { // Mongo wraps the array arg: [[{k,v},…]]
             case Seq(one) => expr2colE(one)
             case other    => expr2colE(other)
           }
-          map_from_entries(transform(a,
-            e => struct(e.getField("k"), e.getField("v"))))
-        case "$mergeObjects" => // later documents win on key collision
-          seq.reduce((a, b) => map_concat(
-            map_filter(a, (k, _) => !array_contains(map_keys(b), k)), b))
+          val entries = transform(a,
+            e => struct(e.getField("k"), e.getField("v")))
+          aggregate(entries,
+            map_from_entries(filter(entries, _ => lit(false))),
+            (acc, e) => map_concat(
+              map_filter(acc, (k, _) => k =!= e.getField("k")),
+              map_from_entries(array(e))))
+        case "$mergeObjects" => // later documents win on key collision;
+          // null operands are skipped (Mongo ignores null/missing)
+          seq.reduce { (a, b) =>
+            val merged = map_concat(
+              map_filter(a, (k, _) => !array_contains(map_keys(b), k)), b)
+            when(a.isNull, b).when(b.isNull, a).otherwise(merged)
+          }
         case "$replaceOne" => // first occurrence only (vs $replaceAll)
           val mm = doc(args)
           val in = expr2colE(mm("input"))
@@ -1163,7 +1172,9 @@ object PipelineCompiler {
           when(pos === 0, in).otherwise(concat(
             in.substr(lit(1), pos - 1), repl,
             in.substr(pos + length(find), length(in))))
-        case "$regexFind" => // {match, captures} struct, null when no match
+        case "$regexFind" => // {match, captures} struct, null when no match.
+          // Divergence: a non-participating capture group yields "" here
+          // (regexp_extract's convention) where Mongo yields null.
           val mm = doc(args)
           val pat = mm("regex").toString
           val in = expr2colE(mm("input"))

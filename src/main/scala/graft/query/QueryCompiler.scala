@@ -50,7 +50,7 @@ object QueryCompiler {
       }
       val terms = search.split("\\s+").filter(_.nonEmpty)
       require(terms.nonEmpty, "$text: empty $search")
-      val toks = filter(split(col("text"), " "), t => t =!= lit(""))
+      val toks = graft.ops.TextFunctions.tokens(col("text"))
       terms.map(t => array_contains(toks, t)).reduce(_ || _)
     case field  => fieldClause(field, value)
   }
@@ -107,14 +107,7 @@ object QueryCompiler {
       // $type against the (static) Spark type; "null" matches null values
       case "$type" => v match {
         case "null" => c.isNull
-        case t: String =>
-          val prefix = Map(
-            "string" -> "string", "int" -> "int", "long" -> "bigint",
-            "double" -> "double", "bool" -> "boolean", "decimal" -> "decimal",
-            "date" -> "timestamp", "array" -> "array", "object" -> "struct")
-            .getOrElse(t, throw new IllegalArgumentException(
-              s"unsupported $$type alias: $t"))
-          c.isNotNull && call_function("typeof", c).startsWith(prefix)
+        case t: String => c.isNotNull && typeMatches(c, t)
         case other =>
           throw new IllegalArgumentException(s"$$type expects a string: $other")
       }
@@ -150,16 +143,45 @@ object QueryCompiler {
   }
 
   /** Bit mask for `$bits*` predicates: a plain number, or an array of bit
-    * positions (Mongo's second form). */
+    * positions (Mongo's second form — a SET of positions, so duplicates
+    * OR together rather than summing). */
   private def bitmask(v: Any): Column = v match {
     case n: Number => lit(n.longValue())
     case s: Seq[_] => lit(s.map {
-      case p: Number => 1L << p.intValue()
+      case p: Number =>
+        val i = p.intValue()
+        require(i >= 0 && i < 64, s"$$bits* position out of range: $i")
+        1L << i
       case other => throw new IllegalArgumentException(
         s"$$bits* position must be a number: $other")
-    }.sum)
+    }.foldLeft(0L)(_ | _))
     case other =>
       throw new IllegalArgumentException(s"$$bits* mask: $other")
+  }
+
+  /** True when column `c`'s static Spark type corresponds to the Mongo
+    * type alias — exact typeof names plus prefixes for parameterized types
+    * (never bare `startsWith`, which would let "interval…" match "int").
+    * Shared by the query `$type` predicate and the expression-level
+    * `$type`/`$isNumber` (PipelineCompiler). */
+  private[graft] def typeMatches(c: Column, alias: String): Column = {
+    val t = call_function("typeof", c)
+    def exact(names: String*) = names.map(t === _).reduce(_ || _)
+    def prefixed(ps: String*) = ps.map(t.startsWith(_)).reduce(_ || _)
+    alias match {
+      case "string" => exact("string")
+      case "int" => exact("int", "smallint", "tinyint")
+      case "long" => exact("bigint")
+      case "double" => exact("double", "float")
+      case "bool" => exact("boolean")
+      case "decimal" => prefixed("decimal")
+      case "date" => exact("timestamp", "timestamp_ntz", "date")
+      case "array" => prefixed("array")
+      case "object" => prefixed("struct", "map")
+      case "binData" => exact("binary")
+      case other =>
+        throw new IllegalArgumentException(s"unsupported $$type alias: $other")
+    }
   }
 
   private def seqOf(v: Any, ctx: String): Seq[Any] = v match {

@@ -761,6 +761,26 @@ class ExprLangSpec extends graft.SparkSpec {
     assert(math.abs(r.getDouble(5) - 0.5) < 1e-12)
   }
 
+  test("$arrayToObject last-wins on duplicate keys; $mergeObjects skips null") {
+    val d = Seq((1L, 2L)).toDF("x", "y")
+    val out = PipelineCompiler.compile(Seq(
+      Map("$addFields" -> Map(
+        "m" -> Map("$arrayToObject" -> Seq(Seq(
+          Map("k" -> "a", "v" -> "$x"), Map("k" -> "a", "v" -> "$y")))),
+        "mn" -> Map("$mergeObjects" -> Seq(
+          Map("$arrayToObject" -> Seq(Seq(Map("k" -> "b", "v" -> "$x")))),
+          // a typed null map (the missing-operand shape)
+          Map("$cond" -> Seq(Map("$eq" -> Seq("$x", 999)),
+            Map("$arrayToObject" -> Seq(Seq(Map("k" -> "c", "v" -> "$y")))),
+            Map("$literal" -> null))))))),
+      Map("$addFields" -> Map(
+        "av" -> Map("$getField" -> Map("field" -> "a", "input" -> "$m")),
+        "bv" -> Map("$getField" -> Map("field" -> "b", "input" -> "$mn"))))))(d)
+    val r = out.select("av", "bv").head()
+    assert(r.getLong(0) == 2L) // duplicate key 'a': LAST value wins
+    assert(r.getLong(1) == 1L) // null operand ignored, not poisoning
+  }
+
   test("$objectToArray / $arrayToObject / $mergeObjects last-wins") {
     val d = Seq((1L, 2L)).toDF("x", "y")
     val out = PipelineCompiler.compile(Seq(

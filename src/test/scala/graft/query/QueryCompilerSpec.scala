@@ -89,6 +89,25 @@ class QueryCompilerSpec extends SparkSpec {
     assert(ids(Map("_id" -> Map("$bitsAnySet" -> Seq(1, 2)))) == Seq(2, 3, 4))
     assert(ids(Map("_id" -> Map("$bitsAllClear" -> 6))) == Seq(1))
     assert(ids(Map("_id" -> Map("$bitsAnyClear" -> 3))) == Seq(1, 2, 4))
+    // positions are a SET: duplicates OR together, not sum
+    assert(ids(Map("_id" -> Map("$bitsAllSet" -> Seq(0, 0)))) ==
+      ids(Map("_id" -> Map("$bitsAllSet" -> Seq(0)))))
+    intercept[IllegalArgumentException] {
+      QueryCompiler.compile(Map("_id" -> Map("$bitsAllSet" -> Seq(64))))
+    }
+  }
+
+  test("$type 'date' matches DATE and TIMESTAMP; 'double' matches FLOAT") {
+    val typed = df
+      .withColumn("d", lit(java.sql.Date.valueOf("2024-01-02")))
+      .withColumn("ts", current_timestamp())
+      .withColumn("fl", $"v".cast("float"))
+    def n(field: String, alias: String): Long =
+      typed.where(QueryCompiler.compile(
+        Map(field -> Map("$type" -> alias)))).count()
+    assert(n("d", "date") == 4 && n("ts", "date") == 4)
+    assert(n("fl", "double") == 4)
+    assert(n("d", "double") == 0)
   }
 
   test("$type matches the static column type; 'null' matches null values") {
