@@ -554,6 +554,23 @@ object SparkEntry {
         .select("event_id", "event_type").orderBy("event_id")
     }),
 
+    // $fill linear interpolation: gaps filled proportional to the sortBy
+    // distance between surrounding known values, per partition
+    "q97_fill_linear" -> ((s, dir) =>
+      coll(s, dir, "orders").pipe(Seq(
+        Map("$match" -> Map("o_orderkey" -> Map("$lte" -> 5000))),
+        Map("$addFields" -> Map("v" -> Map("$cond" -> Seq(
+          Map("$eq" -> Seq(Map("$mod" -> Seq("$o_orderkey", 3)), 0)),
+          "$o_totalprice", Map("$literal" -> null))))),
+        Map("$fill" -> Map("partitionBy" -> "$o_custkey",
+          "sortBy" -> Map("o_orderkey" -> 1),
+          "output" -> Map("v" -> Map("method" -> "linear"))))))
+        .select(col("o_orderkey"), col("o_custkey"),
+          // explicit half-up rounding: decimal casts differ in rounding
+          // MODE between engines on exact ...5 ties (HALF_UP vs half-even)
+          (floor(col("v") * 1e6 + 0.5) / 1e6).as("v"))
+        .orderBy("o_orderkey")),
+
     // chars-aware trims, byte-offset indexOf, expression-level $type /
     // $isNumber (static-schema type introspection)
     "q96_trim_type" -> ((s, dir) =>
@@ -1443,6 +1460,36 @@ object SparkEntry {
        |             GROUP BY cid) n USING (cid))""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+
+    "q97_fill_linear" ->
+      """WITH b AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice END AS v
+        |  FROM orders WHERE o_orderkey <= 5000),
+        |w AS (
+        |  SELECT o_orderkey, o_custkey, v,
+        |    CAST(o_orderkey AS DOUBLE) AS key,
+        |    last_value(v IGNORE NULLS) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL
+        |        THEN CAST(o_orderkey AS DOUBLE) END IGNORE NULLS)
+        |      OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pk,
+        |    first_value(v IGNORE NULLS) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderkey
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL
+        |        THEN CAST(o_orderkey AS DOUBLE) END IGNORE NULLS)
+        |      OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nk
+        |  FROM b)
+        |SELECT o_orderkey, o_custkey,
+        |  floor((CASE WHEN v IS NOT NULL THEN v
+        |    WHEN pv IS NULL OR nv IS NULL THEN NULL
+        |    ELSE pv + (nv - pv) * (key - pk) / (nk - pk) END)
+        |    * 1e6 + 0.5) / 1e6 AS v
+        |FROM w ORDER BY o_orderkey""".stripMargin,
 
     "q96_trim_type" ->
       """SELECT p_partkey,

@@ -301,24 +301,46 @@ object PipelineCompiler {
           case (k, v) =>
             throw new IllegalArgumentException(s"$$fill sortBy $k: $v")
         }).getOrElse(Nil)
+        def baseW = {
+          val p = if (partCols.nonEmpty)
+            org.apache.spark.sql.expressions.Window.partitionBy(partCols: _*)
+          else org.apache.spark.sql.expressions.Window.partitionBy()
+          p.orderBy(sortCols: _*)
+        }
+        val W = org.apache.spark.sql.expressions.Window
         doc(d("output")).toSeq.foldLeft(df) { case (acc, (field, spec0)) =>
           doc(spec0).toSeq match {
             case Seq(("value", v)) =>
               acc.withColumn(field, coalesce(col(field), expr2col(v)))
             case Seq(("method", "locf")) =>
               require(sortCols.nonEmpty, "$fill locf requires sortBy")
-              val w = {
-                val p = if (partCols.nonEmpty)
-                  org.apache.spark.sql.expressions.Window
-                    .partitionBy(partCols: _*)
-                else org.apache.spark.sql.expressions.Window.partitionBy()
-                p.orderBy(sortCols: _*)
-                  .rowsBetween(org.apache.spark.sql.expressions.Window
-                    .unboundedPreceding,
-                    org.apache.spark.sql.expressions.Window.currentRow)
-              }
+              val w = baseW.rowsBetween(W.unboundedPreceding, W.currentRow)
               acc.withColumn(field,
                 last(col(field), ignoreNulls = true).over(w))
+            case Seq(("method", "linear")) =>
+              // interpolate between the surrounding non-null values,
+              // proportional to the (single, ascending, numeric) sortBy
+              // field distance — Mongo linear-fill semantics; leading/
+              // trailing nulls stay null
+              val sortDoc = doc(d.getOrElse("sortBy",
+                throw new IllegalArgumentException(
+                  "$fill linear requires sortBy")))
+              require(sortDoc.size == 1 && sortDoc.head._2 == 1,
+                "$fill linear requires a single ascending sortBy field")
+              val key = col(sortDoc.head._1).cast("double")
+              val wPrev = baseW.rowsBetween(W.unboundedPreceding, W.currentRow)
+              val wNext = baseW.rowsBetween(W.currentRow, W.unboundedFollowing)
+              val v = col(field).cast("double")
+              val pv = last(v, ignoreNulls = true).over(wPrev)
+              val pk = last(when(v.isNotNull, key), ignoreNulls = true)
+                .over(wPrev)
+              val nv = first(v, ignoreNulls = true).over(wNext)
+              val nk = first(when(v.isNotNull, key), ignoreNulls = true)
+                .over(wNext)
+              acc.withColumn(field,
+                when(v.isNotNull, v)
+                  .when(pv.isNull || nv.isNull, lit(null))
+                  .otherwise(pv + (nv - pv) * (key - pk) / (nk - pk)))
             case other => throw new IllegalArgumentException(
               s"$$fill output for $field: $other")
           }

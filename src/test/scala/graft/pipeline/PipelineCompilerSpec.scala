@@ -369,6 +369,22 @@ class PipelineCompilerSpec extends SparkSpec {
       tables = _ => other)(sales).count() == 5)
   }
 
+  test("$fill linear interpolates by sortBy distance, edges stay null") {
+    val gaps = Seq(
+      ("a", 0, None), ("a", 2, Some(10.0)), ("a", 4, None),
+      ("a", 5, None), ("a", 8, Some(40.0)), ("a", 9, None))
+      .toDF("g", "t", "v")
+    val out = PipelineCompiler.compile(Seq(Map("$fill" -> Map(
+      "partitionBy" -> "$g",
+      "sortBy" -> Map("t" -> 1),
+      "output" -> Map("v" -> Map("method" -> "linear"))))))(gaps)
+    val got = out.orderBy("t").select("v").as[Option[Double]]
+      .collect().toSeq
+    // t=4: 10 + 30*(4-2)/(8-2) = 20; t=5: 10 + 30*3/6 = 25
+    assert(got == Seq(None, Some(10.0), Some(20.0), Some(25.0),
+      Some(40.0), None))
+  }
+
   test("$fill: locf carries last non-null forward; value fills constants") {
     val gaps = Seq(("a", 1, Some(10.0)), ("a", 2, None), ("a", 3, None),
       ("b", 1, None), ("b", 2, Some(5.0))).toDF("g", "t", "v")
