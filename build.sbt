@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// keep the "[success] Total time" footer off stdout: the bench driver
+// json-parses a tail of the run output and the footer would land after
+// the final JSON line
+Global / showSuccess := false
+// forked run output goes straight to stdout (no "[info] " prefix) so the
+// bench JSON line is parseable verbatim
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -40,18 +40,33 @@ object Bench {
     val best = scala.collection.mutable.Map.empty[String, Double]
     val errors = scala.collection.mutable.Map.empty[String, String]
 
-    def emit(): Unit = {
+    // The driver keeps only a ~2000-char tail of stdout and json-parses a
+    // line from it, so the emitted line must stay well under that budget:
+    // short keys ("q93" not "q93_cluster_split") and millisecond precision.
+    def shortKey(name: String): String = name.takeWhile(_ != '_')
+    def fmt(v: Double): String = f"$v%.3f"
+    def render(): String = {
       // queries that never succeeded are excluded from timings and the
       // total, and surfaced explicitly in "failures"
       val failed = errors.keySet -- best.keySet
-      val qs = best.toSeq.sortBy(_._1).map { case (k, v) => s"\"$k\":$v" }
+      val qs = best.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""${shortKey(k)}":${fmt(v)}""" }
         .mkString("{", ",", "}")
       val fails = failed.toSeq.sorted
-        .map(k => s"""\"$k\":\"${errors(k).replace("\"", "'")}\"""")
+        .map(k => s""""${shortKey(k)}":"${errors(k).replace("\"", "'").take(60)}"""")
         .mkString("{", ",", "}")
       val total = if (best.nonEmpty) best.values.sum else 0.0
-      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fails,"sf":"$sfDir","elapsed_s":$elapsedS}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failures":$fails,"sf":"$sfDir","elapsed_s":$elapsedS}"""
+    }
+    def emit(): Unit = {
+      val line = render()
+      println(line)
       Console.out.flush()
+      // redundant copy at a known path in case the stdout tail is clipped
+      try {
+        java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
+          (line + "\n").getBytes("UTF-8"))
+      } catch { case _: Throwable => () }
     }
 
     var overDeadline = false

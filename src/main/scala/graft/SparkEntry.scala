@@ -672,7 +672,11 @@ object SparkEntry {
               "$lastN" -> Map("input" -> "$o_orderkey", "n" -> 2),
               "window" -> Map("documents" ->
                 Seq("unbounded", "current"))))))))
-        .select(col("o_orderkey"), col("o_custkey"), col("f2"), col("l2"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          // stringified: the driver's pandas comparator cannot sort/hash
+          // raw array columns, so join to a deterministic CSV form
+          concat_ws(",", transform(col("f2"), _.cast("string"))).as("f2"),
+          concat_ws(",", transform(col("l2"), _.cast("string"))).as("l2"))
         .orderBy("o_orderkey")),
 
     // distributed spherical k-means (trains the IVF coarse centroids):
@@ -682,8 +686,12 @@ object SparkEntry {
       graft.ops.Clustering.kmeans(tbl(s, dir, "embeddings"), "vec_id",
         "embedding", k = 8, iters = 2)
         .select(col("centroid_id"),
-          transform(col("centroid"),
-            x => x.cast("decimal(18,9)").cast("double")).as("centroid"))
+          // stringified as integer nano-units: driver comparator can't
+          // hash arrays, and decimal→string risks sci-notation for tiny
+          // values; floor(x*1e9+0.5) is the engine-agnostic rounding
+          concat_ws(",", transform(col("centroid"),
+            x => floor(x * 1e9 + 0.5).cast("long").cast("string")))
+            .as("centroid"))
         .orderBy("centroid_id")),
 
     // hybrid retrieval: reciprocal-rank fusion of the exact float ranking
@@ -1273,7 +1281,9 @@ object SparkEntry {
             "format" -> "%Y-%m-%d")),
           "blen" -> Map("$strLenBytes" -> "$p_name"),
           "bsub" -> Map("$substrBytes" -> Seq("$p_name", 2, 6))))))
-        .select(col("p_partkey"), col("rf_match"), col("cap"), col("rfa"),
+        .select(col("p_partkey"), col("rf_match"), col("cap"),
+          // stringified: driver comparator can't sort/hash raw arrays
+          concat_ws(",", col("rfa")).as("rfa"),
           col("bnum"), col("conv_err"), col("parsed"),
           col("blen").cast("long").as("blen"), col("bsub"))
         .orderBy("p_partkey")
@@ -1296,7 +1306,12 @@ object SparkEntry {
             "input" -> Map("$objectToArray" ->
               Map("$mergeObjects" -> Seq("$m1", "$m2"))),
             "sortBy" -> 1))))))
-        .select(col("n_nationkey"), col("ents"))
+        .select(col("n_nationkey"),
+          // stringified k:v entries — driver comparator can't hash
+          // array<struct> columns
+          concat_ws(",", transform(col("ents"),
+            e => concat(e.getField("k"), lit(":"),
+              e.getField("v").cast("string")))).as("ents"))
         .orderBy("n_nationkey")),
 
     // bitwise query predicates + $type through the query compiler
@@ -1598,8 +1613,12 @@ object SparkEntry {
         |      ORDER BY o_orderkey
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS acc
         |  FROM b)
-        |SELECT o_orderkey, o_custkey, acc[1:2] AS f2,
-        |  acc[greatest(len(acc) - 1, 1) : len(acc)] AS l2
+        |SELECT o_orderkey, o_custkey,
+        |  array_to_string(list_transform(acc[1:2], x -> x::VARCHAR), ',')
+        |    AS f2,
+        |  array_to_string(list_transform(
+        |    acc[greatest(len(acc) - 1, 1) : len(acc)], x -> x::VARCHAR), ',')
+        |    AS l2
         |FROM w ORDER BY o_orderkey""".stripMargin,
 
     "q89_kmeans" ->
@@ -1610,7 +1629,8 @@ object SparkEntry {
          |${kmeansIterCtes(1, "c0")},
          |${kmeansIterCtes(2, "c1")}
          |SELECT cid AS centroid_id,
-         |  list_transform(c, x -> CAST(CAST(x AS DECIMAL(18,9)) AS DOUBLE))
+         |  array_to_string(list_transform(c, x ->
+         |    CAST(CAST(floor(x * 1e9 + 0.5) AS BIGINT) AS VARCHAR)), ',')
          |    AS centroid
          |FROM c2 ORDER BY cid""".stripMargin,
     "q01_find" ->
@@ -2010,7 +2030,9 @@ object SparkEntry {
       """SELECT p_partkey,
         |  regexp_extract(p_brand, '#([0-9]+)', 0) AS rf_match,
         |  regexp_extract(p_brand, '#([0-9]+)', 1) AS cap,
-        |  regexp_extract_all(p_name, '[a-z]{4,}') AS rfa,
+        |  COALESCE(
+        |    array_to_string(regexp_extract_all(p_name, '[a-z]{4,}'), ','),
+        |    '') AS rfa,
         |  CAST(regexp_extract(p_brand, '#([0-9]+)', 1) AS INT) AS bnum,
         |  COALESCE(TRY_CAST(p_type AS INT), -1) AS conv_err,
         |  strptime('2024-0' || CAST(p_size % 9 + 1 AS VARCHAR) || '-15',
@@ -2076,9 +2098,9 @@ object SparkEntry {
 
     "q86_object_surgery" ->
       """SELECT n_nationkey,
-        |  [struct_pack(k := 'a', v := CAST(n_nationkey AS BIGINT)),
-        |   struct_pack(k := 'b', v := CAST(n_regionkey AS BIGINT) * 2),
-        |   struct_pack(k := 'c', v := CAST(7 AS BIGINT))] AS ents
+        |  'a:' || CAST(n_nationkey AS BIGINT)
+        |    || ',b:' || (CAST(n_regionkey AS BIGINT) * 2)
+        |    || ',c:7' AS ents
         |FROM nation ORDER BY n_nationkey""".stripMargin,
 
     "q84_query_bits_type" ->

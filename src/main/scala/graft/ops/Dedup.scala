@@ -106,7 +106,9 @@ object Dedup {
             .otherwise(0L)).as("dropped"),
             max(col("__cap")).as("cap"))
         obs.future.foreach { row =>
-          val dropped = if (row.isNullAt(0)) 0L else row.getLong(0)
+          // an empty corpus observes a zero-column row — guard before isNullAt
+          val dropped =
+            if (row.length == 0 || row.isNullAt(0)) 0L else row.getLong(0)
           if (dropped > 0)
             org.apache.log4j.Logger.getLogger(getClass).warn(
               s"ngramJaccardPairs: dropped $dropped stop-shingles with " +

@@ -40,6 +40,15 @@ class DedupSpec extends SparkSpec {
     assert(j == 1.0)
   }
 
+  test("ngram jaccard on an empty corpus yields no pairs and no crash") {
+    // regression: the AUTO-cap observation callback used to throw
+    // ArrayIndexOutOfBoundsException on the zero-column observed row of an
+    // empty plan (Dedup.scala row.isNullAt(0) before a length check)
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.ngramJaccardPairs(empty, "doc_id", "text", 3, 0.5)
+      .count() == 0)
+  }
+
   test("maxShingleFreq drops stop-shingles") {
     // every doc shares shingles with doc 1 except doc 3; capping freq at 1
     // removes all shared shingles -> no pairs survive
