@@ -15,6 +15,7 @@ run / fork := true
 // json-parses a tail of the run output and the footer would land after
 // the final JSON line
 Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // forked run output goes straight to stdout (no "[info] " prefix) so the
 // bench JSON line is parseable verbatim
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)

@@ -554,6 +554,34 @@ object SparkEntry {
         .select("event_id", "event_type").orderBy("event_id")
     }),
 
+    // $merge whenMatched mode matrix: field-wise "merge" (pipeline columns
+    // overwrite, target-only columns kept, inserts get nulls) and
+    // "keepExisting" (only new keys land) — one keyed shuffle each
+    "q98_merge_modes" -> ((s, dir) => {
+      import s.implicits._
+      val root = tmpCopy(dir, "orders", "graft-merge-modes")
+      Seq(("F", 0L, "seed"), ("Z", 99L, "seed")).toDF("status", "cnt", "src")
+        .write.parquet(root + "/summary.parquet")
+      Seq(("F", 0L)).toDF("status", "cnt")
+        .write.parquet(root + "/summary2.parquet")
+      val db = new GraftSession(s, root).db("d")
+      val agg = Seq(
+        Map("$group" -> Map("_id" -> "$o_orderstatus",
+          "cnt" -> Map("$sum" -> 1))),
+        Map("$project" -> Map("status" -> "$_id", "cnt" -> 1)))
+      val m = db.c("orders").pipe(agg :+ Map("$merge" ->
+        Map("into" -> "summary", "on" -> "status",
+          "whenMatched" -> "merge", "whenNotMatched" -> "insert")))
+      val k = db.c("orders").pipe(agg :+ Map("$merge" ->
+        Map("into" -> "summary2", "on" -> "status",
+          "whenMatched" -> "keepExisting", "whenNotMatched" -> "insert")))
+      m.select(lit("merge").as("mode"), col("status"), col("cnt"),
+          col("src"))
+        .unionByName(k.select(lit("keep").as("mode"), col("status"),
+          col("cnt"), lit(null).cast("string").as("src")))
+        .orderBy("mode", "status")
+    }),
+
     // $fill linear interpolation: gaps filled proportional to the sortBy
     // distance between surrounding known values, per partition
     "q97_fill_linear" -> ((s, dir) =>
@@ -1475,6 +1503,27 @@ object SparkEntry {
        |             GROUP BY cid) n USING (cid))""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+
+    "q98_merge_modes" ->
+      """WITH g AS (
+        |  SELECT o_orderstatus AS status, COUNT(*) AS cnt
+        |  FROM orders GROUP BY o_orderstatus),
+        |seed AS (SELECT * FROM (VALUES
+        |  ('F', CAST(0 AS BIGINT), 'seed'),
+        |  ('Z', CAST(99 AS BIGINT), 'seed')) s(status, cnt, src)),
+        |m AS (
+        |  SELECT COALESCE(g.status, s.status) AS status,
+        |    CASE WHEN g.status IS NOT NULL THEN g.cnt ELSE s.cnt END AS cnt,
+        |    s.src AS src
+        |  FROM seed s FULL OUTER JOIN g ON g.status = s.status),
+        |k AS (
+        |  SELECT 'F' AS status, CAST(0 AS BIGINT) AS cnt
+        |  UNION ALL
+        |  SELECT status, cnt FROM g WHERE status <> 'F')
+        |SELECT 'merge' AS mode, status, cnt, src FROM m
+        |UNION ALL
+        |SELECT 'keep' AS mode, status, cnt, NULL AS src FROM k
+        |ORDER BY mode, status""".stripMargin,
 
     "q97_fill_linear" ->
       """WITH b AS (

@@ -147,20 +147,33 @@ final class GraftCollection(s: GraftSession, val ns: Namespace) {
           val base =
             if (exists) s.spark.read.parquet(targetPath) else result.limit(0)
           val keys = base.select(col(m.on)).distinct()
-          val merged = (m.whenMatched, m.whenNotMatched) match {
-            case ("replace", "insert") => TableOps.upsert(base, result, m.on)
-            case ("replace", "discard") => // update existing keys only
-              TableOps.upsert(base,
-                result.join(keys, Seq(m.on), "left_semi"), m.on)
-            case ("keepExisting", "insert") => // add new keys only
-              base.unionByName(result.join(keys, Seq(m.on), "left_anti"))
-            case ("keepExisting", "discard") => base
-            case other => throw new IllegalArgumentException(
-              s"$$merge: unsupported combination $other")
+          // one pass shared by the matched/unmatched splits below
+          val res = result.persist()
+          val matchedRes = res.join(keys, Seq(m.on), "left_semi")
+          val newRes = res.join(keys, Seq(m.on), "left_anti")
+          // fail modes are Mongo ERRORS, so they must act eagerly — a
+          // limit-1 existence probe, not a full count
+          if (m.whenMatched == "fail" && !matchedRes.isEmpty)
+            throw new IllegalStateException(
+              s"$$merge whenMatched:fail — result contains keys already " +
+                s"present in ${m.into}")
+          if (m.whenNotMatched == "fail" && !newRes.isEmpty)
+            throw new IllegalStateException(
+              s"$$merge whenNotMatched:fail — result contains keys not " +
+                s"present in ${m.into}")
+          val afterMatched = m.whenMatched match {
+            case "replace" => TableOps.upsert(base, matchedRes, m.on)
+            case "merge" => TableOps.mergeFields(base, matchedRes, m.on)
+            case _ => base // keepExisting, or fail (verified empty above)
           }
+          val merged =
+            if (m.whenNotMatched == "insert")
+              afterMatched.unionByName(newRes, allowMissingColumns = true)
+            else afterMatched
           // write via tmp + rename so a failed job never corrupts the target
           val tmp = targetPath + ".tmp"
           merged.write.mode("overwrite").parquet(tmp)
+          res.unpersist()
           val p = new org.apache.hadoop.fs.Path(targetPath)
           if (fs.exists(p)) fs.delete(p, true)
           fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
@@ -350,6 +363,35 @@ object TableOps {
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1)
       .drop("__src", "__seq", "__rn")
+  }
+
+  /** `$merge whenMatched:"merge"` — field-wise merge of matched rows
+    * (Mongo merge-objects semantics under the columnar reading of
+    * "present": every column of `updates`' schema overwrites, nulls
+    * included; base-only columns are kept; update-only columns appear as
+    * null on unmatched base rows). Last-wins when `updates` repeats a key.
+    * One key-shuffle left join — no driver involvement. */
+  def mergeFields(base: DataFrame, updates: DataFrame,
+      keyCol: String): DataFrame = {
+    // collapse duplicate update keys first so the join stays 1:1
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("__seq").desc)
+    val latest = updates.withColumn("__seq", monotonically_increasing_id())
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__seq", "__rn")
+    val b = base.alias("__mb")
+    val u = latest.alias("__mu")
+    val joined = b.join(u, b(keyCol) === u(keyCol), "left")
+    val updCols = latest.columns.toSet
+    val outCols = (base.columns ++
+      latest.columns.filterNot(base.columns.contains)).map { c =>
+      if (c == keyCol) b(c).as(c)
+      else if (updCols.contains(c) && base.columns.contains(c))
+        when(u(keyCol).isNotNull, u(c)).otherwise(b(c)).as(c)
+      else if (updCols.contains(c)) u(c).as(c) // update-only column
+      else b(c).as(c) // base-only column
+    }
+    joined.select(outCols.toSeq: _*)
   }
 
   /** Upsert with an update-operator document (the reference's primary

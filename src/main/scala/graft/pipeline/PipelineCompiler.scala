@@ -689,14 +689,17 @@ object PipelineCompiler {
   }
 
   /** `$merge` sink spec — Mongo's merge-into-collection final stage.
-    * Supported: `whenMatched` replace|keepExisting, `whenNotMatched`
-    * insert|discard (the reference passes pipelines through opaquely;
-    * db/wrapper.go:88-94). */
+    * Full mode matrix: `whenMatched` replace|keepExisting|merge|fail ×
+    * `whenNotMatched` insert|discard|fail (the reference passes pipelines
+    * through opaquely; db/wrapper.go:88-94). `merge` is field-wise with
+    * the columnar reading of "present": every column in the pipeline
+    * result schema overwrites (nulls included); target-only columns are
+    * kept. */
   final case class MergeSpec(into: String, on: String,
       whenMatched: String = "replace", whenNotMatched: String = "insert") {
-    require(Set("replace", "keepExisting")(whenMatched),
+    require(Set("replace", "keepExisting", "merge", "fail")(whenMatched),
       s"$$merge whenMatched: $whenMatched")
-    require(Set("insert", "discard")(whenNotMatched),
+    require(Set("insert", "discard", "fail")(whenNotMatched),
       s"$$merge whenNotMatched: $whenNotMatched")
   }
 

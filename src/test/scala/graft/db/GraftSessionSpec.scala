@@ -82,6 +82,49 @@ class GraftSessionSpec extends SparkSpec {
       .as[(Long, String, Double)].collect().toSeq == before)
   }
 
+  test("$merge whenMatched:merge does field-wise merge, keeps target-only columns") {
+    val dir = Files.createTempDirectory("graft-merge-fw").toString
+    Seq((1L, 100.0), (2L, 200.0)).toDF("_id", "v")
+      .write.parquet(s"$dir/src.parquet")
+    Seq((1L, 0.0, "seed"), (9L, 9.0, "seed")).toDF("_id", "v", "note")
+      .write.parquet(s"$dir/tgt.parquet")
+    val out = new GraftSession(spark, dir).db("d").c("src").pipe(Seq(
+      Map("$merge" -> Map("into" -> "tgt", "on" -> "_id",
+        "whenMatched" -> "merge", "whenNotMatched" -> "insert"))))
+      .orderBy("_id")
+    // _id=1: v overwritten, note kept; _id=2 inserted (note null); 9 kept
+    val got = out.select("_id", "v", "note")
+      .as[(Long, Double, Option[String])].collect().toSeq
+    assert(got == Seq((1L, 100.0, Some("seed")), (2L, 200.0, None),
+      (9L, 9.0, Some("seed"))))
+  }
+
+  test("$merge fail modes raise on matched / unmatched keys") {
+    val dir = Files.createTempDirectory("graft-merge-fail").toString
+    Seq((1L, "a"), (2L, "b")).toDF("_id", "cat")
+      .write.parquet(s"$dir/src.parquet")
+    Seq((1L, "x")).toDF("_id", "cat").write.parquet(s"$dir/tgt.parquet")
+    val src = new GraftSession(spark, dir).db("d").c("src")
+    // _id=1 already exists in tgt
+    intercept[IllegalStateException] {
+      src.pipe(Seq(Map("$merge" -> Map("into" -> "tgt", "on" -> "_id",
+        "whenMatched" -> "fail"))))
+    }
+    // _id=2 does not exist in tgt
+    intercept[IllegalStateException] {
+      src.pipe(Seq(Map("$merge" -> Map("into" -> "tgt", "on" -> "_id",
+        "whenNotMatched" -> "fail"))))
+    }
+    // failed merges must leave the target untouched
+    assert(spark.read.parquet(s"$dir/tgt.parquet").count() == 1)
+    // and the passing side of each mode still works: matched-only input
+    src.pipe(Seq(Map("$match" -> Map("_id" -> 1L)),
+      Map("$merge" -> Map("into" -> "tgt", "on" -> "_id",
+        "whenNotMatched" -> "fail"))))
+    assert(spark.read.parquet(s"$dir/tgt.parquet")
+      .where($"_id" === 1L).select("cat").as[String].head() == "a")
+  }
+
   test("pipe with trailing $out REPLACES the sibling collection") {
     val dir = Files.createTempDirectory("graft-out").toString
     Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("_id", "cat")
