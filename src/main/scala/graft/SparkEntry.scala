@@ -554,6 +554,18 @@ object SparkEntry {
         .select("event_id", "event_type").orderBy("event_id")
     }),
 
+    // $bucketAuto with granularity: values quantize UP to the R10
+    // preferred-number series BEFORE the boundary window, so the distinct-
+    // value window input is bounded by the series domain even on this
+    // near-unique continuous column
+    "q99_bucket_auto_granularity" -> ((s, dir) =>
+      coll(s, dir, "orders").pipe(Seq(
+        Map("$bucketAuto" -> Map("groupBy" -> "$o_totalprice",
+          "buckets" -> 6, "granularity" -> "R10"))))
+        .select(col("_id.min").as("b_min"), col("_id.max").as("b_max"),
+          col("count"))
+        .orderBy("b_min")),
+
     // $merge whenMatched mode matrix: field-wise "merge" (pipeline columns
     // overwrite, target-only columns kept, inserts get nulls) and
     // "keepExisting" (only new keys land) — one keyed shuffle each
@@ -1503,6 +1515,21 @@ object SparkEntry {
        |             GROUP BY cid) n USING (cid))""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+
+    "q99_bucket_auto_granularity" ->
+      s"""WITH b AS (SELECT o_totalprice AS v FROM orders),
+         |q AS (SELECT v,
+         |  ${graft.functions.Granularity.sqlCase("v", "R10")} AS qv
+         |  FROM b),
+         |freq AS (SELECT qv, COUNT(*) AS f FROM q GROUP BY qv),
+         |wcum AS (SELECT qv, f,
+         |  SUM(f) OVER (ORDER BY qv) - f AS cum,
+         |  SUM(f) OVER () AS n FROM freq),
+         |asg AS (SELECT qv, f,
+         |  CAST(least(floor(cum * 6 / n), 5) AS INT) AS bucket FROM wcum),
+         |g AS (SELECT bucket, MIN(qv) AS b_min, MAX(qv) AS b_max,
+         |  CAST(SUM(f) AS BIGINT) AS count FROM asg GROUP BY bucket)
+         |SELECT b_min, b_max, count FROM g ORDER BY b_min""".stripMargin,
 
     "q98_merge_modes" ->
       """WITH g AS (

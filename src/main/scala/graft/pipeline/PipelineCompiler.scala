@@ -353,9 +353,17 @@ object PipelineCompiler {
         // global single-partition sort of the raw rows. Ties share a
         // bucket, as in Mongo.
         val d = doc(spec)
-        val groupExpr = expr2col(d("groupBy"))
+        // granularity quantizes values UP to the preferred-number series
+        // BEFORE the distinct-value window, bounding the window's input to
+        // the series domain even on near-unique continuous columns
+        val groupExpr = d.get("granularity") match {
+          case Some(g) =>
+            graft.functions.Granularity.roundUp(
+              expr2col(d("groupBy")).cast("double"), g.toString)
+          case None => expr2col(d("groupBy"))
+        }
         val nBuckets = int(d("buckets"))
-        val aggs = (d - "groupBy" - "buckets").toSeq
+        val aggs = (d - "groupBy" - "buckets" - "granularity").toSeq
           .map { case (as, accDoc) => accumulator(doc(accDoc)).as(as) }
         val withCount2 =
           if (aggs.isEmpty) Seq(count(lit(1)).as("count")) else aggs

@@ -29,6 +29,28 @@ class FunctionsSpec extends SparkSpec {
       df.select(VectorFunctions.vec_dot($"a", $"b")).collect()
     }
   }
+
+  test("Granularity.roundUp rounds to the series, fixed points stay") {
+    val vals = Seq(0.0, 0.7, 1.0, 1.01, 1.6, 15.0, 29.0, 99.0, 100.0,
+      716.0).toDF("v")
+    def up(g: String): Seq[Double] = vals
+      .select(Granularity.roundUp($"v", g)).as[Double].collect().toSeq
+    assert(up("R5") ==
+      Seq(0.0, 1.0, 1.0, 1.6, 1.6, 16.0, 40.0, 100.0, 100.0, 1000.0))
+    assert(up("E6") ==
+      Seq(0.0, 1.0, 1.0, 1.5, 2.2, 15.0, 33.0, 100.0, 100.0, 1000.0))
+    assert(up("POWERSOF2") ==
+      Seq(0.0, 1.0, 1.0, 2.0, 2.0, 16.0, 32.0, 128.0, 128.0, 1024.0))
+  }
+
+  test("Granularity negative input yields NaN, unknown series rejected") {
+    val got = Seq(-3.0).toDF("v")
+      .select(Granularity.roundUp($"v", "R10")).as[Double].head()
+    assert(got.isNaN)
+    intercept[IllegalArgumentException] {
+      Granularity.roundUp(lit(1.0), "E192")
+    }
+  }
 }
 
 class SkewSpec extends SparkSpec {

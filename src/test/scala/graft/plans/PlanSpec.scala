@@ -212,6 +212,33 @@ class PlanSpec extends SparkSpec {
       "raw rows must not be range-partitioned for a global sort")
   }
 
+  test("$bucketAuto granularity quantizes BEFORE the boundary window") {
+    val ses = new graft.db.GraftSession(spark, sf)
+    val df = ses.db("t").c("orders").pipe(Seq(
+      Map("$bucketAuto" -> Map("groupBy" -> "$o_totalprice",
+        "buckets" -> 4, "granularity" -> "R5"))))
+    val plan = explain(df)
+    // the boundary window's input is the aggregate of QUANTIZED values:
+    // the preferred-number CASE chain sits below the Window, so the
+    // window runs over at most |series|×decades rows, never ~n
+    assert(plan.contains("Window"))
+    assert(plan.contains("CASE WHEN"),
+      "granularity quantization must be in-plan before the window")
+    assert(!plan.contains("rangepartitioning(o_totalprice"),
+      "raw rows must not be range-partitioned for a global sort")
+    // and semantically: the window input domain is tiny even though
+    // o_totalprice is near-unique
+    import org.apache.spark.sql.functions._
+    val distinctQuantized = spark.read
+      .parquet(s"$sf/orders.parquet")
+      .select(graft.functions.Granularity
+        .roundUp(col("o_totalprice").cast("double"), "R5").as("q"))
+      .distinct().count()
+    assert(distinctQuantized <= 5 * 10,
+      s"quantized domain should be bounded by series x decades, " +
+        s"got $distinctQuantized")
+  }
+
   test("top-k sort+limit compiles to TakeOrderedAndProject") {
     val df = new graft.db.GraftSession(spark, sf).db("t").c("lineitem")
       .find().sort("-l_extendedprice").limit(5)
