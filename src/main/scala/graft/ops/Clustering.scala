@@ -13,8 +13,9 @@ import org.apache.spark.sql.functions._
   * one (cell, dim) aggregate + one cell aggregate — no driver-side data
   * paths besides the k×dim centroid table itself, which IVF later folds
   * into codegen anyway. Plan growth across iterations is truncated with
-  * `localCheckpoint` (same pattern as [[Dedup.duplicateClusters]]; swap for
-  * a reliable checkpoint dir on a real cluster).
+  * checkpoints (same pattern as [[Dedup.duplicateClusters]]; pass
+  * `checkpointDir` or set `spark.graft.checkpointDir` for RELIABLE
+  * checkpoints on a real cluster — see [[Checkpoints.truncate]]).
   *
   * Determinism contract (oracle-checkable): init = the k smallest-id
   * vectors; assignment ties break on centroid id; member sums are exact
@@ -27,7 +28,7 @@ object Clustering {
     * (centroid_id, centroid) with `centroid` an array<double>. Cells that
     * lose all members keep their previous centroid. */
   def kmeans(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      iters: Int): DataFrame = {
+      iters: Int, checkpointDir: Option[String] = None): DataFrame = {
     require(k > 0 && iters >= 0, "kmeans: k > 0, iters >= 0")
     // centroid ids are longs (they seed ivfAssign's tie-break); a string id
     // would cast to null and silently merge every cell into one group
@@ -38,10 +39,9 @@ object Clustering {
     val data = df.select(col(idCol).as("__vid"),
       col(vecCol).cast("array<double>").as("__v"))
     // deterministic seed: the k smallest-id vectors
-    var cents = data.orderBy("__vid").limit(k)
+    var cents = Checkpoints.truncate(data.orderBy("__vid").limit(k)
       .select(col("__vid").cast("long").as("centroid_id"),
-        col("__v").as("centroid"))
-      .localCheckpoint(true)
+        col("__v").as("centroid")), checkpointDir)
     for (_ <- 1 to iters) {
       val assigned = Similarity.ivfAssign(
         data.withColumnRenamed("__v", "__vec"), "__vid",
@@ -59,12 +59,12 @@ object Clustering {
         .agg(transform(array_sort(collect_list(struct(col("pos"),
           col("m")))), e => e.getField("m")).as("centroid"))
       // empty cells keep their previous centroid
-      cents = cents.select(col("centroid_id"),
+      cents = Checkpoints.truncate(cents.select(col("centroid_id"),
           col("centroid").as("__old"))
         .join(fresh, Seq("centroid_id"), "left_outer")
         .select(col("centroid_id"),
-          coalesce(col("centroid"), col("__old")).as("centroid"))
-        .localCheckpoint(true)
+          coalesce(col("centroid"), col("__old")).as("centroid")),
+        checkpointDir)
     }
     cents
   }

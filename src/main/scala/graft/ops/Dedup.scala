@@ -232,23 +232,27 @@ object Dedup {
     * O(cluster diameter) iterations — near-dup clusters are shallow, so a
     * handful. Each iteration is ONE shuffle join + ONE aggregate over the
     * edge list, and each generation is truncated with an eager
-    * `localCheckpoint` — without it the logical plan nests every previous
+    * checkpoint — without it the logical plan nests every previous
     * iteration and analysis time grows super-linearly (the standard
     * iterative-algorithm trap). No driver-side graph: only the
-    * per-iteration convergence count comes back. For graphs bigger than
-    * executor storage, swap localCheckpoint for a reliable checkpoint dir.
+    * per-iteration convergence count comes back. Pass `checkpointDir` (or
+    * set `spark.graft.checkpointDir`) to use RELIABLE checkpoints on a
+    * cluster — the localCheckpoint fallback does not survive executor
+    * loss (see [[Checkpoints.truncate]]).
     *
     * Output: (id, component) for every node appearing in `pairs`, where
     * component = the minimum id in the cluster (nodes with no duplicate
     * never appear — union them back as their own component if needed). */
   def duplicateClusters(pairs: DataFrame, idA: String = "id_a",
-      idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+      idB: String = "id_b", maxIter: Int = 20,
+      checkpointDir: Option[String] = None): DataFrame = {
     val edges = tracked(pairs
       .select(col(idA).as("src"), col(idB).as("dst"))
       .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct().persist())
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id")).localCheckpoint(true)
+    var labels = Checkpoints.truncate(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("lbl", col("id")), checkpointDir)
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
@@ -257,7 +261,7 @@ object Dedup {
         .groupBy(col("src").as("id")).agg(min("lbl").as("nlbl"))
       // the changed-label count is observed INSIDE the checkpoint job
       // (CollectMetrics) — convergence costs no extra join/count job;
-      // the eager localCheckpoint is the action that fills it
+      // the eager checkpoint is the action that fills it
       val obs = org.apache.spark.sql.Observation()
       val next = labels.withColumnRenamed("lbl", "old")
         .join(nbrMin, Seq("id"), "left_outer")
@@ -267,7 +271,7 @@ object Dedup {
         .observe(obs, sum(when(col("lbl") =!= col("old"), 1L)
           .otherwise(0L)).as("changed"))
         .select("id", "lbl")
-        .localCheckpoint(true)
+      val nextCp = Checkpoints.truncate(next, checkpointDir)
       // the checkpoint job has finished; the listener delivers the row
       // asynchronously moments later — bounded wait, with a counting
       // fallback in case the checkpoint action bypasses the listener
@@ -277,10 +281,10 @@ object Dedup {
         if (row.isNullAt(0)) 0L else row.getLong(0)
       } catch {
         case _: java.util.concurrent.TimeoutException =>
-          next.join(labels.withColumnRenamed("lbl", "old"), "id")
+          nextCp.join(labels.withColumnRenamed("lbl", "old"), "id")
             .where(col("lbl") =!= col("old")).count()
       }
-      labels = next
+      labels = nextCp
       converged = changed == 0
       it += 1
     }

@@ -534,9 +534,10 @@ object PipelineCompiler {
 
   /** `$graphLookup` — recursive graph traversal. Spark-first shape: BFS as
     * an iterated equi-join (one join + one dedup anti-join per generation,
-    * `localCheckpoint` truncating lineage each step — the same pattern as
-    * `Dedup.duplicateClusters`; swap for a reliable checkpoint dir on a
-    * cluster). Iteration count = traversal depth, NOT data size; all work
+    * a checkpoint truncating lineage each step — the same pattern as
+    * `Dedup.duplicateClusters`; set `spark.graft.checkpointDir` for
+    * RELIABLE checkpoints on a cluster, see `Checkpoints.truncate`).
+    * Iteration count = traversal depth, NOT data size; all work
     * per generation is distributed equi-joins, never a driver-side walk.
     * Supported subset: scalar `connectFromField`/`connectToField` (array
     * `startWith` values explode). `depthField` is supported. */
@@ -550,8 +551,8 @@ object PipelineCompiler {
     val depthField = d.get("depthField").map(_.toString)
     // synthetic row identity for the outer side, frozen by an eager
     // checkpoint so ids stay stable across the iterated jobs
-    val withId = df.withColumn("__gid", monotonically_increasing_id())
-      .localCheckpoint(true)
+    val withId = graft.ops.Checkpoints.truncate(
+      df.withColumn("__gid", monotonically_increasing_id()))
     val startCol = expr2col(d("startWith"))
     val startIsArray = df.select(startCol).schema.head.dataType
       .isInstanceOf[org.apache.spark.sql.types.ArrayType]
@@ -576,13 +577,14 @@ object PipelineCompiler {
               col("__dochash").as("__vhash")),
             matched("__gid") === col("__vgid") &&
               matched("__dochash") === col("__vhash"), "left_anti")
-        else matched).localCheckpoint(true)
-      if (newRows.isEmpty) done = true
+        else matched)
+      val newCp = graft.ops.Checkpoints.truncate(newRows)
+      if (newCp.isEmpty) done = true
       else {
-        visited = if (haveVisited) visited.unionByName(newRows)
-          else newRows
+        visited = if (haveVisited) visited.unionByName(newCp)
+          else newCp
         haveVisited = true
-        frontier = newRows.select(col("__gid"), col("__cf").as("__to"))
+        frontier = newCp.select(col("__gid"), col("__cf").as("__to"))
           .where(col("__to").isNotNull).distinct()
         depth += 1
       }

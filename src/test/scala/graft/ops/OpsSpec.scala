@@ -101,6 +101,38 @@ class DedupSpec extends SparkSpec {
     assert(comp.keySet == (1L to 9L).toSet)
   }
 
+  test("duplicateClusters with a reliable checkpoint dir writes RDD checkpoints") {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val comp = Dedup.duplicateClusters(pairs, checkpointDir = Some(ckpt))
+      .as[(Long, Long)].collect().toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // reliable checkpoints land as rdd-* dirs under the given path
+    def rddDirs(f: java.io.File): Int =
+      if (f.isDirectory)
+        (if (f.getName.startsWith("rdd-")) 1 else 0) +
+          f.listFiles().map(rddDirs).sum
+      else 0
+    assert(rddDirs(new java.io.File(ckpt)) > 0,
+      s"no rdd-* checkpoint dirs under $ckpt")
+  }
+
+  test("kmeans honors spark.graft.checkpointDir conf") {
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-ckpt-conf").toString
+    spark.conf.set(Checkpoints.ConfKey, ckpt)
+    try {
+      val vecs = Seq((1L, Array(0.0, 0.0)), (2L, Array(1.0, 1.0)),
+        (3L, Array(0.1, 0.1)), (4L, Array(0.9, 0.9)))
+        .toDF("vec_id", "embedding")
+      val cents = Clustering.kmeans(vecs, "vec_id", "embedding",
+        k = 2, iters = 1).collect()
+      assert(cents.length == 2)
+      assert(new java.io.File(ckpt).listFiles().nonEmpty,
+        s"nothing checkpointed under $ckpt")
+    } finally spark.conf.unset(Checkpoints.ConfKey)
+  }
+
   test("simhash near-dup: identical docs at hamming 0") {
     val out = Dedup.simhashNearDup(docs, "doc_id", "text", bits = 16,
       maxHamming = 3)
