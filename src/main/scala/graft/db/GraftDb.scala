@@ -42,6 +42,52 @@ final class GraftSession(val spark: SparkSession, val root: String,
   }
   /** Raw SQL escape hatch — RunCommand analog (client/wrapper.go:32-40). */
   def runCommand(sql: String): DataFrame = spark.sql(sql)
+
+  // Teardown-hook registry — reference environment.go:229-252
+  // (RegisterCloser/Close): components register cleanup; close() drains
+  // LIFO so later registrations (which may depend on earlier ones) close
+  // first. Every closer runs even if one throws; the first failure
+  // rethrows after the drain.
+  private val closers =
+    new java.util.concurrent.ConcurrentLinkedDeque[(String, () => Unit)]()
+  def registerCloser(name: String)(f: => Unit): Unit =
+    closers.addFirst((name, () => f))
+  def close(): Unit = {
+    var firstErr: Option[(String, Throwable)] = None
+    var entry = closers.pollFirst()
+    while (entry != null) {
+      try entry._2() catch {
+        case e: Throwable =>
+          if (firstErr.isEmpty) firstErr = Some((entry._1, e))
+          else org.apache.log4j.Logger.getLogger(getClass).warn(
+            s"closer '${entry._1}' failed after an earlier failure", e)
+      }
+      entry = closers.pollFirst()
+    }
+    firstErr.foreach { case (name, e) =>
+      throw new RuntimeException(s"closer '$name' failed", e)
+    }
+  }
+}
+
+/** The operation surface a [[GraftCollection]] exposes — the seam
+  * downstream code should program against so tests can substitute
+  * [[MockCollection]] (the reference's dominant test idiom,
+  * mock/client.go:14-163). */
+trait CollectionApi {
+  def df: DataFrame
+  def find(query: Map[String, Any] = Map.empty): GraftQuery
+  def findId(id: Any, idCol: String = "_id"): GraftQuery
+  def count(): Long
+  def estimatedCount(): Long
+  def insert(rows: DataFrame): Unit
+  def pipe(pipeline: Seq[Map[String, Any]]): DataFrame
+  /** `Aggregation.Hint` parity (reference db/interface.go:57,
+    * db/wrapper.go:530): accepted and IGNORED — index hints have no
+    * Spark analog (Catalyst owns access paths), same stance as
+    * [[GraftQuery.hint]]. */
+  def pipe(pipeline: Seq[Map[String, Any]], hint: String): DataFrame =
+    pipe(pipeline)
 }
 
 final class GraftDatabase(s: GraftSession, name: String) {
@@ -78,7 +124,8 @@ final class GraftDatabase(s: GraftSession, name: String) {
       .map(_.getName.stripSuffix(".parquet")).toSeq.sorted
 }
 
-final class GraftCollection(s: GraftSession, val ns: Namespace) {
+final class GraftCollection(s: GraftSession, val ns: Namespace)
+    extends CollectionApi {
   require(ns.isValid, s"invalid namespace $ns")
   private def path: String = ns.path(s.root)
 

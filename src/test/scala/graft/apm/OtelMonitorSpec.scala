@@ -1,9 +1,8 @@
 package graft.apm
 
-import org.scalatest.funsuite.AnyFunSuite
 import OtelMonitor._
 
-class OtelMonitorSpec extends AnyFunSuite {
+class OtelMonitorSpec extends graft.SparkSpec {
 
   private def monitor(statements: Boolean = true) =
     new OtelMonitor(commandAttributeDisabled = !statements)
@@ -37,12 +36,17 @@ class OtelMonitorSpec extends AnyFunSuite {
   }
 
   test("failed command sets error status and ends the span") {
+    // exercised through the CollectionApi seam: an injected failure on
+    // the mock collection must surface to the caller AND close its span
+    // with error status — the same path a real wire error takes
     val m = monitor()
-    start(m, "find", Map("find" -> "users"))
-    m.failed(CommandFailedEvent("db0.example.net:27017[-4]", 1L, "find",
-      "boom"))
+    val coll = new graft.db.MockCollection(
+      spark.range(1).toDF("_id"), monitor = Some(m))
+    coll.failOn = Map("find" -> new RuntimeException("boom"))
+    val thrown = intercept[RuntimeException] { coll.find(Map.empty) }
+    assert(thrown.getMessage == "boom")
     val s = m.tracer.finished.head
-    assert(s.status == SpanStatus.Error("boom"))
+    assert(s.status == SpanStatus.Error("java.lang.RuntimeException: boom"))
   }
 
   test("span keyed by (connection, request): unknown finish is a no-op") {

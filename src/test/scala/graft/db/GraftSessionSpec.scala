@@ -125,6 +125,57 @@ class GraftSessionSpec extends SparkSpec {
       .where($"_id" === 1L).select("cat").as[String].head() == "a")
   }
 
+  test("pipe accepts and ignores an aggregation hint") {
+    val out = coll.pipe(Seq(
+      Map("$match" -> Map("cat" -> "a"))), "some_index_hint")
+    assert(out.count() == coll.pipe(Seq(
+      Map("$match" -> Map("cat" -> "a")))).count())
+  }
+
+  test("closers drain LIFO, all run, first failure rethrows") {
+    val sess = new GraftSession(spark,
+      Files.createTempDirectory("graft-close").toString)
+    val order = scala.collection.mutable.ArrayBuffer.empty[String]
+    sess.registerCloser("first") { order += "first" }
+    sess.registerCloser("boom") {
+      order += "boom"; throw new IllegalStateException("nope")
+    }
+    sess.registerCloser("last") { order += "last" }
+    val e = intercept[RuntimeException] { sess.close() }
+    assert(e.getMessage.contains("boom"))
+    // LIFO and every closer ran despite the middle failure
+    assert(order.toSeq == Seq("last", "boom", "first"))
+    // drained: a second close is a no-op
+    sess.close()
+    assert(order.size == 3)
+  }
+
+  test("LoggingMonitor registers itself as a session closer") {
+    val sess = new GraftSession(spark,
+      Files.createTempDirectory("graft-close-lm").toString)
+    val basic = new graft.apm.BasicMonitor()
+    val lm = new graft.apm.LoggingMonitor(basic, 60000L)(_ => ())
+    sess.registerCloser("loggingMonitor")(lm.close())
+    sess.close() // shuts the ticker down; idempotent close is fine
+    lm.close()
+  }
+
+  test("MockCollection: injectable errors, recorded calls, in-memory insert") {
+    val mock = new graft.db.MockCollection(
+      Seq((1L, "a"), (2L, "b")).toDF("_id", "cat"))
+    assert(mock.count() == 2)
+    mock.insert(Seq((3L, "c")).toDF("_id", "cat"))
+    assert(mock.find(Map("cat" -> "c")).count() == 1)
+    mock.failOn = Map("insert" -> new RuntimeException("disk full"))
+    val e = intercept[RuntimeException] {
+      mock.insert(Seq((4L, "d")).toDF("_id", "cat"))
+    }
+    assert(e.getMessage == "disk full")
+    // the failed insert mutated nothing
+    assert(mock.count() == 3)
+    assert(mock.calls.take(4) == Seq("count", "insert", "find", "insert"))
+  }
+
   test("pipe with trailing $out REPLACES the sibling collection") {
     val dir = Files.createTempDirectory("graft-out").toString
     Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("_id", "cat")
