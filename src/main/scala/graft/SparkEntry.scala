@@ -542,9 +542,13 @@ object SparkEntry {
       val ev = tbl(s, dir, "events").select("event_id", "event_type", "ts")
       ev.write.parquet(s"$tmp/src")
       ev.write.mode("append").parquet(s"$tmp/src") // duplicate arrival
+      // watermark wider than the events table's full ts span: if the
+      // duplicated files ever split across AvailableNow micro-batches,
+      // late copies must still dedup rather than drop as late data
       graft.streaming.StreamingMigrations.streamingDedup(
         graft.streaming.StreamingMigrations.readStream(
-          s, s"$tmp/src", ev.schema), "ts", Seq("event_id"))
+          s, s"$tmp/src", ev.schema), "ts", Seq("event_id"),
+        watermark = "3650 days")
         .writeStream.format("parquet")
         .option("path", s"$tmp/out")
         .option("checkpointLocation", s"$tmp/ckpt")

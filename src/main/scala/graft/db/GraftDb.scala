@@ -545,11 +545,20 @@ object TableOps {
     if (sortKeys.nonEmpty)
       target = target.orderBy(GraftQuery.parseSort(sortKeys): _*)
     val first = target.limit(1).select(col(idCol))
-    val hit = col(idCol).isin(first.collect().map(_.get(0)).toSeq: _*)
-    if (remove) (df.where(!hit), df.where(hit))
+    // the single selected id marks its row via a 1-row broadcast join —
+    // no driver round-trip, the whole op stays one plan
+    val mark = broadcast(first
+      .select(col(idCol).as("__fam_id"), lit(1).as("__fam_hit")))
+    val dfm = df.join(mark, df(idCol) === col("__fam_id"), "left_outer")
+      .drop("__fam_id")
+    val hit = col("__fam_hit").isNotNull
+    if (remove)
+      (dfm.where(!hit).drop("__fam_hit"), dfm.where(hit).drop("__fam_hit"))
     else {
-      val updated = UpdateCompiler.applyUpdate(df, hit, update, idCol)
-      (updated, if (returnNew) updated.where(hit) else df.where(hit))
+      val updatedM = UpdateCompiler.applyUpdate(dfm, hit, update, idCol)
+      (updatedM.drop("__fam_hit"),
+        (if (returnNew) updatedM.where(hit) else dfm.where(hit))
+          .drop("__fam_hit"))
     }
   }
 }

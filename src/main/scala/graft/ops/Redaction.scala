@@ -12,6 +12,14 @@ import org.apache.spark.sql.functions._
   * Patterns deliberately stay inside the regex subset with identical
   * semantics across Java regex and RE2-family engines (character classes,
   * bounded repetition, alternation-free), so results are oracle-checkable.
+  *
+  * COVERAGE LIMITS — heuristic scrubber, NOT a compliance tool. Shapes
+  * that pass through unredacted include: undashed 10-digit phones
+  * (5551234567), parenthesized area codes ((555) 123-4567),
+  * international formats (+44 20 7946 0958), IPv6 addresses, and SSNs
+  * without dashes. Treat the output as a benchmark-grade reduction in
+  * PII density; a production scrubber needs NER-class models plus
+  * locale-specific rule sets layered on this same one-pass plan shape.
   */
 object Redaction {
 

@@ -61,13 +61,18 @@ object Sampling {
   def clusterAwareSplit(df: DataFrame, idCol: String, pairs: DataFrame,
       testFraction: Double, salt: String = "split")
       : (DataFrame, DataFrame) = {
+    // the cluster table joins in under reserved internal names so a user
+    // column called "component"/"__rep" can never collide or be picked up
+    val repCol = "__graft_cluster_rep"
+    require(!df.columns.contains(repCol),
+      s"clusterAwareSplit: input already has reserved column $repCol")
     val comps = Dedup.duplicateClusters(pairs)
-      .withColumnRenamed("id", idCol)
+      .select(col("id").as(idCol), col("component").as(repCol))
     val withRep = df.join(comps, Seq(idCol), "left_outer")
-      .withColumn("__rep", coalesce(col("component"), col(idCol)))
+      .withColumn(repCol, coalesce(col(repCol), col(idCol)))
     val isTest =
-      hashBucket(col("__rep"), salt) < (testFraction * Buckets).toLong
-    (withRep.where(!isTest).drop("component", "__rep"),
-      withRep.where(isTest).drop("component", "__rep"))
+      hashBucket(col(repCol), salt) < (testFraction * Buckets).toLong
+    (withRep.where(!isTest).drop(repCol),
+      withRep.where(isTest).drop(repCol))
   }
 }

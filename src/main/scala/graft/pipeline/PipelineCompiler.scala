@@ -337,9 +337,16 @@ object PipelineCompiler {
               val nv = first(v, ignoreNulls = true).over(wNext)
               val nk = first(when(v.isNotNull, key), ignoreNulls = true)
                 .over(wNext)
+              // nk === pk (repeated sortBy values around the gap — Mongo
+              // errors on non-distinct linear sort keys) would divide by
+              // zero and null out silently; degrade to the previous known
+              // value instead. Columnar divergence: the output column is
+              // uniformly double (one type per column), where Mongo keeps
+              // original types on rows that already had values.
               acc.withColumn(field,
                 when(v.isNotNull, v)
                   .when(pv.isNull || nv.isNull, lit(null))
+                  .when(nk === pk, pv)
                   .otherwise(pv + (nv - pv) * (key - pk) / (nk - pk)))
             case other => throw new IllegalArgumentException(
               s"$$fill output for $field: $other")
@@ -939,6 +946,12 @@ object PipelineCompiler {
         case "$toBool"   => seq.head.cast("boolean")
         case "$toDate"   => seq.head.cast("timestamp")
         case "$convert" => // checked cast with onError / onNull branches
+          // DOCUMENTED DIVERGENCE: without onError, Mongo RAISES on a
+          // failed conversion; this engine yields null (try_cast) — a
+          // deliberate non-ANSI stance so one bad row can't kill a 100 TB
+          // job. Pipelines that need fail-loud semantics should run with
+          // spark.sql.ansi.enabled=true and plain $toInt-style casts, or
+          // pass onError explicitly. Same stance for $dateFromString.
           val mm = doc(args)
           val in = expr2colE(mm("input"))
           val to = Map("double" -> "double", "string" -> "string",

@@ -53,6 +53,23 @@ class SamplingSpec extends SparkSpec {
     graft.ops.Dedup.releaseCaches()
   }
 
+  test("clusterAwareSplit tolerates user columns named component/__rep") {
+    import org.apache.spark.sql.functions._
+    // regression: the cluster join used to bind to any pre-existing
+    // "component" column; reserved internal names make this unambiguous
+    val docs = (1L to 50L).toDF("id")
+      .withColumn("component", lit("user-data"))
+      .withColumn("__rep", lit(7))
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val (train, test) = Sampling.clusterAwareSplit(docs, "id", pairs, 0.5)
+    assert(train.count() + test.count() == 50)
+    // user columns survive untouched on both sides
+    assert(train.columns.toSet == Set("id", "component", "__rep"))
+    assert(test.select("component").distinct().as[String].collect()
+      .toSeq.forall(_ == "user-data"))
+    graft.ops.Dedup.releaseCaches()
+  }
+
   test("salt changes the sample") {
     val a = Sampling.hashSample(df, "id", 0.2, "s1").select("id").as[Long].collect().toSet
     val b = Sampling.hashSample(df, "id", 0.2, "s2").select("id").as[Long].collect().toSet

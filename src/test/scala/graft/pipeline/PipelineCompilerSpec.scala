@@ -385,6 +385,21 @@ class PipelineCompilerSpec extends SparkSpec {
       Some(40.0), None))
   }
 
+  test("$fill linear with repeated sortBy values degrades to locf, not null") {
+    // nk == pk around the gap (Mongo errors on non-distinct linear sort
+    // keys); the guarded plan fills with the previous known value instead
+    // of silently nulling via division-by-zero
+    val gaps = Seq(
+      ("a", 1, Some(10.0)), ("a", 1, None), ("a", 1, Some(30.0)))
+      .toDF("g", "t", "v")
+    val out = PipelineCompiler.compile(Seq(Map("$fill" -> Map(
+      "partitionBy" -> "$g",
+      "sortBy" -> Map("t" -> 1),
+      "output" -> Map("v" -> Map("method" -> "linear"))))))(gaps)
+    val filled = out.where($"v".isNotNull).count()
+    assert(filled == 3, s"gap row must fill, got $filled non-null of 3")
+  }
+
   test("$fill: locf carries last non-null forward; value fills constants") {
     val gaps = Seq(("a", 1, Some(10.0)), ("a", 2, None), ("a", 3, None),
       ("b", 1, None), ("b", 2, Some(5.0))).toDF("g", "t", "v")
