@@ -362,19 +362,22 @@ object PipelineCompiler {
         val d = doc(spec)
         // granularity quantizes values UP to the preferred-number series
         // BEFORE the distinct-value window, bounding the window's input to
-        // the series domain even on near-unique continuous columns
-        val groupExpr = d.get("granularity") match {
+        // the series domain even on near-unique continuous columns. The
+        // quantize is STAGED through projection columns (codegen'd, each
+        // libm call once per row) and computed on ONE shared frame reused
+        // by both the frequency side and the join-back side.
+        val withBv = d.get("granularity") match {
           case Some(g) =>
-            graft.functions.Granularity.roundUp(
-              expr2col(d("groupBy")).cast("double"), g.toString)
-          case None => expr2col(d("groupBy"))
+            graft.functions.Granularity.quantizeInto(df,
+              expr2col(d("groupBy")), g.toString, "__bv")
+          case None => df.withColumn("__bv", expr2col(d("groupBy")))
         }
         val nBuckets = int(d("buckets"))
         val aggs = (d - "groupBy" - "buckets" - "granularity").toSeq
           .map { case (as, accDoc) => accumulator(doc(accDoc)).as(as) }
         val withCount2 =
           if (aggs.isEmpty) Seq(count(lit(1)).as("count")) else aggs
-        val freq = df.select(groupExpr.as("__bv"))
+        val freq = withBv.select("__bv")
           .groupBy("__bv").agg(count(lit(1)).as("__f"))
         val w = org.apache.spark.sql.expressions.Window.orderBy(col("__bv"))
         val assigned = freq
@@ -385,7 +388,7 @@ object PipelineCompiler {
             least(floor(col("__cum") * nBuckets / col("__n")),
               lit(nBuckets - 1)).cast("int"))
           .select("__bv", "__bucket")
-        df.withColumn("__bv", groupExpr)
+        withBv
           .join(broadcast(assigned), "__bv")
           .groupBy(col("__bucket"))
           .agg(min(col("__bv")).as("__min"),
@@ -617,6 +620,21 @@ object PipelineCompiler {
     * output operators: `$sum/$avg/$min/$max/$count/$push/$first/$last/
     * $firstN/$lastN`, `$rank/$denseRank/$documentNumber`, `$shift`. Window
     * frames: `documents: [lo, hi]` with "unbounded"/"current"/ints. */
+  /** `$derivative`/`$integral` sortBy key as a double: a `unit` rescales a
+    * timestamp key into that fixed-length unit (calendar units have no
+    * fixed length and are rejected, as in `$dateAdd`). */
+  private def derivKey(key: Column, unit: Option[Any]): Column = unit match {
+    case Some(u) =>
+      val micros = Map("millisecond" -> 1000L, "second" -> 1000000L,
+        "minute" -> 60000000L, "hour" -> 3600000000L,
+        "day" -> 86400000000L, "week" -> 604800000000L)
+      val m = micros.getOrElse(u.toString,
+        throw new IllegalArgumentException(
+          s"window unit: $u (fixed-length units only)"))
+      unix_micros(key).cast("double") / m.toDouble
+    case None => key.cast("double")
+  }
+
   private def setWindowFields(df: DataFrame, d: Map[String, Any]): DataFrame = {
     import org.apache.spark.sql.expressions.{Window, WindowSpec}
     val partCols = d.get("partitionBy").toSeq.map(expr2col)
@@ -675,6 +693,92 @@ object PipelineCompiler {
         case "$rank" => rank().over(base)
         case "$denseRank" => dense_rank().over(base)
         case "$documentNumber" => row_number().over(base)
+        case "$locf" => // last-observation-carried-forward up to this row
+          last(expr2col(arg), ignoreNulls = true)
+            .over(base.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow))
+        case "$linearFill" =>
+          // same interpolation plan as $fill method:linear — surrounding
+          // known values found by two one-pass windows over the sortBy key
+          val sortFields = d.get("sortBy").map(doc(_).keys.toSeq)
+            .getOrElse(Nil)
+          require(sortFields.size == 1,
+            "$linearFill needs exactly one sortBy field")
+          val key = col(sortFields.head).cast("double")
+          val wPrev = base.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)
+          val wNext = base.rowsBetween(Window.currentRow,
+            Window.unboundedFollowing)
+          val v = expr2col(arg).cast("double")
+          val pv = last(v, ignoreNulls = true).over(wPrev)
+          val pk = last(when(v.isNotNull, key), ignoreNulls = true)
+            .over(wPrev)
+          val nv = first(v, ignoreNulls = true).over(wNext)
+          val nk = first(when(v.isNotNull, key), ignoreNulls = true)
+            .over(wNext)
+          when(v.isNotNull, v)
+            .when(pv.isNull || nv.isNull, lit(null))
+            .when(nk === pk, pv)
+            .otherwise(pv + (nv - pv) * (key - pk) / (nk - pk))
+        case "$derivative" =>
+          // (Δ input) / (Δ sortBy key) across the window frame; `unit`
+          // rescales a timestamp key to the given fixed-length unit
+          val dd = doc(arg)
+          val sortFields = d.get("sortBy").map(doc(_).keys.toSeq)
+            .getOrElse(Nil)
+          require(sortFields.size == 1,
+            "$derivative needs exactly one sortBy field")
+          val key = derivKey(col(sortFields.head), dd.get("unit"))
+          val v = expr2col(dd("input")).cast("double")
+          (last(v).over(framed) - first(v).over(framed)) /
+            (last(key).over(framed) - first(key).over(framed))
+        case "$integral" =>
+          // trapezoid rule: each row carries the area of the segment to
+          // its previous row (lag, 0 at the partition edge), summed over
+          // the frame — one window pass, no self-join. Correct when the
+          // frame's lower bound is the partition start (the first in-frame
+          // row's incoming segment must lie outside), so bounded lower
+          // document-frames are rejected rather than silently wrong.
+          winDoc.flatMap(_.get("documents")) match {
+            case Some(s: Seq[_]) if s.head != "unbounded" =>
+              throw new IllegalArgumentException(
+                "$integral: only windows starting at 'unbounded' are " +
+                  "supported (trapezoid segments cross the lower bound)")
+            case _ => ()
+          }
+          val dd = doc(arg)
+          val sortFields = d.get("sortBy").map(doc(_).keys.toSeq)
+            .getOrElse(Nil)
+          require(sortFields.size == 1,
+            "$integral needs exactly one sortBy field")
+          val key = derivKey(col(sortFields.head), dd.get("unit"))
+          val v = expr2col(dd("input")).cast("double")
+          val segment = (v + lag(v, 1).over(base)) / 2 *
+            (key - lag(key, 1).over(base))
+          sum(coalesce(segment, lit(0.0))).over(framed)
+        case "$expMovingAvg" =>
+          // EMA_0 = x_0; EMA_i = α·x_i + (1−α)·EMA_{i−1}. Sequential by
+          // definition — computed as a fold over the row's prefix
+          // (collect_list + aggregate), so cost is O(|partition|²) per
+          // partition: fine for the bounded per-key series this operator
+          // is meant for, not for one giant unpartitioned sort.
+          val dd = doc(arg)
+          val alpha = (dd.get("alpha"), dd.get("N")) match {
+            case (Some(a), None) => lit(a.asInstanceOf[Number].doubleValue())
+            case (None, Some(n)) =>
+              lit(2.0 / (n.asInstanceOf[Number].doubleValue() + 1.0))
+            case _ => throw new IllegalArgumentException(
+              "$expMovingAvg needs exactly one of alpha | N")
+          }
+          val v = expr2col(dd("input")).cast("double")
+          val prefix = collect_list(v)
+            .over(base.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow))
+          when(size(prefix) === 0, lit(null)).otherwise(
+            aggregate(
+              slice(prefix, lit(2), greatest(size(prefix) - 1, lit(0))),
+              element_at(prefix, 1),
+              (acc, x) => x * alpha + acc * (lit(1.0) - alpha)))
         case "$shift" =>
           val sh = doc(arg)
           val by = sh.get("by").map(int).getOrElse(1)
@@ -945,6 +1049,16 @@ object PipelineCompiler {
         case "$toDouble" => seq.head.cast("double")
         case "$toBool"   => seq.head.cast("boolean")
         case "$toDate"   => seq.head.cast("timestamp")
+        case "$toDecimal" => seq.head.cast("decimal(38,10)")
+        case "$cmp" | "$strcasecmp" =>
+          // three-way compare (−1/0/1); $strcasecmp lowercases first.
+          // Null semantics: equal nulls → 0 (null-safe eq), a single null
+          // side yields null — Mongo's total order over missing values has
+          // no columnar analog, documented divergence.
+          val Seq(a0, b0) = seq
+          val (a, b) =
+            if (op == "$strcasecmp") (lower(a0), lower(b0)) else (a0, b0)
+          when(a <=> b, 0).when(a < b, -1).when(a > b, 1)
         case "$convert" => // checked cast with onError / onNull branches
           // DOCUMENTED DIVERGENCE: without onError, Mongo RAISES on a
           // failed conversion; this engine yields null (try_cast) — a
@@ -1135,6 +1249,10 @@ object PipelineCompiler {
         case "$sinh"  => sinh(seq.head)
         case "$cosh"  => cosh(seq.head)
         case "$tanh"  => tanh(seq.head)
+        case "$asinh" => asinh(seq.head)
+        case "$acosh" => acosh(seq.head)
+        case "$atanh" => atanh(seq.head)
+        case "$rand"  => rand() // uniform [0, 1), non-deterministic
         case "$degreesToRadians" => radians(seq.head)
         case "$radiansToDegrees" => degrees(seq.head)
         case "$trunc" => args match {
@@ -1187,6 +1305,9 @@ object PipelineCompiler {
           val in = seq.head
           in.isNotNull && Seq("int", "long", "double", "decimal")
             .map(QueryCompiler.typeMatches(in, _)).reduce(_ || _)
+        case "$isArray" =>
+          val in = seq.head
+          in.isNotNull && QueryCompiler.typeMatches(in, "array")
         case "$objectToArray" => // map -> [{k, v}] entries (insertion order)
           transform(map_entries(seq.head),
             e => struct(e.getField("key").as("k"), e.getField("value").as("v")))
@@ -1238,7 +1359,12 @@ object PipelineCompiler {
           regexp_extract_all(expr2colE(mm("input")),
             lit(mm("regex").toString), lit(0))
         case "$strLenBytes" | "$binarySize" => octet_length(seq.head)
-        case "$substrBytes" => // 0-indexed byte offsets over the UTF-8 form
+        case "$bsonSize" => // size of a document in bytes. DOCUMENTED
+          // DIVERGENCE: measured over the JSON serialization (this
+          // engine's raw-document form, see TableOps.toRawDocs), not BSON
+          octet_length(to_json(seq.head))
+        case "$substrBytes" | "$substr" => // 0-indexed byte offsets over
+          // the UTF-8 form ($substr is Mongo's deprecated byte-wise alias)
           val Seq(s2, i, n2) = seq
           s2.cast("binary").substr(i + lit(1), n2).cast("string")
 

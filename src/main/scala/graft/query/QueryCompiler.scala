@@ -36,6 +36,16 @@ object QueryCompiler {
     case "$nor" => !subdocs(value, "$nor").map(compile).reduce(_ || _)
     case "$expr" => // aggregation expression as a predicate (Mongo $expr)
       graft.pipeline.PipelineCompiler.expr2col(value).cast("boolean")
+    case "$sampleRate" => // keep each row with probability p (per-row
+      // Bernoulli, non-deterministic — NOT the hash-stable
+      // Sampling.hashSample, which is the reproducible-pipeline form)
+      val p = value match {
+        case n: Number => n.doubleValue()
+        case other =>
+          throw new IllegalArgumentException(s"$$sampleRate: $other")
+      }
+      require(p >= 0.0 && p <= 1.0, s"$$sampleRate out of [0,1]: $p")
+      rand() < lit(p)
     case "$text" =>
       // Mongo $text consults a text index; the engine's convention is a
       // `text` column (FIXTURES.md documents schema). OR-of-terms match on

@@ -385,6 +385,55 @@ class PipelineCompilerSpec extends SparkSpec {
       Some(40.0), None))
   }
 
+  test("$setWindowFields: $locf/$linearFill/$derivative/$integral/$expMovingAvg") {
+    val ts = Seq(("a", 0.0, Some(0.0)), ("a", 2.0, None), ("a", 4.0, Some(8.0)))
+      .toDF("g", "t", "v")
+    val out = PipelineCompiler.compile(Seq(Map("$setWindowFields" -> Map(
+      "partitionBy" -> "$g",
+      "sortBy" -> Map("t" -> 1),
+      "output" -> Map(
+        "lo" -> Map("$locf" -> "$v"),
+        "lf" -> Map("$linearFill" -> "$v"),
+        "dv" -> Map(
+          "$derivative" -> Map("input" -> "$v"),
+          "window" -> Map("documents" -> Seq("unbounded", "unbounded"))))))))(ts)
+      .orderBy("t")
+    assert(out.select("lo").as[Option[Double]].collect().toSeq ==
+      Seq(Some(0.0), Some(0.0), Some(8.0)))
+    assert(out.select("lf").as[Option[Double]].collect().toSeq ==
+      Seq(Some(0.0), Some(4.0), Some(8.0)))
+    // derivative over the whole partition: (8 - 0) / (4 - 0)
+    assert(out.select("dv").as[Double].collect().toSeq.forall(_ == 2.0))
+
+    val dense = Seq(("a", 0.0, 0.0), ("a", 2.0, 4.0), ("a", 4.0, 8.0))
+      .toDF("g", "t", "v")
+    val out2 = PipelineCompiler.compile(Seq(Map("$setWindowFields" -> Map(
+      "partitionBy" -> "$g",
+      "sortBy" -> Map("t" -> 1),
+      "output" -> Map(
+        "ig" -> Map(
+          "$integral" -> Map("input" -> "$v"),
+          "window" -> Map("documents" -> Seq("unbounded", "current"))),
+        "ema" -> Map("$expMovingAvg" ->
+          Map("input" -> "$v", "N" -> 3)))))))(dense)
+      .orderBy("t")
+    // trapezoids: 0, (0+4)/2*2=4, then +(4+8)/2*2=12 → 16
+    assert(out2.select("ig").as[Double].collect().toSeq ==
+      Seq(0.0, 4.0, 16.0))
+    // alpha = 2/(3+1) = 0.5: 0, 0.5*4+0.5*0=2, 0.5*8+0.5*2=5
+    assert(out2.select("ema").as[Double].collect().toSeq ==
+      Seq(0.0, 2.0, 5.0))
+    // bounded-lower $integral frames are rejected, not silently wrong
+    intercept[IllegalArgumentException] {
+      PipelineCompiler.compile(Seq(Map("$setWindowFields" -> Map(
+        "sortBy" -> Map("t" -> 1),
+        "output" -> Map("ig" -> Map(
+          "$integral" -> Map("input" -> "$v"),
+          "window" -> Map("documents" -> Seq(-1, "current"))))))))(dense)
+        .collect()
+    }
+  }
+
   test("$fill linear with repeated sortBy values degrades to locf, not null") {
     // nk == pk around the gap (Mongo errors on non-distinct linear sort
     // keys); the guarded plan fills with the previous known value instead
@@ -931,6 +980,58 @@ class ExprLangSpec extends graft.SparkSpec {
     assert(r.getInt(1) == 6)
     assert(r.getString(2) == "hé")
     assert(r.getInt(3) == 6)
+  }
+
+  test("inverse hyperbolics, $cmp/$strcasecmp, $substr, $toDecimal, $isArray") {
+    val d = Seq((2.0, "Apple", "apple", Seq(1, 2))).toDF("x", "a", "b", "arr")
+    val out = PipelineCompiler.compile(Seq(Map("$addFields" -> Map(
+      "ash" -> Map("$asinh" -> Map("$sinh" -> "$x")),
+      "ach" -> Map("$acosh" -> Map("$cosh" -> "$x")),
+      "ath" -> Map("$atanh" -> Map("$tanh" -> "$x")),
+      "c1" -> Map("$cmp" -> Seq("$a", "$b")),
+      "c2" -> Map("$strcasecmp" -> Seq("$a", "$b")),
+      "sb" -> Map("$substr" -> Seq("$a", 0, 3)),
+      "dec" -> Map("$toDecimal" -> "$x"),
+      "ia" -> Map("$isArray" -> "$arr"),
+      "ns" -> Map("$isArray" -> "$a")))))(d)
+    val r = out.select("ash", "ach", "ath", "c1", "c2", "sb", "ia", "ns")
+      .head()
+    assert(math.abs(r.getDouble(0) - 2.0) < 1e-9)
+    assert(math.abs(r.getDouble(1) - 2.0) < 1e-9)
+    assert(math.abs(r.getDouble(2) - 2.0) < 1e-9)
+    assert(r.getInt(3) == -1) // 'A' < 'a'
+    assert(r.getInt(4) == 0)  // case-insensitive equal
+    assert(r.getString(5) == "App")
+    assert(r.getBoolean(6) && !r.getBoolean(7))
+    assert(out.select("dec").schema.head.dataType.typeName
+      .startsWith("decimal"))
+  }
+
+  test("$bsonSize measures the raw-document serialization, $rand in [0,1)") {
+    val d = Seq((1L, "a")).toDF("_id", "cat")
+    val out = PipelineCompiler.compile(Seq(Map("$addFields" -> Map(
+      "r" -> Map("$rand" -> Map.empty),
+      "sz" -> Map("$bsonSize" ->
+        Map("id" -> "$_id", "cat" -> "$cat"))))))(d)
+    val row = out.select("r", "sz").head()
+    val rv = row.getDouble(0)
+    assert(rv >= 0.0 && rv < 1.0)
+    assert(row.getInt(1) == """{"id":1,"cat":"a"}""".length)
+  }
+
+  test("$sampleRate keeps ~p of rows, 0 and 1 are exact") {
+    val d = spark.range(2000).toDF("_id")
+    val none = new graft.db.MockCollection(d).find(
+      Map("$sampleRate" -> 0.0)).count()
+    val all = new graft.db.MockCollection(d).find(
+      Map("$sampleRate" -> 1.0)).count()
+    assert(none == 0L && all == 2000L)
+    val some = new graft.db.MockCollection(d).find(
+      Map("$sampleRate" -> 0.5)).count()
+    assert(some > 600 && some < 1400, s"~50% expected, got $some")
+    intercept[IllegalArgumentException] {
+      graft.query.QueryCompiler.compile(Map("$sampleRate" -> 1.5))
+    }
   }
 }
 
