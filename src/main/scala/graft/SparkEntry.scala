@@ -558,6 +558,65 @@ object SparkEntry {
         .select("event_id", "event_type").orderBy("event_id")
     }),
 
+    // time-series window operators: $locf / $linearFill over a gappy
+    // column, $derivative / $integral / $expMovingAvg over the dense one —
+    // all single-window plans, no self-joins
+    "q100_window_timeseries" -> ((s, dir) =>
+      coll(s, dir, "orders").pipe(Seq(
+        Map("$match" -> Map("o_orderkey" -> Map("$lte" -> 3000))),
+        Map("$addFields" -> Map("v" -> Map("$cond" -> Seq(
+          Map("$eq" -> Seq(Map("$mod" -> Seq("$o_orderkey", 3)), 0)),
+          "$o_totalprice", Map("$literal" -> null))))),
+        Map("$setWindowFields" -> Map(
+          "partitionBy" -> "$o_custkey",
+          "sortBy" -> Map("o_orderkey" -> 1),
+          "output" -> Map(
+            "lo" -> Map("$locf" -> "$v"),
+            "lf" -> Map("$linearFill" -> "$v"),
+            "dv" -> Map(
+              "$derivative" -> Map("input" -> "$o_totalprice"),
+              "window" -> Map("documents" ->
+                Seq("unbounded", "unbounded"))),
+            "ig" -> Map(
+              "$integral" -> Map("input" -> "$o_totalprice"),
+              "window" -> Map("documents" -> Seq("unbounded", "current"))),
+            "ema" -> Map("$expMovingAvg" ->
+              Map("input" -> "$o_totalprice", "N" -> 3)))))))
+        .select(col("o_orderkey"), col("o_custkey"),
+          (floor(col("lo") * 1e6 + 0.5) / 1e6).as("lo"),
+          (floor(col("lf") * 1e6 + 0.5) / 1e6).as("lf"),
+          (floor(col("dv") * 1e6 + 0.5) / 1e6).as("dv"),
+          (floor(col("ig") * 1e6 + 0.5) / 1e6).as("ig"),
+          (floor(col("ema") * 1e6 + 0.5) / 1e6).as("ema"))
+        .orderBy("o_orderkey")),
+
+    // scalar expression completions: inverse hyperbolics, three-way
+    // compares, byte substrings, decimal conversion, type introspection,
+    // raw-document size — all codegen'd, zero shuffles
+    "q101_scalar_expr" -> ((s, dir) =>
+      coll(s, dir, "part").pipe(Seq(
+        Map("$match" -> Map("p_partkey" -> Map("$lte" -> 500))),
+        Map("$addFields" -> Map(
+          "ash" -> Map("$asinh" -> Map("$divide" ->
+            Seq("$p_retailprice", 1000.0))),
+          "ach" -> Map("$acosh" -> Map("$add" -> Seq("$p_size", 1.0))),
+          "ath" -> Map("$atanh" -> Map("$divide" ->
+            Seq(Map("$mod" -> Seq("$p_size", 9)), 10.0))),
+          "c1" -> Map("$cmp" -> Seq("$p_type", "$p_brand")),
+          "sc" -> Map("$strcasecmp" -> Seq("$p_type", "$p_type")),
+          "sb" -> Map("$substr" -> Seq("$p_name", 2, 5)),
+          "dec" -> Map("$toDouble" -> Map("$toDecimal" -> "$p_retailprice")),
+          "ia" -> Map("$isArray" -> Map("$split" -> Seq("$p_name", " "))),
+          "ns" -> Map("$isArray" -> "$p_name"),
+          "sz" -> Map("$bsonSize" -> Map("pk" -> "$p_partkey"))))))
+        .select(col("p_partkey"),
+          (floor(col("ash") * 1e6 + 0.5) / 1e6).as("ash"),
+          (floor(col("ach") * 1e6 + 0.5) / 1e6).as("ach"),
+          (floor(col("ath") * 1e6 + 0.5) / 1e6).as("ath"),
+          col("c1"), col("sc"), col("sb"), col("dec"), col("ia"),
+          col("ns"), col("sz").cast("long").as("sz"))
+        .orderBy("p_partkey")),
+
     // $bucketAuto with granularity: values quantize UP to the R10
     // preferred-number series BEFORE the boundary window, so the distinct-
     // value window input is bounded by the series domain even on this
@@ -1519,6 +1578,95 @@ object SparkEntry {
        |             GROUP BY cid) n USING (cid))""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+
+    "q100_window_timeseries" ->
+      """WITH b AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice END AS v
+        |  FROM orders WHERE o_orderkey <= 3000),
+        |w AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice, v,
+        |    last_value(v IGNORE NULLS) OVER
+        |      (PARTITION BY o_custkey ORDER BY o_orderkey
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lo,
+        |    last_value(v IGNORE NULLS) OVER
+        |      (PARTITION BY o_custkey ORDER BY o_orderkey
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN o_orderkey END
+        |      IGNORE NULLS) OVER
+        |      (PARTITION BY o_custkey ORDER BY o_orderkey
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pk,
+        |    first_value(v IGNORE NULLS) OVER
+        |      (PARTITION BY o_custkey ORDER BY o_orderkey
+        |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN o_orderkey END
+        |      IGNORE NULLS) OVER
+        |      (PARTITION BY o_custkey ORDER BY o_orderkey
+        |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nk,
+        |    first_value(o_totalprice) OVER
+        |      (PARTITION BY o_custkey ORDER BY o_orderkey
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |      AS fv,
+        |    last_value(o_totalprice) OVER
+        |      (PARTITION BY o_custkey ORDER BY o_orderkey
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |      AS lv,
+        |    first_value(o_orderkey) OVER
+        |      (PARTITION BY o_custkey ORDER BY o_orderkey
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |      AS fk,
+        |    last_value(o_orderkey) OVER
+        |      (PARTITION BY o_custkey ORDER BY o_orderkey
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |      AS lk,
+        |    (o_totalprice + lag(o_totalprice) OVER
+        |      (PARTITION BY o_custkey ORDER BY o_orderkey)) / 2 *
+        |      (o_orderkey - lag(o_orderkey) OVER
+        |        (PARTITION BY o_custkey ORDER BY o_orderkey)) AS seg,
+        |    array_agg(CAST(o_totalprice AS DOUBLE)) OVER
+        |      (PARTITION BY o_custkey ORDER BY o_orderkey
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pre
+        |  FROM b),
+        |f AS (
+        |  SELECT o_orderkey, o_custkey, lo,
+        |    CASE WHEN v IS NOT NULL THEN v
+        |         WHEN pv IS NULL OR nv IS NULL THEN NULL
+        |         WHEN nk = pk THEN pv
+        |         ELSE pv + (nv - pv) * (o_orderkey - pk) / (nk - pk)
+        |    END AS lf,
+        |    (lv - fv) / (lk - fk) AS dv,
+        |    SUM(COALESCE(seg, 0)) OVER
+        |      (PARTITION BY o_custkey ORDER BY o_orderkey
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ig,
+        |    list_reduce(pre, (a, x) -> x * 0.5 + a * 0.5) AS ema
+        |  FROM w)
+        |SELECT o_orderkey, o_custkey,
+        |  floor(lo * 1e6 + 0.5) / 1e6 AS lo,
+        |  floor(lf * 1e6 + 0.5) / 1e6 AS lf,
+        |  floor(dv * 1e6 + 0.5) / 1e6 AS dv,
+        |  floor(ig * 1e6 + 0.5) / 1e6 AS ig,
+        |  floor(ema * 1e6 + 0.5) / 1e6 AS ema
+        |FROM f ORDER BY o_orderkey""".stripMargin,
+
+    "q101_scalar_expr" ->
+      """SELECT p_partkey,
+        |  floor(ln(p_retailprice / 1000.0 +
+        |    sqrt(p_retailprice / 1000.0 * (p_retailprice / 1000.0) + 1.0))
+        |    * 1e6 + 0.5) / 1e6 AS ash,
+        |  floor(ln(p_size + 1.0 +
+        |    sqrt((p_size + 1.0) * (p_size + 1.0) - 1.0)) * 1e6 + 0.5) / 1e6
+        |    AS ach,
+        |  floor(0.5 * ln((1.0 + (p_size % 9) / 10.0) /
+        |    (1.0 - (p_size % 9) / 10.0)) * 1e6 + 0.5) / 1e6 AS ath,
+        |  CASE WHEN p_type = p_brand THEN 0
+        |       WHEN p_type < p_brand THEN -1 ELSE 1 END AS c1,
+        |  0 AS sc,
+        |  substr(p_name, 3, 5) AS sb,
+        |  CAST(CAST(p_retailprice AS DECIMAL(38,10)) AS DOUBLE) AS dec,
+        |  true AS ia,
+        |  false AS ns,
+        |  CAST(strlen('{"pk":' || p_partkey || '}') AS BIGINT) AS sz
+        |FROM part WHERE p_partkey <= 500 ORDER BY p_partkey""".stripMargin,
 
     "q99_bucket_auto_granularity" ->
       s"""WITH b AS (SELECT o_totalprice AS v FROM orders),

@@ -730,8 +730,11 @@ object PipelineCompiler {
             "$derivative needs exactly one sortBy field")
           val key = derivKey(col(sortFields.head), dd.get("unit"))
           val v = expr2col(dd("input")).cast("double")
+          // single-point windows have zero key-span: null, not an ANSI
+          // divide-by-zero error (Mongo yields null there too)
+          val kd = last(key).over(framed) - first(key).over(framed)
           (last(v).over(framed) - first(v).over(framed)) /
-            (last(key).over(framed) - first(key).over(framed))
+            when(kd === 0, lit(null)).otherwise(kd)
         case "$integral" =>
           // trapezoid rule: each row carries the area of the segment to
           // its previous row (lag, 0 at the partition edge), summed over
