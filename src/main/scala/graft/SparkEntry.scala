@@ -558,6 +558,21 @@ object SparkEntry {
         .select("event_id", "event_type").orderBy("event_id")
     }),
 
+    // $$ROOT round-trip: push whole documents into per-status arrays,
+    // unwind them back, project fields out of the nested doc — the
+    // group-docs idiom, exercised end-to-end
+    "q102_root_roundtrip" -> ((s, dir) =>
+      coll(s, dir, "orders").pipe(Seq(
+        Map("$match" -> Map("o_orderkey" -> Map("$lte" -> 100))),
+        Map("$group" -> Map("_id" -> "$o_orderstatus",
+          "docs" -> Map("$push" -> "$$ROOT"))),
+        Map("$unwind" -> "$docs"),
+        Map("$project" -> Map(
+          "status" -> "$_id",
+          "ok" -> "$docs.o_orderkey",
+          "tp" -> "$docs.o_totalprice"))))
+        .orderBy("ok")),
+
     // time-series window operators: $locf / $linearFill over a gappy
     // column, $derivative / $integral / $expMovingAvg over the dense one —
     // all single-window plans, no self-joins
@@ -1578,6 +1593,11 @@ object SparkEntry {
        |             GROUP BY cid) n USING (cid))""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+
+    "q102_root_roundtrip" ->
+      """SELECT o_orderstatus AS status, o_orderkey AS ok,
+        |  o_totalprice AS tp
+        |FROM orders WHERE o_orderkey <= 100 ORDER BY ok""".stripMargin,
 
     "q100_window_timeseries" ->
       """WITH b AS (

@@ -67,17 +67,21 @@ object PipelineCompiler {
           v != 0 && v != false }
         if (includes.isEmpty) df.drop(excludes.keys.toSeq: _*)
         else {
+          val env = rootEnv(df)
           val cols = includes.toSeq.map {
             case (as, 1) => col(as).as(as)
             case (as, true) => col(as).as(as)
-            case (as, e) => expr2col(e).as(as)
+            case (as, e) => expr2col(e, env).as(as)
           }
           df.select(cols: _*)
         }
 
       case "$addFields" | "$set" =>
+        // $$ROOT/$$CURRENT bind to the stage's INPUT document (Mongo
+        // semantics), not the partially-extended frame
+        val env = rootEnv(df)
         doc(spec).foldLeft(df) { case (d, (as, e)) =>
-          d.withColumn(as, expr2col(e)) }
+          d.withColumn(as, expr2col(e, env)) }
 
       case "$unset" => spec match {
         case s: String => df.drop(s)
@@ -89,8 +93,9 @@ object PipelineCompiler {
         val fields = doc(spec)
         val idSpec = fields.getOrElse("_id",
           throw new IllegalArgumentException("$group requires _id"))
+        val groupEnv = rootEnv(df)
         val aggs = (fields - "_id").toSeq.map { case (as, accDoc) =>
-          accumulator(doc(accDoc)).as(as) }
+          accumulator(doc(accDoc), groupEnv).as(as) }
         idSpec match {
           case null => // global aggregation, _id: null
             require(aggs.nonEmpty, "$group {_id: null} needs an accumulator")
@@ -885,9 +890,12 @@ object PipelineCompiler {
     .replace("%L", "SSS").replace("%j", "DDD")
 
   /** Group accumulators: {$sum: expr} etc. */
-  private def accumulator(acc: Map[String, Any]): Column = {
+  private def accumulator(acc: Map[String, Any],
+      env: Map[String, Column] = Map.empty): Column = {
     require(acc.size == 1, s"accumulator must have one key: $acc")
     val (op, e) = acc.head
+    def expr2col(x: Any): Column =
+      PipelineCompiler.expr2col(x, env) // shadow: accumulator args see env
     op match {
       case "$sum" => e match {
         case n: Number if n.doubleValue() == 1.0 => count(lit(1))
@@ -975,6 +983,13 @@ object PipelineCompiler {
     * literals, operator expressions, and `$$var` lambda/let variables
     * (bound by `$map`/`$filter`/`$reduce`/`$let`). */
   def expr2col(e: Any): Column = expr2col(e, Map.empty)
+
+  /** `$$ROOT`/`$$CURRENT` binding for stages that see the input document:
+    * the whole row as a struct in input-column order. */
+  private def rootEnv(df: DataFrame): Map[String, Column] = {
+    val root = struct(df.columns.map(col).toSeq: _*)
+    Map("ROOT" -> root, "CURRENT" -> root)
+  }
 
   private def expr2col(e: Any, env: Map[String, Column]): Column = e match {
     case s: String if s.startsWith("$$") =>

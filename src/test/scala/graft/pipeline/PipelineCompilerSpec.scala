@@ -385,6 +385,33 @@ class PipelineCompilerSpec extends SparkSpec {
       Some(40.0), None))
   }
 
+  test("$$ROOT binds the whole input document in addFields/project/group") {
+    val d = Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 5.0))
+      .toDF("_id", "cat", "v")
+    // $addFields: whole-doc struct + dotted descent
+    val withDoc = PipelineCompiler.compile(Seq(Map("$addFields" -> Map(
+      "doc" -> "$$ROOT", "vv" -> "$$CURRENT.v"))))(d)
+    assert(withDoc.select("doc._id").as[Long].collect().toSeq ==
+      Seq(1L, 2L, 3L))
+    assert(withDoc.select("vv").as[Double].collect().toSeq ==
+      Seq(10.0, 20.0, 5.0))
+    // $group {$push: "$$ROOT"} — the dominant group-docs idiom
+    val grouped = PipelineCompiler.compile(Seq(
+      Map("$group" -> Map("_id" -> "$cat",
+        "docs" -> Map("$push" -> "$$ROOT"),
+        "n" -> Map("$sum" -> 1))),
+      Map("$sort" -> Map("_id" -> 1))))(d)
+    val a = grouped.where($"_id" === "a").select("docs").head()
+      .getSeq[org.apache.spark.sql.Row](0)
+    assert(a.map(_.getLong(0)).sorted == Seq(1L, 2L))
+    // $project computed from $$ROOT
+    val proj = PipelineCompiler.compile(Seq(Map("$project" -> Map(
+      "first_id" -> Map("$getField" ->
+        Map("field" -> "_id", "input" -> "$$ROOT"))))))(d)
+    assert(proj.select("first_id").as[Long].collect().toSeq ==
+      Seq(1L, 2L, 3L))
+  }
+
   test("$setWindowFields: $locf/$linearFill/$derivative/$integral/$expMovingAvg") {
     val ts = Seq(("a", 0.0, Some(0.0)), ("a", 2.0, None), ("a", 4.0, Some(8.0)))
       .toDF("g", "t", "v")
