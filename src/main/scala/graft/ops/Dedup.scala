@@ -77,10 +77,17 @@ object Dedup {
     // shuffles fixed-width longs instead of ~25-byte strings (same trick
     // MinHash applies before permuting). Hash collisions are corpus-rare
     // and deterministic — the DuckDB oracle hashes identically.
-    val sh = df
-      .select(col(idCol).as("id"),
-        explode(array_distinct(shingles(col(textCol), k))).as("shs"))
+    // tokens staged as a column so the shingle lambda slices a
+    // materialized array instead of re-tokenizing per window position;
+    // persisted because the frequency aggregate AND the filter join both
+    // consume it (narrow (id, long) rows — cheap to cache)
+    val sh = tracked(df
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
+      .select(col("id"),
+        explode(array_distinct(shinglesOfTokens(col("__toks"), k)))
+          .as("shs"))
       .select(col("id"), tokenHash(col("shs")).as("sh"))
+      .persist())
     val obsOpt =
       if (maxShingleFreq != 0) Some(org.apache.spark.sql.Observation())
       else None
@@ -141,8 +148,11 @@ object Dedup {
     * overflow). One explode + one aggregate with numPerms min() columns. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       k: Int, numPerms: Int): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-      explode(array_distinct(shingles(col(textCol), k))).as("sh"))
+    val sh = df
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
+      .select(col("id"),
+        explode(array_distinct(shinglesOfTokens(col("__toks"), k)))
+          .as("sh"))
       .withColumn("h", tokenHash(col("sh")))
     val mins = (0 until numPerms).map { i =>
       min((col("h") * lit(2L * i + 3) + lit(1L * i * i + 1)) % lit(HashMod))

@@ -36,15 +36,27 @@ object TextFunctions {
   /** hash60 reduced mod 2^31-1 (keeps products inside 64-bit range). */
   def tokenHash(c: Column): Column = hash60(c) % HashMod
 
-  /** Word k-shingles: overlapping windows of k tokens joined by space.
-    * Empty when the document has fewer than k tokens. */
-  def shingles(text: Column, k: Int): Column = {
-    val t = tokens(text)
-    when(size(t) >= k,
-      transform(sequence(lit(1), size(t) - (k - 1)),
-        i => concat_ws(" ", slice(t, i, lit(k)))))
+  /** Word k-shingles over an ALREADY-TOKENIZED array column. Pass a real
+    * column reference (stage `tokens(...)` with `withColumn` first): the
+    * `transform` lambda references `toks` once per window, so an inline
+    * non-trivial expression here would re-evaluate per shingle position —
+    * the O(len²)-per-row trap [[shingles]] documents. */
+  def shinglesOfTokens(toks: Column, k: Int): Column =
+    when(size(toks) >= k,
+      transform(sequence(lit(1), size(toks) - (k - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(k)))))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** Word k-shingles: overlapping windows of k tokens joined by space.
+    * Empty when the document has fewer than k tokens.
+    *
+    * PERF: higher-order lambdas re-evaluate captured expressions per
+    * element, so this convenience form re-tokenizes `text` once per
+    * shingle position (~len× too much work). Hot paths must stage the
+    * token array into a column and call [[shinglesOfTokens]] — Dedup's
+    * operators do. */
+  def shingles(text: Column, k: Int): Column =
+    shinglesOfTokens(tokens(text), k)
 
   // ---- language ID (stopword-marker heuristic) ----
 
