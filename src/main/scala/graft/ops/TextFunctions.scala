@@ -189,14 +189,17 @@ object TextFunctions {
     val toks = df.select(col(idCol),
       explode(tokens(col(textCol))).as("tok"))
       .withColumn("h", hash60(col("tok")) % (1L << bits))
-    val votes = toks
-      .select(col(idCol), col("h"),
-        explode(sequence(lit(0), lit(bits - 1))).as("j"))
-      .groupBy(col(idCol), col("j"))
-      .agg(sum(when(expr("shiftright(h, cast(j as int)) & 1") === 1, 1)
-        .otherwise(-1)).as("v"))
-    votes.groupBy(idCol)
-      .agg(sum(when(col("v") > 0, expr("shiftleft(1L, cast(j as int))"))
-        .otherwise(0L)).as("simhash"))
+    // one vote aggregate per bit as COLUMNS, not an exploded (token, bit)
+    // row per bit: the shuffle carries |docs| rows of `bits` longs with
+    // map-side partial aggregation, instead of |tokens|·bits rows
+    val voteCols = (0 until bits).map { j =>
+      sum(when(expr(s"shiftright(h, $j) & 1") === 1, 1).otherwise(-1))
+        .as(s"__v$j")
+    }
+    toks.groupBy(col(idCol)).agg(voteCols.head, voteCols.tail: _*)
+      .select(col(idCol),
+        (0 until bits).map(j =>
+          when(col(s"__v$j") > 0, lit(1L << j)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
   }
 }
