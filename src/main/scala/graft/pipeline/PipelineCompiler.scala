@@ -105,9 +105,14 @@ object PipelineCompiler {
             if (aggs.isEmpty) df.select(col(ref.drop(1)).as("_id")).distinct()
             else df.groupBy(col(ref.drop(1)).as("_id"))
               .agg(aggs.head, aggs.tail: _*)
+          case m: Map[_, _] if m.keys.exists(_.toString.startsWith("$")) =>
+            // operator doc: _id is an EXPRESSION ({$month: "$d"}, $concat…)
+            val key = expr2col(m, groupEnv).as("_id")
+            if (aggs.isEmpty) df.select(key).distinct()
+            else df.groupBy(key).agg(aggs.head, aggs.tail: _*)
           case m: Map[_, _] => // compound key {k: "$f", ...} → struct _id
             val keys = m.asInstanceOf[Map[String, Any]].toSeq.map {
-              case (k, v) => expr2col(v).as(k) }
+              case (k, v) => expr2col(v, groupEnv).as(k) }
             if (aggs.isEmpty)
               df.select(struct(keys: _*).as("_id")).distinct()
             else df.groupBy(struct(keys: _*).as("_id"))

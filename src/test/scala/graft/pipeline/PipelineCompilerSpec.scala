@@ -385,6 +385,18 @@ class PipelineCompilerSpec extends SparkSpec {
       Some(40.0), None))
   }
 
+  test("$group _id accepts an operator-doc expression, not just refs") {
+    val d = Seq(("2024-03-15", 1.0), ("2024-03-20", 2.0), ("2024-07-01", 4.0))
+      .toDF("ds", "v").withColumn("ts", $"ds".cast("timestamp"))
+    val out = PipelineCompiler.compile(Seq(
+      Map("$group" -> Map(
+        "_id" -> Map("$month" -> "$ts"),
+        "s" -> Map("$sum" -> "$v"))),
+      Map("$sort" -> Map("_id" -> 1))))(d)
+    assert(out.collect().map(r => (r.getInt(0), r.getDouble(1))).toSeq ==
+      Seq((3, 3.0), (7, 4.0)))
+  }
+
   test("$$ROOT binds the whole input document in addFields/project/group") {
     val d = Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 5.0))
       .toDF("_id", "cat", "v")
