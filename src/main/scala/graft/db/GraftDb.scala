@@ -193,11 +193,11 @@ final class GraftCollection(s: GraftSession, val ns: Namespace)
           val exists = fs.exists(new org.apache.hadoop.fs.Path(targetPath))
           val base =
             if (exists) s.spark.read.parquet(targetPath) else result.limit(0)
-          val keys = base.select(col(m.on)).distinct()
+          val keys = base.select(m.on.map(col): _*).distinct()
           // one pass shared by the matched/unmatched splits below
           val res = result.persist()
-          val matchedRes = res.join(keys, Seq(m.on), "left_semi")
-          val newRes = res.join(keys, Seq(m.on), "left_anti")
+          val matchedRes = res.join(keys, m.on, "left_semi")
+          val newRes = res.join(keys, m.on, "left_anti")
           // fail modes are Mongo ERRORS, so they must act eagerly — a
           // limit-1 existence probe, not a full count
           if (m.whenMatched == "fail" && !matchedRes.isEmpty)
@@ -398,12 +398,17 @@ object TableOps {
     * schema); last-wins if `updates` itself has duplicate keys. Implemented
     * as a key-cogrouped merge: rows only shuffle by the key column, no
     * driver involvement, broadcast-able when `updates` is small. */
-  def upsert(base: DataFrame, updates: DataFrame, keyCol: String): DataFrame = {
+  def upsert(base: DataFrame, updates: DataFrame, keyCol: String): DataFrame =
+    upsert(base, updates, Seq(keyCol))
+
+  /** Composite-key form (Mongo `$merge on: [f1, f2]`). */
+  def upsert(base: DataFrame, updates: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
     val cols = base.columns.toSeq
     require(updates.columns.toSeq == cols,
       s"upsert schema mismatch: ${updates.columns.toSeq} vs $cols")
-    val w = Window.partitionBy(col(keyCol)).orderBy(col("__src").desc,
-      col("__seq").desc)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__src").desc, col("__seq").desc)
     base.withColumn("__src", lit(0)).withColumn("__seq", lit(0L))
       .unionByName(updates.withColumn("__src", lit(1))
         .withColumn("__seq", monotonically_increasing_id()))
@@ -419,22 +424,28 @@ object TableOps {
     * null on unmatched base rows). Last-wins when `updates` repeats a key.
     * One key-shuffle left join — no driver involvement. */
   def mergeFields(base: DataFrame, updates: DataFrame,
-      keyCol: String): DataFrame = {
+      keyCol: String): DataFrame = mergeFields(base, updates, Seq(keyCol))
+
+  /** Composite-key form (Mongo `$merge on: [f1, f2]`). */
+  def mergeFields(base: DataFrame, updates: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
     // collapse duplicate update keys first so the join stays 1:1
-    val w = Window.partitionBy(col(keyCol))
+    val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("__seq").desc)
     val latest = updates.withColumn("__seq", monotonically_increasing_id())
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1).drop("__seq", "__rn")
     val b = base.alias("__mb")
     val u = latest.alias("__mu")
-    val joined = b.join(u, b(keyCol) === u(keyCol), "left")
+    val joined = b.join(u,
+      keyCols.map(k => b(k) === u(k)).reduce(_ && _), "left")
     val updCols = latest.columns.toSet
+    val hit = u(keyCols.head).isNotNull
     val outCols = (base.columns ++
       latest.columns.filterNot(base.columns.contains)).map { c =>
-      if (c == keyCol) b(c).as(c)
+      if (keyCols.contains(c)) b(c).as(c)
       else if (updCols.contains(c) && base.columns.contains(c))
-        when(u(keyCol).isNotNull, u(c)).otherwise(b(c)).as(c)
+        when(hit, u(c)).otherwise(b(c)).as(c)
       else if (updCols.contains(c)) u(c).as(c) // update-only column
       else b(c).as(c) // base-only column
     }

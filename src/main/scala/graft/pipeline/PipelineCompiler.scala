@@ -673,13 +673,29 @@ object PipelineCompiler {
     outputs.foldLeft(df) { case (acc, (field, spec0)) =>
       val m = doc(spec0)
       val winDoc = m.get("window").map(doc)
-      val framed: WindowSpec = winDoc.flatMap(_.get("documents")) match {
-        case Some(s: Seq[_]) =>
-          base.rowsBetween(bound(s.head, lo = true), bound(s(1), lo = false))
-        case Some(other) =>
-          throw new IllegalArgumentException(s"window.documents: $other")
-        case None => base
-      }
+      val framed: WindowSpec =
+        (winDoc.flatMap(_.get("documents")),
+          winDoc.flatMap(_.get("range"))) match {
+          case (Some(s: Seq[_]), _) =>
+            base.rowsBetween(bound(s.head, lo = true),
+              bound(s(1), lo = false))
+          case (None, Some(s: Seq[_])) =>
+            // value-based frame over the (single, NUMERIC) sortBy key —
+            // Spark rangeBetween takes offsets in the key's own scale.
+            // Date keys with a `unit` are out of scope here: pre-convert
+            // the key to epoch numbers (one $addFields) and window that.
+            require(winDoc.forall(!_.contains("unit")),
+              "range windows: numeric sortBy only — convert date keys to " +
+                "epoch numbers first ($toLong on the timestamp)")
+            def rb(v: Any, lo: Boolean): Long = v match {
+              case n: Number => n.longValue()
+              case other => bound(other, lo)
+            }
+            base.rangeBetween(rb(s.head, lo = true), rb(s(1), lo = false))
+          case (None, None) => base
+          case (_, other) =>
+            throw new IllegalArgumentException(s"window: $other")
+        }
       val (op, arg) = (m - "window").head
       val colExpr = op match {
         case "$sum" => sum(expr2col(arg)).over(framed)
@@ -829,8 +845,9 @@ object PipelineCompiler {
     * the columnar reading of "present": every column in the pipeline
     * result schema overwrites (nulls included); target-only columns are
     * kept. */
-  final case class MergeSpec(into: String, on: String,
+  final case class MergeSpec(into: String, on: Seq[String],
       whenMatched: String = "replace", whenNotMatched: String = "insert") {
+    require(on.nonEmpty, "$merge: empty on")
     require(Set("replace", "keepExisting", "merge", "fail")(whenMatched),
       s"$$merge whenMatched: $whenMatched")
     require(Set("insert", "discard", "fail")(whenNotMatched),
@@ -864,7 +881,10 @@ object PipelineCompiler {
         val d = doc(st("$merge"))
         val spec = MergeSpec(
           into = d("into").toString,
-          on = d.getOrElse("on", "_id").toString,
+          on = d.getOrElse("on", "_id") match {
+            case s: Seq[_] => s.map(_.toString)
+            case s => Seq(s.toString)
+          },
           whenMatched = d.getOrElse("whenMatched", "replace").toString,
           whenNotMatched = d.getOrElse("whenNotMatched", "insert").toString)
         (pipeline.init, Some(spec))

@@ -99,6 +99,20 @@ class GraftSessionSpec extends SparkSpec {
       (9L, 9.0, Some("seed"))))
   }
 
+  test("$merge composite on: [k1, k2] keys the merge on both columns") {
+    val dir = Files.createTempDirectory("graft-merge-comp").toString
+    Seq((1L, "x", 10.0), (1L, "y", 20.0)).toDF("k1", "k2", "v")
+      .write.parquet(s"$dir/src.parquet")
+    Seq((1L, "x", 0.0), (2L, "x", 5.0)).toDF("k1", "k2", "v")
+      .write.parquet(s"$dir/tgt.parquet")
+    val out = new GraftSession(spark, dir).db("d").c("src").pipe(Seq(
+      Map("$merge" -> Map("into" -> "tgt", "on" -> Seq("k1", "k2")))))
+      .orderBy("k1", "k2")
+    // (1,x) replaced, (1,y) inserted, (2,x) kept
+    assert(out.as[(Long, String, Double)].collect().toSeq ==
+      Seq((1L, "x", 10.0), (1L, "y", 20.0), (2L, "x", 5.0)))
+  }
+
   test("$merge fail modes raise on matched / unmatched keys") {
     val dir = Files.createTempDirectory("graft-merge-fail").toString
     Seq((1L, "a"), (2L, "b")).toDF("_id", "cat")

@@ -385,6 +385,20 @@ class PipelineCompilerSpec extends SparkSpec {
       Some(40.0), None))
   }
 
+  test("$setWindowFields range window frames by sortBy VALUE distance") {
+    val d = Seq(("a", 1, 1.0), ("a", 2, 2.0), ("a", 10, 4.0))
+      .toDF("g", "t", "v")
+    val out = PipelineCompiler.compile(Seq(Map("$setWindowFields" -> Map(
+      "partitionBy" -> "$g",
+      "sortBy" -> Map("t" -> 1),
+      "output" -> Map("s" -> Map(
+        "$sum" -> "$v",
+        "window" -> Map("range" -> Seq(-1, 0))))))))(d)
+      .orderBy("t")
+    // t=2 includes t=1 (within 1); t=10 stands alone
+    assert(out.select("s").as[Double].collect().toSeq == Seq(1.0, 3.0, 4.0))
+  }
+
   test("$group _id accepts an operator-doc expression, not just refs") {
     val d = Seq(("2024-03-15", 1.0), ("2024-03-20", 2.0), ("2024-07-01", 4.0))
       .toDF("ds", "v").withColumn("ts", $"ds".cast("timestamp"))
@@ -555,12 +569,12 @@ class PipelineCompilerSpec extends SparkSpec {
       Map("$merge" -> Map("into" -> "tgt", "on" -> "n",
         "whenMatched" -> "keepExisting", "whenNotMatched" -> "discard"))))
     assert(stages == Seq(Map("$match" -> Map("cat" -> "a"))))
-    assert(m.contains(PipelineCompiler.MergeSpec("tgt", "n",
+    assert(m.contains(PipelineCompiler.MergeSpec("tgt", Seq("n"),
       "keepExisting", "discard")))
     assert(PipelineCompiler.splitMerge(Seq(Map("$match" -> Map.empty)))._2
       .isEmpty)
     intercept[IllegalArgumentException] {
-      PipelineCompiler.MergeSpec("t", "k", "pipeline-update", "insert")
+      PipelineCompiler.MergeSpec("t", Seq("k"), "pipeline-update", "insert")
     }
   }
 
