@@ -194,37 +194,40 @@ final class GraftCollection(s: GraftSession, val ns: Namespace)
           val base =
             if (exists) s.spark.read.parquet(targetPath) else result.limit(0)
           val keys = base.select(m.on.map(col): _*).distinct()
-          // one pass shared by the matched/unmatched splits below
+          // one pass shared by the matched/unmatched splits below;
+          // unpersisted in the finally — a fail-mode throw or a failed
+          // write must not pin the pipeline result in executor storage
           val res = result.persist()
-          val matchedRes = res.join(keys, m.on, "left_semi")
-          val newRes = res.join(keys, m.on, "left_anti")
-          // fail modes are Mongo ERRORS, so they must act eagerly — a
-          // limit-1 existence probe, not a full count
-          if (m.whenMatched == "fail" && !matchedRes.isEmpty)
-            throw new IllegalStateException(
-              s"$$merge whenMatched:fail — result contains keys already " +
-                s"present in ${m.into}")
-          if (m.whenNotMatched == "fail" && !newRes.isEmpty)
-            throw new IllegalStateException(
-              s"$$merge whenNotMatched:fail — result contains keys not " +
-                s"present in ${m.into}")
-          val afterMatched = m.whenMatched match {
-            case "replace" => TableOps.upsert(base, matchedRes, m.on)
-            case "merge" => TableOps.mergeFields(base, matchedRes, m.on)
-            case _ => base // keepExisting, or fail (verified empty above)
-          }
-          val merged =
-            if (m.whenNotMatched == "insert")
-              afterMatched.unionByName(newRes, allowMissingColumns = true)
-            else afterMatched
-          // write via tmp + rename so a failed job never corrupts the target
-          val tmp = targetPath + ".tmp"
-          merged.write.mode("overwrite").parquet(tmp)
-          res.unpersist()
-          val p = new org.apache.hadoop.fs.Path(targetPath)
-          if (fs.exists(p)) fs.delete(p, true)
-          fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
-          s.spark.read.parquet(targetPath)
+          try {
+            val matchedRes = res.join(keys, m.on, "left_semi")
+            val newRes = res.join(keys, m.on, "left_anti")
+            // fail modes are Mongo ERRORS, so they must act eagerly — a
+            // limit-1 existence probe, not a full count
+            if (m.whenMatched == "fail" && !matchedRes.isEmpty)
+              throw new IllegalStateException(
+                s"$$merge whenMatched:fail — result contains keys already " +
+                  s"present in ${m.into}")
+            if (m.whenNotMatched == "fail" && !newRes.isEmpty)
+              throw new IllegalStateException(
+                s"$$merge whenNotMatched:fail — result contains keys not " +
+                  s"present in ${m.into}")
+            val afterMatched = m.whenMatched match {
+              case "replace" => TableOps.upsert(base, matchedRes, m.on)
+              case "merge" => TableOps.mergeFields(base, matchedRes, m.on)
+              case _ => base // keepExisting, or fail (verified empty above)
+            }
+            val merged =
+              if (m.whenNotMatched == "insert")
+                afterMatched.unionByName(newRes, allowMissingColumns = true)
+              else afterMatched
+            // write via tmp + rename so a failed job never corrupts the target
+            val tmp = targetPath + ".tmp"
+            merged.write.mode("overwrite").parquet(tmp)
+            val p = new org.apache.hadoop.fs.Path(targetPath)
+            if (fs.exists(p)) fs.delete(p, true)
+            fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+            s.spark.read.parquet(targetPath)
+          } finally res.unpersist()
       }
     }(_ => 0L)
 }
@@ -552,9 +555,12 @@ object TableOps {
     require(!(remove && update.nonEmpty),
       "cannot remove and update in one findAndModify") // db/data.go:19-26
     val pred = QueryCompiler.compile(query)
-    var target = df.where(pred)
-    if (sortKeys.nonEmpty)
-      target = target.orderBy(GraftQuery.parseSort(sortKeys): _*)
+    // the id tiebreak makes limit(1) DETERMINISTIC: the selected-row
+    // subplan is embedded lazily in both returned frames, and without a
+    // total order two executions could pick different rows — the mutated
+    // row and the returned row image must be the same row
+    val target = df.where(pred)
+      .orderBy(GraftQuery.parseSort(sortKeys) :+ col(idCol).asc: _*)
     val first = target.limit(1).select(col(idCol))
     // the single selected id marks its row via a 1-row broadcast join —
     // no driver round-trip, the whole op stays one plan

@@ -20,6 +20,12 @@ object Checkpoints {
 
   val ConfKey = "spark.graft.checkpointDir"
 
+  // SparkContext.setCheckpointDir stores <dir>/<random-UUID> (fully
+  // qualified), so getCheckpointDir can never equal the requested dir —
+  // comparing against it would re-set (and mkdir a fresh UUID subdir) on
+  // EVERY truncate call of an iterative op. Remember what we last set.
+  @volatile private var lastSetDir: Option[String] = None
+
   /** Eagerly materialize `df` with truncated lineage. */
   def truncate(df: DataFrame, dir: Option[String] = None): DataFrame = {
     val spark = df.sparkSession
@@ -27,7 +33,13 @@ object Checkpoints {
     val resolved = dir.orElse(spark.conf.getOption(ConfKey))
     resolved match {
       case Some(d) =>
-        if (!sc.getCheckpointDir.contains(d)) sc.setCheckpointDir(d)
+        if (!lastSetDir.contains(d) || sc.getCheckpointDir.isEmpty)
+          synchronized {
+            if (!lastSetDir.contains(d) || sc.getCheckpointDir.isEmpty) {
+              sc.setCheckpointDir(d)
+              lastSetDir = Some(d)
+            }
+          }
         df.checkpoint(eager = true)
       case None if sc.getCheckpointDir.isDefined =>
         df.checkpoint(eager = true)

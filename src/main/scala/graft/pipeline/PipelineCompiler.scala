@@ -77,11 +77,25 @@ object PipelineCompiler {
         }
 
       case "$addFields" | "$set" =>
+        val fields = doc(spec)
         // $$ROOT/$$CURRENT bind to the stage's INPUT document (Mongo
-        // semantics), not the partially-extended frame
-        val env = rootEnv(df)
-        doc(spec).foldLeft(df) { case (d, (as, e)) =>
-          d.withColumn(as, expr2col(e, env)) }
+        // semantics). The sequential fold lets an earlier key overwrite a
+        // column, so when the spec references the document variables the
+        // input row is FROZEN into a hidden struct column first — a
+        // rootEnv of bare column refs would silently re-resolve against
+        // the partially-updated frame.
+        if (usesDocVar(fields)) {
+          val snap = "__graft_root_snapshot"
+          require(!df.columns.contains(snap),
+            s"$$addFields: input already has reserved column $snap")
+          val rootCol = col(snap)
+          val env = Map("ROOT" -> rootCol, "CURRENT" -> rootCol)
+          fields.foldLeft(df.withColumn(snap,
+              struct(df.columns.map(col).toSeq: _*))) {
+            case (d, (as, e)) => d.withColumn(as, expr2col(e, env))
+          }.drop(snap)
+        } else fields.foldLeft(df) { case (d, (as, e)) =>
+          d.withColumn(as, expr2col(e)) }
 
       case "$unset" => spec match {
         case s: String => df.drop(s)
@@ -337,27 +351,9 @@ object PipelineCompiler {
                   "$fill linear requires sortBy")))
               require(sortDoc.size == 1 && sortDoc.head._2 == 1,
                 "$fill linear requires a single ascending sortBy field")
-              val key = col(sortDoc.head._1).cast("double")
-              val wPrev = baseW.rowsBetween(W.unboundedPreceding, W.currentRow)
-              val wNext = baseW.rowsBetween(W.currentRow, W.unboundedFollowing)
-              val v = col(field).cast("double")
-              val pv = last(v, ignoreNulls = true).over(wPrev)
-              val pk = last(when(v.isNotNull, key), ignoreNulls = true)
-                .over(wPrev)
-              val nv = first(v, ignoreNulls = true).over(wNext)
-              val nk = first(when(v.isNotNull, key), ignoreNulls = true)
-                .over(wNext)
-              // nk === pk (repeated sortBy values around the gap — Mongo
-              // errors on non-distinct linear sort keys) would divide by
-              // zero and null out silently; degrade to the previous known
-              // value instead. Columnar divergence: the output column is
-              // uniformly double (one type per column), where Mongo keeps
-              // original types on rows that already had values.
-              acc.withColumn(field,
-                when(v.isNotNull, v)
-                  .when(pv.isNull || nv.isNull, lit(null))
-                  .when(nk === pk, pv)
-                  .otherwise(pv + (nv - pv) * (key - pk) / (nk - pk)))
+              acc.withColumn(field, linearInterp(baseW,
+                col(sortDoc.head._1).cast("double"),
+                col(field).cast("double")))
             case other => throw new IllegalArgumentException(
               s"$$fill output for $field: $other")
           }
@@ -630,6 +626,29 @@ object PipelineCompiler {
     * output operators: `$sum/$avg/$min/$max/$count/$push/$first/$last/
     * $firstN/$lastN`, `$rank/$denseRank/$documentNumber`, `$shift`. Window
     * frames: `documents: [lo, hi]` with "unbounded"/"current"/ints. */
+  /** Shared by `$fill method:linear` and `$setWindowFields $linearFill`:
+    * interpolate nulls between the surrounding known values proportional
+    * to the sortBy key distance. nk === pk (repeated sort keys around the
+    * gap — a Mongo error for linear fills) degrades to the previous known
+    * value instead of a silent divide-by-zero null; leading/trailing
+    * nulls stay null. Columnar divergence: the output column is uniformly
+    * double, where Mongo keeps original types on rows that had values. */
+  private def linearInterp(
+      base: org.apache.spark.sql.expressions.WindowSpec,
+      key: Column, v: Column): Column = {
+    val W = org.apache.spark.sql.expressions.Window
+    val wPrev = base.rowsBetween(W.unboundedPreceding, W.currentRow)
+    val wNext = base.rowsBetween(W.currentRow, W.unboundedFollowing)
+    val pv = last(v, ignoreNulls = true).over(wPrev)
+    val pk = last(when(v.isNotNull, key), ignoreNulls = true).over(wPrev)
+    val nv = first(v, ignoreNulls = true).over(wNext)
+    val nk = first(when(v.isNotNull, key), ignoreNulls = true).over(wNext)
+    when(v.isNotNull, v)
+      .when(pv.isNull || nv.isNull, lit(null))
+      .when(nk === pk, pv)
+      .otherwise(pv + (nv - pv) * (key - pk) / (nk - pk))
+  }
+
   /** `$derivative`/`$integral` sortBy key as a double: a `unit` rescales a
     * timestamp key into that fixed-length unit (calendar units have no
     * fixed length and are rejected, as in `$dateAdd`). */
@@ -673,6 +692,10 @@ object PipelineCompiler {
     outputs.foldLeft(df) { case (acc, (field, spec0)) =>
       val m = doc(spec0)
       val winDoc = m.get("window").map(doc)
+      require(winDoc.forall(w =>
+        !(w.contains("documents") && w.contains("range"))),
+        "window: give documents OR range, not both (Mongo rejects two " +
+          "frame specifications)")
       val framed: WindowSpec =
         (winDoc.flatMap(_.get("documents")),
           winDoc.flatMap(_.get("range"))) match {
@@ -688,7 +711,13 @@ object PipelineCompiler {
               "range windows: numeric sortBy only — convert date keys to " +
                 "epoch numbers first ($toLong on the timestamp)")
             def rb(v: Any, lo: Boolean): Long = v match {
-              case n: Number => n.longValue()
+              case n: Number =>
+                // rangeBetween takes Long offsets; silently truncating a
+                // fractional bound would change the frame — reject it
+                require(n.doubleValue() == n.longValue(),
+                  s"window.range bound $n: integral offsets only " +
+                    "(rescale the sortBy key for fractional ranges)")
+                n.longValue()
               case other => bound(other, lo)
             }
             base.rangeBetween(rb(s.head, lo = true), rb(s(1), lo = false))
@@ -720,32 +749,20 @@ object PipelineCompiler {
         case "$denseRank" => dense_rank().over(base)
         case "$documentNumber" => row_number().over(base)
         case "$locf" => // last-observation-carried-forward up to this row
+          require(sortKeys.nonEmpty,
+            "$locf requires sortBy (unordered carry-forward is undefined)")
           last(expr2col(arg), ignoreNulls = true)
             .over(base.rowsBetween(Window.unboundedPreceding,
               Window.currentRow))
         case "$linearFill" =>
-          // same interpolation plan as $fill method:linear — surrounding
-          // known values found by two one-pass windows over the sortBy key
+          // same interpolation plan as $fill method:linear (shared
+          // linearInterp helper)
           val sortFields = d.get("sortBy").map(doc(_).keys.toSeq)
             .getOrElse(Nil)
           require(sortFields.size == 1,
             "$linearFill needs exactly one sortBy field")
-          val key = col(sortFields.head).cast("double")
-          val wPrev = base.rowsBetween(Window.unboundedPreceding,
-            Window.currentRow)
-          val wNext = base.rowsBetween(Window.currentRow,
-            Window.unboundedFollowing)
-          val v = expr2col(arg).cast("double")
-          val pv = last(v, ignoreNulls = true).over(wPrev)
-          val pk = last(when(v.isNotNull, key), ignoreNulls = true)
-            .over(wPrev)
-          val nv = first(v, ignoreNulls = true).over(wNext)
-          val nk = first(when(v.isNotNull, key), ignoreNulls = true)
-            .over(wNext)
-          when(v.isNotNull, v)
-            .when(pv.isNull || nv.isNull, lit(null))
-            .when(nk === pk, pv)
-            .otherwise(pv + (nv - pv) * (key - pk) / (nk - pk))
+          linearInterp(base, col(sortFields.head).cast("double"),
+            expr2col(arg).cast("double"))
         case "$derivative" =>
           // (Δ input) / (Δ sortBy key) across the window frame; `unit`
           // rescales a timestamp key to the given fixed-length unit
@@ -768,13 +785,16 @@ object PipelineCompiler {
           // frame's lower bound is the partition start (the first in-frame
           // row's incoming segment must lie outside), so bounded lower
           // document-frames are rejected rather than silently wrong.
-          winDoc.flatMap(_.get("documents")) match {
-            case Some(s: Seq[_]) if s.head != "unbounded" =>
-              throw new IllegalArgumentException(
-                "$integral: only windows starting at 'unbounded' are " +
-                  "supported (trapezoid segments cross the lower bound)")
-            case _ => ()
-          }
+          // the same trapezoid-crosses-the-lower-bound flaw applies to
+          // BOTH frame kinds — reject any bounded lower bound
+          Seq("documents", "range")
+            .flatMap(k => winDoc.flatMap(_.get(k))).foreach {
+              case s: Seq[_] if s.head != "unbounded" =>
+                throw new IllegalArgumentException(
+                  "$integral: only windows starting at 'unbounded' are " +
+                    "supported (trapezoid segments cross the lower bound)")
+              case _ => ()
+            }
           val dd = doc(arg)
           val sortFields = d.get("sortBy").map(doc(_).keys.toSeq)
             .getOrElse(Nil)
@@ -1008,6 +1028,14 @@ object PipelineCompiler {
     * literals, operator expressions, and `$$var` lambda/let variables
     * (bound by `$map`/`$filter`/`$reduce`/`$let`). */
   def expr2col(e: Any): Column = expr2col(e, Map.empty)
+
+  /** Does the expression tree reference `$$ROOT`/`$$CURRENT`? */
+  private def usesDocVar(e: Any): Boolean = e match {
+    case s: String => s.startsWith("$$ROOT") || s.startsWith("$$CURRENT")
+    case m: Map[_, _] => m.values.exists(usesDocVar)
+    case s: Seq[_] => s.exists(usesDocVar)
+    case _ => false
+  }
 
   /** `$$ROOT`/`$$CURRENT` binding for stages that see the input document:
     * the whole row as a struct in input-column order. */

@@ -115,6 +115,11 @@ class DedupSpec extends SparkSpec {
       else 0
     assert(rddDirs(new java.io.File(ckpt)) > 0,
       s"no rdd-* checkpoint dirs under $ckpt")
+    // one setCheckpointDir for the whole run: a single UUID session dir,
+    // not one per iteration (the dir-sprawl regression)
+    val uuidDirs = new java.io.File(ckpt).listFiles().count(_.isDirectory)
+    assert(uuidDirs == 1,
+      s"expected 1 checkpoint session dir under $ckpt, got $uuidDirs")
   }
 
   test("kmeans honors spark.graft.checkpointDir conf") {

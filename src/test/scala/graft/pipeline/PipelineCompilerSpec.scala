@@ -385,6 +385,44 @@ class PipelineCompilerSpec extends SparkSpec {
       Some(40.0), None))
   }
 
+  test("$$ROOT is frozen to the stage input even when a field overwrites") {
+    val d = Seq((1L, 10.0)).toDF("_id", "v")
+    // v is overwritten BEFORE doc in the same $set; $$ROOT must still
+    // carry the original v (Mongo binds ROOT to the stage input)
+    val out = PipelineCompiler.compile(Seq(Map("$set" ->
+      scala.collection.immutable.ListMap(
+        "v" -> Map("$multiply" -> Seq("$v", 2.0)),
+        "doc" -> "$$ROOT"))))(d)
+    val r = out.select("v", "doc.v").head()
+    assert(r.getDouble(0) == 20.0 && r.getDouble(1) == 10.0)
+  }
+
+  test("window-frame misuse fails loudly, never silently wrong") {
+    val d = Seq(("a", 1, 1.0)).toDF("g", "t", "v")
+    def win(output: Map[String, Any]) =
+      PipelineCompiler.compile(Seq(Map("$setWindowFields" -> Map(
+        "partitionBy" -> "$g", "sortBy" -> Map("t" -> 1),
+        "output" -> output))))(d).collect()
+    // documents + range together
+    intercept[IllegalArgumentException] { win(Map("s" -> Map(
+      "$sum" -> "$v", "window" -> Map(
+        "documents" -> Seq("unbounded", "current"),
+        "range" -> Seq(-1, 0))))) }
+    // fractional range bounds would truncate
+    intercept[IllegalArgumentException] { win(Map("s" -> Map(
+      "$sum" -> "$v", "window" -> Map("range" -> Seq(-0.5, 0.5))))) }
+    // $integral over a bounded-lower RANGE frame (same flaw as documents)
+    intercept[IllegalArgumentException] { win(Map("ig" -> Map(
+      "$integral" -> Map("input" -> "$v"),
+      "window" -> Map("range" -> Seq(-1, 0))))) }
+    // $locf without sortBy is unordered
+    intercept[IllegalArgumentException] {
+      PipelineCompiler.compile(Seq(Map("$setWindowFields" -> Map(
+        "partitionBy" -> "$g",
+        "output" -> Map("x" -> Map("$locf" -> "$v"))))))(d).collect()
+    }
+  }
+
   test("$setWindowFields range window frames by sortBy VALUE distance") {
     val d = Seq(("a", 1, 1.0), ("a", 2, 2.0), ("a", 10, 4.0))
       .toDF("g", "t", "v")
