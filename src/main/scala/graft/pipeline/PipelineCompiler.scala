@@ -425,13 +425,23 @@ object PipelineCompiler {
         require(step > 0, "$densify step must be positive")
         val grid = r.getOrElse("bounds", "full") match {
           case "full" =>
-            // bounds from the data: global (or per-partition) min/max
-            val agg =
-              if (parts.isEmpty)
-                df.agg(min(col(field)).as("__lo"), max(col(field)).as("__hi"))
-              else df.groupBy(parts.map(col): _*)
-                .agg(min(col(field)).as("__lo"), max(col(field)).as("__hi"))
-            agg.where(col("__lo").isNotNull)
+            // Mongo "full": the GLOBAL data span, applied to every
+            // partition (one-row aggregate, cross-joined onto the
+            // partition key set)
+            val span = df
+              .agg(min(col(field)).as("__lo"), max(col(field)).as("__hi"))
+              .where(col("__lo").isNotNull)
+              .select(explode(sequence(col("__lo").cast("long"),
+                col("__hi").cast("long"), lit(step))).as(field))
+            if (parts.isEmpty) span
+            else span.crossJoin(df.select(parts.map(col): _*).distinct())
+          case "partition" =>
+            // per-partition min/max span
+            require(parts.nonEmpty,
+              "$densify bounds: \"partition\" needs partitionByFields")
+            df.groupBy(parts.map(col): _*)
+              .agg(min(col(field)).as("__lo"), max(col(field)).as("__hi"))
+              .where(col("__lo").isNotNull)
               .select(parts.map(col) :+
                 explode(sequence(col("__lo").cast("long"),
                   col("__hi").cast("long"), lit(step))).as(field): _*)

@@ -589,12 +589,22 @@ class PipelineCompilerSpec extends SparkSpec {
         "bounds" -> Seq(0, 7))))), tables = _ => sparse)(sparse)
     assert(bounded.select("t").as[Long].collect().sorted.toSeq ==
       Seq(0L, 1L, 2L, 4L, 6L))
-    // per-partition grids
+    // Mongo "full" = the GLOBAL span for every partition
+    val parted0 = Seq(("a", 1L), ("a", 3L), ("b", 2L), ("b", 4L))
+      .toDF("g", "t")
+    val densFull = PipelineCompiler.compile(Seq(Map("$densify" -> Map(
+      "field" -> "t", "partitionByFields" -> Seq("g"),
+      "range" -> Map("step" -> 1, "bounds" -> "full")))),
+      tables = _ => parted0)(parted0)
+    // both partitions get the 1..4 global grid
+    assert(densFull.groupBy("g").count().select("count").as[Long]
+      .collect().toSeq == Seq(4L, 4L))
+    // per-partition grids (Mongo bounds: "partition")
     val parted = Seq(("a", 1L), ("a", 3L), ("b", 10L), ("b", 11L))
       .toDF("g", "t")
     val dens = PipelineCompiler.compile(Seq(Map("$densify" -> Map(
       "field" -> "t", "partitionByFields" -> Seq("g"),
-      "range" -> Map("step" -> 1, "bounds" -> "full")))),
+      "range" -> Map("step" -> 1, "bounds" -> "partition")))),
       tables = _ => parted)(parted)
     assert(dens.orderBy("g", "t").select("g", "t").as[(String, Long)]
       .collect().toSeq ==
