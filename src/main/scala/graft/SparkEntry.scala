@@ -558,6 +558,33 @@ object SparkEntry {
         .select("event_id", "event_type").orderBy("event_id")
     }),
 
+    // statistical window accumulators over full partitions: population /
+    // sample stddev, covariance, exact median — one Window pass each
+    "q103_window_stats" -> ((s, dir) =>
+      coll(s, dir, "orders").pipe(Seq(
+        Map("$match" -> Map("o_orderkey" -> Map("$lte" -> 3000))),
+        Map("$setWindowFields" -> Map(
+          "partitionBy" -> "$o_custkey",
+          "sortBy" -> Map("o_orderkey" -> 1),
+          "output" -> Map(
+            "sp" -> Map("$stdDevPop" -> "$o_totalprice",
+              "window" -> Map("documents" ->
+                Seq("unbounded", "unbounded"))),
+            "ss" -> Map("$stdDevSamp" -> "$o_totalprice",
+              "window" -> Map("documents" ->
+                Seq("unbounded", "unbounded"))),
+            "cp" -> Map("$covariancePop" ->
+              Seq("$o_totalprice", "$o_orderkey"),
+              "window" -> Map("documents" ->
+                Seq("unbounded", "unbounded"))),
+            "md" -> Map("$median" -> "$o_totalprice"))))))
+        .select(col("o_orderkey"), col("o_custkey"),
+          (floor(col("sp") * 1e6 + 0.5) / 1e6).as("sp"),
+          (floor(col("ss") * 1e6 + 0.5) / 1e6).as("ss"),
+          (floor(col("cp") * 1e6 + 0.5) / 1e6).as("cp"),
+          (floor(col("md") * 1e6 + 0.5) / 1e6).as("md"))
+        .orderBy("o_orderkey")),
+
     // $$ROOT round-trip: push whole documents into per-status arrays,
     // unwind them back, project fields out of the nested doc — the
     // group-docs idiom, exercised end-to-end
@@ -1593,6 +1620,17 @@ object SparkEntry {
        |             GROUP BY cid) n USING (cid))""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+
+    "q103_window_stats" ->
+      """SELECT o_orderkey, o_custkey,
+        |  floor(stddev_pop(o_totalprice) OVER w * 1e6 + 0.5) / 1e6 AS sp,
+        |  floor(stddev_samp(o_totalprice) OVER w * 1e6 + 0.5) / 1e6 AS ss,
+        |  floor(covar_pop(o_totalprice, o_orderkey) OVER w * 1e6 + 0.5)
+        |    / 1e6 AS cp,
+        |  floor(median(o_totalprice) OVER w * 1e6 + 0.5) / 1e6 AS md
+        |FROM orders WHERE o_orderkey <= 3000
+        |WINDOW w AS (PARTITION BY o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q102_root_roundtrip" ->
       """SELECT o_orderstatus AS status, o_orderkey AS ok,

@@ -755,6 +755,50 @@ object PipelineCompiler {
             val sz = size(in)
             slice(in, greatest(sz - (n - 1), lit(1)), lit(n))
           }
+        case "$stdDevPop" => stddev_pop(expr2col(arg)).over(framed)
+        case "$stdDevSamp" => stddev_samp(expr2col(arg)).over(framed)
+        case "$addToSet" => collect_set(expr2col(arg)).over(framed)
+        case "$covariancePop" | "$covarianceSamp" =>
+          val Seq(x, y) = arg match {
+            case s: Seq[_] => s.map(expr2col)
+            case other => throw new IllegalArgumentException(
+              s"$op needs [x, y]: $other")
+          }
+          (if (op == "$covariancePop") covar_pop(x, y)
+           else covar_samp(x, y)).over(framed)
+        case "$median" | "$percentile" =>
+          // Mongo and Spark agree: rank statistics only over the WHOLE
+          // partition ($median/$percentile reject bounded windows; Spark
+          // rejects ORDER BY/frames on median/percentile_approx)
+          winDoc.flatMap(w => w.get("documents").orElse(w.get("range")))
+            .foreach {
+              case s: Seq[_]
+                  if s == Seq("unbounded", "unbounded") => ()
+              case other => throw new IllegalArgumentException(
+                s"$op: only [\"unbounded\", \"unbounded\"] windows: $other")
+            }
+          val partOnly =
+            if (partCols.nonEmpty) Window.partitionBy(partCols: _*)
+            else Window.partitionBy()
+          if (op == "$median") median(expr2col(arg)).over(partOnly)
+          else {
+            val pd = doc(arg)
+            val ps = pd("p") match {
+              case s: Seq[_] => s.map(_.asInstanceOf[Number].doubleValue())
+              case other => throw new IllegalArgumentException(
+                s"$$percentile p: $other")
+            }
+            percentile_approx(expr2col(pd("input")),
+              array(ps.map(lit): _*), lit(10000)).over(partOnly)
+          }
+        case "$minN" | "$maxN" =>
+          val fn = doc(arg)
+          val n = int(fn("n"))
+          val in = collect_list(expr2col(fn("input"))).over(framed)
+          val sorted =
+            if (op == "$minN") array_sort(in)
+            else sort_array(in, asc = false)
+          slice(sorted, 1, n)
         case "$rank" => rank().over(base)
         case "$denseRank" => dense_rank().over(base)
         case "$documentNumber" => row_number().over(base)

@@ -423,6 +423,34 @@ class PipelineCompilerSpec extends SparkSpec {
     }
   }
 
+  test("$setWindowFields statistical + N-bounded window accumulators") {
+    val d = Seq(("a", 1, 2.0, 1.0), ("a", 2, 4.0, 3.0), ("a", 3, 6.0, 2.0))
+      .toDF("g", "t", "x", "y")
+    val full = Map("documents" -> Seq("unbounded", "unbounded"))
+    val out = PipelineCompiler.compile(Seq(Map("$setWindowFields" -> Map(
+      "partitionBy" -> "$g", "sortBy" -> Map("t" -> 1),
+      "output" -> Map(
+        "sp" -> Map("$stdDevPop" -> "$x", "window" -> full),
+        "ss" -> Map("$stdDevSamp" -> "$x", "window" -> full),
+        "st" -> Map("$addToSet" -> "$g", "window" -> full),
+        "cp" -> Map("$covariancePop" -> Seq("$x", "$y"), "window" -> full),
+        "cs" -> Map("$covarianceSamp" -> Seq("$x", "$y"), "window" -> full),
+        "md" -> Map("$median" -> "$x", "window" -> full),
+        "mn" -> Map("$minN" -> Map("input" -> "$x", "n" -> 2),
+          "window" -> full),
+        "mx" -> Map("$maxN" -> Map("input" -> "$x", "n" -> 2),
+          "window" -> full))))))(d).orderBy("t")
+    val r = out.select("sp", "ss", "cp", "cs", "md").head()
+    assert(math.abs(r.getDouble(0) - math.sqrt(8.0 / 3)) < 1e-9)
+    assert(math.abs(r.getDouble(1) - 2.0) < 1e-9)
+    assert(math.abs(r.getDouble(2) - 2.0 / 3) < 1e-9) // covar_pop
+    assert(math.abs(r.getDouble(3) - 1.0) < 1e-9)     // covar_samp
+    assert(r.getDouble(4) == 4.0)
+    assert(out.select("st").head().getSeq[String](0) == Seq("a"))
+    assert(out.select("mn").head().getSeq[Double](0) == Seq(2.0, 4.0))
+    assert(out.select("mx").head().getSeq[Double](0) == Seq(6.0, 4.0))
+  }
+
   test("$setWindowFields range window frames by sortBy VALUE distance") {
     val d = Seq(("a", 1, 1.0), ("a", 2, 2.0), ("a", 10, 4.0))
       .toDF("g", "t", "v")
