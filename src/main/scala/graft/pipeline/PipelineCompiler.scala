@@ -1420,7 +1420,12 @@ object PipelineCompiler {
           val in = seq.head
           val aliases = Seq("string", "int", "long", "double", "bool",
             "decimal", "date", "array", "object", "binData")
-          val mapped = aliases.foldRight(call_function("typeof", in)) {
+          // fallthrough for types with no Mongo alias: static catalog
+          // string (analysis-time constant; `typeof` is codegen-unsafe)
+          val fallthrough = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+            graft.functions.StaticTypeName(
+              org.apache.spark.sql.graftbridge.ColumnBridge.expression(in)))
+          val mapped = aliases.foldRight(fallthrough) {
             (alias, els) =>
               when(QueryCompiler.typeMatches(in, alias), lit(alias))
                 .otherwise(els)

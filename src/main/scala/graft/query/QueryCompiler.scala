@@ -170,28 +170,17 @@ object QueryCompiler {
   }
 
   /** True when column `c`'s static Spark type corresponds to the Mongo
-    * type alias — exact typeof names plus prefixes for parameterized types
-    * (never bare `startsWith`, which would let "interval…" match "int").
-    * Shared by the query `$type` predicate and the expression-level
-    * `$type`/`$isNumber` (PipelineCompiler). */
+    * type alias. Resolved against the column's `DataType` at analysis time
+    * via [[graft.functions.TypeAliasMatches]] — it constant-folds to a
+    * literal, so it is codegen-safe (the earlier `typeof(c) === "date"`
+    * form generated uncompilable Java for date/timestamp operands and fell
+    * back to interpreted evaluation). Shared by the query `$type` predicate
+    * and the expression-level `$type`/`$isNumber` (PipelineCompiler). */
   private[graft] def typeMatches(c: Column, alias: String): Column = {
-    val t = call_function("typeof", c)
-    def exact(names: String*) = names.map(t === _).reduce(_ || _)
-    def prefixed(ps: String*) = ps.map(t.startsWith(_)).reduce(_ || _)
-    alias match {
-      case "string" => exact("string")
-      case "int" => exact("int", "smallint", "tinyint")
-      case "long" => exact("bigint")
-      case "double" => exact("double", "float")
-      case "bool" => exact("boolean")
-      case "decimal" => prefixed("decimal")
-      case "date" => exact("timestamp", "timestamp_ntz", "date")
-      case "array" => prefixed("array")
-      case "object" => prefixed("struct", "map")
-      case "binData" => exact("binary")
-      case other =>
-        throw new IllegalArgumentException(s"unsupported $$type alias: $other")
-    }
+    graft.functions.TypeAliasMatches.validate(alias)
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.TypeAliasMatches(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(c), alias))
   }
 
   private def seqOf(v: Any, ctx: String): Seq[Any] = v match {

@@ -110,6 +110,22 @@ class QueryCompilerSpec extends SparkSpec {
     assert(n("d", "double") == 0)
   }
 
+  test("$type constant-folds: no typeof in the optimized plan (codegen-safe)") {
+    // the earlier typeof(c)==="date" form generated uncompilable Java for
+    // date/timestamp operands and silently fell back to interpreted eval
+    val typed = df
+      .withColumn("d", lit(java.sql.Date.valueOf("2024-01-02")))
+      .withColumn("ts", current_timestamp())
+    for (field <- Seq("d", "ts"); alias <- Seq("date", "string")) {
+      val plan = typed.where(QueryCompiler.compile(
+        Map(field -> Map("$type" -> alias)))).queryExecution.optimizedPlan
+      assert(!plan.toString.contains("typeof"),
+        s"$$type $field/$alias left a runtime typeof in: $plan")
+      assert(!plan.toString.toLowerCase.contains("typealiasmatches"),
+        s"$$type $field/$alias did not fold: $plan")
+    }
+  }
+
   test("$type matches the static column type; 'null' matches null values") {
     assert(ids(Map("cat" -> Map("$type" -> "string"))) == Seq(1, 2, 3, 4))
     assert(ids(Map("v" -> Map("$type" -> "double"))) == Seq(1, 2, 3, 4))
