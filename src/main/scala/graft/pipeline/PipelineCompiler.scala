@@ -30,6 +30,24 @@ object PipelineCompiler {
 
   type TableResolver = String => DataFrame
 
+  /** Sink for plan-time scale warnings — overridable so specs can assert a
+    * warning fired (same seam style as Dedup's observation callback). */
+  @volatile private[graft] var scaleWarnSink: String => Unit =
+    msg => org.apache.log4j.Logger.getLogger(getClass).warn(msg)
+
+  /** Guard for the one plan family that can silently serialize at scale:
+    * a window compiled with empty `Window.partitionBy()`. Mongo semantics
+    * genuinely require the global window, so the default is a plan-time
+    * warning (SCALE.md documents the workaround per stage); under
+    * `spark.graft.strictScale=true` the stage is rejected instead. */
+  private def scaleGuard(df: DataFrame, msg: String): Unit = {
+    val strict = df.sparkSession.conf
+      .getOption("spark.graft.strictScale").exists(_.equalsIgnoreCase("true"))
+    if (strict) throw new IllegalStateException(
+      s"[spark.graft.strictScale] $msg")
+    scaleWarnSink(msg)
+  }
+
   def compile(pipeline: Seq[Map[String, Any]],
       tables: TableResolver = name =>
         throw new IllegalArgumentException(s"$$lookup: unknown table $name"))
@@ -325,6 +343,12 @@ object PipelineCompiler {
           case (k, v) =>
             throw new IllegalArgumentException(s"$$fill sortBy $k: $v")
         }).getOrElse(Nil)
+        if (partCols.isEmpty && doc(d("output")).values
+              .exists(o => doc(o).contains("method")))
+          scaleGuard(df, "$fill with a locf/linear method and no " +
+            "partitionBy compiles to a single-partition global window " +
+            "(correct Mongo semantics, but serializes at scale) — add " +
+            "partitionBy to distribute")
         def baseW = {
           val p = if (partCols.nonEmpty)
             org.apache.spark.sql.expressions.Window.partitionBy(partCols: _*)
@@ -377,6 +401,17 @@ object PipelineCompiler {
             graft.functions.Granularity.quantizeInto(df,
               expr2col(d("groupBy")), g.toString, "__bv")
           case None => df.withColumn("__bv", expr2col(d("groupBy")))
+        }
+        if (!d.contains("granularity")) withBv.schema("__bv").dataType match {
+          case org.apache.spark.sql.types.DoubleType |
+               org.apache.spark.sql.types.FloatType |
+               (_: org.apache.spark.sql.types.DecimalType) =>
+            scaleGuard(df, "$bucketAuto without granularity on a " +
+              "fractional groupBy runs its cumulative-count window over " +
+              "every DISTINCT value — near-unique continuous columns make " +
+              "that a single-partition sort of ~all rows; add granularity " +
+              "to bound the domain to the preferred-number series")
+          case _ => () // discrete domain: the distinct-value window is bounded
         }
         val nBuckets = int(d("buckets"))
         val aggs = (d - "groupBy" - "buckets" - "granularity").toSeq
@@ -677,6 +712,10 @@ object PipelineCompiler {
   private def setWindowFields(df: DataFrame, d: Map[String, Any]): DataFrame = {
     import org.apache.spark.sql.expressions.{Window, WindowSpec}
     val partCols = d.get("partitionBy").toSeq.map(expr2col)
+    if (partCols.isEmpty)
+      scaleGuard(df, "$setWindowFields without partitionBy compiles to a " +
+        "single-partition global window (correct Mongo semantics, but " +
+        "serializes at scale) — add partitionBy to distribute")
     val sortKeys: Seq[Column] = d.get("sortBy").map { s =>
       doc(s).toSeq.map {
         case (k, 1) => col(k).asc

@@ -553,6 +553,48 @@ class PipelineCompilerSpec extends SparkSpec {
     }
   }
 
+  test("scale guard: unpartitioned windows warn; strictScale rejects") {
+    val warns = scala.collection.mutable.ArrayBuffer[String]()
+    val prior = PipelineCompiler.scaleWarnSink
+    PipelineCompiler.scaleWarnSink = m => warns.synchronized { warns += m }
+    try {
+      def swf = Map("$setWindowFields" -> Map(
+        "sortBy" -> Map("n" -> 1),
+        "output" -> Map("r" -> Map("$rank" -> Map.empty))))
+      def fill = Map("$fill" -> Map(
+        "sortBy" -> Map("n" -> 1),
+        "output" -> Map("amt" -> Map("method" -> "locf"))))
+      def bkt = Map("$bucketAuto" ->
+        Map("groupBy" -> "$amt", "buckets" -> 2))
+      // default: compiles, still correct, one warning per serializing stage
+      assert(run(swf).count() == 4 && warns.size == 1)
+      assert(run(fill).count() == 4 && warns.size == 2)
+      assert(run(bkt).count() == 2 && warns.size == 3)
+      assert(warns.forall(_.contains("single-partition")) ||
+        warns.exists(_.contains("DISTINCT")))
+      // shapes that distribute fine must NOT warn: partitioned window,
+      // value-only fill, granular / discrete-domain bucketAuto
+      run(Map("$setWindowFields" -> Map("partitionBy" -> "$cat",
+        "sortBy" -> Map("n" -> 1),
+        "output" -> Map("r" -> Map("$rank" -> Map.empty))))).count()
+      run(Map("$fill" ->
+        Map("output" -> Map("amt" -> Map("value" -> 0.0))))).count()
+      run(Map("$bucketAuto" -> Map("groupBy" -> "$amt", "buckets" -> 2,
+        "granularity" -> "R5"))).count()
+      run(Map("$bucketAuto" -> Map("groupBy" -> "$n", "buckets" -> 2)))
+        .count()
+      assert(warns.size == 3, s"false-positive warnings: $warns")
+      // strict mode turns the warning into a plan-time reject
+      spark.conf.set("spark.graft.strictScale", "true")
+      intercept[IllegalStateException] { run(swf) }
+      intercept[IllegalStateException] { run(fill) }
+      intercept[IllegalStateException] { run(bkt) }
+    } finally {
+      spark.conf.unset("spark.graft.strictScale")
+      PipelineCompiler.scaleWarnSink = prior
+    }
+  }
+
   test("$fill linear with repeated sortBy values degrades to locf, not null") {
     // nk == pk around the gap (Mongo errors on non-distinct linear sort
     // keys); the guarded plan fills with the previous known value instead
