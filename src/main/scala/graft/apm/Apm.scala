@@ -140,12 +140,22 @@ final class SparkApmListener(monitor: BasicMonitor)
       .sorted.mkString(",")
     EventKey("spark", tables, funcName)
   }
+  /** Deriving the key touches the plan; on a FAILED execution that can
+    * re-raise the original error (e.g. accessing plans of a query whose
+    * analysis failed), and a throwing listener makes ExecutionListenerBus
+    * log an ERROR for every monitored failure. A monitor must never turn
+    * one failure into two: fall back to a plan-free key and always record. */
+  private def safeKey(qe: QueryExecution, funcName: String): EventKey =
+    try key(qe, funcName)
+    catch { case scala.util.control.NonFatal(_) =>
+      EventKey("spark", "<unresolved>", funcName)
+    }
   override def onSuccess(funcName: String, qe: QueryExecution,
       durationNs: Long): Unit =
-    monitor.record(key(qe, funcName), ok = true, durationNs)
+    monitor.record(safeKey(qe, funcName), ok = true, durationNs)
   override def onFailure(funcName: String, qe: QueryExecution,
       exception: Exception): Unit =
-    monitor.record(key(qe, funcName), ok = false, 0L)
+    monitor.record(safeKey(qe, funcName), ok = false, 0L)
 }
 
 /** Periodic rotate-and-log — reference loggingMonitor

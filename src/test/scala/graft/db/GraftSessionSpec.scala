@@ -288,6 +288,24 @@ class ApmSpec extends SparkSpec {
     assert(w.nonEmpty)
   }
 
+  test("spark listener records failed executions instead of re-throwing") {
+    // deriving the event key from a failed execution can re-raise the
+    // original analysis error; the listener must fall back to a plan-free
+    // key and record the failure (not make ExecutionListenerBus log ERROR)
+    val monitor = Apm.install(spark)
+    import spark.implicits._
+    val df = Seq((1, 2)).toDF("a", "b")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(graft.functions.VectorFunctions.vec_dot($"a", $"b")).collect()
+    }
+    var failed = Map.empty[EventKey, EventRecord]
+    val deadline = System.currentTimeMillis() + 5000
+    while (failed.isEmpty && System.currentTimeMillis() < deadline) {
+      Thread.sleep(100); failed = monitor.rotate().filter(_._2.failed > 0)
+    }
+    assert(failed.nonEmpty, "failure event was not recorded")
+  }
+
   test("spark listener separates namespaces: two tables -> two event keys") {
     val monitor = Apm.install(spark)
     graft.sources.Tables.table(spark, "/root/testdata/sf0.001", "nation").count()
