@@ -585,6 +585,28 @@ object SparkEntry {
           (floor(col("md") * 1e6 + 0.5) / 1e6).as("md"))
         .orderBy("o_orderkey")),
 
+    // $merge whenMatched UPDATE-PIPELINE form: per matched pair the input
+    // doc is the EXISTING target row and $$new binds to the incoming one
+    // — accumulate counts and bump a generation field in one keyed merge
+    "q104_merge_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      val root = tmpCopy(dir, "orders", "graft-merge-pipe")
+      Seq(("F", 1000L, 2L), ("Z", 5L, 1L)).toDF("status", "cnt", "gen")
+        .write.parquet(root + "/summary.parquet")
+      new GraftSession(s, root).db("d").c("orders").pipe(Seq(
+        Map("$group" -> Map("_id" -> "$o_orderstatus",
+          "cnt" -> Map("$sum" -> 1))),
+        Map("$project" -> Map("status" -> "$_id", "cnt" -> 1)),
+        Map("$merge" -> Map("into" -> "summary", "on" -> "status",
+          "whenMatched" -> Seq(Map("$set" -> Map(
+            "cnt" -> Map("$add" -> Seq("$cnt", "$$new.cnt")),
+            "gen" -> Map("$add" -> Seq("$gen", 1))))),
+          "whenNotMatched" -> "insert"))))
+        .select(col("status"), col("cnt").cast("long").as("cnt"),
+          col("gen").cast("long").as("gen"))
+        .orderBy("status")
+    }),
+
     // $$ROOT round-trip: push whole documents into per-status arrays,
     // unwind them back, project fields out of the nested doc — the
     // group-docs idiom, exercised end-to-end
@@ -1620,6 +1642,24 @@ object SparkEntry {
        |             GROUP BY cid) n USING (cid))""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+
+    "q104_merge_pipeline" ->
+      """WITH g AS (
+        |  SELECT o_orderstatus AS status, COUNT(*) AS cnt
+        |  FROM orders GROUP BY o_orderstatus),
+        |seed AS (SELECT * FROM (VALUES
+        |  ('F', CAST(1000 AS BIGINT), CAST(2 AS BIGINT)),
+        |  ('Z', CAST(5 AS BIGINT), CAST(1 AS BIGINT))) s(status, cnt, gen))
+        |SELECT COALESCE(s.status, g.status) AS status,
+        |  CASE WHEN s.status IS NOT NULL AND g.status IS NOT NULL
+        |      THEN s.cnt + g.cnt
+        |    WHEN s.status IS NOT NULL THEN s.cnt ELSE g.cnt END AS cnt,
+        |  CASE WHEN s.status IS NOT NULL AND g.status IS NOT NULL
+        |      THEN s.gen + 1
+        |    WHEN s.status IS NOT NULL THEN s.gen
+        |    ELSE CAST(NULL AS BIGINT) END AS gen
+        |FROM seed s FULL OUTER JOIN g ON g.status = s.status
+        |ORDER BY status""".stripMargin,
 
     "q103_window_stats" ->
       """SELECT o_orderkey, o_custkey,

@@ -214,6 +214,26 @@ final class GraftCollection(s: GraftSession, val ns: Namespace)
             val afterMatched = m.whenMatched match {
               case "replace" => TableOps.upsert(base, matchedRes, m.on)
               case "merge" => TableOps.mergeFields(base, matchedRes, m.on)
+              case "pipeline" =>
+                // update-pipeline form: join the matched pairs (one keyed
+                // shuffle — existing doc columns + the incoming doc as a
+                // struct), run the per-row update stages, then splice the
+                // updated docs back over their base rows (anti-join +
+                // union, tolerant of pipeline-added columns)
+                val newStruct = "__graft_merge_new"
+                require(!base.columns.contains(newStruct),
+                  s"$$merge: target already has reserved column $newStruct")
+                val resKeyed = res.select(m.on.map(col) :+
+                  struct(res.columns.map(col).toSeq: _*).as(newStruct): _*)
+                val updated = graft.pipeline.PipelineCompiler
+                  .applyMergeUpdatePipeline(base.join(resKeyed, m.on),
+                    m.whenMatchedPipeline.get, newStruct)
+                require(m.on.forall(updated.columns.contains),
+                  s"$$merge whenMatched pipeline must preserve on-keys " +
+                    s"${m.on.mkString(",")}")
+                base.join(res.select(m.on.map(col): _*).distinct(),
+                    m.on, "left_anti")
+                  .unionByName(updated, allowMissingColumns = true)
               case _ => base // keepExisting, or fail (verified empty above)
             }
             val merged =

@@ -959,12 +959,70 @@ object PipelineCompiler {
     * result schema overwrites (nulls included); target-only columns are
     * kept. */
   final case class MergeSpec(into: String, on: Seq[String],
-      whenMatched: String = "replace", whenNotMatched: String = "insert") {
+      whenMatched: String = "replace", whenNotMatched: String = "insert",
+      whenMatchedPipeline: Option[Seq[Map[String, Any]]] = None) {
     require(on.nonEmpty, "$merge: empty on")
-    require(Set("replace", "keepExisting", "merge", "fail")(whenMatched),
+    require(Set("replace", "keepExisting", "merge", "fail",
+        "pipeline")(whenMatched),
       s"$$merge whenMatched: $whenMatched")
+    require((whenMatched == "pipeline") == whenMatchedPipeline.isDefined,
+      "$merge: whenMatchedPipeline set iff whenMatched == pipeline")
     require(Set("insert", "discard", "fail")(whenNotMatched),
       s"$$merge whenNotMatched: $whenNotMatched")
+  }
+
+  /** `$merge` whenMatched UPDATE-PIPELINE form: each stage transforms the
+    * matched pair, where the input document is the EXISTING target doc
+    * (its columns are top-level; `$$ROOT`/`$$CURRENT` bind to it) and
+    * `$$new` binds to the incoming pipeline-result doc (passed as the
+    * struct column `newStruct`, dropped from the output). Mongo restricts
+    * these pipelines to `$addFields/$set`, `$project/$unset`,
+    * `$replaceRoot/$replaceWith` — enforced here. Pure per-row projections:
+    * no shuffle, stays inside whole-stage codegen. */
+  def applyMergeUpdatePipeline(df0: DataFrame,
+      stages: Seq[Map[String, Any]], newStruct: String): DataFrame = {
+    val out = stages.foldLeft(df0) { (df, st) =>
+      require(st.size == 1, s"pipeline stage must have exactly one key: $st")
+      val (name, spec) = st.head
+      val docCols = df.columns.filterNot(_ == newStruct).toSeq
+      val env = {
+        val root = struct(docCols.map(col): _*)
+        Map("new" -> col(newStruct), "ROOT" -> root, "CURRENT" -> root)
+      }
+      name match {
+        case "$set" | "$addFields" =>
+          doc(spec).foldLeft(df) { case (d, (as, e)) =>
+            d.withColumn(as, expr2col(e, env)) }
+        case "$unset" => spec match {
+          case s: String => df.drop(s)
+          case s: Seq[_] => df.drop(s.map(_.toString): _*)
+          case other => throw new IllegalArgumentException(s"$$unset: $other")
+        }
+        case "$project" =>
+          val fields = doc(spec)
+          val (includes, excludes) = fields.partition { case (_, v) =>
+            v != 0 && v != false }
+          if (includes.isEmpty) df.drop(excludes.keys.toSeq: _*)
+          else {
+            val cols = includes.toSeq.map {
+              case (as, 1) => col(as).as(as)
+              case (as, true) => col(as).as(as)
+              case (as, e) => expr2col(e, env).as(as)
+            }
+            df.select(cols :+ col(newStruct): _*)
+          }
+        case "$replaceRoot" | "$replaceWith" =>
+          val e = if (name == "$replaceRoot") doc(spec)("newRoot") else spec
+          val tmp = "__graft_merge_root"
+          df.select(expr2col(e, env).as(tmp), col(newStruct))
+            .select(col(tmp + ".*"), col(newStruct))
+        case other => throw new IllegalArgumentException(
+          s"$$merge whenMatched pipeline: unsupported stage $other (Mongo " +
+            "allows $addFields/$set, $project/$unset, " +
+            "$replaceRoot/$replaceWith)")
+      }
+    }
+    out.drop(newStruct)
   }
 
   /** Split a trailing `{$out: "coll"}` off a pipeline — `$out` REPLACES
@@ -992,14 +1050,22 @@ object PipelineCompiler {
         require(!pipeline.init.exists(_.contains("$merge")),
           "$merge must be the final stage")
         val d = doc(st("$merge"))
+        // whenMatched is either a keyword or an UPDATE PIPELINE (Mongo:
+        // a list of $addFields/$set/$project/$unset/$replaceRoot stages
+        // evaluated per matched pair with $$new bound to the incoming doc)
+        val (wm, wmPipe) = d.getOrElse("whenMatched", "replace") match {
+          case stages: Seq[_] => ("pipeline", Some(pipelineSeq(stages)))
+          case s => (s.toString, None)
+        }
         val spec = MergeSpec(
           into = d("into").toString,
           on = d.getOrElse("on", "_id") match {
             case s: Seq[_] => s.map(_.toString)
             case s => Seq(s.toString)
           },
-          whenMatched = d.getOrElse("whenMatched", "replace").toString,
-          whenNotMatched = d.getOrElse("whenNotMatched", "insert").toString)
+          whenMatched = wm,
+          whenNotMatched = d.getOrElse("whenNotMatched", "insert").toString,
+          whenMatchedPipeline = wmPipe)
         (pipeline.init, Some(spec))
       case _ => (pipeline, None)
     }

@@ -99,6 +99,34 @@ class GraftSessionSpec extends SparkSpec {
       (9L, 9.0, Some("seed"))))
   }
 
+  test("$merge whenMatched update pipeline binds existing doc + $$new") {
+    val dir = Files.createTempDirectory("graft-merge-pipe").toString
+    Seq((1L, 100.0), (2L, 200.0)).toDF("_id", "v")
+      .write.parquet(s"$dir/src.parquet")
+    Seq((1L, 5.0, 3L), (9L, 9.0, 1L)).toDF("_id", "v", "hits")
+      .write.parquet(s"$dir/tgt.parquet")
+    val out = new GraftSession(spark, dir).db("d").c("src").pipe(Seq(
+      Map("$merge" -> Map("into" -> "tgt", "on" -> "_id",
+        // input doc = EXISTING target doc; $$new = incoming doc
+        "whenMatched" -> Seq(
+          Map("$set" -> Map(
+            "v" -> Map("$add" -> Seq("$v", "$$new.v")),
+            "hits" -> Map("$add" -> Seq("$hits", 1))))),
+        "whenNotMatched" -> "insert"))))
+      .orderBy("_id")
+    // _id=1 matched: v = 5+100, hits = 3+1; _id=2 inserted (hits null);
+    // _id=9 untouched
+    assert(out.select("_id", "v", "hits")
+      .as[(Long, Double, Option[Long])].collect().toSeq ==
+      Seq((1L, 105.0, Some(4L)), (2L, 200.0, None), (9L, 9.0, Some(1L))))
+    // unsupported stage inside the update pipeline rejects at plan time
+    intercept[IllegalArgumentException] {
+      new GraftSession(spark, dir).db("d").c("src").pipe(Seq(
+        Map("$merge" -> Map("into" -> "tgt", "on" -> "_id",
+          "whenMatched" -> Seq(Map("$group" -> Map("_id" -> "$v")))))))
+    }
+  }
+
   test("$merge composite on: [k1, k2] keys the merge on both columns") {
     val dir = Files.createTempDirectory("graft-merge-comp").toString
     Seq((1L, "x", 10.0), (1L, "y", 20.0)).toDF("k1", "k2", "v")
