@@ -607,6 +607,42 @@ object SparkEntry {
         .orderBy("status")
     }),
 
+    // calendar-unit $densify: per-month order counts (Jan/Apr/Jul only, so
+    // the grid has real gaps) densified over a month grid — the grid is
+    // sequence(timestamp, timestamp, INTERVAL 1 MONTH), real calendar
+    // arithmetic, distributed explode + anti-join
+    "q105_densify_month" -> ((s, dir) =>
+      coll(s, dir, "orders").pipe(Seq(
+        Map("$match" -> Map("$expr" -> Map("$in" ->
+          Seq(Map("$month" -> "$o_orderdate"), Seq(1, 4, 7))))),
+        Map("$group" -> Map("_id" -> Map("$dateTrunc" ->
+          Map("date" -> "$o_orderdate", "unit" -> "month")),
+          "n" -> Map("$sum" -> 1))),
+        Map("$project" -> Map("month" -> "$_id", "n" -> 1)),
+        Map("$densify" -> Map("field" -> "month",
+          "range" -> Map("step" -> 1, "unit" -> "month",
+            "bounds" -> "full")))))
+        .select(col("month"), col("n").cast("long").as("n"))
+        .orderBy("month")),
+
+    // date-keyed range window: trailing-90-day revenue per customer —
+    // window: {range: [-90, 0], unit: "day"} maps to a rangeBetween over
+    // epoch-micros with the offsets scaled into micros (exact for fixed
+    // units). Cent-integer sums for float determinism vs the oracle.
+    "q106_range_window_unit" -> ((s, dir) =>
+      coll(s, dir, "orders").pipe(Seq(
+        Map("$match" -> Map("o_orderkey" -> Map("$lte" -> 5000))),
+        Map("$addFields" -> Map("cents" -> Map("$toLong" -> Map("$round" ->
+          Seq(Map("$multiply" -> Seq("$o_totalprice", 100)), 0))))),
+        Map("$setWindowFields" -> Map(
+          "partitionBy" -> "$o_custkey",
+          "sortBy" -> Map("o_orderdate" -> 1),
+          "output" -> Map("rs" -> Map("$sum" -> "$cents",
+            "window" -> Map("range" -> Seq(-90, 0), "unit" -> "day")))))))
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("rs") / 100.0).as("rsum"))
+        .orderBy("o_orderkey")),
+
     // $$ROOT round-trip: push whole documents into per-status arrays,
     // unwind them back, project fields out of the nested doc — the
     // group-docs idiom, exercised end-to-end
@@ -1660,6 +1696,29 @@ object SparkEntry {
         |    ELSE CAST(NULL AS BIGINT) END AS gen
         |FROM seed s FULL OUTER JOIN g ON g.status = s.status
         |ORDER BY status""".stripMargin,
+
+    "q105_densify_month" ->
+      """WITH g AS (
+        |  SELECT date_trunc('month', o_orderdate) AS month,
+        |    COUNT(*) AS n
+        |  FROM orders WHERE month(o_orderdate) IN (1, 4, 7)
+        |  GROUP BY 1),
+        |grid AS (
+        |  SELECT unnest(generate_series(
+        |    (SELECT min(month) FROM g), (SELECT max(month) FROM g),
+        |    INTERVAL 1 MONTH)) AS month)
+        |SELECT grid.month AS month, g.n AS n
+        |FROM grid LEFT JOIN g USING (month)
+        |ORDER BY month""".stripMargin,
+
+    "q106_range_window_unit" ->
+      """SELECT o_orderkey, o_custkey,
+        |  SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate
+        |     RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW)
+        |    / 100.0 AS rsum
+        |FROM orders WHERE o_orderkey <= 5000
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q103_window_stats" ->
       """SELECT o_orderkey, o_custkey,

@@ -458,7 +458,26 @@ object PipelineCompiler {
           case other => throw new IllegalArgumentException(s"step: $other")
         }
         require(step > 0, "$densify step must be positive")
-        val grid = r.getOrElse("bounds", "full") match {
+        // With a `unit` the field is a date/timestamp and the grid is a
+        // `sequence(timestamp, timestamp, interval)` — calendar units
+        // (month/quarter/year) use a year-month interval so Spark does the
+        // calendar arithmetic; fixed units use a day-time interval. Still
+        // fully distributed: same explode + anti-join shape as numeric.
+        val unitOpt = r.get("unit").map(_.toString)
+        val stepCol: Column = unitOpt match {
+          case Some(u) => densifyStepInterval(step, u)
+          case None => lit(step)
+        }
+        // grid points land back in the source column's type (sequence
+        // yields timestamps; a DATE field with a day+ unit casts cleanly)
+        val fieldType = df.schema(field).dataType
+        def gridSeq(lo: Column, hi: Column): Column = {
+          val (l, h) = if (unitOpt.isDefined)
+            (lo.cast("timestamp"), hi.cast("timestamp"))
+          else (lo.cast("long"), hi.cast("long"))
+          explode(sequence(l, h, stepCol))
+        }
+        val grid0 = r.getOrElse("bounds", "full") match {
           case "full" =>
             // Mongo "full": the GLOBAL data span, applied to every
             // partition (one-row aggregate, cross-joined onto the
@@ -466,8 +485,7 @@ object PipelineCompiler {
             val span = df
               .agg(min(col(field)).as("__lo"), max(col(field)).as("__hi"))
               .where(col("__lo").isNotNull)
-              .select(explode(sequence(col("__lo").cast("long"),
-                col("__hi").cast("long"), lit(step))).as(field))
+              .select(gridSeq(col("__lo"), col("__hi")).as(field))
             if (parts.isEmpty) span
             else span.crossJoin(df.select(parts.map(col): _*).distinct())
           case "partition" =>
@@ -478,23 +496,31 @@ object PipelineCompiler {
               .agg(min(col(field)).as("__lo"), max(col(field)).as("__hi"))
               .where(col("__lo").isNotNull)
               .select(parts.map(col) :+
-                explode(sequence(col("__lo").cast("long"),
-                  col("__hi").cast("long"), lit(step))).as(field): _*)
+                gridSeq(col("__lo"), col("__hi")).as(field): _*)
           case s: Seq[_] =>
-            val Seq(lo, hi) = s.map {
-              case n: Number => n.longValue()
+            // bounds are [lo, hi): the upper bound itself is excluded.
+            // Numeric grids stop at hi-1; date grids can't pre-shrink by a
+            // calendar step, so generate through hi and filter it out.
+            val (loC, hiC) = (s.head, s(1)) match {
+              case (lo: Number, hi: Number) if unitOpt.isEmpty =>
+                (lit(lo.longValue()), lit(hi.longValue() - 1))
+              case (lo, hi) if unitOpt.isDefined =>
+                (densifyBoundTs(lo), densifyBoundTs(hi))
               case other =>
                 throw new IllegalArgumentException(s"bounds: $other")
             }
-            // bounds are [lo, hi): the upper bound itself is excluded
             val base0 = df.sparkSession.range(1)
-              .select(explode(sequence(lit(lo), lit(hi - 1), lit(step)))
-                .as(field))
-            if (parts.isEmpty) base0
-            else base0.crossJoin(df.select(parts.map(col): _*).distinct())
+              .select(gridSeq(loC, hiC).as(field))
+            val bounded = if (unitOpt.isDefined)
+              base0.where(col(field) < densifyBoundTs(s(1))) else base0
+            if (parts.isEmpty) bounded
+            else bounded.crossJoin(df.select(parts.map(col): _*).distinct())
           case other =>
             throw new IllegalArgumentException(s"$$densify bounds: $other")
         }
+        val grid = if (unitOpt.isDefined)
+          grid0.withColumn(field, col(field).cast(fieldType))
+        else grid0
         val missing = grid.join(df.select((parts :+ field).map(col): _*),
             parts :+ field, "left_anti")
         df.unionByName(missing, allowMissingColumns = true)
@@ -694,6 +720,38 @@ object PipelineCompiler {
       .otherwise(pv + (nv - pv) * (key - pk) / (nk - pk))
   }
 
+  /** `$densify` calendar step: month/quarter/year become a year-month
+    * interval (real calendar arithmetic — variable month lengths handled
+    * by Spark's `sequence`); fixed-length units become a day-time
+    * interval. */
+  private def densifyStepInterval(step: Long, unit: String): Column =
+    unit match {
+      case "year" => expr(s"INTERVAL '$step' YEAR")
+      case "quarter" => expr(s"INTERVAL '${step * 3}' MONTH")
+      case "month" => expr(s"INTERVAL '$step' MONTH")
+      case "week" => expr(s"INTERVAL '${step * 7}' DAY")
+      case "day" => expr(s"INTERVAL '$step' DAY")
+      case "hour" => expr(s"INTERVAL '$step' HOUR")
+      case "minute" => expr(s"INTERVAL '$step' MINUTE")
+      case "second" => expr(s"INTERVAL '$step' SECOND")
+      case "millisecond" => expr(
+        s"INTERVAL '${(BigDecimal(step) / 1000).bigDecimal.toPlainString}'" +
+          " SECOND")
+      case other =>
+        throw new IllegalArgumentException(s"$$densify unit: $other")
+    }
+
+  /** A `$densify` date bound literal: ISO string, or a JVM date/time. */
+  private def densifyBoundTs(v: Any): Column = v match {
+    case s: String => to_timestamp(lit(s))
+    case t: java.sql.Timestamp => lit(t)
+    case d: java.sql.Date => lit(d).cast("timestamp")
+    case i: java.time.Instant => lit(i)
+    case d: java.time.LocalDate => lit(d).cast("timestamp")
+    case other =>
+      throw new IllegalArgumentException(s"$$densify date bound: $other")
+  }
+
   /** `$derivative`/`$integral` sortBy key as a double: a `unit` rescales a
     * timestamp key into that fixed-length unit (calendar units have no
     * fixed length and are rejected, as in `$dateAdd`). */
@@ -716,14 +774,18 @@ object PipelineCompiler {
       scaleGuard(df, "$setWindowFields without partitionBy compiles to a " +
         "single-partition global window (correct Mongo semantics, but " +
         "serializes at scale) — add partitionBy to distribute")
-    val sortKeys: Seq[Column] = d.get("sortBy").map { s =>
+    val sortFields: Seq[(String, Boolean)] = d.get("sortBy").map { s =>
       doc(s).toSeq.map {
-        case (k, 1) => col(k).asc
-        case (k, -1) => col(k).desc
+        case (k, 1) => (k, true)
+        case (k, -1) => (k, false)
         case (k, v) => throw new IllegalArgumentException(
           s"$$setWindowFields sortBy $k: $v")
       }
     }.getOrElse(Nil)
+    val sortKeys: Seq[Column] = sortFields.map {
+      case (k, true) => col(k).asc
+      case (k, false) => col(k).desc
+    }
     def base: WindowSpec = {
       val p = if (partCols.nonEmpty) Window.partitionBy(partCols: _*)
         else Window.partitionBy()
@@ -752,24 +814,53 @@ object PipelineCompiler {
             base.rowsBetween(bound(s.head, lo = true),
               bound(s(1), lo = false))
           case (None, Some(s: Seq[_])) =>
-            // value-based frame over the (single, NUMERIC) sortBy key —
-            // Spark rangeBetween takes offsets in the key's own scale.
-            // Date keys with a `unit` are out of scope here: pre-convert
-            // the key to epoch numbers (one $addFields) and window that.
-            require(winDoc.forall(!_.contains("unit")),
-              "range windows: numeric sortBy only — convert date keys to " +
-                "epoch numbers first ($toLong on the timestamp)")
-            def rb(v: Any, lo: Boolean): Long = v match {
+            def rbNum(v: Any): Option[Long] = v match {
               case n: Number =>
                 // rangeBetween takes Long offsets; silently truncating a
                 // fractional bound would change the frame — reject it
                 require(n.doubleValue() == n.longValue(),
                   s"window.range bound $n: integral offsets only " +
                     "(rescale the sortBy key for fractional ranges)")
-                n.longValue()
-              case other => bound(other, lo)
+                Some(n.longValue())
+              case _ => None
             }
-            base.rangeBetween(rb(s.head, lo = true), rb(s(1), lo = false))
+            winDoc.flatMap(_.get("unit")) match {
+              case Some(u) =>
+                // Date-keyed range frame: order by the key's epoch-micros
+                // and scale the offsets into micros — exact for the
+                // fixed-length units (Mongo's $derivative rule). Calendar
+                // units would need per-row calendar offsets, which a
+                // Spark range frame cannot express — rejected.
+                val micros = Map("millisecond" -> 1000L,
+                  "second" -> 1000000L, "minute" -> 60000000L,
+                  "hour" -> 3600000000L, "day" -> 86400000000L,
+                  "week" -> 604800000000L)
+                val m = micros.getOrElse(u.toString,
+                  throw new IllegalArgumentException(
+                    s"window.range unit: $u (fixed-length units only — " +
+                      "calendar units cannot map to a per-row range " +
+                      "offset)"))
+                require(sortFields.size == 1 && sortFields.head._2,
+                  "window.range with unit: single ascending sortBy " +
+                    "date/timestamp key required")
+                val p = if (partCols.nonEmpty)
+                  Window.partitionBy(partCols: _*) else Window.partitionBy()
+                val keyed = p.orderBy(
+                  unix_micros(col(sortFields.head._1).cast("timestamp")).asc)
+                def rbU(v: Any, lo: Boolean): Long =
+                  rbNum(v).map(n => Math.multiplyExact(n, m))
+                    .getOrElse(bound(v, lo))
+                keyed.rangeBetween(rbU(s.head, lo = true),
+                  rbU(s(1), lo = false))
+              case None =>
+                // value-based frame over the (single, NUMERIC) sortBy
+                // key — Spark rangeBetween takes offsets in the key's
+                // own scale
+                def rb(v: Any, lo: Boolean): Long =
+                  rbNum(v).getOrElse(bound(v, lo))
+                base.rangeBetween(rb(s.head, lo = true),
+                  rb(s(1), lo = false))
+            }
           case (None, None) => base
           case (_, other) =>
             throw new IllegalArgumentException(s"window: $other")

@@ -681,6 +681,59 @@ class PipelineCompilerSpec extends SparkSpec {
       Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 10L), ("b", 11L)))
   }
 
+  test("$densify calendar units: month grid, date bounds, bad unit rejects") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s + " 00:00:00")
+    val sparse = Seq((ts("2024-01-01"), 1.0), (ts("2024-04-01"), 4.0))
+      .toDF("m", "v")
+    // "full" over a month grid: Feb + Mar synthesized, values null
+    val out = PipelineCompiler.compile(Seq(Map("$densify" -> Map(
+      "field" -> "m", "range" -> Map("step" -> 1, "unit" -> "month",
+        "bounds" -> "full")))), tables = _ => sparse)(sparse)
+    val got = out.orderBy("m").collect()
+      .map(r => (r.getTimestamp(0), Option(r.get(1)))).toSeq
+    assert(got == Seq((ts("2024-01-01"), Some(1.0)),
+      (ts("2024-02-01"), None), (ts("2024-03-01"), None),
+      (ts("2024-04-01"), Some(4.0))))
+    // explicit ISO-string bounds, upper exclusive, quarter step
+    val bounded = PipelineCompiler.compile(Seq(Map("$densify" -> Map(
+      "field" -> "m", "range" -> Map("step" -> 1, "unit" -> "quarter",
+        "bounds" -> Seq("2024-01-01", "2025-01-01"))))),
+      tables = _ => sparse)(sparse)
+    assert(bounded.select("m").as[Timestamp].collect().sorted.toSeq ==
+      Seq(ts("2024-01-01"), ts("2024-04-01"), ts("2024-07-01"),
+        ts("2024-10-01")))
+    intercept[IllegalArgumentException] {
+      PipelineCompiler.compile(Seq(Map("$densify" -> Map(
+        "field" -> "m", "range" -> Map("step" -> 1, "unit" -> "fortnight",
+          "bounds" -> "full")))), tables = _ => sparse)(sparse)
+    }
+  }
+
+  test("$setWindowFields range + unit windows over a date key") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s + " 00:00:00")
+    val df = Seq(("a", ts("2024-01-01"), 1L), ("a", ts("2024-01-03"), 2L),
+      ("a", ts("2024-01-08"), 4L), ("b", ts("2024-01-01"), 8L))
+      .toDF("k", "d", "v")
+    val out = PipelineCompiler.compile(Seq(Map("$setWindowFields" -> Map(
+      "partitionBy" -> "$k", "sortBy" -> Map("d" -> 1),
+      "output" -> Map("rs" -> Map("$sum" -> "$v",
+        "window" -> Map("range" -> Seq(-2, 0), "unit" -> "day")))))),
+      tables = _ => df)(df)
+    // trailing 2 days inclusive: 01-03 sees 01-01; 01-08 sees only itself
+    assert(out.orderBy("k", "d").select("rs").as[Long].collect().toSeq ==
+      Seq(1L, 3L, 4L, 8L))
+    // calendar units can't map to a fixed range offset — reject
+    intercept[IllegalArgumentException] {
+      PipelineCompiler.compile(Seq(Map("$setWindowFields" -> Map(
+        "partitionBy" -> "$k", "sortBy" -> Map("d" -> 1),
+        "output" -> Map("rs" -> Map("$sum" -> "$v",
+          "window" -> Map("range" -> Seq(-1, 0), "unit" -> "month")))))),
+        tables = _ => df)(df)
+    }
+  }
+
   test("splitMerge parses a trailing $merge and rejects a mid-pipeline one") {
     val (stages, m) = PipelineCompiler.splitMerge(Seq(
       Map("$match" -> Map("cat" -> "a")),
