@@ -130,9 +130,19 @@ object Dedup {
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("inter"))
+    // Prune between the size joins: union >= size_a always, so
+    // jaccard <= inter/size_a and jaccard >= t implies inter >= t*size_a.
+    // Pairs failing the bound are cut BEFORE the second size join — at
+    // scale the candidate-pair frame is the big one here, and most
+    // candidates fail the final threshold.
+    // (Carrying sizes through the self-join instead — joined or windowed
+    // onto the shingle frame — measured 2x SLOWER at sf0.1 and adds a
+    // by-id shuffle of the shingle frame at scale; rejected.)
     val out = pairs
       .join(sizes.withColumnRenamed("id", "id_a")
         .withColumnRenamed("sz", "size_a"), "id_a")
+      .where(col("inter").cast("double") >=
+        lit(threshold) * col("size_a").cast("double"))
       .join(sizes.withColumnRenamed("id", "id_b")
         .withColumnRenamed("sz", "size_b"), "id_b")
       .withColumn("jaccard",
