@@ -173,7 +173,10 @@ final class GraftCollection(s: GraftSession, val ns: Namespace)
       val result = PipelineCompiler.compile(stages, tables =
         other => s.spark.read.parquet(Namespace(ns.db, other).path(s.root)))(df)
       if (outOpt.isDefined) {
-        val targetPath = Namespace(ns.db, outOpt.get).path(s.root)
+        // doc form {$out: {db, coll}} may target a sibling DATABASE
+        val out = outOpt.get
+        val targetPath =
+          Namespace(out.db.getOrElse(ns.db), out.coll).path(s.root)
         val fs = org.apache.hadoop.fs.FileSystem.get(
           new org.apache.hadoop.fs.Path(targetPath).toUri,
           s.spark.sparkContext.hadoopConfiguration)

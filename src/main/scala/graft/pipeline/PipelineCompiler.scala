@@ -1119,13 +1119,21 @@ object PipelineCompiler {
   /** Split a trailing `{$out: "coll"}` off a pipeline — `$out` REPLACES
     * the target collection with the pipeline result (Mongo semantics),
     * unlike `$merge`'s keyed upsert. */
+  /** Target of a trailing `$out`: collection plus the optional `db` of the
+    * doc form `{$out: {db, coll}}` (None = the source collection's db). */
+  final case class OutTarget(db: Option[String], coll: String)
+
   def splitOut(pipeline: Seq[Map[String, Any]])
-      : (Seq[Map[String, Any]], Option[String]) =
+      : (Seq[Map[String, Any]], Option[OutTarget]) =
     pipeline.lastOption match {
       case Some(st) if st.keySet == Set("$out") =>
         val target = st("$out") match {
-          case s: String => s
-          case m: Map[_, _] => doc(m)("coll").toString
+          case s: String => OutTarget(None, s)
+          case m: Map[_, _] =>
+            val d = doc(m)
+            require(d.keySet.subsetOf(Set("db", "coll")),
+              s"$$out doc form takes db/coll only: $d")
+            OutTarget(d.get("db").map(_.toString), d("coll").toString)
           case other => throw new IllegalArgumentException(s"$$out: $other")
         }
         (pipeline.init, Some(target))

@@ -231,6 +231,20 @@ class GraftSessionSpec extends SparkSpec {
       Seq((1L, "a"), (3L, "a")))
     assert(spark.read.parquet(s"$dir/tgt.parquet").count() == 2)
   }
+
+  test("$out doc form {db, coll} targets a sibling-database namespace") {
+    val dir = Files.createTempDirectory("graft-out-db").toString
+    Seq((1L, "a"), (2L, "b")).toDF("_id", "cat")
+      .write.parquet(s"$dir/src.parquet")
+    // in the flat driver layout the db is a logical name (one root per
+    // session), so the write lands under the shared root — the point is
+    // the doc form resolves and the db key routes the Namespace
+    val out = new GraftSession(spark, dir).db("d").c("src").pipe(Seq(
+      Map("$match" -> Map("cat" -> "a")),
+      Map("$out" -> Map("db" -> "archive", "coll" -> "tgt2"))))
+    assert(out.as[(Long, String)].collect().toSeq == Seq((1L, "a")))
+    assert(spark.read.parquet(s"$dir/tgt2.parquet").count() == 1)
+  }
 }
 
 class BackupSpec extends SparkSpec {

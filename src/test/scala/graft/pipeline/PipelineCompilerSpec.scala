@@ -758,12 +758,22 @@ class PipelineCompilerSpec extends SparkSpec {
   }
 
   test("splitOut parses a trailing $out (string and {db,coll} forms)") {
+    import PipelineCompiler.OutTarget
     val (stages, t) = PipelineCompiler.splitOut(Seq(
       Map("$match" -> Map("a" -> 1)), Map("$out" -> "tgt")))
     assert(stages == Seq(Map("$match" -> Map("a" -> 1))) &&
-      t.contains("tgt"))
+      t.contains(OutTarget(None, "tgt")))
+    // doc form carries the cross-database target through
     assert(PipelineCompiler.splitOut(Seq(Map("$out" ->
-      Map("db" -> "d", "coll" -> "c"))))._2.contains("c"))
+      Map("db" -> "d", "coll" -> "c"))))._2
+      .contains(OutTarget(Some("d"), "c")))
+    assert(PipelineCompiler.splitOut(Seq(Map("$out" ->
+      Map("coll" -> "c"))))._2.contains(OutTarget(None, "c")))
+    // unknown keys in the doc form reject instead of being dropped
+    intercept[IllegalArgumentException] {
+      PipelineCompiler.splitOut(Seq(Map("$out" ->
+        Map("coll" -> "c", "sharded" -> true))))
+    }
     assert(PipelineCompiler.splitOut(Seq(Map("$match" -> Map.empty)))._2
       .isEmpty)
   }
