@@ -43,29 +43,29 @@ final class GraftSession(val spark: SparkSession, val root: String,
   /** Raw SQL escape hatch — RunCommand analog (client/wrapper.go:32-40). */
   def runCommand(sql: String): DataFrame = spark.sql(sql)
 
-  // Teardown-hook registry — reference environment.go:229-252
-  // (RegisterCloser/Close): components register cleanup; close() drains
-  // LIFO so later registrations (which may depend on earlier ones) close
-  // first. Every closer runs even if one throws; the first failure
-  // rethrows after the drain.
+  // Teardown-hook registry — reference environment.go:237-252
+  // (RegisterCloser/Close): closers run in REGISTRATION order and every
+  // failure is collected into one aggregated error (the reference's
+  // grip catcher), carried here as suppressed exceptions.
   private val closers =
     new java.util.concurrent.ConcurrentLinkedDeque[(String, () => Unit)]()
   def registerCloser(name: String)(f: => Unit): Unit =
-    closers.addFirst((name, () => f))
+    closers.addLast((name, () => f))
   def close(): Unit = {
-    var firstErr: Option[(String, Throwable)] = None
+    val errs = scala.collection.mutable.ArrayBuffer.empty[(String, Throwable)]
     var entry = closers.pollFirst()
     while (entry != null) {
       try entry._2() catch {
-        case e: Throwable =>
-          if (firstErr.isEmpty) firstErr = Some((entry._1, e))
-          else org.apache.log4j.Logger.getLogger(getClass).warn(
-            s"closer '${entry._1}' failed after an earlier failure", e)
+        case e: Throwable => errs += ((entry._1, e))
       }
       entry = closers.pollFirst()
     }
-    firstErr.foreach { case (name, e) =>
-      throw new RuntimeException(s"closer '$name' failed", e)
+    if (errs.nonEmpty) {
+      val agg = new RuntimeException(
+        s"${errs.size} closer(s) failed: ${errs.map(_._1).mkString(", ")}",
+        errs.head._2)
+      errs.tail.foreach { case (_, e) => agg.addSuppressed(e) }
+      throw agg
     }
   }
 }

@@ -86,6 +86,12 @@ object Granularity {
     if (granularity == "POWERSOF2")
       df.withColumn(as, roundUp(v0, granularity)) // small tree already
     else {
+      // the staging columns below would silently overwrite-and-drop a
+      // user column of the same name (same guard as $addFields'
+      // __graft_root_snapshot and clusterAwareSplit's cluster rep)
+      require(!df.columns.exists(_.startsWith("__g_")),
+        "quantizeInto: input has reserved __g_* staging columns: " +
+          df.columns.filter(_.startsWith("__g_")).mkString(", "))
       val s = seriesFor(granularity)
       val v = col("__g_v")
       val m = col("__g_m")

@@ -23,8 +23,15 @@ object Checkpoints {
   // SparkContext.setCheckpointDir stores <dir>/<random-UUID> (fully
   // qualified), so getCheckpointDir can never equal the requested dir —
   // comparing against it would re-set (and mkdir a fresh UUID subdir) on
-  // EVERY truncate call of an iterative op. Remember what we last set.
-  @volatile private var lastSetDir: Option[String] = None
+  // EVERY truncate call of an iterative op. Remember what we last set,
+  // PER SparkContext (weakly keyed — a stopped context must not pin the
+  // entry): the checkpoint dir is context-global state, so tracking it in
+  // a process-global would make two sessions on different contexts
+  // invalidate each other's record. Two sessions on the SAME context
+  // using different dirs still thrash by construction (one context, one
+  // dir) — that use is unsupported; configure one dir per context.
+  private val lastSetDir = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.SparkContext, String]())
 
   /** Eagerly materialize `df` with truncated lineage. */
   def truncate(df: DataFrame, dir: Option[String] = None): DataFrame = {
@@ -33,11 +40,11 @@ object Checkpoints {
     val resolved = dir.orElse(spark.conf.getOption(ConfKey))
     resolved match {
       case Some(d) =>
-        if (!lastSetDir.contains(d) || sc.getCheckpointDir.isEmpty)
-          synchronized {
-            if (!lastSetDir.contains(d) || sc.getCheckpointDir.isEmpty) {
+        if (lastSetDir.get(sc) != d || sc.getCheckpointDir.isEmpty)
+          lastSetDir.synchronized {
+            if (lastSetDir.get(sc) != d || sc.getCheckpointDir.isEmpty) {
               sc.setCheckpointDir(d)
-              lastSetDir = Some(d)
+              lastSetDir.put(sc, d)
             }
           }
         df.checkpoint(eager = true)

@@ -910,8 +910,17 @@ object PipelineCompiler {
           val partOnly =
             if (partCols.nonEmpty) Window.partitionBy(partCols: _*)
             else Window.partitionBy()
-          if (op == "$median") median(expr2col(arg)).over(partOnly)
-          else {
+          if (op == "$median") {
+            // Mongo's mandated shape is {input: <expr>, method: ...}
+            // (method ignored, as for $percentile); the bare-expression
+            // form is kept as a convenience
+            val in = arg match {
+              case m: Map[_, _] if doc(m).contains("input") =>
+                doc(m)("input")
+              case other => other
+            }
+            median(expr2col(in)).over(partOnly)
+          } else {
             val pd = doc(arg)
             val ps = pd("p") match {
               case s: Seq[_] => s.map(_.asInstanceOf[Number].doubleValue())

@@ -174,7 +174,7 @@ class GraftSessionSpec extends SparkSpec {
       Map("$match" -> Map("cat" -> "a")))).count())
   }
 
-  test("closers drain LIFO, all run, first failure rethrows") {
+  test("closers drain in registration order, all run, errors aggregate") {
     val sess = new GraftSession(spark,
       Files.createTempDirectory("graft-close").toString)
     val order = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -182,14 +182,22 @@ class GraftSessionSpec extends SparkSpec {
     sess.registerCloser("boom") {
       order += "boom"; throw new IllegalStateException("nope")
     }
+    sess.registerCloser("boom2") {
+      order += "boom2"; throw new IllegalStateException("nope2")
+    }
     sess.registerCloser("last") { order += "last" }
     val e = intercept[RuntimeException] { sess.close() }
-    assert(e.getMessage.contains("boom"))
-    // LIFO and every closer ran despite the middle failure
-    assert(order.toSeq == Seq("last", "boom", "first"))
+    // FIFO (reference environment.go Close iterates registration order)
+    // and every closer ran despite the failures
+    assert(order.toSeq == Seq("first", "boom", "boom2", "last"))
+    // ALL failures aggregate into one error (grip-catcher parity):
+    // first as cause, the rest suppressed
+    assert(e.getMessage.contains("boom") && e.getMessage.contains("boom2"))
+    assert(e.getCause.getMessage == "nope")
+    assert(e.getSuppressed.map(_.getMessage).toSeq == Seq("nope2"))
     // drained: a second close is a no-op
     sess.close()
-    assert(order.size == 3)
+    assert(order.size == 4)
   }
 
   test("LoggingMonitor registers itself as a session closer") {

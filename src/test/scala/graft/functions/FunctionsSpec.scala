@@ -51,6 +51,16 @@ class FunctionsSpec extends SparkSpec {
       Granularity.roundUp(lit(1.0), "E192")
     }
   }
+
+  test("quantizeInto rejects reserved __g_* columns instead of clobbering") {
+    val ok = Granularity.quantizeInto(
+      Seq(1.3).toDF("v"), $"v", "R10", "q")
+    assert(ok.select("q").as[Double].head() == 1.6)
+    intercept[IllegalArgumentException] {
+      Granularity.quantizeInto(
+        Seq((1.3, 7.0)).toDF("v", "__g_v"), $"v", "R10", "q")
+    }
+  }
 }
 
 class SkewSpec extends SparkSpec {

@@ -436,11 +436,16 @@ class PipelineCompilerSpec extends SparkSpec {
         "cp" -> Map("$covariancePop" -> Seq("$x", "$y"), "window" -> full),
         "cs" -> Map("$covarianceSamp" -> Seq("$x", "$y"), "window" -> full),
         "md" -> Map("$median" -> "$x", "window" -> full),
+        // Mongo's mandated call shape: {input, method} (method ignored)
+        "md2" -> Map("$median" ->
+          Map("input" -> "$x", "method" -> "approximate"),
+          "window" -> full),
         "mn" -> Map("$minN" -> Map("input" -> "$x", "n" -> 2),
           "window" -> full),
         "mx" -> Map("$maxN" -> Map("input" -> "$x", "n" -> 2),
           "window" -> full))))))(d).orderBy("t")
-    val r = out.select("sp", "ss", "cp", "cs", "md").head()
+    val r = out.select("sp", "ss", "cp", "cs", "md", "md2").head()
+    assert(r.getDouble(5) == 4.0) // {input, method} form == bare form
     assert(math.abs(r.getDouble(0) - math.sqrt(8.0 / 3)) < 1e-9)
     assert(math.abs(r.getDouble(1) - 2.0) < 1e-9)
     assert(math.abs(r.getDouble(2) - 2.0 / 3) < 1e-9) // covar_pop
