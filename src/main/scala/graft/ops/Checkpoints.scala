@@ -53,4 +53,19 @@ object Checkpoints {
       case None => df.localCheckpoint(eager = true)
     }
   }
+
+  /** Release the storage behind a frame [[truncate]] returned, once a
+    * LATER generation has superseded it. Without this every iteration of
+    * an iterative op leaks one localCheckpoint generation into executor
+    * storage for the life of the session. Reliable (directory) checkpoints
+    * have StorageLevel NONE here — their files are GC'd by the
+    * ContextCleaner — so this is a no-op for them. Never call it on the
+    * generation you are about to return. */
+  def release(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD
+          if lr.rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

@@ -59,12 +59,14 @@ object Clustering {
         .agg(transform(array_sort(collect_list(struct(col("pos"),
           col("m")))), e => e.getField("m")).as("centroid"))
       // empty cells keep their previous centroid
+      val prev = cents
       cents = Checkpoints.truncate(cents.select(col("centroid_id"),
           col("centroid").as("__old"))
         .join(fresh, Seq("centroid_id"), "left_outer")
         .select(col("centroid_id"),
           coalesce(col("centroid"), col("__old")).as("centroid")),
         checkpointDir)
+      Checkpoints.release(prev) // superseded generation's storage
     }
     cents
   }

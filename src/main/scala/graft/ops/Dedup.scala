@@ -26,6 +26,26 @@ object Dedup {
     while (d != null) { d.unpersist(false); d = cachedFrames.poll() }
   }
 
+  /** Auto-release hook: when `result` FIRST materializes (any action on it
+    * or a derived frame), the support frames are unpersisted and dropped
+    * from the tracked set — long-lived sessions don't accumulate shingle/
+    * signature caches after each dedup call is consumed. Implemented as an
+    * in-plan `Observation` (CollectMetrics is transparent to the result),
+    * so the hook costs no extra job and fires only once the supports have
+    * actually served their join sides. [[releaseCaches]] stays as the
+    * manual path for results that are never materialized. A SECOND
+    * materialization of the result recomputes the support subplans — call
+    * sites that re-consume should persist the RESULT instead. */
+  private def autoRelease(result: DataFrame, supports: DataFrame*)
+      : DataFrame = {
+    val obs = org.apache.spark.sql.Observation()
+    val hooked = result.observe(obs, count(lit(1)).as("rows"))
+    obs.future.foreach { _ =>
+      supports.foreach { s => s.unpersist(false); cachedFrames.remove(s) }
+    }(scala.concurrent.ExecutionContext.global)
+    hooked
+  }
+
   /** Exact dedup: one survivor (minimal `orderCol`) per distinct key, with
     * the duplicate count. A single hash-partitioned aggregate — the 100 TB
     * path is one shuffle on the (hashed) key. Dedup on hashKey(text) rather
@@ -149,7 +169,7 @@ object Dedup {
         col("inter").cast("double") /
           (col("size_a") + col("size_b") - col("inter")).cast("double"))
       .where(col("jaccard") >= threshold)
-    (out, obsOpt)
+    (autoRelease(out, sh, filtered), obsOpt)
   }
 
   /** MinHash signatures: for permutation i, h_i(doc) = min over shingles of
@@ -196,12 +216,12 @@ object Dedup {
     val banded = sigs.select(col("id"),
       explode(array(bandStructs: _*)).as("bs"))
       .select(col("id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-    banded.as("a")
+    autoRelease(banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+      .distinct(), sigs)
   }
 
   /** SimHash near-duplicate pairs within `maxHamming` bit flips, using the
@@ -304,6 +324,7 @@ object Dedup {
           nextCp.join(labels.withColumnRenamed("lbl", "old"), "id")
             .where(col("lbl") =!= col("old")).count()
       }
+      Checkpoints.release(labels) // superseded generation's storage
       labels = nextCp
       converged = changed == 0
       it += 1
@@ -315,6 +336,11 @@ object Dedup {
       org.apache.log4j.Logger.getLogger(getClass).warn(
         s"duplicateClusters: label propagation did NOT converge in $maxIter " +
           "iterations — components may be split; raise maxIter")
+    // the final labels are ALREADY materialized (eager checkpoint) and
+    // their lineage is truncated, so the edge cache can be released
+    // deterministically right here — no hook needed
+    edges.unpersist(false)
+    cachedFrames.remove(edges)
     labels.select(col("id"), col("lbl").as("component"))
   }
 

@@ -76,6 +76,23 @@ class DedupSpec extends SparkSpec {
     Dedup.releaseCaches()
   }
 
+  test("dedup caches auto-release once the result materializes") {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+    pairs.count() // first materialization fires the release hook...
+    val deadline = System.currentTimeMillis() + 10000
+    while (spark.sparkContext.getPersistentRDDs.size > before &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+    // ...and the shingle caches are gone without releaseCaches()
+    assert(spark.sparkContext.getPersistentRDDs.size == before)
+    // duplicateClusters releases its edge cache AND every superseded
+    // label generation deterministically at return; only the final
+    // (returned) checkpoint generation may remain persisted
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    Dedup.duplicateClusters(edges).count()
+    assert(spark.sparkContext.getPersistentRDDs.size <= before + 1)
+  }
+
   test("minhash LSH surfaces near-dups and skips distinct docs") {
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
       k = 3, numPerms = 12, bands = 4)
