@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scale rehearsal for the heavy dedup family over [[ScaleGen]] data:
+  * times each op at a given data dir so runs one decade apart yield
+  * measured scaling exponents (SCALE.md "Measured").
+  *
+  * Usage: runMain graft.ScaleProbe <dir> <op> <reps> [maxShingleFreq]
+  * ops: jaccard | clusters | split | sdedup
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val op = args(1)
+    val reps = if (args.length > 2) args(2).toInt else 3
+    val cap = if (args.length > 3) args(3).toLong else -1L
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(5000000L).selectExpr("sum(id)").collect()
+    import graft.ops.{Dedup, Sampling}
+    def docs = spark.read.parquet(s"$dir/documents.parquet")
+    for (_ <- 1 to reps) {
+      val t0 = System.nanoTime()
+      val n = op match {
+        case "jaccard" =>
+          Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5, cap).count()
+        case "clusters" =>
+          Dedup.duplicateClusters(Dedup.minhashLshPairs(
+            docs, "doc_id", "text", 3, 12, 4)).count()
+        case "split" =>
+          val d = docs
+          val pairs = Dedup.minhashLshPairs(d, "doc_id", "text", 3, 12, 4)
+          val (tr, te) = Sampling.clusterAwareSplit(d, "doc_id", pairs, 0.3)
+          tr.count() + te.count()
+        case "sdedup" =>
+          val tmp = java.nio.file.Files
+            .createTempDirectory("graft-sdedup").toString
+          val ev = spark.read.parquet(s"$dir/events.parquet")
+            .select("event_id", "event_type", "ts")
+          ev.write.parquet(s"$tmp/src")
+          ev.write.mode("append").parquet(s"$tmp/src")
+          val q = graft.streaming.StreamingMigrations.streamingDedup(
+            graft.streaming.StreamingMigrations.readStream(
+              spark, s"$tmp/src", ev.schema), "ts", Seq("event_id"),
+            watermark = "3650 days")
+            .writeStream.format("parquet")
+            .option("path", s"$tmp/out")
+            .option("checkpointLocation", s"$tmp/cp")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          spark.read.parquet(s"$tmp/out").count()
+        case other => throw new IllegalArgumentException(other)
+      }
+      println(f"[scale] $op $dir ${(System.nanoTime() - t0) / 1e9}%.2f s" +
+        s" rows=$n")
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}

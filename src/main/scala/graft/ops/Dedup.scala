@@ -16,6 +16,11 @@ object Dedup {
     * that would otherwise recompute once per self-join side). They are
     * tracked here so callers can release them deterministically —
     * `spark.catalog.clearCache()` also works but nukes unrelated caches. */
+  /** Sink for the dense-shingle scale warning — injectable so specs can
+    * assert it fires (same pattern as PipelineCompiler.scaleWarnSink). */
+  @volatile private[graft] var denseWarnSink: String => Unit = msg =>
+    org.apache.log4j.Logger.getLogger(Dedup.getClass).warn(msg)
+
   private val cachedFrames =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
   private def tracked(df: DataFrame): DataFrame = { cachedFrames.add(df); df }
@@ -131,15 +136,39 @@ object Dedup {
           .crossJoin(broadcast(capDf))
           .observe(obs, sum(when(col("df") > col("__cap"), 1L)
             .otherwise(0L)).as("dropped"),
-            max(col("__cap")).as("cap"))
+            max(col("__cap")).as("cap"),
+            // self-join candidate volume of the SURVIVING shingles
+            // (sum df·(df-1)/2) vs their row count — rides the same
+            // aggregate, so the dense-shingle warning below is free
+            sum(when(col("df") <= col("__cap"),
+              col("df").cast("double") * (col("df") - 1) / 2)
+              .otherwise(0.0)).as("cand"),
+            sum(when(col("df") <= col("__cap"), col("df"))
+              .otherwise(0L)).as("rows"))
         obs.future.foreach { row =>
           // an empty corpus observes a zero-column row — guard before isNullAt
           val dropped =
             if (row.length == 0 || row.isNullAt(0)) 0L else row.getLong(0)
+          val log = org.apache.log4j.Logger.getLogger(getClass)
           if (dropped > 0)
-            org.apache.log4j.Logger.getLogger(getClass).warn(
+            log.warn(
               s"ngramJaccardPairs: dropped $dropped stop-shingles with " +
                 s"doc-frequency > cap ${row.get(1)}")
+          // Saturated shingle space (small vocab / boilerplate-heavy
+          // corpus): EVERY shingle is frequent, the cap never binds, and
+          // the self-join degrades toward O(n²). Measured at 50k docs on
+          // a 31-word vocab: mean df ~100, 340M candidates, 13x the
+          // per-doc cost of the healthy regime. Warn with the remedy.
+          if (row.length >= 4 && !row.isNullAt(2) && !row.isNullAt(3)) {
+            val (cand, nrows) = (row.getDouble(2), row.getLong(3))
+            if (nrows > 0 && cand / nrows > 100)
+              denseWarnSink(
+                f"ngramJaccardPairs: dense shingle space — $cand%.0f " +
+                  s"candidate pairs from $nrows shingle rows (mean " +
+                  f"doc-frequency ${cand * 2 / nrows}%.0f); exact jaccard " +
+                  "degrades toward O(n^2) here. Use minhashLshPairs for " +
+                  "near-dup candidates or lower maxShingleFreq.")
+          }
         }(scala.concurrent.ExecutionContext.global)
         sh.join(freq.where(col("df") <= col("__cap")).select("sh"), "sh")
       } else sh

@@ -76,6 +76,30 @@ class DedupSpec extends SparkSpec {
     Dedup.releaseCaches()
   }
 
+  test("dense shingle space fires the scale warning") {
+    // 3-word vocab: every 3-shingle is shared by ~1/27 of the corpus, so
+    // per-shingle doc-frequency grows with n and candidate volume ~n² —
+    // the regime where the observation-riding warning must fire
+    val warns = scala.collection.mutable.ArrayBuffer.empty[String]
+    val prior = Dedup.denseWarnSink
+    Dedup.denseWarnSink = m => warns.synchronized { warns += m }
+    try {
+      val corpus = spark.range(1000).selectExpr("id AS doc_id",
+        "array_join(transform(sequence(1, 12), j -> element_at(" +
+          "array('alpha','beta','gamma'), " +
+          "CAST(pmod(hash(id, j), 3) AS INT) + 1)), ' ') AS text")
+      Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0.9).count()
+      val deadline = System.currentTimeMillis() + 10000
+      while (warns.synchronized(warns.isEmpty) &&
+          System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(warns.synchronized(
+        warns.exists(_.contains("dense shingle space"))))
+    } finally {
+      Dedup.denseWarnSink = prior
+      Dedup.releaseCaches()
+    }
+  }
+
   test("dedup caches auto-release once the result materializes") {
     val before = spark.sparkContext.getPersistentRDDs.size
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
