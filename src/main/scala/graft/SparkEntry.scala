@@ -643,6 +643,28 @@ object SparkEntry {
           (col("rs") / 100.0).as("rsum"))
         .orderBy("o_orderkey")),
 
+    // binned $dateTrunc (2-month bins anchored at 2000-01-01, Mongo's
+    // reference point) + sunday-start week trunc + calendar $dateAdd with
+    // month-end clamping — all scalar expressions fused into the scan,
+    // one shuffle for the group
+    "q107_datetrunc_bins" -> ((s, dir) =>
+      coll(s, dir, "orders").pipe(Seq(
+        Map("$match" -> Map("o_orderkey" -> Map("$lte" -> 20000))),
+        Map("$addFields" -> Map(
+          "bin2m" -> Map("$dateTrunc" -> Map("date" -> "$o_orderdate",
+            "unit" -> "month", "binSize" -> 2)),
+          "wk" -> Map("$dateTrunc" -> Map("date" -> "$o_orderdate",
+            "unit" -> "week")),
+          "due" -> Map("$dateAdd" -> Map("startDate" -> "$o_orderdate",
+            "unit" -> "month", "amount" -> 3)))),
+        Map("$group" -> Map("_id" -> "$bin2m",
+          "n" -> Map("$sum" -> 1),
+          "max_wk" -> Map("$max" -> "$wk"),
+          "min_due" -> Map("$min" -> "$due")))))
+        .select(col("_id").as("bin"), col("n").cast("long").as("n"),
+          col("max_wk"), col("min_due"))
+        .orderBy("bin")),
+
     // $$ROOT round-trip: push whole documents into per-status arrays,
     // unwind them back, project fields out of the nested doc — the
     // group-docs idiom, exercised end-to-end
@@ -1719,6 +1741,20 @@ object SparkEntry {
         |    / 100.0 AS rsum
         |FROM orders WHERE o_orderkey <= 5000
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q107_datetrunc_bins" ->
+      """WITH b AS (
+        |  SELECT
+        |    TIMESTAMP '2000-01-01' + INTERVAL (CAST(
+        |      floor(((year(o_orderdate) - 2000) * 12
+        |             + month(o_orderdate) - 1) / 2.0) * 2 AS INT))
+        |      MONTH AS bin,
+        |    date_trunc('week', o_orderdate + INTERVAL 1 DAY)
+        |      - INTERVAL 1 DAY AS wk,
+        |    o_orderdate + INTERVAL 3 MONTH AS due
+        |  FROM orders WHERE o_orderkey <= 20000)
+        |SELECT bin, COUNT(*) AS n, max(wk) AS max_wk, min(due) AS min_due
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
 
     "q103_window_stats" ->
       """SELECT o_orderkey, o_custkey,

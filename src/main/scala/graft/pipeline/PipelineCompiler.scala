@@ -999,28 +999,45 @@ object PipelineCompiler {
             (key - lag(key, 1).over(base))
           sum(coalesce(segment, lit(0.0))).over(framed)
         case "$expMovingAvg" =>
-          // EMA_0 = x_0; EMA_i = α·x_i + (1−α)·EMA_{i−1}. Sequential by
-          // definition — computed as a fold over the row's prefix
-          // (collect_list + aggregate), so cost is O(|partition|²) per
-          // partition: fine for the bounded per-key series this operator
-          // is meant for, not for one giant unpartitioned sort.
+          // EMA_0 = x_0; EMA_i = α·x_i + (1−α)·EMA_{i−1}. Native
+          // running-frame window function (graft.functions.ExpMovingAvg):
+          // Spark's window executor carries the previous EMA in the agg
+          // buffer and updates it once per row — O(|partition|) total,
+          // O(1) state, no per-row prefix materialization (the previous
+          // collect_list+aggregate fold was O(|partition|²)).
           val dd = doc(arg)
           val alpha = (dd.get("alpha"), dd.get("N")) match {
-            case (Some(a), None) => lit(a.asInstanceOf[Number].doubleValue())
+            case (Some(a), None) => a.asInstanceOf[Number].doubleValue()
             case (None, Some(n)) =>
-              lit(2.0 / (n.asInstanceOf[Number].doubleValue() + 1.0))
+              2.0 / (n.asInstanceOf[Number].doubleValue() + 1.0)
             case _ => throw new IllegalArgumentException(
               "$expMovingAvg needs exactly one of alpha | N")
           }
+          require(sortKeys.nonEmpty, "$expMovingAvg requires sortBy")
+          // hand-built catalyst WindowExpression: Column.over()'s
+          // column-node conversion mis-shapes a custom
+          // AggregateWindowFunction (analysis fails with
+          // WINDOW_FUNCTION_WITHOUT_OVER_CLAUSE); constructing the
+          // WindowExpression + spec directly is the supported seam
+          import org.apache.spark.sql.catalyst.expressions.{
+            Ascending, CurrentRow, Descending, RowFrame, SortOrder,
+            SpecifiedWindowFrame, UnboundedPreceding,
+            WindowExpression, WindowSpecDefinition}
+          val bridge = org.apache.spark.sql.graftbridge.ColumnBridge
           val v = expr2col(dd("input")).cast("double")
-          val prefix = collect_list(v)
-            .over(base.rowsBetween(Window.unboundedPreceding,
-              Window.currentRow))
-          when(size(prefix) === 0, lit(null)).otherwise(
-            aggregate(
-              slice(prefix, lit(2), greatest(size(prefix) - 1, lit(0))),
-              element_at(prefix, 1),
-              (acc, x) => x * alpha + acc * (lit(1.0) - alpha)))
+          // SortOrders built from the raw (field, asc) pairs — converting
+          // an `.asc` Column yields a lazy wrapper, and re-wrapping it
+          // nests SortOrder inside SortOrder (unevaluable at run time)
+          val sortExprs = sortFields.map { case (k, asc) =>
+            SortOrder(bridge.expression(col(k)),
+              if (asc) Ascending else Descending)
+          }
+          bridge.column(WindowExpression(
+            graft.functions.ExpMovingAvg(bridge.expression(v), alpha),
+            WindowSpecDefinition(partCols.map(bridge.expression),
+              sortExprs,
+              SpecifiedWindowFrame(RowFrame, UnboundedPreceding,
+                CurrentRow))))
         case "$shift" =>
           val sh = doc(arg)
           val by = sh.get("by").map(int).getOrElse(1)
@@ -1334,6 +1351,23 @@ object PipelineCompiler {
         case s: Seq[_] => s.map(expr2colE)
         case single    => Seq(expr2colE(single))
       }
+      // Mongo date-part operators take a bare expression or the doc form
+      // {date, timezone}; with a timezone the parts are read off the wall
+      // clock in that zone (olson id or "+HH:MM" offset). Sessions pin
+      // spark.sql.session.timeZone=UTC, so from_utc_timestamp is exactly
+      // "shift instant to that zone's wall clock".
+      def dateArg: Column = args match {
+        case m: Map[_, _]
+            if m.asInstanceOf[Map[String, Any]].contains("date") =>
+          val mm = m.asInstanceOf[Map[String, Any]]
+          val d = expr2colE(mm("date"))
+          mm.get("timezone") match {
+            case Some(tz) =>
+              from_utc_timestamp(d.cast("timestamp"), tz.toString)
+            case None => d
+          }
+        case _ => seq.head
+      }
       op match {
         case "$add"      => seq.reduce(_ + _)
         case "$subtract" => val Seq(a, b) = seq; a - b
@@ -1359,17 +1393,79 @@ object PipelineCompiler {
             split(expr2colE(sE), java.util.regex.Pattern.quote(d))
           case other => throw new IllegalArgumentException(s"$$split: $other")
         }
-        case "$year"       => year(seq.head)
-        case "$month"      => month(seq.head)
-        case "$dayOfMonth" => dayofmonth(seq.head)
-        case "$hour"       => hour(seq.head)
+        case "$year"       => year(dateArg)
+        case "$month"      => month(dateArg)
+        case "$dayOfMonth" => dayofmonth(dateArg)
+        case "$hour"       => hour(dateArg)
         case "$dateTrunc" =>
+          // Mongo shape: {date, unit, binSize?, timezone?, startOfWeek?}.
+          // Bins anchor at 2000-01-01T00:00:00 (Mongo's reference point,
+          // read in the operation timezone); week bins anchor at the
+          // startOfWeek (Mongo default: sunday) on or before that date.
+          // binSize=1 non-week units keep Spark's codegen'd date_trunc;
+          // binned paths are exact long arithmetic via pmod (no doubles,
+          // so no precision cliff far from the anchor). A timezone shifts
+          // to that zone's wall clock, truncates there, and shifts the
+          // result back to an instant (standard wall-clock round-trip —
+          // lossy only inside a DST gap, as in Mongo).
           val mm = doc(args)
-          date_trunc(mm("unit").toString, expr2colE(mm("date")))
+          val unit = mm("unit").toString
+          val bin = mm.get("binSize") match {
+            case None            => 1L
+            case Some(b: Number) => b.longValue()
+            case Some(other)     => throw new IllegalArgumentException(
+              s"$$dateTrunc binSize: $other")
+          }
+          require(bin >= 1, s"$$dateTrunc binSize must be >= 1: $bin")
+          val refMicros = 946684800000000L // 2000-01-01T00:00:00Z
+          val dayMicros = 86400000000L
+          val tz = mm.get("timezone").map(_.toString)
+          val d = tz.foldLeft(expr2colE(mm("date")).cast("timestamp"))(
+            (c, t) => from_utc_timestamp(c, t))
+          def backToInstant(r: Column): Column =
+            tz.foldLeft(r)((c, t) => to_utc_timestamp(c, t))
+          val monthsPer = Map("month" -> 1L, "quarter" -> 3L, "year" -> 12L)
+          backToInstant(if (unit == "week") {
+            // 2000-01-01 was a Saturday (ISO dow 6)
+            val iso = Map("monday" -> 1, "tuesday" -> 2, "wednesday" -> 3,
+              "thursday" -> 4, "friday" -> 5, "saturday" -> 6, "sunday" -> 7)
+            val sow = mm.get("startOfWeek").map(_.toString.toLowerCase)
+              .getOrElse("sunday")
+            val dow = iso.getOrElse(sow, throw new IllegalArgumentException(
+              s"$$dateTrunc startOfWeek: $sow"))
+            val anchor = refMicros - ((6 - dow + 7) % 7).toLong * dayMicros
+            val span = bin * 7L * dayMicros
+            val c = unix_micros(d)
+            timestamp_micros(c - pmod(c - anchor, lit(span)))
+          } else if (monthsPer.contains(unit)) {
+            if (bin == 1L) date_trunc(unit, d)
+            else {
+              val binM = bin * monthsPer(unit)
+              val since = ((year(d) - 2000) * 12 + (month(d) - 1))
+                .cast("long")
+              val binned = (since - pmod(since, lit(binM))).cast("int")
+              add_months(lit(java.sql.Date.valueOf("2000-01-01")), binned)
+                .cast("timestamp")
+            }
+          } else {
+            val micros = Map("millisecond" -> 1000L, "second" -> 1000000L,
+              "minute" -> 60000000L, "hour" -> 3600000000L,
+              "day" -> dayMicros)
+            val m = micros.getOrElse(unit,
+              throw new IllegalArgumentException(s"$$dateTrunc unit: $unit"))
+            if (bin == 1L) date_trunc(unit, d)
+            else {
+              val c = unix_micros(d)
+              timestamp_micros(c - pmod(c - refMicros, lit(m * bin)))
+            }
+          })
         case "$dateToString" =>
+          // optional timezone: format that zone's wall clock
           val mm = doc(args)
           val fmt = mongoDateFmt(mm.getOrElse("format", "%Y-%m-%d").toString)
-          date_format(expr2colE(mm("date")), fmt)
+          val d0 = mm.get("timezone").foldLeft(expr2colE(mm("date")))(
+            (c, t) => from_utc_timestamp(c.cast("timestamp"), t.toString))
+          date_format(d0, fmt)
         case "$switch" =>
           val mm = doc(args)
           val branches = mm("branches") match {
@@ -1712,22 +1808,31 @@ object PipelineCompiler {
           s2.cast("binary").substr(i + lit(1), n2).cast("string")
 
         // ---- dates ----
-        case "$minute"    => minute(seq.head)
-        case "$second"    => second(seq.head)
-        case "$dayOfYear" => dayofyear(seq.head)
-        case "$week"      => weekofyear(seq.head)
-        case "$dayOfWeek" => dayofweek(seq.head) // 1 = Sunday (Mongo parity)
+        case "$minute"    => minute(dateArg)
+        case "$second"    => second(dateArg)
+        case "$dayOfYear" => dayofyear(dateArg)
+        case "$week" =>
+          // Mongo week 0–53: weeks start SUNDAY, week 1 begins at the
+          // first Sunday of the year, earlier days are week 0 (strftime
+          // %U) — NOT Spark's ISO weekofyear. The Sunday on-or-before d
+          // has day-of-year doy-(dow-1); nonpositive → week 0.
+          val d0 = dateArg
+          val doy = dayofyear(d0)
+          val dow = dayofweek(d0) // 1 = Sunday
+          when(doy - dow + 1 <= 0, 0)
+            .otherwise(floor((doy - dow).cast("double") / 7).cast("int") + 1)
+        case "$dayOfWeek" => dayofweek(dateArg) // 1 = Sunday (Mongo parity)
         case "$isoDayOfWeek" => // 1 = Monday … 7 = Sunday
-          (dayofweek(seq.head) + lit(5)) % 7 + 1
-        case "$isoWeek" => weekofyear(seq.head) // Spark weekofyear IS ISO
+          (dayofweek(dateArg) + lit(5)) % 7 + 1
+        case "$isoWeek" => weekofyear(dateArg) // Spark weekofyear IS ISO
         case "$isoWeekYear" =>
           // the ISO week-numbering year = calendar year of that week's
           // Thursday (shift to Thursday, take its year)
-          val d0 = seq.head.cast("date")
+          val d0 = dateArg.cast("date")
           val isoDow = (dayofweek(d0) + lit(5)) % 7 + 1
           year(date_add(d0, (lit(4) - isoDow).cast("int"))).cast("long")
         case "$millisecond" =>
-          (pmod(unix_micros(seq.head.cast("timestamp")), lit(1000000L)) /
+          (pmod(unix_micros(dateArg.cast("timestamp")), lit(1000000L)) /
             1000).cast("int")
         case "$dateFromParts" =>
           val mm = doc(args)
@@ -1743,7 +1848,7 @@ object PipelineCompiler {
             case None => ts
           }
         case "$dateToParts" =>
-          val d0 = expr2colE(doc(args)("date"))
+          val d0 = dateArg
           struct(year(d0).cast("long").as("year"),
             month(d0).cast("long").as("month"),
             dayofmonth(d0).cast("long").as("day"),
@@ -1753,32 +1858,69 @@ object PipelineCompiler {
             (pmod(unix_micros(d0.cast("timestamp")), lit(1000000L)) / 1000)
               .cast("long").as("millisecond"))
         case "$dateAdd" | "$dateSubtract" =>
-          // fixed-length units via µs arithmetic (exact, codegen'd);
-          // calendar units (month/year) are intentionally unsupported —
-          // their length is locale/calendar-dependent
+          // fixed-length units via µs arithmetic; calendar units
+          // (month/quarter/year) via a year-month interval, which does
+          // true calendar arithmetic with Mongo's month-end clamping
+          // (Jan 31 + 1 month = Feb 28/29). Both paths codegen.
           val mm = doc(args)
-          val micros = Map("second" -> 1000000L, "minute" -> 60000000L,
-            "hour" -> 3600000000L, "day" -> 86400000000L,
-            "week" -> 604800000000L)
           val unit = mm("unit").toString
-          val m2 = micros.getOrElse(unit, throw new IllegalArgumentException(
-            s"$op unit: $unit (fixed-length units only)"))
           val sign = if (op == "$dateAdd") 1L else -1L
-          timestamp_micros(unix_micros(expr2colE(mm("startDate"))) +
-            expr2colE(mm("amount")).cast("long") * (m2 * sign))
+          // optional timezone: do the arithmetic on that zone's wall
+          // clock and convert back (keeps wall-clock time across DST for
+          // day-and-larger units, as Mongo does); a no-op for sub-day
+          // units, where the shift cancels
+          val tz = mm.get("timezone").map(_.toString)
+          val start = tz.foldLeft(
+            expr2colE(mm("startDate")).cast("timestamp"))(
+            (c, t) => from_utc_timestamp(c, t))
+          val amt = expr2colE(mm("amount")).cast("long") * sign
+          val monthsPer = Map("month" -> 1L, "quarter" -> 3L, "year" -> 12L)
+          val shifted =
+            if (monthsPer.contains(unit))
+              start +
+                make_ym_interval(lit(0), (amt * monthsPer(unit)).cast("int"))
+            else {
+              val micros = Map("millisecond" -> 1000L, "second" -> 1000000L,
+                "minute" -> 60000000L, "hour" -> 3600000000L,
+                "day" -> 86400000000L, "week" -> 604800000000L)
+              val m2 = micros.getOrElse(unit,
+                throw new IllegalArgumentException(s"$op unit: $unit"))
+              timestamp_micros(unix_micros(start) + amt * m2)
+            }
+          tz.foldLeft(shifted)((c, t) => to_utc_timestamp(c, t))
         case "$dateDiff" =>
           // Mongo counts UNIT-BOUNDARY crossings, not elapsed whole units:
-          // trunc both ends to the unit, then difference in units
+          // trunc both ends to the unit, then difference in units. An
+          // optional timezone moves boundary computation to that zone's
+          // wall clock; week boundaries default to SUNDAY (Mongo), with
+          // startOfWeek overriding.
           val mm = doc(args)
           val unit = mm("unit").toString
-          val s0 = expr2colE(mm("startDate"))
-          val e0 = expr2colE(mm("endDate"))
+          val tzShift: Column => Column = c =>
+            mm.get("timezone").foldLeft(c.cast("timestamp"))(
+              (x, t) => from_utc_timestamp(x, t.toString))
+          val s0 = tzShift(expr2colE(mm("startDate")))
+          val e0 = tzShift(expr2colE(mm("endDate")))
           unit match {
             case "day" => datediff(e0.cast("date"), s0.cast("date"))
               .cast("long")
             case "week" =>
-              (datediff(date_trunc("week", e0).cast("date"),
-                date_trunc("week", s0).cast("date")) / 7).cast("long")
+              // Sunday-start weeks (or startOfWeek): shift back to the
+              // week's first day, then whole-day difference / 7
+              val iso = Map("monday" -> 1, "tuesday" -> 2, "wednesday" -> 3,
+                "thursday" -> 4, "friday" -> 5, "saturday" -> 6,
+                "sunday" -> 7)
+              val sow = mm.get("startOfWeek").map(_.toString.toLowerCase)
+                .getOrElse("sunday")
+              val target = iso.getOrElse(sow,
+                throw new IllegalArgumentException(
+                  s"$$dateDiff startOfWeek: $sow"))
+              def weekStart(c: Column): Column = {
+                val isoDow = (dayofweek(c) + lit(5)) % 7 + 1
+                date_sub(c.cast("date"),
+                  pmod(isoDow - lit(target), lit(7)).cast("int"))
+              }
+              (datediff(weekStart(e0), weekStart(s0)) / 7).cast("long")
             case "hour" | "minute" | "second" =>
               val secs = Map("hour" -> 3600L, "minute" -> 60L,
                 "second" -> 1L)(unit)

@@ -339,20 +339,49 @@ class ApmSpec extends SparkSpec {
   }
 
   test("spark listener records failed executions instead of re-throwing") {
-    // deriving the event key from a failed execution can re-raise the
-    // original analysis error; the listener must fall back to a plan-free
-    // key and record the failure (not make ExecutionListenerBus log ERROR)
+    // runtime failure (healthy plan, raise_error at eval) through the real
+    // bus: our listener must record it. Analysis failures are checked
+    // below WITHOUT the bus — a failed-analysis execution event makes
+    // Spark's own ObservationManager listener re-raise and spam ERROR.
     val monitor = Apm.install(spark)
     import spark.implicits._
-    val df = Seq((1, 2)).toDF("a", "b")
-    intercept[org.apache.spark.sql.AnalysisException] {
-      df.select(graft.functions.VectorFunctions.vec_dot($"a", $"b")).collect()
+    intercept[Exception] {
+      spark.range(1)
+        .select(org.apache.spark.sql.functions
+          .raise_error(org.apache.spark.sql.functions.lit("boom")))
+        .collect()
     }
     var failed = Map.empty[EventKey, EventRecord]
     val deadline = System.currentTimeMillis() + 5000
     while (failed.isEmpty && System.currentTimeMillis() < deadline) {
       Thread.sleep(100); failed = monitor.rotate().filter(_._2.failed > 0)
     }
+    assert(failed.nonEmpty, "failure event was not recorded")
+  }
+
+  test("listener onFailure on a failed-ANALYSIS plan records, never throws") {
+    // deriving the event key from a failed execution can re-raise the
+    // original analysis error; the listener must fall back to a plan-free
+    // key. Called directly (not via the bus) so only OUR listener's
+    // behavior is under test.
+    val monitor = new BasicMonitor(MonitorConfig())
+    val listener = new SparkApmListener(monitor)
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAlias
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val df = Seq((1, 2)).toDF("a", "b")
+    // build the analysis-broken QueryExecution by hand: Dataset.select /
+    // .queryExecution force analysis and would throw HERE, not in the
+    // listener under test
+    val bad = Project(Seq(UnresolvedAlias(graft.functions.FloatVecDot(
+      ColumnBridge.expression(df.col("a")),
+      ColumnBridge.expression(df.col("b"))))),
+      df.queryExecution.logical)
+    val qe = new org.apache.spark.sql.execution.QueryExecution(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], bad)
+    listener.onFailure("collect", qe, new Exception("analysis failed"))
+    val failed = monitor.rotate().filter(_._2.failed > 0)
     assert(failed.nonEmpty, "failure event was not recorded")
   }
 

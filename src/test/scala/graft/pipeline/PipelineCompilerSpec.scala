@@ -839,6 +839,31 @@ class ExprLangSpec extends graft.SparkSpec {
       .startsWith("2024-03-01"))
   }
 
+  test("$dateTrunc binSize and startOfWeek anchor at 2000-01-01") {
+    // 2024-03-15 was a Friday
+    val out = PipelineCompiler.compile(Seq(Map("$addFields" -> Map(
+      // 6-hour bins: 10:30 lands in the 06:00 bin
+      "h6" -> Map("$dateTrunc" -> Map("date" -> "$ts", "unit" -> "hour",
+        "binSize" -> 6)),
+      // Mongo default week start is sunday → Sun 2024-03-10
+      "wk" -> Map("$dateTrunc" -> Map("date" -> "$ts", "unit" -> "week")),
+      // explicit monday → Mon 2024-03-11
+      "wkM" -> Map("$dateTrunc" -> Map("date" -> "$ts", "unit" -> "week",
+        "startOfWeek" -> "monday")),
+      // 2-month bins anchored Jan 2000 → March lands in the Mar bin
+      "m2" -> Map("$dateTrunc" -> Map("date" -> "$ts", "unit" -> "month",
+        "binSize" -> 2)),
+      // 3-year bins anchored 2000 → 2024 is a bin start
+      "y3" -> Map("$dateTrunc" -> Map("date" -> "$ts", "unit" -> "year",
+        "binSize" -> 3))))))(df)
+    val r = out.select("h6", "wk", "wkM", "m2", "y3").head()
+    assert(r.getTimestamp(0).toString.startsWith("2024-03-15 06:00:00"))
+    assert(r.getTimestamp(1).toString.startsWith("2024-03-10 00:00:00"))
+    assert(r.getTimestamp(2).toString.startsWith("2024-03-11 00:00:00"))
+    assert(r.getTimestamp(3).toString.startsWith("2024-03-01 00:00:00"))
+    assert(r.getTimestamp(4).toString.startsWith("2024-01-01 00:00:00"))
+  }
+
   test("type conversions and $trim") {
     val out = PipelineCompiler.compile(Seq(Map("$addFields" -> Map(
       "s" -> Map("$toString" -> "$v"),
@@ -978,6 +1003,96 @@ class ExprLangSpec extends graft.SparkSpec {
         "unit" -> "week", "amount" -> 3))))))(d2)
     val rb = back.select("t", "s").head()
     assert(rb.getTimestamp(0) == rb.getTimestamp(1))
+  }
+
+  test("date operators honor the timezone key") {
+    // 2024-03-15 10:30 UTC = 06:30 in New York (EDT, UTC-4)
+    val d2 = Seq("2024-03-15 10:30:00").toDF("s")
+      .withColumn("s", $"s".cast("timestamp"))
+    val out = PipelineCompiler.compile(Seq(Map("$addFields" -> Map(
+      "hNY" -> Map("$hour" -> Map("date" -> "$s",
+        "timezone" -> "America/New_York")),
+      "hOff" -> Map("$hour" -> Map("date" -> "$s",
+        "timezone" -> "+05:30")),
+      "dayNY" -> Map("$dateToString" -> Map("date" -> "$s",
+        "format" -> "%Y-%m-%d %H:%M",
+        "timezone" -> "America/New_York")),
+      // midnight in NY = 04:00 UTC (EDT)
+      "truncNY" -> Map("$dateTrunc" -> Map("date" -> "$s",
+        "unit" -> "day", "timezone" -> "America/New_York"))))))(d2)
+    val r = out.select("hNY", "hOff", "dayNY", "truncNY").head()
+    assert(r.getInt(0) == 6)
+    assert(r.getInt(1) == 16)
+    assert(r.getString(2) == "2024-03-15 06:30")
+    assert(r.getTimestamp(3).toString.startsWith("2024-03-15 04:00:00"))
+  }
+
+  test("$dateAdd day across a DST transition keeps the wall clock") {
+    // US DST spring-forward 2024-03-10: NY wall clock loses an hour.
+    // 2024-03-09 12:00 NY = 17:00 UTC (EST); +1 day with timezone must
+    // land on 2024-03-10 12:00 NY = 16:00 UTC (EDT) — 23 elapsed hours.
+    val d2 = Seq("2024-03-09 17:00:00").toDF("s")
+      .withColumn("s", $"s".cast("timestamp"))
+    val out = PipelineCompiler.compile(Seq(Map("$addFields" -> Map(
+      "tzAware" -> Map("$dateAdd" -> Map("startDate" -> "$s",
+        "unit" -> "day", "amount" -> 1,
+        "timezone" -> "America/New_York")),
+      "fixed" -> Map("$dateAdd" -> Map("startDate" -> "$s",
+        "unit" -> "day", "amount" -> 1))))))(d2)
+    val r = out.select("tzAware", "fixed").head()
+    assert(r.getTimestamp(0).toString.startsWith("2024-03-10 16:00:00"))
+    assert(r.getTimestamp(1).toString.startsWith("2024-03-10 17:00:00"))
+  }
+
+  test("$dateDiff week counts sunday boundaries by default") {
+    // Sat 2024-03-09 -> Sun 2024-03-10 crosses one Sunday boundary;
+    // ISO (monday-start) would say 0
+    val d2 = Seq(("2024-03-09", "2024-03-10")).toDF("a", "b")
+      .withColumn("a", $"a".cast("timestamp"))
+      .withColumn("b", $"b".cast("timestamp"))
+    val out = PipelineCompiler.compile(Seq(Map("$addFields" -> Map(
+      "w" -> Map("$dateDiff" -> Map("startDate" -> "$a", "endDate" -> "$b",
+        "unit" -> "week")),
+      "wMon" -> Map("$dateDiff" -> Map("startDate" -> "$a",
+        "endDate" -> "$b", "unit" -> "week",
+        "startOfWeek" -> "monday"))))))(d2)
+    val r = out.select("w", "wMon").head()
+    assert(r.getLong(0) == 1L)
+    assert(r.getLong(1) == 0L)
+  }
+
+  test("$week is sunday-start week 0-53 (strftime %U), not ISO") {
+    val d2 = Seq("2024-01-01", "2024-01-07", "2024-03-15", "2023-01-01",
+      "2021-12-31").toDF("s").withColumn("s", $"s".cast("timestamp"))
+    val out = PipelineCompiler.compile(Seq(Map("$addFields" -> Map(
+      "w" -> Map("$week" -> "$s")))))(d2)
+    // expected values cross-checked against python strftime('%U')
+    assert(out.select("s", "w").collect().map(_.getInt(1)).toSeq ==
+      Seq(0, 1, 10, 1, 52))
+  }
+
+  test("$dateAdd calendar units clamp to month end") {
+    val d2 = Seq("2024-01-31 10:30:00").toDF("s")
+      .withColumn("s", $"s".cast("timestamp"))
+    val out = PipelineCompiler.compile(Seq(Map("$addFields" -> Map(
+      "m1" -> Map("$dateAdd" -> Map("startDate" -> "$s",
+        "unit" -> "month", "amount" -> 1)),
+      "q1" -> Map("$dateAdd" -> Map("startDate" -> "$s",
+        "unit" -> "quarter", "amount" -> 1)),
+      "y1" -> Map("$dateAdd" -> Map("startDate" -> "$s",
+        "unit" -> "year", "amount" -> 1)),
+      "ms" -> Map("$dateAdd" -> Map("startDate" -> "$s",
+        "unit" -> "millisecond", "amount" -> 1500)),
+      "back" -> Map("$dateSubtract" -> Map("startDate" -> "$s",
+        "unit" -> "month", "amount" -> 2))))))(d2)
+    val r = out.select("m1", "q1", "y1", "ms", "back").head()
+    // 2024 is a leap year: Jan 31 + 1 month clamps to Feb 29
+    assert(r.getTimestamp(0).toString.startsWith("2024-02-29 10:30:00"))
+    assert(r.getTimestamp(1).toString.startsWith("2024-04-30 10:30:00"))
+    // 2025 is not: Jan 31 + 1 year keeps Jan 31
+    assert(r.getTimestamp(2).toString.startsWith("2025-01-31 10:30:00"))
+    assert(r.getTimestamp(3).toString.startsWith("2024-01-31 10:30:01.5"))
+    assert(r.getTimestamp(4).toString.startsWith("2023-11-30 10:30:00"))
   }
 
   test("$toDate / $toBool casts") {
