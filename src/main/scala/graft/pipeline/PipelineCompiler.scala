@@ -1212,11 +1212,35 @@ object PipelineCompiler {
   }
 
   /** Mongo `%Y-%m-%d`-style date format -> Java datetime pattern
-    * (shared by `$dateToString` and `$dateFromString`). */
-  private def mongoDateFmt(f: String): String = f
-    .replace("%Y", "yyyy").replace("%m", "MM").replace("%d", "dd")
-    .replace("%H", "HH").replace("%M", "mm").replace("%S", "ss")
-    .replace("%L", "SSS").replace("%j", "DDD")
+    * (shared by `$dateToString` and `$dateFromString`). Literal text is
+    * single-quoted — a bare `T` in `%Y-%m-%dT%H:%M:%S` is a pattern
+    * LETTER to java.time and would mangle the ISO-8601 shapes Mongo
+    * users write. `%%` is a literal percent. */
+  private def mongoDateFmt(f: String): String = {
+    val directives = Map('Y' -> "yyyy", 'm' -> "MM", 'd' -> "dd",
+      'H' -> "HH", 'M' -> "mm", 'S' -> "ss", 'L' -> "SSS", 'j' -> "DDD")
+    val out = new StringBuilder
+    val lit = new StringBuilder
+    def flushLit(): Unit = if (lit.nonEmpty) {
+      out.append('\'').append(lit.toString.replace("'", "''")).append('\'')
+      lit.clear()
+    }
+    var i = 0
+    while (i < f.length) {
+      if (f(i) == '%' && i + 1 < f.length) {
+        val c = f(i + 1)
+        if (c == '%') lit.append('%')
+        else directives.get(c) match {
+          case Some(p) => flushLit(); out.append(p)
+          case None => throw new IllegalArgumentException(
+            s"unsupported date format specifier %$c")
+        }
+        i += 2
+      } else { lit.append(f(i)); i += 1 }
+    }
+    flushLit()
+    out.toString
+  }
 
   /** Group accumulators: {$sum: expr} etc. */
   private def accumulator(acc: Map[String, Any],
@@ -1519,12 +1543,16 @@ object PipelineCompiler {
             case None => onErr
           }
         case "$dateFromString" =>
+          // optional timezone: the string is that zone's wall clock;
+          // convert the parsed value back to an instant
           val mm = doc(args)
           val ds = expr2colE(mm("dateString"))
-          mm.get("format") match {
+          val parsed = mm.get("format") match {
             case Some(f) => to_timestamp(ds, mongoDateFmt(f.toString))
             case None    => to_timestamp(ds)
           }
+          mm.get("timezone").foldLeft(parsed)(
+            (c, t) => to_utc_timestamp(c, t.toString))
         case "$trim" => args match {
           case m2: Map[_, _] => trim(expr2colE(doc(m2)("input")))
           case _ => trim(seq.head)
@@ -1842,11 +1870,14 @@ object PipelineCompiler {
             part("year", 1970).cast("int"), part("month", 1).cast("int"),
             part("day", 1).cast("int"), part("hour", 0).cast("int"),
             part("minute", 0).cast("int"), part("second", 0).cast("int"))
-          mm.get("millisecond") match {
+          val withMs = mm.get("millisecond") match {
             case Some(ms) => timestamp_micros(
               unix_micros(ts) + expr2colE(ms).cast("long") * 1000L)
             case None => ts
           }
+          // optional timezone: the parts describe that zone's wall clock
+          mm.get("timezone").foldLeft(withMs)(
+            (c, t) => to_utc_timestamp(c, t.toString))
         case "$dateToParts" =>
           val d0 = dateArg
           struct(year(d0).cast("long").as("year"),

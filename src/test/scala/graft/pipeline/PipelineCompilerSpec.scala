@@ -1027,6 +1027,36 @@ class ExprLangSpec extends graft.SparkSpec {
     assert(r.getTimestamp(3).toString.startsWith("2024-03-15 04:00:00"))
   }
 
+  test("date formats quote literal text (ISO T) and %% escapes") {
+    val out = PipelineCompiler.compile(Seq(Map("$addFields" -> Map(
+      "iso" -> Map("$dateToString" -> Map("date" -> "$ts",
+        "format" -> "%Y-%m-%dT%H:%M:%S")),
+      "pct" -> Map("$dateToString" -> Map("date" -> "$ts",
+        "format" -> "%d%%")),
+      "roundtrip" -> Map("$dateFromString" -> Map(
+        "dateString" -> Map("$literal" -> "2024-03-15T10:30:00"),
+        "format" -> "%Y-%m-%dT%H:%M:%S"))))))(df)
+    val r = out.select("iso", "pct", "roundtrip").head()
+    assert(r.getString(0) == "2024-03-15T10:30:00")
+    assert(r.getString(1) == "15%")
+    assert(r.getTimestamp(2).toString.startsWith("2024-03-15 10:30:00"))
+  }
+
+  test("$dateFromString / $dateFromParts convert zone wall clock to instant") {
+    val d2 = Seq("2024-03-15 06:30:00").toDF("s")
+    val out = PipelineCompiler.compile(Seq(Map("$addFields" -> Map(
+      // 06:30 NY (EDT) = 10:30 UTC
+      "fromStr" -> Map("$dateFromString" -> Map("dateString" -> "$s",
+        "format" -> "%Y-%m-%d %H:%M:%S",
+        "timezone" -> "America/New_York")),
+      "fromParts" -> Map("$dateFromParts" -> Map(
+        "year" -> 2024, "month" -> 3, "day" -> 15, "hour" -> 6,
+        "minute" -> 30, "timezone" -> "America/New_York"))))))(d2)
+    val r = out.select("fromStr", "fromParts").head()
+    assert(r.getTimestamp(0).toString.startsWith("2024-03-15 10:30:00"))
+    assert(r.getTimestamp(1).toString.startsWith("2024-03-15 10:30:00"))
+  }
+
   test("$dateAdd day across a DST transition keeps the wall clock") {
     // US DST spring-forward 2024-03-10: NY wall clock loses an hour.
     // 2024-03-09 12:00 NY = 17:00 UTC (EST); +1 day with timezone must
