@@ -11,8 +11,8 @@ import graft.db.TableOps._
 import graft.orchestrate.MigrationApp
 import graft.backup.{Backup, BackupOptions}
 import graft.apm.Apm
-import graft.ops.{Dedup, Similarity, TextFunctions, Multimodal, Chunking,
-  Quantize, Redaction, TfIdf, TextSearch}
+import graft.ops.{Dedup, Decontaminate, Similarity, TextFunctions,
+  Multimodal, Chunking, Quantize, Redaction, TfIdf, TextSearch}
 
 /** Driver contract — one `queries` entry + matching DuckDB `oracleSql` per
   * implemented operator from SURVEY.md §2 (plus the LLM-pipeline extension
@@ -211,6 +211,21 @@ object SparkEntry {
     // ---- LLM-pipeline extension operators ----
 
     // exact dedup (hash-groupBy); dups synthesized by unioning a shifted copy
+    // benchmark decontamination: odd doc_ids are the "corpus", even ones
+    // the "benchmark"; corpus docs sharing >= 3 distinct 3-gram windows
+    // with any benchmark doc are flagged. Shingle equi-join (bench side
+    // broadcast-able) + one agg — no pairwise corpus work.
+    "q108_decontaminate" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      Decontaminate.contamination(
+        docs.where(col("doc_id") % 2 === 1), "doc_id", "text",
+        docs.where(col("doc_id") % 2 === 0), "doc_id", "text",
+        n = 3, minHits = 3L, maxBenchDf = 100L)
+        .select(col("doc_id"), col("hits"), col("bench_docs"),
+          col("first_bench"))
+        .orderBy("doc_id")
+    }),
+
     "q17_dedup_exact" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents")
       val copies = docs.where(col("doc_id") < 100)
@@ -2171,6 +2186,28 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 100
         |) GROUP BY text ORDER BY doc_id""".stripMargin,
+
+    "q108_decontaminate" ->
+      """WITH ct AS (SELECT doc_id, list_filter(string_split(text, ' '),
+        |    x -> x <> '') AS t FROM documents WHERE doc_id % 2 = 1),
+        |bt AS (SELECT doc_id, list_filter(string_split(text, ' '),
+        |    x -> x <> '') AS t FROM documents WHERE doc_id % 2 = 0),
+        |cs AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+        |  FROM ct, UNNEST(range(1, len(t)-1)) AS u(i) WHERE len(t) >= 3),
+        |bs0 AS (SELECT DISTINCT doc_id AS b_id,
+        |    array_to_string(t[i:i+2], ' ') AS sh
+        |  FROM bt, UNNEST(range(1, len(t)-1)) AS u(i) WHERE len(t) >= 3),
+        |-- the engine's maxBenchDf=100 stop-shingle cap, applied on the
+        |-- benchmark side BEFORE the join (rows are distinct (doc, sh))
+        |kept AS (SELECT sh FROM bs0 GROUP BY sh HAVING COUNT(*) <= 100),
+        |bs AS (SELECT bs0.b_id, bs0.sh FROM bs0 JOIN kept USING (sh))
+        |SELECT cs.doc_id AS doc_id,
+        |  CAST(COUNT(DISTINCT cs.sh) AS BIGINT) AS hits,
+        |  CAST(COUNT(DISTINCT bs.b_id) AS BIGINT) AS bench_docs,
+        |  MIN(bs.b_id) AS first_bench
+        |FROM cs JOIN bs USING (sh)
+        |GROUP BY 1 HAVING COUNT(DISTINCT cs.sh) >= 3
+        |ORDER BY doc_id""".stripMargin,
 
     "q18_dedup_jaccard" ->
       s"""WITH $toksCte,

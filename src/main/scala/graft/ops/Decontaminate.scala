@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: flag training-corpus documents that share
+  * word n-gram windows with an evaluation/benchmark set, the standard
+  * pre-training hygiene step (an eval question leaking into the corpus
+  * inflates measured accuracy).
+  *
+  * Shape at 100 TB: both sides explode to DISTINCT per-doc shingles (one
+  * scan + one explode each), meet in a single shingle equi-join — the
+  * benchmark side is tiny next to the corpus, so AQE broadcasts it and
+  * the corpus never shuffles — then one aggregation keyed by corpus doc.
+  * No pairwise corpus work anywhere: cost is linear in corpus shingles.
+  * The optional `maxBenchDf` cap drops n-grams that appear in more than
+  * that many benchmark docs (license boilerplate, common idioms) inside
+  * the plan, the same stop-shingle idea as [[Dedup.ngramJaccardPairs]].
+  */
+object Decontaminate {
+
+  /** Corpus docs sharing >= `minHits` distinct word `n`-grams with any
+    * benchmark doc. Returns (corpusId, hits, bench_docs, first_bench):
+    * distinct overlapping shingles, distinct benchmark docs hit, and the
+    * smallest offending benchmark id (deterministic evidence pointer). */
+  def contamination(
+      corpus: DataFrame, corpusId: String, corpusText: String,
+      bench: DataFrame, benchId: String, benchText: String,
+      n: Int = 8, minHits: Long = 1L, maxBenchDf: Long = 0L): DataFrame = {
+    import TextFunctions.{shinglesOfTokens, tokens}
+    def shingleSide(df: DataFrame, id: String, text: String,
+        as: String): DataFrame =
+      df.select(col(id).as(as), tokens(col(text)).as("__toks"))
+        .select(col(as), explode(array_distinct(
+          shinglesOfTokens(col("__toks"), n))).as("__sh"))
+    val c = shingleSide(corpus, corpusId, corpusText, "__c_id")
+    val b0 = shingleSide(bench, benchId, benchText, "__b_id")
+    val b =
+      if (maxBenchDf > 0L) {
+        // rows are distinct (doc, shingle), so a plain count per shingle
+        // IS its benchmark doc-frequency; computed in-plan, never collected
+        b0.withColumn("__df", count(lit(1)).over(Window.partitionBy("__sh")))
+          .where(col("__df") <= maxBenchDf).drop("__df")
+      } else b0
+    c.join(b, "__sh")
+      .groupBy("__c_id")
+      .agg(countDistinct("__sh").as("hits"),
+        countDistinct("__b_id").as("bench_docs"),
+        min("__b_id").as("first_bench"))
+      .where(col("hits") >= minHits)
+      .withColumnRenamed("__c_id", corpusId)
+  }
+}

@@ -240,4 +240,39 @@ class DataPipelineOpsSpec extends SparkSpec {
     // doc 2: banana and cherry tie (tf=1, df=2) -> banana wins alphabetically
     assert(top(2L) == "banana")
   }
+
+  // ---- Decontaminate ----
+
+  test("contamination flags corpus docs overlapping the benchmark") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // contains bench 10's text
+      (2L, "completely unrelated words here today"),
+      (3L, "what is the capital of france paris obviously")  // contains bench 11
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (10L, "quick brown fox jumps"),
+      (11L, "what is the capital of france")
+    ).toDF("doc_id", "text")
+    val out = Decontaminate.contamination(corpus, "doc_id", "text",
+      bench, "doc_id", "text", n = 3, minHits = 2L)
+      .select("doc_id", "hits", "first_bench")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // doc 1 shares "quick brown fox"/"brown fox jumps" with bench 10;
+    // doc 3 shares 4 windows of bench 11; doc 2 shares nothing
+    assert(out == Seq((1L, 2L, 10L), (3L, 4L, 11L)))
+  }
+
+  test("contamination maxBenchDf drops boilerplate n-grams in-plan") {
+    val corpus = Seq((1L, "shared boiler plate text")).toDF("doc_id", "text")
+    // the same 3-gram appears in every benchmark doc -> df = 3
+    val bench = Seq(
+      (10L, "shared boiler plate a"), (11L, "shared boiler plate b"),
+      (12L, "shared boiler plate c")).toDF("doc_id", "text")
+    val all = Decontaminate.contamination(corpus, "doc_id", "text",
+      bench, "doc_id", "text", n = 3)
+    assert(all.count() == 1)
+    val capped = Decontaminate.contamination(corpus, "doc_id", "text",
+      bench, "doc_id", "text", n = 3, maxBenchDf = 2L)
+    assert(capped.count() == 0)
+  }
 }
