@@ -211,6 +211,14 @@ object SparkEntry {
     // ---- LLM-pipeline extension operators ----
 
     // exact dedup (hash-groupBy); dups synthesized by unioning a shifted copy
+    // Gopher repetition signals: duplicate-line fractions (scan-fused
+    // array exprs) + most-repeated-2-gram character coverage (one explode
+    // + per-doc agg, a single shuffle)
+    "q109_repetition" -> ((s, dir) =>
+      graft.ops.TextFunctions.repetitionSignals(
+        tbl(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // benchmark decontamination: odd doc_ids are the "corpus", even ones
     // the "benchmark"; corpus docs sharing >= 3 distinct 3-gram windows
     // with any benchmark doc are flagged. Shingle equi-join (bench side
@@ -2186,6 +2194,31 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 100
         |) GROUP BY text ORDER BY doc_id""".stripMargin,
+
+    "q109_repetition" ->
+      s"""WITH $toksCte,
+        |lines AS (SELECT doc_id, string_split(text, chr(10)) AS l,
+        |    length(text) AS chars FROM documents),
+        |base AS (SELECT doc_id, chars,
+        |  CASE WHEN len(l) > 0 THEN (len(l) - len(list_distinct(l)))
+        |    / CAST(len(l) AS DOUBLE) ELSE 0.0 END AS dup_line_frac,
+        |  CASE WHEN list_sum(list_transform(l, x -> length(x))) > 0 THEN
+        |    (list_sum(list_transform(l, x -> length(x)))
+        |     - list_sum(list_transform(list_distinct(l), x -> length(x))))
+        |    / CAST(list_sum(list_transform(l, x -> length(x))) AS DOUBLE)
+        |    ELSE 0.0 END AS dup_line_char_frac
+        |  FROM lines),
+        |g AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
+        |  FROM toks, UNNEST(range(1, len(t))) AS u(i) WHERE len(t) >= 2),
+        |cnts AS (SELECT doc_id, g, COUNT(*) AS c FROM g GROUP BY 1, 2),
+        |top AS (SELECT doc_id, MAX(c * length(g)) AS cover FROM cnts
+        |  GROUP BY 1)
+        |SELECT b.doc_id, b.dup_line_frac, b.dup_line_char_frac,
+        |  CASE WHEN b.chars > 0
+        |    THEN COALESCE(t.cover, 0) / CAST(b.chars AS DOUBLE)
+        |    ELSE 0.0 END AS top_2gram_char_frac
+        |FROM base b LEFT JOIN top t USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
 
     "q108_decontaminate" ->
       """WITH ct AS (SELECT doc_id, list_filter(string_split(text, ' '),

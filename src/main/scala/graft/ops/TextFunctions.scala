@@ -125,6 +125,53 @@ object TextFunctions {
         .as("fingerprint"))
   }
 
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1 adapted to
+    * deterministic integer math): per document,
+    *
+    *  - `dup_line_frac`: line occurrences beyond the first of each
+    *    distinct line, over total lines;
+    *  - `dup_line_char_frac`: the same, weighted by line characters;
+    *  - `top_2gram_char_frac`: characters covered by the single most
+    *    repeated word 2-gram (count x gram length, ties resolved by the
+    *    max product — deterministic without an argmax tie-break), over
+    *    total characters.
+    *
+    * The line signals are pure array expressions fused into the scan; the
+    * 2-gram signal is one explode + two aggregations keyed by doc — a
+    * single shuffle, linear in corpus tokens. All ratios divide exact
+    * integer-valued doubles, so results hash-match any engine computing
+    * the same counts. */
+  def repetitionSignals(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val reserved = Seq("__chars", "__toks", "__g", "__cnt", "__cover")
+    require(!df.columns.exists(reserved.contains),
+      s"repetitionSignals: input must not contain ${reserved.mkString(",")}")
+    val t = col(textCol)
+    val lines = split(t, "\n")
+    val dl = array_distinct(lines)
+    val nl = size(lines).cast("double")
+    val lineChars =
+      aggregate(lines, lit(0L), (a, x) => a + length(x)).cast("double")
+    val dChars = aggregate(dl, lit(0L), (a, x) => a + length(x)).cast("double")
+    val base = df.select(col(idCol),
+      length(t).cast("double").as("__chars"),
+      when(nl > 0, (nl - size(dl).cast("double")) / nl)
+        .otherwise(lit(0.0)).as("dup_line_frac"),
+      when(lineChars > 0, (lineChars - dChars) / lineChars)
+        .otherwise(lit(0.0)).as("dup_line_char_frac"))
+    val grams = df.select(col(idCol), tokens(t).as("__toks"))
+      .select(col(idCol), explode(shinglesOfTokens(col("__toks"), 2)).as("__g"))
+    val top = grams.groupBy(col(idCol), col("__g"))
+      .agg(count(lit(1)).as("__cnt"))
+      .groupBy(col(idCol))
+      .agg(max(col("__cnt") * length(col("__g")).cast("long")).as("__cover"))
+    base.join(top, Seq(idCol), "left_outer")
+      .select(col(idCol), col("dup_line_frac"), col("dup_line_char_frac"),
+        when(col("__chars") > 0,
+          coalesce(col("__cover").cast("double"), lit(0.0)) / col("__chars"))
+          .otherwise(lit(0.0)).as("top_2gram_char_frac"))
+  }
+
   /** Gopher-style document-quality filter rules (Rae et al. 2021, the
     * published heuristics adapted to space-tokenized text): word-count
     * bounds, mean-word-length bounds, alphabetic-word ratio, distinct

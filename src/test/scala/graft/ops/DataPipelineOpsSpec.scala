@@ -241,6 +241,25 @@ class DataPipelineOpsSpec extends SparkSpec {
     assert(top(2L) == "banana")
   }
 
+  // ---- Repetition signals ----
+
+  test("repetitionSignals measures duplicate lines and repeated 2-grams") {
+    val docs = Seq(
+      // 4 lines, "dup" twice: dup_line_frac = 1/4; line chars 3+3+5+4=15,
+      // distinct 3+5+4=12 -> char frac 3/15
+      (1L, "dup\ndup\nalpha\nbeta"),
+      // "a b" 2-gram appears 3x in "a b a b a b" (len 11 chars):
+      // grams: a b, b a, a b, b a, a b -> top = 3 * len("a b") = 9
+      (2L, "a b a b a b"),
+      (3L, "")).toDF("doc_id", "text")
+    val out = TextFunctions.repetitionSignals(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Double, Double, Double)].collect().toSeq
+    assert(out(0)._2 == 0.25 && out(0)._3 == 3.0 / 15.0)
+    assert(out(1)._2 == 0.0 && out(1)._4 == 9.0 / 11.0)
+    assert(out(2) == ((3L, 0.0, 0.0, 0.0)))
+  }
+
   // ---- Decontaminate ----
 
   test("contamination flags corpus docs overlapping the benchmark") {
