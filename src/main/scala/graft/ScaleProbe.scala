@@ -7,7 +7,7 @@ import org.apache.spark.sql.SparkSession
   * measured scaling exponents (SCALE.md "Measured").
   *
   * Usage: runMain graft.ScaleProbe <dir> <op> <reps> [maxShingleFreq]
-  * ops: jaccard | clusters | split | sdedup
+  * ops: jaccard | clusters | split | sdedup | ema (dir unused)
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -55,6 +55,20 @@ object ScaleProbe {
             .start()
           q.awaitTermination()
           spark.read.parquet(s"$tmp/out").count()
+        case "ema" =>
+          // long per-key series: 500k rows/key x 4 keys, through the
+          // full $setWindowFields compile path. The pre-r5 prefix fold
+          // was O(|partition|^2) — ~2.5e11 ops per key, unrunnable at
+          // this size; the native window function is one linear pass.
+          val df = spark.range(2000000L).selectExpr("id % 4 AS k",
+            "id AS t", "CAST(id % 1000 AS DOUBLE) AS v")
+          graft.pipeline.PipelineCompiler.compile(Seq(
+            Map("$setWindowFields" -> Map(
+              "partitionBy" -> "$k", "sortBy" -> Map("t" -> 1),
+              "output" -> Map("ema" -> Map("$expMovingAvg" ->
+                Map("input" -> "$v", "N" -> 20)))))))(df)
+            .selectExpr("sum(ema)").collect()
+          2000000L
         case other => throw new IllegalArgumentException(other)
       }
       println(f"[scale] $op $dir ${(System.nanoTime() - t0) / 1e9}%.2f s" +

@@ -1880,14 +1880,30 @@ object PipelineCompiler {
             (c, t) => to_utc_timestamp(c, t.toString))
         case "$dateToParts" =>
           val d0 = dateArg
-          struct(year(d0).cast("long").as("year"),
-            month(d0).cast("long").as("month"),
-            dayofmonth(d0).cast("long").as("day"),
+          val timeParts = Seq(
             hour(d0).cast("long").as("hour"),
             minute(d0).cast("long").as("minute"),
             second(d0).cast("long").as("second"),
             (pmod(unix_micros(d0.cast("timestamp")), lit(1000000L)) / 1000)
               .cast("long").as("millisecond"))
+          val iso = args match {
+            case m: Map[_, _] =>
+              m.asInstanceOf[Map[String, Any]].get("iso8601").contains(true)
+            case _ => false
+          }
+          if (iso) {
+            // ISO week-date parts: week-numbering year, ISO week, ISO dow
+            val dd = d0.cast("date")
+            val isoDow = (dayofweek(dd) + lit(5)) % 7 + 1
+            struct(Seq(
+              year(date_add(dd, (lit(4) - isoDow).cast("int"))).cast("long")
+                .as("isoWeekYear"),
+              weekofyear(dd).cast("long").as("isoWeek"),
+              isoDow.cast("long").as("isoDayOfWeek")) ++ timeParts: _*)
+          } else
+            struct(Seq(year(d0).cast("long").as("year"),
+              month(d0).cast("long").as("month"),
+              dayofmonth(d0).cast("long").as("day")) ++ timeParts: _*)
         case "$dateAdd" | "$dateSubtract" =>
           // fixed-length units via µs arithmetic; calendar units
           // (month/quarter/year) via a year-month interval, which does

@@ -345,12 +345,15 @@ class ApmSpec extends SparkSpec {
     // Spark's own ObservationManager listener re-raise and spam ERROR.
     val monitor = Apm.install(spark)
     import spark.implicits._
-    intercept[Exception] {
+    // the task failure is intentional; keep its executor-side ERROR spam
+    // out of otherwise-green test logs
+    spark.sparkContext.setLogLevel("OFF")
+    try intercept[Exception] {
       spark.range(1)
         .select(org.apache.spark.sql.functions
           .raise_error(org.apache.spark.sql.functions.lit("boom")))
         .collect()
-    }
+    } finally spark.sparkContext.setLogLevel("ERROR")
     var failed = Map.empty[EventKey, EventRecord]
     val deadline = System.currentTimeMillis() + 5000
     while (failed.isEmpty && System.currentTimeMillis() < deadline) {

@@ -1167,6 +1167,15 @@ class ExprLangSpec extends graft.SparkSpec {
     assert(r.getTimestamp(0).toString == "2024-03-15 07:08:09.25")
     assert(r.getLong(1) == 7L && r.getLong(2) == 9L && r.getLong(3) == 250L)
     assert(r.getInt(4) == 250)
+    // iso8601 variant: 2024-03-15 is a Friday in ISO week 11 of 2024
+    val iso = PipelineCompiler.compile(Seq(
+      Map("$addFields" -> Map("p" -> Map("$dateToParts" -> Map(
+        "date" -> Map("$dateFromParts" -> Map(
+          "year" -> "$y", "month" -> "$m", "day" -> "$dd")),
+        "iso8601" -> true))))))(d)
+      .select("p.isoWeekYear", "p.isoWeek", "p.isoDayOfWeek").head()
+    assert(iso.getLong(0) == 2024L && iso.getLong(1) == 11L &&
+      iso.getLong(2) == 5L)
   }
 
   test("set predicates and boolean element folds") {
