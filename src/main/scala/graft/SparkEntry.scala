@@ -211,6 +211,19 @@ object SparkEntry {
     // ---- LLM-pipeline extension operators ----
 
     // exact dedup (hash-groupBy); dups synthesized by unioning a shifted copy
+    // scalar fold expressions: $max clamping idiom, $min, list $sum/$avg
+    // — pure codegen'd projections, zero shuffles
+    "q110_scalar_folds" -> ((s, dir) =>
+      coll(s, dir, "orders").pipe(Seq(
+        Map("$match" -> Map("o_orderkey" -> Map("$lte" -> 2000))),
+        Map("$project" -> Map(
+          "o_orderkey" -> 1,
+          "clamped" -> Map("$max" -> Seq(50000.0, "$o_totalprice")),
+          "lo" -> Map("$min" -> Seq("$o_totalprice", 100000.0)),
+          "s" -> Map("$sum" -> Seq("$o_totalprice", "$o_custkey")),
+          "m" -> Map("$avg" -> Seq("$o_totalprice", "$o_custkey"))))))
+        .orderBy("o_orderkey")),
+
     // Gopher repetition signals: duplicate-line fractions (scan-fused
     // array exprs) + most-repeated-2-gram character coverage (one explode
     // + per-doc agg, a single shuffle)
@@ -2194,6 +2207,15 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 100
         |) GROUP BY text ORDER BY doc_id""".stripMargin,
+
+    "q110_scalar_folds" ->
+      """SELECT o_orderkey,
+        |  greatest(50000.0, o_totalprice) AS clamped,
+        |  least(o_totalprice, 100000.0) AS lo,
+        |  o_totalprice + CAST(o_custkey AS DOUBLE) AS s,
+        |  (o_totalprice + CAST(o_custkey AS DOUBLE)) / 2.0 AS m
+        |FROM orders WHERE o_orderkey <= 2000
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q109_repetition" ->
       s"""WITH $toksCte,

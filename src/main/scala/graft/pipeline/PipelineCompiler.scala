@@ -1393,6 +1393,46 @@ object PipelineCompiler {
         case _ => seq.head
       }
       op match {
+        // scalar (non-accumulator) numeric folds — Mongo's clamping /
+        // row-local reduction idiom. [e1, e2, …] folds the listed values
+        // (nulls skipped, as Mongo skips missing); a single argument is
+        // an ARRAY column whose elements fold; a bare numeric literal is
+        // itself.
+        case "$max" => args match {
+          case s: Seq[_] if s.size == 1 => expr2colE(s.head)
+          case s: Seq[_] => greatest(s.map(expr2colE): _*)
+          case n: Number => lit(n.doubleValue())
+          case single    => array_max(expr2colE(single))
+        }
+        case "$min" => args match {
+          case s: Seq[_] if s.size == 1 => expr2colE(s.head)
+          case s: Seq[_] => least(s.map(expr2colE): _*)
+          case n: Number => lit(n.doubleValue())
+          case single    => array_min(expr2colE(single))
+        }
+        case "$sum" => args match {
+          case s: Seq[_] => s.map(e =>
+            coalesce(expr2colE(e).cast("double"), lit(0.0))).reduce(_ + _)
+          case n: Number => lit(n.doubleValue())
+          case single => coalesce(
+            aggregate(expr2colE(single), lit(0.0),
+              (a, x) => a + coalesce(x.cast("double"), lit(0.0))),
+            lit(0.0))
+        }
+        case "$avg" => args match {
+          case s: Seq[_] =>
+            val vals = s.map(e => expr2colE(e).cast("double"))
+            val cnt = vals.map(v => when(v.isNotNull, 1.0).otherwise(0.0))
+              .reduce(_ + _)
+            when(cnt > 0,
+              vals.map(v => coalesce(v, lit(0.0))).reduce(_ + _) / cnt)
+          case n: Number => lit(n.doubleValue())
+          case single =>
+            val nn = filter(expr2colE(single), x => x.isNotNull)
+            when(size(nn) > 0,
+              aggregate(nn, lit(0.0), (a, x) => a + x.cast("double")) /
+                size(nn).cast("double"))
+        }
         case "$add"      => seq.reduce(_ + _)
         case "$subtract" => val Seq(a, b) = seq; a - b
         case "$multiply" => seq.reduce(_ * _)
@@ -1617,6 +1657,26 @@ object PipelineCompiler {
             case -1 => reverse(sorted)
             case other =>
               throw new IllegalArgumentException(s"$$sortArray: $other")
+          }
+        // scalar N-ary array forms ({input: <array>, n}) — the
+        // accumulator/window forms live in accumulator()/setWindowFields.
+        // $minN/$maxN skip nulls (Mongo) and return ascending/descending
+        // order respectively.
+        case "$firstN" | "$lastN" | "$minN" | "$maxN" =>
+          val mm = doc(args)
+          val arr = expr2colE(mm("input"))
+          val n = lit(int(mm("n")))
+          op match {
+            case "$firstN" => slice(arr, lit(1), n)
+            case "$lastN" =>
+              // last min(n, size) elements, in order
+              slice(arr, greatest(size(arr) - n + 1, lit(1)),
+                least(n, size(arr)))
+            case "$minN" =>
+              slice(array_sort(filter(arr, x => x.isNotNull)), lit(1), n)
+            case "$maxN" =>
+              slice(reverse(array_sort(filter(arr, x => x.isNotNull))),
+                lit(1), n)
           }
         case "$first" => element_at(seq.head, 1)
         case "$last" => element_at(seq.head, -1)

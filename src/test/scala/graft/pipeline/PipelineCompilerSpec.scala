@@ -1005,6 +1005,46 @@ class ExprLangSpec extends graft.SparkSpec {
     assert(rb.getTimestamp(0) == rb.getTimestamp(1))
   }
 
+  test("scalar $firstN/$lastN/$minN/$maxN array forms") {
+    val d2 = Seq((Seq[java.lang.Double](4.0, 1.0, null, 9.0, 2.0)))
+      .toDF("arr")
+    val out = PipelineCompiler.compile(Seq(Map("$addFields" -> Map(
+      "f2" -> Map("$firstN" -> Map("input" -> "$arr", "n" -> 2)),
+      "l2" -> Map("$lastN" -> Map("input" -> "$arr", "n" -> 2)),
+      "lBig" -> Map("$lastN" -> Map("input" -> "$arr", "n" -> 9)),
+      "mn2" -> Map("$minN" -> Map("input" -> "$arr", "n" -> 2)),
+      "mx2" -> Map("$maxN" -> Map("input" -> "$arr", "n" -> 2))))))(d2)
+    val r = out.select("f2", "l2", "lBig", "mn2", "mx2").head()
+    assert(r.getSeq[Any](0) == Seq(4.0, 1.0))
+    assert(r.getSeq[Any](1) == Seq(9.0, 2.0))
+    assert(r.getSeq[Any](2) == Seq(4.0, 1.0, null, 9.0, 2.0))
+    assert(r.getSeq[Any](3) == Seq(1.0, 2.0))
+    assert(r.getSeq[Any](4) == Seq(9.0, 4.0))
+  }
+
+  test("scalar $max/$min/$sum/$avg fold listed values or array elements") {
+    val d2 = Seq((4.0, 9.0, Seq(1.0, 5.0, 3.0)), (7.0, 2.0, Seq.empty[Double]))
+      .toDF("a", "b", "arr")
+    val out = PipelineCompiler.compile(Seq(Map("$addFields" -> Map(
+      "clamped" -> Map("$max" -> Seq(5.0, "$a")), // the clamping idiom
+      "lo" -> Map("$min" -> Seq("$a", "$b")),
+      "s" -> Map("$sum" -> Seq("$a", "$b", 1)),
+      "m" -> Map("$avg" -> Seq("$a", "$b")),
+      "arrMax" -> Map("$max" -> "$arr"),
+      "arrSum" -> Map("$sum" -> "$arr"),
+      "arrAvg" -> Map("$avg" -> "$arr")))))(d2)
+    val r = out.orderBy("a").collect()
+    def g(i: Int, c: String) = r(i).getDouble(r(i).fieldIndex(c))
+    assert(g(0, "clamped") == 5.0 && g(1, "clamped") == 7.0)
+    assert(g(0, "lo") == 4.0 && g(1, "lo") == 2.0)
+    assert(g(0, "s") == 14.0 && g(1, "s") == 10.0)
+    assert(g(0, "m") == 6.5 && g(1, "m") == 4.5)
+    assert(g(0, "arrMax") == 5.0)
+    assert(g(0, "arrSum") == 9.0 && g(1, "arrSum") == 0.0) // empty -> 0
+    assert(g(0, "arrAvg") == 3.0)
+    assert(r(1).isNullAt(r(1).fieldIndex("arrAvg"))) // empty avg -> null
+  }
+
   test("date operators honor the timezone key") {
     // 2024-03-15 10:30 UTC = 06:30 in New York (EDT, UTC-4)
     val d2 = Seq("2024-03-15 10:30:00").toDF("s")
