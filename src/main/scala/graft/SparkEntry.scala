@@ -97,6 +97,20 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // $push modifier form ($each + $sort + $slice) through the update
+    // compiler on matching rows — map-only, zero shuffles
+    "q111_push_each" -> ((s, dir) => {
+      val src = tbl(s, dir, "part").where(col("p_partkey") <= 500)
+        .withColumn("arr", split(col("p_brand"), "#"))
+      val (res, _) = TableOps.updateAll(src,
+        Map("p_size" -> Map("$lte" -> 20)),
+        Map("$push" -> Map("arr" -> Map("$each" -> Seq("zz", "aa"),
+          "$sort" -> 1, "$slice" -> 3))),
+        "p_partkey")
+      res.select(col("p_partkey"), concat_ws("|", col("arr")).as("arr_s"))
+        .orderBy("p_partkey")
+    }),
+
     // §2.8 $rename (the anser example shape) on matching rows
     "q06_update_rename" -> ((s, dir) => {
       val (res, _) = TableOps.updateAll(
@@ -2207,6 +2221,16 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 100
         |) GROUP BY text ORDER BY doc_id""".stripMargin,
+
+    "q111_push_each" ->
+      """SELECT p_partkey,
+        |  CASE WHEN p_size <= 20 THEN
+        |    array_to_string(list_slice(list_sort(list_concat(
+        |      string_split(p_brand, '#'), ['zz', 'aa'])), 1, 3), '|')
+        |  ELSE array_to_string(string_split(p_brand, '#'), '|')
+        |  END AS arr_s
+        |FROM part WHERE p_partkey <= 500
+        |ORDER BY p_partkey""".stripMargin,
 
     "q110_scalar_folds" ->
       """SELECT o_orderkey,

@@ -80,14 +80,76 @@ object UpdateCompiler {
           fields.keys.foldLeft(acc)((d, path) =>
             setPath(d, path, pred, _ => current_timestamp()))
         case "$push" =>
+          // plain value appends; the modifier form {$each, $position?,
+          // $sort?, $slice?} applies in Mongo's documented order:
+          // insert-at-position, then sort, then slice. $sort supports the
+          // scalar directions 1/-1 (sorting an array of documents by an
+          // embedded field has no literal-array analog here). Negative
+          // $position counts from the end; negative $slice keeps the
+          // LAST |n| elements.
           fields.foldLeft(acc) { case (d, (path, v)) =>
-            setPath(d, path, pred, old =>
-              array_append(coalesce(old, array()), toLit(v)))
+            setPath(d, path, pred, old => v match {
+              case m: Map[_, _]
+                  if m.asInstanceOf[Map[String, Any]].contains("$each") =>
+                val mm = m.asInstanceOf[Map[String, Any]]
+                val items = mm("$each") match {
+                  case s: Seq[_] => array(s.map(toLit): _*)
+                  case other => throw new IllegalArgumentException(
+                    s"$$push $$each expects an array: $other")
+                }
+                val base = coalesce(old, array())
+                val inserted = mm.get("$position") match {
+                  case None => concat(base, items)
+                  case Some(p0) =>
+                    val p = p0 match {
+                      case n: Number => n.intValue()
+                      case other => throw new IllegalArgumentException(
+                        s"$$push $$position: $other")
+                    }
+                    val pos =
+                      if (p >= 0) least(lit(p), size(base))
+                      else greatest(size(base) + p, lit(0))
+                    concat(slice(base, lit(1), pos), items,
+                      slice(base, pos + 1, size(base) - pos))
+                }
+                val sorted = mm.get("$sort") match {
+                  case None     => inserted
+                  case Some(1)  => array_sort(inserted)
+                  case Some(-1) => reverse(array_sort(inserted))
+                  case Some(other) => throw new IllegalArgumentException(
+                    s"$$push $$sort supports 1/-1 here: $other")
+                }
+                mm.get("$slice") match {
+                  case None => sorted
+                  case Some(n0) =>
+                    val n = n0 match {
+                      case x: Number => x.intValue()
+                      case other => throw new IllegalArgumentException(
+                        s"$$push $$slice: $other")
+                    }
+                    if (n >= 0) slice(sorted, lit(1), lit(n))
+                    else slice(sorted,
+                      greatest(size(sorted) + n + 1, lit(1)),
+                      least(lit(-n), size(sorted)))
+                }
+              case _ => array_append(coalesce(old, array()), toLit(v))
+            })
           }
         case "$addToSet" =>
+          // plain value or {$each: [...]} — both via array_union dedup
           fields.foldLeft(acc) { case (d, (path, v)) =>
+            val toAdd = v match {
+              case m: Map[_, _]
+                  if m.asInstanceOf[Map[String, Any]].contains("$each") =>
+                m.asInstanceOf[Map[String, Any]]("$each") match {
+                  case s: Seq[_] => array(s.map(toLit): _*)
+                  case other => throw new IllegalArgumentException(
+                    s"$$addToSet $$each expects an array: $other")
+                }
+              case _ => array(toLit(v))
+            }
             setPath(d, path, pred, old =>
-              array_union(coalesce(old, array()), array(toLit(v))))
+              array_union(coalesce(old, array()), toAdd))
           }
         case "$pull" =>
           fields.foldLeft(acc) { case (d, (path, v)) =>

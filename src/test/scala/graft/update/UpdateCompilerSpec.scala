@@ -59,6 +59,28 @@ class UpdateCompilerSpec extends SparkSpec {
       == Seq(2))
   }
 
+  test("$push $each with $position, $sort, $slice; $addToSet $each") {
+    // base arr for _id 1 is [1, 2]
+    def arr1(upd: Map[String, Any]): Seq[Int] =
+      run(upd).where($"_id" === 1).select("arr").as[Seq[Int]].head()
+    assert(arr1(Map("$push" -> Map("arr" ->
+      Map("$each" -> Seq(8, 9))))) == Seq(1, 2, 8, 9))
+    assert(arr1(Map("$push" -> Map("arr" ->
+      Map("$each" -> Seq(9), "$position" -> 0)))) == Seq(9, 1, 2))
+    assert(arr1(Map("$push" -> Map("arr" ->
+      Map("$each" -> Seq(9), "$position" -> -1)))) == Seq(1, 9, 2))
+    assert(arr1(Map("$push" -> Map("arr" ->
+      Map("$each" -> Seq(9, 0), "$sort" -> 1)))) == Seq(0, 1, 2, 9))
+    assert(arr1(Map("$push" -> Map("arr" ->
+      Map("$each" -> Seq(9, 0), "$sort" -> -1, "$slice" -> 2))))
+      == Seq(9, 2))
+    // negative slice keeps the LAST |n| after append
+    assert(arr1(Map("$push" -> Map("arr" ->
+      Map("$each" -> Seq(9), "$slice" -> -2)))) == Seq(2, 9))
+    assert(arr1(Map("$addToSet" -> Map("arr" ->
+      Map("$each" -> Seq(2, 5))))) == Seq(1, 2, 5))
+  }
+
   test("predicated update preserves non-matching rows") {
     val out = UpdateCompiler.applyUpdate(df, $"cat" === "a",
       Map("$set" -> Map("v" -> 99.0)))
