@@ -111,6 +111,24 @@ object SparkEntry {
         .orderBy("p_partkey")
     }),
 
+    // all-positional $[] element updates + $bit, both codegen'd lambdas /
+    // bitwise ops on matching rows — map-only
+    "q112_positional_bit" -> ((s, dir) => {
+      val src = tbl(s, dir, "part").where(col("p_partkey") <= 500)
+        .withColumn("scores",
+          sequence(lit(1), (col("p_size") % 5 + 1).cast("int")))
+        .withColumn("flags", col("p_size").cast("long"))
+      val (res, _) = TableOps.updateAll(src,
+        Map("p_size" -> Map("$gte" -> 10)),
+        Map("$inc" -> Map("scores.$[]" -> 100),
+          "$bit" -> Map("flags" -> Map("xor" -> 21))),
+        "p_partkey")
+      res.select(col("p_partkey"),
+        array_join(col("scores").cast("array<string>"), ",").as("scores_s"),
+        col("flags"))
+        .orderBy("p_partkey")
+    }),
+
     // §2.8 $rename (the anser example shape) on matching rows
     "q06_update_rename" -> ((s, dir) => {
       val (res, _) = TableOps.updateAll(
@@ -2221,6 +2239,17 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 100
         |) GROUP BY text ORDER BY doc_id""".stripMargin,
+
+    "q112_positional_bit" ->
+      """SELECT p_partkey,
+        |  array_to_string(CASE WHEN p_size >= 10
+        |    THEN list_transform(range(1, (p_size % 5 + 1) + 1),
+        |                        x -> x + 100)
+        |    ELSE range(1, (p_size % 5 + 1) + 1) END, ',') AS scores_s,
+        |  CASE WHEN p_size >= 10 THEN xor(CAST(p_size AS BIGINT), 21)
+        |    ELSE CAST(p_size AS BIGINT) END AS flags
+        |FROM part WHERE p_partkey <= 500
+        |ORDER BY p_partkey""".stripMargin,
 
     "q111_push_each" ->
       """SELECT p_partkey,

@@ -166,6 +166,32 @@ object UpdateCompiler {
               if (dir >= 0) slice(old, lit(1), greatest(size(old) - 1, lit(0)))
               else slice(old, lit(2), greatest(size(old) - 1, lit(0))))
           }
+        case "$bit" =>
+          // {$bit: {field: {and|or|xor: <int>}}} — bitwise update
+          fields.foldLeft(acc) { case (d, (path, v)) =>
+            val mm = v match {
+              case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+              case other => throw new IllegalArgumentException(
+                s"$$bit expects {and|or|xor: int}: $other")
+            }
+            require(mm.size == 1, s"$$bit expects exactly one op: $mm")
+            val (bop, n0) = mm.head
+            val n = n0 match {
+              case x: Number => lit(x.longValue())
+              case other => throw new IllegalArgumentException(
+                s"$$bit operand: $other")
+            }
+            setPath(d, path, pred, old0 => {
+              val old = coalesce(old0, lit(0L))
+              bop match {
+                case "and" => old.bitwiseAND(n)
+                case "or"  => old.bitwiseOR(n)
+                case "xor" => old.bitwiseXOR(n)
+                case other => throw new IllegalArgumentException(
+                  s"$$bit op: $other")
+              }
+            })
+          }
         case other =>
           throw new IllegalArgumentException(s"unsupported update operator: $other")
       }
@@ -200,6 +226,8 @@ object UpdateCompiler {
   private[graft] def setPath(df: DataFrame, path: String, pred: Column,
       mk: Column => Column): DataFrame = {
     val parts = path.split('.')
+    val posIdx = parts.indexOf("$[]")
+    if (posIdx >= 0) return setPositional(df, parts, posIdx, pred, mk)
     val top = parts.head
     if (parts.length == 1) {
       val old = if (df.columns.contains(top)) col(top) else lit(null)
@@ -212,6 +240,34 @@ object UpdateCompiler {
       df.withColumn(top,
         when(pred, col(top).withField(rest, mk(old))).otherwise(col(top)))
     }
+  }
+
+  /** Mongo's all-positional `$[]`: `arr.$[]` applies `mk` to every array
+    * element, `arr.$[].sub` to field `sub` of every struct element — a
+    * codegen'd `transform` lambda, still zero shuffles. One `$[]` per
+    * path (Mongo allows nesting; rejected here rather than silently
+    * wrong). */
+  private def setPositional(df: DataFrame, parts: Array[String],
+      posIdx: Int, pred: Column, mk: Column => Column): DataFrame = {
+    require(posIdx > 0, s"$$[] needs an array path prefix")
+    val subParts = parts.drop(posIdx + 1)
+    require(!subParts.contains("$[]"),
+      s"nested $$[] positional updates are unsupported")
+    val arrParts = parts.take(posIdx)
+    val top = arrParts.head
+    require(df.columns.contains(top),
+      s"positional update requires existing column '$top'")
+    val arrCol = col(arrParts.mkString("."))
+    val updated = transform(arrCol, x =>
+      if (subParts.isEmpty) mk(x)
+      else x.withField(subParts.mkString("."),
+        mk(subParts.foldLeft(x)((c, f) => c.getField(f)))))
+    if (arrParts.length == 1)
+      df.withColumn(top, when(pred, updated).otherwise(arrCol))
+    else
+      df.withColumn(top,
+        when(pred, col(top).withField(arrParts.tail.mkString("."), updated))
+          .otherwise(col(top)))
   }
 
   /** Mongo $unset removes the field. Whole-table: drop the column / struct

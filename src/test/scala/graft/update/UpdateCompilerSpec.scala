@@ -81,6 +81,33 @@ class UpdateCompilerSpec extends SparkSpec {
       Map("$each" -> Seq(2, 5))))) == Seq(1, 2, 5))
   }
 
+  test("$[] all-positional updates every array element") {
+    // terminal: inc every element; struct-sub: set a field of each element
+    val d2 = Seq((1L, Seq(1, 2, 3))).toDF("_id", "scores")
+    val inc = UpdateCompiler.applyUpdate(d2, lit(true),
+      Map("$inc" -> Map("scores.$[]" -> 10)))
+    assert(inc.select("scores").as[Seq[Int]].head() == Seq(11, 12, 13))
+    val d3 = spark.sql(
+      "SELECT 1L AS _id, array(named_struct('q', 1, 'b', 'x'), " +
+        "named_struct('q', 2, 'b', 'y')) AS items")
+    val sub = UpdateCompiler.applyUpdate(d3, lit(true),
+      Map("$set" -> Map("items.$[].b" -> "z")))
+    assert(sub.selectExpr("transform(items, x -> x.b) AS bs")
+      .as[Seq[String]].head() == Seq("z", "z"))
+    assert(sub.selectExpr("transform(items, x -> x.q) AS qs")
+      .as[Seq[Int]].head() == Seq(1, 2))
+  }
+
+  test("$bit and/or/xor") {
+    val d2 = Seq((1L, 12L)).toDF("_id", "flags") // 0b1100
+    def f(upd: Map[String, Any]): Long =
+      UpdateCompiler.applyUpdate(d2, lit(true), upd)
+        .select("flags").as[Long].head()
+    assert(f(Map("$bit" -> Map("flags" -> Map("and" -> 10)))) == 8L)
+    assert(f(Map("$bit" -> Map("flags" -> Map("or" -> 3)))) == 15L)
+    assert(f(Map("$bit" -> Map("flags" -> Map("xor" -> 6)))) == 10L)
+  }
+
   test("predicated update preserves non-matching rows") {
     val out = UpdateCompiler.applyUpdate(df, $"cat" === "a",
       Map("$set" -> Map("v" -> 99.0)))
