@@ -129,6 +129,20 @@ object SparkEntry {
         .orderBy("p_partkey")
     }),
 
+    // filtered positional $[ident] + arrayFilters: only elements matching
+    // the element-level predicate update — one codegen'd lambda
+    "q113_array_filters" -> ((s, dir) => {
+      val src = tbl(s, dir, "part").where(col("p_partkey") <= 500)
+        .withColumn("grades",
+          array(col("p_size"), col("p_size") % 7 * 10, lit(42)))
+      val (res, _) = TableOps.updateAll(src, Map.empty,
+        Map("$set" -> Map("grades.$[g]" -> -1)),
+        "p_partkey", Seq(Map("g" -> Map("$gte" -> 25))))
+      res.select(col("p_partkey"),
+        array_join(col("grades").cast("array<string>"), ",").as("g_s"))
+        .orderBy("p_partkey")
+    }),
+
     // §2.8 $rename (the anser example shape) on matching rows
     "q06_update_rename" -> ((s, dir) => {
       val (res, _) = TableOps.updateAll(
@@ -2239,6 +2253,13 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 100
         |) GROUP BY text ORDER BY doc_id""".stripMargin,
+
+    "q113_array_filters" ->
+      """SELECT p_partkey, array_to_string(list_transform(
+        |    [p_size, (p_size % 7) * 10, 42],
+        |    x -> CASE WHEN x >= 25 THEN -1 ELSE x END), ',') AS g_s
+        |FROM part WHERE p_partkey <= 500
+        |ORDER BY p_partkey""".stripMargin,
 
     "q112_positional_bit" ->
       """SELECT p_partkey,

@@ -398,13 +398,15 @@ object TableOps {
     * rest — reference db/wrapper.go:237-244. The match count is observed
     * inside the returned plan (see [[LazyChangeInfo]]) — one scan total. */
   def updateAll(df: DataFrame, query: Map[String, Any],
-      update: Map[String, Any], idCol: String = "_id")
+      update: Map[String, Any], idCol: String = "_id",
+      arrayFilters: Seq[Map[String, Any]] = Nil)
       : (DataFrame, LazyChangeInfo) = {
     val pred = QueryCompiler.compile(query)
     val obs = org.apache.spark.sql.Observation()
     val observed = df.observe(obs,
       sum(when(pred, 1L).otherwise(0L)).as("matched"))
-    val out = UpdateCompiler.applyUpdate(observed, pred, update, idCol)
+    val out =
+      UpdateCompiler.applyUpdate(observed, pred, update, idCol, arrayFilters)
     (out, new LazyChangeInfo(obs, out, n => ChangeInfo(updated = n)))
   }
 

@@ -16,7 +16,11 @@ import graft.query.QueryCompiler.{toLit, toScalaLit}
   *
   * Supported operators (SURVEY.md §2.8 "update compiler"):
   * `$set $unset $rename $inc $mul $min $max $currentDate $push $addToSet
-  * $pull $pop`, with dotted nested paths resolved via `withField`/`dropFields`.
+  * $pull $pop $bit`, with dotted nested paths resolved via
+  * `withField`/`dropFields`; `$push` takes the `{$each, $position, $sort,
+  * $slice}` modifier form and `$addToSet` takes `{$each}`; positional
+  * array paths `f.$[]` / `f.$[ident]` (+ arrayFilters) compile to
+  * `transform` lambdas.
   *
   * Replacement-document dispatch (no `$`-prefixed keys) mirrors
   * `hasDollarKey` (/root/reference/db/wrapper.go:612-618): the whole row is
@@ -39,7 +43,9 @@ object UpdateCompiler {
     * generate-then-update-each-document dataflow (SURVEY.md §2.9): one
     * declarative transform instead of per-document jobs. */
   def applyUpdate(df: DataFrame, pred: Column, update: Map[String, Any],
-      idCol: String = "_id"): DataFrame = {
+      idCol: String = "_id",
+      arrayFilters: Seq[Map[String, Any]] = Nil): DataFrame = {
+    implicit val af: ArrayFilters = ArrayFilters.parse(arrayFilters)
     if (!hasDollarKey(update)) return applyReplacement(df, pred, update, idCol)
     update.foldLeft(df) { case (acc, (op, spec)) =>
       val fields = spec match {
@@ -223,10 +229,57 @@ object UpdateCompiler {
   /** Set `path` to `mk(oldValue)` on rows matching `pred`, keeping the old
     * value elsewhere. Creates missing top-level columns; supports nested
     * struct paths on existing struct columns via `withField`. */
+  /** `arrayFilters` keyed by their `$[ident]` identifier — each filter
+    * document uses exactly one identifier (Mongo's rule). */
+  final case class ArrayFilters(byIdent: Map[String, Map[String, Any]])
+  object ArrayFilters {
+    val empty: ArrayFilters = ArrayFilters(Map.empty)
+    def parse(afs: Seq[Map[String, Any]]): ArrayFilters =
+      ArrayFilters(afs.map { f =>
+        require(f.nonEmpty, "empty arrayFilter document")
+        val idents = f.keys.map(_.split('.').head).toSet
+        require(idents.size == 1,
+          s"arrayFilter must use a single identifier: $f")
+        idents.head -> f
+      }.toMap)
+  }
+
+  private val PosSeg = """\$\[(\w*)\]""".r
+
+  /** Element-level predicate for `$[ident]`: the filter's keys address
+    * the element itself (`ident`) or its struct fields (`ident.sub`). */
+  private def elemPred(filter: Map[String, Any], ident: String,
+      x: Column): Column =
+    filter.map { case (k, v) =>
+      val target =
+        if (k == ident) x
+        else {
+          require(k.startsWith(ident + "."),
+            s"arrayFilter key $k must address $ident")
+          k.stripPrefix(ident + ".").split('.').foldLeft(x)(_.getField(_))
+        }
+      v match {
+        case m: Map[_, _] =>
+          m.asInstanceOf[Map[String, Any]].map {
+            case ("$eq", a)  => target === toLit(a)
+            case ("$ne", a)  => !(target <=> toLit(a))
+            case ("$gt", a)  => target > toLit(a)
+            case ("$gte", a) => target >= toLit(a)
+            case ("$lt", a)  => target < toLit(a)
+            case ("$lte", a) => target <= toLit(a)
+            case ("$in", s: Seq[_]) => target.isin(s.map(toScalaLit): _*)
+            case (op2, a) => throw new IllegalArgumentException(
+              s"arrayFilter operator $op2: $a")
+          }.reduce(_ && _)
+        case other => target === toLit(other)
+      }
+    }.reduce(_ && _)
+
   private[graft] def setPath(df: DataFrame, path: String, pred: Column,
-      mk: Column => Column): DataFrame = {
+      mk: Column => Column)(
+      implicit af: ArrayFilters = ArrayFilters.empty): DataFrame = {
     val parts = path.split('.')
-    val posIdx = parts.indexOf("$[]")
+    val posIdx = parts.indexWhere(p => PosSeg.pattern.matcher(p).matches)
     if (posIdx >= 0) return setPositional(df, parts, posIdx, pred, mk)
     val top = parts.head
     if (parts.length == 1) {
@@ -242,26 +295,38 @@ object UpdateCompiler {
     }
   }
 
-  /** Mongo's all-positional `$[]`: `arr.$[]` applies `mk` to every array
-    * element, `arr.$[].sub` to field `sub` of every struct element — a
-    * codegen'd `transform` lambda, still zero shuffles. One `$[]` per
-    * path (Mongo allows nesting; rejected here rather than silently
-    * wrong). */
+  /** Mongo's positional updates: `arr.$[]` applies `mk` to every array
+    * element, `arr.$[ident]` only to elements matching the `ident`
+    * arrayFilter, and a `.sub` suffix addresses a field of each struct
+    * element — all a codegen'd `transform` lambda, still zero shuffles.
+    * One positional segment per path (Mongo allows nesting; rejected
+    * here rather than silently wrong). */
   private def setPositional(df: DataFrame, parts: Array[String],
-      posIdx: Int, pred: Column, mk: Column => Column): DataFrame = {
+      posIdx: Int, pred: Column, mk: Column => Column)(
+      implicit af: ArrayFilters): DataFrame = {
     require(posIdx > 0, s"$$[] needs an array path prefix")
+    val ident = parts(posIdx) match { case PosSeg(id) => id }
     val subParts = parts.drop(posIdx + 1)
-    require(!subParts.contains("$[]"),
-      s"nested $$[] positional updates are unsupported")
+    require(!subParts.exists(p => PosSeg.pattern.matcher(p).matches),
+      s"nested positional updates are unsupported")
     val arrParts = parts.take(posIdx)
     val top = arrParts.head
     require(df.columns.contains(top),
       s"positional update requires existing column '$top'")
     val arrCol = col(arrParts.mkString("."))
-    val updated = transform(arrCol, x =>
-      if (subParts.isEmpty) mk(x)
-      else x.withField(subParts.mkString("."),
-        mk(subParts.foldLeft(x)((c, f) => c.getField(f)))))
+    val updated = transform(arrCol, x => {
+      val applied =
+        if (subParts.isEmpty) mk(x)
+        else x.withField(subParts.mkString("."),
+          mk(subParts.foldLeft(x)((c, f) => c.getField(f))))
+      if (ident.isEmpty) applied
+      else {
+        val f = af.byIdent.getOrElse(ident,
+          throw new IllegalArgumentException(
+            s"no arrayFilter for $$[$ident]"))
+        when(elemPred(f, ident, x), applied).otherwise(x)
+      }
+    })
     if (arrParts.length == 1)
       df.withColumn(top, when(pred, updated).otherwise(arrCol))
     else

@@ -98,6 +98,28 @@ class UpdateCompilerSpec extends SparkSpec {
       .as[Seq[Int]].head() == Seq(1, 2))
   }
 
+  test("$[ident] with arrayFilters updates only matching elements") {
+    val d2 = Seq((1L, Seq(80, 90, 85, 70))).toDF("_id", "grades")
+    val out = UpdateCompiler.applyUpdate(d2, lit(true),
+      Map("$set" -> Map("grades.$[g]" -> 100)),
+      arrayFilters = Seq(Map("g" -> Map("$gte" -> 85))))
+    assert(out.select("grades").as[Seq[Int]].head() == Seq(80, 100, 100, 70))
+    // struct elements addressed via ident.sub
+    val d3 = spark.sql(
+      "SELECT 1L AS _id, array(named_struct('q', 1, 's', 50), " +
+        "named_struct('q', 2, 's', 90)) AS items")
+    val sub = UpdateCompiler.applyUpdate(d3, lit(true),
+      Map("$inc" -> Map("items.$[it].s" -> 5)),
+      arrayFilters = Seq(Map("it.q" -> 2)))
+    assert(sub.selectExpr("transform(items, x -> x.s) AS ss")
+      .as[Seq[Int]].head() == Seq(50, 95))
+    // unknown identifier is an error
+    intercept[IllegalArgumentException] {
+      UpdateCompiler.applyUpdate(d2, lit(true),
+        Map("$set" -> Map("grades.$[nope]" -> 1)))
+    }
+  }
+
   test("$bit and/or/xor") {
     val d2 = Seq((1L, 12L)).toDF("_id", "flags") // 0b1100
     def f(upd: Map[String, Any]): Long =
