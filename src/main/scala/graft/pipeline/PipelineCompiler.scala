@@ -1211,6 +1211,19 @@ object PipelineCompiler {
     case other => throw new IllegalArgumentException(s"expected int: $other")
   }
 
+  /** Mongo regex `options` ("imsx") → Java inline-flag prefix: the same
+    * letters mean the same flags in java.util.regex, so `(?i)pat` etc. */
+  private def regexWithOpts(mm: Map[String, Any]): String = {
+    val pat = mm("regex").toString
+    mm.get("options").map(_.toString).filter(_.nonEmpty) match {
+      case None => pat
+      case Some(opts) =>
+        require(opts.forall("imsx".contains(_)),
+          s"regex options: $opts (supported: imsx)")
+        s"(?$opts)$pat"
+    }
+  }
+
   /** Mongo `%Y-%m-%d`-style date format -> Java datetime pattern
     * (shared by `$dateToString` and `$dateFromString`). Literal text is
     * single-quoted — a bare `T` in `%Y-%m-%dT%H:%M:%S` is a pattern
@@ -1584,15 +1597,29 @@ object PipelineCompiler {
           }
         case "$dateFromString" =>
           // optional timezone: the string is that zone's wall clock;
-          // convert the parsed value back to an instant
+          // convert the parsed value back to an instant. onError fires
+          // only on a parse FAILURE (to_timestamp's null on non-null
+          // input), onNull on a null input — Mongo's split, same as
+          // $convert.
           val mm = doc(args)
           val ds = expr2colE(mm("dateString"))
+          // try_to_timestamp: null on a malformed string (the engine's
+          // one-bad-row-can't-kill-the-job stance; onError observes it)
           val parsed = mm.get("format") match {
-            case Some(f) => to_timestamp(ds, mongoDateFmt(f.toString))
-            case None    => to_timestamp(ds)
+            case Some(f) => try_to_timestamp(ds, lit(mongoDateFmt(f.toString)))
+            case None    => try_to_timestamp(ds)
           }
-          mm.get("timezone").foldLeft(parsed)(
+          val shifted = mm.get("timezone").foldLeft(parsed)(
             (c, t) => to_utc_timestamp(c, t.toString))
+          val onErr = mm.get("onError")
+            .map(e => coalesce(shifted, expr2colE(e))).getOrElse(shifted)
+          mm.get("onNull") match {
+            case Some(nv) =>
+              when(ds.isNull, expr2colE(nv)).otherwise(onErr)
+            case None if mm.contains("onError") =>
+              when(ds.isNull, lit(null).cast("timestamp")).otherwise(onErr)
+            case None => onErr
+          }
         case "$trim" => args match {
           case m2: Map[_, _] => trim(expr2colE(doc(m2)("input")))
           case _ => trim(seq.head)
@@ -1789,7 +1816,7 @@ object PipelineCompiler {
         // ---- strings ----
         case "$regexMatch" =>
           val mm = doc(args)
-          expr2colE(mm("input")).rlike(mm("regex").toString)
+          expr2colE(mm("input")).rlike(regexWithOpts(mm))
         case "$indexOfCP" => // 0-based, -1 when absent (instr is 1-based/0)
           val Seq(s2, sub) = seq
           call_function("instr", s2, sub).cast("int") - 1
@@ -1872,7 +1899,7 @@ object PipelineCompiler {
           // Divergence: a non-participating capture group yields "" here
           // (regexp_extract's convention) where Mongo yields null.
           val mm = doc(args)
-          val pat = mm("regex").toString
+          val pat = regexWithOpts(mm)
           val in = expr2colE(mm("input"))
           val nGroups =
             java.util.regex.Pattern.compile(pat).matcher("").groupCount()
@@ -1884,7 +1911,7 @@ object PipelineCompiler {
         case "$regexFindAll" => // array of full matches, in order
           val mm = doc(args)
           regexp_extract_all(expr2colE(mm("input")),
-            lit(mm("regex").toString), lit(0))
+            lit(regexWithOpts(mm)), lit(0))
         case "$strLenBytes" | "$binarySize" => octet_length(seq.head)
         case "$bsonSize" => // size of a document in bytes. DOCUMENTED
           // DIVERGENCE: measured over the JSON serialization (this

@@ -1067,6 +1067,27 @@ class ExprLangSpec extends graft.SparkSpec {
     assert(r.getTimestamp(3).toString.startsWith("2024-03-15 04:00:00"))
   }
 
+  test("regex options flags and $dateFromString onError/onNull") {
+    val d2 = Seq(("HELLO world", "not-a-date"), ("bye", null))
+      .toDF("s", "ds")
+    val out = PipelineCompiler.compile(Seq(Map("$addFields" -> Map(
+      "ci" -> Map("$regexMatch" -> Map("input" -> "$s",
+        "regex" -> "^hello", "options" -> "i")),
+      "found" -> Map("$regexFind" -> Map("input" -> "$s",
+        "regex" -> "WORLD", "options" -> "i")),
+      "d" -> Map("$dateFromString" -> Map("dateString" -> "$ds",
+        "onError" -> Map("$literal" ->
+          java.time.Instant.parse("1999-01-01T00:00:00Z")),
+        "onNull" -> Map("$literal" ->
+          java.time.Instant.parse("2001-01-01T00:00:00Z"))))))))(d2)
+    val rows = out.select("ci", "found.match", "d").orderBy(desc("ci"))
+      .collect()
+    assert(rows(0).getBoolean(0) && rows(0).getString(1) == "world")
+    assert(rows(0).getTimestamp(2).toString.startsWith("1999-01-01"))
+    assert(!rows(1).getBoolean(0))
+    assert(rows(1).getTimestamp(2).toString.startsWith("2001-01-01"))
+  }
+
   test("date formats quote literal text (ISO T) and %% escapes") {
     val out = PipelineCompiler.compile(Seq(Map("$addFields" -> Map(
       "iso" -> Map("$dateToString" -> Map("date" -> "$ts",
