@@ -143,6 +143,21 @@ object SparkEntry {
         .orderBy("p_partkey")
     }),
 
+    // first-match positional $: the query's $elemMatch condition picks
+    // the element; only the FIRST matching element per row updates
+    "q114_positional_first" -> ((s, dir) => {
+      val src = tbl(s, dir, "part").where(col("p_partkey") <= 500)
+        .withColumn("grades",
+          array(col("p_size"), lit(25), col("p_size") % 7 * 10))
+      val (res, _) = TableOps.updateAll(src,
+        Map("grades" -> Map("$elemMatch" -> Map("$gte" -> 20))),
+        Map("$set" -> Map("grades.$" -> -1)),
+        "p_partkey")
+      res.select(col("p_partkey"),
+        array_join(col("grades").cast("array<string>"), ",").as("g_s"))
+        .orderBy("p_partkey")
+    }),
+
     // §2.8 $rename (the anser example shape) on matching rows
     "q06_update_rename" -> ((s, dir) => {
       val (res, _) = TableOps.updateAll(
@@ -2253,6 +2268,22 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 100
         |) GROUP BY text ORDER BY doc_id""".stripMargin,
+
+    "q114_positional_first" ->
+      """WITH src AS (SELECT p_partkey,
+        |    [CAST(p_size AS BIGINT), CAST(25 AS BIGINT),
+        |     CAST((p_size % 7) * 10 AS BIGINT)] AS g
+        |  FROM part WHERE p_partkey <= 500),
+        |ex AS (SELECT p_partkey, i, g[i] AS v
+        |  FROM src, UNNEST(range(1, len(g)+1)) AS u(i)),
+        |fi AS (SELECT p_partkey, MIN(i) AS first_i FROM ex
+        |  WHERE v >= 20 GROUP BY 1)
+        |SELECT s.p_partkey, array_to_string(list_transform(
+        |    range(1, len(s.g)+1),
+        |    i -> CAST(CASE WHEN f.first_i IS NOT NULL AND i = f.first_i
+        |      THEN -1 ELSE s.g[i] END AS VARCHAR)), ',') AS g_s
+        |FROM src s LEFT JOIN fi f USING (p_partkey)
+        |ORDER BY s.p_partkey""".stripMargin,
 
     "q113_array_filters" ->
       """SELECT p_partkey, array_to_string(list_transform(

@@ -405,8 +405,8 @@ object TableOps {
     val obs = org.apache.spark.sql.Observation()
     val observed = df.observe(obs,
       sum(when(pred, 1L).otherwise(0L)).as("matched"))
-    val out =
-      UpdateCompiler.applyUpdate(observed, pred, update, idCol, arrayFilters)
+    val out = UpdateCompiler.applyUpdate(observed, pred, update, idCol,
+      arrayFilters, queryDoc = query)
     (out, new LazyChangeInfo(obs, out, n => ChangeInfo(updated = n)))
   }
 

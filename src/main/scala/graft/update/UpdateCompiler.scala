@@ -44,8 +44,9 @@ object UpdateCompiler {
     * declarative transform instead of per-document jobs. */
   def applyUpdate(df: DataFrame, pred: Column, update: Map[String, Any],
       idCol: String = "_id",
-      arrayFilters: Seq[Map[String, Any]] = Nil): DataFrame = {
-    implicit val af: ArrayFilters = ArrayFilters.parse(arrayFilters)
+      arrayFilters: Seq[Map[String, Any]] = Nil,
+      queryDoc: Map[String, Any] = Map.empty): DataFrame = {
+    implicit val af: ArrayFilters = ArrayFilters.parse(arrayFilters, queryDoc)
     if (!hasDollarKey(update)) return applyReplacement(df, pred, update, idCol)
     update.foldLeft(df) { case (acc, (op, spec)) =>
       val fields = spec match {
@@ -229,22 +230,52 @@ object UpdateCompiler {
   /** Set `path` to `mk(oldValue)` on rows matching `pred`, keeping the old
     * value elsewhere. Creates missing top-level columns; supports nested
     * struct paths on existing struct columns via `withField`. */
-  /** `arrayFilters` keyed by their `$[ident]` identifier — each filter
-    * document uses exactly one identifier (Mongo's rule). */
-  final case class ArrayFilters(byIdent: Map[String, Map[String, Any]])
+  /** Positional-update context: `arrayFilters` keyed by their `$[ident]`
+    * identifier (each filter document uses exactly one identifier —
+    * Mongo's rule), plus the raw query document, which the first-match
+    * `$` operator needs to locate its element condition. */
+  final case class ArrayFilters(byIdent: Map[String, Map[String, Any]],
+      query: Map[String, Any] = Map.empty)
   object ArrayFilters {
     val empty: ArrayFilters = ArrayFilters(Map.empty)
-    def parse(afs: Seq[Map[String, Any]]): ArrayFilters =
+    def parse(afs: Seq[Map[String, Any]],
+        query: Map[String, Any] = Map.empty): ArrayFilters =
       ArrayFilters(afs.map { f =>
         require(f.nonEmpty, "empty arrayFilter document")
         val idents = f.keys.map(_.split('.').head).toSet
         require(idents.size == 1,
           s"arrayFilter must use a single identifier: $f")
         idents.head -> f
-      }.toMap)
+      }.toMap, query)
   }
 
   private val PosSeg = """\$\[(\w*)\]""".r
+
+  /** One element-level comparison: `{$op: arg}` against `target`. */
+  private def opCond(target: Column, op: String, a: Any): Column = op match {
+    case "$eq"  => target === toLit(a)
+    case "$ne"  => !(target <=> toLit(a))
+    case "$gt"  => target > toLit(a)
+    case "$gte" => target >= toLit(a)
+    case "$lt"  => target < toLit(a)
+    case "$lte" => target <= toLit(a)
+    case "$in"  => a match {
+      case s: Seq[_] => target.isin(s.map(toScalaLit): _*)
+      case other => throw new IllegalArgumentException(s"$$in: $other")
+    }
+    case other => throw new IllegalArgumentException(
+      s"element-level operator $other")
+  }
+
+  /** A condition document (or literal) against one value: either all
+    * `$op` keys, or a bare literal equality. */
+  private def condDoc(target: Column, cond: Any): Column = cond match {
+    case m: Map[_, _]
+        if m.asInstanceOf[Map[String, Any]].keys.forall(_.startsWith("$")) =>
+      m.asInstanceOf[Map[String, Any]]
+        .map { case (k, v) => opCond(target, k, v) }.reduce(_ && _)
+    case other => target === toLit(other)
+  }
 
   /** Element-level predicate for `$[ident]`: the filter's keys address
     * the element itself (`ident`) or its struct fields (`ident.sub`). */
@@ -258,28 +289,41 @@ object UpdateCompiler {
             s"arrayFilter key $k must address $ident")
           k.stripPrefix(ident + ".").split('.').foldLeft(x)(_.getField(_))
         }
-      v match {
-        case m: Map[_, _] =>
-          m.asInstanceOf[Map[String, Any]].map {
-            case ("$eq", a)  => target === toLit(a)
-            case ("$ne", a)  => !(target <=> toLit(a))
-            case ("$gt", a)  => target > toLit(a)
-            case ("$gte", a) => target >= toLit(a)
-            case ("$lt", a)  => target < toLit(a)
-            case ("$lte", a) => target <= toLit(a)
-            case ("$in", s: Seq[_]) => target.isin(s.map(toScalaLit): _*)
-            case (op2, a) => throw new IllegalArgumentException(
-              s"arrayFilter operator $op2: $a")
-          }.reduce(_ && _)
-        case other => target === toLit(other)
-      }
+      condDoc(target, v)
     }.reduce(_ && _)
+
+  /** First-match `$` element predicate, derived from the query document's
+    * condition on the SAME array path — Mongo's rule for the positional
+    * operator. Supports literal equality, operator docs, and $elemMatch
+    * (with struct-field sub-conditions). */
+  private def firstMatchPred(query: Map[String, Any], arrPath: String,
+      x: Column): Column = {
+    val cond = query.getOrElse(arrPath,
+      throw new IllegalArgumentException(
+        s"positional $$ requires the query to constrain '$arrPath'"))
+    cond match {
+      case m: Map[_, _]
+          if m.asInstanceOf[Map[String, Any]].contains("$elemMatch") =>
+        m.asInstanceOf[Map[String, Any]]("$elemMatch") match {
+          case em: Map[_, _] =>
+            em.asInstanceOf[Map[String, Any]].map {
+              case (k, v) if k.startsWith("$") => opCond(x, k, v)
+              case (k, v) =>
+                condDoc(k.split('.').foldLeft(x)(_.getField(_)), v)
+            }.reduce(_ && _)
+          case other => throw new IllegalArgumentException(
+            s"$$elemMatch: $other")
+        }
+      case other => condDoc(x, other)
+    }
+  }
 
   private[graft] def setPath(df: DataFrame, path: String, pred: Column,
       mk: Column => Column)(
       implicit af: ArrayFilters = ArrayFilters.empty): DataFrame = {
     val parts = path.split('.')
-    val posIdx = parts.indexWhere(p => PosSeg.pattern.matcher(p).matches)
+    val posIdx = parts.indexWhere(p =>
+      p == "$" || PosSeg.pattern.matcher(p).matches)
     if (posIdx >= 0) return setPositional(df, parts, posIdx, pred, mk)
     val top = parts.head
     if (parts.length == 1) {
@@ -305,28 +349,43 @@ object UpdateCompiler {
       posIdx: Int, pred: Column, mk: Column => Column)(
       implicit af: ArrayFilters): DataFrame = {
     require(posIdx > 0, s"$$[] needs an array path prefix")
-    val ident = parts(posIdx) match { case PosSeg(id) => id }
     val subParts = parts.drop(posIdx + 1)
-    require(!subParts.exists(p => PosSeg.pattern.matcher(p).matches),
+    require(!subParts.exists(p =>
+      p == "$" || PosSeg.pattern.matcher(p).matches),
       s"nested positional updates are unsupported")
     val arrParts = parts.take(posIdx)
     val top = arrParts.head
     require(df.columns.contains(top),
       s"positional update requires existing column '$top'")
     val arrCol = col(arrParts.mkString("."))
-    val updated = transform(arrCol, x => {
-      val applied =
-        if (subParts.isEmpty) mk(x)
-        else x.withField(subParts.mkString("."),
-          mk(subParts.foldLeft(x)((c, f) => c.getField(f))))
-      if (ident.isEmpty) applied
-      else {
+    def applied(x: Column): Column =
+      if (subParts.isEmpty) mk(x)
+      else x.withField(subParts.mkString("."),
+        mk(subParts.foldLeft(x)((c, f) => c.getField(f))))
+    val updated = parts(posIdx) match {
+      case "$" =>
+        // first matching element only (Mongo's positional operator):
+        // the element condition comes from the query's constraint on
+        // this array path. A row with no matching element passes
+        // through unchanged (documented divergence: Mongo errors).
+        val arrPath = arrParts.mkString(".")
+        val matchIdxs = filter(
+          transform(sequence(lit(1), size(arrCol)), i =>
+            when(firstMatchPred(af.query, arrPath,
+              element_at(arrCol, i)), i)),
+          c => c.isNotNull)
+        val firstIdx = try_element_at(matchIdxs, lit(1))
+        transform(arrCol, (x, i0) =>
+          when(firstIdx.isNotNull && (i0 + 1 === firstIdx), applied(x))
+            .otherwise(x))
+      case PosSeg("") => transform(arrCol, x => applied(x))
+      case PosSeg(ident) =>
         val f = af.byIdent.getOrElse(ident,
           throw new IllegalArgumentException(
             s"no arrayFilter for $$[$ident]"))
-        when(elemPred(f, ident, x), applied).otherwise(x)
-      }
-    })
+        transform(arrCol, x =>
+          when(elemPred(f, ident, x), applied(x)).otherwise(x))
+    }
     if (arrParts.length == 1)
       df.withColumn(top, when(pred, updated).otherwise(arrCol))
     else

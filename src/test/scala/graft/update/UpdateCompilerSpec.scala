@@ -98,6 +98,40 @@ class UpdateCompilerSpec extends SparkSpec {
       .as[Seq[Int]].head() == Seq(1, 2))
   }
 
+  test("first-match positional $ updates only the first matching element") {
+    val d2 = Seq((1L, Seq(80, 90, 85, 90))).toDF("_id", "grades")
+    // literal equality condition from the query doc
+    val out = UpdateCompiler.applyUpdate(d2, lit(true),
+      Map("$set" -> Map("grades.$" -> 0)),
+      queryDoc = Map("grades" -> 90))
+    assert(out.select("grades").as[Seq[Int]].head() == Seq(80, 0, 85, 90))
+    // operator-doc condition
+    val inc = UpdateCompiler.applyUpdate(d2, lit(true),
+      Map("$inc" -> Map("grades.$" -> 1)),
+      queryDoc = Map("grades" -> Map("$gte" -> 85)))
+    assert(inc.select("grades").as[Seq[Int]].head() == Seq(80, 91, 85, 90))
+    // no matching element: row passes through unchanged
+    val none = UpdateCompiler.applyUpdate(d2, lit(true),
+      Map("$set" -> Map("grades.$" -> 0)),
+      queryDoc = Map("grades" -> 999))
+    assert(none.select("grades").as[Seq[Int]].head() == Seq(80, 90, 85, 90))
+    // $elemMatch over struct elements, updating a sub-field
+    val d3 = spark.sql(
+      "SELECT 1L AS _id, array(named_struct('q', 1, 's', 50), " +
+        "named_struct('q', 2, 's', 60), named_struct('q', 2, 's', 70)) " +
+        "AS items")
+    val sub = UpdateCompiler.applyUpdate(d3, lit(true),
+      Map("$set" -> Map("items.$.s" -> 0)),
+      queryDoc = Map("items" -> Map("$elemMatch" -> Map("q" -> 2))))
+    assert(sub.selectExpr("transform(items, x -> x.s) AS ss")
+      .as[Seq[Int]].head() == Seq(50, 0, 70))
+    // query must constrain the array path
+    intercept[IllegalArgumentException] {
+      UpdateCompiler.applyUpdate(d2, lit(true),
+        Map("$set" -> Map("grades.$" -> 0)))
+    }
+  }
+
   test("$[ident] with arrayFilters updates only matching elements") {
     val d2 = Seq((1L, Seq(80, 90, 85, 70))).toDF("_id", "grades")
     val out = UpdateCompiler.applyUpdate(d2, lit(true),
