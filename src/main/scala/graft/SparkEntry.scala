@@ -285,6 +285,17 @@ object SparkEntry {
           "m" -> Map("$avg" -> Seq("$o_totalprice", "$o_custkey"))))))
         .orderBy("o_orderkey")),
 
+    // token-budget source mixing: sample each source to its share of a
+    // token budget — one tiny count agg + a scan-fused deterministic
+    // hash-sample; sources outside the mix drop
+    "q115_token_mix" -> ((s, dir) =>
+      graft.ops.Sampling.tokenBudgetMix(
+        tbl(s, dir, "documents"), "doc_id", "source",
+        "n_chars", 10000L,
+        Map("src0" -> 2.0, "src1" -> 1.0, "src2" -> 1.0))
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")),
+
     // Gopher repetition signals: duplicate-line fractions (scan-fused
     // array exprs) + most-repeated-2-gram character coverage (one explode
     // + per-doc agg, a single shuffle)
@@ -2321,6 +2332,20 @@ object SparkEntry {
         |  (o_totalprice + CAST(o_custkey AS DOUBLE)) / 2.0 AS m
         |FROM orders WHERE o_orderkey <= 2000
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q115_token_mix" ->
+      """WITH totals AS (SELECT source, CAST(SUM(n_chars) AS DOUBLE) AS tok
+        |  FROM documents GROUP BY 1),
+        |fr AS (SELECT source, CAST(floor(least(1.0,
+        |    (10000.0 * (CASE source WHEN 'src0' THEN 2.0/4.0
+        |                            WHEN 'src1' THEN 1.0/4.0
+        |                            WHEN 'src2' THEN 1.0/4.0 END)) / tok)
+        |    * 1000000) AS BIGINT) AS cutoff
+        |  FROM totals WHERE source IN ('src0', 'src1', 'src2'))
+        |SELECT d.doc_id, d.source FROM documents d JOIN fr USING (source)
+        |WHERE ('0x'||substr(md5(d.doc_id::VARCHAR),1,15))::BIGINT % 1000000
+        |  < fr.cutoff
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q109_repetition" ->
       s"""WITH $toksCte,

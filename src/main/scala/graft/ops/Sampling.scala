@@ -29,6 +29,42 @@ object Sampling {
     df.where(hashBucket(col(idCol), salt) < (fraction * Buckets).toLong)
   }
 
+  /** Token-budget source mixing — the data-mixture step of a pre-training
+    * pipeline: sample each source down so the kept corpus totals
+    * ~`tokenBudget` tokens split across sources by `shares` (normalized;
+    * sources absent from `shares` are dropped). A source with fewer
+    * tokens than its allocation keeps everything (fraction caps at 1;
+    * the shortfall is NOT redistributed to other sources — deterministic
+    * and documented; re-run with adjusted shares to rebalance).
+    *
+    * Shape: one aggregation for per-source token totals (tiny result,
+    * collected — |sources| rows), then a scan-fused deterministic
+    * hash-sample per row with its source's fraction. Two passes over the
+    * corpus, zero joins, zero shuffles beyond the count agg. */
+  def tokenBudgetMix(df: DataFrame, idCol: String, sourceCol: String,
+      tokenCol: String, tokenBudget: Long, shares: Map[String, Double],
+      salt: String = ""): DataFrame = {
+    require(tokenBudget > 0, "tokenBudget must be positive")
+    require(shares.nonEmpty && shares.values.forall(_ > 0),
+      "shares must be positive")
+    val norm = shares.values.sum
+    // per-source token totals: |sources| rows — the one driver-side
+    // collect, same class as the IVF centroid table
+    val totals = df.groupBy(col(sourceCol).as("__src"))
+      .agg(sum(col(tokenCol)).as("__tok"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fractions = shares.map { case (src, w) =>
+      val alloc = tokenBudget.toDouble * (w / norm)
+      val have = totals.getOrElse(src, 0L).toDouble
+      src -> (if (have <= 0) 0.0 else math.min(1.0, alloc / have))
+    }
+    val cutoff = fractions.foldRight(lit(0L)) { case ((src, f), els) =>
+      when(col(sourceCol) === src, lit((f * Buckets).toLong)).otherwise(els)
+    }
+    df.where(hashBucket(col(idCol), salt) < cutoff)
+  }
+
   /** Per-class sampling fractions (e.g. downsample dominant languages).
     * Classes absent from `fractions` keep `defaultFraction`. */
   def stratifiedHashSample(df: DataFrame, idCol: String, classCol: String,

@@ -70,6 +70,31 @@ class SamplingSpec extends SparkSpec {
     graft.ops.Dedup.releaseCaches()
   }
 
+  test("tokenBudgetMix samples each source to its share of the budget") {
+    val docs = (1L to 400L).map { i =>
+      (i, if (i <= 200) "big" else "small", 100L)
+    }.toDF("doc_id", "source", "toks") // big: 20k tokens, small: 20k
+    // budget 10k split 3:1 -> big alloc 7.5k (f=.375), small 2.5k (f=.125)
+    val out = Sampling.tokenBudgetMix(docs, "doc_id", "source", "toks",
+      10000L, Map("big" -> 3.0, "small" -> 1.0))
+    val bySrc = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // hash sampling is approximate but deterministic — expect counts in
+    // a generous band around 75 and 25 of 200 each
+    assert(bySrc("big") > 50 && bySrc("big") < 100)
+    assert(bySrc("small") > 10 && bySrc("small") < 40)
+    // deterministic: same call, same rows
+    val again = Sampling.tokenBudgetMix(docs, "doc_id", "source", "toks",
+      10000L, Map("big" -> 3.0, "small" -> 1.0))
+    assert(out.select("doc_id").collect().toSet ==
+      again.select("doc_id").collect().toSet)
+    // a source with fewer tokens than its allocation keeps everything
+    val all = Sampling.tokenBudgetMix(docs, "doc_id", "source", "toks",
+      1000000L, Map("big" -> 1.0))
+    assert(all.count() == 200 &&
+      all.select("source").distinct().as[String].head() == "big")
+  }
+
   test("salt changes the sample") {
     val a = Sampling.hashSample(df, "id", 0.2, "s1").select("id").as[Long].collect().toSet
     val b = Sampling.hashSample(df, "id", 0.2, "s2").select("id").as[Long].collect().toSet
