@@ -1621,7 +1621,13 @@ object PipelineCompiler {
             case None => onErr
           }
         case "$trim" => args match {
-          case m2: Map[_, _] => trim(expr2colE(doc(m2)("input")))
+          case m2: Map[_, _] =>
+            val mm = doc(m2)
+            val in = expr2colE(mm("input"))
+            mm.get("chars") match {
+              case Some(c) => trim(in, c.toString)
+              case None    => trim(in)
+            }
           case _ => trim(seq.head)
         }
         case "$cond" => args match {
@@ -1672,8 +1678,26 @@ object PipelineCompiler {
 
         // ---- array operators ----
         case "$in" => val Seq(e2, a) = seq; array_contains(a, e2)
-        case "$indexOfArray" => // Mongo 0-based, -1 when absent
-          val Seq(a, e2) = seq; array_position(a, e2).cast("int") - 1
+        case "$indexOfArray" => // Mongo 0-based, -1 when absent; optional
+          // [.., start, end] bounds the search, index stays relative to
+          // the ORIGINAL array
+          seq match {
+            case Seq(a, e2) => array_position(a, e2).cast("int") - 1
+            case Seq(a, e2, st) =>
+              val start = st.cast("int")
+              val p = array_position(
+                slice(a, start + 1, greatest(size(a) - start, lit(0))), e2)
+                .cast("int")
+              when(p > 0, p + start - 1).otherwise(-1)
+            case Seq(a, e2, st, en) =>
+              val start = st.cast("int")
+              val p = array_position(
+                slice(a, start + 1,
+                  greatest(en.cast("int") - start, lit(0))), e2).cast("int")
+              when(p > 0, p + start - 1).otherwise(-1)
+            case other => throw new IllegalArgumentException(
+              s"$$indexOfArray arity: ${other.size}")
+          }
         case "$concatArrays" => concat(seq: _*)
         case "$reverseArray" => reverse(seq.head)
         case "$sortArray" =>
@@ -1817,9 +1841,22 @@ object PipelineCompiler {
         case "$regexMatch" =>
           val mm = doc(args)
           expr2colE(mm("input")).rlike(regexWithOpts(mm))
-        case "$indexOfCP" => // 0-based, -1 when absent (instr is 1-based/0)
-          val Seq(s2, sub) = seq
-          call_function("instr", s2, sub).cast("int") - 1
+        case "$indexOfCP" => // 0-based, -1 when absent (instr is 1-based/0);
+          // optional [.., start, end]: locate from start, match must end
+          // by end (haystack truncated), index stays absolute
+          seq match {
+            case Seq(s2, sub) =>
+              call_function("instr", s2, sub).cast("int") - 1
+            case Seq(s2, sub, st) =>
+              call_function("locate", sub, s2,
+                st.cast("int") + 1).cast("int") - 1
+            case Seq(s2, sub, st, en) =>
+              call_function("locate", sub,
+                s2.substr(lit(1), greatest(en.cast("int"), lit(0))),
+                st.cast("int") + 1).cast("int") - 1
+            case other => throw new IllegalArgumentException(
+              s"$$indexOfCP arity: ${other.size}")
+          }
         case "$ltrim" | "$rtrim" => // optional chars set (Mongo `chars`)
           val mm = doc(args)
           val in = expr2colE(mm("input"))

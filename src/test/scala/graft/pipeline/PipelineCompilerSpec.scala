@@ -1005,6 +1005,25 @@ class ExprLangSpec extends graft.SparkSpec {
     assert(rb.getTimestamp(0) == rb.getTimestamp(1))
   }
 
+  test("$trim chars, bounded $indexOfArray / $indexOfCP") {
+    val d2 = Seq(("xxabcxx", Seq(5, 7, 5, 9))).toDF("s", "arr")
+    val out = PipelineCompiler.compile(Seq(Map("$addFields" -> Map(
+      "t" -> Map("$trim" -> Map("input" -> "$s", "chars" -> "x")),
+      // second 5 is at index 2; searching from 1 finds it
+      "ia" -> Map("$indexOfArray" -> Seq("$arr", 5, 1)),
+      // bounded [1, 2): the 5 at index 2 is outside -> -1
+      "iaMiss" -> Map("$indexOfArray" -> Seq("$arr", 5, 1, 2)),
+      // "cafeteria": first e is index 3, inside the [3,5) window
+      "ic" -> Map("$indexOfCP" ->
+        Seq(Map("$literal" -> "cafeteria"), "e", 3, 5)),
+      "icMiss" -> Map("$indexOfCP" ->
+        Seq(Map("$literal" -> "cafeteria"), "e", 7, 9))))))(d2)
+    val r = out.select("t", "ia", "iaMiss", "ic", "icMiss").head()
+    assert(r.getString(0) == "abc")
+    assert(r.getInt(1) == 2 && r.getInt(2) == -1)
+    assert(r.getInt(3) == 3 && r.getInt(4) == -1)
+  }
+
   test("scalar $firstN/$lastN/$minN/$maxN array forms") {
     val d2 = Seq((Seq[java.lang.Double](4.0, 1.0, null, 9.0, 2.0)))
       .toDF("arr")
