@@ -396,7 +396,6 @@ object Dedup {
       threshold: Double, blockCol: Option[String] = None,
       blockTables: Int = 4, blockPlanes: Int = 8, dim: Int = 0): DataFrame = {
     import graft.functions.VectorFunctions.vec_dot
-    val par = df.sparkSession.sparkContext.defaultParallelism
     def cos(na: Column, nb: Column, d: Column): Column = {
       val denom = sqrt(na) * sqrt(nb)
       when(denom === 0.0, lit(0.0)).otherwise(d / denom)
@@ -406,7 +405,8 @@ object Dedup {
         col(idCol).as("id"), col(vecCol).as("v"),
         blockCol.map(col).getOrElse(lit(0)).as("blk"))
         .withColumn("nsq", vec_dot(col("v"), col("v")))
-      val a = base.toDF("id_a", "va", "blk", "na").repartition(par)
+      val a = Partitioning.ensureMinPartitions(
+        base.toDF("id_a", "va", "blk", "na"))
       val b = base.toDF("id_b", "vb", "blk", "nb")
       val joined =
         if (blockCol.isDefined)
@@ -421,8 +421,8 @@ object Dedup {
     } else {
       val d = if (dim > 0) dim
         else df.select(size(col(vecCol))).head().getInt(0)
-      val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-        .repartition(par)
+      val base = Partitioning.ensureMinPartitions(
+        df.select(col(idCol).as("id"), col(vecCol).as("v")))
       val bkts = base.select(col("id"),
         explode(array((0 until blockTables).map { t =>
           struct(lit(t).as("t"),

@@ -48,12 +48,11 @@ object Quantize {
     * Output: (query_id, neighbor_id, rank). */
   def quantizedTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
-    val par = corpus.sparkSession.sparkContext.defaultParallelism
     def codes(df: DataFrame, id: String, v: String): DataFrame =
       quantizeInt8(df.select(col(idCol).as(id), col(vecCol)), vecCol, v)
         .withColumn(v, col(v).cast("array<double>"))
         .select(col(id), col(v), vec_dot(col(v), col(v)).as(v + "_n"))
-    val c = codes(corpus, "neighbor_id", "cq").repartition(par)
+    val c = Partitioning.ensureMinPartitions(codes(corpus, "neighbor_id", "cq"))
     val q = codes(queries, "query_id", "qq")
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", quantCosine(vec_dot(col("qq"), col("cq")),

@@ -46,10 +46,11 @@ object Similarity {
     * Output: (query_id, neighbor_id, rank). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
-    val par = corpus.sparkSession.sparkContext.defaultParallelism
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-      .withColumn("cn", vec_dot(col("cv"), col("cv")))
-      .repartition(par) // corpus may arrive as one parquet split
+    // conditional: fixes a single-split parquet scan without shuffling an
+    // already-parallel 100 TB corpus (the only big-side shuffle here)
+    val c = Partitioning.ensureMinPartitions(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+        .withColumn("cn", vec_dot(col("cv"), col("cv"))))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("qn", vec_dot(col("qv"), col("qv")))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
@@ -95,9 +96,8 @@ object Similarity {
     val d =
       if (dim > 0) dim
       else corpus.select(size(col(vecCol))).head().getInt(0)
-    val par = corpus.sparkSession.sparkContext.defaultParallelism
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-      .repartition(par)
+    val c = Partitioning.ensureMinPartitions(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     // all tables' bucket ids in ONE scan pass (struct explode), ONE join on
     // (table, bucket) — not `tables` separate joins over re-scanned input
@@ -175,10 +175,9 @@ object Similarity {
         .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
         .sortBy(_._1)
     require(cents.nonEmpty, "ivfTopK: empty centroid set")
-    val par = corpus.sparkSession.sparkContext.defaultParallelism
     // corpus → its single nearest cell (argmax via array_max on structs)
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-      .repartition(par)
+    val c = Partitioning.ensureMinPartitions(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")))
       .withColumn("cell",
         -array_max(cellScores(col("cv"), cents)).getField("nid"))
       .withColumn("cn", vec_dot(col("cv"), col("cv")))

@@ -239,6 +239,32 @@ class PlanSpec extends SparkSpec {
         s"got $distinctQuantized")
   }
 
+  test("ANN corpus repartition is conditional on the scan's parallelism") {
+    val e = graft.sources.Tables.table(spark, sf, "embeddings")
+    val par = spark.sparkContext.defaultParallelism
+    // already-parallel corpus (hash-partitioned, >= parallelism): the entry
+    // points must NOT inject their own round-robin Exchange over the big side
+    val pre = e.repartition(par * 2, col("vec_id"))
+    assert(graft.ops.Partitioning.ensureMinPartitions(pre) eq pre,
+      "pre-partitioned corpus must pass through untouched")
+    val q = e.where(col("vec_id") < 8)
+    val cents = e.where(col("vec_id") < 16)
+    val lshPre = explain(graft.ops.Similarity.lshTopK(
+      pre, q, "vec_id", "embedding", k = 5, dim = 64))
+    assert(!lshPre.toLowerCase.contains("roundrobinpartitioning"),
+      s"lshTopK must not round-robin shuffle a pre-partitioned corpus:\n$lshPre")
+    val ivfPre = explain(graft.ops.Similarity.ivfTopK(
+      pre, q, "vec_id", "embedding", cents, k = 5))
+    assert(!ivfPre.toLowerCase.contains("roundrobinpartitioning"),
+      s"ivfTopK must not round-robin shuffle a pre-partitioned corpus:\n$ivfPre")
+    // the small-file fix survives: a single-split corpus still parallelizes
+    val one = e.coalesce(1)
+    val ivfOne = explain(graft.ops.Similarity.ivfTopK(
+      one, q, "vec_id", "embedding", cents, k = 5))
+    assert(ivfOne.toLowerCase.contains("roundrobinpartitioning"),
+      "single-split corpus must still be spread to default parallelism")
+  }
+
   test("top-k sort+limit compiles to TakeOrderedAndProject") {
     val df = new graft.db.GraftSession(spark, sf).db("t").c("lineitem")
       .find().sort("-l_extendedprice").limit(5)
