@@ -288,6 +288,25 @@ object SparkEntry {
     // token-budget source mixing: sample each source to its share of a
     // token budget — one tiny count agg + a scan-fused deterministic
     // hash-sample; sources outside the mix drop
+    // §2.2 projection-operator Select forms: exclusion doc + $slice (the
+    // reference's pass-through projection, db/wrapper.go:386,463-465)
+    "q116_select_exclude_slice" -> ((s, dir) =>
+      coll(s, dir, "embeddings")
+        .find(Map("vec_id" -> Map("$lt" -> 100)))
+        .select(Map("label" -> 0, "embedding" -> Map("$slice" -> 3)))
+        .sort("vec_id")
+        .toDF),
+
+    // §2.2 $elemMatch projection (inclusion mode): first embedding
+    // component > 0.5 as a 1-element array, null when none
+    "q119_select_elemmatch" -> ((s, dir) =>
+      coll(s, dir, "embeddings")
+        .find(Map("vec_id" -> Map("$lt" -> 50)))
+        .select(Map("vec_id" -> 1,
+          "embedding" -> Map("$elemMatch" -> Map("$gt" -> 0.5))))
+        .sort("vec_id")
+        .toDF),
+
     "q115_token_mix" -> ((s, dir) =>
       graft.ops.Sampling.tokenBudgetMix(
         tbl(s, dir, "documents"), "doc_id", "source",
@@ -2332,6 +2351,16 @@ object SparkEntry {
         |  (o_totalprice + CAST(o_custkey AS DOUBLE)) / 2.0 AS m
         |FROM orders WHERE o_orderkey <= 2000
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q116_select_exclude_slice" ->
+      """SELECT vec_id, embedding[1:3] AS embedding
+        |FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""".stripMargin,
+
+    "q119_select_elemmatch" ->
+      """SELECT vec_id,
+        |  CASE WHEN len(list_filter(embedding, x -> x > 0.5)) > 0
+        |       THEN list_filter(embedding, x -> x > 0.5)[1:1] END AS embedding
+        |FROM embeddings WHERE vec_id < 50 ORDER BY vec_id""".stripMargin,
 
     "q115_token_mix" ->
       """WITH totals AS (SELECT source, CAST(SUM(n_chars) AS DOUBLE) AS tok

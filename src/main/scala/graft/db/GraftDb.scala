@@ -271,16 +271,25 @@ final class GraftQuery private[db] (
     sortKeys: Seq[String] = Nil,
     skipN: Int = 0,
     limitN: Int = -1,
-    ctx: Option[CommandContext] = None) {
+    ctx: Option[CommandContext] = None,
+    projectionDoc: Option[Map[String, Any]] = None) {
 
   def select(fields: String*): GraftQuery =
-    new GraftQuery(base, pred, fields, sortKeys, skipN, limitN, ctx)
+    new GraftQuery(base, pred, fields, sortKeys, skipN, limitN, ctx, None)
+  /** Projection DOCUMENT form — exclusion docs (`{f: 0}`), `$slice`,
+    * `$elemMatch` (reference pass-through db/wrapper.go:386,463-465;
+    * compiled by [[graft.query.ProjectionCompiler]]). */
+  def select(doc: Map[String, Any]): GraftQuery =
+    new GraftQuery(base, pred, Nil, sortKeys, skipN, limitN, ctx, Some(doc))
   def sort(keys: String*): GraftQuery =
-    new GraftQuery(base, pred, projection, keys, skipN, limitN, ctx)
+    new GraftQuery(base, pred, projection, keys, skipN, limitN, ctx,
+      projectionDoc)
   def skip(n: Int): GraftQuery =
-    new GraftQuery(base, pred, projection, sortKeys, n, limitN, ctx)
+    new GraftQuery(base, pred, projection, sortKeys, n, limitN, ctx,
+      projectionDoc)
   def limit(n: Int): GraftQuery =
-    new GraftQuery(base, pred, projection, sortKeys, skipN, n, ctx)
+    new GraftQuery(base, pred, projection, sortKeys, skipN, n, ctx,
+      projectionDoc)
   /** Accept-and-ignore, like index hints have no Spark analog
     * (SURVEY.md §4). */
   def hint(index: String): GraftQuery = this
@@ -293,6 +302,9 @@ final class GraftQuery private[db] (
     if (skipN > 0) d = d.offset(skipN)
     if (limitN >= 0) d = d.limit(limitN)
     if (projection.nonEmpty) d = d.select(projection.map(col): _*)
+    projectionDoc.foreach { doc =>
+      d = graft.query.ProjectionCompiler.project(d, doc)
+    }
     d
   }
 

@@ -1,0 +1,116 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Compiles MongoDB-style projection DOCUMENTS (not just inclusion field
+  * lists) to a `select` over the input frame.
+  *
+  * The reference passes any projection doc to the server verbatim
+  * (/root/reference/db/wrapper.go:386,463-465); here the engine evaluates
+  * the doc itself. Supported forms, per Mongo `find` projection semantics:
+  *
+  *  - inclusion: `{f: 1, g: true}` — keep `_id` (when present and not
+  *    excluded) plus the listed fields;
+  *  - exclusion: `{f: 0, g: false}` — keep everything else;
+  *  - `$slice`: `{arr: {$slice: n}}` (first n; last n when negative) or
+  *    `{arr: {$slice: [skip, limit]}}` (negative skip counts from the
+  *    end). A `$slice` on its own behaves like Mongo: every other field is
+  *    kept; combined with inclusions only those are kept;
+  *  - `$elemMatch`: `{arr: {$elemMatch: <match>}}` — the FIRST array
+  *    element satisfying the match as a 1-element array, null when none
+  *    (Mongo omits the field; columnar schemas are fixed, so null is the
+  *    closest analog). Counts as an inclusion, like Mongo.
+  *
+  * Mixing inclusions and exclusions (other than `_id: 0`) is rejected,
+  * matching the server's error. Everything compiles to Column expressions
+  * (`slice`/`filter`), so projections stay inside whole-stage codegen and
+  * column pruning still reaches the scan.
+  */
+object ProjectionCompiler {
+
+  def project(df: DataFrame, doc: Map[String, Any]): DataFrame = {
+    require(doc.nonEmpty, "empty projection document")
+    val schema = df.schema.fieldNames.toSeq
+
+    var incl = Set.empty[String]
+    var excl = Set.empty[String]
+    var ops = Map.empty[String, Column] // field -> replacement expression
+    var opIsInclusion = false // $elemMatch forces inclusion mode
+
+    doc.foreach {
+      case (f, m: Map[_, _]) =>
+        val om = m.asInstanceOf[Map[String, Any]]
+        om.keys.toList match {
+          case List("$slice") =>
+            ops += f -> sliceExpr(col(f), om("$slice")).as(f)
+          case List("$elemMatch") =>
+            opIsInclusion = true
+            ops += f -> elemMatchExpr(col(f), om("$elemMatch")).as(f)
+          case other => throw new IllegalArgumentException(
+            s"unsupported projection operator(s) on '$f': ${other.mkString(",")}")
+        }
+      case (f, v) =>
+        val include = v match {
+          case b: Boolean => b
+          case n: Number  => n.doubleValue() != 0.0
+          case other => throw new IllegalArgumentException(
+            s"projection value for '$f' must be 0/1/bool/operator doc: $other")
+        }
+        if (include) incl += f else excl += f
+    }
+
+    val inclusionMode = incl.nonEmpty || opIsInclusion
+    val badExcl = excl.filter(_ != "_id")
+    if (inclusionMode && badExcl.nonEmpty)
+      throw new IllegalArgumentException(
+        s"cannot exclude fields ${badExcl.mkString(",")} in an inclusion projection")
+    if (!inclusionMode && incl.isEmpty && excl.isEmpty && ops.isEmpty)
+      throw new IllegalArgumentException("empty projection document")
+
+    // retained fields in schema order; unknown projected names are simply
+    // absent from the output (Mongo: missing fields project to nothing)
+    val retained = schema.filter { f =>
+      if (inclusionMode)
+        (incl(f) || ops.contains(f) || f == "_id") && !excl(f)
+      else !excl(f)
+    }
+    require(retained.nonEmpty, "projection removes every column")
+    df.select(retained.map(f => ops.getOrElse(f, col(f))): _*)
+  }
+
+  /** `$slice: n` / `$slice: [skip, limit]` as a codegen'd slice. */
+  private def sliceExpr(c: Column, spec: Any): Column = spec match {
+    case n: Number =>
+      val k = n.intValue()
+      require(k != 0, "$slice: 0 is not a valid count")
+      if (k > 0) slice(c, 1, k)
+      // last |k|: whole array when shorter than |k| (Mongo semantics)
+      else when(size(c) <= -k, c).otherwise(slice(c, k, -k))
+    case s: Seq[_] =>
+      val nums = s.map {
+        case n: Number => n.intValue()
+        case other => throw new IllegalArgumentException(
+          s"$$slice array form expects numbers: $other")
+      }
+      require(nums.length == 2, s"$$slice expects [skip, limit]: $s")
+      val Seq(skip, limit) = nums
+      require(limit > 0, s"$$slice limit must be positive: $limit")
+      if (skip >= 0) slice(c, skip + 1, limit)
+      // negative skip counts from the end, clamped to the array start
+      else slice(c, greatest(size(c) + lit(skip) + 1, lit(1)), lit(limit))
+    case other =>
+      throw new IllegalArgumentException(s"$$slice operand: $other")
+  }
+
+  /** `$elemMatch` projection: first matching element as a 1-element array,
+    * null when nothing matches. */
+  private def elemMatchExpr(c: Column, spec: Any): Column = spec match {
+    case m: Map[_, _] =>
+      val matched = filter(c,
+        x => QueryCompiler.elemMatchPredicate(x, m.asInstanceOf[Map[String, Any]]))
+      when(size(matched) > 0, slice(matched, 1, 1))
+    case other =>
+      throw new IllegalArgumentException(s"$$elemMatch operand: $other")
+  }
+}

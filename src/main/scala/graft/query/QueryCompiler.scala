@@ -102,11 +102,8 @@ object QueryCompiler {
       }
       case "$elemMatch" => v match {
         case m: Map[_, _] =>
-          // element-wise: any array element satisfying all operator clauses
-          val preds = m.asInstanceOf[Map[String, Any]]
-          exists(c, x => preds.map { case (op2, v2) =>
-            elemOperator(x, op2, v2)
-          }.reduce(_ && _))
+          // element-wise: any array element satisfying the match document
+          exists(c, x => elemMatchPredicate(x, m.asInstanceOf[Map[String, Any]]))
         case other => array_contains(c, toLit(other))
       }
       // bitwise predicates: mask is a number or an array of bit positions
@@ -124,6 +121,25 @@ object QueryCompiler {
       case other =>
         throw new IllegalArgumentException(s"unsupported query operator: $other")
     }
+  }
+
+  /** `$elemMatch` match document applied to one array element `x`: either
+    * an operator doc over the element itself (`{$gt: 5}`) or field
+    * conditions over a struct element (`{score: {$gt: 5}}`, `{kind: "a"}`).
+    * Shared by the query predicate and the `$elemMatch` PROJECTION
+    * ([[ProjectionCompiler]]). */
+  private[query] def elemMatchPredicate(x: Column, spec: Map[String, Any])
+      : Column = {
+    require(spec.nonEmpty, "$elemMatch: empty match document")
+    if (isOperatorDoc(spec))
+      spec.map { case (op, v) => elemOperator(x, op, v) }.reduce(_ && _)
+    else spec.map {
+      case (f, m: Map[_, _]) if isOperatorDoc(m) =>
+        m.asInstanceOf[Map[String, Any]]
+          .map { case (op, v) => elemOperator(x.getField(f), op, v) }
+          .reduce(_ && _)
+      case (f, v) => x.getField(f) === toLit(v)
+    }.reduce(_ && _)
   }
 
   private def elemOperator(x: Column, op: String, v: Any): Column = op match {
