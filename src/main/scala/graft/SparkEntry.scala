@@ -145,6 +145,27 @@ object SparkEntry {
 
     // first-match positional $: the query's $elemMatch condition picks
     // the element; only the FIRST matching element per row updates
+    // nested positional updates: arr.$[g].inner.$[i] — per-level
+    // arrayFilters compile to nested transform lambdas (zero shuffles)
+    "q117_nested_positional" -> ((s, dir) => {
+      val src = tbl(s, dir, "part").where(col("p_partkey") <= 300)
+        .withColumn("groups", array(
+          struct(lit("a").as("tag"),
+            array(col("p_size"), lit(5)).as("inner")),
+          struct(lit("b").as("tag"),
+            array(lit(30), col("p_size") % 10).as("inner"))))
+      val (res, _) = TableOps.updateAll(src, Map.empty,
+        Map("$inc" -> Map("groups.$[g].inner.$[i]" -> 100)),
+        "p_partkey",
+        Seq(Map("g.tag" -> "b"), Map("i" -> Map("$lt" -> 10))))
+      res.select(col("p_partkey"),
+        array_join(transform(col("groups"), g =>
+          concat(g.getField("tag"), lit(":"),
+            array_join(g.getField("inner").cast("array<string>"), ","))),
+          "|").as("g_s"))
+        .orderBy("p_partkey")
+    }),
+
     "q114_positional_first" -> ((s, dir) => {
       val src = tbl(s, dir, "part").where(col("p_partkey") <= 500)
         .withColumn("grades",
@@ -2314,6 +2335,15 @@ object SparkEntry {
         |      THEN -1 ELSE s.g[i] END AS VARCHAR)), ',') AS g_s
         |FROM src s LEFT JOIN fi f USING (p_partkey)
         |ORDER BY s.p_partkey""".stripMargin,
+
+    "q117_nested_positional" ->
+      """SELECT p_partkey,
+        |  concat('a:', array_to_string([p_size, 5], ','), '|b:',
+        |    array_to_string(list_transform([30, p_size % 10],
+        |      x -> CASE WHEN x < 10 THEN x + 100 ELSE x END), ','))
+        |    AS g_s
+        |FROM part WHERE p_partkey <= 300
+        |ORDER BY p_partkey""".stripMargin,
 
     "q113_array_filters" ->
       """SELECT p_partkey, array_to_string(list_transform(

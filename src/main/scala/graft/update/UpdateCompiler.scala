@@ -120,9 +120,13 @@ object UpdateCompiler {
                       slice(base, pos + 1, size(base) - pos))
                 }
                 val sorted = mm.get("$sort") match {
-                  case None     => inserted
-                  case Some(1)  => array_sort(inserted)
-                  case Some(-1) => reverse(array_sort(inserted))
+                  case None => inserted
+                  // any numeric 1/-1 (a JSON-decoded doc may carry Long or
+                  // Double), consistent with $position/$slice operands
+                  case Some(n: Number) if n.intValue() == 1 =>
+                    array_sort(inserted)
+                  case Some(n: Number) if n.intValue() == -1 =>
+                    reverse(array_sort(inserted))
                   case Some(other) => throw new IllegalArgumentException(
                     s"$$push $$sort supports 1/-1 here: $other")
                 }
@@ -339,29 +343,57 @@ object UpdateCompiler {
     }
   }
 
+  /** Apply `mk` at `parts` BELOW an array-element value `cur`, recursing
+    * through further positional segments — `arr.$[].inner.$[j].score`
+    * compiles to nested `transform` lambdas with the per-level arrayFilter
+    * predicate applied at its own level (reference pass-through
+    * db/wrapper.go:153-157 carries such paths to the server). The
+    * first-match `$` operator stays top-level only: Mongo itself forbids
+    * `$` inside nested arrays. */
+  private def setInElement(cur: Column, parts: Array[String],
+      mk: Column => Column)(implicit af: ArrayFilters): Column = {
+    if (parts.isEmpty) return mk(cur)
+    parts.head match {
+      case "$" => throw new IllegalArgumentException(
+        "positional $ is not allowed below another positional segment")
+      case PosSeg("") =>
+        transform(cur, x => setInElement(x, parts.tail, mk))
+      case PosSeg(ident) =>
+        val f = af.byIdent.getOrElse(ident,
+          throw new IllegalArgumentException(s"no arrayFilter for $$[$ident]"))
+        transform(cur, x =>
+          when(elemPred(f, ident, x), setInElement(x, parts.tail, mk))
+            .otherwise(x))
+      case _ =>
+        // consecutive plain field segments down to the next positional
+        val n = parts.indexWhere(p =>
+          p == "$" || PosSeg.pattern.matcher(p).matches) match {
+          case -1 => parts.length
+          case i  => i
+        }
+        val fieldPath = parts.take(n).mkString(".")
+        val inner = parts.take(n).foldLeft(cur)(_.getField(_))
+        cur.withField(fieldPath, setInElement(inner, parts.drop(n), mk))
+    }
+  }
+
   /** Mongo's positional updates: `arr.$[]` applies `mk` to every array
     * element, `arr.$[ident]` only to elements matching the `ident`
     * arrayFilter, and a `.sub` suffix addresses a field of each struct
-    * element — all a codegen'd `transform` lambda, still zero shuffles.
-    * One positional segment per path (Mongo allows nesting; rejected
-    * here rather than silently wrong). */
+    * element — all codegen'd `transform` lambdas, still zero shuffles.
+    * Positional segments NEST (`arr.$[].inner.$[j]`) via
+    * [[setInElement]]. */
   private def setPositional(df: DataFrame, parts: Array[String],
       posIdx: Int, pred: Column, mk: Column => Column)(
       implicit af: ArrayFilters): DataFrame = {
     require(posIdx > 0, s"$$[] needs an array path prefix")
     val subParts = parts.drop(posIdx + 1)
-    require(!subParts.exists(p =>
-      p == "$" || PosSeg.pattern.matcher(p).matches),
-      s"nested positional updates are unsupported")
     val arrParts = parts.take(posIdx)
     val top = arrParts.head
     require(df.columns.contains(top),
       s"positional update requires existing column '$top'")
     val arrCol = col(arrParts.mkString("."))
-    def applied(x: Column): Column =
-      if (subParts.isEmpty) mk(x)
-      else x.withField(subParts.mkString("."),
-        mk(subParts.foldLeft(x)((c, f) => c.getField(f))))
+    def applied(x: Column): Column = setInElement(x, subParts, mk)
     val updated = parts(posIdx) match {
       case "$" =>
         // first matching element only (Mongo's positional operator):
@@ -394,6 +426,14 @@ object UpdateCompiler {
           .otherwise(col(top)))
   }
 
+  /** True only for a LITERAL `true` predicate (an empty query document
+    * compiles to `lit(true)`). Decided on the Catalyst expression, never
+    * its string rendering — a boolean column that happens to be named
+    * `true` is an attribute reference, not a literal, and must stay on
+    * the predicated path. */
+  private def isUnconditional(pred: Column): Boolean =
+    org.apache.spark.sql.graftbridge.ColumnBridge.isLiteralTrue(pred)
+
   /** Mongo $unset removes the field. Whole-table: drop the column / struct
     * field. Predicated: null it on matching rows (schema is static in Spark —
     * documented divergence, SURVEY.md §7 "What's hard"). */
@@ -402,7 +442,7 @@ object UpdateCompiler {
     val parts = path.split('.')
     val top = parts.head
     if (!df.columns.contains(top)) return df
-    val unconditional = pred.toString.equalsIgnoreCase("true")
+    val unconditional = isUnconditional(pred)
     if (parts.length == 1) {
       if (unconditional) df.drop(top)
       else df.withColumn(top,
@@ -419,7 +459,7 @@ object UpdateCompiler {
     * Top-level whole-table rename is a pure metadata operation. */
   private[graft] def renamePath(df: DataFrame, from: String, to: String,
       pred: Column): DataFrame = {
-    val unconditional = pred.toString.equalsIgnoreCase("true")
+    val unconditional = isUnconditional(pred)
     if (unconditional && !from.contains('.') && !to.contains('.')) {
       df.withColumnRenamed(from, to)
     } else {

@@ -11,4 +11,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** True only when `c` is a LITERAL `true` (e.g. `lit(true)` from an
+    * empty query document). Decided on the column's node — `expression`
+    * returns a lazy `ColumnNodeExpression` wrapper in Spark 4, so the
+    * catalyst-side Literal is not directly pattern-matchable there. */
+  def isLiteralTrue(c: Column): Boolean = c.node match {
+    case l: org.apache.spark.sql.internal.Literal => l.value == true
+    case _ => false
+  }
 }

@@ -154,6 +154,61 @@ class UpdateCompilerSpec extends SparkSpec {
     }
   }
 
+  test("nested positional arr.$[].inner.$[j] / arr.$[g].inner.$[j]") {
+    val d = spark.sql(
+      "SELECT 1L AS _id, array(" +
+        "named_struct('tag', 'a', 'inner', array(1, 20))," +
+        "named_struct('tag', 'b', 'inner', array(3, 40))) AS groups")
+    def inners(out: org.apache.spark.sql.DataFrame): Seq[Seq[Int]] =
+      out.selectExpr("transform(groups, g -> g.inner) AS gs")
+        .as[Seq[Seq[Int]]].head()
+    // all-positional at both levels, filtered at the innermost
+    val all = UpdateCompiler.applyUpdate(d, lit(true),
+      Map("$inc" -> Map("groups.$[].inner.$[j]" -> 100)),
+      arrayFilters = Seq(Map("j" -> Map("$lt" -> 10))))
+    assert(inners(all) == Seq(Seq(101, 20), Seq(103, 40)))
+    // filtered at both levels: only tag=b, only elements < 10
+    val both = UpdateCompiler.applyUpdate(d, lit(true),
+      Map("$inc" -> Map("groups.$[g].inner.$[j]" -> 100)),
+      arrayFilters = Seq(Map("g.tag" -> "b"), Map("j" -> Map("$lt" -> 10))))
+    assert(inners(both) == Seq(Seq(1, 20), Seq(103, 40)))
+    // a field update below the nested positional
+    val field = UpdateCompiler.applyUpdate(
+      spark.sql("SELECT 1L AS _id, array(named_struct('xs', " +
+        "array(named_struct('s', 1), named_struct('s', 2)))) AS outer_a"),
+      lit(true),
+      Map("$set" -> Map("outer_a.$[].xs.$[k].s" -> 99)),
+      arrayFilters = Seq(Map("k.s" -> 2)))
+    assert(field.selectExpr("transform(outer_a[0].xs, x -> x.s) AS ss")
+      .as[Seq[Int]].head() == Seq(1, 99))
+    // positional $ below another positional segment stays rejected
+    intercept[IllegalArgumentException] {
+      UpdateCompiler.applyUpdate(d, lit(true),
+        Map("$set" -> Map("groups.$[].inner.$" -> 0)))
+    }
+  }
+
+  test("boolean column named 'true' does not trigger unconditional paths") {
+    val d = Seq((1L, "x", true), (2L, "y", false))
+      .toDF("_id", "name", "true")
+    // predicated $unset must null per-row, not drop the column, even
+    // though the predicate RENDERS as the string "true"
+    val out = UpdateCompiler.applyUpdate(d, col("true"),
+      Map("$unset" -> Map("name" -> 1)))
+    assert(out.columns.contains("name"))
+    assert(out.orderBy("_id").select("name").as[Option[String]]
+      .collect().toSeq == Seq(None, Some("y")))
+    // predicated $rename keeps per-row semantics too
+    val ren = UpdateCompiler.applyUpdate(d, col("true"),
+      Map("$rename" -> Map("name" -> "nm")))
+    assert(ren.orderBy("_id").select("nm").as[Option[String]]
+      .collect().toSeq == Seq(Some("x"), None))
+    // while a genuine literal-true predicate still drops the column
+    val dropped = UpdateCompiler.applyUpdate(d, lit(true),
+      Map("$unset" -> Map("name" -> 1)))
+    assert(!dropped.columns.contains("name"))
+  }
+
   test("$bit and/or/xor") {
     val d2 = Seq((1L, 12L)).toDF("_id", "flags") // 0b1100
     def f(upd: Map[String, Any]): Long =
