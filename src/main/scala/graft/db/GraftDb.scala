@@ -226,8 +226,25 @@ final class GraftCollection(s: GraftSession, val ns: Namespace)
                 val newStruct = "__graft_merge_new"
                 require(!base.columns.contains(newStruct),
                   s"$$merge: target already has reserved column $newStruct")
+                // Mongo raises on duplicate on-keys in the incoming result
+                // (several source docs matching one target doc); a silent
+                // join here would fan matched target rows out instead. The
+                // guard rides the merge job in-plan: a count window over
+                // the on-keys (same partitioning the join needs anyway)
+                // feeding raise_error — no extra job, no driver collect.
+                val onW = org.apache.spark.sql.expressions.Window
+                  .partitionBy(m.on.map(col): _*)
+                val cntCol = "__graft_on_cnt"
                 val resKeyed = res.select(m.on.map(col) :+
-                  struct(res.columns.map(col).toSeq: _*).as(newStruct): _*)
+                    struct(res.columns.map(col).toSeq: _*).as(newStruct): _*)
+                  .withColumn(cntCol,
+                    org.apache.spark.sql.functions.count(lit(1)).over(onW))
+                  .withColumn(newStruct, when(col(cntCol) > 1, raise_error(
+                    concat(lit(s"$$merge whenMatched pipeline: duplicate " +
+                      s"on-key (${m.on.mkString(",")}) in incoming result: "),
+                      concat_ws(",", m.on.map(k => col(k).cast("string")): _*))))
+                    .otherwise(col(newStruct)))
+                  .drop(cntCol)
                 val updated = graft.pipeline.PipelineCompiler
                   .applyMergeUpdatePipeline(base.join(resKeyed, m.on),
                     m.whenMatchedPipeline.get, newStruct)

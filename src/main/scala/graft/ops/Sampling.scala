@@ -49,11 +49,20 @@ object Sampling {
       "shares must be positive")
     val norm = shares.values.sum
     // per-source token totals: |sources| rows — the one driver-side
-    // collect, same class as the IVF centroid table
+    // collect, same class as the IVF centroid table. Read type-tolerantly:
+    // the source column may be non-string and sum() returns Long, Double,
+    // or BigDecimal depending on the token column's type; null source
+    // groups can't be mix keys and are skipped.
     val totals = df.groupBy(col(sourceCol).as("__src"))
       .agg(sum(col(tokenCol)).as("__tok"))
       .collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+      .flatMap { r =>
+        (Option(r.get(0)), Option(r.get(1))) match {
+          case (Some(src), Some(tok: Number)) =>
+            Some(src.toString -> tok.longValue())
+          case _ => None
+        }
+      }.toMap
     val fractions = shares.map { case (src, w) =>
       val alloc = tokenBudget.toDouble * (w / norm)
       val have = totals.getOrElse(src, 0L).toDouble

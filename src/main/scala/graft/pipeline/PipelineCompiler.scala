@@ -471,6 +471,15 @@ object PipelineCompiler {
         // grid points land back in the source column's type (sequence
         // yields timestamps; a DATE field with a day+ unit casts cleanly)
         val fieldType = df.schema(field).dataType
+        // a DATE field cannot carry sub-day grid points: the cast back to
+        // date would emit duplicate rows per day, each unioned in by the
+        // anti-join — reject instead
+        if (fieldType == org.apache.spark.sql.types.DateType &&
+            unitOpt.exists(u => Set("hour", "minute", "second",
+              "millisecond")(u.toLowerCase(java.util.Locale.ROOT))))
+          throw new IllegalArgumentException(
+            s"$$densify: unit '${unitOpt.get}' is finer than DATE field " +
+              s"'$field' can represent; cast the field to timestamp first")
         def gridSeq(lo: Column, hi: Column): Column = {
           val (l, h) = if (unitOpt.isDefined)
             (lo.cast("timestamp"), hi.cast("timestamp"))
@@ -1405,32 +1414,39 @@ object PipelineCompiler {
           }
         case _ => seq.head
       }
+      // bare-single-argument fold: the array-vs-scalar dispatch depends on
+      // the RESOLVED column type (Mongo folds an array argument, returns a
+      // non-array argument as the one-element case), so it defers to
+      // analysis time via the FoldDispatch expression
+      def foldSingle(x: Any, kind: String): Column =
+        org.apache.spark.sql.graftbridge.ColumnBridge.column(
+          graft.functions.FoldDispatch(
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+              expr2colE(x)), kind))
       op match {
         // scalar (non-accumulator) numeric folds — Mongo's clamping /
         // row-local reduction idiom. [e1, e2, …] folds the listed values
-        // (nulls skipped, as Mongo skips missing); a single argument is
-        // an ARRAY column whose elements fold; a bare numeric literal is
+        // (nulls skipped, as Mongo skips missing); a single argument
+        // folds its elements when it resolves to an ARRAY column and is
+        // the one-element case otherwise; a bare numeric literal is
         // itself.
         case "$max" => args match {
           case s: Seq[_] if s.size == 1 => expr2colE(s.head)
           case s: Seq[_] => greatest(s.map(expr2colE): _*)
           case n: Number => lit(n.doubleValue())
-          case single    => array_max(expr2colE(single))
+          case single    => foldSingle(single, "max")
         }
         case "$min" => args match {
           case s: Seq[_] if s.size == 1 => expr2colE(s.head)
           case s: Seq[_] => least(s.map(expr2colE): _*)
           case n: Number => lit(n.doubleValue())
-          case single    => array_min(expr2colE(single))
+          case single    => foldSingle(single, "min")
         }
         case "$sum" => args match {
           case s: Seq[_] => s.map(e =>
             coalesce(expr2colE(e).cast("double"), lit(0.0))).reduce(_ + _)
           case n: Number => lit(n.doubleValue())
-          case single => coalesce(
-            aggregate(expr2colE(single), lit(0.0),
-              (a, x) => a + coalesce(x.cast("double"), lit(0.0))),
-            lit(0.0))
+          case single    => foldSingle(single, "sum")
         }
         case "$avg" => args match {
           case s: Seq[_] =>
@@ -1440,11 +1456,7 @@ object PipelineCompiler {
             when(cnt > 0,
               vals.map(v => coalesce(v, lit(0.0))).reduce(_ + _) / cnt)
           case n: Number => lit(n.doubleValue())
-          case single =>
-            val nn = filter(expr2colE(single), x => x.isNotNull)
-            when(size(nn) > 0,
-              aggregate(nn, lit(0.0), (a, x) => a + x.cast("double")) /
-                size(nn).cast("double"))
+          case single    => foldSingle(single, "avg")
         }
         case "$add"      => seq.reduce(_ + _)
         case "$subtract" => val Seq(a, b) = seq; a - b

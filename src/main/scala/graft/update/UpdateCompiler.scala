@@ -399,7 +399,8 @@ object UpdateCompiler {
         // first matching element only (Mongo's positional operator):
         // the element condition comes from the query's constraint on
         // this array path. A row with no matching element passes
-        // through unchanged (documented divergence: Mongo errors).
+        // through unchanged (documented divergence: Mongo errors;
+        // under spark.graft.strictMongo the row raises instead).
         val arrPath = arrParts.mkString(".")
         val matchIdxs = filter(
           transform(sequence(lit(1), size(arrCol)), i =>
@@ -407,9 +408,14 @@ object UpdateCompiler {
               element_at(arrCol, i)), i)),
           c => c.isNotNull)
         val firstIdx = try_element_at(matchIdxs, lit(1))
-        transform(arrCol, (x, i0) =>
+        val transformed = transform(arrCol, (x, i0) =>
           when(firstIdx.isNotNull && (i0 + 1 === firstIdx), applied(x))
             .otherwise(x))
+        if (graft.Strict.strictMongo(df.sparkSession))
+          when(firstIdx.isNull, raise_error(lit(
+            s"[spark.graft.strictMongo] positional $$ matched no element " +
+              s"of '$arrPath'"))).otherwise(transformed)
+        else transformed
       case PosSeg("") => transform(arrCol, x => applied(x))
       case PosSeg(ident) =>
         val f = af.byIdent.getOrElse(ident,
@@ -443,6 +449,10 @@ object UpdateCompiler {
     val top = parts.head
     if (!df.columns.contains(top)) return df
     val unconditional = isUnconditional(pred)
+    if (!unconditional && graft.Strict.strictMongo(df.sparkSession))
+      throw new IllegalStateException(
+        s"[spark.graft.strictMongo] predicated $$unset of '$path' NULLs " +
+          "the field (static columnar schema); Mongo removes it per-document")
     if (parts.length == 1) {
       if (unconditional) df.drop(top)
       else df.withColumn(top,

@@ -127,6 +127,26 @@ class GraftSessionSpec extends SparkSpec {
     }
   }
 
+  test("$merge update pipeline raises on duplicate on-keys in the result") {
+    val dir = Files.createTempDirectory("graft-merge-dup").toString
+    // two incoming docs share _id=1: Mongo raises a duplicate-key error
+    Seq((1L, 100.0), (1L, 50.0), (2L, 200.0)).toDF("_id", "v")
+      .write.parquet(s"$dir/src.parquet")
+    Seq((1L, 5.0), (9L, 9.0)).toDF("_id", "v")
+      .write.parquet(s"$dir/tgt.parquet")
+    val e = intercept[Exception] {
+      new GraftSession(spark, dir).db("d").c("src").pipe(Seq(
+        Map("$merge" -> Map("into" -> "tgt", "on" -> "_id",
+          "whenMatched" -> Seq(Map("$set" ->
+            Map("v" -> Map("$add" -> Seq("$v", "$$new.v")))))))))
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("duplicate on-key")), e.getMessage)
+    // the target was not corrupted by the failed merge
+    assert(spark.read.parquet(s"$dir/tgt.parquet").count() == 2)
+  }
+
   test("$merge composite on: [k1, k2] keys the merge on both columns") {
     val dir = Files.createTempDirectory("graft-merge-comp").toString
     Seq((1L, "x", 10.0), (1L, "y", 20.0)).toDF("k1", "k2", "v")

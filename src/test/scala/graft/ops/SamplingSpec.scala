@@ -95,6 +95,25 @@ class SamplingSpec extends SparkSpec {
       all.select("source").distinct().as[String].head() == "big")
   }
 
+  test("tokenBudgetMix tolerates non-string sources, double tokens, nulls") {
+    // int source keys, DOUBLE token column (sum -> Double), a null source
+    val docs = (1L to 300L).map { i =>
+      (i, if (i <= 100) Some(1) else if (i <= 200) Some(2) else None,
+        100.5)
+    }.toDF("doc_id", "source", "toks")
+    val out = Sampling.tokenBudgetMix(docs, "doc_id", "source", "toks",
+      5000L, Map("1" -> 1.0, "2" -> 1.0))
+    val srcs = out.select("source").distinct().as[Option[Int]]
+      .collect().flatten.toSet
+    assert(srcs.subsetOf(Set(1, 2))) // null-source rows dropped, no NPE
+    assert(out.count() > 0 && out.count() < 200)
+    // DECIMAL token column (sum -> java.math.BigDecimal)
+    val dec = docs.withColumn("toks",
+      docs("toks").cast(org.apache.spark.sql.types.DecimalType(10, 2)))
+    assert(Sampling.tokenBudgetMix(dec, "doc_id", "source", "toks",
+      5000L, Map("1" -> 1.0)).count() > 0)
+  }
+
   test("salt changes the sample") {
     val a = Sampling.hashSample(df, "id", 0.2, "s1").select("id").as[Long].collect().toSet
     val b = Sampling.hashSample(df, "id", 0.2, "s2").select("id").as[Long].collect().toSet

@@ -715,6 +715,46 @@ class PipelineCompilerSpec extends SparkSpec {
     }
   }
 
+  test("$densify sub-day unit on a DATE field rejects at plan time") {
+    val dated = Seq((java.sql.Date.valueOf("2024-01-01"), 1.0),
+      (java.sql.Date.valueOf("2024-01-03"), 3.0)).toDF("d", "v")
+    // day unit on DATE is fine
+    val ok = PipelineCompiler.compile(Seq(Map("$densify" -> Map(
+      "field" -> "d", "range" -> Map("step" -> 1, "unit" -> "day",
+        "bounds" -> "full")))), tables = _ => dated)(dated)
+    assert(ok.count() == 3)
+    // hour unit on DATE would duplicate grid rows after the cast — reject
+    val e = intercept[IllegalArgumentException] {
+      PipelineCompiler.compile(Seq(Map("$densify" -> Map(
+        "field" -> "d", "range" -> Map("step" -> 6, "unit" -> "hour",
+          "bounds" -> "full")))), tables = _ => dated)(dated)
+    }
+    assert(e.getMessage.contains("finer than DATE"))
+  }
+
+  test("bare single-argument scalar folds dispatch on the resolved type") {
+    val d = Seq((1L, Seq(3.0, 1.0, 2.0), 7.5, "str"),
+      (2L, Seq.empty[Double], -1.0, "s2"))
+      .toDF("_id", "arr", "x", "s")
+    def one(expr: Map[String, Any]): Seq[Any] =
+      PipelineCompiler.compile(Seq(Map("$project" ->
+        Map("_id" -> 1, "out" -> expr))), tables = _ => d)(d)
+        .orderBy("_id").select("out").collect().map(_.get(0)).toSeq
+    // array argument folds elements (empty array -> null max / 0 sum)
+    assert(one(Map("$max" -> "$arr")) == Seq(3.0, null))
+    assert(one(Map("$sum" -> "$arr")) == Seq(6.0, 0.0))
+    assert(one(Map("$avg" -> "$arr")) == Seq(2.0, null))
+    // NON-array argument is the one-element case (Mongo), not an error
+    assert(one(Map("$max" -> "$x")) == Seq(7.5, -1.0))
+    assert(one(Map("$min" -> "$x")) == Seq(7.5, -1.0))
+    assert(one(Map("$sum" -> "$x")) == Seq(7.5, -1.0))
+    assert(one(Map("$avg" -> "$x")) == Seq(7.5, -1.0))
+    // non-numeric scalar: $sum -> 0, $avg -> null, $max -> the value
+    assert(one(Map("$sum" -> "$s")) == Seq(0.0, 0.0))
+    assert(one(Map("$avg" -> "$s")) == Seq(null, null))
+    assert(one(Map("$max" -> "$s")) == Seq("str", "s2"))
+  }
+
   test("$setWindowFields range + unit windows over a date key") {
     import java.sql.Timestamp
     def ts(s: String) = Timestamp.valueOf(s + " 00:00:00")

@@ -209,6 +209,41 @@ class UpdateCompilerSpec extends SparkSpec {
     assert(!dropped.columns.contains("name"))
   }
 
+  test("spark.graft.strictMongo raises on documented divergences") {
+    // built over Range (not a LocalRelation): a raise_error over literal
+    // local data would fire during ConvertToLocalRelation — i.e. at
+    // optimize time — and Spark's own ObservationManager listener then
+    // logs the failure a second time when it re-touches the lazy plan
+    val d = spark.range(1, 3).select(col("id").as("_id"),
+      when(col("id") === 1, typedLit(Seq(1, 2)))
+        .otherwise(typedLit(Seq(50))).as("arr"),
+      when(col("id") === 1, "x").otherwise("y").as("name"))
+    spark.conf.set("spark.graft.strictMongo", "true")
+    try {
+      // predicated $unset nulls instead of removing -> plan-time raise
+      intercept[IllegalStateException] {
+        UpdateCompiler.applyUpdate(d, col("_id") === 1L,
+          Map("$unset" -> Map("name" -> 1)))
+      }
+      // whole-table $unset is NOT a divergence (column genuinely drops)
+      assert(!UpdateCompiler.applyUpdate(d, lit(true),
+        Map("$unset" -> Map("name" -> 1))).columns.contains("name"))
+      // positional $ with a row whose array has no match -> runtime raise
+      val noMatch = UpdateCompiler.applyUpdate(d, lit(true),
+        Map("$set" -> Map("arr.$" -> -1)),
+        queryDoc = Map("arr" -> Map("$gte" -> 10)))
+      val err = intercept[Exception] { noMatch.collect() }
+      assert((err.getMessage + Option(err.getCause).map(_.getMessage)
+        .getOrElse("")).contains("positional $ matched no element"))
+    } finally spark.conf.unset("spark.graft.strictMongo")
+    // default (off): row passes through unchanged, no raise
+    val lax = UpdateCompiler.applyUpdate(d, lit(true),
+      Map("$set" -> Map("arr.$" -> -1)),
+      queryDoc = Map("arr" -> Map("$gte" -> 10)))
+    assert(lax.orderBy("_id").select("arr").as[Seq[Int]]
+      .collect().toSeq == Seq(Seq(1, 2), Seq(-1)))
+  }
+
   test("$bit and/or/xor") {
     val d2 = Seq((1L, 12L)).toDF("_id", "flags") // 0b1100
     def f(upd: Map[String, Any]): Long =
