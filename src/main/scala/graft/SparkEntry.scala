@@ -318,6 +318,28 @@ object SparkEntry {
         .sort("vec_id")
         .toDF),
 
+    // $geoNear (reference pass-through db/wrapper.go:88-94): haversine
+    // distance from a point over derived [lon, lat] coordinates — query
+    // pre-filter pushed to the scan, maxDistance bound, distance emitted;
+    // all scan-fused scalar math, no join
+    "q118_geonear" -> ((s, dir) =>
+      coll(s, dir, "customer").pipe(Seq(
+        Map("$addFields" -> Map("loc" -> Seq(
+          Map("$subtract" -> Seq(Map("$mod" -> Seq("$c_custkey", 360)), 179.5)),
+          Map("$subtract" -> Seq(Map("$mod" -> Seq("$c_custkey", 170)), 84.75))))),
+        Map("$geoNear" -> Map(
+          "near" -> Seq(12.5, 41.9),
+          "key" -> "loc",
+          "distanceField" -> "dist",
+          "spherical" -> true,
+          "maxDistance" -> 8.0e6,
+          "query" -> Map("c_mktsegment" -> "BUILDING"))),
+        Map("$project" -> Map(
+          "_id" -> "$c_custkey",
+          "dist_km" -> Map("$toLong" -> Map("$round" ->
+            Seq(Map("$divide" -> Seq("$dist", 1000.0)), 0)))))))
+        .orderBy("_id")),
+
     // §2.2 $elemMatch projection (inclusion mode): first embedding
     // component > 0.5 as a 1-element array, null when none
     "q119_select_elemmatch" -> ((s, dir) =>
@@ -2385,6 +2407,23 @@ object SparkEntry {
     "q116_select_exclude_slice" ->
       """SELECT vec_id, embedding[1:3] AS embedding
         |FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""".stripMargin,
+
+    "q118_geonear" ->
+      """WITH c AS (
+        |  SELECT c_custkey,
+        |    (c_custkey % 360) - 179.5 AS lon,
+        |    (c_custkey % 170) - 84.75 AS lat
+        |  FROM customer WHERE c_mktsegment = 'BUILDING'
+        |), d AS (
+        |  SELECT c_custkey AS _id,
+        |    2 * 6371008.8 * asin(sqrt(
+        |      pow(sin(radians(lat - 41.9) * 0.5), 2) +
+        |      cos(radians(41.9)) * cos(radians(lat)) *
+        |      pow(sin(radians(lon - 12.5) * 0.5), 2))) AS dist
+        |  FROM c
+        |)
+        |SELECT _id, CAST(round(dist / 1000.0, 0) AS BIGINT) AS dist_km
+        |FROM d WHERE dist <= 8000000.0 ORDER BY _id""".stripMargin,
 
     "q119_select_elemmatch" ->
       """SELECT vec_id,

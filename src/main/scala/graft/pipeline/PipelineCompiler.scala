@@ -301,6 +301,85 @@ object PipelineCompiler {
           case None    => limited
         }
 
+      case "$geoNear" =>
+        // Mongo $geoNear (reference pass-through db/wrapper.go:88-94):
+        // distance from `near` to the `key` column — a 2-element
+        // [lon, lat] array, or a GeoJSON Point struct whose `coordinates`
+        // field is that array. `spherical: true` uses the haversine
+        // great-circle distance in meters on the IUGG mean earth radius
+        // (6371008.8 m); planar (default) is Euclidean in coordinate
+        // units. `query` pre-filters (pushed into the scan), min/
+        // maxDistance bound the RAW distance, `distanceMultiplier`
+        // scales only the emitted `distanceField`, `includeLocs` copies
+        // the matched point. Everything is scan-fused scalar math — no
+        // join; the only exchange is the required distance ordering,
+        // which Spark range-partitions (and collapses to
+        // TakeOrderedAndProject under a following $limit), so the plan
+        // stays fully parallel at 100 TB.
+        val d = doc(spec)
+        def dbl(v: Any): Double = v match {
+          case n: Number => n.doubleValue()
+          case other =>
+            throw new IllegalArgumentException(s"$$geoNear: expected number, got $other")
+        }
+        val (nearLon, nearLat) = (d.getOrElse("near",
+          throw new IllegalArgumentException("$geoNear requires near")) match {
+          case s: Seq[_] => s
+          case m: Map[_, _] => doc(m).getOrElse("coordinates",
+            throw new IllegalArgumentException(
+              "$geoNear: GeoJSON near needs coordinates")) match {
+            case s: Seq[_] => s
+            case other =>
+              throw new IllegalArgumentException(s"$$geoNear near: $other")
+          }
+          case other =>
+            throw new IllegalArgumentException(s"$$geoNear near: $other")
+        }) match {
+          case Seq(lo, la) => (dbl(lo), dbl(la))
+          case other =>
+            throw new IllegalArgumentException(
+              s"$$geoNear near must be [lon, lat]: $other")
+        }
+        val keyName = d.getOrElse("key",
+          throw new IllegalArgumentException(
+            "$geoNear requires key (no index to infer the field from)"))
+          .toString
+        val distField = d.getOrElse("distanceField",
+          throw new IllegalArgumentException(
+            "$geoNear requires distanceField")).toString
+        // struct key (GeoJSON Point column) → use its coordinates array
+        val rawKey = col(keyName)
+        val keyIsStruct = df.select(rawKey).schema.head.dataType
+          .isInstanceOf[org.apache.spark.sql.types.StructType]
+        val coords = if (keyIsStruct) rawKey.getField("coordinates") else rawKey
+        val lonC = coords.getItem(0).cast("double")
+        val latC = coords.getItem(1).cast("double")
+        val spherical = d.get("spherical").contains(true)
+        val dist: Column = if (spherical) {
+          val half = lit(0.5)
+          val a = pow(sin(radians(latC - nearLat) * half), 2) +
+            cos(radians(lit(nearLat))) * cos(radians(latC)) *
+              pow(sin(radians(lonC - nearLon) * half), 2)
+          lit(2.0 * 6371008.8) * asin(sqrt(a))
+        } else {
+          sqrt(pow(lonC - nearLon, 2) + pow(latC - nearLat, 2))
+        }
+        val prefiltered = d.get("query")
+          .map(q => df.where(QueryCompiler.compile(doc(q)))).getOrElse(df)
+        val withDist = prefiltered.withColumn(distField, dist)
+        val bounded = Seq(
+          d.get("minDistance").map(n => col(distField) >= dbl(n)),
+          d.get("maxDistance").map(n => col(distField) <= dbl(n)))
+          .flatten.foldLeft(withDist)(_ where _)
+        val withLocs = d.get("includeLocs") match {
+          case Some(f) => bounded.withColumn(f.toString, rawKey)
+          case None    => bounded
+        }
+        val mult = d.get("distanceMultiplier").map(dbl).getOrElse(1.0)
+        val scaled = if (mult == 1.0) withLocs
+          else withLocs.withColumn(distField, col(distField) * mult)
+        scaled.orderBy(col(distField).asc)
+
       case "$facet" =>
         // Mongo $facet: every sub-pipeline consumes the same input; the
         // output is ONE row with one array-of-docs column per facet. Each

@@ -1566,4 +1566,51 @@ class VectorSearchStageSpec extends graft.SparkSpec {
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("Join") && plan.contains("TakeOrderedAndProject"))
   }
+
+  test("$geoNear planar: distance order, bounds, multiplier, includeLocs") {
+    val pts = Seq(
+      (1L, Seq(0.0, 0.0)), (2L, Seq(3.0, 4.0)),     // d = 0, 5
+      (3L, Seq(6.0, 8.0)), (4L, Seq(30.0, 40.0)))   // d = 10, 50
+      .toDF("id", "loc")
+    val out = PipelineCompiler.compile(Seq(
+      Map("$geoNear" -> Map("near" -> Seq(0.0, 0.0), "key" -> "loc",
+        "distanceField" -> "d", "minDistance" -> 1.0,
+        "maxDistance" -> 20.0, "distanceMultiplier" -> 2.0,
+        "includeLocs" -> "where"))))(pts)
+    val rows = out.select("id", "d", "where").collect()
+    // id=1 dropped by minDistance, id=4 by maxDistance; ascending order;
+    // multiplier scales the emitted field only (bounds saw raw 5 and 10)
+    assert(rows.map(_.getLong(0)).toSeq == Seq(2L, 3L))
+    assert(rows.map(_.getDouble(1)).toSeq == Seq(10.0, 20.0))
+    assert(rows.map(_.getSeq[Double](2)).toSeq ==
+      Seq(Seq(3.0, 4.0), Seq(6.0, 8.0)))
+  }
+
+  test("$geoNear spherical: haversine meters, GeoJSON near + struct key, query") {
+    // quarter meridian: equator → pole ≈ 10 001 965 m on the mean sphere
+    val pts = Seq(
+      (1L, "keep", ("Point", Seq(0.0, 90.0))),
+      (2L, "keep", ("Point", Seq(0.0, 0.0))),
+      (3L, "drop", ("Point", Seq(0.0, 45.0))))
+      .toDF("id", "tag", "geo")
+      .withColumn("geo", struct(col("geo._1").as("type"),
+        col("geo._2").as("coordinates")))
+    val out = PipelineCompiler.compile(Seq(
+      Map("$geoNear" -> Map(
+        "near" -> Map("type" -> "Point", "coordinates" -> Seq(0.0, 0.0)),
+        "key" -> "geo", "distanceField" -> "d", "spherical" -> true,
+        "query" -> Map("tag" -> "keep")))))(pts)
+    val rows = out.select("id", "d").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(2L, 1L))
+    assert(rows.head.getDouble(1) == 0.0)
+    assert(math.abs(rows(1).getDouble(1) - math.Pi / 2 * 6371008.8) < 1e-3)
+  }
+
+  test("$geoNear stays join-free (scan-fused scalar math)") {
+    val pts = Seq((1L, Seq(1.0, 2.0))).toDF("id", "loc")
+    val out = PipelineCompiler.compile(Seq(
+      Map("$geoNear" -> Map("near" -> Seq(0.0, 0.0), "key" -> "loc",
+        "distanceField" -> "d", "spherical" -> true))))(pts)
+    assert(!out.queryExecution.executedPlan.toString.contains("Join"))
+  }
 }
