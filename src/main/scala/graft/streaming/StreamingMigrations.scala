@@ -23,10 +23,18 @@ import graft.update.UpdateCompiler
   */
 object StreamingMigrations {
 
-  /** Open a file-based stream over a directory of parquet drops. */
+  /** Open a file-based stream over a directory of parquet drops.
+    * `maxFilesPerTrigger` bounds each micro-batch — the scale knob that
+    * keeps a 100 TB backlog from becoming one giant first batch (and the
+    * failure-injection seam: smaller batches = finer-grained restart
+    * points in the checkpoint). */
   def readStream(spark: SparkSession, path: String,
-      schema: org.apache.spark.sql.types.StructType): DataFrame =
-    spark.readStream.schema(schema).parquet(path)
+      schema: org.apache.spark.sql.types.StructType,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    r.parquet(path)
+  }
 
   /** Apply a simple migration spec to a (possibly streaming) frame:
     * matching rows get the update, others pass through — identical
@@ -39,8 +47,9 @@ object StreamingMigrations {
     * per file via checkpointing. */
   def continuousMigration(spark: SparkSession, spec: SimpleMigration,
       sourcePath: String, schema: org.apache.spark.sql.types.StructType,
-      sinkPath: String, checkpoint: String): StreamingQuery =
-    applySpec(spec)(readStream(spark, sourcePath, schema))
+      sinkPath: String, checkpoint: String,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery =
+    applySpec(spec)(readStream(spark, sourcePath, schema, maxFilesPerTrigger))
       .writeStream
       .format("parquet")
       .option("path", sinkPath)

@@ -37,6 +37,44 @@ class StreamingSpec extends SparkSpec {
     assert(out2.where($"cat" === "done").count() == 2)
   }
 
+  test("continuous migration survives a mid-stream kill exactly-once") {
+    // failure injection: 6 single-file drops, 1 file per micro-batch; the
+    // query is stopped as soon as the first batch commits, then restarted
+    // from the same checkpoint. The parquet-sink transaction log + file-
+    // source offset log must yield each input row exactly once overall —
+    // no replays of the committed prefix, no losses from the killed tail.
+    val dir = Files.createTempDirectory("graft-kill").toString
+    val src = s"$dir/src"; val sink = s"$dir/sink"; val ck = s"$dir/ck"
+    val schema = Seq((0L, "x", 0.0)).toDF("_id", "cat", "v").schema
+    (1L to 6L).foreach { i =>
+      Seq((i, "x", i.toDouble)).toDF("_id", "cat", "v")
+        .write.mode("append").parquet(src)
+    }
+    val spec = SimpleMigration(
+      GeneratorOptions("stream-kill", Nil, Namespace("db", "items"),
+        query = Map("cat" -> "x")),
+      update = Map("$set" -> Map("cat" -> "done")))
+
+    val q = StreamingMigrations.continuousMigration(spark, spec, src,
+      schema, sink, ck, maxFilesPerTrigger = Some(1))
+    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    while (q.recentProgress.forall(_.numInputRows == 0) &&
+        q.isActive && System.nanoTime() < deadline)
+      Thread.sleep(10)
+    q.stop() // kill mid-stream: at least one batch committed, likely not all
+    q.awaitTermination(60000)
+
+    val q2 = StreamingMigrations.continuousMigration(spark, spec, src,
+      schema, sink, ck, maxFilesPerTrigger = Some(1))
+    q2.awaitTermination(60000)
+
+    val out = spark.read.parquet(sink)
+    assert(out.count() == 6) // exactly once: no dupes, no losses
+    assert(out.select("_id").as[Long].collect().sorted.toSeq ==
+      (1L to 6L).toSeq)
+    assert(out.where($"cat" === "done").count() == 6)
+  }
+
   test("streamingDedup keeps one row per key across duplicate arrivals") {
     val tmp = java.nio.file.Files.createTempDirectory("sdedup").toString
     val rows = Seq(
