@@ -318,6 +318,20 @@ object SparkEntry {
         .sort("vec_id")
         .toDF),
 
+    // geo query operators (pass-through db/wrapper.go:452-481): $geoWithin
+    // $box + legacy $near distance bound over the embedding's first two
+    // components as planar coordinates — both fold into scan-fused codegen
+    "q123_geowithin" -> ((s, dir) =>
+      coll(s, dir, "embeddings")
+        .find(Map("$and" -> Seq(
+          Map("embedding" -> Map("$geoWithin" ->
+            Map("$box" -> Seq(Seq(-0.5, -0.5), Seq(0.5, 0.5))))),
+          Map("embedding" -> Map("$near" -> Seq(0.0, 0.0),
+            "$maxDistance" -> 0.45)))))
+        .select(Map("vec_id" -> 1))
+        .sort("vec_id")
+        .toDF),
+
     // Atlas-style $search (pass-through db/wrapper.go:88-94): BM25 text
     // operator, score surfaced via {$meta: "searchScore"} — scan-fused
     // per-row scoring against one broadcast stats row, no per-doc shuffle
@@ -2433,6 +2447,14 @@ object SparkEntry {
     "q116_select_exclude_slice" ->
       """SELECT vec_id, embedding[1:3] AS embedding
         |FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""".stripMargin,
+
+    "q123_geowithin" ->
+      """SELECT vec_id FROM embeddings
+        |WHERE embedding[1] >= -0.5 AND embedding[1] <= 0.5
+        |  AND embedding[2] >= -0.5 AND embedding[2] <= 0.5
+        |  AND sqrt(pow(CAST(embedding[1] AS DOUBLE), 2)
+        |         + pow(CAST(embedding[2] AS DOUBLE), 2)) <= 0.45
+        |ORDER BY vec_id""".stripMargin,
 
     "q120_search_text" ->
       """WITH tk AS (

@@ -355,15 +355,11 @@ object PipelineCompiler {
         val lonC = coords.getItem(0).cast("double")
         val latC = coords.getItem(1).cast("double")
         val spherical = d.get("spherical").contains(true)
-        val dist: Column = if (spherical) {
-          val half = lit(0.5)
-          val a = pow(sin(radians(latC - nearLat) * half), 2) +
-            cos(radians(lit(nearLat))) * cos(radians(latC)) *
-              pow(sin(radians(lonC - nearLon) * half), 2)
-          lit(2.0 * 6371008.8) * asin(sqrt(a))
-        } else {
-          sqrt(pow(lonC - nearLon, 2) + pow(latC - nearLat, 2))
-        }
+        val dist: Column =
+          if (spherical)
+            graft.functions.Geo.haversineMeters(lonC, latC, nearLon, nearLat)
+          else
+            graft.functions.Geo.planarDistance(lonC, latC, nearLon, nearLat)
         val prefiltered = d.get("query")
           .map(q => df.where(QueryCompiler.compile(doc(q)))).getOrElse(df)
         val withDist = prefiltered.withColumn(distField, dist)

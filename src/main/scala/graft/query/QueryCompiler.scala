@@ -62,10 +62,17 @@ object QueryCompiler {
       require(terms.nonEmpty, "$text: empty $search")
       val toks = graft.ops.TextFunctions.tokens(col("text"))
       terms.map(t => array_contains(toks, t)).reduce(_ || _)
+    case "$comment" => lit(true) // server-log annotation: no predicate
     case field  => fieldClause(field, value)
   }
 
   private def fieldClause(field: String, value: Any): Column = value match {
+    case ops: Map[_, _] if isOperatorDoc(ops) &&
+        ops.asInstanceOf[Map[String, Any]].keySet
+          .exists(k => k == "$near" || k == "$nearSphere") =>
+      // $near's distance bounds are SIBLING keys in the same operator doc,
+      // so the whole doc compiles as one unit
+      nearClause(field, ops.asInstanceOf[Map[String, Any]])
     case ops: Map[_, _] if isOperatorDoc(ops) =>
       ops.asInstanceOf[Map[String, Any]]
         .map { case (op, v) => operator(field, op, v) }
@@ -118,8 +125,141 @@ object QueryCompiler {
         case other =>
           throw new IllegalArgumentException(s"$$type expects a string: $other")
       }
+      case "$geoWithin" => geoWithin(c, v)
       case other =>
         throw new IllegalArgumentException(s"unsupported query operator: $other")
+    }
+  }
+
+  // ---- geo operators ($geoWithin / $near / $nearSphere) ----------------
+  // The reference passes these through to the server like every other
+  // query doc (db/wrapper.go:452-481). Point fields are [lon, lat] array
+  // columns (dotted `f.coordinates` addresses a GeoJSON Point struct);
+  // query geometry is literal, so every predicate folds into codegen.
+
+  private def numD(v: Any, ctx: String): Double = v match {
+    case n: Number => n.doubleValue()
+    case other =>
+      throw new IllegalArgumentException(s"$ctx: expected number, got $other")
+  }
+
+  private def point2(v: Any, ctx: String): (Double, Double) = v match {
+    case s: Seq[_] if s.size == 2 =>
+      (numD(s(0), ctx), numD(s(1), ctx))
+    case other =>
+      throw new IllegalArgumentException(s"$ctx: expected [x, y], got $other")
+  }
+
+  /** `$geoWithin` containment: `$center` (planar circle), `$centerSphere`
+    * (great-circle radius in RADIANS, Mongo's unit), `$box`, `$polygon`
+    * (planar ray casting), `$geometry` Polygon with holes (rings evaluated
+    * in lon/lat coordinate space — a documented planar approximation of
+    * Mongo's spherical edges; exact for the rectangles and small regions
+    * this operator is typically used with). */
+  private def geoWithin(c: Column, v: Any): Column = {
+    import graft.functions.Geo
+    val spec = v match {
+      case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+      case other =>
+        throw new IllegalArgumentException(s"$$geoWithin: $other")
+    }
+    require(spec.size == 1, s"$$geoWithin: exactly one shape, got ${spec.keys}")
+    val (x, y) = (Geo.lon(c), Geo.lat(c))
+    spec.head match {
+      case ("$center", arg) =>
+        val Seq(ctr, r) = seqOf(arg, "$center")
+        val (cx, cy) = point2(ctr, "$center")
+        Geo.planarDistance(x, y, cx, cy) <= lit(numD(r, "$center"))
+      case ("$centerSphere", arg) =>
+        val Seq(ctr, r) = seqOf(arg, "$centerSphere")
+        val (clon, clat) = point2(ctr, "$centerSphere")
+        Geo.haversineMeters(x, y, clon, clat) <=
+          lit(numD(r, "$centerSphere") * Geo.EarthRadiusMeters)
+      case ("$box", arg) =>
+        val Seq(a, b) = seqOf(arg, "$box")
+        val (x1, y1) = point2(a, "$box"); val (x2, y2) = point2(b, "$box")
+        x >= math.min(x1, x2) && x <= math.max(x1, x2) &&
+          y >= math.min(y1, y2) && y <= math.max(y1, y2)
+      case ("$polygon", arg) =>
+        val ring = seqOf(arg, "$polygon").map(p => point2(p, "$polygon"))
+        Geo.pointInPolygon(x, y, ring)
+      case ("$geometry", arg) =>
+        val g = arg match {
+          case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+          case other =>
+            throw new IllegalArgumentException(s"$$geometry: $other")
+        }
+        require(g.get("type").contains("Polygon"),
+          s"$$geoWithin $$geometry: only Polygon, got ${g.get("type")}")
+        val rings = seqOf(g.getOrElse("coordinates",
+          throw new IllegalArgumentException("$geometry needs coordinates")),
+          "$geometry").map(r =>
+            seqOf(r, "$geometry ring").map(p => point2(p, "$geometry")))
+        require(rings.nonEmpty, "$geometry: empty coordinates")
+        // outer ring minus holes
+        rings.tail.foldLeft(Geo.pointInPolygon(x, y, rings.head))(
+          (acc, hole) => acc && !Geo.pointInPolygon(x, y, hole))
+      case (other, _) => throw new IllegalArgumentException(
+        s"$$geoWithin: unsupported shape $other")
+    }
+  }
+
+  /** `$near`/`$nearSphere` compiled as the distance-bound FILTER. Mongo
+    * additionally returns matches sorted by distance — inexpressible in a
+    * predicate; compose with the `$geoNear` pipeline stage (or an explicit
+    * sort on the same formula) when ordering matters. Under
+    * `spark.graft.strictMongo` the divergence raises instead. Units follow
+    * Mongo: legacy `$near` = coordinate units (planar); legacy
+    * `$nearSphere` = radians; GeoJSON form of either = meters (spherical). */
+  private def nearClause(field: String, ops: Map[String, Any]): Column = {
+    import graft.functions.Geo
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .filter(graft.Strict.strictMongo).foreach { _ =>
+        throw new IllegalStateException(
+          "[spark.graft.strictMongo] $near/$nearSphere compiles to the " +
+            "distance filter WITHOUT Mongo's nearest-first ordering; use " +
+            "the $geoNear pipeline stage for ordered results")
+      }
+    val c = col(field)
+    val (x, y) = (Geo.lon(c), Geo.lat(c))
+    val sphereOp = ops.contains("$nearSphere")
+    val nearV = ops.getOrElse("$near", ops.getOrElse("$nearSphere",
+      throw new IllegalStateException("unreachable")))
+    val (dist, maxD, minD) = nearV match {
+      case s: Seq[_] => // legacy point form; bounds are sibling keys
+        val (px, py) = point2(s, "$near")
+        val d =
+          if (sphereOp) // radians on the unit sphere
+            Geo.haversineMeters(x, y, px, py) / Geo.EarthRadiusMeters
+          else Geo.planarDistance(x, y, px, py)
+        (d, ops.get("$maxDistance"), ops.get("$minDistance"))
+      case m: Map[_, _] => // GeoJSON form; bounds nested, meters
+        val mm = m.asInstanceOf[Map[String, Any]]
+        val geom = mm.getOrElse("$geometry",
+          throw new IllegalArgumentException(
+            s"$$near: expected $$geometry or [x, y], got $mm")) match {
+          case g: Map[_, _] => g.asInstanceOf[Map[String, Any]]
+          case other =>
+            throw new IllegalArgumentException(s"$$geometry: $other")
+        }
+        require(geom.get("type").contains("Point"),
+          s"$$near $$geometry: only Point, got ${geom.get("type")}")
+        val (px, py) = point2(geom("coordinates"), "$near")
+        (Geo.haversineMeters(x, y, px, py),
+          mm.get("$maxDistance").orElse(ops.get("$maxDistance")),
+          mm.get("$minDistance").orElse(ops.get("$minDistance")))
+      case other => throw new IllegalArgumentException(
+        s"$$near: expected $$geometry doc or [x, y], got $other")
+    }
+    val bounds = Seq(
+      maxD.map(d => dist <= lit(numD(d, "$maxDistance"))),
+      minD.map(d => dist >= lit(numD(d, "$minDistance")))).flatten
+    val nearPred = bounds.reduceOption(_ && _).getOrElse(c.isNotNull)
+    // any residual sibling operators compile through the normal path
+    val residual = ops -- Seq("$near", "$nearSphere", "$maxDistance",
+      "$minDistance")
+    residual.foldLeft(nearPred) { case (acc, (op, v)) =>
+      acc && operator(field, op, v)
     }
   }
 

@@ -160,4 +160,69 @@ class QueryCompilerSpec extends SparkSpec {
       QueryCompiler.compile(Map("v" -> Map("$near" -> 1)))
     }
   }
+
+  private def geoDocs = Seq(
+    (1L, Seq(0.0, 0.0)), (2L, Seq(3.0, 4.0)), (3L, Seq(10.0, 0.0)),
+    (4L, Seq(0.5, 0.5)), (5L, Seq(-2.0, -2.0)))
+    .toDF("_id", "loc")
+
+  private def geoHits(q: Map[String, Any]): Seq[Long] =
+    geoDocs.where(QueryCompiler.compile(q)).select("_id").as[Long]
+      .collect().toSeq.sorted
+
+  test("$geoWithin: $center, $box, $polygon, $centerSphere, $geometry") {
+    // planar circle radius 5 around origin: ids 1 (d=0), 2 (d=5), 4, 5
+    assert(geoHits(Map("loc" -> Map("$geoWithin" ->
+      Map("$center" -> Seq(Seq(0.0, 0.0), 5.0))))) == Seq(1, 2, 4, 5))
+    // box [(-1,-1), (1,1)]: ids 1, 4
+    assert(geoHits(Map("loc" -> Map("$geoWithin" ->
+      Map("$box" -> Seq(Seq(-1.0, -1.0), Seq(1.0, 1.0)))))) == Seq(1, 4))
+    // triangle around the origin quadrant: contains 1 (on ray) and 4
+    assert(geoHits(Map("loc" -> Map("$geoWithin" ->
+      Map("$polygon" -> Seq(Seq(-1.0, -1.0), Seq(2.0, -1.0),
+        Seq(0.0, 2.0)))))) == Seq(1, 4))
+    // spherical cap of 0.02 rad (~127 km): only the origin point and 4
+    // (0.5°,0.5° ≈ 0.0123 rad away)
+    assert(geoHits(Map("loc" -> Map("$geoWithin" ->
+      Map("$centerSphere" -> Seq(Seq(0.0, 0.0), 0.02))))) == Seq(1, 4))
+    // GeoJSON polygon with a hole that excludes the origin
+    assert(geoHits(Map("loc" -> Map("$geoWithin" -> Map("$geometry" ->
+      Map("type" -> "Polygon", "coordinates" -> Seq(
+        Seq(Seq(-1.0, -1.0), Seq(2.0, -1.0), Seq(2.0, 2.0), Seq(-1.0, 2.0),
+          Seq(-1.0, -1.0)),
+        Seq(Seq(-0.1, -0.1), Seq(0.1, -0.1), Seq(0.1, 0.1), Seq(-0.1, 0.1),
+          Seq(-0.1, -0.1)))))))) == Seq(4))
+  }
+
+  test("$near/$nearSphere: distance-bound filters, units per form") {
+    // legacy planar: within 5 of origin
+    assert(geoHits(Map("loc" -> Map("$near" -> Seq(0.0, 0.0),
+      "$maxDistance" -> 5.0))) == Seq(1, 2, 4, 5))
+    // with $minDistance: excludes the origin point itself
+    assert(geoHits(Map("loc" -> Map("$near" -> Seq(0.0, 0.0),
+      "$minDistance" -> 0.1, "$maxDistance" -> 5.0))) == Seq(2, 4, 5))
+    // legacy $nearSphere: radians
+    assert(geoHits(Map("loc" -> Map("$nearSphere" -> Seq(0.0, 0.0),
+      "$maxDistance" -> 0.02))) == Seq(1, 4))
+    // GeoJSON form: meters
+    assert(geoHits(Map("loc" -> Map("$near" -> Map(
+      "$geometry" -> Map("type" -> "Point",
+        "coordinates" -> Seq(0.0, 0.0)),
+      "$maxDistance" -> 130000.0)))) == Seq(1, 4))
+    // no bound: matches every row with a location
+    assert(geoHits(Map("loc" -> Map("$near" -> Seq(0.0, 0.0)))) ==
+      Seq(1, 2, 3, 4, 5))
+  }
+
+  test("$near raises under strictMongo (ordering divergence)") {
+    spark.conf.set("spark.graft.strictMongo", "true")
+    try intercept[IllegalStateException] {
+      QueryCompiler.compile(Map("loc" -> Map("$near" -> Seq(0.0, 0.0))))
+    } finally spark.conf.unset("spark.graft.strictMongo")
+  }
+
+  test("$comment is accepted and matches everything") {
+    assert(geoHits(Map("$comment" -> "why this query exists")) ==
+      Seq(1, 2, 3, 4, 5))
+  }
 }
