@@ -318,6 +318,22 @@ object SparkEntry {
         .sort("vec_id")
         .toDF),
 
+    // $jsonSchema validation query (pass-through db/wrapper.go:452-481):
+    // presence + enum + range + pattern, property schemas gated on
+    // presence — one scan-fused predicate
+    "q124_jsonschema" -> ((s, dir) =>
+      coll(s, dir, "documents")
+        .find(Map("$jsonSchema" -> Map(
+          "required" -> Seq("text"),
+          "properties" -> Map(
+            "lang" -> Map("enum" -> Seq("en", "de")),
+            "n_chars" -> Map("bsonType" -> "long",
+              "minimum" -> 100, "maximum" -> 300),
+            "text" -> Map("pattern" -> "^[a-z]")))))
+        .select(Map("doc_id" -> 1))
+        .sort("doc_id")
+        .toDF),
+
     // geo query operators (pass-through db/wrapper.go:452-481): $geoWithin
     // $box + legacy $near distance bound over the embedding's first two
     // components as planar coordinates — both fold into scan-fused codegen
@@ -2447,6 +2463,14 @@ object SparkEntry {
     "q116_select_exclude_slice" ->
       """SELECT vec_id, embedding[1:3] AS embedding
         |FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""".stripMargin,
+
+    "q124_jsonschema" ->
+      """SELECT doc_id FROM documents
+        |WHERE text IS NOT NULL
+        |  AND (lang IS NULL OR lang IN ('en', 'de'))
+        |  AND (n_chars IS NULL OR (n_chars >= 100 AND n_chars <= 300))
+        |  AND (text IS NULL OR regexp_matches(text, '^[a-z]'))
+        |ORDER BY doc_id""".stripMargin,
 
     "q123_geowithin" ->
       """SELECT vec_id FROM embeddings

@@ -452,6 +452,22 @@ object PipelineCompiler {
             .orderBy(col("__searchScore").desc)
         }
 
+      case "$indexStats" =>
+        // Mongo emits one doc per index. Parquet-backed collections have
+        // no secondary indexes (scans prune via statistics instead), so
+        // the honest answer is the empty frame — in Mongo's output shape,
+        // so downstream stages ($match on name, $project) still compile.
+        val session = df.sparkSession
+        import org.apache.spark.sql.types._
+        session.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          StructType(Seq(
+            StructField("name", StringType),
+            StructField("key", MapType(StringType, IntegerType)),
+            StructField("accesses", StructType(Seq(
+              StructField("ops", LongType),
+              StructField("since", TimestampType)))))))
+
       case "$collStats" =>
         // collection statistics as a 1-row frame. Must be the first stage
         // (Mongo's rule too): `count` is an in-plan aggregate; the

@@ -14,8 +14,8 @@ import org.apache.spark.sql.functions._
   * `$in`, implicit AND, dotted paths; see SURVEY.md §2.2):
   * `$eq $ne $gt $gte $lt $lte $in $nin $exists $regex $size $all $mod $not
   * $and $or $nor $expr $elemMatch $type $bitsAllSet $bitsAnySet
-  * $bitsAllClear $bitsAnyClear` and dotted nested paths
-  * (bsonutil/helpers.go:7-9 analog).
+  * $bitsAllClear $bitsAnyClear $geoWithin $near $nearSphere $jsonSchema
+  * $comment` and dotted nested paths (bsonutil/helpers.go:7-9 analog).
   *
   * Query documents are plain Scala `Map[String, Any]`; values may be String,
   * Boolean, numeric, java.sql.Timestamp / java.time.Instant / LocalDate,
@@ -63,7 +63,124 @@ object QueryCompiler {
       val toks = graft.ops.TextFunctions.tokens(col("text"))
       terms.map(t => array_contains(toks, t)).reduce(_ || _)
     case "$comment" => lit(true) // server-log annotation: no predicate
+    case "$jsonSchema" => jsonSchema(value)
     case field  => fieldClause(field, value)
+  }
+
+  /** `$jsonSchema` validation queries (draft-4 subset + bson extensions,
+    * the keywords real validators use): `bsonType`/`type` (scalar or
+    * array of alternatives), `required`, `properties` (recursive),
+    * `enum`, `minimum`/`maximum` (+ draft-4 boolean
+    * `exclusiveMinimum`/`exclusiveMaximum`), `pattern`,
+    * `minLength`/`maxLength`, `minItems`/`maxItems`, `uniqueItems`,
+    * `items` (single-schema form, via `forall`). Unsupported keywords
+    * reject at compile time rather than silently passing. Property
+    * schemas apply only where the field is present (non-null), matching
+    * Mongo: `required` is the presence check. */
+  private def jsonSchema(v: Any): Column = {
+    val schema = v match {
+      case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+      case other =>
+        throw new IllegalArgumentException(s"$$jsonSchema: $other")
+    }
+    objectSchema(schema, f => col(f))
+  }
+
+  /** Object-level keywords; `field` resolves a property name to its
+    * column (root: `col(f)`; nested: `parent.getField(f)`). */
+  private def objectSchema(schema: Map[String, Any],
+      field: String => Column): Column = {
+    val parts = schema.flatMap {
+      case ("bsonType" | "type", t) =>
+        // the object level itself: only "object" makes sense here
+        require(t == "object",
+          s"$$jsonSchema: object level must have type 'object', got $t")
+        None
+      case ("required", arr) =>
+        seqOf(arr, "required").map(f => field(f.toString).isNotNull)
+          .reduceOption(_ && _)
+      case ("properties", props) =>
+        val pm = props match {
+          case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+          case other =>
+            throw new IllegalArgumentException(s"properties: $other")
+        }
+        pm.map { case (f, sub) =>
+          val subSchema = sub match {
+            case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+            case other => throw new IllegalArgumentException(
+              s"properties.$f: $other")
+          }
+          val fc = field(f)
+          fc.isNull || valueSchema(fc, subSchema) // absent fields pass
+        }.reduceOption(_ && _)
+      case ("title" | "description", _) => None
+      case (kw, _) => throw new IllegalArgumentException(
+        s"$$jsonSchema: unsupported keyword $kw")
+    }
+    parts.reduceOption(_ && _).getOrElse(lit(true))
+  }
+
+  /** Value-level schema keywords applied to one (non-null) column. */
+  private def valueSchema(c: Column, schema: Map[String, Any]): Column = {
+    def typeAlias(t: String): Column = t match {
+      case "number" => typeMatches(c, "int") || typeMatches(c, "long") ||
+        typeMatches(c, "double") || typeMatches(c, "decimal")
+      case "integer" => typeMatches(c, "int") || typeMatches(c, "long")
+      case "boolean" => typeMatches(c, "bool")
+      case "null" => c.isNull
+      case other => typeMatches(c, other)
+    }
+    val exclMin = schema.get("exclusiveMinimum").contains(true)
+    val exclMax = schema.get("exclusiveMaximum").contains(true)
+    val parts = schema.flatMap {
+      case ("bsonType" | "type", t) => Some(t match {
+        case s: String => typeAlias(s)
+        case alts: Seq[_] =>
+          alts.map(a => typeAlias(a.toString)).reduce(_ || _)
+        case other =>
+          throw new IllegalArgumentException(s"bsonType: $other")
+      })
+      case ("minimum", n) =>
+        Some(if (exclMin) c > toLit(n) else c >= toLit(n))
+      case ("maximum", n) =>
+        Some(if (exclMax) c < toLit(n) else c <= toLit(n))
+      case ("exclusiveMinimum" | "exclusiveMaximum", b) =>
+        require(b == true || b == false,
+          s"$$jsonSchema: draft-4 boolean exclusive bounds, got $b")
+        None // modifies minimum/maximum above
+      case ("pattern", p) => Some(c.rlike(p.toString))
+      case ("minLength", n) => Some(length(c) >= toLit(n))
+      case ("maxLength", n) => Some(length(c) <= toLit(n))
+      case ("enum", arr) =>
+        Some(c.isin(seqOf(arr, "enum").map(toScalaLit): _*))
+      case ("minItems", n) => Some(size(c) >= toLit(n))
+      case ("maxItems", n) => Some(size(c) <= toLit(n))
+      case ("uniqueItems", true) =>
+        Some(size(array_distinct(c)) === size(c))
+      case ("uniqueItems", _) => None
+      case ("items", sub) =>
+        val subSchema = sub match {
+          case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+          case other =>
+            throw new IllegalArgumentException(s"items: $other")
+        }
+        Some(forall(c, x => valueSchema(x, subSchema)))
+      case ("properties" | "required", _) =>
+        // nested object: delegate both keywords in one pass below
+        None
+      case ("title" | "description", _) => None
+      case (kw, _) => throw new IllegalArgumentException(
+        s"$$jsonSchema: unsupported keyword $kw")
+    }
+    val nested =
+      if (schema.contains("properties") || schema.contains("required"))
+        Some(objectSchema(
+          schema.filter { case (k, _) =>
+            k == "properties" || k == "required" },
+          f => c.getField(f)))
+      else None
+    (parts ++ nested).reduceOption(_ && _).getOrElse(lit(true))
   }
 
   private def fieldClause(field: String, value: Any): Column = value match {

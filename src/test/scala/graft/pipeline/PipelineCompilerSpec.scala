@@ -1663,6 +1663,25 @@ class SearchStagesSpec extends graft.SparkSpec {
     assert(ss.getInt(ss.fieldIndex("nindexes")) == 0)
   }
 
+  test("$indexStats: empty frame in Mongo's shape, downstream-composable") {
+    val docs = Seq((1L, "a")).toDF("id", "v")
+    val out = PipelineCompiler.compile(Seq(
+      Map("$indexStats" -> Map.empty[String, Any]),
+      Map("$match" -> Map("name" -> "_id_")),
+      Map("$project" -> Map("name" -> 1))))(docs)
+    assert(out.columns.toSeq == Seq("name") && out.count() == 0)
+  }
+
+  test("$search stats side is broadcast (no shuffle join in the plan)") {
+    val docs = Seq((1L, "spark row")).toDF("id", "txt")
+    val out = PipelineCompiler.compile(Seq(
+      Map("$search" -> Map("text" ->
+        Map("query" -> "spark", "path" -> "txt")))))(docs)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin"))
+  }
+
   test("$geoNear stays join-free (scan-fused scalar math)") {
     val pts = Seq((1L, Seq(1.0, 2.0))).toDF("id", "loc")
     val out = PipelineCompiler.compile(Seq(

@@ -221,6 +221,54 @@ class QueryCompilerSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.strictMongo")
   }
 
+  test("$jsonSchema: types, bounds, pattern, enum, arrays, nesting") {
+    val rows = Seq(
+      (1L, "alpha", 5, Seq("a", "b"), ("x", 1)),
+      (2L, "beta", 50, Seq("a", "a"), ("y", 2)),
+      (3L, null.asInstanceOf[String], 7, Seq.empty[String], ("z", 3)))
+      .toDF("_id", "name", "n", "tags", "sub")
+    def hits(schema: Map[String, Any]): Seq[Long] =
+      rows.where(QueryCompiler.compile(Map("$jsonSchema" -> schema)))
+        .select("_id").as[Long].collect().toSeq.sorted
+
+    // required: name null on row 3 → absent
+    assert(hits(Map("required" -> Seq("name"))) == Seq(1, 2))
+    // bounds with draft-4 exclusive modifier
+    assert(hits(Map("properties" -> Map("n" ->
+      Map("bsonType" -> "int", "minimum" -> 5, "maximum" -> 10)))) ==
+      Seq(1, 3))
+    assert(hits(Map("properties" -> Map("n" ->
+      Map("minimum" -> 5, "exclusiveMinimum" -> true)))) == Seq(2, 3))
+    // pattern applies only where present (row 3 passes: name absent)
+    assert(hits(Map("properties" -> Map("name" ->
+      Map("pattern" -> "^a")))) == Seq(1, 3))
+    // pattern + required = Mongo's way to force presence
+    assert(hits(Map("required" -> Seq("name"), "properties" ->
+      Map("name" -> Map("pattern" -> "^a")))) == Seq(1))
+    // enum
+    assert(hits(Map("properties" -> Map("name" ->
+      Map("enum" -> Seq("alpha", "zeta"))))) == Seq(1, 3))
+    // arrays: minItems, uniqueItems, items
+    assert(hits(Map("properties" -> Map("tags" ->
+      Map("bsonType" -> "array", "minItems" -> 1)))) == Seq(1, 2))
+    assert(hits(Map("properties" -> Map("tags" ->
+      Map("uniqueItems" -> true)))) == Seq(1, 3))
+    assert(hits(Map("properties" -> Map("tags" ->
+      Map("items" -> Map("enum" -> Seq("a", "b")))))) == Seq(1, 2, 3))
+    // type alternatives + integer alias covers long
+    assert(hits(Map("properties" -> Map("_id" ->
+      Map("type" -> "integer")))) == Seq(1, 2, 3))
+    // nested object properties
+    assert(hits(Map("properties" -> Map("sub" ->
+      Map("bsonType" -> "object", "required" -> Seq("_1"),
+        "properties" -> Map("_2" -> Map("maximum" -> 2)))))) == Seq(1, 2))
+    // unsupported keyword rejects
+    intercept[IllegalArgumentException] {
+      QueryCompiler.compile(Map("$jsonSchema" ->
+        Map("patternProperties" -> Map())))
+    }
+  }
+
   test("$comment is accepted and matches everything") {
     assert(geoHits(Map("$comment" -> "why this query exists")) ==
       Seq(1, 2, 3, 4, 5))
