@@ -318,6 +318,38 @@ object SparkEntry {
         .sort("vec_id")
         .toDF),
 
+    // $pull condition-doc form + $pullAll: element-level removal compiled
+    // to codegen'd array filter lambdas — map-only, no shuffle
+    "q125_pull_forms" -> ((s, dir) => {
+      val src = tbl(s, dir, "part").where(col("p_partkey") <= 500)
+        .withColumn("arr",
+          sequence(lit(1), (col("p_size") % 6 + 2).cast("int")))
+      val (pulled, _) = TableOps.updateAll(src,
+        Map("p_size" -> Map("$gte" -> 10)),
+        Map("$pull" -> Map("arr" -> Map("$gte" -> 4))),
+        "p_partkey")
+      val (res, _) = TableOps.updateAll(pulled,
+        Map("p_size" -> Map("$lt" -> 10)),
+        Map("$pullAll" -> Map("arr" -> Seq(1, 3))),
+        "p_partkey")
+      res.select(col("p_partkey"),
+        array_join(col("arr").cast("array<string>"), ",").as("arr_s"))
+        .orderBy("p_partkey")
+    }),
+
+    // $documents literal source + $redact access-control filter
+    "q126_documents_redact" -> ((s, dir) =>
+      coll(s, dir, "region").pipe(Seq(
+        Map("$documents" -> Seq(
+          Map("k" -> 1, "level" -> "public", "v" -> 10),
+          Map("k" -> 2, "level" -> "secret", "v" -> 20),
+          Map("k" -> 3, "level" -> "public"),
+          Map("k" -> 4, "level" -> "internal", "v" -> 40))),
+        Map("$redact" -> Map("$cond" -> Seq(
+          Map("$eq" -> Seq("$level", "secret")), "$$PRUNE", "$$KEEP"))),
+        Map("$sort" -> Map("k" -> 1))))
+        .toDF),
+
     // $jsonSchema validation query (pass-through db/wrapper.go:452-481):
     // presence + enum + range + pattern, property schemas gated on
     // presence — one scan-fused predicate
@@ -2463,6 +2495,24 @@ object SparkEntry {
     "q116_select_exclude_slice" ->
       """SELECT vec_id, embedding[1:3] AS embedding
         |FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""".stripMargin,
+
+    "q125_pull_forms" ->
+      """SELECT p_partkey,
+        |  array_to_string(
+        |    CASE WHEN p_size >= 10 THEN
+        |      list_filter(generate_series(1, p_size % 6 + 2), x -> x < 4)
+        |    ELSE
+        |      list_filter(generate_series(1, p_size % 6 + 2),
+        |        x -> x NOT IN (1, 3))
+        |    END, ',') AS arr_s
+        |FROM part WHERE p_partkey <= 500
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q126_documents_redact" ->
+      """SELECT * FROM (VALUES
+        |  (1, 'public', 10), (3, 'public', NULL), (4, 'internal', 40))
+        |  t(k, level, v)
+        |ORDER BY k""".stripMargin,
 
     "q124_jsonschema" ->
       """SELECT doc_id FROM documents

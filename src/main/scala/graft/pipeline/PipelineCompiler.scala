@@ -452,6 +452,41 @@ object PipelineCompiler {
             .orderBy(col("__searchScore").desc)
         }
 
+      case "$documents" =>
+        // literal-documents source (db-level aggregate in Mongo): replaces
+        // the input frame. Values go through the expression language, so
+        // computed literals work; missing keys null-fill across documents
+        // (Mongo documents just lack the fields). Intended for the small
+        // inline sets the stage exists for (tests, seed rows, lookup
+        // tables) — each document is one plan-side row, and the result is
+        // broadcast-sized by construction.
+        val ds = spec match {
+          case s: Seq[_] => s.map(doc)
+          case other =>
+            throw new IllegalArgumentException(s"$$documents: $other")
+        }
+        require(ds.nonEmpty, "$documents: empty array")
+        val frames = ds.map { d =>
+          require(d.nonEmpty, "$documents: empty document")
+          df.sparkSession.range(1).select(
+            d.toSeq.map { case (k, v) => expr2col(v).as(k) }: _*)
+        }
+        frames.reduce(_.unionByName(_, allowMissingColumns = true))
+
+      case "$redact" =>
+        // document-level access control: the expression resolves to
+        // $$KEEP / $$PRUNE / $$DESCEND per document; PRUNE drops the row.
+        // Columnar semantics are root-level only — $$DESCEND does not
+        // recurse into subdocuments (equivalent to Mongo whenever the
+        // decision depends on top-level fields, the usual access-control
+        // idiom); per-subdocument descent would need a schema-recursive
+        // rewrite that no current caller needs.
+        val decision = expr2col(spec, Map(
+          "DESCEND" -> lit("__descend"),
+          "PRUNE" -> lit("__prune"),
+          "KEEP" -> lit("__keep")))
+        df.where(decision =!= lit("__prune"))
+
       case "$indexStats" =>
         // Mongo emits one doc per index. Parquet-backed collections have
         // no secondary indexes (scans prune via statistics instead), so
@@ -1837,7 +1872,7 @@ object PipelineCompiler {
           case _ => trim(seq.head)
         }
         case "$cond" => args match {
-          case s: Seq[_] => val Seq(i, t, f) = s.map(expr2col)
+          case s: Seq[_] => val Seq(i, t, f) = s.map(expr2colE)
             when(i, t).otherwise(f)
           case m2: Map[_, _] =>
             val mm2 = m2.asInstanceOf[Map[String, Any]]

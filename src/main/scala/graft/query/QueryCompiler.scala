@@ -385,7 +385,7 @@ object QueryCompiler {
     * conditions over a struct element (`{score: {$gt: 5}}`, `{kind: "a"}`).
     * Shared by the query predicate and the `$elemMatch` PROJECTION
     * ([[ProjectionCompiler]]). */
-  private[query] def elemMatchPredicate(x: Column, spec: Map[String, Any])
+  private[graft] def elemMatchPredicate(x: Column, spec: Map[String, Any])
       : Column = {
     require(spec.nonEmpty, "$elemMatch: empty match document")
     if (isOperatorDoc(spec))
@@ -411,7 +411,7 @@ object QueryCompiler {
       throw new IllegalArgumentException(s"unsupported $$elemMatch op: $other")
   }
 
-  private def isOperatorDoc(m: Map[_, _]): Boolean =
+  private[graft] def isOperatorDoc(m: Map[_, _]): Boolean =
     m.nonEmpty && m.keys.forall { case s: String => s.startsWith("$"); case _ => false }
 
   private def subdocs(v: Any, ctx: String): Seq[Map[String, Any]] = v match {

@@ -163,8 +163,30 @@ object UpdateCompiler {
               array_union(coalesce(old, array()), toAdd))
           }
         case "$pull" =>
+          // literal form removes equal elements; a condition doc
+          // ({$gt: 5} or {field: {...}} over struct elements) removes
+          // every element matching it — same match semantics as the
+          // $elemMatch query operator, so the two can't drift apart
           fields.foldLeft(acc) { case (d, (path, v)) =>
-            setPath(d, path, pred, old => filter(old, x => !(x <=> toLit(v))))
+            val matches: Column => Column = v match {
+              case m: Map[_, _] =>
+                val mm = m.asInstanceOf[Map[String, Any]]
+                x => graft.query.QueryCompiler.elemMatchPredicate(x, mm)
+              case _ => x => x <=> toLit(v)
+            }
+            setPath(d, path, pred, old => filter(old, x => !matches(x)))
+          }
+        case "$pullAll" =>
+          // remove ALL instances of each listed value (no dedup of
+          // survivors — array_except would collapse them)
+          fields.foldLeft(acc) { case (d, (path, v)) =>
+            val vals = v match {
+              case s: Seq[_] => s.map(toLit)
+              case other => throw new IllegalArgumentException(
+                s"$$pullAll expects an array, got $other")
+            }
+            setPath(d, path, pred, old => filter(old,
+              x => vals.map(lv => !(x <=> lv)).reduce(_ && _)))
           }
         case "$pop" =>
           fields.foldLeft(acc) { case (d, (path, v)) =>

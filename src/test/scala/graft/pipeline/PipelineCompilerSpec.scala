@@ -1663,6 +1663,35 @@ class SearchStagesSpec extends graft.SparkSpec {
     assert(ss.getInt(ss.fieldIndex("nindexes")) == 0)
   }
 
+  test("$documents replaces the input with literal rows, null-filling") {
+    val anything = Seq((1L, "ignored")).toDF("id", "v")
+    val out = PipelineCompiler.compile(Seq(
+      Map("$documents" -> Seq(
+        Map("a" -> 1, "b" -> "x"),
+        Map("a" -> 2),
+        Map("a" -> 3, "b" -> "z", "c" -> true))),
+      Map("$sort" -> Map("a" -> 1))))(anything)
+    assert(out.columns.toSeq == Seq("a", "b", "c"))
+    val rows = out.collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    assert(rows(1).isNullAt(1) && rows(0).isNullAt(2))
+    assert(rows(2).getString(1) == "z" && rows(2).getBoolean(2))
+  }
+
+  test("$redact prunes rows by expression decision") {
+    val docs = Seq((1L, "public"), (2L, "secret"), (3L, "public"))
+      .toDF("id", "level")
+    val out = PipelineCompiler.compile(Seq(
+      Map("$redact" -> Map("$cond" -> Seq(
+        Map("$eq" -> Seq("$level", "secret")),
+        "$$PRUNE", "$$KEEP")))))(docs)
+    assert(out.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    // $$DESCEND at the root keeps the row
+    val out2 = PipelineCompiler.compile(Seq(
+      Map("$redact" -> "$$DESCEND")))(docs)
+    assert(out2.count() == 3)
+  }
+
   test("$indexStats: empty frame in Mongo's shape, downstream-composable") {
     val docs = Seq((1L, "a")).toDF("id", "v")
     val out = PipelineCompiler.compile(Seq(

@@ -298,4 +298,20 @@ class UpdateCompilerSpec extends SparkSpec {
   test("unknown operator rejected") {
     intercept[IllegalArgumentException] { run(Map("$bogus" -> Map("a" -> 1))) }
   }
+
+  test("$pull condition doc removes matching elements") {
+    val out = run(Map("$pull" -> Map("arr" -> Map("$gte" -> 2))))
+    assert(out.orderBy("_id").select("arr").as[Seq[Int]].collect().toSeq ==
+      Seq(Seq(1), Seq()))
+  }
+
+  test("$pullAll removes all instances, keeps duplicate survivors") {
+    val dups = Seq((1L, Seq(1, 2, 1, 3, 2, 1))).toDF("_id", "arr")
+    val out = UpdateCompiler.compile(
+      Map("$pullAll" -> Map("arr" -> Seq(2, 3))))(dups)
+    assert(out.select("arr").as[Seq[Int]].head() == Seq(1, 1, 1))
+    intercept[IllegalArgumentException] {
+      UpdateCompiler.compile(Map("$pullAll" -> Map("arr" -> 2)))(dups)
+    }
+  }
 }
