@@ -161,3 +161,49 @@ class DataPipelineOpsProps extends SparkSpec with GenSampling {
     }
   }
 }
+
+class GeoProps extends SparkSpec with GenSampling {
+  import spark.implicits._
+  import org.apache.spark.sql.functions.col
+
+  /** Reference even-odd ray cast (plain Scala), the independent oracle for
+    * the compiled Column expression. */
+  private def inPolyRef(x: Double, y: Double,
+      ring: Seq[(Double, Double)]): Boolean = {
+    var inside = false
+    var i = 0
+    val n = ring.size
+    while (i < n) {
+      val (xi, yi) = ring(i)
+      val (xj, yj) = ring((i + 1) % n)
+      if (yi != yj && ((yi > y) != (yj > y)) &&
+          x < (y - yi) * ((xj - xi) / (yj - yi)) + xi)
+        inside = !inside
+      i += 1
+    }
+    inside
+  }
+
+  test("pointInPolygon matches the scalar ray-cast on random polygons") {
+    val coordGen = Gen.chooseNum(-10.0, 10.0)
+    val ringGen = for {
+      n <- Gen.chooseNum(3, 8)
+      xs <- Gen.listOfN(n, coordGen)
+      ys <- Gen.listOfN(n, coordGen)
+    } yield xs.zip(ys)
+    val points = samples(Gen.zip(coordGen, coordGen), 60)
+      .zipWithIndex.map { case ((x, y), i) => (i.toLong, Seq(x, y)) }
+    val df = points.toDF("id", "loc").cache()
+    try {
+      for (ring <- samples(ringGen, 25)) {
+        val got = df.where(graft.functions.Geo.pointInPolygon(
+            col("loc").getItem(0), col("loc").getItem(1), ring))
+          .select("id").as[Long].collect().toSet
+        val want = points.collect {
+          case (id, Seq(x, y)) if inPolyRef(x, y, ring) => id
+        }.toSet
+        assert(got == want, s"ring=$ring")
+      }
+    } finally { df.unpersist(); () }
+  }
+}
