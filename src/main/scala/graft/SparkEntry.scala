@@ -12,7 +12,8 @@ import graft.orchestrate.MigrationApp
 import graft.backup.{Backup, BackupOptions}
 import graft.apm.Apm
 import graft.ops.{Dedup, Decontaminate, Similarity, TextFunctions,
-  Multimodal, Chunking, Quantize, Redaction, TfIdf, TextSearch}
+  Multimodal, Chunking, Quantize, Redaction, TfIdf, TextSearch,
+  LanguageModel}
 
 /** Driver contract — one `queries` entry + matching DuckDB `oracleSql` per
   * implemented operator from SURVEY.md §2 (plus the LLM-pipeline extension
@@ -317,6 +318,35 @@ object SparkEntry {
         .select(Map("label" -> 0, "embedding" -> Map("$slice" -> 3)))
         .sort("vec_id")
         .toDF),
+
+    // URL/domain extraction + per-domain rollup (web-corpus curation:
+    // domain quality lists, per-domain caps) — scan-fused regex, one
+    // explode, one hash aggregate
+    "q128_url_domains" -> ((s, dir) => {
+      val injected = concat(col("text"),
+        lit(" see https://site"), (col("doc_id") % 7).cast("string"),
+        lit(".example.com/p/"), col("doc_id").cast("string"),
+        lit(" and http://other"), (col("doc_id") % 3).cast("string"),
+        lit(".org/x"))
+      tbl(s, dir, "documents").where(col("doc_id") < 400)
+        .select(col("doc_id"),
+          explode(TextFunctions.urlDomains(injected)).as("domain"))
+        .groupBy("domain").agg(count(lit(1)).as("n"))
+        .orderBy("domain")
+    }),
+
+    // bigram-LM perplexity quality scoring (CCNet-style filter signal):
+    // model = two distributed count tables, scoring = bucketed equi-joins
+    // of doc bigrams against them — no collect, no quadratic work
+    "q127_lm_perplexity" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").where(col("doc_id") < 300)
+      LanguageModel.perplexity(docs, "doc_id", "text", docs, "text")
+        .select(col("doc_id"),
+          col("bits_per_token").cast("decimal(18,9)").cast("double")
+            .as("bits_per_token"),
+          col("n_bigrams"))
+        .orderBy("doc_id")
+    }),
 
     // $pull condition-doc form + $pullAll: element-level removal compiled
     // to codegen'd array filter lambdas — map-only, no shuffle
@@ -2495,6 +2525,42 @@ object SparkEntry {
     "q116_select_exclude_slice" ->
       """SELECT vec_id, embedding[1:3] AS embedding
         |FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""".stripMargin,
+
+    "q128_url_domains" ->
+      """WITH u AS (
+        |  SELECT unnest(regexp_extract_all(
+        |    text || ' see https://site' || (doc_id % 7)
+        |      || '.example.com/p/' || doc_id
+        |      || ' and http://other' || (doc_id % 3) || '.org/x',
+        |    'https?://([^/\s]+)', 1)) AS domain
+        |  FROM documents WHERE doc_id < 400)
+        |SELECT domain, COUNT(*) AS n FROM u
+        |GROUP BY domain ORDER BY domain""".stripMargin,
+
+    "q127_lm_perplexity" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_prepend('<s>',
+        |    list_filter(string_split(text, ' '), x -> x <> '')) AS t
+        |  FROM documents WHERE doc_id < 300),
+        |bg AS (
+        |  SELECT doc_id, z.w1 AS w1, z.w2 AS w2 FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(t)),
+        |      i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS z
+        |    FROM tk)),
+        |c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+        |v AS (SELECT COUNT(DISTINCT w2) AS vv FROM c12),
+        |sc AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CAST(-log2((c12.c12 + 0.5) / (c1.c1 + 0.5 * vv))
+        |      AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS bits,
+        |    COUNT(*) AS n_bigrams
+        |  FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v
+        |  GROUP BY doc_id)
+        |SELECT doc_id,
+        |  CAST(CAST(bits AS DECIMAL(18,9)) AS DOUBLE) AS bits_per_token,
+        |  n_bigrams
+        |FROM sc ORDER BY doc_id""".stripMargin,
 
     "q125_pull_forms" ->
       """SELECT p_partkey,

@@ -27,6 +27,16 @@ object TextFunctions {
   def bpeishTokenCount(text: Column): Column =
     regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
 
+  /** http(s) URLs in the text — scan-fused regex, no explode until the
+    * caller asks for one. */
+  def urls(text: Column): Column =
+    regexp_extract_all(text, lit("https?://[^\\s]+"), lit(0))
+
+  /** Host part of every http(s) URL — the per-domain key that web-corpus
+    * curation aggregates on (domain quality lists, per-domain caps). */
+  def urlDomains(text: Column): Column =
+    regexp_extract_all(text, lit("https?://([^/\\s]+)"), lit(1))
+
   /** Deterministic 60-bit hash of a string: first 15 hex digits of md5.
     * Reproducible in any engine with md5 (DuckDB: ('0x'||substr(md5(s),1,
     * 15))::BIGINT). */

@@ -294,4 +294,35 @@ class DataPipelineOpsSpec extends SparkSpec {
       bench, "doc_id", "text", n = 3, maxBenchDf = 2L)
     assert(capped.count() == 0)
   }
+
+  test("LanguageModel: bigram counts and hand-computed perplexity") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b"), (2L, "a b")).toDF("doc_id", "text")
+    val (c12, c1) = LanguageModel.train(docs, "text")
+    assert(c12.collect().map(r =>
+      ((r.getString(0), r.getString(1)), r.getLong(2))).toMap ==
+      Map(("<s>", "a") -> 2L, ("a", "b") -> 3L, ("b", "a") -> 1L))
+    assert(c1.collect().map(r => (r.getString(0), r.getLong(1))).toMap ==
+      Map("<s>" -> 2L, "a" -> 3L, "b" -> 1L))
+
+    // self-score doc 2 "a b": V = |{a, b}| = 2, k = 0.5
+    //   p(<s>,a) = (2+0.5)/(2+0.5*2) = 2.5/3
+    //   p(a,b)   = (3+0.5)/(3+0.5*2) = 3.5/4
+    val expected =
+      -(math.log(2.5 / 3) / math.log(2) + math.log(3.5 / 4) / math.log(2)) / 2
+    val row = LanguageModel.perplexity(docs, "doc_id", "text", docs, "text")
+      .where($"doc_id" === 2).head()
+    assert(math.abs(row.getAs[Double]("bits_per_token") - expected) < 1e-9)
+    assert(row.getAs[Long]("n_bigrams") == 2L)
+    assert(math.abs(row.getAs[Double]("perplexity") -
+      math.pow(2, expected)) < 1e-9)
+
+    // out-of-domain text: unseen bigrams hit the smoothing floor, score
+    // is finite and worse (higher) than in-domain
+    val weird = Seq((9L, "z q z")).toDF("doc_id", "text")
+    val w = LanguageModel.perplexity(weird, "doc_id", "text", docs, "text")
+      .head()
+    assert(!w.getAs[Double]("bits_per_token").isNaN)
+    assert(w.getAs[Double]("bits_per_token") > expected)
+  }
 }
