@@ -47,7 +47,8 @@ object LanguageModel {
     * per-token mean negative log2 probability (`bits_per_token`) and
     * `perplexity` = 2^bits. Unseen bigrams/contexts fall back to the
     * smoothing floor k/(k·V) rather than -inf, so out-of-domain text
-    * scores high instead of breaking. */
+    * scores high instead of breaking. Documents with no tokens have no
+    * bigrams and are absent from the output (nothing to score). */
   def perplexity(df: DataFrame, idCol: String, textCol: String,
       reference: DataFrame, refTextCol: String,
       k: Double = 0.5): DataFrame = {

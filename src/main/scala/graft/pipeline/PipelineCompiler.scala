@@ -48,11 +48,22 @@ object PipelineCompiler {
     scaleWarnSink(msg)
   }
 
+  /** Stages that only make sense against the raw collection (Mongo
+    * enforces first position too): a mid-pipeline `$collStats` would
+    * count the transformed frame while reporting storage sizes of the
+    * scan — silently wrong, so reject like the server does. */
+  private val firstOnly = Set("$collStats", "$indexStats", "$documents")
+
   def compile(pipeline: Seq[Map[String, Any]],
       tables: TableResolver = name =>
         throw new IllegalArgumentException(s"$$lookup: unknown table $name"))
-      : DataFrame => DataFrame =
+      : DataFrame => DataFrame = {
+    pipeline.zipWithIndex.drop(1).foreach { case (st, i) =>
+      st.keys.find(firstOnly).foreach(k => throw new IllegalArgumentException(
+        s"$k must be the first pipeline stage (found at position $i)"))
+    }
     df => fuse(pipeline).foldLeft(df)((acc, st) => stage(acc, st, tables))
+  }
 
   /** Peephole rewrite: `$lookup(as: X)` immediately followed by
     * `$unwind: "$X"` is semantically an inner join — compile it to one,

@@ -1692,6 +1692,20 @@ class SearchStagesSpec extends graft.SparkSpec {
     assert(out2.count() == 3)
   }
 
+  test("collection-level stages reject when not first (Mongo's rule)") {
+    val docs = Seq((1L, "a")).toDF("id", "v")
+    intercept[IllegalArgumentException] {
+      PipelineCompiler.compile(Seq(
+        Map("$match" -> Map("id" -> 1)),
+        Map("$collStats" -> Map("count" -> Map.empty[String, Any]))))(docs)
+    }
+    intercept[IllegalArgumentException] {
+      PipelineCompiler.compile(Seq(
+        Map("$limit" -> 1),
+        Map("$documents" -> Seq(Map("a" -> 1)))))(docs)
+    }
+  }
+
   test("$indexStats: empty frame in Mongo's shape, downstream-composable") {
     val docs = Seq((1L, "a")).toDF("id", "v")
     val out = PipelineCompiler.compile(Seq(
