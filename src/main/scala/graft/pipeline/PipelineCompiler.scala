@@ -1813,6 +1813,19 @@ object PipelineCompiler {
         case "$toBool"   => seq.head.cast("boolean")
         case "$toDate"   => seq.head.cast("timestamp")
         case "$toDecimal" => seq.head.cast("decimal(38,10)")
+        case "$toObjectId" =>
+          // no ObjectId type in a columnar engine: ids stay strings, but
+          // the 24-hex validity contract (and error-on-invalid) holds
+          val in = seq.head.cast("string")
+          when(in.rlike("^[0-9a-fA-F]{24}$"), lower(in))
+            .otherwise(raise_error(
+              concat(lit("$toObjectId: invalid ObjectId: "), in)))
+        case "$toUUID" =>
+          val in = seq.head.cast("string")
+          when(in.rlike("^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-" +
+              "[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"), lower(in))
+            .otherwise(raise_error(
+              concat(lit("$toUUID: invalid UUID: "), in)))
         case "$cmp" | "$strcasecmp" =>
           // three-way compare (−1/0/1); $strcasecmp lowercases first.
           // Null semantics: equal nulls → 0 (null-safe eq), a single null

@@ -1456,6 +1456,24 @@ class ExprLangSpec extends graft.SparkSpec {
     assert(r.getSeq[String](3) == Seq("many", "tiny", "words", "here"))
   }
 
+  test("$toObjectId/$toUUID validate format, raise on invalid") {
+    val good = Seq(("507F1F77BCF86CD799439011",
+      "A0EEBC99-9C0B-4EF8-BB6D-6BB9BD380A11")).toDF("oid", "uid")
+    val out = PipelineCompiler.compile(Seq(
+      Map("$project" -> Map(
+        "o" -> Map("$toObjectId" -> "$oid"),
+        "u" -> Map("$toUUID" -> "$uid")))))(good).head()
+    assert(out.getString(0) == "507f1f77bcf86cd799439011")
+    assert(out.getString(1) == "a0eebc99-9c0b-4ef8-bb6d-6bb9bd380a11")
+    val bad = Seq(Tuple1("nope")).toDF("oid")
+    val err = intercept[Exception] {
+      PipelineCompiler.compile(Seq(
+        Map("$project" -> Map("o" -> Map("$toObjectId" -> "$oid")))))(bad)
+        .collect()
+    }
+    assert(err.getMessage.contains("invalid ObjectId"))
+  }
+
   test("$convert honors onError and onNull; $dateFromString parses") {
     val d = Seq(("12", "abc"), (null, "7")).toDF("a", "b")
     val out = PipelineCompiler.compile(Seq(Map("$addFields" -> Map(
