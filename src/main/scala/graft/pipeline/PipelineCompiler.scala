@@ -1553,6 +1553,16 @@ object PipelineCompiler {
         val mm = doc(e)
         slice(reverse(array_sort(collect_list(expr2col(mm("input"))))), 1,
           int(mm("n")))
+      case "$firstN" | "$lastN" =>
+        // encounter-order prefixes/suffixes; like $first/$last/$push, the
+        // encounter order is the upstream sort (deterministic only after
+        // a $sort, Mongo's caveat too)
+        val mm = doc(e)
+        val arr = collect_list(expr2col(mm("input")))
+        val n = lit(int(mm("n")))
+        if (op == "$firstN") slice(arr, lit(1), n)
+        else slice(arr, greatest(size(arr) - n + 1, lit(1)),
+          least(n, size(arr)))
       case "$top" => element_at(topOrdered(doc(e)), 1)
       case "$bottom" => element_at(topOrdered(doc(e)), -1)
       case "$topN" =>

@@ -68,6 +68,20 @@ class PipelineCompilerSpec extends SparkSpec {
     assert(a.getSeq[Double](a.fieldIndex("big")) == Seq(20.0, 10.0))
   }
 
+  test("$firstN/$lastN group accumulators: encounter-order prefix/suffix") {
+    val out = run(
+      Map("$sort" -> Map("n" -> 1)),
+      Map("$group" -> Map("_id" -> "$cat",
+        "f2" -> Map("$firstN" -> Map("input" -> "$n", "n" -> 2)),
+        "l1" -> Map("$lastN" -> Map("input" -> "$n", "n" -> 1)),
+        "l9" -> Map("$lastN" -> Map("input" -> "$n", "n" -> 9)))),
+      Map("$sort" -> Map("_id" -> 1)))
+    val a = out.collect()(0)
+    assert(a.getSeq[Int](a.fieldIndex("f2")) == Seq(1, 2))
+    assert(a.getSeq[Int](a.fieldIndex("l1")) == Seq(2))
+    assert(a.getSeq[Int](a.fieldIndex("l9")) == Seq(1, 2)) // n > size
+  }
+
   test("$median / $percentile are exact; $sortArray orders both ways") {
     val out = run(Map("$group" -> Map("_id" -> null,
       "med" -> Map("$median" -> Map("input" -> "$amt")),
