@@ -319,6 +319,20 @@ object SparkEntry {
         .sort("vec_id")
         .toDF),
 
+    // cross-document boilerplate line removal (CCNet-style): lines in
+    // > maxDocFreq docs drop; one explode + line-keyed count + semi-join
+    // + ordered reassembly — injected header/footer lines must vanish
+    "q129_boilerplate" -> ((s, dir) => {
+      val framed = tbl(s, dir, "documents").where(col("doc_id") < 250)
+        .withColumn("text", concat(
+          lit("hdr "), (col("doc_id") % 5).cast("string"), lit("\n"),
+          col("text"), lit("\ncommon footer")))
+      graft.ops.Dedup.removeBoilerplateLines(
+        framed, "doc_id", "text", maxDocFreq = 10)
+        .select(col("doc_id"), col("clean"))
+        .orderBy("doc_id")
+    }),
+
     // URL/domain extraction + per-domain rollup (web-corpus curation:
     // domain quality lists, per-domain caps) — scan-fused regex, one
     // explode, one hash aggregate
@@ -2564,6 +2578,29 @@ object SparkEntry {
     "q116_select_exclude_slice" ->
       """SELECT vec_id, embedding[1:3] AS embedding
         |FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""".stripMargin,
+
+    "q129_boilerplate" ->
+      """WITH d AS (
+        |  SELECT doc_id, 'hdr ' || (doc_id % 5) || chr(10) || text
+        |    || chr(10) || 'common footer' AS t
+        |  FROM documents WHERE doc_id < 250),
+        |l AS (
+        |  SELECT doc_id, z.pos AS pos, z.line AS line FROM (
+        |    SELECT doc_id, unnest(list_transform(
+        |      range(1, len(string_split(t, chr(10))) + 1),
+        |      i -> struct_pack(pos := i,
+        |        line := string_split(t, chr(10))[i]))) AS z
+        |    FROM d)),
+        |rare AS (
+        |  SELECT line FROM (
+        |    SELECT line, COUNT(DISTINCT doc_id) AS df FROM l GROUP BY 1)
+        |  WHERE df <= 10),
+        |k AS (SELECT doc_id, pos, line FROM l
+        |  WHERE line IN (SELECT line FROM rare)),
+        |o AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean
+        |  FROM k GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(o.clean, '') AS clean
+        |FROM d LEFT JOIN o USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "q128_url_domains" ->
       """WITH u AS (

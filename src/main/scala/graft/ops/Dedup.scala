@@ -60,6 +60,38 @@ object Dedup {
       .agg(min(col(orderCol)).as(orderCol),
         count(lit(1)).as("n_copies"))
 
+  /** Cross-document boilerplate removal (CCNet-style): drop every line
+    * that occurs in more than `maxDocFreq` distinct documents (headers,
+    * navigation, cookie banners — the within-line analog of stop-shingle
+    * capping). Returns the input plus `outCol` with the surviving lines
+    * re-joined in original order; documents whose lines are all
+    * boilerplate keep an empty string.
+    *
+    * Plan shape at 100 TB: one posexplode, one line-keyed count-distinct
+    * aggregate (map-side partial combine on the line hash), one equi-join
+    * of the lines against the under-threshold set, one per-doc ordered
+    * reassembly, one left join back — every step keyed, nothing
+    * collected, no quadratic work. */
+  def removeBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
+      maxDocFreq: Long, delim: String = "\n", outCol: String = "clean")
+      : DataFrame = {
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(delim)))
+        .as(Seq("__pos", "__line")))
+    val rare = lines.groupBy("__line")
+      .agg(count_distinct(col(idCol)).as("__df"))
+      .where(col("__df") <= maxDocFreq)
+      .select("__line")
+    val kept = lines.join(rare, Seq("__line"), "left_semi")
+    val reassembled = kept
+      .groupBy(idCol)
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("__pos"), col("__line")))),
+        e => e.getField("__line")), delim).as(outCol))
+    df.join(reassembled, Seq(idCol), "left")
+      .withColumn(outCol, coalesce(col(outCol), lit("")))
+  }
+
   /** Exact dedup keeping full rows: survivor = first row per key ordered by
     * `orderCol` (window, one shuffle). */
   def exactRows(df: DataFrame, keyCols: Seq[String], orderCol: String)

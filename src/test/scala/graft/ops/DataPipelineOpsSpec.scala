@@ -295,6 +295,19 @@ class DataPipelineOpsSpec extends SparkSpec {
     assert(capped.count() == 0)
   }
 
+  test("removeBoilerplateLines drops cross-corpus lines, keeps order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "nav\nalpha\nmiddle\nfooter"),
+      (2L, "nav\nbeta\nfooter"),
+      (3L, "nav\ngamma\nfooter"),
+      (4L, "nav\nfooter")).toDF("doc_id", "text")
+    val out = Dedup.removeBoilerplateLines(docs, "doc_id", "text",
+      maxDocFreq = 2).orderBy("doc_id")
+      .select("clean").as[String].collect().toSeq
+    assert(out == Seq("alpha\nmiddle", "beta", "gamma", ""))
+  }
+
   test("LanguageModel: bigram counts and hand-computed perplexity") {
     import spark.implicits._
     val docs = Seq((1L, "a b a b"), (2L, "a b")).toDF("doc_id", "text")
