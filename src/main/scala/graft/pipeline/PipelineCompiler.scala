@@ -173,6 +173,12 @@ object PipelineCompiler {
         df.orderBy(keys.map {
           case (k, 1) => col(k).asc
           case (k, -1) => col(k).desc
+          // {f: {$meta: "textScore"}} — Mongo sorts relevance DESCENDING;
+          // the score carrier comes from the $search/$text stage
+          case (_, m: Map[_, _]) if m.asInstanceOf[Map[String, Any]]
+              .get("$meta").exists(v =>
+                v == "textScore" || v == "searchScore") =>
+            col("__searchScore").desc
           case (k, v) => throw new IllegalArgumentException(s"$$sort $k: $v")
         }: _*)
 

@@ -63,6 +63,9 @@ object QueryCompiler {
       val toks = graft.ops.TextFunctions.tokens(col("text"))
       terms.map(t => array_contains(toks, t)).reduce(_ || _)
     case "$comment" => lit(true) // server-log annotation: no predicate
+    case "$where" => throw new IllegalArgumentException(
+      "$where (JavaScript) is not supported: there is no JS engine in a " +
+        "columnar plan; express the predicate with $expr instead")
     case "$jsonSchema" => jsonSchema(value)
     case field  => fieldClause(field, value)
   }

@@ -1672,6 +1672,17 @@ class SearchStagesSpec extends graft.SparkSpec {
       Map(1L -> 2.0, 2L -> 1.0))
   }
 
+  test("$sort by {$meta: textScore} orders by the search score") {
+    val docs = Seq((1L, "spark"), (2L, "spark spark spark"), (3L, "spark spark"))
+      .toDF("id", "txt")
+    val out = PipelineCompiler.compile(Seq(
+      Map("$search" -> Map("text" ->
+        Map("query" -> "spark", "path" -> "txt"))),
+      Map("$sort" -> Map("score" -> Map("$meta" -> "textScore"))),
+      Map("$project" -> Map("id" -> 1))))(docs)
+    assert(out.select("id").as[Long].collect().toSeq == Seq(2L, 3L, 1L))
+  }
+
   test("$searchMeta returns the count document") {
     val docs = Seq((1L, "spark x"), (2L, "y"), (3L, "spark z"))
       .toDF("id", "txt")

@@ -269,6 +269,13 @@ class QueryCompilerSpec extends SparkSpec {
     }
   }
 
+  test("$where rejects with guidance toward $expr") {
+    val err = intercept[IllegalArgumentException] {
+      QueryCompiler.compile(Map("$where" -> "this.a > 1"))
+    }
+    assert(err.getMessage.contains("$expr"))
+  }
+
   test("$comment is accepted and matches everything") {
     assert(geoHits(Map("$comment" -> "why this query exists")) ==
       Seq(1, 2, 3, 4, 5))
