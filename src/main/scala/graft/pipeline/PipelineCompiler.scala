@@ -88,7 +88,28 @@ object PipelineCompiler {
     require(st.size == 1, s"pipeline stage must have exactly one key: $st")
     val (name, spec) = st.head
     name match {
-      case "$match" => df.where(QueryCompiler.compile(doc(spec)))
+      case "$match" =>
+        val q = doc(spec)
+        val matched = df.where(QueryCompiler.compile(q))
+        // Mongo's {$meta: "textScore"} is produced by a $text match: stash
+        // a score (matched-term count over the `text` column — a simpler
+        // weighting than Mongo's, documented; $search carries full BM25)
+        // so a following $sort/$project {$meta} composes
+        q.get("$text") match {
+          case Some(t) =>
+            val search = t match {
+              case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+                .getOrElse("$search", "").toString
+              case s: String => s
+              case _ => ""
+            }
+            val terms = search.split("\\s+").filter(_.nonEmpty).distinct
+            val toks = graft.ops.TextFunctions.tokens(col("text"))
+            matched.withColumn("__searchScore",
+              terms.map(tm => array_contains(toks, tm).cast("int"))
+                .reduce(_ + _).cast("double"))
+          case None => matched
+        }
 
       case "$project" =>
         val fields = doc(spec)

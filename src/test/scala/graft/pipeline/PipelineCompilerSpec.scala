@@ -1683,6 +1683,19 @@ class SearchStagesSpec extends graft.SparkSpec {
     assert(out.select("id").as[Long].collect().toSeq == Seq(2L, 3L, 1L))
   }
 
+  test("$match $text stashes a textScore for $meta sort/projection") {
+    val docs = Seq((1L, "spark only"), (2L, "spark shuffle here"),
+      (3L, "nothing relevant")).toDF("id", "text")
+    val out = PipelineCompiler.compile(Seq(
+      Map("$match" -> Map("$text" -> Map("$search" -> "spark shuffle"))),
+      Map("$sort" -> Map("s" -> Map("$meta" -> "textScore"))),
+      Map("$project" -> Map("id" -> 1,
+        "s" -> Map("$meta" -> "textScore")))))(docs)
+    val rows = out.collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(2L, 1L)) // 2 terms > 1 term
+    assert(rows.map(_.getDouble(1)).toSeq == Seq(2.0, 1.0))
+  }
+
   test("$searchMeta returns the count document") {
     val docs = Seq((1L, "spark x"), (2L, "y"), (3L, "spark z"))
       .toDF("id", "txt")
