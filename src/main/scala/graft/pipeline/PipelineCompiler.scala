@@ -1600,6 +1600,10 @@ object PipelineCompiler {
         val n = int(mm("n"))
         val arr = topOrdered(mm)
         when(size(arr) <= n, arr).otherwise(slice(arr, -n, n))
+      case "$accumulator" => throw new IllegalArgumentException(
+        "$accumulator runs user JavaScript on the server; a distributed " +
+          "engine can't ship JS to executors. Compose the built-in " +
+          "accumulators ($sum/$push/$topN/...) or pre-aggregate with $project")
       case other =>
         throw new IllegalArgumentException(s"unsupported accumulator: $other")
     }
@@ -2135,6 +2139,17 @@ object PipelineCompiler {
         case "$acosh" => acosh(seq.head)
         case "$atanh" => atanh(seq.head)
         case "$rand"  => rand() // uniform [0, 1), non-deterministic
+        // BSON internal timestamps: 64-bit packed {t: epoch-seconds (high
+        // 32), i: ordinal increment (low 32)}. The columnar carrier is the
+        // packed long itself, so the accessors are pure bit ops.
+        case "$tsSecond" =>
+          shiftrightunsigned(seq.head.cast("long"), 32)
+        case "$tsIncrement" =>
+          seq.head.cast("long").bitwiseAND(lit(0xFFFFFFFFL))
+        case "$function" => throw new IllegalArgumentException(
+          "$function runs user JavaScript on the server; a distributed " +
+            "engine can't ship JS to executors. Re-express the logic with " +
+            "$let/$map/$reduce/$switch (or a native Catalyst expression)")
         case "$degreesToRadians" => radians(seq.head)
         case "$radiansToDegrees" => degrees(seq.head)
         case "$trunc" => args match {

@@ -246,6 +246,7 @@ object QueryCompiler {
           throw new IllegalArgumentException(s"$$type expects a string: $other")
       }
       case "$geoWithin" => geoWithin(c, v)
+      case "$geoIntersects" => geoIntersects(c, v)
       case other =>
         throw new IllegalArgumentException(s"unsupported query operator: $other")
     }
@@ -321,6 +322,49 @@ object QueryCompiler {
           (acc, hole) => acc && !Geo.pointInPolygon(x, y, hole))
       case (other, _) => throw new IllegalArgumentException(
         s"$$geoWithin: unsupported shape $other")
+    }
+  }
+
+  /** `$geoIntersects` for point-typed fields: a point intersects a query
+    * Polygon / MultiPolygon iff it lies inside (or on the boundary of) one
+    * of its polygons, so the predicate reduces to the same planar ray-cast
+    * as `$geoWithin $geometry` (same reference pass-through,
+    * /root/reference/db/wrapper.go:452-481; same documented planar
+    * approximation of spherical edges). Non-point field geometries are
+    * outside the [lon, lat]-column data model and reject at compile time
+    * via the geometry-type check below. */
+  private def geoIntersects(c: Column, v: Any): Column = {
+    import graft.functions.Geo
+    val spec = v match {
+      case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+      case other =>
+        throw new IllegalArgumentException(s"$$geoIntersects: $other")
+    }
+    val g = spec.getOrElse("$geometry",
+      throw new IllegalArgumentException("$geoIntersects needs $geometry"))
+      match {
+        case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+        case other =>
+          throw new IllegalArgumentException(s"$$geometry: $other")
+      }
+    val (x, y) = (Geo.lon(c), Geo.lat(c))
+    def ringsOf(arg: Any): Seq[Seq[(Double, Double)]] =
+      seqOf(arg, "$geometry").map(r =>
+        seqOf(r, "$geometry ring").map(p => point2(p, "$geometry")))
+    def inPolygon(rings: Seq[Seq[(Double, Double)]]): Column = {
+      require(rings.nonEmpty, "$geometry: empty coordinates")
+      rings.tail.foldLeft(Geo.pointInPolygon(x, y, rings.head))(
+        (acc, hole) => acc && !Geo.pointInPolygon(x, y, hole))
+    }
+    val coords = g.getOrElse("coordinates",
+      throw new IllegalArgumentException("$geometry needs coordinates"))
+    g.get("type") match {
+      case Some("Polygon") => inPolygon(ringsOf(coords))
+      case Some("MultiPolygon") =>
+        seqOf(coords, "$geometry").map(p => inPolygon(ringsOf(p)))
+          .reduce(_ || _)
+      case other => throw new IllegalArgumentException(
+        s"$$geoIntersects: only Polygon/MultiPolygon geometry, got $other")
     }
   }
 

@@ -57,6 +57,20 @@ object StreamingMigrations {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Watermarks require an instant (`TimestampType`); parquet written
+    * without UTC adjustment (e.g. pandas µs timestamps) reads as
+    * `TimestampNTZType`, which `withWatermark` rejects outright
+    * (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). Interpret NTZ event times in
+    * the session time zone — the engine pins UTC, so the cast is
+    * value-identical and fuses into the scan projection (no extra pass). */
+  private def ensureEventTime(df: DataFrame, tsCol: String): DataFrame =
+    df.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn(tsCol,
+          col(tsCol).cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
+
   /** Streaming exact deduplication: drop rows whose `keyCols` were already
     * seen within the watermark horizon — the streaming analog of
     * [[graft.ops.Dedup.exact]] for continuously arriving corpora. State is
@@ -65,7 +79,7 @@ object StreamingMigrations {
     * not all history. */
   def streamingDedup(stream: DataFrame, tsCol: String, keyCols: Seq[String],
       watermark: String = "1 hour"): DataFrame =
-    stream.withWatermark(tsCol, watermark)
+    ensureEventTime(stream, tsCol).withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
   /** Event-time windowed success/fail/duration rollup with watermark —
@@ -73,7 +87,7 @@ object StreamingMigrations {
   def windowedRollup(events: DataFrame, tsCol: String, keys: Seq[String],
       okCol: String, durCol: String, windowLen: String = "1 minute",
       watermark: String = "2 minutes"): DataFrame =
-    events
+    ensureEventTime(events, tsCol)
       .withWatermark(tsCol, watermark)
       .groupBy((window(col(tsCol), windowLen) +: keys.map(col)): _*)
       .agg(

@@ -460,10 +460,53 @@ class ApmSpec extends SparkSpec {
 class TablesSpec extends SparkSpec {
 
   test("nanos timestamps normalize to microsecond TimestampType") {
-    val df = graft.sources.Tables.table(spark, "/root/testdata/sf0.001", "events")
+    // The driver has shipped events.ts as both INT64 TIMESTAMP(NANOS) and
+    // plain µs parquet across rounds; synthesize a nanos file so this path
+    // stays covered regardless of the current testdata encoding.
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupWriteSupport}
+    import org.apache.parquet.hadoop.util.HadoopOutputFile
+    import org.apache.hadoop.conf.Configuration
+    val dir = java.nio.file.Files.createTempDirectory("graft-nanos")
+    val file = s"$dir/nanos.parquet"
+    val schema = Types.buildMessage()
+      .addField(Types.required(PrimitiveTypeName.INT64).named("event_id"))
+      .addField(Types.required(PrimitiveTypeName.INT64)
+        .as(LogicalTypeAnnotation.timestampType(true, TimeUnit.NANOS))
+        .named("ts"))
+      .named("events")
+    val conf = new Configuration()
+    GroupWriteSupport.setSchema(schema, conf)
+    val w = ExampleParquetWriter
+      .builder(HadoopOutputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file), conf))
+      .withConf(conf).build()
+    val gf = new SimpleGroupFactory(schema)
+    // 2024-01-15T00:00:00Z in nanos, plus a sub-µs remainder that the
+    // normalization must floor away
+    val baseNanos = 1705276800000000000L
+    (0 until 3).foreach { i =>
+      val g = gf.newGroup()
+      g.add("event_id", i.toLong)
+      g.add("ts", baseNanos + i * 1000000000L + 123L)
+      w.write(g)
+    }
+    w.close()
+    val df = graft.sources.Tables.load(spark, file)
     assert(df.schema("ts").dataType.typeName == "timestamp")
     val first = df.orderBy("event_id").select("ts").head().getTimestamp(0)
-    assert(first.toInstant.isAfter(java.time.Instant.parse("2023-12-31T00:00:00Z")))
+    assert(first.toInstant == java.time.Instant.parse("2024-01-15T00:00:00Z"))
+  }
+
+  test("events table loads with a timestamp-typed ts either encoding") {
+    val df = graft.sources.Tables.table(spark, "/root/testdata/sf0.001", "events")
+    // µs parquet without UTC adjustment reads as timestamp_ntz; nanos reads
+    // normalize to timestamp — both are event-time-usable downstream
+    assert(df.schema("ts").dataType.typeName.startsWith("timestamp"))
+    assert(df.count() > 0)
   }
 
   test("tables without nanos columns load unchanged") {

@@ -96,6 +96,47 @@ class StreamingSpec extends SparkSpec {
     assert(out.select("_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("streamingDedup accepts a TimestampNTZ event-time column") {
+    // µs parquet without UTC adjustment reads as timestamp_ntz, which
+    // withWatermark rejects (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE) unless
+    // the engine first casts it to an instant in the session zone
+    val tmp = java.nio.file.Files.createTempDirectory("sdedup-ntz").toString
+    val rows = Seq(
+      (1L, "a", "2024-01-01 00:00:01"),
+      (2L, "b", "2024-01-01 00:00:02"))
+      .toDF("_id", "cat", "ts")
+      .withColumn("ts", $"ts".cast("timestamp_ntz"))
+    rows.write.parquet(s"$tmp/src")
+    rows.write.mode("append").parquet(s"$tmp/src")
+    StreamingMigrations.streamingDedup(
+      StreamingMigrations.readStream(spark, s"$tmp/src", rows.schema),
+      "ts", Seq("_id"))
+      .writeStream.format("parquet")
+      .option("path", s"$tmp/out")
+      .option("checkpointLocation", s"$tmp/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    val out = spark.read.parquet(s"$tmp/out")
+    assert(out.count() == 2)
+  }
+
+  test("windowed rollup accepts a TimestampNTZ event-time column") {
+    val events = Seq(
+      ("2024-01-01 00:00:10", "find", true, 100L),
+      ("2024-01-01 00:01:10", "find", true, 10L))
+      .toDF("ts", "cmd", "ok", "dur")
+      .withColumn("ts", $"ts".cast("timestamp_ntz"))
+    val out = StreamingMigrations.windowedRollup(events, "ts", Seq("cmd"),
+      "ok", "dur")
+    assert(out.schema("window").dataType.asInstanceOf[
+      org.apache.spark.sql.types.StructType]("start").dataType.typeName
+      == "timestamp")
+    val rows = out.orderBy("window.start")
+      .select("succeeded", "failed", "duration_ns")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(rows == Seq((1L, 0L, 100L), (1L, 0L, 10L)))
+  }
+
   test("windowed rollup groups by event-time window") {
     val events = Seq(
       ("2024-01-01 00:00:10", "find", true, 100L),
