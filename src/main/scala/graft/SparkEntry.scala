@@ -322,6 +322,68 @@ object SparkEntry {
     // cross-document boilerplate line removal (CCNet-style): lines in
     // > maxDocFreq docs drop; one explode + line-keyed count + semi-join
     // + ordered reassembly — injected header/footer lines must vanish
+    // SemDeDup (arXiv:2303.09540): within-cluster cosine dedup over the
+    // embeddings table — the generator's `label` is the cluster key; a row
+    // is dropped when an earlier same-cluster row is >= 0.3 similar
+    "q130_semdedup" -> ((s, dir) =>
+      graft.ops.Dedup.semDeDup(tbl(s, dir, "embeddings"), "vec_id",
+        "embedding", "label", eps = 0.3)
+        .select(col("vec_id"), col("label"))
+        .orderBy("vec_id")),
+
+    // $geoIntersects: point-in-Polygon-with-hole plus a MultiPolygon, over
+    // coordinates derived from the first two embedding components (scan-
+    // fused ray-cast predicates; shapes chosen so the oracle reduces to
+    // closed-form half-plane tests)
+    "q131_geo_intersects" -> ((s, dir) =>
+      coll(s, dir, "embeddings").pipe(Seq(
+        Map("$addFields" -> Map("pt" -> Seq(
+          Map("$arrayElemAt" -> Seq("$embedding", 0)),
+          Map("$arrayElemAt" -> Seq("$embedding", 1))))),
+        Map("$match" -> Map("$or" -> Seq(
+          Map("pt" -> Map("$geoIntersects" -> Map("$geometry" -> Map(
+            "type" -> "Polygon",
+            "coordinates" -> Seq(
+              // diamond |x|+|y| <= 0.35 with square hole |x|,|y| <= 0.1
+              Seq(Seq(0.35, 0.0), Seq(0.0, 0.35), Seq(-0.35, 0.0),
+                Seq(0.0, -0.35), Seq(0.35, 0.0)),
+              Seq(Seq(-0.1, -0.1), Seq(-0.1, 0.1), Seq(0.1, 0.1),
+                Seq(0.1, -0.1), Seq(-0.1, -0.1))))))),
+          Map("pt" -> Map("$geoIntersects" -> Map("$geometry" -> Map(
+            "type" -> "MultiPolygon",
+            "coordinates" -> Seq(
+              Seq(Seq(Seq(0.4, 0.4), Seq(0.6, 0.4), Seq(0.6, 0.6),
+                Seq(0.4, 0.6), Seq(0.4, 0.4))),
+              Seq(Seq(Seq(-0.6, -0.6), Seq(-0.4, -0.6), Seq(-0.4, -0.4),
+                Seq(-0.6, -0.4), Seq(-0.6, -0.6))))))))))),
+        Map("$project" -> Map("_id" -> 0, "vec_id" -> 1))))
+        .orderBy("vec_id")),
+
+    // $tsSecond / $tsIncrement: BSON-internal-timestamp accessors over a
+    // packed 64-bit carrier built in-pipeline — pure bit ops, scan-fused
+    "q132_ts_parts" -> ((s, dir) =>
+      coll(s, dir, "events").pipe(Seq(
+        Map("$match" -> Map("event_id" -> Map("$lt" -> 500))),
+        Map("$addFields" -> Map("packed" -> Map("$add" -> Seq(
+          Map("$multiply" -> Seq("$event_id", 4294967296L)),
+          Map("$mod" -> Seq("$event_id", 1000)))))),
+        Map("$project" -> Map("_id" -> 0, "event_id" -> 1,
+          "t" -> Map("$tsSecond" -> "$packed"),
+          "i" -> Map("$tsIncrement" -> "$packed")))))
+        .orderBy("event_id")),
+
+    // bitwise expression operators (Mongo 6.3+): n-ary folds + $bitNot,
+    // all scan-fused integer ops
+    "q133_bit_exprs" -> ((s, dir) =>
+      coll(s, dir, "events").pipe(Seq(
+        Map("$match" -> Map("event_id" -> Map("$lt" -> 500))),
+        Map("$project" -> Map("_id" -> 0, "event_id" -> 1,
+          "band" -> Map("$bitAnd" -> Seq("$event_id", 255L)),
+          "bor"  -> Map("$bitOr" -> Seq("$event_id", 4096L)),
+          "bxor" -> Map("$bitXor" -> Seq("$event_id", 255L)),
+          "bnot" -> Map("$bitNot" -> "$event_id")))))
+        .orderBy("event_id")),
+
     "q129_boilerplate" -> ((s, dir) => {
       val framed = tbl(s, dir, "documents").where(col("doc_id") < 250)
         .withColumn("text", concat(
@@ -2578,6 +2640,44 @@ object SparkEntry {
     "q116_select_exclude_slice" ->
       """SELECT vec_id, embedding[1:3] AS embedding
         |FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""".stripMargin,
+
+    "q130_semdedup" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+         |p AS (
+         |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         |         a.embedding AS ea, b.embedding AS eb
+         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id),
+         |${cosineCtes("p")}
+         |SELECT vec_id, label FROM e
+         |WHERE vec_id NOT IN (
+         |  SELECT ib FROM d WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.3)
+         |ORDER BY vec_id""".stripMargin,
+
+    "q131_geo_intersects" ->
+      """SELECT vec_id FROM (
+        |  SELECT vec_id,
+        |    CAST(embedding[1] AS DOUBLE) AS x,
+        |    CAST(embedding[2] AS DOUBLE) AS y
+        |  FROM embeddings)
+        |WHERE (abs(x) + abs(y) <= 0.35
+        |       AND NOT (abs(x) <= 0.1 AND abs(y) <= 0.1))
+        |   OR (x >= 0.4 AND x <= 0.6 AND y >= 0.4 AND y <= 0.6)
+        |   OR (x >= -0.6 AND x <= -0.4 AND y >= -0.6 AND y <= -0.4)
+        |ORDER BY vec_id""".stripMargin,
+
+    "q132_ts_parts" ->
+      """SELECT event_id,
+        |  event_id AS t,
+        |  event_id % 1000 AS i
+        |FROM events WHERE event_id < 500 ORDER BY event_id""".stripMargin,
+
+    "q133_bit_exprs" ->
+      """SELECT event_id,
+        |  event_id & 255 AS band,
+        |  event_id | 4096 AS bor,
+        |  xor(event_id, 255) AS bxor,
+        |  ~event_id AS bnot
+        |FROM events WHERE event_id < 500 ORDER BY event_id""".stripMargin,
 
     "q129_boilerplate" ->
       """WITH d AS (

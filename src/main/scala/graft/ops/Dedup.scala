@@ -478,4 +478,41 @@ object Dedup {
         .select(col("id_a"), col("id_b"))
     }
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication of an embedded corpus. Rows are grouped into clusters;
+    * within each cluster a row is dropped when some earlier row (smaller
+    * id) is at least `eps` cosine-similar to it — the reference
+    * implementation's upper-triangular "similar to any lower-indexed
+    * example" rule, which makes the survivor set deterministic and
+    * order-free. (The paper's centroid-proximity keep-rule needs the
+    * cluster centroid; [[semDeDupKMeans]] trains one and could be extended
+    * there, but lowest-id matches the published code and is oracle-
+    * checkable.)
+    *
+    * Cost is the published one: O(Σ cᵢ²) pairwise work inside clusters
+    * only — each cluster's pairs come from one equi-join on `clusterCol`,
+    * never a corpus cross join. At 100 TB-scale choose k so clusters stay
+    * 10³–10⁵ rows (the paper runs k = 50k on LAION); the join shuffles
+    * hash-partitioned on the cluster key, and the final survivor filter is
+    * one broadcast-able anti-join on the dropped-id set. */
+  def semDeDup(df: DataFrame, idCol: String, vecCol: String,
+      clusterCol: String, eps: Double): DataFrame = {
+    val dropped = embeddingNearDup(df, idCol, vecCol, threshold = eps,
+      blockCol = Some(clusterCol))
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(dropped, Seq(idCol), "left_anti")
+  }
+
+  /** [[semDeDup]] with the paper's own clustering: spherical k-means
+    * ([[Clustering.kmeans]]) assigns each row to its nearest centroid
+    * ([[Similarity.ivfAssign]]), then within-cell dedup. */
+  def semDeDupKMeans(df: DataFrame, idCol: String, vecCol: String,
+      eps: Double, k: Int, iters: Int = 5): DataFrame = {
+    val cents = Clustering.kmeans(df, idCol, vecCol, k, iters)
+      .select(col("centroid_id").as(idCol), col("centroid").as(vecCol))
+    val assigned = Similarity.ivfAssign(df, idCol, vecCol, cents)
+    semDeDup(assigned, idCol, vecCol, "centroid_id", eps)
+      .drop("centroid_id")
+  }
 }

@@ -2139,6 +2139,13 @@ object PipelineCompiler {
         case "$acosh" => acosh(seq.head)
         case "$atanh" => atanh(seq.head)
         case "$rand"  => rand() // uniform [0, 1), non-deterministic
+        // bitwise EXPRESSIONS (Mongo 6.3+): n-ary folds over integer
+        // operands; the same names in $group context are the accumulators
+        // above. Null operands null the result, matching Mongo.
+        case "$bitAnd" => seq.reduce(_ bitwiseAND _)
+        case "$bitOr"  => seq.reduce(_ bitwiseOR _)
+        case "$bitXor" => seq.reduce(_ bitwiseXOR _)
+        case "$bitNot" => bitwise_not(seq.head)
         // BSON internal timestamps: 64-bit packed {t: epoch-seconds (high
         // 32), i: ordinal increment (low 32)}. The columnar carrier is the
         // packed long itself, so the accessors are pure bit ops.

@@ -197,6 +197,29 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(out == Set((1L, 2L)))
   }
+
+  test("semDeDup drops later rows similar to an earlier same-cluster row") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), 0),
+      (2L, Array(0.99f, 0.1f, 0.0f), 0), // near-dup of 1, same cluster
+      (3L, Array(0.99f, 0.1f, 0.0f), 1), // same vector, other cluster: kept
+      (4L, Array(0.0f, 1.0f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val kept = Dedup.semDeDup(vecs, "vec_id", "embedding", "label", 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L))
+  }
+
+  test("semDeDupKMeans clusters then dedups within cells") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.999f, 0.01f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.01f, 0.999f)))
+      .toDF("vec_id", "embedding")
+    val kept = Dedup.semDeDupKMeans(vecs, "vec_id", "embedding",
+      eps = 0.99, k = 2, iters = 3)
+    assert(kept.columns.toSeq == Seq("vec_id", "embedding"))
+    assert(kept.select("vec_id").as[Long].collect().toSet == Set(1L, 3L))
+  }
 }
 
 class SimilaritySpec extends SparkSpec {

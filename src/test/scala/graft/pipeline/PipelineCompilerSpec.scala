@@ -1788,4 +1788,40 @@ class SearchStagesSpec extends graft.SparkSpec {
         "distanceField" -> "d", "spherical" -> true))))(pts)
     assert(!out.queryExecution.executedPlan.toString.contains("Join"))
   }
+
+  test("$tsSecond/$tsIncrement unpack a BSON-timestamp carrier") {
+    // {t: 5, i: 7} packed as (5 << 32) | 7
+    val docs = Seq(5L * 4294967296L + 7L).toDF("p")
+    val out = PipelineCompiler.compile(Seq(
+      Map("$project" -> Map("t" -> Map("$tsSecond" -> "$p"),
+        "i" -> Map("$tsIncrement" -> "$p")))))(docs)
+    assert(out.select("t", "i").as[(Long, Long)].head() == ((5L, 7L)))
+  }
+
+  test("bitwise expressions: n-ary $bitAnd/$bitOr/$bitXor, unary $bitNot") {
+    val docs = Seq((12L, 10L)).toDF("a", "b")
+    val out = PipelineCompiler.compile(Seq(
+      Map("$project" -> Map(
+        "and" -> Map("$bitAnd" -> Seq("$a", "$b", 6)),
+        "or"  -> Map("$bitOr" -> Seq("$a", "$b")),
+        "xor" -> Map("$bitXor" -> Seq("$a", "$b")),
+        "not" -> Map("$bitNot" -> "$a")))))(docs)
+    assert(out.select("and", "or", "xor", "not")
+      .as[(Long, Long, Long, Long)].head() == ((0L, 14L, 6L, -13L)))
+  }
+
+  test("$function and $accumulator reject with native-route guidance") {
+    val docs = Seq((1L, 2L)).toDF("id", "v")
+    val fn = intercept[IllegalArgumentException] {
+      PipelineCompiler.compile(Seq(Map("$project" -> Map("x" ->
+        Map("$function" -> Map("body" -> "function(){}", "args" -> Seq(),
+          "lang" -> "js"))))))(docs)
+    }
+    assert(fn.getMessage.contains("$let"))
+    val acc = intercept[IllegalArgumentException] {
+      PipelineCompiler.compile(Seq(Map("$group" -> Map("_id" -> null,
+        "x" -> Map("$accumulator" -> Map("init" -> "function(){}"))))))(docs)
+    }
+    assert(acc.getMessage.contains("built-in"))
+  }
 }

@@ -194,6 +194,33 @@ class QueryCompilerSpec extends SparkSpec {
           Seq(-0.1, -0.1)))))))) == Seq(4))
   }
 
+  test("$geoIntersects: Polygon with hole, MultiPolygon, rejections") {
+    // point ∩ polygon = containment: same square-with-hole as above
+    assert(geoHits(Map("loc" -> Map("$geoIntersects" -> Map("$geometry" ->
+      Map("type" -> "Polygon", "coordinates" -> Seq(
+        Seq(Seq(-1.0, -1.0), Seq(2.0, -1.0), Seq(2.0, 2.0), Seq(-1.0, 2.0),
+          Seq(-1.0, -1.0)),
+        Seq(Seq(-0.1, -0.1), Seq(0.1, -0.1), Seq(0.1, 0.1), Seq(-0.1, 0.1),
+          Seq(-0.1, -0.1)))))))) == Seq(4))
+    // MultiPolygon: two disjoint boxes catching ids 4 and 5
+    assert(geoHits(Map("loc" -> Map("$geoIntersects" -> Map("$geometry" ->
+      Map("type" -> "MultiPolygon", "coordinates" -> Seq(
+        Seq(Seq(Seq(0.2, 0.2), Seq(1.0, 0.2), Seq(1.0, 1.0), Seq(0.2, 1.0),
+          Seq(0.2, 0.2))),
+        Seq(Seq(Seq(-3.0, -3.0), Seq(-1.0, -3.0), Seq(-1.0, -1.0),
+          Seq(-3.0, -1.0), Seq(-3.0, -3.0))))))))) == Seq(4, 5))
+    // non-areal query geometry and missing $geometry reject
+    intercept[IllegalArgumentException] {
+      QueryCompiler.compile(Map("loc" -> Map("$geoIntersects" ->
+        Map("$geometry" -> Map("type" -> "Point",
+          "coordinates" -> Seq(0.0, 0.0))))))
+    }
+    intercept[IllegalArgumentException] {
+      QueryCompiler.compile(Map("loc" -> Map("$geoIntersects" ->
+        Map("bogus" -> 1))))
+    }
+  }
+
   test("$near/$nearSphere: distance-bound filters, units per form") {
     // legacy planar: within 5 of origin
     assert(geoHits(Map("loc" -> Map("$near" -> Seq(0.0, 0.0),
