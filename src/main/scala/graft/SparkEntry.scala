@@ -372,6 +372,20 @@ object SparkEntry {
           "i" -> Map("$tsIncrement" -> "$packed")))))
         .orderBy("event_id")),
 
+    // $unwind doc form: includeArrayIndex (posexplode, no second pass) +
+    // preserveNullAndEmptyArrays (explode_outer) over expression-length
+    // $slice prefixes — vec_id % 3 == 0 rows survive as null-element rows
+    "q134_unwind_options" -> ((s, dir) =>
+      coll(s, dir, "embeddings").pipe(Seq(
+        Map("$match" -> Map("vec_id" -> Map("$lt" -> 30))),
+        Map("$project" -> Map("_id" -> 0, "vec_id" -> 1,
+          "arr" -> Map("$slice" -> Seq("$embedding",
+            Map("$mod" -> Seq("$vec_id", 3)))))),
+        Map("$unwind" -> Map("path" -> "$arr",
+          "includeArrayIndex" -> "idx",
+          "preserveNullAndEmptyArrays" -> true))))
+        .orderBy("vec_id", "idx")),
+
     // bitwise expression operators (Mongo 6.3+): n-ary folds + $bitNot,
     // all scan-fused integer ops
     "q133_bit_exprs" -> ((s, dir) =>
@@ -2670,6 +2684,18 @@ object SparkEntry {
         |  event_id AS t,
         |  event_id % 1000 AS i
         |FROM events WHERE event_id < 500 ORDER BY event_id""".stripMargin,
+
+    "q134_unwind_options" ->
+      """WITH a AS (
+        |  SELECT vec_id, embedding[1:(vec_id % 3)] AS arr
+        |  FROM embeddings WHERE vec_id < 30),
+        |x AS (
+        |  SELECT vec_id, unnest(arr) AS v,
+        |    generate_subscripts(arr, 1) - 1 AS i
+        |  FROM a)
+        |SELECT a.vec_id, x.v AS arr, CAST(x.i AS BIGINT) AS idx
+        |FROM a LEFT JOIN x USING (vec_id)
+        |ORDER BY vec_id, idx""".stripMargin,
 
     "q133_bit_exprs" ->
       """SELECT event_id,

@@ -208,17 +208,36 @@ object PipelineCompiler {
       case "$count" => df.agg(count(lit(1)).as(spec.toString))
 
       case "$unwind" =>
-        val path = spec match {
-          case s: String => s
+        val (path, idxField, preserve) = spec match {
+          case s: String => (s, None, false)
           case m: Map[_, _] =>
-            m.asInstanceOf[Map[String, Any]]("path").toString
+            val d = m.asInstanceOf[Map[String, Any]]
+            (d("path").toString,
+              d.get("includeArrayIndex").map(_.toString),
+              d.get("preserveNullAndEmptyArrays").contains(true))
           case other => throw new IllegalArgumentException(s"$$unwind: $other")
         }
         require(path.startsWith("$"), s"$$unwind path must start with $$: $path")
         val f = path.drop(1)
-        // Mongo $unwind drops rows with empty/null arrays (explode, not
-        // explode_outer), matching server semantics.
-        df.withColumn(f, explode(col(f)))
+        // Mongo $unwind drops rows with empty/null arrays by default
+        // (explode); preserveNullAndEmptyArrays keeps them with a null
+        // element (explode_outer — Mongo leaves the field MISSING, which
+        // has no columnar analog: documented null divergence, same stance
+        // as predicated $unset). includeArrayIndex emits the 0-based
+        // position (null on preserved empty rows), via posexplode so the
+        // index costs no second pass.
+        idxField match {
+          case None =>
+            df.withColumn(f,
+              if (preserve) explode_outer(col(f)) else explode(col(f)))
+          case Some(idx) =>
+            val gen = if (preserve) posexplode_outer(col(f))
+                      else posexplode(col(f))
+            df.select(col("*"), gen.as(Seq("__uw_pos", "__uw_val")))
+              .withColumn(f, col("__uw_val"))
+              .withColumn(idx, col("__uw_pos").cast("long"))
+              .drop("__uw_pos", "__uw_val")
+        }
 
       case "$lookup" if doc(spec).contains("pipeline") =>
         lookupPipeline(df, doc(spec), tables)
@@ -2083,6 +2102,13 @@ object PipelineCompiler {
             else slice(expr2colE(aE), n, -n)
           case Seq(aE, pV: Number, nV: Number) => // 0-based position + count
             slice(expr2colE(aE), pV.intValue() + 1, nV.intValue())
+          case Seq(aE, nE) => // expression-valued ±n (Mongo allows any expr)
+            val n = expr2colE(nE).cast("int")
+            when(n >= 0, slice(expr2colE(aE), lit(1), n))
+              .otherwise(slice(expr2colE(aE), n, -n))
+          case Seq(aE, pE, nE) =>
+            slice(expr2colE(aE), expr2colE(pE).cast("int") + 1,
+              expr2colE(nE).cast("int"))
           case other => throw new IllegalArgumentException(s"$$slice: $other")
         }
 

@@ -1789,6 +1789,27 @@ class SearchStagesSpec extends graft.SparkSpec {
     assert(!out.queryExecution.executedPlan.toString.contains("Join"))
   }
 
+  test("$unwind doc form: includeArrayIndex + preserveNullAndEmptyArrays") {
+    val docs = Seq(
+      (1L, Seq("a", "b")),
+      (2L, Seq.empty[String]),
+      (3L, null)).toDF("id", "arr")
+    // default: empty/null rows drop
+    val plain = PipelineCompiler.compile(Seq(
+      Map("$unwind" -> "$arr")))(docs)
+    assert(plain.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 1L))
+    // preserve: kept with null element; index null on preserved rows
+    val kept = PipelineCompiler.compile(Seq(
+      Map("$unwind" -> Map("path" -> "$arr",
+        "includeArrayIndex" -> "pos",
+        "preserveNullAndEmptyArrays" -> true))))(docs)
+      .select("id", "arr", "pos").orderBy("id", "pos")
+      .collect().toSeq.map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+    assert(kept == Seq((1L, "a", 0L), (1L, "b", 1L),
+      (2L, null, -1L), (3L, null, -1L)))
+  }
+
   test("$tsSecond/$tsIncrement unpack a BSON-timestamp carrier") {
     // {t: 5, i: 7} packed as (5 << 32) | 7
     val docs = Seq(5L * 4294967296L + 7L).toDF("p")
