@@ -372,6 +372,30 @@ object SparkEntry {
           "i" -> Map("$tsIncrement" -> "$packed")))))
         .orderBy("event_id")),
 
+    // dotted-path projection docs over struct columns: inclusion rebuilds
+    // the struct with only the selected members (q135); exclusion drops
+    // just the member via dropFields (q136). Shapes proven via to_json.
+    "q135_select_dotted_incl" -> ((s, dir) => {
+      val base = tbl(s, dir, "customer").where(col("c_custkey") <= 200)
+        .select(col("c_custkey"), struct(col("c_name").as("name"),
+          struct(col("c_acctbal").as("bal"),
+            col("c_mktsegment").as("seg")).as("acct")).as("info"))
+      graft.query.ProjectionCompiler.project(base,
+        Map("c_custkey" -> 1, "info.acct.seg" -> 1, "info.name" -> 1))
+        .select(col("c_custkey"), to_json(col("info")).as("info_json"))
+        .orderBy("c_custkey")
+    }),
+
+    "q136_select_dotted_excl" -> ((s, dir) => {
+      val base = tbl(s, dir, "customer").where(col("c_custkey") <= 200)
+        .select(col("c_custkey"), struct(col("c_name").as("name"),
+          struct(col("c_acctbal").as("bal"),
+            col("c_mktsegment").as("seg")).as("acct")).as("info"))
+      graft.query.ProjectionCompiler.project(base, Map("info.acct.bal" -> 0))
+        .select(col("c_custkey"), to_json(col("info")).as("info_json"))
+        .orderBy("c_custkey")
+    }),
+
     // $unwind doc form: includeArrayIndex (posexplode, no second pass) +
     // preserveNullAndEmptyArrays (explode_outer) over expression-length
     // $slice prefixes — vec_id % 3 == 0 rows survive as null-element rows
@@ -2684,6 +2708,18 @@ object SparkEntry {
         |  event_id AS t,
         |  event_id % 1000 AS i
         |FROM events WHERE event_id < 500 ORDER BY event_id""".stripMargin,
+
+    "q135_select_dotted_incl" ->
+      """SELECT c_custkey, to_json(struct_pack(
+        |    acct := struct_pack(seg := c_mktsegment),
+        |    name := c_name)) AS info_json
+        |FROM customer WHERE c_custkey <= 200 ORDER BY c_custkey""".stripMargin,
+
+    "q136_select_dotted_excl" ->
+      """SELECT c_custkey, to_json(struct_pack(
+        |    name := c_name,
+        |    acct := struct_pack(seg := c_mktsegment))) AS info_json
+        |FROM customer WHERE c_custkey <= 200 ORDER BY c_custkey""".stripMargin,
 
     "q134_unwind_options" ->
       """WITH a AS (

@@ -219,6 +219,16 @@ object PipelineCompiler {
         }
         require(path.startsWith("$"), s"$$unwind path must start with $$: $path")
         val f = path.drop(1)
+        // Replace `name` (possibly dotted: a struct member) with `value` —
+        // withColumn treats dots literally, so nested targets go through
+        // withField on the top-level struct.
+        def put(d: DataFrame, name: String, value: Column): DataFrame =
+          if (!name.contains('.')) d.withColumn(name, value)
+          else {
+            val top = name.takeWhile(_ != '.')
+            d.withColumn(top,
+              col(top).withField(name.drop(top.length + 1), value))
+          }
         // Mongo $unwind drops rows with empty/null arrays by default
         // (explode); preserveNullAndEmptyArrays keeps them with a null
         // element (explode_outer — Mongo leaves the field MISSING, which
@@ -227,15 +237,19 @@ object PipelineCompiler {
         // position (null on preserved empty rows), via posexplode so the
         // index costs no second pass.
         idxField match {
-          case None =>
+          case None if !f.contains('.') =>
             df.withColumn(f,
               if (preserve) explode_outer(col(f)) else explode(col(f)))
+          case None =>
+            val gen = if (preserve) explode_outer(col(f)) else explode(col(f))
+            put(df.select(col("*"), gen.as("__uw_val")), f, col("__uw_val"))
+              .drop("__uw_val")
           case Some(idx) =>
             val gen = if (preserve) posexplode_outer(col(f))
                       else posexplode(col(f))
-            df.select(col("*"), gen.as(Seq("__uw_pos", "__uw_val")))
-              .withColumn(f, col("__uw_val"))
-              .withColumn(idx, col("__uw_pos").cast("long"))
+            val st = df.select(col("*"), gen.as(Seq("__uw_pos", "__uw_val")))
+            put(put(st, f, col("__uw_val")),
+              idx, col("__uw_pos").cast("long"))
               .drop("__uw_pos", "__uw_val")
         }
 

@@ -37,6 +37,9 @@ object ProjectionCompiler {
     var excl = Set.empty[String]
     var ops = Map.empty[String, Column] // field -> replacement expression
     var opIsInclusion = false // $elemMatch forces inclusion mode
+    // dotted paths, grouped under their top-level field in document order
+    var dottedIncl = Vector.empty[(String, String)] // top -> rest
+    var dottedExcl = Vector.empty[(String, String)]
 
     doc.foreach {
       case (f, m: Map[_, _]) =>
@@ -57,16 +60,36 @@ object ProjectionCompiler {
           case other => throw new IllegalArgumentException(
             s"projection value for '$f' must be 0/1/bool/operator doc: $other")
         }
-        if (include) incl += f else excl += f
+        if (f.contains('.')) {
+          val top = f.takeWhile(_ != '.')
+          val rest = f.drop(top.length + 1)
+          if (include) dottedIncl :+= (top -> rest)
+          else dottedExcl :+= (top -> rest)
+        }
+        else if (include) incl += f else excl += f
     }
 
-    val inclusionMode = incl.nonEmpty || opIsInclusion
-    val badExcl = excl.filter(_ != "_id")
+    val inclusionMode = incl.nonEmpty || dottedIncl.nonEmpty || opIsInclusion
+    val badExcl = excl.filter(_ != "_id") ++ dottedExcl.map(_._1)
     if (inclusionMode && badExcl.nonEmpty)
       throw new IllegalArgumentException(
         s"cannot exclude fields ${badExcl.mkString(",")} in an inclusion projection")
-    if (!inclusionMode && incl.isEmpty && excl.isEmpty && ops.isEmpty)
+    if (!inclusionMode && incl.isEmpty && excl.isEmpty && ops.isEmpty &&
+        dottedExcl.isEmpty)
       throw new IllegalArgumentException("empty projection document")
+
+    // {"a.b": 1}: rebuild `a` as a struct holding only the selected
+    // members (recursively); {"a": 1, "a.b": 1} is a path collision, like
+    // the server's error. {"a.b": 0}: dropFields on the struct.
+    dottedIncl.groupBy(_._1).foreach { case (top, pairs) =>
+      if (incl(top) || ops.contains(top))
+        throw new IllegalArgumentException(s"path collision at $top")
+      ops += top -> inclStruct(top, pairs.map(_._2)).as(top)
+    }
+    dottedExcl.groupBy(_._1).foreach { case (top, pairs) =>
+      if (!inclusionMode)
+        ops += top -> col(top).dropFields(pairs.map(_._2): _*).as(top)
+    }
 
     // retained fields in schema order; unknown projected names are simply
     // absent from the output (Mongo: missing fields project to nothing)
@@ -77,6 +100,22 @@ object ProjectionCompiler {
     }
     require(retained.nonEmpty, "projection removes every column")
     df.select(retained.map(f => ops.getOrElse(f, col(f))): _*)
+  }
+
+  /** Nested inclusion: rebuild the struct at `prefix` keeping only the
+    * `rests` paths, in first-appearance order. A parent null projects to a
+    * struct of nulls (Mongo omits the parent; fixed columnar schemas make
+    * null members the closest analog, same stance as `$elemMatch`). */
+  private def inclStruct(prefix: String, rests: Seq[String]): Column = {
+    val tops = rests.map(_.takeWhile(_ != '.')).distinct
+    struct(tops.map { t =>
+      val whole = rests.contains(t)
+      val subs = rests.filter(_.startsWith(t + ".")).map(_.drop(t.length + 1))
+      if (whole && subs.nonEmpty)
+        throw new IllegalArgumentException(s"path collision at $prefix.$t")
+      if (whole) col(s"$prefix.$t").as(t)
+      else inclStruct(s"$prefix.$t", subs).as(t)
+    }: _*)
   }
 
   /** `$slice: n` / `$slice: [skip, limit]` as a codegen'd slice. */

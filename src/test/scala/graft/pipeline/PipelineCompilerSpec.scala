@@ -1810,6 +1810,17 @@ class SearchStagesSpec extends graft.SparkSpec {
       (2L, null, -1L), (3L, null, -1L)))
   }
 
+  test("$unwind on a dotted path rebuilds the struct member per element") {
+    val docs = Seq((1L, ("x", Seq(10, 20))), (2L, ("y", Seq(30))))
+      .toDF("id", "s").withColumn("s",
+        struct($"s._1".as("tag"), $"s._2".as("vals")))
+    val out = PipelineCompiler.compile(Seq(
+      Map("$unwind" -> "$s.vals")))(docs)
+      .select($"id", $"s.tag", $"s.vals".as("v"))
+      .as[(Long, String, Int)].collect().toSeq.sorted
+    assert(out == Seq((1L, "x", 10), (1L, "x", 20), (2L, "y", 30)))
+  }
+
   test("$tsSecond/$tsIncrement unpack a BSON-timestamp carrier") {
     // {t: 5, i: 7} packed as (5 << 32) | 7
     val docs = Seq(5L * 4294967296L + 7L).toDF("p")

@@ -33,6 +33,52 @@ class ProjectionCompilerSpec extends SparkSpec {
     }
   }
 
+  private lazy val nested = Seq(
+    (1L, ("x", (10.0, "A")), "k"),
+    (2L, ("y", (20.0, "B")), "l"))
+    .toDF("_id", "raw", "tag")
+    .withColumn("info", struct($"raw._1".as("name"),
+      struct($"raw._2._1".as("bal"), $"raw._2._2".as("seg")).as("acct")))
+    .drop("raw")
+
+  test("dotted inclusion rebuilds the struct with only selected members") {
+    val out = ProjectionCompiler.project(nested,
+      Map("info.acct.seg" -> 1, "info.name" -> 1))
+    assert(out.columns.toSeq == Seq("_id", "info"))
+    val r = out.orderBy("_id").select("info").head()
+    val info = r.getStruct(0)
+    assert(info.schema.fieldNames.toSeq == Seq("acct", "name"))
+    assert(info.getStruct(0).schema.fieldNames.toSeq == Seq("seg"))
+    assert(info.getStruct(0).getString(0) == "A" &&
+      info.getString(1) == "x")
+  }
+
+  test("dotted exclusion drops just the struct member") {
+    val out = ProjectionCompiler.project(nested, Map("info.acct.bal" -> 0))
+    assert(out.columns.toSeq == Seq("_id", "tag", "info"))
+    val fields = out.schema("info").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(fields.fieldNames.toSeq == Seq("name", "acct"))
+    assert(fields("acct").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq == Seq("seg"))
+  }
+
+  test("dotted paths: collisions and mixing reject") {
+    intercept[IllegalArgumentException] { // whole field + member
+      ProjectionCompiler.project(nested,
+        Map("info" -> 1, "info.name" -> 1))
+    }
+    intercept[IllegalArgumentException] { // member + deeper member
+      ProjectionCompiler.project(nested,
+        Map("info.acct" -> 1, "info.acct.seg" -> 1))
+    }
+    intercept[IllegalArgumentException] { // dotted exclusion in inclusion
+      ProjectionCompiler.project(nested,
+        Map("tag" -> 1, "info.name" -> 0))
+    }
+  }
+
   test("$slice positive / negative / [skip, limit] forms") {
     def arrs(doc: Map[String, Any]): Map[Long, Seq[Int]] =
       ProjectionCompiler.project(df, doc ++ Map("_id" -> 1))
