@@ -73,14 +73,31 @@ object PipelineCompiler {
     pipeline match {
       case lookup +: unwind +: rest
         if lookup.keySet == Set("$lookup") && unwind.keySet == Set("$unwind") &&
-          (unwind("$unwind") match {
-            case s: String =>
-              s == "$" + lookup("$lookup").asInstanceOf[Map[String, Any]]("as")
-            case _ => false
-          }) =>
-        Map("$__lookupUnwind" -> lookup("$lookup")) +: fuse(rest)
+          fusableUnwind(unwind("$unwind"),
+            lookup("$lookup").asInstanceOf[Map[String, Any]]("as")).isDefined =>
+        val preserve = fusableUnwind(unwind("$unwind"),
+          lookup("$lookup").asInstanceOf[Map[String, Any]]("as")).get
+        Map("$__lookupUnwind" ->
+          (lookup("$lookup").asInstanceOf[Map[String, Any]] +
+            ("__preserve" -> preserve))) +: fuse(rest)
       case head +: rest => head +: fuse(rest)
-      case empty => empty
+      case _ => pipeline
+    }
+
+  /** Is this $unwind spec fusable with a preceding $lookup(as)? Returns
+    * Some(preserveNullAndEmptyArrays) when it targets the lookup output
+    * and asks for no array index (string form, or doc form without
+    * includeArrayIndex — a requested index must see the real array). */
+  private def fusableUnwind(spec: Any, as: Any): Option[Boolean] =
+    spec match {
+      case s: String if s == "$" + as => Some(false)
+      case m: Map[_, _] =>
+        val d = m.asInstanceOf[Map[String, Any]]
+        if (d.get("path").contains("$" + as) &&
+            !d.contains("includeArrayIndex"))
+          Some(d.get("preserveNullAndEmptyArrays").contains(true))
+        else None
+      case _ => None
     }
 
   private def stage(df: DataFrame, st: Map[String, Any],
@@ -272,14 +289,19 @@ object PipelineCompiler {
           .drop("__lk")
           .withColumn(as, coalesce(col(as), array()))
 
-      case "$__lookupUnwind" => // fused $lookup + $unwind = inner join
+      case "$__lookupUnwind" => // fused $lookup + $unwind = join
         val d = doc(spec)
         val from = tables(d("from").toString)
         val foreign = d("foreignField").toString
         val as = d("as").toString
+        // preserveNullAndEmptyArrays on the unwind = keep rows with no
+        // match = left outer instead of inner; the as-field is then a
+        // null struct (Mongo removes the field — documented null stance)
+        val joinType = if (d.get("__preserve").contains(true)) "left_outer"
+                       else "inner"
         val fStruct = struct(from.columns.map(from(_)).toSeq: _*)
         val right = from.select(col(foreign).as("__lk"), fStruct.as(as))
-        df.join(right, df(d("localField").toString) === right("__lk"), "inner")
+        df.join(right, df(d("localField").toString) === right("__lk"), joinType)
           .drop("__lk")
 
       case "$sortByCount" =>

@@ -61,6 +61,22 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Join") || plan.contains("BroadcastHashJoin"))
   }
 
+  test("fused lookup+unwind preserve form compiles to a LEFT join") {
+    val ses = new graft.db.GraftSession(spark, sf)
+    // nation keys run 0..24; region keys 0..4 — nations with no matching
+    // "customer" row must survive with a null struct under preserve
+    val df = ses.db("t").c("nation").pipe(Seq(
+      Map("$lookup" -> Map("from" -> "region", "localField" -> "n_nationkey",
+        "foreignField" -> "r_regionkey", "as" -> "reg")),
+      Map("$unwind" -> Map("path" -> "$reg",
+        "preserveNullAndEmptyArrays" -> true))))
+    val plan = explain(df)
+    assert(!plan.contains("Generate") && !plan.contains("collect_list"))
+    assert(plan.contains("LeftOuter") || plan.contains("left_outer"))
+    assert(df.count() == 25) // every nation kept
+    assert(df.where(col("reg").isNull).count() == 20) // unmatched → null
+  }
+
   test("unfused lookup still produces array semantics") {
     val ses = new graft.db.GraftSession(spark, sf)
     val df = ses.db("t").c("orders").pipe(Seq(
