@@ -372,6 +372,21 @@ object SparkEntry {
           "i" -> Map("$tsIncrement" -> "$packed")))))
         .orderBy("event_id")),
 
+    // exact substring (n-gram window) dedup per Lee et al. 2021: a shared
+    // sentence is injected into every 4th doc; 5-token windows occurring
+    // in >= 2 docs are flagged and their token positions removed
+    "q137_dup_spans" -> ((s, dir) => {
+      val framed = tbl(s, dir, "documents").where(col("doc_id") < 300)
+        .withColumn("text", when(col("doc_id") % 4 === 0,
+          concat(col("text"),
+            lit(" shared span alpha beta gamma delta epsilon closing")))
+          .otherwise(col("text")))
+      graft.ops.Dedup.duplicateSpans(framed, "doc_id", "text", n = 5)
+        .select(col("doc_id"), col("n_tokens"), col("dup_tokens"),
+          col("clean"))
+        .orderBy("doc_id")
+    }),
+
     // dotted-path projection docs over struct columns: inclusion rebuilds
     // the struct with only the selected members (q135); exclusion drops
     // just the member via dropFields (q136). Shapes proven via to_json.
@@ -2708,6 +2723,37 @@ object SparkEntry {
         |  event_id AS t,
         |  event_id % 1000 AS i
         |FROM events WHERE event_id < 500 ORDER BY event_id""".stripMargin,
+
+    "q137_dup_spans" ->
+      """WITH d AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 4 = 0
+        |    THEN text || ' shared span alpha beta gamma delta epsilon closing'
+        |    ELSE text END AS t
+        |  FROM documents WHERE doc_id < 300),
+        |tk AS (SELECT doc_id,
+        |  list_filter(string_split(t, ' '), x -> x <> '') AS toks FROM d),
+        |tok AS (SELECT doc_id, unnest(toks) AS tok,
+        |  generate_subscripts(toks, 1) AS pos FROM tk),
+        |g AS (
+        |  SELECT doc_id, i AS pos, array_to_string(toks[i:i+4], chr(1)) AS gram
+        |  FROM tk, UNNEST(range(1, len(toks) - 3)) AS u(i)),
+        |dup AS (SELECT gram FROM g GROUP BY gram
+        |  HAVING COUNT(DISTINCT doc_id) >= 2),
+        |hit AS (SELECT doc_id, pos FROM g
+        |  WHERE gram IN (SELECT gram FROM dup)),
+        |cov AS (SELECT DISTINCT doc_id, pos + o AS pos
+        |  FROM hit, UNNEST(range(0, 5)) AS v(o)),
+        |j AS (SELECT tok.doc_id, tok.pos, tok.tok,
+        |    cov.doc_id IS NOT NULL AS c
+        |  FROM tok LEFT JOIN cov
+        |    ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos)
+        |SELECT doc_id,
+        |  COUNT(*) AS n_tokens,
+        |  CAST(COALESCE(SUM(CASE WHEN c THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |    AS dup_tokens,
+        |  COALESCE(string_agg(CASE WHEN NOT c THEN tok END, ' '
+        |    ORDER BY pos), '') AS clean
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q135_select_dotted_incl" ->
       """SELECT c_custkey, to_json(struct_pack(

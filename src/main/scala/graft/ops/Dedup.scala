@@ -479,6 +479,65 @@ object Dedup {
     }
   }
 
+  /** Cross-document duplicate SPAN removal (Lee et al. 2021,
+    * arXiv:2107.06499 "Deduplicating Training Data Makes Language Models
+    * Better"): any window of `n` consecutive tokens occurring in at least
+    * `minDocFreq` distinct documents is a duplicate span; every token
+    * position covered by such a window is flagged and dropped from the
+    * cleaned text. This is the n-gram form of the paper's exact substring
+    * dedup — suffix automata don't distribute, but the fixed-width token
+    * window does, and it is how the method is deployed on cluster
+    * pipelines.
+    *
+    * Scale shape: one posexplode (linear in corpus tokens), the n-gram
+    * built with `lead` over a Window partitioned BY DOCUMENT (shuffles
+    * hash-partitioned on id — no global sort), one hash aggregate over
+    * gram hashes for the document-frequency filter, one semi-join back,
+    * and one per-doc aggregate to rebuild text. No pairwise work anywhere;
+    * everything is linear in tokens with standard shuffles.
+    *
+    * Output: (id, n_tokens, dup_tokens, clean) — stats plus the
+    * reconstructed text with duplicate spans removed (single-space
+    * joined). */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minDocFreq: Int = 2): DataFrame = {
+    require(n >= 2 && minDocFreq >= 2,
+      "duplicateSpans: n >= 2, minDocFreq >= 2")
+    val toksArr = filter(split(col(textCol), " "), x => x =!= "")
+    val tok = df.select(col(idCol).as("id"), toksArr.as("toks"))
+      .select(col("id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+    val w = Window.partitionBy("id").orderBy("pos")
+    // gram at pos p = tokens p .. p+n-1; only full-width windows count
+    // (concat_ws would silently shorten trailing windows — guard on the
+    // last lead instead)
+    val sep = ""
+    val gramParts = col("tok") +:
+      (1 until n).map(i => lead(col("tok"), i).over(w))
+    val grams = tok.select(col("id"), col("pos"),
+        xxhash64(concat_ws(sep, gramParts: _*)).as("gh"),
+        lead(col("tok"), n - 1).over(w).isNotNull.as("full"))
+      .where(col("full"))
+    val dup = grams.groupBy("gh")
+      .agg(countDistinct(col("id")).as("ndocs"))
+      .where(col("ndocs") >= minDocFreq)
+      .select("gh")
+    val hits = grams.join(dup, "gh").select(col("id"), col("pos"))
+    val covered = hits.select(col("id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("pos"))
+      .distinct()
+      .withColumn("c", lit(1))
+    tok.join(covered, Seq("id", "pos"), "left_outer")
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("dup_tokens"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("c").isNull,
+            struct(col("pos"), col("tok"))))),
+          x => x.getField("tok"))).as("clean"))
+      .withColumnRenamed("id", idCol)
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     * deduplication of an embedded corpus. Rows are grouped into clusters;
     * within each cluster a row is dropped when some earlier row (smaller

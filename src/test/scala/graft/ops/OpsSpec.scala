@@ -198,6 +198,23 @@ class DedupSpec extends SparkSpec {
     assert(out == Set((1L, 2L)))
   }
 
+  test("duplicateSpans flags cross-doc n-gram windows and cleans them") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon one"),
+      (2L, "x alpha beta gamma delta epsilon y"),
+      (3L, "totally unrelated words here now"))
+      .toDF("doc_id", "text")
+    // n=5: "alpha beta gamma delta epsilon" appears in docs 1 and 2;
+    // covered positions are the union of the two 5-windows it starts
+    val out = Dedup.duplicateSpans(docs, "doc_id", "text", n = 5)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "dup_tokens", "clean")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out(0) == ((1L, 6L, 5L, "one")))
+    assert(out(1) == ((2L, 7L, 5L, "x y")))
+    assert(out(2) == ((3L, 5L, 0L, "totally unrelated words here now")))
+  }
+
   test("semDeDup drops later rows similar to an earlier same-cluster row") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f), 0),
