@@ -215,6 +215,23 @@ class DedupSpec extends SparkSpec {
     assert(out(2) == ((3L, 5L, 0L, "totally unrelated words here now")))
   }
 
+  test("duplicateSpans: short docs and within-doc repeats are not flagged") {
+    val docs = Seq(
+      (1L, "tiny doc"),                        // shorter than any 5-window
+      (2L, "a b c d e a b c d e"),             // repeat WITHIN one doc only
+      (3L, "p q r s t u v"))
+      .toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(docs, "doc_id", "text", n = 5)
+      .orderBy("doc_id")
+      .select("doc_id", "dup_tokens", "clean")
+      .as[(Long, Long, String)].collect().toSeq
+    // minDocFreq counts DISTINCT docs, so doc 2's self-repeat passes
+    assert(out == Seq(
+      (1L, 0L, "tiny doc"),
+      (2L, 0L, "a b c d e a b c d e"),
+      (3L, 0L, "p q r s t u v")))
+  }
+
   test("semDeDup drops later rows similar to an earlier same-cluster row") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f), 0),
