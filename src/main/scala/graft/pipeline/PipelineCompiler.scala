@@ -872,6 +872,19 @@ object PipelineCompiler {
             "through GraftCollection.pipe (which splits it off and " +
             "replaces the sibling collection)")
 
+      // server-administration / cursor stages with no batch-engine analog:
+      // reject with the Spark-native route rather than a generic error
+      case "$changeStream" | "$changeStreamSplitLargeEvent" =>
+        throw new IllegalArgumentException(
+          s"$name has no batch analog; use graft.streaming." +
+            "StreamingMigrations (file-stream source + checkpointed " +
+            "exactly-once sink) for continuous arrival")
+      case "$currentOp" | "$listSessions" | "$listLocalSessions" |
+           "$planCacheStats" | "$queryStats" | "$shardedDataDistribution" =>
+        throw new IllegalArgumentException(
+          s"$name reports MongoDB server state, which does not exist " +
+            "here; operational visibility comes from the Spark UI and " +
+            "the graft.apm monitors ($collStats/$indexStats ARE supported)")
       case other =>
         throw new IllegalArgumentException(s"unsupported pipeline stage: $other")
     }

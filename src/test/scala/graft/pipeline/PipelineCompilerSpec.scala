@@ -1842,6 +1842,20 @@ class SearchStagesSpec extends graft.SparkSpec {
       .as[(Long, Long, Long, Long)].head() == ((0L, 14L, 6L, -13L)))
   }
 
+  test("admin and change-stream stages reject with Spark-native routes") {
+    val docs = Seq((1L, "a")).toDF("id", "v")
+    val cs = intercept[IllegalArgumentException] {
+      PipelineCompiler.compile(Seq(
+        Map("$changeStream" -> Map.empty[String, Any])))(docs)
+    }
+    assert(cs.getMessage.contains("StreamingMigrations"))
+    val op = intercept[IllegalArgumentException] {
+      PipelineCompiler.compile(Seq(
+        Map("$currentOp" -> Map.empty[String, Any])))(docs)
+    }
+    assert(op.getMessage.contains("Spark UI"))
+  }
+
   test("$function and $accumulator reject with native-route guidance") {
     val docs = Seq((1L, 2L)).toDF("id", "v")
     val fn = intercept[IllegalArgumentException] {
