@@ -510,7 +510,7 @@ object Dedup {
     // gram at pos p = tokens p .. p+n-1; only full-width windows count
     // (concat_ws would silently shorten trailing windows — guard on the
     // last lead instead)
-    val sep = ""
+    val sep = "\u0001"
     val gramParts = col("tok") +:
       (1 until n).map(i => lead(col("tok"), i).over(w))
     val grams = tok.select(col("id"), col("pos"),
@@ -526,7 +526,7 @@ object Dedup {
         explode(sequence(col("pos"), col("pos") + (n - 1))).as("pos"))
       .distinct()
       .withColumn("c", lit(1))
-    tok.join(covered, Seq("id", "pos"), "left_outer")
+    val byDoc = tok.join(covered, Seq("id", "pos"), "left_outer")
       .groupBy("id")
       .agg(
         count(lit(1)).as("n_tokens"),
@@ -536,6 +536,14 @@ object Dedup {
             struct(col("pos"), col("tok"))))),
           x => x.getField("tok"))).as("clean"))
       .withColumnRenamed("id", idCol)
+    // zero-token documents produce no tok rows; join back so they surface
+    // as (0, 0, "") instead of silently vanishing from the corpus (same
+    // stance as removeBoilerplateLines)
+    df.select(col(idCol)).join(byDoc, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        coalesce(col("clean"), lit("")).as("clean"))
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic

@@ -72,14 +72,14 @@ object PipelineCompiler {
   private def fuse(pipeline: Seq[Map[String, Any]]): Seq[Map[String, Any]] =
     pipeline match {
       case lookup +: unwind +: rest
-        if lookup.keySet == Set("$lookup") && unwind.keySet == Set("$unwind") &&
-          fusableUnwind(unwind("$unwind"),
-            lookup("$lookup").asInstanceOf[Map[String, Any]]("as")).isDefined =>
-        val preserve = fusableUnwind(unwind("$unwind"),
-          lookup("$lookup").asInstanceOf[Map[String, Any]]("as")).get
-        Map("$__lookupUnwind" ->
-          (lookup("$lookup").asInstanceOf[Map[String, Any]] +
-            ("__preserve" -> preserve))) +: fuse(rest)
+        if lookup.keySet == Set("$lookup") && unwind.keySet == Set("$unwind") =>
+        val lkSpec = lookup("$lookup").asInstanceOf[Map[String, Any]]
+        fusableUnwind(unwind("$unwind"), lkSpec("as")) match {
+          case Some(preserve) =>
+            Map("$__lookupUnwind" ->
+              (lkSpec + ("__preserve" -> preserve))) +: fuse(rest)
+          case None => lookup +: fuse(unwind +: rest)
+        }
       case head +: rest => head +: fuse(rest)
       case _ => pipeline
     }
@@ -447,7 +447,11 @@ object PipelineCompiler {
         val coords = if (keyIsStruct) rawKey.getField("coordinates") else rawKey
         val lonC = coords.getItem(0).cast("double")
         val latC = coords.getItem(1).cast("double")
-        val spherical = d.get("spherical").contains(true)
+        // a GeoJSON near point ALWAYS means spherical meters in Mongo,
+        // with or without the spherical flag; legacy [x, y] is planar
+        // unless spherical: true
+        val spherical = d("near").isInstanceOf[Map[_, _]] ||
+          d.get("spherical").contains(true)
         val dist: Column =
           if (spherical)
             graft.functions.Geo.haversineMeters(lonC, latC, nearLon, nearLat)
@@ -524,6 +528,9 @@ object PipelineCompiler {
                 .reduce(_ || _)
               (pred, perTerm.reduce(_ + _), Some(stats))
             case "phrase" =>
+              // same guard as text: an empty phrase would match every row
+              // and divide the occurrence count by zero
+              require(queryStr.nonEmpty, s"$name.phrase: empty query")
               val occ = (length(col(path)) -
                 length(replace(col(path), lit(queryStr), lit("")))) /
                 lit(queryStr.length)
@@ -532,9 +539,11 @@ object PipelineCompiler {
               s"$name: unsupported operator $other (text/phrase)")
           }
         if (name == "$searchMeta") {
-          // metadata-only result: Mongo's {count: {total: N}} shape
-          val base = statsDf.map(s => df.join(broadcast(s))).getOrElse(df)
-          base.where(matched)
+          // metadata-only result: Mongo's {count: {total: N}} shape. The
+          // match predicate reads only the row's own tokens, so the BM25
+          // stats aggregate (score-only) is skipped — no second corpus
+          // scan for a count
+          df.where(matched)
             .agg(count(lit(1)).as("__total"))
             .select(struct(col("__total").as("total")).as("count"))
         } else {
@@ -608,10 +617,15 @@ object PipelineCompiler {
         if (d.contains("count")) cols :+= col("__count").as("count")
         if (d.contains("storageStats")) {
           val files = df.inputFiles
-          val fs = org.apache.hadoop.fs.FileSystem.get(
-            df.sparkSession.sparkContext.hadoopConfiguration)
-          val bytes = files.map(f => fs.getFileStatus(
-            new org.apache.hadoop.fs.Path(f)).getLen).sum
+          val conf = df.sparkSession.sparkContext.hadoopConfiguration
+          // scheme-aware: inputFiles are fully-qualified URIs that may not
+          // live on the default filesystem (same convention as
+          // Tables.estimatedRowCount)
+          val bytes = files.map { f =>
+            val p = new org.apache.hadoop.fs.Path(f)
+            org.apache.hadoop.fs.FileSystem.get(p.toUri, conf)
+              .getFileStatus(p).getLen
+          }.sum
           cols :+= struct(
             lit(bytes).as("storageSize"),
             col("__count").as("count"),

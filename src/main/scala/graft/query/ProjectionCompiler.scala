@@ -37,7 +37,10 @@ object ProjectionCompiler {
     var excl = Set.empty[String]
     var ops = Map.empty[String, Column] // field -> replacement expression
     var opIsInclusion = false // $elemMatch forces inclusion mode
-    // dotted paths, grouped under their top-level field in document order
+    // dotted paths in the doc's ITERATION order — Scala's default Map
+    // keeps insertion order only up to 4 entries; pass a ListMap when the
+    // rebuilt struct's member order matters beyond that (same caveat as
+    // $sort documents, see PipelineCompiler's header)
     var dottedIncl = Vector.empty[(String, String)] // top -> rest
     var dottedExcl = Vector.empty[(String, String)]
 

@@ -185,8 +185,10 @@ object UpdateCompiler {
               case other => throw new IllegalArgumentException(
                 s"$$pullAll expects an array, got $other")
             }
+            // foldLeft, not reduce: {$pullAll: {f: []}} is a valid no-op
             setPath(d, path, pred, old => filter(old,
-              x => vals.map(lv => !(x <=> lv)).reduce(_ && _)))
+              x => vals.map(lv => !(x <=> lv))
+                .foldLeft(lit(true))(_ && _)))
           }
         case "$pop" =>
           fields.foldLeft(acc) { case (d, (path, v)) =>

@@ -232,6 +232,19 @@ class DedupSpec extends SparkSpec {
       (3L, 0L, "p q r s t u v")))
   }
 
+  test("duplicateSpans keeps zero-token documents as empty rows") {
+    val docs = Seq((1L, "alpha beta gamma delta epsilon"),
+      (2L, ""), (3L, "   ")).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(docs, "doc_id", "text", n = 5)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "dup_tokens", "clean")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 5L, 0L, "alpha beta gamma delta epsilon"),
+      (2L, 0L, 0L, ""),
+      (3L, 0L, 0L, "")))
+  }
+
   test("semDeDup drops later rows similar to an earlier same-cluster row") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f), 0),

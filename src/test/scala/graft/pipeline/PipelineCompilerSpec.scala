@@ -1638,6 +1638,35 @@ class SearchStagesSpec extends graft.SparkSpec {
     assert(math.abs(rows(1).getDouble(1) - math.Pi / 2 * 6371008.8) < 1e-3)
   }
 
+  test("$geoNear GeoJSON near implies spherical without the flag") {
+    val pts = Seq((1L, Seq(0.0, 90.0))).toDF("id", "loc")
+    val out = PipelineCompiler.compile(Seq(
+      Map("$geoNear" -> Map(
+        "near" -> Map("type" -> "Point", "coordinates" -> Seq(0.0, 0.0)),
+        "key" -> "loc", "distanceField" -> "d"))))(pts)
+    // meters on the sphere, not 90 planar degrees
+    assert(math.abs(out.select("d").as[Double].head()
+      - math.Pi / 2 * 6371008.8) < 1e-3)
+  }
+
+  test("$search phrase rejects an empty query") {
+    val docs = Seq((1L, "text here")).toDF("id", "txt")
+    intercept[IllegalArgumentException] {
+      PipelineCompiler.compile(Seq(Map("$search" -> Map("phrase" ->
+        Map("query" -> "", "path" -> "txt")))))(docs)
+    }
+  }
+
+  test("$searchMeta count plan skips the BM25 stats aggregate") {
+    val docs = Seq((1L, "spark row"), (2L, "other")).toDF("id", "txt")
+    val out = PipelineCompiler.compile(Seq(
+      Map("$searchMeta" -> Map("text" ->
+        Map("query" -> "spark", "path" -> "txt")))))(docs)
+    assert(out.select("count.total").as[Long].head() == 1L)
+    assert(!out.queryExecution.optimizedPlan.toString
+      .contains("__search_avgdl"))
+  }
+
   test("$search text: BM25 order, $meta searchScore, non-matches dropped") {
     val docs = Seq(
       (1L, "spark spark spark"), (2L, "spark row"),

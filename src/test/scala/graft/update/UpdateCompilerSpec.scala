@@ -313,5 +313,9 @@ class UpdateCompilerSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       UpdateCompiler.compile(Map("$pullAll" -> Map("arr" -> 2)))(dups)
     }
+    // {$pullAll: {arr: []}} is valid Mongo and removes nothing
+    val noop = UpdateCompiler.compile(
+      Map("$pullAll" -> Map("arr" -> Seq.empty[Int])))(dups)
+    assert(noop.select("arr").as[Seq[Int]].head() == Seq(1, 2, 1, 3, 2, 1))
   }
 }
