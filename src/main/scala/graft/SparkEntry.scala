@@ -311,13 +311,21 @@ object SparkEntry {
     // token budget — one tiny count agg + a scan-fused deterministic
     // hash-sample; sources outside the mix drop
     // §2.2 projection-operator Select forms: exclusion doc + $slice (the
-    // reference's pass-through projection, db/wrapper.go:386,463-465)
+    // reference's pass-through projection, db/wrapper.go:386,463-465).
+    // The sliced array is declared as double scalar legs (float→double
+    // widening is exact in both engines) so the driver's row comparator
+    // can hash the output; the $slice+exclusion projection itself still
+    // runs through the library.
     "q116_select_exclude_slice" -> ((s, dir) =>
       coll(s, dir, "embeddings")
         .find(Map("vec_id" -> Map("$lt" -> 100)))
         .select(Map("label" -> 0, "embedding" -> Map("$slice" -> 3)))
         .sort("vec_id")
-        .toDF),
+        .toDF
+        .select(col("vec_id"),
+          col("embedding")(0).cast("double").as("e0"),
+          col("embedding")(1).cast("double").as("e1"),
+          col("embedding")(2).cast("double").as("e2"))),
 
     // cross-document boilerplate line removal (CCNet-style): lines in
     // > maxDocFreq docs drop; one explode + line-keyed count + semi-join
@@ -588,14 +596,17 @@ object SparkEntry {
         .orderBy("_id")),
 
     // §2.2 $elemMatch projection (inclusion mode): first embedding
-    // component > 0.5 as a 1-element array, null when none
+    // component > 0.5 as a 1-element array, null when none. Declared as a
+    // scalar leg (driver comparators cannot hash array cells).
     "q119_select_elemmatch" -> ((s, dir) =>
       coll(s, dir, "embeddings")
         .find(Map("vec_id" -> Map("$lt" -> 50)))
         .select(Map("vec_id" -> 1,
           "embedding" -> Map("$elemMatch" -> Map("$gt" -> 0.5))))
         .sort("vec_id")
-        .toDF),
+        .toDF
+        .select(col("vec_id"),
+          element_at(col("embedding"), 1).cast("double").as("hit"))),
 
     "q115_token_mix" -> ((s, dir) =>
       graft.ops.Sampling.tokenBudgetMix(
@@ -2691,7 +2702,10 @@ object SparkEntry {
         |ORDER BY o_orderkey""".stripMargin,
 
     "q116_select_exclude_slice" ->
-      """SELECT vec_id, embedding[1:3] AS embedding
+      """SELECT vec_id,
+        |  CAST(embedding[1] AS DOUBLE) AS e0,
+        |  CAST(embedding[2] AS DOUBLE) AS e1,
+        |  CAST(embedding[3] AS DOUBLE) AS e2
         |FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""".stripMargin,
 
     "q130_semdedup" ->
@@ -2757,8 +2771,8 @@ object SparkEntry {
 
     "q135_select_dotted_incl" ->
       """SELECT c_custkey, to_json(struct_pack(
-        |    acct := struct_pack(seg := c_mktsegment),
-        |    name := c_name)) AS info_json
+        |    name := c_name,
+        |    acct := struct_pack(seg := c_mktsegment))) AS info_json
         |FROM customer WHERE c_custkey <= 200 ORDER BY c_custkey""".stripMargin,
 
     "q136_select_dotted_excl" ->
@@ -2935,7 +2949,8 @@ object SparkEntry {
     "q119_select_elemmatch" ->
       """SELECT vec_id,
         |  CASE WHEN len(list_filter(embedding, x -> x > 0.5)) > 0
-        |       THEN list_filter(embedding, x -> x > 0.5)[1:1] END AS embedding
+        |       THEN CAST(list_filter(embedding, x -> x > 0.5)[1] AS DOUBLE)
+        |  END AS hit
         |FROM embeddings WHERE vec_id < 50 ORDER BY vec_id""".stripMargin,
 
     "q115_token_mix" ->

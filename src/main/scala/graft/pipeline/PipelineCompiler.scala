@@ -1697,6 +1697,16 @@ object PipelineCompiler {
       throw new IllegalArgumentException(s"expected expression array: $other")
   }
 
+  /** 3-arg `$slice` [array, position, n] with Mongo's position semantics:
+    * non-negative positions skip from the start (past-the-end → empty);
+    * negative positions start |pos| from the END, CLAMPED to the array
+    * start when |pos| > length (Spark's own slice would return empty
+    * there). Empty arrays short-circuit — Spark rejects a 0 start index. */
+  private def slicePosN(a: Column, p: Column, n: Column): Column =
+    when(p >= 0, slice(a, p + 1, n))
+      .otherwise(when(size(a) === 0, a)
+        .otherwise(slice(a, greatest(p, -size(a)), n)))
+
   /** Shared machinery for `$top/$topN/$bottom/$bottomN`: collect
     * (sortKey, output) pairs, sort by the key (struct field order makes
     * array_sort order by it first), project the outputs. Single sortBy key,
@@ -2164,13 +2174,13 @@ object PipelineCompiler {
             if (n >= 0) slice(expr2colE(aE), 1, n)
             else slice(expr2colE(aE), n, -n)
           case Seq(aE, pV: Number, nV: Number) => // 0-based position + count
-            slice(expr2colE(aE), pV.intValue() + 1, nV.intValue())
+            slicePosN(expr2colE(aE), lit(pV.intValue()), lit(nV.intValue()))
           case Seq(aE, nE) => // expression-valued ±n (Mongo allows any expr)
             val n = expr2colE(nE).cast("int")
             when(n >= 0, slice(expr2colE(aE), lit(1), n))
               .otherwise(slice(expr2colE(aE), n, -n))
           case Seq(aE, pE, nE) =>
-            slice(expr2colE(aE), expr2colE(pE).cast("int") + 1,
+            slicePosN(expr2colE(aE), expr2colE(pE).cast("int"),
               expr2colE(nE).cast("int"))
           case other => throw new IllegalArgumentException(s"$$slice: $other")
         }
@@ -2231,10 +2241,18 @@ object PipelineCompiler {
         // bitwise EXPRESSIONS (Mongo 6.3+): n-ary folds over integer
         // operands; the same names in $group context are the accumulators
         // above. Null operands null the result, matching Mongo.
-        case "$bitAnd" => seq.reduce(_ bitwiseAND _)
-        case "$bitOr"  => seq.reduce(_ bitwiseOR _)
-        case "$bitXor" => seq.reduce(_ bitwiseXOR _)
-        case "$bitNot" => bitwise_not(seq.head)
+        // Empty operand arrays fold to Mongo's documented identities:
+        // all-ones for $bitAnd, zero for $bitOr/$bitXor.
+        case "$bitAnd" =>
+          if (seq.isEmpty) lit(-1) else seq.reduce(_ bitwiseAND _)
+        case "$bitOr"  =>
+          if (seq.isEmpty) lit(0) else seq.reduce(_ bitwiseOR _)
+        case "$bitXor" =>
+          if (seq.isEmpty) lit(0) else seq.reduce(_ bitwiseXOR _)
+        case "$bitNot" =>
+          require(seq.size == 1,
+            s"$$bitNot requires exactly one operand, got ${seq.size}")
+          bitwise_not(seq.head)
         // BSON internal timestamps: 64-bit packed {t: epoch-seconds (high
         // 32), i: ordinal increment (low 32)}. The columnar carrier is the
         // packed long itself, so the accessors are pure bit ops.

@@ -2,6 +2,7 @@ package graft.query
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** Compiles MongoDB-style projection DOCUMENTS (not just inclusion field
   * lists) to a `select` over the input frame.
@@ -48,9 +49,26 @@ object ProjectionCompiler {
       case (f, m: Map[_, _]) =>
         val om = m.asInstanceOf[Map[String, Any]]
         om.keys.toList match {
+          case List("$slice") if f.contains('.') =>
+            // dotted $slice: rewrite just that member inside its top-level
+            // struct (withField resolves dotted nested paths)
+            val top = f.takeWhile(_ != '.')
+            val rest = f.drop(top.length + 1)
+            if (ops.contains(top))
+              throw new IllegalArgumentException(s"path collision at $top")
+            ops += top ->
+              col(top).withField(rest, sliceExpr(col(f), om("$slice"))).as(top)
           case List("$slice") =>
+            if (ops.contains(f))
+              throw new IllegalArgumentException(s"path collision at $f")
             ops += f -> sliceExpr(col(f), om("$slice")).as(f)
           case List("$elemMatch") =>
+            // server parity: "Cannot use $elemMatch projection on a nested
+            // field"
+            require(!f.contains('.'),
+              s"$$elemMatch projection on a nested field: $f")
+            if (ops.contains(f))
+              throw new IllegalArgumentException(s"path collision at $f")
             opIsInclusion = true
             ops += f -> elemMatchExpr(col(f), om("$elemMatch")).as(f)
           case other => throw new IllegalArgumentException(
@@ -87,9 +105,12 @@ object ProjectionCompiler {
     dottedIncl.groupBy(_._1).foreach { case (top, pairs) =>
       if (incl(top) || ops.contains(top))
         throw new IllegalArgumentException(s"path collision at $top")
-      ops += top -> inclStruct(top, pairs.map(_._2)).as(top)
+      ops += top -> inclStruct(top, pairs.map(_._2),
+        structTypeAt(df.schema, top)).as(top)
     }
     dottedExcl.groupBy(_._1).foreach { case (top, pairs) =>
+      if (ops.contains(top))
+        throw new IllegalArgumentException(s"path collision at $top")
       if (!inclusionMode)
         ops += top -> col(top).dropFields(pairs.map(_._2): _*).as(top)
     }
@@ -106,20 +127,42 @@ object ProjectionCompiler {
   }
 
   /** Nested inclusion: rebuild the struct at `prefix` keeping only the
-    * `rests` paths, in first-appearance order. A parent null projects to a
-    * struct of nulls (Mongo omits the parent; fixed columnar schemas make
-    * null members the closest analog, same stance as `$elemMatch`). */
-  private def inclStruct(prefix: String, rests: Seq[String]): Column = {
-    val tops = rests.map(_.takeWhile(_ != '.')).distinct
-    struct(tops.map { t =>
+    * `rests` paths, in the UNDERLYING SCHEMA's field order (Mongo inclusion
+    * projections preserve document order, not projection-doc order). A
+    * parent null projects to a struct of nulls (Mongo omits the parent;
+    * fixed columnar schemas make null members the closest analog, same
+    * stance as `$elemMatch`). */
+  private def inclStruct(prefix: String, rests: Seq[String],
+      st: StructType): Column = {
+    val tops = rests.map(_.takeWhile(_ != '.')).distinct.toSet
+    // schema order; requested members absent from the struct project to
+    // nothing (Mongo: missing fields are simply omitted)
+    val ordered = st.fieldNames.toSeq.filter(tops)
+    require(ordered.nonEmpty,
+      s"projection keeps no existing member of $prefix")
+    struct(ordered.map { t =>
       val whole = rests.contains(t)
       val subs = rests.filter(_.startsWith(t + ".")).map(_.drop(t.length + 1))
       if (whole && subs.nonEmpty)
         throw new IllegalArgumentException(s"path collision at $prefix.$t")
       if (whole) col(s"$prefix.$t").as(t)
-      else inclStruct(s"$prefix.$t", subs).as(t)
+      else st(t).dataType match {
+        case child: StructType => inclStruct(s"$prefix.$t", subs, child).as(t)
+        case other => throw new IllegalArgumentException(
+          s"$prefix.$t is $other, not a document; cannot project into it")
+      }
     }: _*)
   }
+
+  /** Resolve the StructType at a top-level column. */
+  private def structTypeAt(schema: StructType, top: String): StructType =
+    schema.find(_.name == top).map(_.dataType) match {
+      case Some(st: StructType) => st
+      case Some(other) => throw new IllegalArgumentException(
+        s"$top is $other, not a document; cannot project into it")
+      case None => throw new IllegalArgumentException(
+        s"no column $top to project into")
+    }
 
   /** `$slice: n` / `$slice: [skip, limit]` as a codegen'd slice. */
   private def sliceExpr(c: Column, spec: Any): Column = spec match {

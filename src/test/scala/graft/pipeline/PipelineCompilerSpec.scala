@@ -998,6 +998,42 @@ class ExprLangSpec extends graft.SparkSpec {
     assert(gs("zipped").size == 2)
   }
 
+  test("3-arg $slice: negative position counts from the end, clamped") {
+    val arr = Seq((Seq(10, 20, 30), 0)).toDF("xs", "k")
+    val out = PipelineCompiler.compile(Seq(Map("$addFields" -> Map(
+      // literal positions
+      "lastTwo" -> Map("$slice" -> Seq("$xs", -2, 2)),
+      "clamped" -> Map("$slice" -> Seq("$xs", -9, 2)), // |pos|>len → start
+      "pastEnd" -> Map("$slice" -> Seq("$xs", 7, 2)),  // empty
+      // expression-valued position (forces the 3-expr case)
+      "exprNeg" -> Map("$slice" ->
+        Seq("$xs", Map("$subtract" -> Seq("$k", 2)), 2)),
+      "emptyIn" -> Map("$slice" ->
+        Seq(Map("$slice" -> Seq("$xs", 0, 0)), -1, 1))))))(arr)
+    val r = out.head()
+    def gs(n: String) = r.getSeq[Any](out.columns.indexOf(n))
+    assert(gs("lastTwo") == Seq(20, 30))
+    assert(gs("clamped") == Seq(10, 20))
+    assert(gs("pastEnd") == Nil)
+    assert(gs("exprNeg") == Seq(20, 30))
+    assert(gs("emptyIn") == Nil) // empty input array never errors
+  }
+
+  test("bitwise expressions: empty operand identities, $bitNot arity") {
+    val d = Seq(Tuple1(5)).toDF("a")
+    val out = PipelineCompiler.compile(Seq(Map("$addFields" -> Map(
+      "andId" -> Map("$bitAnd" -> Seq.empty[Any]),
+      "orId" -> Map("$bitOr" -> Seq.empty[Any]),
+      "xorId" -> Map("$bitXor" -> Seq.empty[Any])))))(d).head()
+    assert(out.getInt(out.fieldIndex("andId")) == -1)
+    assert(out.getInt(out.fieldIndex("orId")) == 0)
+    assert(out.getInt(out.fieldIndex("xorId")) == 0)
+    intercept[IllegalArgumentException] {
+      PipelineCompiler.compile(Seq(Map("$addFields" -> Map(
+        "bad" -> Map("$bitNot" -> Seq("$a", "$a"))))))(d)
+    }
+  }
+
   test("set operators are deduped and sorted for determinism") {
     val d2 = Seq((Seq(3, 1, 2, 2), Seq(2, 4))).toDF("xs", "ys")
     val out = PipelineCompiler.compile(Seq(Map("$addFields" -> Map(

@@ -41,16 +41,44 @@ class ProjectionCompilerSpec extends SparkSpec {
       struct($"raw._2._1".as("bal"), $"raw._2._2".as("seg")).as("acct")))
     .drop("raw")
 
-  test("dotted inclusion rebuilds the struct with only selected members") {
+  test("dotted inclusion rebuilds the struct with only selected members, " +
+      "in the underlying schema's field order") {
+    // projection doc lists acct.seg BEFORE name; output must still follow
+    // the struct's own (name, acct) order, like Mongo document order
     val out = ProjectionCompiler.project(nested,
       Map("info.acct.seg" -> 1, "info.name" -> 1))
     assert(out.columns.toSeq == Seq("_id", "info"))
     val r = out.orderBy("_id").select("info").head()
     val info = r.getStruct(0)
-    assert(info.schema.fieldNames.toSeq == Seq("acct", "name"))
-    assert(info.getStruct(0).schema.fieldNames.toSeq == Seq("seg"))
-    assert(info.getStruct(0).getString(0) == "A" &&
-      info.getString(1) == "x")
+    assert(info.schema.fieldNames.toSeq == Seq("name", "acct"))
+    assert(info.getStruct(1).schema.fieldNames.toSeq == Seq("seg"))
+    assert(info.getStruct(1).getString(0) == "A" &&
+      info.getString(0) == "x")
+  }
+
+  test("dotted $slice rewrites just that member inside the struct") {
+    val sdf = Seq((1L, (Seq(1, 2, 3, 4), "k")), (2L, (Seq(9), "l")))
+      .toDF("_id", "raw")
+      .withColumn("info", struct($"raw._1".as("arr"), $"raw._2".as("tag")))
+      .drop("raw")
+    val out = ProjectionCompiler.project(sdf,
+      Map("info.arr" -> Map("$slice" -> 2)))
+    assert(out.columns.toSeq == Seq("_id", "info"))
+    val rows = out.orderBy("_id").collect()
+    assert(rows(0).getStruct(1).getSeq[Int](0) == Seq(1, 2))
+    assert(rows(0).getStruct(1).getString(1) == "k") // other member kept
+    assert(rows(1).getStruct(1).getSeq[Int](0) == Seq(9))
+  }
+
+  test("dotted operator/exclusion collisions reject; nested $elemMatch rejects") {
+    intercept[IllegalArgumentException] { // $slice top + dotted exclusion
+      ProjectionCompiler.project(nested,
+        Map("info" -> Map("$slice" -> 1), "info.name" -> 0))
+    }
+    intercept[IllegalArgumentException] { // server parity
+      ProjectionCompiler.project(nested,
+        Map("info.name" -> Map("$elemMatch" -> Map("$gt" -> 1))))
+    }
   }
 
   test("dotted exclusion drops just the struct member") {

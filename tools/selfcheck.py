@@ -37,6 +37,19 @@ def main(sf_dir, out_dir):
             continue
         try:
             spark_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            # The driver's comparator (pandas sort_values + hash) cannot
+            # handle composite cells (ndarray/dict); reject them here so the
+            # local gate catches driver-incomparable shapes first.
+            bad_cols = [(c, str(t)) for c, t in
+                        zip(spark_rel.columns, spark_rel.types)
+                        if "[]" in str(t) or str(t).startswith(("STRUCT", "MAP"))]
+            if bad_cols:
+                print(f"FAIL {name}: driver-incomparable column type(s) "
+                      f"{bad_cols} — the driver's pandas comparator cannot "
+                      f"hash array/struct/map cells; declare scalar or "
+                      f"to_json legs instead")
+                n_fail += 1
+                continue
             s_rows, s_names = canon(spark_rel.fetchall(), spark_rel.columns)
             duck_rel = con.sql(oracle[name])
             d_rows, d_names = canon(duck_rel.fetchall(), duck_rel.columns)
