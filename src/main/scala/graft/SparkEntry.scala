@@ -573,6 +573,49 @@ object SparkEntry {
           "storageStats" -> Map.empty[String, Any]))))
         .select(col("count"), col("storageStats.nindexes").as("nindexes"))),
 
+    // $search compound: BM25 must-text + phrase mustNot + wildcard filter
+    // + scoring should-phrase; score = must BM25 + matching should
+    // occurrences (filter/mustNot score 0, Lucene-style)
+    "q138_search_compound" -> ((s, dir) =>
+      coll(s, dir, "documents").pipe(Seq(
+        Map("$search" -> Map("compound" -> Map(
+          "must" -> Seq(Map("text" ->
+            Map("query" -> "stream filter", "path" -> "text"))),
+          "mustNot" -> Seq(Map("phrase" ->
+            Map("query" -> "slow merge", "path" -> "text"))),
+          "filter" -> Seq(Map("wildcard" ->
+            Map("query" -> "*join*", "path" -> "text"))),
+          "should" -> Seq(Map("phrase" ->
+            Map("query" -> "hash join", "path" -> "text")))))),
+        Map("$project" -> Map("doc_id" -> 1,
+          "score" -> Map("$meta" -> "searchScore")))))
+        .select(col("doc_id"),
+          col("score").cast("decimal(18,9)").cast("double").as("score"))
+        .orderBy(desc("score"), asc("doc_id")).limit(25)),
+
+    // $text grammar: OR-term + "quoted phrase" (must be present) +
+    // -term exclusion (must be absent), through the find() surface
+    "q139_text_negation" -> ((s, dir) =>
+      coll(s, dir, "documents").find(Map(
+        "$text" -> Map("$search" -> "spark -slow \"stream filter\"")))
+        .sort("doc_id").select("doc_id", "lang").toDF),
+
+    // $search wildcard + autocomplete as compound should-legs with
+    // minimumShouldMatch — constant-scored term-expansion operators
+    "q140_search_wildcard_auto" -> ((s, dir) =>
+      coll(s, dir, "documents").pipe(Seq(
+        Map("$search" -> Map("compound" -> Map(
+          "minimumShouldMatch" -> 1,
+          "should" -> Seq(
+            Map("wildcard" ->
+              Map("query" -> "*vector scan*", "path" -> "text")),
+            Map("autocomplete" ->
+              Map("query" -> "custom", "path" -> "text")))))),
+        Map("$project" -> Map("doc_id" -> 1,
+          "score" -> Map("$meta" -> "searchScore")))))
+        .select(col("doc_id"), col("score").cast("double").as("score"))
+        .orderBy("doc_id")),
+
     // $geoNear (reference pass-through db/wrapper.go:88-94): haversine
     // distance from a point over derived [lon, lat] coordinates — query
     // pre-filter pushed to the scan, maxDistance bound, distance emitted;
@@ -2928,6 +2971,60 @@ object SparkEntry {
 
     "q122_collstats" ->
       """SELECT COUNT(*) AS count, 0 AS nindexes FROM documents""".stripMargin,
+
+    "q138_search_compound" ->
+      """WITH tk AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM tk),
+        |hits AS (
+        |  SELECT doc_id, dl, term, COUNT(*) AS tf FROM toks
+        |  WHERE term IN ('stream', 'filter')
+        |  GROUP BY doc_id, dl, term),
+        |stats AS (
+        |  SELECT COUNT(*) AS n_docs, avg(CAST(len(t) AS DOUBLE)) AS avgdl
+        |  FROM tk),
+        |dfreq AS (
+        |  SELECT term, COUNT(*) AS df FROM hits GROUP BY term),
+        |bm AS (
+        |  SELECT doc_id,
+        |    SUM(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * 2.2)
+        |      / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))) AS mscore
+        |  FROM hits JOIN dfreq USING (term), stats GROUP BY doc_id),
+        |matched AS (
+        |  SELECT tk.doc_id,
+        |    bm.mscore + CASE WHEN contains(tk.text, 'hash join')
+        |      THEN (len(tk.text) - len(replace(tk.text, 'hash join', '')))
+        |           / 9.0
+        |      ELSE 0 END AS score
+        |  FROM tk JOIN bm USING (doc_id)
+        |  WHERE NOT contains(tk.text, 'slow merge')
+        |    AND contains(tk.text, 'join'))
+        |SELECT doc_id, CAST(CAST(score AS DECIMAL(18,9)) AS DOUBLE) AS score
+        |FROM matched ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
+
+    "q139_text_negation" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE list_contains(
+        |    list_filter(string_split(text, ' '), x -> x <> ''), 'spark')
+        |  AND contains(text, 'stream filter')
+        |  AND NOT list_contains(
+        |    list_filter(string_split(text, ' '), x -> x <> ''), 'slow')
+        |ORDER BY doc_id""".stripMargin,
+
+    "q140_search_wildcard_auto" ->
+      """SELECT doc_id, CAST(
+        |    (CASE WHEN contains(text, 'vector scan') THEN 1.0 ELSE 0 END)
+        |  + (CASE WHEN len(list_filter(string_split(text, ' '),
+        |        x -> x LIKE 'custom%')) > 0 THEN 1.0 ELSE 0 END)
+        |  AS DOUBLE) AS score
+        |FROM documents
+        |WHERE contains(text, 'vector scan')
+        |   OR len(list_filter(string_split(text, ' '),
+        |        x -> x LIKE 'custom%')) > 0
+        |ORDER BY doc_id""".stripMargin,
 
     "q118_geonear" ->
       """WITH c AS (

@@ -120,11 +120,8 @@ object PipelineCompiler {
               case s: String => s
               case _ => ""
             }
-            val terms = search.split("\\s+").filter(_.nonEmpty).distinct
-            val toks = graft.ops.TextFunctions.tokens(col("text"))
             matched.withColumn("__searchScore",
-              terms.map(tm => array_contains(toks, tm).cast("int"))
-                .reduce(_ + _).cast("double"))
+              QueryCompiler.textScore(search))
           case None => matched
         }
 
@@ -474,70 +471,152 @@ object PipelineCompiler {
         scaled.orderBy(col(distField).asc)
 
       case "$search" | "$searchMeta" =>
-        // Atlas-style search (reference pass-through db/wrapper.go:88-94),
-        // minimal subset: `text` (BM25 k1=1.2 b=0.75, whitespace terms —
-        // the same scoring contract as ops/TextSearch.bm25, re-expressed
-        // as scan-fused per-row math so every input column passes through)
-        // and `phrase` (exact substring, score = occurrence count).
-        // Corpus stats (N, avgdl, per-term df) are ONE broadcast row
-        // computed in-plan — the only exchange besides the relevance
-        // ordering, which collapses to TakeOrderedAndProject under a
-        // following $limit. The score is exposed to later stages through
-        // {$meta: "searchScore"}; the carrier column is dropped by any
-        // inclusion $project that does not ask for it. `index` is
-        // accepted and ignored (no named indexes over parquet).
+        // Atlas-style search (reference pass-through db/wrapper.go:88-94):
+        // `text` (BM25 k1=1.2 b=0.75, whitespace terms — the same scoring
+        // contract as ops/TextSearch.bm25, re-expressed as scan-fused
+        // per-row math so every input column passes through), `phrase`
+        // (exact substring, score = occurrence count), `wildcard` (glob →
+        // anchored regex, constant score), `autocomplete` (token-prefix
+        // match, constant score), and `compound` (must/mustNot/should/
+        // filter over any of the above; score = must + matching should,
+        // filter and mustNot score 0, Lucene-style).
+        // Corpus stats (N, avgdl, per-term df — per text leg) are ONE
+        // broadcast row computed in-plan — the only exchange besides the
+        // relevance ordering, which collapses to TakeOrderedAndProject
+        // under a following $limit. Match predicates read only the row's
+        // own tokens, so $searchMeta and compound structure never force
+        // the stats scan. The score is exposed to later stages through
+        // {$meta: "searchScore"}. `index` is accepted and ignored (no
+        // named indexes over parquet).
         val d = doc(spec) - "index"
         require(d.size == 1,
-          s"$name: exactly one operator (text/phrase), got ${d.keys}")
-        val (op, osRaw) = d.head
-        val os = doc(osRaw)
-        val path = os.getOrElse("path",
-          throw new IllegalArgumentException(s"$name.$op requires path"))
-          .toString
-        val queryStr = os.getOrElse("query",
-          throw new IllegalArgumentException(s"$name.$op requires query"))
-          .toString
-        val toks = graft.ops.TextFunctions.tokens(col(path))
-        val (matched: Column, score: Column, statsDf: Option[DataFrame]) =
+          s"$name: exactly one operator " +
+            s"(text/phrase/wildcard/autocomplete/compound), got ${d.keys}")
+        val legId = new java.util.concurrent.atomic.AtomicInteger(0)
+        def pathQuery(op: String, os: Map[String, Any]): (String, String) = (
+          os.getOrElse("path", throw new IllegalArgumentException(
+            s"$name.$op requires path")).toString,
+          os.getOrElse("query", throw new IllegalArgumentException(
+            s"$name.$op requires query")).toString)
+        // one search operator doc -> (match predicate, score expression,
+        // corpus-stat aggregate columns the score reads after a broadcast
+        // join)
+        def compileOp(op: String, osRaw: Any): (Column, Column, Seq[Column]) =
           op match {
             case "text" =>
+              val os = doc(osRaw)
+              val (path, queryStr) = pathQuery(op, os)
+              val toks = graft.ops.TextFunctions.tokens(col(path))
               val terms = queryStr.split("\\s+").filter(_.nonEmpty)
                 .distinct.toSeq
               require(terms.nonEmpty, s"$name.text: empty query")
+              val p = s"__s${legId.getAndIncrement()}"
               val (k1, b) = (1.2, 0.75)
               val statCols =
-                count(lit(1)).cast("double").as("__search_n") +:
-                avg(size(toks).cast("double")).as("__search_avgdl") +:
+                count(lit(1)).cast("double").as(s"${p}_n") +:
+                avg(size(toks).cast("double")).as(s"${p}_avgdl") +:
                 terms.zipWithIndex.map { case (t, i) =>
                   sum(when(array_contains(toks, t), 1L).otherwise(0L))
-                    .cast("double").as(s"__search_df$i")
+                    .cast("double").as(s"${p}_df$i")
                 }
-              val stats = df.agg(statCols.head, statCols.tail: _*)
               val dl = size(toks).cast("double")
               val perTerm = terms.zipWithIndex.map { case (t, i) =>
                 val tf = size(filter(toks, x => x === lit(t)))
                   .cast("double")
-                val dfc = col(s"__search_df$i")
+                val dfc = col(s"${p}_df$i")
                 val idf = log(lit(1.0) +
-                  (col("__search_n") - dfc + 0.5) / (dfc + 0.5))
+                  (col(s"${p}_n") - dfc + 0.5) / (dfc + 0.5))
                 when(tf > 0, idf * (tf * lit(k1 + 1)) /
                   (tf + lit(k1) * (lit(1 - b) + lit(b) * dl /
-                    col("__search_avgdl")))).otherwise(lit(0.0))
+                    col(s"${p}_avgdl")))).otherwise(lit(0.0))
               }
               val pred = terms.map(t => array_contains(toks, t))
                 .reduce(_ || _)
-              (pred, perTerm.reduce(_ + _), Some(stats))
+              (pred, perTerm.reduce(_ + _), statCols)
             case "phrase" =>
+              val os = doc(osRaw)
+              val (path, queryStr) = pathQuery(op, os)
               // same guard as text: an empty phrase would match every row
               // and divide the occurrence count by zero
               require(queryStr.nonEmpty, s"$name.phrase: empty query")
               val occ = (length(col(path)) -
                 length(replace(col(path), lit(queryStr), lit("")))) /
                 lit(queryStr.length)
-              (col(path).contains(queryStr), occ.cast("double"), None)
+              (col(path).contains(queryStr), occ.cast("double"), Nil)
+            case "wildcard" =>
+              // Lucene glob: * = any run, ? = one char; everything else
+              // literal. Constant score, like Atlas' constant-scored
+              // term-expansion queries.
+              val os = doc(osRaw)
+              val (path, queryStr) = pathQuery(op, os)
+              val rx = "^" + queryStr.flatMap {
+                case '*' => ".*"
+                case '?' => "."
+                case c if "\\.[]{}()+-^$|".contains(c) => "\\" + c
+                case c => c.toString
+              } + "$"
+              (col(path).rlike(rx), lit(1.0), Nil)
+            case "autocomplete" =>
+              // token-prefix match (the minimal edgeGram analyzer form)
+              val os = doc(osRaw)
+              val (path, queryStr) = pathQuery(op, os)
+              require(queryStr.nonEmpty, s"$name.autocomplete: empty query")
+              val toks = graft.ops.TextFunctions.tokens(col(path))
+              (exists(toks, t => t.startsWith(queryStr)), lit(1.0), Nil)
+            case "compound" =>
+              val os = doc(osRaw)
+              val known = Set("must", "mustNot", "should", "filter",
+                "minimumShouldMatch")
+              val unknown = os.keySet -- known
+              require(unknown.isEmpty,
+                s"$name.compound: unsupported option(s) $unknown")
+              def legs(key: String): Seq[(Column, Column, Seq[Column])] =
+                os.get(key).map {
+                  case s: Seq[_] => s.map { e =>
+                    val m = doc(e)
+                    require(m.size == 1,
+                      s"$name.compound.$key: one operator per clause")
+                    val (o, r) = m.head
+                    compileOp(o, r)
+                  }
+                  case one => // single clause without the array wrapper
+                    val m = doc(one)
+                    require(m.size == 1,
+                      s"$name.compound.$key: one operator per clause")
+                    Seq(compileOp(m.head._1, m.head._2))
+                }.getOrElse(Nil)
+              val must = legs("must"); val mustNot = legs("mustNot")
+              val should = legs("should"); val fil = legs("filter")
+              require(must.nonEmpty || mustNot.nonEmpty ||
+                should.nonEmpty || fil.nonEmpty,
+                s"$name.compound: no clauses")
+              val msm = os.get("minimumShouldMatch").map(int).getOrElse(0)
+              val shouldHits = should.map(_._1.cast("int"))
+                .reduceOption(_ + _).getOrElse(lit(0))
+              val basePred =
+                (must.map(_._1) ++ fil.map(_._1) ++ mustNot.map(l => !l._1))
+                  .reduceOption(_ && _).getOrElse(lit(true))
+              // Lucene: should clauses are optional beside must/filter,
+              // but when they are the only scoring/matching clauses at
+              // least one has to hit
+              val shouldPred =
+                if (msm > 0) shouldHits >= msm
+                else if (must.isEmpty && fil.isEmpty && should.nonEmpty)
+                  shouldHits >= 1
+                else lit(true)
+              val score =
+                (must.map(_._2) ++
+                  should.map(l => when(l._1, l._2).otherwise(lit(0.0))))
+                  .reduceOption(_ + _).getOrElse(lit(0.0))
+              // only must/should scores are read downstream; mustNot and
+              // filter legs never need their corpus stats
+              (basePred && shouldPred, score,
+                (must ++ should).flatMap(_._3))
             case other => throw new IllegalArgumentException(
-              s"$name: unsupported operator $other (text/phrase)")
+              s"$name: unsupported operator $other " +
+                "(text/phrase/wildcard/autocomplete/compound)")
           }
+        val (matched, score, statCols) = compileOp(d.head._1, d.head._2)
         if (name == "$searchMeta") {
           // metadata-only result: Mongo's {count: {total: N}} shape. The
           // match predicate reads only the row's own tokens, so the BM25
@@ -546,11 +625,16 @@ object PipelineCompiler {
           df.where(matched)
             .agg(count(lit(1)).as("__total"))
             .select(struct(col("__total").as("total")).as("count"))
-        } else {
-          val base = statsDf.map(s => df.join(broadcast(s))).getOrElse(df)
-          base.where(matched)
+        } else if (statCols.isEmpty) {
+          df.where(matched)
             .withColumn("__searchScore", score)
-            .drop(statsDf.map(_.columns.toSeq).getOrElse(Nil): _*)
+            .orderBy(col("__searchScore").desc)
+        } else {
+          val stats = df.agg(statCols.head, statCols.tail: _*)
+          df.join(broadcast(stats))
+            .where(matched)
+            .withColumn("__searchScore", score)
+            .drop(stats.columns.toSeq: _*)
             .orderBy(col("__searchScore").desc)
         }
 

@@ -48,8 +48,11 @@ object QueryCompiler {
       rand() < lit(p)
     case "$text" =>
       // Mongo $text consults a text index; the engine's convention is a
-      // `text` column (FIXTURES.md documents schema). OR-of-terms match on
-      // whitespace tokens, like Mongo's default OR search semantics.
+      // `text` column (FIXTURES.md documents schema). Full search-string
+      // grammar: bare terms OR-match on whitespace tokens (Mongo's default
+      // OR semantics), `"quoted phrases"` must ALL be present as
+      // substrings, and `-term` / `-"phrase"` exclusions must ALL be
+      // absent.
       val search = value match {
         case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
           .getOrElse("$search", throw new IllegalArgumentException(
@@ -58,10 +61,7 @@ object QueryCompiler {
         case other =>
           throw new IllegalArgumentException(s"$$text: $other")
       }
-      val terms = search.split("\\s+").filter(_.nonEmpty)
-      require(terms.nonEmpty, "$text: empty $search")
-      val toks = graft.ops.TextFunctions.tokens(col("text"))
-      terms.map(t => array_contains(toks, t)).reduce(_ || _)
+      textPredicate(search)
     case "$comment" => lit(true) // server-log annotation: no predicate
     case "$where" => throw new IllegalArgumentException(
       "$where (JavaScript) is not supported: there is no JS engine in a " +
@@ -507,6 +507,60 @@ object QueryCompiler {
     case s: Seq[_] => s
     case other => throw new IllegalArgumentException(
       s"$ctx expects an array, got: $other")
+  }
+
+  /** Parsed `$text` search string: bare OR-terms, `"quoted phrases"`
+    * (all must be present as substrings), `-term` / `-"phrase"`
+    * exclusions (all must be absent). */
+  private[graft] final case class TextSearch(
+      terms: Seq[String], phrases: Seq[String],
+      negTerms: Seq[String], negPhrases: Seq[String])
+
+  private val textTokenRx = """-?"[^"]*"|\S+""".r
+
+  private[graft] def parseTextSearch(search: String): TextSearch = {
+    var terms = Vector.empty[String]; var phrases = Vector.empty[String]
+    var negT = Vector.empty[String]; var negP = Vector.empty[String]
+    textTokenRx.findAllIn(search).foreach { tok =>
+      if (tok.startsWith("-\"") && tok.endsWith("\"") && tok.length > 3)
+        negP :+= tok.substring(2, tok.length - 1)
+      else if (tok.startsWith("\"") && tok.endsWith("\"") && tok.length > 2)
+        phrases :+= tok.substring(1, tok.length - 1)
+      else if (tok.startsWith("-") && tok.length > 1)
+        negT :+= tok.substring(1)
+      else if (!tok.startsWith("\"") && tok != "-")
+        terms :+= tok
+    }
+    require(terms.nonEmpty || phrases.nonEmpty,
+      s"$$text: no positive terms or phrases in '$search'")
+    TextSearch(terms.distinct, phrases.distinct, negT.distinct, negP.distinct)
+  }
+
+  /** `$text` match predicate over the `text` column: any bare term, AND
+    * all phrases, AND none of the exclusions — Mongo's documented
+    * semantics for `$search` strings. */
+  private[graft] def textPredicate(search: String): Column = {
+    val ts = parseTextSearch(search)
+    val toks = graft.ops.TextFunctions.tokens(col("text"))
+    val pos = ts.terms.map(t => array_contains(toks, t))
+      .reduceOption(_ || _).getOrElse(lit(true))
+    val phr = ts.phrases.map(p => col("text").contains(p))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val neg = (ts.negTerms.map(t => !array_contains(toks, t)) ++
+      ts.negPhrases.map(p => !col("text").contains(p)))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    pos && phr && neg
+  }
+
+  /** Simplified textScore for the `{$meta: "textScore"}` carrier: count
+    * of matching bare terms plus matching phrases (documented as simpler
+    * than Mongo's tf weighting; `$search` carries full BM25). */
+  private[graft] def textScore(search: String): Column = {
+    val ts = parseTextSearch(search)
+    val toks = graft.ops.TextFunctions.tokens(col("text"))
+    (ts.terms.map(t => array_contains(toks, t).cast("int")) ++
+      ts.phrases.map(p => col("text").contains(p).cast("int")))
+      .reduce(_ + _).cast("double")
   }
 
   /** Literal conversion for supported BSON-ish scalar types. */

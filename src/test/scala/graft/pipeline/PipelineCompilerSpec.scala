@@ -1700,7 +1700,7 @@ class SearchStagesSpec extends graft.SparkSpec {
         Map("query" -> "spark", "path" -> "txt")))))(docs)
     assert(out.select("count.total").as[Long].head() == 1L)
     assert(!out.queryExecution.optimizedPlan.toString
-      .contains("__search_avgdl"))
+      .contains("_avgdl"))
   }
 
   test("$search text: BM25 order, $meta searchScore, non-matches dropped") {
@@ -1735,6 +1735,88 @@ class SearchStagesSpec extends graft.SparkSpec {
         "s" -> Map("$meta" -> "searchScore")))))(docs)
     assert(out.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap ==
       Map(1L -> 2.0, 2L -> 1.0))
+  }
+
+  test("$search wildcard: glob translation, constant score") {
+    val docs = Seq((1L, "spark-4.1.2"), (2L, "spark-3.5"), (3L, "flink"))
+      .toDF("id", "txt")
+    val out = PipelineCompiler.compile(Seq(
+      Map("$search" -> Map("wildcard" ->
+        Map("query" -> "spark-4.?.*", "path" -> "txt"))),
+      Map("$project" -> Map("id" -> 1,
+        "s" -> Map("$meta" -> "searchScore")))))(docs)
+    assert(out.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap ==
+      Map(1L -> 1.0)) // regex metachars in the doc text stay literal
+  }
+
+  test("$search autocomplete: token prefix match") {
+    val docs = Seq((1L, "streaming engine"), (2L, "stream"), (3L, "upstream"))
+      .toDF("id", "txt")
+    val out = PipelineCompiler.compile(Seq(
+      Map("$search" -> Map("autocomplete" ->
+        Map("query" -> "stream", "path" -> "txt"))),
+      Map("$project" -> Map("id" -> 1))))(docs)
+    // prefix of a token, not substring: "upstream" must not match
+    assert(out.select("id").as[Long].collect().toSet == Set(1L, 2L))
+  }
+
+  test("$search compound: must/mustNot/filter/should + score sum") {
+    val docs = Seq(
+      (1L, "spark rdd engine"), (2L, "spark sql engine"),
+      (3L, "spark sql legacy"), (4L, "flink sql engine"))
+      .toDF("id", "txt")
+    val out = PipelineCompiler.compile(Seq(
+      Map("$search" -> Map("compound" -> Map(
+        "must" -> Seq(Map("text" ->
+          Map("query" -> "spark", "path" -> "txt"))),
+        "mustNot" -> Seq(Map("phrase" ->
+          Map("query" -> "legacy", "path" -> "txt"))),
+        "filter" -> Seq(Map("wildcard" ->
+          Map("query" -> "*engine*", "path" -> "txt"))),
+        "should" -> Seq(Map("phrase" ->
+          Map("query" -> "sql", "path" -> "txt")))))),
+      Map("$project" -> Map("id" -> 1,
+        "s" -> Map("$meta" -> "searchScore")))))(docs)
+    val rows = out.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    // 3 dropped by mustNot, 4 by must, filter keeps engine docs;
+    // doc 2's matching should-phrase adds 1.0 over doc 1's must-only score
+    assert(rows.keySet == Set(1L, 2L))
+    assert(math.abs(rows(2L) - rows(1L) - 1.0) < 1e-9)
+  }
+
+  test("$search compound: only-should requires one hit; minimumShouldMatch") {
+    val docs = Seq((1L, "a b"), (2L, "a"), (3L, "z")).toDF("id", "txt")
+    val onlyShould = PipelineCompiler.compile(Seq(
+      Map("$search" -> Map("compound" -> Map(
+        "should" -> Seq(
+          Map("phrase" -> Map("query" -> "a", "path" -> "txt")),
+          Map("phrase" -> Map("query" -> "b", "path" -> "txt")))))),
+      Map("$project" -> Map("id" -> 1))))(docs)
+    assert(onlyShould.select("id").as[Long].collect().toSet == Set(1L, 2L))
+    val msm2 = PipelineCompiler.compile(Seq(
+      Map("$search" -> Map("compound" -> Map(
+        "minimumShouldMatch" -> 2,
+        "should" -> Seq(
+          Map("phrase" -> Map("query" -> "a", "path" -> "txt")),
+          Map("phrase" -> Map("query" -> "b", "path" -> "txt")))))),
+      Map("$project" -> Map("id" -> 1))))(docs)
+    assert(msm2.select("id").as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("$search compound of two text legs keeps both corpus-stat sets") {
+    val docs = Seq(
+      (1L, "alpha beta"), (2L, "alpha"), (3L, "beta"), (4L, "gamma"))
+      .toDF("id", "txt")
+    val out = PipelineCompiler.compile(Seq(
+      Map("$search" -> Map("compound" -> Map(
+        "must" -> Seq(
+          Map("text" -> Map("query" -> "alpha", "path" -> "txt")),
+          Map("text" -> Map("query" -> "beta", "path" -> "txt")))))),
+      Map("$project" -> Map("id" -> 1,
+        "s" -> Map("$meta" -> "searchScore")))))(docs)
+    val rows = out.collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L)) // both musts required
+    assert(rows.head.getDouble(1) > 0.0)
   }
 
   test("$sort by {$meta: textScore} orders by the search score") {

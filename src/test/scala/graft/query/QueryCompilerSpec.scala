@@ -155,6 +155,30 @@ class QueryCompilerSpec extends SparkSpec {
     }
   }
 
+  test("$text negation and quoted phrases") {
+    val docs = Seq(
+      (1L, "spark shuffles data fast"),
+      (2L, "spark shuffles data slow"),
+      (3L, "shuffles data"),
+      (4L, "spark standalone")).toDF("_id", "text")
+    def hits(search: String): Seq[Long] =
+      docs.where(QueryCompiler.compile(Map("$text" ->
+        Map("$search" -> search)))).select("_id").as[Long]
+        .collect().toSeq.sorted
+    // -term excludes
+    assert(hits("spark -slow") == Seq(1, 4))
+    // quoted phrase is an exact-substring AND over the OR terms
+    assert(hits("spark \"shuffles data\"") == Seq(1, 2))
+    // phrase-only search: phrase carries the positive match
+    assert(hits("\"shuffles data fast\"") == Seq(1))
+    // negated phrase
+    assert(hits("spark -\"data slow\"") == Seq(1, 4))
+    // only exclusions → no positive predicate → reject
+    intercept[IllegalArgumentException] {
+      QueryCompiler.compile(Map("$text" -> Map("$search" -> "-slow")))
+    }
+  }
+
   test("unknown operator rejected") {
     intercept[IllegalArgumentException] {
       QueryCompiler.compile(Map("v" -> Map("$near" -> 1)))
