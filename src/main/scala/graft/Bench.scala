@@ -1,11 +1,15 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark entrypoint. Prints a cumulative best-times JSON line after
-  * EVERY completed query (the driver parses the last line), so a run killed
-  * at any point still leaves a valid artifact. A wall-clock deadline
-  * (SPARK_GRAFT_BENCH_DEADLINE_S, default 1200 s) stops new query runs so
-  * the process exits cleanly before any external timeout.
+/** Benchmark entrypoint. Prints a cumulative MEDIAN-of-rounds JSON line
+  * after EVERY completed query (the driver parses the last line), so a run
+  * killed at any point still leaves a valid artifact. Medians rather than
+  * min: same-code round-over-round artifacts have shown ±18% host swings,
+  * and the median both resists steal-spike outliers and (unlike min) does
+  * not systematically understate — so real per-query regressions stay
+  * visible. A wall-clock deadline (SPARK_GRAFT_BENCH_DEADLINE_S, default
+  * 1200 s) stops new query runs so the process exits cleanly before any
+  * external timeout.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -29,16 +33,23 @@ object Bench {
     spark.range(5000000L).selectExpr("sum(id)").collect()
     SparkEntry.queries.get("q12_agg_sum").foreach(_(spark, sfDir).count())
     // The host VM has CPU-steal spikes that can inflate a single run
-    // 10-50x, so: min over `rounds` repetitions, with the repetitions
+    // 10-50x, so: median over `rounds` repetitions, with the repetitions
     // INTERLEAVED (round-robin over all queries) rather than back-to-back —
-    // a multi-second steal burst then hits each query at most once.
+    // a multi-second steal burst then hits each query at most once, and the
+    // median discards it.
     // optional comma-separated name filter for bisecting bench behavior
     val only = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
       .map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    val best = scala.collection.mutable.Map.empty[String, Double]
+    val samples =
+      scala.collection.mutable.Map.empty[String, Vector[Double]]
     val errors = scala.collection.mutable.Map.empty[String, String]
+    def median(xs: Vector[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
 
     // The driver keeps only a ~2000-char tail of stdout and json-parses a
     // line from it, so the emitted line must stay well under that budget:
@@ -48,15 +59,16 @@ object Bench {
     def render(): String = {
       // queries that never succeeded are excluded from timings and the
       // total, and surfaced explicitly in "failures"
-      val failed = errors.keySet -- best.keySet
-      val qs = best.toSeq.sortBy(_._1)
+      val med = samples.view.mapValues(median).toMap
+      val failed = errors.keySet -- med.keySet
+      val qs = med.toSeq.sortBy(_._1)
         .map { case (k, v) => s""""${shortKey(k)}":${fmt(v)}""" }
         .mkString("{", ",", "}")
       val fails = failed.toSeq.sorted
         .map(k => s""""${shortKey(k)}":"${errors(k).replace("\"", "'").take(60)}"""")
         .mkString("{", ",", "}")
-      val total = if (best.nonEmpty) best.values.sum else 0.0
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failures":$fails,"sf":"$sfDir","elapsed_s":$elapsedS}"""
+      val total = if (med.nonEmpty) med.values.sum else 0.0
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stat":"median","runs":$rounds,"queries":$qs,"failures":$fails,"sf":"$sfDir","elapsed_s":$elapsedS}"""
     }
     def emit(): Unit = {
       val line = render()
@@ -81,7 +93,7 @@ object Bench {
           try {
             fn(spark, sfDir).count()
             val dt = (System.nanoTime() - t0) / 1e9
-            best(name) = math.min(best.getOrElse(name, Double.MaxValue), dt)
+            samples(name) = samples.getOrElse(name, Vector.empty) :+ dt
           } catch {
             // a failed run is recorded as a FAILURE, never as a timing
             case e: Throwable =>
