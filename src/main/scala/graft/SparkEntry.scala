@@ -1276,6 +1276,43 @@ object SparkEntry {
         .orderBy("mode", "status")
     }),
 
+    // $merge whenMatched update-pipeline stage set beyond $set: $unset
+    // drops fields on matched rows (null-filled against the unmatched
+    // remainder), $replaceWith rebuilds the matched doc from target +
+    // $$new bindings
+    "q141_merge_pipeline_stages" -> ((s, dir) => {
+      import s.implicits._
+      val root = tmpCopy(dir, "orders", "graft-merge-stages")
+      Seq(("F", 5L, "seed"), ("Z", 99L, "seed")).toDF("status", "cnt", "note")
+        .write.parquet(root + "/sum_unset.parquet")
+      Seq(("F", 5L, "seed"), ("Z", 99L, "seed")).toDF("status", "cnt", "note")
+        .write.parquet(root + "/sum_repl.parquet")
+      val db = new GraftSession(s, root).db("d")
+      val agg = Seq(
+        Map("$group" -> Map("_id" -> "$o_orderstatus",
+          "cnt" -> Map("$sum" -> 1))),
+        Map("$project" -> Map("status" -> "$_id", "cnt" -> 1)))
+      val u = db.c("orders").pipe(agg :+ Map("$merge" ->
+        Map("into" -> "sum_unset", "on" -> "status",
+          "whenMatched" -> Seq(
+            Map("$set" -> Map("cnt" ->
+              Map("$add" -> Seq("$cnt", "$$new.cnt")))),
+            Map("$unset" -> "note")),
+          "whenNotMatched" -> "insert")))
+      val r = db.c("orders").pipe(agg :+ Map("$merge" ->
+        Map("into" -> "sum_repl", "on" -> "status",
+          "whenMatched" -> Seq(Map("$replaceWith" -> Map(
+            "status" -> "$status",
+            "cnt" -> Map("$add" -> Seq("$cnt", "$$new.cnt")),
+            "note" -> Map("$concat" -> Seq("$note", "+"))))),
+          "whenNotMatched" -> "insert")))
+      u.select(lit("unset").as("mode"), col("status"), col("cnt"),
+          col("note"))
+        .unionByName(r.select(lit("repl").as("mode"), col("status"),
+          col("cnt"), col("note")))
+        .orderBy("mode", "status")
+    }),
+
     // $fill linear interpolation: gaps filled proportional to the sortBy
     // distance between surrounding known values, per partition
     "q97_fill_linear" -> ((s, dir) =>
@@ -2385,6 +2422,23 @@ object SparkEntry {
          |g AS (SELECT bucket, MIN(qv) AS b_min, MAX(qv) AS b_max,
          |  CAST(SUM(f) AS BIGINT) AS count FROM asg GROUP BY bucket)
          |SELECT b_min, b_max, count FROM g ORDER BY b_min""".stripMargin,
+
+    "q141_merge_pipeline_stages" ->
+      """WITH c AS (
+        |  SELECT o_orderstatus AS status, COUNT(*) AS cnt
+        |  FROM orders GROUP BY 1)
+        |SELECT 'unset' AS mode, status,
+        |       CASE WHEN status = 'F' THEN cnt + 5 ELSE cnt END AS cnt,
+        |       CAST(NULL AS VARCHAR) AS note
+        |FROM c
+        |UNION ALL SELECT 'unset', 'Z', 99, 'seed'
+        |UNION ALL
+        |SELECT 'repl', status,
+        |       CASE WHEN status = 'F' THEN cnt + 5 ELSE cnt END,
+        |       CASE WHEN status = 'F' THEN 'seed+' END
+        |FROM c
+        |UNION ALL SELECT 'repl', 'Z', 99, 'seed'
+        |ORDER BY mode, status""".stripMargin,
 
     "q98_merge_modes" ->
       """WITH g AS (

@@ -548,14 +548,13 @@ object Dedup {
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     * deduplication of an embedded corpus. Rows are grouped into clusters;
-    * within each cluster a row is dropped when some earlier row (smaller
-    * id) is at least `eps` cosine-similar to it — the reference
-    * implementation's upper-triangular "similar to any lower-indexed
-    * example" rule, which makes the survivor set deterministic and
-    * order-free. (The paper's centroid-proximity keep-rule needs the
-    * cluster centroid; [[semDeDupKMeans]] trains one and could be extended
-    * there, but lowest-id matches the published code and is oracle-
-    * checkable.)
+    * within each cluster a row is dropped when some EARLIER row is at
+    * least `eps` cosine-similar to it. "Earlier" defaults to smaller id —
+    * the reference implementation's upper-triangular "similar to any
+    * lower-indexed example" rule, deterministic and order-free. Passing
+    * `orderCol` replaces the order: rows with a SMALLER value of that
+    * column win their pairs (ties broken by id) — [[semDeDupKMeans]] uses
+    * this for the paper's centroid-proximity keep-rule.
     *
     * Cost is the published one: O(Σ cᵢ²) pairwise work inside clusters
     * only — each cluster's pairs come from one equi-join on `clusterCol`,
@@ -564,22 +563,69 @@ object Dedup {
     * hash-partitioned on the cluster key, and the final survivor filter is
     * one broadcast-able anti-join on the dropped-id set. */
   def semDeDup(df: DataFrame, idCol: String, vecCol: String,
-      clusterCol: String, eps: Double): DataFrame = {
-    val dropped = embeddingNearDup(df, idCol, vecCol, threshold = eps,
-      blockCol = Some(clusterCol))
-      .select(col("id_b").as(idCol)).distinct()
+      clusterCol: String, eps: Double,
+      orderCol: Option[String] = None): DataFrame = {
+    val dropped = orderCol match {
+      case None =>
+        embeddingNearDup(df, idCol, vecCol, threshold = eps,
+          blockCol = Some(clusterCol))
+          .select(col("id_b").as(idCol)).distinct()
+      case Some(oc) =>
+        // same blocked pair join as embeddingNearDup's blockCol path, with
+        // the pair orientation decided by (orderCol, id) instead of id
+        import graft.functions.VectorFunctions.vec_dot
+        val base = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+            col(clusterCol).as("blk"), col(oc).as("ord"))
+          .withColumn("nsq", vec_dot(col("v"), col("v")))
+        val a = Partitioning.ensureMinPartitions(
+          base.toDF("id_a", "va", "blk", "ord_a", "na"))
+        val b = base.toDF("id_b", "vb", "blk", "ord_b", "nb")
+        val earlier = (col("ord_a") < col("ord_b")) ||
+          (col("ord_a") === col("ord_b") && col("id_a") < col("id_b"))
+        val denom = sqrt(col("na")) * sqrt(col("nb"))
+        val cosv = when(denom === 0.0, lit(0.0))
+          .otherwise(vec_dot(col("va"), col("vb")) / denom)
+        a.join(b, Seq("blk")).where(earlier)
+          .where(cosv >= eps)
+          .select(col("id_b").as(idCol)).distinct()
+    }
     df.join(dropped, Seq(idCol), "left_anti")
   }
 
   /** [[semDeDup]] with the paper's own clustering: spherical k-means
     * ([[Clustering.kmeans]]) assigns each row to its nearest centroid
-    * ([[Similarity.ivfAssign]]), then within-cell dedup. */
+    * ([[Similarity.ivfAssign]]), then within-cell dedup.
+    *
+    * `keepFarthestFromCentroid = true` applies the paper's own keep-rule
+    * (§"which duplicate to keep"): within a duplicate group, survivors are
+    * the examples with the LOWEST cosine similarity to their cluster
+    * centroid — keeping the "edge" examples preserves diversity. False
+    * (default) keeps lowest-id, matching the published code path that the
+    * oracle checks. */
   def semDeDupKMeans(df: DataFrame, idCol: String, vecCol: String,
-      eps: Double, k: Int, iters: Int = 5): DataFrame = {
+      eps: Double, k: Int, iters: Int = 5,
+      keepFarthestFromCentroid: Boolean = false): DataFrame = {
     val cents = Clustering.kmeans(df, idCol, vecCol, k, iters)
       .select(col("centroid_id").as(idCol), col("centroid").as(vecCol))
     val assigned = Similarity.ivfAssign(df, idCol, vecCol, cents)
-    semDeDup(assigned, idCol, vecCol, "centroid_id", eps)
-      .drop("centroid_id")
+    if (!keepFarthestFromCentroid)
+      semDeDup(assigned, idCol, vecCol, "centroid_id", eps)
+        .drop("centroid_id")
+    else {
+      // re-attach the assigned centroid's vector (a k-row broadcast) to
+      // order members by centroid similarity, ascending = kept first
+      import graft.functions.VectorFunctions.vec_dot
+      val cv = cents.select(col(idCol).as("centroid_id"),
+        col(vecCol).as("__centv"))
+      val denom = sqrt(vec_dot(col(vecCol), col(vecCol))) *
+        sqrt(vec_dot(col("__centv"), col("__centv")))
+      val withCos = assigned.join(broadcast(cv), "centroid_id")
+        .withColumn("__ccos", when(denom === 0.0, lit(0.0))
+          .otherwise(vec_dot(col(vecCol), col("__centv")) / denom))
+        .drop("__centv")
+      semDeDup(withCos, idCol, vecCol, "centroid_id", eps,
+        orderCol = Some("__ccos"))
+        .drop("centroid_id", "__ccos")
+    }
   }
 }

@@ -127,6 +127,42 @@ class GraftSessionSpec extends SparkSpec {
     }
   }
 
+  test("$merge update pipeline $unset drops fields on matched rows only") {
+    val dir = Files.createTempDirectory("graft-merge-unset").toString
+    Seq((1L, 100.0)).toDF("_id", "v").write.parquet(s"$dir/src.parquet")
+    Seq((1L, 5.0, "seed"), (9L, 9.0, "seed")).toDF("_id", "v", "note")
+      .write.parquet(s"$dir/tgt.parquet")
+    val out = new GraftSession(spark, dir).db("d").c("src").pipe(Seq(
+      Map("$merge" -> Map("into" -> "tgt", "on" -> "_id",
+        "whenMatched" -> Seq(
+          Map("$set" -> Map("v" -> Map("$add" -> Seq("$v", "$$new.v")))),
+          Map("$unset" -> "note")),
+        "whenNotMatched" -> "insert"))))
+      .orderBy("_id")
+    // matched row loses note (null via unionByName); unmatched keeps it
+    assert(out.select("_id", "v", "note")
+      .as[(Long, Double, Option[String])].collect().toSeq ==
+      Seq((1L, 105.0, None), (9L, 9.0, Some("seed"))))
+  }
+
+  test("$merge update pipeline $replaceWith rebuilds the matched doc") {
+    val dir = Files.createTempDirectory("graft-merge-repl").toString
+    Seq((1L, 100.0)).toDF("_id", "v").write.parquet(s"$dir/src.parquet")
+    Seq((1L, 5.0, "seed"), (9L, 9.0, "seed")).toDF("_id", "v", "note")
+      .write.parquet(s"$dir/tgt.parquet")
+    val out = new GraftSession(spark, dir).db("d").c("src").pipe(Seq(
+      Map("$merge" -> Map("into" -> "tgt", "on" -> "_id",
+        "whenMatched" -> Seq(Map("$replaceWith" -> Map(
+          "_id" -> "$_id",
+          "v" -> Map("$add" -> Seq("$v", "$$new.v")),
+          "note" -> Map("$concat" -> Seq("$note", "+"))))),
+        "whenNotMatched" -> "discard"))))
+      .orderBy("_id")
+    assert(out.select("_id", "v", "note")
+      .as[(Long, Double, String)].collect().toSeq ==
+      Seq((1L, 105.0, "seed+"), (9L, 9.0, "seed")))
+  }
+
   test("$merge update pipeline raises on duplicate on-keys in the result") {
     val dir = Files.createTempDirectory("graft-merge-dup").toString
     // two incoming docs share _id=1: Mongo raises a duplicate-key error

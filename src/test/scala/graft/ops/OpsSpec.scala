@@ -267,6 +267,28 @@ class DedupSpec extends SparkSpec {
     assert(kept.columns.toSeq == Seq("vec_id", "embedding"))
     assert(kept.select("vec_id").as[Long].collect().toSet == Set(1L, 3L))
   }
+
+  test("semDeDupKMeans keep-rule: centroid-proximity vs lowest-id") {
+    // one duplicate group at ~0°/3.4°/8° plus a lone orthogonal vector;
+    // the cluster centroid lands near the middle member, so the paper's
+    // keep-farthest rule picks the edge example (3) where lowest-id
+    // picks 1 — same survivor count, different representatives
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.998f, 0.06f)),
+      (3L, Array(0.99f, 0.14f)),
+      (4L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val byId = Dedup.semDeDupKMeans(vecs, "vec_id", "embedding",
+      eps = 0.98, k = 2, iters = 5)
+      .select("vec_id").as[Long].collect().toSet
+    val byCentroid = Dedup.semDeDupKMeans(vecs, "vec_id", "embedding",
+      eps = 0.98, k = 2, iters = 5, keepFarthestFromCentroid = true)
+      .select("vec_id").as[Long].collect().toSet
+    assert(byId == Set(1L, 4L))
+    assert(byCentroid == Set(3L, 4L))
+    assert(byId.size == byCentroid.size)
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
