@@ -600,6 +600,52 @@ object SparkEntry {
         "$text" -> Map("$search" -> "spark -slow \"stream filter\"")))
         .sort("doc_id").select("doc_id", "lang").toDF),
 
+    // $searchMeta facet collector: string top-N + number-boundary facets
+    // under a text operator pre-filter; the struct result is flattened to
+    // driver-comparable rows (facet, bucket, cnt)
+    "q142_searchmeta_facet" -> ((s, dir) => {
+      val meta = coll(s, dir, "documents").pipe(Seq(
+        Map("$searchMeta" -> Map("facet" -> Map(
+          "operator" -> Map("text" ->
+            Map("query" -> "stream", "path" -> "text")),
+          "facets" -> Map(
+            "byLang" -> Map("type" -> "string", "path" -> "lang",
+              "numBuckets" -> 3),
+            "byLen" -> Map("type" -> "number", "path" -> "n_chars",
+              "boundaries" -> Seq(0, 200, 400, 600))))))))
+      meta.select(lit("lang").as("facet"),
+          explode(col("facet.byLang.buckets")).as("b"))
+        .select(col("facet"), col("b._id").cast("string").as("bucket"),
+          col("b.count").as("cnt"))
+        .unionByName(meta.select(lit("len").as("facet"),
+            explode(col("facet.byLen.buckets")).as("b"))
+          .select(col("facet"), col("b._id").cast("string").as("bucket"),
+            col("b.count").as("cnt")))
+        .unionByName(meta.select(lit("total").as("facet"),
+          lit("all").as("bucket"), col("count.total").as("cnt")))
+        .orderBy("facet", "bucket")
+    }),
+
+    // $search structured operators (equals/in/range/exists) as compound
+    // filter/must legs plus a boosted should-phrase; constant-score legs
+    // + boost multiplier reproduce exactly in SQL
+    "q143_search_structured" -> ((s, dir) =>
+      coll(s, dir, "documents").pipe(Seq(
+        Map("$search" -> Map("compound" -> Map(
+          "filter" -> Seq(
+            Map("in" -> Map("path" -> "lang",
+              "value" -> Seq("en", "fr"))),
+            Map("range" -> Map("path" -> "n_chars",
+              "gte" -> 100, "lt" -> 400))),
+          "must" -> Seq(Map("exists" -> Map("path" -> "source"))),
+          "should" -> Seq(Map("phrase" -> Map(
+            "query" -> "vector scan", "path" -> "text",
+            "score" -> Map("boost" -> Map("value" -> 5.0)))))))),
+        Map("$project" -> Map("doc_id" -> 1,
+          "score" -> Map("$meta" -> "searchScore")))))
+        .select(col("doc_id"), col("score").cast("double").as("score"))
+        .orderBy("doc_id")),
+
     // $search wildcard + autocomplete as compound should-legs with
     // minimumShouldMatch — constant-scored term-expansion operators
     "q140_search_wildcard_auto" -> ((s, dir) =>
@@ -3066,6 +3112,36 @@ object SparkEntry {
         |  AND contains(text, 'stream filter')
         |  AND NOT list_contains(
         |    list_filter(string_split(text, ' '), x -> x <> ''), 'slow')
+        |ORDER BY doc_id""".stripMargin,
+
+    "q142_searchmeta_facet" ->
+      """WITH m AS (
+        |  SELECT lang, n_chars FROM documents
+        |  WHERE len(list_filter(list_filter(string_split(text, ' '),
+        |    x -> x <> ''), x -> x = 'stream')) > 0),
+        |lang_b AS (
+        |  SELECT lang AS bucket, COUNT(*) AS cnt FROM m GROUP BY 1
+        |  ORDER BY cnt DESC, bucket LIMIT 3),
+        |len_b AS (
+        |  SELECT CASE WHEN n_chars < 200 THEN 0.0
+        |              WHEN n_chars < 400 THEN 200.0
+        |              ELSE 400.0 END AS b, COUNT(*) AS cnt
+        |  FROM m WHERE n_chars >= 0 AND n_chars < 600 GROUP BY 1)
+        |SELECT 'lang' AS facet, bucket, cnt FROM lang_b
+        |UNION ALL SELECT 'len', CAST(b AS VARCHAR), cnt FROM len_b
+        |UNION ALL SELECT 'total', 'all', COUNT(*) FROM m
+        |ORDER BY facet, bucket""".stripMargin,
+
+    "q143_search_structured" ->
+      """SELECT doc_id, CAST(1.0 +
+        |  CASE WHEN contains(text, 'vector scan')
+        |    THEN ((len(text) - len(replace(text, 'vector scan', '')))
+        |          / 11.0) * 5.0
+        |    ELSE 0 END AS DOUBLE) AS score
+        |FROM documents
+        |WHERE lang IN ('en', 'fr')
+        |  AND n_chars >= 100 AND n_chars < 400
+        |  AND source IS NOT NULL
         |ORDER BY doc_id""".stripMargin,
 
     "q140_search_wildcard_auto" ->

@@ -477,9 +477,12 @@ object PipelineCompiler {
         // per-row math so every input column passes through), `phrase`
         // (exact substring, score = occurrence count), `wildcard` (glob →
         // anchored regex, constant score), `autocomplete` (token-prefix
-        // match, constant score), and `compound` (must/mustNot/should/
+        // match, constant score), structured `equals`/`range`/`exists`/
+        // `in` (constant score), and `compound` (must/mustNot/should/
         // filter over any of the above; score = must + matching should,
-        // filter and mustNot score 0, Lucene-style).
+        // filter and mustNot score 0, Lucene-style). Leaves accept
+        // {score: {boost|constant}}; $searchMeta adds the `facet`
+        // collector.
         // Corpus stats (N, avgdl, per-term df — per text leg) are ONE
         // broadcast row computed in-plan — the only exchange besides the
         // relevance ordering, which collapses to TakeOrderedAndProject
@@ -490,18 +493,57 @@ object PipelineCompiler {
         // named indexes over parquet).
         val d = doc(spec) - "index"
         require(d.size == 1,
-          s"$name: exactly one operator " +
-            s"(text/phrase/wildcard/autocomplete/compound), got ${d.keys}")
+          s"$name: exactly one operator (text/phrase/wildcard/autocomplete" +
+            s"/equals/range/exists/in/compound), got ${d.keys}")
         val legId = new java.util.concurrent.atomic.AtomicInteger(0)
-        def pathQuery(op: String, os: Map[String, Any]): (String, String) = (
+        def dblV(v: Any): Double = v match {
+          case n: Number => n.doubleValue()
+          case other => throw new IllegalArgumentException(
+            s"$name: expected a number, got $other")
+        }
+        def pathOf(op: String, os: Map[String, Any]): String =
           os.getOrElse("path", throw new IllegalArgumentException(
-            s"$name.$op requires path")).toString,
+            s"$name.$op requires path")).toString
+        def pathQuery(op: String, os: Map[String, Any]): (String, String) = (
+          pathOf(op, os),
           os.getOrElse("query", throw new IllegalArgumentException(
             s"$name.$op requires query")).toString)
         // one search operator doc -> (match predicate, score expression,
         // corpus-stat aggregate columns the score reads after a broadcast
-        // join)
-        def compileOp(op: String, osRaw: Any): (Column, Column, Seq[Column]) =
+        // join). Leaf operators accept Atlas' per-operator score option:
+        // {score: {boost: {value: N}}} multiplies, {constant: {value: N}}
+        // replaces.
+        def compileOp(op: String, osRaw: Any): (Column, Column, Seq[Column]) = {
+          val (clean: Any, mod: (Column => Column)) = osRaw match {
+            case m: Map[_, _] if op != "compound" =>
+              val mm = doc(m)
+              mm.get("score") match {
+                case Some(sc) =>
+                  val sd = doc(sc)
+                  require(sd.size == 1,
+                    s"$name.$op.score: exactly one of boost/constant")
+                  sd.head match {
+                    case ("boost", bv) =>
+                      val f = dblV(doc(bv).getOrElse("value",
+                        throw new IllegalArgumentException(
+                          s"$name.$op.score.boost requires value")))
+                      (mm - "score", (c: Column) => c * lit(f))
+                    case ("constant", cv) =>
+                      val f = dblV(doc(cv).getOrElse("value",
+                        throw new IllegalArgumentException(
+                          s"$name.$op.score.constant requires value")))
+                      (mm - "score", (_: Column) => lit(f))
+                    case (other, _) => throw new IllegalArgumentException(
+                      s"$name.$op.score: unsupported $other (boost/constant)")
+                  }
+                case None => (mm, identity[Column] _)
+              }
+            case other => (other, identity[Column] _)
+          }
+          val (pred, score, stats) = compileLeaf(op, clean)
+          (pred, mod(score), stats)
+        }
+        def compileLeaf(op: String, osRaw: Any): (Column, Column, Seq[Column]) =
           op match {
             case "text" =>
               val os = doc(osRaw)
@@ -563,6 +605,42 @@ object PipelineCompiler {
               require(queryStr.nonEmpty, s"$name.autocomplete: empty query")
               val toks = graft.ops.TextFunctions.tokens(col(path))
               (exists(toks, t => t.startsWith(queryStr)), lit(1.0), Nil)
+            // constant-scored structured operators (the usual compound
+            // filter legs): exact value, set membership, open/closed
+            // ranges, field presence
+            case "equals" =>
+              val os = doc(osRaw)
+              val v = os.getOrElse("value",
+                throw new IllegalArgumentException(
+                  s"$name.equals requires value"))
+              (col(pathOf(op, os)) === graft.query.QueryCompiler.toLit(v),
+                lit(1.0), Nil)
+            case "exists" =>
+              (col(pathOf(op, doc(osRaw))).isNotNull, lit(1.0), Nil)
+            case "in" =>
+              val os = doc(osRaw)
+              val c = col(pathOf(op, os))
+              val pred = os.getOrElse("value",
+                throw new IllegalArgumentException(
+                  s"$name.in requires value")) match {
+                case s: Seq[_] =>
+                  require(s.nonEmpty, s"$name.in: empty value array")
+                  c.isin(s.map(graft.query.QueryCompiler.toScalaLit): _*)
+                case one => c === graft.query.QueryCompiler.toLit(one)
+              }
+              (pred, lit(1.0), Nil)
+            case "range" =>
+              val os = doc(osRaw)
+              val c = col(pathOf(op, os))
+              val preds = Seq(
+                os.get("gt").map(v => c > graft.query.QueryCompiler.toLit(v)),
+                os.get("gte").map(v => c >= graft.query.QueryCompiler.toLit(v)),
+                os.get("lt").map(v => c < graft.query.QueryCompiler.toLit(v)),
+                os.get("lte").map(v => c <= graft.query.QueryCompiler.toLit(v))
+              ).flatten
+              require(preds.nonEmpty,
+                s"$name.range requires at least one of gt/gte/lt/lte")
+              (preds.reduce(_ && _), lit(1.0), Nil)
             case "compound" =>
               val os = doc(osRaw)
               val known = Set("must", "mustNot", "should", "filter",
@@ -613,9 +691,75 @@ object PipelineCompiler {
               (basePred && shouldPred, score,
                 (must ++ should).flatMap(_._3))
             case other => throw new IllegalArgumentException(
-              s"$name: unsupported operator $other " +
-                "(text/phrase/wildcard/autocomplete/compound)")
+              s"$name: unsupported operator $other (text/phrase/wildcard/" +
+                "autocomplete/equals/range/exists/in/compound)")
           }
+        if (name == "$searchMeta" && d.head._1 == "facet") {
+          // facet collector: {operator?, facets: {name: {type: string,
+          // path, numBuckets?} | {type: number, path, boundaries}}}.
+          // String facets: top-numBuckets values by count desc (value asc
+          // tie-break); number facets: [boundaries) buckets keyed by lower
+          // bound, ascending; empty buckets are omitted (a groupBy cannot
+          // see them — Atlas also returns only non-empty string buckets).
+          // Each facet is one hash aggregate collapsed to a 1-row frame;
+          // the combine is broadcast joins of 1-row frames.
+          val os = doc(d.head._2)
+          require(os.keySet.subsetOf(Set("operator", "facets")),
+            s"$name.facet: operator/facets only, got ${os.keys}")
+          val matched = os.get("operator").map { o =>
+            val m = doc(o)
+            require(m.size == 1, s"$name.facet.operator: one operator")
+            compileOp(m.head._1, m.head._2)._1
+          }.getOrElse(lit(true))
+          val base = df.where(matched)
+          val facets = doc(os.getOrElse("facets",
+            throw new IllegalArgumentException(s"$name.facet requires facets")))
+          require(facets.nonEmpty, s"$name.facet: empty facets")
+          val frames = facets.toSeq.map { case (fname, fsRaw) =>
+            val fs = doc(fsRaw)
+            val path = pathOf("facet", fs)
+            fs.getOrElse("type", throw new IllegalArgumentException(
+              s"$name.facet.$fname requires type")).toString match {
+              case "string" =>
+                val nb = fs.get("numBuckets").map(int).getOrElse(10)
+                base.groupBy(col(path).as("_id"))
+                  .agg(count(lit(1)).as("count"))
+                  .agg(transform(
+                    slice(array_sort(collect_list(struct(
+                      (-col("count")).as("negc"), col("_id").as("_id"),
+                      col("count").as("count")))), 1, nb),
+                    x => struct(x.getField("_id").as("_id"),
+                      x.getField("count").as("count"))).as(fname))
+              case "number" =>
+                val bs = fs.getOrElse("boundaries",
+                  throw new IllegalArgumentException(
+                    s"$name.facet.$fname requires boundaries")) match {
+                  case s: Seq[_] => s.map(dblV)
+                  case other => throw new IllegalArgumentException(
+                    s"$name.facet.$fname boundaries: $other")
+                }
+                require(bs.size >= 2 && bs == bs.sorted &&
+                  bs.distinct.size == bs.size,
+                  s"$name.facet.$fname: boundaries must be ascending")
+                val c = col(path).cast("double")
+                val bucket = bs.init.zip(bs.tail).map { case (lo, hi) =>
+                  when(c >= lo && c < hi, lit(lo))
+                }.reduce((a, b) => coalesce(a, b))
+                base.where(c >= bs.head && c < bs.last)
+                  .groupBy(bucket.as("_id"))
+                  .agg(count(lit(1)).as("count"))
+                  .agg(array_sort(collect_list(struct(col("_id").as("_id"),
+                    col("count").as("count")))).as(fname))
+              case other => throw new IllegalArgumentException(
+                s"$name.facet.$fname: unsupported type $other (string/number)")
+            }
+          }
+          val total = base.agg(count(lit(1)).as("__total"))
+          frames.foldLeft(total)((acc, fr) => acc.join(broadcast(fr)))
+            .select(struct(col("__total").as("total")).as("count"),
+              struct(facets.keys.toSeq.map(fn =>
+                struct(col(fn).as("buckets")).as(fn)): _*).as("facet"))
+        } else {
         val (matched, score, statCols) = compileOp(d.head._1, d.head._2)
         if (name == "$searchMeta") {
           // metadata-only result: Mongo's {count: {total: N}} shape. The
@@ -636,6 +780,7 @@ object PipelineCompiler {
             .withColumn("__searchScore", score)
             .drop(stats.columns.toSeq: _*)
             .orderBy(col("__searchScore").desc)
+        }
         }
 
       case "$documents" =>

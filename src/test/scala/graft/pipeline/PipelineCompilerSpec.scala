@@ -1819,6 +1819,65 @@ class SearchStagesSpec extends graft.SparkSpec {
     assert(rows.head.getDouble(1) > 0.0)
   }
 
+  test("$search structured operators: equals/range/exists + boost") {
+    val docs = Seq(
+      (1L, "en", 100L, Option("alpha")),
+      (2L, "fr", 250L, Option("beta")),
+      (3L, "en", 400L, Option.empty[String]))
+      .toDF("id", "lang", "n", "tag")
+    val out = PipelineCompiler.compile(Seq(
+      Map("$search" -> Map("compound" -> Map(
+        "filter" -> Seq(
+          Map("equals" -> Map("path" -> "lang", "value" -> "en")),
+          Map("range" -> Map("path" -> "n", "gte" -> 100, "lt" -> 400))),
+        "should" -> Seq(
+          Map("exists" -> Map("path" -> "tag",
+            "score" -> Map("boost" -> Map("value" -> 3.0)))))))),
+      Map("$project" -> Map("id" -> 1,
+        "s" -> Map("$meta" -> "searchScore")))))(docs)
+    // id 3: n=400 fails lt; id 2: lang fr; id 1 scores the boosted should
+    assert(out.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap ==
+      Map(1L -> 3.0))
+  }
+
+  test("$search in + constant score") {
+    val docs = Seq((1L, "en"), (2L, "fr"), (3L, "de")).toDF("id", "lang")
+    val out = PipelineCompiler.compile(Seq(
+      Map("$search" -> Map("in" -> Map("path" -> "lang",
+        "value" -> Seq("en", "de"),
+        "score" -> Map("constant" -> Map("value" -> 7.5))))),
+      Map("$project" -> Map("id" -> 1,
+        "s" -> Map("$meta" -> "searchScore")))))(docs)
+    assert(out.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap ==
+      Map(1L -> 7.5, 3L -> 7.5))
+  }
+
+  test("$searchMeta facet: string top-N and number boundaries") {
+    import org.apache.spark.sql.Row
+    val docs = Seq(
+      (1L, "en", 10L), (2L, "en", 20L), (3L, "fr", 30L),
+      (4L, "de", 50L), (5L, "en", 70L), (6L, "fr", 999L))
+      .toDF("id", "lang", "n")
+    val out = PipelineCompiler.compile(Seq(
+      Map("$searchMeta" -> Map("facet" -> Map(
+        "operator" -> Map("range" -> Map("path" -> "n", "lt" -> 100)),
+        "facets" -> Map(
+          "byLang" -> Map("type" -> "string", "path" -> "lang",
+            "numBuckets" -> 2),
+          "byN" -> Map("type" -> "number", "path" -> "n",
+            "boundaries" -> Seq(0, 25, 100))))))))(docs)
+    val r = out.head()
+    assert(r.getStruct(r.fieldIndex("count")).getLong(0) == 5L)
+    val f = r.getStruct(r.fieldIndex("facet"))
+    val byLang = f.getStruct(f.schema.fieldIndex("byLang")).getSeq[Row](0)
+    // top-2 by count desc, value asc tie-break: en(3), then de(1) over fr(1)
+    assert(byLang.map(b => (b.getString(0), b.getLong(1))) ==
+      Seq(("en", 3L), ("de", 1L)))
+    val byN = f.getStruct(f.schema.fieldIndex("byN")).getSeq[Row](0)
+    assert(byN.map(b => (b.getDouble(0), b.getLong(1))) ==
+      Seq((0.0, 2L), (25.0, 3L)))
+  }
+
   test("$sort by {$meta: textScore} orders by the search score") {
     val docs = Seq((1L, "spark"), (2L, "spark spark spark"), (3L, "spark spark"))
       .toDF("id", "txt")
