@@ -600,6 +600,24 @@ object SparkEntry {
         "$text" -> Map("$search" -> "spark -slow \"stream filter\"")))
         .sort("doc_id").select("doc_id", "lang").toDF),
 
+    // $text default case-insensitivity (Mongo parity): upper-cased search
+    // terms fold onto the lowercase corpus; exclusions fold too
+    "q144_text_case" -> ((s, dir) =>
+      coll(s, dir, "documents").find(Map(
+        "$text" -> Map("$search" -> "SPARK -Filter",
+          "$caseSensitive" -> false)))
+        .sort("doc_id").select("doc_id").toDF),
+
+    // sequence packing (pack-then-chunk pretraining batcher): per-source
+    // prefix sum assigns each doc the fixed-size token window its first
+    // token lands in — one window exchange, group-parallel
+    "q145_pack_sequences" -> ((s, dir) =>
+      graft.ops.Packing.packSequences(tbl(s, dir, "documents"),
+        "doc_id", "n_chars", 5000L, "source")
+        .select(col("doc_id"), col("source"), col("start_tok"),
+          col("seq_id"))
+        .orderBy("doc_id")),
+
     // $searchMeta facet collector: string top-N + number-boundary facets
     // under a text operator pre-filter; the struct result is flattened to
     // driver-comparable rows (facet, bucket, cnt)
@@ -3112,6 +3130,26 @@ object SparkEntry {
         |  AND contains(text, 'stream filter')
         |  AND NOT list_contains(
         |    list_filter(string_split(text, ' '), x -> x <> ''), 'slow')
+        |ORDER BY doc_id""".stripMargin,
+
+    "q144_text_case" ->
+      """SELECT doc_id FROM documents
+        |WHERE list_contains(
+        |    list_filter(string_split(lower(text), ' '), x -> x <> ''),
+        |    'spark')
+        |  AND NOT list_contains(
+        |    list_filter(string_split(lower(text), ' '), x -> x <> ''),
+        |    'filter')
+        |ORDER BY doc_id""".stripMargin,
+
+    "q145_pack_sequences" ->
+      """SELECT doc_id, source,
+        |  CAST(SUM(n_chars) OVER w - n_chars AS BIGINT) AS start_tok,
+        |  CAST(floor((SUM(n_chars) OVER w - n_chars) / 5000.0) AS BIGINT)
+        |    AS seq_id
+        |FROM documents
+        |WINDOW w AS (PARTITION BY source ORDER BY doc_id
+        |  ROWS UNBOUNDED PRECEDING)
         |ORDER BY doc_id""".stripMargin,
 
     "q142_searchmeta_facet" ->

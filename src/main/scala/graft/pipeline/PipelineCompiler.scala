@@ -114,14 +114,16 @@ object PipelineCompiler {
         // so a following $sort/$project {$meta} composes
         q.get("$text") match {
           case Some(t) =>
-            val search = t match {
-              case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
-                .getOrElse("$search", "").toString
-              case s: String => s
-              case _ => ""
+            val (search, cs) = t match {
+              case m: Map[_, _] =>
+                val mm = m.asInstanceOf[Map[String, Any]]
+                (mm.getOrElse("$search", "").toString,
+                  mm.get("$caseSensitive").contains(true))
+              case s: String => (s, false)
+              case _ => ("", false)
             }
             matched.withColumn("__searchScore",
-              QueryCompiler.textScore(search))
+              QueryCompiler.textScore(search, cs))
           case None => matched
         }
 

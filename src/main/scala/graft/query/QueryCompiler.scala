@@ -52,16 +52,30 @@ object QueryCompiler {
       // grammar: bare terms OR-match on whitespace tokens (Mongo's default
       // OR semantics), `"quoted phrases"` must ALL be present as
       // substrings, and `-term` / `-"phrase"` exclusions must ALL be
-      // absent.
-      val search = value match {
-        case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
-          .getOrElse("$search", throw new IllegalArgumentException(
-            "$text requires $search")).toString
-        case s: String => s
+      // absent. `$caseSensitive` matches Mongo (default false =
+      // fold-to-lower on both sides); `$language`/`$diacriticSensitive`
+      // are accepted and ignored (no stemming or diacritic folding over
+      // parquet text).
+      val (search, caseSensitive) = value match {
+        case m: Map[_, _] =>
+          val mm = m.asInstanceOf[Map[String, Any]]
+          val unknown = mm.keySet --
+            Set("$search", "$caseSensitive", "$language",
+              "$diacriticSensitive")
+          require(unknown.isEmpty, s"$$text: unsupported option(s) $unknown")
+          (mm.getOrElse("$search", throw new IllegalArgumentException(
+            "$text requires $search")).toString,
+            mm.get("$caseSensitive") match {
+              case Some(b: Boolean) => b
+              case Some(other) => throw new IllegalArgumentException(
+                s"$$text.$$caseSensitive: $other")
+              case None => false
+            })
+        case s: String => (s, false)
         case other =>
           throw new IllegalArgumentException(s"$$text: $other")
       }
-      textPredicate(search)
+      textPredicate(search, caseSensitive)
     case "$comment" => lit(true) // server-log annotation: no predicate
     case "$where" => throw new IllegalArgumentException(
       "$where (JavaScript) is not supported: there is no JS engine in a " +
@@ -538,16 +552,20 @@ object QueryCompiler {
 
   /** `$text` match predicate over the `text` column: any bare term, AND
     * all phrases, AND none of the exclusions — Mongo's documented
-    * semantics for `$search` strings. */
-  private[graft] def textPredicate(search: String): Column = {
+    * semantics for `$search` strings. Case-insensitive unless
+    * `caseSensitive` (Mongo's default): both the text and the search
+    * terms fold to lowercase. */
+  private[graft] def textPredicate(search: String,
+      caseSensitive: Boolean = false): Column = {
     val ts = parseTextSearch(search)
-    val toks = graft.ops.TextFunctions.tokens(col("text"))
-    val pos = ts.terms.map(t => array_contains(toks, t))
+    val (txt, fold) = textFold(caseSensitive)
+    val toks = graft.ops.TextFunctions.tokens(txt)
+    val pos = ts.terms.map(t => array_contains(toks, fold(t)))
       .reduceOption(_ || _).getOrElse(lit(true))
-    val phr = ts.phrases.map(p => col("text").contains(p))
+    val phr = ts.phrases.map(p => txt.contains(fold(p)))
       .reduceOption(_ && _).getOrElse(lit(true))
-    val neg = (ts.negTerms.map(t => !array_contains(toks, t)) ++
-      ts.negPhrases.map(p => !col("text").contains(p)))
+    val neg = (ts.negTerms.map(t => !array_contains(toks, fold(t))) ++
+      ts.negPhrases.map(p => !txt.contains(fold(p))))
       .reduceOption(_ && _).getOrElse(lit(true))
     pos && phr && neg
   }
@@ -555,13 +573,19 @@ object QueryCompiler {
   /** Simplified textScore for the `{$meta: "textScore"}` carrier: count
     * of matching bare terms plus matching phrases (documented as simpler
     * than Mongo's tf weighting; `$search` carries full BM25). */
-  private[graft] def textScore(search: String): Column = {
+  private[graft] def textScore(search: String,
+      caseSensitive: Boolean = false): Column = {
     val ts = parseTextSearch(search)
-    val toks = graft.ops.TextFunctions.tokens(col("text"))
-    (ts.terms.map(t => array_contains(toks, t).cast("int")) ++
-      ts.phrases.map(p => col("text").contains(p).cast("int")))
+    val (txt, fold) = textFold(caseSensitive)
+    val toks = graft.ops.TextFunctions.tokens(txt)
+    (ts.terms.map(t => array_contains(toks, fold(t)).cast("int")) ++
+      ts.phrases.map(p => txt.contains(fold(p)).cast("int")))
       .reduce(_ + _).cast("double")
   }
+
+  private def textFold(caseSensitive: Boolean): (Column, String => String) =
+    if (caseSensitive) (col("text"), identity)
+    else (lower(col("text")), _.toLowerCase(java.util.Locale.ROOT))
 
   /** Literal conversion for supported BSON-ish scalar types. */
   def toLit(v: Any): Column = lit(toScalaLit(v))

@@ -291,6 +291,30 @@ class DedupSpec extends SparkSpec {
   }
 }
 
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.Packing
+
+  test("packSequences assigns docs to the window their first token starts in") {
+    val docs = Seq(
+      ("a", 1L, 400L), ("a", 2L, 400L), ("a", 3L, 400L), ("a", 4L, 100L),
+      ("b", 1L, 1500L), ("b", 2L, 100L))
+      .toDF("src", "doc_id", "tok")
+    val packed = Packing.packSequences(docs, "doc_id", "tok", 1000L, "src")
+    val got = packed.select("src", "doc_id", "start_tok", "seq_id")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("a", 1L, 0L, 0L), ("a", 2L, 400L, 0L), ("a", 3L, 800L, 0L),
+      ("a", 4L, 1200L, 1L), // doc 3 crosses the boundary; 4 starts in seq 1
+      ("b", 1L, 0L, 0L), ("b", 2L, 1500L, 1L)))
+    val stats = Packing.packedStats(packed, "tok", 1000L, "src")
+      .select("src", "seq_id", "n_docs", "n_tokens")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(stats == Set(("a", 0L, 3L, 1200L), ("a", 1L, 1L, 100L),
+      ("b", 0L, 1L, 1500L), ("b", 1L, 1L, 100L)))
+  }
+}
+
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 

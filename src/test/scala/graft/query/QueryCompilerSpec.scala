@@ -179,6 +179,25 @@ class QueryCompilerSpec extends SparkSpec {
     }
   }
 
+  test("$text $caseSensitive: default folds case, true is exact") {
+    val docs = Seq((1L, "Spark Rocks"), (2L, "spark rocks"), (3L, "flink"))
+      .toDF("_id", "text")
+    def hits(q: Map[String, Any]): Seq[Long] =
+      docs.where(QueryCompiler.compile(Map("$text" -> q)))
+        .select("_id").as[Long].collect().toSeq.sorted
+    assert(hits(Map("$search" -> "SPARK")) == Seq(1, 2))
+    assert(hits(Map("$search" -> "spark", "$caseSensitive" -> true)) ==
+      Seq(2))
+    assert(hits(Map("$search" -> "\"Spark Rocks\"",
+      "$caseSensitive" -> true)) == Seq(1))
+    // $language accepted and ignored; unknown options reject
+    assert(hits(Map("$search" -> "flink", "$language" -> "en")) == Seq(3))
+    intercept[IllegalArgumentException] {
+      QueryCompiler.compile(Map("$text" ->
+        Map("$search" -> "x", "$bogus" -> 1)))
+    }
+  }
+
   test("unknown operator rejected") {
     intercept[IllegalArgumentException] {
       QueryCompiler.compile(Map("v" -> Map("$near" -> 1)))
