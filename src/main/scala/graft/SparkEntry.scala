@@ -664,6 +664,31 @@ object SparkEntry {
         .select(col("doc_id"), col("score").cast("double").as("score"))
         .orderBy("doc_id")),
 
+    // $rankFusion (Mongo 8.1): RRF over a BM25 lexical ranking and a
+    // length ranking, fused on doc_id (columnar key extension), fused
+    // score exposed through the searchScore carrier
+    "q146_rank_fusion" -> ((s, dir) =>
+      coll(s, dir, "documents").pipe(Seq(
+        Map("$rankFusion" -> Map(
+          "key" -> "doc_id",
+          "input" -> Map("pipelines" -> Map(
+            "lex" -> Seq(
+              Map("$search" -> Map("text" ->
+                Map("query" -> "stream filter", "path" -> "text"))),
+              Map("$sort" -> Map("score" -> Map("$meta" -> "searchScore"),
+                "doc_id" -> 1)),
+              Map("$limit" -> 20)),
+            "len" -> Seq(
+              Map("$sort" -> Map("n_chars" -> -1, "doc_id" -> 1)),
+              Map("$limit" -> 20)))),
+          "combination" -> Map("weights" ->
+            Map("lex" -> 1.0, "len" -> 1.0)))),
+        Map("$project" -> Map("doc_id" -> 1,
+          "score" -> Map("$meta" -> "searchScore")))))
+        .select(col("doc_id"),
+          col("score").cast("decimal(18,9)").cast("double").as("score"))
+        .orderBy(desc("score"), asc("doc_id"))),
+
     // $search wildcard + autocomplete as compound should-legs with
     // minimumShouldMatch — constant-scored term-expansion operators
     "q140_search_wildcard_auto" -> ((s, dir) =>
@@ -3151,6 +3176,48 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY source ORDER BY doc_id
         |  ROWS UNBOUNDED PRECEDING)
         |ORDER BY doc_id""".stripMargin,
+
+    "q146_rank_fusion" ->
+      """WITH tk AS (
+        |  SELECT doc_id, n_chars,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM tk),
+        |hits AS (
+        |  SELECT doc_id, dl, term, COUNT(*) AS tf FROM toks
+        |  WHERE term IN ('stream', 'filter')
+        |  GROUP BY doc_id, dl, term),
+        |stats AS (
+        |  SELECT COUNT(*) AS n_docs, avg(CAST(len(t) AS DOUBLE)) AS avgdl
+        |  FROM tk),
+        |dfreq AS (
+        |  SELECT term, COUNT(*) AS df FROM hits GROUP BY term),
+        |bm AS (
+        |  SELECT doc_id,
+        |    SUM(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * 2.2)
+        |      / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))) AS score
+        |  FROM hits JOIN dfreq USING (term), stats GROUP BY doc_id),
+        |lex AS (
+        |  SELECT doc_id, rr FROM (
+        |    SELECT doc_id,
+        |      row_number() OVER (ORDER BY score DESC, doc_id) AS rr
+        |    FROM bm) WHERE rr <= 20),
+        |len_r AS (
+        |  SELECT doc_id, rr FROM (
+        |    SELECT doc_id,
+        |      row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rr
+        |    FROM tk) WHERE rr <= 20),
+        |u AS (
+        |  SELECT doc_id, rr FROM lex
+        |  UNION ALL SELECT doc_id, rr FROM len_r),
+        |f AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CAST(1.0 / (rr + 60) AS DECIMAL(28,12))) AS DOUBLE)
+        |      AS score
+        |  FROM u GROUP BY doc_id)
+        |SELECT doc_id, CAST(CAST(score AS DECIMAL(18,9)) AS DOUBLE) AS score
+        |FROM f ORDER BY score DESC, doc_id""".stripMargin,
 
     "q142_searchmeta_facet" ->
       """WITH m AS (

@@ -785,6 +785,81 @@ object PipelineCompiler {
         }
         }
 
+      case "$rankFusion" =>
+        // Mongo 8.1 hybrid search: named ranked sub-pipelines over the SAME
+        // collection, fused with reciprocal-rank fusion — score(doc) =
+        // Σ_p w_p / (60 + rank_p(doc)), docs appearing in at least one
+        // ranking, ordered by fused score (same contract as ops/Hybrid
+        // .rrfFuse). Each sub-pipeline's rank comes from ITS OWN plan's
+        // outermost ordering (extracted from the analyzed Sort node), so
+        // any ranked stage works ($search, $vectorSearch, $geoNear,
+        // $match+$sort). Mongo fuses by _id; columnar collections without
+        // an _id pass `key: <column(s)>` (documented extension). The fused
+        // score rides the __searchScore carrier, so {$meta: "searchScore"}
+        // exposes it downstream.
+        // Scale shape: ranked inputs are $limit-bounded top-k sets; their
+        // per-pipeline rank windows are single-partition over k rows, the
+        // fuse is one hash aggregate over Σk rows, and the join back to
+        // the collection broadcasts the tiny fused side — the collection
+        // is scanned once per sub-pipeline plus once for the final join.
+        val d = doc(spec)
+        val unknownOpts = d.keySet --
+          Set("input", "combination", "scoreDetails", "key")
+        require(unknownOpts.isEmpty,
+          s"$$rankFusion: unsupported option(s) $unknownOpts")
+        val pipes = doc(doc(d.getOrElse("input",
+          throw new IllegalArgumentException(
+            "$rankFusion requires input.pipelines")))
+          .getOrElse("pipelines", throw new IllegalArgumentException(
+            "$rankFusion requires input.pipelines")))
+        require(pipes.nonEmpty, "$rankFusion: no input pipelines")
+        val weights = d.get("combination").map(doc)
+          .flatMap(_.get("weights")).map(doc)
+          .getOrElse(Map.empty[String, Any])
+        val badW = weights.keySet -- pipes.keySet
+        require(badW.isEmpty,
+          s"$$rankFusion: weights for unknown pipeline(s) $badW")
+        val keyCols: Seq[String] = d.get("key") match {
+          case Some(s: String) => Seq(s)
+          case Some(s: Seq[_]) => s.map(_.toString)
+          case Some(other) =>
+            throw new IllegalArgumentException(s"$$rankFusion key: $other")
+          case None =>
+            require(df.columns.contains("_id"),
+              "$rankFusion fuses documents by _id; this collection has " +
+                "no _id column — pass key: <column(s)> (columnar extension)")
+            Seq("_id")
+        }
+        val k0 = 60
+        val contribs = pipes.toSeq.map { case (pname, praw) =>
+          val subPipe = pipelineSeq(praw)
+          if (!subPipe.exists(_.contains("$limit")))
+            scaleGuard(df, s"$$rankFusion pipeline '$pname' has no $$limit: " +
+              "its rank window will single-partition the full result; " +
+              "bound ranked inputs with $limit (top-k) at scale")
+          val sub = compile(subPipe, tables)(df)
+          keyCols.foreach(k => require(sub.columns.contains(k),
+            s"$$rankFusion pipeline '$pname' must keep key column $k"))
+          val order = rankOrder(sub, pname) ++ keyCols.map(col(_).asc)
+          val w = org.apache.spark.sql.expressions.Window.orderBy(order: _*)
+          val wgt = weights.get(pname).map {
+            case n: Number => n.doubleValue()
+            case other => throw new IllegalArgumentException(
+              s"$$rankFusion weight for '$pname': $other")
+          }.getOrElse(1.0)
+          require(wgt >= 0,
+            s"$$rankFusion weight for '$pname' must be >= 0")
+          sub.withColumn("__rr", row_number().over(w))
+            .select(keyCols.map(col) :+
+              (lit(wgt) / (col("__rr") + lit(k0)))
+                .cast("decimal(28,12)").as("__contrib"): _*)
+        }
+        val fused = contribs.reduce(_.unionByName(_))
+          .groupBy(keyCols.map(col): _*)
+          .agg(sum(col("__contrib")).cast("double").as("__searchScore"))
+        df.join(broadcast(fused), keyCols)
+          .orderBy(col("__searchScore").desc +: keyCols.map(col(_).asc): _*)
+
       case "$documents" =>
         // literal-documents source (db-level aggregate in Mongo): replaces
         // the input frame. Values go through the expression language, so
@@ -1926,6 +2001,38 @@ object PipelineCompiler {
     case s: Seq[_] => s.map(expr2col)
     case other =>
       throw new IllegalArgumentException(s"expected expression array: $other")
+  }
+
+  /** The ordering a ranked sub-pipeline's own plan establishes: the
+    * outermost global Sort of the analyzed plan, looked through limits and
+    * projections. `$rankFusion` turns result order into ranks with it —
+    * no row-id materialization, no guessing at score columns. A
+    * projection that drops the sort attribute surfaces as an analysis
+    * error naming the missing column. */
+  private def rankOrder(sub: DataFrame, pname: String): Seq[Column] = {
+    import org.apache.spark.sql.catalyst.plans.{logical => lp}
+    import org.apache.spark.sql.catalyst.expressions.{
+      Ascending, Descending, NullsFirst, NullsLast, SortOrder}
+    def find(p: lp.LogicalPlan): Option[Seq[SortOrder]] = p match {
+      case s: lp.Sort if s.global => Some(s.order)
+      case l: lp.GlobalLimit => find(l.child)
+      case l: lp.LocalLimit => find(l.child)
+      case pr: lp.Project => find(pr.child)
+      case _ => None
+    }
+    find(sub.queryExecution.analyzed)
+      .map(_.map { so =>
+        val c = org.apache.spark.sql.graftbridge.ColumnBridge.column(so.child)
+        (so.direction, so.nullOrdering) match {
+          case (Ascending, NullsFirst)  => c.asc_nulls_first
+          case (Ascending, NullsLast)   => c.asc_nulls_last
+          case (Descending, NullsFirst) => c.desc_nulls_first
+          case (Descending, NullsLast)  => c.desc_nulls_last
+        }
+      })
+      .getOrElse(throw new IllegalArgumentException(
+        s"$$rankFusion input pipeline '$pname' is not ranked: it must end " +
+          "in an ordered stage ($sort / $search / $vectorSearch / $geoNear)"))
   }
 
   /** 3-arg `$slice` [array, position, n] with Mongo's position semantics:

@@ -1878,6 +1878,54 @@ class SearchStagesSpec extends graft.SparkSpec {
       Seq((0.0, 2L), (25.0, 3L)))
   }
 
+  test("$rankFusion: RRF over ranked sub-pipelines, weights, meta score") {
+    val docs = Seq(
+      (1L, "spark spark stream", 10.0),
+      (2L, "spark", 50.0),
+      (3L, "stream stream", 30.0),
+      (4L, "other", 40.0)).toDF("_id", "txt", "pop")
+    val out = PipelineCompiler.compile(Seq(
+      Map("$rankFusion" -> Map(
+        "input" -> Map("pipelines" -> Map(
+          "lexical" -> Seq(
+            Map("$search" -> Map("text" ->
+              Map("query" -> "spark", "path" -> "txt"))),
+            Map("$limit" -> 2)),
+          "popular" -> Seq(
+            Map("$sort" -> Map("pop" -> -1)),
+            Map("$limit" -> 2)))),
+        "combination" -> Map("weights" -> Map("popular" -> 2.0)))),
+      Map("$project" -> Map("_id" -> 1,
+        "s" -> Map("$meta" -> "searchScore")))))(docs)
+    val rows = out.collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // lexical BM25 ranks doc2 over doc1 (shorter doc, same idf); popular
+    // ranks doc2 then doc4. Fused: doc2 = (1+2)/61, doc4 = 2/62,
+    // doc1 = 1/62 — output ordered by fused score
+    assert(rows.map(_._1).toSeq == Seq(2L, 4L, 1L))
+    val expect = Map(2L -> 3.0 / 61, 4L -> 2.0 / 62, 1L -> 1.0 / 62)
+    rows.foreach { case (id, s) => assert(math.abs(s - expect(id)) < 1e-9) }
+  }
+
+  test("$rankFusion rejects unranked pipelines; key extension fuses") {
+    val docs = Seq((1L, 5.0), (2L, 9.0)).toDF("doc_id", "pop")
+    intercept[IllegalArgumentException] { // no _id and no key
+      PipelineCompiler.compile(Seq(Map("$rankFusion" -> Map(
+        "input" -> Map("pipelines" -> Map("p" -> Seq(
+          Map("$sort" -> Map("pop" -> -1)))))))))(docs)
+    }
+    intercept[IllegalArgumentException] { // unranked sub-pipeline
+      PipelineCompiler.compile(Seq(Map("$rankFusion" -> Map(
+        "key" -> "doc_id",
+        "input" -> Map("pipelines" -> Map("p" -> Seq(
+          Map("$match" -> Map("pop" -> Map("$gt" -> 0.0))))))))))(docs)
+    }
+    val out = PipelineCompiler.compile(Seq(Map("$rankFusion" -> Map(
+      "key" -> "doc_id",
+      "input" -> Map("pipelines" -> Map("p" -> Seq(
+        Map("$sort" -> Map("pop" -> -1)), Map("$limit" -> 1))))))))(docs)
+    assert(out.select("doc_id").as[Long].collect().toSeq == Seq(2L))
+  }
+
   test("$sort by {$meta: textScore} orders by the search score") {
     val docs = Seq((1L, "spark"), (2L, "spark spark spark"), (3L, "spark spark"))
       .toDF("id", "txt")
