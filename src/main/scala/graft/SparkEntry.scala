@@ -689,6 +689,46 @@ object SparkEntry {
           col("score").cast("decimal(18,9)").cast("double").as("score"))
         .orderBy(desc("score"), asc("doc_id"))),
 
+    // $scoreFusion (Mongo 8.1): minMaxScaler-normalized weighted average
+    // of a BM25 text leg and a phrase-occurrence leg, fused on doc_id
+    "q147_score_fusion" -> ((s, dir) =>
+      coll(s, dir, "documents").pipe(Seq(
+        Map("$scoreFusion" -> Map(
+          "key" -> "doc_id",
+          "input" -> Map(
+            "normalization" -> "minMaxScaler",
+            "pipelines" -> Map(
+              "lex" -> Seq(
+                Map("$search" -> Map("text" ->
+                  Map("query" -> "stream filter", "path" -> "text"))),
+                Map("$sort" -> Map("score" -> Map("$meta" -> "searchScore"),
+                  "doc_id" -> 1)),
+                Map("$limit" -> 20)),
+              "ph" -> Seq(
+                Map("$search" -> Map("phrase" ->
+                  Map("query" -> "hash join", "path" -> "text"))),
+                Map("$sort" -> Map("score" -> Map("$meta" -> "searchScore"),
+                  "doc_id" -> 1)),
+                Map("$limit" -> 20)))),
+          "combination" -> Map("method" -> "avg",
+            "weights" -> Map("lex" -> 2.0)))),
+        Map("$project" -> Map("doc_id" -> 1,
+          "score" -> Map("$meta" -> "searchScore")))))
+        .select(col("doc_id"),
+          col("score").cast("decimal(18,9)").cast("double").as("score"))
+        .orderBy(desc("score"), asc("doc_id"))),
+
+    // $vectorSearch pre-filter: MQL match doc applied before the ranking
+    // (pushed into the scan), exact top-k after
+    "q148_vector_filter" -> ((s, dir) =>
+      coll(s, dir, "embeddings").pipe(Seq(
+        Map("$vectorSearch" -> Map("path" -> "embedding",
+          "queryVector" -> q75Vec, "limit" -> 15, "tieBreak" -> "vec_id",
+          "filter" -> Map("label" -> Map("$in" -> Seq(0, 1)),
+            "vec_id" -> Map("$lt" -> 300)))),
+        Map("$project" -> Map("vec_id" -> 1, "label" -> 1))))
+        .orderBy("vec_id")),
+
     // $search wildcard + autocomplete as compound should-legs with
     // minimumShouldMatch — constant-scored term-expansion operators
     "q140_search_wildcard_auto" -> ((s, dir) =>
@@ -3176,6 +3216,69 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY source ORDER BY doc_id
         |  ROWS UNBOUNDED PRECEDING)
         |ORDER BY doc_id""".stripMargin,
+
+    "q147_score_fusion" ->
+      """WITH tk AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM tk),
+        |hits AS (
+        |  SELECT doc_id, dl, term, COUNT(*) AS tf FROM toks
+        |  WHERE term IN ('stream', 'filter')
+        |  GROUP BY doc_id, dl, term),
+        |stats AS (
+        |  SELECT COUNT(*) AS n_docs, avg(CAST(len(t) AS DOUBLE)) AS avgdl
+        |  FROM tk),
+        |dfreq AS (
+        |  SELECT term, COUNT(*) AS df FROM hits GROUP BY term),
+        |bm AS (
+        |  SELECT doc_id,
+        |    SUM(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * 2.2)
+        |      / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))) AS score
+        |  FROM hits JOIN dfreq USING (term), stats GROUP BY doc_id),
+        |lex20 AS (
+        |  SELECT doc_id, score FROM (
+        |    SELECT doc_id, score,
+        |      row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+        |    FROM bm) WHERE rn <= 20),
+        |lexmm AS (SELECT min(score) AS mn, max(score) AS mx FROM lex20),
+        |lexc AS (
+        |  SELECT doc_id, CAST(2.0 * (CASE WHEN mx = mn THEN 0.0
+        |    ELSE (score - mn) / (mx - mn) END) AS DECIMAL(28,12)) AS c
+        |  FROM lex20, lexmm),
+        |ph AS (
+        |  SELECT doc_id,
+        |    (len(text) - len(replace(text, 'hash join', ''))) / 9.0 AS score
+        |  FROM tk WHERE contains(text, 'hash join')),
+        |ph20 AS (
+        |  SELECT doc_id, score FROM (
+        |    SELECT doc_id, score,
+        |      row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+        |    FROM ph) WHERE rn <= 20),
+        |phmm AS (SELECT min(score) AS mn, max(score) AS mx FROM ph20),
+        |phc AS (
+        |  SELECT doc_id, CAST(1.0 * (CASE WHEN mx = mn THEN 0.0
+        |    ELSE (score - mn) / (mx - mn) END) AS DECIMAL(28,12)) AS c
+        |  FROM ph20, phmm),
+        |u AS (SELECT doc_id, c FROM lexc UNION ALL SELECT doc_id, c FROM phc),
+        |f AS (
+        |  SELECT doc_id, CAST(SUM(c) / 2.0 AS DOUBLE) AS score
+        |  FROM u GROUP BY doc_id)
+        |SELECT doc_id, CAST(CAST(score AS DECIMAL(18,9)) AS DOUBLE) AS score
+        |FROM f ORDER BY score DESC, doc_id""".stripMargin,
+
+    "q148_vector_filter" -> {
+      val normQ = math.sqrt(q75Vec.map(x => x * x).sum)
+      s"""WITH s AS (SELECT vec_id, label,
+         |  (${litDotSql("embedding", q75Vec)})
+         |  / (sqrt(${selfDotSql("embedding", 64)}) * $normQ) AS cos
+         |  FROM embeddings WHERE label IN (0, 1) AND vec_id < 300),
+         |r AS (SELECT vec_id, label FROM s ORDER BY cos DESC, vec_id
+         |  LIMIT 15)
+         |SELECT vec_id, label FROM r ORDER BY vec_id""".stripMargin
+    },
 
     "q146_rank_fusion" ->
       """WITH tk AS (

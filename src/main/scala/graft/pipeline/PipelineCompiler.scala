@@ -382,10 +382,20 @@ object PipelineCompiler {
         }
         val limit = int(d.getOrElse("limit",
           throw new IllegalArgumentException("$vectorSearch requires limit")))
+        // Atlas pre-filter: an MQL match document applied BEFORE the
+        // ranking, so the predicate pushes into the scan
+        val base = d.get("filter") match {
+          case Some(f: Map[_, _]) =>
+            df.where(QueryCompiler.compile(doc(f)))
+          case Some(other) =>
+            throw new IllegalArgumentException(
+              s"$$vectorSearch filter must be a match document: $other")
+          case None => df
+        }
         val score = graft.ops.Similarity.cosine(col(path), typedlit(qv))
         val ordered = d.get("tieBreak") match {
-          case Some(t) => df.orderBy(score.desc, col(t.toString).asc)
-          case None    => df.orderBy(score.desc)
+          case Some(t) => base.orderBy(score.desc, col(t.toString).asc)
+          case None    => base.orderBy(score.desc)
         }
         val limited = ordered.limit(limit)
         d.get("scoreField") match {
@@ -857,7 +867,101 @@ object PipelineCompiler {
         val fused = contribs.reduce(_.unionByName(_))
           .groupBy(keyCols.map(col): _*)
           .agg(sum(col("__contrib")).cast("double").as("__searchScore"))
-        df.join(broadcast(fused), keyCols)
+        // broadcast only when every ranked input is $limit-bounded — an
+        // unbounded fusion result must shuffle-join, not ship to every task
+        val bounded = pipes.values
+          .forall(p => pipelineSeq(p).exists(_.contains("$limit")))
+        df.join(if (bounded) broadcast(fused) else fused, keyCols)
+          .orderBy(col("__searchScore").desc +: keyCols.map(col(_).asc): _*)
+
+      case "$scoreFusion" =>
+        // Mongo 8.1 sibling of $rankFusion: combines the sub-pipelines'
+        // RAW scores instead of ranks. Each input pipeline must carry the
+        // searchScore/$meta score ($search, $vectorSearch scoreField, or
+        // $match $text); normalization per Mongo: "none", "sigmoid"
+        // (1/(1+e^-x)), or "minMaxScaler" ([0,1] over that pipeline's
+        // result — a 1-row min/max aggregate broadcast back, the only
+        // extra exchange). combination.method "avg" (default) or "sum"
+        // of weighted normalized scores. Same key semantics and plan
+        // shape as $rankFusion.
+        val d = doc(spec)
+        val unknownOpts = d.keySet --
+          Set("input", "combination", "scoreDetails", "key")
+        require(unknownOpts.isEmpty,
+          s"$$scoreFusion: unsupported option(s) $unknownOpts")
+        val inputDoc = doc(d.getOrElse("input",
+          throw new IllegalArgumentException(
+            "$scoreFusion requires input.pipelines")))
+        val pipes = doc(inputDoc.getOrElse("pipelines",
+          throw new IllegalArgumentException(
+            "$scoreFusion requires input.pipelines")))
+        require(pipes.nonEmpty, "$scoreFusion: no input pipelines")
+        val norm = inputDoc.get("normalization")
+          .map(_.toString).getOrElse("none")
+        require(Set("none", "sigmoid", "minMaxScaler")(norm),
+          s"$$scoreFusion normalization: $norm")
+        val comb = d.get("combination").map(doc).getOrElse(Map.empty)
+        val method = comb.get("method").map(_.toString).getOrElse("avg")
+        require(Set("avg", "sum")(method),
+          s"$$scoreFusion combination.method: $method")
+        val weights = comb.get("weights").map(doc)
+          .getOrElse(Map.empty[String, Any])
+        val badW = weights.keySet -- pipes.keySet
+        require(badW.isEmpty,
+          s"$$scoreFusion: weights for unknown pipeline(s) $badW")
+        val keyCols: Seq[String] = d.get("key") match {
+          case Some(s: String) => Seq(s)
+          case Some(s: Seq[_]) => s.map(_.toString)
+          case Some(other) =>
+            throw new IllegalArgumentException(s"$$scoreFusion key: $other")
+          case None =>
+            require(df.columns.contains("_id"),
+              "$scoreFusion fuses documents by _id; this collection has " +
+                "no _id column — pass key: <column(s)> (columnar extension)")
+            Seq("_id")
+        }
+        val contribs = pipes.toSeq.map { case (pname, praw) =>
+          val sub = compile(pipelineSeq(praw), tables)(df)
+          require(sub.columns.contains("__searchScore"),
+            s"$$scoreFusion pipeline '$pname' carries no score: it must " +
+              "contain a scoring stage ($search / $match $text / " +
+              "$vectorSearch with scoreField: \"__searchScore\")")
+          keyCols.foreach(k => require(sub.columns.contains(k),
+            s"$$scoreFusion pipeline '$pname' must keep key column $k"))
+          val wgt = weights.get(pname).map {
+            case n: Number => n.doubleValue()
+            case other => throw new IllegalArgumentException(
+              s"$$scoreFusion weight for '$pname': $other")
+          }.getOrElse(1.0)
+          require(wgt >= 0,
+            s"$$scoreFusion weight for '$pname' must be >= 0")
+          val raw = col("__searchScore").cast("double")
+          val scored = norm match {
+            case "none" => sub.withColumn("__ns", raw)
+            case "sigmoid" =>
+              sub.withColumn("__ns", lit(1.0) / (lit(1.0) + exp(-raw)))
+            case "minMaxScaler" =>
+              val mm = sub.agg(min(raw).as("__mn"), max(raw).as("__mx"))
+              sub.join(broadcast(mm))
+                .withColumn("__ns", when(col("__mx") === col("__mn"),
+                    lit(0.0))
+                  .otherwise((raw - col("__mn")) /
+                    (col("__mx") - col("__mn"))))
+                .drop("__mn", "__mx")
+          }
+          scored.select(keyCols.map(col) :+
+            (col("__ns") * lit(wgt)).cast("decimal(28,12)")
+              .as("__contrib"): _*)
+        }
+        val fusedScore =
+          if (method == "sum") sum(col("__contrib"))
+          else sum(col("__contrib")) / lit(pipes.size.toDouble)
+        val fused = contribs.reduce(_.unionByName(_))
+          .groupBy(keyCols.map(col): _*)
+          .agg(fusedScore.cast("double").as("__searchScore"))
+        val bounded = pipes.values
+          .forall(p => pipelineSeq(p).exists(_.contains("$limit")))
+        df.join(if (bounded) broadcast(fused) else fused, keyCols)
           .orderBy(col("__searchScore").desc +: keyCols.map(col(_).asc): _*)
 
       case "$documents" =>

@@ -1926,6 +1926,50 @@ class SearchStagesSpec extends graft.SparkSpec {
     assert(out.select("doc_id").as[Long].collect().toSeq == Seq(2L))
   }
 
+  test("$scoreFusion: sum/avg, weights, minMaxScaler") {
+    val docs = Seq((1L, "a b"), (2L, "a"), (3L, "c")).toDF("_id", "text")
+    def run(extra: Map[String, Any],
+        normalization: Option[String] = None): Map[Long, Double] = {
+      val input = Map("pipelines" -> Map(
+        "p1" -> Seq(Map("$match" ->
+          Map("$text" -> Map("$search" -> "a b")))),
+        "p2" -> Seq(Map("$match" ->
+          Map("$text" -> Map("$search" -> "c")))))) ++
+        normalization.map("normalization" -> _).toMap
+      PipelineCompiler.compile(Seq(
+        Map("$scoreFusion" -> (Map("input" -> input) ++ extra)),
+        Map("$project" -> Map("_id" -> 1,
+          "s" -> Map("$meta" -> "searchScore")))))(docs)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    }
+    // none + sum + weight: p1 scores are matched-term counts (2, 1)
+    assert(run(Map("combination" -> Map("method" -> "sum",
+      "weights" -> Map("p2" -> 3.0)))) ==
+      Map(1L -> 2.0, 2L -> 1.0, 3L -> 3.0))
+    // avg divides by the number of pipelines, absent = 0
+    assert(run(Map("combination" -> Map("method" -> "avg"))) ==
+      Map(1L -> 1.0, 2L -> 0.5, 3L -> 0.5))
+    // minMaxScaler rescales per pipeline; a constant pipeline maps to 0
+    assert(run(Map("combination" -> Map("method" -> "sum")),
+      Some("minMaxScaler")) == Map(1L -> 1.0, 2L -> 0.0, 3L -> 0.0))
+    intercept[IllegalArgumentException] { // unscored pipeline rejects
+      PipelineCompiler.compile(Seq(Map("$scoreFusion" -> Map(
+        "input" -> Map("pipelines" -> Map("p" -> Seq(
+          Map("$match" -> Map("text" -> "a b")))))))))(docs)
+    }
+  }
+
+  test("$vectorSearch filter pre-filters before ranking") {
+    val docs = Seq(
+      (1L, Array(1.0f, 0.0f), "a"), (2L, Array(0.9f, 0.1f), "b"),
+      (3L, Array(0.8f, 0.2f), "a")).toDF("id", "vec", "tag")
+    val out = PipelineCompiler.compile(Seq(
+      Map("$vectorSearch" -> Map("path" -> "vec",
+        "queryVector" -> Seq(1.0, 0.0), "limit" -> 2,
+        "filter" -> Map("tag" -> "a")))))(docs)
+    assert(out.select("id").as[Long].collect().toSeq == Seq(1L, 3L))
+  }
+
   test("$sort by {$meta: textScore} orders by the search score") {
     val docs = Seq((1L, "spark"), (2L, "spark spark spark"), (3L, "spark spark"))
       .toDF("id", "txt")
