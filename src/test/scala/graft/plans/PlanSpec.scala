@@ -40,6 +40,34 @@ class PlanSpec extends SparkSpec {
       !readSchema.contains("l_comment") && !readSchema.contains("l_shipdate"))
   }
 
+  test("$vectorSearch filter pushes into the parquet scan") {
+    val ses = new graft.db.GraftSession(spark, sf)
+    val df = ses.db("t").c("embeddings").pipe(Seq(
+      Map("$vectorSearch" -> Map("path" -> "embedding",
+        "queryVector" -> Seq.fill(64)(0.1), "limit" -> 5,
+        "tieBreak" -> "vec_id",
+        "filter" -> Map("vec_id" -> Map("$lt" -> 100))))))
+    val plan = explain(df)
+    assert(plan.contains("PushedFilters"))
+    assert(plan.contains("LessThan(vec_id,100)"))
+  }
+
+  test("$rankFusion: bounded inputs fuse via broadcast join, no cartesian") {
+    val ses = new graft.db.GraftSession(spark, sf)
+    val df = ses.db("t").c("documents").pipe(Seq(
+      Map("$rankFusion" -> Map(
+        "key" -> "doc_id",
+        "input" -> Map("pipelines" -> Map(
+          "a" -> Seq(Map("$sort" -> Map("n_chars" -> -1, "doc_id" -> 1)),
+            Map("$limit" -> 5)),
+          "b" -> Seq(Map("$sort" -> Map("doc_id" -> 1)),
+            Map("$limit" -> 5))))))))
+    val plan = explain(df)
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("dependency semi-join broadcasts the small side") {
     val orders = graft.sources.Tables.table(spark, sf, "orders")
     val edges = graft.sources.Tables.table(spark, sf, "lineitem")
