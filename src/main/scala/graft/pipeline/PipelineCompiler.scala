@@ -503,7 +503,11 @@ object PipelineCompiler {
         // the stats scan. The score is exposed to later stages through
         // {$meta: "searchScore"}. `index` is accepted and ignored (no
         // named indexes over parquet).
-        val d = doc(spec) - "index"
+        val d0 = doc(spec) - "index"
+        // Atlas `sort` option: order results by stored fields (and/or the
+        // score via {$meta}) instead of pure relevance
+        val sortOpt = d0.get("sort").map(doc)
+        val d = d0 - "sort"
         require(d.size == 1,
           s"$name: exactly one operator (text/phrase/wildcard/autocomplete" +
             s"/equals/range/exists/in/compound), got ${d.keys}")
@@ -781,17 +785,33 @@ object PipelineCompiler {
           df.where(matched)
             .agg(count(lit(1)).as("__total"))
             .select(struct(col("__total").as("total")).as("count"))
-        } else if (statCols.isEmpty) {
-          df.where(matched)
-            .withColumn("__searchScore", score)
-            .orderBy(col("__searchScore").desc)
         } else {
-          val stats = df.agg(statCols.head, statCols.tail: _*)
-          df.join(broadcast(stats))
-            .where(matched)
-            .withColumn("__searchScore", score)
-            .drop(stats.columns.toSeq: _*)
-            .orderBy(col("__searchScore").desc)
+          val order: Seq[Column] = sortOpt match {
+            case None => Seq(col("__searchScore").desc)
+            case Some(sd) =>
+              require(sd.nonEmpty, s"$name.sort: empty document")
+              sd.toSeq.map {
+                case (f, 1) => col(f).asc
+                case (f, -1) => col(f).desc
+                case (_, m: Map[_, _])
+                  if doc(m).get("$meta").nonEmpty =>
+                  col("__searchScore").desc
+                case (f, other) => throw new IllegalArgumentException(
+                  s"$name.sort.$f: $other (1/-1/{$$meta})")
+              }
+          }
+          if (statCols.isEmpty) {
+            df.where(matched)
+              .withColumn("__searchScore", score)
+              .orderBy(order: _*)
+          } else {
+            val stats = df.agg(statCols.head, statCols.tail: _*)
+            df.join(broadcast(stats))
+              .where(matched)
+              .withColumn("__searchScore", score)
+              .drop(stats.columns.toSeq: _*)
+              .orderBy(order: _*)
+          }
         }
         }
 

@@ -1970,6 +1970,25 @@ class SearchStagesSpec extends graft.SparkSpec {
     assert(out.select("id").as[Long].collect().toSeq == Seq(1L, 3L))
   }
 
+  test("$search sort option orders by stored fields instead of score") {
+    val docs = Seq(
+      (3L, "spark spark spark"), (1L, "spark row"), (2L, "spark spark"))
+      .toDF("id", "txt")
+    val out = PipelineCompiler.compile(Seq(
+      Map("$search" -> Map(
+        "text" -> Map("query" -> "spark", "path" -> "txt"),
+        "sort" -> Map("id" -> 1))),
+      Map("$project" -> Map("id" -> 1))))(docs)
+    assert(out.select("id").as[Long].collect().toSeq == Seq(1L, 2L, 3L))
+    // {$meta} entry falls back to relevance within the sort doc
+    val rel = PipelineCompiler.compile(Seq(
+      Map("$search" -> Map(
+        "text" -> Map("query" -> "spark", "path" -> "txt"),
+        "sort" -> Map("s" -> Map("$meta" -> "searchScore")))),
+      Map("$project" -> Map("id" -> 1))))(docs)
+    assert(rel.select("id").as[Long].collect().toSeq == Seq(3L, 2L, 1L))
+  }
+
   test("$sort by {$meta: textScore} orders by the search score") {
     val docs = Seq((1L, "spark"), (2L, "spark spark spark"), (3L, "spark spark"))
       .toDF("id", "txt")
