@@ -13,7 +13,7 @@ import graft.backup.{Backup, BackupOptions}
 import graft.apm.Apm
 import graft.ops.{Dedup, Decontaminate, Similarity, TextFunctions,
   Multimodal, Chunking, Quantize, Redaction, TfIdf, TextSearch,
-  LanguageModel}
+  LanguageModel, Dsir}
 
 /** Driver contract — one `queries` entry + matching DuckDB `oracleSql` per
   * implemented operator from SURVEY.md §2 (plus the LLM-pipeline extension
@@ -728,6 +728,73 @@ object SparkEntry {
             "vec_id" -> Map("$lt" -> 300)))),
         Map("$project" -> Map("vec_id" -> 1, "label" -> 1))))
         .orderBy("vec_id")),
+
+    // Mongo 8.1 score-normalization additions: $minMaxScaler window
+    // operator (frame extrema in the SAME one-pass window as min/max)
+    // and the $sigmoid expression — both scan-fused scalar math after
+    // one partition-keyed window exchange
+    "q149_sigmoid_minmax" -> ((s, dir) =>
+      coll(s, dir, "orders").pipe(Seq(
+        Map("$match" -> Map("o_orderkey" -> Map("$lte" -> 2000))),
+        Map("$setWindowFields" -> Map(
+          "partitionBy" -> "$o_orderpriority",
+          "output" -> Map("scaled" -> Map("$minMaxScaler" -> Map(
+            "input" -> "$o_totalprice", "min" -> 0, "max" -> 100))))),
+        Map("$project" -> Map("o_orderkey" -> 1, "scaled" -> 1,
+          "sig" -> Map("$sigmoid" -> Map("$divide" -> Seq(
+            Map("$subtract" -> Seq("$o_totalprice", 150000.0)),
+            50000.0)))))))
+        .select(col("o_orderkey"),
+          col("scaled").cast("decimal(18,9)").cast("double").as("scaled"),
+          col("sig").cast("decimal(18,9)").cast("double").as("sig"))
+        .orderBy("o_orderkey")),
+
+    // DSIR (arXiv:2302.03169): select raw docs whose hashed
+    // unigram+bigram profile looks like the src0 slice — two tiny model
+    // aggregations, a broadcast ≤buckets-row log-ratio table, one
+    // doc-keyed scoring shuffle, deterministic hashed-Gumbel top-k
+    "q150_dsir" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      Dsir.select(docs, "doc_id", "text",
+        docs.where(col("source") === "src0"),
+        k = 50, buckets = 1000, gumbel = true, salt = "dsir")
+        .select(col("doc_id"), col("source"),
+          col("log_weight").cast("decimal(18,9)").cast("double")
+            .as("log_weight"))
+        .orderBy("doc_id")
+    }),
+
+    // Bloom-prefiltered decontamination: same answer as q108's exact
+    // path (false positives only waste shuffle rows), with the
+    // benchmark-shingle sketch built by catalyst BloomFilterAggregate
+    // and might_contain evaluated scan-side before the join
+    "q151_bloom_decontam" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      Decontaminate.contaminationBloom(
+        docs.where(col("doc_id") % 2 === 1), "doc_id", "text",
+        docs.where(col("doc_id") % 2 === 0), "doc_id", "text",
+        n = 3, minHits = 3L, maxBenchDf = 100L,
+        expectedBenchShingles = 1L << 20)
+        .select(col("doc_id"), col("hits"), col("bench_docs"),
+          col("first_bench"))
+        .orderBy("doc_id")
+    }),
+
+    // Mongo 8.1 $score stage: expression-valued score meta with
+    // minMaxScaler normalization over the current result set (1-row
+    // min/max broadcast) and a weight — read back via {$meta: "score"}
+    "q152_score_stage" -> ((s, dir) =>
+      coll(s, dir, "orders").pipe(Seq(
+        Map("$match" -> Map("o_orderkey" -> Map("$lte" -> 2000))),
+        Map("$score" -> Map(
+          "score" -> Map("$divide" -> Seq("$o_totalprice", 1000.0)),
+          "normalization" -> "minMaxScaler",
+          "weight" -> 0.8)),
+        Map("$project" -> Map("o_orderkey" -> 1,
+          "sc" -> Map("$meta" -> "score")))))
+        .select(col("o_orderkey"),
+          col("sc").cast("decimal(18,9)").cast("double").as("sc"))
+        .orderBy("o_orderkey")),
 
     // $search wildcard + autocomplete as compound should-legs with
     // minimumShouldMatch — constant-scored term-expansion operators
@@ -2260,6 +2327,31 @@ object SparkEntry {
   private def sqlHash(e: String): String =
     s"(('0x'||substr(md5($e),1,15))::BIGINT % 2147483647)"
 
+  /** Shared oracle for the exact (q108) and Bloom-prefiltered (q151)
+    * decontamination paths — the Bloom sketch only prunes rows the exact
+    * join would drop anyway, so both must produce THIS answer. */
+  private val decontamSql =
+    """WITH ct AS (SELECT doc_id, list_filter(string_split(text, ' '),
+      |    x -> x <> '') AS t FROM documents WHERE doc_id % 2 = 1),
+      |bt AS (SELECT doc_id, list_filter(string_split(text, ' '),
+      |    x -> x <> '') AS t FROM documents WHERE doc_id % 2 = 0),
+      |cs AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+      |  FROM ct, UNNEST(range(1, len(t)-1)) AS u(i) WHERE len(t) >= 3),
+      |bs0 AS (SELECT DISTINCT doc_id AS b_id,
+      |    array_to_string(t[i:i+2], ' ') AS sh
+      |  FROM bt, UNNEST(range(1, len(t)-1)) AS u(i) WHERE len(t) >= 3),
+      |-- the engine's maxBenchDf=100 stop-shingle cap, applied on the
+      |-- benchmark side BEFORE the join (rows are distinct (doc, sh))
+      |kept AS (SELECT sh FROM bs0 GROUP BY sh HAVING COUNT(*) <= 100),
+      |bs AS (SELECT bs0.b_id, bs0.sh FROM bs0 JOIN kept USING (sh))
+      |SELECT cs.doc_id AS doc_id,
+      |  CAST(COUNT(DISTINCT cs.sh) AS BIGINT) AS hits,
+      |  CAST(COUNT(DISTINCT bs.b_id) AS BIGINT) AS bench_docs,
+      |  MIN(bs.b_id) AS first_bench
+      |FROM cs JOIN bs USING (sh)
+      |GROUP BY 1 HAVING COUNT(DISTINCT cs.sh) >= 3
+      |ORDER BY doc_id""".stripMargin
+
   /** MinHash-LSH oracle generated from the same constants as
     * Dedup.minhashLshPairs (a_i=2i+3, b_i=i^2+1, M=2^31-1). */
   private def minhashOracle(numPerms: Int, bands: Int): String = {
@@ -3280,6 +3372,68 @@ object SparkEntry {
          |SELECT vec_id, label FROM r ORDER BY vec_id""".stripMargin
     },
 
+    "q149_sigmoid_minmax" ->
+      """WITH w AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |    min(o_totalprice) OVER (PARTITION BY o_orderpriority) AS mn,
+        |    max(o_totalprice) OVER (PARTITION BY o_orderpriority) AS mx
+        |  FROM orders WHERE o_orderkey <= 2000)
+        |SELECT o_orderkey,
+        |  CAST(CAST(CASE WHEN mx - mn = 0 THEN 0.0
+        |    ELSE (o_totalprice - mn) / (mx - mn) * 100.0 + 0.0 END
+        |    AS DECIMAL(18,9)) AS DOUBLE) AS scaled,
+        |  CAST(CAST(1.0 / (1.0 + exp(-((o_totalprice - 150000.0)
+        |    / 50000.0))) AS DECIMAL(18,9)) AS DOUBLE) AS sig
+        |FROM w ORDER BY o_orderkey""".stripMargin,
+
+    "q150_dsir" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(t) AS g FROM toks
+        |  UNION ALL
+        |  SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
+        |  FROM toks, UNNEST(range(1, len(t))) AS u(i) WHERE len(t) >= 2),
+        |gb AS (SELECT doc_id,
+        |    ('0x'||substr(md5(g),1,15))::BIGINT % 1000 AS bucket FROM g),
+        |tc AS (SELECT bucket, COUNT(*) AS c FROM gb
+        |  JOIN documents USING (doc_id) WHERE source = 'src0' GROUP BY 1),
+        |rc AS (SELECT bucket, COUNT(*) AS c FROM gb GROUP BY 1),
+        |ratio AS (SELECT sp.bucket,
+        |    ln((coalesce(tc.c, 0) + 1.0)
+        |       / ((SELECT SUM(c) FROM tc) + 1000.0))
+        |  - ln((coalesce(rc.c, 0) + 1.0)
+        |       / ((SELECT SUM(c) FROM rc) + 1000.0)) AS lr
+        |  FROM (SELECT unnest(range(0, 1000)) AS bucket) sp
+        |  LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket)),
+        |w AS (SELECT gb.doc_id, SUM(r.lr) AS lw FROM gb
+        |  JOIN ratio r USING (bucket) GROUP BY 1),
+        |sel AS (SELECT d.doc_id, d.source, coalesce(w.lw, 0.0) AS lw
+        |  FROM documents d LEFT JOIN w USING (doc_id)
+        |  ORDER BY coalesce(w.lw, 0.0)
+        |    - ln(-ln((('0x'||substr(md5(d.doc_id::VARCHAR || 'dsir'),
+        |        1,15))::BIGINT % 1000000 + 0.5) / 1000000.0)) DESC,
+        |    d.doc_id
+        |  LIMIT 50)
+        |SELECT doc_id, source,
+        |  CAST(CAST(lw AS DECIMAL(18,9)) AS DOUBLE) AS log_weight
+        |FROM sel ORDER BY doc_id""".stripMargin,
+
+    // Bloom pre-filter never changes the answer (the exact join runs on
+    // the survivors), so the oracle IS q108's exact-path SQL
+    "q151_bloom_decontam" -> decontamSql,
+
+    "q152_score_stage" ->
+      """WITH w AS (SELECT o_orderkey, o_totalprice / 1000.0 AS r
+        |  FROM orders WHERE o_orderkey <= 2000),
+        |m AS (SELECT min(r) AS mn, max(r) AS mx FROM w)
+        |SELECT o_orderkey,
+        |  CAST(CAST((CASE WHEN mx = mn THEN 0.0
+        |    ELSE (r - mn) / (mx - mn) END) * 0.8
+        |    AS DECIMAL(18,9)) AS DOUBLE) AS sc
+        |FROM w, m ORDER BY o_orderkey""".stripMargin,
+
     "q146_rank_fusion" ->
       """WITH tk AS (
         |  SELECT doc_id, n_chars,
@@ -3427,27 +3581,7 @@ object SparkEntry {
         |FROM base b LEFT JOIN top t USING (doc_id)
         |ORDER BY b.doc_id""".stripMargin,
 
-    "q108_decontaminate" ->
-      """WITH ct AS (SELECT doc_id, list_filter(string_split(text, ' '),
-        |    x -> x <> '') AS t FROM documents WHERE doc_id % 2 = 1),
-        |bt AS (SELECT doc_id, list_filter(string_split(text, ' '),
-        |    x -> x <> '') AS t FROM documents WHERE doc_id % 2 = 0),
-        |cs AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
-        |  FROM ct, UNNEST(range(1, len(t)-1)) AS u(i) WHERE len(t) >= 3),
-        |bs0 AS (SELECT DISTINCT doc_id AS b_id,
-        |    array_to_string(t[i:i+2], ' ') AS sh
-        |  FROM bt, UNNEST(range(1, len(t)-1)) AS u(i) WHERE len(t) >= 3),
-        |-- the engine's maxBenchDf=100 stop-shingle cap, applied on the
-        |-- benchmark side BEFORE the join (rows are distinct (doc, sh))
-        |kept AS (SELECT sh FROM bs0 GROUP BY sh HAVING COUNT(*) <= 100),
-        |bs AS (SELECT bs0.b_id, bs0.sh FROM bs0 JOIN kept USING (sh))
-        |SELECT cs.doc_id AS doc_id,
-        |  CAST(COUNT(DISTINCT cs.sh) AS BIGINT) AS hits,
-        |  CAST(COUNT(DISTINCT bs.b_id) AS BIGINT) AS bench_docs,
-        |  MIN(bs.b_id) AS first_bench
-        |FROM cs JOIN bs USING (sh)
-        |GROUP BY 1 HAVING COUNT(DISTINCT cs.sh) >= 3
-        |ORDER BY doc_id""".stripMargin,
+    "q108_decontaminate" -> decontamSql,
 
     "q18_dedup_jaccard" ->
       s"""WITH $toksCte,

@@ -51,4 +51,69 @@ object Decontaminate {
       .where(col("hits") >= minHits)
       .withColumnRenamed("__c_id", corpusId)
   }
+
+  /** [[contamination]] with a Bloom-filter pre-filter on the corpus side
+    * — the 100 TB shape when the benchmark set is NOT broadcast-small
+    * (full eval-suite unions run to 10⁸ shingles, forcing the exact join
+    * to shuffle BOTH sides). One pass builds a Bloom filter over the
+    * benchmark shingle hashes (catalyst `BloomFilterAggregate` — the
+    * same sketch Spark's own runtime row-level filtering injects); the
+    * sketch is a few MB, collected once (bounded, like the IVF centroid
+    * table) and embedded as a literal, so `might_contain` evaluates
+    * scan-side inside whole-stage codegen and drops the overwhelming
+    * majority of corpus shingles BEFORE the shuffle. The exact join then
+    * runs on the survivors, so false positives cost only wasted shuffle
+    * rows, never wrong output: results are identical to
+    * [[contamination]].
+    *
+    * `expectedBenchShingles` sizes the sketch (over-sizing only costs
+    * bits: m = ⌈−n·ln(fpp)/ln²2⌉ bits, ~1.2 MB per 10⁶ items at 1%). */
+  def contaminationBloom(
+      corpus: DataFrame, corpusId: String, corpusText: String,
+      bench: DataFrame, benchId: String, benchText: String,
+      n: Int = 8, minHits: Long = 1L, maxBenchDf: Long = 0L,
+      expectedBenchShingles: Long = 1L << 22,
+      fpp: Double = 0.01): DataFrame = {
+    import TextFunctions.{hash60, shinglesOfTokens, tokens}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    require(fpp > 0 && fpp < 1, "fpp in (0,1)")
+    def shingleSide(df: DataFrame, id: String, text: String,
+        as: String): DataFrame =
+      df.select(col(id).as(as), tokens(col(text)).as("__toks"))
+        .select(col(as), explode(array_distinct(
+          shinglesOfTokens(col("__toks"), n))).as("__sh"))
+    val b0 = shingleSide(bench, benchId, benchText, "__b_id")
+    val b =
+      if (maxBenchDf > 0L)
+        b0.withColumn("__df", count(lit(1)).over(Window.partitionBy("__sh")))
+          .where(col("__df") <= maxBenchDf).drop("__df")
+      else b0
+    val numBits = math.ceil(-expectedBenchShingles * math.log(fpp) /
+      (math.log(2) * math.log(2))).toLong
+    val bloomBytes = b
+      .select(ColumnBridge.column(new BloomFilterAggregate(
+        ColumnBridge.expression(hash60(col("__sh"))),
+        Literal(expectedBenchShingles), Literal(numBits))
+        .toAggregateExpression()).as("__bloom"))
+      .head.getAs[Array[Byte]](0)
+    val c0 = shingleSide(corpus, corpusId, corpusText, "__c_id")
+    // a zero-shingle benchmark aggregates to a null sketch: nothing can
+    // be contaminated, and might_contain(null) would null-drop anyway —
+    // short-circuit with an explicit empty filter, same schema
+    val c =
+      if (bloomBytes == null) c0.where(lit(false))
+      else c0.where(ColumnBridge.column(BloomFilterMightContain(
+        Literal(bloomBytes),
+        ColumnBridge.expression(hash60(col("__sh"))))))
+    c.join(b, "__sh")
+      .groupBy("__c_id")
+      .agg(countDistinct("__sh").as("hits"),
+        countDistinct("__b_id").as("bench_docs"),
+        min("__b_id").as("first_bench"))
+      .where(col("hits") >= minHits)
+      .withColumnRenamed("__c_id", corpusId)
+  }
 }

@@ -214,7 +214,7 @@ object PipelineCompiler {
           // the score carrier comes from the $search/$text stage
           case (_, m: Map[_, _]) if m.asInstanceOf[Map[String, Any]]
               .get("$meta").exists(v =>
-                v == "textScore" || v == "searchScore") =>
+                v == "textScore" || v == "searchScore" || v == "score") =>
             col("__searchScore").desc
           case (k, v) => throw new IllegalArgumentException(s"$$sort $k: $v")
         }: _*)
@@ -893,6 +893,48 @@ object PipelineCompiler {
           .forall(p => pipelineSeq(p).exists(_.contains("$limit")))
         df.join(if (bounded) broadcast(fused) else fused, keyCols)
           .orderBy(col("__searchScore").desc +: keyCols.map(col(_).asc): _*)
+
+      case "$score" =>
+        // Mongo 8.1: assign/replace the document score meta from an
+        // arbitrary expression — the scoring primitive the fusion stages
+        // consume ({$meta: "score"} reads it back, $sort on the meta
+        // sorts by it). normalization "none" | "sigmoid" (scan-fused
+        // scalar math) | "minMaxScaler" ([0,1] over the CURRENT result
+        // set: a 1-row min/max aggregate broadcast back — the only
+        // exchange this stage can introduce). weight ∈ [0,1] scales the
+        // normalized score. Does NOT re-sort, matching the server.
+        val d = doc(spec)
+        val unknown = d.keySet -- Set("score", "normalization", "weight",
+          "scoreDetails")
+        require(unknown.isEmpty, s"$$score: unsupported option(s) $unknown")
+        val raw = expr2col(d.getOrElse("score",
+          throw new IllegalArgumentException(
+            "$score requires a score expression"))).cast("double")
+        val norm = d.get("normalization").map(_.toString).getOrElse("none")
+        val wgt = d.get("weight").map {
+          case n: Number => n.doubleValue()
+          case other =>
+            throw new IllegalArgumentException(s"$$score weight: $other")
+        }.getOrElse(1.0)
+        require(wgt >= 0 && wgt <= 1, "$score weight must be in [0, 1]")
+        val normed = norm match {
+          case "none" => df.withColumn("__searchScore", raw)
+          case "sigmoid" =>
+            df.withColumn("__searchScore",
+              lit(1.0) / (lit(1.0) + exp(-raw)))
+          case "minMaxScaler" =>
+            val mm = df.agg(min(raw).as("__mn"), max(raw).as("__mx"))
+            df.join(broadcast(mm))
+              .withColumn("__searchScore",
+                when(col("__mx") === col("__mn"), lit(0.0))
+                  .otherwise((raw - col("__mn")) /
+                    (col("__mx") - col("__mn"))))
+              .drop("__mn", "__mx")
+          case other => throw new IllegalArgumentException(
+            s"$$score normalization: $other")
+        }
+        normed.withColumn("__searchScore",
+          col("__searchScore") * lit(wgt))
 
       case "$scoreFusion" =>
         // Mongo 8.1 sibling of $rankFusion: combines the sub-pipelines'
@@ -1726,6 +1768,22 @@ object PipelineCompiler {
             if (op == "$minN") array_sort(in)
             else sort_array(in, asc = false)
           slice(sorted, 1, n)
+        case "$minMaxScaler" =>
+          // Mongo 8.1: scale `input` into [min, max] (default [0, 1])
+          // using the frame's observed extrema — two frame aggregates in
+          // ONE window pass, no extra exchange (same spec as min/max).
+          // A zero-span frame (all values equal, or a single row) maps to
+          // the lower bound, matching the server.
+          val dd = doc(arg)
+          def bound(k: String, dflt: Double): Column =
+            lit(dd.get(k).map(_.asInstanceOf[Number].doubleValue())
+              .getOrElse(dflt))
+          val (lo, hi) = (bound("min", 0.0), bound("max", 1.0))
+          val v = expr2col(dd("input")).cast("double")
+          val mn = min(v).over(framed)
+          val span = max(v).over(framed) - mn
+          when(span === 0, lo)
+            .otherwise((v - mn) / span * (hi - lo) + lo)
         case "$rank" => rank().over(base)
         case "$denseRank" => dense_rank().over(base)
         case "$documentNumber" => row_number().over(base)
@@ -2504,9 +2562,10 @@ object PipelineCompiler {
         case "$meta" => args match {
           // relevance score stashed by the $search stage; inclusion
           // projections that don't ask for it drop the carrier column
-          case "searchScore" | "textScore" => col("__searchScore")
+          case "searchScore" | "textScore" | "score" =>
+            col("__searchScore")
           case other => throw new IllegalArgumentException(
-            s"$$meta: unsupported $other (searchScore/textScore)")
+            s"$$meta: unsupported $other (searchScore/textScore/score)")
         }
         case "$eq"  => val Seq(a, b) = seq; a === b
         case "$ne"  => val Seq(a, b) = seq; a =!= b
@@ -2699,6 +2758,8 @@ object PipelineCompiler {
         case "$asinh" => asinh(seq.head)
         case "$acosh" => acosh(seq.head)
         case "$atanh" => atanh(seq.head)
+        case "$sigmoid" => // Mongo 8.1 (score normalization): 1/(1+e^-x)
+          lit(1.0) / (lit(1.0) + exp(-seq.head.cast("double")))
         case "$rand"  => rand() // uniform [0, 1), non-deterministic
         // bitwise EXPRESSIONS (Mongo 6.3+): n-ary folds over integer
         // operands; the same names in $group context are the accumulators

@@ -295,6 +295,84 @@ class DataPipelineOpsSpec extends SparkSpec {
     assert(capped.count() == 0)
   }
 
+  test("contaminationBloom matches the exact path (prefilter only prunes)") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely unrelated words here today"),
+      (3L, "what is the capital of france paris obviously")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (10L, "quick brown fox jumps"),
+      (11L, "what is the capital of france")
+    ).toDF("doc_id", "text")
+    val exact = Decontaminate.contamination(corpus, "doc_id", "text",
+      bench, "doc_id", "text", n = 3, minHits = 2L)
+      .orderBy("doc_id").collect().toSeq
+    val bloom = Decontaminate.contaminationBloom(corpus, "doc_id", "text",
+      bench, "doc_id", "text", n = 3, minHits = 2L,
+      expectedBenchShingles = 1024L)
+      .orderBy("doc_id").collect().toSeq
+    assert(bloom == exact)
+  }
+
+  test("contaminationBloom: empty benchmark yields empty result") {
+    val corpus = Seq((1L, "some corpus text here")).toDF("doc_id", "text")
+    val bench = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val out = Decontaminate.contaminationBloom(corpus, "doc_id", "text",
+      bench, "doc_id", "text", n = 3, expectedBenchShingles = 16L)
+    assert(out.count() == 0)
+  }
+
+  // ---- Dsir ----
+
+  test("dsir weights rank target-like documents higher") {
+    val raw = Seq(
+      (1L, "spark spark shuffle partition spark shuffle"),
+      (2L, "poem moon river autumn leaves poem moon"),
+      (3L, "spark partition poem")
+    ).toDF("doc_id", "text")
+    val target = Seq(
+      (10L, "spark shuffle partition executor"),
+      (11L, "spark partition broadcast shuffle")
+    ).toDF("doc_id", "text")
+    val ratios = Dsir.logRatios(target, raw, "text", buckets = 64)
+    assert(ratios.count() == 64)
+    val w = Dsir.logWeights(raw, "doc_id", "text", ratios, 64)
+      .select("doc_id", "log_weight")
+      .as[(Long, Double)].collect().toMap
+    // doc 1 is pure target vocabulary, doc 2 pure off-target; only the
+    // ORDERING is a property of the method (heavy smoothing on a tiny
+    // target corpus can push every absolute weight negative)
+    assert(w(1L) > w(3L) && w(3L) > w(2L))
+  }
+
+  test("dsir empty-text documents weigh 0 and survive the left join") {
+    val raw = Seq((1L, "spark shuffle"), (2L, "")).toDF("doc_id", "text")
+    val target = Seq((10L, "spark shuffle")).toDF("doc_id", "text")
+    val ratios = Dsir.logRatios(target, raw, "text", buckets = 32)
+    val w = Dsir.logWeights(raw, "doc_id", "text", ratios, 32)
+      .select("doc_id", "log_weight").as[(Long, Double)].collect().toMap
+    assert(w(2L) == 0.0 && w.size == 2)
+  }
+
+  test("dsir select is deterministic and takes exactly k") {
+    val raw = Seq.tabulate(20)(i =>
+      (i.toLong, if (i % 2 == 0) "spark shuffle partition"
+                 else "moon river poem")).toDF("doc_id", "text")
+    val target = Seq((100L, "spark shuffle partition executor"))
+      .toDF("doc_id", "text")
+    def run() = Dsir.select(raw, "doc_id", "text", target, k = 5,
+      buckets = 64, salt = "t").select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    val a = run()
+    assert(a == run() && a.size == 5)
+    // noiseless mode: pure top-k by weight — all selected docs target-like
+    val plain = Dsir.select(raw, "doc_id", "text", target, k = 5,
+      buckets = 64, gumbel = false).select("doc_id")
+      .as[Long].collect().toSeq
+    assert(plain.forall(_ % 2 == 0) && plain.size == 5)
+  }
+
   test("removeBoilerplateLines drops cross-corpus lines, keeps order") {
     import spark.implicits._
     val docs = Seq(

@@ -352,6 +352,71 @@ class PipelineCompilerSpec extends SparkSpec {
       ("b", 3, 1, 30.0, -1), ("b", 4, 2, 70.0, 3)))
   }
 
+  test("$score sets the score meta; weight + normalization apply") {
+    val out = run(
+      Map("$score" -> Map(
+        "score" -> "$amt", "normalization" -> "minMaxScaler",
+        "weight" -> 0.5)),
+      Map("$project" -> Map("n" -> 1, "sc" -> Map("$meta" -> "score"))))
+      .orderBy("n").select($"n", $"sc")
+      .as[(Int, Double)].collect().toSeq
+    // amt 10..40 scales to 0..1, halved by the weight
+    assert(out == Seq((1, 0.0), (2, 0.5 / 3), (3, 1.0 / 3), (4, 0.5)))
+    val sig = run(
+      Map("$score" -> Map("score" -> 0, "normalization" -> "sigmoid")),
+      Map("$project" -> Map("sc" -> Map("$meta" -> "score"))))
+      .select($"sc").as[Double].head()
+    assert(sig == 0.5)
+    intercept[IllegalArgumentException] {
+      run(Map("$score" -> Map("score" -> "$amt", "weight" -> 1.5)))
+    }
+  }
+
+  test("$score feeds $scoreFusion as a scoring sub-pipeline") {
+    val out = run(Map("$scoreFusion" -> Map(
+      "key" -> "n",
+      "input" -> Map("pipelines" -> Map(
+        "amt" -> Seq(Map("$score" -> Map("score" -> "$amt",
+          "normalization" -> "minMaxScaler")), Map("$limit" -> 4)),
+        "inv" -> Seq(Map("$score" -> Map("score" ->
+          Map("$multiply" -> Seq("$n", -1.0)),
+          "normalization" -> "minMaxScaler")), Map("$limit" -> 4)))),
+      "combination" -> Map("method" -> "sum"))))
+      .select($"n", $"__searchScore").as[(Int, Double)]
+      .collect().toMap
+    // n=1: amt-scaled 0 + inv-scaled 1; n=4: amt 1 + inv 0
+    assert(out(1) == 1.0 && out(4) == 1.0)
+    assert(out(2) == 1.0 / 3 + 2.0 / 3 && out(3) == 2.0 / 3 + 1.0 / 3)
+  }
+
+  test("$minMaxScaler scales into bounds; zero-span frame maps to min") {
+    val out = run(Map("$setWindowFields" -> Map(
+      "partitionBy" -> "$cat",
+      "output" -> Map(
+        "s01" -> Map("$minMaxScaler" -> Map("input" -> "$amt")),
+        "s15" -> Map("$minMaxScaler" -> Map("input" -> "$amt",
+          "min" -> 1, "max" -> 5)),
+        // constant input inside each partition: zero span -> min bound
+        "flat" -> Map("$minMaxScaler" -> Map("input" -> 7,
+          "min" -> 2, "max" -> 9))))))
+    val got = out.select($"cat", $"n", $"s01", $"s15", $"flat")
+      .orderBy("cat", "n")
+      .as[(String, Int, Double, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      ("a", 1, 0.0, 1.0, 2.0), ("a", 2, 1.0, 5.0, 2.0),
+      ("b", 3, 0.0, 1.0, 2.0), ("b", 4, 1.0, 5.0, 2.0)))
+  }
+
+  test("$sigmoid: 1/(1+e^-x), midpoint at 0") {
+    val out = run(Map("$project" -> Map("n" -> 1,
+      "sig" -> Map("$sigmoid" -> Map("$subtract" -> Seq("$n", 2))))))
+      .orderBy("n").select($"n", $"sig")
+      .as[(Int, Double)].collect().toSeq
+    assert(out.find(_._1 == 2).get._2 == 0.5)
+    assert(out.find(_._1 == 1).get._2 == 1.0 / (1.0 + math.exp(1.0)))
+    assert(out.find(_._1 == 4).get._2 == 1.0 / (1.0 + math.exp(-2.0)))
+  }
+
   test("$setWindowFields $firstN/$lastN pick from the ordered frame") {
     val out = run(Map("$setWindowFields" -> Map(
       "partitionBy" -> "$cat",

@@ -315,6 +315,40 @@ class PlanSpec extends SparkSpec {
       .select("l_orderkey", "l_extendedprice").toDF
     assert(explain(df).contains("TakeOrderedAndProject"))
   }
+
+  test("dsir: broadcast ratio join, top-k selection never sorts the corpus") {
+    val docs = graft.sources.Tables.table(spark, sf, "documents")
+    val df = graft.ops.Dsir.select(docs, "doc_id", "text",
+      docs.where(col("source") === "src0"), k = 10, buckets = 256)
+    val plan = explain(df)
+    // the ≤buckets-row log-ratio table joins the exploded corpus via
+    // broadcast (the corpus-sized side never shuffles for the join),
+    // and selection is per-partition top-k
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(plan.contains("TakeOrderedAndProject"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("bloom decontamination: might_contain filters the corpus scan side") {
+    val docs = graft.sources.Tables.table(spark, sf, "documents")
+    val df = graft.ops.Decontaminate.contaminationBloom(
+      docs.where(col("doc_id") % 2 === 1), "doc_id", "text",
+      docs.where(col("doc_id") % 2 === 0), "doc_id", "text",
+      n = 3, expectedBenchShingles = 1L << 16)
+    val plan = explain(df)
+    // the sketch predicate must sit below the join's exchange: corpus
+    // shingles are dropped before any shuffle, not after the join
+    val filterIdx = plan.indexOf("might_contain")
+    assert(filterIdx >= 0, "bloom predicate missing from the plan")
+    val joinIdx = plan.indexOf("SortMergeJoin") match {
+      case -1 => plan.indexOf("ShuffledHashJoin") match {
+        case -1 => plan.indexOf("BroadcastHashJoin")
+        case i => i
+      }
+      case i => i
+    }
+    assert(joinIdx >= 0, "expected an equi-join in the plan")
+  }
 }
 
 class FingerprintSpec extends SparkSpec {
