@@ -780,6 +780,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Product quantization ANN (Jégou et al., PAMI 2011): per-subspace
+    // spherical k-means codebooks, scan-fused positional encoding, ADC
+    // scoring via per-query lookup tables — m element_at lookups per
+    // candidate instead of a dim-wide dot
+    "q153_ann_pq" -> ((s, dir) => {
+      import s.implicits._
+      val emb = tbl(s, dir, "embeddings")
+      val cb = Quantize.pqCodebooks(emb, "vec_id", "embedding",
+        dim = 64, m = 2, k = 4, iters = 2)
+      val qdf = Seq((-1L, q75Vec)).toDF("vec_id", "embedding")
+      Quantize.pqTopK(emb, qdf, "vec_id", "embedding", cb,
+        dim = 64, m = 2, k = 10)
+        .select(col("neighbor_id").as("vec_id"),
+          col("score").cast("decimal(18,6)").cast("double").as("score"))
+        .orderBy("vec_id")
+    }),
+
     // Mongo 8.1 $score stage: expression-valued score meta with
     // minMaxScaler normalization over the current result set (1-row
     // min/max broadcast) and a weight — read back via {$meta: "score"}
@@ -2434,25 +2451,66 @@ object SparkEntry {
     * against `prev` centroids (id tie-break), decimal-exact component
     * means, empty cells keep the previous centroid. Emits CTEs named
     * `p$i s$i a$i m$i c$i`. */
-  private def kmeansIterCtes(i: Int, prev: String): String =
-    s"""p$i AS (SELECT d.vec_id, d.v, pc.cid, pc.c FROM data d CROSS JOIN $prev pc),
-       |s$i AS (SELECT vec_id, cid,
+  private def kmeansIterCtes(i: Int, prev: String, data: String = "data",
+      pfx: String = ""): String =
+    s"""${pfx}p$i AS (SELECT d.vec_id, d.v, pc.cid, pc.c FROM $data d CROSS JOIN $prev pc),
+       |${pfx}s$i AS (SELECT vec_id, cid,
        |  SUM(v[u.i]*c[u.i]) AS dot, SUM(v[u.i]*v[u.i]) AS nv,
        |  SUM(c[u.i]*c[u.i]) AS nc
-       |  FROM p$i, UNNEST(range(1, len(v)+1)) u(i) GROUP BY vec_id, cid),
-       |a$i AS (SELECT vec_id, cid FROM (
+       |  FROM ${pfx}p$i, UNNEST(range(1, len(v)+1)) u(i) GROUP BY vec_id, cid),
+       |${pfx}a$i AS (SELECT vec_id, cid FROM (
        |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
        |    ORDER BY CASE WHEN nv = 0 OR nc = 0 THEN 0.0
        |                  ELSE dot / (sqrt(nv) * sqrt(nc)) END DESC, cid) AS rn
-       |  FROM s$i) WHERE rn = 1),
-       |m$i AS (SELECT a$i.cid, u.i AS pos,
+       |  FROM ${pfx}s$i) WHERE rn = 1),
+       |${pfx}m$i AS (SELECT ${pfx}a$i.cid, u.i AS pos,
        |  CAST(SUM(CAST(d.v[u.i] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m
-       |  FROM a$i JOIN data d USING (vec_id),
+       |  FROM ${pfx}a$i JOIN $data d USING (vec_id),
        |    UNNEST(range(1, len(d.v)+1)) u(i)
-       |  GROUP BY a$i.cid, u.i),
-       |c$i AS (SELECT pc.cid, COALESCE(n.c, pc.c) AS c FROM $prev pc
-       |  LEFT JOIN (SELECT cid, list(m ORDER BY pos) AS c FROM m$i
+       |  GROUP BY ${pfx}a$i.cid, u.i),
+       |${pfx}c$i AS (SELECT pc.cid, COALESCE(n.c, pc.c) AS c FROM $prev pc
+       |  LEFT JOIN (SELECT cid, list(m ORDER BY pos) AS c FROM ${pfx}m$i
        |             GROUP BY cid) n USING (cid))""".stripMargin
+
+  /** Oracle for q153: PQ with m=2 subspaces — per-subspace spherical
+    * k-means (the SAME unrolled Lloyd CTEs as q89), assignment of every
+    * sub-vector to its final codebook entry, and the ADC score as the sum
+    * of per-subspace centroid·query-slice dots. */
+  private def pqOracleSql: String = {
+    val (m, sub, kc) = (2, 32, 4)
+    val subs = (0 until m).map { j =>
+      val d = s"data${j + 1}"
+      val p = s"k${j + 1}"
+      val seed =
+        s"""${p}c0 AS (SELECT CAST(vec_id AS BIGINT) AS cid, v AS c
+           |  FROM $d ORDER BY vec_id LIMIT $kc)""".stripMargin
+      val iters = Seq(
+        kmeansIterCtes(1, s"${p}c0", d, p),
+        kmeansIterCtes(2, s"${p}c1", d, p),
+        // extra unrolled block only for its assignment CTE ${p}a3:
+        // codes against the FINAL centroids (m3/c3 are never referenced)
+        kmeansIterCtes(3, s"${p}c2", d, p))
+      s"""$d AS (SELECT vec_id, v[${j * sub + 1}:${(j + 1) * sub}] AS v
+         |  FROM data),
+         |$seed,
+         |${iters.mkString(",\n")}""".stripMargin
+    }
+    val dots = (0 until m).map { j =>
+      litDotSql(s"c${j + 1}.c", q75Vec.slice(j * sub, (j + 1) * sub))
+    }
+    s"""WITH data AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |${subs.mkString(",\n")},
+       |sel AS (SELECT a1.vec_id,
+       |    (${dots(0)}) + (${dots(1)}) AS score
+       |  FROM k1a3 a1 JOIN k1c2 c1 ON a1.cid = c1.cid
+       |  JOIN k2a3 a2 ON a2.vec_id = a1.vec_id
+       |  JOIN k2c2 c2 ON a2.cid = c2.cid),
+       |top AS (SELECT vec_id, score FROM sel
+       |  ORDER BY score DESC, vec_id LIMIT 10)
+       |SELECT vec_id, CAST(CAST(score AS DECIMAL(18,6)) AS DOUBLE) AS score
+       |FROM top ORDER BY vec_id""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
 
@@ -3423,6 +3481,8 @@ object SparkEntry {
     // Bloom pre-filter never changes the answer (the exact join runs on
     // the survivors), so the oracle IS q108's exact-path SQL
     "q151_bloom_decontam" -> decontamSql,
+
+    "q153_ann_pq" -> pqOracleSql,
 
     "q152_score_stage" ->
       """WITH w AS (SELECT o_orderkey, o_totalprice / 1000.0 AS r

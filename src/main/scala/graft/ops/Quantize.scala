@@ -63,4 +63,113 @@ object Quantize {
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank")
   }
+
+  // ---- Product quantization (Jégou et al., PAMI 2011) ----
+
+  /** Train PQ codebooks: the vector splits into `m` equal subspaces and
+    * each subspace gets its own `k`-centroid codebook via
+    * [[Clustering.kmeans]] (spherical, deterministic — same contract the
+    * IVF coarse quantizer uses). Returns (subspace, centroid_id,
+    * centroid): m·k rows, broadcast-small by construction.
+    *
+    * Inner products decompose across subspaces — dot(x, q) =
+    * Σ_j dot(x_j, q_j) — so a vector stored as m small codes scores
+    * against a query with m table lookups instead of a full-dimension
+    * dot: the memory/bandwidth format for billion-vector search. */
+  def pqCodebooks(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, k: Int, iters: Int,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(m > 0 && dim % m == 0, s"pq: dim $dim must split into m=$m")
+    val sub = dim / m
+    (0 until m).map { j =>
+      Clustering.kmeans(
+        df.select(col(idCol),
+          slice(col(vecCol).cast("array<double>"), j * sub + 1, sub)
+            .as("__sub")),
+        idCol, "__sub", k, iters, checkpointDir)
+        .select(lit(j).as("subspace"), col("centroid_id"), col("centroid"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Codebooks collected and folded to literals: subspace → centroids
+    * ordered by centroid_id (the positional code order). Bounded at m·k
+    * rows — the same driver-side class as the IVF centroid table. */
+  private def collectCodebooks(codebooks: DataFrame)
+      : Map[Int, Seq[Array[Double]]] =
+    codebooks.select(col("subspace").cast("int"),
+      col("centroid_id").cast("long"),
+      col("centroid").cast("array<double>"))
+      .collect().toSeq
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+      .groupBy(_._1)
+      .map { case (j, rows) =>
+        j -> rows.sortBy(_._2).map(_._3)
+      }
+
+  /** POSITIONAL code (0-based index into the subspace's id-ordered
+    * codebook) of the sub-vector: argmax cosine, smallest-position
+    * tie-break — centroid constants folded into codegen, zero shuffle
+    * (the [[Similarity.ivfTopK]] cellScores pattern). */
+  private def codeExpr(vec: Column, sub: Int, j: Int,
+      cents: Seq[Array[Double]]): Column = {
+    val sv = slice(vec, j * sub + 1, sub)
+    -array_max(array(cents.zipWithIndex.map { case (cv, idx) =>
+      struct(Similarity.cosine(sv, typedlit(cv)).as("c"),
+        lit(-idx.toLong).as("nid"))
+    }: _*)).getField("nid")
+  }
+
+  /** Encode every vector as its `m` positional codes (array<long>,
+    * values in [0, k)) — a pure scan-fused map. At 100 TB this is the
+    * materialization step: the code table is dim/(m·⌈log₂k⌉-ish) smaller
+    * than the float vectors and is what later searches scan. */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+      codebooks: DataFrame, dim: Int, m: Int): DataFrame = {
+    require(m > 0 && dim % m == 0, s"pq: dim $dim must split into m=$m")
+    val cb = collectCodebooks(codebooks)
+    require(cb.keySet == (0 until m).toSet,
+      s"pq: codebooks cover subspaces ${cb.keySet.toSeq.sorted}, need 0..${m - 1}")
+    val sub = dim / m
+    val v = col(vecCol).cast("array<double>")
+    df.select(col(idCol),
+      array((0 until m).map(j => codeExpr(v, sub, j, cb(j))): _*)
+        .as("codes"))
+  }
+
+  /** ADC (asymmetric distance computation) top-k: the corpus is scanned
+    * as codes; each query precomputes a lookup table — dot(centroid,
+    * query-sub-slice) for all m·k centroids, an array<array<double>>
+    * column on the (broadcast-small) query side — and a candidate scores
+    * with m `element_at` lookups instead of a `dim`-wide dot. Same
+    * broadcast-the-queries plan shape as [[quantizedTopK]] /
+    * [[Similarity.bruteForceTopK]]; compose with IVF cells for the
+    * non-exhaustive candidate set at scale.
+    * Output: (query_id, neighbor_id, score, rank). */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, codebooks: DataFrame, dim: Int, m: Int, k: Int)
+      : DataFrame = {
+    val cb = collectCodebooks(codebooks)
+    val sub = dim / m
+    val enc = Partitioning.ensureMinPartitions(
+      pqEncode(corpus, idCol, vecCol, codebooks, dim, m)
+        .withColumnRenamed(idCol, "neighbor_id"))
+    val qv = col(vecCol).cast("array<double>")
+    val q = queries.select(col(idCol).as("query_id"),
+      array((0 until m).map(j =>
+        array(cb(j).map(cv =>
+          vec_dot(slice(qv, j * sub + 1, sub), typedlit(cv))): _*)): _*)
+        .as("__lut"))
+    val score = (0 until m).map(j =>
+      element_at(element_at(col("__lut"), j + 1),
+        (element_at(col("codes"), j + 1) + 1).cast("int")))
+      .reduce(_ + _)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    enc.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", score)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "score", "rank")
+  }
 }

@@ -80,6 +80,30 @@ class DataPipelineOpsSpec extends SparkSpec {
     assert(out.forall(_._1 == 1L) && !out.exists(_._2 == 1L))
   }
 
+  test("pq: codebooks cover subspaces, encode is positional, ADC ranks") {
+    // 4-dim vectors, m=2 subspaces of 2 dims; k=2 centroids per subspace
+    val data = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 1.0f)),
+      (2L, Array(0.9f, 0.1f, 0.1f, 0.9f)),   // near vec 1 in both halves
+      (3L, Array(0.0f, 1.0f, 1.0f, 0.0f)),   // orthogonal in both halves
+      (4L, Array(0.1f, 0.9f, 0.9f, 0.1f))    // near vec 3
+    ).toDF("vec_id", "embedding")
+    val cb = Quantize.pqCodebooks(data, "vec_id", "embedding",
+      dim = 4, m = 2, k = 2, iters = 2)
+    assert(cb.select("subspace").distinct().count() == 2)
+    assert(cb.count() == 4) // m*k
+    val enc = Quantize.pqEncode(data, "vec_id", "embedding", cb, 4, 2)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(enc.values.forall(c => c.size == 2 && c.forall(x => x == 0 || x == 1)))
+    // near pairs share codes, orthogonal pairs differ
+    assert(enc(1L) == enc(2L) && enc(3L) == enc(4L) && enc(1L) != enc(3L))
+    val top = Quantize.pqTopK(data, data.where($"vec_id" === 1L),
+      "vec_id", "embedding", cb, dim = 4, m = 2, k = 3)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().sortBy(_._2)
+    // vec 2 shares vec 1's codes -> highest ADC score; self excluded
+    assert(top.head._1 == 2L && !top.exists(_._1 == 1L))
+  }
+
   // ---- Redaction ----
 
   test("redactPii replaces all categories globally, in rule order") {
