@@ -3465,8 +3465,11 @@ object SparkEntry {
         |       / ((SELECT SUM(c) FROM rc) + 1000.0)) AS lr
         |  FROM (SELECT unnest(range(0, 1000)) AS bucket) sp
         |  LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket)),
-        |w AS (SELECT gb.doc_id, SUM(r.lr) AS lw FROM gb
-        |  JOIN ratio r USING (bucket) GROUP BY 1),
+        |-- quantized-long sum (the engine's partitioning-invariant form)
+        |w AS (SELECT gb.doc_id,
+        |    SUM(CAST(floor(r.lr * 1000000000.0 + 0.5) AS BIGINT))
+        |      / 1000000000.0 AS lw
+        |  FROM gb JOIN ratio r USING (bucket) GROUP BY 1),
         |sel AS (SELECT d.doc_id, d.source, coalesce(w.lw, 0.0) AS lw
         |  FROM documents d LEFT JOIN w USING (doc_id)
         |  ORDER BY coalesce(w.lw, 0.0)

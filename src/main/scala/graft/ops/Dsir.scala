@@ -87,7 +87,14 @@ object Dsir {
     * `log_weight` column. `ratios` is the ≤`buckets`-row output of
     * [[logRatios]] — broadcast, so the doc-id aggregation is the only
     * corpus shuffle. Documents with no features (empty text) weigh 0 —
-    * the empty-product likelihood ratio — and are kept, left join. */
+    * the empty-product likelihood ratio — and are kept, left join.
+    *
+    * The per-doc sum quantizes each log-ratio to 1e-9 and adds LONGS
+    * (the repo's "cents" pattern): float addition is order-dependent,
+    * so a raw double sum would drift with partitioning/parallelism;
+    * integer sums make the weight a pure function of the data. 1e-9
+    * keeps the sum inside a long even for book-length documents
+    * (|lr| ≲ 50 → 5·10¹⁰ per n-gram; ~10⁶ n-grams → 5·10¹⁶ ≪ 2⁶³). */
   def logWeights(corpus: DataFrame, idCol: String, textCol: String,
       ratios: DataFrame, buckets: Int): DataFrame = {
     val perDoc = corpus
@@ -97,7 +104,8 @@ object Dsir {
         (TextFunctions.hash60(col("__g")) % buckets).as("bucket"))
       .join(broadcast(ratios), Seq("bucket"))
       .groupBy(idCol)
-      .agg(sum("log_ratio").as("log_weight"))
+      .agg((sum(floor(col("log_ratio") * 1e9 + 0.5).cast("long")) /
+        1e9).as("log_weight"))
     corpus.join(perDoc, Seq(idCol), "left")
       .withColumn("log_weight", coalesce(col("log_weight"), lit(0.0)))
   }
