@@ -780,6 +780,73 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // $rankFusion scoreDetails: true — per-pipeline {pipeline, rank,
+    // weight, value} breakdown on the scoreDetails meta carrier,
+    // flattened to scalar rows for the comparator
+    "q154_rankfusion_details" -> ((s, dir) =>
+      coll(s, dir, "documents").pipe(Seq(
+        Map("$rankFusion" -> Map(
+          "key" -> "doc_id",
+          "input" -> Map("pipelines" -> Map(
+            "len" -> Seq(
+              Map("$sort" -> Map("n_chars" -> -1, "doc_id" -> 1)),
+              Map("$limit" -> 8)),
+            "id" -> Seq(
+              Map("$sort" -> Map("doc_id" -> 1)),
+              Map("$limit" -> 8)))),
+          "combination" -> Map("weights" -> Map("len" -> 2.0)),
+          "scoreDetails" -> true)),
+        Map("$project" -> Map("doc_id" -> 1,
+          "score" -> Map("$meta" -> "searchScore"),
+          "details" -> Map("$meta" -> "scoreDetails")))))
+        .select(col("doc_id"),
+          col("score").cast("decimal(18,9)").cast("double").as("score"),
+          explode(col("details")).as("d"))
+        .select(col("doc_id"), col("score"),
+          col("d.pipeline").as("pipeline"), col("d.rank").as("rank"),
+          col("d.weight").as("weight"),
+          col("d.value").cast("decimal(18,9)").cast("double").as("value"))
+        .orderBy("doc_id", "pipeline")),
+
+    // $scoreFusion scoreDetails over $score-bearing sub-pipelines:
+    // {pipeline, rawScore, weight, value} per contribution
+    "q155_scorefusion_details" -> ((s, dir) =>
+      coll(s, dir, "documents").pipe(Seq(
+        Map("$scoreFusion" -> Map(
+          "key" -> "doc_id",
+          "input" -> Map(
+            "normalization" -> "none",
+            "pipelines" -> Map(
+              "chars" -> Seq(
+                Map("$score" -> Map("score" -> "$n_chars",
+                  "normalization" -> "minMaxScaler")),
+                Map("$sort" -> Map("s" -> Map("$meta" -> "score"),
+                  "doc_id" -> 1)),
+                Map("$limit" -> 8)),
+              "early" -> Seq(
+                Map("$score" -> Map(
+                  "score" -> Map("$multiply" -> Seq("$doc_id", -1.0)),
+                  "normalization" -> "minMaxScaler")),
+                Map("$sort" -> Map("s" -> Map("$meta" -> "score"),
+                  "doc_id" -> 1)),
+                Map("$limit" -> 8)))),
+          "combination" -> Map("method" -> "sum",
+            "weights" -> Map("chars" -> 3.0)),
+          "scoreDetails" -> true)),
+        Map("$project" -> Map("doc_id" -> 1,
+          "score" -> Map("$meta" -> "searchScore"),
+          "details" -> Map("$meta" -> "scoreDetails")))))
+        .select(col("doc_id"),
+          col("score").cast("decimal(18,9)").cast("double").as("score"),
+          explode(col("details")).as("d"))
+        .select(col("doc_id"), col("score"),
+          col("d.pipeline").as("pipeline"),
+          col("d.rawScore").cast("decimal(18,9)").cast("double")
+            .as("raw_score"),
+          col("d.weight").as("weight"),
+          col("d.value").cast("decimal(18,9)").cast("double").as("value"))
+        .orderBy("doc_id", "pipeline")),
+
     // Product quantization ANN (Jégou et al., PAMI 2011): per-subspace
     // spherical k-means codebooks, scan-fused positional encoding, ADC
     // scoring via per-query lookup tables — m element_at lookups per
@@ -3486,6 +3553,67 @@ object SparkEntry {
     "q151_bloom_decontam" -> decontamSql,
 
     "q153_ann_pq" -> pqOracleSql,
+
+    "q154_rankfusion_details" ->
+      """WITH l AS (SELECT doc_id,
+        |    row_number() OVER (ORDER BY n_chars DESC, doc_id) AS r
+        |  FROM documents QUALIFY r <= 8),
+        |i AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS r
+        |  FROM documents QUALIFY r <= 8),
+        |c AS (SELECT doc_id, 'len' AS pipeline, r, 2.0 AS weight FROM l
+        |  UNION ALL
+        |  SELECT doc_id, 'id' AS pipeline, r, 1.0 AS weight FROM i),
+        |sc AS (SELECT doc_id,
+        |    CAST(SUM(CAST(weight / (60 + r) AS DECIMAL(28,12)))
+        |      AS DOUBLE) AS score
+        |  FROM c GROUP BY 1)
+        |SELECT c.doc_id,
+        |  CAST(CAST(sc.score AS DECIMAL(18,9)) AS DOUBLE) AS score,
+        |  c.pipeline, CAST(c.r AS BIGINT) AS "rank", c.weight,
+        |  CAST(CAST(c.weight / (60 + c.r) AS DECIMAL(18,9)) AS DOUBLE)
+        |    AS value
+        |FROM c JOIN sc USING (doc_id)
+        |ORDER BY doc_id, pipeline""".stripMargin,
+
+    "q155_scorefusion_details" ->
+      """WITH s1 AS (SELECT doc_id,
+        |    CASE WHEN max(CAST(n_chars AS DOUBLE)) OVER ()
+        |        = min(CAST(n_chars AS DOUBLE)) OVER () THEN 0.0
+        |      ELSE (CAST(n_chars AS DOUBLE)
+        |        - min(CAST(n_chars AS DOUBLE)) OVER ())
+        |      / (max(CAST(n_chars AS DOUBLE)) OVER ()
+        |        - min(CAST(n_chars AS DOUBLE)) OVER ()) END AS sc
+        |  FROM documents),
+        |p1 AS (SELECT doc_id, sc,
+        |    row_number() OVER (ORDER BY sc DESC, doc_id) AS rn
+        |  FROM s1 QUALIFY rn <= 8),
+        |s2 AS (SELECT doc_id,
+        |    CASE WHEN max(CAST(doc_id AS DOUBLE) * (-1.0)) OVER ()
+        |        = min(CAST(doc_id AS DOUBLE) * (-1.0)) OVER () THEN 0.0
+        |      ELSE (CAST(doc_id AS DOUBLE) * (-1.0)
+        |        - min(CAST(doc_id AS DOUBLE) * (-1.0)) OVER ())
+        |      / (max(CAST(doc_id AS DOUBLE) * (-1.0)) OVER ()
+        |        - min(CAST(doc_id AS DOUBLE) * (-1.0)) OVER ()) END AS sc
+        |  FROM documents),
+        |p2 AS (SELECT doc_id, sc,
+        |    row_number() OVER (ORDER BY sc DESC, doc_id) AS rn
+        |  FROM s2 QUALIFY rn <= 8),
+        |c AS (SELECT doc_id, 'chars' AS pipeline, sc AS raw,
+        |    3.0 AS weight FROM p1
+        |  UNION ALL
+        |  SELECT doc_id, 'early' AS pipeline, sc, 1.0 AS weight FROM p2),
+        |f AS (SELECT doc_id,
+        |    CAST(SUM(CAST(raw * weight AS DECIMAL(28,12))) AS DOUBLE)
+        |      AS score
+        |  FROM c GROUP BY 1)
+        |SELECT c.doc_id,
+        |  CAST(CAST(f.score AS DECIMAL(18,9)) AS DOUBLE) AS score,
+        |  c.pipeline,
+        |  CAST(CAST(c.raw AS DECIMAL(18,9)) AS DOUBLE) AS raw_score,
+        |  c.weight,
+        |  CAST(CAST(c.raw * c.weight AS DECIMAL(18,9)) AS DOUBLE) AS value
+        |FROM c JOIN f USING (doc_id)
+        |ORDER BY doc_id, pipeline""".stripMargin,
 
     "q152_score_stage" ->
       """WITH w AS (SELECT o_orderkey, o_totalprice / 1000.0 AS r

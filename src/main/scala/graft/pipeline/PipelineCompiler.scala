@@ -879,14 +879,30 @@ object PipelineCompiler {
           }.getOrElse(1.0)
           require(wgt >= 0,
             s"$$rankFusion weight for '$pname' must be >= 0")
+          val detail = struct(lit(pname).as("pipeline"),
+            col("__rr").cast("long").as("rank"),
+            lit(wgt).as("weight"),
+            (lit(wgt) / (col("__rr") + lit(k0))).cast("double").as("value"))
           sub.withColumn("__rr", row_number().over(w))
-            .select(keyCols.map(col) :+
+            .select(keyCols.map(col) ++ Seq(
               (lit(wgt) / (col("__rr") + lit(k0)))
-                .cast("decimal(28,12)").as("__contrib"): _*)
+                .cast("decimal(28,12)").as("__contrib"),
+              detail.as("__det")): _*)
         }
+        // scoreDetails: true additionally stashes the per-pipeline
+        // breakdown — {pipeline, rank, weight, value} structs sorted by
+        // pipeline name — on the __scoreDetails carrier ({$meta:
+        // "scoreDetails"} reads it back). Same aggregate, no extra pass.
+        val wantDetails = d.get("scoreDetails").contains(true)
+        val aggs =
+          sum(col("__contrib")).cast("double").as("__searchScore") +:
+            (if (wantDetails)
+              Seq(array_sort(collect_list(col("__det")))
+                .as("__scoreDetails"))
+            else Nil)
         val fused = contribs.reduce(_.unionByName(_))
           .groupBy(keyCols.map(col): _*)
-          .agg(sum(col("__contrib")).cast("double").as("__searchScore"))
+          .agg(aggs.head, aggs.tail: _*)
         // broadcast only when every ranked input is $limit-bounded — an
         // unbounded fusion result must shuffle-join, not ship to every task
         val bounded = pipes.values
@@ -1011,16 +1027,28 @@ object PipelineCompiler {
                     (col("__mx") - col("__mn"))))
                 .drop("__mn", "__mx")
           }
-          scored.select(keyCols.map(col) :+
+          val detail = struct(lit(pname).as("pipeline"),
+            raw.as("rawScore"), lit(wgt).as("weight"),
+            (col("__ns") * lit(wgt)).cast("double").as("value"))
+          scored.select(keyCols.map(col) ++ Seq(
             (col("__ns") * lit(wgt)).cast("decimal(28,12)")
-              .as("__contrib"): _*)
+              .as("__contrib"),
+            detail.as("__det")): _*)
         }
         val fusedScore =
           if (method == "sum") sum(col("__contrib"))
           else sum(col("__contrib")) / lit(pipes.size.toDouble)
+        // scoreDetails: true — same carrier contract as $rankFusion:
+        // {pipeline, rawScore, weight, value} sorted by pipeline name
+        val wantDetails = d.get("scoreDetails").contains(true)
+        val aggs = fusedScore.cast("double").as("__searchScore") +:
+          (if (wantDetails)
+            Seq(array_sort(collect_list(col("__det")))
+              .as("__scoreDetails"))
+          else Nil)
         val fused = contribs.reduce(_.unionByName(_))
           .groupBy(keyCols.map(col): _*)
-          .agg(fusedScore.cast("double").as("__searchScore"))
+          .agg(aggs.head, aggs.tail: _*)
         val bounded = pipes.values
           .forall(p => pipelineSeq(p).exists(_.contains("$limit")))
         df.join(if (bounded) broadcast(fused) else fused, keyCols)
@@ -2564,8 +2592,12 @@ object PipelineCompiler {
           // projections that don't ask for it drop the carrier column
           case "searchScore" | "textScore" | "score" =>
             col("__searchScore")
+          // per-pipeline contribution breakdown stashed by a fusion
+          // stage run with scoreDetails: true
+          case "scoreDetails" => col("__scoreDetails")
           case other => throw new IllegalArgumentException(
-            s"$$meta: unsupported $other (searchScore/textScore/score)")
+            s"$$meta: unsupported $other " +
+              "(searchScore/textScore/score/scoreDetails)")
         }
         case "$eq"  => val Seq(a, b) = seq; a === b
         case "$ne"  => val Seq(a, b) = seq; a =!= b

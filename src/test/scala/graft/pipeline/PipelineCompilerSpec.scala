@@ -389,6 +389,43 @@ class PipelineCompilerSpec extends SparkSpec {
     assert(out(2) == 1.0 / 3 + 2.0 / 3 && out(3) == 2.0 / 3 + 1.0 / 3)
   }
 
+  test("$rankFusion scoreDetails stashes per-pipeline breakdown") {
+    val out = run(Map("$rankFusion" -> Map(
+      "key" -> "n",
+      "input" -> Map("pipelines" -> Map(
+        "amt" -> Seq(Map("$sort" -> Map("amt" -> -1, "n" -> 1)),
+          Map("$limit" -> 2)),
+        "id" -> Seq(Map("$sort" -> Map("n" -> 1)),
+          Map("$limit" -> 2)))),
+      "scoreDetails" -> true)))
+    assert(out.columns.contains("__scoreDetails"))
+    val det = out.select($"n", $"__scoreDetails")
+      .as[(Int, Seq[(String, Long, Double, Double)])].collect().toMap
+    // n=4 is rank 1 in 'amt' only; n=1 is rank 1 in 'id' only
+    assert(det(4) == Seq(("amt", 1L, 1.0, 1.0 / 61)))
+    assert(det(1) == Seq(("id", 1L, 1.0, 1.0 / 61)))
+    // without the flag the carrier is absent
+    val plain = run(Map("$rankFusion" -> Map(
+      "key" -> "n",
+      "input" -> Map("pipelines" -> Map(
+        "id" -> Seq(Map("$sort" -> Map("n" -> 1)), Map("$limit" -> 2)))))))
+    assert(!plain.columns.contains("__scoreDetails"))
+  }
+
+  test("$scoreFusion scoreDetails carries rawScore and weighted value") {
+    val out = run(Map("$scoreFusion" -> Map(
+      "key" -> "n",
+      "input" -> Map("pipelines" -> Map(
+        "amt" -> Seq(Map("$score" -> Map("score" -> "$amt")),
+          Map("$limit" -> 4)))),
+      "combination" -> Map("weights" -> Map("amt" -> 2.0)),
+      "scoreDetails" -> true)))
+    val det = out.select($"n", $"__scoreDetails")
+      .as[(Int, Seq[(String, Double, Double, Double)])].collect().toMap
+    assert(det(1) == Seq(("amt", 10.0, 2.0, 20.0)))
+    assert(det(4) == Seq(("amt", 40.0, 2.0, 80.0)))
+  }
+
   test("$minMaxScaler scales into bounds; zero-span frame maps to min") {
     val out = run(Map("$setWindowFields" -> Map(
       "partitionBy" -> "$cat",
