@@ -780,6 +780,52 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // $convert format (Mongo 8.0): string <-> binData via hex/base64/utf8
+    // byte encodings — scan-fused codec expressions, round-trip checked
+    "q158_convert_format" -> ((s, dir) => {
+      def conv(in: Any, to: String, format: String): Map[String, Any] =
+        Map("$convert" -> Map("input" -> in, "to" -> to,
+          "format" -> format))
+      coll(s, dir, "documents").pipe(Seq(
+        Map("$match" -> Map("doc_id" -> Map("$lt" -> 50))),
+        Map("$project" -> Map("doc_id" -> 1,
+          "hex_rt" -> conv(conv("$source", "binData", "utf8"),
+            "string", "hex"),
+          "b64_rt" -> conv(conv("$source", "binData", "utf8"),
+            "string", "base64"),
+          "back" -> conv(conv(conv(conv("$source", "binData", "utf8"),
+            "string", "hex"), "binData", "hex"), "string", "utf8")))))
+        .orderBy("doc_id")
+    }),
+
+    // $search regex (anchored Lucene regex over analyzed terms, must leg)
+    // + near (proximity scoring should leg: pivot/(pivot+|x-origin|))
+    "q156_search_regex_near" -> ((s, dir) =>
+      coll(s, dir, "documents").pipe(Seq(
+        Map("$search" -> Map("compound" -> Map(
+          "must" -> Seq(Map("regex" ->
+            Map("query" -> "qu.r[yi]", "path" -> "text"))),
+          "should" -> Seq(Map("near" -> Map("path" -> "n_chars",
+            "origin" -> 300, "pivot" -> 100)))))),
+        Map("$project" -> Map("doc_id" -> 1,
+          "score" -> Map("$meta" -> "searchScore")))))
+        .select(col("doc_id"),
+          col("score").cast("decimal(18,9)").cast("double").as("score"))
+        .orderBy("doc_id")),
+
+    // $search text with the fuzzy option: a token hits a term within
+    // maxEdits levenshtein distance; BM25 over fuzzy tf/df
+    "q157_search_fuzzy" -> ((s, dir) =>
+      coll(s, dir, "documents").pipe(Seq(
+        Map("$search" -> Map("text" -> Map(
+          "query" -> "stream filtr", "path" -> "text",
+          "fuzzy" -> Map("maxEdits" -> 1)))),
+        Map("$project" -> Map("doc_id" -> 1,
+          "score" -> Map("$meta" -> "searchScore")))))
+        .select(col("doc_id"),
+          col("score").cast("decimal(18,9)").cast("double").as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(20)),
+
     // $rankFusion scoreDetails: true — per-pipeline {pipeline, rank,
     // weight, value} breakdown on the scoreDetails meta carrier,
     // flattened to scalar rows for the comparator
@@ -3553,6 +3599,53 @@ object SparkEntry {
     "q151_bloom_decontam" -> decontamSql,
 
     "q153_ann_pq" -> pqOracleSql,
+
+    "q158_convert_format" ->
+      """SELECT doc_id, lower(hex(encode(source))) AS hex_rt,
+        |  to_base64(encode(source)) AS b64_rt, source AS back
+        |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin,
+
+    "q156_search_regex_near" ->
+      """WITH tk AS (SELECT doc_id, n_chars,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(CAST(1.0 + 100.0 / (100.0
+        |    + abs(CAST(n_chars AS DOUBLE) - 300.0))
+        |    AS DECIMAL(18,9)) AS DOUBLE) AS score
+        |FROM tk
+        |WHERE len(list_filter(t,
+        |  x -> regexp_full_match(x, 'qu.r[yi]'))) > 0
+        |ORDER BY doc_id""".stripMargin,
+
+    "q157_search_fuzzy" ->
+      """WITH tk AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+        |    avg(CAST(len(t) AS DOUBLE)) AS avgdl FROM tk),
+        |h AS (
+        |  SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl, 'stream' AS term,
+        |    CAST(len(list_filter(t,
+        |      x -> levenshtein(x, 'stream') <= 1)) AS DOUBLE) AS tf
+        |  FROM tk
+        |  UNION ALL
+        |  SELECT doc_id, CAST(len(t) AS DOUBLE), 'filtr',
+        |    CAST(len(list_filter(t,
+        |      x -> levenshtein(x, 'filtr') <= 1)) AS DOUBLE)
+        |  FROM tk),
+        |dfreq AS (SELECT term,
+        |    CAST(COUNT(*) FILTER (WHERE tf > 0) AS DOUBLE) AS df
+        |  FROM h GROUP BY term),
+        |sc AS (SELECT doc_id,
+        |    SUM(CASE WHEN tf > 0
+        |      THEN ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * 2.2)
+        |        / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+        |      ELSE 0.0 END) AS score
+        |  FROM h JOIN dfreq USING (term), stats GROUP BY doc_id)
+        |SELECT doc_id, CAST(CAST(score AS DECIMAL(18,9)) AS DOUBLE) AS score
+        |FROM sc WHERE score > 0
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
     "q154_rankfusion_details" ->
       """WITH l AS (SELECT doc_id,

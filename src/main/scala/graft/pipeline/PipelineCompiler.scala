@@ -568,18 +568,34 @@ object PipelineCompiler {
               val terms = queryStr.split("\\s+").filter(_.nonEmpty)
                 .distinct.toSeq
               require(terms.nonEmpty, s"$name.text: empty query")
+              // Atlas fuzzy option: a token hits a term when its edit
+              // distance is within maxEdits (default 2) — levenshtein is
+              // scan-fused scalar math, no expansion join
+              val maxEdits: Option[Int] = os.get("fuzzy").map {
+                case m: Map[_, _] =>
+                  doc(m).get("maxEdits").map(int).getOrElse(2)
+                case _ => 2
+              }
+              def termHit(t: String)(x: Column): Column = maxEdits match {
+                case Some(me) => levenshtein(x, lit(t)) <= me
+                case None => x === lit(t)
+              }
+              def anyHit(t: String): Column = maxEdits match {
+                case Some(_) => exists(toks, x => termHit(t)(x))
+                case None => array_contains(toks, t)
+              }
               val p = s"__s${legId.getAndIncrement()}"
               val (k1, b) = (1.2, 0.75)
               val statCols =
                 count(lit(1)).cast("double").as(s"${p}_n") +:
                 avg(size(toks).cast("double")).as(s"${p}_avgdl") +:
                 terms.zipWithIndex.map { case (t, i) =>
-                  sum(when(array_contains(toks, t), 1L).otherwise(0L))
+                  sum(when(anyHit(t), 1L).otherwise(0L))
                     .cast("double").as(s"${p}_df$i")
                 }
               val dl = size(toks).cast("double")
               val perTerm = terms.zipWithIndex.map { case (t, i) =>
-                val tf = size(filter(toks, x => x === lit(t)))
+                val tf = size(filter(toks, x => termHit(t)(x)))
                   .cast("double")
                 val dfc = col(s"${p}_df$i")
                 val idf = log(lit(1.0) +
@@ -588,9 +604,41 @@ object PipelineCompiler {
                   (tf + lit(k1) * (lit(1 - b) + lit(b) * dl /
                     col(s"${p}_avgdl")))).otherwise(lit(0.0))
               }
-              val pred = terms.map(t => array_contains(toks, t))
-                .reduce(_ || _)
+              val pred = terms.map(anyHit).reduce(_ || _)
               (pred, perTerm.reduce(_ + _), statCols)
+            case "regex" =>
+              // Lucene-anchored regex against ANALYZED TERMS: a doc
+              // matches when any token matches the whole pattern.
+              // Constant-scored, like Atlas' term-expansion queries.
+              val os = doc(osRaw)
+              val (path, queryStr) = pathQuery(op, os)
+              require(queryStr.nonEmpty, s"$name.regex: empty query")
+              val toks = graft.ops.TextFunctions.tokens(col(path))
+              (exists(toks, t => t.rlike("^(?:" + queryStr + ")$")),
+                lit(1.0), Nil)
+            case "near" =>
+              // proximity scoring: pivot / (pivot + |path − origin|);
+              // matches every document with a value (score-only leg, the
+              // way Atlas uses it inside compound.should)
+              val os = doc(osRaw)
+              val path = pathOf(op, os)
+              val pivot = dblV(os.getOrElse("pivot",
+                throw new IllegalArgumentException(
+                  s"$name.near requires pivot")))
+              require(pivot > 0, s"$name.near: pivot must be positive")
+              val dist = os.getOrElse("origin",
+                throw new IllegalArgumentException(
+                  s"$name.near requires origin")) match {
+                case n: Number => abs(col(path).cast("double") -
+                  lit(n.doubleValue()))
+                case d: java.time.Instant => // pivot in milliseconds
+                  abs(unix_millis(col(path).cast("timestamp")) -
+                    lit(d.toEpochMilli)).cast("double")
+                case other => throw new IllegalArgumentException(
+                  s"$name.near origin: $other (number or date)")
+              }
+              (col(path).isNotNull,
+                lit(pivot) / (lit(pivot) + dist), Nil)
             case "phrase" =>
               val os = doc(osRaw)
               val (path, queryStr) = pathQuery(op, os)
@@ -708,7 +756,7 @@ object PipelineCompiler {
                 (must ++ should).flatMap(_._3))
             case other => throw new IllegalArgumentException(
               s"$name: unsupported operator $other (text/phrase/wildcard/" +
-                "autocomplete/equals/range/exists/in/compound)")
+                "autocomplete/equals/range/exists/in/regex/near/compound)")
           }
         if (name == "$searchMeta" && d.head._1 == "facet") {
           // facet collector: {operator?, facets: {name: {type: string,
@@ -2527,10 +2575,33 @@ object PipelineCompiler {
           val in = expr2colE(mm("input"))
           val to = Map("double" -> "double", "string" -> "string",
             "bool" -> "boolean", "date" -> "timestamp", "int" -> "int",
-            "long" -> "long", "decimal" -> "decimal(38,10)")
+            "long" -> "long", "decimal" -> "decimal(38,10)",
+            "binData" -> "binary")
             .getOrElse(mm("to").toString, throw new IllegalArgumentException(
               s"$$convert to: ${mm("to")}"))
-          val casted = in.try_cast(to) // null instead of ANSI cast error
+          // Mongo 8.0 `format`: string <-> binData through an explicit
+          // byte encoding. hex decodes via unhex (null on bad input, so
+          // onError still fires); hex OUTPUT is lowercase like the server.
+          val fmt = mm.get("format").map(_.toString)
+          val casted = fmt match {
+            case Some(f) if to == "binary" => f match {
+              case "hex" => unhex(in)
+              case "base64" => unbase64(in)
+              case "utf8" => encode(in, "UTF-8")
+              case other => throw new IllegalArgumentException(
+                s"$$convert format: $other (hex/base64/utf8)")
+            }
+            case Some(f) if to == "string" => f match {
+              case "hex" => lower(hex(in))
+              case "base64" => base64(in)
+              case "utf8" => decode(in, "UTF-8")
+              case other => throw new IllegalArgumentException(
+                s"$$convert format: $other (hex/base64/utf8)")
+            }
+            case Some(_) => throw new IllegalArgumentException(
+              "$convert format: only to: \"binData\" | \"string\"")
+            case None => in.try_cast(to) // null instead of ANSI cast error
+          }
           val onErr = mm.get("onError")
             .map(e => coalesce(casted, expr2colE(e))).getOrElse(casted)
           // Mongo: onError fires ONLY on conversion failure — a null input

@@ -389,6 +389,53 @@ class PipelineCompilerSpec extends SparkSpec {
     assert(out(2) == 1.0 / 3 + 2.0 / 3 && out(3) == 2.0 / 3 + 1.0 / 3)
   }
 
+  test("$search regex/near/fuzzy legs") {
+    val docs = Seq((1L, "alpha query beta", 100L),
+      (2L, "quary gamma", 300L), (3L, "nothing here", 310L))
+      .toDF("doc_id", "text", "n")
+    def search(opDoc: Map[String, Any]) =
+      PipelineCompiler.compile(Seq(Map("$search" -> opDoc),
+        Map("$project" -> Map("doc_id" -> 1,
+          "sc" -> Map("$meta" -> "searchScore")))))(docs)
+    // regex matches analyzed terms, anchored
+    val rx = search(Map("regex" -> Map("query" -> "qu.r[ya]",
+      "path" -> "text"))).select("doc_id").as[Long].collect().sorted
+    assert(rx.toSeq == Seq(1L, 2L)) // query, quary; not "nothing"
+    // near: pivot/(pivot+|x-origin|), matches all non-null rows
+    val nr = search(Map("near" -> Map("path" -> "n", "origin" -> 300,
+      "pivot" -> 100))).select($"doc_id", $"sc".cast("double"))
+      .as[(Long, Double)].collect().toMap
+    assert(nr(2L) == 1.0 && nr(3L) == 100.0 / 110.0 &&
+      nr(1L) == 100.0 / 300.0)
+    // fuzzy: levenshtein(token, term) <= maxEdits counts as a hit
+    val fz = search(Map("text" -> Map("query" -> "query", "path" -> "text",
+      "fuzzy" -> Map("maxEdits" -> 1))))
+      .select("doc_id").as[Long].collect().sorted
+    assert(fz.toSeq == Seq(1L, 2L)) // quary is 1 edit from query
+    val exact = search(Map("text" -> Map("query" -> "query",
+      "path" -> "text"))).select("doc_id").as[Long].collect()
+    assert(exact.toSeq == Seq(1L))
+  }
+
+  test("$convert format: hex/base64/utf8 string<->binData round-trips") {
+    val out = run(Map("$project" -> Map("n" -> 1,
+      "hx" -> Map("$convert" -> Map(
+        "input" -> Map("$convert" -> Map("input" -> "$cat",
+          "to" -> "binData", "format" -> "utf8")),
+        "to" -> "string", "format" -> "hex")),
+      "b64" -> Map("$convert" -> Map(
+        "input" -> Map("$convert" -> Map("input" -> "$cat",
+          "to" -> "binData", "format" -> "utf8")),
+        "to" -> "string", "format" -> "base64")))))
+      .where($"n" === 1).select($"hx", $"b64")
+      .as[(String, String)].head()
+    assert(out == (("61", "YQ=="))) // "a" -> hex 61, base64 YQ==
+    intercept[IllegalArgumentException] {
+      run(Map("$project" -> Map("x" -> Map("$convert" -> Map(
+        "input" -> "$cat", "to" -> "int", "format" -> "hex")))))
+    }
+  }
+
   test("$rankFusion scoreDetails stashes per-pipeline breakdown") {
     val out = run(Map("$rankFusion" -> Map(
       "key" -> "n",
