@@ -780,6 +780,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // $search moreLikeThis: the like docs' analyzed terms become one
+    // BM25 text query — find-similar without a vector index
+    "q159_search_morelikethis" -> ((s, dir) =>
+      coll(s, dir, "documents").pipe(Seq(
+        Map("$search" -> Map("moreLikeThis" -> Map(
+          "like" -> Seq(Map("text" -> "stream filter window")),
+          "path" -> "text"))),
+        Map("$project" -> Map("doc_id" -> 1,
+          "score" -> Map("$meta" -> "searchScore")))))
+        .select(col("doc_id"),
+          col("score").cast("decimal(18,9)").cast("double").as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(20)),
+
+    // $search queryString: Lucene query syntax (AND/OR/NOT, parens,
+    // field: overrides, wildcards) compiled to one scan predicate
+    "q160_search_querystring" -> ((s, dir) =>
+      coll(s, dir, "documents").pipe(Seq(
+        Map("$search" -> Map("queryString" -> Map(
+          "defaultPath" -> "text",
+          "query" -> "(spark OR shuffle) AND NOT lang:de AND quer*"))),
+        Map("$project" -> Map("doc_id" -> 1, "lang" -> 1))))
+        .orderBy("doc_id")),
+
     // $convert format (Mongo 8.0): string <-> binData via hex/base64/utf8
     // byte encodings — scan-fused codec expressions, round-trip checked
     "q158_convert_format" -> ((s, dir) => {
@@ -3599,6 +3622,41 @@ object SparkEntry {
     "q151_bloom_decontam" -> decontamSql,
 
     "q153_ann_pq" -> pqOracleSql,
+
+    "q159_search_morelikethis" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM tk),
+        |hits AS (
+        |  SELECT doc_id, dl, term, COUNT(*) AS tf FROM toks
+        |  WHERE term IN ('stream', 'filter', 'window')
+        |  GROUP BY doc_id, dl, term),
+        |stats AS (
+        |  SELECT COUNT(*) AS n_docs, avg(CAST(len(t) AS DOUBLE)) AS avgdl
+        |  FROM tk),
+        |dfreq AS (
+        |  SELECT term, COUNT(*) AS df FROM hits GROUP BY term),
+        |sc AS (
+        |  SELECT doc_id,
+        |    SUM(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * 2.2)
+        |      / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))) AS score
+        |  FROM hits JOIN dfreq USING (term), stats GROUP BY doc_id)
+        |SELECT doc_id, CAST(CAST(score AS DECIMAL(18,9)) AS DOUBLE) AS score
+        |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q160_search_querystring" ->
+      """WITH tk AS (SELECT doc_id, lang,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents)
+        |SELECT doc_id, lang FROM tk
+        |WHERE (list_contains(t, 'spark') OR list_contains(t, 'shuffle'))
+        |  AND NOT (lang = 'de')
+        |  AND len(list_filter(t,
+        |    x -> regexp_full_match(x, 'quer.*'))) > 0
+        |ORDER BY doc_id""".stripMargin,
 
     "q158_convert_format" ->
       """SELECT doc_id, lower(hex(encode(source))) AS hex_rt,

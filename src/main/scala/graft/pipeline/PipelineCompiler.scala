@@ -606,6 +606,70 @@ object PipelineCompiler {
               }
               val pred = terms.map(anyHit).reduce(_ || _)
               (pred, perTerm.reduce(_ + _), statCols)
+            case "moreLikeThis" =>
+              // find-similar: the `like` documents' analyzed terms become
+              // one BM25 text query over `path` — the terms are extracted
+              // driver-side from the LITERAL like docs (they are inline
+              // values by definition), then the text leaf does the rest.
+              // Path must be given explicitly (columnar collections have
+              // no dynamic "all indexed fields" to infer).
+              val os = doc(osRaw)
+              val likeTexts: Seq[String] = os.getOrElse("like",
+                throw new IllegalArgumentException(
+                  s"$name.moreLikeThis requires like")) match {
+                case s: Seq[_] => s.map(e => doc(e))
+                    .map(m => m.getOrElse(pathOf(op, os),
+                      throw new IllegalArgumentException(
+                        s"$name.moreLikeThis: like doc lacks field " +
+                          pathOf(op, os))).toString)
+                case one => Seq(doc(one).getOrElse(pathOf(op, os),
+                  throw new IllegalArgumentException(
+                    s"$name.moreLikeThis: like doc lacks field " +
+                      pathOf(op, os))).toString)
+              }
+              val terms = likeTexts.flatMap(_.split("\\s+"))
+                .filter(_.nonEmpty).distinct
+              require(terms.nonEmpty,
+                s"$name.moreLikeThis: like docs have no terms")
+              compileLeaf("text", Map("path" -> pathOf(op, os),
+                "query" -> terms.mkString(" ")))
+            case "queryString" =>
+              // Lucene query syntax over a defaultPath: AND/OR/NOT,
+              // parentheses, field:term overrides, quoted phrases
+              // (substring), wildcard terms (analyzed-term glob).
+              // Constant-scored (documented simplification — Atlas
+              // blends per-clause scores; predicate semantics match).
+              val os = doc(osRaw)
+              val dp = os.getOrElse("defaultPath",
+                throw new IllegalArgumentException(
+                  s"$name.queryString requires defaultPath")).toString
+              val q = os.getOrElse("query",
+                throw new IllegalArgumentException(
+                  s"$name.queryString requires query")).toString
+              import graft.query.QueryStringParser
+              def globRx(t: String): String =
+                "^" + t.flatMap {
+                  case '*' => ".*"
+                  case '?' => "."
+                  case c if "\\.[]{}()+-^$|".contains(c) => "\\" + c
+                  case c => c.toString
+                } + "$"
+              def predOf(node: QueryStringParser.Node): Column =
+                node match {
+                  case QueryStringParser.And(l, r) => predOf(l) && predOf(r)
+                  case QueryStringParser.Or(l, r) => predOf(l) || predOf(r)
+                  case QueryStringParser.Not(c) => !predOf(c)
+                  case QueryStringParser.Phrase(f, t) =>
+                    col(f.getOrElse(dp)).contains(t)
+                  case QueryStringParser.Term(f, t)
+                      if t.exists(c => c == '*' || c == '?') =>
+                    exists(graft.ops.TextFunctions.tokens(
+                      col(f.getOrElse(dp))), x => x.rlike(globRx(t)))
+                  case QueryStringParser.Term(f, t) =>
+                    array_contains(graft.ops.TextFunctions.tokens(
+                      col(f.getOrElse(dp))), t)
+                }
+              (predOf(QueryStringParser.parse(q)), lit(1.0), Nil)
             case "regex" =>
               // Lucene-anchored regex against ANALYZED TERMS: a doc
               // matches when any token matches the whole pattern.
@@ -756,7 +820,8 @@ object PipelineCompiler {
                 (must ++ should).flatMap(_._3))
             case other => throw new IllegalArgumentException(
               s"$name: unsupported operator $other (text/phrase/wildcard/" +
-                "autocomplete/equals/range/exists/in/regex/near/compound)")
+                "autocomplete/equals/range/exists/in/regex/near/" +
+                "moreLikeThis/queryString/compound)")
           }
         if (name == "$searchMeta" && d.head._1 == "facet") {
           // facet collector: {operator?, facets: {name: {type: string,

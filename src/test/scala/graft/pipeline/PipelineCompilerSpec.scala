@@ -417,6 +417,29 @@ class PipelineCompilerSpec extends SparkSpec {
     assert(exact.toSeq == Seq(1L))
   }
 
+  test("$search moreLikeThis and queryString legs") {
+    val docs = Seq((1L, "alpha query beta", "en"),
+      (2L, "alpha gamma", "de"), (3L, "unrelated words", "en"))
+      .toDF("doc_id", "text", "lang")
+    def search(opDoc: Map[String, Any]) =
+      PipelineCompiler.compile(Seq(Map("$search" -> opDoc),
+        Map("$project" -> Map("doc_id" -> 1))))(docs)
+    // moreLikeThis: like-doc terms drive a BM25 text query
+    val mlt = search(Map("moreLikeThis" -> Map(
+      "like" -> Seq(Map("text" -> "alpha beta")), "path" -> "text")))
+      .select("doc_id").as[Long].collect().sorted
+    assert(mlt.toSeq == Seq(1L, 2L)) // both contain 'alpha'
+    // queryString: boolean syntax with field override + wildcard
+    val qs = search(Map("queryString" -> Map("defaultPath" -> "text",
+      "query" -> "alpha AND NOT lang:de")))
+      .select("doc_id").as[Long].collect()
+    assert(qs.toSeq == Seq(1L))
+    val wc = search(Map("queryString" -> Map("defaultPath" -> "text",
+      "query" -> "quer? OR gamm*")))
+      .select("doc_id").as[Long].collect().sorted
+    assert(wc.toSeq == Seq(1L, 2L))
+  }
+
   test("$convert format: hex/base64/utf8 string<->binData round-trips") {
     val out = run(Map("$project" -> Map("n" -> 1,
       "hx" -> Map("$convert" -> Map(
