@@ -2607,6 +2607,14 @@ object PipelineCompiler {
         case "$toBool"   => seq.head.cast("boolean")
         case "$toDate"   => seq.head.cast("timestamp")
         case "$toDecimal" => seq.head.cast("decimal(38,10)")
+        case "$toHashedIndexKey" =>
+          // Mongo hashes the BSON value to an int64 for hashed indexes
+          // (reference uses it opaquely via the server). The exact md5-based
+          // bit pattern is a server implementation detail no client relies
+          // on for values — only on determinism and spread — so the columnar
+          // equivalent is a 64-bit hash of the value's canonical string
+          // form: deterministic within this engine, shuffle-friendly.
+          xxhash64(seq.head.cast("string"))
         case "$toObjectId" =>
           // no ObjectId type in a columnar engine: ids stay strings, but
           // the 24-hex validity contract (and error-on-invalid) holds

@@ -1696,6 +1696,16 @@ class ExprLangSpec extends graft.SparkSpec {
     assert(err.getMessage.contains("invalid ObjectId"))
   }
 
+  test("$toHashedIndexKey is deterministic, 64-bit, spread") {
+    val d = Seq("alpha", "beta", "alpha").toDF("k")
+    val out = PipelineCompiler.compile(Seq(
+      Map("$project" -> Map(
+        "h" -> Map("$toHashedIndexKey" -> "$k")))))(d)
+      .collect().map(_.getLong(0))
+    assert(out(0) == out(2))         // deterministic per value
+    assert(out(0) != out(1))         // distinct values spread
+  }
+
   test("$convert honors onError and onNull; $dateFromString parses") {
     val d = Seq(("12", "abc"), (null, "7")).toDF("a", "b")
     val out = PipelineCompiler.compile(Seq(Map("$addFields" -> Map(
