@@ -577,7 +577,9 @@ object PipelineCompiler {
                 case _ => 2
               }
               def termHit(t: String)(x: Column): Column = maxEdits match {
-                case Some(me) => levenshtein(x, lit(t)) <= me
+                // thresholded levenshtein: early-exits at maxEdits (O(k·n)
+                // per pair instead of O(n·m)); -1 signals "over threshold"
+                case Some(me) => levenshtein(x, lit(t), me) =!= -1
                 case None => x === lit(t)
               }
               def anyHit(t: String): Column = maxEdits match {
