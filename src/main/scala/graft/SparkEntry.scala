@@ -803,6 +803,30 @@ object SparkEntry {
         Map("$project" -> Map("doc_id" -> 1, "lang" -> 1))))
         .orderBy("doc_id")),
 
+    // $search embeddedDocument: per-element inner operator over an
+    // array-of-documents column (lineitems grouped per order), score =
+    // sum of matching elements' scores. Lambda algebra in the scan — no
+    // explode, no join; the only exchanges are the grouping aggregate
+    // and the final TakeOrdered.
+    "q161_search_embedded" -> ((s, dir) => {
+      val grouped = tbl(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("order_key"))
+        .agg(collect_list(struct(col("l_returnflag").as("flag"),
+          col("l_quantity").as("qty"))).as("items"))
+      graft.pipeline.PipelineCompiler.compile(Seq(
+        Map("$search" -> Map("embeddedDocument" -> Map(
+          "path" -> "items",
+          "operator" -> Map("compound" -> Map(
+            "must" -> Seq(Map("equals" ->
+              Map("path" -> "items.flag", "value" -> "R"))),
+            "filter" -> Seq(Map("range" ->
+              Map("path" -> "items.qty", "gte" -> 30)))))))),
+        Map("$project" -> Map("order_key" -> 1,
+          "score" -> Map("$meta" -> "searchScore")))))(grouped)
+        .select(col("order_key"), col("score").cast("double").as("score"))
+        .orderBy(col("score").desc, col("order_key")).limit(50)
+    }),
+
     // $convert format (Mongo 8.0): string <-> binData via hex/base64/utf8
     // byte encodings — scan-fused codec expressions, round-trip checked
     "q158_convert_format" -> ((s, dir) => {
@@ -3657,6 +3681,11 @@ object SparkEntry {
         |  AND len(list_filter(t,
         |    x -> regexp_full_match(x, 'quer.*'))) > 0
         |ORDER BY doc_id""".stripMargin,
+
+    "q161_search_embedded" ->
+      """SELECT l_orderkey AS order_key, CAST(COUNT(*) AS DOUBLE) AS score
+        |FROM lineitem WHERE l_returnflag = 'R' AND l_quantity >= 30
+        |GROUP BY 1 ORDER BY score DESC, order_key LIMIT 50""".stripMargin,
 
     "q158_convert_format" ->
       """SELECT doc_id, lower(hex(encode(source))) AS hex_rt,

@@ -530,8 +530,11 @@ object PipelineCompiler {
         // {score: {boost: {value: N}}} multiplies, {constant: {value: N}}
         // replaces.
         def compileOp(op: String, osRaw: Any): (Column, Column, Seq[Column]) = {
+          // compound nests per-clause scores; embeddedDocument owns its
+          // score doc ({embedded: {aggregate}}) — both parse it themselves
           val (clean: Any, mod: (Column => Column)) = osRaw match {
-            case m: Map[_, _] if op != "compound" =>
+            case m: Map[_, _]
+                if op != "compound" && op != "embeddedDocument" =>
               val mm = doc(m)
               mm.get("score") match {
                 case Some(sc) =>
@@ -771,6 +774,223 @@ object PipelineCompiler {
               require(preds.nonEmpty,
                 s"$name.range requires at least one of gt/gte/lt/lte")
               (preds.reduce(_ && _), lit(1.0), Nil)
+            case "embeddedDocument" =>
+              // array-of-documents leg: the inner operator is evaluated
+              // once per array element (inner paths are full dotted paths
+              // THROUGH the array field, Atlas-style: "items.qty"); a
+              // document matches when ≥1 element matches, and the score
+              // aggregates the matching elements' scores —
+              // score.embedded.aggregate ∈ sum (default) / mean / maximum /
+              // minimum. Pure lambda algebra over the array column (exists/
+              // filter/aggregate): no explode, no join, scan-fused. Inner
+              // text/phrase legs are element-local and constant-per-term
+              // scored (no corpus stats across elements — documented
+              // simplification, same contract as queryString).
+              val osAll = doc(osRaw)
+              val aggMode = osAll.get("score").map { sc =>
+                val sd = doc(sc)
+                require(sd.keySet == Set("embedded"),
+                  s"$name.embeddedDocument.score: {embedded: {aggregate}} " +
+                    s"only, got ${sd.keys}")
+                doc(sd("embedded")).getOrElse("aggregate", "sum").toString
+              }.getOrElse("sum")
+              require(Set("sum", "mean", "maximum", "minimum")(aggMode),
+                s"$name.embeddedDocument.score.embedded.aggregate: " +
+                  s"sum/mean/maximum/minimum, got $aggMode")
+              val os = osAll - "score"
+              val arrPath = pathOf(op, os)
+              val innerDoc = doc(os.getOrElse("operator",
+                throw new IllegalArgumentException(
+                  s"$name.embeddedDocument requires operator")))
+              require(innerDoc.size == 1,
+                s"$name.embeddedDocument.operator: exactly one operator")
+              def sub(el: Column, p: String): Column = {
+                require(p == arrPath || p.startsWith(arrPath + "."),
+                  s"$name.embeddedDocument: inner path $p must extend " +
+                    arrPath)
+                if (p == arrPath) el
+                else p.substring(arrPath.length + 1).split('.')
+                  .foldLeft(el)((c, f) => c.getField(f))
+              }
+              // element-local (pred, score) compiler over the stat-free
+              // operator subset; per-leaf {score: {boost|constant}} applies
+              def elem(opE: String, rawE: Any)
+                  : (Column => Column, Column => Column) = {
+                val (osE: Map[String, Any], modE: (Column => Column)) =
+                  (doc(rawE), opE) match {
+                    case (mm, o) if o != "compound" =>
+                      mm.get("score") match {
+                        case Some(sc) => doc(sc).head match {
+                          case ("boost", bv) =>
+                            val f = dblV(doc(bv)("value"))
+                            (mm - "score", (c: Column) => c * lit(f))
+                          case ("constant", cv) =>
+                            val f = dblV(doc(cv)("value"))
+                            (mm - "score", (_: Column) => lit(f))
+                          case (other, _) =>
+                            throw new IllegalArgumentException(
+                              s"$name.embeddedDocument.$opE.score: " +
+                                s"unsupported $other")
+                        }
+                        case None => (mm, identity[Column] _)
+                      }
+                    case (mm, _) => (mm, identity[Column] _)
+                  }
+                val (pr, scr): (Column => Column, Column => Column) =
+                  opE match {
+                    case "equals" =>
+                      val p = pathOf(opE, osE)
+                      val v = graft.query.QueryCompiler.toLit(
+                        osE.getOrElse("value",
+                          throw new IllegalArgumentException(
+                            s"$name.embeddedDocument.equals requires value")))
+                      (el => sub(el, p) === v, _ => lit(1.0))
+                    case "exists" =>
+                      val p = pathOf(opE, osE)
+                      (el => sub(el, p).isNotNull, _ => lit(1.0))
+                    case "in" =>
+                      val p = pathOf(opE, osE)
+                      val pred: Column => Column = osE.getOrElse("value",
+                        throw new IllegalArgumentException(
+                          s"$name.embeddedDocument.in requires value")) match {
+                        case s: Seq[_] => el => sub(el, p).isin(
+                          s.map(graft.query.QueryCompiler.toScalaLit): _*)
+                        case one => el =>
+                          sub(el, p) === graft.query.QueryCompiler.toLit(one)
+                      }
+                      (pred, _ => lit(1.0))
+                    case "range" =>
+                      val p = pathOf(opE, osE)
+                      import graft.query.QueryCompiler.toLit
+                      val mk = Seq[(String, (Column, Column) => Column)](
+                        ("gt", _ > _), ("gte", _ >= _),
+                        ("lt", _ < _), ("lte", _ <= _))
+                        .flatMap { case (k, f) =>
+                          osE.get(k).map(v => (c: Column) => f(c, toLit(v)))
+                        }
+                      require(mk.nonEmpty,
+                        s"$name.embeddedDocument.range requires gt/gte/lt/lte")
+                      (el => mk.map(_(sub(el, p))).reduce(_ && _),
+                        _ => lit(1.0))
+                    case "text" =>
+                      val (p, queryStr) = pathQuery(opE, osE)
+                      val terms = queryStr.split("\\s+").filter(_.nonEmpty)
+                        .distinct.toSeq
+                      require(terms.nonEmpty,
+                        s"$name.embeddedDocument.text: empty query")
+                      def toks(el: Column) =
+                        graft.ops.TextFunctions.tokens(sub(el, p))
+                      (el => terms.map(t => array_contains(toks(el), t))
+                          .reduce(_ || _),
+                        // score = number of query terms the element hits
+                        el => terms.map(t =>
+                          when(array_contains(toks(el), t), 1.0)
+                            .otherwise(0.0)).reduce(_ + _))
+                    case "phrase" =>
+                      val (p, queryStr) = pathQuery(opE, osE)
+                      require(queryStr.nonEmpty,
+                        s"$name.embeddedDocument.phrase: empty query")
+                      (el => sub(el, p).contains(queryStr),
+                        el => ((length(sub(el, p)) - length(replace(
+                          sub(el, p), lit(queryStr), lit("")))) /
+                          lit(queryStr.length)).cast("double"))
+                    case "wildcard" =>
+                      val (p, queryStr) = pathQuery(opE, osE)
+                      val rx = "^" + queryStr.flatMap {
+                        case '*' => ".*"
+                        case '?' => "."
+                        case c if "\\.[]{}()+-^$|".contains(c) => "\\" + c
+                        case c => c.toString
+                      } + "$"
+                      (el => sub(el, p).rlike(rx), _ => lit(1.0))
+                    case "autocomplete" =>
+                      val (p, queryStr) = pathQuery(opE, osE)
+                      require(queryStr.nonEmpty,
+                        s"$name.embeddedDocument.autocomplete: empty query")
+                      (el => exists(graft.ops.TextFunctions.tokens(
+                          sub(el, p)), t => t.startsWith(queryStr)),
+                        _ => lit(1.0))
+                    case "regex" =>
+                      val (p, queryStr) = pathQuery(opE, osE)
+                      require(queryStr.nonEmpty,
+                        s"$name.embeddedDocument.regex: empty query")
+                      (el => exists(graft.ops.TextFunctions.tokens(
+                          sub(el, p)),
+                          t => t.rlike("^(?:" + queryStr + ")$")),
+                        _ => lit(1.0))
+                    case "compound" =>
+                      val known =
+                        Set("must", "mustNot", "should", "filter",
+                          "minimumShouldMatch")
+                      val unknown = osE.keySet -- known
+                      require(unknown.isEmpty,
+                        s"$name.embeddedDocument.compound: unsupported " +
+                          s"option(s) $unknown")
+                      def legsE(key: String)
+                          : Seq[(Column => Column, Column => Column)] =
+                        osE.get(key).map {
+                          case s: Seq[_] => s.map { e =>
+                            val m = doc(e)
+                            require(m.size == 1, s"$name.embeddedDocument" +
+                              s".compound.$key: one operator per clause")
+                            elem(m.head._1, m.head._2)
+                          }
+                          case one =>
+                            val m = doc(one)
+                            require(m.size == 1, s"$name.embeddedDocument" +
+                              s".compound.$key: one operator per clause")
+                            Seq(elem(m.head._1, m.head._2))
+                        }.getOrElse(Nil)
+                      val must = legsE("must"); val mustNot = legsE("mustNot")
+                      val should = legsE("should"); val fil = legsE("filter")
+                      require(must.nonEmpty || mustNot.nonEmpty ||
+                        should.nonEmpty || fil.nonEmpty,
+                        s"$name.embeddedDocument.compound: no clauses")
+                      val msm =
+                        osE.get("minimumShouldMatch").map(int).getOrElse(0)
+                      val pred: Column => Column = { el =>
+                        val hits = should.map(l => l._1(el).cast("int"))
+                          .reduceOption(_ + _).getOrElse(lit(0))
+                        val base = (must.map(_._1(el)) ++
+                          fil.map(_._1(el)) ++
+                          mustNot.map(l => !l._1(el)))
+                          .reduceOption(_ && _).getOrElse(lit(true))
+                        val shouldPred =
+                          if (msm > 0) hits >= msm
+                          else if (must.isEmpty && fil.isEmpty &&
+                            should.nonEmpty) hits >= 1
+                          else lit(true)
+                        base && shouldPred
+                      }
+                      val score: Column => Column = { el =>
+                        (must.map(_._2(el)) ++ should.map(l =>
+                          when(l._1(el), l._2(el)).otherwise(lit(0.0))))
+                          .reduceOption(_ + _).getOrElse(lit(0.0))
+                      }
+                      (pred, score)
+                    case other => throw new IllegalArgumentException(
+                      s"$name.embeddedDocument: unsupported inner operator " +
+                        s"$other (equals/exists/in/range/text/phrase/" +
+                        "wildcard/autocomplete/regex/compound)")
+                  }
+                (el => pr(el), el => modE(scr(el)))
+              }
+              val (ePred, eScore) = elem(innerDoc.head._1, innerDoc.head._2)
+              val arr = col(arrPath)
+              val matched = filter(arr, el => ePred(el))
+              val total = aggregate(matched, lit(0.0),
+                (acc, el) => acc + eScore(el))
+              val docScore = aggMode match {
+                case "sum" => total
+                case "mean" => total / size(matched).cast("double")
+                case "maximum" => aggregate(matched,
+                  lit(Double.NegativeInfinity),
+                  (acc, el) => greatest(acc, eScore(el)))
+                case "minimum" => aggregate(matched,
+                  lit(Double.PositiveInfinity),
+                  (acc, el) => least(acc, eScore(el)))
+              }
+              (size(matched) > 0, docScore, Nil)
             case "compound" =>
               val os = doc(osRaw)
               val known = Set("must", "mustNot", "should", "filter",
@@ -823,7 +1043,7 @@ object PipelineCompiler {
             case other => throw new IllegalArgumentException(
               s"$name: unsupported operator $other (text/phrase/wildcard/" +
                 "autocomplete/equals/range/exists/in/regex/near/" +
-                "moreLikeThis/queryString/compound)")
+                "moreLikeThis/queryString/embeddedDocument/compound)")
           }
         if (name == "$searchMeta" && d.head._1 == "facet") {
           // facet collector: {operator?, facets: {name: {type: string,

@@ -1801,6 +1801,57 @@ class ExprLangSpec extends graft.SparkSpec {
 class SearchStagesSpec extends graft.SparkSpec {
   import spark.implicits._
 
+  test("$search embeddedDocument matches per element, aggregates scores") {
+    val d = Seq(
+      (1L, Seq(("a", 10), ("b", 40), ("a", 50))),
+      (2L, Seq(("b", 10))),
+      (3L, Seq(("a", 5)))
+    ).toDF("id", "items")
+    def run(searchDoc: Map[String, Any]) =
+      PipelineCompiler.compile(Seq(
+        Map("$search" -> searchDoc),
+        Map("$project" -> Map("id" -> 1,
+          "score" -> Map("$meta" -> "searchScore")))))(d)
+    // compound inner: must equals 'a', filter qty >= 20 → only id=1
+    // matches (one element "a"/50); sum score = 1.0 per matching element
+    val out = run(Map("embeddedDocument" -> Map(
+      "path" -> "items",
+      "operator" -> Map("compound" -> Map(
+        "must" -> Seq(Map("equals" ->
+          Map("path" -> "items._1", "value" -> "a"))),
+        "filter" -> Seq(Map("range" ->
+          Map("path" -> "items._2", "gte" -> 20))))))))
+      .select("id", "score").collect()
+    assert(out.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((1L, 1.0)))
+    // no explode/join: element evaluation is lambda algebra in the scan
+    val plan = run(Map("embeddedDocument" -> Map(
+      "path" -> "items",
+      "operator" -> Map("equals" ->
+        Map("path" -> "items._1", "value" -> "a")))))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate") && !plan.contains("Join"))
+    // mean aggregate with boosted equals: id=1 has 2 'a' elements,
+    // each score 3.0 → mean 3.0
+    val mean = run(Map("embeddedDocument" -> Map(
+      "path" -> "items",
+      "score" -> Map("embedded" -> Map("aggregate" -> "mean")),
+      "operator" -> Map("equals" -> Map("path" -> "items._1",
+        "value" -> "a",
+        "score" -> Map("boost" -> Map("value" -> 3.0)))))))
+      .select("id", "score").orderBy("id").collect()
+    assert(mean.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((1L, 3.0), (3L, 3.0)))
+    // inner path must extend the array path
+    val err = intercept[Exception] {
+      run(Map("embeddedDocument" -> Map(
+        "path" -> "items",
+        "operator" -> Map("equals" ->
+          Map("path" -> "other.x", "value" -> "a")))))
+    }
+    assert(err.getMessage.contains("must extend"))
+  }
+
   test("$vectorSearch ranks by cosine, folds the query vector into the scan") {
     val d = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
       (3L, Array(0.0f, 1.0f)), (4L, Array(-1.0f, 0.0f)))
