@@ -827,6 +827,42 @@ object SparkEntry {
         .orderBy(col("score").desc, col("order_key")).limit(50)
     }),
 
+    // $search geo legs: geoWithin box filter + geoShape within (diamond
+    // polygon, closed-form containment in the oracle) + boosted geoWithin
+    // circle should-leg (haversine radius) — all scan-fused literal
+    // geometry, no join anywhere
+    "q162_search_geo" -> ((s, dir) =>
+      coll(s, dir, "embeddings").pipe(Seq(
+        Map("$addFields" -> Map("pt" -> Seq(
+          Map("$arrayElemAt" -> Seq("$embedding", 0)),
+          Map("$arrayElemAt" -> Seq("$embedding", 1))))),
+        Map("$search" -> Map("compound" -> Map(
+          "filter" -> Seq(Map("geoWithin" -> Map(
+            "path" -> "pt",
+            "box" -> Map(
+              "bottomLeft" -> Map("type" -> "Point",
+                "coordinates" -> Seq(-0.5, -0.5)),
+              "topRight" -> Map("type" -> "Point",
+                "coordinates" -> Seq(0.5, 0.5)))))),
+          "must" -> Seq(Map("geoShape" -> Map(
+            "path" -> "pt",
+            "relation" -> "within",
+            "geometry" -> Map("type" -> "Polygon",
+              "coordinates" -> Seq(Seq(
+                Seq(0.4, 0.0), Seq(0.0, 0.4), Seq(-0.4, 0.0),
+                Seq(0.0, -0.4), Seq(0.4, 0.0))))))),
+          "should" -> Seq(Map("geoWithin" -> Map(
+            "path" -> "pt",
+            "circle" -> Map(
+              "center" -> Map("type" -> "Point",
+                "coordinates" -> Seq(0.0, 0.2)),
+              "radius" -> 30000),
+            "score" -> Map("boost" -> Map("value" -> 5.0)))))))),
+        Map("$project" -> Map("vec_id" -> 1,
+          "score" -> Map("$meta" -> "searchScore")))))
+        .select(col("vec_id"), col("score").cast("double").as("score"))
+        .orderBy("vec_id")),
+
     // $convert format (Mongo 8.0): string <-> binData via hex/base64/utf8
     // byte encodings — scan-fused codec expressions, round-trip checked
     "q158_convert_format" -> ((s, dir) => {
@@ -3681,6 +3717,27 @@ object SparkEntry {
         |  AND len(list_filter(t,
         |    x -> regexp_full_match(x, 'quer.*'))) > 0
         |ORDER BY doc_id""".stripMargin,
+
+    "q162_search_geo" ->
+      """WITH p AS (
+        |  SELECT vec_id,
+        |    CAST(embedding[1] AS DOUBLE) AS x,
+        |    CAST(embedding[2] AS DOUBLE) AS y
+        |  FROM embeddings),
+        |h AS (
+        |  SELECT vec_id, x, y,
+        |    2 * 6371008.8 * asin(sqrt(
+        |      pow(sin(radians(y - 0.2) * 0.5), 2) +
+        |      cos(radians(0.2)) * cos(radians(y)) *
+        |      pow(sin(radians(x - 0.0) * 0.5), 2))) AS hav
+        |  FROM p)
+        |SELECT vec_id,
+        |  CAST(1.0 + CASE WHEN hav <= 30000 THEN 5.0 ELSE 0.0 END
+        |    AS DOUBLE) AS score
+        |FROM h
+        |WHERE x >= -0.5 AND x <= 0.5 AND y >= -0.5 AND y <= 0.5
+        |  AND abs(x) + abs(y) <= 0.4
+        |ORDER BY vec_id""".stripMargin,
 
     "q161_search_embedded" ->
       """SELECT l_orderkey AS order_key, CAST(COUNT(*) AS DOUBLE) AS score

@@ -774,6 +774,103 @@ object PipelineCompiler {
               require(preds.nonEmpty,
                 s"$name.range requires at least one of gt/gte/lt/lte")
               (preds.reduce(_ && _), lit(1.0), Nil)
+            case "geoWithin" =>
+              // Atlas geoWithin: point field inside circle (GeoJSON center
+              // + radius meters), box (bottomLeft/topRight), or GeoJSON
+              // geometry — constant-scored filter legs reusing the query
+              // compiler's scan-fused geo predicates.
+              val os = doc(osRaw)
+              val c = col(pathOf(op, os))
+              import graft.functions.Geo
+              def geoPoint(v: Any, what: String): (Double, Double) = {
+                val m = doc(v)
+                require(m.get("type").contains("Point"),
+                  s"$name.geoWithin.$what: GeoJSON Point required")
+                m.getOrElse("coordinates", throw new
+                    IllegalArgumentException(
+                      s"$name.geoWithin.$what needs coordinates")) match {
+                  case s: Seq[_] if s.size == 2 =>
+                    (dblV(s(0)), dblV(s(1)))
+                  case other => throw new IllegalArgumentException(
+                    s"$name.geoWithin.$what coordinates: $other")
+                }
+              }
+              val shapes = os - "path"
+              require(shapes.size == 1, s"$name.geoWithin: exactly one of " +
+                s"circle/box/geometry, got ${shapes.keys}")
+              val pred = shapes.head match {
+                case ("circle", arg) =>
+                  val m = doc(arg)
+                  val (clon, clat) = geoPoint(m.getOrElse("center",
+                    throw new IllegalArgumentException(
+                      s"$name.geoWithin.circle needs center")), "circle")
+                  val r = dblV(m.getOrElse("radius",
+                    throw new IllegalArgumentException(
+                      s"$name.geoWithin.circle needs radius")))
+                  Geo.haversineMeters(Geo.lon(c), Geo.lat(c), clon, clat) <=
+                    lit(r)
+                case ("box", arg) =>
+                  val m = doc(arg)
+                  val (x1, y1) = geoPoint(m.getOrElse("bottomLeft",
+                    throw new IllegalArgumentException(
+                      s"$name.geoWithin.box needs bottomLeft")), "box")
+                  val (x2, y2) = geoPoint(m.getOrElse("topRight",
+                    throw new IllegalArgumentException(
+                      s"$name.geoWithin.box needs topRight")), "box")
+                  Geo.lon(c) >= math.min(x1, x2) &&
+                    Geo.lon(c) <= math.max(x1, x2) &&
+                    Geo.lat(c) >= math.min(y1, y2) &&
+                    Geo.lat(c) <= math.max(y1, y2)
+                case ("geometry", g) =>
+                  graft.query.QueryCompiler.geoWithin(c,
+                    Map("$geometry" -> g))
+                case (other, _) => throw new IllegalArgumentException(
+                  s"$name.geoWithin: unsupported shape $other")
+              }
+              (pred, lit(1.0), Nil)
+            case "geoShape" =>
+              // Atlas geoShape: point field vs a literal geometry under a
+              // relation — intersects/within reuse the query compiler's
+              // predicates, disjoint is ¬intersects, contains holds for a
+              // point field only against an equal Point geometry.
+              val os = doc(osRaw)
+              val c = col(pathOf(op, os))
+              val g = os.getOrElse("geometry",
+                throw new IllegalArgumentException(
+                  s"$name.geoShape requires geometry"))
+              val rel = os.getOrElse("relation",
+                throw new IllegalArgumentException(
+                  s"$name.geoShape requires relation")).toString
+              import graft.functions.Geo
+              val pred = rel match {
+                case "within" =>
+                  graft.query.QueryCompiler.geoWithin(c,
+                    Map("$geometry" -> g))
+                case "intersects" =>
+                  graft.query.QueryCompiler.geoIntersects(c,
+                    Map("$geometry" -> g))
+                case "disjoint" =>
+                  !graft.query.QueryCompiler.geoIntersects(c,
+                    Map("$geometry" -> g))
+                case "contains" =>
+                  val gm = doc(g)
+                  require(gm.get("type").contains("Point"),
+                    s"$name.geoShape contains: a point field can only " +
+                      "contain a Point geometry")
+                  gm.getOrElse("coordinates", throw new
+                      IllegalArgumentException(
+                        s"$name.geoShape.geometry needs coordinates")) match {
+                    case s: Seq[_] if s.size == 2 =>
+                      Geo.lon(c) === lit(dblV(s(0))) &&
+                        Geo.lat(c) === lit(dblV(s(1)))
+                    case other => throw new IllegalArgumentException(
+                      s"$name.geoShape.geometry coordinates: $other")
+                  }
+                case other => throw new IllegalArgumentException(
+                  s"$name.geoShape.relation: $other (within/intersects/" +
+                    "disjoint/contains)")
+              }
+              (pred, lit(1.0), Nil)
             case "embeddedDocument" =>
               // array-of-documents leg: the inner operator is evaluated
               // once per array element (inner paths are full dotted paths

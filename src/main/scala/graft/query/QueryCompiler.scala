@@ -291,7 +291,7 @@ object QueryCompiler {
     * in lon/lat coordinate space — a documented planar approximation of
     * Mongo's spherical edges; exact for the rectangles and small regions
     * this operator is typically used with). */
-  private def geoWithin(c: Column, v: Any): Column = {
+  private[graft] def geoWithin(c: Column, v: Any): Column = {
     import graft.functions.Geo
     val spec = v match {
       case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
@@ -347,7 +347,7 @@ object QueryCompiler {
     * approximation of spherical edges). Non-point field geometries are
     * outside the [lon, lat]-column data model and reject at compile time
     * via the geometry-type check below. */
-  private def geoIntersects(c: Column, v: Any): Column = {
+  private[graft] def geoIntersects(c: Column, v: Any): Column = {
     import graft.functions.Geo
     val spec = v match {
       case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]

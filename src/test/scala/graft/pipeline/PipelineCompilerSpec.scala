@@ -1801,6 +1801,40 @@ class ExprLangSpec extends graft.SparkSpec {
 class SearchStagesSpec extends graft.SparkSpec {
   import spark.implicits._
 
+  test("$search geoWithin/geoShape legs: box, circle, within/disjoint/contains") {
+    val d = Seq((1L, Seq(0.1, 0.1)), (2L, Seq(0.3, 0.0)),
+      (3L, Seq(0.9, 0.9)), (4L, Seq(-0.2, 0.05)))
+      .toDF("id", "pt")
+    def ids(searchDoc: Map[String, Any]): Seq[Long] =
+      PipelineCompiler.compile(Seq(Map("$search" -> searchDoc)))(d)
+        .select("id").orderBy("id").collect().map(_.getLong(0)).toSeq
+    // box keeps everything within [-0.5,0.5]^2
+    assert(ids(Map("geoWithin" -> Map("path" -> "pt", "box" -> Map(
+      "bottomLeft" -> Map("type" -> "Point",
+        "coordinates" -> Seq(-0.5, -0.5)),
+      "topRight" -> Map("type" -> "Point",
+        "coordinates" -> Seq(0.5, 0.5)))))) == Seq(1L, 2L, 4L))
+    // small circle around (0.1, 0.1): only id=1 (haversine meters)
+    assert(ids(Map("geoWithin" -> Map("path" -> "pt", "circle" -> Map(
+      "center" -> Map("type" -> "Point", "coordinates" -> Seq(0.1, 0.1)),
+      "radius" -> 1000)))) == Seq(1L))
+    val diamond = Map("type" -> "Polygon", "coordinates" -> Seq(Seq(
+      Seq(0.4, 0.0), Seq(0.0, 0.4), Seq(-0.4, 0.0), Seq(0.0, -0.4),
+      Seq(0.4, 0.0))))
+    assert(ids(Map("geoShape" -> Map("path" -> "pt",
+      "relation" -> "within", "geometry" -> diamond))) == Seq(1L, 2L, 4L))
+    assert(ids(Map("geoShape" -> Map("path" -> "pt",
+      "relation" -> "disjoint", "geometry" -> diamond))) == Seq(3L))
+    assert(ids(Map("geoShape" -> Map("path" -> "pt",
+      "relation" -> "contains", "geometry" -> Map("type" -> "Point",
+        "coordinates" -> Seq(0.3, 0.0))))) == Seq(2L))
+    val err = intercept[Exception] {
+      ids(Map("geoShape" -> Map("path" -> "pt", "relation" -> "contains",
+        "geometry" -> diamond)))
+    }
+    assert(err.getMessage.contains("Point geometry"))
+  }
+
   test("$search embeddedDocument matches per element, aggregates scores") {
     val d = Seq(
       (1L, Seq(("a", 10), ("b", 40), ("a", 50))),
