@@ -13,7 +13,7 @@ import graft.backup.{Backup, BackupOptions}
 import graft.apm.Apm
 import graft.ops.{Dedup, Decontaminate, Similarity, TextFunctions,
   Multimodal, Chunking, Quantize, Redaction, TfIdf, TextSearch,
-  LanguageModel, Dsir}
+  LanguageModel, Dsir, Classifier}
 
 /** Driver contract — one `queries` entry + matching DuckDB `oracleSql` per
   * implemented operator from SURVEY.md §2 (plus the LLM-pipeline extension
@@ -826,6 +826,18 @@ object SparkEntry {
         .select(col("order_key"), col("score").cast("double").as("score"))
         .orderBy(col("score").desc, col("order_key")).limit(50)
     }),
+
+    // Naive-Bayes quality classifier (the fastText-classifier role in
+    // CCNet-style curation): self-trained on a heuristic label
+    // (lang = 'en'), one distributed token log-odds table + broadcast
+    // prior, token-join scoring — nothing collected
+    "q163_nb_quality" -> ((s, dir) =>
+      Classifier.naiveBayes(tbl(s, dir, "documents"), "doc_id", "text",
+          col("lang") === "en")
+        .select(col("doc_id"), col("n_tokens"),
+          col("score").cast("decimal(18,9)").cast("double").as("score"),
+          col("predicted"))
+        .orderBy("doc_id")),
 
     // $search geo legs: geoWithin box filter + geoShape within (diamond
     // polygon, closed-form containment in the oracle) + boosted geoWithin
@@ -3717,6 +3729,28 @@ object SparkEntry {
         |  AND len(list_filter(t,
         |    x -> regexp_full_match(x, 'quer.*'))) > 0
         |ORDER BY doc_id""".stripMargin,
+
+    "q163_nb_quality" ->
+      """WITH tk AS (SELECT doc_id, lang = 'en' AS pos,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |tok AS (SELECT doc_id, pos, unnest(t) AS w FROM tk),
+        |voc AS (SELECT w,
+        |    SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS cp,
+        |    SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS cn
+        |  FROM tok GROUP BY w),
+        |pri AS (SELECT ln(
+        |    (SUM(CASE WHEN pos THEN 1 ELSE 0 END) + 1.0) /
+        |    (SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) + 1.0)) AS prior
+        |  FROM tk),
+        |sc AS (SELECT doc_id, COUNT(*) AS n,
+        |    CAST(SUM(CAST(ln((cp + 1.0) / (cn + 1.0))
+        |      AS DECIMAL(28,12))) AS DOUBLE) AS s
+        |  FROM tok JOIN voc USING (w) GROUP BY doc_id)
+        |SELECT doc_id, n AS n_tokens,
+        |  CAST(CAST(s + prior AS DECIMAL(18,9)) AS DOUBLE) AS score,
+        |  (s + prior) > 0 AS predicted
+        |FROM sc, pri ORDER BY doc_id""".stripMargin,
 
     "q162_search_geo" ->
       """WITH p AS (
