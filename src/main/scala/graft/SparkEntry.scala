@@ -827,6 +827,21 @@ object SparkEntry {
         .orderBy(col("score").desc, col("order_key")).limit(50)
     }),
 
+    // Distributed PCA: partition-local Gram accumulation + driver-side
+    // Jacobi on the d×d covariance + scan-fused projection. The oracle
+    // checks the full-basis norm identity ‖P(x−μ)‖² = ‖x−μ‖² — SQL can
+    // compute the right side, so orthonormality and the projection are
+    // verified through the hash gate end-to-end.
+    "q164_pca_norm" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val model = graft.ops.Pca.fit(emb, "embedding")
+      graft.ops.Pca.project(emb, "embedding", model, "pc")
+        .select(col("vec_id"),
+          aggregate(col("pc"), lit(0.0), (a, e) => a + e * e)
+            .cast("decimal(14,5)").cast("double").as("norm2"))
+        .orderBy("vec_id")
+    }),
+
     // Naive-Bayes quality classifier (the fastText-classifier role in
     // CCNet-style curation): self-trained on a heuristic label
     // (lang = 'en'), one distributed token log-odds table + broadcast
@@ -3729,6 +3744,18 @@ object SparkEntry {
         |  AND len(list_filter(t,
         |    x -> regexp_full_match(x, 'quer.*'))) > 0
         |ORDER BY doc_id""".stripMargin,
+
+    "q164_pca_norm" ->
+      """WITH e AS (SELECT vec_id,
+        |    unnest(embedding) AS v,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |m AS (SELECT i, AVG(CAST(v AS DOUBLE)) AS mu FROM e GROUP BY i)
+        |SELECT vec_id,
+        |  CAST(CAST(SUM((CAST(v AS DOUBLE) - mu) * (CAST(v AS DOUBLE) - mu))
+        |    AS DECIMAL(14,5)) AS DOUBLE) AS norm2
+        |FROM e JOIN m USING (i)
+        |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
     "q163_nb_quality" ->
       """WITH tk AS (SELECT doc_id, lang = 'en' AS pos,

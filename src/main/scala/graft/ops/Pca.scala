@@ -1,0 +1,181 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed PCA over an embedding column — the standard pre-step for
+  * cheap ANN / clustering / visualization at corpus scale (project 100 TB
+  * of d-dim embeddings to k ≪ d dims once, then every downstream distance
+  * computation is k/d the cost).
+  *
+  * Plan shape (the 100 TB concern): the only distributed pass is a
+  * partition-local Gram accumulation — each partition folds its rows into
+  * ONE (count, Σx, upper-triangular ΣxxT) accumulator of d(d+1)/2 + d + 1
+  * doubles, and the driver reduces one accumulator per partition (the
+  * RowMatrix.computeGramianMatrix shape from Spark MLlib: no shuffle, no
+  * per-row d² expansion — mapPartitions is the genuine per-partition
+  * imperative case here). The d×d covariance eigendecomposition is
+  * driver-side Jacobi — d is an embedding dimension (tens to low
+  * thousands), the matrix is tiny and the cost is independent of corpus
+  * size, same contract as the k-row IVF centroid table
+  * (Clustering.scala). Projection is scan-fused lambda algebra (zip_with
+  * + aggregate) against literal component vectors — codegen'd, no join,
+  * no shuffle.
+  *
+  * Determinism: partition Gram sums are IEEE-double adds, so components
+  * are stable only to the last ulp across different partitionings — the
+  * same caveat Spark MLlib carries. Downstream consumers should round
+  * projected coordinates before hashing them (see q164's norm identity,
+  * stable at 1e-6 because the eigenbasis is orthonormal regardless of
+  * ulp-level Gram noise).
+  */
+object Pca {
+
+  final case class Model(mean: Array[Double],
+      components: Array[Array[Double]], // k rows, each a d-vector
+      eigenvalues: Array[Double]) {
+    def k: Int = components.length
+    def d: Int = mean.length
+  }
+
+  /** Fit the top-k principal components of `embCol` (population
+    * covariance). k defaults to d (full orthonormal basis). */
+  def fit(df: DataFrame, embCol: String, k: Int = Int.MaxValue): Model = {
+    val vecs = df.select(col(embCol).cast("array<double>"))
+      .where(col(embCol).isNotNull)
+    // one accumulator per partition: [n, Σx (d), upper-tri ΣxxT d(d+1)/2]
+    val (d, acc) = vecs.rdd
+      .mapPartitions { it =>
+        var st: Array[Double] = null
+        var dd = 0
+        it.foreach { row =>
+          val x = row.getSeq[Double](0)
+          if (st == null) {
+            dd = x.length
+            st = new Array[Double](1 + dd + dd * (dd + 1) / 2)
+          }
+          require(x.length == dd,
+            s"pca: ragged embedding dim ${x.length} != $dd")
+          st(0) += 1.0
+          var i = 0
+          var t = 1 + dd
+          while (i < dd) {
+            st(1 + i) += x(i)
+            var j = i
+            while (j < dd) { st(t) += x(i) * x(j); t += 1; j += 1 }
+            i += 1
+          }
+        }
+        if (st == null) Iterator.empty else Iterator.single((dd, st))
+      }
+      .reduce { (a, b) =>
+        require(a._1 == b._1, s"pca: mixed embedding dims ${a._1}/${b._1}")
+        val out = new Array[Double](a._2.length)
+        var i = 0
+        while (i < out.length) { out(i) = a._2(i) + b._2(i); i += 1 }
+        (a._1, out)
+      }
+    val n = acc(0)
+    require(n > 1, s"pca: need at least 2 rows, got ${n.toLong}")
+    val mean = Array.tabulate(d)(i => acc(1 + i) / n)
+    // covariance C = ΣxxT/n − μμT, symmetrized from the upper triangle
+    val cov = Array.ofDim[Double](d, d)
+    var t = 1 + d
+    var i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        val v = acc(t) / n - mean(i) * mean(j)
+        cov(i)(j) = v; cov(j)(i) = v
+        t += 1; j += 1
+      }
+      i += 1
+    }
+    val (values, vectors) = jacobiEigen(cov)
+    val order = values.indices.sortBy(ix => -values(ix))
+    val kk = math.min(k, d)
+    val comps = order.take(kk).map { ix =>
+      val v = Array.tabulate(d)(r => vectors(r)(ix))
+      // canonical sign: the largest-|coordinate| entry is positive
+      val m = v.indices.maxBy(a => math.abs(v(a)))
+      if (v(m) < 0) v.map(-_) else v
+    }.toArray
+    Model(mean, comps, order.take(kk).map(values).toArray)
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix: returns
+    * (eigenvalues, eigenvector-columns matrix). O(d³) per sweep on the
+    * driver, deterministic rotation order. */
+  private[ops] def jacobiEigen(m: Array[Array[Double]])
+      : (Array[Double], Array[Array[Double]]) = {
+    val d = m.length
+    val a = m.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = offDiag(a)
+    while (off > 1e-12 && sweep < 100) {
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          if (math.abs(a(p)(q)) > 1e-15) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+            val sgn = if (theta >= 0) 1.0 else -1.0
+            val tTan = sgn / (math.abs(theta) +
+              math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(tTan * tTan + 1.0)
+            val s = tTan * c
+            var r = 0
+            while (r < d) {
+              val arp = a(r)(p); val arq = a(r)(q)
+              a(r)(p) = c * arp - s * arq
+              a(r)(q) = s * arp + c * arq
+              r += 1
+            }
+            r = 0
+            while (r < d) {
+              val apr = a(p)(r); val aqr = a(q)(r)
+              a(p)(r) = c * apr - s * aqr
+              a(q)(r) = s * apr + c * aqr
+              val vrp = v(r)(p); val vrq = v(r)(q)
+              v(r)(p) = c * vrp - s * vrq
+              v(r)(q) = s * vrp + c * vrq
+              r += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      off = offDiag(a)
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
+  private def offDiag(a: Array[Array[Double]]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) {
+      var j = i + 1
+      while (j < a.length) { s += a(i)(j) * a(i)(j); j += 1 }
+      i += 1
+    }
+    s
+  }
+
+  /** Scan-fused projection: outCol = [⟨x − μ, cᵢ⟩ for each component].
+    * Literal model vectors fold into codegen — no join, no shuffle. */
+  def project(df: DataFrame, embCol: String, model: Model,
+      outCol: String = "pca"): DataFrame = {
+    val x = col(embCol).cast("array<double>")
+    val muLit = array(model.mean.map(lit): _*)
+    val centered = zip_with(x, muLit, (a, b) => a - b)
+    val coords = model.components.map { comp =>
+      val cLit = array(comp.map(lit): _*)
+      aggregate(zip_with(centered, cLit, (a, b) => a * b),
+        lit(0.0), (acc, e) => acc + e)
+    }
+    df.withColumn(outCol, array(coords: _*))
+  }
+}
