@@ -827,6 +827,18 @@ object SparkEntry {
         .orderBy(col("score").desc, col("order_key")).limit(50)
     }),
 
+    // PCA-accelerated ANN: coarse candidates by projected-space L2 +
+    // exact cosine re-rank. Full-basis configuration (a rotation) makes
+    // the coarse order exactly plain-L2 order, so the whole two-stage
+    // plan is oracle-checkable in SQL; the truncated configuration is
+    // spec-covered (recall vs brute force).
+    "q165_ann_pca" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      graft.ops.Pca.pcaTopK(emb, emb.where(col("vec_id") < 5), "vec_id",
+          "embedding", k = 10, nComponents = 64, overfetch = 4)
+        .orderBy("query_id", "rank")
+    }),
+
     // Distributed PCA: partition-local Gram accumulation + driver-side
     // Jacobi on the d×d covariance + scan-fused projection. The oracle
     // checks the full-basis norm identity ‖P(x−μ)‖² = ‖x−μ‖² — SQL can
@@ -3744,6 +3756,29 @@ object SparkEntry {
         |  AND len(list_filter(t,
         |    x -> regexp_full_match(x, 'quer.*'))) > 0
         |ORDER BY doc_id""".stripMargin,
+
+    "q165_ann_pca" ->
+      s"""WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+         |p AS (
+         |  SELECT q.vec_id AS ia, c.vec_id AS ib, q.embedding AS ea, c.embedding AS eb
+         |  FROM q, embeddings c WHERE c.vec_id <> q.vec_id),
+         |d AS (SELECT ia, ib,
+         |  SUM(CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)) AS dot,
+         |  SUM(CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE)) AS na,
+         |  SUM(CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)) AS nb,
+         |  SUM((CAST(ea[i] AS DOUBLE) - CAST(eb[i] AS DOUBLE))
+         |    * (CAST(ea[i] AS DOUBLE) - CAST(eb[i] AS DOUBLE))) AS d2
+         |  FROM p, UNNEST(range(1, len(ea)+1)) AS u(i)
+         |  GROUP BY ia, ib),
+         |coarse AS (SELECT *, row_number() OVER (
+         |    PARTITION BY ia ORDER BY d2 ASC, ib ASC) AS cr FROM d),
+         |rr AS (SELECT ia AS query_id, ib AS neighbor_id,
+         |    CAST(row_number() OVER (PARTITION BY ia
+         |      ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, ib ASC) AS INT)
+         |      AS rank
+         |  FROM coarse WHERE cr <= 40)
+         |SELECT query_id, neighbor_id, rank FROM rr WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
 
     "q164_pca_norm" ->
       """WITH e AS (SELECT vec_id,

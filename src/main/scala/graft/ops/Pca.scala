@@ -164,6 +164,48 @@ object Pca {
     s
   }
 
+  /** PCA-accelerated ANN: candidates by L2 distance in the projected
+    * space (k'·d multiply-adds per pair instead of d², and the coarse
+    * compare reads k' doubles instead of d), exact cosine re-rank on the
+    * full vectors. With nComponents = d the projection is a pure rotation,
+    * so candidate generation is EXACTLY centered-L2 (= plain L2) order —
+    * the oracle-verifiable configuration; smaller k' trades recall for
+    * coarse-pass cost, the usual 100 TB move (project once, scan cheap).
+    *
+    * Plan: one fit pass; the corpus is scanned once, projected in the
+    * scan, joined to the BROADCAST projected queries, and the coarse
+    * top-(k·overfetch) per query goes through one window; the re-rank
+    * reads the full vectors carried on the candidate rows — no second
+    * join against the corpus. */
+  def pcaTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nComponents: Int = 16,
+      overfetch: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0 && overfetch > 0, "pcaTopK: k and overfetch must be > 0")
+    val model = fit(corpus, vecCol, nComponents)
+    val cp = Partitioning.ensureMinPartitions(
+      project(corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("cv")), "cv", model, "cpc"))
+    val qp = project(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv")), "qv", model, "qpc")
+    val d2 = aggregate(
+      zip_with(col("cpc"), col("qpc"), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, e) => acc + e)
+    val coarseW = Window.partitionBy("query_id")
+      .orderBy(col("__d2").asc, col("neighbor_id").asc)
+    val cand = cp.join(broadcast(qp), col("query_id") =!= col("neighbor_id"))
+      .withColumn("__d2", d2)
+      .withColumn("__cr", row_number().over(coarseW))
+      .where(col("__cr") <= k * overfetch)
+    val rerankW = Window.partitionBy("query_id")
+      .orderBy(col("__cos").desc, col("neighbor_id").asc)
+    cand
+      .withColumn("__cos", Similarity.cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(rerankW))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
   /** Scan-fused projection: outCol = [⟨x − μ, cᵢ⟩ for each component].
     * Literal model vectors fold into codegen — no join, no shuffle. */
   def project(df: DataFrame, embCol: String, model: Model,

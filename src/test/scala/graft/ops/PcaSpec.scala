@@ -67,6 +67,28 @@ class PcaSpec extends graft.SparkSpec {
     assert(math.abs(v1 - m.eigenvalues(0)) < 1e-6)
   }
 
+  test("pcaTopK: high recall vs brute force; exact when candidates cover") {
+    val rnd = new scala.util.Random(17)
+    val rows = (0 until 120).map(i =>
+      (i.toLong, Array.fill(12)(rnd.nextGaussian().toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    val queries = df.where(col("vec_id") < 4)
+    val brute = Similarity.bruteForceTopK(df, queries, "vec_id",
+      "embedding", 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // overfetch spanning the corpus → identical to brute force
+    val full = Pca.pcaTopK(df, queries, "vec_id", "embedding", 5,
+      nComponents = 12, overfetch = 200).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == brute)
+    // truncated projection + moderate overfetch → recall ≥ 0.8
+    val approx = Pca.pcaTopK(df, queries, "vec_id", "embedding", 5,
+      nComponents = 6, overfetch = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (approx & brute).size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
   test("fit is invariant to repartitioning up to tiny float noise") {
     val rnd = new scala.util.Random(3)
     val rows = Seq.fill(300)(Array.fill(6)(rnd.nextGaussian()))
