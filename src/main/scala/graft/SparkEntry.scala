@@ -827,6 +827,28 @@ object SparkEntry {
         .orderBy(col("score").desc, col("order_key")).limit(50)
     }),
 
+    // Pipeline-form update (Mongo 4.2 `update: [stage…]`): $set stage
+    // expressions READ the document (classic operators take literals
+    // only), $unset stage removal — one conditional scan transform, same
+    // one-scan matched-count observation as the document form
+    "q166_update_pipeline" -> ((s, dir) => {
+      val (res, _) = TableOps.updateAllPipeline(
+        tbl(s, dir, "lineitem"),
+        Map("l_returnflag" -> "R"),
+        Seq(
+          Map("$set" -> Map(
+            "gross" -> Map("$multiply" -> Seq("$l_extendedprice",
+              Map("$subtract" -> Seq(1, "$l_discount")))),
+            "l_linestatus" ->
+              Map("$concat" -> Seq("$l_linestatus", "-upd")))),
+          Map("$unset" -> "l_tax")),
+        "l_orderkey")
+      res.select(col("l_orderkey"), col("l_linenumber"),
+          col("l_linestatus"), col("l_tax"),
+          col("gross").cast("decimal(18,4)").cast("double").as("gross"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // PCA-accelerated ANN: coarse candidates by projected-space L2 +
     // exact cosine re-rank. Full-basis configuration (a rotation) makes
     // the coarse order exactly plain-L2 order, so the whole two-stage
@@ -3756,6 +3778,16 @@ object SparkEntry {
         |  AND len(list_filter(t,
         |    x -> regexp_full_match(x, 'quer.*'))) > 0
         |ORDER BY doc_id""".stripMargin,
+
+    "q166_update_pipeline" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_returnflag = 'R' THEN l_linestatus || '-upd'
+        |       ELSE l_linestatus END AS l_linestatus,
+        |  CASE WHEN l_returnflag = 'R' THEN NULL ELSE l_tax END AS l_tax,
+        |  CASE WHEN l_returnflag = 'R' THEN CAST(CAST(
+        |      l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+        |      AS DOUBLE) ELSE NULL END AS gross
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q165_ann_pca" ->
       s"""WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),

@@ -439,6 +439,23 @@ object TableOps {
     (out, new LazyChangeInfo(obs, out, n => ChangeInfo(updated = n)))
   }
 
+  /** UpdateAll with a pipeline-form update (Mongo 4.2
+    * `update: [stage, …]`): stage expressions read the document (e.g.
+    * `{$set: {total: {$multiply: ["$price", "$qty"]}}}`) — the form the
+    * classic operators' literal values cannot express. Same one-scan
+    * matched-count observation as the document form. */
+  def updateAllPipeline(df: DataFrame, query: Map[String, Any],
+      stages: Seq[Any], idCol: String = "_id")
+      : (DataFrame, LazyChangeInfo) = {
+    val pred = QueryCompiler.compile(query)
+    val obs = org.apache.spark.sql.Observation()
+    val observed = df.observe(obs,
+      sum(when(pred, 1L).otherwise(0L)).as("matched"))
+    val out = UpdateCompiler.applyUpdatePipeline(observed, pred, stages,
+      idCol)
+    (out, new LazyChangeInfo(obs, out, n => ChangeInfo(updated = n)))
+  }
+
   /** RemoveAll: anti-filter — reference db/wrapper.go:137-144. */
   def removeAll(df: DataFrame, query: Map[String, Any])
       : (DataFrame, LazyChangeInfo) = {

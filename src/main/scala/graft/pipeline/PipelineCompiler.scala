@@ -1917,10 +1917,19 @@ object PipelineCompiler {
     * Iteration count = traversal depth, NOT data size; all work
     * per generation is distributed equi-joins, never a driver-side walk.
     * Supported subset: scalar `connectFromField`/`connectToField` (array
-    * `startWith` values explode). `depthField` is supported. */
+    * `startWith` values explode). `depthField` and
+    * `restrictSearchWithMatch` (query-doc filter on traversable docs,
+    * pushed into the from-side scan) are supported. */
   private def graphLookup(df: DataFrame, d: Map[String, Any],
       tables: TableResolver): DataFrame = {
-    val from = tables(d("from").toString)
+    // restrictSearchWithMatch: candidate docs must satisfy the query doc
+    // to be traversed at all — applied ONCE to the from-side scan (the
+    // predicate pushes into the parquet read), not per generation
+    val from = d.get("restrictSearchWithMatch").map(doc) match {
+      case Some(q) => tables(d("from").toString)
+        .where(graft.query.QueryCompiler.compile(q))
+      case None => tables(d("from").toString)
+    }
     val as = d("as").toString
     val cf = d("connectFromField").toString
     val ct = d("connectToField").toString

@@ -236,6 +236,111 @@ object UpdateCompiler {
   /** Replacement-document branch: id kept, listed fields set, all other
     * top-level fields nulled on matching rows (Mongo replace semantics;
     * reference dispatch db/wrapper.go:153-157). */
+  /** Mongo 4.2 pipeline-form update (`update: [stage, …]`): stages are
+    * aggregation stages whose expressions read the document — unlike the
+    * classic operators' literal values. Mongo allows exactly
+    * `$set`/`$addFields`, `$unset`/`$project`, `$replaceRoot`/
+    * `$replaceWith`; this engine compiles the first five ($project is a
+    * curated rejection pointing at $unset, which expresses the same
+    * reshape without conditional schema surgery). Only rows matching
+    * `pred` change; every stage's expressions are evaluated against the
+    * PRE-stage document (computed in one `withColumns` batch before any
+    * field is rewritten — `{$set: {a: "$b", b: "$a"}}` swaps). */
+  def applyUpdatePipeline(df: DataFrame, pred: Column,
+      stages: Seq[Any], idCol: String = "_id"): DataFrame = {
+    import graft.pipeline.PipelineCompiler.expr2col
+    implicit val af: ArrayFilters = ArrayFilters.empty
+    def asDoc(x: Any, what: String): Map[String, Any] = x match {
+      case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+      case other => throw new IllegalArgumentException(
+        s"$what expects a document, got $other")
+    }
+    // the match predicate is materialized ONCE before any stage runs:
+    // stages rewrite the very columns the predicate reads, and a lazily
+    // composed `when(pred, …)` in a later blend would otherwise re-read
+    // the mutated values
+    val predTmp = "__updpipe_pred"
+    val p = col(predTmp)
+    val out = stages.foldLeft(df.withColumn(predTmp, pred)) {
+      (acc, stageRaw) =>
+      val stage = asDoc(stageRaw, "update pipeline stage")
+      require(stage.size == 1,
+        s"update pipeline stage: exactly one operator, got ${stage.keys}")
+      stage.head match {
+        case ("$set", spec) => pipelineSet(acc, p, asDoc(spec, "$set"))
+        case ("$addFields", spec) =>
+          pipelineSet(acc, p, asDoc(spec, "$addFields"))
+        case ("$unset", spec) =>
+          val paths = spec match {
+            case s: Seq[_] => s.map(_.toString)
+            case one => Seq(one.toString)
+          }
+          paths.foldLeft(acc)((d, path) => unsetPath(d, path, p))
+        case ("$replaceWith", spec) =>
+          pipelineReplaceRoot(acc, p, spec, idCol, predTmp)
+        case ("$replaceRoot", spec) =>
+          pipelineReplaceRoot(acc, p,
+            asDoc(spec, "$replaceRoot").getOrElse("newRoot",
+              throw new IllegalArgumentException(
+                "$replaceRoot requires newRoot")), idCol, predTmp)
+        case ("$project", _) => throw new IllegalArgumentException(
+          "update pipeline $project: unsupported — conditional schema " +
+            "surgery has no columnar equivalent; use $unset for removals " +
+            "and $set for computed fields")
+        case (other, _) => throw new IllegalArgumentException(
+          s"update pipeline: unsupported stage $other " +
+            "($set/$addFields/$unset/$replaceRoot/$replaceWith)")
+      }
+    }
+    out.drop(predTmp)
+  }
+
+  /** One pipeline $set/$addFields stage: all expressions evaluated
+    * against the pre-stage document in one batch, then written through
+    * the pred-aware nested-path writer. */
+  private def pipelineSet(df: DataFrame, pred: Column,
+      fields: Map[String, Any])(implicit af: ArrayFilters): DataFrame = {
+    import graft.pipeline.PipelineCompiler.expr2col
+    val tmp = fields.keys.zipWithIndex
+      .map { case (p, i) => p -> s"__updpipe_$i" }.toMap
+    val staged = df.withColumns(
+      fields.map { case (p, e) => tmp(p) -> expr2col(e) })
+    val applied = fields.keys.foldLeft(staged) { (d, p) =>
+      setPath(d, p, pred, _ => col(tmp(p)))
+    }
+    applied.drop(tmp.values.toSeq: _*)
+  }
+
+  /** Pipeline $replaceRoot/$replaceWith: the new root must compile to a
+    * struct; matched rows take its fields (absent fields go null), other
+    * rows keep theirs. `idCol` is preserved, like replacement updates. */
+  private def pipelineReplaceRoot(df: DataFrame, pred: Column,
+      newRoot: Any, idCol: String, predTmp: String): DataFrame = {
+    import graft.pipeline.PipelineCompiler.expr2col
+    val rootCol = expr2col(newRoot)
+    val rootType = df.select(rootCol.as("__r")).schema.head.dataType match {
+      case s: org.apache.spark.sql.types.StructType => s
+      case other => throw new IllegalArgumentException(
+        s"update pipeline $$replaceRoot: newRoot must be a document, " +
+          s"got $other")
+    }
+    val staged = df.withColumn("__updroot", rootCol)
+    val newNames = rootType.fieldNames.toSeq
+    val existing = df.columns.toSeq.filterNot(_ == predTmp)
+    val kept = existing.filterNot(_ == idCol).foldLeft(staged) { (d, c) =>
+      if (newNames.contains(c))
+        d.withColumn(c, when(pred, col("__updroot").getField(c))
+          .otherwise(col(c)))
+      else
+        d.withColumn(c, when(pred, lit(null).cast(d.schema(c).dataType))
+          .otherwise(col(c)))
+    }
+    newNames.filterNot(existing.contains).foldLeft(kept) { (d, c) =>
+      d.withColumn(c, when(pred, col("__updroot").getField(c))
+        .otherwise(lit(null)))
+    }.drop("__updroot")
+  }
+
   private def applyReplacement(df: DataFrame, pred: Column,
       doc: Map[String, Any], idCol: String): DataFrame = {
     val existing = df.columns.toSeq

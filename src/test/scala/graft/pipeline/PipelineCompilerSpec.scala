@@ -334,6 +334,26 @@ class PipelineCompilerSpec extends SparkSpec {
       .as[Seq[Int]].head() == Seq(0, 2))
   }
 
+  test("$graphLookup restrictSearchWithMatch filters traversable docs") {
+    val nodes = Seq((0, -1, true), (1, 0, true), (2, 1, false),
+      (3, 2, true)).toDF("id", "parent", "ok")
+    // node 2 is not traversable: 3's walk stops there (2 excluded AND
+    // nothing beyond it is reachable)
+    val out = PipelineCompiler.compile(
+      Seq(Map("$graphLookup" -> Map(
+        "from" -> "nodes", "startWith" -> "$parent",
+        "connectFromField" -> "parent", "connectToField" -> "id",
+        "as" -> "anc",
+        "restrictSearchWithMatch" -> Map("ok" -> true)))),
+      tables = _ => nodes)(nodes)
+    val got = out.select($"id",
+      expr("sort_array(transform(anc, x -> x.id))").as("a"))
+      .orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getSeq[Int](1))).toSeq
+    assert(got == Seq((0, Nil), (1, Seq(0)), (2, Seq(0, 1)),
+      (3, Nil)))
+  }
+
   test("$setWindowFields compiles to Spark window functions") {
     val out = run(Map("$setWindowFields" -> Map(
       "partitionBy" -> "$cat",

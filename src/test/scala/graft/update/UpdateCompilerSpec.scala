@@ -318,4 +318,57 @@ class UpdateCompilerSpec extends SparkSpec {
       Map("$pullAll" -> Map("arr" -> Seq.empty[Int])))(dups)
     assert(noop.select("arr").as[Seq[Int]].head() == Seq(1, 2, 1, 3, 2, 1))
   }
+
+  test("pipeline update: $set expressions read the pre-stage document") {
+    val d = Seq((1L, 2.0, 3.0), (2L, 5.0, 7.0)).toDF("_id", "a", "b")
+    val out = UpdateCompiler.applyUpdatePipeline(d, col("_id") === 1L,
+      Seq(Map("$set" -> Map(
+        "total" -> Map("$multiply" -> Seq("$a", "$b")),
+        "a" -> "$b", "b" -> "$a"))))     // swap: both read pre-stage values
+    val r = out.orderBy("_id").collect()
+    assert(r(0).getDouble(1) == 3.0 && r(0).getDouble(2) == 2.0)
+    assert(r(0).getDouble(3) == 6.0)
+    // unmatched row unchanged, new column null
+    assert(r(1).getDouble(1) == 5.0 && r(1).getDouble(2) == 7.0)
+    assert(r(1).isNullAt(3))
+  }
+
+  test("pipeline update: multi-stage, $unset, $replaceWith blending") {
+    val d = Seq((1L, "x", 10.0), (2L, "y", 20.0)).toDF("_id", "cat", "v")
+    val out = UpdateCompiler.applyUpdatePipeline(d, col("v") >= 20.0,
+      Seq(
+        Map("$set" -> Map("v2" -> Map("$multiply" -> Seq("$v", 2)))),
+        Map("$unset" -> "cat"),
+        Map("$replaceWith" -> Map("kept" -> "$v2",
+          "tag" -> Map("$literal" -> "rw")))))
+    val rows = out.orderBy("_id").collect()
+    val schema = out.columns.toSeq
+    // matched row: cat nulled by $unset then whole doc replaced (id kept)
+    val m = rows(1)
+    assert(m.getLong(schema.indexOf("_id")) == 2L)
+    assert(m.isNullAt(schema.indexOf("cat")))
+    assert(m.isNullAt(schema.indexOf("v")))
+    assert(m.getDouble(schema.indexOf("kept")) == 40.0)
+    assert(m.getString(schema.indexOf("tag")) == "rw")
+    // unmatched row fully preserved; replacement fields null
+    val u = rows(0)
+    assert(u.getString(schema.indexOf("cat")) == "x")
+    assert(u.getDouble(schema.indexOf("v")) == 10.0)
+    assert(u.isNullAt(schema.indexOf("kept")))
+    assert(u.isNullAt(schema.indexOf("tag")))
+  }
+
+  test("pipeline update: $project and unknown stages are rejected") {
+    val d = Seq((1L, 1.0)).toDF("_id", "v")
+    val e1 = intercept[IllegalArgumentException] {
+      UpdateCompiler.applyUpdatePipeline(d, lit(true),
+        Seq(Map("$project" -> Map("v" -> 1))))
+    }
+    assert(e1.getMessage.contains("$unset"))
+    val e2 = intercept[IllegalArgumentException] {
+      UpdateCompiler.applyUpdatePipeline(d, lit(true),
+        Seq(Map("$group" -> Map("_id" -> null))))
+    }
+    assert(e2.getMessage.contains("unsupported stage"))
+  }
 }
