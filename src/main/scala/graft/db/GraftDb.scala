@@ -568,6 +568,9 @@ object TableOps {
   final case class BulkInsert(rows: DataFrame) extends BulkOp
   final case class BulkUpdate(query: Map[String, Any],
       update: Map[String, Any]) extends BulkOp
+  /** Pipeline-form bulk update (Mongo 4.2 `update: [stage…]`). */
+  final case class BulkUpdatePipeline(query: Map[String, Any],
+      stages: Seq[Any]) extends BulkOp
   final case class BulkUpsert(key: Any, row: DataFrame) extends BulkOp
   final case class BulkRemove(query: Map[String, Any]) extends BulkOp
 
@@ -586,6 +589,9 @@ object TableOps {
           case BulkInsert(rows)     => df.unionByName(rows)
           case BulkUpdate(q, u)     =>
             UpdateCompiler.applyUpdate(df, QueryCompiler.compile(q), u, idCol)
+          case BulkUpdatePipeline(q, st) =>
+            UpdateCompiler.applyUpdatePipeline(df, QueryCompiler.compile(q),
+              st, idCol)
           case BulkUpsert(key, row) =>
             upsert(df, row, idCol)
           case BulkRemove(q)        =>
@@ -599,12 +605,17 @@ object TableOps {
       val inserts = ops.collect { case BulkInsert(r) => r }
       val upserts = ops.collect { case BulkUpsert(_, r) => r }
       val updates = ops.collect { case BulkUpdate(q, u) => (q, u) }
+      val pipeUpdates =
+        ops.collect { case BulkUpdatePipeline(q, st) => (q, st) }
       val removes = ops.collect { case BulkRemove(q) => q }
       var df = base
       if (inserts.nonEmpty) df = df.unionByName(inserts.reduce(_ unionByName _))
       if (upserts.nonEmpty) df = upsert(df, upserts.reduce(_ unionByName _), idCol)
       df = updates.foldLeft(df) { case (d, (q, u)) =>
         UpdateCompiler.applyUpdate(d, QueryCompiler.compile(q), u, idCol) }
+      df = pipeUpdates.foldLeft(df) { case (d, (q, st)) =>
+        UpdateCompiler.applyUpdatePipeline(d, QueryCompiler.compile(q),
+          st, idCol) }
       if (removes.nonEmpty) {
         val anyMatch = removes.map(q =>
           coalesce(QueryCompiler.compile(q), lit(false))).reduce(_ || _)
@@ -625,6 +636,25 @@ object TableOps {
       : (DataFrame, DataFrame) = {
     require(!(remove && update.nonEmpty),
       "cannot remove and update in one findAndModify") // db/data.go:19-26
+    findAndModifyWith(df, query, sortKeys,
+      (d, hit) => UpdateCompiler.applyUpdate(d, hit, update, idCol),
+      remove, idCol, returnNew)
+  }
+
+  /** findAndModify with a pipeline-form update (Mongo 4.2). */
+  def findAndModifyPipeline(df: DataFrame, query: Map[String, Any],
+      sortKeys: Seq[String], stages: Seq[Any],
+      idCol: String = "_id", returnNew: Boolean = false)
+      : (DataFrame, DataFrame) =
+    findAndModifyWith(df, query, sortKeys,
+      (d, hit) => UpdateCompiler.applyUpdatePipeline(d, hit, stages, idCol),
+      remove = false, idCol, returnNew)
+
+  private def findAndModifyWith(df: DataFrame, query: Map[String, Any],
+      sortKeys: Seq[String],
+      applyFn: (DataFrame, Column) => DataFrame,
+      remove: Boolean, idCol: String, returnNew: Boolean)
+      : (DataFrame, DataFrame) = {
     val pred = QueryCompiler.compile(query)
     // the id tiebreak makes limit(1) DETERMINISTIC: the selected-row
     // subplan is embedded lazily in both returned frames, and without a
@@ -643,7 +673,7 @@ object TableOps {
     if (remove)
       (dfm.where(!hit).drop("__fam_hit"), dfm.where(hit).drop("__fam_hit"))
     else {
-      val updatedM = UpdateCompiler.applyUpdate(dfm, hit, update, idCol)
+      val updatedM = applyFn(dfm, hit)
       (updatedM.drop("__fam_hit"),
         (if (returnNew) updatedM.where(hit) else dfm.where(hit))
           .drop("__fam_hit"))

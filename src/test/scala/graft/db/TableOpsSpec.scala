@@ -18,6 +18,35 @@ class TableOpsSpec extends SparkSpec {
     assert(out.where($"_id" === 3).select("cat").as[String].head() == "c")
   }
 
+  test("updateAllPipeline: stage expressions, matched count observed") {
+    val (out, info) = updateAllPipeline(base,
+      Map("_id" -> Map("$lte" -> 2)),
+      Seq(Map("$set" -> Map(
+        "v" -> Map("$multiply" -> Seq("$v", 10))))))
+    assert(info.updated == 2)
+    assert(out.orderBy("_id").select("v").as[Double].collect().toSeq ==
+      Seq(10.0, 20.0, 3.0))
+  }
+
+  test("findAndModifyPipeline updates only the first sorted match") {
+    val (out, pre) = findAndModifyPipeline(base, Map("v" -> Map("$gt" -> 0)),
+      Seq("-v"), Seq(Map("$set" ->
+        Map("cat" -> Map("$concat" -> Seq("$cat", "!"))))))
+    assert(pre.select("cat").as[String].head() == "c") // pre-image
+    assert(out.orderBy("_id").select("cat").as[String].collect().toSeq ==
+      Seq("a", "b", "c!"))
+  }
+
+  test("runBulk applies pipeline-form updates in both modes") {
+    val ops = Seq(BulkUpdatePipeline(Map("cat" -> "a"),
+      Seq(Map("$set" -> Map("v" -> Map("$add" -> Seq("$v", 100)))))))
+    for (unordered <- Seq(false, true)) {
+      val out = runBulk(base, ops, unordered = unordered)
+      assert(out.orderBy("_id").select("v").as[Double].collect().toSeq ==
+        Seq(101.0, 2.0, 3.0), s"unordered=$unordered")
+    }
+  }
+
   test("removeAll anti-filters") {
     val (out, info) = removeAll(base, Map("cat" -> "b"))
     assert(info.removed == 1)
