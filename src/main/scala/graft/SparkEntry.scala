@@ -827,6 +827,33 @@ object SparkEntry {
         .orderBy(col("score").desc, col("order_key")).limit(50)
     }),
 
+    // Bucketed co-located join: both sides written bucketBy(orderkey)
+    // once (the shuffle paid at write time), then the fact⋈fact join and
+    // its aggregate run with NO Exchange on either bucketed side
+    // (BucketingSpec pins the plan) — the storage-layout half of the
+    // 100 TB shuffle story
+    "q167_bucketed_join" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-bkt-q").toString
+      val lt = graft.ops.Bucketing.writeBucketed(
+        tbl(s, dir, "lineitem").withColumn("k", col("l_orderkey")),
+        "k", 8, tmp)
+      val rt = graft.ops.Bucketing.writeBucketed(
+        tbl(s, dir, "orders").withColumn("k", col("o_orderkey")),
+        "k", 8, tmp)
+      graft.ops.Bucketing.bucketedEquiJoin(s, lt, rt, "k")
+        .groupBy("o_orderpriority")
+        // exact decimal arithmetic end-to-end: price and discount each
+        // round unambiguously to their stored 2-decimal values, and the
+        // decimal multiply/sum is exact in both engines
+        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+            (lit(1).cast(DecimalType(4, 2)) -
+              col("l_discount").cast(DecimalType(4, 2))))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Pipeline-form update (Mongo 4.2 `update: [stage…]`): $set stage
     // expressions READ the document (classic operators take literals
     // only), $unset stage removal — one conditional scan transform, same
@@ -3778,6 +3805,15 @@ object SparkEntry {
         |  AND len(list_filter(t,
         |    x -> regexp_full_match(x, 'quer.*'))) > 0
         |ORDER BY doc_id""".stripMargin,
+
+    "q167_bucketed_join" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+        |    AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q166_update_pipeline" ->
       """SELECT l_orderkey, l_linenumber,
