@@ -827,6 +827,26 @@ object SparkEntry {
         .orderBy(col("score").desc, col("order_key")).limit(50)
     }),
 
+    // $lookup concise correlated form (Mongo 8.0): equality condition +
+    // row-local shaping pipeline, pre-applied to the from-side scan so
+    // the $match pushes into the parquet read
+    "q168_lookup_concise" -> ((s, dir) =>
+      coll(s, dir, "orders").pipe(Seq(
+        Map("$match" -> Map("o_orderkey" -> Map("$lte" -> 2000))),
+        Map("$lookup" -> Map(
+          "from" -> "lineitem",
+          "localField" -> "o_orderkey",
+          "foreignField" -> "l_orderkey",
+          "as" -> "big_items",
+          "pipeline" -> Seq(
+            Map("$match" -> Map("l_quantity" -> Map("$gte" -> 45))),
+            Map("$project" -> Map("l_orderkey" -> 1,
+              "l_linenumber" -> 1))))),
+        Map("$project" -> Map("o_orderkey" -> 1,
+          "n_big" -> Map("$size" -> "$big_items")))))
+        .select(col("o_orderkey"), col("n_big"))
+        .orderBy("o_orderkey")),
+
     // Bucketed co-located join: both sides written bucketBy(orderkey)
     // once (the shuffle paid at write time), then the fact⋈fact join and
     // its aggregate run with NO Exchange on either bucketed side
@@ -3805,6 +3825,14 @@ object SparkEntry {
         |  AND len(list_filter(t,
         |    x -> regexp_full_match(x, 'quer.*'))) > 0
         |ORDER BY doc_id""".stripMargin,
+
+    "q168_lookup_concise" ->
+      """SELECT o_orderkey,
+        |  CAST((SELECT COUNT(*) FROM lineitem
+        |    WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+        |    AS INT) AS n_big
+        |FROM orders WHERE o_orderkey <= 2000
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q167_bucketed_join" ->
       """SELECT o_orderpriority,

@@ -269,24 +269,39 @@ object PipelineCompiler {
               .drop("__uw_pos", "__uw_val")
         }
 
+      case "$lookup" if doc(spec).contains("pipeline") &&
+          doc(spec).contains("localField") =>
+        // Mongo 8.0 concise correlated form: equality condition PLUS a
+        // shaping pipeline. Row-local stages commute with the equality
+        // join, so they pre-apply to the from-side scan (filters push
+        // down); per-group stages ($limit/$sort/$group/…) would need the
+        // grouped subsets and are rejected toward the $expr pipeline form.
+        val d = doc(spec)
+        require(!d.contains("let"),
+          "$lookup: let requires the pipeline-only form " +
+            "(first stage $match/$expr)")
+        val sub = pipelineSeq(d("pipeline"))
+        val rowLocal = Set("$match", "$project", "$set", "$addFields",
+          "$unset", "$replaceRoot", "$replaceWith")
+        sub.foreach { st =>
+          require(rowLocal(st.head._1),
+            s"$$lookup localField+pipeline: stage ${st.head._1} is " +
+              "per-joined-group; use the pipeline-only form with a " +
+              "$match/$expr first stage")
+        }
+        val shaped = compile(sub, tables)(tables(d("from").toString))
+        require(shaped.columns.contains(d("foreignField").toString),
+          s"$$lookup localField+pipeline: the pipeline must preserve " +
+            s"foreignField '${d("foreignField")}' (it drives the join); " +
+            "include it in $project inclusions")
+        lookupEquality(df, d, shaped)
+
       case "$lookup" if doc(spec).contains("pipeline") =>
         lookupPipeline(df, doc(spec), tables)
 
       case "$lookup" =>
         val d = doc(spec)
-        val from = tables(d("from").toString)
-        val local = d("localField").toString
-        val foreign = d("foreignField").toString
-        val as = d("as").toString
-        // left join + re-group preserving all left columns; joined docs
-        // collected as an array of structs (Mongo $lookup shape).
-        val leftCols = df.columns.toSeq
-        val fStruct = struct(from.columns.map(from(_)).toSeq: _*)
-        val grouped = from.groupBy(col(foreign).as("__lk"))
-          .agg(collect_list(fStruct).as(as))
-        df.join(grouped, df(local) === grouped("__lk"), "left_outer")
-          .drop("__lk")
-          .withColumn(as, coalesce(col(as), array()))
+        lookupEquality(df, d, tables(d("from").toString))
 
       case "$__lookupUnwind" => // fused $lookup + $unwind = join
         val d = doc(spec)
@@ -1848,6 +1863,22 @@ object PipelineCompiler {
     *     join equi-shaped and broadcast-eligible.
     * Anything beyond that (correlated `$lt`, per-key `$limit`) throws
     * rather than silently degrading to a nested-loop join. */
+  /** Classic equality `$lookup`: left join + re-group, joined docs as an
+    * array of structs (Mongo shape); `from` may be pre-shaped by the
+    * concise-correlated pipeline form. */
+  private def lookupEquality(df: DataFrame, d: Map[String, Any],
+      from: DataFrame): DataFrame = {
+    val local = d("localField").toString
+    val foreign = d("foreignField").toString
+    val as = d("as").toString
+    val fStruct = struct(from.columns.map(from(_)).toSeq: _*)
+    val grouped = from.groupBy(col(foreign).as("__lk"))
+      .agg(collect_list(fStruct).as(as))
+    df.join(grouped, df(local) === grouped("__lk"), "left_outer")
+      .drop("__lk")
+      .withColumn(as, coalesce(col(as), array()))
+  }
+
   private def lookupPipeline(df: DataFrame, d: Map[String, Any],
       tables: TableResolver): DataFrame = {
     val from = tables(d("from").toString)

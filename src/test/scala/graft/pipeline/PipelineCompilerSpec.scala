@@ -334,6 +334,43 @@ class PipelineCompilerSpec extends SparkSpec {
       .as[Seq[Int]].head() == Seq(0, 2))
   }
 
+  test("$lookup concise correlated form: equality + row-local pipeline") {
+    val orders = Seq((1L, "a"), (2L, "b")).toDF("oid", "tag")
+    val items = Seq((1L, "x", 5), (1L, "y", 50), (2L, "z", 7))
+      .toDF("oid", "sku", "qty")
+    val out = PipelineCompiler.compile(
+      Seq(Map("$lookup" -> Map(
+        "from" -> "items", "localField" -> "oid",
+        "foreignField" -> "oid", "as" -> "its",
+        "pipeline" -> Seq(
+          Map("$match" -> Map("qty" -> Map("$lt" -> 10))),
+          Map("$project" -> Map("sku" -> 1, "oid" -> 1)))))),
+      tables = _ => items)(orders)
+    val got = out.orderBy("oid")
+      .select(expr("transform(its, x -> x.sku)")).as[Seq[String]]
+      .collect().toSeq
+    assert(got == Seq(Seq("x"), Seq("z"))) // qty>=10 filtered pre-join
+    // a pipeline that drops the join key is rejected with guidance
+    val eKey = intercept[IllegalArgumentException] {
+      PipelineCompiler.compile(
+        Seq(Map("$lookup" -> Map(
+          "from" -> "items", "localField" -> "oid",
+          "foreignField" -> "oid", "as" -> "its",
+          "pipeline" -> Seq(Map("$project" -> Map("sku" -> 1)))))),
+        tables = _ => items)(orders)
+    }
+    assert(eKey.getMessage.contains("must preserve"))
+    val e = intercept[IllegalArgumentException] {
+      PipelineCompiler.compile(
+        Seq(Map("$lookup" -> Map(
+          "from" -> "items", "localField" -> "oid",
+          "foreignField" -> "oid", "as" -> "its",
+          "pipeline" -> Seq(Map("$limit" -> 1))))),
+        tables = _ => items)(orders)
+    }
+    assert(e.getMessage.contains("per-joined-group"))
+  }
+
   test("$graphLookup restrictSearchWithMatch filters traversable docs") {
     val nodes = Seq((0, -1, true), (1, 0, true), (2, 1, false),
       (3, 2, true)).toDF("id", "parent", "ok")
