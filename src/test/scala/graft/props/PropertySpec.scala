@@ -206,4 +206,47 @@ class GeoProps extends SparkSpec with GenSampling {
       }
     } finally { df.unpersist(); () }
   }
+
+  test("pipeline-form $set with a literal ≡ classic $set for random preds") {
+    import graft.update.UpdateCompiler
+    val rows = (1L to 120L).map(i => (i, (i * 13 % 50).toDouble))
+    val d = rows.toDF("_id", "v")
+    for (thr <- samples(Gen.choose(0.0, 50.0), 8)) {
+      val q = Map("v" -> Map("$gt" -> thr))
+      val classic = UpdateCompiler.applyUpdate(d,
+        QueryCompiler.compile(q), Map("$set" -> Map("tag" -> 1)))
+        .select("_id", "tag").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1 else r.getInt(1)))
+        .toMap
+      val piped = UpdateCompiler.applyUpdatePipeline(d,
+        QueryCompiler.compile(q),
+        Seq(Map("$set" -> Map("tag" -> Map("$literal" -> 1)))))
+        .select("_id", "tag").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1 else r.getInt(1)))
+        .toMap
+      assert(classic == piped, s"thr=$thr")
+    }
+  }
+
+  test("PCA full-basis projection preserves pairwise distances") {
+    import graft.ops.Pca
+    for (seed <- samples(Gen.choose(1, 1000), 3)) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (0 until 40).map(i =>
+        (i.toLong, Array.fill(5)(rnd.nextGaussian())))
+      val d = rows.toDF("id", "emb")
+      val m = Pca.fit(d, "emb")
+      val proj = Pca.project(d, "emb", m, "pc")
+        .select("id", "pc").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+      def d2(a: Array[Double], b: Array[Double]) =
+        a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+      val raw = rows.toMap
+      for (i <- 0L until 10L; j <- (i + 1) until 10L) {
+        val orig = d2(raw(i), raw(j))
+        val rot = d2(proj(i), proj(j))
+        assert(math.abs(orig - rot) < 1e-9, s"seed=$seed pair=($i,$j)")
+      }
+    }
+  }
 }
