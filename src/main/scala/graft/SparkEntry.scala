@@ -827,6 +827,37 @@ object SparkEntry {
         .orderBy(col("score").desc, col("order_key")).limit(50)
     }),
 
+    // Streaming quality filter: train the NB model once on the batch
+    // corpus, then score a document STREAM against it per micro-batch
+    // (stream-static token join via foreachBatch, zero streaming state)
+    // and keep the positives — the train-once/filter-forever shape of
+    // continuous data curation
+    "q169_stream_quality" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-squal").toString
+      val docs = tbl(s, dir, "documents")
+      docs.write.parquet(s"$tmp/src")
+      val model = Classifier.trainLogOdds(docs, "text",
+        col("lang") === "en")
+      val prior = Classifier.priorFrame(docs, col("lang") === "en")
+      // train-time calibration: the keep-threshold is the P50 of the
+      // training corpus's per-token scores (how production filters pick
+      // their knob), so the query is scale-invariant
+      val thr = Classifier.scoreAgainst(docs, "doc_id", "text",
+          model, prior)
+        .agg(median(col("score") / col("n_tokens"))).head().getDouble(0)
+      graft.streaming.StreamingMigrations.qualityFilterStream(
+        graft.streaming.StreamingMigrations.readStream(
+          s, s"$tmp/src", docs.schema),
+        "doc_id", "text", model, prior,
+        s"$tmp/out", s"$tmp/ckpt",
+        minScorePerToken = thr).awaitTermination()
+      s.read.parquet(s"$tmp/out")
+        .select(col("doc_id"), col("n_tokens"),
+          col("score").cast("decimal(18,9)").cast("double").as("score"))
+        .orderBy("doc_id")
+    }),
+
     // $lookup concise correlated form (Mongo 8.0): equality condition +
     // row-local shaping pipeline, pre-applied to the from-side scan so
     // the $match pushes into the parquet read
@@ -3824,6 +3855,31 @@ object SparkEntry {
         |  AND NOT (lang = 'de')
         |  AND len(list_filter(t,
         |    x -> regexp_full_match(x, 'quer.*'))) > 0
+        |ORDER BY doc_id""".stripMargin,
+
+    "q169_stream_quality" ->
+      """WITH tk AS (SELECT doc_id, lang = 'en' AS pos,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |tok AS (SELECT doc_id, pos, unnest(t) AS w FROM tk),
+        |voc AS (SELECT w,
+        |    SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS cp,
+        |    SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS cn
+        |  FROM tok GROUP BY w),
+        |pri AS (SELECT ln(
+        |    (SUM(CASE WHEN pos THEN 1 ELSE 0 END) + 1.0) /
+        |    (SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) + 1.0)) AS prior
+        |  FROM tk),
+        |sc AS (SELECT doc_id, COUNT(*) AS n,
+        |    CAST(SUM(CAST(ln((cp + 1.0) / (cn + 1.0))
+        |      AS DECIMAL(28,12))) AS DOUBLE) AS s
+        |  FROM tok JOIN voc USING (w) GROUP BY doc_id)
+        |SELECT doc_id, n AS n_tokens,
+        |  CAST(CAST(s + prior AS DECIMAL(18,9)) AS DOUBLE) AS score
+        |FROM sc, pri,
+        |  (SELECT median((s2.s + p2.prior) / s2.n) AS thr
+        |     FROM sc s2, pri p2) t
+        |WHERE (s + prior) / n > t.thr
         |ORDER BY doc_id""".stripMargin,
 
     "q168_lookup_concise" ->

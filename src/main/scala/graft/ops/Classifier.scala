@@ -49,12 +49,24 @@ object Classifier {
     * the output (same contract as LanguageModel.perplexity). */
   def naiveBayesScore(df: DataFrame, idCol: String, textCol: String,
       labeled: DataFrame, labeledTextCol: String, posLabel: Column,
-      k: Double = 1.0, minCount: Long = 1L): DataFrame = {
-    val model = trainLogOdds(labeled, labeledTextCol, posLabel, k, minCount)
-    // document-level class prior: one broadcast row
-    val prior = labeled.agg(
+      k: Double = 1.0, minCount: Long = 1L): DataFrame =
+    scoreAgainst(df, idCol, textCol,
+      trainLogOdds(labeled, labeledTextCol, posLabel, k, minCount),
+      priorFrame(labeled, posLabel))
+
+  /** Document-level class prior as a 1-row frame (broadcast into the
+    * scoring plan): ln((n_pos + 1) / (n_neg + 1)). */
+  def priorFrame(labeled: DataFrame, posLabel: Column): DataFrame =
+    labeled.agg(
       log((sum(when(posLabel, 1L).otherwise(0L)) + 1.0) /
         (sum(when(posLabel, 0L).otherwise(1L)) + 1.0)).as("__nb_prior"))
+
+  /** Score against an ALREADY-trained model table and prior frame — the
+    * reusable half of `naiveBayesScore`, and the per-micro-batch work of
+    * streaming quality filtering (train once on a batch corpus, join
+    * each arriving batch against the static model). */
+  def scoreAgainst(df: DataFrame, idCol: String, textCol: String,
+      model: DataFrame, prior: DataFrame): DataFrame =
     df.select(col(idCol),
         explode(TextFunctions.tokens(col(textCol))).as("w"))
       .join(model.select(col("w"), col("log_odds")), Seq("w"), "left")
@@ -68,7 +80,6 @@ object Classifier {
           .cast("decimal(28,12)")).cast("double") +
           first(col("__nb_prior"))).as("score"))
       .withColumn("predicted", col("score") > 0)
-  }
 
   /** Self-trained form: the heuristic `posLabel` column labels `df`, the
     * model fits on it, and every document is scored against that model. */

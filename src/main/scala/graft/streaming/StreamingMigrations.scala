@@ -82,6 +82,33 @@ object StreamingMigrations {
     ensureEventTime(stream, tsCol).withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Continuous quality filtering: score each arriving micro-batch of
+    * documents against a BATCH-trained Naive-Bayes model (the
+    * train-once / filter-forever shape of production data curation) and
+    * append rows clearing `minScore` to `outPath`. The per-batch work is
+    * a stream-static token equi-join + hash aggregate via `foreachBatch`
+    * — the standard pattern for joins-with-aggregation on streams; state
+    * is zero (each batch scores independently), so a 100 TB/day feed
+    * holds nothing but the model table. Returns the started query. */
+  def qualityFilterStream(stream: DataFrame, idCol: String,
+      textCol: String, model: DataFrame, prior: DataFrame,
+      outPath: String, checkpoint: String,
+      minScorePerToken: Double = 0.0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.Classifier
+          .scoreAgainst(batch, idCol, textCol, model, prior)
+          // per-token normalization: the raw sum scales with document
+          // length, so a length-free threshold is the usable knob
+          .where(col("score") / col("n_tokens") > minScorePerToken)
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Event-time windowed success/fail/duration rollup with watermark —
     * the streaming analog of Apm.rollup + window rotation. */
   def windowedRollup(events: DataFrame, tsCol: String, keys: Seq[String],

@@ -3,6 +3,7 @@ package graft.streaming
 import graft.SparkSpec
 import graft.model._
 import java.nio.file.Files
+import org.apache.spark.sql.functions.col
 
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
@@ -150,5 +151,26 @@ class StreamingSpec extends SparkSpec {
       .select("succeeded", "failed", "duration_ns")
       .as[(Long, Long, Long)].collect().toSeq
     assert(rows == Seq((1L, 1L, 150L), (1L, 0L, 10L)))
+  }
+
+  test("qualityFilterStream keeps only docs clearing the per-token bar") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sq").toString
+    val train = Seq(
+      (1L, "good clean prose", true), (2L, "good solid prose", true),
+      (3L, "spam junk noise", false), (4L, "junk noise spam", false)
+    ).toDF("doc_id", "text", "label")
+    val model = graft.ops.Classifier.trainLogOdds(train, "text",
+      col("label"))
+    val prior = graft.ops.Classifier.priorFrame(train, col("label"))
+    val arriving = Seq((10L, "good prose here"), (11L, "junk spam noise"))
+      .toDF("doc_id", "text")
+    arriving.write.parquet(s"$tmp/src")
+    graft.streaming.StreamingMigrations.qualityFilterStream(
+      StreamingMigrations.readStream(spark, s"$tmp/src", arriving.schema),
+      "doc_id", "text", model, prior,
+      s"$tmp/out", s"$tmp/ckpt").awaitTermination()
+    val kept = spark.read.parquet(s"$tmp/out")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(10L)) // the junk doc scores negative and is dropped
   }
 }
