@@ -207,16 +207,25 @@ object Pca {
   }
 
   /** Scan-fused projection: outCol = [⟨x − μ, cᵢ⟩ for each component].
-    * Literal model vectors fold into codegen — no join, no shuffle. */
+    * Literal model vectors fold into codegen — no join, no shuffle.
+    * `whiten` divides each coordinate by √λᵢ, giving unit variance per
+    * component (the usual preprocessing before cosine/Euclidean ANN or
+    * k-means on projected vectors); zero-variance components stay zero
+    * rather than dividing by ~0. */
   def project(df: DataFrame, embCol: String, model: Model,
-      outCol: String = "pca"): DataFrame = {
+      outCol: String = "pca", whiten: Boolean = false): DataFrame = {
     val x = col(embCol).cast("array<double>")
     val muLit = array(model.mean.map(lit): _*)
     val centered = zip_with(x, muLit, (a, b) => a - b)
-    val coords = model.components.map { comp =>
+    val coords = model.components.zipWithIndex.map { case (comp, i) =>
       val cLit = array(comp.map(lit): _*)
-      aggregate(zip_with(centered, cLit, (a, b) => a * b),
+      val raw = aggregate(zip_with(centered, cLit, (a, b) => a * b),
         lit(0.0), (acc, e) => acc + e)
+      if (!whiten) raw
+      else {
+        val ev = model.eigenvalues(i)
+        if (ev > 1e-12) raw / lit(math.sqrt(ev)) else lit(0.0)
+      }
     }
     df.withColumn(outCol, array(coords: _*))
   }

@@ -67,6 +67,22 @@ class PcaSpec extends graft.SparkSpec {
     assert(math.abs(v1 - m.eigenvalues(0)) < 1e-6)
   }
 
+  test("whitened projection has ~unit variance per component") {
+    val rnd = new scala.util.Random(23)
+    val rows = Seq.fill(500)(Array(rnd.nextGaussian() * 9.0,
+      rnd.nextGaussian() * 2.0, 0.0))
+    val df = rows.map(Tuple1(_)).toDF("emb")
+    val m = Pca.fit(df, "emb")
+    val w = Pca.project(df, "emb", m, "pc", whiten = true)
+      .select("pc").collect().map(_.getSeq[Double](0))
+    for (i <- 0 until 2) {
+      val v = w.map(p => p(i) * p(i)).sum / w.length
+      assert(math.abs(v - 1.0) < 1e-6, s"component $i variance $v")
+    }
+    // zero-variance component stays zero, not NaN
+    assert(w.forall(p => p(2) == 0.0))
+  }
+
   test("pcaTopK: high recall vs brute force; exact when candidates cover") {
     val rnd = new scala.util.Random(17)
     val rows = (0 until 120).map(i =>
