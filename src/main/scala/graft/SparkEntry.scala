@@ -827,6 +827,24 @@ object SparkEntry {
         .orderBy(col("score").desc, col("order_key")).limit(50)
     }),
 
+    // $search highlight option: per-hit passages (pre/hit/post token
+    // windows) through {$meta: "searchHighlights"}, declared as exploded
+    // scalar legs for the driver comparator
+    "q170_search_highlight" -> ((s, dir) =>
+      coll(s, dir, "documents").pipe(Seq(
+        Map("$search" -> Map(
+          "text" -> Map("query" -> "stream filter", "path" -> "text"),
+          "highlight" -> Map("path" -> "text", "maxNumPassages" -> 3))),
+        Map("$match" -> Map("doc_id" -> Map("$lt" -> 120))),
+        Map("$project" -> Map("doc_id" -> 1,
+          "hl" -> Map("$meta" -> "searchHighlights")))))
+        .select(col("doc_id"), posexplode(col("hl")).as(Seq("pos", "p")))
+        .select(col("doc_id"), col("pos"),
+          col("p.texts")(0)("value").as("pre"),
+          col("p.texts")(1)("value").as("hit"),
+          col("p.texts")(2)("value").as("post"))
+        .orderBy("doc_id", "pos")),
+
     // Streaming quality filter: train the NB model once on the batch
     // corpus, then score a document STREAM against it per micro-batch
     // (stream-static token join via foreachBatch, zero streaming state)
@@ -3856,6 +3874,25 @@ object SparkEntry {
         |  AND len(list_filter(t,
         |    x -> regexp_full_match(x, 'quer.*'))) > 0
         |ORDER BY doc_id""".stripMargin,
+
+    "q170_search_highlight" ->
+      """WITH tk AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents WHERE doc_id < 120),
+        |hit AS (SELECT doc_id, i, t
+        |  FROM tk, UNNEST(range(1, len(t) + 1)) u(i)
+        |  WHERE t[i] IN ('stream', 'filter')),
+        |rk AS (SELECT doc_id, i, t,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS pos
+        |  FROM hit)
+        |SELECT doc_id, CAST(pos AS INT) AS pos,
+        |  COALESCE(array_to_string(t[greatest(i-2, 1) : i-1], ' '), '')
+        |    AS pre,
+        |  t[i] AS hit,
+        |  COALESCE(array_to_string(t[i+1 : least(i+2, len(t))], ' '), '')
+        |    AS post
+        |FROM rk WHERE pos < 3
+        |ORDER BY doc_id, pos""".stripMargin,
 
     "q169_stream_quality" ->
       """WITH tk AS (SELECT doc_id, lang = 'en' AS pos,

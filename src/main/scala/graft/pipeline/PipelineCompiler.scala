@@ -522,7 +522,16 @@ object PipelineCompiler {
         // Atlas `sort` option: order results by stored fields (and/or the
         // score via {$meta}) instead of pure relevance
         val sortOpt = d0.get("sort").map(doc)
-        val d = d0 - "sort"
+        // Atlas `highlight` option: per-match passages exposed through
+        // {$meta: "searchHighlights"}. Columnar form (documented
+        // simplification): one passage per matching ANALYZED TOKEN of the
+        // highlight path — {path, texts: [pre "text", hit "hit", post
+        // "text"], score 1.0} with a ±2-token context window, capped at
+        // maxNumPassages (Atlas default 5). Terms come from the text/
+        // phrase legs naming the same path; pure array lambda algebra in
+        // the scan.
+        val highlightOpt = d0.get("highlight").map(doc)
+        val d = d0 - "sort" - "highlight"
         require(d.size == 1,
           s"$name: exactly one operator (text/phrase/wildcard/autocomplete" +
             s"/equals/range/exists/in/compound), got ${d.keys}")
@@ -1247,16 +1256,77 @@ object PipelineCompiler {
                   s"$name.sort.$f: $other (1/-1/{$$meta})")
               }
           }
+          // highlight passages: terms harvested driver-side from the
+          // text/phrase legs that name the highlight path
+          def termsFor(hp: String, opName: String, spec: Any): Seq[String] =
+            opName match {
+              case "text" =>
+                val os = doc(spec)
+                if (os.get("path").map(_.toString).contains(hp))
+                  os.get("query").toSeq.flatMap(
+                    _.toString.split("\\s+")).filter(_.nonEmpty)
+                else Nil
+              case "phrase" =>
+                val os = doc(spec)
+                if (os.get("path").map(_.toString).contains(hp))
+                  os.get("query").toSeq.flatMap(
+                    _.toString.split("\\s+")).filter(_.nonEmpty)
+                else Nil
+              case "compound" =>
+                Seq("must", "should", "filter").flatMap { key =>
+                  doc(spec).get(key).toSeq.flatMap {
+                    case s: Seq[_] => s.flatMap { e =>
+                      val m = doc(e); termsFor(hp, m.head._1, m.head._2)
+                    }
+                    case one =>
+                      val m = doc(one); termsFor(hp, m.head._1, m.head._2)
+                  }
+                }
+              case _ => Nil
+            }
+          def addHighlights(frame: DataFrame): DataFrame =
+            highlightOpt match {
+              case None => frame
+              case Some(h) =>
+                val hp = h.getOrElse("path",
+                  throw new IllegalArgumentException(
+                    s"$name.highlight requires path")).toString
+                val maxP = h.get("maxNumPassages").map(int).getOrElse(5)
+                val terms = termsFor(hp, d.head._1, d.head._2).distinct
+                require(terms.nonEmpty,
+                  s"$name.highlight: no text/phrase leg names path $hp")
+                val toks = graft.ops.TextFunctions.tokens(col(hp))
+                val hits = filter(
+                  zip_with(toks, sequence(lit(0), size(toks) - 1),
+                    (t, i) => struct(t.as("t"), i.as("i"))),
+                  s => s.getField("t").isin(terms: _*))
+                val passages = transform(slice(hits, 1, maxP), h0 => {
+                  val i = h0.getField("i")
+                  val pre = concat_ws(" ",
+                    slice(toks, greatest(i - 1, lit(1)), least(i, lit(2))))
+                  val post = concat_ws(" ", slice(toks, i + 2, lit(2)))
+                  struct(
+                    lit(hp).as("path"),
+                    array(
+                      struct(pre.as("value"), lit("text").as("type")),
+                      struct(h0.getField("t").as("value"),
+                        lit("hit").as("type")),
+                      struct(post.as("value"), lit("text").as("type"))
+                    ).as("texts"),
+                    lit(1.0).as("score"))
+                })
+                frame.withColumn("__searchHighlights", passages)
+            }
           if (statCols.isEmpty) {
-            df.where(matched)
-              .withColumn("__searchScore", score)
+            addHighlights(df.where(matched)
+              .withColumn("__searchScore", score))
               .orderBy(order: _*)
           } else {
             val stats = df.agg(statCols.head, statCols.tail: _*)
-            df.join(broadcast(stats))
+            addHighlights(df.join(broadcast(stats))
               .where(matched)
               .withColumn("__searchScore", score)
-              .drop(stats.columns.toSeq: _*)
+              .drop(stats.columns.toSeq: _*))
               .orderBy(order: _*)
           }
         }
@@ -3095,6 +3165,7 @@ object PipelineCompiler {
           // projections that don't ask for it drop the carrier column
           case "searchScore" | "textScore" | "score" =>
             col("__searchScore")
+          case "searchHighlights" => col("__searchHighlights")
           // per-pipeline contribution breakdown stashed by a fusion
           // stage run with scoreDetails: true
           case "scoreDetails" => col("__scoreDetails")

@@ -1858,6 +1858,33 @@ class ExprLangSpec extends graft.SparkSpec {
 class SearchStagesSpec extends graft.SparkSpec {
   import spark.implicits._
 
+  test("$search highlight: per-hit passages via searchHighlights meta") {
+    val d = Seq((1L, "alpha beta gamma delta epsilon beta zeta"),
+      (2L, "no hits here at all")).toDF("id", "txt")
+    val out = PipelineCompiler.compile(Seq(
+      Map("$search" -> Map(
+        "text" -> Map("query" -> "beta zeta", "path" -> "txt"),
+        "highlight" -> Map("path" -> "txt", "maxNumPassages" -> 2))),
+      Map("$project" -> Map("id" -> 1,
+        "hl" -> Map("$meta" -> "searchHighlights")))))(d)
+    val rows = out.where($"id" === 1)
+      .selectExpr("transform(hl, p -> struct(p.texts[0].value, " +
+        "p.texts[1].value, p.texts[2].value))")
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    // capped at 2 passages although there are 3 hits
+    assert(rows.size == 2)
+    assert(rows(0) == (("alpha", "beta", "gamma delta")))
+    assert(rows(1) == (("delta epsilon", "beta", "zeta")))
+    val err = intercept[IllegalArgumentException] {
+      PipelineCompiler.compile(Seq(
+        Map("$search" -> Map(
+          "text" -> Map("query" -> "beta", "path" -> "txt"),
+          "highlight" -> Map("path" -> "other")))))(d)
+    }
+    assert(err.getMessage.contains("no text/phrase leg"))
+  }
+
   test("$search geoWithin/geoShape legs: box, circle, within/disjoint/contains") {
     val d = Seq((1L, Seq(0.1, 0.1)), (2L, Seq(0.3, 0.0)),
       (3L, Seq(0.9, 0.9)), (4L, Seq(-0.2, 0.05)))
