@@ -827,6 +827,18 @@ object SparkEntry {
         .orderBy(col("score").desc, col("order_key")).limit(50)
     }),
 
+    // $search count option: match-count metadata carried to later stages
+    // through $$SEARCH_META.count.total (one broadcast count row)
+    "q171_search_count" -> ((s, dir) =>
+      coll(s, dir, "documents").pipe(Seq(
+        Map("$search" -> Map(
+          "text" -> Map("query" -> "vector", "path" -> "text"),
+          "count" -> Map("type" -> "total"))),
+        Map("$project" -> Map("doc_id" -> 1,
+          "total" -> "$$SEARCH_META.count.total"))))
+        .select(col("doc_id"), col("total"))
+        .orderBy("doc_id")),
+
     // $search highlight option: per-hit passages (pre/hit/post token
     // windows) through {$meta: "searchHighlights"}, declared as exploded
     // scalar legs for the driver comparator
@@ -3874,6 +3886,13 @@ object SparkEntry {
         |  AND len(list_filter(t,
         |    x -> regexp_full_match(x, 'quer.*'))) > 0
         |ORDER BY doc_id""".stripMargin,
+
+    "q171_search_count" ->
+      """WITH m AS (SELECT doc_id FROM documents
+        |  WHERE list_contains(list_filter(string_split(text, ' '),
+        |    x -> x <> ''), 'vector'))
+        |SELECT doc_id, (SELECT COUNT(*) FROM m) AS total
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     "q170_search_highlight" ->
       """WITH tk AS (SELECT doc_id,

@@ -155,13 +155,17 @@ object PipelineCompiler {
           require(!df.columns.contains(snap),
             s"$$addFields: input already has reserved column $snap")
           val rootCol = col(snap)
-          val env = Map("ROOT" -> rootCol, "CURRENT" -> rootCol)
+          val env = Map("ROOT" -> rootCol, "CURRENT" -> rootCol) ++
+            searchMetaEnv(df)
           fields.foldLeft(df.withColumn(snap,
               struct(df.columns.map(col).toSeq: _*))) {
             case (d, (as, e)) => d.withColumn(as, expr2col(e, env))
           }.drop(snap)
-        } else fields.foldLeft(df) { case (d, (as, e)) =>
-          d.withColumn(as, expr2col(e)) }
+        } else {
+          val env = searchMetaEnv(df)
+          fields.foldLeft(df) { case (d, (as, e)) =>
+            d.withColumn(as, expr2col(e, env)) }
+        }
 
       case "$unset" => spec match {
         case s: String => df.drop(s)
@@ -531,7 +535,18 @@ object PipelineCompiler {
         // phrase legs naming the same path; pure array lambda algebra in
         // the scan.
         val highlightOpt = d0.get("highlight").map(doc)
-        val d = d0 - "sort" - "highlight"
+        // Atlas `count` option: match-count metadata exposed to later
+        // stages as $$SEARCH_META.count.total (one extra count aggregate
+        // over the matched set, broadcast as a 1-row frame). `lowerBound`
+        // returns the exact total too — a columnar engine has no cheaper
+        // partial count (documented).
+        val countOpt = d0.get("count").map(doc)
+        countOpt.foreach { c =>
+          val t = c.getOrElse("type", "lowerBound").toString
+          require(Set("total", "lowerBound")(t),
+            s"$name.count.type: $t (total/lowerBound)")
+        }
+        val d = d0 - "sort" - "highlight" - "count"
         require(d.size == 1,
           s"$name: exactly one operator (text/phrase/wildcard/autocomplete" +
             s"/equals/range/exists/in/compound), got ${d.keys}")
@@ -1317,16 +1332,24 @@ object PipelineCompiler {
                 })
                 frame.withColumn("__searchHighlights", passages)
             }
+          def addCount(frame: DataFrame): DataFrame = countOpt match {
+            case None => frame
+            case Some(_) =>
+              val cnt = df.where(matched).agg(count(lit(1)).as("__t"))
+                .select(struct(struct(col("__t").as("total")).as("count"))
+                  .as("__search_meta"))
+              frame.join(broadcast(cnt))
+          }
           if (statCols.isEmpty) {
-            addHighlights(df.where(matched)
-              .withColumn("__searchScore", score))
+            addCount(addHighlights(df.where(matched)
+              .withColumn("__searchScore", score)))
               .orderBy(order: _*)
           } else {
             val stats = df.agg(statCols.head, statCols.tail: _*)
-            addHighlights(df.join(broadcast(stats))
+            addCount(addHighlights(df.join(broadcast(stats))
               .where(matched)
               .withColumn("__searchScore", score)
-              .drop(stats.columns.toSeq: _*))
+              .drop(stats.columns.toSeq: _*)))
               .orderBy(order: _*)
           }
         }
@@ -2832,10 +2855,17 @@ object PipelineCompiler {
 
   /** `$$ROOT`/`$$CURRENT` binding for stages that see the input document:
     * the whole row as a struct in input-column order. */
-  private def rootEnv(df: DataFrame): Map[String, Column] = {
-    val root = struct(df.columns.map(col).toSeq: _*)
-    Map("ROOT" -> root, "CURRENT" -> root)
-  }
+  private def rootEnv(df: DataFrame): Map[String, Column] =
+    Map("ROOT" -> struct(df.columns.map(col).toSeq: _*),
+      "CURRENT" -> struct(df.columns.map(col).toSeq: _*)) ++
+      searchMetaEnv(df)
+
+  /** The $search `count` option stashes its metadata carrier on the
+    * frame; Atlas exposes it to later stages as `$$SEARCH_META`. */
+  private def searchMetaEnv(df: DataFrame): Map[String, Column] =
+    if (df.columns.contains("__search_meta"))
+      Map("SEARCH_META" -> col("__search_meta"))
+    else Map.empty
 
   private def expr2col(e: Any, env: Map[String, Column]): Column = e match {
     case s: String if s.startsWith("$$") =>

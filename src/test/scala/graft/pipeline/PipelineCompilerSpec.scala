@@ -1858,6 +1858,30 @@ class ExprLangSpec extends graft.SparkSpec {
 class SearchStagesSpec extends graft.SparkSpec {
   import spark.implicits._
 
+  test("$search count option binds $$SEARCH_META for later stages") {
+    val d = Seq((1L, "alpha beta"), (2L, "beta gamma"), (3L, "delta"))
+      .toDF("id", "txt")
+    val out = PipelineCompiler.compile(Seq(
+      Map("$search" -> Map(
+        "text" -> Map("query" -> "beta", "path" -> "txt"),
+        "count" -> Map("type" -> "total"))),
+      Map("$project" -> Map("id" -> 1,
+        "total" -> "$$SEARCH_META.count.total"))))(d)
+      .orderBy("id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 2L), (2L, 2L)))
+    // $addFields path binds it too
+    val out2 = PipelineCompiler.compile(Seq(
+      Map("$search" -> Map(
+        "text" -> Map("query" -> "beta", "path" -> "txt"),
+        "count" -> Map())),
+      Map("$addFields" -> Map(
+        "total" -> "$$SEARCH_META.count.total"))))(d)
+      .select("id", "total").orderBy("id").collect()
+    assert(out2.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 2L), (2L, 2L)))
+  }
+
   test("$search highlight: per-hit passages via searchHighlights meta") {
     val d = Seq((1L, "alpha beta gamma delta epsilon beta zeta"),
       (2L, "no hits here at all")).toDF("id", "txt")
