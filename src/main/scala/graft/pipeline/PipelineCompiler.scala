@@ -416,7 +416,10 @@ object PipelineCompiler {
           case Some(t) => base.orderBy(score.desc, col(t.toString).asc)
           case None    => base.orderBy(score.desc)
         }
+        // the score also rides the shared carrier so a later
+        // {$meta: "vectorSearchScore"} (Atlas spelling) can read it
         val limited = ordered.limit(limit)
+          .withColumn("__searchScore", score)
         d.get("scoreField") match {
           case Some(f) => limited.withColumn(f.toString, score)
           case None    => limited
@@ -3193,7 +3196,8 @@ object PipelineCompiler {
         case "$meta" => args match {
           // relevance score stashed by the $search stage; inclusion
           // projections that don't ask for it drop the carrier column
-          case "searchScore" | "textScore" | "score" =>
+          case "searchScore" | "textScore" | "score" |
+              "vectorSearchScore" =>
             col("__searchScore")
           case "searchHighlights" => col("__searchHighlights")
           // per-pipeline contribution breakdown stashed by a fusion
