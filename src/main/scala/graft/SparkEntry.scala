@@ -827,6 +827,15 @@ object SparkEntry {
         .orderBy(col("score").desc, col("order_key")).limit(50)
     }),
 
+    // Temperature-based mixture sampling (p_s ∝ n_s^α, α = 0.5): shares
+    // derived from measured per-source token mass, small sources
+    // up-weighted — one |sources|-row agg + scan-fused hash-sample
+    "q172_temperature_mix" -> ((s, dir) =>
+      graft.ops.Sampling.temperatureMix(tbl(s, dir, "documents"), "doc_id",
+          "source", "n_chars", tokenBudget = 50000L, alpha = 0.5)
+        .select("doc_id", "source")
+        .orderBy("doc_id")),
+
     // $search count option: match-count metadata carried to later stages
     // through $$SEARCH_META.count.total (one broadcast count row)
     "q171_search_count" -> ((s, dir) =>
@@ -3886,6 +3895,20 @@ object SparkEntry {
         |  AND len(list_filter(t,
         |    x -> regexp_full_match(x, 'quer.*'))) > 0
         |ORDER BY doc_id""".stripMargin,
+
+    "q172_temperature_mix" ->
+      """WITH totals AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS tok
+        |  FROM documents GROUP BY 1 HAVING SUM(n_chars) > 0),
+        |p AS (SELECT source, tok,
+        |    pow(CAST(tok AS DOUBLE), 0.5) AS w FROM totals),
+        |n AS (SELECT SUM(w) AS norm FROM p),
+        |fr AS (SELECT source, CAST(floor(least(1.0,
+        |    (50000.0 * (w / norm)) / CAST(tok AS DOUBLE)) * 1000000)
+        |    AS BIGINT) AS cutoff FROM p, n)
+        |SELECT d.doc_id, d.source FROM documents d JOIN fr USING (source)
+        |WHERE ('0x'||substr(md5(d.doc_id::VARCHAR),1,15))::BIGINT % 1000000
+        |  < fr.cutoff
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q171_search_count" ->
       """WITH m AS (SELECT doc_id FROM documents

@@ -48,12 +48,26 @@ object Sampling {
     require(shares.nonEmpty && shares.values.forall(_ > 0),
       "shares must be positive")
     val norm = shares.values.sum
-    // per-source token totals: |sources| rows — the one driver-side
-    // collect, same class as the IVF centroid table. Read type-tolerantly:
-    // the source column may be non-string and sum() returns Long, Double,
-    // or BigDecimal depending on the token column's type; null source
-    // groups can't be mix keys and are skipped.
-    val totals = df.groupBy(col(sourceCol).as("__src"))
+    val totals = sourceTotals(df, sourceCol, tokenCol)
+    val fractions = shares.map { case (src, w) =>
+      val alloc = tokenBudget.toDouble * (w / norm)
+      val have = totals.getOrElse(src, 0L).toDouble
+      src -> (if (have <= 0) 0.0 else math.min(1.0, alloc / have))
+    }
+    val cutoff = fractions.foldRight(lit(0L)) { case ((src, f), els) =>
+      when(col(sourceCol) === src, lit((f * Buckets).toLong)).otherwise(els)
+    }
+    df.where(hashBucket(col(idCol), salt) < cutoff)
+  }
+
+  /** Per-source token totals: |sources| rows — the one driver-side
+    * collect, same class as the IVF centroid table. Read type-tolerantly:
+    * the source column may be non-string and sum() returns Long, Double,
+    * or BigDecimal depending on the token column's type; null source
+    * groups can't be mix keys and are skipped. */
+  private def sourceTotals(df: DataFrame, sourceCol: String,
+      tokenCol: String): Map[String, Long] =
+    df.groupBy(col(sourceCol).as("__src"))
       .agg(sum(col(tokenCol)).as("__tok"))
       .collect()
       .flatMap { r =>
@@ -63,10 +77,30 @@ object Sampling {
           case _ => None
         }
       }.toMap
-    val fractions = shares.map { case (src, w) =>
-      val alloc = tokenBudget.toDouble * (w / norm)
-      val have = totals.getOrElse(src, 0L).toDouble
-      src -> (if (have <= 0) 0.0 else math.min(1.0, alloc / have))
+
+  /** Temperature-based mixture sampling — the multilingual pre-training
+    * `p_s ∝ n_s^α` rule (α < 1 flattens the source distribution,
+    * up-weighting small sources; α = 1 is proportional, i.e. uniform
+    * downsampling). Shares are DERIVED from the measured per-source
+    * token totals raised to `alpha`; allocation then follows
+    * `tokenBudgetMix`: fraction_s = min(1, budget·share_s / n_s), with
+    * over-allocated small sources capped at keeping everything. Same
+    * plan shape: one |sources|-row count agg + a scan-fused
+    * deterministic hash-sample — two passes, zero joins. */
+  def temperatureMix(df: DataFrame, idCol: String, sourceCol: String,
+      tokenCol: String, tokenBudget: Long, alpha: Double,
+      salt: String = ""): DataFrame = {
+    require(tokenBudget > 0, "tokenBudget must be positive")
+    require(alpha > 0 && alpha <= 1, s"alpha in (0, 1], got $alpha")
+    val totals = sourceTotals(df, sourceCol, tokenCol)
+      .filter(_._2 > 0)
+    require(totals.nonEmpty, "temperatureMix: no sources with tokens")
+    val pows = totals.map { case (s, n) =>
+      s -> math.pow(n.toDouble, alpha) }
+    val norm = pows.values.sum
+    val fractions = pows.map { case (s, w) =>
+      s -> math.min(1.0, tokenBudget.toDouble * (w / norm) /
+        totals(s).toDouble)
     }
     val cutoff = fractions.foldRight(lit(0L)) { case ((src, f), els) =>
       when(col(sourceCol) === src, lit((f * Buckets).toLong)).otherwise(els)

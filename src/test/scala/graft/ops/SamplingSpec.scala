@@ -119,4 +119,29 @@ class SamplingSpec extends SparkSpec {
     val b = Sampling.hashSample(df, "id", 0.2, "s2").select("id").as[Long].collect().toSet
     assert(a != b)
   }
+
+  test("temperatureMix: α=1 is uniform, α<1 up-weights small sources") {
+    val docs = (1L to 500L).map { i =>
+      (i, if (i <= 400) "big" else "small", 100L)
+    }.toDF("doc_id", "source", "toks") // big: 40k tokens, small: 10k
+    def keepFractions(alpha: Double): (Double, Double) = {
+      val out = Sampling.temperatureMix(docs, "doc_id", "source", "toks",
+        25000L, alpha)
+      val by = out.groupBy("source").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      (by.getOrElse("big", 0L) / 400.0, by.getOrElse("small", 0L) / 100.0)
+    }
+    // α = 1: proportional — both sources keep ~budget/total = 50%
+    val (b1, s1) = keepFractions(1.0)
+    assert(math.abs(b1 - s1) < 0.15, s"α=1 big=$b1 small=$s1")
+    // α = 0.3: flattened — the small source keeps a much larger fraction
+    val (b3, s3) = keepFractions(0.3)
+    assert(s3 > b3 + 0.2, s"α=0.3 big=$b3 small=$s3")
+    // deterministic
+    val x = Sampling.temperatureMix(docs, "doc_id", "source", "toks",
+      25000L, 0.5).select("doc_id").collect().toSet
+    val y = Sampling.temperatureMix(docs, "doc_id", "source", "toks",
+      25000L, 0.5).select("doc_id").collect().toSet
+    assert(x == y)
+  }
 }
