@@ -827,6 +827,16 @@ object SparkEntry {
         .orderBy(col("score").desc, col("order_key")).limit(50)
     }),
 
+    // Hard-negative mining for contrastive training: top-k most-similar
+    // non-near-duplicates (cos < ceiling, fused before the ranking
+    // window) — informative negatives with positives excluded
+    "q173_hard_negatives" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.hardNegatives(emb, emb.where(col("vec_id") < 8),
+          "vec_id", "embedding", k = 10, dupCeiling = 0.35)
+        .orderBy("query_id", "rank")
+    }),
+
     // Temperature-based mixture sampling (p_s ∝ n_s^α, α = 0.5): shares
     // derived from measured per-source token mass, small sources
     // up-weighted — one |sources|-row agg + scan-fused hash-sample
@@ -3895,6 +3905,20 @@ object SparkEntry {
         |  AND len(list_filter(t,
         |    x -> regexp_full_match(x, 'quer.*'))) > 0
         |ORDER BY doc_id""".stripMargin,
+
+    "q173_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
+         |p AS (
+         |  SELECT q.vec_id AS ia, c.vec_id AS ib, q.embedding AS ea, c.embedding AS eb
+         |  FROM q, embeddings c WHERE c.vec_id <> q.vec_id),
+         |${cosineCtes("p")},
+         |r AS (
+         |  SELECT ia AS query_id, ib AS neighbor_id,
+         |    CAST(row_number() OVER (
+         |      PARTITION BY ia ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, ib) AS INT) AS rank
+         |  FROM d WHERE dot / (sqrt(na) * sqrt(nb)) < 0.35)
+         |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
 
     "q172_temperature_mix" ->
       """WITH totals AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS tok

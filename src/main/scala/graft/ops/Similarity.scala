@@ -45,7 +45,23 @@ object Similarity {
     * vectors (excluding identical ids), deterministic id tie-break.
     * Output: (query_id, neighbor_id, rank). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int): DataFrame = {
+      vecCol: String, k: Int): DataFrame =
+    rankedPairs(corpus, queries, idCol, vecCol, k, None)
+
+  /** Hard-negative mining for contrastive training data: per query, the
+    * top-k most similar corpus items that are NOT near-duplicates
+    * (cosine < `dupCeiling`) — the informative negatives that teach an
+    * embedding model the decision boundary, with the ceiling excluding
+    * positives/duplicates. The ceiling filter fuses into the scored scan
+    * BEFORE the ranking window (rows are dropped pre-shuffle); swap the
+    * candidate generation for lshTopK's bucketed join at 100 TB scale. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, dupCeiling: Double = 0.95): DataFrame =
+    rankedPairs(corpus, queries, idCol, vecCol, k, Some(dupCeiling))
+
+  private def rankedPairs(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      maxCos: Option[Double]): DataFrame = {
     // conditional: fixes a single-split parquet scan without shuffling an
     // already-parallel 100 TB corpus (the only big-side shuffle here)
     val c = Partitioning.ensureMinPartitions(
@@ -56,9 +72,13 @@ object Similarity {
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cos",
         cosineFromParts(vec_dot(col("qv"), col("cv")), col("qn"), col("cn")))
+    val filtered = maxCos match {
+      case Some(m) => scored.where(col("cos") < m)
+      case None => scored
+    }
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
+    filtered.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank")
   }

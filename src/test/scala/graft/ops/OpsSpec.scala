@@ -339,6 +339,22 @@ class SimilaritySpec extends SparkSpec {
     assert(out == Seq(2L, 3L, 4L))
   }
 
+  test("hardNegatives excludes near-duplicates above the ceiling") {
+    // neighbor 2 is nearly identical to query 1 (cos ≈ 0.994) — a
+    // near-dup, excluded; the hard negatives are the informative rest
+    val out = Similarity.hardNegatives(vecs,
+      vecs.where($"vec_id" === 1), "vec_id", "embedding", 3,
+      dupCeiling = 0.9)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(out == Seq(3L, 4L))
+    // ceiling above every cosine ≡ plain top-k
+    val same = Similarity.hardNegatives(vecs,
+      vecs.where($"vec_id" === 1), "vec_id", "embedding", 3,
+      dupCeiling = 2.0)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(same == Seq(2L, 3L, 4L))
+  }
+
   test("lsh top-k finds the strong neighbor") {
     val out = Similarity.lshTopK(vecs, vecs.where($"vec_id" === 1),
       "vec_id", "embedding", k = 2, nPlanes = 2, tables = 4)
