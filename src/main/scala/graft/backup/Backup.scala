@@ -53,6 +53,34 @@ object Backup {
     n
   }
 
+  /** Export to JSON-Lines (+ the same metadata sidecar) — the interchange
+    * format of training-data pipelines (one JSON document per line,
+    * splittable, tool-agnostic). Same distributed write path as the
+    * parquet export — each partition streams its lines, no driver
+    * collection; `compression` (e.g. "gzip") trades CPU for bytes on the
+    * wire. The sidecar keeps schema + count + per-column stats, so a
+    * consumer can validate a transfer without parsing every line. */
+  def collectionJsonl(spark: SparkSession, df: DataFrame, target: String,
+      opts: BackupOptions = BackupOptions(),
+      compression: Option[String] = None): Long = {
+    val frame = exportFrame(df, opts)
+    val n =
+      if (opts.metadataOnly) frame.count()
+      else {
+        val w = frame.write.mode("overwrite")
+        compression.foreach(c => w.option("compression", c))
+        w.json(target)
+        spark.read.schema(frame.schema).json(target).count()
+      }
+    val meta = s"""{"rows": $n, "schema": ${frame.schema.json},
+      | "options": {"format": "jsonl"}, "uuid": "",
+      | "indexes": ${indexJson(opts)},
+      | "columns": ${columnStatsJson(frame)}}""".stripMargin
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(target + ".meta.json"), meta)
+    n
+  }
+
   /** Mongo-style index documents for the export's sort keys: `_id_`-style
     * default plus one entry per sort key with its direction. */
   private[backup] def indexJson(opts: BackupOptions): String = {

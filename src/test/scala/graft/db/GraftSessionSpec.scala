@@ -337,6 +337,28 @@ class BackupSpec extends SparkSpec {
     assert(new java.io.File(target + ".meta.json").exists())
   }
 
+  test("jsonl export: one document per line, sidecar, gzip option") {
+    val df = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("_id", "s")
+    val target = Files.createTempDirectory("graft-bakj").toString + "/out"
+    val n = Backup.collectionJsonl(spark, df, target,
+      BackupOptions(query = Map("_id" -> Map("$gte" -> 2L))))
+    assert(n == 2)
+    val lines = spark.read.textFile(target).collect().sorted
+    assert(lines.length == 2)
+    assert(lines.head == """{"_id":2,"s":"y"}""")
+    val meta = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(target + ".meta.json")))
+    assert(meta.contains("\"format\": \"jsonl\"") &&
+      meta.contains("\"rows\": 2"))
+    // gzip round-trips through the schema-aware reader
+    val gz = Files.createTempDirectory("graft-bakgz").toString + "/out"
+    Backup.collectionJsonl(spark, df, gz, BackupOptions(),
+      compression = Some("gzip"))
+    assert(new java.io.File(gz).listFiles()
+      .exists(_.getName.endsWith(".json.gz")))
+    assert(spark.read.schema(df.schema).json(gz).count() == 3)
+  }
+
   test("sidecar carries index docs + per-column stats (backup.go:152-200)") {
     val df = Seq((1L, "x", Some(10)), (2L, "y", None), (3L, "z", Some(30)))
       .toDF("_id", "s", "v")
