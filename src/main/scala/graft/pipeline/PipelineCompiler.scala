@@ -992,8 +992,11 @@ object PipelineCompiler {
                       val pred: Column => Column = osE.getOrElse("value",
                         throw new IllegalArgumentException(
                           s"$name.embeddedDocument.in requires value")) match {
-                        case s: Seq[_] => el => sub(el, p).isin(
-                          s.map(graft.query.QueryCompiler.toScalaLit): _*)
+                        case s: Seq[_] =>
+                          require(s.nonEmpty,
+                            s"$name.embeddedDocument.in: empty value array")
+                          el => sub(el, p).isin(
+                            s.map(graft.query.QueryCompiler.toScalaLit): _*)
                         case one => el =>
                           sub(el, p) === graft.query.QueryCompiler.toLit(one)
                       }

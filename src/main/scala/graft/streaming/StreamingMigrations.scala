@@ -96,13 +96,17 @@ object StreamingMigrations {
       minScorePerToken: Double = 0.0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.ops.Classifier
           .scoreAgainst(batch, idCol, textCol, model, prior)
           // per-token normalization: the raw sum scales with document
           // length, so a length-free threshold is the usable knob
           .where(col("score") / col("n_tokens") > minScorePerToken)
-          .write.mode("append").parquet(outPath)
+          // one overwritten subdir per micro-batch: a RETRIED batch
+          // replaces its own output instead of double-appending, so the
+          // sink is exactly-once under foreachBatch's at-least-once
+          // contract (readers see it as a `batch` partition column)
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
         ()
       }
       .option("checkpointLocation", checkpoint)
