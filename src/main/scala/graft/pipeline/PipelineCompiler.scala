@@ -129,17 +129,30 @@ object PipelineCompiler {
 
       case "$project" =>
         val fields = doc(spec)
-        val (includes, excludes) = fields.partition { case (_, v) =>
-          v != 0 && v != false }
-        if (includes.isEmpty) df.drop(excludes.keys.toSeq: _*)
-        else {
-          val env = rootEnv(df)
-          val cols = includes.toSeq.map {
-            case (as, 1) => col(as).as(as)
-            case (as, true) => col(as).as(as)
-            case (as, e) => expr2col(e, env).as(as)
+        // dotted paths ({"a.b": 1/0}) share find-projection semantics
+        // (struct rebuild / dropFields) — delegate to the projection
+        // compiler; dotted EXPRESSION values would need conditional
+        // struct surgery and are rejected toward $set + a flat $project
+        if (fields.keys.exists(_.contains('.'))) {
+          val plain = fields.values.forall(v =>
+            v == 0 || v == 1 || v == true || v == false)
+          require(plain,
+            "$project: dotted paths support the inclusion/exclusion form" +
+              " (1/0); compute expression values with $set, then project")
+          graft.query.ProjectionCompiler.project(df, fields)
+        } else {
+          val (includes, excludes) = fields.partition { case (_, v) =>
+            v != 0 && v != false }
+          if (includes.isEmpty) df.drop(excludes.keys.toSeq: _*)
+          else {
+            val env = rootEnv(df)
+            val cols = includes.toSeq.map {
+              case (as, 1) => col(as).as(as)
+              case (as, true) => col(as).as(as)
+              case (as, e) => expr2col(e, env).as(as)
+            }
+            df.select(cols: _*)
           }
-          df.select(cols: _*)
         }
 
       case "$addFields" | "$set" =>
@@ -167,11 +180,24 @@ object PipelineCompiler {
             d.withColumn(as, expr2col(e, env)) }
         }
 
-      case "$unset" => spec match {
-        case s: String => df.drop(s)
-        case s: Seq[_] => df.drop(s.map(_.toString): _*)
-        case other => throw new IllegalArgumentException(s"$$unset: $other")
-      }
+      case "$unset" =>
+        val paths = spec match {
+          case s: String => Seq(s)
+          case s: Seq[_] => s.map(_.toString)
+          case other =>
+            throw new IllegalArgumentException(s"$$unset: $other")
+        }
+        // dotted paths remove a NESTED member (dropFields resolves the
+        // dotted remainder inside the top-level struct); plain names drop
+        // whole columns
+        paths.foldLeft(df) { (d, p) =>
+          if (p.contains('.')) {
+            val top = p.takeWhile(_ != '.')
+            if (!d.columns.contains(top)) d
+            else d.withColumn(top,
+              col(top).dropFields(p.drop(top.length + 1)))
+          } else d.drop(p)
+        }
 
       case "$group" =>
         val fields = doc(spec)

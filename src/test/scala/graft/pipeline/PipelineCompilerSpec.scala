@@ -334,6 +334,30 @@ class PipelineCompilerSpec extends SparkSpec {
       .as[Seq[Int]].head() == Seq(0, 2))
   }
 
+  test("pipeline $project/$unset resolve dotted paths into structs") {
+    val d = Seq((1L, ("x", 2.0))).toDF("id", "info")
+      .select($"id", $"info".cast("struct<name:string,v:double>"))
+    // dotted inclusion rebuilds the nested shape, not a flat "info.name"
+    val p1 = PipelineCompiler.compile(Seq(
+      Map("$project" -> Map("id" -> 1, "info.name" -> 1))))(d)
+    assert(p1.schema.fieldNames.toSeq == Seq("id", "info"))
+    assert(p1.select("info.name").as[String].head() == "x")
+    assert(!p1.select("info.*").columns.contains("v"))
+    // dotted exclusion drops the nested member only
+    val p2 = PipelineCompiler.compile(Seq(
+      Map("$project" -> Map("info.v" -> 0))))(d)
+    assert(p2.select("info.*").columns.toSeq == Seq("name"))
+    // dotted $unset = same removal
+    val p3 = PipelineCompiler.compile(Seq(Map("$unset" -> "info.v")))(d)
+    assert(p3.select("info.*").columns.toSeq == Seq("name"))
+    // expression values on dotted targets are rejected with guidance
+    val e = intercept[IllegalArgumentException] {
+      PipelineCompiler.compile(Seq(
+        Map("$project" -> Map("info.name" -> Map("$toUpper" -> "$id")))))(d)
+    }
+    assert(e.getMessage.contains("$set"))
+  }
+
   test("$lookup concise correlated form: equality + row-local pipeline") {
     val orders = Seq((1L, "a"), (2L, "b")).toDF("oid", "tag")
     val items = Seq((1L, "x", 5), (1L, "y", 50), (2L, "z", 7))
