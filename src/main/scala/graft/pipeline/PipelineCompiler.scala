@@ -163,6 +163,20 @@ object PipelineCompiler {
         // input row is FROZEN into a hidden struct column first — a
         // rootEnv of bare column refs would silently re-resolve against
         // the partially-updated frame.
+        // dotted targets set a NESTED member (withField), creating the
+        // struct chain when the top-level column is absent — Mongo's
+        // {$set: {"a.b": …}} shape
+        def setNested(d: DataFrame, path: String, value: Column)
+            : DataFrame =
+          if (!path.contains('.')) d.withColumn(path, value)
+          else {
+            val top = path.takeWhile(_ != '.')
+            val rest = path.drop(top.length + 1)
+            if (d.columns.contains(top))
+              d.withColumn(top, col(top).withField(rest, value))
+            else d.withColumn(top, rest.split('.')
+              .foldRight(value)((seg, acc) => struct(acc.as(seg))))
+          }
         if (usesDocVar(fields)) {
           val snap = "__graft_root_snapshot"
           require(!df.columns.contains(snap),
@@ -172,12 +186,12 @@ object PipelineCompiler {
             searchMetaEnv(df)
           fields.foldLeft(df.withColumn(snap,
               struct(df.columns.map(col).toSeq: _*))) {
-            case (d, (as, e)) => d.withColumn(as, expr2col(e, env))
+            case (d, (as, e)) => setNested(d, as, expr2col(e, env))
           }.drop(snap)
         } else {
           val env = searchMetaEnv(df)
           fields.foldLeft(df) { case (d, (as, e)) =>
-            d.withColumn(as, expr2col(e, env)) }
+            setNested(d, as, expr2col(e, env)) }
         }
 
       case "$unset" =>

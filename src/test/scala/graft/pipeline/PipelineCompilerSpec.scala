@@ -334,6 +334,19 @@ class PipelineCompilerSpec extends SparkSpec {
       .as[Seq[Int]].head() == Seq(0, 2))
   }
 
+  test("$set with dotted targets writes nested members, not flat names") {
+    val d = Seq((1L, ("x", 2.0))).toDF("id", "info")
+      .select($"id", $"info".cast("struct<name:string,v:double>"))
+    val out = PipelineCompiler.compile(Seq(
+      Map("$set" -> Map(
+        "info.v" -> Map("$multiply" -> Seq("$info.v", 10)),
+        "meta.src.kind" -> Map("$literal" -> "doc")))))(d)
+    assert(out.schema.fieldNames.toSeq == Seq("id", "info", "meta"))
+    assert(out.select("info.v").as[Double].head() == 20.0)
+    assert(out.select("info.name").as[String].head() == "x")
+    assert(out.select("meta.src.kind").as[String].head() == "doc")
+  }
+
   test("pipeline $project/$unset resolve dotted paths into structs") {
     val d = Seq((1L, ("x", 2.0))).toDF("id", "info")
       .select($"id", $"info".cast("struct<name:string,v:double>"))
