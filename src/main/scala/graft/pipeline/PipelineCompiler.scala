@@ -163,20 +163,6 @@ object PipelineCompiler {
         // input row is FROZEN into a hidden struct column first — a
         // rootEnv of bare column refs would silently re-resolve against
         // the partially-updated frame.
-        // dotted targets set a NESTED member (withField), creating the
-        // struct chain when the top-level column is absent — Mongo's
-        // {$set: {"a.b": …}} shape
-        def setNested(d: DataFrame, path: String, value: Column)
-            : DataFrame =
-          if (!path.contains('.')) d.withColumn(path, value)
-          else {
-            val top = path.takeWhile(_ != '.')
-            val rest = path.drop(top.length + 1)
-            if (d.columns.contains(top))
-              d.withColumn(top, col(top).withField(rest, value))
-            else d.withColumn(top, rest.split('.')
-              .foldRight(value)((seg, acc) => struct(acc.as(seg))))
-          }
         if (usesDocVar(fields)) {
           val snap = "__graft_root_snapshot"
           require(!df.columns.contains(snap),
@@ -1781,11 +1767,11 @@ object PipelineCompiler {
         doc(d("output")).toSeq.foldLeft(df) { case (acc, (field, spec0)) =>
           doc(spec0).toSeq match {
             case Seq(("value", v)) =>
-              acc.withColumn(field, coalesce(col(field), expr2col(v)))
+              setNested(acc, field, coalesce(col(field), expr2col(v)))
             case Seq(("method", "locf")) =>
               require(sortCols.nonEmpty, "$fill locf requires sortBy")
               val w = baseW.rowsBetween(W.unboundedPreceding, W.currentRow)
-              acc.withColumn(field,
+              setNested(acc, field,
                 last(col(field), ignoreNulls = true).over(w))
             case Seq(("method", "linear")) =>
               // interpolate between the surrounding non-null values,
@@ -1797,7 +1783,7 @@ object PipelineCompiler {
                   "$fill linear requires sortBy")))
               require(sortDoc.size == 1 && sortDoc.head._2 == 1,
                 "$fill linear requires a single ascending sortBy field")
-              acc.withColumn(field, linearInterp(baseW,
+              setNested(acc, field, linearInterp(baseW,
                 col(sortDoc.head._1).cast("double"),
                 col(field).cast("double")))
             case other => throw new IllegalArgumentException(
@@ -2537,7 +2523,7 @@ object PipelineCompiler {
         case other => throw new IllegalArgumentException(
           s"unsupported $$setWindowFields operator: $other")
       }
-      acc.withColumn(field, colExpr)
+      setNested(acc, field, colExpr)
     }
   }
 
@@ -2905,6 +2891,22 @@ object PipelineCompiler {
     Map("ROOT" -> struct(df.columns.map(col).toSeq: _*),
       "CURRENT" -> struct(df.columns.map(col).toSeq: _*)) ++
       searchMetaEnv(df)
+
+  /** Set a (possibly dotted) output path: dotted targets write a NESTED
+    * member (withField), creating the struct chain when the top-level
+    * column is absent — Mongo's {"a.b": …} output-field shape, shared by
+    * $set/$addFields, $fill, and $setWindowFields. */
+  private def setNested(d: DataFrame, path: String, value: Column)
+      : DataFrame =
+    if (!path.contains('.')) d.withColumn(path, value)
+    else {
+      val top = path.takeWhile(_ != '.')
+      val rest = path.drop(top.length + 1)
+      if (d.columns.contains(top))
+        d.withColumn(top, col(top).withField(rest, value))
+      else d.withColumn(top, rest.split('.')
+        .foldRight(value)((seg, acc) => struct(acc.as(seg))))
+    }
 
   /** The $search `count` option stashes its metadata carrier on the
     * frame; Atlas exposes it to later stages as `$$SEARCH_META`. */

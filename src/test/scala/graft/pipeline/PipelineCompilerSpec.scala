@@ -334,6 +334,27 @@ class PipelineCompilerSpec extends SparkSpec {
       .as[Seq[Int]].head() == Seq(0, 2))
   }
 
+  test("$setWindowFields/$fill dotted output fields write nested members") {
+    val d = Seq((1L, ("a", 1.0)), (2L, ("a", 3.0)))
+      .toDF("id", "info")
+      .select($"id", $"info".cast("struct<grp:string,v:double>"))
+    val w = PipelineCompiler.compile(Seq(
+      Map("$setWindowFields" -> Map(
+        "partitionBy" -> "$info.grp",
+        "sortBy" -> Map("id" -> 1),
+        "output" -> Map("info.rk" -> Map("$rank" -> Map()))))))(d)
+    assert(w.schema.fieldNames.toSeq == Seq("id", "info"))
+    assert(w.orderBy("id").select("info.rk").as[Int].collect().toSeq ==
+      Seq(1, 2))
+    val f = PipelineCompiler.compile(Seq(
+      Map("$set" -> Map("info.w" -> Map("$cond" ->
+        Seq(Map("$eq" -> Seq("$id", 1)), null, 7.0)))),
+      Map("$fill" -> Map("output" ->
+        Map("info.w" -> Map("value" -> 0.5))))))(d)
+    assert(f.orderBy("id").select("info.w").as[Double].collect().toSeq ==
+      Seq(0.5, 7.0))
+  }
+
   test("$set with dotted targets writes nested members, not flat names") {
     val d = Seq((1L, ("x", 2.0))).toDF("id", "info")
       .select($"id", $"info".cast("struct<name:string,v:double>"))
