@@ -886,8 +886,10 @@ object SparkEntry {
         .createTempDirectory("graft-squal").toString
       val docs = tbl(s, dir, "documents")
       docs.write.parquet(s"$tmp/src")
+      // the model table is read twice (threshold calibration + the
+      // per-batch scoring joins) — persist it once
       val model = Classifier.trainLogOdds(docs, "text",
-        col("lang") === "en")
+        col("lang") === "en").persist()
       val prior = Classifier.priorFrame(docs, col("lang") === "en")
       // train-time calibration: the keep-threshold is the P50 of the
       // training corpus's per-token scores (how production filters pick

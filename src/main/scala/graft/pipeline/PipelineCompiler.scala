@@ -2580,12 +2580,22 @@ object PipelineCompiler {
       name match {
         case "$set" | "$addFields" =>
           doc(spec).foldLeft(df) { case (d, (as, e)) =>
-            d.withColumn(as, expr2col(e, env)) }
-        case "$unset" => spec match {
-          case s: String => df.drop(s)
-          case s: Seq[_] => df.drop(s.map(_.toString): _*)
-          case other => throw new IllegalArgumentException(s"$$unset: $other")
-        }
+            setNested(d, as, expr2col(e, env)) }
+        case "$unset" =>
+          val paths = spec match {
+            case s: String => Seq(s)
+            case s: Seq[_] => s.map(_.toString)
+            case other =>
+              throw new IllegalArgumentException(s"$$unset: $other")
+          }
+          paths.foldLeft(df) { (d, p) =>
+            if (p.contains('.')) {
+              val top = p.takeWhile(_ != '.')
+              if (!d.columns.contains(top)) d
+              else d.withColumn(top,
+                col(top).dropFields(p.drop(top.length + 1)))
+            } else d.drop(p)
+          }
         case "$project" =>
           val fields = doc(spec)
           val (includes, excludes) = fields.partition { case (_, v) =>
