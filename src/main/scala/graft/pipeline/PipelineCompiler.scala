@@ -176,8 +176,19 @@ object PipelineCompiler {
           }.drop(snap)
         } else {
           val env = searchMetaEnv(df)
-          fields.foldLeft(df) { case (d, (as, e)) =>
-            setNested(d, as, expr2col(e, env)) }
+          fields.foldLeft(df) {
+            // direct {f: "$$REMOVE"} drops the field outright (nested
+            // members via dropFields)
+            case (d, (as, e)) if e == "$$REMOVE" =>
+              if (!as.contains('.')) d.drop(as)
+              else {
+                val top = as.takeWhile(_ != '.')
+                if (!d.columns.contains(top)) d
+                else d.withColumn(top,
+                  col(top).dropFields(as.drop(top.length + 1)))
+              }
+            case (d, (as, e)) => setNested(d, as, expr2col(e, env))
+          }
         }
 
       case "$unset" =>
@@ -2928,8 +2939,22 @@ object PipelineCompiler {
   private def expr2col(e: Any, env: Map[String, Column]): Column = e match {
     case s: String if s.startsWith("$$") =>
       val name = s.drop(2).takeWhile(_ != '.')
-      val base = env.getOrElse(name, throw new IllegalArgumentException(
-        s"unbound pipeline variable $$$$$name"))
+      val base = env.get(name) match {
+        case Some(c) => c
+        case None => name match {
+          // same instant for every document in the run, like Mongo
+          case "NOW" => current_timestamp()
+          // columnar schemas are fixed: a conditional $$REMOVE maps to
+          // null (the engine's documented absent-field stance); the
+          // DIRECT {f: "$$REMOVE"} form drops the column (see $set)
+          case "REMOVE" => lit(null)
+          case "CLUSTER_TIME" => throw new IllegalArgumentException(
+            "$$CLUSTER_TIME: no replication clock in a batch engine — " +
+              "use $$NOW")
+          case _ => throw new IllegalArgumentException(
+            s"unbound pipeline variable $$$$$name")
+        }
+      }
       // "$$v.field" descends into the bound struct
       s.drop(2).split("\\.").drop(1).foldLeft(base)(_.getField(_))
     case s: String if s.startsWith("$") => col(s.drop(1))

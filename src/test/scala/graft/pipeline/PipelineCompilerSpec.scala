@@ -334,6 +334,29 @@ class PipelineCompilerSpec extends SparkSpec {
       .as[Seq[Int]].head() == Seq(0, 2))
   }
 
+  test("$$NOW is run-constant; $$REMOVE nulls conditionally, drops directly") {
+    val d = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val now = PipelineCompiler.compile(Seq(
+      Map("$set" -> Map("t" -> "$$NOW"))))(d)
+      .select("t").collect().map(_.getTimestamp(0))
+    assert(now(0) == now(1)) // same instant for every document
+    // conditional $$REMOVE → null (columnar absent-field stance)
+    val cond = PipelineCompiler.compile(Seq(
+      Map("$set" -> Map("v" -> Map("$cond" ->
+        Seq(Map("$eq" -> Seq("$id", 1)), "$$REMOVE", "$v"))))))(d)
+      .orderBy("id").select("v").collect()
+    assert(cond(0).isNullAt(0) && cond(1).getString(0) == "b")
+    // direct form drops the column
+    val dropped = PipelineCompiler.compile(Seq(
+      Map("$set" -> Map("v" -> "$$REMOVE"))))(d)
+    assert(dropped.columns.toSeq == Seq("id"))
+    val err = intercept[IllegalArgumentException] {
+      PipelineCompiler.compile(Seq(
+        Map("$set" -> Map("t" -> "$$CLUSTER_TIME"))))(d).collect()
+    }
+    assert(err.getMessage.contains("$$NOW"))
+  }
+
   test("$setWindowFields/$fill dotted output fields write nested members") {
     val d = Seq((1L, ("a", 1.0)), (2L, ("a", 3.0)))
       .toDF("id", "info")
