@@ -33,7 +33,12 @@ object Bucketing {
     require(numBuckets > 0, s"writeBucketed: numBuckets $numBuckets")
     val tbl = (if (name.nonEmpty) name
       else s"graft_bucketed_${id.getAndIncrement()}")
-    df.write.mode("overwrite")
+    // co-partition on the bucket key first: without this every write
+    // task emits a file per bucket (tasks×buckets small files — the
+    // classic bucketed-write file explosion); with it each task holds
+    // whole buckets and writes one file each
+    df.repartition(numBuckets, org.apache.spark.sql.functions.col(key))
+      .write.mode("overwrite")
       .option("path", s"$baseDir/$tbl")
       .bucketBy(numBuckets, key)
       .sortBy(key)
