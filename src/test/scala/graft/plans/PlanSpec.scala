@@ -349,6 +349,54 @@ class PlanSpec extends SparkSpec {
     }
     assert(joinIdx >= 0, "expected an equi-join in the plan")
   }
+
+  test("$search embeddedDocument: lambda algebra, no Generate/Join") {
+    import graft.pipeline.PipelineCompiler
+    import spark.implicits._
+    val d = Seq((1L, Seq(("a", 10)))).toDF("id", "items")
+    val plan = explain(PipelineCompiler.compile(Seq(
+      Map("$search" -> Map("embeddedDocument" -> Map(
+        "path" -> "items",
+        "operator" -> Map("equals" ->
+          Map("path" -> "items._1", "value" -> "a"))))),
+      Map("$project" -> Map("id" -> 1))))(d))
+    assert(!plan.contains("Generate") && !plan.contains("Join"))
+  }
+
+  test("$lookup concise form: shaping $match pushes into the from scan") {
+    import graft.pipeline.PipelineCompiler
+    val orders = graft.sources.Tables.table(spark, sf, "orders")
+    val li = graft.sources.Tables.table(spark, sf, "lineitem")
+    val plan = explain(PipelineCompiler.compile(
+      Seq(Map("$lookup" -> Map(
+        "from" -> "lineitem", "localField" -> "o_orderkey",
+        "foreignField" -> "l_orderkey", "as" -> "xs",
+        "pipeline" -> Seq(
+          Map("$match" -> Map("l_quantity" -> Map("$gte" -> 45))),
+          Map("$project" -> Map("l_orderkey" -> 1)))))),
+      tables = _ => li)(orders))
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(l_quantity,45"))
+  }
+
+  test("NB classifier scoring: token equi-join + hash aggregate") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b", true), (2L, "c", false))
+      .toDF("id", "text", "lab")
+    val plan = explain(graft.ops.Classifier.naiveBayes(
+      docs, "id", "text", col("lab")))
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("HashAggregate"))
+  }
+
+  test("PCA projection: no exchange, stays in the scan") {
+    import spark.implicits._
+    val d = Seq((1L, Array(1.0, 2.0)), (2L, Array(3.0, 4.0)))
+      .toDF("id", "emb")
+    val m = graft.ops.Pca.fit(d, "emb")
+    val plan = explain(graft.ops.Pca.project(d, "emb", m, "pc"))
+    assert(!plan.contains("Exchange") && !plan.contains("Join"))
+  }
 }
 
 class FingerprintSpec extends SparkSpec {
