@@ -235,8 +235,19 @@ final class GraftCollection(s: GraftSession, val ns: Namespace)
                 val onW = org.apache.spark.sql.expressions.Window
                   .partitionBy(m.on.map(col): _*)
                 val cntCol = "__graft_on_cnt"
-                val resKeyed = res.select(m.on.map(col) :+
-                    struct(res.columns.map(col).toSeq: _*).as(newStruct): _*)
+                // $merge let: variables evaluated against the INCOMING
+                // doc (here, on the res frame where "$f" refs resolve to
+                // its columns), packed as one struct riding the join
+                val letStructCol = "__graft_merge_lets"
+                val letCols: Seq[org.apache.spark.sql.Column] =
+                  m.let.toSeq.map { ld =>
+                    struct(ld.toSeq.map { case (k, e) =>
+                      graft.pipeline.PipelineCompiler.expr2col(e).as(k)
+                    }: _*).as(letStructCol)
+                  }
+                val resKeyed = res.select((m.on.map(col) :+
+                    struct(res.columns.map(col).toSeq: _*).as(newStruct))
+                    ++ letCols: _*)
                   .withColumn(cntCol,
                     org.apache.spark.sql.functions.count(lit(1)).over(onW))
                   .withColumn(newStruct, when(col(cntCol) > 1, raise_error(
@@ -247,7 +258,8 @@ final class GraftCollection(s: GraftSession, val ns: Namespace)
                   .drop(cntCol)
                 val updated = graft.pipeline.PipelineCompiler
                   .applyMergeUpdatePipeline(base.join(resKeyed, m.on),
-                    m.whenMatchedPipeline.get, newStruct)
+                    m.whenMatchedPipeline.get, newStruct,
+                    m.let.map(ld => (letStructCol, ld.keys.toSeq)))
                 require(m.on.forall(updated.columns.contains),
                   s"$$merge whenMatched pipeline must preserve on-keys " +
                     s"${m.on.mkString(",")}")

@@ -2559,7 +2559,8 @@ object PipelineCompiler {
     * kept. */
   final case class MergeSpec(into: String, on: Seq[String],
       whenMatched: String = "replace", whenNotMatched: String = "insert",
-      whenMatchedPipeline: Option[Seq[Map[String, Any]]] = None) {
+      whenMatchedPipeline: Option[Seq[Map[String, Any]]] = None,
+      let: Option[Map[String, Any]] = None) {
     require(on.nonEmpty, "$merge: empty on")
     require(Set("replace", "keepExisting", "merge", "fail",
         "pipeline")(whenMatched),
@@ -2579,14 +2580,25 @@ object PipelineCompiler {
     * `$replaceRoot/$replaceWith` — enforced here. Pure per-row projections:
     * no shuffle, stays inside whole-stage codegen. */
   def applyMergeUpdatePipeline(df0: DataFrame,
-      stages: Seq[Map[String, Any]], newStruct: String): DataFrame = {
+      stages: Seq[Map[String, Any]], newStruct: String,
+      letStruct: Option[(String, Seq[String])] = None): DataFrame = {
+    val letCol = letStruct.map(_._1)
     val out = stages.foldLeft(df0) { (df, st) =>
       require(st.size == 1, s"pipeline stage must have exactly one key: $st")
       val (name, spec) = st.head
-      val docCols = df.columns.filterNot(_ == newStruct).toSeq
+      val docCols = df.columns
+        .filterNot(c => c == newStruct || letCol.contains(c)).toSeq
       val env = {
         val root = struct(docCols.map(col): _*)
-        Map("new" -> col(newStruct), "ROOT" -> root, "CURRENT" -> root)
+        // Mongo: an explicit `let` REPLACES the default {new: "$$ROOT"}
+        // binding — its variables (evaluated against the INCOMING doc at
+        // the call site) arrive packed in `letStruct`
+        val vars = letStruct match {
+          case Some((c, names)) =>
+            names.map(n => n -> col(c).getField(n)).toMap
+          case None => Map("new" -> col(newStruct))
+        }
+        vars ++ Map("ROOT" -> root, "CURRENT" -> root)
       }
       name match {
         case "$set" | "$addFields" =>
@@ -2618,20 +2630,21 @@ object PipelineCompiler {
               case (as, true) => col(as).as(as)
               case (as, e) => expr2col(e, env).as(as)
             }
-            df.select(cols :+ col(newStruct): _*)
+            df.select(cols ++ (col(newStruct) +: letCol.map(col).toSeq): _*)
           }
         case "$replaceRoot" | "$replaceWith" =>
           val e = if (name == "$replaceRoot") doc(spec)("newRoot") else spec
           val tmp = "__graft_merge_root"
-          df.select(expr2col(e, env).as(tmp), col(newStruct))
-            .select(col(tmp + ".*"), col(newStruct))
+          val keep = col(newStruct) +: letCol.map(col).toSeq
+          df.select(expr2col(e, env).as(tmp) +: keep: _*)
+            .select(col(tmp + ".*") +: keep: _*)
         case other => throw new IllegalArgumentException(
           s"$$merge whenMatched pipeline: unsupported stage $other (Mongo " +
             "allows $addFields/$set, $project/$unset, " +
             "$replaceRoot/$replaceWith)")
       }
     }
-    out.drop(newStruct)
+    out.drop(newStruct +: letCol.toSeq: _*)
   }
 
   /** Split a trailing `{$out: "coll"}` off a pipeline — `$out` REPLACES
@@ -2682,7 +2695,8 @@ object PipelineCompiler {
           },
           whenMatched = wm,
           whenNotMatched = d.getOrElse("whenNotMatched", "insert").toString,
-          whenMatchedPipeline = wmPipe)
+          whenMatchedPipeline = wmPipe,
+          let = d.get("let").map(doc))
         (pipeline.init, Some(spec))
       case _ => (pipeline, None)
     }

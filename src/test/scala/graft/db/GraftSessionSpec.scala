@@ -82,6 +82,34 @@ class GraftSessionSpec extends SparkSpec {
       .as[(Long, String, Double)].collect().toSeq == before)
   }
 
+  test("$merge let: variables from the incoming doc replace $$new") {
+    val dir = Files.createTempDirectory("graft-merge-let").toString
+    Seq((1L, 100.0), (2L, 200.0)).toDF("_id", "v")
+      .write.parquet(s"$dir/src.parquet")
+    Seq((1L, 5.0), (9L, 9.0)).toDF("_id", "v")
+      .write.parquet(s"$dir/tgt.parquet")
+    val out = new GraftSession(spark, dir).db("d").c("src").pipe(Seq(
+      Map("$merge" -> Map("into" -> "tgt", "on" -> "_id",
+        "let" -> Map("inc" -> Map("$multiply" -> Seq("$v", 2))),
+        "whenMatched" -> Seq(
+          Map("$set" -> Map("v" -> Map("$add" -> Seq("$v", "$$inc"))))),
+        "whenNotMatched" -> "insert"))))
+      .orderBy("_id")
+    // _id=1 matched: v = 5 + 2·100; _id=2 inserted; _id=9 untouched
+    assert(out.select("_id", "v").as[(Long, Double)].collect().toSeq ==
+      Seq((1L, 205.0), (2L, 200.0), (9L, 9.0)))
+    // explicit let replaces the default {new: $$ROOT} binding
+    val e = intercept[Exception] {
+      new GraftSession(spark, dir).db("d").c("src").pipe(Seq(
+        Map("$merge" -> Map("into" -> "tgt", "on" -> "_id",
+          "let" -> Map("inc" -> 1),
+          "whenMatched" -> Seq(
+            Map("$set" -> Map("v" -> "$$new.v"))),
+          "whenNotMatched" -> "discard"))))
+    }
+    assert(e.getMessage.contains("new"))
+  }
+
   test("$merge whenMatched:merge does field-wise merge, keeps target-only columns") {
     val dir = Files.createTempDirectory("graft-merge-fw").toString
     Seq((1L, 100.0), (2L, 200.0)).toDF("_id", "v")
