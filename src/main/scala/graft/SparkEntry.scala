@@ -827,6 +827,16 @@ object SparkEntry {
         .orderBy(col("score").desc, col("order_key")).limit(50)
     }),
 
+    // Standard curation cascade in ONE call: langid gate → quality floor
+    // → exact dedup (first-id survivor per content hash) → deterministic
+    // hash-sample — one shuffle end-to-end, every gate scan-fused
+    "q174_curation" -> ((s, dir) =>
+      graft.ops.Curation.curate(tbl(s, dir, "documents"), "doc_id",
+          "text", targetLang = "en", minQuality = 0.5,
+          sampleFraction = 0.5)
+        .select("doc_id", "predicted_lang", "quality")
+        .orderBy("doc_id")),
+
     // Hard-negative mining for contrastive training: top-k most-similar
     // non-near-duplicates (cos < ceiling, fused before the ranking
     // window) — informative negatives with positives excluded
@@ -3907,6 +3917,43 @@ object SparkEntry {
         |  AND len(list_filter(t,
         |    x -> regexp_full_match(x, 'quer.*'))) > 0
         |ORDER BY doc_id""".stripMargin,
+
+    "q174_curation" -> {
+      val scores = TextFunctions.LangMarkers.map { case (lang, ms) =>
+        val lst = ms.map(m => s"'$m'").mkString(", ")
+        s"len(list_filter(t, x -> list_contains([$lst], x))) AS s_$lang"
+      }.mkString(",\n  ")
+      val langs = TextFunctions.LangMarkers.map(_._1)
+      val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+      val total = langs.map("s_" + _).mkString(" + ")
+      val cases = langs.map(l =>
+        s"WHEN ($total) > 0 AND s_$l = $best THEN '$l'").mkString("\n    ")
+      val stop = TextFunctions.Stopwords.map(m => s"'$m'").mkString(", ")
+      s"""WITH $toksCte,
+         |s AS (SELECT doc_id, $scores FROM toks),
+         |lid AS (SELECT doc_id,
+         |  CASE $cases ELSE 'und' END AS predicted_lang FROM s),
+         |q AS (SELECT d.doc_id,
+         |  CAST(len(list_filter(t, x -> list_contains([$stop], x)))
+         |    AS DOUBLE) / greatest(CAST(len(t) AS DOUBLE), 1.0) * 0.4
+         |  + CAST(length(regexp_replace(d.text, '[^A-Za-z]', '', 'g'))
+         |    AS DOUBLE) / greatest(CAST(length(d.text) AS DOUBLE), 1.0)
+         |    * 0.4
+         |  + least(CAST(len(t) AS DOUBLE) / 100.0, 1.0) * 0.2 AS quality
+         |  FROM documents d JOIN toks ON toks.doc_id = d.doc_id),
+         |gated AS (SELECT d.doc_id, lid.predicted_lang, q.quality, d.text
+         |  FROM documents d
+         |  JOIN lid ON lid.doc_id = d.doc_id
+         |  JOIN q ON q.doc_id = d.doc_id
+         |  WHERE lid.predicted_lang = 'en' AND q.quality >= 0.5),
+         |dd AS (SELECT *, row_number() OVER (
+         |    PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM gated)
+         |SELECT doc_id, predicted_lang, quality FROM dd
+         |WHERE rn = 1
+         |  AND ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 1000000
+         |    < 500000
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "q173_hard_negatives" ->
       s"""WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),

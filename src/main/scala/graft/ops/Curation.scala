@@ -1,0 +1,41 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The standard pre-training curation cascade, composed from the
+  * library's scan-fused primitives — the workflow every one of these
+  * operators exists to serve, packaged as one call:
+  *
+  *   language gate → quality floor → exact dedup → deterministic sample
+  *
+  * Plan shape at 100 TB: the language and quality gates are codegen'd
+  * Column predicates evaluated IN the scan (they fold into one stage and
+  * push column pruning down), exact dedup is the cascade's single hash
+  * shuffle (first-id survivor per content hash via one window), and the
+  * sample is pure hash math on the id. The whole cascade costs one
+  * shuffle regardless of corpus size, and every gate is deterministic —
+  * re-running on a grown corpus keeps every previously-kept document
+  * that still passes (no rand(), no order dependence).
+  */
+object Curation {
+
+  /** Run the cascade; returns surviving rows with the diagnostic columns
+    * `predicted_lang` and `quality`. */
+  def curate(df: DataFrame, idCol: String, textCol: String,
+      targetLang: String = "en", minQuality: Double = 0.0,
+      sampleFraction: Double = 1.0, salt: String = ""): DataFrame = {
+    require(sampleFraction >= 0 && sampleFraction <= 1,
+      s"curate: sampleFraction in [0,1], got $sampleFraction")
+    val gated = df
+      .withColumn("predicted_lang", TextFunctions.langId(col(textCol)))
+      .withColumn("quality", TextFunctions.qualityScore(col(textCol)))
+      .where(col("predicted_lang") === targetLang &&
+        col("quality") >= minQuality)
+    val deduped = Dedup.exactRows(
+      gated.withColumn("__curation_hash", md5(col(textCol))),
+      Seq("__curation_hash"), idCol)
+      .drop("__curation_hash")
+    Sampling.hashSample(deduped, idCol, sampleFraction, salt)
+  }
+}
