@@ -827,6 +827,20 @@ object SparkEntry {
         .orderBy(col("score").desc, col("order_key")).limit(50)
     }),
 
+    // BSON Extended-JSON v2 query documents (the mongoexport/driver
+    // config-file form): {$date}/{$numberLong}/… type wrappers decode to
+    // native values before compilation; operators stay documents
+    "q175_extended_json" -> ((s, dir) => {
+      val q = graft.orchestrate.ConfigLoader.parseJson(
+        """{"ts": {"$gt": {"$date": "2024-01-02T00:00:00Z"}},
+          |  "event_type": "error",
+          |  "event_id": {"$lt": {"$numberLong": "4000"}}}""".stripMargin)
+        .asInstanceOf[Map[String, Any]]
+      coll(s, dir, "events").find(q)
+        .select(Map("event_id" -> 1, "event_type" -> 1))
+        .sort("event_id").toDF
+    }),
+
     // Standard curation cascade in ONE call: langid gate → quality floor
     // → exact dedup (first-id survivor per content hash) → deterministic
     // hash-sample — one shuffle end-to-end, every gate scan-fused
@@ -3917,6 +3931,12 @@ object SparkEntry {
         |  AND len(list_filter(t,
         |    x -> regexp_full_match(x, 'quer.*'))) > 0
         |ORDER BY doc_id""".stripMargin,
+
+    "q175_extended_json" ->
+      """SELECT event_id, event_type FROM events
+        |WHERE ts > TIMESTAMP '2024-01-02 00:00:00'
+        |  AND event_type = 'error' AND event_id < 4000
+        |ORDER BY event_id""".stripMargin,
 
     "q174_curation" -> {
       val scores = TextFunctions.LangMarkers.map { case (lang, ms) =>

@@ -33,9 +33,34 @@ object ConfigLoader {
     * update documents supplied as JSON strings. */
   def parseJson(json: String): Any = toScala(mapper.readTree(json))
 
+  /** BSON Extended-JSON v2 type wrappers (the form mongoexport and the
+    * drivers emit in config files): a single-key `{$type: value}` object
+    * decodes to the native value. Deliberately restricted to the TYPE
+    * keys — query operators ({$gt: …}) are also single-$-key objects and
+    * must stay documents. */
+  private val extendedJsonTypes = Set("$date", "$numberLong", "$numberInt",
+    "$numberDouble", "$numberDecimal", "$oid", "$uuid")
+
   private def toScala(n: com.fasterxml.jackson.databind.JsonNode): Any = {
     import com.fasterxml.jackson.databind.node._
     n match {
+      case o: ObjectNode if o.size() == 1 &&
+          extendedJsonTypes(o.fieldNames().next()) =>
+        val k = o.fieldNames().next()
+        val inner = toScala(o.get(k))
+        k match {
+          case "$date" => inner match {
+            case s: String => java.time.Instant.parse(s)
+            case l: Long => java.time.Instant.ofEpochMilli(l) // relaxed
+            case other => throw new IllegalArgumentException(
+              s"$$date: expected ISO string or epoch millis, got $other")
+          }
+          case "$numberLong" => inner.toString.toLong
+          case "$numberInt" => inner.toString.toInt
+          case "$numberDouble" => inner.toString.toDouble
+          case "$numberDecimal" => BigDecimal(inner.toString)
+          case "$oid" | "$uuid" => inner.toString // ids are strings here
+        }
       case o: ObjectNode =>
         o.properties().asScala.map(e => e.getKey -> toScala(e.getValue)).toMap
       case a: ArrayNode => a.asScala.map(toScala).toSeq

@@ -73,6 +73,28 @@ class ConfigLoaderSpec extends SparkSpec {
     assert(ConfigLoader.doc(one).contains("update"))
   }
 
+  test("Extended JSON v2 type wrappers decode; query operators stay docs") {
+    val q = ConfigLoader.parseJson(
+      """{"ts": {"$gt": {"$date": "2024-01-02T03:04:05Z"}},
+        |  "n": {"$numberLong": "9007199254740993"},
+        |  "i": {"$numberInt": "42"},
+        |  "d": {"$numberDouble": "2.5"},
+        |  "dec": {"$numberDecimal": "1.10"},
+        |  "id": {"$oid": "507f1f77bcf86cd799439011"},
+        |  "legacy": {"$date": 86400000}}""".stripMargin)
+      .asInstanceOf[Map[String, Any]]
+    assert(q("ts").asInstanceOf[Map[String, Any]]("$gt") ==
+      java.time.Instant.parse("2024-01-02T03:04:05Z"))
+    assert(q("n") == 9007199254740993L)
+    assert(q("i") == 42)
+    assert(q("d") == 2.5)
+    assert(q("dec") == BigDecimal("1.10"))
+    assert(q("id") == "507f1f77bcf86cd799439011")
+    assert(q("legacy") == java.time.Instant.ofEpochMilli(86400000L))
+    // {$gt: …} is a single-$-key object too — it must NOT decode
+    assert(q("ts").isInstanceOf[Map[_, _]])
+  }
+
   test("YAML config parses to the same configuration as JSON") {
     val yaml =
       """# reference configs are yaml-shaped (model/config.go yaml tags)
