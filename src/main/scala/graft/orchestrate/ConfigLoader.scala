@@ -41,26 +41,42 @@ object ConfigLoader {
   private val extendedJsonTypes = Set("$date", "$numberLong", "$numberInt",
     "$numberDouble", "$numberDecimal", "$oid", "$uuid")
 
+  private def decodeExtended(k: String, inner: Any): Any = k match {
+    case "$date" => inner match {
+      case s: String => java.time.Instant.parse(s)
+      case l: Long => java.time.Instant.ofEpochMilli(l) // relaxed form
+      case i: Int => java.time.Instant.ofEpochMilli(i.toLong)
+      case other => throw new IllegalArgumentException(
+        s"$$date: expected ISO string or epoch millis, got $other")
+    }
+    case "$numberLong" => inner.toString.toLong
+    case "$numberInt" => inner.toString.toInt
+    case "$numberDouble" => inner.toString.toDouble
+    case "$numberDecimal" => BigDecimal(inner.toString)
+    case "$oid" | "$uuid" => inner.toString // ids are strings here
+  }
+
+  /** Normalize Extended-JSON type wrappers in an ALREADY-parsed document
+    * tree — the YAML path (hand-rolled block parser) and any
+    * caller-assembled maps route through here; `parseJson` decodes
+    * inline. */
+  def normalizeExtendedJson(v: Any): Any = v match {
+    case m: Map[_, _] =>
+      val mm = m.asInstanceOf[Map[String, Any]]
+      if (mm.size == 1 && extendedJsonTypes(mm.head._1))
+        decodeExtended(mm.head._1, normalizeExtendedJson(mm.head._2))
+      else mm.map { case (k, x) => k -> normalizeExtendedJson(x) }
+    case s: Seq[_] => s.map(normalizeExtendedJson)
+    case other => other
+  }
+
   private def toScala(n: com.fasterxml.jackson.databind.JsonNode): Any = {
     import com.fasterxml.jackson.databind.node._
     n match {
       case o: ObjectNode if o.size() == 1 &&
           extendedJsonTypes(o.fieldNames().next()) =>
         val k = o.fieldNames().next()
-        val inner = toScala(o.get(k))
-        k match {
-          case "$date" => inner match {
-            case s: String => java.time.Instant.parse(s)
-            case l: Long => java.time.Instant.ofEpochMilli(l) // relaxed
-            case other => throw new IllegalArgumentException(
-              s"$$date: expected ISO string or epoch millis, got $other")
-          }
-          case "$numberLong" => inner.toString.toLong
-          case "$numberInt" => inner.toString.toInt
-          case "$numberDouble" => inner.toString.toDouble
-          case "$numberDecimal" => BigDecimal(inner.toString)
-          case "$oid" | "$uuid" => inner.toString // ids are strings here
-        }
+        decodeExtended(k, toScala(o.get(k)))
       case o: ObjectNode =>
         o.properties().asScala.map(e => e.getKey -> toScala(e.getValue)).toMap
       case a: ArrayNode => a.asScala.map(toScala).toSeq
@@ -110,7 +126,8 @@ object ConfigLoader {
     * (nested maps, `- ` lists, scalars, inline JSON flow values — JSON is
     * itself valid YAML). */
   def fromYaml(yaml: String, registries: Registries = new Registries)
-      : Configuration = fromDoc(doc(parseYaml(yaml)), registries)
+      : Configuration =
+    fromDoc(doc(normalizeExtendedJson(parseYaml(yaml))), registries)
 
   private def fromDoc(root: Map[String, Any], registries: Registries)
       : Configuration = {

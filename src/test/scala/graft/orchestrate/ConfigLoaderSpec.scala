@@ -95,6 +95,18 @@ class ConfigLoaderSpec extends SparkSpec {
     assert(q("ts").isInstanceOf[Map[_, _]])
   }
 
+  test("normalizeExtendedJson handles YAML-parsed trees") {
+    val raw = Map("query" -> Map("ts" -> Map("$gt" ->
+      Map("$date" -> "2024-06-01T00:00:00Z"))),
+      "vals" -> Seq(Map("$numberLong" -> "7")))
+    val norm = ConfigLoader.normalizeExtendedJson(raw)
+      .asInstanceOf[Map[String, Any]]
+    assert(norm("query").asInstanceOf[Map[String, Any]]("ts")
+      .asInstanceOf[Map[String, Any]]("$gt") ==
+      java.time.Instant.parse("2024-06-01T00:00:00Z"))
+    assert(norm("vals") == Seq(7L))
+  }
+
   test("YAML config parses to the same configuration as JSON") {
     val yaml =
       """# reference configs are yaml-shaped (model/config.go yaml tags)
