@@ -827,6 +827,26 @@ object SparkEntry {
         .orderBy(col("score").desc, col("order_key")).limit(50)
     }),
 
+    // $search text with an Atlas synonyms mapping collection: the query
+    // term expands to its equivalent class, BM25 scores the class as one
+    // term — the mapping is a bounded dimension table collected once
+    "q176_search_synonyms" -> ((s, dir) => {
+      import s.implicits._
+      val syn = Seq(Tuple1(Seq("merge", "join"))).toDF("synonyms")
+      graft.pipeline.PipelineCompiler.compile(Seq(
+        Map("$search" -> Map("text" -> Map(
+          "query" -> "merge stream", "path" -> "text",
+          "synonyms" -> "syn"))),
+        Map("$project" -> Map("doc_id" -> 1,
+          "score" -> Map("$meta" -> "searchScore")))),
+        tables = { case "syn" => syn
+                   case other => tbl(s, dir, other) })(
+        tbl(s, dir, "documents"))
+        .select(col("doc_id"),
+          col("score").cast("decimal(18,9)").cast("double").as("score"))
+        .orderBy(desc("score"), asc("doc_id")).limit(30)
+    }),
+
     // BSON Extended-JSON v2 query documents (the mongoexport/driver
     // config-file form): {$date}/{$numberLong}/… type wrappers decode to
     // native values before compilation; operators stay documents
@@ -3931,6 +3951,34 @@ object SparkEntry {
         |  AND len(list_filter(t,
         |    x -> regexp_full_match(x, 'quer.*'))) > 0
         |ORDER BY doc_id""".stripMargin,
+
+    "q176_search_synonyms" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM tk),
+        |hits AS (
+        |  SELECT doc_id, dl,
+        |    CASE WHEN term IN ('merge', 'join') THEN 'merge'
+        |         WHEN term = 'stream' THEN 'stream' END AS qterm,
+        |    COUNT(*) AS tf
+        |  FROM toks
+        |  WHERE term IN ('merge', 'join', 'stream')
+        |  GROUP BY doc_id, dl, qterm),
+        |stats AS (
+        |  SELECT COUNT(*) AS n_docs, avg(CAST(len(t) AS DOUBLE)) AS avgdl
+        |  FROM tk),
+        |dfreq AS (
+        |  SELECT qterm, COUNT(*) AS df FROM hits GROUP BY qterm),
+        |sc AS (
+        |  SELECT doc_id,
+        |    SUM(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * 2.2)
+        |      / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))) AS score
+        |  FROM hits JOIN dfreq USING (qterm), stats GROUP BY doc_id)
+        |SELECT doc_id, CAST(CAST(score AS DECIMAL(18,9)) AS DOUBLE) AS score
+        |FROM sc ORDER BY score DESC, doc_id LIMIT 30""".stripMargin,
 
     "q175_extended_json" ->
       """SELECT event_id, event_type FROM events

@@ -658,15 +658,57 @@ object PipelineCompiler {
                   doc(m).get("maxEdits").map(int).getOrElse(2)
                 case _ => 2
               }
+              // Atlas synonyms option: the named sibling collection holds
+              // the mapping docs — equivalent classes ({synonyms: [...]})
+              // or one-directional ({input: [...], synonyms: [...]}).
+              // The mapping is a bounded dimension table, collected once
+              // (same class as the IVF centroid table); each query term
+              // expands to its class and a token hits the TERM when it
+              // matches any class member — scoring still counts the
+              // original term, Atlas semantics. Fuzzy and synonyms are
+              // mutually exclusive, as in Atlas.
+              val synonymsOf: String => Seq[String] =
+                os.get("synonyms").map(_.toString) match {
+                  case None => t => Seq(t)
+                  case Some(mapping) =>
+                    require(maxEdits.isEmpty,
+                      s"$name.text: fuzzy and synonyms cannot combine")
+                    val tbl = tables(mapping)
+                    val hasInput = tbl.columns.contains("input")
+                    val rows = tbl.collect()
+                    val classes: Seq[(Seq[String], Seq[String])] =
+                      rows.toSeq.map { r =>
+                        val syn = r.getSeq[String](
+                          r.fieldIndex("synonyms"))
+                        val in = if (hasInput &&
+                            !r.isNullAt(r.fieldIndex("input")))
+                          r.getSeq[String](r.fieldIndex("input"))
+                        else syn // equivalent mapping: any member triggers
+                        (in, syn)
+                      }
+                    t => {
+                      val expanded = classes.collect {
+                        case (in, syn) if in.contains(t) => syn
+                      }.flatten
+                      (t +: expanded).distinct
+                    }
+                }
               def termHit(t: String)(x: Column): Column = maxEdits match {
                 // thresholded levenshtein: early-exits at maxEdits (O(k·n)
                 // per pair instead of O(n·m)); -1 signals "over threshold"
                 case Some(me) => levenshtein(x, lit(t), me) =!= -1
-                case None => x === lit(t)
+                case None => synonymsOf(t) match {
+                  case Seq(only) => x === lit(only)
+                  case many => x.isin(many: _*)
+                }
               }
               def anyHit(t: String): Column = maxEdits match {
                 case Some(_) => exists(toks, x => termHit(t)(x))
-                case None => array_contains(toks, t)
+                case None => synonymsOf(t) match {
+                  case Seq(only) => array_contains(toks, only)
+                  case many => arrays_overlap(toks,
+                    array(many.map(lit): _*))
+                }
               }
               val p = s"__s${legId.getAndIncrement()}"
               val (k1, b) = (1.2, 0.75)

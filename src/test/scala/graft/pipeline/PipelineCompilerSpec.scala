@@ -1939,6 +1939,35 @@ class ExprLangSpec extends graft.SparkSpec {
 class SearchStagesSpec extends graft.SparkSpec {
   import spark.implicits._
 
+  test("$search text synonyms: equivalent and explicit mappings") {
+    val docs = Seq((1L, "the quick fox"), (2L, "the rapid fox"),
+      (3L, "a slow snail"), (4L, "the speedy fox")).toDF("id", "txt")
+    val equivalent = Seq(Tuple1(Seq("fast", "quick", "rapid")))
+      .toDF("synonyms")
+    def run(syn: org.apache.spark.sql.DataFrame) =
+      PipelineCompiler.compile(Seq(
+        Map("$search" -> Map("text" -> Map(
+          "query" -> "fast", "path" -> "txt",
+          "synonyms" -> "syn")))),
+        tables = { case "syn" => syn })(docs)
+        .select("id").orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(run(equivalent) == Seq(1L, 2L))
+    // explicit: only "fast" triggers the expansion, one-directional
+    val explicit = Seq((Seq("fast"), Seq("speedy")))
+      .toDF("input", "synonyms")
+    assert(run(explicit) == Seq(4L))
+    // fuzzy + synonyms rejected
+    val err = intercept[IllegalArgumentException] {
+      PipelineCompiler.compile(Seq(
+        Map("$search" -> Map("text" -> Map(
+          "query" -> "fast", "path" -> "txt",
+          "fuzzy" -> Map("maxEdits" -> 1),
+          "synonyms" -> "syn")))),
+        tables = { case "syn" => equivalent })(docs)
+    }
+    assert(err.getMessage.contains("cannot combine"))
+  }
+
   test("$search count option binds $$SEARCH_META for later stages") {
     val d = Seq((1L, "alpha beta"), (2L, "beta gamma"), (3L, "delta"))
       .toDF("id", "txt")
