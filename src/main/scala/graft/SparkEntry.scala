@@ -827,6 +827,25 @@ object SparkEntry {
         .orderBy(col("score").desc, col("order_key")).limit(50)
     }),
 
+    // Continuous IVF-index maintenance: embeddings stream in, each
+    // micro-batch is centroid-assigned in the scan and appended to a
+    // cell-partitioned store (probe-cell pruning at the file listing);
+    // zero streaming state, idempotent per-batch dirs
+    "q177_stream_ivf" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-sivf").toString
+      val emb = tbl(s, dir, "embeddings")
+      emb.write.parquet(s"$tmp/src")
+      graft.streaming.StreamingMigrations.ivfIndexMaintenance(
+        graft.streaming.StreamingMigrations.readStream(
+          s, s"$tmp/src", emb.schema),
+        "vec_id", "embedding", emb.where(col("vec_id") < 4),
+        s"$tmp/out", s"$tmp/ckpt").awaitTermination()
+      s.read.parquet(s"$tmp/out")
+        .select(col("vec_id"), col("centroid_id").cast("long"))
+        .orderBy("vec_id")
+    }),
+
     // $search text with an Atlas synonyms mapping collection: the query
     // term expands to its equivalent class, BM25 scores the class as one
     // term — the mapping is a bounded dimension table collected once
@@ -3951,6 +3970,23 @@ object SparkEntry {
         |  AND len(list_filter(t,
         |    x -> regexp_full_match(x, 'quer.*'))) > 0
         |ORDER BY doc_id""".stripMargin,
+
+    "q177_stream_ivf" ->
+      s"""WITH c AS (
+         |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+         |  WHERE vec_id < 4),
+         |p AS (
+         |  SELECT e.vec_id AS ia, c.cid AS ib,
+         |         e.embedding AS ea, c.ce AS eb
+         |  FROM embeddings e, c),
+         |${cosineCtes("p")},
+         |r AS (
+         |  SELECT ia AS vec_id, ib AS centroid_id,
+         |    row_number() OVER (PARTITION BY ia
+         |      ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, ib) AS rn
+         |  FROM d)
+         |SELECT vec_id, centroid_id FROM r WHERE rn = 1
+         |ORDER BY vec_id""".stripMargin,
 
     "q176_search_synonyms" ->
       """WITH tk AS (

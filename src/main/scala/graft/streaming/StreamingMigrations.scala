@@ -113,6 +113,30 @@ object StreamingMigrations {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Continuous ANN-index maintenance: each arriving embedding
+    * micro-batch is assigned to its nearest IVF centroid (the scan-fused
+    * literal-centroid compare of `Similarity.ivfAssign`) and appended to
+    * a CELL-PARTITIONED store — `centroid_id=` partition directories let
+    * later searches prune their probe cells at the file listing, so the
+    * index grows in place with zero reorganization. Each batch writes an
+    * overwritten `batch=` subdir (idempotent on retry, same contract as
+    * `qualityFilterStream`); state is zero. */
+  def ivfIndexMaintenance(stream: DataFrame, idCol: String,
+      vecCol: String, centroids: DataFrame, outPath: String,
+      checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.Similarity
+          .ivfAssign(batch, idCol, vecCol, centroids)
+          .write.mode("overwrite").partitionBy("centroid_id")
+          .parquet(s"$outPath/batch=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Event-time windowed success/fail/duration rollup with watermark —
     * the streaming analog of Apm.rollup + window rotation. */
   def windowedRollup(events: DataFrame, tsCol: String, keys: Seq[String],

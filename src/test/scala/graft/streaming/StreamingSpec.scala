@@ -153,6 +153,28 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Seq((1L, 1L, 150L), (1L, 0L, 10L)))
   }
 
+  test("ivfIndexMaintenance builds a cell-partitioned store with pruning") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sivf").toString
+    val vecs = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.1f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    vecs.write.parquet(s"$tmp/src")
+    val centroids = Seq((100L, Array(1.0f, 0.0f)),
+      (200L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    graft.streaming.StreamingMigrations.ivfIndexMaintenance(
+      StreamingMigrations.readStream(spark, s"$tmp/src", vecs.schema),
+      "vec_id", "embedding", centroids,
+      s"$tmp/out", s"$tmp/ckpt").awaitTermination()
+    val store = spark.read.parquet(s"$tmp/out")
+    assert(store.count() == 4)
+    val cell = store.where(col("centroid_id") === 100L)
+    assert(cell.select("vec_id").as[Long].collect().toSet == Set(1L, 2L))
+    // probe-cell filter prunes at the partition listing
+    val plan = cell.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("centroid_id"), plan.take(600))
+  }
+
   test("qualityFilterStream keeps only docs clearing the per-token bar") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-sq").toString
     val train = Seq(
