@@ -2609,6 +2609,8 @@ object PipelineCompiler {
       s"$$merge whenMatched: $whenMatched")
     require((whenMatched == "pipeline") == whenMatchedPipeline.isDefined,
       "$merge: whenMatchedPipeline set iff whenMatched == pipeline")
+    require(let.isEmpty || whenMatched == "pipeline",
+      "$merge: let requires the whenMatched pipeline form (Mongo rule)")
     require(Set("insert", "discard", "fail")(whenNotMatched),
       s"$$merge whenNotMatched: $whenNotMatched")
   }
