@@ -562,7 +562,14 @@ object PipelineCompiler {
         // the stats scan. The score is exposed to later stages through
         // {$meta: "searchScore"}. `index` is accepted and ignored (no
         // named indexes over parquet).
-        val d0 = doc(spec) - "index"
+        // accepted-and-ignored options (no columnar counterpart, and
+        // ignoring them never changes results): `index` (no named indexes
+        // over parquet), `tracking` (Atlas analytics telemetry),
+        // `concurrent` (intra-segment parallelism — Spark's task
+        // parallelism is always on), `returnStoredSource` (no separate
+        // stored source; the scan IS the source)
+        val d0 = doc(spec) - "index" - "tracking" - "concurrent" -
+          "returnStoredSource"
         // Atlas `sort` option: order results by stored fields (and/or the
         // score via {$meta}) instead of pure relevance
         val sortOpt = d0.get("sort").map(doc)
