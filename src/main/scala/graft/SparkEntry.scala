@@ -827,6 +827,12 @@ object SparkEntry {
         .orderBy(col("score").desc, col("order_key")).limit(50)
     }),
 
+    // Deterministic k-fold assignment: fold = pure hash of the id —
+    // cross-validation splits stable across runs/engines/growth
+    "q178_kfold" -> ((s, dir) =>
+      graft.ops.Sampling.kFold(tbl(s, dir, "documents"), "doc_id", 5)
+        .select("doc_id", "fold").orderBy("doc_id")),
+
     // Continuous IVF-index maintenance: embeddings stream in, each
     // micro-batch is centroid-assigned in the scan and appended to a
     // cell-partitioned store (probe-cell pruning at the file listing);
@@ -3970,6 +3976,12 @@ object SparkEntry {
         |  AND len(list_filter(t,
         |    x -> regexp_full_match(x, 'quer.*'))) > 0
         |ORDER BY doc_id""".stripMargin,
+
+    "q178_kfold" ->
+      """SELECT doc_id,
+        |  CAST(('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT
+        |    % 1000000 % 5 AS INT) AS fold
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q177_stream_ivf" ->
       s"""WITH c AS (

@@ -122,6 +122,16 @@ object Sampling {
 
   /** Stable train/test split: returns (train, test); a row's side is a
     * pure function of its id and the salt. */
+  /** Deterministic k-fold assignment: adds `foldCol` ∈ [0, k) as a pure
+    * function of the id — cross-validation splits that are stable across
+    * runs, engines, task retries, and dataset growth (a row never changes
+    * fold). Scalar hash math in the scan, no shuffle. */
+  def kFold(df: DataFrame, idCol: String, k: Int,
+      foldCol: String = "fold", salt: String = ""): DataFrame = {
+    require(k >= 2, s"kFold: k must be >= 2, got $k")
+    df.withColumn(foldCol, (hashBucket(col(idCol), salt) % k).cast("int"))
+  }
+
   def trainTestSplit(df: DataFrame, idCol: String, testFraction: Double,
       salt: String = "split"): (DataFrame, DataFrame) = {
     val isTest = hashBucket(col(idCol), salt) < (testFraction * Buckets).toLong

@@ -120,6 +120,21 @@ class SamplingSpec extends SparkSpec {
     assert(a != b)
   }
 
+  test("kFold: stable partition of rows into k folds") {
+    val docs = (1L to 1000L).map(i => Tuple1(i)).toDF("doc_id")
+    val folded = Sampling.kFold(docs, "doc_id", 5)
+    val counts = folded.groupBy("fold").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set(0, 1, 2, 3, 4))
+    assert(counts.values.sum == 1000L)
+    counts.values.foreach(c => assert(c > 120 && c < 280, counts))
+    // a row's fold never changes
+    val again = Sampling.kFold(docs, "doc_id", 5)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val first = folded.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(first == again)
+  }
+
   test("temperatureMix: α=1 is uniform, α<1 up-weights small sources") {
     val docs = (1L to 500L).map { i =>
       (i, if (i <= 400) "big" else "small", 100L)
