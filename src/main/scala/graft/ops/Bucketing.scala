@@ -24,6 +24,13 @@ object Bucketing {
 
   private val id = new java.util.concurrent.atomic.AtomicLong(0)
 
+  // JVM-unique suffix for generated table names: the session catalog is
+  // shared across JVMs (and survives restarts when hive-backed), so a
+  // bare counter would let two concurrent apps both claim
+  // graft_bucketed_0 and mode(overwrite) would clobber one mid-query
+  private val jvmSalt =
+    java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+
   /** Write `df` as an external bucketed table (bucketed + sorted by
     * `key`, `numBuckets` buckets) and return its catalog name. One
     * shuffle-equivalent cost paid at write time; every later join or
@@ -32,7 +39,7 @@ object Bucketing {
       baseDir: String, name: String = ""): String = {
     require(numBuckets > 0, s"writeBucketed: numBuckets $numBuckets")
     val tbl = (if (name.nonEmpty) name
-      else s"graft_bucketed_${id.getAndIncrement()}")
+      else s"graft_bucketed_${jvmSalt}_${id.getAndIncrement()}")
     // co-partition on the bucket key first: without this every write
     // task emits a file per bucket (tasks×buckets small files — the
     // classic bucketed-write file explosion); with it each task holds

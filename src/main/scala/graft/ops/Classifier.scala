@@ -55,11 +55,14 @@ object Classifier {
       priorFrame(labeled, posLabel))
 
   /** Document-level class prior as a 1-row frame (broadcast into the
-    * scoring plan): ln((n_pos + 1) / (n_neg + 1)). */
+    * scoring plan): ln((n_pos + 1) / (n_neg + 1)). An empty labeled
+    * frame would make sum(...) null and silently null every downstream
+    * score — coalesce to 0 so the prior degrades to ln(1/1) = 0. */
   def priorFrame(labeled: DataFrame, posLabel: Column): DataFrame =
     labeled.agg(
-      log((sum(when(posLabel, 1L).otherwise(0L)) + 1.0) /
-        (sum(when(posLabel, 0L).otherwise(1L)) + 1.0)).as("__nb_prior"))
+      log((coalesce(sum(when(posLabel, 1L).otherwise(0L)), lit(0L)) + 1.0) /
+        (coalesce(sum(when(posLabel, 0L).otherwise(1L)), lit(0L)) + 1.0))
+        .as("__nb_prior"))
 
   /** Score against an ALREADY-trained model table and prior frame — the
     * reusable half of `naiveBayesScore`, and the per-micro-batch work of

@@ -120,8 +120,6 @@ object Sampling {
     df.where(hashBucket(col(idCol), salt) < cutoff)
   }
 
-  /** Stable train/test split: returns (train, test); a row's side is a
-    * pure function of its id and the salt. */
   /** Deterministic k-fold assignment: adds `foldCol` ∈ [0, k) as a pure
     * function of the id — cross-validation splits that are stable across
     * runs, engines, task retries, and dataset growth (a row never changes
@@ -132,6 +130,8 @@ object Sampling {
     df.withColumn(foldCol, (hashBucket(col(idCol), salt) % k).cast("int"))
   }
 
+  /** Stable train/test split: returns (train, test); a row's side is a
+    * pure function of its id and the salt. */
   def trainTestSplit(df: DataFrame, idCol: String, testFraction: Double,
       salt: String = "split"): (DataFrame, DataFrame) = {
     val isTest = hashBucket(col(idCol), salt) < (testFraction * Buckets).toLong

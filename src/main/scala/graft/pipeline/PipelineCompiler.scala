@@ -172,6 +172,16 @@ object PipelineCompiler {
             searchMetaEnv(df)
           fields.foldLeft(df.withColumn(snap,
               struct(df.columns.map(col).toSeq: _*))) {
+            // {f: "$$REMOVE"} drops the field in this branch too —
+            // expr2col would map it to lit(null) and keep a null column
+            case (d, (as, e)) if e == "$$REMOVE" =>
+              if (!as.contains('.')) d.drop(as)
+              else {
+                val top = as.takeWhile(_ != '.')
+                if (!d.columns.contains(top)) d
+                else d.withColumn(top,
+                  col(top).dropFields(as.drop(top.length + 1)))
+              }
             case (d, (as, e)) => setNested(d, as, expr2col(e, env))
           }.drop(snap)
         } else {
@@ -312,30 +322,7 @@ object PipelineCompiler {
 
       case "$lookup" if doc(spec).contains("pipeline") &&
           doc(spec).contains("localField") =>
-        // Mongo 8.0 concise correlated form: equality condition PLUS a
-        // shaping pipeline. Row-local stages commute with the equality
-        // join, so they pre-apply to the from-side scan (filters push
-        // down); per-group stages ($limit/$sort/$group/…) would need the
-        // grouped subsets and are rejected toward the $expr pipeline form.
-        val d = doc(spec)
-        require(!d.contains("let"),
-          "$lookup: let requires the pipeline-only form " +
-            "(first stage $match/$expr)")
-        val sub = pipelineSeq(d("pipeline"))
-        val rowLocal = Set("$match", "$project", "$set", "$addFields",
-          "$unset", "$replaceRoot", "$replaceWith")
-        sub.foreach { st =>
-          require(rowLocal(st.head._1),
-            s"$$lookup localField+pipeline: stage ${st.head._1} is " +
-              "per-joined-group; use the pipeline-only form with a " +
-              "$match/$expr first stage")
-        }
-        val shaped = compile(sub, tables)(tables(d("from").toString))
-        require(shaped.columns.contains(d("foreignField").toString),
-          s"$$lookup localField+pipeline: the pipeline must preserve " +
-            s"foreignField '${d("foreignField")}' (it drives the join); " +
-            "include it in $project inclusions")
-        lookupEquality(df, d, shaped)
+        lookupConcise(df, doc(spec), tables)
 
       case "$lookup" if doc(spec).contains("pipeline") =>
         lookupPipeline(df, doc(spec), tables)
@@ -2062,6 +2049,115 @@ object PipelineCompiler {
     df.join(grouped, df(local) === grouped("__lk"), "left_outer")
       .drop("__lk")
       .withColumn(as, coalesce(col(as), array()))
+  }
+
+  /** Mongo 8.0 concise correlated `$lookup`: equality condition PLUS a
+    * shaping sub-pipeline (and optionally `let`). Row-local stages
+    * commute with the equality join, so they pre-apply to the from-side
+    * scan (filters push down); per-group stages ($limit/$sort/$group/…)
+    * would need the grouped subsets and are rejected toward the $expr
+    * pipeline form. The join key is kept INTERNALLY (a hidden copy of
+    * foreignField carried through the sub-pipeline), so a `$project`
+    * that omits foreignField — legal in Mongo, where the join happens
+    * before the pipeline shapes docs — still joins correctly.
+    * `let`-referencing `$match` stages are correlated predicates: they
+    * must precede shaping stages, use `$expr`, and evaluate POST-join as
+    * a scan-local `filter()` over the collected array (the from-doc
+    * binds via a raw-doc sidecar, let vars bind to outer columns) — no
+    * extra shuffle versus the plain concise form. */
+  private def lookupConcise(df: DataFrame, d: Map[String, Any],
+      tables: TableResolver): DataFrame = {
+    val from = tables(d("from").toString)
+    val local = d("localField").toString
+    val foreign = d("foreignField").toString
+    val as = d("as").toString
+    val sub = pipelineSeq(d("pipeline"))
+    val rowLocal = Set("$match", "$project", "$set", "$addFields",
+      "$unset", "$replaceRoot", "$replaceWith")
+    sub.foreach { st =>
+      require(st.size == 1 && rowLocal(st.head._1),
+        s"$$lookup localField+pipeline: stage ${st.head._1} is " +
+          "per-joined-group; use the pipeline-only form with a " +
+          "$match/$expr first stage")
+    }
+    val letDoc = d.get("let").map(doc).getOrElse(Map.empty[String, Any])
+    def usesLet(e: Any): Boolean = e match {
+      case s: String => letDoc.keys.exists(k => s.contains("$$" + k))
+      case m: Map[_, _] =>
+        m.asInstanceOf[Map[String, Any]].values.exists(usesLet)
+      case s: Seq[_] => s.exists(usesLet)
+      case _ => false
+    }
+    val shapeIdx = sub.indexWhere(st => st.head._1 != "$match")
+    sub.zipWithIndex.foreach { case (st, i) =>
+      if (usesLet(st)) {
+        require(st.head._1 == "$match",
+          "$lookup let: variables are only accessible in $match ($expr)")
+        require(doc(st.head._2).keySet == Set("$expr"),
+          "$lookup let: the correlated $match must use $expr")
+        require(shapeIdx < 0 || i < shapeIdx,
+          "$lookup let: correlated $match must precede shaping stages " +
+            "($project/$set/…) — move it first, or use the pipeline-only " +
+            "form")
+      }
+    }
+    val kc = "__graft_lkc"
+    val kraw = "__graft_lkraw"
+    val needRaw = sub.exists(usesLet)
+    val reserved = if (needRaw) Seq(kc, kraw) else Seq(kc)
+    reserved.foreach(r => require(!from.columns.contains(r),
+      s"$$lookup: from-collection already has reserved column $r"))
+    val keyed0 = from.withColumn(kc, col(foreign))
+    val keyed = if (needRaw)
+      keyed0.withColumn(kraw, struct(from.columns.map(col).toSeq: _*))
+    else keyed0
+    val processed = sub.filterNot(usesLet).foldLeft(keyed) { (acc, st) =>
+      st.head._1 match {
+        // $replaceRoot/$replaceWith replace the whole doc — re-select the
+        // hidden key (and raw sidecar) around the new root's fields
+        case "$replaceRoot" | "$replaceWith" =>
+          val ref = (if (st.head._1 == "$replaceRoot")
+            doc(st.head._2)("newRoot") else st.head._2).toString
+          require(ref.startsWith("$"), s"$$replaceRoot: $ref")
+          acc.select(reserved.map(acc(_)) :+ col(ref.drop(1) + ".*"): _*)
+        case _ => stage(acc, retainKeys(st, reserved), tables)
+      }
+    }
+    val payload = processed.columns.filterNot(reserved.contains).toSeq
+    val docStruct = struct(payload.map(processed(_)): _*)
+    val elem = if (needRaw)
+      struct(processed(kraw).as(kraw), docStruct.as("__graft_lkdoc"))
+    else docStruct
+    val grouped = processed.groupBy(processed(kc).as("__lk"))
+      .agg(collect_list(elem).as(as))
+    val joined = df.join(grouped, df(local) === grouped("__lk"),
+        "left_outer")
+      .drop("__lk")
+      .withColumn(as, coalesce(col(as), array()))
+    if (!needRaw) joined
+    else {
+      // rebase bare "$field" refs onto the element's raw-doc sidecar so
+      // the correlated predicate evaluates per collected element
+      def rebase(e: Any): Any = e match {
+        case s: String if s.startsWith("$$") => s
+        case s: String if s.startsWith("$") => "$$__lkdoc." + s.drop(1)
+        case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+          .map { case (k, v) => k -> rebase(v) }
+        case s: Seq[_] => s.map(rebase)
+        case other => other
+      }
+      val letEnv: Map[String, Column] =
+        letDoc.map { case (v, e) => v -> expr2col(e) }
+      val preds = sub.filter(usesLet).map(st => rebase(doc(st.head._2)("$expr")))
+      joined
+        .withColumn(as, filter(col(as), x => preds.map(p =>
+          expr2col(p, letEnv ++ Map(
+            "__lkdoc" -> x.getField(kraw),
+            "ROOT" -> x.getField(kraw),
+            "CURRENT" -> x.getField(kraw)))).reduce(_ && _)))
+        .withColumn(as,
+          transform(col(as), x => x.getField("__graft_lkdoc")))
+    }
   }
 
   private def lookupPipeline(df: DataFrame, d: Map[String, Any],

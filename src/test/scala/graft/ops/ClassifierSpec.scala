@@ -26,6 +26,13 @@ class ClassifierSpec extends graft.SparkSpec {
     assert(!pruned.contains("here") && pruned.contains("good"))
   }
 
+  test("priorFrame: empty labeled frame degrades to prior 0, not null") {
+    val prior = Classifier.priorFrame(docs.where(col("id") < 0),
+      col("label")).collect()
+    assert(prior.length == 1 && !prior(0).isNullAt(0))
+    assert(prior(0).getDouble(0) == 0.0) // ln((0+1)/(0+1))
+  }
+
   test("naiveBayes: positive-token docs score high, prior-only for OOV") {
     val scored = Classifier.naiveBayes(docs, "id", "text", col("label"))
       .collect().map(r => r.getLong(0) ->

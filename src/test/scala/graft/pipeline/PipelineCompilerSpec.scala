@@ -350,6 +350,11 @@ class PipelineCompilerSpec extends SparkSpec {
     val dropped = PipelineCompiler.compile(Seq(
       Map("$set" -> Map("v" -> "$$REMOVE"))))(d)
     assert(dropped.columns.toSeq == Seq("id"))
+    // …also in the $$ROOT-snapshot branch (a sibling key references the
+    // doc variable): the field is dropped, not kept as null
+    val snapDropped = PipelineCompiler.compile(Seq(
+      Map("$set" -> Map("copy" -> "$$ROOT.id", "v" -> "$$REMOVE"))))(d)
+    assert(snapDropped.columns.toSeq == Seq("id", "copy"))
     val err = intercept[IllegalArgumentException] {
       PipelineCompiler.compile(Seq(
         Map("$set" -> Map("t" -> "$$CLUSTER_TIME"))))(d).collect()
@@ -431,16 +436,22 @@ class PipelineCompilerSpec extends SparkSpec {
       .select(expr("transform(its, x -> x.sku)")).as[Seq[String]]
       .collect().toSeq
     assert(got == Seq(Seq("x"), Seq("z"))) // qty>=10 filtered pre-join
-    // a pipeline that drops the join key is rejected with guidance
-    val eKey = intercept[IllegalArgumentException] {
-      PipelineCompiler.compile(
-        Seq(Map("$lookup" -> Map(
-          "from" -> "items", "localField" -> "oid",
-          "foreignField" -> "oid", "as" -> "its",
-          "pipeline" -> Seq(Map("$project" -> Map("sku" -> 1)))))),
-        tables = _ => items)(orders)
-    }
-    assert(eKey.getMessage.contains("must preserve"))
+    // a $project that omits the join key still joins (Mongo joins before
+    // the pipeline shapes docs — the key is kept internally)
+    val noKey = PipelineCompiler.compile(
+      Seq(Map("$lookup" -> Map(
+        "from" -> "items", "localField" -> "oid",
+        "foreignField" -> "oid", "as" -> "its",
+        "pipeline" -> Seq(Map("$project" -> Map("sku" -> 1)))))),
+      tables = _ => items)(orders)
+    val gotNoKey = noKey.orderBy("oid")
+      .select(expr("transform(its, x -> x.sku)")).as[Seq[String]]
+      .collect().toSeq
+    assert(gotNoKey == Seq(Seq("x", "y"), Seq("z")))
+    assert(!noKey.columns.exists(_.startsWith("__graft")))
+    assert(noKey.select(expr("its[0]")).schema.head.dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq == Seq("sku"))
     val e = intercept[IllegalArgumentException] {
       PipelineCompiler.compile(
         Seq(Map("$lookup" -> Map(
@@ -450,6 +461,43 @@ class PipelineCompilerSpec extends SparkSpec {
         tables = _ => items)(orders)
     }
     assert(e.getMessage.contains("per-joined-group"))
+  }
+
+  test("$lookup concise form: let variables in a correlated $match") {
+    val orders = Seq((1L, "a", 10), (2L, "b", 6)).toDF("oid", "tag", "cap")
+    val items = Seq((1L, "x", 5), (1L, "y", 50), (2L, "z", 7))
+      .toDF("oid", "sku", "qty")
+    // keep only items whose qty is under the ORDER's cap (correlated on a
+    // non-join field — exactly what let exists for)
+    val out = PipelineCompiler.compile(
+      Seq(Map("$lookup" -> Map(
+        "from" -> "items", "localField" -> "oid",
+        "foreignField" -> "oid", "as" -> "its",
+        "let" -> Map("cap" -> "$cap"),
+        "pipeline" -> Seq(
+          Map("$match" -> Map("$expr" ->
+            Map("$lt" -> Seq("$qty", "$$cap")))),
+          Map("$project" -> Map("sku" -> 1)))))),
+      tables = _ => items)(orders)
+    val got = out.orderBy("oid")
+      .select(expr("transform(its, x -> x.sku)")).as[Seq[String]]
+      .collect().toSeq
+    assert(got == Seq(Seq("x"), Nil)) // y:50>=10 out; z:7>=6 out
+    assert(!out.columns.exists(_.startsWith("__graft")))
+    // a correlated $match AFTER shaping is rejected with guidance
+    val e2 = intercept[IllegalArgumentException] {
+      PipelineCompiler.compile(
+        Seq(Map("$lookup" -> Map(
+          "from" -> "items", "localField" -> "oid",
+          "foreignField" -> "oid", "as" -> "its",
+          "let" -> Map("cap" -> "$cap"),
+          "pipeline" -> Seq(
+            Map("$project" -> Map("sku" -> 1)),
+            Map("$match" -> Map("$expr" ->
+              Map("$lt" -> Seq("$qty", "$$cap")))))))),
+        tables = _ => items)(orders)
+    }
+    assert(e2.getMessage.contains("precede shaping"))
   }
 
   test("$graphLookup restrictSearchWithMatch filters traversable docs") {
