@@ -833,6 +833,45 @@ object SparkEntry {
       graft.ops.Sampling.kFold(tbl(s, dir, "documents"), "doc_id", 5)
         .select("doc_id", "fold").orderBy("doc_id")),
 
+    // Analyzed-token sloppy phrase: terms must appear IN ORDER with total
+    // inter-term gap <= slop (Lucene sloppy-phrase); score = number of
+    // sloppy occurrences — pure scan-local array algebra
+    "q179_search_phrase_slop" -> ((s, dir) =>
+      coll(s, dir, "documents").pipe(Seq(
+        Map("$search" -> Map("phrase" -> Map(
+          "query" -> "stream filter", "path" -> "text", "slop" -> 1))),
+        Map("$project" -> Map("doc_id" -> 1,
+          "score" -> Map("$meta" -> "searchScore")))))
+        .select(col("doc_id"), col("score").cast("double").as("score"))
+        .orderBy("doc_id")),
+
+    // Collation on the find surface: strength-2 (case-insensitive)
+    // matching folds BOTH comparison sides — the uppercase query literals
+    // match lowercase stored values — and string sort keys fold likewise
+    "q180_collation_find" -> ((s, dir) =>
+      coll(s, dir, "documents")
+        .find(Map("lang" -> Map("$in" -> Seq("EN", "FR"))))
+        .collation(Map("locale" -> "en", "strength" -> 2))
+        .sort("source", "-doc_id")
+        .select("doc_id", "lang", "source").toDF),
+
+    // $search analyzer selection: stage-level lucene.standard (lowercase
+    // + punctuation split — the uppercase query analyzes to the stored
+    // terms) plus a per-leg lucene.keyword multi path (whole-field exact
+    // match on lang)
+    "q181_search_analyzer" -> ((s, dir) =>
+      coll(s, dir, "documents").pipe(Seq(
+        Map("$search" -> Map(
+          "analyzer" -> "lucene.standard",
+          "compound" -> Map("filter" -> Seq(
+            Map("text" -> Map("query" -> "STREAM Filter",
+              "path" -> "text")),
+            Map("text" -> Map("query" -> "en",
+              "path" -> Map("value" -> "lang",
+                "multi" -> "lucene.keyword"))))))),
+        Map("$project" -> Map("doc_id" -> 1))))
+        .orderBy("doc_id")),
+
     // Continuous IVF-index maintenance: embeddings stream in, each
     // micro-batch is centroid-assigned in the scan and appended to a
     // cell-partitioned store (probe-cell pruning at the file listing);
@@ -3982,6 +4021,35 @@ object SparkEntry {
         |  CAST(('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT
         |    % 1000000 % 5 AS INT) AS fold
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q179_search_phrase_slop" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |occ AS (
+        |  SELECT doc_id, len(list_filter(range(1, len(t)+1),
+        |    i -> t[i] = 'stream' AND len(list_filter(
+        |      range(i+1, least(i+3, len(t)+1)), j -> t[j] = 'filter')) > 0))
+        |    AS occs
+        |  FROM tk)
+        |SELECT doc_id, CAST(occs AS DOUBLE) AS score FROM occ
+        |WHERE occs > 0 ORDER BY doc_id""".stripMargin,
+
+    "q180_collation_find" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE lower(lang) IN ('en', 'fr')
+        |ORDER BY lower(source), doc_id DESC""".stripMargin,
+
+    "q181_search_analyzer" ->
+      """WITH tk AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+        |  FROM documents)
+        |SELECT doc_id FROM tk
+        |WHERE (list_contains(t, 'stream') OR list_contains(t, 'filter'))
+        |  AND lang = 'en'
+        |ORDER BY doc_id""".stripMargin,
 
     "q177_stream_ivf" ->
       s"""WITH c AS (

@@ -88,6 +88,14 @@ trait CollectionApi {
     * [[GraftQuery.hint]]. */
   def pipe(pipeline: Seq[Map[String, Any]], hint: String): DataFrame =
     pipe(pipeline)
+  /** Aggregate with a `{collation: {locale, strength}}` option:
+    * `$match` string comparisons and `$sort` string keys fold through
+    * the collation key while the pipeline compiles (dynamic scope —
+    * Column construction is eager). */
+  def pipe(pipeline: Seq[Map[String, Any]],
+      collation: Map[String, Any]): DataFrame =
+    QueryCompiler.activeCollation.withValue(
+      Some(graft.query.Collation.parse(collation)))(pipe(pipeline))
 }
 
 final class GraftDatabase(s: GraftSession, name: String) {
@@ -141,11 +149,13 @@ final class GraftCollection(s: GraftSession, val ns: Namespace)
   /** reference db/wrapper.go:96-102. */
   def find(query: Map[String, Any] = Map.empty): GraftQuery =
     new GraftQuery(df, QueryCompiler.compile(query),
-      ctx = s.tracer.map(t => CommandContext(t, ns, query)))
+      ctx = s.tracer.map(t => CommandContext(t, ns, query)),
+      rawQuery = Some(query))
   /** reference db/wrapper.go:104-110. */
   def findId(id: Any, idCol: String = "_id"): GraftQuery =
     new GraftQuery(df, col(idCol) === QueryCompiler.toLit(id),
-      ctx = s.tracer.map(t => CommandContext(t, ns, Map(idCol -> id))))
+      ctx = s.tracer.map(t => CommandContext(t, ns, Map(idCol -> id))),
+      rawQuery = Some(Map(idCol -> id)))
   /** reference db/wrapper.go:112-115. */
   def count(): Long =
     traced("count", Map("count" -> ns.collection))(df.count())(_ => 8L)
@@ -301,33 +311,71 @@ final class GraftQuery private[db] (
     skipN: Int = 0,
     limitN: Int = -1,
     ctx: Option[CommandContext] = None,
-    projectionDoc: Option[Map[String, Any]] = None) {
+    projectionDoc: Option[Map[String, Any]] = None,
+    rawQuery: Option[Map[String, Any]] = None,
+    collationSpec: Option[graft.query.Collation.Spec] = None) {
+
+  private def copy(
+      projection: Seq[String] = projection,
+      sortKeys: Seq[String] = sortKeys,
+      skipN: Int = skipN,
+      limitN: Int = limitN,
+      projectionDoc: Option[Map[String, Any]] = projectionDoc,
+      pred: Column = pred,
+      collationSpec: Option[graft.query.Collation.Spec] = collationSpec)
+      : GraftQuery =
+    new GraftQuery(base, pred, projection, sortKeys, skipN, limitN, ctx,
+      projectionDoc, rawQuery, collationSpec)
 
   def select(fields: String*): GraftQuery =
-    new GraftQuery(base, pred, fields, sortKeys, skipN, limitN, ctx, None)
+    copy(projection = fields, projectionDoc = None)
   /** Projection DOCUMENT form — exclusion docs (`{f: 0}`), `$slice`,
     * `$elemMatch` (reference pass-through db/wrapper.go:386,463-465;
     * compiled by [[graft.query.ProjectionCompiler]]). */
   def select(doc: Map[String, Any]): GraftQuery =
-    new GraftQuery(base, pred, Nil, sortKeys, skipN, limitN, ctx, Some(doc))
-  def sort(keys: String*): GraftQuery =
-    new GraftQuery(base, pred, projection, keys, skipN, limitN, ctx,
-      projectionDoc)
-  def skip(n: Int): GraftQuery =
-    new GraftQuery(base, pred, projection, sortKeys, n, limitN, ctx,
-      projectionDoc)
-  def limit(n: Int): GraftQuery =
-    new GraftQuery(base, pred, projection, sortKeys, skipN, n, ctx,
-      projectionDoc)
+    copy(projection = Nil, projectionDoc = Some(doc))
+  def sort(keys: String*): GraftQuery = copy(sortKeys = keys)
+  def skip(n: Int): GraftQuery = copy(skipN = n)
+  def limit(n: Int): GraftQuery = copy(limitN = n)
   /** Accept-and-ignore, like index hints have no Spark analog
     * (SURVEY.md §4). */
   def hint(index: String): GraftQuery = this
+  /** `{collation: {locale, strength}}` — case (strength 2) or
+    * case+diacritic (strength 1) insensitive matching AND sorting: the
+    * query predicate recompiles with both comparison sides folded
+    * through the collation key, and string sort keys fold likewise.
+    * Unsupported locales/strengths are rejected loudly
+    * ([[graft.query.Collation]]). */
+  def collation(doc: Map[String, Any]): GraftQuery = {
+    val spec = graft.query.Collation.parse(doc)
+    val raw = rawQuery.getOrElse(throw new IllegalStateException(
+      "collation(): query document unavailable on this surface"))
+    copy(pred = QueryCompiler.compile(raw, Some(spec)),
+      collationSpec = Some(spec))
+  }
+
+  private def isStringField(name: String): Boolean =
+    try base.select(name).schema.head.dataType ==
+      org.apache.spark.sql.types.StringType
+    catch { case _: org.apache.spark.sql.AnalysisException => false }
 
   /** Compile accumulated state to a DataFrame (the exec() analog,
     * db/wrapper.go:452-481). Skip+limit compose as offset/limit. */
   def toDF: DataFrame = {
     var d = base.where(pred)
-    if (sortKeys.nonEmpty) d = d.orderBy(GraftQuery.parseSort(sortKeys): _*)
+    if (sortKeys.nonEmpty) {
+      val sortCols = collationSpec match {
+        case Some(sp) => sortKeys.map { k =>
+          val (name, desc) =
+            if (k.startsWith("-")) (k.drop(1), true)
+            else (k.stripPrefix("+"), false)
+          val c = if (isStringField(name)) sp.key(col(name)) else col(name)
+          if (desc) c.desc else c.asc
+        }
+        case None => GraftQuery.parseSort(sortKeys)
+      }
+      d = d.orderBy(sortCols: _*)
+    }
     if (skipN > 0) d = d.offset(skipN)
     if (limitN >= 0) d = d.limit(limitN)
     if (projection.nonEmpty) d = d.select(projection.map(col): _*)

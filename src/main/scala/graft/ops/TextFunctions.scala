@@ -21,6 +21,48 @@ object TextFunctions {
   def tokens(text: Column): Column =
     filter(split(text, " "), t => t =!= lit(""))
 
+  /** `lucene.standard`-style analysis: lowercase + split on every
+    * non-alphanumeric run — "Stream, filter!" analyzes to
+    * [stream, filter], so phrase/text matching tolerates punctuation and
+    * case the way an analyzed Lucene index does. */
+  def standardTokens(text: Column): Column =
+    filter(split(lower(text), "[^\\p{L}\\p{N}]+"), t => t =!= lit(""))
+
+  /** Driver-side twin of [[standardTokens]] for analyzing literal query
+    * strings at compile time. */
+  def standardTerms(q: String): Seq[String] =
+    q.toLowerCase(java.util.Locale.ROOT)
+      .split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty).toSeq
+
+  /** In-order sloppy phrase occurrences: the number of start positions in
+    * `toks` from which every term of the phrase matches in sequence with
+    * TOTAL inter-term gap ≤ `slop` (Lucene's in-order sloppy-phrase
+    * reading — slop 0 is exact adjacency). Pure scan-local array algebra:
+    * nested `exists` over gap windows, O(tokens·(slop+1)^(terms−1)) per
+    * document with compile-time-known terms, no shuffle and no UDF. */
+  def phraseOccurrences(toks: Column, terms: Seq[String],
+      slop: Int): Column = {
+    require(terms.nonEmpty, "phraseOccurrences: no terms")
+    require(slop >= 0, s"phraseOccurrences: slop must be >= 0, got $slop")
+    val m = terms.length
+    val n = size(toks)
+    // term k must match at some j in (prev, prev+1+slop−used], bounded by
+    // the array end; the `j <= hi` guard runs BEFORE element_at so the
+    // conjunction short-circuits inside the clamped-but-padded sequence
+    // (ANSI mode: element_at past the end would throw)
+    def rest(k: Int, prev: Column, used: Column): Column =
+      if (k == m) lit(true)
+      else {
+        val hi = least(prev + (lit(slop) - used) + 1, n)
+        exists(sequence(prev + 1, greatest(prev + 1, hi)),
+          j => j <= hi && element_at(toks, j) === lit(terms(k)) &&
+            rest(k + 1, j, used + (j - prev - 1)))
+      }
+    when(n >= m, size(filter(sequence(lit(1), n),
+      i => element_at(toks, i) === lit(terms.head) &&
+        rest(1, i, lit(0))))).otherwise(lit(0))
+  }
+
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** BPE-ish subword count: alpha runs, digit runs, single punctuation. */

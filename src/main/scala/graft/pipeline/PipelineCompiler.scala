@@ -258,9 +258,19 @@ object PipelineCompiler {
           case m: Map[_, _] => m.asInstanceOf[Map[String, Any]].toSeq
           case other => throw new IllegalArgumentException(s"$$sort: $other")
         }
+        // under an aggregate-level collation, string sort keys fold
+        // through the collation key (case/diacritic-insensitive order)
+        def sortCol(k: String): Column =
+          graft.query.QueryCompiler.activeCollation.value match {
+            case Some(sp) if (try df.select(k).schema.head.dataType ==
+                org.apache.spark.sql.types.StringType
+              catch { case _: org.apache.spark.sql.AnalysisException =>
+                false }) => sp.key(col(k))
+            case _ => col(k)
+          }
         df.orderBy(keys.map {
-          case (k, 1) => col(k).asc
-          case (k, -1) => col(k).desc
+          case (k, 1) => sortCol(k).asc
+          case (k, -1) => sortCol(k).desc
           // {f: {$meta: "textScore"}} — Mongo sorts relevance DESCENDING;
           // the score carrier comes from the $search/$text stage
           case (_, m: Map[_, _]) if m.asInstanceOf[Map[String, Any]]
@@ -580,7 +590,21 @@ object PipelineCompiler {
           require(Set("total", "lowerBound")(t),
             s"$name.count.type: $t (total/lowerBound)")
         }
-        val d = d0 - "sort" - "highlight" - "count"
+        // Atlas `analyzer`/`searchAnalyzer` selection: the engine has no
+        // separate index definition, so the analyzer rides the stage
+        // (index-level default) and `path: {value, multi}` (per-leg
+        // multi-analyzer override). Unknown analyzers are rejected loudly
+        // instead of silently falling back to the default.
+        val knownAnalyzers =
+          Set("lucene.whitespace", "lucene.standard", "lucene.keyword")
+        val stageAnalyzer = d0.get("analyzer")
+          .orElse(d0.get("searchAnalyzer")).map(_.toString)
+          .getOrElse("lucene.whitespace")
+        require(knownAnalyzers(stageAnalyzer),
+          s"$name.analyzer: unsupported $stageAnalyzer " +
+            s"(supported: ${knownAnalyzers.toSeq.sorted.mkString(", ")})")
+        val d = d0 - "sort" - "highlight" - "count" - "analyzer" -
+          "searchAnalyzer"
         require(d.size == 1,
           s"$name: exactly one operator (text/phrase/wildcard/autocomplete" +
             s"/equals/range/exists/in/compound), got ${d.keys}")
@@ -592,11 +616,46 @@ object PipelineCompiler {
         }
         def pathOf(op: String, os: Map[String, Any]): String =
           os.getOrElse("path", throw new IllegalArgumentException(
-            s"$name.$op requires path")).toString
+            s"$name.$op requires path")) match {
+            // multi-analyzer path doc: {value: field, multi: analyzer}
+            case m: Map[_, _] => doc(m).getOrElse("value",
+              throw new IllegalArgumentException(
+                s"$name.$op path doc requires value")).toString
+            case v => v.toString
+          }
         def pathQuery(op: String, os: Map[String, Any]): (String, String) = (
           pathOf(op, os),
           os.getOrElse("query", throw new IllegalArgumentException(
             s"$name.$op requires query")).toString)
+        def analyzerFor(op: String, os: Map[String, Any]): String =
+          os.get("path") match {
+            case Some(m: Map[_, _]) => doc(m).get("multi").map(_.toString)
+              .map { a =>
+                require(knownAnalyzers(a),
+                  s"$name.$op path.multi: unsupported analyzer $a " +
+                    s"(supported: " +
+                    s"${knownAnalyzers.toSeq.sorted.mkString(", ")})")
+                a
+              }.getOrElse(stageAnalyzer)
+            case _ => stageAnalyzer
+          }
+        // analyzed document tokens + analyzed literal query terms for the
+        // token-matching legs (text/phrase/autocomplete) — the pair always
+        // comes from the SAME analyzer so query terms meet index terms
+        def docToks(op: String, os: Map[String, Any]): Column =
+          analyzerFor(op, os) match {
+            case "lucene.standard" =>
+              graft.ops.TextFunctions.standardTokens(col(pathOf(op, os)))
+            case "lucene.keyword" => array(col(pathOf(op, os)))
+            case _ => graft.ops.TextFunctions.tokens(col(pathOf(op, os)))
+          }
+        def queryTerms(op: String, os: Map[String, Any],
+            q: String): Seq[String] = analyzerFor(op, os) match {
+          case "lucene.standard" =>
+            graft.ops.TextFunctions.standardTerms(q)
+          case "lucene.keyword" => Seq(q)
+          case _ => q.split("\\s+").filter(_.nonEmpty).toSeq
+        }
         // one search operator doc -> (match predicate, score expression,
         // corpus-stat aggregate columns the score reads after a broadcast
         // join). Leaf operators accept Atlas' per-operator score option:
@@ -639,10 +698,9 @@ object PipelineCompiler {
           op match {
             case "text" =>
               val os = doc(osRaw)
-              val (path, queryStr) = pathQuery(op, os)
-              val toks = graft.ops.TextFunctions.tokens(col(path))
-              val terms = queryStr.split("\\s+").filter(_.nonEmpty)
-                .distinct.toSeq
+              val (_, queryStr) = pathQuery(op, os)
+              val toks = docToks(op, os)
+              val terms = queryTerms(op, os, queryStr).distinct
               require(terms.nonEmpty, s"$name.text: empty query")
               // Atlas fuzzy option: a token hits a term when its edit
               // distance is within maxEdits (default 2) — levenshtein is
@@ -824,15 +882,23 @@ object PipelineCompiler {
               (col(path).isNotNull,
                 lit(pivot) / (lit(pivot) + dist), Nil)
             case "phrase" =>
-              val os = doc(osRaw)
-              val (path, queryStr) = pathQuery(op, os)
-              // same guard as text: an empty phrase would match every row
-              // and divide the occurrence count by zero
+              // analyzed-token phrase: the query's ANALYZED terms must
+              // appear in order with total inter-term gap ≤ slop
+              // (Atlas/Lucene sloppy-phrase semantics — "stream, filter!"
+              // under lucene.standard matches the phrase "stream filter",
+              // which raw substring matching never could). Score = number
+              // of phrase occurrences, as before.
+              val os0 = doc(osRaw)
+              val (_, queryStr) = pathQuery(op, os0)
               require(queryStr.nonEmpty, s"$name.phrase: empty query")
-              val occ = (length(col(path)) -
-                length(replace(col(path), lit(queryStr), lit("")))) /
-                lit(queryStr.length)
-              (col(path).contains(queryStr), occ.cast("double"), Nil)
+              val slop = os0.get("slop").map(int).getOrElse(0)
+              require(slop >= 0, s"$name.phrase: slop must be >= 0")
+              val terms = queryTerms(op, os0 - "slop", queryStr)
+              require(terms.nonEmpty,
+                s"$name.phrase: query has no analyzed terms")
+              val occ = graft.ops.TextFunctions.phraseOccurrences(
+                docToks(op, os0 - "slop"), terms, slop)
+              (occ > 0, occ.cast("double"), Nil)
             case "wildcard" =>
               // Lucene glob: * = any run, ? = one char; everything else
               // literal. Constant score, like Atlas' constant-scored
@@ -847,12 +913,16 @@ object PipelineCompiler {
               } + "$"
               (col(path).rlike(rx), lit(1.0), Nil)
             case "autocomplete" =>
-              // token-prefix match (the minimal edgeGram analyzer form)
+              // token-prefix match (the minimal edgeGram analyzer form);
+              // under lucene.standard the query prefix folds to lowercase
+              // like the indexed tokens do
               val os = doc(osRaw)
-              val (path, queryStr) = pathQuery(op, os)
+              val (_, queryStr) = pathQuery(op, os)
               require(queryStr.nonEmpty, s"$name.autocomplete: empty query")
-              val toks = graft.ops.TextFunctions.tokens(col(path))
-              (exists(toks, t => t.startsWith(queryStr)), lit(1.0), Nil)
+              val qs = if (analyzerFor(op, os) == "lucene.standard")
+                queryStr.toLowerCase(java.util.Locale.ROOT) else queryStr
+              (exists(docToks(op, os), t => t.startsWith(qs)),
+                lit(1.0), Nil)
             // constant-scored structured operators (the usual compound
             // filter legs): exact value, set membership, open/closed
             // ranges, field presence

@@ -30,6 +30,27 @@ object QueryCompiler {
       .reduceOption(_ && _)
       .getOrElse(lit(true))
 
+  /** Compile under a `collation` — string equality/range/membership
+    * comparisons fold both sides through the collation key (Column
+    * construction is eager, so the dynamic scope covers every comparison
+    * the document compiles to). */
+  def compile(query: Map[String, Any],
+      collation: Option[Collation.Spec]): Column =
+    activeCollation.withValue(collation)(compile(query))
+
+  /** The collation in effect while a query/pipeline compiles —
+    * [[graft.pipeline.PipelineCompiler]] reads it for `$sort`. */
+  private[graft] val activeCollation =
+    new scala.util.DynamicVariable[Option[Collation.Spec]](None)
+
+  /** Fold a (column, string-literal) comparison pair through the active
+    * collation; non-string literals compare binary as always. */
+  private def cmpPair(c: Column, v: Any): (Column, Column) =
+    (activeCollation.value, v) match {
+      case (Some(sp), s: String) => (sp.key(c), lit(sp.fold(s)))
+      case _ => (c, toLit(v))
+    }
+
   private def clause(key: String, value: Any): Column = key match {
     case "$and" => subdocs(value, "$and").map(compile).reduce(_ && _)
     case "$or"  => subdocs(value, "$or").map(compile).reduce(_ || _)
@@ -212,23 +233,36 @@ object QueryCompiler {
         .map { case (op, v) => operator(field, op, v) }
         .reduce(_ && _)
     case null  => col(field).isNull // Mongo: matches null or missing
-    case other => col(field) === toLit(other)
+    case other =>
+      val (ck, vk) = cmpPair(col(field), other); ck === vk
   }
+
+  // string members fold through the active collation; non-strings pass
+  // through binary — mirrors Mongo's "collation applies to strings"
+  private def collatedSet(c: Column, vs: Seq[Any]): Column =
+    activeCollation.value match {
+      case Some(sp) if vs.exists(_.isInstanceOf[String]) =>
+        sp.key(c).isin(vs.map {
+          case s: String => sp.fold(s)
+          case other => toScalaLit(other)
+        }: _*)
+      case _ => c.isin(vs.map(toScalaLit): _*)
+    }
 
   private def operator(field: String, op: String, v: Any): Column = {
     val c = col(field)
+    lazy val (ck, vk) = cmpPair(c, v)
     op match {
-      case "$eq"  => c === toLit(v)
+      case "$eq"  => ck === vk
       // Mongo $ne also matches documents where the field is null/missing.
-      case "$ne"  => !(c <=> toLit(v))
-      case "$gt"  => c > toLit(v)
-      case "$gte" => c >= toLit(v)
-      case "$lt"  => c < toLit(v)
-      case "$lte" => c <= toLit(v)
-      case "$in"  => c.isin(seqOf(v, "$in").map(toScalaLit): _*)
+      case "$ne"  => !(ck <=> vk)
+      case "$gt"  => ck > vk
+      case "$gte" => ck >= vk
+      case "$lt"  => ck < vk
+      case "$lte" => ck <= vk
+      case "$in"  => collatedSet(c, seqOf(v, "$in"))
       case "$nin" =>
-        val in = c.isin(seqOf(v, "$nin").map(toScalaLit): _*)
-        !coalesce(in, lit(false))
+        !coalesce(collatedSet(c, seqOf(v, "$nin")), lit(false))
       case "$exists" => if (v == true) c.isNotNull else c.isNull
       case "$regex"  => c.rlike(v.toString)
       case "$size"   => size(c) === toLit(v)
@@ -562,12 +596,21 @@ object QueryCompiler {
     val toks = graft.ops.TextFunctions.tokens(txt)
     val pos = ts.terms.map(t => array_contains(toks, fold(t)))
       .reduceOption(_ || _).getOrElse(lit(true))
-    val phr = ts.phrases.map(p => txt.contains(fold(p)))
+    val phr = ts.phrases.map(p => phraseHit(toks, fold(p)))
       .reduceOption(_ && _).getOrElse(lit(true))
     val neg = (ts.negTerms.map(t => !array_contains(toks, fold(t))) ++
-      ts.negPhrases.map(p => !txt.contains(fold(p))))
+      ts.negPhrases.map(p => !phraseHit(toks, fold(p))))
       .reduceOption(_ && _).getOrElse(lit(true))
     pos && phr && neg
+  }
+
+  /** Quoted-phrase hit as ANALYZED-TOKEN adjacency (not raw substring):
+    * the phrase's tokens must appear consecutively in the token stream —
+    * "a b" matches "x a b y" but not "xa by". */
+  private def phraseHit(toks: Column, phrase: String): Column = {
+    val terms = phrase.split("\\s+").filter(_.nonEmpty).toSeq
+    if (terms.isEmpty) lit(true)
+    else graft.ops.TextFunctions.phraseOccurrences(toks, terms, 0) > 0
   }
 
   /** Simplified textScore for the `{$meta: "textScore"}` carrier: count
@@ -579,7 +622,7 @@ object QueryCompiler {
     val (txt, fold) = textFold(caseSensitive)
     val toks = graft.ops.TextFunctions.tokens(txt)
     (ts.terms.map(t => array_contains(toks, fold(t)).cast("int")) ++
-      ts.phrases.map(p => txt.contains(fold(p)).cast("int")))
+      ts.phrases.map(p => phraseHit(toks, fold(p)).cast("int")))
       .reduce(_ + _).cast("double")
   }
 

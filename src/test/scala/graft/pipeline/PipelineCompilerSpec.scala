@@ -500,6 +500,76 @@ class PipelineCompilerSpec extends SparkSpec {
     assert(e2.getMessage.contains("precede shaping"))
   }
 
+  test("$search phrase: analyzed-token adjacency, slop budget, ordering") {
+    val d = Seq(
+      (1L, "the stream filter runs"), // adjacent
+      (2L, "stream the filter"),      // one-token gap
+      (3L, "filter stream"),          // wrong order: never matches
+      (4L, "streamfilter glued"),     // substring would match, tokens don't
+      (5L, "stream x y filter"))      // three-token gap
+      .toDF("doc_id", "text")
+    def hits(slop: Int): Seq[Long] = PipelineCompiler.compile(Seq(
+      Map("$search" -> Map("phrase" -> Map("query" -> "stream filter",
+        "path" -> "text", "slop" -> slop))),
+      Map("$project" -> Map("doc_id" -> 1))))(d)
+      .orderBy("doc_id").select("doc_id").as[Long].collect().toSeq
+    assert(hits(0) == Seq(1L))
+    assert(hits(1) == Seq(1L, 2L))
+    assert(hits(2) == Seq(1L, 2L, 5L))
+    // occurrence count = number of valid start positions
+    val occs = PipelineCompiler.compile(Seq(
+      Map("$search" -> Map("phrase" ->
+        Map("query" -> "a b", "path" -> "text"))),
+      Map("$project" -> Map("doc_id" -> 1,
+        "score" -> Map("$meta" -> "searchScore")))))(
+      Seq((9L, "a b a b c")).toDF("doc_id", "text"))
+      .select("score").as[Double].collect().toSeq
+    assert(occs == Seq(2.0))
+  }
+
+  test("$search phrase under lucene.standard matches punctuated text") {
+    val d = Seq((1L, "Stream, filter! done"), (2L, "stream nothing"))
+      .toDF("doc_id", "text")
+    val out = PipelineCompiler.compile(Seq(
+      Map("$search" -> Map("analyzer" -> "lucene.standard",
+        "phrase" -> Map("query" -> "stream filter", "path" -> "text"))),
+      Map("$project" -> Map("doc_id" -> 1))))(d)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(out == Seq(1L))
+  }
+
+  test("$search analyzer: keyword exact-field, multi path, rejects unknown") {
+    val d = Seq((1L, "en"), (2L, "en GB")).toDF("doc_id", "lang")
+    // keyword: the WHOLE field is one token — "en GB" does not match
+    val kw = PipelineCompiler.compile(Seq(
+      Map("$search" -> Map("analyzer" -> "lucene.keyword",
+        "text" -> Map("query" -> "en", "path" -> "lang"))),
+      Map("$project" -> Map("doc_id" -> 1))))(d)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kw == Seq(1L))
+    // default whitespace analyzer token-matches "en" inside "en GB"
+    val ws = PipelineCompiler.compile(Seq(
+      Map("$search" -> Map("text" ->
+        Map("query" -> "en", "path" -> "lang"))),
+      Map("$project" -> Map("doc_id" -> 1))))(d)
+      .orderBy("doc_id").select("doc_id").as[Long].collect().toSeq
+    assert(ws == Seq(1L, 2L))
+    // per-leg multi override beats the stage default
+    val multi = PipelineCompiler.compile(Seq(
+      Map("$search" -> Map("analyzer" -> "lucene.whitespace",
+        "text" -> Map("query" -> "en",
+          "path" -> Map("value" -> "lang", "multi" -> "lucene.keyword")))),
+      Map("$project" -> Map("doc_id" -> 1))))(d)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(multi == Seq(1L))
+    val e = intercept[IllegalArgumentException] {
+      PipelineCompiler.compile(Seq(
+        Map("$search" -> Map("analyzer" -> "lucene.french",
+          "text" -> Map("query" -> "en", "path" -> "lang")))))(d)
+    }
+    assert(e.getMessage.contains("unsupported"))
+  }
+
   test("$graphLookup restrictSearchWithMatch filters traversable docs") {
     val nodes = Seq((0, -1, true), (1, 0, true), (2, 1, false),
       (3, 2, true)).toDF("id", "parent", "ok")

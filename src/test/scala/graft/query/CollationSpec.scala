@@ -1,0 +1,92 @@
+package graft.query
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CollationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    (1L, "Alice", "Café"),
+    (2L, "alice", "cafe"),
+    (3L, "ALICE", "CAFÉ"),
+    (4L, "bob", "resume"),
+    (5L, "Bob", "Résumé")
+  ).toDF("_id", "name", "word")
+
+  private def ids(q: Map[String, Any], spec: Option[Collation.Spec])
+      : Seq[Long] =
+    df.where(QueryCompiler.compile(q, spec))
+      .orderBy("_id").select("_id").as[Long].collect().toSeq
+
+  test("strength 2: case-insensitive equality, $in, $ne, ranges") {
+    val s2 = Some(Collation.Spec("en", 2))
+    assert(ids(Map("name" -> "ALICE"), s2) == Seq(1, 2, 3))
+    assert(ids(Map("name" -> "ALICE"), None) == Seq(3))
+    assert(ids(Map("name" -> Map("$in" -> Seq("Alice", "BOB"))), s2) ==
+      Seq(1, 2, 3, 4, 5))
+    assert(ids(Map("name" -> Map("$ne" -> "alice")), s2) == Seq(4, 5))
+    // range compares fold too: "b" <= name under case-fold
+    assert(ids(Map("name" -> Map("$gte" -> "B")), s2) == Seq(4, 5))
+    // strength 2 still distinguishes diacritics
+    assert(ids(Map("word" -> "cafe"), s2) == Seq(2))
+  }
+
+  test("strength 1: diacritics fold too") {
+    val s1 = Some(Collation.Spec("en", 1))
+    assert(ids(Map("word" -> "cafe"), s1) == Seq(1, 2, 3))
+    assert(ids(Map("word" -> "RESUME"), s1) == Seq(4, 5))
+  }
+
+  test("parse validates locale, strength, and unknown options loudly") {
+    assert(Collation.parse(Map("locale" -> "en", "strength" -> 2)) ==
+      Collation.Spec("en", 2))
+    val eLoc = intercept[IllegalArgumentException] {
+      Collation.parse(Map("locale" -> "tr", "strength" -> 2))
+    }
+    assert(eLoc.getMessage.contains("unsupported locale"))
+    val eStr = intercept[IllegalArgumentException] {
+      Collation.parse(Map("locale" -> "en", "strength" -> 3))
+    }
+    assert(eStr.getMessage.contains("strength"))
+    val eOpt = intercept[IllegalArgumentException] {
+      Collation.parse(Map("locale" -> "en", "strength" -> 2,
+        "caseLevel" -> true))
+    }
+    assert(eOpt.getMessage.contains("caseLevel"))
+  }
+
+  test("find().collation(): predicate recompiles and sort keys fold") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-collation").toString
+    df.write.parquet(s"$dir/people.parquet")
+    val c = new graft.db.GraftSession(spark, dir).db("testdb").c("people")
+    val got = c.find(Map("name" -> "ALICE"))
+      .collation(Map("locale" -> "en", "strength" -> 2))
+      .sort("word", "-_id").toDF
+      .select("_id").as[Long].collect().toSeq
+    // case-fold matches 1,2,3; sort by folded word asc ("cafe" ties:
+    // strength-2 keeps the accent distinction: café > cafe), then _id desc
+    assert(got.toSet == Set(1L, 2L, 3L))
+    assert(got.head == 2L) // "cafe" sorts before "café" after case-fold
+    // sorting under strength 1 makes all three words equal → _id desc ties
+    val s1 = c.find(Map("name" -> "ALICE"))
+      .collation(Map("locale" -> "en", "strength" -> 1))
+      .sort("word", "-_id").toDF.select("_id").as[Long].collect().toSeq
+    assert(s1 == Seq(3L, 2L, 1L))
+  }
+
+  test("pipe(pipeline, collation): $match and $sort fold") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-collation2").toString
+    df.write.parquet(s"$dir/people.parquet")
+    val c = new graft.db.GraftSession(spark, dir).db("testdb").c("people")
+    val out = c.pipe(
+      Seq(Map("$match" -> Map("name" -> "ALICE")),
+        Map("$sort" -> Seq("word" -> 1, "_id" -> -1)),
+        Map("$project" -> Map("_id" -> 1))),
+      collation = Map("locale" -> "en", "strength" -> 1))
+      .select("_id").as[Long].collect().toSeq
+    assert(out == Seq(3L, 2L, 1L))
+  }
+}
