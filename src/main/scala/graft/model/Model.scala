@@ -69,8 +69,11 @@ final case class MigrationMetadata(
   def satisfied: Boolean = completed && !has_errors
 }
 
-/** reference: model/config.go:7-37 (Configuration / ConfigurationOptions). */
-final case class ApplicationOptions(dryRun: Boolean = false, limit: Int = 0)
+/** reference: model/config.go:7-37 (Configuration / ConfigurationOptions).
+  * `leaseWaitMs` bounds how long a migration waits for another app's
+  * namespace write lease before failing fast (0 = never wait). */
+final case class ApplicationOptions(dryRun: Boolean = false, limit: Int = 0,
+    leaseWaitMs: Long = 10000L)
 
 final case class Configuration(
     options: ApplicationOptions = ApplicationOptions(),

@@ -55,6 +55,10 @@ final class MigrationApp(
   private val network = new DependencyNetwork
   private var specs = Map.empty[String, MigrationSpec]
   val ledger = new MetadataLedger(spark, s"$root/anser_migrations_metadata")
+  private val appId = java.util.UUID.randomUUID().toString
+  /** Serializes concurrent apps touching the same namespace — see
+    * [[NamespaceLease]]. */
+  val lease = new NamespaceLease(spark, root, appId, options.leaseWaitMs)
 
   /** reference Application.Setup (anser.go:63-84). */
   def setup(migrations: Seq[MigrationSpec]): this.type = {
@@ -96,7 +100,19 @@ final class MigrationApp(
     df.where(QueryCompiler.compile(spec.options.query)).count()
   }
 
-  private def runOne(spec: MigrationSpec): MigrationResult = {
+  /** Dry runs only read — no lease. Real runs hold the namespace lease
+    * across the whole read→transform→swap window, so two apps migrating
+    * the same namespace serialize (or fail fast after leaseWaitMs) —
+    * never interleave the directory swap. */
+  private def runOne(spec: MigrationSpec): MigrationResult =
+    if (options.dryRun) runOneInner(spec)
+    else try lease.withLease(spec.options.ns)(runOneInner(spec))
+    catch {
+      case e: IllegalStateException => // lease acquisition failed fast
+        MigrationResult(spec.id, 0, hasErrors = true, Some(e.getMessage))
+    }
+
+  private def runOneInner(spec: MigrationSpec): MigrationResult = {
     val opts = spec.options
     val path = opts.ns.path(root)
     var workListFrame: Option[DataFrame] = None
@@ -218,6 +234,70 @@ final class MigrationApp(
 
   private def deleteBackup(path: String): Unit =
     fs.delete(new org.apache.hadoop.fs.Path(path + ".bak"), true)
+}
+
+/** Per-namespace write lease making the atomic-swap write path safe under
+  * CONCURRENT migration applications: two apps migrating the same
+  * namespace would otherwise race the tmp/bak/rename directory swap
+  * ([[MigrationApp.writeBack]]) and could tear the table. The lease is an
+  * atomically-created file next to the metadata ledger (the reference
+  * leans on per-document atomicity in its metadata collection instead;
+  * migration_helper_iterator.go:80-107) — `FileSystem.create(overwrite =
+  * false)` is atomic on HDFS and local filesystems alike.
+  *
+  * Semantics: acquire blocks up to `waitMs` (concurrent runs SERIALIZE),
+  * then throws (fail fast — surfaced as an errored MigrationResult, never
+  * a torn table). A lease older than `staleMs` is presumed abandoned by a
+  * crashed app and is broken with a warning. */
+final class NamespaceLease(spark: SparkSession, root: String,
+    owner: String, waitMs: Long = 10000L,
+    staleMs: Long = 30L * 60 * 1000) {
+  import org.apache.hadoop.fs.Path
+
+  private def fs = org.apache.hadoop.fs.FileSystem.get(
+    spark.sparkContext.hadoopConfiguration)
+  private def leasePath(ns: graft.model.Namespace): Path =
+    new Path(s"$root/anser_migrations_metadata.leases/" +
+      s"${ns.db}.${ns.collection}.lease")
+
+  def withLease[T](ns: graft.model.Namespace)(body: => T): T = {
+    acquire(ns)
+    try body finally release(ns)
+  }
+
+  def acquire(ns: graft.model.Namespace): Unit = {
+    val p = leasePath(ns)
+    fs.mkdirs(p.getParent)
+    val deadline = System.currentTimeMillis() + waitMs
+    var acquired = false
+    while (!acquired) {
+      try {
+        val out = fs.create(p, false) // atomic create-if-absent
+        out.write(owner.getBytes("UTF-8"))
+        out.close()
+        acquired = true
+      } catch {
+        case _: java.io.IOException =>
+          val age = try System.currentTimeMillis() -
+            fs.getFileStatus(p).getModificationTime
+          catch { case _: java.io.FileNotFoundException => 0L }
+          if (age > staleMs) {
+            org.apache.log4j.Logger.getLogger(getClass).warn(
+              s"breaking stale namespace lease $p (age ${age}ms > " +
+                s"staleMs $staleMs — presumed abandoned by a crashed app)")
+            fs.delete(p, false)
+          } else if (System.currentTimeMillis() > deadline)
+            throw new IllegalStateException(
+              s"namespace ${ns} is leased by another migration app " +
+                s"(lease $p); waited ${waitMs}ms — serialize the apps or " +
+                "raise ApplicationOptions.leaseWaitMs")
+          else Thread.sleep(50)
+      }
+    }
+  }
+
+  def release(ns: graft.model.Namespace): Unit =
+    fs.delete(leasePath(ns), false)
 }
 
 /** Migration metadata ledger — reference MigrationHelper.SaveMigrationEvent

@@ -243,4 +243,65 @@ class MigrationAppSpec extends SparkSpec {
     assert(out.where($"cat" === "done").select("uid").as[Long]
       .collect().toSeq == Seq(30L))
   }
+
+  test("namespace lease: concurrent app on the same namespace fails fast") {
+    val root = freshRoot()
+    val ns = Namespace("db", "items")
+    // app1 holds the namespace lease (as if mid-swap)
+    val app1 = new MigrationApp(spark, root)
+    app1.lease.acquire(ns)
+    try {
+      // app2 refuses to touch the leased namespace: errored result with
+      // the lease message, table untouched
+      val app2 = new MigrationApp(spark, root,
+        ApplicationOptions(leaseWaitMs = 0L))
+      app2.setup(Seq(simple("m1", query = Map("cat" -> "x"))))
+      val res = app2.run()
+      assert(res.head.hasErrors &&
+        res.head.error.exists(_.contains("leased")))
+      val out = spark.read.parquet(s"$root/items.parquet")
+      assert(out.where($"cat" === "done").count() == 0) // not torn, not run
+    } finally app1.lease.release(ns)
+    // once released, the same app succeeds (serialization, not deadlock)
+    val app3 = new MigrationApp(spark, root,
+      ApplicationOptions(leaseWaitMs = 0L))
+    app3.setup(Seq(simple("m1", query = Map("cat" -> "x"))))
+    assert(app3.run().forall(!_.hasErrors))
+  }
+
+  test("namespace lease: waiting app serializes behind the holder") {
+    val root = freshRoot()
+    val ns = Namespace("db", "items")
+    val holder = new MigrationApp(spark, root)
+    holder.lease.acquire(ns)
+    // release the lease from another thread after a short hold
+    val releaser = new Thread(() => {
+      Thread.sleep(300); holder.lease.release(ns)
+    })
+    releaser.start()
+    val waiter = new MigrationApp(spark, root,
+      ApplicationOptions(leaseWaitMs = 10000L))
+    waiter.setup(Seq(simple("m1", query = Map("cat" -> "x"))))
+    val res = waiter.run() // blocks ~300ms, then proceeds
+    releaser.join()
+    assert(res == Seq(MigrationResult("m1", 2, hasErrors = false)))
+    val out = spark.read.parquet(s"$root/items.parquet")
+    assert(out.where($"cat" === "done").count() == 2)
+  }
+
+  test("namespace lease: stale lease from a crashed app is broken") {
+    val root = freshRoot()
+    val ns = Namespace("db", "items")
+    // simulate a crashed app: a lease file with an ancient mtime
+    val leaseFile = java.nio.file.Paths.get(
+      s"$root/anser_migrations_metadata.leases/db.items.lease")
+    java.nio.file.Files.createDirectories(leaseFile.getParent)
+    java.nio.file.Files.write(leaseFile, "dead-app".getBytes)
+    leaseFile.toFile.setLastModified(
+      System.currentTimeMillis() - 60L * 60 * 1000)
+    val app = new MigrationApp(spark, root,
+      ApplicationOptions(leaseWaitMs = 0L))
+    app.setup(Seq(simple("m1", query = Map("cat" -> "x"))))
+    assert(app.run().forall(!_.hasErrors)) // broke the stale lease and ran
+  }
 }
