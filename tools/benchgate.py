@@ -1,0 +1,111 @@
+#!/usr/bin/env python3
+"""Per-query bench regression gate.
+
+Compares the current bench artifact (graft.Bench output / bench.json)
+against a prior round's artifact and FAILS (exit 1) when any query's
+median worsens more than `--threshold`x (default 1.5). Medians are
+stable enough for this since round 7's median-of-3 interleaved protocol;
+sub-`--floor`-second queries (default 0.25s on BOTH sides) are exempt —
+at that scale timer jitter, not plan shape, dominates.
+
+Usage:
+  python3 tools/benchgate.py bench.json BENCH_r07.json [--threshold 1.5]
+  python3 tools/benchgate.py --self-test
+
+New queries (present now, absent before) pass; removed queries warn.
+The gate also fails if the current run recorded failures or rc != 0.
+"""
+import json
+import sys
+
+
+def queries_of(doc):
+    """Accept both the raw Bench JSON ({"queries": {...}}) and the driver's
+    BENCH_r*.json wrapper (whose "tail" holds a json-fragment string)."""
+    if "queries" in doc and isinstance(doc["queries"], dict):
+        return doc["queries"]
+    if "tail" in doc:
+        # the driver wrapper stores a raw tail of Bench's JSON line: a
+        # queries fragment, closed by the first '}', then trailing keys
+        frag = doc["tail"].strip().lstrip(",").split("}", 1)[0]
+        return json.loads("{" + frag + "}")
+    raise SystemExit("benchgate: artifact has neither 'queries' nor 'tail'")
+
+
+def gate(cur, prev, threshold=1.5, floor=0.25):
+    """Returns (regressions, removed): regressions is a list of
+    (query, prev_sec, cur_sec, ratio)."""
+    cur_q, prev_q = queries_of(cur), queries_of(prev)
+    regressions = []
+    for name, now in sorted(cur_q.items()):
+        was = prev_q.get(name)
+        if was is None:
+            continue  # new query this round: nothing to regress against
+        if now <= floor or was <= floor:
+            continue  # timer-jitter regime
+        if was > 0 and now / was > threshold:
+            regressions.append((name, was, now, now / was))
+    removed = sorted(set(prev_q) - set(cur_q))
+    return regressions, removed
+
+
+def self_test():
+    prev = {"queries": {"q1": 1.0, "q2": 2.0, "q3": 0.1, "q4": 1.0}}
+    # q1 regresses 2x (caught), q2 improves, q3 "regresses" under the
+    # jitter floor (exempt), q4 within threshold, q5 is new (exempt),
+    # and prev-only q-gone reports as removed
+    cur = {"queries": {"q1": 2.0, "q2": 1.0, "q3": 0.2, "q4": 1.4,
+                       "q5": 9.9}}
+    prev["queries"]["q_gone"] = 1.0
+    regs, removed = gate(cur, prev)
+    assert [r[0] for r in regs] == ["q1"], regs
+    assert abs(regs[0][3] - 2.0) < 1e-9
+    assert removed == ["q_gone"], removed
+    # wrapper form ("tail" fragment) parses identically
+    wrapped = {"tail": ',"q1":2.0,"q2":1.0,"q3":0.2,"q4":1.4,"q5":9.9'}
+    regs2, _ = gate(wrapped, prev)
+    assert [r[0] for r in regs2] == ["q1"], regs2
+    # no-regression case passes
+    regs3, _ = gate(prev, prev)
+    assert regs3 == [], regs3
+    print("benchgate self-test: OK")
+
+
+def main(argv):
+    if "--self-test" in argv:
+        self_test()
+        return 0
+    args = [a for a in argv if not a.startswith("--")]
+    if len(args) != 2:
+        print(__doc__)
+        return 2
+    threshold = 1.5
+    floor = 0.25
+    for a in argv:
+        if a.startswith("--threshold="):
+            threshold = float(a.split("=", 1)[1])
+        if a.startswith("--floor="):
+            floor = float(a.split("=", 1)[1])
+    cur = json.load(open(args[0]))
+    prev = json.load(open(args[1]))
+    if cur.get("rc", 0) != 0 or cur.get("failures"):
+        print(f"FAIL benchgate: current run has rc={cur.get('rc')} "
+              f"failures={cur.get('failures')}")
+        return 1
+    regs, removed = gate(cur, prev, threshold, floor)
+    for name in removed:
+        print(f"WARN {name}: present in prior artifact, missing now")
+    for name, was, now, ratio in regs:
+        print(f"FAIL {name}: {was:.3f}s -> {now:.3f}s ({ratio:.2f}x > "
+              f"{threshold}x)")
+    n = len(queries_of(cur))
+    if regs:
+        print(f"== benchgate: {len(regs)} regression(s) over {n} queries ==")
+        return 1
+    print(f"== benchgate: no regressions over {n} queries "
+          f"(threshold {threshold}x, floor {floor}s) ==")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
