@@ -225,8 +225,41 @@ object PipelineCompiler {
         val idSpec = fields.getOrElse("_id",
           throw new IllegalArgumentException("$group requires _id"))
         val groupEnv = rootEnv(df)
-        val aggs = (fields - "_id").toSeq.map { case (as, accDoc) =>
+        val aggFields = (fields - "_id").toSeq
+        val aggs = aggFields.map { case (as, accDoc) =>
           accumulator(doc(accDoc), groupEnv).as(as) }
+        // spark.graft.skewSalt opt-in (> 1): two-stage salted aggregation
+        // for hot group keys — stage 1 aggregates per (key, salt) so a
+        // dominant key spreads over `salt` reducers, stage 2 combines the
+        // ≤salt partials per key. Only DECOMPOSABLE accumulators
+        // ($sum/$count/$min/$max — stage 1 IS the normal accumulator, so
+        // semantics can't drift) take the salted path; anything else falls
+        // through to the plain plan, where AQE + partial aggregation
+        // remain the skew story.
+        def saltedAgg(idCol: Column): Option[DataFrame] = {
+          val saltN = df.sparkSession.conf
+            .getOption("spark.graft.skewSalt").map(_.toInt).getOrElse(0)
+          val combine = Map("$sum" -> "sum", "$count" -> "sum",
+            "$min" -> "min", "$max" -> "max")
+          val decomposable = aggFields.forall { case (_, accDoc) =>
+            val m = doc(accDoc); m.size == 1 && combine.contains(m.head._1) }
+          if (saltN <= 1 || aggFields.isEmpty || !decomposable) None
+          else Some {
+            val stage1 = aggFields.zipWithIndex.map { case ((_, accDoc), i) =>
+              accumulator(doc(accDoc), groupEnv).as(s"__sg$i") }
+            val part = df.groupBy(idCol,
+                pmod(hash(monotonically_increasing_id()), lit(saltN))
+                  .as("__salt"))
+              .agg(stage1.head, stage1.tail: _*)
+            val stage2 = aggFields.zipWithIndex.map { case ((as, accDoc), i) =>
+              (combine(doc(accDoc).head._1) match {
+                case "sum" => sum(col(s"__sg$i"))
+                case "min" => min(col(s"__sg$i"))
+                case "max" => max(col(s"__sg$i"))
+              }).as(as) }
+            part.groupBy(col("_id")).agg(stage2.head, stage2.tail: _*)
+          }
+        }
         idSpec match {
           case null => // global aggregation, _id: null
             require(aggs.nonEmpty, "$group {_id: null} needs an accumulator")
@@ -234,20 +267,23 @@ object PipelineCompiler {
           case ref: String if ref.startsWith("$") =>
             // _id-only $group is Mongo's distinct idiom — no accumulators
             if (aggs.isEmpty) df.select(col(ref.drop(1)).as("_id")).distinct()
-            else df.groupBy(col(ref.drop(1)).as("_id"))
-              .agg(aggs.head, aggs.tail: _*)
+            else saltedAgg(col(ref.drop(1)).as("_id"))
+              .getOrElse(df.groupBy(col(ref.drop(1)).as("_id"))
+                .agg(aggs.head, aggs.tail: _*))
           case m: Map[_, _] if m.keys.exists(_.toString.startsWith("$")) =>
             // operator doc: _id is an EXPRESSION ({$month: "$d"}, $concat…)
             val key = expr2col(m, groupEnv).as("_id")
             if (aggs.isEmpty) df.select(key).distinct()
-            else df.groupBy(key).agg(aggs.head, aggs.tail: _*)
+            else saltedAgg(key).getOrElse(
+              df.groupBy(key).agg(aggs.head, aggs.tail: _*))
           case m: Map[_, _] => // compound key {k: "$f", ...} → struct _id
             val keys = m.asInstanceOf[Map[String, Any]].toSeq.map {
               case (k, v) => expr2col(v, groupEnv).as(k) }
             if (aggs.isEmpty)
               df.select(struct(keys: _*).as("_id")).distinct()
-            else df.groupBy(struct(keys: _*).as("_id"))
-              .agg(aggs.head, aggs.tail: _*)
+            else saltedAgg(struct(keys: _*).as("_id")).getOrElse(
+              df.groupBy(struct(keys: _*).as("_id"))
+                .agg(aggs.head, aggs.tail: _*))
           case other =>
             throw new IllegalArgumentException(s"$$group _id: $other")
         }
@@ -2116,9 +2152,27 @@ object PipelineCompiler {
     val fStruct = struct(from.columns.map(from(_)).toSeq: _*)
     val grouped = from.groupBy(col(foreign).as("__lk"))
       .agg(collect_list(fStruct).as(as))
-    df.join(grouped, df(local) === grouped("__lk"), "left_outer")
-      .drop("__lk")
-      .withColumn(as, coalesce(col(as), array()))
+    // spark.graft.skewSalt opt-in (> 1): a hot local key would land every
+    // matching outer row on ONE join task (the grouped right side is one
+    // row per key). Salting scatters outer rows over `salt` buckets and
+    // replicates the matching right row per bucket (Skew.saltedJoin
+    // shape) — complements AQE's runtime skew splitting for the known-
+    // hot-key case.
+    val saltN = df.sparkSession.conf.getOption("spark.graft.skewSalt")
+      .map(_.toInt).getOrElse(0)
+    if (saltN > 1) {
+      val sl = df.withColumn("__sl",
+        pmod(hash(monotonically_increasing_id()), lit(saltN)))
+      val sr = grouped.withColumn("__sr",
+        explode(sequence(lit(0), lit(saltN - 1))))
+      sl.join(sr, sl(local) === sr("__lk") && sl("__sl") === sr("__sr"),
+          "left_outer")
+        .drop("__lk", "__sl", "__sr")
+        .withColumn(as, coalesce(col(as), array()))
+    } else
+      df.join(grouped, df(local) === grouped("__lk"), "left_outer")
+        .drop("__lk")
+        .withColumn(as, coalesce(col(as), array()))
   }
 
   /** Mongo 8.0 concise correlated `$lookup`: equality condition PLUS a

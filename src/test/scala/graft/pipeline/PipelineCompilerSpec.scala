@@ -500,6 +500,40 @@ class PipelineCompilerSpec extends SparkSpec {
     assert(e2.getMessage.contains("precede shaping"))
   }
 
+  test("spark.graft.skewSalt: salted plans return identical results") {
+    val d = Seq((1L, "a", 5L), (2L, "a", 7L), (3L, "b", 1L), (4L, "a", 2L))
+      .toDF("_id", "k", "v")
+    val items = Seq(("a", 10L), ("a", 20L), ("b", 30L)).toDF("k", "q")
+    val gp = Seq(Map("$group" -> (Map("_id" -> "$k",
+      "s" -> Map("$sum" -> "$v"), "mn" -> Map("$min" -> "$v"),
+      "mx" -> Map("$max" -> "$v"),
+      "n" -> Map("$count" -> Map.empty[String, Any])): Map[String, Any])))
+    val lk = Seq(
+      Map("$lookup" -> (Map("from" -> "items", "localField" -> "k",
+        "foreignField" -> "k", "as" -> "xs"): Map[String, Any])),
+      Map("$project" -> Map("_id" -> 1,
+        "n" -> Map("$size" -> "$xs"),
+        "t" -> Map("$sum" -> "$xs.q"))))
+    def runG() = PipelineCompiler.compile(gp)(d)
+      .orderBy("_id").collect().toSeq
+    def runL() = PipelineCompiler.compile(lk, _ => items)(d)
+      .orderBy("_id").collect().toSeq
+    val (plainG, plainL) = (runG(), runL())
+    spark.conf.set("spark.graft.skewSalt", "4")
+    try {
+      assert(runG() == plainG)
+      assert(runL() == plainL)
+      // non-decomposable accumulators fall back to the plain plan and
+      // still answer correctly
+      val push = Seq(Map("$group" -> (Map("_id" -> "$k",
+        "vs" -> Map("$push" -> "$v")): Map[String, Any])))
+      val got = PipelineCompiler.compile(push)(d).orderBy("_id")
+        .selectExpr("_id", "sort_array(vs) as vs").collect().toSeq
+      assert(got.map(r => (r.getString(0), r.getSeq[Long](1))) ==
+        Seq(("a", Seq(2L, 5L, 7L)), ("b", Seq(1L))))
+    } finally spark.conf.unset("spark.graft.skewSalt")
+  }
+
   test("$search phrase: analyzed-token adjacency, slop budget, ordering") {
     val d = Seq(
       (1L, "the stream filter runs"), // adjacent

@@ -397,6 +397,40 @@ class PlanSpec extends SparkSpec {
     val plan = explain(graft.ops.Pca.project(d, "emb", m, "pc"))
     assert(!plan.contains("Exchange") && !plan.contains("Join"))
   }
+
+  test("spark.graft.skewSalt: $group and $lookup compile to salted shapes") {
+    import spark.implicits._
+    import graft.pipeline.PipelineCompiler
+    val d = Seq((1L, "a", 5L), (2L, "a", 7L), (3L, "b", 1L))
+      .toDF("_id", "k", "v")
+    val items = Seq(("a", 10L), ("b", 30L)).toDF("k", "q")
+    val gp = Seq(Map("$group" -> (Map("_id" -> "$k",
+      "s" -> Map("$sum" -> "$v")): Map[String, Any])))
+    val lk = Seq(Map("$lookup" -> (Map("from" -> "items",
+      "localField" -> "k", "foreignField" -> "k",
+      "as" -> "xs"): Map[String, Any])))
+    // unsalted baselines: no salt machinery in the plan
+    val g0 = PipelineCompiler.compile(gp)(d).queryExecution
+      .optimizedPlan.toString
+    val l0 = PipelineCompiler.compile(lk, _ => items)(d).queryExecution
+      .optimizedPlan.toString
+    assert(!g0.contains("__sg0") && !l0.contains("__sl"))
+    spark.conf.set("spark.graft.skewSalt", "4")
+    try {
+      // $group: two aggregates — per (key, salt) partial, then combine
+      // (the optimizer may rewrite the __salt alias into a
+      // _groupingexpression, so assert on the partial columns + shape)
+      val g = PipelineCompiler.compile(gp)(d).queryExecution
+        .optimizedPlan.toString
+      assert(g.contains("__sg0"))
+      assert("(?s)Aggregate.*Aggregate".r.findFirstIn(g).isDefined)
+      // $lookup: join condition carries the scatter/replica salt keys
+      val l = PipelineCompiler.compile(lk, _ => items)(d).queryExecution
+        .optimizedPlan.toString
+      assert(l.contains("__sl") && l.contains("__sr"))
+      assert(l.contains("explode")) // right-side replication
+    } finally spark.conf.unset("spark.graft.skewSalt")
+  }
 }
 
 class FingerprintSpec extends SparkSpec {
