@@ -855,6 +855,23 @@ object SparkEntry {
         .sort("source", "-doc_id")
         .select("doc_id", "lang", "source").toDF),
 
+    // Multi-field paths: phrase occurrences SUM across a path array, and
+    // near scores each field of its path array and sums (Atlas
+    // multi-field clause reading) — all scan-fused scalar/array math
+    "q182_search_multipath" -> ((s, dir) =>
+      coll(s, dir, "documents").pipe(Seq(
+        Map("$search" -> Map("compound" -> Map(
+          "must" -> Seq(Map("phrase" -> Map(
+            "query" -> "stream", "path" -> Seq("text", "source")))),
+          "should" -> Seq(Map("near" -> Map(
+            "path" -> Seq("n_chars", "doc_id"),
+            "origin" -> 300, "pivot" -> 100)))))),
+        Map("$project" -> Map("doc_id" -> 1,
+          "score" -> Map("$meta" -> "searchScore")))))
+        .select(col("doc_id"),
+          col("score").cast("decimal(18,9)").cast("double").as("score"))
+        .orderBy("doc_id")),
+
     // $search analyzer selection: stage-level lucene.standard (lowercase
     // + punctuation split — the uppercase query analyzes to the stored
     // terms) plus a per-leg lucene.keyword multi path (whole-field exact
@@ -4040,6 +4057,24 @@ object SparkEntry {
       """SELECT doc_id, lang, source FROM documents
         |WHERE lower(lang) IN ('en', 'fr')
         |ORDER BY lower(source), doc_id DESC""".stripMargin,
+
+    "q182_search_multipath" ->
+      """WITH tk AS (
+        |  SELECT doc_id, n_chars, source,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(t, x -> x = 'stream'))
+        |      + CASE WHEN source = 'stream' THEN 1 ELSE 0 END AS DOUBLE)
+        |    + (100.0/(100.0 + abs(n_chars - 300))
+        |      + 100.0/(100.0 + abs(doc_id - 300))) AS score,
+        |    len(list_filter(t, x -> x = 'stream'))
+        |      + CASE WHEN source = 'stream' THEN 1 ELSE 0 END AS occ
+        |  FROM tk)
+        |SELECT doc_id, CAST(CAST(score AS DECIMAL(18,9)) AS DOUBLE)
+        |  AS score
+        |FROM sc WHERE occ > 0 ORDER BY doc_id""".stripMargin,
 
     "q181_search_analyzer" ->
       """WITH tk AS (

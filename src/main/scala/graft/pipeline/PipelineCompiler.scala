@@ -663,6 +663,34 @@ object PipelineCompiler {
           pathOf(op, os),
           os.getOrElse("query", throw new IllegalArgumentException(
             s"$name.$op requires query")).toString)
+        // multi-path form: `path` may be an ARRAY of fields (each a bare
+        // name or a {value, multi} doc) — the operator applies per field
+        // and clause scores SUM, Atlas' multi-field reading
+        def pathElems(op: String, os: Map[String, Any])
+            : Seq[(String, String)] = {
+          def one(e: Any): (String, String) = e match {
+            case m: Map[_, _] =>
+              val pm = doc(m)
+              val field = pm.getOrElse("value",
+                throw new IllegalArgumentException(
+                  s"$name.$op path doc requires value")).toString
+              val an = pm.get("multi").map(_.toString)
+                .getOrElse(stageAnalyzer)
+              require(knownAnalyzers(an),
+                s"$name.$op path.multi: unsupported analyzer $an " +
+                  s"(supported: " +
+                  s"${knownAnalyzers.toSeq.sorted.mkString(", ")})")
+              (field, an)
+            case v => (v.toString, stageAnalyzer)
+          }
+          os.getOrElse("path", throw new IllegalArgumentException(
+            s"$name.$op requires path")) match {
+            case s: Seq[_] =>
+              require(s.nonEmpty, s"$name.$op: empty path array")
+              s.map(one)
+            case e => Seq(one(e))
+          }
+        }
         def analyzerFor(op: String, os: Map[String, Any]): String =
           os.get("path") match {
             case Some(m: Map[_, _]) => doc(m).get("multi").map(_.toString)
@@ -897,43 +925,66 @@ object PipelineCompiler {
             case "near" =>
               // proximity scoring: pivot / (pivot + |path − origin|);
               // matches every document with a value (score-only leg, the
-              // way Atlas uses it inside compound.should)
+              // way Atlas uses it inside compound.should). A multi-field
+              // path array scores each field and SUMS (null fields score
+              // 0; the leg matches when ANY field has a value).
               val os = doc(osRaw)
-              val path = pathOf(op, os)
               val pivot = dblV(os.getOrElse("pivot",
                 throw new IllegalArgumentException(
                   s"$name.near requires pivot")))
               require(pivot > 0, s"$name.near: pivot must be positive")
-              val dist = os.getOrElse("origin",
+              val origin = os.getOrElse("origin",
                 throw new IllegalArgumentException(
-                  s"$name.near requires origin")) match {
-                case n: Number => abs(col(path).cast("double") -
-                  lit(n.doubleValue()))
-                case d: java.time.Instant => // pivot in milliseconds
-                  abs(unix_millis(col(path).cast("timestamp")) -
-                    lit(d.toEpochMilli)).cast("double")
-                case other => throw new IllegalArgumentException(
-                  s"$name.near origin: $other (number or date)")
+                  s"$name.near requires origin"))
+              val per = pathElems(op, os).map { case (field, _) =>
+                val dist = origin match {
+                  case n: Number => abs(col(field).cast("double") -
+                    lit(n.doubleValue()))
+                  case d: java.time.Instant => // pivot in milliseconds
+                    abs(unix_millis(col(field).cast("timestamp")) -
+                      lit(d.toEpochMilli)).cast("double")
+                  case other => throw new IllegalArgumentException(
+                    s"$name.near origin: $other (number or date)")
+                }
+                (col(field).isNotNull,
+                  lit(pivot) / (lit(pivot) + dist))
               }
-              (col(path).isNotNull,
-                lit(pivot) / (lit(pivot) + dist), Nil)
+              (per.map(_._1).reduce(_ || _),
+                per.map { case (nn, s) =>
+                  when(nn, s).otherwise(lit(0.0)) }.reduce(_ + _), Nil)
             case "phrase" =>
               // analyzed-token phrase: the query's ANALYZED terms must
               // appear in order with total inter-term gap ≤ slop
               // (Atlas/Lucene sloppy-phrase semantics — "stream, filter!"
               // under lucene.standard matches the phrase "stream filter",
               // which raw substring matching never could). Score = number
-              // of phrase occurrences, as before.
+              // of phrase occurrences; with a multi-field path array the
+              // per-field occurrences SUM (Atlas multi-field clauses).
               val os0 = doc(osRaw)
-              val (_, queryStr) = pathQuery(op, os0)
+              val queryStr = os0.getOrElse("query",
+                throw new IllegalArgumentException(
+                  s"$name.$op requires query")).toString
               require(queryStr.nonEmpty, s"$name.phrase: empty query")
               val slop = os0.get("slop").map(int).getOrElse(0)
               require(slop >= 0, s"$name.phrase: slop must be >= 0")
-              val terms = queryTerms(op, os0 - "slop", queryStr)
-              require(terms.nonEmpty,
-                s"$name.phrase: query has no analyzed terms")
-              val occ = graft.ops.TextFunctions.phraseOccurrences(
-                docToks(op, os0 - "slop"), terms, slop)
+              val occ = pathElems(op, os0).map { case (field, an) =>
+                val toks = an match {
+                  case "lucene.standard" =>
+                    graft.ops.TextFunctions.standardTokens(col(field))
+                  case "lucene.keyword" => array(col(field))
+                  case _ => graft.ops.TextFunctions.tokens(col(field))
+                }
+                val terms = an match {
+                  case "lucene.standard" =>
+                    graft.ops.TextFunctions.standardTerms(queryStr)
+                  case "lucene.keyword" => Seq(queryStr)
+                  case _ =>
+                    queryStr.split("\\s+").filter(_.nonEmpty).toSeq
+                }
+                require(terms.nonEmpty,
+                  s"$name.phrase: query has no analyzed terms")
+                graft.ops.TextFunctions.phraseOccurrences(toks, terms, slop)
+              }.reduce(_ + _)
               (occ > 0, occ.cast("double"), Nil)
             case "wildcard" =>
               // Lucene glob: * = any run, ? = one char; everything else

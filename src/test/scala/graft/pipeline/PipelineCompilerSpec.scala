@@ -572,6 +572,34 @@ class PipelineCompilerSpec extends SparkSpec {
     assert(out == Seq(1L))
   }
 
+  test("$search multi-field paths: phrase occurrences and near scores sum") {
+    val d = Seq(
+      (1L, "alpha beta", "beta gamma", 10L),
+      (2L, "alpha beta alpha beta", "none here", 20L),
+      (3L, "nothing", "alpha beta", 30L))
+      .toDF("doc_id", "title", "body", "n")
+    // phrase across [title, body]: per-field occurrences sum
+    val ph = PipelineCompiler.compile(Seq(
+      Map("$search" -> Map("phrase" -> Map(
+        "query" -> "alpha beta", "path" -> Seq("title", "body")))),
+      Map("$project" -> Map("doc_id" -> 1,
+        "score" -> Map("$meta" -> "searchScore")))))(d)
+      .orderBy("doc_id").select("doc_id", "score")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(ph == Seq((1L, 1.0), (2L, 2.0), (3L, 1.0)))
+    // near across [n, doc_id]: per-field proximity scores sum
+    val nr = PipelineCompiler.compile(Seq(
+      Map("$search" -> Map("near" -> Map(
+        "path" -> Seq("n", "doc_id"), "origin" -> 10, "pivot" -> 10))),
+      Map("$project" -> Map("doc_id" -> 1,
+        "score" -> Map("$meta" -> "searchScore")))))(d)
+      .orderBy("doc_id").select("doc_id", "score")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(nr.head._1 == 1L &&
+      math.abs(nr.head._2 - (10.0 / 10 + 10.0 / 19)) < 1e-12)
+    assert(math.abs(nr(1)._2 - (10.0 / 20 + 10.0 / 18)) < 1e-12)
+  }
+
   test("$search analyzer: keyword exact-field, multi path, rejects unknown") {
     val d = Seq((1L, "en"), (2L, "en GB")).toDF("doc_id", "lang")
     // keyword: the WHOLE field is one token — "en GB" does not match
