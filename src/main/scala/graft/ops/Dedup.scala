@@ -202,6 +202,36 @@ object Dedup {
                   "near-dup candidates or lower maxShingleFreq.")
           }
         }(scala.concurrent.ExecutionContext.global)
+        // spark.graft.jaccard.maxCandidatePairs (> 0): PRE-JOIN volume
+        // valve. In a saturated shingle space the self-join's candidate
+        // volume grows ~quadratically with the corpus (measured: the
+        // 100x rehearsal produced ~3e11 candidates and filled a 72 GB
+        // disk with shuffle spill before dying). The async warning above
+        // only fires when the query ENDS — too late — so when the valve
+        // is set, the frequency aggregate runs EAGERLY (one cheap
+        // count-by-shingle job over the narrow (id, hash) frame) and the
+        // job fails FAST with the named remedies instead of grinding the
+        // cluster into a disk-full crash.
+        val maxCand = df.sparkSession.conf
+          .getOption("spark.graft.jaccard.maxCandidatePairs")
+          .map(_.toLong).getOrElse(0L)
+        if (maxCand > 0) {
+          // fresh aggregate off the persisted shingle frame (NOT the
+          // observed `freq` plan — its Observation must fire exactly once,
+          // on the main query)
+          val volRow = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+            .crossJoin(broadcast(capDf))
+            .where(col("df") <= col("__cap"))
+            .agg(coalesce(sum(col("df").cast("double") *
+              (col("df") - 1) / 2), lit(0.0)).as("cand")).head()
+          val cand = volRow.getDouble(0)
+          if (cand > maxCand) throw new IllegalStateException(
+            f"ngramJaccardPairs: candidate volume $cand%.3g exceeds " +
+              s"spark.graft.jaccard.maxCandidatePairs=$maxCand — the " +
+              "shingle space is too dense for an exact all-pairs join " +
+              "at this scale. Use minhashLshPairs for near-dup " +
+              "candidates, lower maxShingleFreq, or raise the valve.")
+        }
         sh.join(freq.where(col("df") <= col("__cap")).select("sh"), "sh")
       } else sh
     ).persist()) // reused by sizes + both self-join sides: 3 consumers

@@ -49,6 +49,21 @@ class DedupSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("spark.graft.jaccard.maxCandidatePairs fails fast pre-join") {
+    spark.conf.set("spark.graft.jaccard.maxCandidatePairs", "1")
+    try {
+      val e = intercept[IllegalStateException] {
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5).count()
+      }
+      assert(e.getMessage.contains("candidate volume") &&
+        e.getMessage.contains("minhashLshPairs"))
+      // generous valve: same query passes untouched
+      spark.conf.set("spark.graft.jaccard.maxCandidatePairs", "1000000")
+      assert(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+        .count() == 3) // (1,2) (1,4) (2,4)
+    } finally spark.conf.unset("spark.graft.jaccard.maxCandidatePairs")
+  }
+
   test("maxShingleFreq drops stop-shingles") {
     // every doc shares shingles with doc 1 except doc 3; capping freq at 1
     // removes all shared shingles -> no pairs survive
