@@ -69,6 +69,14 @@ object ScaleProbe {
                 Map("input" -> "$v", "N" -> 20)))))))(df)
             .selectExpr("sum(ema)").collect()
           2000000L
+        case "pairs" =>
+          // candidate/true-pair VOLUME evidence for the scaling analysis:
+          // the LSH pair count is the output's intrinsic size — when the
+          // corpus is built by replicating documents with light mutation
+          // (ScaleUp), sibling groups make the true near-dup pair count
+          // grow quadratically with the factor, so any correct pair
+          // enumerator looks super-linear on that data
+          Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 12, 4).count()
         case other => throw new IllegalArgumentException(other)
       }
       println(f"[scale] $op $dir ${(System.nanoTime() - t0) / 1e9}%.2f s" +
