@@ -5,8 +5,10 @@ Compares the current bench artifact (graft.Bench output / bench.json)
 against a prior round's artifact and FAILS (exit 1) when any query's
 median worsens more than `--threshold`x (default 1.5). Medians are
 stable enough for this since round 7's median-of-3 interleaved protocol;
-sub-`--floor`-second queries (default 0.25s on BOTH sides) are exempt —
-at that scale timer jitter, not plan shape, dominates.
+queries whose current time is under `--floor` (default 0.25s) or whose
+absolute slowdown is under 2x the floor are exempt — at that scale timer
+jitter, not plan shape, dominates. A small PRIOR time alone is never
+exempt (0.24s -> 2.3s is a real regression).
 
 Usage:
   python3 tools/benchgate.py bench.json BENCH_r07.json [--threshold 1.5]
@@ -41,8 +43,13 @@ def gate(cur, prev, threshold=1.5, floor=0.25):
         was = prev_q.get(name)
         if was is None:
             continue  # new query this round: nothing to regress against
-        if now <= floor or was <= floor:
-            continue  # timer-jitter regime
+        # jitter exemptions: a tiny current time can't be a meaningful
+        # regression, and a small ABSOLUTE delta is timer noise even when
+        # the ratio is large (0.1s -> 0.2s). A small PRIOR time alone is
+        # NOT exempt: 0.24s -> 2.3s is a real 10x regression the old
+        # either-side floor silently passed.
+        if now <= floor or (now - was) <= 2 * floor:
+            continue
         if was > 0 and now / was > threshold:
             regressions.append((name, was, now, now / was))
     removed = sorted(set(prev_q) - set(cur_q))
@@ -50,21 +57,25 @@ def gate(cur, prev, threshold=1.5, floor=0.25):
 
 
 def self_test():
-    prev = {"queries": {"q1": 1.0, "q2": 2.0, "q3": 0.1, "q4": 1.0}}
+    prev = {"queries": {"q1": 1.0, "q2": 2.0, "q3": 0.1, "q4": 1.0,
+                        "q6": 0.24}}
     # q1 regresses 2x (caught), q2 improves, q3 "regresses" under the
-    # jitter floor (exempt), q4 within threshold, q5 is new (exempt),
-    # and prev-only q-gone reports as removed
+    # jitter floor (exempt: small absolute delta), q4 within threshold,
+    # q5 is new (exempt), q6 regresses from a SMALL prior to a large
+    # current (caught — the either-side floor used to miss this), and
+    # prev-only q-gone reports as removed
     cur = {"queries": {"q1": 2.0, "q2": 1.0, "q3": 0.2, "q4": 1.4,
-                       "q5": 9.9}}
+                       "q5": 9.9, "q6": 2.3}}
     prev["queries"]["q_gone"] = 1.0
     regs, removed = gate(cur, prev)
-    assert [r[0] for r in regs] == ["q1"], regs
+    assert [r[0] for r in regs] == ["q1", "q6"], regs
     assert abs(regs[0][3] - 2.0) < 1e-9
     assert removed == ["q_gone"], removed
     # wrapper form ("tail" fragment) parses identically
-    wrapped = {"tail": ',"q1":2.0,"q2":1.0,"q3":0.2,"q4":1.4,"q5":9.9'}
+    wrapped = {"tail":
+               ',"q1":2.0,"q2":1.0,"q3":0.2,"q4":1.4,"q5":9.9,"q6":2.3'}
     regs2, _ = gate(wrapped, prev)
-    assert [r[0] for r in regs2] == ["q1"], regs2
+    assert [r[0] for r in regs2] == ["q1", "q6"], regs2
     # no-regression case passes
     regs3, _ = gate(prev, prev)
     assert regs3 == [], regs3
