@@ -19,14 +19,23 @@ object Bench {
     val deadlineS = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_S", "1200").toLong
     val startNanos = System.nanoTime()
     def elapsedS: Long = (System.nanoTime() - startNanos) / 1000000000L
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // extra session confs, ';'-separated k=v pairs — e.g. benching with a
+    // graft tuning valve set (SPARK_GRAFT_EXTRA_CONF=
+    // "spark.graft.jaccard.maxCandidatePairs=1000000000")
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.nonEmpty)
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k, v)
+      }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warmup: JIT + codegen + parquet footer caches, so the first measured
     // query isn't charged for session startup

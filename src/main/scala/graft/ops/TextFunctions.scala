@@ -45,22 +45,30 @@ object TextFunctions {
     require(terms.nonEmpty, "phraseOccurrences: no terms")
     require(slop >= 0, s"phraseOccurrences: slop must be >= 0, got $slop")
     val m = terms.length
-    val n = size(toks)
-    // term k must match at some j in (prev, prev+1+slop−used], bounded by
-    // the array end; the `j <= hi` guard runs BEFORE element_at so the
-    // conjunction short-circuits inside the clamped-but-padded sequence
-    // (ANSI mode: element_at past the end would throw)
-    def rest(k: Int, prev: Column, used: Column): Column =
-      if (k == m) lit(true)
-      else {
-        val hi = least(prev + (lit(slop) - used) + 1, n)
-        exists(sequence(prev + 1, greatest(prev + 1, hi)),
-          j => j <= hi && element_at(toks, j) === lit(terms(k)) &&
-            rest(k + 1, j, used + (j - prev - 1)))
-      }
-    when(n >= m, size(filter(sequence(lit(1), n),
-      i => element_at(toks, i) === lit(terms.head) &&
-        rest(1, i, lit(0))))).otherwise(lit(0))
+    // Let-bind the token array ONCE per row (one-element transform):
+    // the nested lambdas below index it at every candidate position, and
+    // callers pass an inline `tokens(col)`/`standardTokens(col)`
+    // EXPRESSION — without the binding each position re-runs the whole
+    // tokenization, the O(len²)-per-row trap [[shinglesOfTokens]]
+    // documents (measured: q138/q147 4×/3× slower).
+    element_at(transform(array(toks), tk => {
+      val n = size(tk)
+      // term k must match at some j in (prev, prev+1+slop−used], bounded
+      // by the array end; the `j <= hi` guard runs BEFORE element_at so
+      // the conjunction short-circuits inside the clamped-but-padded
+      // sequence (ANSI mode: element_at past the end would throw)
+      def rest(k: Int, prev: Column, used: Column): Column =
+        if (k == m) lit(true)
+        else {
+          val hi = least(prev + (lit(slop) - used) + 1, n)
+          exists(sequence(prev + 1, greatest(prev + 1, hi)),
+            j => j <= hi && element_at(tk, j) === lit(terms(k)) &&
+              rest(k + 1, j, used + (j - prev - 1)))
+        }
+      when(n >= m, size(filter(sequence(lit(1), n),
+        i => element_at(tk, i) === lit(terms.head) &&
+          rest(1, i, lit(0))))).otherwise(lit(0))
+    }), 1)
   }
 
   def tokenCount(text: Column): Column = size(tokens(text))
