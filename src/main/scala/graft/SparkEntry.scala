@@ -855,6 +855,26 @@ object SparkEntry {
         .sort("source", "-doc_id")
         .select("doc_id", "lang", "source").toDF),
 
+    // Mongo array-localField $lookup: the local array is a SET of join
+    // keys ($in-like membership, each matching foreign doc once). Plan:
+    // distinct elements explode into a hash equi-join (here the fused
+    // lookup+unwind form) — never a nested-loop membership join
+    "q183_lookup_array" -> ((s, dir) =>
+      new GraftSession(s, dir).db("testdata").c("documents").pipe(Seq(
+        Map("$set" -> Map("keys" -> Seq(
+          Map("$mod" -> Seq("$doc_id", 25)),
+          Map("$mod" -> Seq(Map("$multiply" -> Seq("$doc_id", 7)), 25))))),
+        Map("$lookup" -> Map("from" -> "nation",
+          "localField" -> "keys", "foreignField" -> "n_nationkey",
+          "as" -> "nats")),
+        Map("$unwind" -> "$nats"),
+        Map("$group" -> Map("_id" -> "$doc_id",
+          "n" -> Map("$sum" -> 1),
+          "nn" -> Map("$min" -> "$nats.n_name"))),
+        Map("$project" -> Map("doc_id" -> "$_id", "n" -> 1, "nn" -> 1,
+          "_id" -> 0)),
+        Map("$sort" -> Map("doc_id" -> 1))))),
+
     // Multi-field paths: phrase occurrences SUM across a path array, and
     // near scores each field of its path array and sums (Atlas
     // multi-field clause reading) — all scan-fused scalar/array math
@@ -4057,6 +4077,17 @@ object SparkEntry {
       """SELECT doc_id, lang, source FROM documents
         |WHERE lower(lang) IN ('en', 'fr')
         |ORDER BY lower(source), doc_id DESC""".stripMargin,
+
+    "q183_lookup_array" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    [doc_id % 25, (doc_id * 7) % 25] AS keys FROM documents),
+        |e AS (SELECT doc_id, unnest(keys) AS k FROM d),
+        |e2 AS (SELECT DISTINCT doc_id, k FROM e),
+        |m AS (SELECT e2.doc_id, n.n_name
+        |      FROM e2 JOIN nation n ON n.n_nationkey = e2.k)
+        |SELECT doc_id, COUNT(*) AS n, MIN(n_name) AS nn
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q182_search_multipath" ->
       """WITH tk AS (

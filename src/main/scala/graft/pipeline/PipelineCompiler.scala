@@ -389,8 +389,25 @@ object PipelineCompiler {
                        else "inner"
         val fStruct = struct(from.columns.map(from(_)).toSeq: _*)
         val right = from.select(col(foreign).as("__lk"), fStruct.as(as))
-        df.join(right, df(d("localField").toString) === right("__lk"), joinType)
-          .drop("__lk")
+        val lcol = df(d("localField").toString)
+        val localIsArray = df.select(lcol).schema.head.dataType
+          .isInstanceOf[org.apache.spark.sql.types.ArrayType]
+        if (localIsArray && joinType == "inner")
+          // array localField, non-preserving unwind: one output row per
+          // (outer row, matched foreign doc) — explode the DISTINCT
+          // elements straight into the equi-join, no regroup needed
+          df.select(col("*"), explode(array_distinct(lcol)).as("__el"))
+            .join(right, col("__el") === right("__lk"), "inner")
+            .drop("__lk", "__el")
+        else if (localIsArray) {
+          // preserving unwind over an array localField: an exploded left
+          // join would fabricate a null row PER unmatched element — go
+          // through the grouped lookup, then unwind preserving
+          val full = lookupEquality(df, d - "__preserve", from)
+          full.withColumn(as, explode_outer(col(as)))
+        } else
+          df.join(right, lcol === right("__lk"), joinType)
+            .drop("__lk")
 
       case "$sortByCount" =>
         val ref = spec.toString
@@ -2203,6 +2220,28 @@ object PipelineCompiler {
     val fStruct = struct(from.columns.map(from(_)).toSeq: _*)
     val grouped = from.groupBy(col(foreign).as("__lk"))
       .agg(collect_list(fStruct).as(as))
+    // Mongo array-localField semantics: the array is a SET of join keys —
+    // a foreign doc matches when its foreignField equals ANY element
+    // ($in-like membership; each matching doc appears once). Explode the
+    // DISTINCT elements, equi-join, re-aggregate per outer row — never a
+    // nested-loop membership join. The row identity is plan-internal
+    // (attached directly above the outer plan, dropped before returning);
+    // the matched array is sort_array'd for a deterministic order (Mongo
+    // specifies none). skewSalt does not apply to this branch.
+    val lcol = df(local)
+    val localIsArray = df.select(lcol).schema.head.dataType
+      .isInstanceOf[org.apache.spark.sql.types.ArrayType]
+    if (localIsArray) {
+      val df2 = df.withColumn("__rid", monotonically_increasing_id())
+      val matched = df2
+        .select(col("__rid"), explode(array_distinct(lcol)).as("__el"))
+        .join(grouped, col("__el") === grouped("__lk"))
+        .groupBy("__rid")
+        .agg(sort_array(flatten(collect_list(col(as)))).as("__m"))
+      return df2.join(matched, Seq("__rid"), "left_outer")
+        .withColumn(as, coalesce(col("__m"), array()))
+        .drop("__rid", "__m")
+    }
     // spark.graft.skewSalt opt-in (> 1): a hot local key would land every
     // matching outer row on ONE join task (the grouped right side is one
     // row per key). Salting scatters outer rows over `salt` buckets and

@@ -204,6 +204,52 @@ class PipelineCompilerSpec extends SparkSpec {
       .collect().toSeq == Seq(0, 0))
   }
 
+  test("$lookup array localField: membership semantics, hash join only") {
+    val dims = Seq(("x", "X1"), ("y", "Y1"), ("z", "Z1"))
+      .toDF("key", "label")
+    val out = PipelineCompiler.compile(Seq(
+      Map("$lookup" -> Map("from" -> "dims", "localField" -> "tags",
+        "foreignField" -> "key", "as" -> "d"))),
+      tables = { case "dims" => dims })(sales)
+    val byN = out.select($"n", size($"d")).as[(Int, Int)].collect().toMap
+    // ["x","y"] matches 2 docs, ["y"] 1, [] 0, ["z"] 1
+    assert(byN == Map(1 -> 2, 2 -> 1, 3 -> 0, 4 -> 1))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"))
+  }
+
+  test("fused $lookup+$unwind over an array localField") {
+    val dims = Seq(("x", "X1"), ("y", "Y1")).toDF("key", "label")
+    val out = PipelineCompiler.compile(Seq(
+      Map("$lookup" -> Map("from" -> "dims", "localField" -> "tags",
+        "foreignField" -> "key", "as" -> "d")),
+      Map("$unwind" -> "$d"),
+      Map("$project" -> Map("n" -> 1, "label" -> "$d.label"))),
+      tables = { case "dims" => dims })(sales)
+    assert(out.select($"n", $"label").as[(Int, String)]
+      .collect().sorted.toSeq == Seq((1, "X1"), (1, "Y1"), (2, "Y1")))
+  }
+
+  test("preserving $unwind over array-localField $lookup: no null row " +
+      "per unmatched element") {
+    val dims = Seq(("x", "X1")).toDF("key", "label")
+    val out = PipelineCompiler.compile(Seq(
+      Map("$lookup" -> Map("from" -> "dims", "localField" -> "tags",
+        "foreignField" -> "key", "as" -> "d")),
+      Map("$unwind" -> Map("path" -> "$d",
+        "preserveNullAndEmptyArrays" -> true))),
+      tables = { case "dims" => dims })(sales)
+    // n=1 has tags [x,y]: only x matches -> exactly ONE output row (a
+    // naive exploded left join would add a null row for unmatched y);
+    // unmatched rows keep one row with a null d
+    assert(out.groupBy($"n").count().as[(Int, Long)].collect().toMap ==
+      Map(1 -> 1L, 2 -> 1L, 3 -> 1L, 4 -> 1L))
+    assert(out.where($"n" === 1).select($"d.label").as[String]
+      .head() == "X1")
+    assert(out.where($"n" === 2).select($"d").collect().head.isNullAt(0))
+  }
+
   test("$addFields + expression language") {
     val out = run(Map("$addFields" -> Map(
       "label" -> Map("$cond" -> Seq(Map("$gte" -> Seq("$amt", 25.0)),
