@@ -855,6 +855,19 @@ object SparkEntry {
         .sort("source", "-doc_id")
         .select("doc_id", "lang", "source").toDF),
 
+    // Atlas text.matchCriteria "all": every analyzed term must be
+    // present (the default "any" ORs them); scoring is the same BM25 sum
+    "q184_text_matchall" -> ((s, dir) =>
+      coll(s, dir, "documents").pipe(Seq(
+        Map("$search" -> Map("text" ->
+          Map("query" -> "stream filter", "path" -> "text",
+            "matchCriteria" -> "all"))),
+        Map("$project" -> Map("doc_id" -> 1,
+          "score" -> Map("$meta" -> "searchScore")))))
+        .select(col("doc_id"),
+          col("score").cast("decimal(18,9)").cast("double").as("score"))
+        .orderBy(desc("score"), asc("doc_id")).limit(20)),
+
     // Mongo array-localField $lookup: the local array is a SET of join
     // keys ($in-like membership, each matching foreign doc once). Plan:
     // distinct elements explode into a hash equi-join (here the fused
@@ -4077,6 +4090,32 @@ object SparkEntry {
       """SELECT doc_id, lang, source FROM documents
         |WHERE lower(lang) IN ('en', 'fr')
         |ORDER BY lower(source), doc_id DESC""".stripMargin,
+
+    "q184_text_matchall" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM tk),
+        |hits AS (
+        |  SELECT doc_id, dl, term, COUNT(*) AS tf FROM toks
+        |  WHERE term IN ('stream', 'filter')
+        |  GROUP BY doc_id, dl, term),
+        |stats AS (
+        |  SELECT COUNT(*) AS n_docs, avg(CAST(len(t) AS DOUBLE)) AS avgdl
+        |  FROM tk),
+        |dfreq AS (
+        |  SELECT term, COUNT(*) AS df FROM hits GROUP BY term),
+        |sc AS (
+        |  SELECT doc_id, COUNT(*) AS nterms,
+        |    SUM(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * 2.2)
+        |      / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))) AS score
+        |  FROM hits JOIN dfreq USING (term), stats GROUP BY doc_id)
+        |SELECT doc_id, CAST(CAST(score AS DECIMAL(18,9)) AS DOUBLE)
+        |  AS score
+        |FROM sc WHERE nterms = 2
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
     "q183_lookup_array" ->
       """WITH d AS (

@@ -863,7 +863,16 @@ object PipelineCompiler {
                   (tf + lit(k1) * (lit(1 - b) + lit(b) * dl /
                     col(s"${p}_avgdl")))).otherwise(lit(0.0))
               }
-              val pred = terms.map(anyHit).reduce(_ || _)
+              // Atlas matchCriteria (8.0+): "any" (default) ORs the
+              // analyzed terms, "all" requires every term. Scoring is
+              // the same BM25 sum either way, as in Atlas.
+              val matchCriteria = os.get("matchCriteria")
+                .map(_.toString).getOrElse("any")
+              require(Set("any", "all")(matchCriteria),
+                s"$name.text.matchCriteria: $matchCriteria (any/all)")
+              val hits = terms.map(anyHit)
+              val pred = if (matchCriteria == "all") hits.reduce(_ && _)
+                         else hits.reduce(_ || _)
               (pred, perTerm.reduce(_ + _), statCols)
             case "moreLikeThis" =>
               // find-similar: the `like` documents' analyzed terms become
