@@ -855,6 +855,18 @@ object SparkEntry {
         .sort("source", "-doc_id")
         .select("doc_id", "lang", "source").toDF),
 
+    // Atlas autocomplete tokenOrder: multi-token query, each analyzed
+    // term a PREFIX of document tokens (edgeGram reading) — "sequential"
+    // requires the prefixed tokens adjacent and in order; compared
+    // against the "any" form on count via the oracle
+    "q185_autocomplete_seq" -> ((s, dir) =>
+      coll(s, dir, "documents").pipe(Seq(
+        Map("$search" -> Map("autocomplete" ->
+          Map("query" -> "strea filte", "path" -> "text",
+            "tokenOrder" -> "sequential"))),
+        Map("$project" -> Map("doc_id" -> 1))))
+        .orderBy("doc_id")),
+
     // Atlas text.matchCriteria "all": every analyzed term must be
     // present (the default "any" ORs them); scoring is the same BM25 sum
     "q184_text_matchall" -> ((s, dir) =>
@@ -4090,6 +4102,17 @@ object SparkEntry {
       """SELECT doc_id, lang, source FROM documents
         |WHERE lower(lang) IN ('en', 'fr')
         |ORDER BY lower(source), doc_id DESC""".stripMargin,
+
+    "q185_autocomplete_seq" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents)
+        |SELECT doc_id FROM tk
+        |WHERE len(list_filter(range(1, len(t) + 1), i ->
+        |  i + 1 <= len(t) AND starts_with(t[i], 'strea')
+        |  AND starts_with(t[i + 1], 'filte'))) > 0
+        |ORDER BY doc_id""".stripMargin,
 
     "q184_text_matchall" ->
       """WITH tk AS (

@@ -71,6 +71,23 @@ object TextFunctions {
     }), 1)
   }
 
+  /** Sequential prefix-phrase hit (Atlas autocomplete tokenOrder:
+    * "sequential"): some start position matches every query term as a
+    * PREFIX of consecutive document tokens — the edgeGram reading, where
+    * a query token matches a doc token it prefixes. Token array is
+    * let-bound once per row (see [[phraseOccurrences]]). */
+  def prefixPhraseHit(toks: Column, terms: Seq[String]): Column = {
+    require(terms.nonEmpty, "prefixPhraseHit: no terms")
+    val m = terms.length
+    element_at(transform(array(toks), tk => {
+      val n = size(tk)
+      when(n >= m, exists(sequence(lit(1), greatest(lit(1), n - (m - 1))),
+        i => (n - i >= m - 1) && terms.zipWithIndex.map { case (t, k) =>
+          element_at(tk, i + k).startsWith(lit(t))
+        }.reduce(_ && _))).otherwise(lit(false))
+    }), 1)
+  }
+
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** BPE-ish subword count: alpha runs, digit runs, single punctuation. */

@@ -1026,16 +1026,34 @@ object PipelineCompiler {
               } + "$"
               (col(path).rlike(rx), lit(1.0), Nil)
             case "autocomplete" =>
-              // token-prefix match (the minimal edgeGram analyzer form);
-              // under lucene.standard the query prefix folds to lowercase
-              // like the indexed tokens do
+              // token-prefix match (the minimal edgeGram analyzer form):
+              // every analyzed query term must PREFIX a document token —
+              // tokenOrder "any" (default) anywhere, "sequential"
+              // adjacent and in order. Under lucene.standard the query
+              // folds to lowercase like the indexed tokens do. `fuzzy`
+              // is rejected loudly (edit distance over edgeGram prefixes
+              // has no exact columnar reading; text.fuzzy covers the
+              // typo-tolerance case).
               val os = doc(osRaw)
               val (_, queryStr) = pathQuery(op, os)
               require(queryStr.nonEmpty, s"$name.autocomplete: empty query")
-              val qs = if (analyzerFor(op, os) == "lucene.standard")
-                queryStr.toLowerCase(java.util.Locale.ROOT) else queryStr
-              (exists(docToks(op, os), t => t.startsWith(qs)),
-                lit(1.0), Nil)
+              require(!os.contains("fuzzy"),
+                s"$name.autocomplete.fuzzy: not supported — use the " +
+                  "text operator's fuzzy option for typo tolerance")
+              val tokenOrder = os.get("tokenOrder").map(_.toString)
+                .getOrElse("any")
+              require(Set("any", "sequential")(tokenOrder),
+                s"$name.autocomplete.tokenOrder: $tokenOrder " +
+                  "(any/sequential)")
+              val terms = queryTerms(op, os, queryStr)
+              val toks = docToks(op, os)
+              val pred =
+                if (terms.size > 1 && tokenOrder == "sequential")
+                  graft.ops.TextFunctions.prefixPhraseHit(toks, terms)
+                else terms.map(t =>
+                  exists(toks, x => x.startsWith(lit(t))))
+                  .reduce(_ && _)
+              (pred, lit(1.0), Nil)
             // constant-scored structured operators (the usual compound
             // filter legs): exact value, set membership, open/closed
             // ranges, field presence
