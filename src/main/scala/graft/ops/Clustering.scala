@@ -5,17 +5,20 @@ import org.apache.spark.sql.functions._
 
 /** Distributed spherical k-means — trains the coarse centroids that
   * [[Similarity.ivfAssign]]/[[Similarity.ivfTopK]] probe. Lloyd iterations:
-  * assign every vector to its highest-cosine centroid (broadcast join,
-  * deterministic id tie-break), then recompute each centroid as the
-  * component-wise mean of its members.
+  * assign every vector to its highest-cosine centroid (centroid constants
+  * folded into the generated code — a shuffle-free scan map, the
+  * [[Similarity.ivfTopK]] cellScores pattern; deterministic id
+  * tie-break), then recompute each centroid as the component-wise mean
+  * of its members.
   *
-  * Scale shape per iteration: one broadcast join (centroids are k rows) +
-  * one (cell, dim) aggregate + one cell aggregate — no driver-side data
-  * paths besides the k×dim centroid table itself, which IVF later folds
-  * into codegen anyway. Plan growth across iterations is truncated with
-  * checkpoints (same pattern as [[Dedup.duplicateClusters]]; pass
-  * `checkpointDir` or set `spark.graft.checkpointDir` for RELIABLE
-  * checkpoints on a real cluster — see [[Checkpoints.truncate]]).
+  * Scale shape per iteration: one k-row bounded collect (the IVF-centroid
+  * driver-side class) + one (cell, dim) aggregate + one cell aggregate —
+  * assignment itself never shuffles (the earlier broadcast-join +
+  * per-vector window form shuffled k×|corpus| rows per iteration). Plan
+  * growth across iterations is truncated with checkpoints (same pattern
+  * as [[Dedup.duplicateClusters]]; pass `checkpointDir` or set
+  * `spark.graft.checkpointDir` for RELIABLE checkpoints on a real
+  * cluster — see [[Checkpoints.truncate]]).
   *
   * Determinism contract (oracle-checkable): init = the k smallest-id
   * vectors; assignment ties break on centroid id; member sums are exact
@@ -43,13 +46,19 @@ object Clustering {
       .select(col("__vid").cast("long").as("centroid_id"),
         col("__v").as("centroid")), checkpointDir)
     for (_ <- 1 to iters) {
-      val assigned = Similarity.ivfAssign(
-        data.withColumnRenamed("__v", "__vec"), "__vid",
-        "__vec", cents.select(col("centroid_id").as("__vid"),
-          col("centroid").as("__vec")))
+      // k-row bounded collect: folding this generation's centroids into
+      // codegen makes assignment a shuffle-free scan map (same argmax +
+      // smallest-id tie-break the join+window form computed)
+      val centSeq: Seq[(Long, Array[Double])] = cents
+        .select(col("centroid_id"), col("centroid")).collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1)
+      val assigned = data.withColumn("centroid_id",
+        -array_max(Similarity.cellScores(col("__v"), centSeq))
+          .getField("nid"))
       // component-wise mean via exact decimal sums (partitioning-invariant)
       val byDim = assigned
-        .select(col("centroid_id"), posexplode(col("__vec"))
+        .select(col("centroid_id"), posexplode(col("__v"))
           .as(Seq("pos", "x")))
         .groupBy("centroid_id", "pos")
         .agg((sum(col("x").cast("decimal(28,12)")).cast("double") /
@@ -69,5 +78,72 @@ object Clustering {
       Checkpoints.release(prev) // superseded generation's storage
     }
     cents
+  }
+
+  /** Grouped k-means: ONE Lloyd iteration trains EVERY group's codebook
+    * in a single corpus pass — assignment dispatches on the group column
+    * inside the scan (all groups' centroid constants folded into the
+    * generated code) and one (group, cell, dim) aggregate recomputes all
+    * means. The caller's groups must share the id space (each id appears
+    * once per group — the PQ subspace layout), so the seed for every
+    * group is the global k smallest ids' vectors.
+    *
+    * Versus |groups| independent [[kmeans]] fits this is |groups|× fewer
+    * corpus scans and checkpoint jobs per iteration — the difference
+    * between m passes and one pass over 100 TB per Lloyd step.
+    * Returns (grpCol, centroid_id, centroid). */
+  def kmeansGrouped(df: DataFrame, idCol: String, grpCol: String,
+      vecCol: String, k: Int, iters: Int,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(k > 0 && iters >= 0, "kmeansGrouped: k > 0, iters >= 0")
+    require(df.schema(idCol).dataType.isInstanceOf[
+      org.apache.spark.sql.types.NumericType],
+      s"kmeansGrouped: idCol '$idCol' must be numeric, got " +
+        df.schema(idCol).dataType.simpleString)
+    val data = df.select(col(grpCol).cast("int").as("__g"),
+      col(idCol).as("__vid"), col(vecCol).cast("array<double>").as("__v"))
+    val seedIds = data.select(col("__vid")).distinct()
+      .orderBy("__vid").limit(k)
+    var cents = Checkpoints.truncate(
+      data.join(broadcast(seedIds), Seq("__vid"))
+        .select(col("__g"), col("__vid").cast("long").as("centroid_id"),
+          col("__v").as("centroid")), checkpointDir)
+    for (_ <- 1 to iters) {
+      // |groups|·k rows — the PQ-codebook driver-side class
+      val cm: Map[Int, Seq[(Long, Array[Double])]] = cents
+        .select(col("__g"), col("centroid_id"), col("centroid"))
+        .collect().toSeq
+        .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+        .groupBy(_._1).map { case (g, rows) =>
+          g -> rows.map(t => (t._2, t._3)).sortBy(_._1)
+        }
+      val assign = cm.toSeq.sortBy(_._1).map { case (g, cs) =>
+        (g, -array_max(Similarity.cellScores(col("__v"), cs))
+          .getField("nid"))
+      }.foldLeft(lit(null).cast("long")) { case (acc, (g, e)) =>
+        when(col("__g") === g, e).otherwise(acc)
+      }
+      val assigned = data.withColumn("centroid_id", assign)
+      val byDim = assigned
+        .select(col("__g"), col("centroid_id"),
+          posexplode(col("__v")).as(Seq("pos", "x")))
+        .groupBy("__g", "centroid_id", "pos")
+        .agg((sum(col("x").cast("decimal(28,12)")).cast("double") /
+          count(lit(1))).as("m"))
+      val fresh = byDim
+        .groupBy("__g", "centroid_id")
+        .agg(transform(array_sort(collect_list(struct(col("pos"),
+          col("m")))), e => e.getField("m")).as("centroid"))
+      val prev = cents
+      cents = Checkpoints.truncate(cents.select(col("__g"),
+          col("centroid_id"), col("centroid").as("__old"))
+        .join(fresh, Seq("__g", "centroid_id"), "left_outer")
+        .select(col("__g"), col("centroid_id"),
+          coalesce(col("centroid"), col("__old")).as("centroid")),
+        checkpointDir)
+      Checkpoints.release(prev)
+    }
+    cents.select(col("__g").as(grpCol), col("centroid_id"),
+      col("centroid"))
   }
 }

@@ -81,14 +81,18 @@ object Quantize {
       checkpointDir: Option[String] = None): DataFrame = {
     require(m > 0 && dim % m == 0, s"pq: dim $dim must split into m=$m")
     val sub = dim / m
-    (0 until m).map { j =>
-      Clustering.kmeans(
-        df.select(col(idCol),
-          slice(col(vecCol).cast("array<double>"), j * sub + 1, sub)
-            .as("__sub")),
-        idCol, "__sub", k, iters, checkpointDir)
-        .select(lit(j).as("subspace"), col("centroid_id"), col("centroid"))
-    }.reduce(_.unionByName(_))
+    // all m subspaces in ONE grouped fit: the sub-slices explode in the
+    // scan and [[Clustering.kmeansGrouped]] trains every codebook per
+    // Lloyd pass — m× fewer corpus scans and checkpoint jobs than m
+    // independent fits, with identical centroids (same seeds, argmax,
+    // and decimal means per subspace)
+    val bySub = df.select(col(idCol),
+      posexplode(array((0 until m).map(j =>
+        slice(col(vecCol).cast("array<double>"), j * sub + 1, sub)): _*))
+        .as(Seq("subspace", "__sub")))
+    Clustering.kmeansGrouped(bySub, idCol, "subspace", "__sub", k, iters,
+      checkpointDir)
+      .select(col("subspace"), col("centroid_id"), col("centroid"))
   }
 
   /** Codebooks collected and folded to literals: subspace → centroids

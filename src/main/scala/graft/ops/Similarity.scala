@@ -167,7 +167,7 @@ object Similarity {
     * centroid constants folded into the generated code — struct ordering
     * is lexicographic, so max = highest cosine with smallest-id tie-break.
     * Zero shuffle: a pure map fused into the scan. */
-  private def cellScores(vec: Column, cents: Seq[(Long, Array[Double])])
+  private[ops] def cellScores(vec: Column, cents: Seq[(Long, Array[Double])])
       : Column =
     array(cents.map { case (cid, cv) =>
       val plane = typedlit(cv)

@@ -388,23 +388,36 @@ object PipelineCompiler {
         val joinType = if (d.get("__preserve").contains(true)) "left_outer"
                        else "inner"
         val fStruct = struct(from.columns.map(from(_)).toSeq: _*)
-        val right = from.select(col(foreign).as("__lk"), fStruct.as(as))
+        // array foreignField: one key row per distinct element (see
+        // lookupEquality) — a foreign doc still pairs once with each
+        // matching outer row because its elements are distinct
+        val right =
+          if (from.select(from(foreign)).schema.head.dataType
+              .isInstanceOf[org.apache.spark.sql.types.ArrayType])
+            from.select(explode(array_distinct(from(foreign)))
+              .as("__lk"), fStruct.as(as))
+          else from.select(from(foreign).as("__lk"), fStruct.as(as))
         val lcol = df(d("localField").toString)
         val localIsArray = df.select(lcol).schema.head.dataType
           .isInstanceOf[org.apache.spark.sql.types.ArrayType]
-        if (localIsArray && joinType == "inner")
+        val foreignIsArray = from.select(from(foreign)).schema.head
+          .dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]
+        if (localIsArray && !foreignIsArray && joinType == "inner")
           // array localField, non-preserving unwind: one output row per
           // (outer row, matched foreign doc) — explode the DISTINCT
           // elements straight into the equi-join, no regroup needed
+          // (with an array foreignField too this would double-count a
+          // doc reachable through two shared elements — grouped path)
           df.select(col("*"), explode(array_distinct(lcol)).as("__el"))
             .join(right, col("__el") === right("__lk"), "inner")
             .drop("__lk", "__el")
         else if (localIsArray) {
-          // preserving unwind over an array localField: an exploded left
-          // join would fabricate a null row PER unmatched element — go
-          // through the grouped lookup, then unwind preserving
+          // grouped lookup (dedups multi-element matches), then unwind:
+          // a naive exploded left join would fabricate a null row PER
+          // unmatched element in the preserving case
           val full = lookupEquality(df, d - "__preserve", from)
-          full.withColumn(as, explode_outer(col(as)))
+          if (joinType == "inner") full.withColumn(as, explode(col(as)))
+          else full.withColumn(as, explode_outer(col(as)))
         } else
           df.join(right, lcol === right("__lk"), joinType)
             .drop("__lk")
@@ -2245,8 +2258,21 @@ object PipelineCompiler {
     val foreign = d("foreignField").toString
     val as = d("as").toString
     val fStruct = struct(from.columns.map(from(_)).toSeq: _*)
-    val grouped = from.groupBy(col(foreign).as("__lk"))
-      .agg(collect_list(fStruct).as(as))
+    // Mongo array-foreignField semantics mirror the local side: a foreign
+    // doc with an ARRAY foreignField matches any of its elements — the
+    // from side explodes its distinct elements before grouping, so each
+    // foreign doc lands in every key group it belongs to (still a hash
+    // equi-join; a doc matching through multiple elements appears once
+    // per group, and Mongo returns it once per matching outer doc)
+    val foreignIsArray = from.select(from(foreign)).schema.head.dataType
+      .isInstanceOf[org.apache.spark.sql.types.ArrayType]
+    val keyed =
+      if (foreignIsArray)
+        from.select(explode(array_distinct(from(foreign))).as("__lk"),
+          fStruct.as("__fs"))
+      else from.select(from(foreign).as("__lk"), fStruct.as("__fs"))
+    val grouped = keyed.groupBy("__lk")
+      .agg(collect_list(col("__fs")).as(as))
     // Mongo array-localField semantics: the array is a SET of join keys —
     // a foreign doc matches when its foreignField equals ANY element
     // ($in-like membership; each matching doc appears once). Explode the
@@ -2260,11 +2286,19 @@ object PipelineCompiler {
       .isInstanceOf[org.apache.spark.sql.types.ArrayType]
     if (localIsArray) {
       val df2 = df.withColumn("__rid", monotonically_increasing_id())
+      // when BOTH sides are arrays a foreign doc reachable through two
+      // shared elements lands in two key groups — dedup by value then
+      // (Mongo returns each matching doc once; full-duplicate foreign
+      // docs collapsing under value identity is the documented columnar
+      // stance — there is no row identity to distinguish them)
+      val merged = flatten(collect_list(col(as)))
       val matched = df2
         .select(col("__rid"), explode(array_distinct(lcol)).as("__el"))
         .join(grouped, col("__el") === grouped("__lk"))
         .groupBy("__rid")
-        .agg(sort_array(flatten(collect_list(col(as)))).as("__m"))
+        .agg(sort_array(
+          if (foreignIsArray) array_distinct(merged) else merged)
+          .as("__m"))
       return df2.join(matched, Seq("__rid"), "left_outer")
         .withColumn(as, coalesce(col("__m"), array()))
         .drop("__rid", "__m")

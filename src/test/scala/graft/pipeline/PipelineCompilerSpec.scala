@@ -250,6 +250,30 @@ class PipelineCompilerSpec extends SparkSpec {
     assert(out.where($"n" === 2).select($"d").collect().head.isNullAt(0))
   }
 
+  test("$lookup array foreignField: scalar local joins by membership") {
+    val dims = Seq((Seq("a", "b"), "AB"), (Seq("b"), "B2"))
+      .toDF("keys", "label")
+    val out = PipelineCompiler.compile(Seq(
+      Map("$lookup" -> Map("from" -> "dims", "localField" -> "cat",
+        "foreignField" -> "keys", "as" -> "d"))),
+      tables = { case "dims" => dims })(sales)
+    val byCat = out.select($"cat", size($"d")).distinct()
+      .as[(String, Int)].collect().toMap
+    assert(byCat == Map("a" -> 1, "b" -> 2))
+  }
+
+  test("$lookup array-to-array: doc sharing two elements matches once") {
+    val dims = Seq((Seq("x", "y"), "XY"), (Seq("z", "w"), "ZW"))
+      .toDF("keys", "label")
+    val out = PipelineCompiler.compile(Seq(
+      Map("$lookup" -> Map("from" -> "dims", "localField" -> "tags",
+        "foreignField" -> "keys", "as" -> "d"))),
+      tables = { case "dims" => dims })(sales)
+    val byN = out.select($"n", size($"d")).as[(Int, Int)].collect().toMap
+    // tags ["x","y"] shares BOTH elements with XY -> still one match
+    assert(byN == Map(1 -> 1, 2 -> 1, 3 -> 0, 4 -> 1))
+  }
+
   test("$addFields + expression language") {
     val out = run(Map("$addFields" -> Map(
       "label" -> Map("$cond" -> Seq(Map("$gte" -> Seq("$amt", 25.0)),
