@@ -855,6 +855,32 @@ object SparkEntry {
         .sort("source", "-doc_id")
         .select("doc_id", "lang", "source").toDF),
 
+    // Atlas $search scoreDetails: per-clause breakdown through
+    // {$meta: "searchScoreDetails"} — flat {value, description} list of
+    // the scoring clauses with the total on the top struct (documented
+    // simplification of Lucene's explain tree); exploded to rows for
+    // the oracle
+    "q186_search_score_details" -> ((s, dir) =>
+      coll(s, dir, "documents").pipe(Seq(
+        Map("$search" -> Map(
+          "scoreDetails" -> true,
+          "compound" -> Map(
+            "must" -> Seq(Map("text" ->
+              Map("query" -> "stream filter", "path" -> "text"))),
+            "should" -> Seq(Map("phrase" ->
+              Map("query" -> "hash join", "path" -> "text")))))),
+        Map("$project" -> Map("doc_id" -> 1,
+          "sd" -> Map("$meta" -> "searchScoreDetails")))))
+        .select(col("doc_id"),
+          col("sd.value").cast("decimal(18,9)").cast("double")
+            .as("total"),
+          explode(col("sd.details")).as("leg"))
+        .select(col("doc_id"), col("total"),
+          col("leg.description").as("leg_desc"),
+          col("leg.value").cast("decimal(18,9)").cast("double")
+            .as("leg_value"))
+        .orderBy("doc_id", "leg_desc")),
+
     // Atlas autocomplete tokenOrder: multi-token query, each analyzed
     // term a PREFIX of document tokens (edgeGram reading) — "sequential"
     // requires the prefixed tokens adjacent and in order; compared
@@ -4102,6 +4128,45 @@ object SparkEntry {
       """SELECT doc_id, lang, source FROM documents
         |WHERE lower(lang) IN ('en', 'fr')
         |ORDER BY lower(source), doc_id DESC""".stripMargin,
+
+    "q186_search_score_details" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM tk),
+        |hits AS (
+        |  SELECT doc_id, dl, term, COUNT(*) AS tf FROM toks
+        |  WHERE term IN ('stream', 'filter')
+        |  GROUP BY doc_id, dl, term),
+        |stats AS (
+        |  SELECT COUNT(*) AS n_docs, avg(CAST(len(t) AS DOUBLE)) AS avgdl
+        |  FROM tk),
+        |dfreq AS (
+        |  SELECT term, COUNT(*) AS df FROM hits GROUP BY term),
+        |bm AS (
+        |  SELECT doc_id,
+        |    SUM(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * 2.2)
+        |      / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))) AS bm25
+        |  FROM hits JOIN dfreq USING (term), stats GROUP BY doc_id),
+        |ph AS (
+        |  SELECT doc_id, CAST(len(list_filter(range(1, len(t)), i ->
+        |    t[i] = 'hash' AND t[i + 1] = 'join')) AS DOUBLE) AS occ
+        |  FROM tk),
+        |m AS (
+        |  SELECT b.doc_id, b.bm25, COALESCE(p.occ, 0) AS occ
+        |  FROM bm b JOIN ph p USING (doc_id)),
+        |legs AS (
+        |  SELECT doc_id, bm25 + occ AS total,
+        |    'must.text' AS leg_desc, bm25 AS lv FROM m
+        |  UNION ALL
+        |  SELECT doc_id, bm25 + occ, 'should.phrase', occ FROM m)
+        |SELECT doc_id,
+        |  CAST(CAST(total AS DECIMAL(18,9)) AS DOUBLE) AS total,
+        |  leg_desc,
+        |  CAST(CAST(lv AS DECIMAL(18,9)) AS DOUBLE) AS leg_value
+        |FROM legs ORDER BY doc_id, leg_desc""".stripMargin,
 
     "q185_autocomplete_seq" ->
       """WITH tk AS (

@@ -670,11 +670,20 @@ object PipelineCompiler {
           s"$name.analyzer: unsupported $stageAnalyzer " +
             s"(supported: ${knownAnalyzers.toSeq.sorted.mkString(", ")})")
         val d = d0 - "sort" - "highlight" - "count" - "analyzer" -
-          "searchAnalyzer"
+          "searchAnalyzer" - "scoreDetails"
         require(d.size == 1,
           s"$name: exactly one operator (text/phrase/wildcard/autocomplete" +
             s"/equals/range/exists/in/compound), got ${d.keys}")
         val legId = new java.util.concurrent.atomic.AtomicInteger(0)
+        // Atlas scoreDetails: true — per-clause score breakdown exposed
+        // through {$meta: "searchScoreDetails"}. Columnar form
+        // (documented simplification of Lucene's explain tree): a FLAT
+        // list of the scoring clauses (must/should, nested compounds
+        // flattened) as {value, description}; the top struct carries the
+        // total. Compound's legs() appends here as it compiles.
+        val wantScoreDetails = d0.get("scoreDetails").contains(true)
+        val sdLegs =
+          scala.collection.mutable.Buffer.empty[(String, Column, Column)]
         def dblV(v: Any): Double = v match {
           case n: Number => n.doubleValue()
           case other => throw new IllegalArgumentException(
@@ -1427,21 +1436,24 @@ object PipelineCompiler {
               val unknown = os.keySet -- known
               require(unknown.isEmpty,
                 s"$name.compound: unsupported option(s) $unknown")
-              def legs(key: String): Seq[(Column, Column, Seq[Column])] =
+              def legs(key: String): Seq[(Column, Column, Seq[Column])] = {
+                def one(e: Any): (Column, Column, Seq[Column]) = {
+                  val m = doc(e)
+                  require(m.size == 1,
+                    s"$name.compound.$key: one operator per clause")
+                  val (o, r) = m.head
+                  val c = compileOp(o, r)
+                  // scoring clauses feed the scoreDetails breakdown
+                  if (wantScoreDetails && o != "compound" &&
+                      (key == "must" || key == "should"))
+                    sdLegs += ((s"$key.$o", c._1, c._2))
+                  c
+                }
                 os.get(key).map {
-                  case s: Seq[_] => s.map { e =>
-                    val m = doc(e)
-                    require(m.size == 1,
-                      s"$name.compound.$key: one operator per clause")
-                    val (o, r) = m.head
-                    compileOp(o, r)
-                  }
-                  case one => // single clause without the array wrapper
-                    val m = doc(one)
-                    require(m.size == 1,
-                      s"$name.compound.$key: one operator per clause")
-                    Seq(compileOp(m.head._1, m.head._2))
+                  case s: Seq[_] => s.map(one)
+                  case e => Seq(one(e)) // single clause, no array wrapper
                 }.getOrElse(Nil)
+              }
               val must = legs("must"); val mustNot = legs("mustNot")
               val should = legs("should"); val fil = legs("filter")
               require(must.nonEmpty || mustNot.nonEmpty ||
@@ -1633,15 +1645,29 @@ object PipelineCompiler {
                   .as("__search_meta"))
               frame.join(broadcast(cnt))
           }
+          def addDetails(frame: DataFrame): DataFrame =
+            if (!wantScoreDetails) frame
+            else {
+              val entries =
+                if (sdLegs.nonEmpty) sdLegs.toSeq
+                else Seq((d.head._1, matched, score))
+              frame.withColumn("__searchScoreDetails", struct(
+                score.cast("double").as("value"),
+                lit(d.head._1).as("description"),
+                array(entries.map { case (desc, p, sc) =>
+                  struct(when(p, sc).otherwise(lit(0.0)).cast("double")
+                    .as("value"), lit(desc).as("description"))
+                }: _*).as("details")))
+            }
           if (statCols.isEmpty) {
-            addCount(addHighlights(df.where(matched)
-              .withColumn("__searchScore", score)))
+            addCount(addHighlights(addDetails(df.where(matched)
+              .withColumn("__searchScore", score))))
               .orderBy(order: _*)
           } else {
             val stats = df.agg(statCols.head, statCols.tail: _*)
-            addCount(addHighlights(df.join(broadcast(stats))
+            addCount(addHighlights(addDetails(df.join(broadcast(stats))
               .where(matched)
-              .withColumn("__searchScore", score)
+              .withColumn("__searchScore", score))
               .drop(stats.columns.toSeq: _*)))
               .orderBy(order: _*)
           }
@@ -3719,9 +3745,11 @@ object PipelineCompiler {
           // per-pipeline contribution breakdown stashed by a fusion
           // stage run with scoreDetails: true
           case "scoreDetails" => col("__scoreDetails")
+          // per-clause breakdown stashed by $search scoreDetails: true
+          case "searchScoreDetails" => col("__searchScoreDetails")
           case other => throw new IllegalArgumentException(
-            s"$$meta: unsupported $other " +
-              "(searchScore/textScore/score/scoreDetails)")
+            s"$$meta: unsupported $other (searchScore/textScore/score/" +
+              "scoreDetails/searchScoreDetails)")
         }
         case "$eq"  => val Seq(a, b) = seq; a === b
         case "$ne"  => val Seq(a, b) = seq; a =!= b
