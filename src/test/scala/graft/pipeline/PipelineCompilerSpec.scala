@@ -250,6 +250,24 @@ class PipelineCompilerSpec extends SparkSpec {
     assert(out.where($"n" === 2).select($"d").collect().head.isNullAt(0))
   }
 
+  test("$lookup dotted localField through an array of structs") {
+    // Mongo resolves "items.k" across the array elements; the extracted
+    // value array then joins by membership
+    val orders = Seq(
+      (1, Seq(("x", 1), ("y", 2))),
+      (2, Seq(("z", 3)))).toDF("oid", "items")
+      .selectExpr("oid",
+        "transform(items, e -> named_struct('k', e._1, 'qty', e._2)) " +
+          "AS items")
+    val dims = Seq(("x", "X1"), ("z", "Z1")).toDF("key", "label")
+    val out = PipelineCompiler.compile(Seq(
+      Map("$lookup" -> Map("from" -> "dims", "localField" -> "items.k",
+        "foreignField" -> "key", "as" -> "d"))),
+      tables = { case "dims" => dims })(orders)
+    assert(out.select($"oid", size($"d")).as[(Int, Int)]
+      .collect().toMap == Map(1 -> 1, 2 -> 1))
+  }
+
   test("$lookup array foreignField: scalar local joins by membership") {
     val dims = Seq((Seq("a", "b"), "AB"), (Seq("b"), "B2"))
       .toDF("keys", "label")
