@@ -69,6 +69,17 @@ object ScaleProbe {
                 Map("input" -> "$v", "N" -> 20)))))))(df)
             .selectExpr("sum(ema)").collect()
           2000000L
+        case "embed" =>
+          // embedding near-dup with a sized bucket space: the optional
+          // 4th arg is blockPlanes (default 8 = q22's). At 100x the
+          // 8-plane space saturates (measured: valve trips at ~1e9
+          // candidates); 16 planes = 65k buckets/table keeps occupancy
+          // bounded and the same query completes
+          val planes = if (cap > 0) cap.toInt else 8
+          Dedup.embeddingNearDup(
+            spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id",
+            "embedding", threshold = 0.3, blockPlanes = planes, dim = 64)
+            .count()
         case "pairs" =>
           // candidate/true-pair VOLUME evidence for the scaling analysis:
           // the LSH pair count is the output's intrinsic size — when the

@@ -491,6 +491,33 @@ object Dedup {
             Similarity.hyperplaneBucket(col("v"), blockPlanes, d, t).as("bkt"))
         }: _*)).as("tb"))
         .select(col("id"), col("tb.t").as("t"), col("tb.bkt").as("bkt"))
+      // spark.graft.embed.maxCandidatePairs (> 0): PRE-JOIN volume valve,
+      // the [[ngramJaccardPairs]] pattern for the embedding family. With
+      // 2^blockPlanes buckets per table, bucket occupancy grows linearly
+      // with the corpus and per-bucket candidates quadratically — the
+      // 100x rehearsal saturated the default 8-plane space (256 buckets,
+      // ~2000 ids each) into ~10^9 candidates and died on spill disk.
+      // The valve runs one cheap occupancy aggregate over the narrow
+      // (id, t, bkt) frame and fails FAST with the named remedy: each
+      // extra plane HALVES expected occupancy (candidates drop ~4x), so
+      // size blockPlanes ~ log2(corpus / target-bucket-size); metadata
+      // blocking (blockCol) bounds buckets by construction.
+      val maxCand = df.sparkSession.conf
+        .getOption("spark.graft.embed.maxCandidatePairs")
+        .map(_.toLong).getOrElse(0L)
+      if (maxCand > 0) {
+        val vol = bkts.groupBy("t", "bkt")
+          .agg(count(lit(1)).as("s"))
+          .agg(coalesce(sum(col("s").cast("double") *
+            (col("s") - 1) / 2), lit(0.0)).as("cand")).head().getDouble(0)
+        if (vol > maxCand) throw new IllegalStateException(
+          f"embeddingNearDup: candidate volume $vol%.3g exceeds " +
+            s"spark.graft.embed.maxCandidatePairs=$maxCand — the " +
+            s"$blockPlanes-plane bucket space is saturated at this " +
+            "corpus size. Raise blockPlanes (each plane halves bucket " +
+            "occupancy; size ~ log2(corpus/targetBucket)), pass " +
+            "blockCol for metadata blocking, or raise the valve.")
+      }
       val cand = bkts.as("a")
         .join(bkts.as("b"),
           col("a.t") === col("b.t") && col("a.bkt") === col("b.bkt") &&

@@ -49,6 +49,23 @@ class DedupSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("spark.graft.embed.maxCandidatePairs fails fast pre-join") {
+    import org.apache.spark.sql.functions._
+    val vecs = spark.range(8).select(col("id"),
+      array(col("id").cast("double"), lit(1.0)).as("v"))
+    spark.conf.set("spark.graft.embed.maxCandidatePairs", "1")
+    try {
+      val e = intercept[IllegalStateException] {
+        Dedup.embeddingNearDup(vecs, "id", "v", 0.5, dim = 2).count()
+      }
+      assert(e.getMessage.contains("candidate volume") &&
+        e.getMessage.contains("blockPlanes"))
+      spark.conf.set("spark.graft.embed.maxCandidatePairs", "1000000")
+      assert(Dedup.embeddingNearDup(vecs, "id", "v", 0.5, dim = 2)
+        .count() > 0)
+    } finally spark.conf.unset("spark.graft.embed.maxCandidatePairs")
+  }
+
   test("spark.graft.jaccard.maxCandidatePairs fails fast pre-join") {
     spark.conf.set("spark.graft.jaccard.maxCandidatePairs", "1")
     try {
