@@ -70,8 +70,27 @@ object Multimodal {
   object ImageIoDecoder extends Serializable {
     import java.awt.image.BufferedImage
 
+    // ImageIO's default ImageInputStream is DISK-cached: every read/sniff
+    // creates (and deletes) a temp file. At corpus scale that is one temp
+    // file per row across every executor thread — measured super-linear
+    // (q28 hit exponent 1.22 at the 100x rehearsal from filesystem churn
+    // alone). Memory-backed streams remove the filesystem from the path.
+    javax.imageio.ImageIO.setUseCache(false)
+
+    /** O(1) magic-byte check for the formats [[decode]] can parse —
+      * non-image payloads (the overwhelming majority of a mixed corpus)
+      * skip ImageIO reader discovery entirely. */
+    private def looksLikeImage(b: Array[Byte]): Boolean =
+      b.length >= 4 && (
+        (b(0) == 0xFF.toByte && b(1) == 0xD8.toByte) || // JPEG
+        (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' &&
+          b(3) == 'G') ||                               // PNG
+        (b(0) == 'G' && b(1) == 'I' && b(2) == 'F') ||  // GIF
+        (b(0) == 'B' && b(1) == 'M'))                   // BMP
+
     def decode(content: Array[Byte]): Option[BufferedImage] =
-      if (content == null || content.isEmpty) None
+      if (content == null || content.isEmpty ||
+          !looksLikeImage(content)) None
       else try {
         Option(javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(content)))
@@ -81,7 +100,8 @@ object Multimodal {
       * non-image (caller keeps its synthetic metadata). Reads only the
       * header via the registered `ImageReader`, not the full raster. */
     def meta(content: Array[Byte]): Option[(String, Int, Int)] =
-      if (content == null || content.isEmpty) None
+      if (content == null || content.isEmpty ||
+          !looksLikeImage(content)) None
       else try {
         val iis = javax.imageio.ImageIO.createImageInputStream(
           new java.io.ByteArrayInputStream(content))
