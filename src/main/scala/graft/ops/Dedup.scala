@@ -470,6 +470,25 @@ object Dedup {
       val a = Partitioning.ensureMinPartitions(
         base.toDF("id_a", "va", "blk", "na"))
       val b = base.toDF("id_b", "vb", "blk", "nb")
+      // same valve as the LSH path: with a FIXED block domain (e.g. a
+      // label column) block sizes grow linearly with the corpus and the
+      // within-block all-pairs join quadratically — the remedy is blocks
+      // that scale with the corpus (semDeDupKMeans cells, k ~ n/target)
+      val maxCandB = df.sparkSession.conf
+        .getOption("spark.graft.embed.maxCandidatePairs")
+        .map(_.toLong).getOrElse(0L)
+      if (maxCandB > 0 && blockCol.isDefined) {
+        val vol = base.groupBy("blk").agg(count(lit(1)).as("s"))
+          .agg(coalesce(sum(col("s").cast("double") *
+            (col("s") - 1) / 2), lit(0.0)).as("cand")).head().getDouble(0)
+        if (vol > maxCandB) throw new IllegalStateException(
+          f"embeddingNearDup: candidate volume $vol%.3g exceeds " +
+            s"spark.graft.embed.maxCandidatePairs=$maxCandB — the " +
+            "block domain is too coarse for this corpus (block sizes " +
+            "grow with the data). Use blocks that scale with the " +
+            "corpus — semDeDupKMeans cells with k ~ corpus/targetCell " +
+            "— or raise the valve.")
+      }
       val joined =
         if (blockCol.isDefined)
           a.join(b, Seq("blk")).where(col("id_a") < col("id_b"))
