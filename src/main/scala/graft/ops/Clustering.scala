@@ -39,8 +39,13 @@ object Clustering {
       org.apache.spark.sql.types.NumericType],
       s"kmeans: idCol '$idCol' must be numeric, got " +
         df.schema(idCol).dataType.simpleString)
-    val data = df.select(col(idCol).as("__vid"),
-      col(vecCol).cast("array<double>").as("__v"))
+    // the scan-fused assignment adds NO exchange, so a single-split
+    // parquet scan would run the whole (cell, dim) aggregate's map side
+    // on one or two cores — fix the parallelism up front (no-op when the
+    // source is already parallel; measured 4x at the 100x rehearsal)
+    val data = Partitioning.ensureMinPartitions(
+      df.select(col(idCol).as("__vid"),
+        col(vecCol).cast("array<double>").as("__v")))
     // deterministic seed: the k smallest-id vectors
     var cents = Checkpoints.truncate(data.orderBy("__vid").limit(k)
       .select(col("__vid").cast("long").as("centroid_id"),
@@ -100,8 +105,10 @@ object Clustering {
       org.apache.spark.sql.types.NumericType],
       s"kmeansGrouped: idCol '$idCol' must be numeric, got " +
         df.schema(idCol).dataType.simpleString)
-    val data = df.select(col(grpCol).cast("int").as("__g"),
-      col(idCol).as("__vid"), col(vecCol).cast("array<double>").as("__v"))
+    val data = Partitioning.ensureMinPartitions(
+      df.select(col(grpCol).cast("int").as("__g"),
+        col(idCol).as("__vid"),
+        col(vecCol).cast("array<double>").as("__v")))
     val seedIds = data.select(col("__vid")).distinct()
       .orderBy("__vid").limit(k)
     var cents = Checkpoints.truncate(
