@@ -7,7 +7,7 @@ import org.apache.spark.sql.SparkSession
   * measured scaling exponents (SCALE.md "Measured").
   *
   * Usage: runMain graft.ScaleProbe <dir> <op> <reps> [maxShingleFreq]
-  * ops: jaccard | clusters | split | sdedup | ema (dir unused)
+  *  ops: jaccard | kmiter | clusters | split | sdedup | ema (dir unused)
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -69,6 +69,15 @@ object ScaleProbe {
                 Map("input" -> "$v", "N" -> 20)))))))(df)
             .selectExpr("sum(ema)").collect()
           2000000L
+        case "kmiter" =>
+          val e = spark.read.parquet(s"$dir/embeddings.parquet")
+          for (it <- Seq(0, 1, 2, 2)) {
+            val t = System.nanoTime()
+            val n = graft.ops.Clustering
+              .kmeans(e, "vec_id", "embedding", 8, it).count()
+            println(f"[kmiter] iters=$it ${(System.nanoTime() - t) / 1e9}%.2f s rows=$n")
+          }
+          0L
         case "embed" =>
           // embedding near-dup with a sized bucket space: the optional
           // 4th arg is blockPlanes (default 8 = q22's). At 100x the

@@ -11,14 +11,14 @@ import org.apache.spark.sql.functions._
   * tie-break), then recompute each centroid as the component-wise mean
   * of its members.
   *
-  * Scale shape per iteration: one k-row bounded collect (the IVF-centroid
-  * driver-side class) + one (cell, dim) aggregate + one cell aggregate —
-  * assignment itself never shuffles (the earlier broadcast-join +
-  * per-vector window form shuffled k×|corpus| rows per iteration). Plan
-  * growth across iterations is truncated with checkpoints (same pattern
-  * as [[Dedup.duplicateClusters]]; pass `checkpointDir` or set
-  * `spark.graft.checkpointDir` for RELIABLE checkpoints on a real
-  * cluster — see [[Checkpoints.truncate]]).
+  * Scale shape per iteration: exactly ONE job — assignment folded into
+  * the scan (never shuffles; the earlier broadcast-join + per-vector
+  * window form exchanged k×|corpus| rows per iteration), one
+  * (cell, dim) aggregate, and a k·dim-row collect. The centroid table
+  * is bounded driver state (the same class as the IVF/PQ literal
+  * folds), so there is no growing lineage and nothing to checkpoint —
+  * every step's plan restarts from the scan with the current
+  * generation's centroids as codegen literals.
   *
   * Determinism contract (oracle-checkable): init = the k smallest-id
   * vectors; assignment ties break on centroid id; member sums are exact
@@ -46,43 +46,44 @@ object Clustering {
     val data = Partitioning.ensureMinPartitions(
       df.select(col(idCol).as("__vid"),
         col(vecCol).cast("array<double>").as("__v")))
+    // The centroid table is k rows — bounded DRIVER state (the class the
+    // IVF/PQ literal fold already puts it in), so the whole loop holds it
+    // driver-side: each Lloyd step is exactly ONE job (assignment folded
+    // into the scan, one (cell, dim) aggregate, k·dim rows collected).
+    // No checkpoints and no growing lineage — every step's plan restarts
+    // from the scan with this generation's centroids as literals.
+    // `checkpointDir` is accepted for API stability; nothing needs it.
+    val _ = checkpointDir
     // deterministic seed: the k smallest-id vectors
-    var cents = Checkpoints.truncate(data.orderBy("__vid").limit(k)
-      .select(col("__vid").cast("long").as("centroid_id"),
-        col("__v").as("centroid")), checkpointDir)
+    var centSeq: Seq[(Long, Array[Double])] = data.orderBy("__vid")
+      .limit(k)
+      .select(col("__vid").cast("long"), col("__v")).collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
     for (_ <- 1 to iters) {
-      // k-row bounded collect: folding this generation's centroids into
-      // codegen makes assignment a shuffle-free scan map (same argmax +
-      // smallest-id tie-break the join+window form computed)
-      val centSeq: Seq[(Long, Array[Double])] = cents
-        .select(col("centroid_id"), col("centroid")).collect().toSeq
-        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-        .sortBy(_._1)
       val assigned = data.withColumn("centroid_id",
         -array_max(Similarity.cellScores(col("__v"), centSeq))
           .getField("nid"))
       // component-wise mean via exact decimal sums (partitioning-invariant)
-      val byDim = assigned
+      val fresh: Map[Long, Array[Double]] = assigned
         .select(col("centroid_id"), posexplode(col("__v"))
           .as(Seq("pos", "x")))
         .groupBy("centroid_id", "pos")
         .agg((sum(col("x").cast("decimal(28,12)")).cast("double") /
           count(lit(1))).as("m"))
-      val fresh = byDim
         .groupBy("centroid_id")
         .agg(transform(array_sort(collect_list(struct(col("pos"),
           col("m")))), e => e.getField("m")).as("centroid"))
+        .collect().toSeq
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
       // empty cells keep their previous centroid
-      val prev = cents
-      cents = Checkpoints.truncate(cents.select(col("centroid_id"),
-          col("centroid").as("__old"))
-        .join(fresh, Seq("centroid_id"), "left_outer")
-        .select(col("centroid_id"),
-          coalesce(col("centroid"), col("__old")).as("centroid")),
-        checkpointDir)
-      Checkpoints.release(prev) // superseded generation's storage
+      centSeq = centSeq.map { case (cid, old) =>
+        (cid, fresh.getOrElse(cid, old)) }
     }
-    cents
+    val spark = df.sparkSession
+    import spark.implicits._
+    centSeq.map { case (cid, v) => (cid, v.toSeq) }
+      .toDF("centroid_id", "centroid")
   }
 
   /** Grouped k-means: ONE Lloyd iteration trains EVERY group's codebook
@@ -109,21 +110,20 @@ object Clustering {
       df.select(col(grpCol).cast("int").as("__g"),
         col(idCol).as("__vid"),
         col(vecCol).cast("array<double>").as("__v")))
+    val _ = checkpointDir // driver-held centroids: no lineage to cut
+    // seed: the global k smallest ids' vectors, per group —
+    // |groups|·k rows, the PQ-codebook driver-side class
     val seedIds = data.select(col("__vid")).distinct()
       .orderBy("__vid").limit(k)
-    var cents = Checkpoints.truncate(
+    var cm: Map[Int, Seq[(Long, Array[Double])]] =
       data.join(broadcast(seedIds), Seq("__vid"))
-        .select(col("__g"), col("__vid").cast("long").as("centroid_id"),
-          col("__v").as("centroid")), checkpointDir)
-    for (_ <- 1 to iters) {
-      // |groups|·k rows — the PQ-codebook driver-side class
-      val cm: Map[Int, Seq[(Long, Array[Double])]] = cents
-        .select(col("__g"), col("centroid_id"), col("centroid"))
+        .select(col("__g"), col("__vid").cast("long"), col("__v"))
         .collect().toSeq
         .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
         .groupBy(_._1).map { case (g, rows) =>
           g -> rows.map(t => (t._2, t._3)).sortBy(_._1)
         }
+    for (_ <- 1 to iters) {
       val assign = cm.toSeq.sortBy(_._1).map { case (g, cs) =>
         (g, -array_max(Similarity.cellScores(col("__v"), cs))
           .getField("nid"))
@@ -131,26 +131,28 @@ object Clustering {
         when(col("__g") === g, e).otherwise(acc)
       }
       val assigned = data.withColumn("centroid_id", assign)
-      val byDim = assigned
+      val fresh: Map[(Int, Long), Array[Double]] = assigned
         .select(col("__g"), col("centroid_id"),
           posexplode(col("__v")).as(Seq("pos", "x")))
         .groupBy("__g", "centroid_id", "pos")
         .agg((sum(col("x").cast("decimal(28,12)")).cast("double") /
           count(lit(1))).as("m"))
-      val fresh = byDim
         .groupBy("__g", "centroid_id")
         .agg(transform(array_sort(collect_list(struct(col("pos"),
           col("m")))), e => e.getField("m")).as("centroid"))
-      val prev = cents
-      cents = Checkpoints.truncate(cents.select(col("__g"),
-          col("centroid_id"), col("centroid").as("__old"))
-        .join(fresh, Seq("__g", "centroid_id"), "left_outer")
-        .select(col("__g"), col("centroid_id"),
-          coalesce(col("centroid"), col("__old")).as("centroid")),
-        checkpointDir)
-      Checkpoints.release(prev)
+        .collect().toSeq
+        .map(r => (r.getInt(0), r.getLong(1)) ->
+          r.getSeq[Double](2).toArray).toMap
+      // empty cells keep their previous centroid
+      cm = cm.map { case (g, cs) =>
+        g -> cs.map { case (cid, old) =>
+          (cid, fresh.getOrElse((g, cid), old)) }
+      }
     }
-    cents.select(col("__g").as(grpCol), col("centroid_id"),
-      col("centroid"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    cm.toSeq.sortBy(_._1).flatMap { case (g, cs) =>
+      cs.map { case (cid, v) => (g, cid, v.toSeq) }
+    }.toDF(grpCol, "centroid_id", "centroid")
   }
 }

@@ -195,9 +195,27 @@ class DedupSpec extends SparkSpec {
       s"expected 1 checkpoint session dir under $ckpt, got $uuidDirs")
   }
 
-  test("kmeans honors spark.graft.checkpointDir conf") {
+  test("duplicateClusters honors spark.graft.checkpointDir conf") {
+    // kmeans now holds its k-row centroid table driver-side (nothing to
+    // checkpoint); the conf-resolution path is exercised through label
+    // propagation, whose per-generation frames DO need lineage cuts
     val ckpt = java.nio.file.Files
       .createTempDirectory("graft-ckpt-conf").toString
+    spark.conf.set(Checkpoints.ConfKey, ckpt)
+    try {
+      val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+        .toDF("id_a", "id_b")
+      val comp = Dedup.duplicateClusters(pairs).collect()
+      assert(comp.length == 5)
+      assert(new java.io.File(ckpt).listFiles().nonEmpty,
+        s"nothing checkpointed under $ckpt")
+    } finally spark.conf.unset(Checkpoints.ConfKey)
+  }
+
+  test("kmeans with checkpointDir conf set still trains (driver-side " +
+      "centroids need no checkpoint)") {
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-ckpt-km").toString
     spark.conf.set(Checkpoints.ConfKey, ckpt)
     try {
       val vecs = Seq((1L, Array(0.0, 0.0)), (2L, Array(1.0, 1.0)),
@@ -206,8 +224,6 @@ class DedupSpec extends SparkSpec {
       val cents = Clustering.kmeans(vecs, "vec_id", "embedding",
         k = 2, iters = 1).collect()
       assert(cents.length == 2)
-      assert(new java.io.File(ckpt).listFiles().nonEmpty,
-        s"nothing checkpointed under $ckpt")
     } finally spark.conf.unset(Checkpoints.ConfKey)
   }
 
