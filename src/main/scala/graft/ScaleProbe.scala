@@ -69,14 +69,26 @@ object ScaleProbe {
                 Map("input" -> "$v", "N" -> 20)))))))(df)
             .selectExpr("sum(ema)").collect()
           2000000L
-        case "kmiter" =>
-          val e = spark.read.parquet(s"$dir/embeddings.parquet")
-          for (it <- Seq(0, 1, 2, 2)) {
-            val t = System.nanoTime()
-            val n = graft.ops.Clustering
-              .kmeans(e, "vec_id", "embedding", 8, it).count()
-            println(f"[kmiter] iters=$it ${(System.nanoTime() - t) / 1e9}%.2f s rows=$n")
+        case "bucketauto" =>
+          // stage breakdown for the $bucketAuto granularity path
+          import org.apache.spark.sql.functions._
+          val o = spark.read.parquet(s"$dir/orders.parquet")
+          def t(lbl: String)(f: => Long): Unit = {
+            val t0i = System.nanoTime()
+            val n2 = f
+            println(f"[bucketauto] $lbl ${(System.nanoTime() - t0i) / 1e9}%.2f s rows=$n2")
           }
+          t("scan")(o.count())
+          val withBv = graft.functions.Granularity.quantizeInto(
+            o, col("o_totalprice"), "R10", "__bv")
+          t("quantize")(withBv.select(sum(col("__bv"))).collect().length)
+          t("freq")(withBv.select("__bv").groupBy("__bv")
+            .agg(count(lit(1))).count())
+          val full = graft.pipeline.PipelineCompiler.compile(Seq(
+            Map("$bucketAuto" -> Map("groupBy" -> "$o_totalprice",
+              "buckets" -> 6, "granularity" -> "R10"))))(o)
+          println(full.queryExecution.executedPlan.toString.take(6000))
+          t("full")(full.count())
           0L
         case "embed" =>
           // embedding near-dup with a sized bucket space: the optional
