@@ -212,6 +212,31 @@ class DedupSpec extends SparkSpec {
     } finally spark.conf.unset(Checkpoints.ConfKey)
   }
 
+  test("kmeansGrouped matches independent per-group kmeans fits") {
+    import org.apache.spark.sql.functions._
+    val vecs = Seq(
+      (1L, Array(0.0, 0.1), Array(5.0, 5.0)),
+      (2L, Array(1.0, 1.0), Array(0.2, 0.1)),
+      (3L, Array(0.1, 0.0), Array(4.5, 5.5)),
+      (4L, Array(0.9, 1.1), Array(0.1, 0.3)))
+      .toDF("id", "v0", "v1")
+    val grouped = vecs.select(col("id"),
+      posexplode(array(col("v0"), col("v1"))).as(Seq("g", "v")))
+    val got = Clustering.kmeansGrouped(grouped, "id", "g", "v",
+      k = 2, iters = 3).collect()
+      .map(r => ((r.getInt(0), r.getLong(1)), r.getSeq[Double](2)))
+      .toMap
+    for (g <- 0 to 1) {
+      val solo = Clustering.kmeans(
+        vecs.select(col("id"), col(s"v$g").as("v")), "id", "v",
+        k = 2, iters = 3).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1))).toMap
+      for ((cid, cent) <- solo)
+        assert(got((g, cid)) == cent,
+          s"group $g centroid $cid: ${got((g, cid))} != $cent")
+    }
+  }
+
   test("kmeans with checkpointDir conf set still trains (driver-side " +
       "centroids need no checkpoint)") {
     val ckpt = java.nio.file.Files
