@@ -6,8 +6,10 @@ import org.apache.spark.sql.SparkSession
   * times each op at a given data dir so runs one decade apart yield
   * measured scaling exponents (SCALE.md "Measured").
   *
-  * Usage: runMain graft.ScaleProbe <dir> <op> <reps> [maxShingleFreq]
-  *  ops: jaccard | kmiter | clusters | split | sdedup | ema (dir unused)
+  * Usage: runMain graft.ScaleProbe <dir> <op> <reps> [cap]
+  *  ops: jaccard (cap = maxShingleFreq) | clusters | split | sdedup |
+  *  ema (dir unused) | bucketauto (stage breakdown) |
+  *  embed (cap = blockPlanes) | pairs (near-dup pair-volume control)
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
