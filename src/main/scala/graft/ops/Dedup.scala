@@ -458,15 +458,19 @@ object Dedup {
       threshold: Double, blockCol: Option[String] = None,
       blockTables: Int = 4, blockPlanes: Int = 8, dim: Int = 0): DataFrame = {
     import graft.functions.VectorFunctions.vec_dot
+    // norms are sqrt'd ONCE PER ROW before the pair join — the per-pair
+    // work is one multiply + divide (bit-identical: the product of the
+    // same two doubles either way, but ~10^9-pair blocks pay two fewer
+    // sqrts each)
     def cos(na: Column, nb: Column, d: Column): Column = {
-      val denom = sqrt(na) * sqrt(nb)
+      val denom = na * nb
       when(denom === 0.0, lit(0.0)).otherwise(d / denom)
     }
     if (blockCol.isDefined || blockTables <= 0) {
       val base = df.select(
         col(idCol).as("id"), col(vecCol).as("v"),
         blockCol.map(col).getOrElse(lit(0)).as("blk"))
-        .withColumn("nsq", vec_dot(col("v"), col("v")))
+        .withColumn("nsq", sqrt(vec_dot(col("v"), col("v"))))
       val a = Partitioning.ensureMinPartitions(
         base.toDF("id_a", "va", "blk", "na"))
       val b = base.toDF("id_b", "vb", "blk", "nb")
@@ -544,9 +548,9 @@ object Dedup {
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
         .distinct()
       val va = base.toDF("id_a", "va")
-        .withColumn("na", vec_dot(col("va"), col("va")))
+        .withColumn("na", sqrt(vec_dot(col("va"), col("va"))))
       val vb = base.toDF("id_b", "vb")
-        .withColumn("nb", vec_dot(col("vb"), col("vb")))
+        .withColumn("nb", sqrt(vec_dot(col("vb"), col("vb"))))
       cand.join(va, "id_a").join(vb, "id_b")
         .withColumn("cos", cos(col("na"), col("nb"),
           vec_dot(col("va"), col("vb"))))
@@ -652,13 +656,13 @@ object Dedup {
         import graft.functions.VectorFunctions.vec_dot
         val base = df.select(col(idCol).as("id"), col(vecCol).as("v"),
             col(clusterCol).as("blk"), col(oc).as("ord"))
-          .withColumn("nsq", vec_dot(col("v"), col("v")))
+          .withColumn("nsq", sqrt(vec_dot(col("v"), col("v"))))
         val a = Partitioning.ensureMinPartitions(
           base.toDF("id_a", "va", "blk", "ord_a", "na"))
         val b = base.toDF("id_b", "vb", "blk", "ord_b", "nb")
         val earlier = (col("ord_a") < col("ord_b")) ||
           (col("ord_a") === col("ord_b") && col("id_a") < col("id_b"))
-        val denom = sqrt(col("na")) * sqrt(col("nb"))
+        val denom = col("na") * col("nb")
         val cosv = when(denom === 0.0, lit(0.0))
           .otherwise(vec_dot(col("va"), col("vb")) / denom)
         a.join(b, Seq("blk")).where(earlier)
