@@ -350,7 +350,8 @@ final class GraftQuery private[db] (
     val spec = graft.query.Collation.parse(doc)
     val raw = rawQuery.getOrElse(throw new IllegalStateException(
       "collation(): query document unavailable on this surface"))
-    copy(pred = QueryCompiler.compile(raw, Some(spec)),
+    copy(pred = QueryCompiler.activeCollation.withValue(Some(spec))(
+        QueryCompiler.compileFor(base, raw)),
       collationSpec = Some(spec))
   }
 

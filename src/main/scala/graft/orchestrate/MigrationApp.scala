@@ -117,6 +117,7 @@ final class MigrationApp(
     val path = opts.ns.path(root)
     var workListFrame: Option[DataFrame] = None
     try {
+      if (!options.dryRun) recoverTornSwap(path)
       val raw = graft.sources.Tables.load(spark, path)
       // Limit semantics (generator_simple.go:77-79,127-129): cap the rows
       // migrated, selected deterministically (sorted work-list), marked via
@@ -226,6 +227,28 @@ final class MigrationApp(
     if (!keepBackup) fs.delete(bak, true)
   }
 
+  /** Crash recovery for [[writeBack]]'s swap, run under the namespace
+    * lease before touching the table. The only torn state a crash can
+    * leave (every step is an atomic rename) is "table renamed away to
+    * `.bak`, replacement not yet renamed in": roll BACK to the old table.
+    * Roll-back, not roll-forward, because the metadata ledger records a
+    * migration AFTER its writeBack — rolling the orphaned `.tmp` forward
+    * would apply a migration the ledger still thinks is pending, and the
+    * re-run would double-apply it. A stale-lease takeover therefore sees
+    * either the old table or the new, never a torn directory. */
+  private def recoverTornSwap(path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val bak = new org.apache.hadoop.fs.Path(path + ".bak")
+    if (!fs.exists(p) && fs.exists(bak)) {
+      org.apache.log4j.Logger.getLogger(getClass).warn(
+        s"recovering torn swap at $path: restoring $bak (a previous app " +
+          "crashed between the swap renames); the interrupted migration " +
+          "remains pending and will re-run")
+      fs.rename(bak, p)
+      fs.delete(new org.apache.hadoop.fs.Path(path + ".tmp"), true)
+    }
+  }
+
   private def restoreBackup(path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val bak = new org.apache.hadoop.fs.Path(path + ".bak")
@@ -248,7 +271,30 @@ final class MigrationApp(
   * Semantics: acquire blocks up to `waitMs` (concurrent runs SERIALIZE),
   * then throws (fail fast — surfaced as an errored MigrationResult, never
   * a torn table). A lease older than `staleMs` is presumed abandoned by a
-  * crashed app and is broken with a warning. */
+  * crashed app and is broken with a warning. Hardening against the
+  * file-lock races:
+  *
+  *   - the HOLDER heartbeats (mtime refresh every staleMs/3, daemon
+  *     thread) — a migration legitimately running longer than staleMs is
+  *     never mistaken for a crash;
+  *   - stale leases break via ATOMIC RENAME to a breaker-unique name
+  *     (only one breaker's rename succeeds; a plain delete would let two
+  *     waiters both "break" and both acquire). After the rename wins, the
+  *     breaker re-checks the renamed file's age: if the holder refreshed
+  *     between observation and rename (it was never stale), the file is
+  *     renamed back and the breaker resumes waiting;
+  *   - after create the acquirer reads the lease back and verifies its
+  *     own token before proceeding — create-if-absent already guarantees
+  *     exclusivity, the read-back catches a lease replaced underneath in
+  *     the (now rename-narrowed) breaker window;
+  *   - release deletes only a lease that still carries the owner token,
+  *     so a usurped holder cannot free the usurper's lease.
+  *
+  * This is advisory file locking — without fencing tokens at the data
+  * path a usurped-but-alive holder can still race the usurper; the
+  * heartbeat + rename protocol makes that window milliseconds wide and
+  * requires the holder to be paused for > staleMs, in exchange for
+  * working on any Hadoop filesystem with atomic create+rename. */
 final class NamespaceLease(spark: SparkSession, root: String,
     owner: String, waitMs: Long = 10000L,
     staleMs: Long = 30L * 60 * 1000) {
@@ -259,11 +305,24 @@ final class NamespaceLease(spark: SparkSession, root: String,
   private def leasePath(ns: graft.model.Namespace): Path =
     new Path(s"$root/anser_migrations_metadata.leases/" +
       s"${ns.db}.${ns.collection}.lease")
+  private val log = org.apache.log4j.Logger.getLogger(getClass)
+
+  // one daemon heartbeat thread per held namespace
+  private val heartbeats = new java.util.concurrent.ConcurrentHashMap[
+    String, Thread]()
 
   def withLease[T](ns: graft.model.Namespace)(body: => T): T = {
     acquire(ns)
     try body finally release(ns)
   }
+
+  private def readToken(p: Path): Option[String] =
+    try {
+      val in = fs.open(p)
+      try Some(new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8"))
+      finally in.close()
+    } catch { case _: java.io.IOException => None }
 
   def acquire(ns: graft.model.Namespace): Unit = {
     val p = leasePath(ns)
@@ -275,18 +334,17 @@ final class NamespaceLease(spark: SparkSession, root: String,
         val out = fs.create(p, false) // atomic create-if-absent
         out.write(owner.getBytes("UTF-8"))
         out.close()
-        acquired = true
+        // read-back: if a breaker replaced the file in the window, the
+        // token differs and this acquirer backs off instead of running
+        if (readToken(p).contains(owner)) acquired = true
+        else Thread.sleep(50)
       } catch {
         case _: java.io.IOException =>
           val age = try System.currentTimeMillis() -
             fs.getFileStatus(p).getModificationTime
           catch { case _: java.io.FileNotFoundException => 0L }
-          if (age > staleMs) {
-            org.apache.log4j.Logger.getLogger(getClass).warn(
-              s"breaking stale namespace lease $p (age ${age}ms > " +
-                s"staleMs $staleMs — presumed abandoned by a crashed app)")
-            fs.delete(p, false)
-          } else if (System.currentTimeMillis() > deadline)
+          if (age > staleMs) breakStale(p, age)
+          else if (System.currentTimeMillis() > deadline)
             throw new IllegalStateException(
               s"namespace ${ns} is leased by another migration app " +
                 s"(lease $p); waited ${waitMs}ms — serialize the apps or " +
@@ -294,10 +352,69 @@ final class NamespaceLease(spark: SparkSession, root: String,
           else Thread.sleep(50)
       }
     }
+    startHeartbeat(ns, p)
   }
 
-  def release(ns: graft.model.Namespace): Unit =
-    fs.delete(leasePath(ns), false)
+  /** Break a presumed-stale lease. Atomic rename to a breaker-unique
+    * name: of N waiters only ONE rename succeeds (the source vanishes
+    * for the rest), and the age re-check on the renamed file (rename
+    * preserves mtime) catches the holder having heartbeat-refreshed
+    * between this breaker's observation and its rename. */
+  private def breakStale(p: Path, observedAge: Long): Unit = {
+    val moved = new Path(p.toString + ".breaking." +
+      java.util.UUID.randomUUID().toString)
+    val won = try fs.rename(p, moved)
+      catch { case _: java.io.IOException => false }
+    if (!won) return // another breaker (or the holder's release) got it
+    val age = try System.currentTimeMillis() -
+      fs.getFileStatus(moved).getModificationTime
+    catch { case _: java.io.FileNotFoundException => return }
+    if (age > staleMs) {
+      log.warn(s"broke stale namespace lease $p (age ${age}ms > " +
+        s"staleMs $staleMs — presumed abandoned by a crashed app)")
+      fs.delete(moved, false)
+    } else {
+      // the holder was alive after all — put the lease back; if the
+      // brief gap let someone create a fresh lease, leave both (the
+      // restored copy under the unique name) and log loudly
+      if (!fs.rename(moved, p)) {
+        log.error(s"lease $p was re-created during a false stale-break; " +
+          s"original preserved at $moved — two apps may be racing, " +
+          "check staleMs vs real migration duration")
+        fs.delete(moved, false)
+      }
+    }
+  }
+
+  private def startHeartbeat(ns: graft.model.Namespace, p: Path): Unit = {
+    val interval = math.max(staleMs / 3, 100L)
+    val t = new Thread(() => {
+      try while (!Thread.interrupted()) {
+        Thread.sleep(interval)
+        if (readToken(p).contains(owner))
+          fs.setTimes(p, System.currentTimeMillis(), -1)
+        else {
+          log.error(s"namespace lease $p no longer carries this app's " +
+            "token — lease was broken underneath a live migration " +
+            "(staleMs too low for this workload?)")
+          return
+        }
+      } catch { case _: InterruptedException => }
+    }, s"graft-lease-heartbeat-${ns.db}.${ns.collection}")
+    t.setDaemon(true)
+    t.start()
+    heartbeats.put(p.toString, t)
+  }
+
+  def release(ns: graft.model.Namespace): Unit = {
+    val p = leasePath(ns)
+    Option(heartbeats.remove(p.toString)).foreach { t =>
+      t.interrupt(); t.join(2000)
+    }
+    // delete only our own lease — a usurped holder must not free the
+    // usurper's
+    if (readToken(p).contains(owner)) fs.delete(p, false)
+  }
 }
 
 /** Migration metadata ledger — reference MigrationHelper.SaveMigrationEvent

@@ -107,7 +107,9 @@ object PipelineCompiler {
     name match {
       case "$match" =>
         val q = doc(spec)
-        val matched = df.where(QueryCompiler.compile(q))
+        // compileFor: the collation fold (if an aggregate-level collation
+        // is active) gates on each field's resolved type being string
+        val matched = df.where(QueryCompiler.compileFor(df, q))
         // Mongo's {$meta: "textScore"} is produced by a $text match: stash
         // a score (matched-term count over the `text` column — a simpler
         // weighting than Mongo's, documented; $search carries full BM25)
@@ -247,8 +249,13 @@ object PipelineCompiler {
           else Some {
             val stage1 = aggFields.zipWithIndex.map { case ((_, accDoc), i) =>
               accumulator(doc(accDoc), groupEnv).as(s"__sg$i") }
+            // Deterministic salt: hash of the full row payload, NOT
+            // monotonically_increasing_id — a shuffle-map retry after a
+            // partial fetch must re-salt rows IDENTICALLY or partials
+            // double-count/drop. Identical rows sharing a bucket is fine
+            // (they combine map-side anyway).
             val part = df.groupBy(idCol,
-                pmod(hash(monotonically_increasing_id()), lit(saltN))
+                pmod(hash(df.columns.map(df(_)).toSeq: _*), lit(saltN))
                   .as("__salt"))
               .agg(stage1.head, stage1.tail: _*)
             val stage2 = aggFields.zipWithIndex.map { case ((as, accDoc), i) =>
@@ -684,6 +691,11 @@ object PipelineCompiler {
         val wantScoreDetails = d0.get("scoreDetails").contains(true)
         val sdLegs =
           scala.collection.mutable.Buffer.empty[(String, Column, Column)]
+        // true while compiling a filter/mustNot subtree: those clauses
+        // contribute nothing to the total score, so nothing under them
+        // (incl. a nested compound's must/should) may land in sdLegs —
+        // else the listed leg values wouldn't sum to the reported total
+        var sdSuppress = false
         def dblV(v: Any): Double = v match {
           case n: Number => n.doubleValue()
           case other => throw new IllegalArgumentException(
@@ -1442,10 +1454,15 @@ object PipelineCompiler {
                   require(m.size == 1,
                     s"$name.compound.$key: one operator per clause")
                   val (o, r) = m.head
-                  val c = compileOp(o, r)
-                  // scoring clauses feed the scoreDetails breakdown
-                  if (wantScoreDetails && o != "compound" &&
-                      (key == "must" || key == "should"))
+                  val scoringCtx = key == "must" || key == "should"
+                  val saved = sdSuppress
+                  if (!scoringCtx) sdSuppress = true
+                  val c = try compileOp(o, r) finally sdSuppress = saved
+                  // scoring clauses feed the scoreDetails breakdown;
+                  // a filter/mustNot context (here or in any enclosing
+                  // compound) records nothing
+                  if (wantScoreDetails && !sdSuppress && o != "compound" &&
+                      scoringCtx)
                     sdLegs += ((s"$key.$o", c._1, c._2))
                   c
                 }
@@ -2334,7 +2351,14 @@ object PipelineCompiler {
     val localIsArray = df.select(lcol).schema.head.dataType
       .isInstanceOf[org.apache.spark.sql.types.ArrayType]
     if (localIsArray) {
-      val df2 = df.withColumn("__rid", monotonically_increasing_id())
+      // The row id fans out into a self-join (exploded side vs outer
+      // side). monotonically_increasing_id is nondeterministic across
+      // re-evaluations once an upstream shuffle makes partition order
+      // unstable — the two sides could assign DIFFERENT ids to the same
+      // logical row and rows would silently get the wrong lookup array.
+      // Freeze the ids eagerly (same stance as $graphLookup's __gid).
+      val df2 = graft.ops.Checkpoints.truncate(
+        df.withColumn("__rid", monotonically_increasing_id()))
       // when BOTH sides are arrays a foreign doc reachable through two
       // shared elements lands in two key groups — dedup by value then
       // (Mongo returns each matching doc once; full-duplicate foreign
@@ -2361,8 +2385,10 @@ object PipelineCompiler {
     val saltN = df.sparkSession.conf.getOption("spark.graft.skewSalt")
       .map(_.toInt).getOrElse(0)
     if (saltN > 1) {
+      // Deterministic per-row salt (hash of the full payload, not
+      // monotonically_increasing_id) so task retries re-salt identically.
       val sl = df.withColumn("__sl",
-        pmod(hash(monotonically_increasing_id()), lit(saltN)))
+        pmod(hash(df.columns.map(df(_)).toSeq: _*), lit(saltN)))
       val sr = grouped.withColumn("__sr",
         explode(sequence(lit(0), lit(saltN - 1))))
       sl.join(sr, sl(local) === sr("__lk") && sl("__sl") === sr("__sr"),

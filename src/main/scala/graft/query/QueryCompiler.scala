@@ -43,11 +43,45 @@ object QueryCompiler {
   private[graft] val activeCollation =
     new scala.util.DynamicVariable[Option[Collation.Spec]](None)
 
+  /** Schema oracle for the collation fold: Mongo applies collation only
+    * to STRING-to-string comparisons — `{numCol: {$in: [5, "x"]}}` under
+    * a collation must not lowercase-cast numCol. Callers that hold the
+    * DataFrame install `field -> isString` here; with no oracle the
+    * compiler keeps the permissive fold (string literal ⇒ fold), the
+    * only option without a schema. */
+  private[graft] val activeStringCheck =
+    new scala.util.DynamicVariable[Option[String => Boolean]](None)
+
+  /** Compile against `df`'s schema: the collation fold gates on the
+    * field's resolved type being StringType. */
+  def compileFor(df: org.apache.spark.sql.DataFrame,
+      query: Map[String, Any]): Column =
+    activeStringCheck.withValue(Some { field =>
+      try df.select(field).schema.head.dataType ==
+        org.apache.spark.sql.types.StringType
+      catch { case _: org.apache.spark.sql.AnalysisException => false }
+    })(compile(query))
+
+  private def fieldIsString(field: String): Boolean =
+    activeStringCheck.value.forall(_(field))
+
+  /** Mongo type bracketing under a collation: a STRING literal compared
+    * to a non-string column can never match (strings only equal
+    * strings) — and must not be coerced, which under ANSI mode would
+    * throw on non-numeric strings. Only decidable when the schema
+    * oracle is installed; scoped to collated compiles so the long-
+    * standing binary coercion behavior elsewhere is untouched. */
+  private def typeClash(field: String, v: Any): Boolean =
+    activeCollation.value.isDefined && v.isInstanceOf[String] &&
+      activeStringCheck.value.exists(f => !f(field))
+
   /** Fold a (column, string-literal) comparison pair through the active
-    * collation; non-string literals compare binary as always. */
-  private def cmpPair(c: Column, v: Any): (Column, Column) =
+    * collation; non-string literals — and non-string COLUMNS, when a
+    * schema oracle is installed — compare binary as always. */
+  private def cmpPair(field: String, c: Column, v: Any): (Column, Column) =
     (activeCollation.value, v) match {
-      case (Some(sp), s: String) => (sp.key(c), lit(sp.fold(s)))
+      case (Some(sp), s: String) if fieldIsString(field) =>
+        (sp.key(c), lit(sp.fold(s)))
       case _ => (c, toLit(v))
     }
 
@@ -234,35 +268,44 @@ object QueryCompiler {
         .reduce(_ && _)
     case null  => col(field).isNull // Mongo: matches null or missing
     case other =>
-      val (ck, vk) = cmpPair(col(field), other); ck === vk
+      if (typeClash(field, other)) lit(false)
+      else { val (ck, vk) = cmpPair(field, col(field), other); ck === vk }
   }
 
   // string members fold through the active collation; non-strings pass
-  // through binary — mirrors Mongo's "collation applies to strings"
-  private def collatedSet(c: Column, vs: Seq[Any]): Column =
+  // through binary — mirrors Mongo's "collation applies to strings".
+  // A non-string COLUMN (schema oracle says so) never folds.
+  private def collatedSet(field: String, c: Column, vs0: Seq[Any]): Column = {
+    // type bracketing: string members can never match a non-string
+    // column — drop them rather than let ANSI coercion throw
+    val vs = if (vs0.exists(v => typeClash(field, v)))
+      vs0.filterNot(_.isInstanceOf[String]) else vs0
+    if (vs.isEmpty) return lit(false)
     activeCollation.value match {
-      case Some(sp) if vs.exists(_.isInstanceOf[String]) =>
+      case Some(sp) if vs.exists(_.isInstanceOf[String]) &&
+          fieldIsString(field) =>
         sp.key(c).isin(vs.map {
           case s: String => sp.fold(s)
           case other => toScalaLit(other)
         }: _*)
       case _ => c.isin(vs.map(toScalaLit): _*)
     }
+  }
 
   private def operator(field: String, op: String, v: Any): Column = {
     val c = col(field)
-    lazy val (ck, vk) = cmpPair(c, v)
+    lazy val (ck, vk) = cmpPair(field, c, v)
     op match {
-      case "$eq"  => ck === vk
+      case "$eq"  => if (typeClash(field, v)) lit(false) else ck === vk
       // Mongo $ne also matches documents where the field is null/missing.
-      case "$ne"  => !(ck <=> vk)
+      case "$ne"  => if (typeClash(field, v)) lit(true) else !(ck <=> vk)
       case "$gt"  => ck > vk
       case "$gte" => ck >= vk
       case "$lt"  => ck < vk
       case "$lte" => ck <= vk
-      case "$in"  => collatedSet(c, seqOf(v, "$in"))
+      case "$in"  => collatedSet(field, c, seqOf(v, "$in"))
       case "$nin" =>
-        !coalesce(collatedSet(c, seqOf(v, "$nin")), lit(false))
+        !coalesce(collatedSet(field, c, seqOf(v, "$nin")), lit(false))
       case "$exists" => if (v == true) c.isNotNull else c.isNull
       case "$regex"  => c.rlike(v.toString)
       case "$size"   => size(c) === toLit(v)

@@ -289,6 +289,67 @@ class MigrationAppSpec extends SparkSpec {
     assert(out.where($"cat" === "done").count() == 2)
   }
 
+  test("torn swap from a crashed app is recovered on stale takeover") {
+    val root = freshRoot()
+    // simulate an app that died between writeBack's two renames: the
+    // table was renamed away to .bak, the replacement .tmp never renamed
+    // in — plus the crashed app's now-stale lease
+    val dir = java.nio.file.Paths.get(root)
+    java.nio.file.Files.move(dir.resolve("items.parquet"),
+      dir.resolve("items.parquet.bak"))
+    java.nio.file.Files.createDirectories(dir.resolve("items.parquet.tmp"))
+    val leaseFile = dir.resolve(
+      "anser_migrations_metadata.leases/db.items.lease")
+    java.nio.file.Files.createDirectories(leaseFile.getParent)
+    java.nio.file.Files.write(leaseFile, "dead-app".getBytes)
+    leaseFile.toFile.setLastModified(
+      System.currentTimeMillis() - 60L * 60 * 1000)
+    // the taking-over app must see the OLD table (roll back — the torn
+    // migration is still pending in the ledger), never a missing/torn
+    // directory, and its own migration then applies cleanly
+    val app = new MigrationApp(spark, root,
+      ApplicationOptions(leaseWaitMs = 0L))
+    app.setup(Seq(simple("m1", query = Map("cat" -> "x"))))
+    assert(app.run() == Seq(MigrationResult("m1", 2, hasErrors = false)))
+    val out = spark.read.parquet(s"$root/items.parquet")
+    assert(out.count() == 3 && out.where($"cat" === "done").count() == 2)
+    assert(!java.nio.file.Files.exists(dir.resolve("items.parquet.bak")))
+    assert(!java.nio.file.Files.exists(dir.resolve("items.parquet.tmp")))
+  }
+
+  test("lease heartbeat keeps a long-running migration's lease fresh") {
+    val root = freshRoot()
+    val ns = Namespace("db", "items")
+    // staleMs shorter than the hold below: without the heartbeat the
+    // waiter would (wrongly) break the live holder's lease
+    val holder = new NamespaceLease(spark, root, "holder-app",
+      waitMs = 0L, staleMs = 600L)
+    holder.acquire(ns)
+    try {
+      Thread.sleep(1500) // > staleMs: only heartbeats keep it fresh
+      val contender = new NamespaceLease(spark, root, "contender-app",
+        waitMs = 0L, staleMs = 600L)
+      val ex = intercept[IllegalStateException](contender.acquire(ns))
+      assert(ex.getMessage.contains("leased"))
+    } finally holder.release(ns)
+  }
+
+  test("release deletes only the owner's lease, not a usurper's") {
+    val root = freshRoot()
+    val ns = Namespace("db", "items")
+    val a = new NamespaceLease(spark, root, "app-a", waitMs = 0L)
+    a.acquire(ns)
+    // a usurper replaces the lease underneath (simulating a false stale
+    // break); a's release must NOT free the usurper's lease
+    val leaseFile = java.nio.file.Paths.get(
+      s"$root/anser_migrations_metadata.leases/db.items.lease")
+    java.nio.file.Files.write(leaseFile, "app-b".getBytes)
+    a.release(ns)
+    assert(java.nio.file.Files.exists(leaseFile) &&
+      new String(java.nio.file.Files.readAllBytes(leaseFile)) == "app-b")
+    java.nio.file.Files.delete(leaseFile)
+  }
+
   test("namespace lease: stale lease from a crashed app is broken") {
     val root = freshRoot()
     val ns = Namespace("db", "items")

@@ -2537,6 +2537,43 @@ class SearchStagesSpec extends graft.SparkSpec {
     assert(math.abs(rows(2L) - rows(1L) - 1.0) < 1e-9)
   }
 
+  test("$search scoreDetails: filter/mustNot-context legs never appear " +
+      "and listed legs sum to the total") {
+    val docs = Seq(
+      (1L, "spark sql engine"), (2L, "spark rdd engine"))
+      .toDF("id", "txt")
+    // a nested compound INSIDE filter: its must/should legs contribute
+    // nothing to the score, so they must not show up in the breakdown
+    val out = PipelineCompiler.compile(Seq(
+      Map("$search" -> Map(
+        "compound" -> Map(
+          "must" -> Seq(Map("phrase" ->
+            Map("query" -> "spark", "path" -> "txt"))),
+          "should" -> Seq(Map("phrase" ->
+            Map("query" -> "sql", "path" -> "txt"))),
+          "filter" -> Seq(Map("compound" -> Map(
+            "must" -> Seq(Map("phrase" ->
+              Map("query" -> "engine", "path" -> "txt"))),
+            "should" -> Seq(Map("phrase" ->
+              Map("query" -> "rdd", "path" -> "txt"))))))),
+        "scoreDetails" -> true)),
+      Map("$project" -> Map("id" -> 1,
+        "d" -> Map("$meta" -> "searchScoreDetails")))))(docs)
+    val rows = out.collect().map { r =>
+      val d = r.getStruct(1)
+      val legs = d.getSeq[org.apache.spark.sql.Row](2).map(l =>
+        (l.getString(1), l.getDouble(0)))
+      (r.getLong(0), d.getDouble(0), legs)
+    }
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, total, legs) =>
+      // only the outer scoring clauses are listed…
+      assert(legs.map(_._1).toSet == Set("must.phrase", "should.phrase"))
+      // …and their values sum exactly to the reported total
+      assert(math.abs(legs.map(_._2).sum - total) < 1e-9)
+    }
+  }
+
   test("$search compound: only-should requires one hit; minimumShouldMatch") {
     val docs = Seq((1L, "a b"), (2L, "a"), (3L, "z")).toDF("id", "txt")
     val onlyShould = PipelineCompiler.compile(Seq(

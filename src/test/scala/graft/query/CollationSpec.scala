@@ -76,6 +76,23 @@ class CollationSpec extends SparkSpec {
     assert(s1 == Seq(3L, 2L, 1L))
   }
 
+  test("collation folds STRING columns only (schema-gated, Mongo rule)") {
+    // {numCol: {$in: [5, "x"]}} under a collation must compare numCol
+    // binary — collation applies to string-to-string comparisons only.
+    // compileFor installs the schema oracle that gates the fold.
+    val s2 = Some(Collation.Spec("en", 2))
+    def idsFor(q: Map[String, Any]): Seq[Long] =
+      QueryCompiler.activeCollation.withValue(s2)(
+        df.where(QueryCompiler.compileFor(df, q)))
+        .orderBy("_id").select("_id").as[Long].collect().toSeq
+    assert(idsFor(Map("_id" -> Map("$in" -> Seq(2L, "x")))) == Seq(2))
+    assert(idsFor(Map("_id" -> 3L)) == Seq(3))
+    assert(idsFor(Map("_id" -> Map("$gte" -> 4L))) == Seq(4, 5))
+    // string fields still fold under the same compile
+    assert(idsFor(Map("name" -> "ALICE")) == Seq(1, 2, 3))
+    assert(idsFor(Map("name" -> Map("$in" -> Seq("BOB")))) == Seq(4, 5))
+  }
+
   test("pipe(pipeline, collation): $match and $sort fold") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-collation2").toString
