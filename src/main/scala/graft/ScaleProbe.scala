@@ -9,7 +9,9 @@ import org.apache.spark.sql.SparkSession
   * Usage: runMain graft.ScaleProbe <dir> <op> <reps> [cap]
   *  ops: jaccard (cap = maxShingleFreq) | clusters | split | sdedup |
   *  ema (dir unused) | bucketauto (stage breakdown) |
-  *  embed (cap = blockPlanes) | pairs (near-dup pair-volume control)
+  *  embed (cap = blockPlanes, 0 = adaptive default) |
+  *  semdedupk (cap = k, 0 = adaptive default) |
+  *  pairs (near-dup pair-volume control)
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -94,15 +96,26 @@ object ScaleProbe {
           0L
         case "embed" =>
           // embedding near-dup with a sized bucket space: the optional
-          // 4th arg is blockPlanes (default 8 = q22's). At 100x the
-          // 8-plane space saturates (measured: valve trips at ~1e9
-          // candidates); 16 planes = 65k buckets/table keeps occupancy
-          // bounded and the same query completes
-          val planes = if (cap > 0) cap.toInt else 8
+          // 4th arg is blockPlanes; 0/absent = the library's ADAPTIVE
+          // default (autoBlockPlanes — the round-9 rule that replaced
+          // the fixed 8-plane space the 100x rehearsal saturated; at
+          // 100x auto picks 16, the measured remedy)
+          val planes = if (cap > 0) cap.toInt else 0
           Dedup.embeddingNearDup(
             spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id",
             "embedding", threshold = 0.3, blockPlanes = planes, dim = 64)
             .count()
+        case "semdedupk" =>
+          // SemDeDup with SCALED blocking: k-means cells sized by the
+          // adaptive default (autoCellCount, k ~ corpus/targetCell; cap
+          // overrides k, 0/absent = auto). The fixed-`label` blocking
+          // (q130's parameterization) grows blocks linearly and pair
+          // work quadratically — this is the named in-engine remedy,
+          // measured here so SCALE.md carries its exponent.
+          Dedup.semDeDupKMeans(
+            spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id",
+            "embedding", eps = 0.3, k = if (cap > 0) cap.toInt else 0,
+            iters = 3).count()
         case "pairs" =>
           // candidate/true-pair VOLUME evidence for the scaling analysis:
           // the LSH pair count is the output's intrinsic size — when the

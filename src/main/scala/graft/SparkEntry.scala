@@ -1508,10 +1508,14 @@ object SparkEntry {
         .orderBy("doc_id")),
 
     // embedding cosine near-duplicate pairs (default path: multi-table
-    // hyperplane LSH blocking + exact cosine verify — sub-quadratic)
+    // hyperplane LSH blocking + exact cosine verify — sub-quadratic).
+    // blockPlanes is PINNED to 8 because the DuckDB oracle replicates
+    // exactly this bucket space (lshBucketsCte(4, 8, 64)); the library
+    // default is corpus-adaptive (Dedup.autoBlockPlanes), spec-pinned in
+    // OpsSpec and exercised by the scale rehearsal
     "q22_embed_neardup" -> ((s, dir) =>
       Dedup.embeddingNearDup(tbl(s, dir, "embeddings"), "vec_id",
-        "embedding", threshold = 0.3, dim = 64)
+        "embedding", threshold = 0.3, blockPlanes = 8, dim = 64)
         .orderBy("id_a", "id_b")),
 
     // exact brute-force cosine top-k (rank output, id tie-break)

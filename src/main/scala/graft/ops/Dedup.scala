@@ -445,6 +445,12 @@ object Dedup {
     * candidates, so recall grows with `blockTables` while each join stays a
     * bucket equi-join that scales with bucket occupancy, not n².
     *
+    * `blockPlanes <= 0` (the DEFAULT) sizes the bucket space from the
+    * corpus ([[autoBlockPlanes]] — planes ≈ log2(corpus/targetBucket),
+    * targetBucket via `spark.graft.embed.targetBucket`, default 100), so
+    * the same call stays linear from 10³ to 10¹⁰ rows with no tuning; an
+    * explicit value pins the space for reproducibility.
+    *
     * `blockCol` overrides the blocker with a caller-provided key (e.g. a
     * domain column). `blockTables = 0` opts IN to the brute-force broadcast
     * O(n²) path — only for bounded n or per-bucket verification; it is
@@ -454,9 +460,25 @@ object Dedup {
     * Norms are computed once per row; the dot product is the native
     * codegen'd expression. `dim` = embedding dimensionality (0 = infer from
     * the first row). Output: (id_a, id_b), cosine >= threshold. */
+  /** Corpus-adaptive hyperplane count for the LSH blocker: each plane
+    * halves expected bucket occupancy, so `planes ≈ log2(corpus /
+    * targetBucket)` keeps per-bucket candidate pairs bounded (≈
+    * targetBucket²/2 per bucket, total ≈ corpus·targetBucket/2 — LINEAR
+    * in the corpus). Clamped to [4, 24]: fewer than 4 planes is a
+    * saturated toy space, more than 24 splits past any real corpus. The
+    * 100× rehearsal derived this rule (SCALE.md — 16 planes completed
+    * the 6M-row corpus the default-8 space died on; 16 = this formula at
+    * targetBucket 100). */
+  def autoBlockPlanes(corpusRows: Long, targetBucket: Long = 100L): Int = {
+    val cells = math.max(1.0,
+      corpusRows.toDouble / math.max(1L, targetBucket))
+    math.min(24, math.max(4,
+      math.ceil(math.log(cells) / math.log(2.0)).toInt))
+  }
+
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, blockCol: Option[String] = None,
-      blockTables: Int = 4, blockPlanes: Int = 8, dim: Int = 0): DataFrame = {
+      blockTables: Int = 4, blockPlanes: Int = 0, dim: Int = 0): DataFrame = {
     import graft.functions.VectorFunctions.vec_dot
     // norms are sqrt'd ONCE PER ROW before the pair join — the per-pair
     // work is one multiply + divide (bit-identical: the product of the
@@ -508,10 +530,21 @@ object Dedup {
         else df.select(size(col(vecCol))).head().getInt(0)
       val base = Partitioning.ensureMinPartitions(
         df.select(col(idCol).as("id"), col(vecCol).as("v")))
+      // blockPlanes <= 0 (the default) = ADAPTIVE: size the bucket space
+      // from the corpus so the plan stays linear at any scale with no
+      // conf — one cheap metadata-friendly count picks the parameter;
+      // the candidate-volume valve below stays as the backstop. An
+      // explicit blockPlanes pins the space (the oracle queries do).
+      val planes = if (blockPlanes > 0) blockPlanes else {
+        val target = df.sparkSession.conf
+          .getOption("spark.graft.embed.targetBucket")
+          .map(_.toLong).getOrElse(100L)
+        autoBlockPlanes(base.count(), target)
+      }
       val bkts = base.select(col("id"),
         explode(array((0 until blockTables).map { t =>
           struct(lit(t).as("t"),
-            Similarity.hyperplaneBucket(col("v"), blockPlanes, d, t).as("bkt"))
+            Similarity.hyperplaneBucket(col("v"), planes, d, t).as("bkt"))
         }: _*)).as("tb"))
         .select(col("id"), col("tb.t").as("t"), col("tb.bkt").as("bkt"))
       // spark.graft.embed.maxCandidatePairs (> 0): PRE-JOIN volume valve,
@@ -536,7 +569,7 @@ object Dedup {
         if (vol > maxCand) throw new IllegalStateException(
           f"embeddingNearDup: candidate volume $vol%.3g exceeds " +
             s"spark.graft.embed.maxCandidatePairs=$maxCand — the " +
-            s"$blockPlanes-plane bucket space is saturated at this " +
+            s"$planes-plane bucket space is saturated at this " +
             "corpus size. Raise blockPlanes (each plane halves bucket " +
             "occupancy; size ~ log2(corpus/targetBucket)), pass " +
             "blockCol for metadata blocking, or raise the valve.")
@@ -682,10 +715,28 @@ object Dedup {
     * centroid — keeping the "edge" examples preserves diversity. False
     * (default) keeps lowest-id, matching the published code path that the
     * oracle checks. */
+  /** Corpus-adaptive cell count for [[semDeDupKMeans]]: `k ≈ corpus /
+    * targetCell` keeps cells near targetCell rows, so within-cell pair
+    * work is ≈ corpus·targetCell/2 — LINEAR in the corpus (a FIXED k
+    * grows cells linearly and pair work quadratically, the weak-at-scale
+    * parameterization the 100× rehearsal flagged). The paper's LAION run
+    * is this rule at targetCell ≈ 2000 (k = 50k). */
+  def autoCellCount(corpusRows: Long, targetCell: Long = 1000L): Int =
+    math.max(1, math.ceil(
+      corpusRows.toDouble / math.max(1L, targetCell)).toInt)
+
   def semDeDupKMeans(df: DataFrame, idCol: String, vecCol: String,
-      eps: Double, k: Int, iters: Int = 5,
+      eps: Double, k: Int = 0, iters: Int = 5,
       keepFarthestFromCentroid: Boolean = false): DataFrame = {
-    val cents = Clustering.kmeans(df, idCol, vecCol, k, iters)
+    // k <= 0 (the default) = ADAPTIVE: cells scale with the corpus so
+    // the same call stays linear at any scale with no conf
+    val kk = if (k > 0) k else {
+      val target = df.sparkSession.conf
+        .getOption("spark.graft.semdedup.targetCell")
+        .map(_.toLong).getOrElse(1000L)
+      autoCellCount(df.count(), target)
+    }
+    val cents = Clustering.kmeans(df, idCol, vecCol, kk, iters)
       .select(col("centroid_id").as(idCol), col("centroid").as(vecCol))
     val assigned = Similarity.ivfAssign(df, idCol, vecCol, cents)
     if (!keepFarthestFromCentroid)

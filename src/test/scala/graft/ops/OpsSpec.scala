@@ -271,6 +271,58 @@ class DedupSpec extends SparkSpec {
     assert(out == Set((1L, 2L)))
   }
 
+  test("adaptive blocking: autoBlockPlanes follows log2(corpus/target)" +
+      " and autoCellCount follows corpus/targetCell") {
+    // the 100x-derived sizing rules, pinned at two corpus sizes a
+    // decade apart (plus the measured 100x remedy: 6M rows -> 16 planes)
+    assert(Dedup.autoBlockPlanes(60000L, 100L) == 10)
+    assert(Dedup.autoBlockPlanes(6000000L, 100L) == 16)
+    assert(Dedup.autoBlockPlanes(10L, 100L) == 4) // clamp floor
+    assert(Dedup.autoBlockPlanes(Long.MaxValue, 1L) == 24) // clamp ceil
+    assert(Dedup.autoCellCount(60000L, 1000L) == 60)
+    assert(Dedup.autoCellCount(6000000L, 1000L) == 6000)
+    assert(Dedup.autoCellCount(5L, 1000L) == 1) // at least one cell
+    // the paper's LAION parameterization is the same rule
+    assert(Dedup.autoCellCount(100000000L, 2000L) == 50000)
+  }
+
+  test("embeddingNearDup adaptive default equals the explicit " +
+      "parameterization it derives") {
+    val vecs = (0L until 64L).map { i =>
+      (i, Array.tabulate(4)(j =>
+        (math.sin(i * 7 + j) + (if (i % 8 == 0) 2.0 else 0.0)).toFloat))
+    }.toDF("vec_id", "embedding")
+    spark.conf.set("spark.graft.embed.targetBucket", "8")
+    try {
+      // 64 rows / target 8 = 8 cells -> ceil(log2) = 3 -> clamped to 4
+      val auto = Dedup.embeddingNearDup(vecs, "vec_id", "embedding", 0.9)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val pinned = Dedup.embeddingNearDup(vecs, "vec_id", "embedding",
+        0.9, blockPlanes = 4)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(auto == pinned)
+    } finally spark.conf.unset("spark.graft.embed.targetBucket")
+  }
+
+  test("semDeDupKMeans adaptive k equals the explicit k it derives") {
+    val vecs = (0L until 40L).map { i =>
+      val g = (i % 4).toInt
+      (i, Array.tabulate(3)(j => (if (j == g % 3) 1.0f else 0.0f) +
+        (i / 4).toFloat * 1e-4f))
+    }.toDF("vec_id", "embedding")
+    spark.conf.set("spark.graft.semdedup.targetCell", "10")
+    try {
+      // 40 rows / target 10 -> k = 4
+      val auto = Dedup.semDeDupKMeans(vecs, "vec_id", "embedding",
+        eps = 0.999, iters = 3)
+        .select("vec_id").as[Long].collect().toSet
+      val pinned = Dedup.semDeDupKMeans(vecs, "vec_id", "embedding",
+        eps = 0.999, k = 4, iters = 3)
+        .select("vec_id").as[Long].collect().toSet
+      assert(auto == pinned)
+    } finally spark.conf.unset("spark.graft.semdedup.targetCell")
+  }
+
   test("duplicateSpans flags cross-doc n-gram windows and cleans them") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon one"),
