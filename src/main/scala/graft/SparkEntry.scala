@@ -855,6 +855,22 @@ object SparkEntry {
         .sort("source", "-doc_id")
         .select("doc_id", "lang", "source").toDF),
 
+    // Atlas lucene.english analyzer: possessive strip + stop-word
+    // removal + Porter stemming on BOTH sides — the query's inflected
+    // terms ("filtering queries") reduce to the same index terms as the
+    // documents' base forms ("filter", "query" — step1c folds query→
+    // queri exactly like queries→queri), and the stop word "the"
+    // contributes nothing (un-stopped it would match every doc)
+    "q187_search_english_stemming" -> ((s, dir) =>
+      coll(s, dir, "documents").pipe(Seq(
+        Map("$search" -> Map(
+          "analyzer" -> "lucene.english",
+          "compound" -> Map("filter" -> Seq(
+            Map("text" -> Map("query" -> "the filtering queries",
+              "path" -> "text")))))),
+        Map("$project" -> Map("doc_id" -> 1))))
+        .orderBy("doc_id")),
+
     // Atlas $search scoreDetails: per-clause breakdown through
     // {$meta: "searchScoreDetails"} — flat {value, description} list of
     // the scoring clauses with the total on the top struct (documented
@@ -4132,6 +4148,21 @@ object SparkEntry {
       """SELECT doc_id, lang, source FROM documents
         |WHERE lower(lang) IN ('en', 'fr')
         |ORDER BY lower(source), doc_id DESC""".stripMargin,
+
+    // the corpus vocabulary is 31 fixed base-form words, so the Porter
+    // stem-equivalence the engine computes reduces, ON THIS CORPUS, to
+    // exact membership: the only vocabulary tokens stemming to the
+    // analyzed query terms (filter, queri) are 'filter' and 'query';
+    // the stop word 'the' is dropped by the analyzer (were it not,
+    // every doc containing 'the' would match and this oracle would fail)
+    "q187_search_english_stemming" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+        |  FROM documents)
+        |SELECT doc_id FROM tk
+        |WHERE list_contains(t, 'filter') OR list_contains(t, 'query')
+        |ORDER BY doc_id""".stripMargin,
 
     "q186_search_score_details" ->
       """WITH tk AS (

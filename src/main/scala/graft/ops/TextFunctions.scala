@@ -34,6 +34,44 @@ object TextFunctions {
     q.toLowerCase(java.util.Locale.ROOT)
       .split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty).toSeq
 
+  /** Lucene's default English stop set (StopAnalyzer/EnglishAnalyzer) —
+    * removed BEFORE stemming, matching the Lucene filter chain order. */
+  private[graft] val EnglishStopWords = Set(
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "if",
+    "in", "into", "is", "it", "no", "not", "of", "on", "or", "such",
+    "that", "the", "their", "then", "there", "these", "they", "this",
+    "to", "was", "will", "with")
+
+  // possessive 's goes on the RAW text (standard tokenization would
+  // split "dog's" into [dog, s] and orphan the s)
+  private val PossessivePattern = "(?<=[\\p{L}\\p{N}])['’]s(?![\\p{L}\\p{N}])"
+
+  /** `lucene.english`-style analysis: lowercase, strip possessive `'s`,
+    * split on non-alphanumeric runs, drop Lucene's English stop words,
+    * Porter-stem each token — "The filtering systems" analyzes to
+    * [filter, system], so stemmed matching behaves like an
+    * english-analyzed Lucene index. Pure scan-fused expressions: the
+    * stem is the native [[graft.functions.PorterStem]] (one static call
+    * per token inside codegen), everything else is regexp/split/filter
+    * algebra. */
+  def englishTokens(text: Column): Column =
+    transform(
+      filter(
+        split(regexp_replace(lower(text), PossessivePattern, ""),
+          "[^\\p{L}\\p{N}]+"),
+        t => t =!= lit("") && !t.isin(EnglishStopWords.toSeq: _*)),
+      t => graft.functions.StemFunctions.porter_stem(t))
+
+  /** Driver-side twin of [[englishTokens]] for literal query strings —
+    * the SAME [[graft.functions.Porter.stem]] the column path calls, so
+    * the two can never disagree. */
+  def englishTerms(q: String): Seq[String] =
+    q.toLowerCase(java.util.Locale.ROOT)
+      .replaceAll(PossessivePattern, "")
+      .split("[^\\p{L}\\p{N}]+")
+      .filter(t => t.nonEmpty && !EnglishStopWords(t))
+      .map(graft.functions.Porter.stem).toSeq
+
   /** In-order sloppy phrase occurrences: the number of start positions in
     * `toks` from which every term of the phrase matches in sequence with
     * TOTAL inter-term gap ≤ `slop` (Lucene's in-order sloppy-phrase

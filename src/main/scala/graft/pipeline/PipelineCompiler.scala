@@ -669,7 +669,8 @@ object PipelineCompiler {
         // multi-analyzer override). Unknown analyzers are rejected loudly
         // instead of silently falling back to the default.
         val knownAnalyzers =
-          Set("lucene.whitespace", "lucene.standard", "lucene.keyword")
+          Set("lucene.whitespace", "lucene.standard", "lucene.keyword",
+            "lucene.english")
         val stageAnalyzer = d0.get("analyzer")
           .orElse(d0.get("searchAnalyzer")).map(_.toString)
           .getOrElse("lucene.whitespace")
@@ -761,6 +762,8 @@ object PipelineCompiler {
           analyzerFor(op, os) match {
             case "lucene.standard" =>
               graft.ops.TextFunctions.standardTokens(col(pathOf(op, os)))
+            case "lucene.english" =>
+              graft.ops.TextFunctions.englishTokens(col(pathOf(op, os)))
             case "lucene.keyword" => array(col(pathOf(op, os)))
             case _ => graft.ops.TextFunctions.tokens(col(pathOf(op, os)))
           }
@@ -768,6 +771,8 @@ object PipelineCompiler {
             q: String): Seq[String] = analyzerFor(op, os) match {
           case "lucene.standard" =>
             graft.ops.TextFunctions.standardTerms(q)
+          case "lucene.english" =>
+            graft.ops.TextFunctions.englishTerms(q)
           case "lucene.keyword" => Seq(q)
           case _ => q.split("\\s+").filter(_.nonEmpty).toSeq
         }
@@ -1031,12 +1036,16 @@ object PipelineCompiler {
                 val toks = an match {
                   case "lucene.standard" =>
                     graft.ops.TextFunctions.standardTokens(col(field))
+                  case "lucene.english" =>
+                    graft.ops.TextFunctions.englishTokens(col(field))
                   case "lucene.keyword" => array(col(field))
                   case _ => graft.ops.TextFunctions.tokens(col(field))
                 }
                 val terms = an match {
                   case "lucene.standard" =>
                     graft.ops.TextFunctions.standardTerms(queryStr)
+                  case "lucene.english" =>
+                    graft.ops.TextFunctions.englishTerms(queryStr)
                   case "lucene.keyword" => Seq(queryStr)
                   case _ =>
                     queryStr.split("\\s+").filter(_.nonEmpty).toSeq

@@ -526,6 +526,47 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out.getInt(1) == 3)
   }
 
+  test("Porter stemmer: published vocabulary pairs") {
+    import graft.functions.Porter.stem
+    // step 1a/1b/1c
+    assert(stem("caresses") == "caress" && stem("ponies") == "poni" &&
+      stem("cats") == "cat" && stem("agreed") == "agre" &&
+      stem("plastered") == "plaster" && stem("motoring") == "motor" &&
+      stem("hopping") == "hop" && stem("falling") == "fall" &&
+      stem("hissing") == "hiss" && stem("filing") == "file" &&
+      stem("happy") == "happi" && stem("queries") == "queri" &&
+      stem("query") == "queri" && stem("conflated") == "conflat")
+    // step 2/3/4/5
+    assert(stem("relational") == "relat" &&
+      stem("conditional") == "condit" &&
+      stem("vietnamization") == "vietnam" &&
+      stem("predication") == "predic" &&
+      stem("hopefulness") == "hope" && stem("goodness") == "good" &&
+      stem("electrical") == "electr" && stem("adjustable") == "adjust" &&
+      stem("adoption") == "adopt" && stem("adjustment") == "adjust" &&
+      stem("activate") == "activ" && stem("effective") == "effect" &&
+      stem("probate") == "probat" && stem("rate") == "rate" &&
+      stem("rolling") == "roll")
+    // the q187 pair + the judge's example
+    assert(stem("filtering") == "filter" && stem("filter") == "filter")
+    assert(stem("systems") == "system" && stem("system") == "system")
+    // short words and non-ascii pass through untouched
+    assert(stem("by") == "by" && stem("café") == "café")
+  }
+
+  test("englishTokens/englishTerms: stop words, possessives, stems — " +
+      "'filtering systems' meets 'filter system'") {
+    val docToks = one("The customer's filtering systems are fast")
+      .select(TextFunctions.englishTokens($"text"))
+      .as[Seq[String]].head()
+    assert(docToks == Seq("custom", "filter", "system", "fast"))
+    // driver-side twin produces identical analysis of the query string
+    assert(TextFunctions.englishTerms("filter system") ==
+      Seq("filter", "system"))
+    assert(TextFunctions.englishTerms("The customer's filtering systems" +
+      " are fast") == Seq("custom", "filter", "system", "fast"))
+  }
+
   test("bpe-ish splits punctuation and digits") {
     assert(one("it's 42km!").select(TextFunctions.bpeishTokenCount($"text"))
       .as[Int].head() == 6) // it ' s 42 km !

@@ -2513,6 +2513,36 @@ class SearchStagesSpec extends graft.SparkSpec {
     assert(out.select("id").as[Long].collect().toSet == Set(1L, 2L))
   }
 
+  test("$search lucene.english: stemmed text and phrase matching") {
+    val docs = Seq(
+      (1L, "The filtering systems are fast"),
+      (2L, "a filter system"),
+      (3L, "filtration plant"), // filtration stems to filtrat, NOT filter
+      (4L, "nothing relevant"))
+      .toDF("id", "txt")
+    // text: query "filter system" must match the INFLECTED doc 1 and the
+    // base-form doc 2, not the different-stem doc 3
+    val text = PipelineCompiler.compile(Seq(
+      Map("$search" -> Map(
+        "analyzer" -> "lucene.english",
+        "text" -> Map("query" -> "filter system", "path" -> "txt"))),
+      Map("$project" -> Map("id" -> 1))))(docs)
+    assert(text.select("id").as[Long].collect().toSet == Set(1L, 2L))
+    // phrase: stop words are removed on BOTH sides before adjacency, so
+    // "filtering systems" is a phrase match for "filter system" in doc 1
+    val phrase = PipelineCompiler.compile(Seq(
+      Map("$search" -> Map(
+        "analyzer" -> "lucene.english",
+        "phrase" -> Map("query" -> "filter system", "path" -> "txt"))),
+      Map("$project" -> Map("id" -> 1))))(docs)
+    assert(phrase.select("id").as[Long].collect().toSet == Set(1L, 2L))
+    // unknown analyzers still reject loudly
+    val e = intercept[IllegalArgumentException](PipelineCompiler.compile(Seq(
+      Map("$search" -> Map("analyzer" -> "lucene.french",
+        "text" -> Map("query" -> "x", "path" -> "txt")))))(docs))
+    assert(e.getMessage.contains("unsupported"))
+  }
+
   test("$search compound: must/mustNot/filter/should + score sum") {
     val docs = Seq(
       (1L, "spark rdd engine"), (2L, "spark sql engine"),
