@@ -901,6 +901,18 @@ object SparkEntry {
     // term a PREFIX of document tokens (edgeGram reading) — "sequential"
     // requires the prefixed tokens adjacent and in order; compared
     // against the "any" form on count via the oracle
+    // Atlas autocomplete fuzzy: "strae" — one edit off the "strea"
+    // prefix — still completes to stream/streaming; prefixLength 2 pins
+    // the first two characters exact. Some prefix of the token within
+    // maxEdits gram lengths must be within edit distance 1 of the term.
+    "q188_autocomplete_fuzzy" -> ((s, dir) =>
+      coll(s, dir, "documents").pipe(Seq(
+        Map("$search" -> Map("autocomplete" ->
+          Map("query" -> "strae", "path" -> "text",
+            "fuzzy" -> Map("maxEdits" -> 1, "prefixLength" -> 2)))),
+        Map("$project" -> Map("doc_id" -> 1))))
+        .orderBy("doc_id")),
+
     "q185_autocomplete_seq" -> ((s, dir) =>
       coll(s, dir, "documents").pipe(Seq(
         Map("$search" -> Map("autocomplete" ->
@@ -4202,6 +4214,21 @@ object SparkEntry {
         |  leg_desc,
         |  CAST(CAST(lv AS DECIMAL(18,9)) AS DOUBLE) AS leg_value
         |FROM legs ORDER BY doc_id, leg_desc""".stripMargin,
+
+    // same predicate in DuckDB terms: token starts with the pinned 'st'
+    // and one of its prefixes of length 4/5/6 (term length 5 ± 1) is
+    // within levenshtein distance 1 of 'strae'
+    "q188_autocomplete_fuzzy" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents)
+        |SELECT doc_id FROM tk
+        |WHERE len(list_filter(t, x -> x[1:2] = 'st'
+        |  AND (levenshtein(x[1:4], 'strae') <= 1
+        |    OR levenshtein(x[1:5], 'strae') <= 1
+        |    OR levenshtein(x[1:6], 'strae') <= 1))) > 0
+        |ORDER BY doc_id""".stripMargin,
 
     "q185_autocomplete_seq" ->
       """WITH tk AS (

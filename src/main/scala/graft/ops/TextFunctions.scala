@@ -114,16 +114,47 @@ object TextFunctions {
     * PREFIX of consecutive document tokens — the edgeGram reading, where
     * a query token matches a doc token it prefixes. Token array is
     * let-bound once per row (see [[phraseOccurrences]]). */
-  def prefixPhraseHit(toks: Column, terms: Seq[String]): Column = {
+  def prefixPhraseHit(toks: Column, terms: Seq[String]): Column =
+    prefixPhraseHitWith(toks, terms, (x, t) => x.startsWith(lit(t)))
+
+  /** [[prefixPhraseHit]] with a pluggable per-(token, term) predicate —
+    * the fuzzy autocomplete path swaps the exact `startsWith` for
+    * [[fuzzyPrefixHit]] while keeping the same adjacency scan. */
+  def prefixPhraseHitWith(toks: Column, terms: Seq[String],
+      hit: (Column, String) => Column): Column = {
     require(terms.nonEmpty, "prefixPhraseHit: no terms")
     val m = terms.length
     element_at(transform(array(toks), tk => {
       val n = size(tk)
       when(n >= m, exists(sequence(lit(1), greatest(lit(1), n - (m - 1))),
         i => (n - i >= m - 1) && terms.zipWithIndex.map { case (t, k) =>
-          element_at(tk, i + k).startsWith(lit(t))
+          hit(element_at(tk, i + k), t)
         }.reduce(_ && _))).otherwise(lit(false))
     }), 1)
+  }
+
+  /** Atlas autocomplete `fuzzy`: a document token hits a query term when
+    * some PREFIX of the token — the edgeGram a Lucene autocomplete index
+    * would hold; any gram length within `maxEdits` of the term's length
+    * can be within distance — is within `maxEdits` edit distance of the
+    * term, with the first `prefixLength` characters pinned exact
+    * (FuzzyQuery's prefix pin). Scan-fused scalar algebra: at most
+    * 2·maxEdits+1 thresholded `levenshtein` calls per (token, term)
+    * pair, each early-exiting at maxEdits — no term-expansion join. */
+  def fuzzyPrefixHit(x: Column, term: String, maxEdits: Int,
+      prefixLength: Int = 0): Column = {
+    val lens = ((term.length - maxEdits) to (term.length + maxEdits))
+      .filter(_ >= math.max(1, prefixLength))
+    require(lens.nonEmpty,
+      s"fuzzyPrefixHit: prefixLength $prefixLength exceeds every " +
+        s"candidate gram length for term '$term' (maxEdits $maxEdits)")
+    val nearPrefix = lens.map(l =>
+      levenshtein(substring(x, 1, l), lit(term), maxEdits) =!= -1)
+      .reduce(_ || _)
+    if (prefixLength > 0)
+      substring(x, 1, prefixLength) === lit(term.take(prefixLength)) &&
+        nearPrefix
+    else nearPrefix
   }
 
   def tokenCount(text: Column): Column = size(tokens(text))

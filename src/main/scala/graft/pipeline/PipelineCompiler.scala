@@ -1074,15 +1074,31 @@ object PipelineCompiler {
               // tokenOrder "any" (default) anywhere, "sequential"
               // adjacent and in order. Under lucene.standard the query
               // folds to lowercase like the indexed tokens do. `fuzzy`
-              // is rejected loudly (edit distance over edgeGram prefixes
-              // has no exact columnar reading; text.fuzzy covers the
-              // typo-tolerance case).
+              // matches the way a FuzzyQuery over the edgeGram index
+              // does: some token prefix within maxEdits edit distance of
+              // the term (thresholded levenshtein over the 2·maxEdits+1
+              // candidate gram lengths — scan-fused, no expansion join).
+              // maxExpansions is Lucene's expansion-COUNT performance
+              // cap; the columnar reading evaluates the predicate
+              // directly with nothing to enumerate, so it is accepted
+              // and ignored (a superset of any capped expansion).
               val os = doc(osRaw)
               val (_, queryStr) = pathQuery(op, os)
               require(queryStr.nonEmpty, s"$name.autocomplete: empty query")
-              require(!os.contains("fuzzy"),
-                s"$name.autocomplete.fuzzy: not supported — use the " +
-                  "text operator's fuzzy option for typo tolerance")
+              val fuzzy: Option[(Int, Int)] = os.get("fuzzy").map { f =>
+                val fm = f match {
+                  case m: Map[_, _] => doc(m)
+                  case _ => Map.empty[String, Any]
+                }
+                val me = fm.get("maxEdits").map(int).getOrElse(2)
+                require(me == 1 || me == 2,
+                  s"$name.autocomplete.fuzzy.maxEdits: $me " +
+                    "(Atlas allows 1 or 2)")
+                val pl = fm.get("prefixLength").map(int).getOrElse(0)
+                require(pl >= 0,
+                  s"$name.autocomplete.fuzzy.prefixLength: $pl")
+                (me, pl)
+              }
               val tokenOrder = os.get("tokenOrder").map(_.toString)
                 .getOrElse("any")
               require(Set("any", "sequential")(tokenOrder),
@@ -1090,11 +1106,16 @@ object PipelineCompiler {
                   "(any/sequential)")
               val terms = queryTerms(op, os, queryStr)
               val toks = docToks(op, os)
+              val hit: (Column, String) => Column = fuzzy match {
+                case Some((me, pl)) => (x, t) =>
+                  graft.ops.TextFunctions.fuzzyPrefixHit(x, t, me, pl)
+                case None => (x, t) => x.startsWith(lit(t))
+              }
               val pred =
                 if (terms.size > 1 && tokenOrder == "sequential")
-                  graft.ops.TextFunctions.prefixPhraseHit(toks, terms)
-                else terms.map(t =>
-                  exists(toks, x => x.startsWith(lit(t))))
+                  graft.ops.TextFunctions.prefixPhraseHitWith(
+                    toks, terms, hit)
+                else terms.map(t => exists(toks, x => hit(x, t)))
                   .reduce(_ && _)
               (pred, lit(1.0), Nil)
             // constant-scored structured operators (the usual compound

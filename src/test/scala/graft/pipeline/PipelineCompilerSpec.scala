@@ -2513,6 +2513,44 @@ class SearchStagesSpec extends graft.SparkSpec {
     assert(out.select("id").as[Long].collect().toSet == Set(1L, 2L))
   }
 
+  test("$search autocomplete fuzzy: typo-tolerant prefix completion") {
+    val docs = Seq(
+      (1L, "stream processing"), (2L, "strong types"),
+      (3L, "filter pipeline"), (4L, "streaming joins"))
+      .toDF("id", "txt")
+    // "strae" is one edit from the "strea"/"stre" prefixes of
+    // stream/streaming but ≥2 from every prefix of "strong"
+    val any = PipelineCompiler.compile(Seq(
+      Map("$search" -> Map("autocomplete" -> Map(
+        "query" -> "strae", "path" -> "txt",
+        "fuzzy" -> Map("maxEdits" -> 1)))),
+      Map("$project" -> Map("id" -> 1))))(docs)
+    assert(any.select("id").as[Long].collect().toSet == Set(1L, 4L))
+    // prefixLength pins leading characters exact: "stra" ≠ "stre" kills
+    // the match entirely
+    val pinned = PipelineCompiler.compile(Seq(
+      Map("$search" -> Map("autocomplete" -> Map(
+        "query" -> "strae", "path" -> "txt",
+        "fuzzy" -> Map("maxEdits" -> 1, "prefixLength" -> 4)))),
+      Map("$project" -> Map("id" -> 1))))(docs)
+    assert(pinned.count() == 0L)
+    // fuzzy composes with tokenOrder sequential: the adjacent-token scan
+    // runs with the fuzzy per-token predicate
+    val seq = PipelineCompiler.compile(Seq(
+      Map("$search" -> Map("autocomplete" -> Map(
+        "query" -> "strae proc", "path" -> "txt",
+        "tokenOrder" -> "sequential",
+        "fuzzy" -> Map("maxEdits" -> 1)))),
+      Map("$project" -> Map("id" -> 1))))(docs)
+    assert(seq.select("id").as[Long].collect().toSet == Set(1L))
+    // out-of-range maxEdits still rejects loudly
+    val e = intercept[IllegalArgumentException](PipelineCompiler.compile(Seq(
+      Map("$search" -> Map("autocomplete" -> Map(
+        "query" -> "x", "path" -> "txt",
+        "fuzzy" -> Map("maxEdits" -> 3))))))(docs))
+    assert(e.getMessage.contains("maxEdits"))
+  }
+
   test("$search lucene.english: stemmed text and phrase matching") {
     val docs = Seq(
       (1L, "The filtering systems are fast"),
