@@ -855,6 +855,18 @@ object SparkEntry {
         .sort("source", "-doc_id")
         .select("doc_id", "lang", "source").toDF),
 
+    // collation numericOrdering: digit runs compare as numbers, so
+    // src2 sorts before src10 (binary order would interleave src1,
+    // src10..src19, src2); composed with strength 2 the lang filter
+    // stays case-insensitive
+    "q189_collation_numeric" -> ((s, dir) =>
+      coll(s, dir, "documents")
+        .find(Map("lang" -> Map("$in" -> Seq("EN", "FR"))))
+        .collation(Map("locale" -> "en", "strength" -> 2,
+          "numericOrdering" -> true))
+        .sort("source", "doc_id")
+        .select("doc_id", "source").toDF),
+
     // Atlas lucene.english analyzer: possessive strip + stop-word
     // removal + Porter stemming on BOTH sides — the query's inflected
     // terms ("filtering queries") reduce to the same index terms as the
@@ -4160,6 +4172,16 @@ object SparkEntry {
       """SELECT doc_id, lang, source FROM documents
         |WHERE lower(lang) IN ('en', 'fr')
         |ORDER BY lower(source), doc_id DESC""".stripMargin,
+
+    // numeric collation order on this corpus = (non-digit part, numeric
+    // value of the digit run): every source is 'src' + digits
+    "q189_collation_numeric" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE lower(lang) IN ('en', 'fr')
+        |ORDER BY regexp_replace(source, '[0-9]+', '', 'g'),
+        |  CAST(coalesce(nullif(regexp_extract(source, '[0-9]+'), ''),
+        |    '0') AS BIGINT),
+        |  doc_id""".stripMargin,
 
     // the corpus vocabulary is 31 fixed base-form words, so the Porter
     // stem-equivalence the engine computes reduces, ON THIS CORPUS, to

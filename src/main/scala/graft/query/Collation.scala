@@ -24,16 +24,31 @@ import org.apache.spark.sql.functions._
   */
 object Collation {
 
-  final case class Spec(locale: String, strength: Int) {
-    /** Collation key for a string column under this spec. */
-    def key(c: Column): Column =
-      if (strength == 1) stripDiacritics(lower(c)) else lower(c)
+  final case class Spec(locale: String, strength: Int,
+      numericOrdering: Boolean = false) {
+    /** Collation key for a string column under this spec. Strength 3 is
+      * the binary comparison (only reachable with numericOrdering, which
+      * rewrites digit runs into length-prefixed form so the binary
+      * comparison of the KEY is numeric — see
+      * [[graft.functions.NumericKey]]). */
+    def key(c: Column): Column = {
+      val base =
+        if (strength == 1) stripDiacritics(lower(c))
+        else if (strength == 2) lower(c)
+        else c
+      if (numericOrdering)
+        graft.functions.CollationFunctions.numeric_sort_key(base)
+      else base
+    }
     /** Driver-side twin of [[key]] for literal query values. */
     def fold(s: String): String = {
-      val low = s.toLowerCase(java.util.Locale.ROOT)
-      if (strength == 1) low.map(ch => {
+      val low =
+        if (strength == 3) s else s.toLowerCase(java.util.Locale.ROOT)
+      val folded = if (strength == 1) low.map(ch => {
         val i = Accented.indexOf(ch); if (i >= 0) Plain(i) else ch
       }) else low
+      if (numericOrdering) graft.functions.NumericKey.key(folded)
+      else folded
     }
   }
 
@@ -75,14 +90,27 @@ object Collation {
       case other => throw new IllegalArgumentException(
         s"collation.strength: $other")
     }.getOrElse(3)
-    require(strength == 1 || strength == 2,
+    val numericOrdering = doc.get("numericOrdering") match {
+      case Some(b: Boolean) => b
+      case Some(other) => throw new IllegalArgumentException(
+        s"collation.numericOrdering: $other (true/false)")
+      case None => false
+    }
+    // strength 3 is the engine's default binary comparison — on its own
+    // the collation would be a no-op, so it stays rejected unless
+    // numericOrdering gives the spec something to do
+    require(strength == 1 || strength == 2 ||
+        (strength == 3 && numericOrdering),
       s"collation: strength $strength unsupported — 1 (case+diacritic " +
         "insensitive) and 2 (case-insensitive) are mapped; strength 3+ " +
         "is the default binary comparison, omit the collation instead")
-    val known = Set("locale", "strength")
+    val known = Set("locale", "strength", "numericOrdering")
     val extra = doc.keySet -- known
     require(extra.isEmpty,
-      s"collation: unsupported options ${extra.toSeq.sorted.mkString(", ")}")
-    Spec(locale, strength)
+      s"collation: unsupported options " +
+        s"${extra.toSeq.sorted.mkString(", ")} (caseLevel and " +
+        "alternate have no faithful mapping here and would return " +
+        "wrong rows silently)")
+    Spec(locale, strength, numericOrdering)
   }
 }

@@ -76,6 +76,49 @@ class CollationSpec extends SparkSpec {
     assert(s1 == Seq(3L, 2L, 1L))
   }
 
+  test("numericOrdering: digit runs compare as numbers") {
+    import graft.functions.NumericKey
+    // key algebra: lexicographic order of keys IS numeric order of runs
+    assert(NumericKey.key("abc") == "abc") // no digits: untouched
+    assert(NumericKey.key("item2") < NumericKey.key("item10"))
+    assert(NumericKey.key("item10") < NumericKey.key("itemx"))
+    assert(NumericKey.key("007") == NumericKey.key("7")) // zeros strip
+    assert(NumericKey.key("a1b22c") < NumericKey.key("a1b100c"))
+    // parse: numericOrdering rides any strength; bare strength 3 gains
+    // a purpose with it (and still rejects without)
+    assert(Collation.parse(Map("locale" -> "en",
+      "numericOrdering" -> true)) == Collation.Spec("en", 3, true))
+    assert(Collation.parse(Map("locale" -> "en", "strength" -> 2,
+      "numericOrdering" -> true)) == Collation.Spec("en", 2, true))
+    val e = intercept[IllegalArgumentException](
+      Collation.parse(Map("locale" -> "en", "strength" -> 3)))
+    assert(e.getMessage.contains("strength"))
+
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-collation3").toString
+    Seq((1L, "item2"), (2L, "item10"), (3L, "item1"), (4L, "item007"),
+      (5L, "item7"), (6L, "itemx"))
+      .toDF("_id", "name").write.parquet(s"$dir/items.parquet")
+    val c = new graft.db.GraftSession(spark, dir).db("testdb").c("items")
+    val sorted = c.find(Map.empty[String, Any])
+      .collation(Map("locale" -> "en", "numericOrdering" -> true))
+      .sort("name", "_id").toDF.select("_id").as[Long].collect().toSeq
+    // item1 < item2 < item007 = item7 (_id breaks the tie) < item10 <
+    // itemx (digits before letters)
+    assert(sorted == Seq(3L, 1L, 4L, 5L, 2L, 6L))
+    // equality folds through the same key: 07 matches 007 and 7
+    val eq = c.find(Map("name" -> "item07"))
+      .collation(Map("locale" -> "en", "numericOrdering" -> true))
+      .toDF.select("_id").as[Long].collect().toSet
+    assert(eq == Set(4L, 5L))
+    // composes with strength-2 case folding
+    val cased = c.find(Map("name" -> "ITEM2"))
+      .collation(Map("locale" -> "en", "strength" -> 2,
+        "numericOrdering" -> true))
+      .toDF.select("_id").as[Long].collect().toSet
+    assert(cased == Set(1L))
+  }
+
   test("collation folds STRING columns only (schema-gated, Mongo rule)") {
     // {numCol: {$in: [5, "x"]}} under a collation must compare numCol
     // binary — collation applies to string-to-string comparisons only.
