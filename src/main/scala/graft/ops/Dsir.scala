@@ -19,12 +19,13 @@ import org.apache.spark.sql.functions._
   *
   * Shape at 100 TB: each model fit is one explode + one hash aggregation
   * collapsing to ≤ `buckets` rows (default 10⁴ — kilobytes). The
-  * log-ratio table joins the two model tables (bucket-keyed, tiny) and is
-  * BROADCAST to the scoring pass, so scoring is one corpus scan: explode
-  * n-grams → broadcast-join the ratio row → one hash aggregation keyed by
-  * doc id. The only corpus-sized shuffle is that final per-doc sum;
-  * selection is a TakeOrderedAndProject (per-partition top-k, k rows to
-  * the driver side of the sort — never the corpus).
+  * log-ratio table joins the two model tables (bucket-keyed, tiny),
+  * is collected once (bounded driver state, like the k-means centroid
+  * fold), and scoring folds it into the corpus scan as an array
+  * literal: per document one `aggregate` over its n-grams — no explode,
+  * no join, no shuffle at all in the scoring pass. Selection is a
+  * TakeOrderedAndProject (per-partition top-k, k rows to the driver
+  * side of the sort — never the corpus).
   *
   * Everything is deterministic: the n-gram hash is the md5-derived
   * [[TextFunctions.hash60]] (DuckDB oracles reproduce it) and the Gumbel
@@ -85,9 +86,18 @@ object Dsir {
 
   /** Per-document DSIR log importance weight: the corpus with a
     * `log_weight` column. `ratios` is the ≤`buckets`-row output of
-    * [[logRatios]] — broadcast, so the doc-id aggregation is the only
-    * corpus shuffle. Documents with no features (empty text) weigh 0 —
-    * the empty-product likelihood ratio — and are kept, left join.
+    * [[logRatios]] — BOUNDED driver state (10⁴ rows ≈ 80 KB at the
+    * default), the same class as the k-means centroid fold: it is
+    * collected once and folded into a single array LITERAL indexed by
+    * bucket, so scoring is pure scan algebra — per document one
+    * `aggregate` over its n-grams summing `ratio[h(g) mod buckets]`.
+    * No explode, no join, no per-doc shuffle: the earlier
+    * explode → broadcast-join → groupBy(id) form materialized one row
+    * per n-gram OCCURRENCE (the whole corpus × ~2·tokens) through a
+    * join probe and a hash aggregation, and at 100× that constant
+    * factor made q150 the heaviest absolute query in the suite.
+    * Documents with no features (empty/null text) weigh 0 — the
+    * empty-product likelihood ratio.
     *
     * The per-doc sum quantizes each log-ratio to 1e-9 and adds LONGS
     * (the repo's "cents" pattern): float addition is order-dependent,
@@ -97,17 +107,22 @@ object Dsir {
     * (|lr| ≲ 50 → 5·10¹⁰ per n-gram; ~10⁶ n-grams → 5·10¹⁶ ≪ 2⁶³). */
   def logWeights(corpus: DataFrame, idCol: String, textCol: String,
       ratios: DataFrame, buckets: Int): DataFrame = {
-    val perDoc = corpus
-      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
-      .select(col(idCol), explode(ngrams(col("__toks"))).as("__g"))
-      .select(col(idCol),
-        (TextFunctions.hash60(col("__g")) % buckets).as("bucket"))
-      .join(broadcast(ratios), Seq("bucket"))
-      .groupBy(idCol)
-      .agg((sum(floor(col("log_ratio") * 1e9 + 0.5).cast("long")) /
-        1e9).as("log_weight"))
-    corpus.join(perDoc, Seq(idCol), "left")
-      .withColumn("log_weight", coalesce(col("log_weight"), lit(0.0)))
+    val lr = new Array[Long](buckets)
+    ratios.select(col("bucket"),
+      floor(col("log_ratio") * 1e9 + 0.5).cast("long").as("q"))
+      .collect().foreach(r => lr(r.getLong(0).toInt) = r.getLong(1))
+    val lrLit = lit(lr)
+    // the scan-fused path removed the incidental Exchanges that used to
+    // re-parallelize a single-split scan — pin parallelism first
+    Partitioning.ensureMinPartitions(corpus)
+      .withColumn("__toks", TextFunctions.tokens(col(textCol)))
+      .withColumn("log_weight", coalesce(
+        aggregate(ngrams(col("__toks")), lit(0L), (acc, g) =>
+          acc + element_at(lrLit,
+            (TextFunctions.hash60(g) % buckets).cast("int") + 1))
+          / 1e9,
+        lit(0.0)))
+      .drop("__toks")
   }
 
   /** Select `k` documents from `raw` that look like `target`: fit both

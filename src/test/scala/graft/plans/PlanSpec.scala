@@ -323,15 +323,16 @@ class PlanSpec extends SparkSpec {
     assert(explain(df).contains("TakeOrderedAndProject"))
   }
 
-  test("dsir: broadcast ratio join, top-k selection never sorts the corpus") {
+  test("dsir: scan-fused scoring — no join at all, top-k never sorts " +
+      "the corpus") {
     val docs = graft.sources.Tables.table(spark, sf, "documents")
     val df = graft.ops.Dsir.select(docs, "doc_id", "text",
       docs.where(col("source") === "src0"), k = 10, buckets = 256)
     val plan = explain(df)
-    // the ≤buckets-row log-ratio table joins the exploded corpus via
-    // broadcast (the corpus-sized side never shuffles for the join),
-    // and selection is per-partition top-k
-    assert(plan.contains("BroadcastHashJoin"))
+    // the ≤buckets-row log-ratio table folds into the scan as an array
+    // literal, so the scoring plan has NO join operator of any kind —
+    // one scan, one per-partition top-k
+    assert(!plan.contains("Join"))
     assert(plan.contains("TakeOrderedAndProject"))
     assert(!plan.contains("CartesianProduct"))
   }
