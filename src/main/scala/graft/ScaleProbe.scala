@@ -6,11 +6,15 @@ import org.apache.spark.sql.SparkSession
   * times each op at a given data dir so runs one decade apart yield
   * measured scaling exponents (SCALE.md "Measured").
   *
-  * Usage: runMain graft.ScaleProbe <dir> <op> <reps> [cap]
+  * Usage: runMain graft.ScaleProbe <dir> <op> <reps> [cap] [thr]
   *  ops: jaccard (cap = maxShingleFreq) | clusters | split | sdedup |
   *  ema (dir unused) | bucketauto (stage breakdown) |
-  *  embed (cap = blockPlanes, 0 = adaptive default) |
-  *  semdedupk (cap = k, 0 = adaptive default) |
+  *  embed (cap = blockPlanes, 0 = adaptive default; thr = cosine
+  *  threshold, default 0.3 — use ≥0.85 on bounded-mode ScaleUp corpora,
+  *  where only engineered sibling pairs sit above it: the base synthetic
+  *  vectors put ~0.8% of RANDOM pairs above 0.3 at dim 64, so pair
+  *  volume at low thresholds is quadratic in any corpus) |
+  *  semdedupk (cap = k, 0 = adaptive default; thr = eps) |
   *  pairs (near-dup pair-volume control)
   */
 object ScaleProbe {
@@ -19,6 +23,7 @@ object ScaleProbe {
     val op = args(1)
     val reps = if (args.length > 2) args(2).toInt else 3
     val cap = if (args.length > 3) args(3).toLong else -1L
+    val thr = if (args.length > 4) args(4).toDouble else 0.3
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -103,7 +108,7 @@ object ScaleProbe {
           val planes = if (cap > 0) cap.toInt else 0
           Dedup.embeddingNearDup(
             spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id",
-            "embedding", threshold = 0.3, blockPlanes = planes, dim = 64)
+            "embedding", threshold = thr, blockPlanes = planes, dim = 64)
             .count()
         case "semdedupk" =>
           // SemDeDup with SCALED blocking: k-means cells sized by the
@@ -114,8 +119,55 @@ object ScaleProbe {
           // measured here so SCALE.md carries its exponent.
           Dedup.semDeDupKMeans(
             spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id",
-            "embedding", eps = 0.3, k = if (cap > 0) cap.toInt else 0,
+            "embedding", eps = thr, k = if (cap > 0) cap.toInt else 0,
             iters = 3).count()
+        case "saltgroup" =>
+          // skew parity harness for the salted $group (dir unused):
+          // 16M rows, 90% on ONE key, $sum. cap: -1 = unsalted, 0 =
+          // auto, n>1 = hand-tuned n. thr = 0 disables AQE for the run.
+          if (thr == 0) spark.conf.set("spark.sql.adaptive.enabled", "false")
+          if (cap == 0L) spark.conf.set("spark.graft.skewSalt", "auto")
+          else if (cap > 1L)
+            spark.conf.set("spark.graft.skewSalt", cap.toString)
+          else spark.conf.unset("spark.graft.skewSalt")
+          val rows = spark.range(16000000L).selectExpr(
+            "CASE WHEN id % 10 < 9 THEN 'hot' " +
+              "ELSE concat('k', id % 100000) END AS k",
+            "id AS v")
+          val ng = graft.pipeline.PipelineCompiler.compile(Seq(
+            Map("$group" -> (Map("_id" -> "$k",
+              "s" -> Map("$sum" -> "$v")): Map[String, Any]))))(rows)
+            .count()
+          spark.conf.unset("spark.graft.skewSalt")
+          spark.conf.set("spark.sql.adaptive.enabled", "true")
+          ng
+        case "saltlookup" =>
+          // skew parity harness for spark.graft.skewSalt (dir unused):
+          // 40M outer rows, 90% on ONE key, against a right side too wide
+          // to broadcast — the hot key lands every matching outer row on
+          // one join task unless salted. cap: -1 = unsalted, 0 = auto
+          // (sketch-sized), n>1 = hand-tuned n.
+          if (thr == 0) spark.conf.set("spark.sql.adaptive.enabled", "false")
+          if (cap == 0L) spark.conf.set("spark.graft.skewSalt", "auto")
+          else if (cap > 1L)
+            spark.conf.set("spark.graft.skewSalt", cap.toString)
+          else spark.conf.unset("spark.graft.skewSalt")
+          import org.apache.spark.sql.functions._
+          val outer = spark.range(40000000L).selectExpr("id AS _id",
+            "CASE WHEN id % 10 < 9 THEN 'hot' " +
+              "ELSE concat('k', id % 100000) END AS k")
+          val items = spark.range(100000L)
+            .selectExpr(
+              "CASE WHEN id = 0 THEN 'hot' ELSE concat('k', id) END AS k",
+              "repeat(concat('p', CAST(id AS STRING), '-'), 40) AS pay")
+          val n2 = graft.pipeline.PipelineCompiler.compile(Seq(
+            Map("$lookup" -> (Map("from" -> "items",
+              "localField" -> "k", "foreignField" -> "k",
+              "as" -> "xs"): Map[String, Any]))), _ => items)(outer)
+            .selectExpr("sum(size(xs))").head.getLong(0)
+          spark.conf.unset("spark.graft.skewSalt")
+          spark.conf.set("spark.sql.adaptive.enabled", "true")
+          n2
         case "pairs" =>
           // candidate/true-pair VOLUME evidence for the scaling analysis:
           // the LSH pair count is the output's intrinsic size — when the

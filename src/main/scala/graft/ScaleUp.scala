@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale-rehearsal generator for the FULL table set: replicates the
@@ -16,15 +16,41 @@ import org.apache.spark.sql.functions._
   * genuinely larger corpus, not `factor` identical replicas that would
   * measure a duplicate-regime artifact instead of scaling.
   *
+  * Two duplicate-structure modes (4th arg):
+  *   - `replica` (default, the round-7/8 corpus): every copy is a light
+  *     (~10%) mutation of the SAME base document, so each doc gains
+  *     ~`factor` near-identical siblings — duplicate-GROUP size grows
+  *     with the factor and true near-dup pair volume grows
+  *     QUADRATICALLY per decade (measured ×157/×94 — SCALE.md). Good
+  *     for stressing output-volume handling; it masks plan scaling for
+  *     the whole dedup family.
+  *   - `bounded`: copies are organized into BLOCKS of `DupGroup` (4)
+  *     consecutive copy indices. Within a block, copies are light
+  *     (~10%) mutations of a shared block base; the block base itself
+  *     is a heavy (~60%) mutation of the original (fresh uniform
+  *     vectors for embeddings), so blocks are NOT near-dups of each
+  *     other or of the original. Duplicate-group sizes stay ≤ 4 at any
+  *     factor — the way real corpora grow (constant duplicate rate) —
+  *     so pair volume grows LINEARLY and rehearsal exponents measure
+  *     the PLAN, not the output size.
+  *
   * Everything runs in-plan (no driver materialization): each copy is a
   * projection over the source scan, unioned and written once.
   *
-  * Usage: runMain graft.ScaleUp <srcDir> <outDir> <factor>
+  * Usage: runMain graft.ScaleUp <srcDir> <outDir> <factor> [replica|bounded]
   */
 object ScaleUp {
+
+  /** Bounded-mode duplicate-group size: copies k with the same k/DupGroup
+    * are near-dup siblings; different blocks are unrelated text. */
+  val DupGroup = 4
+
   def main(args: Array[String]): Unit = {
     val Array(srcDir, outDir, factorS) = args.take(3)
     val factor = factorS.toInt
+    val dupMode = if (args.length > 3) args(3) else "replica"
+    require(Set("replica", "bounded")(dupMode),
+      s"dupMode: $dupMode (replica/bounded)")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -109,7 +135,8 @@ object ScaleUp {
       array(words.map(lit(_)).toIndexedSeq: _*)
     }
     writeCopies("documents", documents, (df, k) =>
-      if (k == 0) df else df
+      if (k == 0) df
+      else if (dupMode == "replica") df
         .withColumn("doc_id", col("doc_id") + k * docS)
         .withColumn("text", array_join(transform(
           split(col("text"), " "),
@@ -117,21 +144,67 @@ object ScaleUp {
             element_at(vocabArr,
               pmod(hash(col("doc_id"), i, lit(k), lit(7)),
                 size(vocabArr)) + 1)).otherwise(w)), " "))
-        .withColumn("n_chars", length(col("text")).cast("long")))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+      else {
+        // bounded: block-level heavy mutation (seeded by the BASE id and
+        // the block index g, so every copy in a block shares one block
+        // base) + light per-copy mutation on top. Block g=0 keeps the
+        // original as its base, so copy 0 stays pristine.
+        val g = k / DupGroup
+        val vocabPick = (seed: Column) =>
+          element_at(vocabArr, pmod(seed, size(vocabArr)) + 1)
+        df.withColumn("__base", col("doc_id"))
+          .withColumn("doc_id", col("doc_id") + k * docS)
+          .withColumn("text", array_join(transform(
+            split(col("text"), " "),
+            (w, i) => {
+              val light = pmod(hash(col("__base"), i, lit(k), lit(17)),
+                lit(10)) === 0
+              val heavy = lit(g) > 0 &&
+                pmod(hash(col("__base"), i, lit(g), lit(11)),
+                  lit(10)) < 6
+              when(light,
+                vocabPick(hash(col("__base"), i, lit(k), lit(19))))
+                .when(heavy,
+                  vocabPick(hash(col("__base"), i, lit(g), lit(13))))
+                .otherwise(w)
+            }), " "))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+          .drop("__base")
+      })
 
     // embeddings: shift vec_id; deterministic per-copy component jitter so
     // vectors are near but not identical across copies (ANN sees a denser
     // space, not factor-fold exact ties)
     writeCopies("embeddings", src("embeddings"), (df, k) => {
       val vecS = 100000L
-      if (k == 0) df else df
+      if (k == 0) df
+      else if (dupMode == "replica") df
         .withColumn("vec_id", col("vec_id") + k * vecS)
         .withColumn("embedding", transform(col("embedding"),
           (x, i) => (x + (pmod(hash(col("vec_id"), i, lit(k)), lit(1000))
             .cast("float") - 500f) / 500000f)))
+      else {
+        // bounded: blocks beyond g=0 get FRESH hash-uniform vectors as
+        // the block base (cosine ≈ 0 to everything at high thresholds),
+        // then the same small per-copy jitter — within-block cosine ≈ 1,
+        // group size ≤ DupGroup at any factor
+        val g = k / DupGroup
+        val d0 = df.withColumn("__base", col("vec_id"))
+          .withColumn("vec_id", col("vec_id") + k * vecS)
+        val blockBase =
+          if (g == 0) d0
+          else d0.withColumn("embedding", transform(col("embedding"),
+            (x, i) => (pmod(hash(col("__base"), i, lit(g)), lit(2000001))
+              .cast("float") - 1000000f) / 1000000f))
+        blockBase.withColumn("embedding", transform(col("embedding"),
+          (x, i) => x + (pmod(hash(col("__base"), i, lit(k), lit(23)),
+            lit(1000)).cast("float") - 500f) / 500000f))
+          .drop("__base")
+      }
     })
 
-    println(s"[scaleup] done: $outDir at ${factor}x $srcDir")
+    println(s"[scaleup] done: $outDir at ${factor}x $srcDir ($dupMode)")
     spark.stop()
   }
 }

@@ -30,6 +30,39 @@ object Skew {
       .drop("__salt")
   }
 
+  /** Estimate the salt for a grouping/join key from a bounded
+    * key-frequency sketch (`spark.graft.skewSalt=auto`): sample up to
+    * `sampleRows` key values — a column-pruned scan under a
+    * CollectLimit, so only enough partitions to fill the sample are
+    * read — and take the hottest key's observed share p̂. At P shuffle
+    * partitions that key's reducer runs ~p̂·P times the average, so the
+    * spread needed is s ≈ ⌈p̂·P⌉. Mild imbalance (s ≤ 2) returns 0: the
+    * plain plan with map-side partial aggregation + AQE already absorbs
+    * it, and salting would pay a second shuffle stage for nothing.
+    *
+    * The sketch picks only the PLAN — the salted and plain shapes
+    * produce identical results — so its sampling bias (first partitions
+    * only) can cost a suboptimal salt, never a wrong answer. This is
+    * the pre-flight counterpart of AQE's post-hoc skew handling: AQE
+    * can split a skewed sort-merge join at runtime, but a skewed
+    * AGGREGATE key or a replicated lookup join needs its shape chosen
+    * before the shuffle exists, and a failed first attempt at 100 TB
+    * costs more than a 100k-row sketch. */
+  def autoSalt(df: DataFrame, key: Column,
+      sampleRows: Int = 100000): Int = {
+    val p = scala.util.Try(df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt).getOrElse(200)
+    val head = df.select(key.as("__k")).limit(sampleRows)
+      .groupBy("__k").agg(count(lit(1)).as("__c"))
+      .agg(max(col("__c")), sum(col("__c"))).head
+    if (head.isNullAt(1) || head.getLong(1) == 0L) 0
+    else {
+      val s = math.ceil(
+        head.getLong(0).toDouble / head.getLong(1) * p).toInt
+      if (s <= 2) 0 else math.min(s, p)
+    }
+  }
+
   /** Two-stage (partial → final) aggregation with an explicit salt on the
     * group key — for when the per-key cardinality is so skewed that even
     * map-side combine leaves one reducer hot. `aggs` must be decomposable

@@ -239,12 +239,23 @@ object PipelineCompiler {
         // through to the plain plan, where AQE + partial aggregation
         // remain the skew story.
         def saltedAgg(idCol: Column): Option[DataFrame] = {
-          val saltN = df.sparkSession.conf
-            .getOption("spark.graft.skewSalt").map(_.toInt).getOrElse(0)
           val combine = Map("$sum" -> "sum", "$count" -> "sum",
             "$min" -> "min", "$max" -> "max")
           val decomposable = aggFields.forall { case (_, accDoc) =>
             val m = doc(accDoc); m.size == 1 && combine.contains(m.head._1) }
+          // "auto" = let the engine decide. For $group the measured
+          // answer is ALWAYS the plain plan: the salted path is only
+          // eligible for decomposable accumulators, and map-side partial
+          // aggregation already collapses a hot key to one partial per
+          // map task — the 90%-hot 16M-row harness (ScaleProbe
+          // saltgroup) times 0.70 s unsalted vs 0.73 s at salt 8. The
+          // integer knob remains for explicit override.
+          val saltN = df.sparkSession.conf
+            .getOption("spark.graft.skewSalt") match {
+            case Some("auto") => 0
+            case Some(s) => s.toInt
+            case None => 0
+          }
           if (saltN <= 1 || aggFields.isEmpty || !decomposable) None
           else Some {
             val stage1 = aggFields.zipWithIndex.map { case ((_, accDoc), i) =>
@@ -2412,8 +2423,25 @@ object PipelineCompiler {
     // replicates the matching right row per bucket (Skew.saltedJoin
     // shape) — complements AQE's runtime skew splitting for the known-
     // hot-key case.
+    // "auto" = let the engine decide: with AQE skew-join on, the
+    // runtime split handles the hot key better than static salting in
+    // every measured configuration (ScaleProbe saltlookup, 40M rows 90%
+    // hot: 4.9 s unsalted+AQE vs 6.9 s hand-salt 8 vs 10.5 s
+    // always-salt-auto — replication overhead exceeds the spread gain),
+    // so auto defers. Only when AQE is disabled does the sketch
+    // (Skew.autoSalt) size a static salt — there a cluster-scale hot
+    // task has no other spread.
     val saltN = df.sparkSession.conf.getOption("spark.graft.skewSalt")
-      .map(_.toInt).getOrElse(0)
+      match {
+      case Some("auto") =>
+        val c = df.sparkSession.conf
+        val aqeSkew =
+          c.get("spark.sql.adaptive.enabled", "true").toBoolean &&
+          c.get("spark.sql.adaptive.skewJoin.enabled", "true").toBoolean
+        if (aqeSkew) 0 else graft.ops.Skew.autoSalt(df, df(local))
+      case Some(s) => s.toInt
+      case None => 0
+    }
     if (saltN > 1) {
       // Deterministic per-row salt (hash of the full payload, not
       // monotonically_increasing_id) so task retries re-salt identically.

@@ -439,6 +439,64 @@ class PlanSpec extends SparkSpec {
       assert(l.contains("explode")) // right-side replication
     } finally spark.conf.unset("spark.graft.skewSalt")
   }
+
+  test("spark.graft.skewSalt=auto: engine-first policy — group stays " +
+      "plain, lookup salts only without AQE") {
+    import spark.implicits._
+    import graft.pipeline.PipelineCompiler
+    // 90% of rows share one key: hottest-reducer imbalance ~ 0.9 * P
+    val skewed = spark.range(2000L)
+      .selectExpr("id AS _id",
+        "CASE WHEN id % 10 < 9 THEN 'hot' ELSE concat('k', id) END AS k",
+        "id AS v")
+    val uniform = spark.range(2000L)
+      .selectExpr("id AS _id", "concat('k', id % 500) AS k", "id AS v")
+    // the sketch estimator: skewed share ~0.9 at 32 partitions -> ~29;
+    // uniform share ~1/500 -> 0
+    assert(graft.ops.Skew.autoSalt(skewed, col("k")) > 2)
+    assert(graft.ops.Skew.autoSalt(uniform, col("k")) == 0)
+    val gp = Seq(Map("$group" -> (Map("_id" -> "$k",
+      "s" -> Map("$sum" -> "$v")): Map[String, Any])))
+    val items = Seq(("hot", 10L), ("k5", 30L)).toDF("k", "q")
+    val lk = Seq(Map("$lookup" -> (Map("from" -> "items",
+      "localField" -> "k", "foreignField" -> "k",
+      "as" -> "xs"): Map[String, Any])))
+    spark.conf.set("spark.graft.skewSalt", "auto")
+    try {
+      // $group: map-side partial aggregation already absorbs a hot
+      // decomposable key (measured parity — ScaleProbe saltgroup), so
+      // auto NEVER salts the aggregate
+      val g = PipelineCompiler.compile(gp)(skewed).queryExecution
+        .optimizedPlan.toString
+      assert(!g.contains("__sg0"))
+      // $lookup with AQE on: runtime skew-split beats static salting in
+      // every measured configuration (ScaleProbe saltlookup) -> plain
+      val lAqe = PipelineCompiler.compile(lk, _ => items)(skewed)
+        .queryExecution.optimizedPlan.toString
+      assert(!lAqe.contains("__sl"))
+      // $lookup with AQE off: the sketch engages — salted shape on the
+      // skewed frame, plain on the uniform one
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val lSkew = PipelineCompiler.compile(lk, _ => items)(skewed)
+        .queryExecution.optimizedPlan.toString
+      assert(lSkew.contains("__sl") && lSkew.contains("__sr"))
+      val lUni = PipelineCompiler.compile(lk, _ => items)(uniform)
+        .queryExecution.optimizedPlan.toString
+      assert(!lUni.contains("__sl"))
+      // results identical either way (the salt only reshapes the plan)
+      val got = PipelineCompiler.compile(lk, _ => items)(skewed)
+        .selectExpr("_id", "size(xs) AS n").orderBy("_id")
+        .as[(Long, Int)].collect().toSeq
+      spark.conf.unset("spark.graft.skewSalt")
+      val want = PipelineCompiler.compile(lk, _ => items)(skewed)
+        .selectExpr("_id", "size(xs) AS n").orderBy("_id")
+        .as[(Long, Int)].collect().toSeq
+      assert(got == want)
+    } finally {
+      spark.conf.unset("spark.graft.skewSalt")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
 }
 
 class FingerprintSpec extends SparkSpec {
