@@ -149,7 +149,16 @@ object ScaleUp {
         // bounded: block-level heavy mutation (seeded by the BASE id and
         // the block index g, so every copy in a block shares one block
         // base) + light per-copy mutation on top. Block g=0 keeps the
-        // original as its base, so copy 0 stays pristine.
+        // original as its base, so copy 0 stays pristine. Heavy
+        // replacements carry a per-generation suffix pool — FRESH
+        // vocabulary, the Heaps'-law behavior of real text — so the
+        // shingle space grows with the corpus and blocks share almost
+        // no shingles: without this, the base tables' tiny synthetic
+        // vocabulary (~31 words) keeps every shingle bucket saturated
+        // and chance-level cross-doc similarity alone makes candidate
+        // volume quadratic at ANY duplicate rate (measured: the first
+        // bounded corpus still grew LSH candidates ×99/×83 per decade
+        // from the chance tail).
         val g = k / DupGroup
         val vocabPick = (seed: Column) =>
           element_at(vocabArr, pmod(seed, size(vocabArr)) + 1)
@@ -165,8 +174,11 @@ object ScaleUp {
                   lit(10)) < 6
               when(light,
                 vocabPick(hash(col("__base"), i, lit(k), lit(19))))
-                .when(heavy,
-                  vocabPick(hash(col("__base"), i, lit(g), lit(13))))
+                .when(heavy, concat(
+                  vocabPick(hash(col("__base"), i, lit(g), lit(13))),
+                  lit(s"g${g}x"),
+                  pmod(hash(col("__base"), i, lit(g), lit(29)),
+                    lit(50)).cast("string")))
                 .otherwise(w)
             }), " "))
           .withColumn("n_chars", length(col("text")).cast("long"))
