@@ -855,6 +855,27 @@ object SparkEntry {
         .sort("source", "-doc_id")
         .select("doc_id", "lang", "source").toDF),
 
+    // Atlas {score: {function}}: the full expression DSL — relevance
+    // multiplied by log1p of a numeric field and a gaussian decay
+    // centered on n_chars 300 (boost-by-popularity + decay-by-distance,
+    // the canonical Atlas function-score idiom); pure scan algebra in
+    // the same score projection as the BM25 terms it modifies
+    "q190_search_function_score" -> ((s, dir) =>
+      coll(s, dir, "documents").pipe(Seq(
+        Map("$search" -> Map("text" -> Map(
+          "query" -> "stream", "path" -> "text",
+          "score" -> Map("function" -> Map("multiply" -> Seq(
+            Map("score" -> "relevance"),
+            Map("log1p" -> Map("path" -> Map("value" -> "n_chars"))),
+            Map("gauss" -> Map(
+              "path" -> Map("value" -> "n_chars"),
+              "origin" -> 300, "scale" -> 150, "decay" -> 0.5)))))))),
+        Map("$project" -> Map("doc_id" -> 1,
+          "score" -> Map("$meta" -> "searchScore")))))
+        .select(col("doc_id"),
+          col("score").cast("decimal(18,9)").cast("double").as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(25)),
+
     // collation numericOrdering: digit runs compare as numbers, so
     // src2 sorts before src10 (binary order would interleave src1,
     // src10..src19, src2); composed with strength 2 the lang filter
@@ -4172,6 +4193,38 @@ object SparkEntry {
       """SELECT doc_id, lang, source FROM documents
         |WHERE lower(lang) IN ('en', 'fr')
         |ORDER BY lower(source), doc_id DESC""".stripMargin,
+
+    // BM25(stream) recomputed as in q120, then the same function
+    // algebra: x log10(n_chars+1) x 0.5^((|n_chars-300|/150)^2)
+    "q190_search_function_score" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM tk),
+        |hits AS (
+        |  SELECT doc_id, dl, term, COUNT(*) AS tf FROM toks
+        |  WHERE term = 'stream' GROUP BY doc_id, dl, term),
+        |stats AS (
+        |  SELECT COUNT(*) AS n_docs, avg(CAST(len(t) AS DOUBLE)) AS avgdl
+        |  FROM tk),
+        |dfreq AS (
+        |  SELECT term, COUNT(*) AS df FROM hits GROUP BY term),
+        |sc AS (
+        |  SELECT doc_id,
+        |    SUM(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * 2.2)
+        |      / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))) AS rel
+        |  FROM hits JOIN dfreq USING (term), stats GROUP BY doc_id),
+        |fn AS (
+        |  SELECT d.doc_id,
+        |    rel * log10(d.n_chars + 1.0)
+        |        * pow(0.5, pow(greatest(0.0, abs(d.n_chars - 300.0))
+        |            / 150.0, 2)) AS score
+        |  FROM sc JOIN documents d USING (doc_id))
+        |SELECT doc_id,
+        |  CAST(CAST(score AS DECIMAL(18,9)) AS DOUBLE) AS score
+        |FROM fn ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
 
     // numeric collation order on this corpus = (non-digit part, numeric
     // value of the digit run): every source is 'src' + digits

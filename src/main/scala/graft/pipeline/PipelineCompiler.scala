@@ -713,6 +713,70 @@ object PipelineCompiler {
           case other => throw new IllegalArgumentException(
             s"$name: expected a number, got $other")
         }
+        // Atlas {score: {function: ...}} expression DSL → a Column over
+        // the clause's relevance score: constant, path (with undefined
+        // fallback), score ("relevance"), add/multiply, log/log1p
+        // (log10-based, Atlas semantics), gauss (multiplier
+        // decay^((max(0, |v−origin|−offset)/scale)²) — decay at
+        // distance `scale` from `origin`). Pure scan algebra, composes
+        // inside the same whole-stage-codegen score projection as the
+        // BM25 terms it modifies.
+        def fnScore(spec: Any, relevance: Column, where: String): Column = {
+          def pathCol(p: Any): Column = p match {
+            case s: String => col(s).cast("double")
+            case m: Map[_, _] =>
+              val pd = doc(m)
+              val c = col(pd.getOrElse("value",
+                throw new IllegalArgumentException(
+                  s"$where.path requires value")).toString).cast("double")
+              pd.get("undefined")
+                .map(u => coalesce(c, lit(dblV(u)))).getOrElse(c)
+            case other => throw new IllegalArgumentException(
+              s"$where.path: $other")
+          }
+          val d0 = doc(spec)
+          require(d0.size == 1,
+            s"$where: exactly one function expression, got " +
+              d0.keys.mkString(", "))
+          d0.head match {
+            case ("constant", v) => lit(dblV(v))
+            case ("score", _) => relevance
+            case ("path", p) => pathCol(p)
+            case ("add", xs: Seq[_]) =>
+              require(xs.nonEmpty, s"$where.add: empty")
+              xs.map(fnScore(_, relevance, s"$where.add")).reduce(_ + _)
+            case ("multiply", xs: Seq[_]) =>
+              require(xs.nonEmpty, s"$where.multiply: empty")
+              xs.map(fnScore(_, relevance, s"$where.multiply"))
+                .reduce(_ * _)
+            case ("log", x) =>
+              log10(fnScore(x, relevance, s"$where.log"))
+            case ("log1p", x) =>
+              log10(fnScore(x, relevance, s"$where.log1p") + lit(1.0))
+            case ("gauss", g) =>
+              val gd = doc(g)
+              val v = pathCol(gd.getOrElse("path",
+                throw new IllegalArgumentException(
+                  s"$where.gauss requires path")))
+              val origin = dblV(gd.getOrElse("origin",
+                throw new IllegalArgumentException(
+                  s"$where.gauss requires origin")))
+              val scale = dblV(gd.getOrElse("scale",
+                throw new IllegalArgumentException(
+                  s"$where.gauss requires scale")))
+              val offset = gd.get("offset").map(dblV).getOrElse(0.0)
+              val decay = gd.get("decay").map(dblV).getOrElse(0.5)
+              require(scale != 0, s"$where.gauss: scale must be nonzero")
+              require(decay > 0 && decay < 1,
+                s"$where.gauss: decay must be in (0, 1)")
+              pow(lit(decay),
+                pow(greatest(lit(0.0), abs(v - lit(origin)) - lit(offset))
+                  / lit(scale), lit(2.0)))
+            case (other, _) => throw new IllegalArgumentException(
+              s"$where: unsupported function expression '$other' " +
+                "(constant/path/score/add/multiply/log/log1p/gauss)")
+          }
+        }
         def pathOf(op: String, os: Map[String, Any]): String =
           os.getOrElse("path", throw new IllegalArgumentException(
             s"$name.$op requires path")) match {
@@ -803,20 +867,38 @@ object PipelineCompiler {
                 case Some(sc) =>
                   val sd = doc(sc)
                   require(sd.size == 1,
-                    s"$name.$op.score: exactly one of boost/constant")
+                    s"$name.$op.score: exactly one of " +
+                      "boost/constant/function")
                   sd.head match {
                     case ("boost", bv) =>
-                      val f = dblV(doc(bv).getOrElse("value",
-                        throw new IllegalArgumentException(
-                          s"$name.$op.score.boost requires value")))
-                      (mm - "score", (c: Column) => c * lit(f))
+                      // value form multiplies by a literal; path form by
+                      // a document field (undefined = fallback when the
+                      // field is null), Atlas' boost-by-popularity idiom
+                      val bd = doc(bv)
+                      val mul: Column = (bd.get("value"), bd.get("path"))
+                        match {
+                        case (Some(v), None) => lit(dblV(v))
+                        case (None, Some(p)) =>
+                          val c = col(p.toString).cast("double")
+                          bd.get("undefined")
+                            .map(u => coalesce(c, lit(dblV(u))))
+                            .getOrElse(c)
+                        case _ => throw new IllegalArgumentException(
+                          s"$name.$op.score.boost requires exactly one " +
+                            "of value/path")
+                      }
+                      (mm - "score", (c: Column) => c * mul)
                     case ("constant", cv) =>
                       val f = dblV(doc(cv).getOrElse("value",
                         throw new IllegalArgumentException(
                           s"$name.$op.score.constant requires value")))
                       (mm - "score", (_: Column) => lit(f))
+                    case ("function", fv) =>
+                      (mm - "score", (c: Column) =>
+                        fnScore(fv, c, s"$name.$op.score.function"))
                     case (other, _) => throw new IllegalArgumentException(
-                      s"$name.$op.score: unsupported $other (boost/constant)")
+                      s"$name.$op.score: unsupported $other " +
+                        "(boost/constant/function)")
                   }
                 case None => (mm, identity[Column] _)
               }

@@ -2513,6 +2513,55 @@ class SearchStagesSpec extends graft.SparkSpec {
     assert(out.select("id").as[Long].collect().toSet == Set(1L, 2L))
   }
 
+  test("$search score function DSL and boost.path") {
+    val docs = Seq(
+      (1L, "spark stream", 100L, Some(4.0)),
+      (2L, "spark stream", 300L, None),
+      (3L, "nothing", 300L, Some(1.0)))
+      .toDF("id", "txt", "n", "pop")
+    def scoresOpt(score: Option[Map[String, Any]]): Map[Long, Double] =
+      PipelineCompiler.compile(Seq(
+        Map("$search" -> Map("text" -> (Map(
+          "query" -> "stream", "path" -> "txt") ++
+          score.map("score" -> _)))),
+        Map("$project" -> Map("id" -> 1,
+          "s" -> Map("$meta" -> "searchScore")))))(docs)
+        .select("id", "s").as[(Long, Double)].collect().toMap
+    def scores(score: Map[String, Any]) = scoresOpt(Some(score))
+    // constant relevance isolates the function algebra exactly
+    val base = Map("constant" -> Map("value" -> 2.0))
+    assert(scores(base) == Map(1L -> 2.0, 2L -> 2.0))
+    // multiply/add/constant/score compose; path reads a field with
+    // undefined fallback for nulls
+    val fn = scores(Map("function" -> Map("multiply" -> Seq(
+      Map("score" -> "relevance"),
+      Map("add" -> Seq(Map("constant" -> 1.0),
+        Map("path" -> Map("value" -> "pop", "undefined" -> 0.5))))))))
+    val rel = scoresOpt(None) // unmodified BM25
+    assert(math.abs(fn(1L) - rel(1L) * 5.0) < 1e-9)
+    assert(math.abs(fn(2L) - rel(2L) * 1.5) < 1e-9)
+    // log10 semantics: log1p(n) = log10(n + 1)
+    val lg = scores(Map("function" -> Map("multiply" -> Seq(
+      Map("constant" -> 3.0),
+      Map("log1p" -> Map("path" -> "n"))))))
+    assert(math.abs(lg(1L) - 3.0 * math.log10(101.0)) < 1e-9)
+    // gauss: decay^((|n-origin|/scale)^2) — 1 at the origin, `decay`
+    // at distance scale
+    val ga = scores(Map("function" -> Map("gauss" -> Map(
+      "path" -> "n", "origin" -> 300, "scale" -> 200, "decay" -> 0.5))))
+    assert(math.abs(ga(2L) - 1.0) < 1e-9)
+    assert(math.abs(ga(1L) - math.pow(0.5, 1.0)) < 1e-9)
+    // boost.path multiplies by the field, undefined covers nulls
+    val bp = scores(Map("boost" ->
+      Map("path" -> "pop", "undefined" -> 2.0)))
+    assert(math.abs(bp(1L) - rel(1L) * 4.0) < 1e-9)
+    assert(math.abs(bp(2L) - rel(2L) * 2.0) < 1e-9)
+    // unknown function expressions reject loudly
+    val e = intercept[IllegalArgumentException](scores(
+      Map("function" -> Map("exp" -> Map("path" -> "n")))))
+    assert(e.getMessage.contains("unsupported function expression"))
+  }
+
   test("$search autocomplete fuzzy: typo-tolerant prefix completion") {
     val docs = Seq(
       (1L, "stream processing"), (2L, "strong types"),
