@@ -1580,6 +1580,17 @@ object SparkEntry {
         .orderBy("id_a", "id_b")),
 
     // exact brute-force cosine top-k (rank output, id tie-break)
+    // binary (1-bit) quantized ANN: sign-bit signatures, hamming
+    // shortlist of 40, exact-cosine rescoring to top-10 — the
+    // auto-quantization flow of a production vector index (word-sized
+    // integer ops per candidate, float math only on the shortlist)
+    "q191_ann_binary" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      Similarity.binaryAnnTopK(e, e.where(col("vec_id") < 8), "vec_id",
+        "embedding", k = 10, shortlist = 40)
+        .orderBy("query_id", "rank")
+    }),
+
     "q23_ann_brute" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
       Similarity.bruteForceTopK(e, e.where(col("vec_id") < 8), "vec_id",
@@ -4978,6 +4989,45 @@ object SparkEntry {
          |SELECT ia AS id_a, ib AS id_b FROM d
          |WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.3
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // the oracle recomputes the 32-bit-word sign packing, hamming
+    // shortlist, and cosine rescoring bit-for-bit (weights stay off the
+    // sign bit precisely so this SQL is expressible)
+    "q191_ann_binary" ->
+      s"""WITH sig AS (
+         |  SELECT vec_id, embedding,
+         |    list_transform(range(0, 2), w ->
+         |      list_reduce(list_transform(range(1, 33), j ->
+         |        CASE WHEN embedding[w * 32 + j] > 0
+         |          THEN CAST(1 AS BIGINT) << (j - 1)
+         |          ELSE CAST(0 AS BIGINT) END),
+         |        (a, b) -> a | b)) AS s
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding AS qe, s AS qs
+         |  FROM sig WHERE vec_id < 8),
+         |h AS (
+         |  SELECT qid, c.vec_id AS nid, c.embedding AS ce, qe,
+         |    bit_count(xor(c.s[1], qs[1])) + bit_count(xor(c.s[2], qs[2]))
+         |      AS ham
+         |  FROM sig c, q WHERE c.vec_id <> qid),
+         |short AS (
+         |  SELECT qid, nid, ce, qe FROM (
+         |    SELECT qid, nid, ce, qe,
+         |      row_number() OVER (PARTITION BY qid ORDER BY ham, nid)
+         |        AS hr FROM h)
+         |  WHERE hr <= 40),
+         |p AS (
+         |  SELECT qid AS ia, nid AS ib, qe AS ea, ce AS eb FROM short),
+         |${cosineCtes("p")},
+         |r AS (
+         |  SELECT ia AS query_id, ib AS neighbor_id,
+         |    CAST(row_number() OVER (
+         |      PARTITION BY ia
+         |      ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, ib) AS INT)
+         |      AS rank
+         |  FROM d)
+         |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
 
     "q23_ann_brute" ->
       s"""WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),

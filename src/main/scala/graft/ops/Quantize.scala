@@ -17,6 +17,38 @@ import graft.functions.VectorFunctions.vec_dot
   */
 object Quantize {
 
+  /** Binary (1-bit) quantization: the sign bit of each component packed
+    * into ceil(dim/32) long words, 32 bits per word — the "binary"
+    * auto-quantization of vector indexes (one bit per float32
+    * component). Hamming distance over the packed words (xor +
+    * bit_count — [[Similarity.binaryAnnTopK]]) approximates angular
+    * distance; the standard flow rescores a hamming shortlist with
+    * exact cosine. 32 bits per word — not 64 — keeps every weight off
+    * the sign bit, so the packing is reproducible in plain integer SQL
+    * in any engine (DuckDB raises on `1 << 63`; the oracle recomputes
+    * signatures bit-for-bit). Pure column algebra fused into the scan:
+    * the 2^i weights fold in as a literal lookup, one `aggregate` per
+    * word, no per-row branching outside codegen. */
+  def binarySignature(vec: Column, dim: Int): Column = {
+    require(dim > 0, "binarySignature needs the dimensionality")
+    val pow2 = lit((0 until 32).map(1L << _).toArray)
+    val words = (dim + 31) / 32
+    array((0 until words).map { w =>
+      val len = math.min(32, dim - w * 32)
+      aggregate(
+        transform(slice(vec, w * 32 + 1, len), (x, i) =>
+          when(x > lit(0.0),
+            element_at(pow2, i.cast("int") + 1)).otherwise(lit(0L))),
+        lit(0L), (a, b) => a.bitwiseOR(b))
+    }: _*)
+  }
+
+  /** Hamming distance between two packed signatures (arrays of longs):
+    * per-word xor + bit_count, summed — scan-fused integer algebra. */
+  def hammingDistance(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y))),
+      lit(0L), (s, v) => s + v.cast("long"))
+
   /** Per-vector symmetric int8 quantization: `scale = max|x| / 127`, code_i
     * = floor(x_i/scale + 0.5). Zero vectors quantize to all-zero codes with
     * scale 1.0. Adds `outCol` (array<int>, codes in [-127, 127]) and

@@ -48,6 +48,52 @@ object Similarity {
       vecCol: String, k: Int): DataFrame =
     rankedPairs(corpus, queries, idCol, vecCol, k, None)
 
+  /** Binary-quantized ANN with rescoring — the flow behind "binary"
+    * auto-quantized vector indexes: pack sign bits
+    * ([[Quantize.binarySignature]], one bit per float32 component), rank
+    * by hamming distance (xor + bit_count — ~word ops per candidate
+    * instead of `dim` float multiplies), keep a per-query `shortlist`,
+    * then rescore ONLY the shortlist with exact float cosine.
+    * Deterministic end to end (hamming ties and cosine ties both break
+    * on id).
+    *
+    * Scale shape: signatures compute in the corpus scan; queries
+    * broadcast; the only corpus-sized shuffle is the per-query top-k
+    * window over narrow (ids, ham) rows, and the float math runs on
+    * `shortlist` rows per query, never the corpus. Compose with IVF/LSH
+    * blocking for candidate pruning when |queries| is large.
+    * Output: (query_id, neighbor_id, rank). */
+  def binaryAnnTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, shortlist: Int = 0, dim: Int = 0): DataFrame = {
+    val d = if (dim > 0) dim else
+      queries.select(size(col(vecCol))).head.getInt(0)
+    val sl = if (shortlist > 0) shortlist else 4 * k
+    require(sl >= k, s"shortlist $sl must be >= k $k")
+    val c = Partitioning.ensureMinPartitions(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+        .withColumn("csig", Quantize.binarySignature(col("cv"), d)))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qsig", Quantize.binarySignature(col("qv"), d))
+      .withColumn("qn", vec_dot(col("qv"), col("qv")))
+    val hammed = c.join(broadcast(q),
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("ham",
+        Quantize.hammingDistance(col("csig"), col("qsig")))
+    val wHam = Window.partitionBy("query_id")
+      .orderBy(col("ham").asc, col("neighbor_id").asc)
+    val short = hammed.withColumn("__hr", row_number().over(wHam))
+      .where(col("__hr") <= sl)
+    val wCos = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    short
+      .withColumn("cn", vec_dot(col("cv"), col("cv")))
+      .withColumn("cos",
+        cosineFromParts(vec_dot(col("qv"), col("cv")), col("qn"), col("cn")))
+      .withColumn("rank", row_number().over(wCos))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
   /** Hard-negative mining for contrastive training data: per query, the
     * top-k most similar corpus items that are NOT near-duplicates
     * (cosine < `dupCeiling`) — the informative negatives that teach an

@@ -480,6 +480,30 @@ class SimilaritySpec extends SparkSpec {
     assert(same == Seq(2L, 3L, 4L))
   }
 
+  test("binary signature packs sign bits; hamming + rescoring top-k") {
+    import graft.ops.Quantize
+    // 34-dim vector exercises the 32-bit word boundary: bits 0 and 33
+    // set -> words (1, 2)
+    val v = Array.fill(34)(-1.0f)
+    v(0) = 1.0f; v(33) = 0.5f
+    val sig = Seq(Tuple1(v)).toDF("e")
+      .select(Quantize.binarySignature($"e", 34)).as[Seq[Long]].head()
+    assert(sig == Seq(1L, 2L))
+    // hamming over packed words
+    val hd = Seq((Seq(1L, 2L), Seq(3L, 2L))).toDF("a", "b")
+      .select(Quantize.hammingDistance($"a", $"b")).as[Long].head()
+    assert(hd == 1L)
+    // end-to-end: with a full shortlist the rescoring reproduces the
+    // exact brute-force ranking
+    val got = Similarity.binaryAnnTopK(vecs, vecs.where($"vec_id" === 1),
+      "vec_id", "embedding", k = 3, shortlist = 3)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    val brute = Similarity.bruteForceTopK(vecs,
+      vecs.where($"vec_id" === 1), "vec_id", "embedding", 3)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(got == brute)
+  }
+
   test("lsh top-k finds the strong neighbor") {
     val out = Similarity.lshTopK(vecs, vecs.where($"vec_id" === 1),
       "vec_id", "embedding", k = 2, nPlanes = 2, tables = 4)
