@@ -2761,6 +2761,19 @@ object SparkEntry {
 
     // $vectorSearch pipeline stage: literal query vector folded into the
     // scan, TakeOrdered top-limit — no join anywhere in the plan
+    // $vectorSearch with index-level binary quantization: hamming
+    // shortlist of numCandidates over sign-bit signatures, exact-cosine
+    // rescore to the limit — Atlas's auto-quantized search flow as a
+    // stage option
+    "q192_vector_search_binary" -> ((s, dir) =>
+      coll(s, dir, "embeddings").pipe(Seq(
+        Map("$vectorSearch" -> Map("path" -> "embedding",
+          "queryVector" -> q75Vec, "limit" -> 25,
+          "numCandidates" -> 60, "quantization" -> "binary",
+          "tieBreak" -> "vec_id")),
+        Map("$project" -> Map("vec_id" -> 1))))
+        .orderBy("vec_id")),
+
     "q75_vector_search" -> ((s, dir) =>
       coll(s, dir, "embeddings").pipe(Seq(
         Map("$vectorSearch" -> Map("path" -> "embedding",
@@ -5095,6 +5108,41 @@ object SparkEntry {
          |  FROM d)
          |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 10
          |ORDER BY query_id, rank""".stripMargin,
+
+    // the query signature is packed at oracle-build time with the same
+    // 32-bit-word rule the engine uses; hamming + rescore recomputed
+    "q192_vector_search_binary" -> {
+      val qSig = Array.tabulate(2) { w =>
+        var acc = 0L
+        var j = 0
+        while (j < 32) {
+          if (q75Vec(w * 32 + j) > 0) acc |= 1L << j; j += 1
+        }
+        acc
+      }
+      val normQ = math.sqrt(q75Vec.map(x => x * x).sum)
+      s"""WITH sig AS (
+         |  SELECT vec_id, embedding,
+         |    list_transform(range(0, 2), w ->
+         |      list_reduce(list_transform(range(1, 33), j ->
+         |        CASE WHEN embedding[w * 32 + j] > 0
+         |          THEN CAST(1 AS BIGINT) << (j - 1)
+         |          ELSE CAST(0 AS BIGINT) END),
+         |        (a, b) -> a | b)) AS s
+         |  FROM embeddings),
+         |h AS (SELECT vec_id, embedding,
+         |    bit_count(xor(s[1], CAST(${qSig(0)} AS BIGINT)))
+         |      + bit_count(xor(s[2], CAST(${qSig(1)} AS BIGINT))) AS ham
+         |  FROM sig),
+         |short AS (SELECT vec_id, embedding FROM h
+         |  ORDER BY ham, vec_id LIMIT 60),
+         |sc AS (SELECT vec_id,
+         |  (${litDotSql("embedding", q75Vec)})
+         |  / (sqrt(${selfDotSql("embedding", 64)}) * $normQ) AS cos
+         |  FROM short),
+         |r AS (SELECT vec_id FROM sc ORDER BY cos DESC, vec_id LIMIT 25)
+         |SELECT vec_id FROM r ORDER BY vec_id""".stripMargin
+    },
 
     "q75_vector_search" -> {
       val normQ = math.sqrt(q75Vec.map(x => x * x).sum)

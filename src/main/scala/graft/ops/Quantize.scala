@@ -63,6 +63,19 @@ object Quantize {
         transform(v, x => floor(x / col(scaleCol) + lit(0.5)).cast("int")))
   }
 
+  /** Column form of [[quantizeInt8]]'s codes, for rankers where the
+    * per-vector scale cancels (cosine). The scale is let-bound through a
+    * 1-element `transform` so it evaluates once per ROW rather than once
+    * per element — the HOF capture re-evaluation trap
+    * (SCALE.md, phraseOccurrences) would otherwise make this O(dim²). */
+  def int8Codes(vec: Column): Column = {
+    val v = vec.cast("array<double>")
+    val maxabs = array_max(transform(v, x => abs(x)))
+    val scale = when(maxabs > 0.0, maxabs / 127.0).otherwise(lit(1.0))
+    element_at(transform(array(scale), s =>
+      transform(v, x => floor(x / s + lit(0.5)).cast("int"))), 1)
+  }
+
   /** Cosine of two quantized vectors: the per-vector scales cancel, so the
     * score is `dot(codesA, codesB) / (||codesA|| * ||codesB||)` — exact
     * integer dot/norms (int8 products summed in double stay exact far past

@@ -530,9 +530,53 @@ object PipelineCompiler {
           case None => df
         }
         val score = graft.ops.Similarity.cosine(col(path), typedlit(qv))
-        val ordered = d.get("tieBreak") match {
-          case Some(t) => base.orderBy(score.desc, col(t.toString).asc)
-          case None    => base.orderBy(score.desc)
+        def tied(frame: DataFrame, key: Column): DataFrame =
+          d.get("tieBreak") match {
+            case Some(t) => frame.orderBy(key, col(t.toString).asc)
+            case None    => frame.orderBy(key)
+          }
+        // Atlas index-level `quantization`, surfaced on the stage since
+        // this engine has no separate index definition: "scalar" scores
+        // the int8 codes' cosine directly (per-vector scales cancel in
+        // cosine — Quantize.quantizeInt8 on the scan, the query
+        // quantized at compile time), "binary" runs the
+        // hamming-shortlist + exact-rescore flow (numCandidates = the
+        // shortlist size, Atlas's own reading of it). Both stay
+        // join-free: TakeOrderedAndProject over the scan.
+        val quant = d.get("quantization").map(_.toString).getOrElse("none")
+        val ordered = quant match {
+          case "none" => tied(base, score.desc)
+          case "scalar" =>
+            val qmax = qv.map(math.abs).max
+            val qscale = if (qmax > 0) qmax / 127.0 else 1.0
+            val qCodes = qv.map(x => math.floor(x / qscale + 0.5))
+            val cCodes = graft.ops.Quantize
+              .int8Codes(col(path)).cast("array<double>")
+            val qScore = graft.ops.Similarity.cosine(
+              cCodes, typedlit(qCodes))
+            tied(base, qScore.desc)
+          case "binary" =>
+            val dim = qv.length
+            val numCand = d.get("numCandidates").map(int)
+              .getOrElse(limit * 4)
+            require(numCand >= limit,
+              s"$$vectorSearch: numCandidates $numCand < limit $limit")
+            val words = (dim + 31) / 32
+            val qSig = Array.tabulate(words) { w =>
+              var acc = 0L
+              val len = math.min(32, dim - w * 32)
+              var j = 0
+              while (j < len) {
+                if (qv(w * 32 + j) > 0) acc |= (1L << j); j += 1
+              }
+              acc
+            }
+            val ham = graft.ops.Quantize.hammingDistance(
+              graft.ops.Quantize.binarySignature(col(path), dim),
+              lit(qSig))
+            tied(tied(base, ham.asc).limit(numCand), score.desc)
+          case other => throw new IllegalArgumentException(
+            s"$$vectorSearch.quantization: $other (none/scalar/binary)")
         }
         // the score also rides the shared carrier so a later
         // {$meta: "vectorSearchScore"} (Atlas spelling) can read it

@@ -2513,6 +2513,29 @@ class SearchStagesSpec extends graft.SparkSpec {
     assert(out.select("id").as[Long].collect().toSet == Set(1L, 2L))
   }
 
+  test("$vectorSearch quantization: scalar and binary variants") {
+    val docs = Seq(
+      (1L, Array(1.0f, 0.1f)), (2L, Array(0.9f, 0.4f)),
+      (3L, Array(-1.0f, 0.2f)), (4L, Array(0.1f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    def ids(extra: Map[String, Any]): Seq[Long] =
+      PipelineCompiler.compile(Seq(
+        Map("$vectorSearch" -> (Map("path" -> "embedding",
+          "queryVector" -> Seq(1.0, 0.0), "limit" -> 2,
+          "tieBreak" -> "vec_id") ++ extra)),
+        Map("$project" -> Map("vec_id" -> 1))))(docs)
+        .select("vec_id").as[Long].collect().toSeq
+    // all three modes agree on this frame (binary's shortlist keeps the
+    // true top-2 in its 3 candidates; scalar's codes preserve ranks)
+    assert(ids(Map.empty) == Seq(1L, 2L))
+    assert(ids(Map("quantization" -> "scalar")) == Seq(1L, 2L))
+    assert(ids(Map("quantization" -> "binary",
+      "numCandidates" -> 3)) == Seq(1L, 2L))
+    val e = intercept[IllegalArgumentException](
+      ids(Map("quantization" -> "product")))
+    assert(e.getMessage.contains("quantization"))
+  }
+
   test("$search score function DSL and boost.path") {
     val docs = Seq(
       (1L, "spark stream", 100L, Some(4.0)),
