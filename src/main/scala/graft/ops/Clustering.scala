@@ -123,6 +123,16 @@ object Clustering {
         .groupBy(_._1).map { case (g, rows) =>
           g -> rows.map(t => (t._2, t._3)).sortBy(_._1)
         }
+    // the per-group dispatch is a chained `when` whose codegen grows
+    // linearly with |groups| — the right shape for PQ's m ≤ 16 subspaces
+    // (each branch keeps its centroid dot products as codegen literals),
+    // the wrong one past a few dozen groups. Fail loudly with the
+    // remedy rather than compile a pathological expression.
+    require(cm.size <= 64,
+      s"kmeansGrouped: ${cm.size} groups — the fused single-pass form " +
+        "folds one scoring branch per group into the generated code and " +
+        "degrades past ~64 groups; call kmeans per group (or batch " +
+        "groups across several kmeansGrouped calls) instead")
     for (_ <- 1 to iters) {
       val assign = cm.toSeq.sortBy(_._1).map { case (g, cs) =>
         (g, -array_max(Similarity.cellScores(col("__v"), cs))
