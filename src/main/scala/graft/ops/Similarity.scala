@@ -66,7 +66,12 @@ object Similarity {
   def binaryAnnTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, shortlist: Int = 0, dim: Int = 0): DataFrame = {
     val d = if (dim > 0) dim else
-      queries.select(size(col(vecCol))).head.getInt(0)
+      queries.select(size(col(vecCol))).take(1)
+        .headOption.map(_.getInt(0)).getOrElse(0)
+    if (d == 0) // no queries (and no explicit dim): empty result, same
+      return corpus.select(col(idCol).as("query_id"), // schema as below
+        col(idCol).as("neighbor_id"),
+        lit(1).cast("int").as("rank")).where(lit(false))
     val sl = if (shortlist > 0) shortlist else 4 * k
     require(sl >= k, s"shortlist $sl must be >= k $k")
     val c = Partitioning.ensureMinPartitions(

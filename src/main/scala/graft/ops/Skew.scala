@@ -30,6 +30,28 @@ object Skew {
       .drop("__salt")
   }
 
+  /** Deterministic per-row salt in [0, n): a hash of the row's HASHABLE
+    * columns, so shuffle-map task retries re-salt identically (the
+    * monotonically_increasing_id alternative re-salts differently per
+    * attempt and double-counts/drops rows). Spark's `hash` rejects
+    * MapType anywhere in a column's type, so map-carrying columns are
+    * excluded; if every column carries a map, the row's JSON rendering
+    * is hashed instead (slower, correct, and vanishingly rare). */
+  def deterministicSalt(df: DataFrame, n: Int): Column = {
+    import org.apache.spark.sql.types._
+    def hashable(dt: DataType): Boolean = dt match {
+      case _: MapType => false
+      case s: StructType => s.fields.forall(f => hashable(f.dataType))
+      case a: ArrayType => hashable(a.elementType)
+      case _ => true
+    }
+    val cols = df.schema.fields.filter(f => hashable(f.dataType))
+      .map(f => df(f.name)).toSeq
+    if (cols.nonEmpty) pmod(hash(cols: _*), lit(n))
+    else pmod(hash(to_json(struct(df.columns.map(df(_)).toSeq: _*))),
+      lit(n))
+  }
+
   /** Estimate the salt for a grouping/join key from a bounded
     * key-frequency sketch (`spark.graft.skewSalt=auto`): sample up to
     * `sampleRows` key values — a column-pruned scan under a

@@ -143,17 +143,18 @@ object TextFunctions {
     * pair, each early-exiting at maxEdits — no term-expansion join. */
   def fuzzyPrefixHit(x: Column, term: String, maxEdits: Int,
       prefixLength: Int = 0): Column = {
+    // FuzzyQuery caps the pin at the term length: prefixLength beyond it
+    // pins the WHOLE term exactly (edits can only apply past it), it
+    // does not demand a longer-than-term exact prefix — without the cap
+    // every token would silently fail the pin comparison
+    val pin = math.min(prefixLength, term.length)
     val lens = ((term.length - maxEdits) to (term.length + maxEdits))
-      .filter(_ >= math.max(1, prefixLength))
-    require(lens.nonEmpty,
-      s"fuzzyPrefixHit: prefixLength $prefixLength exceeds every " +
-        s"candidate gram length for term '$term' (maxEdits $maxEdits)")
+      .filter(_ >= math.max(1, pin))
     val nearPrefix = lens.map(l =>
       levenshtein(substring(x, 1, l), lit(term), maxEdits) =!= -1)
       .reduce(_ || _)
-    if (prefixLength > 0)
-      substring(x, 1, prefixLength) === lit(term.take(prefixLength)) &&
-        nearPrefix
+    if (pin > 0)
+      substring(x, 1, pin) === lit(term.take(pin)) && nearPrefix
     else nearPrefix
   }
 

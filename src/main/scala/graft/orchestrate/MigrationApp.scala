@@ -324,6 +324,22 @@ final class NamespaceLease(spark: SparkSession, root: String,
       finally in.close()
     } catch { case _: java.io.IOException => None }
 
+  /** [[readToken]] with bounded retries: a lease-protocol decision
+    * (back off, stop heartbeating, skip release) must not ride on ONE
+    * transient object-store read hiccup — None here means the file was
+    * consistently unreadable/absent across the whole window. */
+  private def readTokenRetry(p: Path, attempts: Int = 5,
+      delayMs: Long = 200L): Option[String] = {
+    var i = 0
+    while (i < attempts) {
+      readToken(p) match {
+        case some @ Some(_) => return some
+        case None => i += 1; if (i < attempts) Thread.sleep(delayMs)
+      }
+    }
+    None
+  }
+
   def acquire(ns: graft.model.Namespace): Unit = {
     val p = leasePath(ns)
     fs.mkdirs(p.getParent)
@@ -335,8 +351,11 @@ final class NamespaceLease(spark: SparkSession, root: String,
         out.write(owner.getBytes("UTF-8"))
         out.close()
         // read-back: if a breaker replaced the file in the window, the
-        // token differs and this acquirer backs off instead of running
-        if (readToken(p).contains(owner)) acquired = true
+        // token differs and this acquirer backs off instead of running.
+        // Retried reads: abandoning a SUCCEEDED create on one transient
+        // read error would orphan this app's own lease (nothing else can
+        // create over it, breakStale only fires after staleMs).
+        if (readTokenRetry(p).contains(owner)) acquired = true
         else Thread.sleep(50)
       } catch {
         case _: java.io.IOException =>
@@ -391,13 +410,26 @@ final class NamespaceLease(spark: SparkSession, root: String,
     val t = new Thread(() => {
       try while (!Thread.interrupted()) {
         Thread.sleep(interval)
-        if (readToken(p).contains(owner))
-          fs.setTimes(p, System.currentTimeMillis(), -1)
-        else {
-          log.error(s"namespace lease $p no longer carries this app's " +
-            "token — lease was broken underneath a live migration " +
-            "(staleMs too low for this workload?)")
-          return
+        // retried read + swallowed refresh errors: the heartbeat is the
+        // only thing standing between a long migration and a stale-break
+        // — it must survive transient store hiccups (a single failed
+        // read or setTimes exiting this thread would silently re-open
+        // the double-writer race it exists to close). It stops only on
+        // CONSISTENT evidence the token changed hands.
+        try {
+          if (readTokenRetry(p).contains(owner))
+            fs.setTimes(p, System.currentTimeMillis(), -1)
+          else {
+            log.error(s"namespace lease $p no longer carries this " +
+              "app's token — lease was broken underneath a live " +
+              "migration (staleMs too low for this workload?)")
+            return
+          }
+        } catch {
+          case _: InterruptedException => throw new InterruptedException
+          case e: java.io.IOException =>
+            log.warn(s"lease heartbeat refresh failed transiently on " +
+              s"$p: $e — retrying next interval")
         }
       } catch { case _: InterruptedException => }
     }, s"graft-lease-heartbeat-${ns.db}.${ns.collection}")
@@ -412,8 +444,9 @@ final class NamespaceLease(spark: SparkSession, root: String,
       t.interrupt(); t.join(2000)
     }
     // delete only our own lease — a usurped holder must not free the
-    // usurper's
-    if (readToken(p).contains(owner)) fs.delete(p, false)
+    // usurper's (retried read: a transient miss here would orphan our
+    // own lease until staleMs)
+    if (readTokenRetry(p).contains(owner)) fs.delete(p, false)
   }
 }
 

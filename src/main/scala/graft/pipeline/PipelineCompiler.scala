@@ -266,8 +266,7 @@ object PipelineCompiler {
             // double-count/drop. Identical rows sharing a bucket is fine
             // (they combine map-side anyway).
             val part = df.groupBy(idCol,
-                pmod(hash(df.columns.map(df(_)).toSeq: _*), lit(saltN))
-                  .as("__salt"))
+                graft.ops.Skew.deterministicSalt(df, saltN).as("__salt"))
               .agg(stage1.head, stage1.tail: _*)
             val stage2 = aggFields.zipWithIndex.map { case ((as, accDoc), i) =>
               (combine(doc(accDoc).head._1) match {
@@ -918,15 +917,16 @@ object PipelineCompiler {
                       // value form multiplies by a literal; path form by
                       // a document field (undefined = fallback when the
                       // field is null), Atlas' boost-by-popularity idiom
+                      // — the path form delegates to fnScore's shared
+                      // path expression so the two can't drift
                       val bd = doc(bv)
                       val mul: Column = (bd.get("value"), bd.get("path"))
                         match {
                         case (Some(v), None) => lit(dblV(v))
                         case (None, Some(p)) =>
-                          val c = col(p.toString).cast("double")
-                          bd.get("undefined")
-                            .map(u => coalesce(c, lit(dblV(u))))
-                            .getOrElse(c)
+                          fnScore(Map("path" -> (Map("value" -> p) ++
+                            bd.get("undefined").map("undefined" -> _))),
+                            lit(0.0), s"$name.$op.score.boost")
                         case _ => throw new IllegalArgumentException(
                           s"$name.$op.score.boost requires exactly one " +
                             "of value/path")
@@ -2572,7 +2572,7 @@ object PipelineCompiler {
       // Deterministic per-row salt (hash of the full payload, not
       // monotonically_increasing_id) so task retries re-salt identically.
       val sl = df.withColumn("__sl",
-        pmod(hash(df.columns.map(df(_)).toSeq: _*), lit(saltN)))
+        graft.ops.Skew.deterministicSalt(df, saltN))
       val sr = grouped.withColumn("__sr",
         explode(sequence(lit(0), lit(saltN - 1))))
       sl.join(sr, sl(local) === sr("__lk") && sl("__sl") === sr("__sr"),

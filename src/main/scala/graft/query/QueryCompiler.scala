@@ -299,10 +299,13 @@ object QueryCompiler {
       case "$eq"  => if (typeClash(field, v)) lit(false) else ck === vk
       // Mongo $ne also matches documents where the field is null/missing.
       case "$ne"  => if (typeClash(field, v)) lit(true) else !(ck <=> vk)
-      case "$gt"  => ck > vk
-      case "$gte" => ck >= vk
-      case "$lt"  => ck < vk
-      case "$lte" => ck <= vk
+      // range ops bracket like $eq: a string literal never compares
+      // against a non-string column (and must not coerce — ANSI mode
+      // would throw on non-numeric strings)
+      case "$gt"  => if (typeClash(field, v)) lit(false) else ck > vk
+      case "$gte" => if (typeClash(field, v)) lit(false) else ck >= vk
+      case "$lt"  => if (typeClash(field, v)) lit(false) else ck < vk
+      case "$lte" => if (typeClash(field, v)) lit(false) else ck <= vk
       case "$in"  => collatedSet(field, c, seqOf(v, "$in"))
       case "$nin" =>
         !coalesce(collatedSet(field, c, seqOf(v, "$nin")), lit(false))

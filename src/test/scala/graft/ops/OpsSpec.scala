@@ -495,6 +495,9 @@ class SimilaritySpec extends SparkSpec {
     assert(hd == 1L)
     // end-to-end: with a full shortlist the rescoring reproduces the
     // exact brute-force ranking
+    // empty query frame: empty result, not a crash on dim inference
+    assert(Similarity.binaryAnnTopK(vecs, vecs.where($"vec_id" === 99),
+      "vec_id", "embedding", k = 3).count() == 0L)
     val got = Similarity.binaryAnnTopK(vecs, vecs.where($"vec_id" === 1),
       "vec_id", "embedding", k = 3, shortlist = 3)
       .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq

@@ -2615,6 +2615,14 @@ class SearchStagesSpec extends graft.SparkSpec {
         "fuzzy" -> Map("maxEdits" -> 1)))),
       Map("$project" -> Map("id" -> 1))))(docs)
     assert(seq.select("id").as[Long].collect().toSet == Set(1L))
+    // prefixLength beyond the term length pins the WHOLE term (Lucene's
+    // cap), it does not demand an impossible longer-than-term prefix
+    val overPin = PipelineCompiler.compile(Seq(
+      Map("$search" -> Map("autocomplete" -> Map(
+        "query" -> "stre", "path" -> "txt",
+        "fuzzy" -> Map("maxEdits" -> 1, "prefixLength" -> 9)))),
+      Map("$project" -> Map("id" -> 1))))(docs)
+    assert(overPin.select("id").as[Long].collect().toSet == Set(1L, 4L))
     // out-of-range maxEdits still rejects loudly
     val e = intercept[IllegalArgumentException](PipelineCompiler.compile(Seq(
       Map("$search" -> Map("autocomplete" -> Map(

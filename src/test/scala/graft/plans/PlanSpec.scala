@@ -440,6 +440,28 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.skewSalt")
   }
 
+  test("deterministic salt skips map columns; salted group works on " +
+      "map-typed frames") {
+    import spark.implicits._
+    import graft.pipeline.PipelineCompiler
+    // Spark's hash rejects MapType — the salt must exclude such columns
+    val d = Seq((1L, "a", 5L), (2L, "a", 7L), (3L, "b", 1L))
+      .toDF("_id", "k", "v")
+      .withColumn("m", map(col("k"), col("v")))
+    val gp = Seq(Map("$group" -> (Map("_id" -> "$k",
+      "s" -> Map("$sum" -> "$v")): Map[String, Any])))
+    spark.conf.set("spark.graft.skewSalt", "4")
+    try {
+      val out = PipelineCompiler.compile(gp)(d)
+        .orderBy("_id").as[(String, Long)].collect().toSeq
+      assert(out == Seq(("a", 12L), ("b", 1L)))
+    } finally spark.conf.unset("spark.graft.skewSalt")
+    // all-map frames fall back to the JSON rendering (still works)
+    val allMap = d.select(col("m"))
+    assert(allMap.select(graft.ops.Skew.deterministicSalt(allMap, 4))
+      .distinct().count() >= 1)
+  }
+
   test("spark.graft.skewSalt=auto: engine-first policy — group stays " +
       "plain, lookup salts only without AQE") {
     import spark.implicits._

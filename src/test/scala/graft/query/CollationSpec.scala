@@ -131,6 +131,10 @@ class CollationSpec extends SparkSpec {
     assert(idsFor(Map("_id" -> Map("$in" -> Seq(2L, "x")))) == Seq(2))
     assert(idsFor(Map("_id" -> 3L)) == Seq(3))
     assert(idsFor(Map("_id" -> Map("$gte" -> 4L))) == Seq(4, 5))
+    // range ops bracket too: a string literal never compares against a
+    // numeric column (and must not coerce/throw under ANSI)
+    assert(idsFor(Map("_id" -> Map("$gt" -> "2"))) == Seq())
+    assert(idsFor(Map("_id" -> Map("$lte" -> "x"))) == Seq())
     // string fields still fold under the same compile
     assert(idsFor(Map("name" -> "ALICE")) == Seq(1, 2, 3))
     assert(idsFor(Map("name" -> Map("$in" -> Seq("BOB")))) == Seq(4, 5))
