@@ -621,6 +621,26 @@ object SparkEntry {
     // $searchMeta facet collector: string top-N + number-boundary facets
     // under a text operator pre-filter; the struct result is flattened to
     // driver-comparable rows (facet, bucket, cnt)
+    // $searchMeta DATE facets: [boundaries) year buckets keyed by the
+    // lower boundary timestamp, over a range-filtered operator set
+    "q193_searchmeta_date_facet" -> ((s, dir) => {
+      val meta = coll(s, dir, "orders").pipe(Seq(
+        Map("$searchMeta" -> Map("facet" -> Map(
+          "operator" -> Map("range" ->
+            Map("path" -> "o_totalprice", "gte" -> 50000)),
+          "facets" -> Map(
+            "byYear" -> Map("type" -> "date", "path" -> "o_orderdate",
+              "boundaries" -> Seq("1993-01-01", "1995-01-01",
+                "1997-01-01", "1999-01-01"))))))))
+      meta.select(lit("year").as("facet"),
+          explode(col("facet.byYear.buckets")).as("b"))
+        .select(col("facet"), col("b._id").cast("string").as("bucket"),
+          col("b.count").as("cnt"))
+        .unionByName(meta.select(lit("total").as("facet"),
+          lit("all").as("bucket"), col("count.total").as("cnt")))
+        .orderBy("facet", "bucket")
+    }),
+
     "q142_searchmeta_facet" -> ((s, dir) => {
       val meta = coll(s, dir, "documents").pipe(Seq(
         Map("$searchMeta" -> Map("facet" -> Map(
@@ -4841,6 +4861,24 @@ object SparkEntry {
         |  FROM u GROUP BY doc_id)
         |SELECT doc_id, CAST(CAST(score AS DECIMAL(18,9)) AS DOUBLE) AS score
         |FROM f ORDER BY score DESC, doc_id""".stripMargin,
+
+    "q193_searchmeta_date_facet" ->
+      """WITH m AS (
+        |  SELECT o_orderdate FROM orders WHERE o_totalprice >= 50000),
+        |yb AS (
+        |  SELECT CASE
+        |      WHEN o_orderdate < TIMESTAMP '1995-01-01'
+        |        THEN TIMESTAMP '1993-01-01'
+        |      WHEN o_orderdate < TIMESTAMP '1997-01-01'
+        |        THEN TIMESTAMP '1995-01-01'
+        |      ELSE TIMESTAMP '1997-01-01' END AS b, COUNT(*) AS cnt
+        |  FROM m
+        |  WHERE o_orderdate >= TIMESTAMP '1993-01-01'
+        |    AND o_orderdate < TIMESTAMP '1999-01-01'
+        |  GROUP BY 1)
+        |SELECT 'year' AS facet, CAST(b AS VARCHAR) AS bucket, cnt FROM yb
+        |UNION ALL SELECT 'total', 'all', COUNT(*) FROM m
+        |ORDER BY facet, bucket""".stripMargin,
 
     "q142_searchmeta_facet" ->
       """WITH m AS (

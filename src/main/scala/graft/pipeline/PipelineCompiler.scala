@@ -1691,6 +1691,16 @@ object PipelineCompiler {
           val facets = doc(os.getOrElse("facets",
             throw new IllegalArgumentException(s"$name.facet requires facets")))
           require(facets.nonEmpty, s"$name.facet: empty facets")
+          // Atlas' `default` catch-all bucket mixes a string _id into a
+          // typed bucket column — no faithful columnar shape, so it is
+          // rejected with the standard workaround instead of silently
+          // dropping out-of-range rows under a different contract
+          def requireNoDefault(fname: String, fs: Map[String, Any]): Unit =
+            require(!fs.contains("default"),
+              s"$name.facet.$fname.default: not supported — out-of-" +
+                "boundary rows are excluded; add an explicit catch-all " +
+                "boundary pair, or count the remainder with a second " +
+                "$searchMeta over the complementary range")
           val frames = facets.toSeq.map { case (fname, fsRaw) =>
             val fs = doc(fsRaw)
             val path = pathOf("facet", fs)
@@ -1707,6 +1717,7 @@ object PipelineCompiler {
                     x => struct(x.getField("_id").as("_id"),
                       x.getField("count").as("count"))).as(fname))
               case "number" =>
+                requireNoDefault(fname, fs)
                 val bs = fs.getOrElse("boundaries",
                   throw new IllegalArgumentException(
                     s"$name.facet.$fname requires boundaries")) match {
@@ -1726,8 +1737,46 @@ object PipelineCompiler {
                   .agg(count(lit(1)).as("count"))
                   .agg(array_sort(collect_list(struct(col("_id").as("_id"),
                     col("count").as("count")))).as(fname))
+              case "date" =>
+                // Atlas date facet: [boundaries) buckets keyed by the
+                // lower boundary timestamp; boundaries are ISO-8601
+                // strings (date-only accepted) or Date values, strictly
+                // ascending — same bucket algebra as number facets over
+                // a timestamp cast
+                requireNoDefault(fname, fs)
+                def tsV(v: Any): java.sql.Timestamp = v match {
+                  case t: java.sql.Timestamp => t
+                  case d: java.util.Date =>
+                    new java.sql.Timestamp(d.getTime)
+                  case s: String =>
+                    java.sql.Timestamp.from(java.time.Instant.parse(
+                      if (s.length == 10) s + "T00:00:00Z" else s))
+                  case other => throw new IllegalArgumentException(
+                    s"$name.facet.$fname boundary: $other")
+                }
+                val bs = fs.getOrElse("boundaries",
+                  throw new IllegalArgumentException(
+                    s"$name.facet.$fname requires boundaries")) match {
+                  case s: Seq[_] => s.map(tsV)
+                  case other => throw new IllegalArgumentException(
+                    s"$name.facet.$fname boundaries: $other")
+                }
+                val ms = bs.map(_.getTime)
+                require(bs.size >= 2 && ms == ms.sorted &&
+                  ms.distinct.size == ms.size,
+                  s"$name.facet.$fname: boundaries must be ascending")
+                val c = col(path).cast("timestamp")
+                val bucket = bs.init.zip(bs.tail).map { case (lo, hi) =>
+                  when(c >= lit(lo) && c < lit(hi), lit(lo))
+                }.reduce((a, b) => coalesce(a, b))
+                base.where(c >= lit(bs.head) && c < lit(bs.last))
+                  .groupBy(bucket.as("_id"))
+                  .agg(count(lit(1)).as("count"))
+                  .agg(array_sort(collect_list(struct(col("_id").as("_id"),
+                    col("count").as("count")))).as(fname))
               case other => throw new IllegalArgumentException(
-                s"$name.facet.$fname: unsupported type $other (string/number)")
+                s"$name.facet.$fname: unsupported type $other " +
+                  "(string/number/date)")
             }
           }
           val total = base.agg(count(lit(1)).as("__total"))

@@ -2816,6 +2816,33 @@ class SearchStagesSpec extends graft.SparkSpec {
       Seq((0.0, 2L), (25.0, 3L)))
   }
 
+  test("$searchMeta facet: date boundaries; default rejects loudly") {
+    import org.apache.spark.sql.Row
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    val docs = Seq(
+      (1L, ts("1993-06-01 00:00:00")), (2L, ts("1994-01-15 00:00:00")),
+      (3L, ts("1995-07-01 00:00:00")), (4L, ts("1999-02-01 00:00:00")))
+      .toDF("id", "d")
+    val out = PipelineCompiler.compile(Seq(
+      Map("$searchMeta" -> Map("facet" -> Map(
+        "facets" -> Map(
+          "byYear" -> Map("type" -> "date", "path" -> "d",
+            "boundaries" -> Seq("1993-01-01", "1995-01-01",
+              "1998-01-01"))))))))(docs)
+    val r = out.head()
+    val f = r.getStruct(r.fieldIndex("facet"))
+    val by = f.getStruct(f.schema.fieldIndex("byYear")).getSeq[Row](0)
+    // docs 1,2 land in [1993,1995); doc 3 in [1995,1998); doc 4 out
+    assert(by.map(b => (b.getTimestamp(0).toString, b.getLong(1))) ==
+      Seq(("1993-01-01 00:00:00.0", 2L), ("1995-01-01 00:00:00.0", 1L)))
+    val e = intercept[IllegalArgumentException](PipelineCompiler.compile(
+      Seq(Map("$searchMeta" -> Map("facet" -> Map(
+        "facets" -> Map("byYear" -> Map("type" -> "date", "path" -> "d",
+          "boundaries" -> Seq("1993-01-01", "1995-01-01"),
+          "default" -> "other")))))))(docs))
+    assert(e.getMessage.contains("default"))
+  }
+
   test("$rankFusion: RRF over ranked sub-pipelines, weights, meta score") {
     val docs = Seq(
       (1L, "spark spark stream", 10.0),
