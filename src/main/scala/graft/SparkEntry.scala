@@ -896,6 +896,17 @@ object SparkEntry {
           col("score").cast("decimal(18,9)").cast("double").as("score"))
         .orderBy(col("score").desc, col("doc_id")).limit(25)),
 
+    // classic $match $text with $language "english": the quoted phrase
+    // "filtering queries" stems to [filter, queri] and adjacency runs
+    // in the STOP-REMOVED stemmed stream on both sides — "filter the
+    // query" matches because 'the' is unindexed
+    "q194_text_language_english" -> ((s, dir) =>
+      coll(s, dir, "documents")
+        .find(Map("$text" -> Map(
+          "$search" -> "\"filtering queries\"",
+          "$language" -> "english")))
+        .select("doc_id").toDF.orderBy("doc_id")),
+
     // collation numericOrdering: digit runs compare as numbers, so
     // src2 sorts before src10 (binary order would interleave src1,
     // src10..src19, src2); composed with strength 2 the lang filter
@@ -4269,6 +4280,26 @@ object SparkEntry {
         |SELECT doc_id,
         |  CAST(CAST(score AS DECIMAL(18,9)) AS DOUBLE) AS score
         |FROM fn ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
+
+    // stop-filtered adjacency: on this base-form corpus the only tokens
+    // stemming to (filter, queri) are 'filter' and 'query', so the
+    // stemmed-stream adjacency reduces to adjacency of those two words
+    // in the stop-removed token list
+    "q194_text_language_english" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(list_filter(string_split(lower(text), ' '),
+        |      x -> x <> ''),
+        |      x -> x NOT IN ('a','an','and','are','as','at','be','but',
+        |        'by','for','if','in','into','is','it','no','not','of',
+        |        'on','or','such','that','the','their','then','there',
+        |        'these','they','this','to','was','will','with')) AS t
+        |  FROM documents)
+        |SELECT doc_id FROM tk
+        |WHERE len(list_filter(range(1, len(t) + 1), i ->
+        |  i + 1 <= len(t) AND t[i] = 'filter' AND t[i + 1] = 'query'))
+        |  > 0
+        |ORDER BY doc_id""".stripMargin,
 
     // numeric collation order on this corpus = (non-digit part, numeric
     // value of the digit run): every source is 'src' + digits

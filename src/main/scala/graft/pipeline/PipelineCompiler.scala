@@ -116,16 +116,19 @@ object PipelineCompiler {
         // so a following $sort/$project {$meta} composes
         q.get("$text") match {
           case Some(t) =>
-            val (search, cs) = t match {
+            val (search, cs, en) = t match {
               case m: Map[_, _] =>
                 val mm = m.asInstanceOf[Map[String, Any]]
                 (mm.getOrElse("$search", "").toString,
-                  mm.get("$caseSensitive").contains(true))
-              case s: String => (s, false)
-              case _ => ("", false)
+                  mm.get("$caseSensitive").contains(true),
+                  mm.get("$language").map(_.toString
+                    .toLowerCase(java.util.Locale.ROOT))
+                    .exists(l => l == "english" || l == "en"))
+              case s: String => (s, false, false)
+              case _ => ("", false, false)
             }
             matched.withColumn("__searchScore",
-              QueryCompiler.textScore(search, cs))
+              QueryCompiler.textScore(search, cs, en))
           case None => matched
         }
 

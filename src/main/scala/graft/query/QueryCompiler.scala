@@ -108,29 +108,43 @@ object QueryCompiler {
       // OR semantics), `"quoted phrases"` must ALL be present as
       // substrings, and `-term` / `-"phrase"` exclusions must ALL be
       // absent. `$caseSensitive` matches Mongo (default false =
-      // fold-to-lower on both sides); `$language`/`$diacriticSensitive`
-      // are accepted and ignored (no stemming or diacritic folding over
-      // parquet text).
-      val (search, caseSensitive) = value match {
+      // fold-to-lower on both sides). `$language: "english"` runs the
+      // english analysis chain (stop-word removal + Porter stemming,
+      // the same machinery as the lucene.english $search analyzer) on
+      // BOTH sides, so "filtering" matches "filter"; "none" (and
+      // omitted — a DOCUMENTED divergence: Mongo's default is english,
+      // but silently stemming every existing unanalyzed query would
+      // change long-standing results) keeps exact-token matching;
+      // other languages reject loudly. `$diacriticSensitive` is
+      // accepted and ignored (no diacritic folding over parquet text).
+      val (search, caseSensitive, english) = value match {
         case m: Map[_, _] =>
           val mm = m.asInstanceOf[Map[String, Any]]
           val unknown = mm.keySet --
             Set("$search", "$caseSensitive", "$language",
               "$diacriticSensitive")
           require(unknown.isEmpty, s"$$text: unsupported option(s) $unknown")
+          val lang = mm.get("$language").map(_.toString
+            .toLowerCase(java.util.Locale.ROOT)).getOrElse("none")
+          require(Set("none", "english", "en")(lang),
+            s"$$text.$$language: '$lang' unsupported (none/english — " +
+              "other languages need stemmers this engine does not model)")
+          val cs = mm.get("$caseSensitive") match {
+            case Some(b: Boolean) => b
+            case Some(other) => throw new IllegalArgumentException(
+              s"$$text.$$caseSensitive: $other")
+            case None => false
+          }
+          require(!(cs && lang != "none"),
+            "$text: $caseSensitive cannot combine with $language " +
+              "'english' — stemming folds case by construction")
           (mm.getOrElse("$search", throw new IllegalArgumentException(
-            "$text requires $search")).toString,
-            mm.get("$caseSensitive") match {
-              case Some(b: Boolean) => b
-              case Some(other) => throw new IllegalArgumentException(
-                s"$$text.$$caseSensitive: $other")
-              case None => false
-            })
-        case s: String => (s, false)
+            "$text requires $search")).toString, cs, lang != "none")
+        case s: String => (s, false, false)
         case other =>
           throw new IllegalArgumentException(s"$$text: $other")
       }
-      textPredicate(search, caseSensitive)
+      textPredicate(search, caseSensitive, english)
     case "$comment" => lit(true) // server-log annotation: no predicate
     case "$where" => throw new IllegalArgumentException(
       "$where (JavaScript) is not supported: there is no JS engine in a " +
@@ -634,41 +648,70 @@ object QueryCompiler {
     * all phrases, AND none of the exclusions — Mongo's documented
     * semantics for `$search` strings. Case-insensitive unless
     * `caseSensitive` (Mongo's default): both the text and the search
-    * terms fold to lowercase. */
+    * terms fold to lowercase. With `english`, both sides run the
+    * english analysis chain (stop removal + Porter stemming —
+    * [[graft.ops.TextFunctions.englishTokens]]): a bare stop-word term
+    * matches NOTHING (it is never indexed, Mongo's rule) and a negated
+    * stop word excludes nothing. */
   private[graft] def textPredicate(search: String,
-      caseSensitive: Boolean = false): Column = {
+      caseSensitive: Boolean = false, english: Boolean = false): Column = {
     val ts = parseTextSearch(search)
-    val (txt, fold) = textFold(caseSensitive)
-    val toks = graft.ops.TextFunctions.tokens(txt)
-    val pos = ts.terms.map(t => array_contains(toks, fold(t)))
-      .reduceOption(_ || _).getOrElse(lit(true))
-    val phr = ts.phrases.map(p => phraseHit(toks, fold(p)))
-      .reduceOption(_ && _).getOrElse(lit(true))
-    val neg = (ts.negTerms.map(t => !array_contains(toks, fold(t))) ++
-      ts.negPhrases.map(p => !phraseHit(toks, fold(p))))
+    val (toks, term, phraseTerms) = textAnalysis(caseSensitive, english)
+    def hit(t: String): Column = term(t) match {
+      case Seq() => lit(false) // stop word: unindexed, never matches
+      case many => many.map(m => array_contains(toks, m)).reduce(_ && _)
+    }
+    def pHit(p: String): Column = phraseTerms(p) match {
+      case Seq() => lit(true)
+      case terms =>
+        graft.ops.TextFunctions.phraseOccurrences(toks, terms, 0) > 0
+    }
+    val pos = ts.terms.map(hit).reduceOption(_ || _).getOrElse(lit(true))
+    val phr = ts.phrases.map(pHit).reduceOption(_ && _).getOrElse(lit(true))
+    val neg = (ts.negTerms.map(t => term(t) match {
+        case Seq() => lit(true) // negated stop word constrains nothing
+        case many => !many.map(m => array_contains(toks, m)).reduce(_ && _)
+      }) ++ ts.negPhrases.map(p => !pHit(p)))
       .reduceOption(_ && _).getOrElse(lit(true))
     pos && phr && neg
   }
 
-  /** Quoted-phrase hit as ANALYZED-TOKEN adjacency (not raw substring):
-    * the phrase's tokens must appear consecutively in the token stream —
-    * "a b" matches "x a b y" but not "xa by". */
-  private def phraseHit(toks: Column, phrase: String): Column = {
-    val terms = phrase.split("\\s+").filter(_.nonEmpty).toSeq
-    if (terms.isEmpty) lit(true)
-    else graft.ops.TextFunctions.phraseOccurrences(toks, terms, 0) > 0
-  }
+  /** (token column, bare-term analyzer, phrase analyzer) for the $text
+    * grammar under the selected analysis mode. Phrase hits are
+    * ANALYZED-TOKEN adjacency (not raw substring): "a b" matches
+    * "x a b y" but not "xa by" — under `english`, adjacency runs in the
+    * stop-removed stemmed stream on both sides. */
+  private def textAnalysis(caseSensitive: Boolean, english: Boolean)
+      : (Column, String => Seq[String], String => Seq[String]) =
+    if (english) {
+      (graft.ops.TextFunctions.englishTokens(col("text")),
+        t => graft.ops.TextFunctions.englishTerms(t),
+        p => graft.ops.TextFunctions.englishTerms(p))
+    } else {
+      val (txt, fold) = textFold(caseSensitive)
+      (graft.ops.TextFunctions.tokens(txt),
+        t => Seq(fold(t)),
+        p => fold(p).split("\\s+").filter(_.nonEmpty).toSeq)
+    }
 
   /** Simplified textScore for the `{$meta: "textScore"}` carrier: count
     * of matching bare terms plus matching phrases (documented as simpler
     * than Mongo's tf weighting; `$search` carries full BM25). */
   private[graft] def textScore(search: String,
-      caseSensitive: Boolean = false): Column = {
+      caseSensitive: Boolean = false, english: Boolean = false): Column = {
     val ts = parseTextSearch(search)
-    val (txt, fold) = textFold(caseSensitive)
-    val toks = graft.ops.TextFunctions.tokens(txt)
-    (ts.terms.map(t => array_contains(toks, fold(t)).cast("int")) ++
-      ts.phrases.map(p => phraseHit(toks, fold(p)).cast("int")))
+    val (toks, term, phraseTerms) = textAnalysis(caseSensitive, english)
+    def hit(t: String): Column = term(t) match {
+      case Seq() => lit(false)
+      case many => many.map(m => array_contains(toks, m)).reduce(_ && _)
+    }
+    def pHit(p: String): Column = phraseTerms(p) match {
+      case Seq() => lit(true)
+      case terms =>
+        graft.ops.TextFunctions.phraseOccurrences(toks, terms, 0) > 0
+    }
+    (ts.terms.map(t => hit(t).cast("int")) ++
+      ts.phrases.map(p => pHit(p).cast("int")))
       .reduce(_ + _).cast("double")
   }
 

@@ -155,6 +155,38 @@ class QueryCompilerSpec extends SparkSpec {
     }
   }
 
+  test("$text $language english: stemming and stop removal both sides") {
+    val docs = Seq(
+      (1L, "The filtering systems are fast"),
+      (2L, "filter the stream"),
+      (3L, "filtration plant"),
+      (4L, "nothing here")).toDF("_id", "text")
+    def hits(search: String): Seq[Long] =
+      docs.where(QueryCompiler.compile(Map("$text" ->
+        Map("$search" -> search, "$language" -> "english"))))
+        .select("_id").as[Long].collect().toSeq.sorted
+    // inflected query term matches base and inflected docs, not the
+    // different-stem 'filtration'
+    assert(hits("filters") == Seq(1, 2))
+    // phrase adjacency runs in the stop-removed stemmed stream:
+    // "filter the stream" matches "filtering streams" (the unindexed)
+    assert(hits("\"filtering streams\"") == Seq(2))
+    // a bare stop word is unindexed: matches nothing
+    assert(hits("the nonexistenttoken") == Seq())
+    // negated stemmed term; negated stop word constrains nothing
+    assert(hits("filters -streaming") == Seq(1))
+    assert(hits("filters -the") == Seq(1, 2))
+    // unsupported language and caseSensitive+english reject loudly
+    intercept[IllegalArgumentException] {
+      QueryCompiler.compile(Map("$text" ->
+        Map("$search" -> "x", "$language" -> "french")))
+    }
+    intercept[IllegalArgumentException] {
+      QueryCompiler.compile(Map("$text" -> Map("$search" -> "x",
+        "$language" -> "english", "$caseSensitive" -> true)))
+    }
+  }
+
   test("$text negation and quoted phrases") {
     val docs = Seq(
       (1L, "spark shuffles data fast"),
