@@ -13,7 +13,7 @@ import graft.backup.{Backup, BackupOptions}
 import graft.apm.Apm
 import graft.ops.{Dedup, Decontaminate, Similarity, TextFunctions,
   Multimodal, Chunking, Quantize, Redaction, TfIdf, TextSearch,
-  LanguageModel, Dsir, Classifier}
+  LanguageModel, Dsir, Classifier, Sampling}
 
 /** Driver contract — one `queries` entry + matching DuckDB `oracleSql` per
   * implemented operator from SURVEY.md §2 (plus the LLM-pipeline extension
@@ -895,6 +895,12 @@ object SparkEntry {
         .select(col("doc_id"),
           col("score").cast("decimal(18,9)").cast("double").as("score"))
         .orderBy(col("score").desc, col("doc_id")).limit(25)),
+
+    // per-key cap: at most 10 documents per source, deterministically
+    // hash-ranked — the per-domain cap of web-corpus curation
+    "q195_cap_per_key" -> ((s, dir) =>
+      Sampling.capPerKey(tbl(s, dir, "documents"), "doc_id", "source", 10)
+        .select("doc_id", "source").orderBy("doc_id")),
 
     // classic $match $text with $language "english": the quoted phrase
     // "filtering queries" stems to [filter, queri] and adjacency runs
@@ -4280,6 +4286,17 @@ object SparkEntry {
         |SELECT doc_id,
         |  CAST(CAST(score AS DECIMAL(18,9)) AS DOUBLE) AS score
         |FROM fn ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
+
+    "q195_cap_per_key" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY
+        |      ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT
+        |        % 1000000,
+        |      doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, source FROM r WHERE rn <= 10
+        |ORDER BY doc_id""".stripMargin,
 
     // stop-filtered adjacency: on this base-form corpus the only tokens
     // stemming to (filter, queri) are 'filter' and 'query', so the

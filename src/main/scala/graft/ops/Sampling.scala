@@ -22,6 +22,28 @@ object Sampling {
   def hashBucket(id: Column, salt: String = ""): Column =
     hash60(concat(id.cast("string"), lit(salt))) % Buckets
 
+  /** Keep at most `n` rows per key — the per-domain cap of web-corpus
+    * curation (a handful of mega-domains otherwise dominate the
+    * mixture). The kept subset is DETERMINISTIC: rows rank by the
+    * md5-derived hash bucket of their id (+`salt`), id tie-break, so
+    * reruns, task retries, and repartitioning keep the same rows, and
+    * changing `salt` redraws the subset.
+    *
+    * Shape at 100 TB: ONE hash shuffle on the key for the per-key
+    * window; the ranking value is scan-computed. A mega-key makes one
+    * window partition long, but row_number streams (no per-partition
+    * buffering), so the cost is that partition's scan, not memory. */
+  def capPerKey(df: DataFrame, idCol: String, keyCol: String, n: Int,
+      salt: String = ""): DataFrame = {
+    require(n > 0, "capPerKey: n must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(hashBucket(col(idCol), salt).asc, col(idCol).asc)
+    df.withColumn("__cap_rn", row_number().over(w))
+      .where(col("__cap_rn") <= n)
+      .drop("__cap_rn")
+  }
+
   /** Keep ~`fraction` of rows, deterministically by id. */
   def hashSample(df: DataFrame, idCol: String, fraction: Double,
       salt: String = ""): DataFrame = {

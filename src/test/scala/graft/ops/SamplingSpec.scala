@@ -15,6 +15,25 @@ class SamplingSpec extends SparkSpec {
     assert(a.size > 300 && a.size < 500) // ~400 expected
   }
 
+  test("capPerKey keeps at most n per key, deterministically") {
+    val capped = Sampling.capPerKey(df, "id", "lang", 100)
+    val byLang = capped.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    assert(byLang == Map("en" -> 100L, "de" -> 100L))
+    // deterministic subset: same rows on a rerun AND under different
+    // partitioning (retry-safe by construction)
+    val a = capped.select("id").as[Long].collect().toSet
+    val b = Sampling.capPerKey(df.repartition(7), "id", "lang", 100)
+      .select("id").as[Long].collect().toSet
+    assert(a == b)
+    // keys under the cap keep everything
+    assert(Sampling.capPerKey(df, "id", "lang", 5000).count() == 2000L)
+    // a different salt redraws the subset
+    val c = Sampling.capPerKey(df, "id", "lang", 100, salt = "x")
+      .select("id").as[Long].collect().toSet
+    assert(c != a && c.size == 200)
+  }
+
   test("membership is monotone in the fraction (stable splits)") {
     val small = Sampling.hashSample(df, "id", 0.1).select("id").as[Long].collect().toSet
     val big = Sampling.hashSample(df, "id", 0.3).select("id").as[Long].collect().toSet
