@@ -896,6 +896,16 @@ object SparkEntry {
           col("score").cast("decimal(18,9)").cast("double").as("score"))
         .orderBy(col("score").desc, col("doc_id")).limit(25)),
 
+    // unigram entropy in nats per document — the low-entropy
+    // repetitive/spam screen; per-term contributions quantize to 1e-9
+    // longs so the sum is partitioning-invariant and engine-exact
+    "q196_token_entropy" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .where(col("doc_id") < 500)
+        .select(col("doc_id"),
+          TextFunctions.tokenEntropy(col("text")).as("entropy"))
+        .orderBy("doc_id")),
+
     // per-key cap: at most 10 documents per source, deterministically
     // hash-ranked — the per-domain cap of web-corpus curation
     "q195_cap_per_key" -> ((s, dir) =>
@@ -4286,6 +4296,24 @@ object SparkEntry {
         |SELECT doc_id,
         |  CAST(CAST(score AS DECIMAL(18,9)) AS DOUBLE) AS score
         |FROM fn ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
+
+    "q196_token_entropy" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents WHERE doc_id < 500),
+        |tok AS (SELECT doc_id, len(t) AS n, unnest(t) AS w FROM tk),
+        |cnt AS (SELECT doc_id, n, w, COUNT(*) AS c FROM tok
+        |  GROUP BY 1, 2, 3),
+        |e AS (SELECT doc_id,
+        |    CAST(SUM(CAST(floor((c / CAST(n AS DOUBLE)) *
+        |      ln(c / CAST(n AS DOUBLE)) * 1e9 + 0.5) AS BIGINT))
+        |      AS DOUBLE) / -1e9 AS entropy
+        |  FROM cnt GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(e.entropy, 0.0) AS entropy
+        |FROM (SELECT doc_id FROM documents WHERE doc_id < 500) d
+        |LEFT JOIN e USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q195_cap_per_key" ->
       """WITH r AS (

@@ -158,6 +158,36 @@ object TextFunctions {
     else nearPrefix
   }
 
+  /** Unigram (token) entropy of a document in nats: −Σ p·ln p over the
+    * within-document token distribution — the standard low-entropy
+    * screen for repetitive/spam text (complements the repetition and
+    * Gopher flags). Pure scan algebra: sort the token array once
+    * (let-bound — the HOF capture trap would otherwise re-sort per
+    * element), find run starts, fold run lengths. Each term quantizes
+    * to 1e-9 and sums as LONGS (the repo's cents pattern), so the
+    * result is a pure function of the text — partitioning-invariant
+    * and engine-reproducible (DuckDB: the same floor(x·1e9 + 0.5)
+    * per (count, n) pair). Empty text scores 0. */
+  def tokenEntropy(text: Column): Column = {
+    val toks = tokens(text)
+    val ent = element_at(transform(array(array_sort(toks)), srt =>
+      element_at(transform(array(filter(
+          sequence(lit(1), size(srt)), i =>
+            i === lit(1) || element_at(srt, i.cast("int")) =!=
+              element_at(srt, i.cast("int") - 1))), starts => {
+        val n = size(srt).cast("double")
+        val nexts = concat(
+          slice(starts, lit(2), greatest(lit(0), size(starts) - 1)),
+          array((size(srt) + 1).cast("int")))
+        aggregate(
+          zip_with(starts, nexts, (s, nx) => (nx - s).cast("double")),
+          lit(0L), (acc, c) =>
+            acc + floor((c / n) * log(c / n) * 1e9 + 0.5).cast("long"))
+          .cast("double") / -1e9
+      }), 1)), 1)
+    when(size(toks) > 0, ent).otherwise(lit(0.0))
+  }
+
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** BPE-ish subword count: alpha runs, digit runs, single punctuation. */

@@ -594,6 +594,22 @@ class TextFunctionsSpec extends SparkSpec {
       " are fast") == Seq("custom", "filter", "system", "fast"))
   }
 
+  test("tokenEntropy: nats over the within-doc token distribution") {
+    def ent(s: String): Double =
+      one(s).select(TextFunctions.tokenEntropy($"text"))
+        .as[Double].head()
+    // uniform over 4 distinct tokens: ln 4
+    assert(math.abs(ent("a b c d") - math.log(4)) < 1e-8)
+    // all-same tokens: zero entropy (the spam screen's target)
+    assert(ent("a a a a a") == 0.0)
+    // 2/3–1/3 split
+    val p = 2.0 / 3
+    assert(math.abs(ent("a a b") -
+      (-(p * math.log(p) + (1 - p) * math.log(1 - p)))) < 1e-8)
+    // empty text scores 0
+    assert(ent("") == 0.0)
+  }
+
   test("bpe-ish splits punctuation and digits") {
     assert(one("it's 42km!").select(TextFunctions.bpeishTokenCount($"text"))
       .as[Int].head() == 6) // it ' s 42 km !
