@@ -4307,8 +4307,8 @@ object SparkEntry {
         |  GROUP BY 1, 2, 3),
         |e AS (SELECT doc_id,
         |    CAST(SUM(CAST(floor((c / CAST(n AS DOUBLE)) *
-        |      ln(c / CAST(n AS DOUBLE)) * 1e9 + 0.5) AS BIGINT))
-        |      AS DOUBLE) / -1e9 AS entropy
+        |      ln(c / CAST(n AS DOUBLE)) * 1e6 + 0.5) AS BIGINT))
+        |      AS DOUBLE) / -1e6 AS entropy
         |  FROM cnt GROUP BY doc_id)
         |SELECT d.doc_id, coalesce(e.entropy, 0.0) AS entropy
         |FROM (SELECT doc_id FROM documents WHERE doc_id < 500) d
@@ -4333,7 +4333,8 @@ object SparkEntry {
     "q194_text_language_english" ->
       """WITH tk AS (
         |  SELECT doc_id,
-        |    list_filter(list_filter(string_split(lower(text), ' '),
+        |    list_filter(list_filter(
+        |      regexp_split_to_array(lower(text), '[^a-z0-9]+'),
         |      x -> x <> ''),
         |      x -> x NOT IN ('a','an','and','are','as','at','be','but',
         |        'by','for','if','in','into','is','it','no','not','of',
@@ -4365,7 +4366,8 @@ object SparkEntry {
     "q187_search_english_stemming" ->
       """WITH tk AS (
         |  SELECT doc_id,
-        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '') AS t
         |  FROM documents)
         |SELECT doc_id FROM tk
         |WHERE list_contains(t, 'filter') OR list_contains(t, 'query')

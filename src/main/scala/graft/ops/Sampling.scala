@@ -36,6 +36,9 @@ object Sampling {
   def capPerKey(df: DataFrame, idCol: String, keyCol: String, n: Int,
       salt: String = ""): DataFrame = {
     require(n > 0, "capPerKey: n must be positive")
+    require(!df.columns.contains("__cap_rn"),
+      "capPerKey: input already carries a __cap_rn column — rename it " +
+        "(the cap would silently overwrite and drop it)")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(keyCol))
       .orderBy(hashBucket(col(idCol), salt).asc, col(idCol).asc)

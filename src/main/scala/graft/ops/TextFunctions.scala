@@ -164,10 +164,13 @@ object TextFunctions {
     * Gopher flags). Pure scan algebra: sort the token array once
     * (let-bound — the HOF capture trap would otherwise re-sort per
     * element), find run starts, fold run lengths. Each term quantizes
-    * to 1e-9 and sums as LONGS (the repo's cents pattern), so the
-    * result is a pure function of the text — partitioning-invariant
-    * and engine-reproducible (DuckDB: the same floor(x·1e9 + 0.5)
-    * per (count, n) pair). Empty text scores 0. */
+    * to MICRO-nats and sums as LONGS (the repo's cents pattern), so
+    * the sum is partitioning-invariant, and the coarse 1e-6 quantum
+    * leaves ~9 orders of headroom over any cross-engine ln() ulp
+    * difference (integer quantization fixes summation ORDER exactly;
+    * transcendental rounding it can only absorb, so the quantum must
+    * dwarf it — at 1e-9 a libm-vs-JVM ulp at a floor boundary could
+    * still flip a digit). Empty text scores 0. */
   def tokenEntropy(text: Column): Column = {
     val toks = tokens(text)
     val ent = element_at(transform(array(array_sort(toks)), srt =>
@@ -182,8 +185,8 @@ object TextFunctions {
         aggregate(
           zip_with(starts, nexts, (s, nx) => (nx - s).cast("double")),
           lit(0L), (acc, c) =>
-            acc + floor((c / n) * log(c / n) * 1e9 + 0.5).cast("long"))
-          .cast("double") / -1e9
+            acc + floor((c / n) * log(c / n) * 1e6 + 0.5).cast("long"))
+          .cast("double") / -1e6
       }), 1)), 1)
     when(size(toks) > 0, ent).otherwise(lit(0.0))
   }

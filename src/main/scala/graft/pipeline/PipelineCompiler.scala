@@ -116,17 +116,9 @@ object PipelineCompiler {
         // so a following $sort/$project {$meta} composes
         q.get("$text") match {
           case Some(t) =>
-            val (search, cs, en) = t match {
-              case m: Map[_, _] =>
-                val mm = m.asInstanceOf[Map[String, Any]]
-                (mm.getOrElse("$search", "").toString,
-                  mm.get("$caseSensitive").contains(true),
-                  mm.get("$language").map(_.toString
-                    .toLowerCase(java.util.Locale.ROOT))
-                    .exists(l => l == "english" || l == "en"))
-              case s: String => (s, false, false)
-              case _ => ("", false, false)
-            }
+            // the SAME parser the predicate used — filter and score
+            // analysis can never diverge
+            val (search, cs, en) = QueryCompiler.parseTextOptions(t)
             matched.withColumn("__searchScore",
               QueryCompiler.textScore(search, cs, en))
           case None => matched
@@ -1744,35 +1736,55 @@ object PipelineCompiler {
                 // Atlas date facet: [boundaries) buckets keyed by the
                 // lower boundary timestamp; boundaries are ISO-8601
                 // strings (date-only accepted) or Date values, strictly
-                // ascending — same bucket algebra as number facets over
-                // a timestamp cast
+                // ascending. String boundaries compare NAIVELY: they
+                // become to_timestamp literals parsed under the SAME
+                // session time zone the faceted column casts with, so
+                // bucket membership is invariant to
+                // spark.sql.session.timeZone (a UTC-pinned Instant
+                // would shift buckets under a non-UTC session and
+                // diverge from any naive SQL oracle).
                 requireNoDefault(fname, fs)
-                def tsV(v: Any): java.sql.Timestamp = v match {
-                  case t: java.sql.Timestamp => t
-                  case d: java.util.Date =>
-                    new java.sql.Timestamp(d.getTime)
-                  case s: String =>
-                    java.sql.Timestamp.from(java.time.Instant.parse(
-                      if (s.length == 10) s + "T00:00:00Z" else s))
-                  case other => throw new IllegalArgumentException(
-                    s"$name.facet.$fname boundary: $other")
-                }
+                def naive(v: Any): (java.time.LocalDateTime, Column) =
+                  v match {
+                    case t: java.sql.Timestamp =>
+                      (t.toLocalDateTime, lit(t))
+                    case d: java.util.Date =>
+                      val t = new java.sql.Timestamp(d.getTime)
+                      (t.toLocalDateTime, lit(t))
+                    case s: String =>
+                      val ldt = try {
+                        if (s.length == 10)
+                          java.time.LocalDate.parse(s).atStartOfDay
+                        else java.time.LocalDateTime.parse(
+                          s.stripSuffix("Z"))
+                      } catch {
+                        case e: java.time.format.DateTimeParseException =>
+                          throw new IllegalArgumentException(
+                            s"$name.facet.$fname boundary '$s': " +
+                              s"not an ISO-8601 date/datetime ($e)")
+                      }
+                      (ldt, to_timestamp(lit(
+                        ldt.toString.replace('T', ' '))))
+                    case other => throw new IllegalArgumentException(
+                      s"$name.facet.$fname boundary: $other")
+                  }
                 val bs = fs.getOrElse("boundaries",
                   throw new IllegalArgumentException(
                     s"$name.facet.$fname requires boundaries")) match {
-                  case s: Seq[_] => s.map(tsV)
+                  case s: Seq[_] => s.map(naive)
                   case other => throw new IllegalArgumentException(
                     s"$name.facet.$fname boundaries: $other")
                 }
-                val ms = bs.map(_.getTime)
-                require(bs.size >= 2 && ms == ms.sorted &&
-                  ms.distinct.size == ms.size,
+                val ldts = bs.map(_._1)
+                require(bs.size >= 2 &&
+                  ldts.sliding(2).forall(p => p(0).isBefore(p(1))),
                   s"$name.facet.$fname: boundaries must be ascending")
                 val c = col(path).cast("timestamp")
-                val bucket = bs.init.zip(bs.tail).map { case (lo, hi) =>
-                  when(c >= lit(lo) && c < lit(hi), lit(lo))
+                val bucket = bs.init.zip(bs.tail).map {
+                  case ((_, lo), (_, hi)) =>
+                    when(c >= lo && c < hi, lo)
                 }.reduce((a, b) => coalesce(a, b))
-                base.where(c >= lit(bs.head) && c < lit(bs.last))
+                base.where(c >= bs.head._2 && c < bs.last._2)
                   .groupBy(bucket.as("_id"))
                   .agg(count(lit(1)).as("count"))
                   .agg(array_sort(collect_list(struct(col("_id").as("_id"),

@@ -117,33 +117,7 @@ object QueryCompiler {
       // change long-standing results) keeps exact-token matching;
       // other languages reject loudly. `$diacriticSensitive` is
       // accepted and ignored (no diacritic folding over parquet text).
-      val (search, caseSensitive, english) = value match {
-        case m: Map[_, _] =>
-          val mm = m.asInstanceOf[Map[String, Any]]
-          val unknown = mm.keySet --
-            Set("$search", "$caseSensitive", "$language",
-              "$diacriticSensitive")
-          require(unknown.isEmpty, s"$$text: unsupported option(s) $unknown")
-          val lang = mm.get("$language").map(_.toString
-            .toLowerCase(java.util.Locale.ROOT)).getOrElse("none")
-          require(Set("none", "english", "en")(lang),
-            s"$$text.$$language: '$lang' unsupported (none/english — " +
-              "other languages need stemmers this engine does not model)")
-          val cs = mm.get("$caseSensitive") match {
-            case Some(b: Boolean) => b
-            case Some(other) => throw new IllegalArgumentException(
-              s"$$text.$$caseSensitive: $other")
-            case None => false
-          }
-          require(!(cs && lang != "none"),
-            "$text: $caseSensitive cannot combine with $language " +
-              "'english' — stemming folds case by construction")
-          (mm.getOrElse("$search", throw new IllegalArgumentException(
-            "$text requires $search")).toString, cs, lang != "none")
-        case s: String => (s, false, false)
-        case other =>
-          throw new IllegalArgumentException(s"$$text: $other")
-      }
+      val (search, caseSensitive, english) = parseTextOptions(value)
       textPredicate(search, caseSensitive, english)
     case "$comment" => lit(true) // server-log annotation: no predicate
     case "$where" => throw new IllegalArgumentException(
@@ -653,27 +627,72 @@ object QueryCompiler {
     * [[graft.ops.TextFunctions.englishTokens]]): a bare stop-word term
     * matches NOTHING (it is never indexed, Mongo's rule) and a negated
     * stop word excludes nothing. */
+  /** Parse + validate a `$text` option document (or bare search
+    * string) → (search, caseSensitive, english) — the ONE parser both
+    * the predicate and the `$match` textScore stash consult, so filter
+    * and score analysis can never diverge. */
+  private[graft] def parseTextOptions(value: Any)
+      : (String, Boolean, Boolean) = value match {
+    case m: Map[_, _] =>
+      val mm = m.asInstanceOf[Map[String, Any]]
+      val unknown = mm.keySet --
+        Set("$search", "$caseSensitive", "$language",
+          "$diacriticSensitive")
+      require(unknown.isEmpty, s"$$text: unsupported option(s) $unknown")
+      val lang = mm.get("$language").map(_.toString
+        .toLowerCase(java.util.Locale.ROOT)).getOrElse("none")
+      require(Set("none", "english", "en")(lang),
+        s"$$text.$$language: '$lang' unsupported (none/english — " +
+          "other languages need stemmers this engine does not model)")
+      val cs = mm.get("$caseSensitive") match {
+        case Some(b: Boolean) => b
+        case Some(other) => throw new IllegalArgumentException(
+          s"$$text.$$caseSensitive: $other")
+        case None => false
+      }
+      require(!(cs && lang != "none"),
+        "$text: $caseSensitive cannot combine with $language " +
+          "'english' — stemming folds case by construction")
+      (mm.getOrElse("$search", throw new IllegalArgumentException(
+        "$text requires $search")).toString, cs, lang != "none")
+    case s: String => (s, false, false)
+    case other =>
+      throw new IllegalArgumentException(s"$$text: $other")
+  }
+
   private[graft] def textPredicate(search: String,
       caseSensitive: Boolean = false, english: Boolean = false): Column = {
     val ts = parseTextSearch(search)
-    val (toks, term, phraseTerms) = textAnalysis(caseSensitive, english)
-    def hit(t: String): Column = term(t) match {
-      case Seq() => lit(false) // stop word: unindexed, never matches
-      case many => many.map(m => array_contains(toks, m)).reduce(_ && _)
-    }
-    def pHit(p: String): Column = phraseTerms(p) match {
-      case Seq() => lit(true)
-      case terms =>
-        graft.ops.TextFunctions.phraseOccurrences(toks, terms, 0) > 0
-    }
-    val pos = ts.terms.map(hit).reduceOption(_ || _).getOrElse(lit(true))
-    val phr = ts.phrases.map(pHit).reduceOption(_ && _).getOrElse(lit(true))
-    val neg = (ts.negTerms.map(t => term(t) match {
-        case Seq() => lit(true) // negated stop word constrains nothing
-        case many => !many.map(m => array_contains(toks, m)).reduce(_ && _)
-      }) ++ ts.negPhrases.map(p => !pHit(p)))
-      .reduceOption(_ && _).getOrElse(lit(true))
-    pos && phr && neg
+    val (toksExpr, term, phraseTerms) = textAnalysis(caseSensitive, english)
+    // the analyzed token array is let-bound ONCE per row: every bare
+    // term, negation, and phrase references the bound variable — inlining
+    // toksExpr would re-run the whole analysis chain (stop filter +
+    // Porter stem of every token under `english`) once per clause, the
+    // documented HOF re-evaluation trap
+    element_at(transform(array(toksExpr), toks => {
+      def hit(t: String): Column = term(t) match {
+        case Seq() => lit(false) // stop word: unindexed, never matches
+        case many => many.map(m => array_contains(toks, m)).reduce(_ && _)
+      }
+      // a phrase analyzing to NO tokens is unindexed like a bare stop
+      // word: it matches nothing positively, and its negation (!false)
+      // constrains nothing — both polarities fall out of lit(false)
+      def pHit(p: String): Column = phraseTerms(p) match {
+        case Seq() => lit(false)
+        case terms =>
+          graft.ops.TextFunctions.phraseOccurrences(toks, terms, 0) > 0
+      }
+      val pos = ts.terms.map(hit).reduceOption(_ || _).getOrElse(lit(true))
+      val phr = ts.phrases.map(pHit).reduceOption(_ && _)
+        .getOrElse(lit(true))
+      val neg = (ts.negTerms.map(t => term(t) match {
+          case Seq() => lit(true) // negated stop word constrains nothing
+          case many =>
+            !many.map(m => array_contains(toks, m)).reduce(_ && _)
+        }) ++ ts.negPhrases.map(p => !pHit(p)))
+        .reduceOption(_ && _).getOrElse(lit(true))
+      pos && phr && neg
+    }), 1)
   }
 
   /** (token column, bare-term analyzer, phrase analyzer) for the $text
@@ -700,19 +719,23 @@ object QueryCompiler {
   private[graft] def textScore(search: String,
       caseSensitive: Boolean = false, english: Boolean = false): Column = {
     val ts = parseTextSearch(search)
-    val (toks, term, phraseTerms) = textAnalysis(caseSensitive, english)
-    def hit(t: String): Column = term(t) match {
-      case Seq() => lit(false)
-      case many => many.map(m => array_contains(toks, m)).reduce(_ && _)
-    }
-    def pHit(p: String): Column = phraseTerms(p) match {
-      case Seq() => lit(true)
-      case terms =>
-        graft.ops.TextFunctions.phraseOccurrences(toks, terms, 0) > 0
-    }
-    (ts.terms.map(t => hit(t).cast("int")) ++
-      ts.phrases.map(p => pHit(p).cast("int")))
-      .reduce(_ + _).cast("double")
+    val (toksExpr, term, phraseTerms) = textAnalysis(caseSensitive, english)
+    // same one-per-row let-binding and unindexed-matches-nothing rules
+    // as [[textPredicate]] — filter and score must agree
+    element_at(transform(array(toksExpr), toks => {
+      def hit(t: String): Column = term(t) match {
+        case Seq() => lit(false)
+        case many => many.map(m => array_contains(toks, m)).reduce(_ && _)
+      }
+      def pHit(p: String): Column = phraseTerms(p) match {
+        case Seq() => lit(false)
+        case terms =>
+          graft.ops.TextFunctions.phraseOccurrences(toks, terms, 0) > 0
+      }
+      (ts.terms.map(t => hit(t).cast("int")) ++
+        ts.phrases.map(p => pHit(p).cast("int")))
+        .reduce(_ + _).cast("double")
+    }), 1)
   }
 
   private def textFold(caseSensitive: Boolean): (Column, String => String) =

@@ -599,13 +599,13 @@ class TextFunctionsSpec extends SparkSpec {
       one(s).select(TextFunctions.tokenEntropy($"text"))
         .as[Double].head()
     // uniform over 4 distinct tokens: ln 4
-    assert(math.abs(ent("a b c d") - math.log(4)) < 1e-8)
+    assert(math.abs(ent("a b c d") - math.log(4)) < 1e-5)
     // all-same tokens: zero entropy (the spam screen's target)
     assert(ent("a a a a a") == 0.0)
     // 2/3–1/3 split
     val p = 2.0 / 3
     assert(math.abs(ent("a a b") -
-      (-(p * math.log(p) + (1 - p) * math.log(1 - p)))) < 1e-8)
+      (-(p * math.log(p) + (1 - p) * math.log(1 - p)))) < 1e-5)
     // empty text scores 0
     assert(ent("") == 0.0)
   }

@@ -176,6 +176,12 @@ class QueryCompilerSpec extends SparkSpec {
     // negated stemmed term; negated stop word constrains nothing
     assert(hits("filters -streaming") == Seq(1))
     assert(hits("filters -the") == Seq(1, 2))
+    // negated STOP-PHRASE constrains nothing either (a never-indexed
+    // phrase must not exclude everything), while a positive stop-only
+    // phrase is unindexed and — since phrase legs AND together —
+    // empties the result
+    assert(hits("filters -\"the\"") == Seq(1, 2))
+    assert(hits("filters \"the\"") == Seq())
     // unsupported language and caseSensitive+english reject loudly
     intercept[IllegalArgumentException] {
       QueryCompiler.compile(Map("$text" ->
