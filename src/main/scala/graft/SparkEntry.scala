@@ -897,8 +897,9 @@ object SparkEntry {
         .orderBy(col("score").desc, col("doc_id")).limit(25)),
 
     // unigram entropy in nats per document — the low-entropy
-    // repetitive/spam screen; per-term contributions quantize to 1e-9
-    // longs so the sum is partitioning-invariant and engine-exact
+    // repetitive/spam screen; per-term contributions quantize to 1e-6
+    // (micro-nat) longs so the sum is partitioning-invariant and
+    // engine-exact
     "q196_token_entropy" -> ((s, dir) =>
       tbl(s, dir, "documents")
         .where(col("doc_id") < 500)

@@ -13,13 +13,23 @@ import org.apache.spark.unsafe.types.UTF8String
   * (/root/reference/db/wrapper.go:452-481); here ordering happens in
   * Spark's sort, so "item10 after item2" must hold under the ordinary
   * binary comparison of a derived KEY. [[NumericKey.key]] rewrites every
-  * maximal digit run into `\u0001` + (char)runLength + digits-without-
+  * maximal digit run into `\u0001` + length-prefix + digits-without-
   * leading-zeros: the marker makes numbers compare before letters (ICU's
-  * digits-first primary order), the single length char makes a shorter
+  * digits-first primary order), the length prefix makes a shorter
   * (= smaller, zeros stripped) number sort first, and equal-length runs
   * compare digit-by-digit — so lexicographic order of keys IS numeric
   * order of runs. Zero-stripping also makes "007" collate equal to "7",
   * matching ICU's CODAN numeric comparison.
+  *
+  * The length prefix is a width char (`\u0001`–`\u0004` = how many
+  * length chars follow) + that many base-256 chars from the
+  * surrogate-free page U+0100–U+01FF, most-significant first, minimal
+  * width. Width buckets carry disjoint value ranges, so lexicographic
+  * order of (width, length chars) IS numeric order of run lengths for
+  * EVERY possible Java string length — no clamp (a single char would
+  * cap at 0xFFFF, collapsing longer runs into one bucket) and no lone
+  * surrogates (chars 0xD800–0xDFFF would transcode to '?' inside
+  * UTF8String and corrupt the ordering).
   *
   * [[NumericSortKey]] wraps the transform as a scalar Catalyst
   * expression (same static-call-from-codegen pattern as
@@ -27,6 +37,21 @@ import org.apache.spark.unsafe.types.UTF8String
   * whole-stage codegen and the plan shape is unchanged at scale.
   */
 object NumericKey {
+
+  private def appendRunLength(sb: java.lang.StringBuilder,
+      len: Int): Unit = {
+    val width =
+      if (len < (1 << 8)) 1
+      else if (len < (1 << 16)) 2
+      else if (len < (1 << 24)) 3
+      else 4
+    sb.append(width.toChar)
+    var w = width - 1
+    while (w >= 0) {
+      sb.append((0x0100 + ((len >>> (8 * w)) & 0xFF)).toChar)
+      w -= 1
+    }
+  }
 
   /** Collation key whose binary order is numeric order on digit runs. */
   def key(s: String): String = {
@@ -50,7 +75,7 @@ object NumericKey {
         while (k < j - 1 && s.charAt(k) == '0') k += 1 // strip leading 0s
         val len = j - k
         sb.append('\u0001')
-        sb.append((if (len > 0xFFFF) 0xFFFF else len).toChar)
+        appendRunLength(sb, len)
         sb.append(s, k, j)
         i = j
       } else {

@@ -376,19 +376,43 @@ final class NamespaceLease(spark: SparkSession, root: String,
 
   /** Break a presumed-stale lease. Atomic rename to a breaker-unique
     * name: of N waiters only ONE rename succeeds (the source vanishes
-    * for the rest), and the age re-check on the renamed file (rename
-    * preserves mtime) catches the holder having heartbeat-refreshed
-    * between this breaker's observation and its rename. */
+    * for the rest), and the age re-check catches the holder having
+    * heartbeat-refreshed between this breaker's observation and its
+    * rename.
+    *
+    * The re-check must NOT trust the post-rename mtime alone: on
+    * object-store connectors (S3A/GCS) "rename" is a copy that stamps a
+    * fresh mtime, which would make every re-check conclude the holder
+    * is alive and restore the lease — genuinely stale leases could then
+    * never be broken there. Instead the mtime observed immediately
+    * BEFORE the rename decides staleness, and the post-rename value is
+    * only consulted to detect a refresh that landed inside the
+    * observation→rename window: `preMtime < postMtime < renameStart`
+    * can only be a heartbeat (restore); `postMtime >= renameStart` is
+    * the rename itself stamping the copy (no information — keep the
+    * pre-rename decision). */
   private def breakStale(p: Path, observedAge: Long): Unit = {
+    // re-observe right before acting: the heartbeat refreshes every
+    // staleMs/3, so "refreshed since the caller's observation" is the
+    // common false-stale case — catch it without renaming at all
+    val preMtime = try fs.getFileStatus(p).getModificationTime
+      catch {
+        case _: java.io.FileNotFoundException => return
+        case _: java.io.IOException => return
+      }
+    if (System.currentTimeMillis() - preMtime <= staleMs) return
+    val renameStart = System.currentTimeMillis()
     val moved = new Path(p.toString + ".breaking." +
       java.util.UUID.randomUUID().toString)
     val won = try fs.rename(p, moved)
       catch { case _: java.io.IOException => false }
     if (!won) return // another breaker (or the holder's release) got it
-    val age = try System.currentTimeMillis() -
-      fs.getFileStatus(moved).getModificationTime
+    val postMtime = try fs.getFileStatus(moved).getModificationTime
     catch { case _: java.io.FileNotFoundException => return }
-    if (age > staleMs) {
+    val refreshedInWindow =
+      postMtime > preMtime && postMtime < renameStart
+    if (!refreshedInWindow) {
+      val age = System.currentTimeMillis() - preMtime
       log.warn(s"broke stale namespace lease $p (age ${age}ms > " +
         s"staleMs $staleMs — presumed abandoned by a crashed app)")
       fs.delete(moved, false)

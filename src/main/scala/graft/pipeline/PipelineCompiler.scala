@@ -550,6 +550,19 @@ object PipelineCompiler {
               cCodes, typedlit(qCodes))
             tied(base, qScore.desc)
           case "binary" =>
+            // the hamming shortlist cuts at an INTEGER distance, so ties
+            // at the numCandidates boundary are common — without a total
+            // order the rescored set (and thus the final top-k) would
+            // depend on partitioning. Require the caller's tie-break
+            // column rather than guessing an id (the stage has no
+            // schema knowledge; binaryAnnTopK ties on neighbor_id the
+            // same way).
+            if (d.get("tieBreak").isEmpty)
+              throw new IllegalArgumentException(
+                "$vectorSearch: quantization \"binary\" requires " +
+                  "tieBreak (a unique column) — the hamming shortlist " +
+                  "cut is an integer distance whose boundary ties would " +
+                  "otherwise make the rescored set nondeterministic")
             val dim = qv.length
             val numCand = d.get("numCandidates").map(int)
               .getOrElse(limit * 4)

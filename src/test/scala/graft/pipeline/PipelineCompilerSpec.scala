@@ -2534,6 +2534,15 @@ class SearchStagesSpec extends graft.SparkSpec {
     val e = intercept[IllegalArgumentException](
       ids(Map("quantization" -> "product")))
     assert(e.getMessage.contains("quantization"))
+    // binary's hamming shortlist cuts at an integer distance — boundary
+    // ties would make the rescored set nondeterministic, so the stage
+    // requires an explicit tie-break column
+    val e2 = intercept[IllegalArgumentException](
+      PipelineCompiler.compile(Seq(
+        Map("$vectorSearch" -> Map("path" -> "embedding",
+          "queryVector" -> Seq(1.0, 0.0), "limit" -> 2,
+          "quantization" -> "binary"))))(docs).collect())
+    assert(e2.getMessage.contains("tieBreak"))
   }
 
   test("$search score function DSL and boost.path") {

@@ -84,6 +84,21 @@ class CollationSpec extends SparkSpec {
     assert(NumericKey.key("item10") < NumericKey.key("itemx"))
     assert(NumericKey.key("007") == NumericKey.key("7")) // zeros strip
     assert(NumericKey.key("a1b22c") < NumericKey.key("a1b100c"))
+    // the length prefix stays order-isomorphic across its width
+    // boundaries (255/256 digits, 65535/65536 digits) and never emits a
+    // lone surrogate (a 55k-digit run's length would land in
+    // 0xD800–0xDFFF under a single-char encoding and transcode to '?')
+    def run(n: Int) = "9" * n
+    assert(NumericKey.key(run(255)) < NumericKey.key(run(256)))
+    assert(NumericKey.key(run(256)) < NumericKey.key(run(257)))
+    assert(NumericKey.key(run(65535)) < NumericKey.key(run(65536)))
+    assert(NumericKey.key(run(65536)) < NumericKey.key(run(70000)))
+    assert(NumericKey.key(run(0xD800)) < NumericKey.key(run(0xD801)))
+    assert(!NumericKey.key(run(0xD800)).exists(c =>
+      c >= 0xD800 && c <= 0xDFFF))
+    // differently-sized runs keep strict numeric order across widths
+    assert(NumericKey.key("a" + run(10) + "b") <
+      NumericKey.key("a" + run(300) + "b"))
     // parse: numericOrdering rides any strength; bare strength 3 gains
     // a purpose with it (and still rejects without)
     assert(Collation.parse(Map("locale" -> "en",
