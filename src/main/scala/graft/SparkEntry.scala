@@ -330,13 +330,20 @@ object SparkEntry {
     // cross-document boilerplate line removal (CCNet-style): lines in
     // > maxDocFreq docs drop; one explode + line-keyed count + semi-join
     // + ordered reassembly — injected header/footer lines must vanish
-    // SemDeDup (arXiv:2303.09540): within-cluster cosine dedup over the
-    // embeddings table — the generator's `label` is the cluster key; a row
-    // is dropped when an earlier same-cluster row is >= 0.3 similar
+    // SemDeDup (arXiv:2303.09540) on the paper's own clustering: spherical
+    // k-means cells (k stays 0 = the corpus-adaptive default,
+    // Dedup.autoCellCount: k = ceil(corpus/1000)), then within-cell
+    // cosine dedup — a row drops when an earlier same-cell row is >= 0.3
+    // similar. The oracle recomputes k from count(*) and unrolls the same
+    // five Lloyd iterations (q89's CTE machinery: deterministic
+    // smallest-id seed, decimal-exact means, id tie-breaks), so the
+    // checked run is the auto-sized production path that also completes
+    // the 100x rehearsal; the fixed-label semDeDup variant stays
+    // spec-pinned in OpsSpec
     "q130_semdedup" -> ((s, dir) =>
-      graft.ops.Dedup.semDeDup(tbl(s, dir, "embeddings"), "vec_id",
-        "embedding", "label", eps = 0.3)
-        .select(col("vec_id"), col("label"))
+      graft.ops.Dedup.semDeDupKMeans(tbl(s, dir, "embeddings"), "vec_id",
+        "embedding", eps = 0.3)
+        .select(col("vec_id"))
         .orderBy("vec_id")),
 
     // $geoIntersects: point-in-Polygon-with-hole plus a MultiPolygon, over
@@ -1618,13 +1625,16 @@ object SparkEntry {
 
     // embedding cosine near-duplicate pairs (default path: multi-table
     // hyperplane LSH blocking + exact cosine verify — sub-quadratic).
-    // blockPlanes is PINNED to 8 because the DuckDB oracle replicates
-    // exactly this bucket space (lshBucketsCte(4, 8, 64)); the library
-    // default is corpus-adaptive (Dedup.autoBlockPlanes), spec-pinned in
-    // OpsSpec and exercised by the scale rehearsal
+    // blockPlanes stays 0 = the corpus-adaptive default
+    // (Dedup.autoBlockPlanes: clamp(ceil(log2(corpus/100)), 4, 24)) — the
+    // oracle recomputes the SAME parameter from count(*) and masks a
+    // 24-plane bucket to it (bit j of the bucket depends only on plane j,
+    // so the p-plane bucket is the 24-plane bucket mod 2^p), making the
+    // checked run the auto-sized production path that also completes the
+    // 100x rehearsal; the explicit-planes pin lives in OpsSpec
     "q22_embed_neardup" -> ((s, dir) =>
       Dedup.embeddingNearDup(tbl(s, dir, "embeddings"), "vec_id",
-        "embedding", threshold = 0.3, blockPlanes = 8, dim = 64)
+        "embedding", threshold = 0.3, dim = 64)
         .orderBy("id_a", "id_b")),
 
     // exact brute-force cosine top-k (rank output, id tie-break)
@@ -3803,14 +3813,38 @@ object SparkEntry {
         |  CAST(embedding[3] AS DOUBLE) AS e2
         |FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""".stripMargin,
 
+    // auto-sized SemDeDup reproduced end-to-end: k = Dedup.autoCellCount
+    // recomputed from count(*), five unrolled Lloyd iterations (the q89
+    // CTE machinery — smallest-id seed, decimal-exact means, cosine
+    // assignment with id tie-break, empty cells keep their centroid), a
+    // sixth assignment block against the FINAL centroids (m6/c6 unused),
+    // then the within-cell earlier-row cosine drop rule
     "q130_semdedup" ->
-      s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+      s"""WITH data AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |kk AS (SELECT GREATEST(1, CAST(ceil(count(*) / 1000.0) AS INT))
+         |  AS k FROM data),
+         |c0 AS (
+         |  SELECT CAST(r.vec_id AS BIGINT) AS cid, r.v AS c
+         |  FROM (SELECT vec_id, v,
+         |          row_number() OVER (ORDER BY vec_id) AS rn FROM data) r,
+         |    kk
+         |  WHERE r.rn <= kk.k),
+         |${kmeansIterCtes(1, "c0")},
+         |${kmeansIterCtes(2, "c1")},
+         |${kmeansIterCtes(3, "c2")},
+         |${kmeansIterCtes(4, "c3")},
+         |${kmeansIterCtes(5, "c4")},
+         |${kmeansIterCtes(6, "c5")},
          |p AS (
          |  SELECT a.vec_id AS ia, b.vec_id AS ib,
-         |         a.embedding AS ea, b.embedding AS eb
-         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id),
+         |         x.embedding AS ea, y.embedding AS eb
+         |  FROM a6 a JOIN a6 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  JOIN embeddings x ON x.vec_id = a.vec_id
+         |  JOIN embeddings y ON y.vec_id = b.vec_id),
          |${cosineCtes("p")}
-         |SELECT vec_id, label FROM e
+         |SELECT vec_id FROM data
          |WHERE vec_id NOT IN (
          |  SELECT ib FROM d WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.3)
          |ORDER BY vec_id""".stripMargin,
@@ -5104,9 +5138,23 @@ object SparkEntry {
          |  CAST(SUM((${sqlHash("tok")} * i) % 2147483647) % 2147483647 AS BIGINT) AS fingerprint
          |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // the auto-sized run reproduced exactly: np = Dedup.autoBlockPlanes
+    // recomputed from count(*) (same clamp/ceil/log2 formula), and the
+    // p-plane bucket recovered from a full 24-plane bucket by masking —
+    // plane j's constants depend only on (table, j), so bit j is the
+    // same at any plane count and bkt_p = bkt_24 & (2^p - 1)
     "q22_embed_neardup" ->
-      s"""WITH bkts AS (
-         |${lshBucketsCte(4, 8, 64)}),
+      s"""WITH pl AS (
+         |  SELECT LEAST(24, GREATEST(4, CAST(ceil(
+         |    ln(GREATEST(count(*) / 100.0, 1.0)) / ln(2.0)) AS INT)))
+         |    AS np
+         |  FROM embeddings),
+         |raw AS (
+         |${lshBucketsCte(4, 24, 64)}),
+         |bkts AS (
+         |  SELECT vec_id, t, raw.bkt & ((CAST(1 AS BIGINT) << pl.np) - 1)
+         |    AS bkt
+         |  FROM raw, pl),
          |cand AS (
          |  SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
          |  FROM bkts a JOIN bkts b
