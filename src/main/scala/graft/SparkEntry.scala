@@ -959,6 +959,64 @@ object SparkEntry {
         Map("$project" -> Map("doc_id" -> 1))))
         .orderBy("doc_id")),
 
+    // Atlas lucene.french analyzer: Snowball French stemming + stop
+    // removal on BOTH sides over a deterministic French fixture column
+    // (the corpus text is English, so the fixture derives three words
+    // from doc_id — inflection groups exercise step-1 suffix chains
+    // [majestueusement→majestu], undoubling [continuelle→continuel] and
+    // er-verb endings; the stop word in the middle must vanish). Query
+    // "la continuelle majestueusement" analyzes to [continuel, majestu];
+    // OR-match semantics like q187
+    "q197_search_french_stemming" -> ((s, dir) => {
+      val w1 = Seq("continuellement", "continuelle", "continuel",
+        "chercher", "cherchez")
+      val w2 = Seq("les", "et", "la", "de")
+      val w3 = Seq("majestueux", "majestueuse", "traitement", "traiter",
+        "nationale", "finissait")
+      val df = tbl(s, dir, "documents").where(col("doc_id") < 400)
+        .withColumn("ftext", concat_ws(" ",
+          element_at(typedlit(w1), (col("doc_id") % 5 + 1).cast("int")),
+          element_at(typedlit(w2),
+            ((col("doc_id") / 5).cast("long") % 4 + 1).cast("int")),
+          element_at(typedlit(w3),
+            ((col("doc_id") / 20).cast("long") % 6 + 1).cast("int"))))
+      graft.pipeline.PipelineCompiler.compile(Seq(
+        Map("$search" -> Map(
+          "analyzer" -> "lucene.french",
+          "compound" -> Map("filter" -> Seq(
+            Map("text" -> Map(
+              "query" -> "la continuelle majestueusement",
+              "path" -> "ftext")))))),
+        Map("$project" -> Map("doc_id" -> 1))))(df)
+        .orderBy("doc_id")
+    }),
+
+    // $text $language "german": Snowball German stemming (with umlaut
+    // folding in the postlude) + stop removal, phrase adjacency running
+    // in the stop-removed stemmed stream — "mögliche kinder" matches
+    // "möglichkeiten der kindern" because 'der' is unindexed and both
+    // inflections stem to [moglich, kind]
+    "q198_text_language_german" -> ((s, dir) => {
+      val g1 = Seq("möglichkeiten", "mögliche", "möglich", "laufen",
+        "laufe")
+      val g2 = Seq("der", "die", "und", "das")
+      val g3 = Seq("kinder", "kindes", "kind", "bedürfnisse",
+        "wanderung")
+      val df = tbl(s, dir, "documents").where(col("doc_id") < 400)
+        .withColumn("text", concat_ws(" ",
+          element_at(typedlit(g1), (col("doc_id") % 5 + 1).cast("int")),
+          element_at(typedlit(g2),
+            ((col("doc_id") / 5).cast("long") % 4 + 1).cast("int")),
+          element_at(typedlit(g3),
+            ((col("doc_id") / 20).cast("long") % 5 + 1).cast("int"))))
+      graft.pipeline.PipelineCompiler.compile(Seq(
+        Map("$match" -> Map("$text" -> Map(
+          "$search" -> "\"mögliche kinder\"",
+          "$language" -> "german"))),
+        Map("$project" -> Map("doc_id" -> 1))))(df)
+        .orderBy("doc_id")
+    }),
+
     // Atlas $search scoreDetails: per-clause breakdown through
     // {$meta: "searchScoreDetails"} — flat {value, description} list of
     // the scoring clauses with the total on the top struct (documented
@@ -4406,6 +4464,38 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id FROM tk
         |WHERE list_contains(t, 'filter') OR list_contains(t, 'query')
+        |ORDER BY doc_id""".stripMargin,
+
+    // the fixture derives its words from doc_id, so the oracle rebuilds
+    // the same selection and the Snowball stem-equivalence the engine
+    // computes reduces, ON THIS FIXTURE, to membership in the inflection
+    // group whose stem matches an analyzed query term (continuel /
+    // majestu); the stemmer behavior itself is pinned by unit specs on
+    // published-algorithm pairs, and the stop word slot must never match
+    "q197_search_french_stemming" ->
+      """SELECT doc_id FROM documents
+        |WHERE doc_id < 400 AND (
+        |  (['continuellement','continuelle','continuel','chercher',
+        |    'cherchez'])[(doc_id % 5) + 1]
+        |    IN ('continuellement', 'continuelle', 'continuel')
+        |  OR (['majestueux','majestueuse','traitement','traiter',
+        |      'nationale','finissait'])[((doc_id // 20) % 6) + 1]
+        |    IN ('majestueux', 'majestueuse'))
+        |ORDER BY doc_id""".stripMargin,
+
+    // phrase adjacency in the stop-removed stemmed stream: the middle
+    // slot is always a stop word, so the phrase [moglich, kind] matches
+    // exactly when slot 1 is in the möglich group AND slot 3 is in the
+    // kind group
+    "q198_text_language_german" ->
+      """SELECT doc_id FROM documents
+        |WHERE doc_id < 400 AND
+        |  (['möglichkeiten','mögliche','möglich','laufen','laufe'])
+        |    [(doc_id % 5) + 1]
+        |    IN ('möglichkeiten', 'mögliche', 'möglich')
+        |  AND (['kinder','kindes','kind','bedürfnisse','wanderung'])
+        |    [((doc_id // 20) % 5) + 1]
+        |    IN ('kinder', 'kindes', 'kind')
         |ORDER BY doc_id""".stripMargin,
 
     "q186_search_score_details" ->

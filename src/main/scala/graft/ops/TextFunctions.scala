@@ -72,6 +72,109 @@ object TextFunctions {
       .filter(t => t.nonEmpty && !EnglishStopWords(t))
       .map(graft.functions.Porter.stem).toSeq
 
+  /** Snowball French stop list (the set behind Lucene's french_stop.txt):
+    * articles/pronouns/prepositions plus the conjugated être/avoir forms.
+    * The single letters c/d/j/l/m/n/s/t/qu absorb elisions — the
+    * non-alphanumeric split breaks "l'avion" into [l, avion], and the
+    * orphaned article drops here, which is exactly what Lucene's
+    * ElisionFilter achieves before its tokenizer-preserved apostrophes. */
+  private[graft] val FrenchStopWords = Set(
+    "au", "aux", "avec", "ce", "ces", "dans", "de", "des", "du", "elle",
+    "en", "et", "eux", "il", "ils", "je", "la", "le", "les", "leur",
+    "lui", "ma", "mais", "me", "même", "mes", "moi", "mon", "ne", "nos",
+    "notre", "nous", "on", "ou", "par", "pas", "pour", "qu", "que",
+    "qui", "sa", "se", "ses", "son", "sur", "ta", "te", "tes", "toi",
+    "ton", "tu", "un", "une", "vos", "votre", "vous", "c", "d", "j",
+    "l", "à", "m", "n", "s", "t", "y", "été", "étée", "étées", "étés",
+    "étant", "suis", "es", "est", "sommes", "êtes", "sont", "serai",
+    "seras", "sera", "serons", "serez", "seront", "serais", "serait",
+    "serions", "seriez", "seraient", "étais", "était", "étions",
+    "étiez", "étaient", "fus", "fut", "fûmes", "fûtes", "furent",
+    "sois", "soit", "soyons", "soyez", "soient", "fusse", "fusses",
+    "fût", "fussions", "fussiez", "fussent", "ayant", "eu", "eue",
+    "eues", "eus", "ai", "as", "avons", "avez", "ont", "aurai",
+    "auras", "aura", "aurons", "aurez", "auront", "aurais", "aurait",
+    "aurions", "auriez", "auraient", "avais", "avait", "avions",
+    "aviez", "avaient", "eut", "eûmes", "eûtes", "eurent", "aie",
+    "aies", "ait", "ayons", "ayez", "aient", "eusse", "eusses", "eût",
+    "eussions", "eussiez", "eussent")
+
+  /** Snowball German stop list (Lucene's german_stop.txt). */
+  private[graft] val GermanStopWords = Set(
+    "aber", "alle", "allem", "allen", "aller", "alles", "als", "also",
+    "am", "an", "ander", "andere", "anderem", "anderen", "anderer",
+    "anderes", "anderm", "andern", "anderr", "anders", "auch", "auf",
+    "aus", "bei", "bin", "bis", "bist", "da", "damit", "dann", "der",
+    "den", "des", "dem", "die", "das", "daß", "derselbe", "derselben",
+    "denselben", "desselben", "demselben", "dieselbe", "dieselben",
+    "dasselbe", "dazu", "dein", "deine", "deinem", "deinen", "deiner",
+    "deines", "denn", "derer", "dessen", "dich", "dir", "du", "dies",
+    "diese", "diesem", "diesen", "dieser", "dieses", "doch", "dort",
+    "durch", "ein", "eine", "einem", "einen", "einer", "eines",
+    "einig", "einige", "einigem", "einigen", "einiger", "einiges",
+    "einmal", "er", "ihn", "ihm", "es", "etwas", "euer", "eure",
+    "eurem", "euren", "eurer", "eures", "für", "gegen", "gewesen",
+    "hab", "habe", "haben", "hat", "hatte", "hatten", "hier", "hin",
+    "hinter", "ich", "mich", "mir", "ihr", "ihre", "ihrem", "ihren",
+    "ihrer", "ihres", "euch", "im", "in", "indem", "ins", "ist",
+    "jede", "jedem", "jeden", "jeder", "jedes", "jene", "jenem",
+    "jenen", "jener", "jenes", "jetzt", "kann", "kein", "keine",
+    "keinem", "keinen", "keiner", "keines", "können", "könnte",
+    "machen", "man", "manche", "manchem", "manchen", "mancher",
+    "manches", "mein", "meine", "meinem", "meinen", "meiner",
+    "meines", "mit", "muss", "musste", "nach", "nicht", "nichts",
+    "noch", "nun", "nur", "ob", "oder", "ohne", "sehr", "sein",
+    "seine", "seinem", "seinen", "seiner", "seines", "selbst", "sich",
+    "sie", "ihnen", "sind", "so", "solche", "solchem", "solchen",
+    "solcher", "solches", "soll", "sollte", "sondern", "sonst",
+    "über", "um", "und", "uns", "unse", "unsem", "unsen", "unser",
+    "unses", "unter", "viel", "vom", "von", "vor", "während", "war",
+    "waren", "warst", "was", "weg", "weil", "weiter", "welche",
+    "welchem", "welchen", "welcher", "welches", "wenn", "werde",
+    "werden", "wie", "wieder", "will", "wir", "wird", "wirst", "wo",
+    "wollen", "wollte", "würde", "würden", "zu", "zum", "zur", "zwar",
+    "zwischen")
+
+  /** `lucene.french`-style analysis: lowercase, split on
+    * non-alphanumeric runs (this breaks elisions at the apostrophe —
+    * the orphaned article is a stop word), drop the Snowball French
+    * stop set, Snowball-stem each token
+    * ([[graft.functions.FrenchSnowball]], a native expression — one
+    * static call per token inside codegen). */
+  def frenchTokens(text: Column): Column =
+    transform(
+      filter(
+        split(lower(text), "[^\\p{L}\\p{N}]+"),
+        t => t =!= lit("") && !t.isin(FrenchStopWords.toSeq: _*)),
+      t => graft.functions.SnowballFunctions.french_stem(t))
+
+  /** Driver-side twin of [[frenchTokens]] — the SAME
+    * [[graft.functions.FrenchSnowball.stem]] the column path calls. */
+  def frenchTerms(q: String): Seq[String] =
+    q.toLowerCase(java.util.Locale.ROOT)
+      .split("[^\\p{L}\\p{N}]+")
+      .filter(t => t.nonEmpty && !FrenchStopWords(t))
+      .map(graft.functions.FrenchSnowball.stem).toSeq
+
+  /** `lucene.german`-style analysis: lowercase, split on
+    * non-alphanumeric runs, drop the Snowball German stop set,
+    * Snowball-stem each token (ß→ss and umlaut folding happen inside
+    * the stemmer's prelude/postlude, so "mögliche" and "moglich" meet
+    * on the same index term). */
+  def germanTokens(text: Column): Column =
+    transform(
+      filter(
+        split(lower(text), "[^\\p{L}\\p{N}]+"),
+        t => t =!= lit("") && !t.isin(GermanStopWords.toSeq: _*)),
+      t => graft.functions.SnowballFunctions.german_stem(t))
+
+  /** Driver-side twin of [[germanTokens]]. */
+  def germanTerms(q: String): Seq[String] =
+    q.toLowerCase(java.util.Locale.ROOT)
+      .split("[^\\p{L}\\p{N}]+")
+      .filter(t => t.nonEmpty && !GermanStopWords(t))
+      .map(graft.functions.GermanSnowball.stem).toSeq
+
   /** In-order sloppy phrase occurrences: the number of start positions in
     * `toks` from which every term of the phrase matches in sequence with
     * TOTAL inter-term gap ≤ `slop` (Lucene's in-order sloppy-phrase

@@ -118,9 +118,9 @@ object PipelineCompiler {
           case Some(t) =>
             // the SAME parser the predicate used — filter and score
             // analysis can never diverge
-            val (search, cs, en) = QueryCompiler.parseTextOptions(t)
+            val (search, cs, lang) = QueryCompiler.parseTextOptions(t)
             matched.withColumn("__searchScore",
-              QueryCompiler.textScore(search, cs, en))
+              QueryCompiler.textScore(search, cs, lang))
           case None => matched
         }
 
@@ -732,7 +732,7 @@ object PipelineCompiler {
         // instead of silently falling back to the default.
         val knownAnalyzers =
           Set("lucene.whitespace", "lucene.standard", "lucene.keyword",
-            "lucene.english")
+            "lucene.english", "lucene.french", "lucene.german")
         val stageAnalyzer = d0.get("analyzer")
           .orElse(d0.get("searchAnalyzer")).map(_.toString)
           .getOrElse("lucene.whitespace")
@@ -890,6 +890,10 @@ object PipelineCompiler {
               graft.ops.TextFunctions.standardTokens(col(pathOf(op, os)))
             case "lucene.english" =>
               graft.ops.TextFunctions.englishTokens(col(pathOf(op, os)))
+            case "lucene.french" =>
+              graft.ops.TextFunctions.frenchTokens(col(pathOf(op, os)))
+            case "lucene.german" =>
+              graft.ops.TextFunctions.germanTokens(col(pathOf(op, os)))
             case "lucene.keyword" => array(col(pathOf(op, os)))
             case _ => graft.ops.TextFunctions.tokens(col(pathOf(op, os)))
           }
@@ -899,6 +903,10 @@ object PipelineCompiler {
             graft.ops.TextFunctions.standardTerms(q)
           case "lucene.english" =>
             graft.ops.TextFunctions.englishTerms(q)
+          case "lucene.french" =>
+            graft.ops.TextFunctions.frenchTerms(q)
+          case "lucene.german" =>
+            graft.ops.TextFunctions.germanTerms(q)
           case "lucene.keyword" => Seq(q)
           case _ => q.split("\\s+").filter(_.nonEmpty).toSeq
         }
@@ -1183,6 +1191,10 @@ object PipelineCompiler {
                     graft.ops.TextFunctions.standardTokens(col(field))
                   case "lucene.english" =>
                     graft.ops.TextFunctions.englishTokens(col(field))
+                  case "lucene.french" =>
+                    graft.ops.TextFunctions.frenchTokens(col(field))
+                  case "lucene.german" =>
+                    graft.ops.TextFunctions.germanTokens(col(field))
                   case "lucene.keyword" => array(col(field))
                   case _ => graft.ops.TextFunctions.tokens(col(field))
                 }
@@ -1191,6 +1203,10 @@ object PipelineCompiler {
                     graft.ops.TextFunctions.standardTerms(queryStr)
                   case "lucene.english" =>
                     graft.ops.TextFunctions.englishTerms(queryStr)
+                  case "lucene.french" =>
+                    graft.ops.TextFunctions.frenchTerms(queryStr)
+                  case "lucene.german" =>
+                    graft.ops.TextFunctions.germanTerms(queryStr)
                   case "lucene.keyword" => Seq(queryStr)
                   case _ =>
                     queryStr.split("\\s+").filter(_.nonEmpty).toSeq

@@ -108,17 +108,20 @@ object QueryCompiler {
       // OR semantics), `"quoted phrases"` must ALL be present as
       // substrings, and `-term` / `-"phrase"` exclusions must ALL be
       // absent. `$caseSensitive` matches Mongo (default false =
-      // fold-to-lower on both sides). `$language: "english"` runs the
-      // english analysis chain (stop-word removal + Porter stemming,
-      // the same machinery as the lucene.english $search analyzer) on
-      // BOTH sides, so "filtering" matches "filter"; "none" (and
-      // omitted — a DOCUMENTED divergence: Mongo's default is english,
-      // but silently stemming every existing unanalyzed query would
-      // change long-standing results) keeps exact-token matching;
-      // other languages reject loudly. `$diacriticSensitive` is
-      // accepted and ignored (no diacritic folding over parquet text).
-      val (search, caseSensitive, english) = parseTextOptions(value)
-      textPredicate(search, caseSensitive, english)
+      // fold-to-lower on both sides). `$language: "english"/"french"/
+      // "german"` (or iso codes en/fr/de) runs the language's analysis
+      // chain (stop-word removal + Porter/Snowball stemming, the same
+      // machinery as the lucene.* $search analyzers) on BOTH sides, so
+      // "filtering" matches "filter" and "continuellement" matches
+      // "continuelle"; "none" (and omitted — a DOCUMENTED divergence:
+      // Mongo's default is english, but silently stemming every
+      // existing unanalyzed query would change long-standing results)
+      // keeps exact-token matching; other languages reject loudly.
+      // `$diacriticSensitive` is accepted and ignored (no diacritic
+      // folding over parquet text; the german chain folds umlauts as
+      // part of the published stemmer itself).
+      val (search, caseSensitive, lang) = parseTextOptions(value)
+      textPredicate(search, caseSensitive, lang)
     case "$comment" => lit(true) // server-log annotation: no predicate
     case "$where" => throw new IllegalArgumentException(
       "$where (JavaScript) is not supported: there is no JS engine in a " +
@@ -632,7 +635,7 @@ object QueryCompiler {
     * the predicate and the `$match` textScore stash consult, so filter
     * and score analysis can never diverge. */
   private[graft] def parseTextOptions(value: Any)
-      : (String, Boolean, Boolean) = value match {
+      : (String, Boolean, String) = value match {
     case m: Map[_, _] =>
       val mm = m.asInstanceOf[Map[String, Any]]
       val unknown = mm.keySet --
@@ -640,10 +643,16 @@ object QueryCompiler {
           "$diacriticSensitive")
       require(unknown.isEmpty, s"$$text: unsupported option(s) $unknown")
       val lang = mm.get("$language").map(_.toString
-        .toLowerCase(java.util.Locale.ROOT)).getOrElse("none")
-      require(Set("none", "english", "en")(lang),
-        s"$$text.$$language: '$lang' unsupported (none/english — " +
-          "other languages need stemmers this engine does not model)")
+        .toLowerCase(java.util.Locale.ROOT)).getOrElse("none") match {
+        case "en" => "english"
+        case "fr" => "french"
+        case "de" => "german"
+        case other => other
+      }
+      require(Set("none", "english", "french", "german")(lang),
+        s"$$text.$$language: '$lang' unsupported (none/english/french/" +
+          "german — other languages need stemmers this engine does " +
+          "not model)")
       val cs = mm.get("$caseSensitive") match {
         case Some(b: Boolean) => b
         case Some(other) => throw new IllegalArgumentException(
@@ -651,19 +660,19 @@ object QueryCompiler {
         case None => false
       }
       require(!(cs && lang != "none"),
-        "$text: $caseSensitive cannot combine with $language " +
-          "'english' — stemming folds case by construction")
+        s"$$text: $$caseSensitive cannot combine with $$language " +
+          s"'$lang' — stemming folds case by construction")
       (mm.getOrElse("$search", throw new IllegalArgumentException(
-        "$text requires $search")).toString, cs, lang != "none")
-    case s: String => (s, false, false)
+        "$text requires $search")).toString, cs, lang)
+    case s: String => (s, false, "none")
     case other =>
       throw new IllegalArgumentException(s"$$text: $other")
   }
 
   private[graft] def textPredicate(search: String,
-      caseSensitive: Boolean = false, english: Boolean = false): Column = {
+      caseSensitive: Boolean = false, lang: String = "none"): Column = {
     val ts = parseTextSearch(search)
-    val (toksExpr, term, phraseTerms) = textAnalysis(caseSensitive, english)
+    val (toksExpr, term, phraseTerms) = textAnalysis(caseSensitive, lang)
     // the analyzed token array is let-bound ONCE per row: every bare
     // term, negation, and phrase references the bound variable — inlining
     // toksExpr would re-run the whole analysis chain (stop filter +
@@ -700,26 +709,35 @@ object QueryCompiler {
     * ANALYZED-TOKEN adjacency (not raw substring): "a b" matches
     * "x a b y" but not "xa by" — under `english`, adjacency runs in the
     * stop-removed stemmed stream on both sides. */
-  private def textAnalysis(caseSensitive: Boolean, english: Boolean)
+  private def textAnalysis(caseSensitive: Boolean, lang: String)
       : (Column, String => Seq[String], String => Seq[String]) =
-    if (english) {
-      (graft.ops.TextFunctions.englishTokens(col("text")),
-        t => graft.ops.TextFunctions.englishTerms(t),
-        p => graft.ops.TextFunctions.englishTerms(p))
-    } else {
-      val (txt, fold) = textFold(caseSensitive)
-      (graft.ops.TextFunctions.tokens(txt),
-        t => Seq(fold(t)),
-        p => fold(p).split("\\s+").filter(_.nonEmpty).toSeq)
+    lang match {
+      case "english" =>
+        (graft.ops.TextFunctions.englishTokens(col("text")),
+          t => graft.ops.TextFunctions.englishTerms(t),
+          p => graft.ops.TextFunctions.englishTerms(p))
+      case "french" =>
+        (graft.ops.TextFunctions.frenchTokens(col("text")),
+          t => graft.ops.TextFunctions.frenchTerms(t),
+          p => graft.ops.TextFunctions.frenchTerms(p))
+      case "german" =>
+        (graft.ops.TextFunctions.germanTokens(col("text")),
+          t => graft.ops.TextFunctions.germanTerms(t),
+          p => graft.ops.TextFunctions.germanTerms(p))
+      case _ =>
+        val (txt, fold) = textFold(caseSensitive)
+        (graft.ops.TextFunctions.tokens(txt),
+          t => Seq(fold(t)),
+          p => fold(p).split("\\s+").filter(_.nonEmpty).toSeq)
     }
 
   /** Simplified textScore for the `{$meta: "textScore"}` carrier: count
     * of matching bare terms plus matching phrases (documented as simpler
     * than Mongo's tf weighting; `$search` carries full BM25). */
   private[graft] def textScore(search: String,
-      caseSensitive: Boolean = false, english: Boolean = false): Column = {
+      caseSensitive: Boolean = false, lang: String = "none"): Column = {
     val ts = parseTextSearch(search)
-    val (toksExpr, term, phraseTerms) = textAnalysis(caseSensitive, english)
+    val (toksExpr, term, phraseTerms) = textAnalysis(caseSensitive, lang)
     // same one-per-row let-binding and unindexed-matches-nothing rules
     // as [[textPredicate]] — filter and score must agree
     element_at(transform(array(toksExpr), toks => {

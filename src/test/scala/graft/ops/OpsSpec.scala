@@ -581,6 +581,81 @@ class TextFunctionsSpec extends SparkSpec {
     assert(stem("by") == "by" && stem("café") == "café")
   }
 
+  test("French Snowball stemmer: published-algorithm pairs") {
+    import graft.functions.FrenchSnowball.stem
+    // step 1 standard suffixes (ement/eus interplay, euse(s), eux)
+    assert(stem("majestueusement") == "majestu" &&
+      stem("majestueuse") == "majestu" &&
+      stem("majestueuses") == "majestu" &&
+      stem("majestueux") == "majestu")
+    // step 1 + undouble: ement drop then ell → el
+    assert(stem("continuellement") == "continuel" &&
+      stem("continuelle") == "continuel" &&
+      stem("continuels") == "continuel" &&
+      stem("continuel") == "continuel")
+    // step 2b er-verb family
+    assert(stem("chercher") == "cherch" && stem("cherchez") == "cherch" &&
+      stem("cherché") == "cherch" && stem("cherchait") == "cherch")
+    // step 2a ir-verb family (preceded-by-non-vowel gate)
+    assert(stem("finir") == "fin" && stem("finissait") == "fin" &&
+      stem("finissons") == "fin" && stem("finie") == "fin" &&
+      stem("fini") == "fin")
+    // ement in RV vs residual-e step 4
+    assert(stem("traitement") == "trait" && stem("traiter") == "trait" &&
+      stem("traite") == "trait" && stem("traites") == "trait")
+    // ation guarded by R2: nation keeps its suffix, nationale drops e
+    assert(stem("nationale") == "national" && stem("nation") == "nation")
+    // ment after a vowel in RV
+    assert(stem("vraiment") == "vrai")
+    // short words and non-french-alphabet tokens pass through
+    assert(stem("le") == "le" && stem("a1b") == "a1b")
+  }
+
+  test("German Snowball stemmer: published-algorithm pairs") {
+    import graft.functions.GermanSnowball.stem
+    // step 1 e/en/es/er/ern + umlaut postlude
+    assert(stem("laufen") == "lauf" && stem("laufe") == "lauf")
+    assert(stem("kinder") == "kind" && stem("kindes") == "kind" &&
+      stem("kindern") == "kind" && stem("kind") == "kind")
+    assert(stem("schönes") == "schon" && stem("schöne") == "schon" &&
+      stem("schön") == "schon")
+    // the niss rule
+    assert(stem("bedürfnisse") == "bedurfnis" &&
+      stem("bedürfnis") == "bedurfnis")
+    // step 2 superlative st after valid st-ending
+    assert(stem("kleinsten") == "klein")
+    // step 3 d-suffixes: ung in R2; keit in R2 with lich kept outside R2
+    assert(stem("wanderung") == "wander" && stem("wandern") == "wand")
+    assert(stem("möglichkeiten") == "moglich" &&
+      stem("mögliche") == "moglich" && stem("möglich") == "moglich")
+    // er in R1 (the snowball demo pair)
+    assert(stem("aufeinander") == "aufeinand")
+    // ß folds to ss in the prelude
+    assert(stem("heißen") == "heiss")
+    // short words and non-german-alphabet tokens pass through
+    assert(stem("im") == "im" && stem("x9y") == "x9y")
+  }
+
+  test("frenchTokens/frenchTerms: stops (incl. elision leftovers), " +
+      "stems — 'la continuelle' meets 'continuellement'") {
+    val docToks = one("la continuellement et l'avion des majestueuses")
+      .select(TextFunctions.frenchTokens($"text"))
+      .as[Seq[String]].head()
+    assert(docToks == Seq("continuel", "avion", "majestu"))
+    assert(TextFunctions.frenchTerms("la continuelle majestueusement") ==
+      Seq("continuel", "majestu"))
+  }
+
+  test("germanTokens/germanTerms: stops, umlaut-folding stems — " +
+      "'mögliche kinder' meets 'möglichkeiten kindern'") {
+    val docToks = one("die möglichkeiten der kindern und wanderung")
+      .select(TextFunctions.germanTokens($"text"))
+      .as[Seq[String]].head()
+    assert(docToks == Seq("moglich", "kind", "wander"))
+    assert(TextFunctions.germanTerms("mögliche kinder") ==
+      Seq("moglich", "kind"))
+  }
+
   test("englishTokens/englishTerms: stop words, possessives, stems — " +
       "'filtering systems' meets 'filter system'") {
     val docToks = one("The customer's filtering systems are fast")

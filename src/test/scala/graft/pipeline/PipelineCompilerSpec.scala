@@ -714,7 +714,7 @@ class PipelineCompilerSpec extends SparkSpec {
     assert(multi == Seq(1L))
     val e = intercept[IllegalArgumentException] {
       PipelineCompiler.compile(Seq(
-        Map("$search" -> Map("analyzer" -> "lucene.french",
+        Map("$search" -> Map("analyzer" -> "lucene.italian",
           "text" -> Map("query" -> "en", "path" -> "lang")))))(d)
     }
     assert(e.getMessage.contains("unsupported"))
@@ -2502,6 +2502,33 @@ class SearchStagesSpec extends graft.SparkSpec {
       Map(1L -> 1.0)) // regex metachars in the doc text stay literal
   }
 
+  test("$search lucene.french / lucene.german: stemmed text and phrase " +
+      "legs; unknown analyzers still reject") {
+    val docs = Seq(
+      (1L, "la continuelle recherche", "die möglichkeiten der kindern"),
+      (2L, "chercher les traitements", "laufen und wanderung"),
+      (3L, "nationale", "kleinsten kinder"))
+      .toDF("id", "fr", "de")
+    // french text leg: "continuellement" stems to continuel on both sides
+    val fr = PipelineCompiler.compile(Seq(
+      Map("$search" -> Map("analyzer" -> "lucene.french",
+        "text" -> Map("query" -> "continuellement", "path" -> "fr"))),
+      Map("$project" -> Map("id" -> 1))))(docs)
+    assert(fr.select("id").as[Long].collect().toSeq == Seq(1L))
+    // german phrase leg: adjacency runs in the stop-removed stemmed
+    // stream — 'der' is unindexed, so [moglich, kind] is adjacent
+    val de = PipelineCompiler.compile(Seq(
+      Map("$search" -> Map("analyzer" -> "lucene.german",
+        "phrase" -> Map("query" -> "mögliche kinder", "path" -> "de"))),
+      Map("$project" -> Map("id" -> 1))))(docs)
+    assert(de.select("id").as[Long].collect().toSeq == Seq(1L))
+    val e = intercept[IllegalArgumentException](
+      PipelineCompiler.compile(Seq(
+        Map("$search" -> Map("analyzer" -> "lucene.italian",
+          "text" -> Map("query" -> "x", "path" -> "fr")))))(docs))
+    assert(e.getMessage.contains("unsupported"))
+  }
+
   test("$search autocomplete: token prefix match") {
     val docs = Seq((1L, "streaming engine"), (2L, "stream"), (3L, "upstream"))
       .toDF("id", "txt")
@@ -2665,7 +2692,7 @@ class SearchStagesSpec extends graft.SparkSpec {
     assert(phrase.select("id").as[Long].collect().toSet == Set(1L, 2L))
     // unknown analyzers still reject loudly
     val e = intercept[IllegalArgumentException](PipelineCompiler.compile(Seq(
-      Map("$search" -> Map("analyzer" -> "lucene.french",
+      Map("$search" -> Map("analyzer" -> "lucene.italian",
         "text" -> Map("query" -> "x", "path" -> "txt")))))(docs))
     assert(e.getMessage.contains("unsupported"))
   }

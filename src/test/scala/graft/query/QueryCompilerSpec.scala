@@ -185,12 +185,33 @@ class QueryCompilerSpec extends SparkSpec {
     // unsupported language and caseSensitive+english reject loudly
     intercept[IllegalArgumentException] {
       QueryCompiler.compile(Map("$text" ->
-        Map("$search" -> "x", "$language" -> "french")))
+        Map("$search" -> "x", "$language" -> "italian")))
     }
     intercept[IllegalArgumentException] {
       QueryCompiler.compile(Map("$text" -> Map("$search" -> "x",
         "$language" -> "english", "$caseSensitive" -> true)))
     }
+  }
+
+  test("$text $language french/german: Snowball stemming, stops, " +
+      "iso codes") {
+    val docs = Seq(
+      (1L, "la continuelle recherche"),
+      (2L, "chercher les traitements"),
+      (3L, "die möglichkeiten der kindern"),
+      (4L, "laufen und wanderung")).toDF("_id", "text")
+    def hits(q: Map[String, Any]): Seq[Long] =
+      docs.where(QueryCompiler.compile(Map("$text" -> q)))
+        .select("_id").as[Long].collect().toSeq.sorted
+    // inflected french query meets inflected docs; 'la' is unindexed
+    assert(hits(Map("$search" -> "continuellement cherchez",
+      "$language" -> "french")) == Seq(1, 2))
+    // german phrase adjacency in the stop-removed stream ('der' drops)
+    assert(hits(Map("$search" -> "\"mögliche kinder\"",
+      "$language" -> "de")) == Seq(3))
+    // iso code fr = french
+    assert(hits(Map("$search" -> "traitement",
+      "$language" -> "fr")) == Seq(2))
   }
 
   test("$text negation and quoted phrases") {
