@@ -931,6 +931,36 @@ object SparkEntry {
           "$language" -> "english")))
         .select("doc_id").toDF.orderBy("doc_id")),
 
+    // collation alternate "shifted": whitespace + punctuation are
+    // variable characters, ignored at strengths 1-3 — the $match
+    // equality sees "re!USE" ≡ "re-use" ≡ "re use" ≡ "reuse" (strength
+    // 2 folds the case) and the $sort groups all spellings of a word
+    // together, ordered by the stripped key then doc_id. The fixture
+    // spellings come from a $switch on doc_id so the oracle can rebuild
+    // them
+    "q199_collation_shifted" -> ((s, dir) =>
+      coll(s, dir, "documents").pipe(Seq(
+        Map("$match" -> Map("doc_id" -> Map("$lt" -> 300))),
+        Map("$addFields" -> Map("tag" -> Map("$switch" -> Map(
+          "branches" -> Seq(
+            Map("case" -> Map("$eq" -> Seq(
+              Map("$mod" -> Seq("$doc_id", 6)), 0)), "then" -> "re-use"),
+            Map("case" -> Map("$eq" -> Seq(
+              Map("$mod" -> Seq("$doc_id", 6)), 1)), "then" -> "reuse"),
+            Map("case" -> Map("$eq" -> Seq(
+              Map("$mod" -> Seq("$doc_id", 6)), 2)), "then" -> "re use"),
+            Map("case" -> Map("$eq" -> Seq(
+              Map("$mod" -> Seq("$doc_id", 6)), 3)), "then" -> "refuse"),
+            Map("case" -> Map("$eq" -> Seq(
+              Map("$mod" -> Seq("$doc_id", 6)), 4)), "then" -> "re-fuse")),
+          "default" -> "rescue")))),
+        Map("$match" -> Map("tag" -> Map("$in" -> Seq(
+          "re!USE", "REFUSE")))),
+        Map("$sort" -> Map("tag" -> 1, "doc_id" -> 1)),
+        Map("$project" -> Map("doc_id" -> 1, "tag" -> 1))),
+        Map("locale" -> "en", "strength" -> 2,
+          "alternate" -> "shifted"))),
+
     // collation numericOrdering: digit runs compare as numbers, so
     // src2 sorts before src10 (binary order would interleave src1,
     // src10..src19, src2); composed with strength 2 the lang filter
@@ -4439,6 +4469,24 @@ object SparkEntry {
         |  i + 1 <= len(t) AND t[i] = 'filter' AND t[i + 1] = 'query'))
         |  > 0
         |ORDER BY doc_id""".stripMargin,
+
+    // the shifted key strips variables then lowers; on this fixture the
+    // variable set reduces to [^a-z0-9] after lowercasing (the spellings
+    // only carry '-', ' ' and '!'), so the oracle's strip is exact.
+    // 'refuse' < 'reuse' on the stripped key, hence the refuse group
+    // leads
+    "q199_collation_shifted" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    (['re-use','reuse','re use','refuse','re-fuse','rescue'])
+        |      [(doc_id % 6) + 1] AS tag
+        |  FROM documents WHERE doc_id < 300),
+        |k AS (SELECT doc_id, tag,
+        |    lower(regexp_replace(tag, '[^a-zA-Z0-9]+', '', 'g')) AS key
+        |  FROM d)
+        |SELECT doc_id, tag FROM k
+        |WHERE key IN ('reuse', 'refuse')
+        |ORDER BY key, doc_id""".stripMargin,
 
     // numeric collation order on this corpus = (non-digit part, numeric
     // value of the digit run): every source is 'src' + digits

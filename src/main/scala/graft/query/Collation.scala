@@ -15,8 +15,18 @@ import org.apache.spark.sql.functions._
   *     plus a Latin-1/Latin-Extended diacritic-strip `translate` (the
   *     common-European subset; scan-fused, codegen'd).
   * Strength 3+ is the engine's default binary comparison — rejected with
-  * guidance (omit the collation instead), as are unsupported locales:
-  * a silently-ignored collation would return WRONG rows.
+  * guidance (omit the collation instead) unless `numericOrdering` or
+  * `alternate: "shifted"` gives the key something to do; unsupported
+  * locales reject the same way: a silently-ignored collation would
+  * return WRONG rows.
+  *
+  * `alternate: "shifted"` (ICU variable weighting) strips the variable
+  * characters — whitespace + punctuation under the default
+  * `maxVariable: "punct"`, whitespace only under `"space"` — before the
+  * strength fold, so "re-use" collates equal to "reuse". `caseLevel:
+  * true` adds ICU's case level after the primary comparison: the key
+  * becomes a (primary, case-pattern) struct whose field-lexicographic
+  * order IS "whole primary level first, then case".
   *
   * The fold is a deterministic scalar key expression, so collated
   * predicates still push down as data filters and collated sorts ride the
@@ -25,31 +35,74 @@ import org.apache.spark.sql.functions._
 object Collation {
 
   final case class Spec(locale: String, strength: Int,
-      numericOrdering: Boolean = false) {
+      numericOrdering: Boolean = false,
+      alternateShifted: Boolean = false,
+      maxVariable: String = "punct",
+      caseLevel: Boolean = false) {
+
+    // ICU `alternate: shifted`: the variable characters (whitespace +
+    // punctuation under maxVariable "punct", whitespace only under
+    // "space") are ignored at strengths 1-3 — "re-use" collates equal
+    // to "reuse". The strip runs BEFORE case/diacritic folding, on both
+    // the column and the literal sides.
+    private def variableRegex: String =
+      if (maxVariable == "space") "\\s+" else "[\\p{P}\\s]+"
+
     /** Collation key for a string column under this spec. Strength 3 is
-      * the binary comparison (only reachable with numericOrdering, which
-      * rewrites digit runs into length-prefixed form so the binary
-      * comparison of the KEY is numeric — see
-      * [[graft.functions.NumericKey]]). */
+      * the binary comparison (only reachable with numericOrdering or
+      * alternate "shifted", which give the key something to do —
+      * numericOrdering rewrites digit runs into length-prefixed form so
+      * the binary comparison of the KEY is numeric, see
+      * [[graft.functions.NumericKey]]). With `caseLevel` the key is a
+      * two-field struct (primary key, case pattern): struct comparison
+      * is field-lexicographic, exactly ICU's "compare the whole primary
+      * level, then the case level" — a single concatenated string would
+      * need a separator below 'U+0001' (taken by the numeric marker),
+      * and embedded NULs don't survive every engine. */
     def key(c: Column): Column = {
-      val base =
-        if (strength == 1) stripDiacritics(lower(c))
-        else if (strength == 2) lower(c)
-        else c
-      if (numericOrdering)
-        graft.functions.CollationFunctions.numeric_sort_key(base)
-      else base
+      val base0 =
+        if (alternateShifted) regexp_replace(c, variableRegex, "") else c
+      val primary =
+        if (strength == 1) stripDiacritics(lower(base0))
+        else if (strength == 2) lower(base0)
+        else base0
+      val num =
+        if (numericOrdering)
+          graft.functions.CollationFunctions.numeric_sort_key(primary)
+        else primary
+      if (caseLevel)
+        struct(num.as("p"),
+          regexp_replace(regexp_replace(base0, "\\p{Lu}", "1"),
+            "[^1]", "0").as("c"))
+      else num
     }
-    /** Driver-side twin of [[key]] for literal query values. */
+
+    /** Driver-side twin of [[key]] for literal query values (the
+      * non-caseLevel string form; [[foldLit]] is the Column form every
+      * predicate should compare against). */
     def fold(s: String): String = {
+      val varStripped =
+        if (alternateShifted) s.replaceAll(variableRegex, "") else s
       val low =
-        if (strength == 3) s else s.toLowerCase(java.util.Locale.ROOT)
+        if (strength == 3) varStripped
+        else varStripped.toLowerCase(java.util.Locale.ROOT)
       val folded = if (strength == 1) low.map(ch => {
         val i = Accented.indexOf(ch); if (i >= 0) Plain(i) else ch
       }) else low
       if (numericOrdering) graft.functions.NumericKey.key(folded)
       else folded
     }
+
+    /** Literal query value folded to the SAME shape [[key]] produces —
+      * a string normally, the (primary, case-pattern) struct under
+      * caseLevel. */
+    def foldLit(s: String): Column =
+      if (caseLevel) {
+        val base0 =
+          if (alternateShifted) s.replaceAll(variableRegex, "") else s
+        struct(lit(fold(s)).as("p"),
+          lit(base0.map(ch => if (ch.isUpper) '1' else '0')).as("c"))
+      } else lit(fold(s))
   }
 
   // lowercase Latin accent → base letter (the fold runs on lowercased
@@ -96,21 +149,54 @@ object Collation {
         s"collation.numericOrdering: $other (true/false)")
       case None => false
     }
+    val alternateShifted = doc.get("alternate") match {
+      case Some("shifted") => true
+      case Some("non-ignorable") | None => false
+      case Some(other) => throw new IllegalArgumentException(
+        s"collation.alternate: '$other' (non-ignorable/shifted)")
+    }
+    val maxVariable = doc.get("maxVariable") match {
+      case Some(v @ ("punct" | "space")) =>
+        require(alternateShifted,
+          "collation.maxVariable only applies with alternate: " +
+            "\"shifted\" (it names which characters shift)")
+        v.toString
+      case None => "punct"
+      case Some(other) => throw new IllegalArgumentException(
+        s"collation.maxVariable: '$other' (punct/space)")
+    }
+    val caseLevel = doc.get("caseLevel") match {
+      case Some(b: Boolean) => b
+      case Some(other) => throw new IllegalArgumentException(
+        s"collation.caseLevel: $other (true/false)")
+      case None => false
+    }
+    // caseLevel inserts a case level ABOVE a case-folding strength; at
+    // strength 3 the binary comparison already distinguishes case, so
+    // the option would be a silent no-op — reject with guidance
+    require(!caseLevel || strength == 1 || strength == 2,
+      "collation: caseLevel applies with strength 1 (diacritic-" +
+        "insensitive, case-significant) or 2 (case pattern compared " +
+        "after the folded text); strength 3 is already case-sensitive " +
+        "— omit caseLevel instead")
     // strength 3 is the engine's default binary comparison — on its own
     // the collation would be a no-op, so it stays rejected unless
-    // numericOrdering gives the spec something to do
+    // numericOrdering or alternate: shifted gives the spec something
+    // to do
     require(strength == 1 || strength == 2 ||
-        (strength == 3 && numericOrdering),
+        (strength == 3 && (numericOrdering || alternateShifted)),
       s"collation: strength $strength unsupported — 1 (case+diacritic " +
         "insensitive) and 2 (case-insensitive) are mapped; strength 3+ " +
         "is the default binary comparison, omit the collation instead")
-    val known = Set("locale", "strength", "numericOrdering")
+    val known = Set("locale", "strength", "numericOrdering",
+      "alternate", "maxVariable", "caseLevel")
     val extra = doc.keySet -- known
     require(extra.isEmpty,
       s"collation: unsupported options " +
-        s"${extra.toSeq.sorted.mkString(", ")} (caseLevel and " +
-        "alternate have no faithful mapping here and would return " +
-        "wrong rows silently)")
-    Spec(locale, strength, numericOrdering)
+        s"${extra.toSeq.sorted.mkString(", ")} (caseFirst, backwards " +
+        "and normalization have no faithful mapping here and would " +
+        "return wrong rows silently)")
+    Spec(locale, strength, numericOrdering, alternateShifted,
+      maxVariable, caseLevel)
   }
 }

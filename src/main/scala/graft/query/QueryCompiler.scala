@@ -81,7 +81,7 @@ object QueryCompiler {
   private def cmpPair(field: String, c: Column, v: Any): (Column, Column) =
     (activeCollation.value, v) match {
       case (Some(sp), s: String) if fieldIsString(field) =>
-        (sp.key(c), lit(sp.fold(s)))
+        (sp.key(c), sp.foldLit(s))
       case _ => (c, toLit(v))
     }
 
@@ -275,8 +275,10 @@ object QueryCompiler {
     activeCollation.value match {
       case Some(sp) if vs.exists(_.isInstanceOf[String]) &&
           fieldIsString(field) =>
+        // foldLit keeps the literal the same SHAPE as the key (a struct
+        // under caseLevel); isin passes Columns through lit() untouched
         sp.key(c).isin(vs.map {
-          case s: String => sp.fold(s)
+          case s: String => sp.foldLit(s)
           case other => toScalaLit(other)
         }: _*)
       case _ => c.isin(vs.map(toScalaLit): _*)

@@ -51,9 +51,78 @@ class CollationSpec extends SparkSpec {
     assert(eStr.getMessage.contains("strength"))
     val eOpt = intercept[IllegalArgumentException] {
       Collation.parse(Map("locale" -> "en", "strength" -> 2,
-        "caseLevel" -> true))
+        "caseFirst" -> "upper"))
     }
-    assert(eOpt.getMessage.contains("caseLevel"))
+    assert(eOpt.getMessage.contains("caseFirst"))
+    // caseLevel at strength 3 is a silent no-op (binary comparison is
+    // already case-sensitive) — rejected with guidance
+    val eCl3 = intercept[IllegalArgumentException] {
+      Collation.parse(Map("locale" -> "en", "strength" -> 3,
+        "numericOrdering" -> true, "caseLevel" -> true))
+    }
+    assert(eCl3.getMessage.contains("caseLevel"))
+    // maxVariable names which characters shift — meaningless without
+    // alternate: shifted
+    val eMv = intercept[IllegalArgumentException] {
+      Collation.parse(Map("locale" -> "en", "strength" -> 2,
+        "maxVariable" -> "punct"))
+    }
+    assert(eMv.getMessage.contains("maxVariable"))
+  }
+
+  test("alternate shifted: whitespace + punctuation are ignorable; " +
+      "maxVariable space keeps punctuation significant") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-collation-shift").toString
+    Seq((1L, "re-use"), (2L, "reuse"), (3L, "re use"), (4L, "RE!USE"),
+      (5L, "refuse"), (6L, "re-fuse"))
+      .toDF("_id", "w").write.parquet(s"$dir/words.parquet")
+    val c = new graft.db.GraftSession(spark, dir).db("testdb").c("words")
+    def find(q: Map[String, Any], coll: Map[String, Any]): Seq[Long] =
+      c.find(q).collation(coll).sort("w", "_id").toDF
+        .select("_id").as[Long].collect().toSeq
+    // equality: every spelling of "reuse" matches, refuse does not
+    assert(find(Map("w" -> "Re,Use"), Map("locale" -> "en",
+      "strength" -> 2, "alternate" -> "shifted")) == Seq(1, 2, 3, 4))
+    // sort: refuse group first on the stripped key ('f' < 'u'), then
+    // all reuse spellings tied → _id order
+    assert(find(Map.empty[String, Any], Map("locale" -> "en",
+      "strength" -> 2, "alternate" -> "shifted")) ==
+      Seq(5, 6, 1, 2, 3, 4))
+    // maxVariable space: only whitespace shifts — "re use" still
+    // matches, "re-use"/"RE!USE" do not
+    assert(find(Map("w" -> "reuse"), Map("locale" -> "en",
+      "strength" -> 2, "alternate" -> "shifted",
+      "maxVariable" -> "space")) == Seq(2, 3))
+    // composes with strength 3 + numericOrdering (binary case, shifted
+    // punctuation, numeric digit runs)
+    assert(find(Map("w" -> "re-use"), Map("locale" -> "en",
+      "alternate" -> "shifted", "numericOrdering" -> true)) ==
+      Seq(1, 2, 3))
+  }
+
+  test("caseLevel: case pattern compared after the whole primary level") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-collation-case").toString
+    Seq((1L, "Café"), (2L, "cafe"), (3L, "CAFE"), (4L, "Cafe"),
+      (5L, "cafés"))
+      .toDF("_id", "w").write.parquet(s"$dir/words.parquet")
+    val c = new graft.db.GraftSession(spark, dir).db("testdb").c("words")
+    def find(q: Map[String, Any], coll: Map[String, Any]): Seq[Long] =
+      c.find(q).collation(coll).sort("w", "_id").toDF
+        .select("_id").as[Long].collect().toSeq
+    // strength 1 + caseLevel: diacritics fold, case is significant —
+    // "Cafe" matches Café and Cafe but not cafe/CAFE
+    assert(find(Map("w" -> "Cafe"), Map("locale" -> "en",
+      "strength" -> 1, "caseLevel" -> true)) == Seq(1, 4))
+    // ordering: primary level decides first (cafe* < cafes even though
+    // 's' would beat the case level), case breaks primary ties with
+    // lowercase first
+    assert(find(Map.empty[String, Any], Map("locale" -> "en",
+      "strength" -> 1, "caseLevel" -> true)) == Seq(2, 1, 4, 3, 5))
+    // strength 2 + caseLevel: diacritics stay significant
+    assert(find(Map("w" -> "Cafe"), Map("locale" -> "en",
+      "strength" -> 2, "caseLevel" -> true)) == Seq(4))
   }
 
   test("find().collation(): predicate recompiles and sort keys fold") {
