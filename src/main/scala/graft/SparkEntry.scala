@@ -1047,6 +1047,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Atlas $search searchAfter keyset pagination: page 1's last
+    // {$meta: "searchSequenceToken"} (a base64 cursor encoding the
+    // sort-key values) resumes page 2 strictly after that position —
+    // no overlap, no gap. Sort is (BM25 score desc, doc_id asc): a
+    // total order, so the cursor is exact even across score ties. The
+    // single collected token is bounded driver state (one row)
+    "q200_search_after_pagination" -> ((s, dir) => {
+      val sortSpec = Map("s" -> Map("$meta" -> "searchScore"),
+        "doc_id" -> 1)
+      def stages(after: Option[String]) = Seq(
+        Map("$search" -> (Map(
+          "text" -> Map("query" -> "stream filter", "path" -> "text"),
+          "sort" -> sortSpec) ++
+          after.map("searchAfter" -> _).toMap)),
+        Map("$limit" -> 10),
+        Map("$project" -> Map("doc_id" -> 1,
+          "tok" -> Map("$meta" -> "searchSequenceToken"))))
+      val c = coll(s, dir, "documents")
+      val cursor = c.pipe(stages(None)).collect()
+        .last.getAs[String]("tok")
+      c.pipe(stages(Some(cursor))).select("doc_id")
+    }),
+
     // Atlas $search scoreDetails: per-clause breakdown through
     // {$meta: "searchScoreDetails"} — flat {value, description} list of
     // the scoring clauses with the total on the top struct (documented
@@ -4545,6 +4568,34 @@ object SparkEntry {
         |    [((doc_id // 20) % 5) + 1]
         |    IN ('kinder', 'kindes', 'kind')
         |ORDER BY doc_id""".stripMargin,
+
+    // page 2 of the (bm25 desc, doc_id) ordering = rows 11-20: keyset
+    // pagination must equal OFFSET pagination on a total order. Same
+    // BM25 CTEs as q186; per-doc scores sum at most two terms, so the
+    // double addition is order-exact in both engines
+    "q200_search_after_pagination" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM tk),
+        |hits AS (
+        |  SELECT doc_id, dl, term, COUNT(*) AS tf FROM toks
+        |  WHERE term IN ('stream', 'filter')
+        |  GROUP BY doc_id, dl, term),
+        |stats AS (
+        |  SELECT COUNT(*) AS n_docs, avg(CAST(len(t) AS DOUBLE)) AS avgdl
+        |  FROM tk),
+        |dfreq AS (
+        |  SELECT term, COUNT(*) AS df FROM hits GROUP BY term),
+        |bm AS (
+        |  SELECT doc_id,
+        |    SUM(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * 2.2)
+        |      / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))) AS s
+        |  FROM hits JOIN dfreq USING (term), stats GROUP BY doc_id)
+        |SELECT doc_id FROM bm
+        |ORDER BY s DESC, doc_id LIMIT 10 OFFSET 10""".stripMargin,
 
     "q186_search_score_details" ->
       """WITH tk AS (

@@ -705,6 +705,16 @@ object PipelineCompiler {
         // Atlas `sort` option: order results by stored fields (and/or the
         // score via {$meta}) instead of pure relevance
         val sortOpt = d0.get("sort").map(doc)
+        // Atlas `searchAfter` keyset pagination: resume strictly after
+        // the sort position a {$meta: "searchSequenceToken"} projection
+        // produced. Tokens encode the sort-key VALUES (base64 JSON, in
+        // sort order), so paging is deterministic with no overlap or gap
+        // as long as the sort is total — include a unique field (Atlas
+        // pages on its internal _id the same way)
+        val searchAfterOpt = d0.get("searchAfter").map(_.toString)
+        require(searchAfterOpt.isEmpty || sortOpt.isDefined,
+          s"$name.searchAfter requires sort (the token is a position " +
+            "in that ordering)")
         // Atlas `highlight` option: per-match passages exposed through
         // {$meta: "searchHighlights"}. Columnar form (documented
         // simplification): one passage per matching ANALYZED TOKEN of the
@@ -740,7 +750,7 @@ object PipelineCompiler {
           s"$name.analyzer: unsupported $stageAnalyzer " +
             s"(supported: ${knownAnalyzers.toSeq.sorted.mkString(", ")})")
         val d = d0 - "sort" - "highlight" - "count" - "analyzer" -
-          "searchAnalyzer" - "scoreDetails"
+          "searchAnalyzer" - "scoreDetails" - "searchAfter"
         require(d.size == 1,
           s"$name: exactly one operator (text/phrase/wildcard/autocomplete" +
             s"/equals/range/exists/in/compound), got ${d.keys}")
@@ -1839,19 +1849,70 @@ object PipelineCompiler {
             .agg(count(lit(1)).as("__total"))
             .select(struct(col("__total").as("total")).as("count"))
         } else {
-          val order: Seq[Column] = sortOpt match {
-            case None => Seq(col("__searchScore").desc)
+          val sortKeys: Seq[(Column, Boolean)] = sortOpt match {
+            case None => Seq((col("__searchScore"), false))
             case Some(sd) =>
               require(sd.nonEmpty, s"$name.sort: empty document")
               sd.toSeq.map {
-                case (f, 1) => col(f).asc
-                case (f, -1) => col(f).desc
+                case (f, 1) => (col(f), true)
+                case (f, -1) => (col(f), false)
                 case (_, m: Map[_, _])
                   if doc(m).get("$meta").nonEmpty =>
-                  col("__searchScore").desc
+                  (col("__searchScore"), false)
                 case (f, other) => throw new IllegalArgumentException(
                   s"$name.sort.$f: $other (1/-1/{$$meta})")
               }
+          }
+          val order: Seq[Column] =
+            sortKeys.map { case (c, asc) => if (asc) c.asc else c.desc }
+          // searchSequenceToken: base64 JSON of this row's sort-key
+          // values (positional field names t0..tn — the token is opaque
+          // to callers, Atlas-style). Pure scan expressions; stashed
+          // only under an explicit sort, which pagination requires.
+          val tokenExpr = base64(to_json(struct(
+            sortKeys.zipWithIndex.map { case ((c, _), i) =>
+              c.as(s"t$i") }: _*)))
+          // strictly-after predicate from a token: OR over key prefixes
+          // — (k1 after v1) ∨ (k1 = v1 ∧ k2 after v2) ∨ …, "after"
+          // following each key's direction. The cursor row itself (all
+          // keys equal) is excluded, which is the no-overlap guarantee;
+          // a NULL sort value cannot produce a resumable token (to_json
+          // drops it) and fails here with the remedy.
+          def afterPredicate(tok: String): Column = {
+            val json = try new String(
+              java.util.Base64.getDecoder.decode(tok), "UTF-8")
+            catch { case _: IllegalArgumentException =>
+              throw new IllegalArgumentException(
+                s"$name.searchAfter: not a searchSequenceToken " +
+                  "(bad base64)")
+            }
+            val fields = graft.orchestrate.ConfigLoader.parseJson(json)
+              match {
+              case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+              case other => throw new IllegalArgumentException(
+                s"$name.searchAfter: not a searchSequenceToken ($other)")
+            }
+            val vals = sortKeys.indices.map(i => fields.getOrElse(s"t$i",
+              throw new IllegalArgumentException(
+                s"$name.searchAfter: token lacks sort key $i — it must " +
+                  "come from a {$meta: \"searchSequenceToken\"} " +
+                  "projection under the SAME non-null sort")))
+            sortKeys.zip(vals).zipWithIndex.map {
+              case (((c, asc), v), i) =>
+                val samePrefix = sortKeys.take(i).map(_._1).zip(vals)
+                  .map { case (pc, pv) => pc === lit(pv) }
+                  .reduceOption(_ && _).getOrElse(lit(true))
+                samePrefix && (if (asc) c > lit(v) else c < lit(v))
+            }.reduce(_ || _)
+          }
+          def addPagination(frame: DataFrame): DataFrame = {
+            val withTok =
+              if (sortOpt.isEmpty) frame
+              else frame.withColumn("__searchSequenceToken", tokenExpr)
+            searchAfterOpt match {
+              case None => withTok
+              case Some(tok) => withTok.where(afterPredicate(tok))
+            }
           }
           // highlight passages: terms harvested driver-side from the
           // text/phrase legs that name the highlight path
@@ -1937,14 +1998,16 @@ object PipelineCompiler {
                 }: _*).as("details")))
             }
           if (statCols.isEmpty) {
-            addCount(addHighlights(addDetails(df.where(matched)
-              .withColumn("__searchScore", score))))
+            addCount(addHighlights(addDetails(addPagination(
+              df.where(matched)
+                .withColumn("__searchScore", score)))))
               .orderBy(order: _*)
           } else {
             val stats = df.agg(statCols.head, statCols.tail: _*)
-            addCount(addHighlights(addDetails(df.join(broadcast(stats))
-              .where(matched)
-              .withColumn("__searchScore", score))
+            addCount(addHighlights(addDetails(addPagination(
+              df.join(broadcast(stats))
+                .where(matched)
+                .withColumn("__searchScore", score)))
               .drop(stats.columns.toSeq: _*)))
               .orderBy(order: _*)
           }
@@ -4068,6 +4131,8 @@ object PipelineCompiler {
               "vectorSearchScore" =>
             col("__searchScore")
           case "searchHighlights" => col("__searchHighlights")
+          // keyset-pagination cursor stashed by a sorted $search stage
+          case "searchSequenceToken" => col("__searchSequenceToken")
           // per-pipeline contribution breakdown stashed by a fusion
           // stage run with scoreDetails: true
           case "scoreDetails" => col("__scoreDetails")
@@ -4075,7 +4140,7 @@ object PipelineCompiler {
           case "searchScoreDetails" => col("__searchScoreDetails")
           case other => throw new IllegalArgumentException(
             s"$$meta: unsupported $other (searchScore/textScore/score/" +
-              "scoreDetails/searchScoreDetails)")
+              "scoreDetails/searchScoreDetails/searchSequenceToken)")
         }
         case "$eq"  => val Seq(a, b) = seq; a === b
         case "$ne"  => val Seq(a, b) = seq; a =!= b

@@ -2529,6 +2529,44 @@ class SearchStagesSpec extends graft.SparkSpec {
     assert(e.getMessage.contains("unsupported"))
   }
 
+  test("$search searchAfter: keyset pagination with no overlap or gap") {
+    val docs = Seq(
+      (1L, "stream stream stream"), (2L, "stream stream x"),
+      (3L, "stream x y"), (4L, "stream y z"), (5L, "stream z w"),
+      (6L, "nothing here"))
+      .toDF("id", "txt")
+    val sort = Map("s" -> Map("$meta" -> "searchScore"), "id" -> 1)
+    def page(after: Option[String]): Seq[(Long, String)] =
+      PipelineCompiler.compile(Seq(
+        Map("$search" -> (Map(
+          "text" -> Map("query" -> "stream", "path" -> "txt"),
+          "sort" -> sort) ++
+          after.map("searchAfter" -> _).toMap)),
+        Map("$limit" -> 2),
+        Map("$project" -> Map("id" -> 1,
+          "tok" -> Map("$meta" -> "searchSequenceToken")))))(docs)
+        .as[(Long, String)].collect().toSeq
+    val p1 = page(None)
+    val p2 = page(Some(p1.last._2))
+    val p3 = page(Some(p2.last._2))
+    // three pages cover the 5 matches in order, no overlap, no gap
+    assert((p1 ++ p2 ++ p3).map(_._1) == Seq(1L, 2L, 3L, 4L, 5L))
+    // score ties (docs 3,4,5 all tf=1) break on the id sort key, so
+    // paging across the tie boundary is still exact
+    assert(p2.map(_._1) == Seq(3L, 4L))
+    // searchAfter without sort / a garbage token reject loudly
+    val e1 = intercept[IllegalArgumentException](PipelineCompiler.compile(
+      Seq(Map("$search" -> Map(
+        "text" -> Map("query" -> "stream", "path" -> "txt"),
+        "searchAfter" -> "abc"))))(docs))
+    assert(e1.getMessage.contains("sort"))
+    val e2 = intercept[IllegalArgumentException](PipelineCompiler.compile(
+      Seq(Map("$search" -> Map(
+        "text" -> Map("query" -> "stream", "path" -> "txt"),
+        "sort" -> sort, "searchAfter" -> "%%%"))))(docs).collect())
+    assert(e2.getMessage.contains("searchAfter"))
+  }
+
   test("$search autocomplete: token prefix match") {
     val docs = Seq((1L, "streaming engine"), (2L, "stream"), (3L, "upstream"))
       .toDF("id", "txt")
