@@ -57,12 +57,23 @@ object Similarity {
     * Deterministic end to end (hamming ties and cosine ties both break
     * on id).
     *
-    * Scale shape: signatures compute in the corpus scan; queries
-    * broadcast; the only corpus-sized shuffle is the per-query top-k
-    * window over narrow (ids, ham) rows, and the float math runs on
-    * `shortlist` rows per query, never the corpus. Compose with IVF/LSH
-    * blocking for candidate pruning when |queries| is large.
-    * Output: (query_id, neighbor_id, rank). */
+    * Scale shape: signatures compute in the corpus scan. With a SMALL
+    * query set (≤ `spark.graft.binaryann.broadcastQueryLimit`, default
+    * 1024) the queries broadcast and every corpus row scores every
+    * query — exact brute hamming, and the only corpus-sized shuffle is
+    * the per-query top-k window over narrow (ids, ham) rows. ABOVE the
+    * limit the corpus×queries product is the scale-killer (a
+    * BroadcastNestedLoopJoin at 10⁵ queries × 10⁹ rows is 10¹⁴ hamming
+    * evaluations), so candidate generation switches AUTOMATICALLY to
+    * the pigeonhole byte-block join the SimHash family uses: the d-bit
+    * signature splits into ⌈d/8⌉ disjoint byte blocks, and any pair
+    * within hamming distance < ⌈d/8⌉ shares at least one block EXACTLY
+    * (pigeonhole) — candidates meet on a (block, value) equi-join that
+    * scales with block-bucket occupancy, not |corpus|·|queries|.
+    * Shortlists beyond that radius are approximate (documented, the
+    * lshTopK contract). Both paths share the shortlist + rescore tail,
+    * and the float math runs on `shortlist` rows per query, never the
+    * corpus. Output: (query_id, neighbor_id, rank). */
   def binaryAnnTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, shortlist: Int = 0, dim: Int = 0): DataFrame = {
     val d = if (dim > 0) dim else
@@ -80,10 +91,40 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("qsig", Quantize.binarySignature(col("qv"), d))
       .withColumn("qn", vec_dot(col("qv"), col("qv")))
-    val hammed = c.join(broadcast(q),
-        col("query_id") =!= col("neighbor_id"))
-      .withColumn("ham",
-        Quantize.hammingDistance(col("csig"), col("qsig")))
+    val broadcastLimit = corpus.sparkSession.conf
+      .getOption("spark.graft.binaryann.broadcastQueryLimit")
+      .map(_.toLong).getOrElse(1024L)
+    val hammed =
+      if (queries.count() <= broadcastLimit)
+        c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+          .withColumn("ham",
+            Quantize.hammingDistance(col("csig"), col("qsig")))
+      else {
+        // pigeonhole byte blocks: block b = bits [8b, 8b+8) of the
+        // signature — always inside one 32-bit word (8 | 32), extracted
+        // with constant shifts folded into codegen. The candidate join
+        // carries ONLY (id, block, value) — vectors and signatures
+        // re-attach by id equi-joins afterwards (the embeddingNearDup
+        // narrow-frame lesson: never drag payloads through the explode)
+        val nBlocks = (d + 7) / 8
+        def blockVal(sig: Column, b: Int): Column =
+          shiftrightunsigned(element_at(sig, (b * 8) / 32 + 1), (b * 8) % 32)
+            .bitwiseAND(lit(0xFFL))
+        def blocked(df: DataFrame, id: String, sig: String): DataFrame =
+          df.select(col(id), explode(array((0 until nBlocks).map { b =>
+            struct(lit(b).as("t"), blockVal(col(sig), b).as("bv"))
+          }: _*)).as("tb"))
+            .select(col(id), col("tb.t").as("t"), col("tb.bv").as("bv"))
+        val cand = blocked(c, "neighbor_id", "csig")
+          .join(blocked(q, "query_id", "qsig"), Seq("t", "bv"))
+          .where(col("query_id") =!= col("neighbor_id"))
+          .select("query_id", "neighbor_id").distinct()
+        // equi-joins both ways (AQE picks broadcast when a side is
+        // small) — no corpus×queries nested loop anywhere
+        cand.join(c, "neighbor_id").join(q, "query_id")
+          .withColumn("ham",
+            Quantize.hammingDistance(col("csig"), col("qsig")))
+      }
     val wHam = Window.partitionBy("query_id")
       .orderBy(col("ham").asc, col("neighbor_id").asc)
     val short = hammed.withColumn("__hr", row_number().over(wHam))

@@ -507,6 +507,42 @@ class SimilaritySpec extends SparkSpec {
     assert(got == brute)
   }
 
+  test("binaryAnnTopK auto-blocks above the broadcast query limit: " +
+      "no nested loop, and blocked equals brute inside the pigeonhole " +
+      "radius") {
+    val dim = 64
+    def proto(seed: Int): Array[Float] =
+      Array.tabulate(dim)(i =>
+        if (((i * 2654435761L + seed * 97L) & 4L) == 0L) 1f else -1f)
+    // 4 query prototypes; corpus = per-prototype variants flipping
+    // j <= 4 signs (hamming <= 4 < 8 byte blocks, so the pigeonhole
+    // join is guaranteed to surface every true near neighbor)
+    val queries = (0 until 4).map(s => (100L + s, proto(s).toSeq))
+      .toDF("id", "v")
+    val corpus = (for { s <- 0 until 4; j <- 0 until 5 } yield {
+      val v = proto(s).clone(); (0 until j).foreach(p => v(p) = -v(p))
+      (s * 10L + j, v.toSeq)
+    }).toDF("id", "v")
+    def run(): Set[(Long, Long, Int)] =
+      Similarity.binaryAnnTopK(corpus, queries, "id", "v",
+        k = 3, shortlist = 6)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .toSet
+    val brute = run() // 4 queries <= default limit 1024: broadcast BNLJ
+    spark.conf.set("spark.graft.binaryann.broadcastQueryLimit", "2")
+    try {
+      val blockedDf = Similarity.binaryAnnTopK(corpus, queries, "id", "v",
+        k = 3, shortlist = 6)
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(out)) {
+        blockedDf.explain("formatted")
+      }
+      assert(!out.toString.contains("BroadcastNestedLoopJoin"))
+      assert(blockedDf.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet == brute)
+    } finally spark.conf.unset("spark.graft.binaryann.broadcastQueryLimit")
+  }
+
   test("lsh top-k finds the strong neighbor") {
     val out = Similarity.lshTopK(vecs, vecs.where($"vec_id" === 1),
       "vec_id", "embedding", k = 2, nPlanes = 2, tables = 4)
