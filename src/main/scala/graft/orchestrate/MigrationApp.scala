@@ -170,7 +170,8 @@ final class MigrationApp(
       // writeBack: on validation failure the original table is restored —
       // a non-unique idColumn errors AND leaves the data un-migrated
       val keepBackup = workListKeys >= 0
-      writeBack(out.drop("__hit"), path, keepBackup)
+      writeBack(out.drop("__hit"), path, keepBackup,
+        fence = () => lease.verifyHeld(spec.options.ns))
       // blocking get: the write above executed the CollectMetrics node, the
       // listener delivers the row asynchronously moments later
       val matched = obs.get.get("matched") match {
@@ -214,11 +215,18 @@ final class MigrationApp(
 
   /** Atomic-ish write-back: write tmp dir, swap via rename. With
     * `keepBackup` the displaced original survives as `<path>.bak` so a
-    * post-write validation failure can roll back via [[restoreBackup]]. */
+    * post-write validation failure can roll back via [[restoreBackup]].
+    * `fence` runs after the (long) tmp write and immediately before the
+    * first commit rename — the data-path fencing check
+    * ([[NamespaceLease.verifyHeld]]): if the lease changed hands while
+    * this app was paused or slow, the swap aborts with NOTHING mutated
+    * (only the orphaned `.tmp` remains, and the next writeBack's
+    * mode("overwrite") replaces it). */
   private def writeBack(df: DataFrame, path: String,
-      keepBackup: Boolean = false): Unit = {
+      keepBackup: Boolean = false, fence: () => Unit = () => ()): Unit = {
     val tmp = path + ".tmp"
     df.write.mode("overwrite").parquet(tmp)
+    fence()
     val p = new org.apache.hadoop.fs.Path(path)
     val bak = new org.apache.hadoop.fs.Path(path + ".bak")
     if (fs.exists(bak)) fs.delete(bak, true)
@@ -290,11 +298,17 @@ final class MigrationApp(
   *   - release deletes only a lease that still carries the owner token,
   *     so a usurped holder cannot free the usurper's lease.
   *
-  * This is advisory file locking — without fencing tokens at the data
-  * path a usurped-but-alive holder can still race the usurper; the
-  * heartbeat + rename protocol makes that window milliseconds wide and
-  * requires the holder to be paused for > staleMs, in exchange for
-  * working on any Hadoop filesystem with atomic create+rename. */
+  * The advisory lock is backed by a data-path fencing check:
+  * [[MigrationApp.writeBack]] calls [[verifyHeld]] after the
+  * replacement data is written and immediately before the first commit
+  * rename, on the SAME filesystem that holds the lease. A holder paused
+  * past staleMs is usurped while asleep; on wake-up its commit is
+  * preceded by the check, which observes the usurper's token and aborts
+  * the publish (the migration surfaces as an errored result and re-runs
+  * later — the usurper's writes are never clobbered). What remains is
+  * the check→rename instruction window: only a pause landing exactly
+  * inside those few milliseconds escapes, because true CAS publication
+  * needs a primitive the Hadoop FileSystem API doesn't offer. */
 final class NamespaceLease(spark: SparkSession, root: String,
     owner: String, waitMs: Long = 10000L,
     staleMs: Long = 30L * 60 * 1000) {
@@ -461,6 +475,22 @@ final class NamespaceLease(spark: SparkSession, root: String,
     t.start()
     heartbeats.put(p.toString, t)
   }
+
+  /** Data-path fencing check — throws unless the lease still carries
+    * this app's token. [[MigrationApp.writeBack]] calls it immediately
+    * before the commit rename: a holder paused past staleMs was usurped
+    * while asleep, and this same-filesystem check makes its wake-up
+    * commit abort instead of publishing over the usurper. Retried reads
+    * (the protocol rule everywhere here): aborting a finished write on
+    * one transient read hiccup would waste the whole migration. */
+  def verifyHeld(ns: graft.model.Namespace): Unit =
+    if (!readTokenRetry(leasePath(ns)).contains(owner))
+      throw new IllegalStateException(
+        s"namespace lease for ${ns.db}.${ns.collection} no longer " +
+          "carries this app's token — it was usurped while this app " +
+          "was paused or slow (staleMs too low for this workload?). " +
+          "Aborting the table swap so the new holder's writes are not " +
+          "overwritten; this migration stays pending and will re-run.")
 
   def release(ns: graft.model.Namespace): Unit = {
     val p = leasePath(ns)

@@ -350,6 +350,39 @@ class MigrationAppSpec extends SparkSpec {
     java.nio.file.Files.delete(leaseFile)
   }
 
+  test("data-path fencing: a usurped holder's commit aborts instead of " +
+      "publishing over the usurper") {
+    val root = freshRoot()
+    val leaseFile = java.nio.file.Paths.get(
+      s"$root/anser_migrations_metadata.leases/db.items.lease")
+    // the 'pause': a manual operation that usurps the lease while the
+    // holder's write job is running (exactly where a >staleMs GC pause
+    // or VM freeze would let a contender break and re-take the lease)
+    val leasePathStr = leaseFile.toString // serializable closure capture
+    val regs = new Registries
+    regs.registerOperation("usurp-mid-write", r => {
+      java.nio.file.Files.write(java.nio.file.Paths.get(leasePathStr),
+        "usurper-app".getBytes("UTF-8"))
+      r
+    })
+    val app = new MigrationApp(spark, root, registries = regs)
+    app.setup(Seq(ManualMigration(
+      GeneratorOptions("m1", Nil, Namespace("db", "items"),
+        Map("cat" -> "x")), "usurp-mid-write")))
+    val res = app.run()
+    // the fence (writeBack checks the token immediately before the
+    // commit rename) sees the usurper's token: errored result, ...
+    assert(res.head.hasErrors &&
+      res.head.error.get.contains("usurped"))
+    // ... the table is untouched (the usurper's view is never
+    // clobbered), and the usurper's lease survives this app's release
+    val out = spark.read.parquet(s"$root/items.parquet")
+    assert(out.count() == 3 && out.where($"cat" === "x").count() == 2)
+    assert(new String(java.nio.file.Files.readAllBytes(leaseFile),
+      "UTF-8") == "usurper-app")
+    java.nio.file.Files.delete(leaseFile)
+  }
+
   test("namespace lease: stale lease from a crashed app is broken") {
     val root = freshRoot()
     val ns = Namespace("db", "items")
