@@ -4308,6 +4308,12 @@ object SparkEntry {
         |    / 50000.0))) AS DECIMAL(18,9)) AS DOUBLE) AS sig
         |FROM w ORDER BY o_orderkey""".stripMargin,
 
+    // the n-gram bucket reproduces the engine's code-point FNV-1a 64
+    // fold in integer SQL: the xor touches only the low 21 bits (every
+    // code point < 2^21), so h XOR c = (h - h%2^21) + xor(h%2^21, c),
+    // and the multiply wraps mod 2^64 through a HUGEINT intermediate;
+    // the 60-bit mask is a modulo (validated char-exact vs the JVM,
+    // including non-ASCII)
     "q150_dsir" ->
       """WITH toks AS (SELECT doc_id,
         |    list_filter(string_split(text, ' '), x -> x <> '') AS t
@@ -4318,7 +4324,15 @@ object SparkEntry {
         |  SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
         |  FROM toks, UNNEST(range(1, len(t))) AS u(i) WHERE len(t) >= 2),
         |gb AS (SELECT doc_id,
-        |    ('0x'||substr(md5(g),1,15))::BIGINT % 1000 AS bucket FROM g),
+        |    CAST(list_reduce(
+        |      [CAST(14695981039346656037 AS HUGEINT)] ||
+        |      list_transform(range(1, length(g) + 1),
+        |        i -> CAST(ord(substr(g, i, 1)) AS HUGEINT)),
+        |      (h, c) -> ((h // 2097152 * 2097152 +
+        |         xor(CAST(h % 2097152 AS BIGINT), CAST(c AS BIGINT)))
+        |        * 1099511628211)
+        |        % CAST(18446744073709551616 AS HUGEINT))
+        |     % 1152921504606846976 % 1000 AS BIGINT) AS bucket FROM g),
         |tc AS (SELECT bucket, COUNT(*) AS c FROM gb
         |  JOIN documents USING (doc_id) WHERE source = 'src0' GROUP BY 1),
         |rc AS (SELECT bucket, COUNT(*) AS c FROM gb GROUP BY 1),

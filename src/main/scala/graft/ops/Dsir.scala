@@ -27,11 +27,16 @@ import org.apache.spark.sql.functions._
   * TakeOrderedAndProject (per-partition top-k, k rows to the driver
   * side of the sort — never the corpus).
   *
-  * Everything is deterministic: the n-gram hash is the md5-derived
-  * [[TextFunctions.hash60]] (DuckDB oracles reproduce it) and the Gumbel
-  * noise is computed from a hashed uniform of the document id + salt, so
-  * the "random" sample is a pure function of the data — stable across
-  * runs, retries, and engines, like every sampler in [[Sampling]].
+  * Everything is deterministic: the n-gram hash is the code-point
+  * FNV-1a [[graft.functions.Fnv.hash60]] (a native expression — one
+  * multiply+xor per character inside codegen, reproduced by the DuckDB
+  * oracle in plain integer SQL; the md5-derived
+  * [[TextFunctions.hash60]] it replaced paid a digest allocation plus
+  * two string conversions PER N-GRAM, the dominant constant factor of
+  * the 100× scoring pass) and the Gumbel noise is computed from a
+  * hashed uniform of the document id + salt, so the "random" sample is
+  * a pure function of the data — stable across runs, retries, and
+  * engines, like every sampler in [[Sampling]].
   */
 object Dsir {
 
@@ -49,7 +54,8 @@ object Dsir {
       buckets: Int): DataFrame =
     df.select(TextFunctions.tokens(col(textCol)).as("__toks"))
       .select(explode(ngrams(col("__toks"))).as("__g"))
-      .groupBy((TextFunctions.hash60(col("__g")) % buckets).as("bucket"))
+      .groupBy((graft.functions.HashFunctions.fnv_hash60(col("__g"))
+        % buckets).as("bucket"))
       .agg(count(lit(1)).as("cnt"))
 
   /** Per-bucket log p̂_target − log q̂_raw under add-`smoothing`
@@ -119,7 +125,8 @@ object Dsir {
       .withColumn("log_weight", coalesce(
         aggregate(ngrams(col("__toks")), lit(0L), (acc, g) =>
           acc + element_at(lrLit,
-            (TextFunctions.hash60(g) % buckets).cast("int") + 1))
+            (graft.functions.HashFunctions.fnv_hash60(g) % buckets)
+              .cast("int") + 1))
           / 1e9,
         lit(0.0)))
       .drop("__toks")

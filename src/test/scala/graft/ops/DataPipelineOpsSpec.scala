@@ -350,8 +350,13 @@ class DataPipelineOpsSpec extends SparkSpec {
   // ---- Dsir ----
 
   test("dsir weights rank target-like documents higher") {
+    // doc 1 is pure target phrasing WITHOUT repeated tokens: weights are
+    // unnormalized sums, so a doc repeating a token the raw corpus is
+    // rich in (e.g. 'spark spark spark') legitimately pays per
+    // occurrence and can rank below a shorter mixed doc — that's the
+    // published estimator, not a bug
     val raw = Seq(
-      (1L, "spark spark shuffle partition spark shuffle"),
+      (1L, "spark shuffle partition executor"),
       (2L, "poem moon river autumn leaves poem moon"),
       (3L, "spark partition poem")
     ).toDF("doc_id", "text")
@@ -359,9 +364,13 @@ class DataPipelineOpsSpec extends SparkSpec {
       (10L, "spark shuffle partition executor"),
       (11L, "spark partition broadcast shuffle")
     ).toDF("doc_id", "text")
-    val ratios = Dsir.logRatios(target, raw, "text", buckets = 64)
-    assert(ratios.count() == 64)
-    val w = Dsir.logWeights(raw, "doc_id", "text", ratios, 64)
+    // 128 buckets: collision-free for this fixture's features (64 put
+    // 'moon river' and 'partition broadcast' in one bucket, which
+    // legitimately flips the tiny-corpus ordering — hashed features
+    // trade exactly this for bounded state)
+    val ratios = Dsir.logRatios(target, raw, "text", buckets = 128)
+    assert(ratios.count() == 128)
+    val w = Dsir.logWeights(raw, "doc_id", "text", ratios, 128)
       .select("doc_id", "log_weight")
       .as[(Long, Double)].collect().toMap
     // doc 1 is pure target vocabulary, doc 2 pure off-target; only the

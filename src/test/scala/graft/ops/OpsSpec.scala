@@ -617,6 +617,23 @@ class TextFunctionsSpec extends SparkSpec {
     assert(stem("by") == "by" && stem("café") == "café")
   }
 
+  test("fnv_hash60: code-point FNV-1a 64 masked to 60 bits, column " +
+      "path == driver path") {
+    import graft.functions.{Fnv, HashFunctions}
+    // the published fold: offset 0xcbf29ce484222325, prime 2^40+0x1b3,
+    // one xor+multiply per code point — spot-check the algebra by hand
+    // for a 1-char input, then pin cross-path equality incl. non-ASCII
+    val one = ((-3750763034362895579L ^ 'a'.toInt) * 1099511628211L) &
+      ((1L << 60) - 1)
+    assert(Fnv.hash60("a") == one)
+    assert(Fnv.hash60("") == (-3750763034362895579L & ((1L << 60) - 1)))
+    for (s <- Seq("stream", "stream filter", "café naïve", "日本語")) {
+      val col0 = Seq(Tuple1(s)).toDF("s")
+        .select(HashFunctions.fnv_hash60($"s")).as[Long].head()
+      assert(col0 == Fnv.hash60(s) && col0 >= 0L && col0 < (1L << 60))
+    }
+  }
+
   test("French Snowball stemmer: published-algorithm pairs") {
     import graft.functions.FrenchSnowball.stem
     // step 1 standard suffixes (ement/eus interplay, euse(s), eux)
