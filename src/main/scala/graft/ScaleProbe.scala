@@ -15,6 +15,8 @@ import org.apache.spark.sql.SparkSession
   *  vectors put ~0.8% of RANDOM pairs above 0.3 at dim 64, so pair
   *  volume at low thresholds is quadratic in any corpus) |
   *  semdedupk (cap = k, 0 = adaptive default; thr = eps) |
+  *  binaryann (cap = |queries|; thr 1 = force brute broadcast path,
+  *  2 = force pigeonhole byte-block path, else the auto rule) |
   *  pairs (near-dup pair-volume control)
   */
 object ScaleProbe {
@@ -103,13 +105,29 @@ object ScaleProbe {
           // embedding near-dup with a sized bucket space: the optional
           // 4th arg is blockPlanes; 0/absent = the library's ADAPTIVE
           // default (autoBlockPlanes — the round-9 rule that replaced
-          // the fixed 8-plane space the 100x rehearsal saturated; at
-          // 100x auto picks 16, the measured remedy)
+          // the fixed 8-plane space the 100x rehearsal saturated,
+          // +1 skew-headroom plane since round 10)
           val planes = if (cap > 0) cap.toInt else 0
           Dedup.embeddingNearDup(
             spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id",
             "embedding", threshold = thr, blockPlanes = planes, dim = 64)
             .count()
+        case "binaryann" =>
+          // binary-ANN query-set crossover: cap = |queries| (default
+          // 1024); thr selects the candidate path — 1 forces brute
+          // (broadcast limit above any query set), 2 forces the
+          // pigeonhole byte-block join (limit 0), anything else leaves
+          // the library's auto rule (broadcastQueryLimit 1024). Times
+          // the full top-k including the rescore.
+          val e = spark.read.parquet(s"$dir/embeddings.parquet")
+          val nq = if (cap > 0) cap.toInt else 1024
+          if (thr == 1.0) spark.conf.set(
+            "spark.graft.binaryann.broadcastQueryLimit", "1000000000000")
+          else if (thr == 2.0) spark.conf.set(
+            "spark.graft.binaryann.broadcastQueryLimit", "0")
+          else spark.conf.unset("spark.graft.binaryann.broadcastQueryLimit")
+          graft.ops.Similarity.binaryAnnTopK(e, e.limit(nq), "vec_id",
+            "embedding", k = 10, shortlist = 40, dim = 64).count()
         case "semdedupk" =>
           // SemDeDup with SCALED blocking: k-means cells sized by the
           // adaptive default (autoCellCount, k ~ corpus/targetCell; cap

@@ -5349,7 +5349,7 @@ object SparkEntry {
     "q22_embed_neardup" ->
       s"""WITH pl AS (
          |  SELECT LEAST(24, GREATEST(4, CAST(ceil(
-         |    ln(GREATEST(count(*) / 100.0, 1.0)) / ln(2.0)) AS INT)))
+         |    ln(GREATEST(count(*) / 100.0, 1.0)) / ln(2.0)) AS INT) + 1))
          |    AS np
          |  FROM embeddings),
          |raw AS (

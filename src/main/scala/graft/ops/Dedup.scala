@@ -464,16 +464,22 @@ object Dedup {
     * halves expected bucket occupancy, so `planes ≈ log2(corpus /
     * targetBucket)` keeps per-bucket candidate pairs bounded (≈
     * targetBucket²/2 per bucket, total ≈ corpus·targetBucket/2 — LINEAR
-    * in the corpus). Clamped to [4, 24]: fewer than 4 planes is a
-    * saturated toy space, more than 24 splits past any real corpus. The
-    * 100× rehearsal derived this rule (SCALE.md — 16 planes completed
-    * the 6M-row corpus the default-8 space died on; 16 = this formula at
-    * targetBucket 100). */
+    * in the corpus), PLUS ONE headroom plane: real embeddings are not
+    * uniform across sign buckets (components correlate), and the
+    * round-10 rehearsal measured the Σc² candidate volume at ×1.4-3.0
+    * the uniform estimate (SCALE.md) — without margin the uniform
+    * formula lands exactly on any valve sized from it. One extra plane
+    * quarters expected candidates, absorbing the measured skew range.
+    * Clamped to [4, 24]: fewer than 4 planes is a saturated toy space,
+    * more than 24 splits past any real corpus. The 100× rehearsals
+    * derived both terms (16 hand-planes completed the 6M-row corpus the
+    * fixed-8 space died on; 12 auto-planes at 200k rows measured
+    * 3.1e7 candidates vs 5.7e7 at the headroom-less 11). */
   def autoBlockPlanes(corpusRows: Long, targetBucket: Long = 100L): Int = {
     val cells = math.max(1.0,
       corpusRows.toDouble / math.max(1L, targetBucket))
     math.min(24, math.max(4,
-      math.ceil(math.log(cells) / math.log(2.0)).toInt))
+      math.ceil(math.log(cells) / math.log(2.0)).toInt + 1))
   }
 
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
@@ -493,9 +499,6 @@ object Dedup {
         col(idCol).as("id"), col(vecCol).as("v"),
         blockCol.map(col).getOrElse(lit(0)).as("blk"))
         .withColumn("nsq", sqrt(vec_dot(col("v"), col("v"))))
-      val a = Partitioning.ensureMinPartitions(
-        base.toDF("id_a", "va", "blk", "na"))
-      val b = base.toDF("id_b", "vb", "blk", "nb")
       // same valve as the LSH path: with a FIXED block domain (e.g. a
       // label column) block sizes grow linearly with the corpus and the
       // within-block all-pairs join quadratically — the remedy is blocks
@@ -515,16 +518,39 @@ object Dedup {
             "corpus — semDeDupKMeans cells with k ~ corpus/targetCell " +
             "— or raise the valve.")
       }
-      val joined =
-        if (blockCol.isDefined)
-          a.join(b, Seq("blk")).where(col("id_a") < col("id_b"))
-        else a.drop("blk").join(broadcast(b.drop("blk")),
-          col("id_a") < col("id_b"))
-      joined
-        .withColumn("cos", cos(col("na"), col("nb"),
-          vec_dot(col("va"), col("vb"))))
-        .where(col("cos") >= threshold)
-        .select(col("id_a"), col("id_b"))
+      if (blockCol.isDefined) {
+        // NARROW candidate frame (the LSH branch's lesson, round 10):
+        // the pair join shuffles only (id, blk) — ~16 B/candidate — and
+        // the vectors re-attach afterwards by id equi-joins against the
+        // corpus-sized (not candidate-sized) frame, which AQE broadcasts
+        // when it fits. The earlier form carried both 64-float vectors
+        // THROUGH the pair join (~512 B/candidate): at 10⁸ within-cell
+        // candidates that is a 50 GB shuffle for 1.6 GB of information,
+        // and it is what the embed valve had to be sized against.
+        val ids = base.select(col("id"), col("blk"))
+        val cand = Partitioning.ensureMinPartitions(ids.toDF("id_a", "blk"))
+          .join(ids.toDF("id_b", "blk"), Seq("blk"))
+          .where(col("id_a") < col("id_b"))
+          .select("id_a", "id_b")
+        val va = base.select(col("id").as("id_a"), col("v").as("va"),
+          col("nsq").as("na"))
+        val vb = base.select(col("id").as("id_b"), col("v").as("vb"),
+          col("nsq").as("nb"))
+        cand.join(va, "id_a").join(vb, "id_b")
+          .withColumn("cos", cos(col("na"), col("nb"),
+            vec_dot(col("va"), col("vb"))))
+          .where(col("cos") >= threshold)
+          .select(col("id_a"), col("id_b"))
+      } else {
+        val a = Partitioning.ensureMinPartitions(
+          base.drop("blk").toDF("id_a", "va", "na"))
+        val b = base.drop("blk").toDF("id_b", "vb", "nb")
+        a.join(broadcast(b), col("id_a") < col("id_b"))
+          .withColumn("cos", cos(col("na"), col("nb"),
+            vec_dot(col("va"), col("vb"))))
+          .where(col("cos") >= threshold)
+          .select(col("id_a"), col("id_b"))
+      }
     } else {
       val d = if (dim > 0) dim
         else df.select(size(col(vecCol))).head().getInt(0)

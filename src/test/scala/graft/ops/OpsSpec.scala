@@ -272,11 +272,15 @@ class DedupSpec extends SparkSpec {
   }
 
   test("adaptive blocking: autoBlockPlanes follows log2(corpus/target)" +
-      " and autoCellCount follows corpus/targetCell") {
+      " + 1 skew-headroom plane, autoCellCount follows corpus/targetCell") {
     // the 100x-derived sizing rules, pinned at two corpus sizes a
-    // decade apart (plus the measured 100x remedy: 6M rows -> 16 planes)
-    assert(Dedup.autoBlockPlanes(60000L, 100L) == 10)
-    assert(Dedup.autoBlockPlanes(6000000L, 100L) == 16)
+    // decade apart. The +1 headroom plane absorbs the measured x1.4-3.0
+    // sign-bucket occupancy skew (round-10 rehearsal: at 200k rows the
+    // headroom-less 11 planes produced 5.7e7 candidates — over the 5e7
+    // shared-cluster valve the uniform estimate says they'd fit)
+    assert(Dedup.autoBlockPlanes(60000L, 100L) == 11)
+    assert(Dedup.autoBlockPlanes(200000L, 100L) == 12)
+    assert(Dedup.autoBlockPlanes(6000000L, 100L) == 17)
     assert(Dedup.autoBlockPlanes(10L, 100L) == 4) // clamp floor
     assert(Dedup.autoBlockPlanes(Long.MaxValue, 1L) == 24) // clamp ceil
     assert(Dedup.autoCellCount(60000L, 1000L) == 60)
@@ -294,7 +298,7 @@ class DedupSpec extends SparkSpec {
     }.toDF("vec_id", "embedding")
     spark.conf.set("spark.graft.embed.targetBucket", "8")
     try {
-      // 64 rows / target 8 = 8 cells -> ceil(log2) = 3 -> clamped to 4
+      // 64 rows / target 8 = 8 cells -> ceil(log2) = 3, +1 headroom = 4
       val auto = Dedup.embeddingNearDup(vecs, "vec_id", "embedding", 0.9)
         .select("id_a", "id_b").as[(Long, Long)].collect().toSet
       val pinned = Dedup.embeddingNearDup(vecs, "vec_id", "embedding",
