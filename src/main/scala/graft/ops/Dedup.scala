@@ -711,20 +711,32 @@ object Dedup {
           .select(col("id_b").as(idCol)).distinct()
       case Some(oc) =>
         // same blocked pair join as embeddingNearDup's blockCol path, with
-        // the pair orientation decided by (orderCol, id) instead of id
+        // the pair orientation decided by (orderCol, id) instead of id —
+        // and the same NARROW candidate frame: the pair join shuffles
+        // (id, blk, ord) only, vectors re-attach by id equi-joins
+        // afterwards (the round-10 lesson: carrying two 64-float vectors
+        // through a 10⁸-pair join is a ~50 GB shuffle for 1.6 GB of
+        // information)
         import graft.functions.VectorFunctions.vec_dot
         val base = df.select(col(idCol).as("id"), col(vecCol).as("v"),
             col(clusterCol).as("blk"), col(oc).as("ord"))
           .withColumn("nsq", sqrt(vec_dot(col("v"), col("v"))))
-        val a = Partitioning.ensureMinPartitions(
-          base.toDF("id_a", "va", "blk", "ord_a", "na"))
-        val b = base.toDF("id_b", "vb", "blk", "ord_b", "nb")
+        val ids = base.select(col("id"), col("blk"), col("ord"))
         val earlier = (col("ord_a") < col("ord_b")) ||
           (col("ord_a") === col("ord_b") && col("id_a") < col("id_b"))
+        val cand = Partitioning.ensureMinPartitions(
+          ids.toDF("id_a", "blk", "ord_a"))
+          .join(ids.toDF("id_b", "blk", "ord_b"), Seq("blk"))
+          .where(earlier)
+          .select("id_a", "id_b")
+        val va = base.select(col("id").as("id_a"), col("v").as("va"),
+          col("nsq").as("na"))
+        val vb = base.select(col("id").as("id_b"), col("v").as("vb"),
+          col("nsq").as("nb"))
         val denom = col("na") * col("nb")
         val cosv = when(denom === 0.0, lit(0.0))
           .otherwise(vec_dot(col("va"), col("vb")) / denom)
-        a.join(b, Seq("blk")).where(earlier)
+        cand.join(va, "id_a").join(vb, "id_b")
           .where(cosv >= eps)
           .select(col("id_b").as(idCol)).distinct()
     }
