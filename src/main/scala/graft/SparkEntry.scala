@@ -5342,16 +5342,22 @@ object SparkEntry {
          |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // the auto-sized run reproduced exactly: np = Dedup.autoBlockPlanes
-    // recomputed from count(*) (same clamp/ceil/log2 formula), and the
-    // p-plane bucket recovered from a full 24-plane bucket by masking —
-    // plane j's constants depend only on (table, j), so bit j is the
-    // same at any plane count and bkt_p = bkt_24 & (2^p - 1)
+    // recomputed from count(*) in INTEGER arithmetic (bit length of
+    // ceil(cells)-1 == ceil(log2(cells)) — the divide+ceil are exact
+    // IEEE ops, while a floating log2 could flip by an ulp between
+    // libm implementations at exact powers of two), +1 skew-headroom
+    // plane, and the p-plane bucket recovered from a full 24-plane
+    // bucket by masking — plane j's constants depend only on
+    // (table, j), so bit j is the same at any plane count and
+    // bkt_p = bkt_24 & (2^p - 1)
     "q22_embed_neardup" ->
       s"""WITH pl AS (
-         |  SELECT LEAST(24, GREATEST(4, CAST(ceil(
-         |    ln(GREATEST(count(*) / 100.0, 1.0)) / ln(2.0)) AS INT) + 1))
-         |    AS np
-         |  FROM embeddings),
+         |  SELECT LEAST(24, GREATEST(4,
+         |    CASE WHEN cc <= 1 THEN 0
+         |         ELSE length(bin(cc - 1)) END + 1)) AS np
+         |  FROM (SELECT GREATEST(1,
+         |      CAST(ceil(count(*) / 100.0) AS BIGINT)) AS cc
+         |    FROM embeddings)),
          |raw AS (
          |${lshBucketsCte(4, 24, 64)}),
          |bkts AS (

@@ -41,19 +41,23 @@ object FrenchSnowball {
     if (input.length <= 2) return input
     if (!input.forall(Letters)) return input
 
-    // ---- prelude: mark consonantal u/i/y (and u-after-q) upper-case;
-    // neighbor tests run on the ORIGINAL characters
+    // ---- prelude: mark consonantal u/i/y (and u-after-q) upper-case.
+    // Snowball processes left to right over the LIVE buffer: the
+    // previous-neighbor test sees an already-applied mark (in
+    // "essayions" the y becomes Y, so the following i — now preceded
+    // by a non-vowel — stays unmarked), while the next-neighbor test
+    // sees the original character (not yet visited).
     val in = input
     val sb = new java.lang.StringBuilder(in.length)
     var i = 0
     while (i < in.length) {
       val c = in.charAt(i)
-      val prevV = i > 0 && v(in.charAt(i - 1))
+      val prevV = i > 0 && v(sb.charAt(i - 1))
       val nextV = i + 1 < in.length && v(in.charAt(i + 1))
       val m =
         if ((c == 'u' || c == 'i') && prevV && nextV) c.toUpper
         else if (c == 'y' && (prevV || nextV)) 'Y'
-        else if (c == 'u' && i > 0 && in.charAt(i - 1) == 'q') 'U'
+        else if (c == 'u' && i > 0 && sb.charAt(i - 1) == 'q') 'U'
         else c
       sb.append(m)
       i += 1
@@ -311,14 +315,16 @@ object GermanSnowball {
     if (input.length <= 2) return input
     if (!input.forall(Letters)) return input
 
-    // prelude: ß → ss, then mark u/y between vowels
+    // prelude: ß → ss, then mark u/y between vowels (left to right over
+    // the live buffer, like the French prelude: the previous-neighbor
+    // test sees an already-applied mark)
     val base = input.replace("ß", "ss")
     val sb = new java.lang.StringBuilder(base.length)
     var i = 0
     while (i < base.length) {
       val c = base.charAt(i)
       val between = i > 0 && i + 1 < base.length &&
-        v(base.charAt(i - 1)) && v(base.charAt(i + 1))
+        v(sb.charAt(i - 1)) && v(base.charAt(i + 1))
       sb.append(if ((c == 'u' || c == 'y') && between) c.toUpper else c)
       i += 1
     }

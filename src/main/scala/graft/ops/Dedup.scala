@@ -476,10 +476,17 @@ object Dedup {
     * fixed-8 space died on; 12 auto-planes at 200k rows measured
     * 3.1e7 candidates vs 5.7e7 at the headroom-less 11). */
   def autoBlockPlanes(corpusRows: Long, targetBucket: Long = 100L): Int = {
-    val cells = math.max(1.0,
-      corpusRows.toDouble / math.max(1L, targetBucket))
-    math.min(24, math.max(4,
-      math.ceil(math.log(cells) / math.log(2.0)).toInt + 1))
+    // integer form of ceil(log2(cells)): bit length of ceil(cells)-1.
+    // The divide+ceil are exact IEEE ops (identical in any engine, so
+    // the DuckDB oracle reproduces them verbatim); a floating log2
+    // could differ by an ulp between libm implementations at exact
+    // powers of two and flip the derived plane count cross-engine.
+    val ceilCells = math.max(1L,
+      math.ceil(corpusRows.toDouble / math.max(1L, targetBucket)).toLong)
+    val ceilLog2 =
+      if (ceilCells <= 1L) 0
+      else 64 - java.lang.Long.numberOfLeadingZeros(ceilCells - 1L)
+    math.min(24, math.max(4, ceilLog2 + 1))
   }
 
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,

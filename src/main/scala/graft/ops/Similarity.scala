@@ -94,8 +94,14 @@ object Similarity {
     val broadcastLimit = corpus.sparkSession.conf
       .getOption("spark.graft.binaryann.broadcastQueryLimit")
       .map(_.toLong).getOrElse(1024L)
+    // bounded probe: limit(n+1) stops the query plan after n+1 rows —
+    // a bare count() would execute the whole (possibly expensive)
+    // queries pipeline just to pick a join strategy
+    val fewQueries = broadcastLimit >= Int.MaxValue - 1 ||
+      (broadcastLimit >= 0 &&
+        queries.limit(broadcastLimit.toInt + 1).count() <= broadcastLimit)
     val hammed =
-      if (queries.count() <= broadcastLimit)
+      if (fewQueries)
         c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
           .withColumn("ham",
             Quantize.hammingDistance(col("csig"), col("qsig")))

@@ -403,8 +403,18 @@ final class NamespaceLease(spark: SparkSession, root: String,
     * only consulted to detect a refresh that landed inside the
     * observation→rename window: `preMtime < postMtime < renameStart`
     * can only be a heartbeat (restore); `postMtime >= renameStart` is
-    * the rename itself stamping the copy (no information — keep the
-    * pre-rename decision). */
+    * indistinguishable from the rename itself stamping the copy, so the
+    * pre-rename decision stands. That classification deliberately ERRS
+    * TOWARD BREAKING: a heartbeat landing in the microseconds between
+    * `renameStart` and the rename completing (or shifted across it by
+    * filesystem-vs-local clock skew) is treated as the rename's own
+    * stamp and the lease breaks anyway. The asymmetry is intentional —
+    * a wrongly-restored lease on an object store is a LIVENESS failure
+    * (stale leases never break, the advisor finding this replaced),
+    * while a wrongly-broken live lease is now SAFE: the holder's
+    * heartbeat detects the token change and logs, and the data path is
+    * fenced ([[verifyHeld]] before writeBack's commit rename), so the
+    * usurped holder cannot publish. */
   private def breakStale(p: Path, observedAge: Long): Unit = {
     // re-observe right before acting: the heartbeat refreshes every
     // staleMs/3, so "refreshed since the caller's observation" is the

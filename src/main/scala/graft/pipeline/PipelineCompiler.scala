@@ -1874,10 +1874,16 @@ object PipelineCompiler {
               c.as(s"t$i") }: _*)))
           // strictly-after predicate from a token: OR over key prefixes
           // — (k1 after v1) ∨ (k1 = v1 ∧ k2 after v2) ∨ …, "after"
-          // following each key's direction. The cursor row itself (all
-          // keys equal) is excluded, which is the no-overlap guarantee;
-          // a NULL sort value cannot produce a resumable token (to_json
-          // drops it) and fails here with the remedy.
+          // following each key's direction AND its null placement:
+          // Spark sorts NULLs last under desc, so a NULL row value is
+          // strictly after any non-null cursor (c < v OR c IS NULL);
+          // under asc NULLs sort first and can never follow a non-null
+          // cursor (the default null-propagating comparison already
+          // excludes them). The cursor row itself (all keys equal) is
+          // excluded, which is the no-overlap guarantee; a NULL sort
+          // value cannot produce a resumable token (to_json drops it)
+          // and fails here with the remedy — pages can reach the null
+          // tail once, but paging onward FROM it needs a non-null sort.
           def afterPredicate(tok: String): Column = {
             val json = try new String(
               java.util.Base64.getDecoder.decode(tok), "UTF-8")
@@ -1902,7 +1908,8 @@ object PipelineCompiler {
                 val samePrefix = sortKeys.take(i).map(_._1).zip(vals)
                   .map { case (pc, pv) => pc === lit(pv) }
                   .reduceOption(_ && _).getOrElse(lit(true))
-                samePrefix && (if (asc) c > lit(v) else c < lit(v))
+                samePrefix && (if (asc) c > lit(v)
+                  else c < lit(v) || c.isNull)
             }.reduce(_ || _)
           }
           def addPagination(frame: DataFrame): DataFrame = {

@@ -71,9 +71,12 @@ object Collation {
           graft.functions.CollationFunctions.numeric_sort_key(primary)
         else primary
       if (caseLevel)
+        // flatten NON-uppercase first: a literal '1' in the data must
+        // become '0' before uppercase letters mark as '1', or data
+        // digits would masquerade as case bits
         struct(num.as("p"),
-          regexp_replace(regexp_replace(base0, "\\p{Lu}", "1"),
-            "[^1]", "0").as("c"))
+          regexp_replace(regexp_replace(base0, "[^\\p{Lu}]", "0"),
+            "\\p{Lu}", "1").as("c"))
       else num
     }
 
@@ -100,8 +103,13 @@ object Collation {
       if (caseLevel) {
         val base0 =
           if (alternateShifted) s.replaceAll(variableRegex, "") else s
+        // Character.getType == UPPERCASE_LETTER is the exact driver-side
+        // twin of the column path's \p{Lu} (isUpper would also accept
+        // Other_Uppercase chars like Roman numerals and drift)
         struct(lit(fold(s)).as("p"),
-          lit(base0.map(ch => if (ch.isUpper) '1' else '0')).as("c"))
+          lit(base0.map(ch =>
+            if (Character.getType(ch) == Character.UPPERCASE_LETTER) '1'
+            else '0')).as("c"))
       } else lit(fold(s))
   }
 

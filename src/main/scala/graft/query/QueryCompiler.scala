@@ -276,8 +276,21 @@ object QueryCompiler {
       case Some(sp) if vs.exists(_.isInstanceOf[String]) &&
           fieldIsString(field) =>
         // foldLit keeps the literal the same SHAPE as the key (a struct
-        // under caseLevel); isin passes Columns through lit() untouched
-        sp.key(c).isin(vs.map {
+        // under caseLevel); isin passes Columns through lit() untouched.
+        // Under caseLevel a non-string $in member cannot share the
+        // struct-typed isin (int vs struct would fail analysis, where
+        // Mongo semantics are simply "matches no string row") — it
+        // compares against the RAW column instead
+        if (sp.caseLevel) {
+          // non-string members can never equal a string-typed field
+          // (fieldIsString gated this branch) — drop them rather than
+          // compare: mixing them into the struct-typed isin fails
+          // analysis, and an ANSI-mode raw-column compare would throw
+          // casting the column to the member's type
+          val strs = vs.collect { case s: String => s }
+          if (strs.isEmpty) lit(false)
+          else sp.key(c).isin(strs.map(sp.foldLit): _*)
+        } else sp.key(c).isin(vs.map {
           case s: String => sp.foldLit(s)
           case other => toScalaLit(other)
         }: _*)

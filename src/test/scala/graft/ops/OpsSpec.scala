@@ -664,6 +664,11 @@ class TextFunctionsSpec extends SparkSpec {
     assert(stem("nationale") == "national" && stem("nation") == "nation")
     // ment after a vowel in RV
     assert(stem("vraiment") == "vrai")
+    // prelude marks run left-to-right over the LIVE buffer: in
+    // "essayions" the y becomes Y first, so the following i (now after
+    // a non-vowel) stays a vowel-i and the ions/er endings strip to the
+    // same stem
+    assert(stem("essayions") == "essai" && stem("essayer") == "essai")
     // short words and non-french-alphabet tokens pass through
     assert(stem("le") == "le" && stem("a1b") == "a1b")
   }

@@ -2554,6 +2554,29 @@ class SearchStagesSpec extends graft.SparkSpec {
     // score ties (docs 3,4,5 all tf=1) break on the id sort key, so
     // paging across the tie boundary is still exact
     assert(p2.map(_._1) == Seq(3L, 4L))
+    // a NULL stored-field sort value sorts last under desc — paging
+    // from a non-null cursor must reach the null tail (no silent gap)
+    val withNulls = Seq((1L, "stream", java.lang.Long.valueOf(9L)),
+      (2L, "stream", java.lang.Long.valueOf(5L)),
+      (3L, "stream", null.asInstanceOf[java.lang.Long]))
+      .toDF("id", "txt", "aux")
+    val np1 = PipelineCompiler.compile(Seq(
+      Map("$search" -> Map(
+        "text" -> Map("query" -> "stream", "path" -> "txt"),
+        "sort" -> Map("aux" -> -1, "id" -> 1))),
+      Map("$limit" -> 2),
+      Map("$project" -> Map("id" -> 1,
+        "tok" -> Map("$meta" -> "searchSequenceToken")))))(withNulls)
+      .as[(Long, String)].collect().toSeq
+    assert(np1.map(_._1) == Seq(1L, 2L))
+    val np2 = PipelineCompiler.compile(Seq(
+      Map("$search" -> Map(
+        "text" -> Map("query" -> "stream", "path" -> "txt"),
+        "sort" -> Map("aux" -> -1, "id" -> 1),
+        "searchAfter" -> np1.last._2)),
+      Map("$project" -> Map("id" -> 1))))(withNulls)
+      .select("id").as[Long].collect().toSeq
+    assert(np2 == Seq(3L))
     // searchAfter without sort / a garbage token reject loudly
     val e1 = intercept[IllegalArgumentException](PipelineCompiler.compile(
       Seq(Map("$search" -> Map(

@@ -125,6 +125,28 @@ class CollationSpec extends SparkSpec {
       "strength" -> 2, "caseLevel" -> true)) == Seq(4))
   }
 
+  test("caseLevel: literal digits in the data never masquerade as " +
+      "case bits; non-string $in members match nothing, not crash") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-collation-case2").toString
+    Seq((1L, "a1"), (2L, "A1"), (3L, "ab"))
+      .toDF("_id", "w").write.parquet(s"$dir/words.parquet")
+    val c = new graft.db.GraftSession(spark, dir).db("testdb").c("words")
+    def find(q: Map[String, Any]): Seq[Long] =
+      c.find(q).collation(Map("locale" -> "en", "strength" -> 2,
+        "caseLevel" -> true)).sort("_id").toDF
+        .select("_id").as[Long].collect().toSeq
+    // the column-side case pattern flattens non-uppercase FIRST, so the
+    // '1' in "a1" is a '0' case bit on both sides — equality holds and
+    // the case level still separates "A1"
+    assert(find(Map("w" -> "a1")) == Seq(1))
+    assert(find(Map("w" -> "A1")) == Seq(2))
+    // a non-string $in member under the struct-typed key compares
+    // against the raw column (Mongo: it matches no string row) instead
+    // of failing analysis
+    assert(find(Map("w" -> Map("$in" -> Seq("a1", 7)))) == Seq(1))
+  }
+
   test("find().collation(): predicate recompiles and sort keys fold") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-collation").toString

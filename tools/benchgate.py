@@ -23,15 +23,20 @@ import sys
 # Same-name queries whose DECLARED computation changed in a later round:
 # the same-name comparison is meaningless across the change (it would
 # compare two different workloads), so the gate reports a NOTE instead
-# of a FAIL for exactly one round transition. Keep entries forever —
-# they are the changelog of query re-declarations.
+# of a FAIL — but ONLY while the prior artifact still carries the OLD
+# workload's time. `prior_below` pins that: once the baseline artifact
+# records the new workload (>= the bound), normal gating resumes, so a
+# genuine later regression in the re-declared query still FAILs. Keep
+# entries forever — they are the changelog of query re-declarations.
 REDECLARED = {
-    # r10: q130 went from fixed-`label` semDeDup (one pair join) to the
-    # paper's full semDeDupKMeans with the corpus-adaptive cell count —
-    # 5 Lloyd iterations + assignment + within-cell dedup. The old
-    # parameterization was the scale-weak pin VERDICT r9 asked to
-    # retire; the new declared query does strictly more work by design.
-    "q130": "r10: fixed-label semDeDup -> semDeDupKMeans(auto k)",
+    # r10: q130 went from fixed-`label` semDeDup (one pair join, ~0.96s
+    # at sf0.1) to the paper's full semDeDupKMeans with the corpus-
+    # adaptive cell count — 5 Lloyd iterations + assignment +
+    # within-cell dedup (~5.7s). The old parameterization was the
+    # scale-weak pin VERDICT r9 asked to retire; the new declared query
+    # does strictly more work by design.
+    "q130": {"prior_below": 3.0,
+             "why": "r10: fixed-label semDeDup -> semDeDupKMeans(auto k)"},
 }
 
 
@@ -58,9 +63,9 @@ def gate(cur, prev, threshold=1.5, floor=0.25):
         was = prev_q.get(name)
         if was is None:
             continue  # new query this round: nothing to regress against
-        if name in REDECLARED:
+        if name in REDECLARED and was < REDECLARED[name]["prior_below"]:
             if was > 0 and now / was > threshold:
-                notes.append((name, was, now, REDECLARED[name]))
+                notes.append((name, was, now, REDECLARED[name]["why"]))
             continue
         # jitter exemptions: a tiny current time can't be a meaningful
         # regression, and a small ABSOLUTE delta is timer noise even when
@@ -90,12 +95,20 @@ def self_test():
     assert [r[0] for r in regs] == ["q1", "q6"], regs
     assert abs(regs[0][3] - 2.0) < 1e-9
     assert removed == ["q_gone"], removed
-    # a redeclared query reports as a NOTE, never a FAIL
+    # a redeclared query reports as a NOTE while the prior artifact
+    # still carries the OLD workload's time...
     prev["queries"]["q130"] = 0.5
     cur["queries"]["q130"] = 5.0
     regs_r, _, notes_r = gate(cur, prev)
     assert [r[0] for r in regs_r] == ["q1", "q6"], regs_r
     assert [n[0] for n in notes_r] == ["q130"], notes_r
+    # ...but once the baseline records the NEW workload, a real
+    # regression in it FAILs again (the exemption expires)
+    prev["queries"]["q130"] = 5.7
+    cur["queries"]["q130"] = 57.0
+    regs_x, _, notes_x = gate(cur, prev)
+    assert "q130" in [r[0] for r in regs_x], regs_x
+    assert notes_x == [], notes_x
     del prev["queries"]["q130"], cur["queries"]["q130"]
     # wrapper form ("tail" fragment) parses identically
     wrapped = {"tail":
