@@ -77,7 +77,13 @@ object Bench {
         .map(k => s""""${shortKey(k)}":"${errors(k).replace("\"", "'").take(60)}"""")
         .mkString("{", ",", "}")
       val total = if (med.nonEmpty) med.values.sum else 0.0
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stat":"median","runs":$rounds,"queries":$qs,"failures":$fails,"sf":"$sfDir","elapsed_s":$elapsedS}"""
+      // declared-workload revisions ride the artifact (after "queries",
+      // so they survive the driver's tail clipping) — benchgate keys its
+      // REDECLARED exemption on rev identity, not runtime inference
+      val revs = SparkEntry.queryRevisions.toSeq
+        .map { case (k, v) => s""""${shortKey(k)}":$v""" }
+        .sorted.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stat":"median","runs":$rounds,"queries":$qs,"failures":$fails,"rev":$revs,"sf":"$sfDir","elapsed_s":$elapsedS}"""
     }
     def emit(): Unit = {
       val line = render()

@@ -56,6 +56,17 @@ object SparkEntry {
   private def dsum(c: String): org.apache.spark.sql.Column =
     sum(col(c).cast(DecimalType(18, 2))).cast("double")
 
+  /** Declared-workload revision per query (absent = 1). Bumped whenever a
+    * query's DECLARED computation changes (not a perf tweak — a different
+    * workload under the same name). [[Bench]] stamps these into the bench
+    * artifact so `tools/benchgate.py` can tell "re-declared" apart from
+    * "regressed" by IDENTITY instead of inferring it from runtimes. */
+  def queryRevisions: Map[String, Int] = Map(
+    // r10: fixed-label semDeDup -> full semDeDupKMeans(auto k)
+    "q130_semdedup" -> 2,
+    // r10: fixed 12-plane embeddingNearDup -> auto-sized planes
+    "q22_embed_neardup" -> 2)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // §2.1 filtered scan through the query compiler + session facade

@@ -243,8 +243,11 @@ object FrenchSnowball {
       suffixes4.find(suf => w.endsWith(suf) &&
         w.length - suf.length >= rv) match {
         case Some("ion") =>
+          // all of step 4 runs under setlimit-to-RV: the preceding s/t
+          // test must stay INSIDE RV too (st - 1 >= rv), or a word with
+          // r2 <= rv over-stems when 'ion' starts exactly at RV
           val st = w.length - 3
-          if (st >= r2 && st > 0 &&
+          if (st >= r2 && st - 1 >= rv &&
             (w.charAt(st - 1) == 's' || w.charAt(st - 1) == 't'))
             w = w.substring(0, st)
         case Some(suf @ ("ier" | "ière" | "Ier" | "Ière")) =>

@@ -27,11 +27,140 @@ import org.apache.spark.sql.functions._
   */
 object Clustering {
 
+  /** Driver-side mini spherical k-means over the CENTROIDS themselves —
+    * the coarse quantizer of the two-level assignment (the IVF
+    * coarse-quantizer trick). Deterministic: seeded by the `nGroups`
+    * smallest-id centroids, cosine argmax with smallest-group tie-break,
+    * plain double means. k is bounded driver state (same class as the
+    * IVF/PQ literal folds), so ~5 passes over k·dim doubles is
+    * microseconds next to one Spark job. Returns (superCentroid,
+    * members) with empty groups dropped. */
+  private[ops] def coarsen(cents: Seq[(Long, Array[Double])],
+      nGroups: Int, iters: Int = 5)
+      : Seq[(Array[Double], Seq[(Long, Array[Double])])] = {
+    val sorted = cents.sortBy(_._1).toArray
+    val dim = sorted.head._2.length
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var i = 0; var dp = 0.0; var na = 0.0; var nb = 0.0
+      while (i < dim) {
+        dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      val den = math.sqrt(na) * math.sqrt(nb)
+      if (den == 0.0) 0.0 else dp / den
+    }
+    val g = math.min(nGroups, sorted.length)
+    var coarse: Array[Array[Double]] = sorted.take(g).map(_._2)
+    def assignAll(): Array[Int] = sorted.map { case (_, v) =>
+      var best = 0; var bc = -2.0
+      var gi = 0
+      while (gi < coarse.length) {
+        val c0 = cos(v, coarse(gi))
+        if (c0 > bc) { bc = c0; best = gi }
+        gi += 1
+      }
+      best
+    }
+    for (_ <- 1 to iters) {
+      val assign = assignAll()
+      coarse = coarse.indices.map { gi =>
+        val members = sorted.indices.filter(assign(_) == gi)
+        if (members.isEmpty) coarse(gi)
+        else {
+          val m = new Array[Double](dim)
+          members.foreach { mi =>
+            val v = sorted(mi)._2
+            var i = 0; while (i < dim) { m(i) += v(i); i += 1 }
+          }
+          var i = 0; while (i < dim) { m(i) /= members.length; i += 1 }
+          m
+        }
+      }.toArray
+    }
+    val fin = assignAll()
+    coarse.indices.flatMap { gi =>
+      val members = sorted.indices.filter(fin(_) == gi)
+        .map(sorted(_)).toSeq
+      if (members.isEmpty) None else Some((coarse(gi), members))
+    }
+  }
+
+  /** Adds `idOut` = id of the row's nearest centroid (highest cosine,
+    * smallest-id tie-break) — and `cosOut` = that winning cosine, when
+    * asked — as a shuffle-free scan map with the centroid constants
+    * folded into the generated code.
+    *
+    * Below `spark.graft.kmeans.twoLevelAssignMinK` (default 256) the
+    * argmax runs over ALL k centroids: exact, O(k·dim) per row, the
+    * oracle-checked path. At or above it, assignment is TWO-LEVEL
+    * (IVF coarse-quantizer shape): route through ⌈√k⌉ super-centroids
+    * (coarse argmax), then argmax within the winning group's members —
+    * O(√k·dim) per row instead of O(k·dim), which turns Lloyd's
+    * O(n·k) per pass into O(n·√k) and removes the engine's last
+    * super-linear plan term (k grows with the corpus under
+    * [[Dedup.autoCellCount]], so O(n·k) is O(n²/targetCell)). The
+    * two-level route is declared APPROXIMATE: a row whose true nearest
+    * centroid lives outside its nearest super-centroid's group assigns
+    * to the best member of the wrong group (standard IVF nprobe=1
+    * semantics). The coarse pick lands in its own projection so the
+    * group argmaxes reference it by attribute (evaluated once per row,
+    * not once per branch). */
+  private[ops] def withNearestCentroid(df: DataFrame, vecCol: String,
+      cents: Seq[(Long, Array[Double])], idOut: String,
+      cosOut: Option[String] = None): DataFrame = {
+    require(cents.nonEmpty, "withNearestCentroid: empty centroid set")
+    val twoLevelMinK = df.sparkSession.conf
+      .getOption("spark.graft.kmeans.twoLevelAssignMinK")
+      .map(_.toInt).getOrElse(256)
+    val vec = col(vecCol)
+    def finish(nearest: org.apache.spark.sql.Column): DataFrame = {
+      val withS = df.withColumn("__near", nearest)
+      val withId = withS.withColumn(idOut, -col("__near").getField("nid"))
+      cosOut.fold(withId)(c =>
+        withId.withColumn(c, col("__near").getField("c"))).drop("__near")
+    }
+    if (cents.size < twoLevelMinK)
+      finish(array_max(Similarity.cellScores(vec, cents)))
+    else {
+      val groups = coarsen(cents, math.ceil(math.sqrt(cents.size)).toInt)
+      val coarse = array(groups.zipWithIndex.map { case ((gc, _), gi) =>
+        struct(Similarity.cosine(vec, typedlit(gc)).as("c"),
+          lit(-gi).as("nid"))
+      }: _*)
+      val gsel = df.withColumn("__grp",
+        -array_max(coarse).getField("nid"))
+      val nearest = groups.zipWithIndex
+        .foldLeft(lit(null).cast("struct<c:double,nid:bigint>")) {
+          case (acc, ((_, members), gi)) =>
+            when(col("__grp") === gi,
+              array_max(Similarity.cellScores(vec, members))).otherwise(acc)
+        }
+      val withS = gsel.withColumn("__near", nearest)
+      val withId = withS.withColumn(idOut, -col("__near").getField("nid"))
+      cosOut.fold(withId)(c =>
+        withId.withColumn(c, col("__near").getField("c")))
+        .drop("__near", "__grp")
+    }
+  }
+
   /** Train `k` centroids with `iters` Lloyd iterations. Returns
     * (centroid_id, centroid) with `centroid` an array<double>. Cells that
     * lose all members keep their previous centroid. */
   def kmeans(df: DataFrame, idCol: String, vecCol: String, k: Int,
       iters: Int, checkpointDir: Option[String] = None): DataFrame = {
+    val centSeq = kmeansSeq(df, idCol, vecCol, k, iters, checkpointDir)
+    val spark = df.sparkSession
+    import spark.implicits._
+    centSeq.map { case (cid, v) => (cid, v.toSeq) }
+      .toDF("centroid_id", "centroid")
+  }
+
+  /** [[kmeans]] returning the centroid table as the bounded DRIVER state
+    * it already is — callers that immediately fold the centroids back
+    * into a scan ([[Dedup.semDeDupKMeans]]) skip a pointless
+    * round-trip through a DataFrame + collect. */
+  def kmeansSeq(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int, checkpointDir: Option[String] = None)
+      : Seq[(Long, Array[Double])] = {
     require(k > 0 && iters >= 0, "kmeans: k > 0, iters >= 0")
     // centroid ids are longs (they seed ivfAssign's tie-break); a string id
     // would cast to null and silently merge every cell into one group
@@ -61,9 +190,8 @@ object Clustering {
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
     for (_ <- 1 to iters) {
-      val assigned = data.withColumn("centroid_id",
-        -array_max(Similarity.cellScores(col("__v"), centSeq))
-          .getField("nid"))
+      val assigned =
+        withNearestCentroid(data, "__v", centSeq, "centroid_id")
       // component-wise mean via exact decimal sums (partitioning-invariant)
       val fresh: Map[Long, Array[Double]] = assigned
         .select(col("centroid_id"), posexplode(col("__v"))
@@ -80,10 +208,7 @@ object Clustering {
       centSeq = centSeq.map { case (cid, old) =>
         (cid, fresh.getOrElse(cid, old)) }
     }
-    val spark = df.sparkSession
-    import spark.implicits._
-    centSeq.map { case (cid, v) => (cid, v.toSeq) }
-      .toDF("centroid_id", "centroid")
+    centSeq
   }
 
   /** Grouped k-means: ONE Lloyd iteration trains EVERY group's codebook

@@ -781,24 +781,27 @@ object Dedup {
         .map(_.toLong).getOrElse(1000L)
       autoCellCount(df.count(), target)
     }
-    val cents = Clustering.kmeans(df, idCol, vecCol, kk, iters)
-      .select(col("centroid_id").as(idCol), col("centroid").as(vecCol))
-    val assigned = Similarity.ivfAssign(df, idCol, vecCol, cents)
-    if (!keepFarthestFromCentroid)
+    // assignment (training passes AND the final one) is the scan-fused
+    // centroid argmax: identical values to the old broadcast-join +
+    // window form (same cosine expression, same smallest-id tie-break)
+    // with no n·k intermediate rows — and above
+    // spark.graft.kmeans.twoLevelAssignMinK it routes through ⌈√k⌉
+    // super-centroids (O(n·√k) per pass, the IVF coarse-quantizer
+    // shape), which is what keeps the auto-sized k = n/targetCell
+    // linear at 100 TB (Clustering.withNearestCentroid documents the
+    // declared nprobe=1 approximation on that path)
+    val centSeq = Clustering.kmeansSeq(df, idCol, vecCol, kk, iters)
+    if (!keepFarthestFromCentroid) {
+      val assigned =
+        Clustering.withNearestCentroid(df, vecCol, centSeq, "centroid_id")
       semDeDup(assigned, idCol, vecCol, "centroid_id", eps)
         .drop("centroid_id")
-    else {
-      // re-attach the assigned centroid's vector (a k-row broadcast) to
-      // order members by centroid similarity, ascending = kept first
-      import graft.functions.VectorFunctions.vec_dot
-      val cv = cents.select(col(idCol).as("centroid_id"),
-        col(vecCol).as("__centv"))
-      val denom = sqrt(vec_dot(col(vecCol), col(vecCol))) *
-        sqrt(vec_dot(col("__centv"), col("__centv")))
-      val withCos = assigned.join(broadcast(cv), "centroid_id")
-        .withColumn("__ccos", when(denom === 0.0, lit(0.0))
-          .otherwise(vec_dot(col(vecCol), col("__centv")) / denom))
-        .drop("__centv")
+    } else {
+      // the winning cosine IS the paper's centroid-proximity order —
+      // emit it straight from the argmax instead of re-joining the
+      // centroid table; ascending = kept first
+      val withCos = Clustering.withNearestCentroid(df, vecCol, centSeq,
+        "centroid_id", cosOut = Some("__ccos"))
       semDeDup(withCos, idCol, vecCol, "centroid_id", eps,
         orderCol = Some("__ccos"))
         .drop("centroid_id", "__ccos")

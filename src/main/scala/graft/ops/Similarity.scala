@@ -73,9 +73,24 @@ object Similarity {
     * Shortlists beyond that radius are approximate (documented, the
     * lshTopK contract). Both paths share the shortlist + rescore tail,
     * and the float math runs on `shortlist` rows per query, never the
-    * corpus. Output: (query_id, neighbor_id, rank). */
+    * corpus. Output: (query_id, neighbor_id, rank).
+    *
+    * `ballRadius` (0 or 1) widens the blocked path's exact-recall
+    * radius: with 1, each QUERY block also emits its 8 one-bit flips
+    * (the multi-index-hashing ball of radius 1 inside the block), so
+    * any pair within hamming < 2·⌈d/8⌉ is guaranteed a candidate — if
+    * every block differed in ≥ 2 bits the total would already be
+    * 2·⌈d/8⌉, so some block differs in ≤ 1 bit and the flipped query
+    * value meets the corpus value exactly. Cost: the query-side explode
+    * grows ×9 per block (~×nBlocks total candidate volume for d = 64);
+    * the corpus side is untouched. Ignored on the brute path (already
+    * exact at every radius). */
   def binaryAnnTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, shortlist: Int = 0, dim: Int = 0): DataFrame = {
+      vecCol: String, k: Int, shortlist: Int = 0, dim: Int = 0,
+      ballRadius: Int = 0): DataFrame = {
+    require(ballRadius == 0 || ballRadius == 1,
+      s"ballRadius $ballRadius: 0 (exact within hamming < ceil(d/8)) " +
+        "or 1 (one-bit in-block ball, exact within hamming < 2*ceil(d/8))")
     val d = if (dim > 0) dim else
       queries.select(size(col(vecCol))).take(1)
         .headOption.map(_.getInt(0)).getOrElse(0)
@@ -106,6 +121,18 @@ object Similarity {
           .withColumn("ham",
             Quantize.hammingDistance(col("csig"), col("qsig")))
       else {
+        // the same call with |queries| one over the threshold returns a
+        // DIFFERENT (approximate beyond the pigeonhole radius) shortlist
+        // than one under it — say so loudly, or result drift across the
+        // threshold is unattributable
+        org.apache.log4j.Logger.getLogger(getClass).warn(
+          s"binaryAnnTopK: |queries| > $broadcastLimit — switching from " +
+            s"exact brute-force hamming to the pigeonhole byte-block " +
+            s"join; recall is exact only within hamming < ${(d + 7) / 8} " +
+            s"(shortlists beyond that radius are approximate). Raise " +
+            s"spark.graft.binaryann.broadcastQueryLimit to force the " +
+            s"brute path, or pass ballRadius=1 for a doubled exact " +
+            s"radius at ~x${(d + 7) / 8 + 1} candidate cost.")
         // pigeonhole byte blocks: block b = bits [8b, 8b+8) of the
         // signature — always inside one 32-bit word (8 | 32), extracted
         // with constant shifts folded into codegen. The candidate join
@@ -116,13 +143,23 @@ object Similarity {
         def blockVal(sig: Column, b: Int): Column =
           shiftrightunsigned(element_at(sig, (b * 8) / 32 + 1), (b * 8) % 32)
             .bitwiseAND(lit(0xFFL))
-        def blocked(df: DataFrame, id: String, sig: String): DataFrame =
-          df.select(col(id), explode(array((0 until nBlocks).map { b =>
-            struct(lit(b).as("t"), blockVal(col(sig), b).as("bv"))
+        // ball > 0: emit the one-bit flips of each block too (query side
+        // only) — flips stay within the block's LIVE bits (the last
+        // block of a non-multiple-of-8 dim is shorter), so every emitted
+        // value is one a corpus block can actually hold
+        def blocked(df: DataFrame, id: String, sig: String,
+            ball: Int): DataFrame =
+          df.select(col(id), explode(array((0 until nBlocks).flatMap { b =>
+            val base = blockVal(col(sig), b)
+            val vals =
+              if (ball == 0) Seq(base)
+              else base +: (0 until math.min(8, d - b * 8)).map(i =>
+                base.bitwiseXOR(lit(1L << i)))
+            vals.map(v => struct(lit(b).as("t"), v.as("bv")))
           }: _*)).as("tb"))
             .select(col(id), col("tb.t").as("t"), col("tb.bv").as("bv"))
-        val cand = blocked(c, "neighbor_id", "csig")
-          .join(blocked(q, "query_id", "qsig"), Seq("t", "bv"))
+        val cand = blocked(c, "neighbor_id", "csig", 0)
+          .join(blocked(q, "query_id", "qsig", ballRadius), Seq("t", "bv"))
           .where(col("query_id") =!= col("neighbor_id"))
           .select("query_id", "neighbor_id").distinct()
         // equi-joins both ways (AQE picks broadcast when a side is

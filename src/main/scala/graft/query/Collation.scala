@@ -70,14 +70,49 @@ object Collation {
         if (numericOrdering)
           graft.functions.CollationFunctions.numeric_sort_key(primary)
         else primary
-      if (caseLevel)
+      if (caseLevel) {
+        // under numericOrdering a whole digit run is ONE collation
+        // element (ICU CODAN), so it contributes one uncased position
+        // to the case level — collapse the run BEFORE the bit mapping,
+        // or "A07" (case '100') vs "A7" (case '10') would break the
+        // "zeros collate equal" guarantee on pattern length alone
+        val caseSrc =
+          if (numericOrdering) regexp_replace(base0, "[0-9]+", "0")
+          else base0
         // flatten NON-uppercase first: a literal '1' in the data must
         // become '0' before uppercase letters mark as '1', or data
         // digits would masquerade as case bits
         struct(num.as("p"),
-          regexp_replace(regexp_replace(base0, "[^\\p{Lu}]", "0"),
+          regexp_replace(regexp_replace(caseSrc, "[^\\p{Lu}]", "0"),
             "\\p{Lu}", "1").as("c"))
-      else num
+      } else num
+    }
+
+    /** Case pattern for the caseLevel struct key — the driver-side twin
+      * of the column path's regexp pair. Both iterate per Unicode CODE
+      * POINT (Java regexes match astral characters as one unit, so the
+      * driver side must too — mapping per UTF-16 char would emit two
+      * pattern chars for an emoji or a mathematical capital like U+1D400
+      * and silently match nothing), and both collapse each maximal digit
+      * run to one uncased position when numericOrdering is on. */
+    private[query] def casePattern(base0: String): String = {
+      val sb = new java.lang.StringBuilder(base0.length)
+      var i = 0
+      while (i < base0.length) {
+        val cp = base0.codePointAt(i)
+        if (numericOrdering && cp >= '0' && cp <= '9') {
+          sb.append('0')
+          while (i < base0.length && {
+            val c = base0.charAt(i); c >= '0' && c <= '9'
+          }) i += 1
+        } else {
+          sb.append(
+            if (Character.getType(cp) == Character.UPPERCASE_LETTER) '1'
+            else '0')
+          i += Character.charCount(cp)
+        }
+      }
+      sb.toString
     }
 
     /** Driver-side twin of [[key]] for literal query values (the
@@ -103,13 +138,11 @@ object Collation {
       if (caseLevel) {
         val base0 =
           if (alternateShifted) s.replaceAll(variableRegex, "") else s
-        // Character.getType == UPPERCASE_LETTER is the exact driver-side
-        // twin of the column path's \p{Lu} (isUpper would also accept
-        // Other_Uppercase chars like Roman numerals and drift)
-        struct(lit(fold(s)).as("p"),
-          lit(base0.map(ch =>
-            if (Character.getType(ch) == Character.UPPERCASE_LETTER) '1'
-            else '0')).as("c"))
+        // Character.getType(codePoint) == UPPERCASE_LETTER is the exact
+        // driver-side twin of the column path's \p{Lu} (isUpper would
+        // also accept Other_Uppercase chars like Roman numerals and
+        // drift); per-code-point in [[casePattern]], matching the regex
+        struct(lit(fold(s)).as("p"), lit(casePattern(base0)).as("c"))
       } else lit(fold(s))
   }
 

@@ -202,6 +202,49 @@ class DataPipelineOpsSpec extends SparkSpec {
       math.abs(a - b) < 1e-6 })
   }
 
+  test("two-level sqrt(k) assignment: routes through super-centroids, " +
+      "matches the exact argmax on separated clusters, and emits the " +
+      "winning cosine") {
+    val dim = 12
+    // 12 one-hot prototypes x 4 points: k = 12 well-separated cells.
+    // id = c + 12j so the k smallest ids (the deterministic seed) cover
+    // every cluster — a seed that misses a direction leaves rows in
+    // all-zero-cosine tie-land where float ulps, not geometry, decide.
+    val pts = (for { c <- 0 until 12; j <- 0 until 4 } yield {
+      val v = Array.fill(dim)(0.0f); v(c) = 1f + 0.01f * j
+      (c + 12L * j, v.toSeq)
+    }).toDF("vec_id", "embedding")
+    val exact = Clustering.kmeans(pts, "vec_id", "embedding", 12, 2)
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+    // coarsen is deterministic and loses no member
+    val cents = exact.map { case (id, v) => (id, v.toArray) }
+    val groups = Clustering.coarsen(cents, 4)
+    assert(groups.flatMap(_._2.map(_._1)).sorted == cents.map(_._1))
+    assert(groups.size > 1 && groups.size <= 4)
+    // forcing the two-level path reproduces the exact fit on separated
+    // data (every row's nearest centroid lives in its nearest
+    // super-centroid's group), including end-to-end through
+    // semDeDupKMeans
+    spark.conf.set("spark.graft.kmeans.twoLevelAssignMinK", "4")
+    try {
+      val two = Clustering.kmeans(pts, "vec_id", "embedding", 12, 2)
+        .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+      assert(two == exact)
+      val assigned = Clustering.withNearestCentroid(pts, "embedding",
+        cents, "cell", cosOut = Some("cc"))
+        .select($"vec_id", $"cell", $"cc")
+        .as[(Long, Long, Double)].collect()
+      assert(assigned.forall { case (id, cell, cc) =>
+        cell == id % 12 && cc > 0.99 })
+      val kept = Dedup.semDeDupKMeans(pts, "vec_id", "embedding",
+        eps = 0.999, k = 12, iters = 1)
+        .select("vec_id").as[Long].collect().toSet
+      // within each cell all 4 rows are >0.999-cosine-similar: only the
+      // smallest id survives
+      assert(kept == (0 until 12).map(_.toLong).toSet)
+    } finally spark.conf.unset("spark.graft.kmeans.twoLevelAssignMinK")
+  }
+
   test("kmeans with zero iterations returns the deterministic seed") {
     val vecs = Seq((3L, Array(1.0f)), (1L, Array(2.0f)), (2L, Array(3.0f)))
       .toDF("vec_id", "embedding")

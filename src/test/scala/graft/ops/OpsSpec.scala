@@ -547,6 +547,50 @@ class SimilaritySpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.binaryann.broadcastQueryLimit")
   }
 
+  test("binaryAnnTopK ballRadius=1 doubles the blocked path's exact " +
+      "radius: neighbors at hamming = nBlocks that every-block flips " +
+      "hide from the plain pigeonhole join are found") {
+    val dim = 64 // 8 byte blocks: plain exact radius < 8, ball-1 < 16
+    def proto(seed: Int): Array[Float] =
+      Array.tabulate(dim)(i =>
+        if (((i * 2654435761L + seed * 97L) & 4L) == 0L) 1f else -1f)
+    val queries = (0 until 3).map(s => (100L + s, proto(s).toSeq))
+      .toDF("id", "v")
+    // per prototype: the exact vector, plus a variant flipping ONE sign
+    // in EVERY byte block (hamming 8: no block matches exactly, so the
+    // plain blocked path generates ZERO candidates for it; each block
+    // differs by exactly one bit, so the radius-1 ball must find it)
+    val corpus = (for { s <- 0 until 3; j <- 0 until 2 } yield {
+      val v = proto(s).clone()
+      if (j == 1) (0 until 8).foreach(b => v(b * 8) = -v(b * 8))
+      (s * 10L + j, v.toSeq)
+    }).toDF("id", "v")
+    def run(ball: Int): Set[(Long, Long, Int)] =
+      Similarity.binaryAnnTopK(corpus, queries, "id", "v",
+        k = 2, shortlist = 4, ballRadius = ball)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .toSet
+    val brute = run(0) // 3 queries <= limit: brute, ballRadius ignored
+    spark.conf.set("spark.graft.binaryann.broadcastQueryLimit", "1")
+    try {
+      // plain blocked path: the hamming-8 variants share no block with
+      // their query — only the exact duplicates surface (rank 1), and
+      // k=2 comes back short
+      val plain = run(0)
+      assert(plain.forall(_._3 == 1) && plain.size == 3)
+      // ball-1 restores the brute result, still with no nested loop
+      val ballDf = Similarity.binaryAnnTopK(corpus, queries, "id", "v",
+        k = 2, shortlist = 4, ballRadius = 1)
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(out)) {
+        ballDf.explain("formatted")
+      }
+      assert(!out.toString.contains("BroadcastNestedLoopJoin"))
+      assert(ballDf.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet == brute)
+    } finally spark.conf.unset("spark.graft.binaryann.broadcastQueryLimit")
+  }
+
   test("lsh top-k finds the strong neighbor") {
     val out = Similarity.lshTopK(vecs, vecs.where($"vec_id" === 1),
       "vec_id", "embedding", k = 2, nPlanes = 2, tables = 4)

@@ -147,6 +147,56 @@ class CollationSpec extends SparkSpec {
     assert(find(Map("w" -> Map("$in" -> Seq("a1", 7)))) == Seq(1))
   }
 
+  test("caseLevel: astral characters count once in the case pattern " +
+      "(driver twin matches the regex's per-code-point semantics)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-collation-astral").toString
+    // U+1D400 MATHEMATICAL BOLD CAPITAL A is \p{Lu} (two UTF-16
+    // chars); U+1F600 emoji is uncased (also two chars)
+    val bold = new String(Character.toChars(0x1D400))
+    val emoji = new String(Character.toChars(0x1F600))
+    Seq((1L, s"${emoji}ab"), (2L, s"${emoji}Ab"), (3L, s"${bold}b"))
+      .toDF("_id", "w").write.parquet(s"$dir/words.parquet")
+    val c = new graft.db.GraftSession(spark, dir).db("testdb").c("words")
+    def find(q: Map[String, Any]): Seq[Long] =
+      c.find(q).collation(Map("locale" -> "en", "strength" -> 2,
+        "caseLevel" -> true)).sort("_id").toDF
+        .select("_id").as[Long].collect().toSeq
+    // one pattern position per code point on BOTH sides: a per-UTF-16
+    // driver twin would emit "00ab"-shaped patterns of length 4 vs the
+    // column's 3 and match nothing
+    assert(find(Map("w" -> s"${emoji}ab")) == Seq(1))
+    assert(find(Map("w" -> s"${emoji}Ab")) == Seq(2))
+    // an astral UPPERCASE letter carries a '1' case bit on both sides
+    assert(find(Map("w" -> s"${bold}b")) == Seq(3))
+  }
+
+  test("caseLevel + numericOrdering: digit runs carry one uncased " +
+      "position, so 007 still collates equal to 7") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-collation-clnum").toString
+    Seq((1L, "A07"), (2L, "A7"), (3L, "a7"), (4L, "A8"))
+      .toDF("_id", "w").write.parquet(s"$dir/words.parquet")
+    val c = new graft.db.GraftSession(spark, dir).db("testdb").c("words")
+    def find(q: Map[String, Any]): Seq[Long] =
+      c.find(q).collation(Map("locale" -> "en", "strength" -> 2,
+        "numericOrdering" -> true, "caseLevel" -> true)).sort("_id")
+        .toDF.select("_id").as[Long].collect().toSeq
+    // ICU CODAN: the whole digit run is ONE collation element with no
+    // case weight — zero-stripped-equal runs must not diverge on case
+    // pattern LENGTH ("A07" -> '10' vs '100' was the bug)
+    assert(find(Map("w" -> "A7")) == Seq(1, 2))
+    assert(find(Map("w" -> "a7")) == Seq(3))
+    assert(find(Map("w" -> "A07")) == Seq(1, 2))
+    // case level still separates within an equal primary
+    val sorted = c.find(Map.empty[String, Any])
+      .collation(Map("locale" -> "en", "strength" -> 2,
+        "numericOrdering" -> true, "caseLevel" -> true))
+      .sort("w", "_id").toDF.select("_id").as[Long].collect().toSeq
+    // a7 (lowercase first) < A07 = A7 (_id tie) < A8
+    assert(sorted == Seq(3L, 1L, 2L, 4L))
+  }
+
   test("find().collation(): predicate recompiles and sort keys fold") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-collation").toString

@@ -22,12 +22,13 @@ import sys
 
 # Same-name queries whose DECLARED computation changed in a later round:
 # the same-name comparison is meaningless across the change (it would
-# compare two different workloads), so the gate reports a NOTE instead
-# of a FAIL — but ONLY while the prior artifact still carries the OLD
-# workload's time. `prior_below` pins that: once the baseline artifact
-# records the new workload (>= the bound), normal gating resumes, so a
-# genuine later regression in the re-declared query still FAILs. Keep
-# entries forever — they are the changelog of query re-declarations.
+# compare two different workloads). Since r11 the bench artifact carries
+# a per-query "rev" map (SparkEntry.queryRevisions): the gate NOTEs
+# exactly when cur-rev != prev-rev — workload IDENTITY, no runtime
+# inference — and resumes normal gating the moment the baseline records
+# the same rev. This table is the fallback for PRE-rev prior artifacts
+# (<= r10 wrappers) via `prior_below` (exemption expires once the prior
+# time shows the new workload), plus the changelog of the "why"s.
 REDECLARED = {
     # r10: q130 went from fixed-`label` semDeDup (one pair join, ~0.96s
     # at sf0.1) to the paper's full semDeDupKMeans with the corpus-
@@ -47,25 +48,58 @@ def queries_of(doc):
         return doc["queries"]
     if "tail" in doc:
         # the driver wrapper stores a raw tail of Bench's JSON line: a
-        # queries fragment, closed by the first '}', then trailing keys
+        # queries fragment, closed by the first '}', then trailing keys.
+        # The clip can land MID-token (e.g. `q132":0.2`), so drop any
+        # leading partial pair up to the first comma.
         frag = doc["tail"].strip().lstrip(",").split("}", 1)[0]
+        if not frag.startswith('"') and "," in frag:
+            frag = frag.split(",", 1)[1].lstrip(",")
         return json.loads("{" + frag + "}")
     raise SystemExit("benchgate: artifact has neither 'queries' nor 'tail'")
+
+
+def revs_of(doc):
+    """Per-query declared-workload revision map, or None when the artifact
+    predates rev stamping (then the REDECLARED prior_below fallback
+    applies). Wrapper artifacts keep the line's TAIL, and "rev" is
+    emitted after "queries", so it survives the clipping."""
+    if isinstance(doc.get("rev"), dict):
+        return doc["rev"]
+    if "tail" in doc:
+        import re
+        m = re.search(r'"rev":\{([^}]*)\}', doc["tail"])
+        if m is not None:
+            return json.loads("{" + m.group(1) + "}")
+    return None
 
 
 def gate(cur, prev, threshold=1.5, floor=0.25):
     """Returns (regressions, removed): regressions is a list of
     (query, prev_sec, cur_sec, ratio)."""
     cur_q, prev_q = queries_of(cur), queries_of(prev)
+    cur_rev = revs_of(cur) or {}
+    prev_rev = revs_of(prev)
     regressions = []
     notes = []
     for name, now in sorted(cur_q.items()):
         was = prev_q.get(name)
         if was is None:
             continue  # new query this round: nothing to regress against
-        if name in REDECLARED and was < REDECLARED[name]["prior_below"]:
+        if prev_rev is not None:
+            # workload identity: both artifacts carry rev stamps —
+            # exempt exactly while the revisions differ
+            redeclared = cur_rev.get(name, 1) != prev_rev.get(name, 1)
+            why = REDECLARED.get(name, {}).get(
+                "why", f"rev {prev_rev.get(name, 1)} -> "
+                       f"{cur_rev.get(name, 1)}")
+        else:
+            # pre-rev prior artifact: infer from the recorded time
+            redeclared = (name in REDECLARED and
+                          was < REDECLARED[name]["prior_below"])
+            why = REDECLARED.get(name, {}).get("why", "")
+        if redeclared:
             if was > 0 and now / was > threshold:
-                notes.append((name, was, now, REDECLARED[name]["why"]))
+                notes.append((name, was, now, why))
             continue
         # jitter exemptions: a tiny current time can't be a meaningful
         # regression, and a small ABSOLUTE delta is timer noise even when
@@ -109,7 +143,30 @@ def self_test():
     regs_x, _, notes_x = gate(cur, prev)
     assert "q130" in [r[0] for r in regs_x], regs_x
     assert notes_x == [], notes_x
+    # rev-stamped artifacts gate on workload IDENTITY: same rev means a
+    # q130 regression FAILs even from a small prior time...
+    prev["queries"]["q130"] = 0.5
+    cur["queries"]["q130"] = 5.0
+    prev["rev"] = {"q130": 2}
+    cur["rev"] = {"q130": 2}
+    regs_i, _, notes_i = gate(cur, prev)
+    assert "q130" in [r[0] for r in regs_i], regs_i
+    assert notes_i == [], notes_i
+    # ...and a rev bump NOTEs regardless of the prior time, including
+    # for queries with no REDECLARED changelog entry
+    cur["rev"] = {"q130": 3}
+    prev["queries"]["q4"] = 1.0
+    cur["queries"]["q4"] = 9.0
+    cur["rev"]["q4"] = 2
+    regs_b, _, notes_b = gate(cur, prev)
+    assert sorted(n[0] for n in notes_b) == ["q130", "q4"], notes_b
+    assert "q130" not in [r[0] for r in regs_b], regs_b
+    # rev map survives in a wrapper artifact's tail
+    assert revs_of({"tail": ',"q9":0.1},"failures":{},"rev":{"q130":2},'
+                           '"sf":"x"'}) == {"q130": 2}
     del prev["queries"]["q130"], cur["queries"]["q130"]
+    del prev["rev"], cur["rev"]
+    cur["queries"]["q4"] = 1.4
     # wrapper form ("tail" fragment) parses identically
     wrapped = {"tail":
                ',"q1":2.0,"q2":1.0,"q3":0.2,"q4":1.4,"q5":9.9,"q6":2.3'}
