@@ -1081,6 +1081,32 @@ object SparkEntry {
       c.pipe(stages(Some(cursor))).select("doc_id")
     }),
 
+    // lucene.cjk bigram analysis: CJK text has no word separators, so
+    // the analyzer matches on overlapping character bigrams (Lucene
+    // CJKAnalyzer's published algorithm) — "数据处理" analyzes to
+    // [数据, 据处, 处理] and meets any document sharing a bigram, while
+    // "机器学习" shares none; the non-CJK token in the same text field
+    // tokenizes as an ordinary word through the same analyzer
+    "q201_search_cjk_bigrams" -> ((s, dir) => {
+      val c1 = Seq("数据处理", "处理数据", "机器学习", "学习机器",
+        "数据分析")
+      val c2 = Seq("spark", "data", "query", "engine")
+      val df = tbl(s, dir, "documents").where(col("doc_id") < 400)
+        .withColumn("ctext", concat_ws(" ",
+          element_at(typedlit(c1), (col("doc_id") % 5 + 1).cast("int")),
+          element_at(typedlit(c2),
+            ((col("doc_id") / 5).cast("long") % 4 + 1).cast("int"))))
+      graft.pipeline.PipelineCompiler.compile(Seq(
+        Map("$search" -> Map(
+          "analyzer" -> "lucene.cjk",
+          "compound" -> Map("filter" -> Seq(
+            Map("text" -> Map(
+              "query" -> "数据处理 engine",
+              "path" -> "ctext")))))),
+        Map("$project" -> Map("doc_id" -> 1))))(df)
+        .orderBy("doc_id")
+    }),
+
     // Atlas $search scoreDetails: per-clause breakdown through
     // {$meta: "searchScoreDetails"} — flat {value, description} list of
     // the scoring clauses with the total on the top struct (documented
@@ -4621,6 +4647,21 @@ object SparkEntry {
         |  FROM hits JOIN dfreq USING (term), stats GROUP BY doc_id)
         |SELECT doc_id FROM bm
         |ORDER BY s DESC, doc_id LIMIT 10 OFFSET 10""".stripMargin,
+
+    // the fixture derives its words from doc_id, so the oracle rebuilds
+    // the same selection and bigram OVERLAP reduces, ON THIS FIXTURE,
+    // to slot membership: of the five CJK slots only 数据处理 / 处理数据
+    // / 数据分析 share a bigram with the query's [数据, 据处, 处理]
+    // (机器学习 and 学习机器 share none — same characters reordered is
+    // NOT enough, the bigrams differ), plus the English word slot
+    // matching 'engine' through the same analyzer; the tokenizer itself
+    // is pinned by unit specs
+    "q201_search_cjk_bigrams" ->
+      """SELECT doc_id FROM documents
+        |WHERE doc_id < 400 AND (
+        |  (doc_id % 5) IN (0, 1, 4)
+        |  OR ((doc_id // 5) % 4) = 3)
+        |ORDER BY doc_id""".stripMargin,
 
     "q186_search_score_details" ->
       """WITH tk AS (

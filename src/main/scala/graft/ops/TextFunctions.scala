@@ -175,6 +175,18 @@ object TextFunctions {
       .filter(t => t.nonEmpty && !GermanStopWords(t))
       .map(graft.functions.GermanSnowball.stem).toSeq
 
+  /** `lucene.cjk`-style analysis: overlapping CJK character bigrams +
+    * lowercased non-CJK words minus the English stop set — the whole
+    * chain is ONE native expression call per row
+    * ([[graft.functions.CjkTokenizer]] documents the published
+    * CJKAnalyzer algorithm). */
+  def cjkTokens(text: Column): Column =
+    graft.functions.CjkFunctions.cjk_tokens(text)
+
+  /** Driver-side twin of [[cjkTokens]] — the SAME static analyzer. */
+  def cjkTerms(q: String): Seq[String] =
+    graft.functions.CjkTokenizer.terms(q)
+
   /** In-order sloppy phrase occurrences: the number of start positions in
     * `toks` from which every term of the phrase matches in sequence with
     * TOTAL inter-term gap ≤ `slop` (Lucene's in-order sloppy-phrase

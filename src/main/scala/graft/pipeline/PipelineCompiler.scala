@@ -742,7 +742,8 @@ object PipelineCompiler {
         // instead of silently falling back to the default.
         val knownAnalyzers =
           Set("lucene.whitespace", "lucene.standard", "lucene.keyword",
-            "lucene.english", "lucene.french", "lucene.german")
+            "lucene.english", "lucene.french", "lucene.german",
+            "lucene.cjk")
         val stageAnalyzer = d0.get("analyzer")
           .orElse(d0.get("searchAnalyzer")).map(_.toString)
           .getOrElse("lucene.whitespace")
@@ -904,6 +905,8 @@ object PipelineCompiler {
               graft.ops.TextFunctions.frenchTokens(col(pathOf(op, os)))
             case "lucene.german" =>
               graft.ops.TextFunctions.germanTokens(col(pathOf(op, os)))
+            case "lucene.cjk" =>
+              graft.ops.TextFunctions.cjkTokens(col(pathOf(op, os)))
             case "lucene.keyword" => array(col(pathOf(op, os)))
             case _ => graft.ops.TextFunctions.tokens(col(pathOf(op, os)))
           }
@@ -917,6 +920,8 @@ object PipelineCompiler {
             graft.ops.TextFunctions.frenchTerms(q)
           case "lucene.german" =>
             graft.ops.TextFunctions.germanTerms(q)
+          case "lucene.cjk" =>
+            graft.ops.TextFunctions.cjkTerms(q)
           case "lucene.keyword" => Seq(q)
           case _ => q.split("\\s+").filter(_.nonEmpty).toSeq
         }
@@ -1205,6 +1210,8 @@ object PipelineCompiler {
                     graft.ops.TextFunctions.frenchTokens(col(field))
                   case "lucene.german" =>
                     graft.ops.TextFunctions.germanTokens(col(field))
+                  case "lucene.cjk" =>
+                    graft.ops.TextFunctions.cjkTokens(col(field))
                   case "lucene.keyword" => array(col(field))
                   case _ => graft.ops.TextFunctions.tokens(col(field))
                 }
@@ -1217,6 +1224,8 @@ object PipelineCompiler {
                     graft.ops.TextFunctions.frenchTerms(queryStr)
                   case "lucene.german" =>
                     graft.ops.TextFunctions.germanTerms(queryStr)
+                  case "lucene.cjk" =>
+                    graft.ops.TextFunctions.cjkTerms(queryStr)
                   case "lucene.keyword" => Seq(queryStr)
                   case _ =>
                     queryStr.split("\\s+").filter(_.nonEmpty).toSeq

@@ -717,6 +717,37 @@ class TextFunctionsSpec extends SparkSpec {
     assert(stem("le") == "le" && stem("a1b") == "a1b")
   }
 
+  test("CJK bigram tokenizer: overlapping bigrams per CJK run, " +
+      "unigram for an isolated character, lowercased stop-filtered " +
+      "words for non-CJK runs; column path equals driver path") {
+    import graft.functions.CjkTokenizer.terms
+    // Han run of 4 → 3 overlapping bigrams
+    assert(terms("数据处理") == Seq("数据", "据处", "处理"))
+    // same characters reordered produce DIFFERENT bigrams
+    assert(terms("处理数据") == Seq("处理", "理数", "数据"))
+    // hiragana/katakana bigram through the same run logic
+    assert(terms("これはテスト") ==
+      Seq("これ", "れは", "はテ", "テス", "スト"))
+    // mixed script: words flush around CJK runs, stops drop, case folds
+    assert(terms("Spark处理数据engine the") ==
+      Seq("spark", "处理", "理数", "数据", "engine"))
+    // isolated single CJK char survives as a unigram; punctuation
+    // splits a run (no bigram across the comma)
+    assert(terms("猫 is here") == Seq("猫", "here"))
+    assert(terms("数据，处理") == Seq("数据", "处理"))
+    // an astral Ext-B ideograph (U+20000) bigrams as ONE character
+    val extB = new String(Character.toChars(0x20000))
+    assert(terms(s"${extB}数") == Seq(s"${extB}数"))
+    // hangul syllables are in the bigram script set
+    assert(terms("한국어") == Seq("한국", "국어"))
+    // column path is the same static function
+    val got = Seq(("Spark处理数据engine the", 1))
+      .toDF("text", "one")
+      .select(TextFunctions.cjkTokens($"text"))
+      .as[Seq[String]].head()
+    assert(got == terms("Spark处理数据engine the"))
+  }
+
   test("German Snowball stemmer: published-algorithm pairs") {
     import graft.functions.GermanSnowball.stem
     // step 1 e/en/es/er/ern + umlaut postlude
