@@ -1081,6 +1081,60 @@ object SparkEntry {
       c.pipe(stages(Some(cursor))).select("doc_id")
     }),
 
+    // lucene.spanish $search: Snowball Spanish stemming — trabajador /
+    // trabajando / trabaja all index as 'trabaj', generosamente's
+    // amente chain reaches 'gener' (os follow-up in R2), and the stop
+    // slot never matches
+    "q202_search_spanish_stemming" -> ((s, dir) => {
+      val w1 = Seq("trabajando", "trabajadores", "trabaja", "canciones",
+        "atenciones")
+      val w2 = Seq("de", "la", "que", "el")
+      val w3 = Seq("generosidad", "generoso", "lógica", "lógicamente",
+        "comunicación", "niños")
+      val df = tbl(s, dir, "documents").where(col("doc_id") < 400)
+        .withColumn("stext", concat_ws(" ",
+          element_at(typedlit(w1), (col("doc_id") % 5 + 1).cast("int")),
+          element_at(typedlit(w2),
+            ((col("doc_id") / 5).cast("long") % 4 + 1).cast("int")),
+          element_at(typedlit(w3),
+            ((col("doc_id") / 20).cast("long") % 6 + 1).cast("int"))))
+      graft.pipeline.PipelineCompiler.compile(Seq(
+        Map("$search" -> Map(
+          "analyzer" -> "lucene.spanish",
+          "compound" -> Map("filter" -> Seq(
+            Map("text" -> Map(
+              "query" -> "el trabajador generosamente",
+              "path" -> "stext")))))),
+        Map("$project" -> Map("doc_id" -> 1))))(df)
+        .orderBy("doc_id")
+    }),
+
+    // $text $language "spanish"/"italian": q203 runs the Italian chain
+    // with phrase adjacency in the stop-removed stemmed stream —
+    // "nazionale possibilità" matches "nazionali della possibile"
+    // because 'della' is unindexed and the inflections stem together
+    // (while nazione stems to nazion ≠ nazional, the published split)
+    "q203_text_language_italian" -> ((s, dir) => {
+      val g1 = Seq("nazionale", "nazionali", "nazione", "mangiare",
+        "mangiando")
+      val g2 = Seq("della", "dello", "delle", "degli")
+      val g3 = Seq("possibilità", "possibile", "abbandonata", "crocchi",
+        "fortunatamente")
+      val df = tbl(s, dir, "documents").where(col("doc_id") < 400)
+        .withColumn("text", concat_ws(" ",
+          element_at(typedlit(g1), (col("doc_id") % 5 + 1).cast("int")),
+          element_at(typedlit(g2),
+            ((col("doc_id") / 5).cast("long") % 4 + 1).cast("int")),
+          element_at(typedlit(g3),
+            ((col("doc_id") / 20).cast("long") % 5 + 1).cast("int"))))
+      graft.pipeline.PipelineCompiler.compile(Seq(
+        Map("$match" -> Map("$text" -> Map(
+          "$search" -> "\"nazionale possibilità\"",
+          "$language" -> "italian"))),
+        Map("$project" -> Map("doc_id" -> 1))))(df)
+        .orderBy("doc_id")
+    }),
+
     // lucene.cjk bigram analysis: CJK text has no word separators, so
     // the analyzer matches on overlapping character bigrams (Lucene
     // CJKAnalyzer's published algorithm) — "数据处理" analyzes to
@@ -4647,6 +4701,31 @@ object SparkEntry {
         |  FROM hits JOIN dfreq USING (term), stats GROUP BY doc_id)
         |SELECT doc_id FROM bm
         |ORDER BY s DESC, doc_id LIMIT 10 OFFSET 10""".stripMargin,
+
+    // same honest-reduction pattern as q197: the fixture derives its
+    // words from doc_id, so Snowball stem-equivalence reduces to
+    // membership in the inflection group whose stem matches an analyzed
+    // query term (trabaj / gener); the stemmer itself is pinned by unit
+    // specs on published-algorithm pairs, and the stop slot must never
+    // match
+    "q202_search_spanish_stemming" ->
+      """SELECT doc_id FROM documents
+        |WHERE doc_id < 400 AND (
+        |  (doc_id % 5) IN (0, 1, 2)
+        |  OR ((doc_id // 20) % 6) IN (0, 1))
+        |ORDER BY doc_id""".stripMargin,
+
+    // phrase adjacency in the stop-removed stemmed stream: the middle
+    // slot is always a stop word, so the phrase [nazional, possibil]
+    // matches exactly when slot 1 is in the nazionale group (nazione
+    // stems to nazion — NOT a member, the published ale/e split) AND
+    // slot 3 is in the possibilità group
+    "q203_text_language_italian" ->
+      """SELECT doc_id FROM documents
+        |WHERE doc_id < 400 AND
+        |  (doc_id % 5) IN (0, 1)
+        |  AND ((doc_id // 20) % 5) IN (0, 1)
+        |ORDER BY doc_id""".stripMargin,
 
     // the fixture derives its words from doc_id, so the oracle rebuilds
     // the same selection and bigram OVERLAP reduces, ON THIS FIXTURE,

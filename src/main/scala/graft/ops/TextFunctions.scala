@@ -175,6 +175,145 @@ object TextFunctions {
       .filter(t => t.nonEmpty && !GermanStopWords(t))
       .map(graft.functions.GermanSnowball.stem).toSeq
 
+  /** Snowball Spanish stop list (Lucene's spanish_stop.txt — the
+    * published Snowball list: function words plus the full estar /
+    * haber / ser / tener conjugation tables). */
+  private[graft] val SpanishStopWords = Set(
+    "de", "la", "que", "el", "en", "y", "a", "los", "del", "se", "las",
+    "por", "un", "para", "con", "no", "una", "su", "al", "lo", "como",
+    "más", "pero", "sus", "le", "ya", "o", "este", "sí", "porque",
+    "esta", "entre", "cuando", "muy", "sin", "sobre", "también", "me",
+    "hasta", "hay", "donde", "quien", "desde", "todo", "nos",
+    "durante", "todos", "uno", "les", "ni", "contra", "otros", "ese",
+    "eso", "ante", "ellos", "e", "esto", "mí", "antes", "algunos",
+    "qué", "unos", "yo", "otro", "otras", "otra", "él", "tanto",
+    "esa", "estos", "mucho", "quienes", "nada", "muchos", "cual",
+    "poco", "ella", "estar", "estas", "algunas", "algo", "nosotros",
+    "mi", "mis", "tú", "te", "ti", "tu", "tus", "ellas", "nosotras",
+    "vosotros", "vosotras", "os", "mío", "mía", "míos", "mías",
+    "tuyo", "tuya", "tuyos", "tuyas", "suyo", "suya", "suyos",
+    "suyas", "nuestro", "nuestra", "nuestros", "nuestras", "vuestro",
+    "vuestra", "vuestros", "vuestras", "esos", "esas",
+    // estar
+    "estoy", "estás", "está", "estamos", "estáis", "están", "esté",
+    "estés", "estemos", "estéis", "estén", "estaré", "estarás",
+    "estará", "estaremos", "estaréis", "estarán", "estaría",
+    "estarías", "estaríamos", "estaríais", "estarían", "estaba",
+    "estabas", "estábamos", "estabais", "estaban", "estuve",
+    "estuviste", "estuvo", "estuvimos", "estuvisteis", "estuvieron",
+    "estuviera", "estuvieras", "estuviéramos", "estuvierais",
+    "estuvieran", "estuviese", "estuvieses", "estuviésemos",
+    "estuvieseis", "estuviesen", "estando", "estado", "estada",
+    "estados", "estadas", "estad",
+    // haber
+    "he", "has", "ha", "hemos", "habéis", "han", "haya", "hayas",
+    "hayamos", "hayáis", "hayan", "habré", "habrás", "habrá",
+    "habremos", "habréis", "habrán", "habría", "habrías",
+    "habríamos", "habríais", "habrían", "había", "habías",
+    "habíamos", "habíais", "habían", "hube", "hubiste", "hubo",
+    "hubimos", "hubisteis", "hubieron", "hubiera", "hubieras",
+    "hubiéramos", "hubierais", "hubieran", "hubiese", "hubieses",
+    "hubiésemos", "hubieseis", "hubiesen", "habiendo", "habido",
+    "habida", "habidos", "habidas",
+    // ser
+    "soy", "eres", "es", "somos", "sois", "son", "sea", "seas",
+    "seamos", "seáis", "sean", "seré", "serás", "será", "seremos",
+    "seréis", "serán", "sería", "serías", "seríamos", "seríais",
+    "serían", "era", "eras", "éramos", "erais", "eran", "fui",
+    "fuiste", "fue", "fuimos", "fuisteis", "fueron", "fuera",
+    "fueras", "fuéramos", "fuerais", "fueran", "fuese", "fueses",
+    "fuésemos", "fueseis", "fuesen", "siendo", "sido",
+    // tener
+    "tengo", "tienes", "tiene", "tenemos", "tenéis", "tienen",
+    "tenga", "tengas", "tengamos", "tengáis", "tengan", "tendré",
+    "tendrás", "tendrá", "tendremos", "tendréis", "tendrán",
+    "tendría", "tendrías", "tendríamos", "tendríais", "tendrían",
+    "tenía", "tenías", "teníamos", "teníais", "tenían", "tuve",
+    "tuviste", "tuvo", "tuvimos", "tuvisteis", "tuvieron", "tuviera",
+    "tuvieras", "tuviéramos", "tuvierais", "tuvieran", "tuviese",
+    "tuvieses", "tuviésemos", "tuvieseis", "tuviesen", "teniendo",
+    "tenido", "tenida", "tenidos", "tenidas", "tened")
+
+  /** Snowball Italian stop list (Lucene's italian_stop.txt). */
+  private[graft] val ItalianStopWords = Set(
+    "ad", "al", "allo", "ai", "agli", "all", "agl", "alla", "alle",
+    "con", "col", "coi", "da", "dal", "dallo", "dai", "dagli", "dall",
+    "dagl", "dalla", "dalle", "di", "del", "dello", "dei", "degli",
+    "dell", "degl", "della", "delle", "in", "nel", "nello", "nei",
+    "negli", "nell", "negl", "nella", "nelle", "su", "sul", "sullo",
+    "sui", "sugli", "sull", "sugl", "sulla", "sulle", "per", "tra",
+    "contro", "io", "tu", "lui", "lei", "noi", "voi", "loro", "mio",
+    "mia", "miei", "mie", "tuo", "tua", "tuoi", "tue", "suo", "sua",
+    "suoi", "sue", "nostro", "nostra", "nostri", "nostre", "vostro",
+    "vostra", "vostri", "vostre", "mi", "ti", "ci", "vi", "lo", "la",
+    "li", "le", "gli", "ne", "il", "un", "uno", "una", "ma", "ed",
+    "se", "perché", "anche", "come", "dov", "dove", "che", "chi",
+    "cui", "non", "più", "quale", "quanto", "quanti", "quanta",
+    "quante", "quello", "quelli", "quella", "quelle", "questo",
+    "questi", "questa", "queste", "si", "tutto", "tutti", "a", "c",
+    "e", "i", "l", "o", "ho", "hai", "ha", "abbiamo", "avete",
+    "hanno", "abbia", "abbiate", "abbiano", "avrò", "avrai", "avrà",
+    "avremo", "avrete", "avranno", "avrei", "avresti", "avrebbe",
+    "avremmo", "avreste", "avrebbero", "avevo", "avevi", "aveva",
+    "avevamo", "avevate", "avevano", "ebbi", "avesti", "ebbe",
+    "avemmo", "aveste", "ebbero", "avessi", "avesse", "avessimo",
+    "avessero", "avendo", "avuto", "avuta", "avuti", "avute", "sono",
+    "sei", "è", "siamo", "siete", "sia", "siate", "siano", "sarò",
+    "sarai", "sarà", "saremo", "sarete", "saranno", "sarei",
+    "saresti", "sarebbe", "saremmo", "sareste", "sarebbero", "ero",
+    "eri", "era", "eravamo", "eravate", "erano", "fui", "fosti",
+    "fu", "fummo", "foste", "furono", "fossi", "fosse", "fossimo",
+    "fossero", "essendo", "faccio", "fai", "facciamo", "fanno",
+    "faccia", "facciate", "facciano", "farò", "farai", "farà",
+    "faremo", "farete", "faranno", "farei", "faresti", "farebbe",
+    "faremmo", "fareste", "farebbero", "facevo", "facevi", "faceva",
+    "facevamo", "facevate", "facevano", "feci", "facesti", "fece",
+    "facemmo", "faceste", "fecero", "facessi", "facesse",
+    "facessimo", "facessero", "facendo", "sto", "stai", "sta",
+    "stiamo", "stanno", "stia", "stiate", "stiano", "starò",
+    "starai", "starà", "staremo", "starete", "staranno", "starei",
+    "staresti", "starebbe", "staremmo", "stareste", "starebbero",
+    "stavo", "stavi", "stava", "stavamo", "stavate", "stavano",
+    "stetti", "stesti", "stette", "stemmo", "steste", "stettero",
+    "stessi", "stesse", "stessimo", "stessero", "stando")
+
+  /** `lucene.spanish`-style analysis: lowercase, split on
+    * non-alphanumeric runs, drop the Snowball Spanish stop set,
+    * Snowball-stem each token ([[graft.functions.SpanishSnowball]], a
+    * native expression — one static call per token inside codegen). */
+  def spanishTokens(text: Column): Column =
+    transform(
+      filter(
+        split(lower(text), "[^\\p{L}\\p{N}]+"),
+        t => t =!= lit("") && !t.isin(SpanishStopWords.toSeq: _*)),
+      t => graft.functions.SnowballRomanceFunctions.spanish_stem(t))
+
+  /** Driver-side twin of [[spanishTokens]] — the SAME
+    * [[graft.functions.SpanishSnowball.stem]] the column path calls. */
+  def spanishTerms(q: String): Seq[String] =
+    q.toLowerCase(java.util.Locale.ROOT)
+      .split("[^\\p{L}\\p{N}]+")
+      .filter(t => t.nonEmpty && !SpanishStopWords(t))
+      .map(graft.functions.SpanishSnowball.stem).toSeq
+
+  /** `lucene.italian`-style analysis: lowercase, split on
+    * non-alphanumeric runs (elisions like "dell'acqua" break at the
+    * apostrophe — the orphaned article is a stop word), drop the
+    * Snowball Italian stop set, Snowball-stem each token. */
+  def italianTokens(text: Column): Column =
+    transform(
+      filter(
+        split(lower(text), "[^\\p{L}\\p{N}]+"),
+        t => t =!= lit("") && !t.isin(ItalianStopWords.toSeq: _*)),
+      t => graft.functions.SnowballRomanceFunctions.italian_stem(t))
+
+  /** Driver-side twin of [[italianTokens]]. */
+  def italianTerms(q: String): Seq[String] =
+    q.toLowerCase(java.util.Locale.ROOT)
+      .split("[^\\p{L}\\p{N}]+")
+      .filter(t => t.nonEmpty && !ItalianStopWords(t))
+      .map(graft.functions.ItalianSnowball.stem).toSeq
+
   /** `lucene.cjk`-style analysis: overlapping CJK character bigrams +
     * lowercased non-CJK words minus the English stop set — the whole
     * chain is ONE native expression call per row

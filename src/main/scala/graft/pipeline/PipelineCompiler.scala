@@ -743,7 +743,7 @@ object PipelineCompiler {
         val knownAnalyzers =
           Set("lucene.whitespace", "lucene.standard", "lucene.keyword",
             "lucene.english", "lucene.french", "lucene.german",
-            "lucene.cjk")
+            "lucene.spanish", "lucene.italian", "lucene.cjk")
         val stageAnalyzer = d0.get("analyzer")
           .orElse(d0.get("searchAnalyzer")).map(_.toString)
           .getOrElse("lucene.whitespace")
@@ -905,6 +905,10 @@ object PipelineCompiler {
               graft.ops.TextFunctions.frenchTokens(col(pathOf(op, os)))
             case "lucene.german" =>
               graft.ops.TextFunctions.germanTokens(col(pathOf(op, os)))
+            case "lucene.spanish" =>
+              graft.ops.TextFunctions.spanishTokens(col(pathOf(op, os)))
+            case "lucene.italian" =>
+              graft.ops.TextFunctions.italianTokens(col(pathOf(op, os)))
             case "lucene.cjk" =>
               graft.ops.TextFunctions.cjkTokens(col(pathOf(op, os)))
             case "lucene.keyword" => array(col(pathOf(op, os)))
@@ -920,6 +924,10 @@ object PipelineCompiler {
             graft.ops.TextFunctions.frenchTerms(q)
           case "lucene.german" =>
             graft.ops.TextFunctions.germanTerms(q)
+          case "lucene.spanish" =>
+            graft.ops.TextFunctions.spanishTerms(q)
+          case "lucene.italian" =>
+            graft.ops.TextFunctions.italianTerms(q)
           case "lucene.cjk" =>
             graft.ops.TextFunctions.cjkTerms(q)
           case "lucene.keyword" => Seq(q)
@@ -1210,6 +1218,10 @@ object PipelineCompiler {
                     graft.ops.TextFunctions.frenchTokens(col(field))
                   case "lucene.german" =>
                     graft.ops.TextFunctions.germanTokens(col(field))
+                  case "lucene.spanish" =>
+                    graft.ops.TextFunctions.spanishTokens(col(field))
+                  case "lucene.italian" =>
+                    graft.ops.TextFunctions.italianTokens(col(field))
                   case "lucene.cjk" =>
                     graft.ops.TextFunctions.cjkTokens(col(field))
                   case "lucene.keyword" => array(col(field))
@@ -1224,6 +1236,10 @@ object PipelineCompiler {
                     graft.ops.TextFunctions.frenchTerms(queryStr)
                   case "lucene.german" =>
                     graft.ops.TextFunctions.germanTerms(queryStr)
+                  case "lucene.spanish" =>
+                    graft.ops.TextFunctions.spanishTerms(queryStr)
+                  case "lucene.italian" =>
+                    graft.ops.TextFunctions.italianTerms(queryStr)
                   case "lucene.cjk" =>
                     graft.ops.TextFunctions.cjkTerms(queryStr)
                   case "lucene.keyword" => Seq(queryStr)

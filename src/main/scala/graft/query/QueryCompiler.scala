@@ -662,12 +662,15 @@ object QueryCompiler {
         case "en" => "english"
         case "fr" => "french"
         case "de" => "german"
+        case "es" => "spanish"
+        case "it" => "italian"
         case other => other
       }
-      require(Set("none", "english", "french", "german")(lang),
+      require(Set("none", "english", "french", "german", "spanish",
+        "italian")(lang),
         s"$$text.$$language: '$lang' unsupported (none/english/french/" +
-          "german — other languages need stemmers this engine does " +
-          "not model)")
+          "german/spanish/italian — other languages need stemmers " +
+          "this engine does not model)")
       val cs = mm.get("$caseSensitive") match {
         case Some(b: Boolean) => b
         case Some(other) => throw new IllegalArgumentException(
@@ -739,6 +742,14 @@ object QueryCompiler {
         (graft.ops.TextFunctions.germanTokens(col("text")),
           t => graft.ops.TextFunctions.germanTerms(t),
           p => graft.ops.TextFunctions.germanTerms(p))
+      case "spanish" =>
+        (graft.ops.TextFunctions.spanishTokens(col("text")),
+          t => graft.ops.TextFunctions.spanishTerms(t),
+          p => graft.ops.TextFunctions.spanishTerms(p))
+      case "italian" =>
+        (graft.ops.TextFunctions.italianTokens(col("text")),
+          t => graft.ops.TextFunctions.italianTerms(t),
+          p => graft.ops.TextFunctions.italianTerms(p))
       case _ =>
         val (txt, fold) = textFold(caseSensitive)
         (graft.ops.TextFunctions.tokens(txt),

@@ -773,6 +773,80 @@ class TextFunctionsSpec extends SparkSpec {
     assert(stem("im") == "im" && stem("x9y") == "x9y")
   }
 
+  test("Spanish Snowball stemmer: published-algorithm pairs") {
+    import graft.functions.SpanishSnowball.stem
+    // step 1 adora/ador/adores family + verb endings meet on one stem
+    assert(stem("trabajadores") == "trabaj" &&
+      stem("trabajador") == "trabaj" && stem("trabajando") == "trabaj" &&
+      stem("trabaja") == "trabaj" && stem("trabajadora") == "trabaj")
+    // ación with the ic follow-up in R2
+    assert(stem("comunicación") == "comun")
+    // step-2b es (no trailing gu) and final-accent removal
+    assert(stem("canciones") == "cancion" &&
+      stem("atención") == "atencion" && stem("atenciones") == "atencion")
+    // idad + step-3 os; oso in R2 — one inflection group
+    assert(stem("generosidad") == "gener" && stem("generoso") == "gener" &&
+      stem("generosamente") == "gener")
+    // amente in R1 with the ic follow-up OUTSIDE R2 kept
+    assert(stem("lógicamente") == "logic" && stem("lógica") == "logic")
+    // step 0 attached pronoun, group (a): the acute accent of the
+    // gerund is removed before the verb suffix strips (haciéndola →
+    // haciendo → hac)
+    assert(stem("haciéndola") == "hac" && stem("hablando") == "habl")
+    // step-3 residual vowel; ñ survives
+    assert(stem("niños") == "niñ" && stem("niño") == "niñ")
+    // gu: step-2b en after gu drops the u (llegue → lleg family)
+    assert(stem("lleguen") == "lleg")
+    // short words and non-spanish-alphabet tokens pass through
+    assert(stem("de") == "de" && stem("a1b") == "a1b")
+  }
+
+  test("Italian Snowball stemmer: published-algorithm pairs") {
+    import graft.functions.ItalianSnowball.stem
+    // step-3a final vowel (+preceding i) — the nazionale/nazione split
+    // is the published behavior: ale strips to nazional, nazione only
+    // loses its final e (azione is out of R2)
+    assert(stem("nazionale") == "nazional" &&
+      stem("nazionali") == "nazional" && stem("nazione") == "nazion" &&
+      stem("nazioni") == "nazion")
+    // ità in R2; ibile out of R2 keeps its suffix minus final e —
+    // possibilità and possibile meet anyway
+    assert(stem("possibilità") == "possibil" &&
+      stem("possibile") == "possibil")
+    // step-2 verb endings + 3a i-after-vowel deletion
+    assert(stem("mangiare") == "mang" && stem("mangiando") == "mang" &&
+      stem("mangia") == "mang")
+    // step 0 attached pronoun after infinitive: pronoun → e, then the
+    // verb machinery runs (mangiarlo → mangiare → mang)
+    assert(stem("mangiarlo") == "mang")
+    // step-2 ata; amente in R1
+    assert(stem("abbandonata") == "abbandon" &&
+      stem("abbandonate") == "abbandon" &&
+      stem("fortunatamente") == "fortunat")
+    // 3a then 3b: final i drops, ch → c in RV (crocchi/crocchio meet)
+    assert(stem("crocchi") == "crocc" && stem("crocchio") == "crocc")
+    // prelude: acute folds to grave, postlude unmarks
+    assert(stem("perché") == stem("perchè"))
+    // short words and non-italian-alphabet tokens pass through
+    assert(stem("di") == "di" && stem("a1b") == "a1b")
+  }
+
+  test("spanishTokens/italianTokens: stops and stems meet their " +
+      "driver twins") {
+    val esToks = one("el trabajador de la generosidad")
+      .select(TextFunctions.spanishTokens($"text"))
+      .as[Seq[String]].head()
+    assert(esToks == Seq("trabaj", "gener"))
+    assert(TextFunctions.spanishTerms("los trabajadores generosamente")
+      == Seq("trabaj", "gener"))
+    val itToks = one("la nazionale della possibilità")
+      .select(TextFunctions.italianTokens($"text"))
+      .as[Seq[String]].head()
+    assert(itToks == Seq("nazional", "possibil"))
+    assert(TextFunctions.italianTerms("le nazionali possibile") ==
+      Seq("nazional", "possibil"))
+  }
+
   test("frenchTokens/frenchTerms: stops (incl. elision leftovers), " +
       "stems — 'la continuelle' meets 'continuellement'") {
     val docToks = one("la continuellement et l'avion des majestueuses")
