@@ -1081,6 +1081,31 @@ object SparkEntry {
       c.pipe(stages(Some(cursor))).select("doc_id")
     }),
 
+    // collation caseFirst "upper": the caseLevel struct key's case-bit
+    // string relabels so uppercase orders before lowercase WITHIN an
+    // equal primary — ALPHA < ALPHa < Alpha < alpha — while the primary
+    // level still decides first (every alpha spelling before beta)
+    "q204_collation_casefirst" -> ((s, dir) =>
+      coll(s, dir, "documents").pipe(Seq(
+        Map("$match" -> Map("doc_id" -> Map("$lt" -> 300))),
+        Map("$addFields" -> Map("tag" -> Map("$switch" -> Map(
+          "branches" -> Seq(
+            Map("case" -> Map("$eq" -> Seq(
+              Map("$mod" -> Seq("$doc_id", 6)), 0)), "then" -> "alpha"),
+            Map("case" -> Map("$eq" -> Seq(
+              Map("$mod" -> Seq("$doc_id", 6)), 1)), "then" -> "Alpha"),
+            Map("case" -> Map("$eq" -> Seq(
+              Map("$mod" -> Seq("$doc_id", 6)), 2)), "then" -> "ALPHA"),
+            Map("case" -> Map("$eq" -> Seq(
+              Map("$mod" -> Seq("$doc_id", 6)), 3)), "then" -> "beta"),
+            Map("case" -> Map("$eq" -> Seq(
+              Map("$mod" -> Seq("$doc_id", 6)), 4)), "then" -> "Beta")),
+          "default" -> "ALPHa")))),
+        Map("$sort" -> Map("tag" -> 1, "doc_id" -> 1)),
+        Map("$project" -> Map("doc_id" -> 1, "tag" -> 1))),
+        Map("locale" -> "en", "strength" -> 2, "caseLevel" -> true,
+          "caseFirst" -> "upper"))),
+
     // lucene.spanish $search: Snowball Spanish stemming — trabajador /
     // trabajando / trabaja all index as 'trabaj', generosamente's
     // amente chain reaches 'gener' (os follow-up in R2), and the stop
@@ -4701,6 +4726,23 @@ object SparkEntry {
         |  FROM hits JOIN dfreq USING (term), stats GROUP BY doc_id)
         |SELECT doc_id FROM bm
         |ORDER BY s DESC, doc_id LIMIT 10 OFFSET 10""".stripMargin,
+
+    // the oracle rebuilds the caseLevel struct key in SQL: primary =
+    // lower(tag), case level = the per-letter bit pattern with the
+    // caseFirst-upper relabeling ('0' for uppercase, '1' otherwise —
+    // the fixture is pure ASCII letters, so [A-Z] IS \p{Lu} here)
+    "q204_collation_casefirst" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 6 WHEN 0 THEN 'alpha' WHEN 1 THEN 'Alpha'
+        |      WHEN 2 THEN 'ALPHA' WHEN 3 THEN 'beta' WHEN 4 THEN 'Beta'
+        |      ELSE 'ALPHa' END AS tag
+        |  FROM documents WHERE doc_id < 300)
+        |SELECT doc_id, tag FROM t
+        |ORDER BY lower(tag),
+        |  regexp_replace(regexp_replace(tag, '[^A-Z]', '1', 'g'),
+        |    '[A-Z]', '0', 'g'),
+        |  doc_id""".stripMargin,
 
     // same honest-reduction pattern as q197: the fixture derives its
     // words from doc_id, so Snowball stem-equivalence reduces to

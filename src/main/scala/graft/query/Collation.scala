@@ -38,7 +38,16 @@ object Collation {
       numericOrdering: Boolean = false,
       alternateShifted: Boolean = false,
       maxVariable: String = "punct",
-      caseLevel: Boolean = false) {
+      caseLevel: Boolean = false,
+      caseFirst: String = "off") {
+
+    // ICU case weights: under the default (off/lower) lowercase and
+    // uncased elements order before uppercase; caseFirst "upper" swaps
+    // the two bit characters, so uppercase orders first and uncased
+    // elements (digit runs under numericOrdering) still group with
+    // lowercase — a pure relabeling of the existing case-bit string
+    private def caseBits: (String, String) =
+      if (caseFirst == "upper") ("1", "0") else ("0", "1")
 
     // ICU `alternate: shifted`: the variable characters (whitespace +
     // punctuation under maxVariable "punct", whitespace only under
@@ -79,12 +88,13 @@ object Collation {
         val caseSrc =
           if (numericOrdering) regexp_replace(base0, "[0-9]+", "0")
           else base0
-        // flatten NON-uppercase first: a literal '1' in the data must
-        // become '0' before uppercase letters mark as '1', or data
-        // digits would masquerade as case bits
+        // flatten NON-uppercase first: a literal bit char in the data
+        // must flatten before uppercase letters mark, or data digits
+        // would masquerade as case bits
+        val (lo, hi) = caseBits
         struct(num.as("p"),
-          regexp_replace(regexp_replace(caseSrc, "[^\\p{Lu}]", "0"),
-            "\\p{Lu}", "1").as("c"))
+          regexp_replace(regexp_replace(caseSrc, "[^\\p{Lu}]", lo),
+            "\\p{Lu}", hi).as("c"))
       } else num
     }
 
@@ -96,19 +106,20 @@ object Collation {
       * and silently match nothing), and both collapse each maximal digit
       * run to one uncased position when numericOrdering is on. */
     private[query] def casePattern(base0: String): String = {
+      val (lo, hi) = caseBits
       val sb = new java.lang.StringBuilder(base0.length)
       var i = 0
       while (i < base0.length) {
         val cp = base0.codePointAt(i)
         if (numericOrdering && cp >= '0' && cp <= '9') {
-          sb.append('0')
+          sb.append(lo) // uncased: groups with lowercase in both modes
           while (i < base0.length && {
             val c = base0.charAt(i); c >= '0' && c <= '9'
           }) i += 1
         } else {
           sb.append(
-            if (Character.getType(cp) == Character.UPPERCASE_LETTER) '1'
-            else '0')
+            if (Character.getType(cp) == Character.UPPERCASE_LETTER) hi
+            else lo)
           i += Character.charCount(cp)
         }
       }
@@ -220,6 +231,22 @@ object Collation {
         "insensitive, case-significant) or 2 (case pattern compared " +
         "after the folded text); strength 3 is already case-sensitive " +
         "— omit caseLevel instead")
+    // caseFirst reorders the CASE level, so it needs the case level to
+    // exist: with caseLevel the key's case-bit string simply relabels
+    // ("upper" puts uppercase first); without it, strength 1/2 have no
+    // case distinction to reorder and strength 3's binary order is not
+    // reorderable — reject with guidance instead of silently ignoring
+    val caseFirst = doc.get("caseFirst") match {
+      case Some(v @ ("upper" | "lower")) =>
+        require(caseLevel,
+          s"collation.caseFirst: '$v' needs caseLevel: true — the case " +
+            "level is where upper/lower ordering lives in this engine " +
+            "(add caseLevel, or omit caseFirst)")
+        v.toString
+      case Some("off") | None => "off"
+      case Some(other) => throw new IllegalArgumentException(
+        s"collation.caseFirst: '$other' (upper/lower/off)")
+    }
     // strength 3 is the engine's default binary comparison — on its own
     // the collation would be a no-op, so it stays rejected unless
     // numericOrdering or alternate: shifted gives the spec something
@@ -230,14 +257,14 @@ object Collation {
         "insensitive) and 2 (case-insensitive) are mapped; strength 3+ " +
         "is the default binary comparison, omit the collation instead")
     val known = Set("locale", "strength", "numericOrdering",
-      "alternate", "maxVariable", "caseLevel")
+      "alternate", "maxVariable", "caseLevel", "caseFirst")
     val extra = doc.keySet -- known
     require(extra.isEmpty,
       s"collation: unsupported options " +
-        s"${extra.toSeq.sorted.mkString(", ")} (caseFirst, backwards " +
-        "and normalization have no faithful mapping here and would " +
+        s"${extra.toSeq.sorted.mkString(", ")} (backwards and " +
+        "normalization have no faithful mapping here and would " +
         "return wrong rows silently)")
     Spec(locale, strength, numericOrdering, alternateShifted,
-      maxVariable, caseLevel)
+      maxVariable, caseLevel, caseFirst)
   }
 }

@@ -49,11 +49,21 @@ class CollationSpec extends SparkSpec {
       Collation.parse(Map("locale" -> "en", "strength" -> 3))
     }
     assert(eStr.getMessage.contains("strength"))
+    // caseFirst without caseLevel has no case level to reorder —
+    // rejected with guidance (with caseLevel it is supported)
     val eOpt = intercept[IllegalArgumentException] {
       Collation.parse(Map("locale" -> "en", "strength" -> 2,
         "caseFirst" -> "upper"))
     }
     assert(eOpt.getMessage.contains("caseFirst"))
+    assert(Collation.parse(Map("locale" -> "en", "strength" -> 2,
+      "caseLevel" -> true, "caseFirst" -> "upper")) ==
+      Collation.Spec("en", 2, caseLevel = true, caseFirst = "upper"))
+    val eCf = intercept[IllegalArgumentException] {
+      Collation.parse(Map("locale" -> "en", "strength" -> 2,
+        "caseLevel" -> true, "caseFirst" -> "backwards"))
+    }
+    assert(eCf.getMessage.contains("upper/lower/off"))
     // caseLevel at strength 3 is a silent no-op (binary comparison is
     // already case-sensitive) — rejected with guidance
     val eCl3 = intercept[IllegalArgumentException] {
@@ -145,6 +155,33 @@ class CollationSpec extends SparkSpec {
     // against the raw column (Mongo: it matches no string row) instead
     // of failing analysis
     assert(find(Map("w" -> Map("$in" -> Seq("a1", 7)))) == Seq(1))
+  }
+
+  test("caseFirst upper: uppercase sorts before lowercase at the case " +
+      "level; equality is unchanged; lower matches the default") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-collation-cf").toString
+    Seq((1L, "cafe"), (2L, "Cafe"), (3L, "CAFE"), (4L, "cafés"))
+      .toDF("_id", "w").write.parquet(s"$dir/words.parquet")
+    val c = new graft.db.GraftSession(spark, dir).db("testdb").c("words")
+    def sorted(cf: String): Seq[Long] =
+      c.find(Map.empty[String, Any])
+        .collation(Map("locale" -> "en", "strength" -> 2,
+          "caseLevel" -> true, "caseFirst" -> cf)).sort("w", "_id")
+        .toDF.select("_id").as[Long].collect().toSeq
+    // upper-first: CAFE < Cafe < cafe within the equal primary; the
+    // primary level still decides first (cafés last either way)
+    assert(sorted("upper") == Seq(3, 2, 1, 4))
+    assert(sorted("lower") == Seq(1, 2, 3, 4))
+    assert(sorted("off") == Seq(1, 2, 3, 4))
+    // equality ignores the ordering direction: the case level still
+    // separates exact-case groups
+    def find(cf: String, q: String): Seq[Long] =
+      c.find(Map("w" -> q)).collation(Map("locale" -> "en",
+        "strength" -> 2, "caseLevel" -> true, "caseFirst" -> cf))
+        .sort("_id").toDF.select("_id").as[Long].collect().toSeq
+    assert(find("upper", "Cafe") == Seq(2))
+    assert(find("upper", "CAFE") == Seq(3))
   }
 
   test("caseLevel: astral characters count once in the case pattern " +
