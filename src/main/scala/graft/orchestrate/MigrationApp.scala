@@ -210,8 +210,13 @@ final class MigrationApp(
     df.where(!coalesce(pred, lit(false))).unionByName(transformed)
   }
 
-  private def fs = org.apache.hadoop.fs.FileSystem.get(
-    spark.sparkContext.hadoopConfiguration)
+  // resolved from the ROOT path, not fs.defaultFS: the tmp/bak/commit
+  // renames must run on the filesystem that actually holds the tables
+  // (an s3a:// root under an hdfs:// default would otherwise swap the
+  // wrong paths) — and the lease resolves the same way, keeping fence
+  // and data path on one filesystem
+  private def fs = new org.apache.hadoop.fs.Path(root)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Atomic-ish write-back: write tmp dir, swap via rename. With
     * `keepBackup` the displaced original survives as `<path>.bak` so a
@@ -314,8 +319,11 @@ final class NamespaceLease(spark: SparkSession, root: String,
     staleMs: Long = 30L * 60 * 1000) {
   import org.apache.hadoop.fs.Path
 
-  private def fs = org.apache.hadoop.fs.FileSystem.get(
-    spark.sparkContext.hadoopConfiguration)
+  // same root-path resolution as MigrationApp.fs: the lease must live
+  // on the filesystem whose rename semantics the break/fence protocol
+  // reasons about (copy-rename object stores included)
+  private def fs = new Path(root)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
   private def leasePath(ns: graft.model.Namespace): Path =
     new Path(s"$root/anser_migrations_metadata.leases/" +
       s"${ns.db}.${ns.collection}.lease")
@@ -520,8 +528,14 @@ final class NamespaceLease(spark: SparkSession, root: String,
 final class MetadataLedger(spark: SparkSession, path: String) {
   import spark.implicits._
 
+  // resolved from the ledger path (not fs.defaultFS, not java.io) so
+  // the ledger works on whatever filesystem the root names
+  private def fs = new org.apache.hadoop.fs.Path(path)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
   def all(): DataFrame =
-    if (new java.io.File(path).exists()) spark.read.parquet(path)
+    if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+      spark.read.parquet(path)
     else Seq.empty[MigrationMetadata].toDF()
 
   def record(m: MigrationMetadata): Unit = withLock {
@@ -536,21 +550,27 @@ final class MetadataLedger(spark: SparkSession, path: String) {
   // ledger would lose updates. Guard with an atomically-created lock file
   // (reference relies on mongo's per-document atomicity instead).
   private def withLock[T](body: => T): T = {
-    val lock = java.nio.file.Paths.get(path + ".lock")
-    java.nio.file.Files.createDirectories(lock.getParent)
+    val lock = new org.apache.hadoop.fs.Path(path + ".lock")
+    fs.mkdirs(lock.getParent)
     val deadline = System.currentTimeMillis() + 30000
     var acquired = false
     while (!acquired) {
-      try { java.nio.file.Files.createFile(lock); acquired = true }
+      // atomic create-if-absent — the same primitive the namespace
+      // lease builds on (atomic on HDFS/local; documented best-effort
+      // on object stores, where the namespace lease is the real guard)
+      try { fs.create(lock, false).close(); acquired = true }
       catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
+        case _: java.io.IOException =>
           if (System.currentTimeMillis() > deadline)
             throw new IllegalStateException(
               s"ledger lock $lock held for >30s; remove it if stale")
           Thread.sleep(50)
       }
     }
-    try body finally java.nio.file.Files.deleteIfExists(lock)
+    try body finally {
+      try fs.delete(lock, false)
+      catch { case _: java.io.IOException => () }
+    }
   }
 
   /** dependency gate — reference Satisfied() model/metadata.go:12 +

@@ -398,4 +398,84 @@ class MigrationAppSpec extends SparkSpec {
     app.setup(Seq(simple("m1", query = Map("cat" -> "x"))))
     assert(app.run().forall(!_.hasErrors)) // broke the stale lease and ran
   }
+
+  test("object-store rename semantics (rename = copy + fresh mtime): " +
+      "stale leases still break, and the data-path fence stops a " +
+      "usurped holder end-to-end on that filesystem family") {
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.objstore.impl", classOf[ObjStoreFileSystem].getName)
+    val localRoot = freshRoot()
+    val root = s"objstore://$localRoot"
+
+    // sanity: the simulated rename really is a copy stamping a FRESH
+    // mtime (the S3A/GCS behavior the breaker protocol reasons about)
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(hc)
+    assert(fs.isInstanceOf[ObjStoreFileSystem])
+    val probe = new org.apache.hadoop.fs.Path(s"$root/probe.txt")
+    val po = fs.create(probe, false); po.write(1); po.close()
+    fs.setTimes(probe, 1000L, -1)
+    val moved = new org.apache.hadoop.fs.Path(s"$root/probe2.txt")
+    assert(fs.rename(probe, moved))
+    assert(fs.getFileStatus(moved).getModificationTime > 1000L)
+
+    // (1) LIVENESS under copy-rename: a genuinely stale lease breaks —
+    // a post-rename-mtime check would see the copy's fresh stamp,
+    // conclude "the holder just refreshed", restore it, and stale
+    // leases could NEVER break on this family (the pre-rename-mtime
+    // classification is what this pins)
+    val leaseLocal = java.nio.file.Paths.get(
+      s"$localRoot/anser_migrations_metadata.leases/db.items.lease")
+    java.nio.file.Files.createDirectories(leaseLocal.getParent)
+    java.nio.file.Files.write(leaseLocal, "dead-app".getBytes("UTF-8"))
+    assert(leaseLocal.toFile.setLastModified(
+      System.currentTimeMillis() - 60L * 60 * 1000))
+    val app = new MigrationApp(spark, root,
+      ApplicationOptions(leaseWaitMs = 0L))
+    app.setup(Seq(simple("m1", query = Map("cat" -> "x"))))
+    assert(app.run().forall(!_.hasErrors))
+    assert(spark.read.parquet(s"$root/items.parquet")
+      .where($"cat" === "done").count() == 2)
+
+    // (2) FENCING under copy-rename: a holder usurped mid-write aborts
+    // at the (copy-)commit rename instead of publishing over the
+    // usurper — same scenario as the HDFS-semantics fencing spec, on
+    // THIS filesystem family end to end (acquire, heartbeat, usurp,
+    // fenced writeBack all through ObjStoreFileSystem)
+    val regs = new Registries
+    val leaseStr = leaseLocal.toString
+    regs.registerOperation("usurp-mid-write", r => {
+      java.nio.file.Files.write(java.nio.file.Paths.get(leaseStr),
+        "usurper-app".getBytes("UTF-8"))
+      r
+    })
+    val app2 = new MigrationApp(spark, root, registries = regs)
+    app2.setup(Seq(ManualMigration(
+      GeneratorOptions("m2", Nil, Namespace("db", "items"),
+        Map("cat" -> "done")), "usurp-mid-write")))
+    val res = app2.run()
+    assert(res.head.hasErrors && res.head.error.get.contains("usurped"))
+    // table unchanged (still the post-m1 state); usurper lease intact
+    assert(spark.read.parquet(s"$root/items.parquet")
+      .where($"cat" === "done").count() == 2)
+    assert(new String(java.nio.file.Files.readAllBytes(leaseLocal),
+      "UTF-8") == "usurper-app")
+    java.nio.file.Files.delete(leaseLocal)
+  }
+}
+
+/** Test filesystem with OBJECT-STORE rename semantics: "rename" is a
+  * copy — stamping a FRESH modification time on the destination, like
+  * an S3A/GCS server-side copy — followed by a delete of the source.
+  * Everything else is the local filesystem (the backing storage is the
+  * local directory the path names), so lease + ledger + parquet swap
+  * machinery runs end-to-end on copy-rename semantics in specs. */
+class ObjStoreFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("objstore:///")
+  override def getScheme: String = "objstore"
+  override def rename(src: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Boolean = {
+    if (!exists(src) || exists(dst)) false
+    else org.apache.hadoop.fs.FileUtil.copy(this, src, this, dst,
+      /* deleteSource = */ true, getConf)
+  }
 }
