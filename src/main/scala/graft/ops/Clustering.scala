@@ -89,7 +89,7 @@ object Clustering {
     * asked — as a shuffle-free scan map with the centroid constants
     * folded into the generated code.
     *
-    * Below `spark.graft.kmeans.twoLevelAssignMinK` (default 256) the
+    * Below `spark.graft.kmeans.twoLevelAssignMinK` (default 128) the
     * argmax runs over ALL k centroids: exact, O(k·dim) per row, the
     * oracle-checked path. At or above it, assignment is TWO-LEVEL
     * (IVF coarse-quantizer shape): route through ⌈√k⌉ super-centroids
@@ -110,7 +110,7 @@ object Clustering {
     require(cents.nonEmpty, "withNearestCentroid: empty centroid set")
     val twoLevelMinK = df.sparkSession.conf
       .getOption("spark.graft.kmeans.twoLevelAssignMinK")
-      .map(_.toInt).getOrElse(256)
+      .map(_.toInt).getOrElse(128)
     val vec = col(vecCol)
     def finish(nearest: org.apache.spark.sql.Column): DataFrame = {
       val withS = df.withColumn("__near", nearest)
