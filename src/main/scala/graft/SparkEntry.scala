@@ -1160,6 +1160,34 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // lucene.portuguese $search: Snowball Portuguese stemming —
+    // trabalhando / trabalhadores / trabalha meet the query's
+    // 'trabalhador', the cantar verb family (cantando / cantei) meets
+    // 'cantar', and the stop slot never matches
+    "q205_search_portuguese_stemming" -> ((s, dir) => {
+      val w1 = Seq("trabalhando", "trabalhadores", "trabalha",
+        "logicamente", "amabilidade")
+      val w2 = Seq("de", "para", "com", "não")
+      val w3 = Seq("generoso", "cantando", "cantei", "chegue",
+        "generosidade")
+      val df = tbl(s, dir, "documents").where(col("doc_id") < 400)
+        .withColumn("ptext", concat_ws(" ",
+          element_at(typedlit(w1), (col("doc_id") % 5 + 1).cast("int")),
+          element_at(typedlit(w2),
+            ((col("doc_id") / 5).cast("long") % 4 + 1).cast("int")),
+          element_at(typedlit(w3),
+            ((col("doc_id") / 20).cast("long") % 5 + 1).cast("int"))))
+      graft.pipeline.PipelineCompiler.compile(Seq(
+        Map("$search" -> Map(
+          "analyzer" -> "lucene.portuguese",
+          "compound" -> Map("filter" -> Seq(
+            Map("text" -> Map(
+              "query" -> "o trabalhador cantar",
+              "path" -> "ptext")))))),
+        Map("$project" -> Map("doc_id" -> 1))))(df)
+        .orderBy("doc_id")
+    }),
+
     // lucene.cjk bigram analysis: CJK text has no word separators, so
     // the analyzer matches on overlapping character bigrams (Lucene
     // CJKAnalyzer's published algorithm) — "数据处理" analyzes to
@@ -4726,6 +4754,17 @@ object SparkEntry {
         |  FROM hits JOIN dfreq USING (term), stats GROUP BY doc_id)
         |SELECT doc_id FROM bm
         |ORDER BY s DESC, doc_id LIMIT 10 OFFSET 10""".stripMargin,
+
+    // honest-reduction (the q197/q202 pattern): stem-equivalence
+    // reduces ON THIS FIXTURE to inflection-group membership — the
+    // trabalh group in slot 1, the cant verb family in slot 3; the
+    // stemmer itself is pinned by unit specs
+    "q205_search_portuguese_stemming" ->
+      """SELECT doc_id FROM documents
+        |WHERE doc_id < 400 AND (
+        |  (doc_id % 5) IN (0, 1, 2)
+        |  OR ((doc_id // 20) % 5) IN (1, 2))
+        |ORDER BY doc_id""".stripMargin,
 
     // the oracle rebuilds the caseLevel struct key in SQL: primary =
     // lower(tag), case level = the per-letter bit pattern with the

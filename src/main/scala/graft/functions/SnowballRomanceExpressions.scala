@@ -442,6 +442,179 @@ object ItalianSnowball {
   }
 }
 
+/** Snowball Portuguese stemmer (snowballstem.org/algorithms/portuguese).
+  * The prelude marks nasalised vowels as two characters (ã → a~,
+  * õ → o~ — '~' acts as a consonant), so the suffix lists carry the
+  * marked forms (aça~o, ço~es, ara~o); the postlude restores them. */
+object PortugueseSnowball {
+
+  private val Vowels = "aeiouáéíóúâêô".toSet
+  private def v(c: Char): Boolean = Vowels(c)
+  private val Letters = ('a' to 'z').toSet ++ "áéíóúâêôãõç".toSet
+
+  /** Stem one lowercase Portuguese word. */
+  def stem(input: String): String = {
+    if (input.length <= 2) return input
+    if (!input.forall(Letters)) return input
+
+    // prelude: nasal vowels become (vowel, '~') pairs — '~' is a
+    // non-vowel, so regions and RV see the nasal as vowel+consonant
+    var w = input.replace("ã", "a~").replace("õ", "o~")
+
+    val rv = rvPos(w)
+    val r1 = rPos(w, 0)
+    val r2 = rPos(w, r1)
+    var changed = false
+
+    // ---- step 1: standard suffixes (longest match across all groups)
+    locally {
+      val n = w.length
+      def start(s: String): Int = n - s.length
+      def del(s: String): Unit = {
+        w = w.substring(0, start(s)); changed = true
+      }
+      def rep(s: String, by: String): Unit = {
+        w = w.substring(0, start(s)) + by; changed = true
+      }
+      val g1 = Set("amentos", "imentos", "amento", "imento", "adoras",
+        "adores", "aço~es", "adora", "aça~o", "ador", "antes", "ante",
+        "ância", "ezas", "eza", "icos", "icas", "ico", "ica", "ismos",
+        "ismo", "ável", "ível", "istas", "ista", "osos", "osas", "oso",
+        "osa")
+      val suffixes = (g1.toSeq ++ Seq("logias", "logia", "uço~es",
+        "uça~o", "ências", "ência", "amente", "mente", "idades",
+        "idade", "ivas", "ivos", "iva", "ivo", "iras", "ira"))
+        .sortBy(-_.length)
+      suffixes.find(w.endsWith) match {
+        case None => ()
+        case Some(suf) =>
+          val st = start(suf)
+          def inR2: Boolean = st >= r2
+          if (g1(suf)) { if (inR2) del(suf) }
+          else suf match {
+            case "logia" | "logias" => if (inR2) rep(suf, "log")
+            case "uça~o" | "uço~es" => if (inR2) rep(suf, "u")
+            case "ência" | "ências" => if (inR2) rep(suf, "ente")
+            case "amente" =>
+              if (st >= r1) {
+                del(suf)
+                if (w.endsWith("iv") && w.length - 2 >= r2) {
+                  w = w.dropRight(2)
+                  if (w.endsWith("at") && w.length - 2 >= r2)
+                    w = w.dropRight(2)
+                } else if ((w.endsWith("os") || w.endsWith("ic") ||
+                    w.endsWith("ad")) && w.length - 2 >= r2)
+                  w = w.dropRight(2)
+              }
+            case "mente" =>
+              if (inR2) {
+                del(suf)
+                if ((w.endsWith("ante") || w.endsWith("avel") ||
+                    w.endsWith("ível")) && w.length - 4 >= r2)
+                  w = w.dropRight(4)
+              }
+            case "idade" | "idades" =>
+              if (inR2) {
+                del(suf)
+                if (w.endsWith("abil") && w.length - 4 >= r2)
+                  w = w.dropRight(4)
+                else if ((w.endsWith("ic") || w.endsWith("iv")) &&
+                    w.length - 2 >= r2) w = w.dropRight(2)
+              }
+            case "iva" | "ivo" | "ivas" | "ivos" =>
+              if (inR2) {
+                del(suf)
+                if (w.endsWith("at") && w.length - 2 >= r2)
+                  w = w.dropRight(2)
+              }
+            case "ira" | "iras" =>
+              // replace with ir when in RV and preceded by e
+              if (st >= rv && st > 0 && w.charAt(st - 1) == 'e')
+                rep(suf, "ir")
+            case _ => ()
+          }
+      }
+    }
+
+    // ---- step 2: verb suffixes in RV, only when step 1 removed
+    // nothing
+    if (!changed) {
+      val suffixes2 = Seq(
+        "aríamos", "eríamos", "iríamos", "ássemos", "êssemos",
+        "íssemos", "aríeis", "eríeis", "iríeis", "ásseis", "ésseis",
+        "ísseis", "áramos", "éramos", "íramos", "ávamos", "aremos",
+        "eremos", "iremos", "ariam", "eriam", "iriam", "assem",
+        "essem", "issem", "ara~o", "era~o", "ira~o", "arias", "erias",
+        "irias", "ardes", "erdes", "irdes", "asses", "esses", "isses",
+        "astes", "estes", "istes", "áreis", "areis", "éreis", "ereis",
+        "íreis", "ireis", "íamos", "armos", "ermos", "irmos", "aria",
+        "eria", "iria", "asse", "esse", "isse", "aste", "este",
+        "iste", "arei", "erei", "irei", "aram", "eram", "iram",
+        "avam", "arem", "erem", "irem", "ando", "endo", "indo",
+        "adas", "idas", "arás", "aras", "erás", "eras", "irás",
+        "avas", "ares", "eres", "ires", "íeis", "ados", "idos",
+        "ámos", "amos", "emos", "imos", "iras", "ada", "ida", "ará",
+        "ara", "erá", "era", "irá", "ava", "iam", "ado", "ido",
+        "ias", "ais", "eis", "ira", "ia", "ei", "am", "em", "ar",
+        "er", "ir", "as", "es", "is", "eu", "iu", "ou")
+        .sortBy(-_.length)
+      suffixes2.find(s => w.endsWith(s) && w.length - s.length >= rv)
+        .foreach { s => w = w.dropRight(s.length); changed = true }
+    }
+
+    // ---- step 3: i after c, in RV (only when 1 or 2 changed the word)
+    if (changed && w.endsWith("i") && w.length - 1 >= rv &&
+      w.length > 1 && w.charAt(w.length - 2) == 'c')
+      w = w.dropRight(1)
+
+    // ---- step 4 (only when neither 1 nor 2 altered the word):
+    // residual suffix
+    if (!changed) {
+      val s4 = Seq("os", "a", "i", "o", "á", "í", "ó").sortBy(-_.length)
+      s4.find(s => w.endsWith(s) && w.length - s.length >= rv)
+        .foreach(s => w = w.dropRight(s.length))
+    }
+
+    // ---- step 5: final e/é/ê in RV; gu/ci absorb their u/i when that
+    // letter is in RV; then ç → c
+    locally {
+      val s5 = Seq("e", "é", "ê")
+      s5.find(s => w.endsWith(s) && w.length - s.length >= rv)
+        .foreach { s =>
+          w = w.dropRight(1)
+          if ((w.endsWith("gu") || w.endsWith("ci")) &&
+            w.length - 1 >= rv) w = w.dropRight(1)
+        }
+      if (w.endsWith("ç")) w = w.dropRight(1) + "c"
+    }
+
+    // postlude: restore nasal vowels
+    w.replace("a~", "ã").replace("o~", "õ")
+  }
+
+  private def rvPos(w: String): Int = {
+    val n = w.length
+    if (n < 3) return n
+    if (!v(w.charAt(1))) {
+      var i = 2
+      while (i < n && !v(w.charAt(i))) i += 1
+      if (i < n) i + 1 else n
+    } else if (v(w.charAt(0)) && v(w.charAt(1))) {
+      var i = 2
+      while (i < n && v(w.charAt(i))) i += 1
+      if (i < n) i + 1 else n
+    } else math.min(3, n)
+  }
+
+  private def rPos(w: String, from: Int): Int = {
+    var i = from
+    val n = w.length
+    while (i < n && !v(w.charAt(i))) i += 1
+    while (i < n && v(w.charAt(i))) i += 1
+    if (i < n) i + 1 else n
+  }
+}
+
 /** `spanish_stem(token)` — scalar expression, one static call inside
   * whole-stage codegen (the [[PorterStem]] pattern). */
 case class SpanishStem(child: Expression) extends UnaryExpression {
@@ -498,6 +671,34 @@ case class ItalianStem(child: Expression) extends UnaryExpression {
       newChild: Expression): Expression = copy(newChild)
 }
 
+/** `portuguese_stem(token)` — scalar expression, one static call inside
+  * whole-stage codegen. */
+case class PortugueseStem(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(
+        s"portuguese_stem expects a string, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(
+      PortugueseSnowball.stem(input.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.functions.PortugueseSnowball.stem($c.toString()))")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(newChild)
+}
+
 object SnowballRomanceFunctions {
   /** Column-level Spanish Snowball stem of a (lowercase) token column. */
   def spanish_stem(c: Column): Column =
@@ -506,4 +707,9 @@ object SnowballRomanceFunctions {
   /** Column-level Italian Snowball stem of a (lowercase) token column. */
   def italian_stem(c: Column): Column =
     ColumnBridge.column(ItalianStem(ColumnBridge.expression(c)))
+
+  /** Column-level Portuguese Snowball stem of a (lowercase) token
+    * column. */
+  def portuguese_stem(c: Column): Column =
+    ColumnBridge.column(PortugueseStem(ColumnBridge.expression(c)))
 }

@@ -314,6 +314,65 @@ object TextFunctions {
       .filter(t => t.nonEmpty && !ItalianStopWords(t))
       .map(graft.functions.ItalianSnowball.stem).toSeq
 
+  /** Snowball Portuguese stop list (Lucene's portuguese_stop.txt —
+    * function words plus the estar / haver / ser / ter conjugation
+    * tables). */
+  private[graft] val PortugueseStopWords = Set(
+    "de", "a", "o", "que", "e", "do", "da", "em", "um", "para", "é",
+    "com", "não", "uma", "os", "no", "se", "na", "por", "mais", "as",
+    "dos", "como", "mas", "foi", "ao", "ele", "das", "tem", "à",
+    "seu", "sua", "ou", "ser", "quando", "muito", "há", "nos", "já",
+    "está", "eu", "também", "só", "pelo", "pela", "até", "isso",
+    "ela", "entre", "era", "depois", "sem", "mesmo", "aos", "ter",
+    "seus", "quem", "nas", "me", "esse", "eles", "estão", "você",
+    "tinha", "foram", "essa", "num", "nem", "suas", "meu", "às",
+    "minha", "têm", "numa", "pelos", "elas", "havia", "seja", "qual",
+    "será", "nós", "tenho", "lhe", "deles", "essas", "esses",
+    "pelas", "este", "fosse", "dele", "tu", "te", "vocês", "vos",
+    "lhes", "meus", "minhas", "teu", "tua", "teus", "tuas", "nosso",
+    "nossa", "nossos", "nossas", "dela", "delas", "esta", "estes",
+    "estas", "aquele", "aquela", "aqueles", "aquelas", "isto",
+    "aquilo",
+    // estar
+    "estou", "estamos", "estive", "esteve", "estivemos", "estiveram",
+    "estava", "estávamos", "estavam", "estivera", "estivéramos",
+    "esteja", "estejamos", "estejam", "estivesse", "estivéssemos",
+    "estivessem", "estiver", "estivermos", "estiverem",
+    // haver
+    "hei", "havemos", "hão", "houve", "houvemos", "houveram",
+    "houvera", "houvéramos", "haja", "hajamos", "hajam", "houvesse",
+    "houvéssemos", "houvessem", "houver", "houvermos", "houverem",
+    "houverei", "houverá", "houveremos", "houverão", "houveria",
+    "houveríamos", "houveriam",
+    // ser
+    "sou", "somos", "são", "éramos", "eram", "fui", "fomos", "fora",
+    "fôramos", "sejamos", "sejam", "fôssemos", "fossem", "for",
+    "formos", "forem", "serei", "seremos", "serão", "seria",
+    "seríamos", "seriam",
+    // ter
+    "temos", "tinham", "tínhamos", "tive", "teve", "tivemos",
+    "tiveram", "tivera", "tivéramos", "tenha", "tenhamos", "tenham",
+    "tivesse", "tivéssemos", "tivessem", "tiver", "tivermos",
+    "tiverem", "terei", "terá", "teremos", "terão", "teria",
+    "teríamos", "teriam")
+
+  /** `lucene.portuguese`-style analysis: lowercase, split on
+    * non-alphanumeric runs, drop the Snowball Portuguese stop set,
+    * Snowball-stem each token. */
+  def portugueseTokens(text: Column): Column =
+    transform(
+      filter(
+        split(lower(text), "[^\\p{L}\\p{N}]+"),
+        t => t =!= lit("") && !t.isin(PortugueseStopWords.toSeq: _*)),
+      t => graft.functions.SnowballRomanceFunctions.portuguese_stem(t))
+
+  /** Driver-side twin of [[portugueseTokens]]. */
+  def portugueseTerms(q: String): Seq[String] =
+    q.toLowerCase(java.util.Locale.ROOT)
+      .split("[^\\p{L}\\p{N}]+")
+      .filter(t => t.nonEmpty && !PortugueseStopWords(t))
+      .map(graft.functions.PortugueseSnowball.stem).toSeq
+
   /** `lucene.cjk`-style analysis: overlapping CJK character bigrams +
     * lowercased non-CJK words minus the English stop set — the whole
     * chain is ONE native expression call per row

@@ -743,7 +743,8 @@ object PipelineCompiler {
         val knownAnalyzers =
           Set("lucene.whitespace", "lucene.standard", "lucene.keyword",
             "lucene.english", "lucene.french", "lucene.german",
-            "lucene.spanish", "lucene.italian", "lucene.cjk")
+            "lucene.spanish", "lucene.italian", "lucene.portuguese",
+            "lucene.cjk")
         val stageAnalyzer = d0.get("analyzer")
           .orElse(d0.get("searchAnalyzer")).map(_.toString)
           .getOrElse("lucene.whitespace")
@@ -909,6 +910,8 @@ object PipelineCompiler {
               graft.ops.TextFunctions.spanishTokens(col(pathOf(op, os)))
             case "lucene.italian" =>
               graft.ops.TextFunctions.italianTokens(col(pathOf(op, os)))
+            case "lucene.portuguese" =>
+              graft.ops.TextFunctions.portugueseTokens(col(pathOf(op, os)))
             case "lucene.cjk" =>
               graft.ops.TextFunctions.cjkTokens(col(pathOf(op, os)))
             case "lucene.keyword" => array(col(pathOf(op, os)))
@@ -928,6 +931,8 @@ object PipelineCompiler {
             graft.ops.TextFunctions.spanishTerms(q)
           case "lucene.italian" =>
             graft.ops.TextFunctions.italianTerms(q)
+          case "lucene.portuguese" =>
+            graft.ops.TextFunctions.portugueseTerms(q)
           case "lucene.cjk" =>
             graft.ops.TextFunctions.cjkTerms(q)
           case "lucene.keyword" => Seq(q)
@@ -1222,6 +1227,8 @@ object PipelineCompiler {
                     graft.ops.TextFunctions.spanishTokens(col(field))
                   case "lucene.italian" =>
                     graft.ops.TextFunctions.italianTokens(col(field))
+                  case "lucene.portuguese" =>
+                    graft.ops.TextFunctions.portugueseTokens(col(field))
                   case "lucene.cjk" =>
                     graft.ops.TextFunctions.cjkTokens(col(field))
                   case "lucene.keyword" => array(col(field))
@@ -1240,6 +1247,8 @@ object PipelineCompiler {
                     graft.ops.TextFunctions.spanishTerms(queryStr)
                   case "lucene.italian" =>
                     graft.ops.TextFunctions.italianTerms(queryStr)
+                  case "lucene.portuguese" =>
+                    graft.ops.TextFunctions.portugueseTerms(queryStr)
                   case "lucene.cjk" =>
                     graft.ops.TextFunctions.cjkTerms(queryStr)
                   case "lucene.keyword" => Seq(queryStr)

@@ -664,13 +664,14 @@ object QueryCompiler {
         case "de" => "german"
         case "es" => "spanish"
         case "it" => "italian"
+        case "pt" => "portuguese"
         case other => other
       }
       require(Set("none", "english", "french", "german", "spanish",
-        "italian")(lang),
+        "italian", "portuguese")(lang),
         s"$$text.$$language: '$lang' unsupported (none/english/french/" +
-          "german/spanish/italian — other languages need stemmers " +
-          "this engine does not model)")
+          "german/spanish/italian/portuguese — other languages need " +
+          "stemmers this engine does not model)")
       val cs = mm.get("$caseSensitive") match {
         case Some(b: Boolean) => b
         case Some(other) => throw new IllegalArgumentException(
@@ -750,6 +751,10 @@ object QueryCompiler {
         (graft.ops.TextFunctions.italianTokens(col("text")),
           t => graft.ops.TextFunctions.italianTerms(t),
           p => graft.ops.TextFunctions.italianTerms(p))
+      case "portuguese" =>
+        (graft.ops.TextFunctions.portugueseTokens(col("text")),
+          t => graft.ops.TextFunctions.portugueseTerms(t),
+          p => graft.ops.TextFunctions.portugueseTerms(p))
       case _ =>
         val (txt, fold) = textFold(caseSensitive)
         (graft.ops.TextFunctions.tokens(txt),

@@ -831,6 +831,32 @@ class TextFunctionsSpec extends SparkSpec {
     assert(stem("di") == "di" && stem("a1b") == "a1b")
   }
 
+  test("Portuguese Snowball stemmer: published-algorithm pairs") {
+    import graft.functions.PortugueseSnowball.stem
+    // step 1 ador + step 2/4 verb/residual endings meet on one stem
+    assert(stem("trabalhador") == "trabalh" &&
+      stem("trabalhando") == "trabalh" && stem("trabalha") == "trabalh" &&
+      stem("trabalhadores") == "trabalh")
+    // step-2 verb family: ar / ou / ando / ei
+    assert(stem("cantar") == "cant" && stem("cantou") == "cant" &&
+      stem("cantando") == "cant" && stem("cantei") == "cant")
+    // amente in R1 (Portuguese keeps accents — no final deaccent step)
+    assert(stem("logicamente") == "logic")
+    // idade in R2 (the abil follow-up stays outside R2 here — kept)
+    assert(stem("amabilidade") == "amabil")
+    // oso in R2; note idade does NOT take the residual-os pass
+    // (steps 1/2 changed the word, so step 4 is skipped — published
+    // control flow)
+    assert(stem("generoso") == "gener" &&
+      stem("generosidade") == "generos")
+    // step 5: final e, gu absorbs its u
+    assert(stem("chegue") == "cheg")
+    // nasal prelude/postlude round-trip: ã survives marking
+    assert(stem("irmão") == "irmã")
+    // short words and non-portuguese-alphabet tokens pass through
+    assert(stem("de") == "de" && stem("a1b") == "a1b")
+  }
+
   test("spanishTokens/italianTokens: stops and stems meet their " +
       "driver twins") {
     val esToks = one("el trabajador de la generosidad")
