@@ -489,6 +489,80 @@ object Dedup {
     math.min(24, math.max(4, ceilLog2 + 1))
   }
 
+  /** Fused within-group qualifying-pair scan (the [[semDeDup]] fused
+    * shape, emitting PAIRS): one hash shuffle on the group key, then
+    * each group's upper-triangular scan runs as a tight in-memory loop
+    * — no candidate-row materialization, no vector re-attach joins.
+    * Emits (id_a, id_b), id_a < id_b, cosine ≥ threshold; the caller
+    * `distinct()`s across groups (multi-table LSH emits the same pair
+    * from several tables). Identical arithmetic to the join form
+    * (sequential widen-multiply-accumulate dot, per-row sqrt'd norms,
+    * denom==0 → 0), so the pair set is bit-identical. */
+  private def fusedPairScan(
+      groups: org.apache.spark.sql.Dataset[(String, Long, Array[Double])],
+      threshold: Double): DataFrame = {
+    val spark = groups.sparkSession
+    import spark.implicits._
+    val maxCell = spark.conf
+      .getOption("spark.graft.semdedup.maxCellRows")
+      .map(_.toLong).getOrElse(500000L)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      val n = math.min(a.length, b.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    groups.groupByKey(_._1).flatMapGroups { (g, it) =>
+      val arr = it.toArray
+      if (arr.length > maxCell) throw new IllegalStateException(
+        s"embeddingNearDup: block '$g' holds ${arr.length} rows > " +
+          s"spark.graft.semdedup.maxCellRows=$maxCell — the block " +
+          "domain is degenerate for this corpus. Use blocks that " +
+          "scale with the data, or raise the valve.")
+      java.util.Arrays.sort(arr,
+        Ordering.by((t: (String, Long, Array[Double])) => t._2))
+      val n = arr.length
+      val norms = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        norms(i) = math.sqrt(dot(arr(i)._3, arr(i)._3)); i += 1
+      }
+      val out = Seq.newBuilder[(Long, Long)]
+      var j = 1
+      while (j < n) {
+        var a = 0
+        while (a < j) {
+          val denom = norms(a) * norms(j)
+          val c =
+            if (denom == 0.0) 0.0 else dot(arr(a)._3, arr(j)._3) / denom
+          if (c >= threshold) out += ((arr(a)._2, arr(j)._2))
+          a += 1
+        }
+        j += 1
+      }
+      out.result().iterator
+    }.toDF("id_a", "id_b").distinct()
+  }
+
+  /** True when [[fusedPairScan]] can represent this frame (numeric id,
+    * float/double vector) and the fused path is not disabled. */
+  private def fusedEligible(df: DataFrame, idCol: String,
+      vecCol: String): Boolean = {
+    import org.apache.spark.sql.types._
+    val idNumeric = df.schema(idCol).dataType match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
+    val vecOk = df.schema(vecCol).dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    df.sparkSession.conf
+      .getOption("spark.graft.semdedup.fusedWithinCell")
+      .forall(_.toBoolean) && idNumeric && vecOk
+  }
+
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, blockCol: Option[String] = None,
       blockTables: Int = 4, blockPlanes: Int = 0, dim: Int = 0): DataFrame = {
@@ -525,7 +599,24 @@ object Dedup {
             "corpus — semDeDupKMeans cells with k ~ corpus/targetCell " +
             "— or raise the valve.")
       }
-      if (blockCol.isDefined) {
+      if (blockCol.isDefined && fusedEligible(df, idCol, vecCol)) {
+        // fused per-block scan (round 11): one shuffle of the rows to
+        // their blocks, upper-triangular loop in memory — see
+        // [[fusedPairScan]]; the join form below remains the fallback
+        // for non-numeric ids / exotic vector types
+        val spark = df.sparkSession
+        import spark.implicits._
+        val idT = df.schema(idCol).dataType
+        val groups = base
+          .select(col("blk").cast("string").as("_g"),
+            col("id").cast("long").as("_id"),
+            col("v").cast("array<double>").as("_v"))
+          .where(col("_g").isNotNull && col("_v").isNotNull)
+          .as[(String, Long, Array[Double])]
+        fusedPairScan(groups, threshold)
+          .select(col("id_a").cast(idT).as("id_a"),
+            col("id_b").cast(idT).as("id_b"))
+      } else if (blockCol.isDefined) {
         // NARROW candidate frame (the LSH branch's lesson, round 10):
         // the pair join shuffles only (id, blk) — ~16 B/candidate — and
         // the vectors re-attach afterwards by id equi-joins against the
@@ -607,21 +698,45 @@ object Dedup {
             "occupancy; size ~ log2(corpus/targetBucket)), pass " +
             "blockCol for metadata blocking, or raise the valve.")
       }
-      val cand = bkts.as("a")
-        .join(bkts.as("b"),
-          col("a.t") === col("b.t") && col("a.bkt") === col("b.bkt") &&
-            col("a.id") < col("b.id"))
-        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-        .distinct()
-      val va = base.toDF("id_a", "va")
-        .withColumn("na", sqrt(vec_dot(col("va"), col("va"))))
-      val vb = base.toDF("id_b", "vb")
-        .withColumn("nb", sqrt(vec_dot(col("vb"), col("vb"))))
-      cand.join(va, "id_a").join(vb, "id_b")
-        .withColumn("cos", cos(col("na"), col("nb"),
-          vec_dot(col("va"), col("vb"))))
-        .where(col("cos") >= threshold)
-        .select(col("id_a"), col("id_b"))
+      if (fusedEligible(df, idCol, vecCol)) {
+        // fused per-bucket scan (round 11): each row's vector travels
+        // ONCE per table to its bucket's reducer; the upper-triangular
+        // cosine loop runs in memory and the cross-table distinct is
+        // over the (small) qualifying-pair output, not the candidate
+        // volume — see [[fusedPairScan]]
+        val spark = df.sparkSession
+        import spark.implicits._
+        val idT = df.schema(idCol).dataType
+        val groups = base
+          .select(col("id"), col("v"),
+            explode(array((0 until blockTables).map { t =>
+              concat_ws(":", lit(t),
+                Similarity.hyperplaneBucket(col("v"), planes, d, t))
+            }: _*)).as("_g"))
+          .select(col("_g"), col("id").cast("long").as("_id"),
+            col("v").cast("array<double>").as("_v"))
+          .where(col("_g").isNotNull && col("_v").isNotNull)
+          .as[(String, Long, Array[Double])]
+        fusedPairScan(groups, threshold)
+          .select(col("id_a").cast(idT).as("id_a"),
+            col("id_b").cast(idT).as("id_b"))
+      } else {
+        val cand = bkts.as("a")
+          .join(bkts.as("b"),
+            col("a.t") === col("b.t") && col("a.bkt") === col("b.bkt") &&
+              col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+          .distinct()
+        val va = base.toDF("id_a", "va")
+          .withColumn("na", sqrt(vec_dot(col("va"), col("va"))))
+        val vb = base.toDF("id_b", "vb")
+          .withColumn("nb", sqrt(vec_dot(col("vb"), col("vb"))))
+        cand.join(va, "id_a").join(vb, "id_b")
+          .withColumn("cos", cos(col("na"), col("nb"),
+            vec_dot(col("va"), col("vb"))))
+          .where(col("cos") >= threshold)
+          .select(col("id_a"), col("id_b"))
+      }
     }
   }
 
@@ -703,14 +818,45 @@ object Dedup {
     * this for the paper's centroid-proximity keep-rule.
     *
     * Cost is the published one: O(Σ cᵢ²) pairwise work inside clusters
-    * only — each cluster's pairs come from one equi-join on `clusterCol`,
-    * never a corpus cross join. At 100 TB-scale choose k so clusters stay
-    * 10³–10⁵ rows (the paper runs k = 50k on LAION); the join shuffles
-    * hash-partitioned on the cluster key, and the final survivor filter is
-    * one broadcast-able anti-join on the dropped-id set. */
+    * only. Execution shape (round 11, measured): the pairwise work is
+    * FUSED per cell — ONE hash shuffle on the cluster key moves each
+    * row (id, order, vector) to its cell's reducer, and the cell's
+    * upper-triangular scan runs as a tight in-memory loop with an
+    * early exit on the first ≥`eps` hit. The earlier join form
+    * materialized every candidate PAIR as a row (Σ cᵢ²/2 rows through
+    * a join, then two more joins to re-attach vectors): at the 100×
+    * rehearsal that was 10⁸ join rows and 298 of q130's 317 seconds
+    * for what is ~6×10⁹ multiplies of actual math — the fused scan
+    * runs it in seconds. Cells are bounded (≈ targetCell rows) by the
+    * [[autoCellCount]] design; a degenerate clustering fails FAST on
+    * `spark.graft.semdedup.maxCellRows` (default 500k) instead of
+    * silently materializing an unbounded group. The fused path needs a
+    * numeric id and a float/double vector column (always true from
+    * [[semDeDupKMeans]]); anything else — and
+    * `spark.graft.semdedup.fusedWithinCell=false` — falls back to the
+    * candidate-join form. Arithmetic parity: the fused loop performs
+    * the IDENTICAL double operations in the identical order as the
+    * join path's `vec_dot`/`sqrt`/product expressions (sequential
+    * widen-multiply-accumulate, per-row sqrt'd norms, denom==0 → 0),
+    * so the survivor set is bit-identical and the oracle contract is
+    * untouched. */
   def semDeDup(df: DataFrame, idCol: String, vecCol: String,
       clusterCol: String, eps: Double,
       orderCol: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.types._
+    val idNumeric = df.schema(idCol).dataType match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
+    val vecOk = df.schema(vecCol).dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    val fused = df.sparkSession.conf
+      .getOption("spark.graft.semdedup.fusedWithinCell")
+      .forall(_.toBoolean) && idNumeric && vecOk
+    if (fused)
+      return semDeDupFused(df, idCol, vecCol, clusterCol, eps, orderCol)
     val dropped = orderCol match {
       case None =>
         embeddingNearDup(df, idCol, vecCol, threshold = eps,
@@ -748,6 +894,78 @@ object Dedup {
           .select(col("id_b").as(idCol)).distinct()
     }
     df.join(dropped, Seq(idCol), "left_anti")
+  }
+
+  /** The fused within-cell scan behind [[semDeDup]] (see its scaladoc
+    * for the shape + parity contract). Null handling mirrors the join
+    * form exactly: a null cluster key, vector, or order value can
+    * neither drop a row nor be dropped (equi-joins and null
+    * comparisons discard those pairs), so such rows are simply left
+    * out of the scan and survive. */
+  private def semDeDupFused(df: DataFrame, idCol: String, vecCol: String,
+      clusterCol: String, eps: Double,
+      orderCol: Option[String]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val maxCell = spark.conf
+      .getOption("spark.graft.semdedup.maxCellRows")
+      .map(_.toLong).getOrElse(500000L)
+    val ordC = orderCol.map(c => col(c).cast("double")).getOrElse(lit(0.0))
+    val rows = df
+      .select(col(clusterCol).cast("string").as("_blk"),
+        col(idCol).cast("long").as("_id"), ordC.as("_ord"),
+        col(vecCol).cast("array<double>").as("_v"))
+      .where(col("_blk").isNotNull && col("_v").isNotNull &&
+        col("_ord").isNotNull)
+      .as[(String, Long, Double, Array[Double])]
+    // identical accumulation order to FloatVecDot: sequential
+    // widen-multiply-accumulate in a double (float→double widening is
+    // exact, so pre-cast arrays give the same products)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      val n = math.min(a.length, b.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val dropped = rows.groupByKey(_._1).flatMapGroups { (blk, it) =>
+      val arr = it.toArray
+      if (arr.length > maxCell) throw new IllegalStateException(
+        s"semDeDup: cell '$blk' holds ${arr.length} rows > " +
+          s"spark.graft.semdedup.maxCellRows=$maxCell — the clustering " +
+          "is degenerate for this corpus (cells should stay near " +
+          "targetCell). Re-cluster with a larger k / smaller " +
+          "targetCell, or raise the valve.")
+      // "earlier" = (order, id) lexicographic — the default order
+      // (constant 0.0) reduces to smaller-id
+      java.util.Arrays.sort(arr,
+        Ordering.by((t: (String, Long, Double, Array[Double])) =>
+          (t._3, t._2)))
+      val n = arr.length
+      val norms = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        norms(i) = math.sqrt(dot(arr(i)._4, arr(i)._4)); i += 1
+      }
+      val out = Seq.newBuilder[Long]
+      var j = 1
+      while (j < n) {
+        var a = 0
+        var hit = false
+        while (a < j && !hit) {
+          val denom = norms(a) * norms(j)
+          val c =
+            if (denom == 0.0) 0.0 else dot(arr(a)._4, arr(j)._4) / denom
+          if (c >= eps) hit = true
+          a += 1
+        }
+        if (hit) out += arr(j)._2
+        j += 1
+      }
+      out.result().iterator
+    }
+    df.join(dropped.toDF("__sdd_id"),
+      col(idCol).cast("long") === col("__sdd_id"), "left_anti")
   }
 
   /** [[semDeDup]] with the paper's own clustering: spherical k-means

@@ -374,6 +374,51 @@ class DedupSpec extends SparkSpec {
       (3L, 0L, 0L, "")))
   }
 
+  test("fused within-cell scan is bit-identical to the candidate-join " +
+      "form: semDeDup (both keep rules) and embeddingNearDup (both " +
+      "block modes), nulls included") {
+    val rnd = new scala.util.Random(7)
+    val pts = (0 until 120).map { i =>
+      val base = Array.tabulate(8)(d => math.sin(i % 7 + d).toFloat)
+      val v = base.map(x => x + rnd.nextFloat() * 0.4f)
+      (i.toLong, v.toSeq, i % 5, rnd.nextDouble())
+    }.toDF("vec_id", "embedding", "cell", "ord")
+      // a null vector and a null cluster key ride along: neither may
+      // drop a row or be dropped, on either path
+      .unionByName(Seq(
+        (900L, Option.empty[Seq[Float]], Option(1), Option(0.5)),
+        (901L, Option(Seq(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)),
+          Option.empty[Int], Option(0.5)))
+        .toDF("vec_id", "embedding", "cell", "ord"))
+    def runAll(): Seq[Seq[Any]] = Seq(
+      Dedup.semDeDup(pts, "vec_id", "embedding", "cell", 0.95)
+        .select("vec_id").as[Long].collect().sorted.toSeq,
+      Dedup.semDeDup(pts, "vec_id", "embedding", "cell", 0.95,
+        orderCol = Some("ord"))
+        .select("vec_id").as[Long].collect().sorted.toSeq,
+      Dedup.embeddingNearDup(pts, "vec_id", "embedding", 0.95,
+        blockCol = Some("cell"))
+        .as[(Long, Long)].collect().sorted.toSeq,
+      Dedup.embeddingNearDup(pts, "vec_id", "embedding", 0.95, dim = 8)
+        .as[(Long, Long)].collect().sorted.toSeq)
+    val fused = runAll()
+    spark.conf.set("spark.graft.semdedup.fusedWithinCell", "false")
+    val joined = try runAll()
+      finally spark.conf.unset("spark.graft.semdedup.fusedWithinCell")
+    assert(fused == joined)
+    // the results are non-trivial (some rows actually dropped / paired)
+    assert(fused(0).size < 122 && fused(2).nonEmpty)
+    // degenerate-cell guard fails fast with the remedy
+    spark.conf.set("spark.graft.semdedup.maxCellRows", "10")
+    try {
+      val e = intercept[org.apache.spark.SparkException] {
+        Dedup.semDeDup(pts, "vec_id", "embedding", "cell", 0.95).count()
+      }
+      assert(e.getMessage.contains("maxCellRows") ||
+        Option(e.getCause).exists(_.getMessage.contains("maxCellRows")))
+    } finally spark.conf.unset("spark.graft.semdedup.maxCellRows")
+  }
+
   test("semDeDup drops later rows similar to an earlier same-cluster row") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f), 0),
