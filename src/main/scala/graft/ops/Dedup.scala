@@ -599,11 +599,17 @@ object Dedup {
             "corpus — semDeDupKMeans cells with k ~ corpus/targetCell " +
             "— or raise the valve.")
       }
-      if (blockCol.isDefined && fusedEligible(df, idCol, vecCol)) {
+      val fusedMinRowsB = df.sparkSession.conf
+        .getOption("spark.graft.semdedup.fusedMinRows")
+        .map(_.toLong).getOrElse(100000L)
+      if (blockCol.isDefined && fusedEligible(df, idCol, vecCol) &&
+        base.limit((fusedMinRowsB + 1).toInt).count() > fusedMinRowsB) {
         // fused per-block scan (round 11): one shuffle of the rows to
         // their blocks, upper-triangular loop in memory — see
         // [[fusedPairScan]]; the join form below remains the fallback
-        // for non-numeric ids / exotic vector types
+        // for non-numeric ids / exotic vector types and for small
+        // corpora (the fused object boundary's fixed overhead loses
+        // below ~10⁵ rows — same gate as the LSH branch)
         val spark = df.sparkSession
         import spark.implicits._
         val idT = df.schema(idCol).dataType
@@ -659,11 +665,13 @@ object Dedup {
       // conf — one cheap metadata-friendly count picks the parameter;
       // the candidate-volume valve below stays as the backstop. An
       // explicit blockPlanes pins the space (the oracle queries do).
+      var nRows = -1L
       val planes = if (blockPlanes > 0) blockPlanes else {
         val target = df.sparkSession.conf
           .getOption("spark.graft.embed.targetBucket")
           .map(_.toLong).getOrElse(100L)
-        autoBlockPlanes(base.count(), target)
+        nRows = base.count()
+        autoBlockPlanes(nRows, target)
       }
       val bkts = base.select(col("id"),
         explode(array((0 until blockTables).map { t =>
@@ -698,7 +706,19 @@ object Dedup {
             "occupancy; size ~ log2(corpus/targetBucket)), pass " +
             "blockCol for metadata blocking, or raise the valve.")
       }
-      if (fusedEligible(df, idCol, vecCol)) {
+      // fused is a SCALE path: the per-group object boundary has a
+      // fixed encode/decode overhead that loses to the join form on
+      // small corpora (measured at sf0.1: 1.4 → 2.3 s) and wins big
+      // above it (100×: 139 → 104 s) — gate on corpus size. The count
+      // is already in hand when planes were auto-derived; an explicit
+      // blockPlanes pays one BOUNDED limit(n+1) probe instead.
+      val fusedMinRows = df.sparkSession.conf
+        .getOption("spark.graft.semdedup.fusedMinRows")
+        .map(_.toLong).getOrElse(100000L)
+      val bigCorpus =
+        if (blockPlanes <= 0) nRows > fusedMinRows
+        else base.limit((fusedMinRows + 1).toInt).count() > fusedMinRows
+      if (bigCorpus && fusedEligible(df, idCol, vecCol)) {
         // fused per-bucket scan (round 11): each row's vector travels
         // ONCE per table to its bucket's reducer; the upper-triangular
         // cosine loop runs in memory and the cross-table distinct is

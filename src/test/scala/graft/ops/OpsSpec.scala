@@ -401,7 +401,11 @@ class DedupSpec extends SparkSpec {
         .as[(Long, Long)].collect().sorted.toSeq,
       Dedup.embeddingNearDup(pts, "vec_id", "embedding", 0.95, dim = 8)
         .as[(Long, Long)].collect().sorted.toSeq)
-    val fused = runAll()
+    // force the fused branches on despite the tiny fixture (the
+    // size gate would otherwise route everything to the join form)
+    spark.conf.set("spark.graft.semdedup.fusedMinRows", "0")
+    val fused = try runAll()
+      finally spark.conf.unset("spark.graft.semdedup.fusedMinRows")
     spark.conf.set("spark.graft.semdedup.fusedWithinCell", "false")
     val joined = try runAll()
       finally spark.conf.unset("spark.graft.semdedup.fusedWithinCell")
