@@ -185,7 +185,7 @@ class QueryCompilerSpec extends SparkSpec {
     // unsupported language and caseSensitive+english reject loudly
     intercept[IllegalArgumentException] {
       QueryCompiler.compile(Map("$text" ->
-        Map("$search" -> "x", "$language" -> "italian")))
+        Map("$search" -> "x", "$language" -> "turkish")))
     }
     intercept[IllegalArgumentException] {
       QueryCompiler.compile(Map("$text" -> Map("$search" -> "x",
