@@ -1188,6 +1188,34 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // lucene.dutch $search: Snowball Dutch stemming — lichamelijk /
+    // lichamen / lichaam all index as 'licham' (the heden→heid→delete
+    // chain plus the step-4 vowel undouble), gelukkige meets
+    // 'gelukkig', and the stop slot never matches
+    "q206_search_dutch_stemming" -> ((s, dir) => {
+      val w1 = Seq("lichamelijk", "lichamen", "lichaam", "boeken",
+        "bakken")
+      val w2 = Seq("de", "van", "het", "een")
+      val w3 = Seq("gelukkige", "mogelijkheden", "bomen", "maan",
+        "jongens")
+      val df = tbl(s, dir, "documents").where(col("doc_id") < 400)
+        .withColumn("ntext", concat_ws(" ",
+          element_at(typedlit(w1), (col("doc_id") % 5 + 1).cast("int")),
+          element_at(typedlit(w2),
+            ((col("doc_id") / 5).cast("long") % 4 + 1).cast("int")),
+          element_at(typedlit(w3),
+            ((col("doc_id") / 20).cast("long") % 5 + 1).cast("int"))))
+      graft.pipeline.PipelineCompiler.compile(Seq(
+        Map("$search" -> Map(
+          "analyzer" -> "lucene.dutch",
+          "compound" -> Map("filter" -> Seq(
+            Map("text" -> Map(
+              "query" -> "de lichamelijkheden gelukkig",
+              "path" -> "ntext")))))),
+        Map("$project" -> Map("doc_id" -> 1))))(df)
+        .orderBy("doc_id")
+    }),
+
     // lucene.cjk bigram analysis: CJK text has no word separators, so
     // the analyzer matches on overlapping character bigrams (Lucene
     // CJKAnalyzer's published algorithm) — "数据处理" analyzes to
@@ -4764,6 +4792,18 @@ object SparkEntry {
         |WHERE doc_id < 400 AND (
         |  (doc_id % 5) IN (0, 1, 2)
         |  OR ((doc_id // 20) % 5) IN (1, 2))
+        |ORDER BY doc_id""".stripMargin,
+
+    // honest-reduction: stem-equivalence reduces ON THIS FIXTURE to
+    // inflection-group membership — the licham group in slot 1
+    // (boeken/bakken stem elsewhere), the gelukk group in slot 3
+    // (mogelijkheden → mogelijk, bomen → bom, maan → man, jongens →
+    // jongen all miss); the stemmer itself is pinned by unit specs
+    "q206_search_dutch_stemming" ->
+      """SELECT doc_id FROM documents
+        |WHERE doc_id < 400 AND (
+        |  (doc_id % 5) IN (0, 1, 2)
+        |  OR ((doc_id // 20) % 5) = 0)
         |ORDER BY doc_id""".stripMargin,
 
     // the oracle rebuilds the caseLevel struct key in SQL: primary =

@@ -373,6 +373,38 @@ object TextFunctions {
       .filter(t => t.nonEmpty && !PortugueseStopWords(t))
       .map(graft.functions.PortugueseSnowball.stem).toSeq
 
+  /** Snowball Dutch stop list (Lucene's dutch_stop.txt). */
+  private[graft] val DutchStopWords = Set(
+    "de", "en", "van", "ik", "te", "dat", "die", "in", "een", "hij",
+    "het", "niet", "zijn", "is", "was", "op", "aan", "met", "als",
+    "voor", "had", "er", "maar", "om", "hem", "dan", "zou", "of",
+    "wat", "mijn", "men", "dit", "zo", "door", "over", "ze", "zich",
+    "bij", "ook", "tot", "je", "mij", "uit", "der", "daar", "haar",
+    "naar", "heb", "hoe", "heeft", "hebben", "deze", "u", "want",
+    "nog", "zal", "me", "zij", "nu", "ge", "geen", "omdat", "iets",
+    "worden", "toch", "al", "waren", "veel", "meer", "doen", "toen",
+    "moet", "ben", "zonder", "kan", "hun", "dus", "alles", "onder",
+    "ja", "eens", "hier", "wie", "werd", "altijd", "doch", "wordt",
+    "wezen", "kunnen", "ons", "zelf", "tegen", "na", "reeds", "wil",
+    "kon", "niets", "uw", "iemand", "geweest", "andere")
+
+  /** `lucene.dutch`-style analysis: lowercase, split on non-alphanumeric
+    * runs, drop the Snowball Dutch stop set, Snowball-stem each token
+    * ([[graft.functions.DutchSnowball]], a native expression). */
+  def dutchTokens(text: Column): Column =
+    transform(
+      filter(
+        split(lower(text), "[^\\p{L}\\p{N}]+"),
+        t => t =!= lit("") && !t.isin(DutchStopWords.toSeq: _*)),
+      t => graft.functions.DutchStemFunctions.dutch_stem(t))
+
+  /** Driver-side twin of [[dutchTokens]]. */
+  def dutchTerms(q: String): Seq[String] =
+    q.toLowerCase(java.util.Locale.ROOT)
+      .split("[^\\p{L}\\p{N}]+")
+      .filter(t => t.nonEmpty && !DutchStopWords(t))
+      .map(graft.functions.DutchSnowball.stem).toSeq
+
   /** `lucene.cjk`-style analysis: overlapping CJK character bigrams +
     * lowercased non-CJK words minus the English stop set — the whole
     * chain is ONE native expression call per row

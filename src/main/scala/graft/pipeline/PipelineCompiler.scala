@@ -744,7 +744,7 @@ object PipelineCompiler {
           Set("lucene.whitespace", "lucene.standard", "lucene.keyword",
             "lucene.english", "lucene.french", "lucene.german",
             "lucene.spanish", "lucene.italian", "lucene.portuguese",
-            "lucene.cjk")
+            "lucene.dutch", "lucene.cjk")
         val stageAnalyzer = d0.get("analyzer")
           .orElse(d0.get("searchAnalyzer")).map(_.toString)
           .getOrElse("lucene.whitespace")
@@ -912,6 +912,8 @@ object PipelineCompiler {
               graft.ops.TextFunctions.italianTokens(col(pathOf(op, os)))
             case "lucene.portuguese" =>
               graft.ops.TextFunctions.portugueseTokens(col(pathOf(op, os)))
+            case "lucene.dutch" =>
+              graft.ops.TextFunctions.dutchTokens(col(pathOf(op, os)))
             case "lucene.cjk" =>
               graft.ops.TextFunctions.cjkTokens(col(pathOf(op, os)))
             case "lucene.keyword" => array(col(pathOf(op, os)))
@@ -933,6 +935,8 @@ object PipelineCompiler {
             graft.ops.TextFunctions.italianTerms(q)
           case "lucene.portuguese" =>
             graft.ops.TextFunctions.portugueseTerms(q)
+          case "lucene.dutch" =>
+            graft.ops.TextFunctions.dutchTerms(q)
           case "lucene.cjk" =>
             graft.ops.TextFunctions.cjkTerms(q)
           case "lucene.keyword" => Seq(q)
@@ -1229,6 +1233,8 @@ object PipelineCompiler {
                     graft.ops.TextFunctions.italianTokens(col(field))
                   case "lucene.portuguese" =>
                     graft.ops.TextFunctions.portugueseTokens(col(field))
+                  case "lucene.dutch" =>
+                    graft.ops.TextFunctions.dutchTokens(col(field))
                   case "lucene.cjk" =>
                     graft.ops.TextFunctions.cjkTokens(col(field))
                   case "lucene.keyword" => array(col(field))
@@ -1249,6 +1255,8 @@ object PipelineCompiler {
                     graft.ops.TextFunctions.italianTerms(queryStr)
                   case "lucene.portuguese" =>
                     graft.ops.TextFunctions.portugueseTerms(queryStr)
+                  case "lucene.dutch" =>
+                    graft.ops.TextFunctions.dutchTerms(queryStr)
                   case "lucene.cjk" =>
                     graft.ops.TextFunctions.cjkTerms(queryStr)
                   case "lucene.keyword" => Seq(queryStr)

@@ -665,13 +665,14 @@ object QueryCompiler {
         case "es" => "spanish"
         case "it" => "italian"
         case "pt" => "portuguese"
+        case "nl" => "dutch"
         case other => other
       }
       require(Set("none", "english", "french", "german", "spanish",
-        "italian", "portuguese")(lang),
+        "italian", "portuguese", "dutch")(lang),
         s"$$text.$$language: '$lang' unsupported (none/english/french/" +
-          "german/spanish/italian/portuguese — other languages need " +
-          "stemmers this engine does not model)")
+          "german/spanish/italian/portuguese/dutch — other languages " +
+          "need stemmers this engine does not model)")
       val cs = mm.get("$caseSensitive") match {
         case Some(b: Boolean) => b
         case Some(other) => throw new IllegalArgumentException(
@@ -755,6 +756,10 @@ object QueryCompiler {
         (graft.ops.TextFunctions.portugueseTokens(col("text")),
           t => graft.ops.TextFunctions.portugueseTerms(t),
           p => graft.ops.TextFunctions.portugueseTerms(p))
+      case "dutch" =>
+        (graft.ops.TextFunctions.dutchTokens(col("text")),
+          t => graft.ops.TextFunctions.dutchTerms(t),
+          p => graft.ops.TextFunctions.dutchTerms(p))
       case _ =>
         val (txt, fold) = textFold(caseSensitive)
         (graft.ops.TextFunctions.tokens(txt),

@@ -906,6 +906,29 @@ class TextFunctionsSpec extends SparkSpec {
     assert(stem("de") == "de" && stem("a1b") == "a1b")
   }
 
+  test("Dutch Snowball stemmer: published-algorithm pairs") {
+    import graft.functions.DutchSnowball.stem
+    // en/heden/lijk chain + step-4 vowel undouble meet on one stem
+    assert(stem("lichamelijk") == "licham" &&
+      stem("lichamen") == "licham" &&
+      stem("lichamelijkheden") == "licham" &&
+      stem("lichaam") == "licham")
+    // en removal + kk undouble
+    assert(stem("boeken") == "boek" && stem("bakken") == "bak")
+    // step-4: maan → man, boom → bom meets bomen → bom
+    assert(stem("bomen") == "bom" && stem("boom") == "bom" &&
+      stem("maan") == "man")
+    // ig in R2 (not after e); final-e step feeds it
+    assert(stem("gelukkig") == "gelukk" && stem("gelukkige") == "gelukk")
+    // heid deletes in R2, lijk outside R2 is kept
+    assert(stem("mogelijkheden") == "mogelijk" &&
+      stem("mogelijk") == "mogelijk")
+    // valid s-ending (non-vowel, non-j)
+    assert(stem("jongens") == "jongen")
+    // short words and non-dutch-alphabet tokens pass through
+    assert(stem("de") == "de" && stem("a1b") == "a1b")
+  }
+
   test("spanishTokens/italianTokens: stops and stems meet their " +
       "driver twins") {
     val esToks = one("el trabajador de la generosidad")
