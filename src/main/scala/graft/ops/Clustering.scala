@@ -112,14 +112,18 @@ object Clustering {
       .getOption("spark.graft.kmeans.twoLevelAssignMinK")
       .map(_.toInt).getOrElse(128)
     val vec = col(vecCol)
-    def finish(nearest: org.apache.spark.sql.Column): DataFrame = {
-      val withS = df.withColumn("__near", nearest)
+    // one extraction helper for BOTH paths, so a future change to the
+    // nid/cos unpacking cannot silently miss one of them
+    def finish(src: DataFrame, nearest: org.apache.spark.sql.Column,
+        extraDrops: String*): DataFrame = {
+      val withS = src.withColumn("__near", nearest)
       val withId = withS.withColumn(idOut, -col("__near").getField("nid"))
       cosOut.fold(withId)(c =>
-        withId.withColumn(c, col("__near").getField("c"))).drop("__near")
+        withId.withColumn(c, col("__near").getField("c")))
+        .drop("__near" +: extraDrops: _*)
     }
     if (cents.size < twoLevelMinK)
-      finish(array_max(Similarity.cellScores(vec, cents)))
+      finish(df, array_max(Similarity.cellScores(vec, cents)))
     else {
       val groups = coarsen(cents, math.ceil(math.sqrt(cents.size)).toInt)
       val coarse = array(groups.zipWithIndex.map { case ((gc, _), gi) =>
@@ -134,11 +138,7 @@ object Clustering {
             when(col("__grp") === gi,
               array_max(Similarity.cellScores(vec, members))).otherwise(acc)
         }
-      val withS = gsel.withColumn("__near", nearest)
-      val withId = withS.withColumn(idOut, -col("__near").getField("nid"))
-      cosOut.fold(withId)(c =>
-        withId.withColumn(c, col("__near").getField("c")))
-        .drop("__near", "__grp")
+      finish(gsel, nearest, "__grp")
     }
   }
 

@@ -603,6 +603,7 @@ object Dedup {
         .getOption("spark.graft.semdedup.fusedMinRows")
         .map(_.toLong).getOrElse(100000L)
       if (blockCol.isDefined && fusedEligible(df, idCol, vecCol) &&
+        fusedMinRowsB < Int.MaxValue - 1 &&
         base.limit((fusedMinRowsB + 1).toInt).count() > fusedMinRowsB) {
         // fused per-block scan (round 11): one shuffle of the rows to
         // their blocks, upper-triangular loop in memory — see
@@ -617,7 +618,8 @@ object Dedup {
           .select(col("blk").cast("string").as("_g"),
             col("id").cast("long").as("_id"),
             col("v").cast("array<double>").as("_v"))
-          .where(col("_g").isNotNull && col("_v").isNotNull)
+          .where(col("_g").isNotNull && col("_id").isNotNull &&
+            col("_v").isNotNull)
           .as[(String, Long, Array[Double])]
         fusedPairScan(groups, threshold)
           .select(col("id_a").cast(idT).as("id_a"),
@@ -715,9 +717,13 @@ object Dedup {
       val fusedMinRows = df.sparkSession.conf
         .getOption("spark.graft.semdedup.fusedMinRows")
         .map(_.toLong).getOrElse(100000L)
+      // a threshold at/above Int.MaxValue cannot be probed with a
+      // bounded limit — it reads as "never fuse", not as an overflowed
+      // negative limit
       val bigCorpus =
         if (blockPlanes <= 0) nRows > fusedMinRows
-        else base.limit((fusedMinRows + 1).toInt).count() > fusedMinRows
+        else fusedMinRows < Int.MaxValue - 1 &&
+          base.limit((fusedMinRows + 1).toInt).count() > fusedMinRows
       if (bigCorpus && fusedEligible(df, idCol, vecCol)) {
         // fused per-bucket scan (round 11): each row's vector travels
         // ONCE per table to its bucket's reducer; the upper-triangular
@@ -735,7 +741,8 @@ object Dedup {
             }: _*)).as("_g"))
           .select(col("_g"), col("id").cast("long").as("_id"),
             col("v").cast("array<double>").as("_v"))
-          .where(col("_g").isNotNull && col("_v").isNotNull)
+          .where(col("_g").isNotNull && col("_id").isNotNull &&
+            col("_v").isNotNull)
           .as[(String, Long, Array[Double])]
         fusedPairScan(groups, threshold)
           .select(col("id_a").cast(idT).as("id_a"),
@@ -872,9 +879,25 @@ object Dedup {
       case ArrayType(FloatType | DoubleType, _) => true
       case _ => false
     }
+    // the fused scan compares orders as doubles, so the order column
+    // must be a type whose double form is EXACT (a long can exceed
+    // 2^53 and a string casts to null — both silently change which row
+    // is "earlier"); anything else keeps the join form's native-type
+    // comparison
+    val ordOk = orderCol.forall(c => df.schema(c).dataType match {
+      case DoubleType | FloatType | IntegerType | ShortType | ByteType =>
+        true
+      case _ => false
+    })
     val fused = df.sparkSession.conf
       .getOption("spark.graft.semdedup.fusedWithinCell")
-      .forall(_.toBoolean) && idNumeric && vecOk
+      .forall(_.toBoolean) && idNumeric && vecOk && ordOk
+    // deliberately NO fusedMinRows gate here (unlike embeddingNearDup's
+    // branches): the join alternative for THIS shape carries two
+    // re-attach joins + a distinct + an anti-join, and the fused scan
+    // measured faster at every scale tried (sf0.1 3.9 vs 4.8 s, 100×
+    // 50 vs 348 s) — the crossover exists only where the join form is
+    // lighter (the LSH bucket shape)
     if (fused)
       return semDeDupFused(df, idCol, vecCol, clusterCol, eps, orderCol)
     val dropped = orderCol match {
@@ -935,8 +958,8 @@ object Dedup {
       .select(col(clusterCol).cast("string").as("_blk"),
         col(idCol).cast("long").as("_id"), ordC.as("_ord"),
         col(vecCol).cast("array<double>").as("_v"))
-      .where(col("_blk").isNotNull && col("_v").isNotNull &&
-        col("_ord").isNotNull)
+      .where(col("_blk").isNotNull && col("_id").isNotNull &&
+        col("_v").isNotNull && col("_ord").isNotNull)
       .as[(String, Long, Double, Array[Double])]
     // identical accumulation order to FloatVecDot: sequential
     // widen-multiply-accumulate in a double (float→double widening is

@@ -417,6 +417,24 @@ object TextFunctions {
   def cjkTerms(q: String): Seq[String] =
     graft.functions.CjkTokenizer.terms(q)
 
+  /** Language analyzers by `lucene.*` name: (document-token column
+    * chain, driver-side query-term twin). The ONE registry every
+    * dispatch site consults — `$search` text/phrase legs and `$text
+    * $language` all resolve here, so adding a language is one entry
+    * instead of five parallel match arms drifting apart.
+    * (whitespace/standard/keyword stay per-site: their document and
+    * query forms differ by call shape, not by language.) */
+  private[graft] val LanguageAnalyzers
+      : Map[String, (Column => Column, String => Seq[String])] = Map(
+    "lucene.english" -> ((englishTokens _, englishTerms _)),
+    "lucene.french" -> ((frenchTokens _, frenchTerms _)),
+    "lucene.german" -> ((germanTokens _, germanTerms _)),
+    "lucene.spanish" -> ((spanishTokens _, spanishTerms _)),
+    "lucene.italian" -> ((italianTokens _, italianTerms _)),
+    "lucene.portuguese" -> ((portugueseTokens _, portugueseTerms _)),
+    "lucene.dutch" -> ((dutchTokens _, dutchTerms _)),
+    "lucene.cjk" -> ((cjkTokens _, cjkTerms _)))
+
   /** In-order sloppy phrase occurrences: the number of start positions in
     * `toks` from which every term of the phrase matches in sequence with
     * TOTAL inter-term gap ≤ `slop` (Lucene's in-order sloppy-phrase

@@ -557,10 +557,16 @@ final class MetadataLedger(spark: SparkSession, path: String) {
     while (!acquired) {
       // atomic create-if-absent — the same primitive the namespace
       // lease builds on (atomic on HDFS/local; documented best-effort
-      // on object stores, where the namespace lease is the real guard)
+      // on object stores, where the namespace lease is the real guard).
+      // Only CONTENTION (the lock file actually existing) waits; a
+      // connectivity/permission IOException surfaces immediately
+      // instead of masquerading as a 30s-stale lock
       try { fs.create(lock, false).close(); acquired = true }
       catch {
-        case _: java.io.IOException =>
+        case e: java.io.IOException =>
+          val contended =
+            try fs.exists(lock) catch { case _: java.io.IOException => false }
+          if (!contended) throw e
           if (System.currentTimeMillis() > deadline)
             throw new IllegalStateException(
               s"ledger lock $lock held for >30s; remove it if stale")

@@ -741,10 +741,8 @@ object PipelineCompiler {
         // multi-analyzer override). Unknown analyzers are rejected loudly
         // instead of silently falling back to the default.
         val knownAnalyzers =
-          Set("lucene.whitespace", "lucene.standard", "lucene.keyword",
-            "lucene.english", "lucene.french", "lucene.german",
-            "lucene.spanish", "lucene.italian", "lucene.portuguese",
-            "lucene.dutch", "lucene.cjk")
+          Set("lucene.whitespace", "lucene.standard", "lucene.keyword") ++
+            graft.ops.TextFunctions.LanguageAnalyzers.keySet
         val stageAnalyzer = d0.get("analyzer")
           .orElse(d0.get("searchAnalyzer")).map(_.toString)
           .getOrElse("lucene.whitespace")
@@ -900,46 +898,21 @@ object PipelineCompiler {
           analyzerFor(op, os) match {
             case "lucene.standard" =>
               graft.ops.TextFunctions.standardTokens(col(pathOf(op, os)))
-            case "lucene.english" =>
-              graft.ops.TextFunctions.englishTokens(col(pathOf(op, os)))
-            case "lucene.french" =>
-              graft.ops.TextFunctions.frenchTokens(col(pathOf(op, os)))
-            case "lucene.german" =>
-              graft.ops.TextFunctions.germanTokens(col(pathOf(op, os)))
-            case "lucene.spanish" =>
-              graft.ops.TextFunctions.spanishTokens(col(pathOf(op, os)))
-            case "lucene.italian" =>
-              graft.ops.TextFunctions.italianTokens(col(pathOf(op, os)))
-            case "lucene.portuguese" =>
-              graft.ops.TextFunctions.portugueseTokens(col(pathOf(op, os)))
-            case "lucene.dutch" =>
-              graft.ops.TextFunctions.dutchTokens(col(pathOf(op, os)))
-            case "lucene.cjk" =>
-              graft.ops.TextFunctions.cjkTokens(col(pathOf(op, os)))
             case "lucene.keyword" => array(col(pathOf(op, os)))
+            case a if graft.ops.TextFunctions.LanguageAnalyzers
+              .contains(a) =>
+              graft.ops.TextFunctions.LanguageAnalyzers(a)
+                ._1(col(pathOf(op, os)))
             case _ => graft.ops.TextFunctions.tokens(col(pathOf(op, os)))
           }
         def queryTerms(op: String, os: Map[String, Any],
             q: String): Seq[String] = analyzerFor(op, os) match {
           case "lucene.standard" =>
             graft.ops.TextFunctions.standardTerms(q)
-          case "lucene.english" =>
-            graft.ops.TextFunctions.englishTerms(q)
-          case "lucene.french" =>
-            graft.ops.TextFunctions.frenchTerms(q)
-          case "lucene.german" =>
-            graft.ops.TextFunctions.germanTerms(q)
-          case "lucene.spanish" =>
-            graft.ops.TextFunctions.spanishTerms(q)
-          case "lucene.italian" =>
-            graft.ops.TextFunctions.italianTerms(q)
-          case "lucene.portuguese" =>
-            graft.ops.TextFunctions.portugueseTerms(q)
-          case "lucene.dutch" =>
-            graft.ops.TextFunctions.dutchTerms(q)
-          case "lucene.cjk" =>
-            graft.ops.TextFunctions.cjkTerms(q)
           case "lucene.keyword" => Seq(q)
+          case a if graft.ops.TextFunctions.LanguageAnalyzers
+            .contains(a) =>
+            graft.ops.TextFunctions.LanguageAnalyzers(a)._2(q)
           case _ => q.split("\\s+").filter(_.nonEmpty).toSeq
         }
         // one search operator doc -> (match predicate, score expression,
@@ -1221,45 +1194,21 @@ object PipelineCompiler {
                 val toks = an match {
                   case "lucene.standard" =>
                     graft.ops.TextFunctions.standardTokens(col(field))
-                  case "lucene.english" =>
-                    graft.ops.TextFunctions.englishTokens(col(field))
-                  case "lucene.french" =>
-                    graft.ops.TextFunctions.frenchTokens(col(field))
-                  case "lucene.german" =>
-                    graft.ops.TextFunctions.germanTokens(col(field))
-                  case "lucene.spanish" =>
-                    graft.ops.TextFunctions.spanishTokens(col(field))
-                  case "lucene.italian" =>
-                    graft.ops.TextFunctions.italianTokens(col(field))
-                  case "lucene.portuguese" =>
-                    graft.ops.TextFunctions.portugueseTokens(col(field))
-                  case "lucene.dutch" =>
-                    graft.ops.TextFunctions.dutchTokens(col(field))
-                  case "lucene.cjk" =>
-                    graft.ops.TextFunctions.cjkTokens(col(field))
                   case "lucene.keyword" => array(col(field))
+                  case a if graft.ops.TextFunctions.LanguageAnalyzers
+                    .contains(a) =>
+                    graft.ops.TextFunctions.LanguageAnalyzers(a)
+                      ._1(col(field))
                   case _ => graft.ops.TextFunctions.tokens(col(field))
                 }
                 val terms = an match {
                   case "lucene.standard" =>
                     graft.ops.TextFunctions.standardTerms(queryStr)
-                  case "lucene.english" =>
-                    graft.ops.TextFunctions.englishTerms(queryStr)
-                  case "lucene.french" =>
-                    graft.ops.TextFunctions.frenchTerms(queryStr)
-                  case "lucene.german" =>
-                    graft.ops.TextFunctions.germanTerms(queryStr)
-                  case "lucene.spanish" =>
-                    graft.ops.TextFunctions.spanishTerms(queryStr)
-                  case "lucene.italian" =>
-                    graft.ops.TextFunctions.italianTerms(queryStr)
-                  case "lucene.portuguese" =>
-                    graft.ops.TextFunctions.portugueseTerms(queryStr)
-                  case "lucene.dutch" =>
-                    graft.ops.TextFunctions.dutchTerms(queryStr)
-                  case "lucene.cjk" =>
-                    graft.ops.TextFunctions.cjkTerms(queryStr)
                   case "lucene.keyword" => Seq(queryStr)
+                  case a if graft.ops.TextFunctions.LanguageAnalyzers
+                    .contains(a) =>
+                    graft.ops.TextFunctions.LanguageAnalyzers(a)
+                      ._2(queryStr)
                   case _ =>
                     queryStr.split("\\s+").filter(_.nonEmpty).toSeq
                 }

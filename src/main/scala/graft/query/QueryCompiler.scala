@@ -731,41 +731,17 @@ object QueryCompiler {
     * stop-removed stemmed stream on both sides. */
   private def textAnalysis(caseSensitive: Boolean, lang: String)
       : (Column, String => Seq[String], String => Seq[String]) =
-    lang match {
-      case "english" =>
-        (graft.ops.TextFunctions.englishTokens(col("text")),
-          t => graft.ops.TextFunctions.englishTerms(t),
-          p => graft.ops.TextFunctions.englishTerms(p))
-      case "french" =>
-        (graft.ops.TextFunctions.frenchTokens(col("text")),
-          t => graft.ops.TextFunctions.frenchTerms(t),
-          p => graft.ops.TextFunctions.frenchTerms(p))
-      case "german" =>
-        (graft.ops.TextFunctions.germanTokens(col("text")),
-          t => graft.ops.TextFunctions.germanTerms(t),
-          p => graft.ops.TextFunctions.germanTerms(p))
-      case "spanish" =>
-        (graft.ops.TextFunctions.spanishTokens(col("text")),
-          t => graft.ops.TextFunctions.spanishTerms(t),
-          p => graft.ops.TextFunctions.spanishTerms(p))
-      case "italian" =>
-        (graft.ops.TextFunctions.italianTokens(col("text")),
-          t => graft.ops.TextFunctions.italianTerms(t),
-          p => graft.ops.TextFunctions.italianTerms(p))
-      case "portuguese" =>
-        (graft.ops.TextFunctions.portugueseTokens(col("text")),
-          t => graft.ops.TextFunctions.portugueseTerms(t),
-          p => graft.ops.TextFunctions.portugueseTerms(p))
-      case "dutch" =>
-        (graft.ops.TextFunctions.dutchTokens(col("text")),
-          t => graft.ops.TextFunctions.dutchTerms(t),
-          p => graft.ops.TextFunctions.dutchTerms(p))
-      case _ =>
+    // one registry for every stemmed language (the $search analyzers
+    // resolve the same map) — "none" and unsupported names fall back to
+    // the plain case/diacritic fold
+    graft.ops.TextFunctions.LanguageAnalyzers.get(s"lucene.$lang")
+      .map { case (toks, terms) => (toks(col("text")), terms, terms) }
+      .getOrElse {
         val (txt, fold) = textFold(caseSensitive)
         (graft.ops.TextFunctions.tokens(txt),
-          t => Seq(fold(t)),
-          p => fold(p).split("\\s+").filter(_.nonEmpty).toSeq)
-    }
+          (t: String) => Seq(fold(t)),
+          (p: String) => fold(p).split("\\s+").filter(_.nonEmpty).toSeq)
+      }
 
   /** Simplified textScore for the `{$meta: "textScore"}` carrier: count
     * of matching bare terms plus matching phrases (documented as simpler

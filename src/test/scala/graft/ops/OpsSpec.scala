@@ -386,16 +386,28 @@ class DedupSpec extends SparkSpec {
       // a null vector and a null cluster key ride along: neither may
       // drop a row or be dropped, on either path
       .unionByName(Seq(
-        (900L, Option.empty[Seq[Float]], Option(1), Option(0.5)),
-        (901L, Option(Seq(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)),
-          Option.empty[Int], Option(0.5)))
+        (Option(900L), Option.empty[Seq[Float]], Option(1), Option(0.5)),
+        (Option(901L), Option(Seq(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)),
+          Option.empty[Int], Option(0.5)),
+        // a null ID must neither crash the fused encoder nor be
+        // dropped (the join form's equi-keys discard it too)
+        (Option.empty[Long], Option(Seq(0f, 1f, 0f, 0f, 0f, 0f, 0f, 0f)),
+          Option(2), Option(0.5)))
         .toDF("vec_id", "embedding", "cell", "ord"))
+    def ids(d: org.apache.spark.sql.DataFrame): Seq[Long] =
+      d.select("vec_id").collect()
+        .map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).sorted.toSeq
     def runAll(): Seq[Seq[Any]] = Seq(
-      Dedup.semDeDup(pts, "vec_id", "embedding", "cell", 0.95)
-        .select("vec_id").as[Long].collect().sorted.toSeq,
-      Dedup.semDeDup(pts, "vec_id", "embedding", "cell", 0.95,
-        orderCol = Some("ord"))
-        .select("vec_id").as[Long].collect().sorted.toSeq,
+      ids(Dedup.semDeDup(pts, "vec_id", "embedding", "cell", 0.95)),
+      ids(Dedup.semDeDup(pts, "vec_id", "embedding", "cell", 0.95,
+        orderCol = Some("ord"))),
+      // a STRING order column has no exact double form: both runs must
+      // route to the join path's native-type comparison (a fused run
+      // would cast to null and silently exempt every row)
+      ids(Dedup.semDeDup(
+        pts.withColumn("sord", concat(lit("k"), $"ord".cast("string"))),
+        "vec_id", "embedding", "cell", 0.95, orderCol = Some("sord"))
+        .drop("sord")),
       Dedup.embeddingNearDup(pts, "vec_id", "embedding", 0.95,
         blockCol = Some("cell"))
         .as[(Long, Long)].collect().sorted.toSeq,
@@ -411,7 +423,7 @@ class DedupSpec extends SparkSpec {
       finally spark.conf.unset("spark.graft.semdedup.fusedWithinCell")
     assert(fused == joined)
     // the results are non-trivial (some rows actually dropped / paired)
-    assert(fused(0).size < 122 && fused(2).nonEmpty)
+    assert(fused(0).size < 123 && fused(3).nonEmpty)
     // degenerate-cell guard fails fast with the remedy
     spark.conf.set("spark.graft.semdedup.maxCellRows", "10")
     try {

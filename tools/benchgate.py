@@ -54,7 +54,14 @@ def queries_of(doc):
         frag = doc["tail"].strip().lstrip(",").split("}", 1)[0]
         if not frag.startswith('"') and "," in frag:
             frag = frag.split(",", 1)[1].lstrip(",")
-        return json.loads("{" + frag + "}")
+        try:
+            return json.loads("{" + frag + "}")
+        except ValueError:
+            # the clip can also land exactly ON a key's closing quote
+            # (frag starts with '"' but is still a partial pair) — drop
+            # through the first comma and retry
+            frag = frag.split(",", 1)[1].lstrip(",") if "," in frag else ""
+            return json.loads("{" + frag + "}")
     raise SystemExit("benchgate: artifact has neither 'queries' nor 'tail'")
 
 
@@ -161,6 +168,8 @@ def self_test():
     regs_b, _, notes_b = gate(cur, prev)
     assert sorted(n[0] for n in notes_b) == ["q130", "q4"], notes_b
     assert "q130" not in [r[0] for r in regs_b], regs_b
+    # a tail clipped exactly ON a key's closing quote still parses
+    assert queries_of({"tail": '":0.2,"q9":0.1},"x":1'}) == {"q9": 0.1}
     # rev map survives in a wrapper artifact's tail
     assert revs_of({"tail": ',"q9":0.1},"failures":{},"rev":{"q130":2},'
                            '"sf":"x"'}) == {"q130": 2}
