@@ -542,7 +542,7 @@ object PortugueseSnowball {
       val suffixes2 = Seq(
         "aríamos", "eríamos", "iríamos", "ássemos", "êssemos",
         "íssemos", "aríeis", "eríeis", "iríeis", "ásseis", "ésseis",
-        "ísseis", "áramos", "éramos", "íramos", "ávamos", "aremos",
+        "ísseis", "áveis", "áramos", "éramos", "íramos", "ávamos", "aremos",
         "eremos", "iremos", "ariam", "eriam", "iriam", "assem",
         "essem", "issem", "ara~o", "era~o", "ira~o", "arias", "erias",
         "irias", "ardes", "erdes", "irdes", "asses", "esses", "isses",

@@ -497,7 +497,25 @@ object Dedup {
     * `distinct()`s across groups (multi-table LSH emits the same pair
     * from several tables). Identical arithmetic to the join form
     * (sequential widen-multiply-accumulate dot, per-row sqrt'd norms,
-    * denom==0 → 0), so the pair set is bit-identical. */
+    * denom==0 → 0), so the pair SET is bit-identical — including two
+    * edges the join's SQL comparisons imply: rows SHARING an id never
+    * pair with each other (the join's strict `id_a < id_b`), and a
+    * NaN cosine QUALIFIES (Spark's nan-safe `>=` ranks NaN above
+    * every threshold — nanSafeCompareDoubles). Ids are a documented
+    * UNIQUE precondition of the dedup APIs; if violated, the pair SET
+    * still matches the join form but the multiset may not (the join
+    * form re-attaches vectors by id, emitting a qualifying pair once
+    * per duplicate-row combination where this path's distinct()
+    * emits it once).
+    *
+    * Pairs stream out lazily (an iterator over the upper triangle),
+    * never buffered per group: a duplicate-dense group's O(n²)
+    * qualifying pairs flow straight into the shuffle write and spill
+    * like the join form's pair stream would. `maxCellRows` bounds the
+    * INPUT side; the OUTPUT side has its own valve,
+    * `spark.graft.semdedup.maxGroupPairs` (default 2e9 emitted pairs
+    * per group), so a degenerate corpus fails fast with a remedy
+    * instead of writing an unbounded shuffle. */
   private def fusedPairScan(
       groups: org.apache.spark.sql.Dataset[(String, Long, Array[Double])],
       threshold: Double): DataFrame = {
@@ -506,6 +524,9 @@ object Dedup {
     val maxCell = spark.conf
       .getOption("spark.graft.semdedup.maxCellRows")
       .map(_.toLong).getOrElse(500000L)
+    val maxPairs = spark.conf
+      .getOption("spark.graft.semdedup.maxGroupPairs")
+      .map(_.toLong).getOrElse(2000000000L)
     def dot(a: Array[Double], b: Array[Double]): Double = {
       val n = math.min(a.length, b.length)
       var acc = 0.0
@@ -528,21 +549,70 @@ object Dedup {
       while (i < n) {
         norms(i) = math.sqrt(dot(arr(i)._3, arr(i)._3)); i += 1
       }
-      val out = Seq.newBuilder[(Long, Long)]
-      var j = 1
-      while (j < n) {
-        var a = 0
-        while (a < j) {
-          val denom = norms(a) * norms(j)
-          val c =
-            if (denom == 0.0) 0.0 else dot(arr(a)._3, arr(j)._3) / denom
-          if (c >= threshold) out += ((arr(a)._2, arr(j)._2))
-          a += 1
+      new Iterator[(Long, Long)] {
+        private var j = 1
+        private var a = 0
+        private var emitted = 0L
+        private var pair: (Long, Long) = _
+        private var ready = false
+        private def advance(): Unit = {
+          while (!ready && j < n) {
+            while (!ready && a < j) {
+              val ia = arr(a)._2
+              val ib = arr(j)._2
+              // join parity: strict id_a < id_b — equal ids (a
+              // duplicated key, or a row against itself via two
+              // sorted copies) form no pair
+              if (ia != ib) {
+                val denom = norms(a) * norms(j)
+                val c = if (denom == 0.0) 0.0
+                  else dot(arr(a)._3, arr(j)._3) / denom
+                // join parity: SQL `cos >= t` is nan-safe (NaN sorts
+                // above every value), so a NaN cosine qualifies
+                if (c >= threshold || java.lang.Double.isNaN(c)) {
+                  emitted += 1
+                  if (emitted > maxPairs) throw new IllegalStateException(
+                    s"embeddingNearDup: block '$g' emitted more than " +
+                      s"spark.graft.semdedup.maxGroupPairs=$maxPairs " +
+                      "qualifying pairs — the corpus is duplicate-" +
+                      "degenerate at this threshold. Raise the " +
+                      "threshold, dedup exactly first, or raise the " +
+                      "valve.")
+                  pair = (ia, ib)
+                  ready = true
+                }
+              }
+              a += 1
+            }
+            if (!ready) { j += 1; a = 0 }
+          }
         }
-        j += 1
+        advance()
+        override def hasNext: Boolean = ready
+        override def next(): (Long, Long) = {
+          val p = pair
+          ready = false
+          advance()
+          p
+        }
       }
-      out.result().iterator
     }.toDF("id_a", "id_b").distinct()
+  }
+
+  /** The fused paths carry the group key as a STRING (one encoder for
+    * any key type); for float/double keys the cast must first fold
+    * -0.0 into 0.0 — SQL equi-joins (the join form) treat them as ONE
+    * key, while their strings ("-0.0"/"0.0") would split the group.
+    * NaN needs no help: every NaN renders "NaN", matching Spark's
+    * grouped-NaN join-key semantics. */
+  private def normalizedGroupKey(
+      dt: org.apache.spark.sql.types.DataType, c: Column): Column = {
+    import org.apache.spark.sql.types._
+    val norm = dt match {
+      case DoubleType | FloatType => when(c === 0.0, lit(0.0)).otherwise(c)
+      case _ => c
+    }
+    norm.cast("string")
   }
 
   /** True when [[fusedPairScan]] can represent this frame (numeric id,
@@ -614,8 +684,13 @@ object Dedup {
         val spark = df.sparkSession
         import spark.implicits._
         val idT = df.schema(idCol).dataType
+        // `blk` aliases the user's block column here, so normalize the
+        // string key the same way semDeDupFused does (-0.0 → 0.0 for
+        // float/double keys — SQL would merge those groups)
+        val blkKey = normalizedGroupKey(base.schema("blk").dataType,
+          col("blk"))
         val groups = base
-          .select(col("blk").cast("string").as("_g"),
+          .select(blkKey.as("_g"),
             col("id").cast("long").as("_id"),
             col("v").cast("array<double>").as("_v"))
           .where(col("_g").isNotNull && col("_id").isNotNull &&
@@ -866,7 +941,15 @@ object Dedup {
     * join path's `vec_dot`/`sqrt`/product expressions (sequential
     * widen-multiply-accumulate, per-row sqrt'd norms, denom==0 → 0),
     * so the survivor set is bit-identical and the oracle contract is
-    * untouched. */
+    * untouched. SQL comparison edges are mirrored explicitly: -0.0
+    * orders/cluster keys fold into 0.0, NaN orders compare NaN-safe
+    * (above everything, equal to each other), a NaN cosine qualifies,
+    * and a row whose (order, id) exactly equals another's is "earlier"
+    * for NEITHER direction. Ids are a documented UNIQUE precondition:
+    * under duplicate ids both forms anti-join every copy of a dropped
+    * id, but the join form's re-attach-by-id can evaluate cosines
+    * across the duplicates' vectors where the fused scan evaluates
+    * each physical row pair once. */
   def semDeDup(df: DataFrame, idCol: String, vecCol: String,
       clusterCol: String, eps: Double,
       orderCol: Option[String] = None): DataFrame = {
@@ -953,9 +1036,15 @@ object Dedup {
     val maxCell = spark.conf
       .getOption("spark.graft.semdedup.maxCellRows")
       .map(_.toLong).getOrElse(500000L)
-    val ordC = orderCol.map(c => col(c).cast("double")).getOrElse(lit(0.0))
+    // -0.0 normalizes to 0.0 BEFORE the scan: SQL comparisons (the
+    // join form) treat them as equal keys/orders, while the in-memory
+    // sort's Double.compare would rank -0.0 strictly earlier and the
+    // string-cast group key would split "-0.0"/"0.0" into two cells
+    val rawOrd = orderCol.map(c => col(c).cast("double")).getOrElse(lit(0.0))
+    val ordC = when(rawOrd === 0.0, lit(0.0)).otherwise(rawOrd)
     val rows = df
-      .select(col(clusterCol).cast("string").as("_blk"),
+      .select(normalizedGroupKey(df.schema(clusterCol).dataType,
+          col(clusterCol)).as("_blk"),
         col(idCol).cast("long").as("_id"), ordC.as("_ord"),
         col(vecCol).cast("array<double>").as("_v"))
       .where(col("_blk").isNotNull && col("_id").isNotNull &&
@@ -996,10 +1085,20 @@ object Dedup {
         var a = 0
         var hit = false
         while (a < j && !hit) {
-          val denom = norms(a) * norms(j)
-          val c =
-            if (denom == 0.0) 0.0 else dot(arr(a)._4, arr(j)._4) / denom
-          if (c >= eps) hit = true
+          // join parity: "earlier" is STRICT (ord, id) — a row whose
+          // (ord, id) equals another's can neither drop it nor be
+          // dropped by it (the NaN-safe compare makes two NaN orders
+          // equal, exactly like SQL's nan-safe `===`)
+          val sameKey =
+            java.lang.Double.compare(arr(a)._3, arr(j)._3) == 0 &&
+              arr(a)._2 == arr(j)._2
+          if (!sameKey) {
+            val denom = norms(a) * norms(j)
+            val c =
+              if (denom == 0.0) 0.0 else dot(arr(a)._4, arr(j)._4) / denom
+            // join parity: SQL `cos >= eps` is nan-safe — NaN qualifies
+            if (c >= eps || java.lang.Double.isNaN(c)) hit = true
+          }
           a += 1
         }
         if (hit) out += arr(j)._2

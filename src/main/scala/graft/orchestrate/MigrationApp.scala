@@ -553,19 +553,32 @@ final class MetadataLedger(spark: SparkSession, path: String) {
     val lock = new org.apache.hadoop.fs.Path(path + ".lock")
     fs.mkdirs(lock.getParent)
     val deadline = System.currentTimeMillis() + 30000
+    // create-if-absent. Hadoop's RawLocalFileSystem implements
+    // create(overwrite=false) as exists-then-create — NOT O_EXCL — so
+    // on file:// paths two local processes could both "win"; there we
+    // go through java.nio Files.createFile, which IS an atomic
+    // exclusive create. Elsewhere: atomic on HDFS (namenode CAS),
+    // documented best-effort on object stores, where the namespace
+    // lease is the real guard.
+    val localLock: Option[java.nio.file.Path] =
+      if ("file".equalsIgnoreCase(Option(fs.getUri.getScheme).getOrElse("")))
+        Some(java.nio.file.Paths.get(lock.toUri.getPath))
+      else None
+    def tryCreate(): Unit = localLock match {
+      case Some(p) => java.nio.file.Files.createFile(p)
+      case None => fs.create(lock, false).close()
+    }
     var acquired = false
     while (!acquired) {
-      // atomic create-if-absent — the same primitive the namespace
-      // lease builds on (atomic on HDFS/local; documented best-effort
-      // on object stores, where the namespace lease is the real guard).
       // Only CONTENTION (the lock file actually existing) waits; a
       // connectivity/permission IOException surfaces immediately
       // instead of masquerading as a 30s-stale lock
-      try { fs.create(lock, false).close(); acquired = true }
+      try { tryCreate(); acquired = true }
       catch {
         case e: java.io.IOException =>
-          val contended =
-            try fs.exists(lock) catch { case _: java.io.IOException => false }
+          val contended = e.isInstanceOf[
+              java.nio.file.FileAlreadyExistsException] ||
+            (try fs.exists(lock) catch { case _: java.io.IOException => false })
           if (!contended) throw e
           if (System.currentTimeMillis() > deadline)
             throw new IllegalStateException(

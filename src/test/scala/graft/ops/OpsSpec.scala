@@ -394,6 +394,31 @@ class DedupSpec extends SparkSpec {
         (Option.empty[Long], Option(Seq(0f, 1f, 0f, 0f, 0f, 0f, 0f, 0f)),
           Option(2), Option(0.5)))
         .toDF("vec_id", "embedding", "cell", "ord"))
+      // adversarial parity rows (round-12 advisor findings), own cells:
+      .unionByName(Seq(
+        // DUPLICATED id, different vectors + orders: the join's strict
+        // id_a < id_b never self-pairs them, but each still pairs
+        // against the near-identical id 911
+        (910L, Seq(1f, 1f, 0f, 0f, 0f, 0f, 0f, 0f), 6, 1.0),
+        (910L, Seq(1f, 1f, 0.01f, 0f, 0f, 0f, 0f, 0f), 6, 2.0),
+        (911L, Seq(1f, 1f, 0.005f, 0f, 0f, 0f, 0f, 0f), 6, 3.0),
+        // equal (ord, id) twins: strict "earlier" holds for NEITHER
+        // direction — no mutual drop
+        (920L, Seq(0f, 0f, 1f, 1f, 0f, 0f, 0f, 0f), 7, 5.0),
+        (920L, Seq(0f, 0f, 1f, 1f, 0f, 0f, 0f, 0f), 7, 5.0),
+        // NaN orders: SQL's nan-safe compare ranks NaN above all and
+        // NaN === NaN, so id 931 (ord 2.0) is earlier than both NaN
+        // rows, and between the NaNs the id breaks the tie
+        (930L, Seq(0f, 0f, 0f, 0f, 1f, 1f, 0f, 0f), 8, Double.NaN),
+        (931L, Seq(0f, 0f, 0f, 0f, 1f, 1f, 0.01f, 0f), 8, 2.0),
+        (932L, Seq(0f, 0f, 0f, 0f, 1f, 1f, 0.02f, 0f), 8, Double.NaN),
+        // -0.0 vs 0.0 orders TIE in SQL (then id decides): 940 is
+        // earlier despite java's Double.compare ranking -0.0 first
+        (940L, Seq(0f, 0f, 0f, 0f, 0f, 0f, 1f, 1f), 9, 0.0),
+        (941L, Seq(0f, 0f, 0f, 0f, 0f, 0f, 1f, 0.99f), 9, -0.0))
+        .toDF("vec_id", "embedding", "cell", "ord")
+        .select(col("vec_id").cast("long").as("vec_id"), col("embedding"),
+          col("cell").cast("int").as("cell"), col("ord")))
     def ids(d: org.apache.spark.sql.DataFrame): Seq[Long] =
       d.select("vec_id").collect()
         .map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).sorted.toSeq
@@ -408,11 +433,16 @@ class DedupSpec extends SparkSpec {
         pts.withColumn("sord", concat(lit("k"), $"ord".cast("string"))),
         "vec_id", "embedding", "cell", 0.95, orderCol = Some("sord"))
         .drop("sord")),
+      // pair outputs compare as SETS: ids are a documented-unique
+      // precondition, and under the fixture's deliberate duplicates
+      // the join form re-attaches vectors BY ID — it emits a
+      // qualifying pair once per row-combination (here (910,911) ×4)
+      // where the fused scan's explicit distinct() emits it once
       Dedup.embeddingNearDup(pts, "vec_id", "embedding", 0.95,
         blockCol = Some("cell"))
-        .as[(Long, Long)].collect().sorted.toSeq,
+        .as[(Long, Long)].collect().toSet.toSeq.sorted,
       Dedup.embeddingNearDup(pts, "vec_id", "embedding", 0.95, dim = 8)
-        .as[(Long, Long)].collect().sorted.toSeq)
+        .as[(Long, Long)].collect().toSet.toSeq.sorted)
     // force the fused branches on despite the tiny fixture (the
     // size gate would otherwise route everything to the join form)
     spark.conf.set("spark.graft.semdedup.fusedMinRows", "0")
@@ -421,7 +451,11 @@ class DedupSpec extends SparkSpec {
     spark.conf.set("spark.graft.semdedup.fusedWithinCell", "false")
     val joined = try runAll()
       finally spark.conf.unset("spark.graft.semdedup.fusedWithinCell")
-    assert(fused == joined)
+    fused.indices.foreach { i =>
+      val (f, j) = (fused(i), joined(i))
+      assert(f.size == j.size && f.toSet == j.toSet && f == j,
+        s"entry $i: fusedOnly=${f.diff(j)} joinOnly=${j.diff(f)}")
+    }
     // the results are non-trivial (some rows actually dropped / paired)
     assert(fused(0).size < 123 && fused(3).nonEmpty)
     // degenerate-cell guard fails fast with the remedy
@@ -433,6 +467,57 @@ class DedupSpec extends SparkSpec {
       assert(e.getMessage.contains("maxCellRows") ||
         Option(e.getCause).exists(_.getMessage.contains("maxCellRows")))
     } finally spark.conf.unset("spark.graft.semdedup.maxCellRows")
+  }
+
+  test("fused scan: float group keys (-0.0/0.0 merge, NaN cell) and NaN " +
+      "cosines match the join form, and the expected survivors") {
+    // SQL equi-keys merge -0.0/0.0 and group NaN with NaN; SQL's
+    // nan-safe `>=` means a NaN cosine (NaN in a vector) QUALIFIES —
+    // empirically probed on Spark 4: double('NaN') >= 0.95 is TRUE
+    val rows = Seq(
+      (80L, Seq(1f, 0f, 0f, 0f), -0.0),
+      (81L, Seq(1f, 0.01f, 0f, 0f), 0.0),  // same merged cell → dropped
+      (82L, Seq(0f, 1f, 0f, 0f), Double.NaN),
+      (83L, Seq(0f, 1f, 0.01f, 0f), Double.NaN), // NaN cell groups → drop
+      (84L, Seq(0f, 0f, 1f, 0f), 7.0),
+      (85L, Seq(0f, 0f, Float.NaN, 0f), 7.0)) // NaN cosine → qualifies
+      .toDF("vec_id", "embedding", "cell")
+    def run(): (Seq[Long], Seq[(Long, Long)]) = (
+      Dedup.semDeDup(rows, "vec_id", "embedding", "cell", 0.95)
+        .select("vec_id").as[Long].collect().sorted.toSeq,
+      Dedup.embeddingNearDup(rows, "vec_id", "embedding", 0.95,
+        blockCol = Some("cell"))
+        .as[(Long, Long)].collect().sorted.toSeq)
+    spark.conf.set("spark.graft.semdedup.fusedMinRows", "0")
+    val fused = try run()
+      finally spark.conf.unset("spark.graft.semdedup.fusedMinRows")
+    spark.conf.set("spark.graft.semdedup.fusedWithinCell", "false")
+    val joined = try run()
+      finally spark.conf.unset("spark.graft.semdedup.fusedWithinCell")
+    assert(fused == joined)
+    assert(fused._1 == Seq(80L, 82L, 84L))
+    assert(fused._2 == Seq((80L, 81L), (82L, 83L), (84L, 85L)))
+  }
+
+  test("fused scan output valve: maxGroupPairs fails fast with a remedy") {
+    // 40 identical vectors in one cell = 780 qualifying pairs; a valve
+    // at 100 must trip on the blockCol pair path
+    val rows = (0 until 40).map(i => (i.toLong, Seq(1f, 0f)))
+      .toDF("vec_id", "embedding").withColumn("cell", lit(0))
+    spark.conf.set("spark.graft.semdedup.fusedMinRows", "0")
+    spark.conf.set("spark.graft.semdedup.maxGroupPairs", "100")
+    try {
+      val e = intercept[org.apache.spark.SparkException] {
+        Dedup.embeddingNearDup(rows, "vec_id", "embedding", 0.9,
+          blockCol = Some("cell")).count()
+      }
+      val msg = e.getMessage +
+        Option(e.getCause).map(_.getMessage).getOrElse("")
+      assert(msg.contains("maxGroupPairs"))
+    } finally {
+      spark.conf.unset("spark.graft.semdedup.fusedMinRows")
+      spark.conf.unset("spark.graft.semdedup.maxGroupPairs")
+    }
   }
 
   test("semDeDup drops later rows similar to an earlier same-cluster row") {
@@ -914,6 +999,13 @@ class TextFunctionsSpec extends SparkSpec {
     assert(stem("chegue") == "cheg")
     // nasal prelude/postlude round-trip: ã survives marking
     assert(stem("irmão") == "irmã")
+    // step-2 "áveis" (round-12 advisor: it sits between ísseis and the
+    // -mos group in the published list): -ável plurals meet their
+    // singular when step 1's R2 gate admits the singular's "ável"
+    assert(stem("consideráveis") == "consider" &&
+      stem("considerável") == "consider")
+    // the imperfect 2pl verb form the suffix exists for
+    assert(stem("faláveis") == "fal" && stem("falávamos") == "fal")
     // short words and non-portuguese-alphabet tokens pass through
     assert(stem("de") == "de" && stem("a1b") == "a1b")
   }
