@@ -1216,6 +1216,133 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // lucene.swedish $search: Snowball Swedish stemming — the flicka
+    // plural family (orna/or/a) meets 'flicka', the möjlig het+lig
+    // chain meets 'möjligheter' at 'möj', and the stop slot never
+    // matches
+    "q207_search_swedish_stemming" -> ((s, dir) => {
+      val w1 = Seq("flickorna", "flickor", "flicka", "bilarna",
+        "tidning")
+      val w2 = Seq("och", "att", "som", "när")
+      val w3 = Seq("möjligheterna", "möjlighet", "tryckt", "upplöst",
+        "generös")
+      val df = tbl(s, dir, "documents").where(col("doc_id") < 400)
+        .withColumn("svtext", concat_ws(" ",
+          element_at(typedlit(w1), (col("doc_id") % 5 + 1).cast("int")),
+          element_at(typedlit(w2),
+            ((col("doc_id") / 5).cast("long") % 4 + 1).cast("int")),
+          element_at(typedlit(w3),
+            ((col("doc_id") / 20).cast("long") % 5 + 1).cast("int"))))
+      graft.pipeline.PipelineCompiler.compile(Seq(
+        Map("$search" -> Map(
+          "analyzer" -> "lucene.swedish",
+          "compound" -> Map("filter" -> Seq(
+            Map("text" -> Map(
+              "query" -> "och flicka möjligheter",
+              "path" -> "svtext")))))),
+        Map("$project" -> Map("doc_id" -> 1))))(df)
+        .orderBy("doc_id")
+    }),
+
+    // $text $language da: Snowball Danish stemming through the $text
+    // surface — the hund plural family meets 'hunde', the els chain
+    // meets 'undersøgelser' at 'undersøg', the stop slot never matches
+    "q208_text_language_danish" -> ((s, dir) => {
+      val w1 = Seq("hundene", "hunden", "hunde", "parallelle", "bakker")
+      val w2 = Seq("og", "til", "men", "efter")
+      val w3 = Seq("undersøgelsen", "undersøgelse", "venlig", "billige",
+        "bord")
+      val df = tbl(s, dir, "documents").where(col("doc_id") < 400)
+        .withColumn("text", concat_ws(" ",
+          element_at(typedlit(w1), (col("doc_id") % 5 + 1).cast("int")),
+          element_at(typedlit(w2),
+            ((col("doc_id") / 5).cast("long") % 4 + 1).cast("int")),
+          element_at(typedlit(w3),
+            ((col("doc_id") / 20).cast("long") % 5 + 1).cast("int"))))
+      graft.pipeline.PipelineCompiler.compile(Seq(
+        Map("$match" -> Map("$text" -> Map(
+          "$search" -> "hunde og undersøgelser",
+          "$language" -> "da"))),
+        Map("$project" -> Map("doc_id" -> 1))))(df)
+        .orderBy("doc_id")
+    }),
+
+    // lucene.norwegian $search: Snowball Norwegian stemming — the hus
+    // et/ene/ets family meets 'huset', erte→er meets 'vurdere' at
+    // 'vurder', the stop slot never matches
+    "q209_search_norwegian_stemming" -> ((s, dir) => {
+      val w1 = Seq("huset", "husene", "husets", "gutter", "bord")
+      val w2 = Seq("og", "til", "er", "som")
+      val w3 = Seq("vurderte", "vurdere", "naturlige", "kaster",
+        "kastet")
+      val df = tbl(s, dir, "documents").where(col("doc_id") < 400)
+        .withColumn("notext", concat_ws(" ",
+          element_at(typedlit(w1), (col("doc_id") % 5 + 1).cast("int")),
+          element_at(typedlit(w2),
+            ((col("doc_id") / 5).cast("long") % 4 + 1).cast("int")),
+          element_at(typedlit(w3),
+            ((col("doc_id") / 20).cast("long") % 5 + 1).cast("int"))))
+      graft.pipeline.PipelineCompiler.compile(Seq(
+        Map("$search" -> Map(
+          "analyzer" -> "lucene.norwegian",
+          "compound" -> Map("filter" -> Seq(
+            Map("text" -> Map(
+              "query" -> "og huset vurdere",
+              "path" -> "notext")))))),
+        Map("$project" -> Map("doc_id" -> 1))))(df)
+        .orderBy("doc_id")
+    }),
+
+    // tailored Swedish collation: å/ä/ö sort as distinct letters AFTER
+    // z (CLDR sv), not as accented a/o — the lower+strip model would
+    // order åker/äpple/ära with the a-words and öga with the o-ish
+    // ones
+    "q210_collation_swedish_tailored" -> ((s, dir) =>
+      coll(s, dir, "documents").pipe(Seq(
+        Map("$match" -> Map("doc_id" -> Map("$lt" -> 280))),
+        Map("$addFields" -> Map("tag" -> Map("$switch" -> Map(
+          "branches" -> Seq(
+            Map("case" -> Map("$eq" -> Seq(
+              Map("$mod" -> Seq("$doc_id", 7)), 0)), "then" -> "öga"),
+            Map("case" -> Map("$eq" -> Seq(
+              Map("$mod" -> Seq("$doc_id", 7)), 1)), "then" -> "zon"),
+            Map("case" -> Map("$eq" -> Seq(
+              Map("$mod" -> Seq("$doc_id", 7)), 2)), "then" -> "åker"),
+            Map("case" -> Map("$eq" -> Seq(
+              Map("$mod" -> Seq("$doc_id", 7)), 3)), "then" -> "ära"),
+            Map("case" -> Map("$eq" -> Seq(
+              Map("$mod" -> Seq("$doc_id", 7)), 4)), "then" -> "arm"),
+            Map("case" -> Map("$eq" -> Seq(
+              Map("$mod" -> Seq("$doc_id", 7)), 5)), "then" -> "bok")),
+          "default" -> "äpple")))),
+        Map("$sort" -> Map("tag" -> 1, "doc_id" -> 1)),
+        Map("$project" -> Map("doc_id" -> 1, "tag" -> 1))),
+        Map("locale" -> "sv", "strength" -> 1))),
+
+    // tailored Danish collation at strength 2: æ/ø/å sort after z, the
+    // aa digraph collates EQUAL to å (their difference is tertiary),
+    // and within a primary group the CLDR secondary order holds
+    // (æ before ä, ø before ö — the opposite of binary)
+    "q211_collation_danish_aa" -> ((s, dir) =>
+      coll(s, dir, "documents").pipe(Seq(
+        Map("$match" -> Map("doc_id" -> Map("$lt" -> 280))),
+        Map("$addFields" -> Map("tag" -> Map("$switch" -> Map(
+          "branches" -> Seq(
+            Map("case" -> Map("$eq" -> Seq(
+              Map("$mod" -> Seq("$doc_id", 6)), 0)), "then" -> "Aalborg"),
+            Map("case" -> Map("$eq" -> Seq(
+              Map("$mod" -> Seq("$doc_id", 6)), 1)), "then" -> "Ålborg"),
+            Map("case" -> Map("$eq" -> Seq(
+              Map("$mod" -> Seq("$doc_id", 6)), 2)), "then" -> "äble"),
+            Map("case" -> Map("$eq" -> Seq(
+              Map("$mod" -> Seq("$doc_id", 6)), 3)), "then" -> "æble"),
+            Map("case" -> Map("$eq" -> Seq(
+              Map("$mod" -> Seq("$doc_id", 6)), 4)), "then" -> "ørn")),
+          "default" -> "zebra")))),
+        Map("$sort" -> Map("tag" -> 1, "doc_id" -> 1)),
+        Map("$project" -> Map("doc_id" -> 1, "tag" -> 1))),
+        Map("locale" -> "da", "strength" -> 2))),
+
     // lucene.cjk bigram analysis: CJK text has no word separators, so
     // the analyzer matches on overlapping character bigrams (Lucene
     // CJKAnalyzer's published algorithm) — "数据处理" analyzes to
@@ -4805,6 +4932,77 @@ object SparkEntry {
         |  (doc_id % 5) IN (0, 1, 2)
         |  OR ((doc_id // 20) % 5) = 0)
         |ORDER BY doc_id""".stripMargin,
+
+    // honest-reduction (the q197/q205 pattern): stem-equivalence
+    // reduces ON THIS FIXTURE to inflection-group membership — the
+    // flick group in slot 1 (bilarna → bil, tidning unstemmed), the
+    // möj group in slot 3 (tryckt → tryck, upplöst → upplös,
+    // generös unstemmed); the stemmer itself is pinned by unit specs
+    "q207_search_swedish_stemming" ->
+      """SELECT doc_id FROM documents
+        |WHERE doc_id < 400 AND (
+        |  (doc_id % 5) IN (0, 1, 2)
+        |  OR ((doc_id // 20) % 5) IN (0, 1))
+        |ORDER BY doc_id""".stripMargin,
+
+    // honest-reduction: the hund group in slot 1 (parallelle →
+    // parallel, bakker → bakk), the undersøg group in slot 3
+    // (venlig → ven, billige → bil, bord unstemmed)
+    "q208_text_language_danish" ->
+      """SELECT doc_id FROM documents
+        |WHERE doc_id < 400 AND (
+        |  (doc_id % 5) IN (0, 1, 2)
+        |  OR ((doc_id // 20) % 5) IN (0, 1))
+        |ORDER BY doc_id""".stripMargin,
+
+    // honest-reduction: the hus group in slot 1 (gutter → gutt, bord
+    // unstemmed), the vurder group in slot 3 (naturlige → natur,
+    // kaster/kastet → kast)
+    "q209_search_norwegian_stemming" ->
+      """SELECT doc_id FROM documents
+        |WHERE doc_id < 400 AND (
+        |  (doc_id % 5) IN (0, 1, 2)
+        |  OR ((doc_id // 20) % 5) IN (0, 1))
+        |ORDER BY doc_id""".stripMargin,
+
+    // the oracle rebuilds the tailored sv primary key in SQL: lower,
+    // then the CLDR letter routing (å/ä-group/ö-group → stand-ins
+    // above z, ü/ű → y, ð → d) — DuckDB's translate is per-character
+    // like Spark's; the generic accent strip that follows in the
+    // engine is the identity on this fixture (every accent is already
+    // consumed by the tailoring)
+    "q210_collation_swedish_tailored" ->
+      ("""WITH t AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 7 WHEN 0 THEN 'öga' WHEN 1 THEN 'zon'
+        |      WHEN 2 THEN 'åker' WHEN 3 THEN 'ära' WHEN 4 THEN 'arm'
+        |      WHEN 5 THEN 'bok' ELSE 'äpple' END AS tag
+        |  FROM documents WHERE doc_id < 280)
+        |SELECT doc_id, tag FROM t
+        |ORDER BY translate(lower(tag), 'åäæęöøőœüűð',
+        |  '""".stripMargin +
+        "yyd" +
+        """'), doc_id"""),
+
+    // strength-2 tailored da key = (primary, secondary): primary folds
+    // aa → å then routes æ/ä, ø/ö/ő, å to post-z stand-ins; the
+    // secondary string swaps ä↔æ and ö↔ø so binary order agrees with
+    // CLDR's within-group order; Aalborg/Ålborg tie on BOTH levels and
+    // fall to doc_id
+    "q211_collation_danish_aa" ->
+      ("""WITH t AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 6 WHEN 0 THEN 'Aalborg' WHEN 1 THEN 'Ålborg'
+        |      WHEN 2 THEN 'äble' WHEN 3 THEN 'æble' WHEN 4 THEN 'ørn'
+        |      ELSE 'zebra' END AS tag
+        |  FROM documents WHERE doc_id < 280),
+        |k AS (SELECT doc_id, tag,
+        |  replace(lower(tag), 'aa', 'å') AS pre FROM t)
+        |SELECT doc_id, tag FROM k
+        |ORDER BY translate(pre, 'æäøöőåüűð',
+        |  '""".stripMargin +
+        "yyd" +
+        """'), translate(pre, 'äæöø', 'æäøö'), doc_id"""),
 
     // the oracle rebuilds the caseLevel struct key in SQL: primary =
     // lower(tag), case level = the per-letter bit pattern with the

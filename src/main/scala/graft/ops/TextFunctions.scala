@@ -405,6 +405,114 @@ object TextFunctions {
       .filter(t => t.nonEmpty && !DutchStopWords(t))
       .map(graft.functions.DutchSnowball.stem).toSeq
 
+  /** Snowball Swedish stop list (Lucene's swedish_stop.txt). */
+  private[graft] val SwedishStopWords = Set(
+    "och", "det", "att", "i", "en", "jag", "hon", "som", "han", "på",
+    "den", "med", "var", "sig", "för", "så", "till", "är", "men",
+    "ett", "om", "hade", "de", "av", "icke", "mig", "du", "henne",
+    "då", "sin", "nu", "har", "inte", "hans", "honom", "skulle",
+    "hennes", "där", "min", "man", "ej", "vid", "kunde", "något",
+    "från", "ut", "när", "efter", "upp", "vi", "dem", "vara", "vad",
+    "över", "än", "dig", "kan", "sina", "här", "ha", "mot", "alla",
+    "under", "någon", "eller", "allt", "mycket", "sedan", "ju",
+    "denna", "själv", "detta", "åt", "utan", "varit", "hur", "ingen",
+    "mitt", "ni", "bli", "blev", "oss", "din", "dessa", "några",
+    "deras", "blir", "mina", "samma", "vilken", "er", "sådan", "vår",
+    "blivit", "dess", "inom", "mellan", "sådant", "varför", "varje",
+    "vilka", "ditt", "vem", "vilket", "sitta", "sådana", "vart",
+    "dina", "vars", "vårt", "våra", "ert", "era", "vilkas")
+
+  /** `lucene.swedish`-style analysis: lowercase, split on
+    * non-alphanumeric runs, drop the Snowball Swedish stop set,
+    * Snowball-stem each token ([[graft.functions.SwedishSnowball]],
+    * a native expression). */
+  def swedishTokens(text: Column): Column =
+    transform(
+      filter(
+        split(lower(text), "[^\\p{L}\\p{N}]+"),
+        t => t =!= lit("") && !t.isin(SwedishStopWords.toSeq: _*)),
+      t => graft.functions.ScandinavianStemFunctions.swedish_stem(t))
+
+  /** Driver-side twin of [[swedishTokens]]. */
+  def swedishTerms(q: String): Seq[String] =
+    q.toLowerCase(java.util.Locale.ROOT)
+      .split("[^\\p{L}\\p{N}]+")
+      .filter(t => t.nonEmpty && !SwedishStopWords(t))
+      .map(graft.functions.SwedishSnowball.stem).toSeq
+
+  /** Snowball Danish stop list (Lucene's danish_stop.txt). */
+  private[graft] val DanishStopWords = Set(
+    "og", "i", "jeg", "det", "at", "en", "den", "til", "er", "som",
+    "på", "de", "med", "han", "af", "for", "ikke", "der", "var",
+    "mig", "sig", "men", "et", "har", "om", "vi", "min", "havde",
+    "ham", "hun", "nu", "over", "da", "fra", "du", "ud", "sin",
+    "dem", "os", "op", "man", "hans", "hvor", "eller", "hvad",
+    "skal", "selv", "her", "alle", "vil", "blev", "kunne", "ind",
+    "når", "være", "dog", "noget", "ville", "jo", "deres", "efter",
+    "ned", "skulle", "denne", "end", "dette", "mit", "også", "under",
+    "have", "dig", "anden", "hende", "mine", "alt", "meget", "sit",
+    "sine", "vor", "mod", "disse", "hvis", "din", "nogle", "hos",
+    "blive", "mange", "ad", "bliver", "hendes", "været", "thi",
+    "jer", "sådan")
+
+  /** `lucene.danish`-style analysis: lowercase, split on
+    * non-alphanumeric runs, drop the Snowball Danish stop set,
+    * Snowball-stem each token ([[graft.functions.DanishSnowball]],
+    * a native expression). */
+  def danishTokens(text: Column): Column =
+    transform(
+      filter(
+        split(lower(text), "[^\\p{L}\\p{N}]+"),
+        t => t =!= lit("") && !t.isin(DanishStopWords.toSeq: _*)),
+      t => graft.functions.ScandinavianStemFunctions.danish_stem(t))
+
+  /** Driver-side twin of [[danishTokens]]. */
+  def danishTerms(q: String): Seq[String] =
+    q.toLowerCase(java.util.Locale.ROOT)
+      .split("[^\\p{L}\\p{N}]+")
+      .filter(t => t.nonEmpty && !DanishStopWords(t))
+      .map(graft.functions.DanishSnowball.stem).toSeq
+
+  /** Snowball Norwegian stop list — the bokmål core of Lucene's
+    * norwegian_stop.txt (the published file also carries nynorsk
+    * variant forms like `ikkje`/`sjøl`; the core below covers the
+    * bokmål function words — a documented transcription subset, not
+    * the full file). */
+  private[graft] val NorwegianStopWords = Set(
+    "og", "i", "jeg", "det", "at", "en", "et", "den", "til", "er",
+    "som", "på", "de", "med", "han", "av", "ikke", "der", "så",
+    "var", "meg", "seg", "men", "ett", "har", "om", "vi", "min",
+    "mitt", "ha", "hadde", "hun", "nå", "over", "da", "ved", "fra",
+    "du", "ut", "sin", "dem", "oss", "opp", "man", "kan", "hans",
+    "hvor", "eller", "hva", "skal", "selv", "her", "alle", "vil",
+    "bli", "ble", "blitt", "kunne", "inn", "når", "være", "kom",
+    "noen", "noe", "ville", "dere", "deres", "kun", "ja", "etter",
+    "ned", "skulle", "denne", "for", "deg", "din", "ditt", "blir",
+    "samme", "hvilken", "hvilke", "sånn", "inni", "mellom", "vår",
+    "hver", "hvem", "vors", "hvis", "både", "bare", "enn", "fordi",
+    "før", "mange", "også", "slik", "vært", "begge", "siden", "dette",
+    "disse", "uten", "hvordan", "ingen", "hennes", "hoss", "under",
+    "alt", "mye", "sitt", "sine", "mot", "å", "meget", "hvorfor",
+    "henne", "ham")
+
+  /** `lucene.norwegian`-style analysis: lowercase, split on
+    * non-alphanumeric runs, drop the Norwegian stop set,
+    * Snowball-stem each token ([[graft.functions.NorwegianSnowball]],
+    * a native expression). */
+  def norwegianTokens(text: Column): Column =
+    transform(
+      filter(
+        split(lower(text), "[^\\p{L}\\p{N}]+"),
+        t => t =!= lit("") && !t.isin(NorwegianStopWords.toSeq: _*)),
+      t => graft.functions.ScandinavianStemFunctions.norwegian_stem(t))
+
+  /** Driver-side twin of [[norwegianTokens]]. */
+  def norwegianTerms(q: String): Seq[String] =
+    q.toLowerCase(java.util.Locale.ROOT)
+      .split("[^\\p{L}\\p{N}]+")
+      .filter(t => t.nonEmpty && !NorwegianStopWords(t))
+      .map(graft.functions.NorwegianSnowball.stem).toSeq
+
   /** `lucene.cjk`-style analysis: overlapping CJK character bigrams +
     * lowercased non-CJK words minus the English stop set — the whole
     * chain is ONE native expression call per row
@@ -433,6 +541,9 @@ object TextFunctions {
     "lucene.italian" -> ((italianTokens _, italianTerms _)),
     "lucene.portuguese" -> ((portugueseTokens _, portugueseTerms _)),
     "lucene.dutch" -> ((dutchTokens _, dutchTerms _)),
+    "lucene.swedish" -> ((swedishTokens _, swedishTerms _)),
+    "lucene.danish" -> ((danishTokens _, danishTerms _)),
+    "lucene.norwegian" -> ((norwegianTokens _, norwegianTerms _)),
     "lucene.cjk" -> ((cjkTokens _, cjkTerms _)))
 
   /** In-order sloppy phrase occurrences: the number of start positions in

@@ -67,18 +67,47 @@ object Collation {
       * is field-lexicographic, exactly ICU's "compare the whole primary
       * level, then the case level" — a single concatenated string would
       * need a separator below 'U+0001' (taken by the numeric marker),
-      * and embedded NULs don't survive every engine. */
+      * and embedded NULs don't survive every engine.
+      *
+      * TAILORED locales (sv/da/nb/no, [[Tailorings]]): the primary
+      * level routes the tailored letters to stand-ins ABOVE z before
+      * the generic accent strip, so å/ä/ö (sv) and æ/ø/å (da/nb/no)
+      * sort as the distinct post-z letters CLDR declares instead of
+      * stripping to a/o; strength 2 becomes a (primary, secondary)
+      * struct — ICU compares the whole primary level first, then
+      * accents — with the secondary string's within-group order
+      * corrected where binary disagrees with CLDR (da: æ<<ä, ø<<ö). */
     def key(c: Column): Column = {
       val base0 =
         if (alternateShifted) regexp_replace(c, variableRegex, "") else c
-      val primary =
-        if (strength == 1) stripDiacritics(lower(base0))
-        else if (strength == 2) lower(base0)
-        else base0
-      val num =
-        if (numericOrdering)
-          graft.functions.CollationFunctions.numeric_sort_key(primary)
-        else primary
+      val num: Column = Tailorings.get(locale) match {
+        case Some(t) =>
+          def numify(x: Column): Column =
+            if (numericOrdering)
+              graft.functions.CollationFunctions.numeric_sort_key(x)
+            else x
+          val lowered = lower(base0)
+          val pre = t.preReplace.fold(lowered) { case (f, r) =>
+            regexp_replace(lowered, f, r)
+          }
+          val primary = numify(stripDiacritics(
+            translate(pre, t.primaryFrom, t.primaryTo)))
+          if (strength == 1) primary
+          else {
+            val sec0 =
+              if (t.secondaryFrom.isEmpty) pre
+              else translate(pre, t.secondaryFrom, t.secondaryTo)
+            struct(primary.as("p1"), numify(sec0).as("s2"))
+          }
+        case None =>
+          val primary =
+            if (strength == 1) stripDiacritics(lower(base0))
+            else if (strength == 2) lower(base0)
+            else base0
+          if (numericOrdering)
+            graft.functions.CollationFunctions.numeric_sort_key(primary)
+          else primary
+      }
       if (caseLevel) {
         // under numericOrdering a whole digit run is ONE collation
         // element (ICU CODAN), so it contributes one uncased position
@@ -127,8 +156,8 @@ object Collation {
     }
 
     /** Driver-side twin of [[key]] for literal query values (the
-      * non-caseLevel string form; [[foldLit]] is the Column form every
-      * predicate should compare against). */
+      * non-caseLevel, non-tailored string form; [[foldLit]] is the
+      * Column form every predicate should compare against). */
     def fold(s: String): String = {
       val varStripped =
         if (alternateShifted) s.replaceAll(variableRegex, "") else s
@@ -142,19 +171,53 @@ object Collation {
       else folded
     }
 
+    // driver-side twins of the tailored column chain: per-char
+    // translate (the column `translate` semantics) after lower +
+    // digraph fold
+    private def translateStr(s: String, from: String, to: String): String =
+      s.map(ch => { val i = from.indexOf(ch); if (i >= 0) to(i) else ch })
+    private def tailoredPre(t: Tailoring, s: String): String = {
+      val low = s.toLowerCase(java.util.Locale.ROOT)
+      t.preReplace.fold(low) { case (f, r) => low.replace(f, r) }
+    }
+    private[query] def tailoredPrimary(t: Tailoring, s: String): String = {
+      val p = translateStr(tailoredPre(t, s), t.primaryFrom, t.primaryTo)
+      val stripped = p.map(ch => {
+        val i = Accented.indexOf(ch); if (i >= 0) Plain(i) else ch
+      })
+      if (numericOrdering) graft.functions.NumericKey.key(stripped)
+      else stripped
+    }
+    private[query] def tailoredSecondary(t: Tailoring, s: String): String = {
+      val pre = tailoredPre(t, s)
+      val sec =
+        if (t.secondaryFrom.isEmpty) pre
+        else translateStr(pre, t.secondaryFrom, t.secondaryTo)
+      if (numericOrdering) graft.functions.NumericKey.key(sec) else sec
+    }
+
     /** Literal query value folded to the SAME shape [[key]] produces —
-      * a string normally, the (primary, case-pattern) struct under
-      * caseLevel. */
-    def foldLit(s: String): Column =
+      * a string normally, a (primary, secondary) struct for tailored
+      * strength 2, the (primary, case-pattern) struct under caseLevel
+      * (nesting the tailored struct when both apply). */
+    def foldLit(s: String): Column = {
+      val base0 =
+        if (alternateShifted) s.replaceAll(variableRegex, "") else s
+      val inner: Column = Tailorings.get(locale) match {
+        case Some(t) =>
+          if (strength == 1) lit(tailoredPrimary(t, base0))
+          else struct(lit(tailoredPrimary(t, base0)).as("p1"),
+            lit(tailoredSecondary(t, base0)).as("s2"))
+        case None => lit(fold(s))
+      }
       if (caseLevel) {
-        val base0 =
-          if (alternateShifted) s.replaceAll(variableRegex, "") else s
         // Character.getType(codePoint) == UPPERCASE_LETTER is the exact
         // driver-side twin of the column path's \p{Lu} (isUpper would
         // also accept Other_Uppercase chars like Roman numerals and
         // drift); per-code-point in [[casePattern]], matching the regex
-        struct(lit(fold(s)).as("p"), lit(casePattern(base0)).as("c"))
-      } else lit(fold(s))
+        struct(inner.as("p"), lit(casePattern(base0)).as("c"))
+      } else inner
+    }
   }
 
   // lowercase Latin accent → base letter (the fold runs on lowercased
@@ -173,11 +236,52 @@ object Collation {
   private def stripDiacritics(c: Column): Column =
     translate(c, Accented, Plain)
 
+  /** CLDR tailoring for locales whose letters RE-ORDER beyond the
+    * lower+strip model (round 12). `primaryFrom/To` routes each
+    * tailored letter to its primary stand-in — U+E000.. (private use:
+    * above every Latin letter in both UTF-8 byte order and code-point
+    * order, and absent from text) for the post-z letters, a base
+    * letter for secondary-equal mappings (ü→y) — BEFORE the generic
+    * accent strip, which then cannot touch them. `secondaryFrom/To`
+    * fixes the within-group secondary order where raw binary disagrees
+    * with CLDR. `preReplace` folds a digraph whose primary+secondary
+    * equal a letter (da/nb "aa" ≡ å; their tertiary difference is
+    * below strength 2). Divergences (documented, not modeled): sv ô
+    * (CLDR: secondary-equal ö) strips to o; þ expansions; tertiary
+    * tailoring — strength 3 stays rejected for these locales. */
+  private[query] final case class Tailoring(
+      primaryFrom: String, primaryTo: String,
+      secondaryFrom: String = "", secondaryTo: String = "",
+      preReplace: Option[(String, String)] = None)
+
+  private[query] val Tailorings: Map[String, Tailoring] = {
+    // Swedish (CLDR sv): … z < å < ä << æ << ę < ö << ø << ő << œ;
+    // ü/ű collate as y (secondary-higher); đ/ð as d. The secondary
+    // binary order of each group already matches CLDR
+    // (ä<æ<ę, ö<ø<ő<œ, y<ü<ű, d<đ<ð), so no secondary swap needed.
+    val sv = Tailoring(
+      primaryFrom = "åäæęöøőœüűð",
+      primaryTo = "yyd")
+    // Danish (CLDR da; nb/no share the core): … z < æ << ä < ø << ö
+    // << ő < å (≡ aa at tertiary); ü/ű as y; ð as d. Binary has
+    // ä(E4)<æ(E6) and ö(F6)<ø(F8) — the OPPOSITE of CLDR's within-
+    // group order — so the secondary string swaps each pair.
+    val da = Tailoring(
+      primaryFrom = "æäøöőåüűð",
+      primaryTo = "yyd",
+      secondaryFrom = "äæöø", secondaryTo = "æäøö",
+      preReplace = Some("aa" -> "å"))
+    Map("sv" -> sv, "da" -> da, "nb" -> da, "no" -> da)
+  }
+
   /** Locales whose strength-1/2 folding the lower+strip mapping models
-    * faithfully enough (no locale-specific tailoring like tr dotless-i
-    * or sv å/ä/ö-after-z ordering). */
+    * faithfully enough, plus the CLDR-tailored Scandinavian set
+    * ([[Tailorings]]). Still out of scope: tr (dotless-i case folding
+    * changes LOWERCASING itself, not just ordering) and other
+    * tailorings without a faithful mapping here. */
   private val SupportedLocales =
-    Set("simple", "en", "en_US", "en_GB", "fr", "de", "es", "pt", "it", "nl")
+    Set("simple", "en", "en_US", "en_GB", "fr", "de", "es", "pt", "it",
+      "nl") ++ Tailorings.keySet
 
   /** Parse + validate a `{locale, strength}` collation document. Unknown
     * locales and strengths ≥ 3 are rejected LOUDLY — mapping them to the
@@ -256,6 +360,13 @@ object Collation {
       s"collation: strength $strength unsupported — 1 (case+diacritic " +
         "insensitive) and 2 (case-insensitive) are mapped; strength 3+ " +
         "is the default binary comparison, omit the collation instead")
+    // tailored locales re-order PRIMARY letters; strength 3's binary
+    // comparison would ignore the tailoring (å after a, not after z) —
+    // reject instead of silently sorting wrong
+    require(strength != 3 || !Tailorings.contains(locale),
+      s"collation: locale '$locale' is CLDR-tailored (letters re-order " +
+        "at the primary level) — strength 3's binary comparison cannot " +
+        "honor it; use strength 1 or 2")
     val known = Set("locale", "strength", "numericOrdering",
       "alternate", "maxVariable", "caseLevel", "caseFirst")
     val extra = doc.keySet -- known

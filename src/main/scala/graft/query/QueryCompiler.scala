@@ -666,13 +666,18 @@ object QueryCompiler {
         case "it" => "italian"
         case "pt" => "portuguese"
         case "nl" => "dutch"
+        case "sv" => "swedish"
+        case "da" => "danish"
+        case "nb" | "no" => "norwegian"
         case other => other
       }
       require(Set("none", "english", "french", "german", "spanish",
-        "italian", "portuguese", "dutch")(lang),
+        "italian", "portuguese", "dutch", "swedish", "danish",
+        "norwegian")(lang),
         s"$$text.$$language: '$lang' unsupported (none/english/french/" +
-          "german/spanish/italian/portuguese/dutch — other languages " +
-          "need stemmers this engine does not model)")
+          "german/spanish/italian/portuguese/dutch/swedish/danish/" +
+          "norwegian — other languages need stemmers this engine does " +
+          "not model)")
       val cs = mm.get("$caseSensitive") match {
         case Some(b: Boolean) => b
         case Some(other) => throw new IllegalArgumentException(

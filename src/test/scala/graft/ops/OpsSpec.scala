@@ -1033,6 +1033,68 @@ class TextFunctionsSpec extends SparkSpec {
     assert(stem("de") == "de" && stem("a1b") == "a1b")
   }
 
+  test("Swedish Snowball stemmer: published-algorithm pairs") {
+    import graft.functions.SwedishSnowball.stem
+    // the orna/or/a plural family meets on one stem
+    assert(stem("flickorna") == "flick" && stem("flickor") == "flick" &&
+      stem("flicka") == "flick")
+    // het + lig chain: the whole möjlig family reaches möj
+    assert(stem("möjligheterna") == "möj" && stem("möjligheter") == "möj"
+      && stem("möjlighet") == "möj" && stem("möjliga") == "möj" &&
+      stem("möjlig") == "möj")
+    // arna/en meet bil
+    assert(stem("bilarna") == "bil" && stem("bilen") == "bil")
+    // step 2: consonant pair FULLY in R1 loses its last letter —
+    // tryckt qualifies, jakt's kt straddles the R1 boundary (setlimit)
+    assert(stem("tryckt") == "tryck" && stem("jakt") == "jakt")
+    // step 3 replacements: löst → lös, fullt → full (in R1)
+    assert(stem("upplöst") == "upplös" &&
+      stem("händelsefullt") == "händelsefull")
+    // valid s-ending (t); the s-ending letter must sit in R1 too
+    assert(stem("husets") == "huset")
+    // short words and non-swedish-alphabet tokens pass through
+    assert(stem("de") == "de" && stem("a1b") == "a1b")
+  }
+
+  test("Danish Snowball stemmer: published-algorithm pairs") {
+    import graft.functions.DanishSnowball.stem
+    // ene/en/e/ens plurals meet hund
+    assert(stem("hundene") == "hund" && stem("hunden") == "hund" &&
+      stem("hunde") == "hund" && stem("hundens") == "hund")
+    // the published showcase: e then els, undersøgelse → undersøg
+    assert(stem("undersøgelse") == "undersøg" &&
+      stem("undersøgelsen") == "undersøg" &&
+      stem("undersøgelser") == "undersøg")
+    // igst → ig → lig chain: venligst/venlige/venlig meet ven
+    assert(stem("venligst") == "ven" && stem("venlige") == "ven" &&
+      stem("venlig") == "ven")
+    assert(stem("billigst") == "bil" && stem("billige") == "bil")
+    // step 4 undouble needs BOTH letters in R1: parallelle qualifies,
+    // bakker's kk straddles the boundary (setlimit) and stays
+    assert(stem("parallelle") == "parallel" && stem("bakker") == "bakk")
+    // short words and non-danish-alphabet tokens pass through
+    assert(stem("og") == "og" && stem("a1b") == "a1b")
+  }
+
+  test("Norwegian Snowball stemmer: published-algorithm pairs") {
+    import graft.functions.NorwegianSnowball.stem
+    // et/ene/ets meet hus
+    assert(stem("huset") == "hus" && stem("husene") == "hus" &&
+      stem("husets") == "hus")
+    // e then lig: the naturlig family meets natur
+    assert(stem("naturlige") == "natur" && stem("naturlig") == "natur")
+    // erte/ert → er: vurderte meets vurdere at vurder
+    assert(stem("vurderte") == "vurder" && stem("vurdere") == "vurder")
+    // en/er/ens meet gutt (no undouble step in Norwegian)
+    assert(stem("guttens") == "gutt" && stem("gutten") == "gutt" &&
+      stem("gutter") == "gutt")
+    // er/et/e verb forms meet kast
+    assert(stem("kaster") == "kast" && stem("kastet") == "kast" &&
+      stem("kaste") == "kast")
+    // short words and non-norwegian-alphabet tokens pass through
+    assert(stem("og") == "og" && stem("a1b") == "a1b")
+  }
+
   test("spanishTokens/italianTokens: stops and stems meet their " +
       "driver twins") {
     val esToks = one("el trabajador de la generosidad")

@@ -333,6 +333,71 @@ class CollationSpec extends SparkSpec {
     assert(idsFor(Map("name" -> Map("$in" -> Seq("BOB")))) == Seq(4, 5))
   }
 
+  test("tailored sv: å/ä/ö sort as distinct post-z letters; primary " +
+      "groups (æ≡ä, ü≡y) match; secondary orders within groups") {
+    val sv1 = Collation.Spec("sv", 1)
+    val sv2 = Collation.Spec("sv", 2)
+    val words = Seq("öga", "zon", "åker", "ära", "arm", "bok", "äpple")
+      .toDF("w")
+    def sortedBy(spec: Collation.Spec): Seq[String] =
+      words.orderBy(spec.key(col("w"))).as[String].collect().toSeq
+    // CLDR sv: …z < å < ä < ö (the lower+strip model would bury å/ä
+    // under a and ö under o)
+    assert(sortedBy(sv1) ==
+      Seq("arm", "bok", "zon", "åker", "äpple", "ära", "öga"))
+    assert(sortedBy(sv2) ==
+      Seq("arm", "bok", "zon", "åker", "äpple", "ära", "öga"))
+    // å is a LETTER, not a-with-ring: år ≠ ar even at strength 1
+    // (an en-strength-1 fold would equate them)
+    def eq1(a: String, b: String): Boolean =
+      words.limit(1).select(
+        (sv1.key(lit(a)) === sv1.foldLit(b)).as("e"))
+        .head().getBoolean(0)
+    assert(!eq1("år", "ar"))
+    assert(eq1("år", "ÅR")) // case still folds
+    // primary-equal groups: æ ≡ ä, ü ≡ y at strength 1
+    assert(eq1("ära", "æra") && eq1("myt", "müt"))
+    // …and strength 2 separates them in CLDR order (ä << æ, y << ü)
+    val pairs = Seq("æra", "ära", "müt", "myt").toDF("w")
+    assert(pairs.orderBy(sv2.key(col("w"))).as[String].collect().toSeq ==
+      Seq("myt", "müt", "ära", "æra"))
+  }
+
+  test("tailored da/nb: æ/ø/å post-z, aa ≡ å at strength ≤ 2, and the " +
+      "CLDR within-group secondary order (æ << ä, ø << ö)") {
+    val da1 = Collation.Spec("da", 1)
+    val da2 = Collation.Spec("da", 2)
+    val words = Seq("ål", "æble", "ørn", "zebra", "bord").toDF("w")
+    def sortedBy(spec: Collation.Spec): Seq[String] =
+      words.orderBy(spec.key(col("w"))).as[String].collect().toSeq
+    // CLDR da: …z < æ < ø < å
+    assert(sortedBy(da1) == Seq("bord", "zebra", "æble", "ørn", "ål"))
+    assert(sortedBy(da2) == Seq("bord", "zebra", "æble", "ørn", "ål"))
+    // the aa digraph IS å below the tertiary level
+    def eq(spec: Collation.Spec, a: String, b: String): Boolean =
+      words.limit(1).select(
+        (spec.key(lit(a)) === spec.foldLit(b)).as("e"))
+        .head().getBoolean(0)
+    assert(eq(da1, "Aalborg", "Ålborg") && eq(da2, "aalborg", "ålborg"))
+    // strength 2: æ sorts BEFORE ä and ø BEFORE ö (binary order is the
+    // opposite — the secondary swap restores CLDR)
+    val sec = Seq("äble", "æble", "ören", "øren").toDF("w")
+    assert(sec.orderBy(da2.key(col("w"))).as[String].collect().toSeq ==
+      Seq("æble", "äble", "øren", "ören"))
+    // nb aliases the same tailoring
+    assert(Collation.parse(Map("locale" -> "nb", "strength" -> 1)) ==
+      Collation.Spec("nb", 1))
+  }
+
+  test("tailored locales reject strength 3 (binary cannot honor the " +
+      "re-ordered primaries)") {
+    val e = intercept[IllegalArgumentException] {
+      Collation.parse(Map("locale" -> "sv", "strength" -> 3,
+        "numericOrdering" -> true))
+    }
+    assert(e.getMessage.contains("tailored"))
+  }
+
   test("pipe(pipeline, collation): $match and $sort fold") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-collation2").toString
