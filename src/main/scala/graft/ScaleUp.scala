@@ -37,7 +37,13 @@ import org.apache.spark.sql.functions._
   * Everything runs in-plan (no driver materialization): each copy is a
   * projection over the source scan, unioned and written once.
   *
-  * Usage: runMain graft.ScaleUp <srcDir> <outDir> <factor> [replica|bounded]
+  * Usage: runMain graft.ScaleUp <srcDir> <outDir> <factor>
+  *          [replica|bounded] [tableFilter]
+  *
+  * `tableFilter` (round 12): optional comma-separated table names —
+  * only those tables are written (the third-decade probe builds a
+  * 1000× documents+embeddings corpus without paying for 1000×
+  * lineitem).
   */
 object ScaleUp {
 
@@ -51,6 +57,10 @@ object ScaleUp {
     val dupMode = if (args.length > 3) args(3) else "replica"
     require(Set("replica", "bounded")(dupMode),
       s"dupMode: $dupMode (replica/bounded)")
+    val only: Set[String] =
+      if (args.length > 4) args(4).split(",").map(_.trim).toSet
+      else Set.empty
+    def wants(name: String): Boolean = only.isEmpty || only(name)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -75,6 +85,7 @@ object ScaleUp {
       * lone part file into place. A ≤~110 MB file still scans in
       * parallel: parquet splits by row group. */
     def writeSingleFile(name: String, df: DataFrame): Unit = {
+      if (!wants(name)) { println(s"[scaleup] skip $name"); return }
       val tmp = s"$outDir/__tmp_$name"
       df.repartition(1).write.mode("overwrite").parquet(tmp)
       val dir = new java.io.File(tmp)
@@ -87,10 +98,17 @@ object ScaleUp {
       println(s"[scaleup] $name")
     }
 
+    /** Balanced union: a left-deep reduce of 1000 copies builds a
+      * 1000-deep plan tree (analyzer recursion trouble); grouping by 8
+      * keeps the tree ~log-depth at any factor. */
+    def treeUnion(dfs: Seq[DataFrame]): DataFrame =
+      if (dfs.sizeIs <= 1) dfs.head
+      else treeUnion(dfs.grouped(8).map(_.reduce(_ union _)).toSeq)
+
     def writeCopies(name: String, base: DataFrame,
         copy: (DataFrame, Int) => DataFrame): Unit =
-      writeSingleFile(name,
-        (0 until factor).map(k => copy(base, k)).reduce(_ union _))
+      if (wants(name)) writeSingleFile(name,
+        treeUnion((0 until factor).map(k => copy(base, k))))
 
     // fixed dimensions: copy verbatim
     Seq("region", "nation").foreach { t => writeSingleFile(t, src(t)) }
