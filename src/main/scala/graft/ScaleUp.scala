@@ -57,9 +57,15 @@ object ScaleUp {
     val dupMode = if (args.length > 3) args(3) else "replica"
     require(Set("replica", "bounded")(dupMode),
       s"dupMode: $dupMode (replica/bounded)")
+    val KnownTables = Set("region", "nation", "customer", "supplier",
+      "part", "orders", "lineitem", "events", "documents", "embeddings")
     val only: Set[String] =
       if (args.length > 4) args(4).split(",").map(_.trim).toSet
       else Set.empty
+    require(only.subsetOf(KnownTables),
+      s"tableFilter: unknown table(s) ${(only -- KnownTables).toSeq.sorted
+        .mkString(", ")} (known: ${KnownTables.toSeq.sorted.mkString(", ")})" +
+        " — a typo here would silently skip the table it meant to build")
     def wants(name: String): Boolean = only.isEmpty || only(name)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -84,7 +90,10 @@ object ScaleUp {
       * (repartition(1) keeps the upstream plan parallel), and move the
       * lone part file into place. A ≤~110 MB file still scans in
       * parallel: parquet splits by row group. */
-    def writeSingleFile(name: String, df: DataFrame): Unit = {
+    // df is BY-NAME: with a tableFilter, a skipped table's source scan,
+    // stride jobs, and plan construction never run at all (the lazy
+    // vals below force only on first use)
+    def writeSingleFile(name: String, df: => DataFrame): Unit = {
       if (!wants(name)) { println(s"[scaleup] skip $name"); return }
       val tmp = s"$outDir/__tmp_$name"
       df.repartition(1).write.mode("overwrite").parquet(tmp)
@@ -105,18 +114,24 @@ object ScaleUp {
       if (dfs.sizeIs <= 1) dfs.head
       else treeUnion(dfs.grouped(8).map(_.reduce(_ union _)).toSeq)
 
-    def writeCopies(name: String, base: DataFrame,
+    def writeCopies(name: String, base: => DataFrame,
         copy: (DataFrame, Int) => DataFrame): Unit =
-      if (wants(name)) writeSingleFile(name,
+      // writeSingleFile's by-name df defers the whole plan construction
+      // past its wants() check, and the skip gets logged uniformly
+      writeSingleFile(name,
         treeUnion((0 until factor).map(k => copy(base, k))))
 
     // fixed dimensions: copy verbatim
     Seq("region", "nation").foreach { t => writeSingleFile(t, src(t)) }
 
-    val customer = src("customer"); val custS = stride(customer, "c_custkey")
-    val supplier = src("supplier"); val suppS = stride(supplier, "s_suppkey")
-    val part = src("part");         val partS = stride(part, "p_partkey")
-    val orders = src("orders");     val ordS = stride(orders, "o_orderkey")
+    lazy val customer = src("customer")
+    lazy val custS = stride(customer, "c_custkey")
+    lazy val supplier = src("supplier")
+    lazy val suppS = stride(supplier, "s_suppkey")
+    lazy val part = src("part")
+    lazy val partS = stride(part, "p_partkey")
+    lazy val orders = src("orders")
+    lazy val ordS = stride(orders, "o_orderkey")
 
     writeCopies("customer", customer, (df, k) =>
       df.withColumn("c_custkey", col("c_custkey") + k * custS))
@@ -132,9 +147,9 @@ object ScaleUp {
       .withColumn("l_partkey", col("l_partkey") + k * partS)
       .withColumn("l_suppkey", col("l_suppkey") + k * suppS))
 
-    val events = src("events")
-    val evS = stride(events, "event_id")
-    val userS = stride(events, "user_id")
+    lazy val events = src("events")
+    lazy val evS = stride(events, "event_id")
+    lazy val userS = stride(events, "user_id")
     writeCopies("events", events, (df, k) => df
       .withColumn("event_id", col("event_id") + k * evS)
       .withColumn("user_id", col("user_id") + k * userS))
@@ -143,9 +158,9 @@ object ScaleUp {
     // hash-picked replacements from the copy-0 vocabulary, so the corpus
     // grows like fresh text (stable doc-frequency) instead of stacking
     // exact replicas
-    val documents = src("documents")
-    val docS = stride(documents, "doc_id")
-    val vocabArr = {
+    lazy val documents = src("documents")
+    lazy val docS = stride(documents, "doc_id")
+    lazy val vocabArr = {
       val words = documents.select(explode(split(col("text"), " ")).as("w"))
         .where(length(col("w")) > 0)
         .groupBy("w").count().orderBy(desc("count"), asc("w"))

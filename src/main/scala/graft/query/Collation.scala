@@ -41,6 +41,15 @@ object Collation {
       caseLevel: Boolean = false,
       caseFirst: String = "off") {
 
+    /** True when [[key]] produces a STRUCT-typed key (caseLevel's
+      * (primary, case-pattern) pair, or a tailored locale's strength-2
+      * (primary, secondary) pair) — consumers that mix non-string
+      * literals into an `isin` must drop them instead (int vs struct
+      * fails analysis, where Mongo semantics are "matches no string
+      * row"). */
+    def structKey: Boolean =
+      caseLevel || (strength == 2 && Tailorings.contains(locale))
+
     // ICU case weights: under the default (off/lower) lowercase and
     // uncased elements order before uppercase; caseFirst "upper" swaps
     // the two bit characters, so uppercase orders first and uncased
@@ -87,8 +96,11 @@ object Collation {
               graft.functions.CollationFunctions.numeric_sort_key(x)
             else x
           val lowered = lower(base0)
+          // LITERAL replace (like the driver twin's String.replace) —
+          // regexp_replace would silently diverge from foldLit the day
+          // a tailoring's digraph contains a regex metacharacter
           val pre = t.preReplace.fold(lowered) { case (f, r) =>
-            regexp_replace(lowered, f, r)
+            replace(lowered, lit(f), lit(r))
           }
           val primary = numify(stripDiacritics(
             translate(pre, t.primaryFrom, t.primaryTo)))

@@ -273,20 +273,24 @@ object QueryCompiler {
       vs0.filterNot(_.isInstanceOf[String]) else vs0
     if (vs.isEmpty) return lit(false)
     activeCollation.value match {
-      case Some(sp) if vs.exists(_.isInstanceOf[String]) &&
-          fieldIsString(field) =>
+      // struct-shaped keys must also claim ALL-non-string lists: the
+      // raw-column fallback's isin would ANSI-cast the string column to
+      // the member type and throw, where Mongo simply matches nothing
+      case Some(sp) if fieldIsString(field) &&
+          (vs.exists(_.isInstanceOf[String]) || sp.structKey) =>
         // foldLit keeps the literal the same SHAPE as the key (a struct
         // under caseLevel); isin passes Columns through lit() untouched.
         // Under caseLevel a non-string $in member cannot share the
         // struct-typed isin (int vs struct would fail analysis, where
         // Mongo semantics are simply "matches no string row") — it
         // compares against the RAW column instead
-        if (sp.caseLevel) {
+        if (sp.structKey) {
           // non-string members can never equal a string-typed field
           // (fieldIsString gated this branch) — drop them rather than
-          // compare: mixing them into the struct-typed isin fails
-          // analysis, and an ANSI-mode raw-column compare would throw
-          // casting the column to the member's type
+          // compare: mixing them into the struct-typed isin (caseLevel
+          // OR tailored strength 2) fails analysis, and an ANSI-mode
+          // raw-column compare would throw casting the column to the
+          // member's type
           val strs = vs.collect { case s: String => s }
           if (strs.isEmpty) lit(false)
           else sp.key(c).isin(strs.map(sp.foldLit): _*)

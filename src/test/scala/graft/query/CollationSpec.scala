@@ -389,6 +389,26 @@ class CollationSpec extends SparkSpec {
       Collation.Spec("nb", 1))
   }
 
+  test("tailored strength-2 $in drops non-string members (struct key " +
+      "cannot mix scalar literals; Mongo semantics: they match no " +
+      "string row)") {
+    val rows = Seq((1L, "Aalborg"), (2L, "Ålborg"), (3L, "ørn"))
+      .toDF("_id", "city")
+    val spec = Some(Collation.parse(
+      Map("locale" -> "da", "strength" -> 2)))
+    val got = rows.where(QueryCompiler.compile(
+      Map("city" -> Map("$in" -> Seq("ålborg", 5))), spec))
+      .select("_id").as[Long].collect().toSeq.sorted
+    // aa ≡ å below tertiary, case folds at strength 2; the int member
+    // matches nothing and must not break analysis
+    assert(got == Seq(1L, 2L))
+    // all-non-string member lists match no string row at all
+    val none = rows.where(QueryCompiler.compile(
+      Map("city" -> Map("$in" -> Seq(5, 7))), spec))
+      .count()
+    assert(none == 0)
+  }
+
   test("tailored locales reject strength 3 (binary cannot honor the " +
       "re-ordered primaries)") {
     val e = intercept[IllegalArgumentException] {
