@@ -1343,6 +1343,163 @@ object SparkEntry {
         Map("$project" -> Map("doc_id" -> 1, "tag" -> 1))),
         Map("locale" -> "da", "strength" -> 2))),
 
+    // lucene.russian $search: Snowball Russian stemming — the first
+    // non-Latin ALPHABETIC analysis chain (CJK covers the
+    // no-word-separator case); бегать/бегала/бегали meet on one stem,
+    // возможности/возможностями/возможностей likewise (noun ending +
+    // derivational ость-in-R2), and the stop slot (и/в/не/на) never
+    // matches — nor does the stop query term и
+    "q212_search_russian_stemming" -> ((s, dir) => {
+      val w1 = Seq("бегала", "бегали", "книгами", "красивый", "бегать")
+      val w2 = Seq("и", "в", "не", "на")
+      val w3 = Seq("возможностями", "возможность", "книга",
+        "странное", "возможностей")
+      val df = tbl(s, dir, "documents").where(col("doc_id") < 400)
+        .withColumn("rtext", concat_ws(" ",
+          element_at(typedlit(w1), (col("doc_id") % 5 + 1).cast("int")),
+          element_at(typedlit(w2),
+            ((col("doc_id") / 5).cast("long") % 4 + 1).cast("int")),
+          element_at(typedlit(w3),
+            ((col("doc_id") / 20).cast("long") % 5 + 1).cast("int"))))
+      graft.pipeline.PipelineCompiler.compile(Seq(
+        Map("$search" -> Map(
+          "analyzer" -> "lucene.russian",
+          "compound" -> Map("filter" -> Seq(
+            Map("text" -> Map(
+              "query" -> "и бегать возможности",
+              "path" -> "rtext")))))),
+        Map("$project" -> Map("doc_id" -> 1))))(df)
+        .orderBy("doc_id")
+    }),
+
+    // tailored Russian collation at strength 2: ё collates as a
+    // secondary variant of е (CLDR ru) — binary order would exile the
+    // ё-words past я; strength 2 orders е << ё inside each primary
+    // group
+    "q213_collation_russian_yo" -> ((s, dir) =>
+      coll(s, dir, "documents").pipe(Seq(
+        Map("$match" -> Map("doc_id" -> Map("$lt" -> 280))),
+        Map("$addFields" -> Map("tag" -> Map("$switch" -> Map(
+          "branches" -> Seq(
+            Map("case" -> Map("$eq" -> Seq(
+              Map("$mod" -> Seq("$doc_id", 6)), 0)), "then" -> "еж"),
+            Map("case" -> Map("$eq" -> Seq(
+              Map("$mod" -> Seq("$doc_id", 6)), 1)), "then" -> "ёж"),
+            Map("case" -> Map("$eq" -> Seq(
+              Map("$mod" -> Seq("$doc_id", 6)), 2)), "then" -> "елка"),
+            Map("case" -> Map("$eq" -> Seq(
+              Map("$mod" -> Seq("$doc_id", 6)), 3)), "then" -> "ёлка"),
+            Map("case" -> Map("$eq" -> Seq(
+              Map("$mod" -> Seq("$doc_id", 6)), 4)), "then" -> "жук")),
+          "default" -> "яблоко")))),
+        Map("$sort" -> Map("tag" -> 1, "doc_id" -> 1)),
+        Map("$project" -> Map("doc_id" -> 1, "tag" -> 1))),
+        Map("locale" -> "ru", "strength" -> 2))),
+
+    // tailored Turkish collation: the dotless-i CASE FOLD itself is
+    // locale-tailored (I→ı, İ→i — Iğdır folds to ığdır, İzmir to
+    // izmir), and ç/ğ/ı/ö/ş/ü re-order as distinct letters
+    // MID-alphabet (ç right after c, ı BEFORE i) — binary would sort
+    // the uppercase words first and ç past z
+    "q214_collation_turkish" -> ((s, dir) =>
+      coll(s, dir, "documents").pipe(Seq(
+        Map("$match" -> Map("doc_id" -> Map("$lt" -> 280))),
+        Map("$addFields" -> Map("tag" -> Map("$switch" -> Map(
+          "branches" -> Seq(
+            Map("case" -> Map("$eq" -> Seq(
+              Map("$mod" -> Seq("$doc_id", 7)), 0)), "then" -> "cam"),
+            Map("case" -> Map("$eq" -> Seq(
+              Map("$mod" -> Seq("$doc_id", 7)), 1)), "then" -> "çam"),
+            Map("case" -> Map("$eq" -> Seq(
+              Map("$mod" -> Seq("$doc_id", 7)), 2)), "then" -> "Iğdır"),
+            Map("case" -> Map("$eq" -> Seq(
+              Map("$mod" -> Seq("$doc_id", 7)), 3)), "then" -> "ırmak"),
+            Map("case" -> Map("$eq" -> Seq(
+              Map("$mod" -> Seq("$doc_id", 7)), 4)),
+              "then" -> "istanbul"),
+            Map("case" -> Map("$eq" -> Seq(
+              Map("$mod" -> Seq("$doc_id", 7)), 5)), "then" -> "İzmir")),
+          "default" -> "şeker")))),
+        Map("$sort" -> Map("tag" -> 1, "doc_id" -> 1)),
+        Map("$project" -> Map("doc_id" -> 1, "tag" -> 1))),
+        Map("locale" -> "tr", "strength" -> 1))),
+
+    // collation backwards (fr_CA's ICU default): the secondary
+    // (accent) level compares from the END of the string — côte
+    // sorts BEFORE coté (the LAST accent difference decides), while
+    // the primary level still dominates (cotre/cozy after the whole
+    // cote family regardless of accents)
+    "q215_collation_fr_backwards" -> ((s, dir) =>
+      coll(s, dir, "documents").pipe(Seq(
+        Map("$match" -> Map("doc_id" -> Map("$lt" -> 280))),
+        Map("$addFields" -> Map("tag" -> Map("$switch" -> Map(
+          "branches" -> Seq(
+            Map("case" -> Map("$eq" -> Seq(
+              Map("$mod" -> Seq("$doc_id", 6)), 0)), "then" -> "cote"),
+            Map("case" -> Map("$eq" -> Seq(
+              Map("$mod" -> Seq("$doc_id", 6)), 1)), "then" -> "coté"),
+            Map("case" -> Map("$eq" -> Seq(
+              Map("$mod" -> Seq("$doc_id", 6)), 2)), "then" -> "côte"),
+            Map("case" -> Map("$eq" -> Seq(
+              Map("$mod" -> Seq("$doc_id", 6)), 3)), "then" -> "côté"),
+            Map("case" -> Map("$eq" -> Seq(
+              Map("$mod" -> Seq("$doc_id", 6)), 4)), "then" -> "cotre")),
+          "default" -> "cozy")))),
+        Map("$sort" -> Map("tag" -> 1, "doc_id" -> 1)),
+        Map("$project" -> Map("doc_id" -> 1, "tag" -> 1))),
+        Map("locale" -> "fr_CA", "strength" -> 2))),
+
+    // collation normalization: true — canonically-equivalent input
+    // (decomposed e + COMBINING ACUTE vs precomposed é) collates
+    // equal: the key composes to NFC before the strength fold, so the
+    // decomposed slots match a precomposed query literal
+    "q216_collation_normalization" -> ((s, dir) =>
+      coll(s, dir, "documents").pipe(Seq(
+        Map("$match" -> Map("doc_id" -> Map("$lt" -> 300))),
+        Map("$addFields" -> Map("tag" -> Map("$switch" -> Map(
+          "branches" -> Seq(
+            Map("case" -> Map("$eq" -> Seq(
+              Map("$mod" -> Seq("$doc_id", 5)), 0)), "then" -> "café"),
+            Map("case" -> Map("$eq" -> Seq(
+              Map("$mod" -> Seq("$doc_id", 5)), 1)),
+              "then" -> "café"), // decomposed
+            Map("case" -> Map("$eq" -> Seq(
+              Map("$mod" -> Seq("$doc_id", 5)), 2)),
+              "then" -> "CAFÉ"), // decomposed, uppercase
+            Map("case" -> Map("$eq" -> Seq(
+              Map("$mod" -> Seq("$doc_id", 5)), 3)), "then" -> "cafe")),
+          "default" -> "latte")))),
+        Map("$match" -> Map("tag" -> "café")),
+        Map("$project" -> Map("doc_id" -> 1))),
+        Map("locale" -> "en", "strength" -> 2,
+          "normalization" -> true))
+        .orderBy("doc_id")),
+
+    // aggregate-level collation applies to $group EQUALITY (Mongo runs
+    // the whole pipeline under the collation): at strength 2 the
+    // case-variant tags are ONE group; the engine surfaces the
+    // deterministic min-original as _id (Mongo's representative is
+    // first-encountered, i.e. unspecified) and the trailing $sort folds
+    // through the same key
+    "q217_group_collation" -> ((s, dir) =>
+      coll(s, dir, "documents").pipe(Seq(
+        Map("$match" -> Map("doc_id" -> Map("$lt" -> 300))),
+        Map("$addFields" -> Map("tag" -> Map("$switch" -> Map(
+          "branches" -> Seq(
+            Map("case" -> Map("$eq" -> Seq(
+              Map("$mod" -> Seq("$doc_id", 5)), 0)), "then" -> "Alpha"),
+            Map("case" -> Map("$eq" -> Seq(
+              Map("$mod" -> Seq("$doc_id", 5)), 1)), "then" -> "alpha"),
+            Map("case" -> Map("$eq" -> Seq(
+              Map("$mod" -> Seq("$doc_id", 5)), 2)), "then" -> "ALPHA"),
+            Map("case" -> Map("$eq" -> Seq(
+              Map("$mod" -> Seq("$doc_id", 5)), 3)), "then" -> "Beta")),
+          "default" -> "beta")))),
+        Map("$group" -> Map("_id" -> "$tag",
+          "n" -> Map("$sum" -> 1))),
+        Map("$sort" -> Map("_id" -> 1))),
+        Map("locale" -> "en", "strength" -> 2))),
+
     // lucene.cjk bigram analysis: CJK text has no word separators, so
     // the analyzer matches on overlapping character bigrams (Lucene
     // CJKAnalyzer's published algorithm) — "数据处理" analyzes to
@@ -5003,6 +5160,100 @@ object SparkEntry {
         |  '""".stripMargin +
         "yyd" +
         """'), translate(pre, 'äæöø', 'æäøö'), doc_id"""),
+
+    // honest-reduction (the q197/q205 pattern): Snowball Russian
+    // stem-equivalence reduces ON THIS FIXTURE to membership in the
+    // inflection groups whose stems match the analyzed query terms
+    // (бега / возможн); the stemmer itself is pinned by unit specs on
+    // published-algorithm pairs, the stop term (и) must never match
+    "q212_search_russian_stemming" ->
+      """SELECT doc_id FROM documents
+        |WHERE doc_id < 400 AND (
+        |  (doc_id % 5) IN (0, 1, 4)
+        |  OR ((doc_id // 20) % 5) IN (0, 1, 4))
+        |ORDER BY doc_id""".stripMargin,
+
+    // strength-2 tailored ru key = (primary, secondary): primary folds
+    // ё→е (CLDR: ё is a secondary variant of е), secondary is the raw
+    // text (binary е < ё matches CLDR's within-group order); Cyrillic
+    // base letters are already in CLDR primary order in code points
+    "q213_collation_russian_yo" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 6 WHEN 0 THEN 'еж' WHEN 1 THEN 'ёж'
+        |      WHEN 2 THEN 'елка' WHEN 3 THEN 'ёлка' WHEN 4 THEN 'жук'
+        |      ELSE 'яблоко' END AS tag
+        |  FROM documents WHERE doc_id < 280)
+        |SELECT doc_id, tag FROM t
+        |ORDER BY replace(lower(tag), 'ё', 'е'), lower(tag), doc_id"""
+        .stripMargin,
+
+    // strength-1 tailored tr key: the Turkish case fold FIRST (İ→i,
+    // I→ı — NOT the root fold), then the whole letter sequence routes
+    // to consecutive private-use stand-ins in CLDR tr order (ç right
+    // after c, ı BEFORE i, ş after s, ü after u); the oracle rebuilds
+    // the identical stand-in page with the same translate
+    "q214_collation_turkish" ->
+      ("""WITH t AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 7 WHEN 0 THEN 'cam' WHEN 1 THEN 'çam'
+        |      WHEN 2 THEN 'Iğdır' WHEN 3 THEN 'ırmak'
+        |      WHEN 4 THEN 'istanbul' WHEN 5 THEN 'İzmir'
+        |      ELSE 'şeker' END AS tag
+        |  FROM documents WHERE doc_id < 280)
+        |SELECT doc_id, tag FROM t
+        |ORDER BY translate(
+        |  lower(replace(replace(tag, 'İ', 'i'), 'I', 'ı')),
+        |  '""".stripMargin + "abcçdefgğhıijklmnoöpqrsştuüvwxyz" +
+        "', '" + (0 until 32).map(i => (0xE100 + i).toChar).mkString +
+        "'), doc_id"),
+
+    // fr_CA backwards key = (primary, reversed secondary): primary
+    // strips accents; the secondary swaps acute↔grave (DUCET order)
+    // and is REVERSED, so the binary comparison reads the accents from
+    // the END of the string — côte before coté
+    "q215_collation_fr_backwards" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 6 WHEN 0 THEN 'cote' WHEN 1 THEN 'coté'
+        |      WHEN 2 THEN 'côte' WHEN 3 THEN 'côté' WHEN 4 THEN 'cotre'
+        |      ELSE 'cozy' END AS tag
+        |  FROM documents WHERE doc_id < 280)
+        |SELECT doc_id, tag FROM t
+        |ORDER BY translate(lower(tag), 'ôé', 'oe'),
+        |  reverse(translate(lower(tag), 'àáèéìíòóùú', 'áàéèíìóòúù')),
+        |  doc_id""".stripMargin,
+
+    // normalization: true — the oracle composes with DuckDB's own
+    // nfc_normalize, the same canonical composition the engine's
+    // native expression applies (JDK Normalizer); strength 2 then
+    // folds case only, so the two decomposed slots match the
+    // precomposed literal and the accent-less 'cafe' slot does NOT
+    "q216_collation_normalization" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 5 WHEN 0 THEN 'café'
+        |      WHEN 1 THEN 'cafe' || chr(769)
+        |      WHEN 2 THEN 'CAFE' || chr(769)
+        |      WHEN 3 THEN 'cafe' ELSE 'latte' END AS tag
+        |  FROM documents WHERE doc_id < 300)
+        |SELECT doc_id FROM t
+        |WHERE lower(nfc_normalize(tag)) = 'café'
+        |ORDER BY doc_id""".stripMargin,
+
+    // collated $group: GROUP BY the folded key, min(original) as the
+    // deterministic _id representative, count as the accumulator; the
+    // trailing sort folds through the same key
+    "q217_group_collation" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 5 WHEN 0 THEN 'Alpha' WHEN 1 THEN 'alpha'
+        |      WHEN 2 THEN 'ALPHA' WHEN 3 THEN 'Beta' ELSE 'beta'
+        |      END AS tag
+        |  FROM documents WHERE doc_id < 300)
+        |SELECT min(tag) AS _id, count(*) AS n FROM t
+        |GROUP BY lower(tag)
+        |ORDER BY lower(min(tag))""".stripMargin,
 
     // the oracle rebuilds the caseLevel struct key in SQL: primary =
     // lower(tag), case level = the per-letter bit pattern with the

@@ -115,8 +115,59 @@ case class NumericSortKey(child: Expression) extends UnaryExpression {
       newChild: Expression): Expression = copy(newChild)
 }
 
+/** Unicode NFC normalization (Mongo `collation.normalization`).
+  *
+  * ICU collation normalizes input so canonically-equivalent strings
+  * ("é" precomposed U+00E9 vs decomposed e + U+0301) collate equal.
+  * This engine's fold tables ([[graft.query.Collation]]) are keyed on
+  * PRECOMPOSED characters, so the faithful mapping of
+  * `normalization: true` is composing the input to NFC before the
+  * fold — decomposed input then hits the same translate tables as
+  * precomposed. JDK `java.text.Normalizer` is the implementation
+  * (public platform API, same canonical-composition tables ICU uses);
+  * one static call inside whole-stage codegen. */
+object NfcNormalizer {
+  def nfc(s: String): String =
+    if (java.text.Normalizer.isNormalized(s,
+      java.text.Normalizer.Form.NFC)) s // fast path: no allocation
+    else java.text.Normalizer.normalize(s,
+      java.text.Normalizer.Form.NFC)
+}
+
+/** `nfc_normalize(str)` — scalar Catalyst expression; null-safe,
+  * codegen is one static call to [[NfcNormalizer.nfc]]. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(
+        s"nfc_normalize expects a string, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(
+      NfcNormalizer.nfc(input.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.functions.NfcNormalizer.nfc($c.toString()))")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(newChild)
+}
+
 object CollationFunctions {
   /** Column-level numeric-ordering collation key. */
   def numeric_sort_key(c: Column): Column =
     ColumnBridge.column(NumericSortKey(ColumnBridge.expression(c)))
+
+  /** Column-level NFC normalization. */
+  def nfc_normalize(c: Column): Column =
+    ColumnBridge.column(NfcNormalize(ColumnBridge.expression(c)))
 }

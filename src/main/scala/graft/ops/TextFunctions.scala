@@ -525,6 +525,48 @@ object TextFunctions {
   def cjkTerms(q: String): Seq[String] =
     graft.functions.CjkTokenizer.terms(q)
 
+  /** Snowball Russian stop list (Lucene's russian_stop.txt). */
+  private[graft] val RussianStopWords = Set(
+    "и", "в", "во", "не", "что", "он", "на", "я", "с", "со", "как",
+    "а", "то", "все", "она", "так", "его", "но", "да", "ты", "к",
+    "у", "же", "вы", "за", "бы", "по", "только", "ее", "мне",
+    "было", "вот", "от", "меня", "еще", "нет", "о", "из", "ему",
+    "теперь", "когда", "даже", "ну", "вдруг", "ли", "если", "уже",
+    "или", "ни", "быть", "был", "него", "до", "вас", "нибудь",
+    "опять", "уж", "вам", "сказал", "ведь", "там", "потом", "себя",
+    "ничего", "ей", "может", "они", "тут", "где", "есть", "надо",
+    "ней", "для", "мы", "тебя", "их", "чем", "была", "сам", "чтоб",
+    "без", "будто", "человек", "чего", "раз", "тоже", "себе",
+    "под", "жизнь", "будет", "ж", "тогда", "кто", "этот", "говорил",
+    "того", "потому", "этого", "какой", "совсем", "ним", "здесь",
+    "этом", "один", "почти", "мой", "тем", "чтобы", "нее", "кажется",
+    "сейчас", "были", "куда", "зачем", "сказать", "всех", "никогда",
+    "сегодня", "можно", "при", "наконец", "два", "об", "другой",
+    "хоть", "после", "над", "больше", "тот", "через", "эти", "нас",
+    "про", "всего", "них", "какая", "много", "разве", "сказала",
+    "три", "эту", "моя", "впрочем", "хорошо", "свою", "этой",
+    "перед", "иногда", "лучше", "чуть", "том", "нельзя", "такой",
+    "им", "более", "всегда", "конечно", "всю", "между")
+
+  /** `lucene.russian`-style analysis: lowercase, split on
+    * non-alphanumeric runs (Unicode `\p{L}` keeps Cyrillic words
+    * whole), drop the Snowball Russian stop set, Snowball-stem each
+    * token ([[graft.functions.RussianSnowball]], a native
+    * expression — the stemmer's own prelude folds ё→е). */
+  def russianTokens(text: Column): Column =
+    transform(
+      filter(
+        split(lower(text), "[^\\p{L}\\p{N}]+"),
+        t => t =!= lit("") && !t.isin(RussianStopWords.toSeq: _*)),
+      t => graft.functions.RussianStemFunctions.russian_stem(t))
+
+  /** Driver-side twin of [[russianTokens]]. */
+  def russianTerms(q: String): Seq[String] =
+    q.toLowerCase(java.util.Locale.ROOT)
+      .split("[^\\p{L}\\p{N}]+")
+      .filter(t => t.nonEmpty && !RussianStopWords(t))
+      .map(graft.functions.RussianSnowball.stem).toSeq
+
   /** Language analyzers by `lucene.*` name: (document-token column
     * chain, driver-side query-term twin). The ONE registry every
     * dispatch site consults — `$search` text/phrase legs and `$text
@@ -544,6 +586,7 @@ object TextFunctions {
     "lucene.swedish" -> ((swedishTokens _, swedishTerms _)),
     "lucene.danish" -> ((danishTokens _, danishTerms _)),
     "lucene.norwegian" -> ((norwegianTokens _, norwegianTerms _)),
+    "lucene.russian" -> ((russianTokens _, russianTerms _)),
     "lucene.cjk" -> ((cjkTokens _, cjkTerms _)))
 
   /** In-order sloppy phrase occurrences: the number of start positions in

@@ -272,30 +272,73 @@ object PipelineCompiler {
             part.groupBy(col("_id")).agg(stage2.head, stage2.tail: _*)
           }
         }
+        // Aggregate-level collation applies to $group EQUALITY too
+        // (Mongo: string keys compare under the collation). String-typed
+        // keys group under the collation KEY; the emitted _id is the
+        // MINIMUM original value of each group — Mongo surfaces
+        // whichever document it met first (nondeterministic), so the
+        // engine picks the deterministic representative an oracle can
+        // reproduce. The fold is a scalar key expression, so the plan
+        // stays one hash aggregate; the salted-skew path is skipped
+        // (map-side partials + AQE carry collated skew).
+        val collSpec = graft.query.QueryCompiler.activeCollation.value
+        def strTyped(c: Column): Boolean =
+          try df.select(c).schema.head.dataType ==
+            org.apache.spark.sql.types.StringType
+          catch {
+            case _: org.apache.spark.sql.AnalysisException => false
+          }
+        // fold one scalar key; None = collation does not apply
+        def foldKey(c: Column): Option[Column] =
+          collSpec.filter(_ => strTyped(c)).map(_.key(c))
+        def collGrouped(orig: Column, folded: Column): DataFrame = {
+          val rep = min(orig).as("_id")
+          if (aggs.isEmpty) df.groupBy(folded.as("__ck")).agg(rep)
+            .select("_id")
+          else df.groupBy(folded.as("__ck")).agg(rep, aggs: _*)
+            .drop("__ck")
+        }
         idSpec match {
           case null => // global aggregation, _id: null
             require(aggs.nonEmpty, "$group {_id: null} needs an accumulator")
             df.agg(aggs.head, aggs.tail: _*)
           case ref: String if ref.startsWith("$") =>
-            // _id-only $group is Mongo's distinct idiom — no accumulators
-            if (aggs.isEmpty) df.select(col(ref.drop(1)).as("_id")).distinct()
-            else saltedAgg(col(ref.drop(1)).as("_id"))
-              .getOrElse(df.groupBy(col(ref.drop(1)).as("_id"))
-                .agg(aggs.head, aggs.tail: _*))
+            val idCol = col(ref.drop(1))
+            foldKey(idCol).map(collGrouped(idCol, _)).getOrElse {
+              // _id-only $group is Mongo's distinct idiom
+              if (aggs.isEmpty) df.select(idCol.as("_id")).distinct()
+              else saltedAgg(idCol.as("_id"))
+                .getOrElse(df.groupBy(idCol.as("_id"))
+                  .agg(aggs.head, aggs.tail: _*))
+            }
           case m: Map[_, _] if m.keys.exists(_.toString.startsWith("$")) =>
             // operator doc: _id is an EXPRESSION ({$month: "$d"}, $concat…)
-            val key = expr2col(m, groupEnv).as("_id")
-            if (aggs.isEmpty) df.select(key).distinct()
-            else saltedAgg(key).getOrElse(
-              df.groupBy(key).agg(aggs.head, aggs.tail: _*))
+            val idCol = expr2col(m, groupEnv)
+            foldKey(idCol).map(collGrouped(idCol, _)).getOrElse {
+              val key = idCol.as("_id")
+              if (aggs.isEmpty) df.select(key).distinct()
+              else saltedAgg(key).getOrElse(
+                df.groupBy(key).agg(aggs.head, aggs.tail: _*))
+            }
           case m: Map[_, _] => // compound key {k: "$f", ...} → struct _id
-            val keys = m.asInstanceOf[Map[String, Any]].toSeq.map {
-              case (k, v) => expr2col(v, groupEnv).as(k) }
-            if (aggs.isEmpty)
-              df.select(struct(keys: _*).as("_id")).distinct()
-            else saltedAgg(struct(keys: _*).as("_id")).getOrElse(
-              df.groupBy(struct(keys: _*).as("_id"))
-                .agg(aggs.head, aggs.tail: _*))
+            val named = m.asInstanceOf[Map[String, Any]].toSeq.map {
+              case (k, v) => (k, expr2col(v, groupEnv)) }
+            val keys = named.map { case (k, c) => c.as(k) }
+            val foldedMembers = collSpec.map(_ => named.map {
+              case (_, c) => foldKey(c).getOrElse(c) })
+            foldedMembers match {
+              case Some(fm) if fm.zip(named).exists {
+                  case (f, (_, c)) => f ne c } =>
+                // at least one string member folds: group on the folded
+                // struct, surface min(original struct) as _id
+                collGrouped(struct(keys: _*), struct(fm: _*))
+              case _ =>
+                if (aggs.isEmpty)
+                  df.select(struct(keys: _*).as("_id")).distinct()
+                else saltedAgg(struct(keys: _*).as("_id")).getOrElse(
+                  df.groupBy(struct(keys: _*).as("_id"))
+                    .agg(aggs.head, aggs.tail: _*))
+            }
           case other =>
             throw new IllegalArgumentException(s"$$group _id: $other")
         }

@@ -39,7 +39,9 @@ object Collation {
       alternateShifted: Boolean = false,
       maxVariable: String = "punct",
       caseLevel: Boolean = false,
-      caseFirst: String = "off") {
+      caseFirst: String = "off",
+      backwards: Boolean = false,
+      normalization: Boolean = false) {
 
     /** True when [[key]] produces a STRUCT-typed key (caseLevel's
       * (primary, case-pattern) pair, or a tailored locale's strength-2
@@ -78,40 +80,76 @@ object Collation {
       * need a separator below 'U+0001' (taken by the numeric marker),
       * and embedded NULs don't survive every engine.
       *
-      * TAILORED locales (sv/da/nb/no, [[Tailorings]]): the primary
-      * level routes the tailored letters to stand-ins ABOVE z before
-      * the generic accent strip, so å/ä/ö (sv) and æ/ø/å (da/nb/no)
-      * sort as the distinct post-z letters CLDR declares instead of
-      * stripping to a/o; strength 2 becomes a (primary, secondary)
-      * struct — ICU compares the whole primary level first, then
-      * accents — with the secondary string's within-group order
-      * corrected where binary disagrees with CLDR (da: æ<<ä, ø<<ö). */
+      * TAILORED locales ([[Tailorings]]): the primary level routes the
+      * tailored letters to private-use stand-ins before the generic
+      * accent strip — post-z for å/ä/ö (sv) and æ/ø/å (da/nb/no), a
+      * whole re-ordered alphabet page for tr (ç after c, ı before i,
+      * with the dotless-i case fold applied before lowercase), ё→е
+      * for ru — and strength 2 becomes a (primary, secondary) struct:
+      * ICU compares the whole primary level first, then accents, with
+      * the secondary string's within-group order corrected where
+      * binary disagrees with CLDR (da: æ<<ä, ø<<ö; đ<<ð; acute<<grave
+      * for fr/tr). fr/fr_CA tailor NOTHING at the primary level but
+      * gain the true two-level reading ("côte" < "cozy"), which is
+      * what `backwards` (fr_CA's default) reverses — the secondary
+      * key is reversed so binary order reads accents from the END.
+      * `normalization: true` composes the input to NFC first
+      * ([[graft.functions.NfcNormalize]]), so canonically-equivalent
+      * decomposed input collates equal. */
     def key(c: Column): Column = {
+      // normalization: true composes the input to NFC FIRST, so
+      // canonically-equivalent (decomposed) input hits the same
+      // precomposed fold tables — both sides of every comparison
+      val base00 =
+        if (normalization)
+          graft.functions.CollationFunctions.nfc_normalize(c)
+        else c
       val base0 =
-        if (alternateShifted) regexp_replace(c, variableRegex, "") else c
+        if (alternateShifted) regexp_replace(base00, variableRegex, "")
+        else base00
       val num: Column = Tailorings.get(locale) match {
-        case Some(t) =>
+        // the tailored two-level key exists at strengths 1/2 only; a
+        // non-primary-reordering tailoring (fr/fr_CA) at strength 3
+        // (numericOrdering / shifted) falls through to the generic
+        // binary path below, like any untailored locale
+        case Some(t) if strength <= 2 =>
           def numify(x: Column): Column =
             if (numericOrdering)
               graft.functions.CollationFunctions.numeric_sort_key(x)
             else x
-          val lowered = lower(base0)
+          // locale-tailored CASE folding runs BEFORE lowercase (tr:
+          // I→ı, İ→i — dotless-i changes the fold itself, not just
+          // the order)
+          val cased =
+            if (t.preLowerFrom.isEmpty) base0
+            else translate(base0, t.preLowerFrom, t.preLowerTo)
+          val lowered = lower(cased)
           // LITERAL replace (like the driver twin's String.replace) —
           // regexp_replace would silently diverge from foldLit the day
           // a tailoring's digraph contains a regex metacharacter
           val pre = t.preReplace.fold(lowered) { case (f, r) =>
             replace(lowered, lit(f), lit(r))
           }
-          val primary = numify(stripDiacritics(
-            translate(pre, t.primaryFrom, t.primaryTo)))
+          val routed =
+            if (t.primaryFrom.isEmpty) pre
+            else translate(pre, t.primaryFrom, t.primaryTo)
+          val primary = numify(stripDiacritics(routed))
           if (strength == 1) primary
           else {
             val sec0 =
               if (t.secondaryFrom.isEmpty) pre
               else translate(pre, t.secondaryFrom, t.secondaryTo)
-            struct(primary.as("p1"), numify(sec0).as("s2"))
+            val sec = numify(sec0)
+            // backwards (fr_CA default): the secondary level compares
+            // from the END of the string — exactly the binary order of
+            // the REVERSED secondary key (primaries tie ⇒ base letters
+            // and any digit-run encodings are identical on both sides,
+            // so the reversal aligns position-by-position and the
+            // first difference is the LAST accent difference)
+            struct(primary.as("p1"),
+              (if (backwards) reverse(sec) else sec).as("s2"))
           }
-        case None =>
+        case _ =>
           val primary =
             if (strength == 1) stripDiacritics(lower(base0))
             else if (strength == 2) lower(base0)
@@ -171,8 +209,10 @@ object Collation {
       * non-caseLevel, non-tailored string form; [[foldLit]] is the
       * Column form every predicate should compare against). */
     def fold(s: String): String = {
+      val s0 =
+        if (normalization) graft.functions.NfcNormalizer.nfc(s) else s
       val varStripped =
-        if (alternateShifted) s.replaceAll(variableRegex, "") else s
+        if (alternateShifted) s0.replaceAll(variableRegex, "") else s0
       val low =
         if (strength == 3) varStripped
         else varStripped.toLowerCase(java.util.Locale.ROOT)
@@ -189,11 +229,16 @@ object Collation {
     private def translateStr(s: String, from: String, to: String): String =
       s.map(ch => { val i = from.indexOf(ch); if (i >= 0) to(i) else ch })
     private def tailoredPre(t: Tailoring, s: String): String = {
-      val low = s.toLowerCase(java.util.Locale.ROOT)
+      val cased =
+        if (t.preLowerFrom.isEmpty) s
+        else translateStr(s, t.preLowerFrom, t.preLowerTo)
+      val low = cased.toLowerCase(java.util.Locale.ROOT)
       t.preReplace.fold(low) { case (f, r) => low.replace(f, r) }
     }
     private[query] def tailoredPrimary(t: Tailoring, s: String): String = {
-      val p = translateStr(tailoredPre(t, s), t.primaryFrom, t.primaryTo)
+      val p =
+        if (t.primaryFrom.isEmpty) tailoredPre(t, s)
+        else translateStr(tailoredPre(t, s), t.primaryFrom, t.primaryTo)
       val stripped = p.map(ch => {
         val i = Accented.indexOf(ch); if (i >= 0) Plain(i) else ch
       })
@@ -205,7 +250,9 @@ object Collation {
       val sec =
         if (t.secondaryFrom.isEmpty) pre
         else translateStr(pre, t.secondaryFrom, t.secondaryTo)
-      if (numericOrdering) graft.functions.NumericKey.key(sec) else sec
+      val keyed =
+        if (numericOrdering) graft.functions.NumericKey.key(sec) else sec
+      if (backwards) keyed.reverse else keyed
     }
 
     /** Literal query value folded to the SAME shape [[key]] produces —
@@ -213,14 +260,16 @@ object Collation {
       * strength 2, the (primary, case-pattern) struct under caseLevel
       * (nesting the tailored struct when both apply). */
     def foldLit(s: String): Column = {
+      val s0 =
+        if (normalization) graft.functions.NfcNormalizer.nfc(s) else s
       val base0 =
-        if (alternateShifted) s.replaceAll(variableRegex, "") else s
+        if (alternateShifted) s0.replaceAll(variableRegex, "") else s0
       val inner: Column = Tailorings.get(locale) match {
-        case Some(t) =>
+        case Some(t) if strength <= 2 =>
           if (strength == 1) lit(tailoredPrimary(t, base0))
           else struct(lit(tailoredPrimary(t, base0)).as("p1"),
             lit(tailoredSecondary(t, base0)).as("s2"))
-        case None => lit(fold(s))
+        case _ => lit(fold(s))
       }
       if (caseLevel) {
         // Character.getType(codePoint) == UPPERCASE_LETTER is the exact
@@ -264,35 +313,98 @@ object Collation {
   private[query] final case class Tailoring(
       primaryFrom: String, primaryTo: String,
       secondaryFrom: String = "", secondaryTo: String = "",
-      preReplace: Option[(String, String)] = None)
+      preReplace: Option[(String, String)] = None,
+      preLowerFrom: String = "", preLowerTo: String = "",
+      reordersPrimary: Boolean = true)
+
+  // DUCET orders acute BEFORE grave at the secondary level; Latin-1
+  // binary has the opposite (\u00e0=E0 < \u00e1=E1). The swap fixes the
+  // pair on every vowel; other marks (breve/circumflex/ring/diaeresis/
+  // tilde) keep binary order \u2014 a documented approximation of the
+  // full DUCET mark sequence.
+  private val AcuteGraveFrom = "\u00e0\u00e1\u00e8\u00e9\u00ec\u00ed\u00f2\u00f3\u00f9\u00fa"
+  private val AcuteGraveTo = "\u00e1\u00e0\u00e9\u00e8\u00ed\u00ec\u00f3\u00f2\u00fa\u00f9"
+
+  /** Turkish (CLDR tr): dotless-i changes the CASE FOLD itself (I\u2192\u0131,
+    * \u0130\u2192i \u2014 applied BEFORE lowercase via `preLowerFrom/To`), and six
+    * letters re-order at the primary level MID-alphabet (\u00e7 after c,
+    * \u011f after g, \u0131 before i, \u00f6 after o, \u015f after s, \u00fc after u). A
+    * post-z stand-in cannot express "between c and d", so the WHOLE
+    * letter sequence routes to consecutive private-use code points
+    * (U+E100..) in CLDR tr order \u2014 q/w/x keep their root positions \u2014
+    * and every accent-fold input ([[FoldPairs]]) that is NOT itself a
+    * Turkish letter routes to its base letter's stand-in (\u00e2\u2192a's
+    * stand-in: the generic strip runs AFTER the primary translate and
+    * could never reach the stand-in page). Non-Latin letters collate
+    * below the stand-ins \u2014 the same documented divergence as the
+    * post-z PUA scheme in the Scandinavian tailorings. */
+  private lazy val Turkish: Tailoring = {
+    val alphabet = "abc\u00e7defg\u011fh\u0131ijklmno\u00f6pqrs\u015ftu\u00fcvwxyz"
+    val standIn: Map[Char, Char] =
+      alphabet.zipWithIndex.map { case (ch, i) =>
+        ch -> (0xE100 + i).toChar
+      }.toMap
+    val trLetters = "\u00e7\u011f\u0131\u00f6\u015f\u00fc".toSet
+    val foldIns = FoldPairs.flatMap { case (accented, base) =>
+      accented.filterNot(trLetters).map(ch => ch -> standIn(base))
+    }
+    val all = alphabet.map(ch => ch -> standIn(ch)) ++ foldIns
+    Tailoring(
+      primaryFrom = all.map(_._1).mkString,
+      primaryTo = all.map(_._2).mkString,
+      secondaryFrom = AcuteGraveFrom, secondaryTo = AcuteGraveTo,
+      preLowerFrom = "I\u0130", preLowerTo = "\u0131i")
+  }
 
   private[query] val Tailorings: Map[String, Tailoring] = {
-    // Swedish (CLDR sv): … z < å < ä << æ << ę < ö << ø << ő << œ;
-    // ü/ű collate as y (secondary-higher); đ/ð as d. The secondary
-    // binary order of each group already matches CLDR
-    // (ä<æ<ę, ö<ø<ő<œ, y<ü<ű, d<đ<ð), so no secondary swap needed.
+    // Swedish (CLDR sv): \u2026 z < \u00e5 < \u00e4 << \u00e6 << \u0119 < \u00f6 << \u00f8 << \u0151 << \u0153;
+    // \u00fc/\u0171 collate as y (secondary-higher); \u0111/\u00f0 as d. The secondary
+    // binary order inside the post-z groups already matches CLDR
+    // (\u00e4<\u00e6<\u0119, \u00f6<\u00f8<\u0151<\u0153, y<\u00fc<\u0171); the d-group needs \u0111<<\u00f0
+    // (CLDR) while binary has \u00f0(F0)<\u0111(111) \u2014 swapped in the
+    // secondary string.
     val sv = Tailoring(
-      primaryFrom = "åäæęöøőœüűð",
-      primaryTo = "yyd")
-    // Danish (CLDR da; nb/no share the core): … z < æ << ä < ø << ö
-    // << ő < å (≡ aa at tertiary); ü/ű as y; ð as d. Binary has
-    // ä(E4)<æ(E6) and ö(F6)<ø(F8) — the OPPOSITE of CLDR's within-
-    // group order — so the secondary string swaps each pair.
+      primaryFrom = "\u00e5\u00e4\u00e6\u0119\u00f6\u00f8\u0151\u0153\u00fc\u0171\u00f0",
+      primaryTo = "\ue000\ue001\ue001\ue001\ue002\ue002\ue002\ue002yyd",
+      secondaryFrom = "\u00f0\u0111", secondaryTo = "\u0111\u00f0")
+    // Danish (CLDR da; nb/no share the core): \u2026 z < \u00e6 << \u00e4 < \u00f8 << \u00f6
+    // << \u0151 < \u00e5 (\u2261 aa at tertiary); \u00fc/\u0171 as y; \u00f0 as d. Binary has
+    // \u00e4(E4)<\u00e6(E6) and \u00f6(F6)<\u00f8(F8) \u2014 the OPPOSITE of CLDR's within-
+    // group order \u2014 so the secondary string swaps each pair (and the
+    // same \u0111<<\u00f0 fix as Swedish).
     val da = Tailoring(
-      primaryFrom = "æäøöőåüűð",
-      primaryTo = "yyd",
-      secondaryFrom = "äæöø", secondaryTo = "æäøö",
-      preReplace = Some("aa" -> "å"))
-    Map("sv" -> sv, "da" -> da, "nb" -> da, "no" -> da)
+      primaryFrom = "\u00e6\u00e4\u00f8\u00f6\u0151\u00e5\u00fc\u0171\u00f0",
+      primaryTo = "\ue000\ue000\ue001\ue001\ue001\ue002yyd",
+      secondaryFrom = "\u00e4\u00e6\u00f6\u00f8\u00f0\u0111", secondaryTo = "\u00e6\u00e4\u00f8\u00f6\u0111\u00f0",
+      preReplace = Some("aa" -> "\u00e5"))
+    // Russian (CLDR ru): Cyrillic \u0430-\u044f is contiguous and already in
+    // CLDR primary order in code points; the ONE tailoring is \u0451,
+    // which binary puts after \u044f (U+0451 > U+044F) but CLDR makes a
+    // secondary variant of \u0435 (\u0435 << \u0451). Primary folds \u0451\u2192\u0435; the raw
+    // lowered text is the secondary (binary \u0435(435) < \u0451(451) matches
+    // CLDR's within-group order).
+    val ru = Tailoring(primaryFrom = "\u0451", primaryTo = "\u0435")
+    // French (CLDR fr = root order): no primary re-ordering, but the
+    // TRUE two-level reading \u2014 whole primary level first, then
+    // accents \u2014 needs the struct key ("c\u00f4te" < "cozy": t<z decides at
+    // the primary level regardless of the accent). Secondary = the
+    // raw lowered text with the acute/grave DUCET fix. This is also
+    // what `backwards` (fr_CA's default) reverses.
+    val fr = Tailoring(
+      primaryFrom = "", primaryTo = "",
+      secondaryFrom = AcuteGraveFrom, secondaryTo = AcuteGraveTo,
+      reordersPrimary = false)
+    Map("sv" -> sv, "da" -> da, "nb" -> da, "no" -> da,
+      "ru" -> ru, "fr" -> fr, "fr_CA" -> fr, "tr" -> Turkish)
   }
 
   /** Locales whose strength-1/2 folding the lower+strip mapping models
-    * faithfully enough, plus the CLDR-tailored Scandinavian set
-    * ([[Tailorings]]). Still out of scope: tr (dotless-i case folding
-    * changes LOWERCASING itself, not just ordering) and other
-    * tailorings without a faithful mapping here. */
+    * faithfully enough, plus the CLDR-tailored set ([[Tailorings]]:
+    * Scandinavian post-z letters, Russian \u0451, French two-level (+
+    * fr_CA backwards-by-default), Turkish dotless-i + mid-alphabet
+    * letter re-ordering). */
   private val SupportedLocales =
-    Set("simple", "en", "en_US", "en_GB", "fr", "de", "es", "pt", "it",
+    Set("simple", "en", "en_US", "en_GB", "de", "es", "pt", "it",
       "nl") ++ Tailorings.keySet
 
   /** Parse + validate a `{locale, strength}` collation document. Unknown
@@ -372,22 +484,48 @@ object Collation {
       s"collation: strength $strength unsupported — 1 (case+diacritic " +
         "insensitive) and 2 (case-insensitive) are mapped; strength 3+ " +
         "is the default binary comparison, omit the collation instead")
-    // tailored locales re-order PRIMARY letters; strength 3's binary
-    // comparison would ignore the tailoring (å after a, not after z) —
-    // reject instead of silently sorting wrong
-    require(strength != 3 || !Tailorings.contains(locale),
+    // locales whose tailoring re-orders PRIMARY letters (sv/da/nb/no/
+    // ru/tr — not fr, whose tailoring only adds the two-level reading)
+    // cannot run at strength 3: the binary comparison would ignore the
+    // re-ordering (å after a, not after z) — reject instead of
+    // silently sorting wrong
+    require(strength != 3 ||
+        !Tailorings.get(locale).exists(_.reordersPrimary),
       s"collation: locale '$locale' is CLDR-tailored (letters re-order " +
         "at the primary level) — strength 3's binary comparison cannot " +
         "honor it; use strength 1 or 2")
+    // backwards reverses the SECONDARY (accent) level — it needs a
+    // separately-keyed secondary, which exists exactly for tailored
+    // locales at strength 2. fr_CA's ICU default is backwards; at
+    // other strengths no secondary level is keyed, so the default
+    // quietly stays off (an EXPLICIT backwards: true still rejects).
+    val backwards = doc.get("backwards") match {
+      case Some(b: Boolean) =>
+        require(!b || (strength == 2 && Tailorings.contains(locale)),
+          "collation.backwards reverses the secondary (accent) level, " +
+            "which this engine keys separately only for two-level " +
+            "locales (" +
+            Tailorings.keySet.toSeq.sorted.mkString("/") +
+            ") at strength 2 — use one of those, or omit backwards")
+        b
+      case Some(other) => throw new IllegalArgumentException(
+        s"collation.backwards: $other (true/false)")
+      case None => locale == "fr_CA" && strength == 2
+    }
+    val normalization = doc.get("normalization") match {
+      case Some(b: Boolean) => b
+      case Some(other) => throw new IllegalArgumentException(
+        s"collation.normalization: $other (true/false)")
+      case None => false
+    }
     val known = Set("locale", "strength", "numericOrdering",
-      "alternate", "maxVariable", "caseLevel", "caseFirst")
+      "alternate", "maxVariable", "caseLevel", "caseFirst",
+      "backwards", "normalization")
     val extra = doc.keySet -- known
     require(extra.isEmpty,
       s"collation: unsupported options " +
-        s"${extra.toSeq.sorted.mkString(", ")} (backwards and " +
-        "normalization have no faithful mapping here and would " +
-        "return wrong rows silently)")
+        s"${extra.toSeq.sorted.mkString(", ")}")
     Spec(locale, strength, numericOrdering, alternateShifted,
-      maxVariable, caseLevel, caseFirst)
+      maxVariable, caseLevel, caseFirst, backwards, normalization)
   }
 }

@@ -673,15 +673,16 @@ object QueryCompiler {
         case "sv" => "swedish"
         case "da" => "danish"
         case "nb" | "no" => "norwegian"
+        case "ru" => "russian"
         case other => other
       }
       require(Set("none", "english", "french", "german", "spanish",
         "italian", "portuguese", "dutch", "swedish", "danish",
-        "norwegian")(lang),
+        "norwegian", "russian")(lang),
         s"$$text.$$language: '$lang' unsupported (none/english/french/" +
           "german/spanish/italian/portuguese/dutch/swedish/danish/" +
-          "norwegian — other languages need stemmers this engine does " +
-          "not model)")
+          "norwegian/russian — other languages need stemmers this " +
+          "engine does not model)")
       val cs = mm.get("$caseSensitive") match {
         case Some(b: Boolean) => b
         case Some(other) => throw new IllegalArgumentException(

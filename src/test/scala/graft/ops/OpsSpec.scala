@@ -1095,6 +1095,57 @@ class TextFunctionsSpec extends SparkSpec {
     assert(stem("og") == "og" && stem("a1b") == "a1b")
   }
 
+  test("Russian Snowball stemmer: published-algorithm pairs") {
+    import graft.functions.RussianSnowball.stem
+    // verb group 1 (preceding а is tested, not removed): the бега
+    // family meets on one stem across tense/number/infinitive
+    assert(stem("бегала") == "бега" && stem("бегали") == "бега" &&
+      stem("бегал") == "бега" && stem("бегать") == "бега" &&
+      stem("бегаю") == "бега")
+    // noun declensions meet книг
+    assert(stem("книга") == "книг" && stem("книги") == "книг" &&
+      stem("книгами") == "книг" && stem("книгу") == "книг")
+    // adjective endings meet красив
+    assert(stem("красивый") == "красив" && stem("красивая") == "красив"
+      && stem("красивое") == "красив" && stem("красивыми") == "красив")
+    // reflexive ся/сь then verb ить/ил
+    assert(stem("остановиться") == "останов" &&
+      stem("остановился") == "останов")
+    // perfective gerund group 1: в/вшись after а
+    assert(stem("сделав") == "сдела" && stem("сделавшись") == "сдела")
+    // derivational ость must lie entirely inside R2: возможность
+    // qualifies, радость's ост straddles the boundary and stays
+    assert(stem("возможность") == "возможн" &&
+      stem("радость") == "радост" && stem("щедрость") == "щедрост")
+    // ь and ью noun endings
+    assert(stem("жизнь") == "жизн" && stem("жизнью") == "жизн" &&
+      stem("жизни") == "жизн")
+    // superlative ейш after the adjective ending strips in step 4
+    assert(stem("добрейший") == "добр")
+    // нн undouble; the participle-нн а-test char sits OUTSIDE RV
+    // (setlimit), so step 1 leaves it for step 4
+    assert(stem("странный") == "стран")
+    // prelude: ё folds to е before the region marks
+    assert(stem("ёлками") == "елк")
+    // verb group 1 ете after а
+    assert(stem("делаете") == "дела")
+    // ия/ии noun endings
+    assert(stem("авиация") == "авиац" && stem("знания") == "знан")
+    // single letters and non-Cyrillic tokens pass through
+    assert(stem("и") == "и" && stem("a1b") == "a1b" &&
+      stem("тест1") == "тест1")
+  }
+
+  test("russianTokens/russianTerms: stops and stems meet their " +
+      "driver twins") {
+    val ruToks = one("и в красивые книги бегала")
+      .select(TextFunctions.russianTokens($"text"))
+      .as[Seq[String]].head()
+    assert(ruToks == Seq("красив", "книг", "бега"))
+    assert(TextFunctions.russianTerms("красивая книга бегать") ==
+      Seq("красив", "книг", "бега"))
+  }
+
   test("spanishTokens/italianTokens: stops and stems meet their " +
       "driver twins") {
     val esToks = one("el trabajador de la generosidad")

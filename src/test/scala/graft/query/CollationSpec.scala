@@ -42,7 +42,7 @@ class CollationSpec extends SparkSpec {
     assert(Collation.parse(Map("locale" -> "en", "strength" -> 2)) ==
       Collation.Spec("en", 2))
     val eLoc = intercept[IllegalArgumentException] {
-      Collation.parse(Map("locale" -> "tr", "strength" -> 2))
+      Collation.parse(Map("locale" -> "hu", "strength" -> 2))
     }
     assert(eLoc.getMessage.contains("unsupported locale"))
     val eStr = intercept[IllegalArgumentException] {
@@ -416,6 +416,189 @@ class CollationSpec extends SparkSpec {
         "numericOrdering" -> true))
     }
     assert(e.getMessage.contains("tailored"))
+  }
+
+  test("tailored ru: ё collates as a secondary variant of е (binary " +
+      "puts it after я)") {
+    val ru1 = Collation.Spec("ru", 1)
+    val ru2 = Collation.Spec("ru", 2)
+    val words = Seq("ёж", "еж", "ёлка", "елка", "жук", "яблоко")
+      .toDF("w")
+    def sortedBy(spec: Collation.Spec): Seq[String] =
+      words.orderBy(spec.key(col("w")), col("w")).as[String]
+        .collect().toSeq
+    // strength 2: е << ё inside each primary group; groups in CLDR
+    // (= code-point) order е < ж < я — binary would exile ё past я
+    assert(sortedBy(ru2) ==
+      Seq("еж", "ёж", "елка", "ёлка", "жук", "яблоко"))
+    // strength 1: ё ≡ е exactly
+    def eq1(a: String, b: String): Boolean =
+      words.limit(1).select(
+        (ru1.key(lit(a)) === ru1.foldLit(b)).as("e"))
+        .head().getBoolean(0)
+    assert(eq1("ёж", "еж") && eq1("ЁЛКА", "елка") && !eq1("ёж", "уж"))
+  }
+
+  test("tailored tr: dotless-i case fold (I→ı, İ→i) and mid-alphabet " +
+      "primary re-ordering (ç/ğ/ı/ö/ş/ü as distinct letters)") {
+    val tr1 = Collation.Spec("tr", 1)
+    val tr2 = Collation.Spec("tr", 2)
+    val words = Seq("cam", "çam", "dere", "Iğdır", "ırmak", "istanbul",
+      "İzmir", "su", "şeker", "uzun", "üzüm").toDF("w")
+    def sortedBy(spec: Collation.Spec): Seq[String] =
+      words.orderBy(spec.key(col("w")), col("w")).as[String]
+        .collect().toSeq
+    val want = Seq("cam", "çam", "dere", "Iğdır", "ırmak", "istanbul",
+      "İzmir", "su", "şeker", "uzun", "üzüm")
+    assert(sortedBy(tr1) == want && sortedBy(tr2) == want)
+    def eq1(a: String, b: String): Boolean =
+      words.limit(1).select(
+        (tr1.key(lit(a)) === tr1.foldLit(b)).as("e"))
+        .head().getBoolean(0)
+    // uppercase I folds to ı (NOT i); uppercase İ folds to i — so
+    // IRMAK matches ırmak and İZMİR matches izmir, but NOT across
+    assert(eq1("IRMAK", "ırmak") && eq1("İZMİR", "izmir"))
+    assert(!eq1("IRMAK", "irmak") && !eq1("ıs", "is"))
+    // â is a secondary variant of a: primary-equal, strength 2 orders
+    // a << â within the group
+    assert(eq1("kâr", "kar"))
+    val pair = Seq("kâr", "kar").toDF("w")
+    assert(pair.orderBy(tr2.key(col("w"))).as[String].collect().toSeq
+      == Seq("kar", "kâr"))
+  }
+
+  test("tailored fr: true two-level reading — whole primary level " +
+      "first, then accents; DUCET acute << grave") {
+    val fr2 = Collation.Spec("fr", 2)
+    // the classic: côte sorts between coté and côté at the secondary
+    // level, and cozy AFTER all of them (t < z at the primary level —
+    // the one-level lower() model would bury ô past z)
+    val words = Seq("cozy", "côté", "cote", "coté", "côte").toDF("w")
+    assert(words.orderBy(fr2.key(col("w"))).as[String].collect().toSeq
+      == Seq("cote", "coté", "côte", "côté", "cozy"))
+    // DUCET orders acute before grave (binary is the opposite)
+    val accents = Seq("près", "prés").toDF("w")
+    assert(accents.orderBy(fr2.key(col("w"))).as[String].collect()
+      .toSeq == Seq("prés", "près"))
+    // strength 3 + numericOrdering still routes to the generic binary
+    // path (fr's tailoring does not re-order primaries)
+    val fr3 = Collation.parse(Map("locale" -> "fr", "strength" -> 3,
+      "numericOrdering" -> true))
+    val nums = Seq("item10", "item2").toDF("w")
+    assert(nums.orderBy(fr3.key(col("w"))).as[String].collect().toSeq
+      == Seq("item2", "item10"))
+  }
+
+  test("backwards: the secondary level compares from the END " +
+      "(fr_CA's default); rejected where no secondary level is keyed") {
+    val words = Seq("cote", "coté", "côte", "côté").toDF("w")
+    val back = Collation.parse(Map("locale" -> "fr_CA",
+      "strength" -> 2))
+    assert(back.backwards)
+    assert(words.orderBy(back.key(col("w"))).as[String].collect().toSeq
+      == Seq("cote", "côte", "coté", "côté"))
+    // explicit backwards: false restores the forward reading
+    val fwd = Collation.parse(Map("locale" -> "fr_CA", "strength" -> 2,
+      "backwards" -> false))
+    assert(words.orderBy(fwd.key(col("w"))).as[String].collect().toSeq
+      == Seq("cote", "coté", "côte", "côté"))
+    // foldLit produces the same reversed-secondary struct shape
+    val hit = words.where(
+      back.key(col("w")) === back.foldLit("CÔTÉ"))
+      .as[String].collect().toSeq
+    assert(hit == Seq("côté"))
+    // en has no separately-keyed secondary level → loud rejection
+    val e = intercept[IllegalArgumentException] {
+      Collation.parse(Map("locale" -> "en", "strength" -> 2,
+        "backwards" -> true))
+    }
+    assert(e.getMessage.contains("backwards"))
+    // …and neither does strength 1 (primary only)
+    val e1 = intercept[IllegalArgumentException] {
+      Collation.parse(Map("locale" -> "fr", "strength" -> 1,
+        "backwards" -> true))
+    }
+    assert(e1.getMessage.contains("backwards"))
+    // fr_CA at strength 1 is fine — the backwards DEFAULT only
+    // engages where a secondary level exists
+    assert(!Collation.parse(Map("locale" -> "fr_CA", "strength" -> 1))
+      .backwards)
+  }
+
+  test("normalization: true composes NFC first — decomposed input " +
+      "collates equal to precomposed") {
+    val composed = "café"
+    val decomposed = "café" // e + COMBINING ACUTE ACCENT
+    assert(composed != decomposed) // genuinely different code points
+    val norm = Collation.parse(Map("locale" -> "en", "strength" -> 2,
+      "normalization" -> true))
+    val plain = Collation.Spec("en", 2)
+    val words = Seq(decomposed).toDF("w")
+    def matches(spec: Collation.Spec): Boolean =
+      words.where(spec.key(col("w")) === spec.foldLit(composed))
+        .count() == 1
+    assert(matches(norm) && !matches(plain))
+    // strength 1 strips the composed accent on both sides
+    val norm1 = Collation.parse(Map("locale" -> "en", "strength" -> 1,
+      "normalization" -> true))
+    assert(words.where(norm1.key(col("w")) === norm1.foldLit("CAFE"))
+      .count() == 1)
+    // tailored locales normalize too (decomposed å routes to the
+    // post-z stand-in)
+    val svn = Collation.parse(Map("locale" -> "sv", "strength" -> 1,
+      "normalization" -> true))
+    val aRing = Seq("åker").toDF("w") // a + COMBINING RING
+    assert(aRing.where(svn.key(col("w")) === svn.foldLit("åker"))
+      .count() == 1)
+  }
+
+  test("sv/da secondary: đ << ð per CLDR (binary is the opposite)") {
+    val sv2 = Collation.Spec("sv", 2)
+    val da2 = Collation.Spec("da", 2)
+    val words = Seq("ður", "đur", "dur").toDF("w")
+    for (spec <- Seq(sv2, da2))
+      assert(words.orderBy(spec.key(col("w"))).as[String].collect()
+        .toSeq == Seq("dur", "đur", "ður"))
+  }
+
+  test("pipe(pipeline, collation): $group equality folds string keys " +
+      "(min original as the deterministic _id representative)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-collation3").toString
+    df.write.parquet(s"$dir/people.parquet")
+    val c = new graft.db.GraftSession(spark, dir).db("testdb").c("people")
+    // strength 2: Alice/alice/ALICE are ONE group; Bob/bob another
+    val out = c.pipe(
+      Seq(Map("$group" -> Map("_id" -> "$name",
+        "n" -> Map("$sum" -> 1)))),
+      collation = Map("locale" -> "en", "strength" -> 2))
+      .orderBy("_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq(("ALICE", 3L), ("Bob", 2L)))
+    // distinct idiom (no accumulators) folds the same way
+    val ids = c.pipe(
+      Seq(Map("$group" -> Map("_id" -> "$name"))),
+      collation = Map("locale" -> "en", "strength" -> 2))
+      .orderBy("_id").select("_id").as[String].collect().toSeq
+    assert(ids == Seq("ALICE", "Bob"))
+    // compound keys fold their string members; non-string members ride
+    // along unfolded
+    val comp = c.pipe(
+      Seq(Map("$group" -> Map(
+        "_id" -> Map("nm" -> "$name", "k" -> Map("$mod" ->
+          Seq("$_id", 2))),
+        "n" -> Map("$sum" -> 1)))),
+      collation = Map("locale" -> "en", "strength" -> 2))
+      .selectExpr("_id.nm", "_id.k", "n").orderBy("nm", "k")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    // odd _ids: Alice(1), ALICE(3), Bob(5) → (ALICE,1,2), (Bob,1,1);
+    // even: alice(2), bob(4) → (alice,0,1), (bob,0,1)
+    assert(comp == Seq(("ALICE", 1L, 2L), ("Bob", 1L, 1L),
+      ("alice", 0L, 1L), ("bob", 0L, 1L)))
+    // without a collation the five names stay five groups
+    val plain = c.pipe(Seq(Map("$group" -> Map("_id" -> "$name"))))
+    assert(plain.count() == 5)
   }
 
   test("pipe(pipeline, collation): $match and $sort fold") {
