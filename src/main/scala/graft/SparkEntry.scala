@@ -1500,6 +1500,31 @@ object SparkEntry {
         Map("$sort" -> Map("_id" -> 1))),
         Map("locale" -> "en", "strength" -> 2))),
 
+    // aggregate-level collation applies to $lookup EQUALITY: at
+    // strength 2 the case-variant names join nation's uppercase
+    // n_name ("NATION_3"…); the made-up name matches nothing
+    // (left-outer empty array). Still one hash equi-join — the key folds through
+    // the same scalar collation-key expression as $match/$sort.
+    "q218_lookup_collation" -> ((s, dir) =>
+      coll(s, dir, "documents").pipe(Seq(
+        Map("$match" -> Map("doc_id" -> Map("$lt" -> 300))),
+        Map("$addFields" -> Map("cname" -> Map("$switch" -> Map(
+          "branches" -> Seq(
+            Map("case" -> Map("$eq" -> Seq(
+              Map("$mod" -> Seq("$doc_id", 4)), 0)), "then" -> "nation_3"),
+            Map("case" -> Map("$eq" -> Seq(
+              Map("$mod" -> Seq("$doc_id", 4)), 1)), "then" -> "Nation_3"),
+            Map("case" -> Map("$eq" -> Seq(
+              Map("$mod" -> Seq("$doc_id", 4)), 2)), "then" -> "NATION_7")),
+          "default" -> "atlantis")))),
+        Map("$lookup" -> Map("from" -> "nation",
+          "localField" -> "cname", "foreignField" -> "n_name",
+          "as" -> "nn")),
+        Map("$project" -> Map("doc_id" -> 1, "cname" -> 1,
+          "n" -> Map("$size" -> "$nn")))),
+        Map("locale" -> "en", "strength" -> 2))
+        .orderBy("doc_id")),
+
     // lucene.cjk bigram analysis: CJK text has no word separators, so
     // the analyzer matches on overlapping character bigrams (Lucene
     // CJKAnalyzer's published algorithm) — "数据处理" analyzes to
@@ -5254,6 +5279,20 @@ object SparkEntry {
         |SELECT min(tag) AS _id, count(*) AS n FROM t
         |GROUP BY lower(tag)
         |ORDER BY lower(min(tag))""".stripMargin,
+
+    // collated $lookup: the oracle joins on the folded (lowercased)
+    // key; $size of the matched array = the per-row join match count
+    "q218_lookup_collation" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 4 WHEN 0 THEN 'nation_3' WHEN 1 THEN 'Nation_3'
+        |      WHEN 2 THEN 'NATION_7' ELSE 'atlantis' END AS cname
+        |  FROM documents WHERE doc_id < 300)
+        |SELECT t.doc_id, t.cname, count(n.n_name) AS n
+        |FROM t LEFT JOIN nation n
+        |  ON lower(n.n_name) = lower(t.cname)
+        |GROUP BY t.doc_id, t.cname
+        |ORDER BY t.doc_id""".stripMargin,
 
     // the oracle rebuilds the caseLevel struct key in SQL: primary =
     // lower(tag), case level = the per-letter bit pattern with the

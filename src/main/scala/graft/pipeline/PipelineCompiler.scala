@@ -480,8 +480,24 @@ object PipelineCompiler {
       case "$sortByCount" =>
         val ref = spec.toString
         require(ref.startsWith("$"), s"$$sortByCount: $ref")
-        df.groupBy(col(ref.drop(1)).as("_id")).agg(count(lit(1)).as("count"))
-          .orderBy(col("count").desc, col("_id").asc)
+        val sbcCol = col(ref.drop(1))
+        // aggregate-level collation applies here too ($sortByCount IS
+        // $group + $sort): string keys group under the collation key,
+        // min(original) is the deterministic _id representative
+        graft.query.QueryCompiler.activeCollation.value match {
+          case Some(sp) if (try df.select(sbcCol).schema.head.dataType ==
+              org.apache.spark.sql.types.StringType
+            catch {
+              case _: org.apache.spark.sql.AnalysisException => false
+            }) =>
+            df.groupBy(sp.key(sbcCol).as("__ck"))
+              .agg(min(sbcCol).as("_id"), count(lit(1)).as("count"))
+              .orderBy(col("count").desc, col("__ck").asc)
+              .drop("__ck")
+          case _ =>
+            df.groupBy(sbcCol.as("_id")).agg(count(lit(1)).as("count"))
+              .orderBy(col("count").desc, col("_id").asc)
+        }
 
       case "$replaceRoot" =>
         val ref = doc(spec)("newRoot").toString
@@ -2696,11 +2712,28 @@ object PipelineCompiler {
     // per group, and Mongo returns it once per matching outer doc)
     val foreignIsArray = from.select(from(foreign)).schema.head.dataType
       .isInstanceOf[org.apache.spark.sql.types.ArrayType]
+    // Aggregate-level collation applies to $lookup EQUALITY (Mongo runs
+    // the join comparison under the collation): when BOTH key sides are
+    // strings, each folds through the collation key — still a plain
+    // hash equi-join on a scalar (or struct) key expression.
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    def keyElemType(dfx: DataFrame, c: Column) =
+      dfx.select(c).schema.head.dataType match {
+        case ArrayType(e, _) => e
+        case t => t
+      }
+    val lookupFold = graft.query.QueryCompiler.activeCollation.value
+      .filter { _ =>
+        keyElemType(from, from(foreign)) == StringType &&
+          keyElemType(df, df(local)) == StringType
+      }
+    def foldK(c: Column): Column = lookupFold.map(_.key(c)).getOrElse(c)
     val keyed =
-      if (foreignIsArray)
-        from.select(explode(array_distinct(from(foreign))).as("__lk"),
+      (if (foreignIsArray)
+        from.select(explode(array_distinct(from(foreign))).as("__lk0"),
           fStruct.as("__fs"))
-      else from.select(from(foreign).as("__lk"), fStruct.as("__fs"))
+      else from.select(from(foreign).as("__lk0"), fStruct.as("__fs")))
+        .select(foldK(col("__lk0")).as("__lk"), col("__fs"))
     val grouped = keyed.groupBy("__lk")
       .agg(collect_list(col("__fs")).as(as))
     // Mongo array-localField semantics: the array is a SET of join keys —
@@ -2731,7 +2764,7 @@ object PipelineCompiler {
       val merged = flatten(collect_list(col(as)))
       val matched = df2
         .select(col("__rid"), explode(array_distinct(lcol)).as("__el"))
-        .join(grouped, col("__el") === grouped("__lk"))
+        .join(grouped, foldK(col("__el")) === grouped("__lk"))
         .groupBy("__rid")
         .agg(sort_array(
           if (foreignIsArray) array_distinct(merged) else merged)
@@ -2772,12 +2805,12 @@ object PipelineCompiler {
         graft.ops.Skew.deterministicSalt(df, saltN))
       val sr = grouped.withColumn("__sr",
         explode(sequence(lit(0), lit(saltN - 1))))
-      sl.join(sr, sl(local) === sr("__lk") && sl("__sl") === sr("__sr"),
+      sl.join(sr, foldK(sl(local)) === sr("__lk") && sl("__sl") === sr("__sr"),
           "left_outer")
         .drop("__lk", "__sl", "__sr")
         .withColumn(as, coalesce(col(as), array()))
     } else
-      df.join(grouped, df(local) === grouped("__lk"), "left_outer")
+      df.join(grouped, foldK(df(local)) === grouped("__lk"), "left_outer")
         .drop("__lk")
         .withColumn(as, coalesce(col(as), array()))
   }
@@ -2859,9 +2892,21 @@ object PipelineCompiler {
     val elem = if (needRaw)
       struct(processed(kraw).as(kraw), docStruct.as("__graft_lkdoc"))
     else docStruct
-    val grouped = processed.groupBy(processed(kc).as("__lk"))
+    // the concise form's equality also folds under an aggregate-level
+    // collation (same Mongo rule as the plain equality form)
+    val conciseFold = graft.query.QueryCompiler.activeCollation.value
+      .filter { sp =>
+        def t(dfx: org.apache.spark.sql.DataFrame, c: Column) =
+          dfx.select(c).schema.head.dataType
+        t(processed, processed(kc)) ==
+          org.apache.spark.sql.types.StringType &&
+          t(df, df(local)) == org.apache.spark.sql.types.StringType
+      }
+    def conciseK(c: Column): Column =
+      conciseFold.map(_.key(c)).getOrElse(c)
+    val grouped = processed.groupBy(conciseK(processed(kc)).as("__lk"))
       .agg(collect_list(elem).as(as))
-    val joined = df.join(grouped, df(local) === grouped("__lk"),
+    val joined = df.join(grouped, conciseK(df(local)) === grouped("__lk"),
         "left_outer")
       .drop("__lk")
       .withColumn(as, coalesce(col(as), array()))

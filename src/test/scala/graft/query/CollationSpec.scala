@@ -601,6 +601,41 @@ class CollationSpec extends SparkSpec {
     assert(plain.count() == 5)
   }
 
+  test("pipe(pipeline, collation): $lookup equality and $sortByCount " +
+      "fold string keys") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-collation4").toString
+    df.write.parquet(s"$dir/people.parquet")
+    Seq(("ALICE", 100L), ("bob", 200L))
+      .toDF("who", "score").write.parquet(s"$dir/scores.parquet")
+    val c = new graft.db.GraftSession(spark, dir).db("testdb").c("people")
+    // strength 2: every case variant of alice joins the ALICE score row
+    val out = c.pipe(
+      Seq(Map("$lookup" -> Map("from" -> "scores",
+        "localField" -> "name", "foreignField" -> "who",
+        "as" -> "sc")),
+        Map("$project" -> Map("_id" -> 1,
+          "n" -> Map("$size" -> "$sc")))),
+      collation = Map("locale" -> "en", "strength" -> 2))
+      .orderBy("_id").select("n").as[Int].collect().toSeq
+    assert(out == Seq(1, 1, 1, 1, 1)) // all five rows matched
+    // without collation only exact-case rows match
+    val plain = c.pipe(
+      Seq(Map("$lookup" -> Map("from" -> "scores",
+        "localField" -> "name", "foreignField" -> "who",
+        "as" -> "sc")),
+        Map("$project" -> Map("_id" -> 1,
+          "n" -> Map("$size" -> "$sc")))))
+      .orderBy("_id").select("n").as[Int].collect().toSeq
+    assert(plain == Seq(0, 0, 1, 1, 0)) // only ALICE(3), bob(4)
+    // $sortByCount groups case-insensitively too
+    val sbc = c.pipe(
+      Seq(Map("$sortByCount" -> "$name")),
+      collation = Map("locale" -> "en", "strength" -> 2))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(sbc == Seq(("ALICE", 3L), ("Bob", 2L)))
+  }
+
   test("pipe(pipeline, collation): $match and $sort fold") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-collation2").toString
