@@ -337,6 +337,39 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("collated $lookup stays a hash equi-join; collated $group is " +
+      "one hash aggregate (the fold is a scalar key expression)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-plan-coll").toString
+    Seq((1L, "Alice"), (2L, "alice"), (3L, "Bob"))
+      .toDF("_id", "name").write.parquet(s"$dir/people.parquet")
+    Seq(("ALICE", 1L), ("BOB", 2L))
+      .toDF("who", "s").write.parquet(s"$dir/scores.parquet")
+    val c = new graft.db.GraftSession(spark, dir).db("d").c("people")
+    val look = c.pipe(
+      Seq(Map("$lookup" -> Map("from" -> "scores",
+        "localField" -> "name", "foreignField" -> "who",
+        "as" -> "sc"))),
+      collation = Map("locale" -> "en", "strength" -> 2))
+    val lp = explain(look)
+    assert(!lp.contains("BroadcastNestedLoopJoin") &&
+      !lp.contains("CartesianProduct"))
+    assert(lp.contains("BroadcastHashJoin") ||
+      lp.contains("SortMergeJoin") || lp.contains("ShuffledHashJoin"))
+    val grp = c.pipe(
+      Seq(Map("$group" -> Map("_id" -> "$name",
+        "n" -> Map("$sum" -> 1)))),
+      collation = Map("locale" -> "en", "strength" -> 2))
+    val gp = explain(grp)
+    // min(original-string) is an immutable-buffer aggregate, so Spark
+    // picks SortAggregate — still partial + final around ONE exchange
+    assert((gp.contains("HashAggregate") || gp.contains("SortAggregate"))
+      && !gp.contains("Join"))
+    // the fold adds a key expression, never a second shuffle
+    assert("\\+- Exchange".r.findAllIn(gp).size == 1)
+  }
+
   test("bloom decontamination: might_contain filters the corpus scan side") {
     val docs = graft.sources.Tables.table(spark, sf, "documents")
     val df = graft.ops.Decontaminate.contaminationBloom(
