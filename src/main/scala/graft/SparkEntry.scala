@@ -1525,6 +1525,75 @@ object SparkEntry {
         Map("locale" -> "en", "strength" -> 2))
         .orderBy("doc_id")),
 
+    // tailored Spanish collation: ñ is a DISTINCT letter between n and
+    // o (CLDR es) — the lower+strip model would fold peña onto pena;
+    // accents stay secondary (está groups with esta) and case folds
+    "q219_collation_spanish_enye" -> ((s, dir) =>
+      coll(s, dir, "documents").pipe(Seq(
+        Map("$match" -> Map("doc_id" -> Map("$lt" -> 280))),
+        Map("$addFields" -> Map("tag" -> Map("$switch" -> Map(
+          "branches" -> Seq(
+            Map("case" -> Map("$eq" -> Seq(
+              Map("$mod" -> Seq("$doc_id", 6)), 0)), "then" -> "pan"),
+            Map("case" -> Map("$eq" -> Seq(
+              Map("$mod" -> Seq("$doc_id", 6)), 1)), "then" -> "pena"),
+            Map("case" -> Map("$eq" -> Seq(
+              Map("$mod" -> Seq("$doc_id", 6)), 2)), "then" -> "peña"),
+            Map("case" -> Map("$eq" -> Seq(
+              Map("$mod" -> Seq("$doc_id", 6)), 3)), "then" -> "peor"),
+            Map("case" -> Map("$eq" -> Seq(
+              Map("$mod" -> Seq("$doc_id", 6)), 4)), "then" -> "PEÑA")),
+          "default" -> "está")))),
+        Map("$sort" -> Map("tag" -> 1, "doc_id" -> 1)),
+        Map("$project" -> Map("doc_id" -> 1, "tag" -> 1))),
+        Map("locale" -> "es", "strength" -> 1))),
+
+    // tailored Polish collation: ą/ł/ź/ż are distinct primaries IN
+    // PLACE (a < ą, l < ł, z < ź < ż) — binary would interleave them
+    // past z
+    "q220_collation_polish" -> ((s, dir) =>
+      coll(s, dir, "documents").pipe(Seq(
+        Map("$match" -> Map("doc_id" -> Map("$lt" -> 280))),
+        Map("$addFields" -> Map("tag" -> Map("$switch" -> Map(
+          "branches" -> Seq(
+            Map("case" -> Map("$eq" -> Seq(
+              Map("$mod" -> Seq("$doc_id", 6)), 0)), "then" -> "luz"),
+            Map("case" -> Map("$eq" -> Seq(
+              Map("$mod" -> Seq("$doc_id", 6)), 1)), "then" -> "łaska"),
+            Map("case" -> Map("$eq" -> Seq(
+              Map("$mod" -> Seq("$doc_id", 6)), 2)), "then" -> "maj"),
+            Map("case" -> Map("$eq" -> Seq(
+              Map("$mod" -> Seq("$doc_id", 6)), 3)), "then" -> "za"),
+            Map("case" -> Map("$eq" -> Seq(
+              Map("$mod" -> Seq("$doc_id", 6)), 4)), "then" -> "źle")),
+          "default" -> "żaba")))),
+        Map("$sort" -> Map("tag" -> 1, "doc_id" -> 1)),
+        Map("$project" -> Map("doc_id" -> 1, "tag" -> 1))),
+        Map("locale" -> "pl", "strength" -> 1))),
+
+    // tailored Czech collation: the ch DIGRAPH is one letter between h
+    // and i (chata sorts after hrad, not with the c-words), č/ř after
+    // their bases
+    "q221_collation_czech_ch" -> ((s, dir) =>
+      coll(s, dir, "documents").pipe(Seq(
+        Map("$match" -> Map("doc_id" -> Map("$lt" -> 280))),
+        Map("$addFields" -> Map("tag" -> Map("$switch" -> Map(
+          "branches" -> Seq(
+            Map("case" -> Map("$eq" -> Seq(
+              Map("$mod" -> Seq("$doc_id", 6)), 0)), "then" -> "cena"),
+            Map("case" -> Map("$eq" -> Seq(
+              Map("$mod" -> Seq("$doc_id", 6)), 1)), "then" -> "čaj"),
+            Map("case" -> Map("$eq" -> Seq(
+              Map("$mod" -> Seq("$doc_id", 6)), 2)), "then" -> "hrad"),
+            Map("case" -> Map("$eq" -> Seq(
+              Map("$mod" -> Seq("$doc_id", 6)), 3)), "then" -> "chata"),
+            Map("case" -> Map("$eq" -> Seq(
+              Map("$mod" -> Seq("$doc_id", 6)), 4)), "then" -> "irsko")),
+          "default" -> "řeka")))),
+        Map("$sort" -> Map("tag" -> 1, "doc_id" -> 1)),
+        Map("$project" -> Map("doc_id" -> 1, "tag" -> 1))),
+        Map("locale" -> "cs", "strength" -> 1))),
+
     // lucene.cjk bigram analysis: CJK text has no word separators, so
     // the analyzer matches on overlapping character bigrams (Lucene
     // CJKAnalyzer's published algorithm) — "数据处理" analyzes to
@@ -5293,6 +5362,53 @@ object SparkEntry {
         |  ON lower(n.n_name) = lower(t.cname)
         |GROUP BY t.doc_id, t.cname
         |ORDER BY t.doc_id""".stripMargin,
+
+    // strength-1 tailored es key: the whole alphabet (ñ between n and
+    // o) routes to the private-use page; accented á folds to a's
+    // stand-in; the oracle rebuilds the identical page
+    "q219_collation_spanish_enye" ->
+      ("""WITH t AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 6 WHEN 0 THEN 'pan' WHEN 1 THEN 'pena'
+        |      WHEN 2 THEN 'peña' WHEN 3 THEN 'peor' WHEN 4 THEN 'PEÑA'
+        |      ELSE 'está' END AS tag
+        |  FROM documents WHERE doc_id < 280)
+        |SELECT doc_id, tag FROM t
+        |ORDER BY translate(lower(tag),
+        |  '""".stripMargin + "abcdefghijklmnñopqrstuvwxyzá" +
+        "', '" + ((0 until 27).map(i => (0xE200 + i).toChar).mkString
+          + 0xE200.toChar) + "'), doc_id"),
+
+    "q220_collation_polish" ->
+      ("""WITH t AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 6 WHEN 0 THEN 'luz' WHEN 1 THEN 'łaska'
+        |      WHEN 2 THEN 'maj' WHEN 3 THEN 'za' WHEN 4 THEN 'źle'
+        |      ELSE 'żaba' END AS tag
+        |  FROM documents WHERE doc_id < 280)
+        |SELECT doc_id, tag FROM t
+        |ORDER BY translate(lower(tag),
+        |  '""".stripMargin + "aąbcćdeęfghijklłmnńoópqrsśtuvwxyzźż" +
+        "', '" + (0 until 35).map(i => (0xE300 + i).toChar).mkString +
+        "'), doc_id"),
+
+    // cs: the ch digraph replaces to its own page slot (between h and
+    // i) on the LOWERED text, then the single letters translate
+    "q221_collation_czech_ch" ->
+      ("""WITH t AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 6 WHEN 0 THEN 'cena' WHEN 1 THEN 'čaj'
+        |      WHEN 2 THEN 'hrad' WHEN 3 THEN 'chata' WHEN 4 THEN 'irsko'
+        |      ELSE 'řeka' END AS tag
+        |  FROM documents WHERE doc_id < 280)
+        |SELECT doc_id, tag FROM t
+        |ORDER BY translate(
+        |  replace(lower(tag), 'ch', '""".stripMargin +
+        (0xE400 + 9).toChar +
+        "'), '" + "abcčdefghijklmnopqrřsštuvwxyzž" + "', '" +
+        "abcčdefgh ijklmnopqrřsštuvwxyzž".zipWithIndex.collect {
+          case (ch, i) if ch != ' ' => (0xE400 + i).toChar
+        }.mkString + "'), doc_id"),
 
     // the oracle rebuilds the caseLevel struct key in SQL: primary =
     // lower(tag), case level = the per-letter bit pattern with the

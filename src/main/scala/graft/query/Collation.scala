@@ -325,36 +325,73 @@ object Collation {
   private val AcuteGraveFrom = "\u00e0\u00e1\u00e8\u00e9\u00ec\u00ed\u00f2\u00f3\u00f9\u00fa"
   private val AcuteGraveTo = "\u00e1\u00e0\u00e9\u00e8\u00ed\u00ec\u00f3\u00f2\u00fa\u00f9"
 
-  /** Turkish (CLDR tr): dotless-i changes the CASE FOLD itself (I\u2192\u0131,
-    * \u0130\u2192i \u2014 applied BEFORE lowercase via `preLowerFrom/To`), and six
-    * letters re-order at the primary level MID-alphabet (\u00e7 after c,
-    * \u011f after g, \u0131 before i, \u00f6 after o, \u015f after s, \u00fc after u). A
-    * post-z stand-in cannot express "between c and d", so the WHOLE
-    * letter sequence routes to consecutive private-use code points
-    * (U+E100..) in CLDR tr order \u2014 q/w/x keep their root positions \u2014
-    * and every accent-fold input ([[FoldPairs]]) that is NOT itself a
-    * Turkish letter routes to its base letter's stand-in (\u00e2\u2192a's
-    * stand-in: the generic strip runs AFTER the primary translate and
-    * could never reach the stand-in page). Non-Latin letters collate
-    * below the stand-ins \u2014 the same documented divergence as the
-    * post-z PUA scheme in the Scandinavian tailorings. */
-  private lazy val Turkish: Tailoring = {
-    val alphabet = "abc\u00e7defg\u011fh\u0131ijklmno\u00f6pqrs\u015ftu\u00fcvwxyz"
-    val standIn: Map[Char, Char] =
-      alphabet.zipWithIndex.map { case (ch, i) =>
-        ch -> (0xE100 + i).toChar
-      }.toMap
-    val trLetters = "\u00e7\u011f\u0131\u00f6\u015f\u00fc".toSet
+  /** Full-alphabet private-use page tailoring: every letter of
+    * `letters` (CLDR order; a multi-char entry is a DIGRAPH LETTER —
+    * cs "ch" — routed via preReplace to its slot) maps to consecutive
+    * code points from `pageBase`, and every accent-fold input
+    * ([[FoldPairs]]) that is not itself a letter of the alphabet
+    * routes to its base letter's stand-in (â→a's stand-in: the
+    * generic strip runs AFTER the primary translate and could never
+    * reach the stand-in page). This is the shape for locales whose
+    * letters re-order MID-alphabet (ç between c and d has no spare
+    * code point, unlike the Scandinavian post-z letters). Non-Latin
+    * letters collate below the stand-ins — the same documented
+    * divergence as the post-z PUA scheme. Secondary = raw lowered
+    * text with the DUCET acute<<grave fix. */
+  private def letterPage(letters: Seq[String], pageBase: Int,
+      preLowerFrom: String = "", preLowerTo: String = ""): Tailoring = {
+    val slots: Seq[(String, Char)] = letters.zipWithIndex.map {
+      case (l, i) => l -> (pageBase + i).toChar }
+    val single = slots.collect {
+      case (l, c) if l.length == 1 => l.head -> c }
+    val digraphs = slots.filter(_._1.length > 1)
+    require(digraphs.size <= 1,
+      "letterPage: one digraph letter per page (preReplace is single)")
+    val standIn = single.toMap
+    val letterSet = single.map(_._1).toSet
     val foldIns = FoldPairs.flatMap { case (accented, base) =>
-      accented.filterNot(trLetters).map(ch => ch -> standIn(base))
-    }
-    val all = alphabet.map(ch => ch -> standIn(ch)) ++ foldIns
+      accented.filterNot(letterSet)
+        .flatMap(ch => standIn.get(base).map(ch -> _)) }
+    val all = single ++ foldIns
     Tailoring(
       primaryFrom = all.map(_._1).mkString,
       primaryTo = all.map(_._2).mkString,
       secondaryFrom = AcuteGraveFrom, secondaryTo = AcuteGraveTo,
-      preLowerFrom = "I\u0130", preLowerTo = "\u0131i")
+      preReplace = digraphs.headOption.map {
+        case (l, c) => l -> c.toString },
+      preLowerFrom = preLowerFrom, preLowerTo = preLowerTo)
   }
+
+  /** Turkish (CLDR tr): dotless-i changes the CASE FOLD itself (I→ı,
+    * İ→i — applied BEFORE lowercase via `preLowerFrom/To`), and six
+    * letters re-order mid-alphabet (ç after c, ğ after g, ı before i,
+    * ö after o, ş after s, ü after u); q/w/x keep root positions. */
+  private lazy val Turkish: Tailoring = letterPage(
+    "abcçdefgğhıijklmnoöpqrsştuüvwxyz".map(_.toString),
+    pageBase = 0xE100, preLowerFrom = "Iİ", preLowerTo = "ıi")
+
+  /** Spanish (CLDR es): ñ is a DISTINCT letter between n and o — the
+    * generic lower+strip model would fold it to n ("peña" ≡ "pena",
+    * wrong at every strength). Accented vowels stay secondary. */
+  private lazy val Spanish: Tailoring = letterPage(
+    "abcdefghijklmnñopqrstuvwxyz".map(_.toString), pageBase = 0xE200)
+
+  /** Polish (CLDR pl): nine letters with diacritics are distinct
+    * primaries in place (a ą b c ć … z ź ż); q/v/x keep root
+    * positions. */
+  private lazy val Polish: Tailoring = letterPage(
+    "aąbcćdeęfghijklłmnńoópqrsśtuvwxyzźż".map(_.toString),
+    pageBase = 0xE300)
+
+  /** Czech (CLDR cs): č/ř/š/ž are distinct primaries after their base
+    * letters, and the DIGRAPH "ch" is ONE letter between h and i
+    * (routed via preReplace on the lowered text — CLDR treats every
+    * ch as the letter). ď/ť/ň/ě/ů/á/é/í/ó/ú/ý stay secondary via the
+    * fold-ins. */
+  private lazy val Czech: Tailoring = letterPage(
+    Seq("a", "b", "c", "č", "d", "e", "f", "g", "h", "ch", "i", "j",
+      "k", "l", "m", "n", "o", "p", "q", "r", "ř", "s", "š", "t", "u",
+      "v", "w", "x", "y", "z", "ž"), pageBase = 0xE400)
 
   private[query] val Tailorings: Map[String, Tailoring] = {
     // Swedish (CLDR sv): \u2026 z < \u00e5 < \u00e4 << \u00e6 << \u0119 < \u00f6 << \u00f8 << \u0151 << \u0153;
@@ -395,7 +432,8 @@ object Collation {
       secondaryFrom = AcuteGraveFrom, secondaryTo = AcuteGraveTo,
       reordersPrimary = false)
     Map("sv" -> sv, "da" -> da, "nb" -> da, "no" -> da,
-      "ru" -> ru, "fr" -> fr, "fr_CA" -> fr, "tr" -> Turkish)
+      "ru" -> ru, "fr" -> fr, "fr_CA" -> fr, "tr" -> Turkish,
+      "es" -> Spanish, "pl" -> Polish, "cs" -> Czech)
   }
 
   /** Locales whose strength-1/2 folding the lower+strip mapping models
@@ -404,7 +442,7 @@ object Collation {
     * fr_CA backwards-by-default), Turkish dotless-i + mid-alphabet
     * letter re-ordering). */
   private val SupportedLocales =
-    Set("simple", "en", "en_US", "en_GB", "de", "es", "pt", "it",
+    Set("simple", "en", "en_US", "en_GB", "de", "pt", "it",
       "nl") ++ Tailorings.keySet
 
   /** Parse + validate a `{locale, strength}` collation document. Unknown

@@ -552,6 +552,59 @@ class CollationSpec extends SparkSpec {
       .count() == 1)
   }
 
+  test("tailored es: ñ is a distinct primary letter between n and o " +
+      "(the generic strip would fold peña ≡ pena)") {
+    val es1 = Collation.Spec("es", 1)
+    val es2 = Collation.Spec("es", 2)
+    val words = Seq("pena", "peña", "peor", "pan", "pito").toDF("w")
+    def sortedBy(spec: Collation.Spec): Seq[String] =
+      words.orderBy(spec.key(col("w")), col("w")).as[String]
+        .collect().toSeq
+    val want = Seq("pan", "pena", "peña", "peor", "pito")
+    assert(sortedBy(es1) == want && sortedBy(es2) == want)
+    def eq1(a: String, b: String): Boolean =
+      words.limit(1).select(
+        (es1.key(lit(a)) === es1.foldLit(b)).as("e"))
+        .head().getBoolean(0)
+    // ñ never equates with n — at ANY strength; case and accents fold
+    assert(!eq1("peña", "pena") && eq1("PEÑA", "peña") &&
+      eq1("está", "esta"))
+  }
+
+  test("tailored pl: ą/ć/ę/ł/ń/ó/ś/ź/ż are distinct primaries in " +
+      "place (ł after l, ż last)") {
+    val pl1 = Collation.Spec("pl", 1)
+    val words = Seq("luz", "łaska", "maj", "za", "źle", "żaba", "mam",
+      "mąka").toDF("w")
+    val got = words.orderBy(pl1.key(col("w")), col("w")).as[String]
+      .collect().toSeq
+    // l < ł < m; a < ą; z < ź < ż
+    assert(got == Seq("luz", "łaska", "maj", "mam", "mąka", "za",
+      "źle", "żaba"))
+  }
+
+  test("tailored cs: the ch digraph is ONE letter between h and i; " +
+      "č/ř/š/ž primaries after their bases") {
+    val cs1 = Collation.Spec("cs", 1)
+    val cs2 = Collation.Spec("cs", 2)
+    val words = Seq("cena", "čaj", "dita", "hrad", "chata", "irsko",
+      "ruka", "řeka", "sen", "šance", "tma").toDF("w")
+    def sortedBy(spec: Collation.Spec): Seq[String] =
+      words.orderBy(spec.key(col("w")), col("w")).as[String]
+        .collect().toSeq
+    // binary lower() would sort chata with the c-words; CLDR cs puts
+    // it between hrad and irsko
+    val want = Seq("cena", "čaj", "dita", "hrad", "chata", "irsko",
+      "ruka", "řeka", "sen", "šance", "tma")
+    assert(sortedBy(cs1) == want && sortedBy(cs2) == want)
+    // ě/ů/í stay secondary (fold to e/u/i at strength 1)
+    def eq1(a: String, b: String): Boolean =
+      words.limit(1).select(
+        (cs1.key(lit(a)) === cs1.foldLit(b)).as("e"))
+        .head().getBoolean(0)
+    assert(eq1("dělá", "dela") && eq1("dům", "dum") && !eq1("čaj", "caj"))
+  }
+
   test("sv/da secondary: đ << ð per CLDR (binary is the opposite)") {
     val sv2 = Collation.Spec("sv", 2)
     val da2 = Collation.Spec("da", 2)
