@@ -282,16 +282,14 @@ object PipelineCompiler {
         // stays one hash aggregate; the salted-skew path is skipped
         // (map-side partials + AQE carry collated skew).
         val collSpec = graft.query.QueryCompiler.activeCollation.value
-        def strTyped(c: Column): Boolean =
-          try df.select(c).schema.head.dataType ==
-            org.apache.spark.sql.types.StringType
-          catch {
-            case _: org.apache.spark.sql.AnalysisException => false
-          }
         // fold one scalar key; None = collation does not apply
-        def foldKey(c: Column): Option[Column] =
-          collSpec.filter(_ => strTyped(c)).map(_.key(c))
+        def foldKey(c: Column): Option[Column] = collFold(df, c)
         def collGrouped(orig: Column, folded: Column): DataFrame = {
+          // the folded grouping key rides an internal alias; an
+          // accumulator of the same name would be silently dropped
+          require(!aggFields.exists(_._1 == "__ck"),
+            "$group under a collation: the accumulator name __ck is " +
+              "reserved for the internal grouping key — rename it")
           val rep = min(orig).as("_id")
           if (aggs.isEmpty) df.groupBy(folded.as("__ck")).agg(rep)
             .select("_id")
@@ -352,13 +350,7 @@ object PipelineCompiler {
         // under an aggregate-level collation, string sort keys fold
         // through the collation key (case/diacritic-insensitive order)
         def sortCol(k: String): Column =
-          graft.query.QueryCompiler.activeCollation.value match {
-            case Some(sp) if (try df.select(k).schema.head.dataType ==
-                org.apache.spark.sql.types.StringType
-              catch { case _: org.apache.spark.sql.AnalysisException =>
-                false }) => sp.key(col(k))
-            case _ => col(k)
-          }
+          collFold(df, col(k)).getOrElse(col(k))
         df.orderBy(keys.map {
           case (k, 1) => sortCol(k).asc
           case (k, -1) => sortCol(k).desc
@@ -484,17 +476,13 @@ object PipelineCompiler {
         // aggregate-level collation applies here too ($sortByCount IS
         // $group + $sort): string keys group under the collation key,
         // min(original) is the deterministic _id representative
-        graft.query.QueryCompiler.activeCollation.value match {
-          case Some(sp) if (try df.select(sbcCol).schema.head.dataType ==
-              org.apache.spark.sql.types.StringType
-            catch {
-              case _: org.apache.spark.sql.AnalysisException => false
-            }) =>
-            df.groupBy(sp.key(sbcCol).as("__ck"))
+        collFold(df, sbcCol) match {
+          case Some(folded) =>
+            df.groupBy(folded.as("__ck"))
               .agg(min(sbcCol).as("_id"), count(lit(1)).as("count"))
               .orderBy(col("count").desc, col("__ck").asc)
               .drop("__ck")
-          case _ =>
+          case None =>
             df.groupBy(sbcCol.as("_id")).agg(count(lit(1)).as("count"))
               .orderBy(col("count").desc, col("_id").asc)
         }
@@ -2728,12 +2716,17 @@ object PipelineCompiler {
           keyElemType(df, df(local)) == StringType
       }
     def foldK(c: Column): Column = lookupFold.map(_.key(c)).getOrElse(c)
+    // fold each array element BEFORE the distinct: two binary-distinct
+    // but collation-EQUAL elements ("Red"/"red") must collapse to one
+    // key, or the matched doc would appear twice (Mongo: once per doc)
+    def distinctKeys(arr: Column): Column =
+      array_distinct(transform(arr, e => foldK(e)))
     val keyed =
       (if (foreignIsArray)
-        from.select(explode(array_distinct(from(foreign))).as("__lk0"),
+        from.select(explode(distinctKeys(from(foreign))).as("__lk"),
           fStruct.as("__fs"))
-      else from.select(from(foreign).as("__lk0"), fStruct.as("__fs")))
-        .select(foldK(col("__lk0")).as("__lk"), col("__fs"))
+      else from.select(foldK(from(foreign)).as("__lk"),
+        fStruct.as("__fs")))
     val grouped = keyed.groupBy("__lk")
       .agg(collect_list(col("__fs")).as(as))
     // Mongo array-localField semantics: the array is a SET of join keys —
@@ -2763,8 +2756,8 @@ object PipelineCompiler {
       // stance — there is no row identity to distinguish them)
       val merged = flatten(collect_list(col(as)))
       val matched = df2
-        .select(col("__rid"), explode(array_distinct(lcol)).as("__el"))
-        .join(grouped, foldK(col("__el")) === grouped("__lk"))
+        .select(col("__rid"), explode(distinctKeys(lcol)).as("__el"))
+        .join(grouped, col("__el") === grouped("__lk"))
         .groupBy("__rid")
         .agg(sort_array(
           if (foreignIsArray) array_distinct(merged) else merged)
@@ -2895,12 +2888,8 @@ object PipelineCompiler {
     // the concise form's equality also folds under an aggregate-level
     // collation (same Mongo rule as the plain equality form)
     val conciseFold = graft.query.QueryCompiler.activeCollation.value
-      .filter { sp =>
-        def t(dfx: org.apache.spark.sql.DataFrame, c: Column) =
-          dfx.select(c).schema.head.dataType
-        t(processed, processed(kc)) ==
-          org.apache.spark.sql.types.StringType &&
-          t(df, df(local)) == org.apache.spark.sql.types.StringType
+      .filter { _ =>
+        stringTyped(processed, processed(kc)) && stringTyped(df, df(local))
       }
     def conciseK(c: Column): Column =
       conciseFold.map(_.key(c)).getOrElse(c)
@@ -3629,6 +3618,20 @@ object PipelineCompiler {
     case other =>
       throw new IllegalArgumentException(s"expected pipeline: $other")
   }
+
+  /** True when `c` resolves to a STRING column of `df` — the gate every
+    * aggregate-level collation fold shares ($match delegates to
+    * QueryCompiler; $sort/$group/$sortByCount/$lookup use this). */
+  private def stringTyped(df: DataFrame, c: Column): Boolean =
+    try df.select(c).schema.head.dataType ==
+      org.apache.spark.sql.types.StringType
+    catch { case _: org.apache.spark.sql.AnalysisException => false }
+
+  /** The active aggregate-level collation's key fold for `c`, when the
+    * collation applies (string-typed column); None otherwise. */
+  private def collFold(df: DataFrame, c: Column): Option[Column] =
+    graft.query.QueryCompiler.activeCollation.value
+      .filter(_ => stringTyped(df, c)).map(_.key(c))
 
   private def doc(v: Any): Map[String, Any] = v match {
     case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]

@@ -252,7 +252,14 @@ object Collation {
         else translateStr(pre, t.secondaryFrom, t.secondaryTo)
       val keyed =
         if (numericOrdering) graft.functions.NumericKey.key(sec) else sec
-      if (backwards) keyed.reverse else keyed
+      // surrogate-pair-safe reverse (java StringBuilder.reverse keeps
+      // pairs intact), matching Spark's code-point-aware
+      // UTF8String.reverse on the column side — Scala's String.reverse
+      // would swap an emoji's surrogates into an invalid order and
+      // silently diverge from key()
+      if (backwards)
+        new java.lang.StringBuilder(keyed).reverse.toString
+      else keyed
     }
 
     /** Literal query value folded to the SAME shape [[key]] produces —

@@ -689,6 +689,54 @@ class CollationSpec extends SparkSpec {
     assert(sbc == Seq(("ALICE", 3L), ("Bob", 2L)))
   }
 
+  test("collated $lookup: collation-EQUAL array elements collapse to " +
+      "one key (matched docs appear once, Mongo's once-per-doc rule)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-collation5").toString
+    // outer with ARRAY localField holding two case-variants of one key
+    Seq((1L, Seq("Red", "red")), (2L, Seq("blue")))
+      .toDF("_id", "keys").write.parquet(s"$dir/outer.parquet")
+    // foreign with ARRAY foreignField holding two case-variants
+    Seq((10L, Seq("RED", "Red"), "r"), (20L, Seq("BLUE"), "b"))
+      .toDF("fid", "tags", "v").write.parquet(s"$dir/dims.parquet")
+    val c = new graft.db.GraftSession(spark, dir).db("d").c("outer")
+    val out = c.pipe(
+      Seq(Map("$lookup" -> Map("from" -> "dims",
+        "localField" -> "keys", "foreignField" -> "tags",
+        "as" -> "m")),
+        Map("$project" -> Map("_id" -> 1,
+          "n" -> Map("$size" -> "$m")))),
+      collation = Map("locale" -> "en", "strength" -> 2))
+      .orderBy("_id").select("n").as[Int].collect().toSeq
+    // each outer row matches its dim doc EXACTLY once despite the
+    // case-variant duplicates on both array sides
+    assert(out == Seq(1, 1))
+  }
+
+  test("backwards foldLit matches key for strings with supplementary " +
+      "characters (surrogate-safe reverse on both sides)") {
+    val back = Collation.parse(Map("locale" -> "fr_CA",
+      "strength" -> 2))
+    val s = "x😀é" // x + emoji (astral) + é
+    val words = Seq(s).toDF("w")
+    assert(words.where(back.key(col("w")) === back.foldLit(s))
+      .count() == 1)
+  }
+
+  test("collated $group rejects a user accumulator named __ck (the " +
+      "internal grouping-key alias) instead of silently dropping it") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-collation6").toString
+    df.write.parquet(s"$dir/people.parquet")
+    val c = new graft.db.GraftSession(spark, dir).db("d").c("people")
+    val e = intercept[IllegalArgumentException] {
+      c.pipe(Seq(Map("$group" -> Map("_id" -> "$name",
+        "__ck" -> Map("$sum" -> 1)))),
+        collation = Map("locale" -> "en", "strength" -> 2)).collect()
+    }
+    assert(e.getMessage.contains("__ck"))
+  }
+
   test("pipe(pipeline, collation): $match and $sort fold") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-collation2").toString
