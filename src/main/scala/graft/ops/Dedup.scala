@@ -202,19 +202,22 @@ object Dedup {
                   "near-dup candidates or lower maxShingleFreq.")
           }
         }(scala.concurrent.ExecutionContext.global)
-        // spark.graft.jaccard.maxCandidatePairs (> 0): PRE-JOIN volume
-        // valve. In a saturated shingle space the self-join's candidate
-        // volume grows ~quadratically with the corpus (measured: the
-        // 100x rehearsal produced ~3e11 candidates and filled a 72 GB
-        // disk with shuffle spill before dying). The async warning above
-        // only fires when the query ENDS — too late — so when the valve
-        // is set, the frequency aggregate runs EAGERLY (one cheap
-        // count-by-shingle job over the narrow (id, hash) frame) and the
-        // job fails FAST with the named remedies instead of grinding the
-        // cluster into a disk-full crash.
+        // spark.graft.jaccard.maxCandidatePairs: PRE-JOIN volume valve,
+        // ON BY DEFAULT (2e9; 0 disables). In a saturated shingle space
+        // the self-join's candidate volume grows ~quadratically with the
+        // corpus (measured twice: the round-8 100x rehearsal produced
+        // ~3e11 candidates and filled a 72 GB disk; the round-12
+        // regenerated corpus died the same way at 5.3e9 candidates ×
+        // ~24 B of join spill each on a 73 GB-free box — with the valve
+        // unset, nothing stood between the warning and the disk-full
+        // crash). The async warning above only fires when the query
+        // ENDS — too late — so the frequency aggregate runs EAGERLY
+        // (one cheap count-by-shingle job over the narrow (id, hash)
+        // frame, reusing the persisted shingle frame) and the job fails
+        // FAST with the named remedies.
         val maxCand = df.sparkSession.conf
           .getOption("spark.graft.jaccard.maxCandidatePairs")
-          .map(_.toLong).getOrElse(0L)
+          .map(_.toLong).getOrElse(2000000000L)
         if (maxCand > 0) {
           // fresh aggregate off the persisted shingle frame (NOT the
           // observed `freq` plan — its Observation must fire exactly once,

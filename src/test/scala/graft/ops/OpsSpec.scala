@@ -78,6 +78,10 @@ class DedupSpec extends SparkSpec {
       spark.conf.set("spark.graft.jaccard.maxCandidatePairs", "1000000")
       assert(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
         .count() == 3) // (1,2) (1,4) (2,4)
+      // 0 disables the (default-on, 2e9) valve explicitly
+      spark.conf.set("spark.graft.jaccard.maxCandidatePairs", "0")
+      assert(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+        .count() == 3)
     } finally spark.conf.unset("spark.graft.jaccard.maxCandidatePairs")
   }
 
