@@ -2416,7 +2416,10 @@ object PipelineCompiler {
         //  {value: expr}}}} — locf = last non-null over the ordered window
         // (one shuffle on the partition key); value = per-row coalesce.
         val d = doc(spec)
+        // partition equality folds under an aggregate-level collation
+        // (internal key only — output fields untouched)
         val partCols = d.get("partitionBy").toSeq.map(expr2col)
+          .map(c => collFold(df, c).getOrElse(c))
         val sortCols: Seq[Column] = d.get("sortBy").map(s => doc(s).toSeq.map {
           case (k, 1) => col(k).asc
           case (k, -1) => col(k).desc
@@ -3023,6 +3026,21 @@ object PipelineCompiler {
       (if (startIsArray) explode(startCol) else startCol).as("__to"))
       .where(col("__to").isNotNull).distinct()
     val docStruct = struct(from.columns.map(from(_)).toSeq: _*)
+    // aggregate-level collation applies to the traversal EQUALITY
+    // (connectToField vs startWith/connectFromField) when every key
+    // side is a string — fold both sides of the join; frontier values
+    // and stored docs stay RAW (the fold is comparison-only)
+    val gFold = graft.query.QueryCompiler.activeCollation.value
+      .filter { _ =>
+        def elemStr(t: org.apache.spark.sql.types.DataType): Boolean =
+          (t match {
+            case org.apache.spark.sql.types.ArrayType(e, _) => e
+            case x => x
+          }) == org.apache.spark.sql.types.StringType
+        stringTyped(from, from(ct)) && stringTyped(from, from(cf)) &&
+          elemStr(df.select(startCol).schema.head.dataType)
+      }
+    def gk(c: Column): Column = gFold.map(_.key(c)).getOrElse(c)
     // doc identity for the visited-set dedup: hash of the full document
     val fromKeyed = from.select(col(ct).as("__ct"), col(cf).as("__cf"),
       docStruct.as("__doc"), md5(to_json(docStruct)).as("__dochash"))
@@ -3032,7 +3050,7 @@ object PipelineCompiler {
     var done = false
     while (!done && depth <= maxDepth) {
       val matched = fromKeyed.join(frontier,
-          fromKeyed("__ct") === frontier("__to"))
+          gk(fromKeyed("__ct")) === gk(frontier("__to")))
         .select(col("__gid"), col("__doc"), col("__dochash"), col("__cf"),
           lit(depth).as("__depth"))
       val newRows = (if (haveVisited)
@@ -3145,7 +3163,11 @@ object PipelineCompiler {
 
   private def setWindowFields(df: DataFrame, d: Map[String, Any]): DataFrame = {
     import org.apache.spark.sql.expressions.{Window, WindowSpec}
+    // aggregate-level collation applies to the PARTITION equality too
+    // (Mongo runs the whole pipeline under the collation); the folded
+    // key is internal — output fields are untouched
     val partCols = d.get("partitionBy").toSeq.map(expr2col)
+      .map(c => collFold(df, c).getOrElse(c))
     if (partCols.isEmpty)
       scaleGuard(df, "$setWindowFields without partitionBy compiles to a " +
         "single-partition global window (correct Mongo semantics, but " +

@@ -737,6 +737,61 @@ class CollationSpec extends SparkSpec {
     assert(e.getMessage.contains("__ck"))
   }
 
+  test("pipe(pipeline, collation): $setWindowFields/$fill partitions " +
+      "and $graphLookup traversal equality fold string keys") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-collation7").toString
+    Seq[(Long, String, Option[Long])]((1L, "ALICE", Some(10L)),
+      (2L, "alice", Some(20L)), (3L, "Bob", Some(5L)),
+      (4L, "bob", None))
+      .toDF("_id", "name", "v").write.parquet(s"$dir/people.parquet")
+    // org chart with case-variant manager references
+    Seq(("a", "ROOT"), ("b", "A"), ("c", "B"))
+      .toDF("emp", "mgr").write.parquet(s"$dir/org.parquet")
+    val c = new graft.db.GraftSession(spark, dir).db("d").c("people")
+    // $setWindowFields: ALICE/alice are ONE partition at strength 2
+    val sums = c.pipe(
+      Seq(Map("$setWindowFields" -> Map(
+        "partitionBy" -> "$name",
+        "output" -> Map("t" -> Map("$sum" -> "$v"))))),
+      collation = Map("locale" -> "en", "strength" -> 2))
+      .orderBy("_id").select("t").as[Long].collect().toSeq
+    assert(sums == Seq(30L, 30L, 5L, 5L))
+    // $fill locf follows the collated partition too
+    val filled = c.pipe(
+      Seq(Map("$fill" -> Map(
+        "partitionBy" -> "$name", "sortBy" -> Map("_id" -> 1),
+        "output" -> Map("v" -> Map("method" -> "locf"))))),
+      collation = Map("locale" -> "en", "strength" -> 2))
+      .orderBy("_id").select("v").as[Option[Long]].collect().toSeq
+    // bob(4) inherits Bob(3)'s 5 under the case-folded partition
+    assert(filled == Seq(Some(10L), Some(20L), Some(5L), Some(5L)))
+    // $graphLookup: traversal matches emp/mgr case-insensitively
+    val org = new graft.db.GraftSession(spark, dir).db("d").c("org")
+    val chain = org.pipe(
+      Seq(Map("$match" -> Map("emp" -> "c")),
+        Map("$graphLookup" -> Map(
+          "from" -> "org", "startWith" -> "$mgr",
+          "connectFromField" -> "mgr", "connectToField" -> "emp",
+          "as" -> "up")),
+        Map("$project" -> Map("emp" -> 1,
+          "n" -> Map("$size" -> "$up")))),
+      collation = Map("locale" -> "en", "strength" -> 2))
+      .select("n").as[Int].collect().toSeq
+    // c → B(≡b) → A(≡a) → ROOT (no emp "root") = 2 ancestors found
+    assert(chain == Seq(2))
+    // without collation the uppercase refs match nothing
+    val plain = org.pipe(
+      Seq(Map("$match" -> Map("emp" -> "c")),
+        Map("$graphLookup" -> Map(
+          "from" -> "org", "startWith" -> "$mgr",
+          "connectFromField" -> "mgr", "connectToField" -> "emp",
+          "as" -> "up")),
+        Map("$project" -> Map("n" -> Map("$size" -> "$up")))))
+      .select("n").as[Int].collect().toSeq
+    assert(plain == Seq(0))
+  }
+
   test("pipe(pipeline, collation): $match and $sort fold") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-collation2").toString
