@@ -3613,6 +3613,15 @@ object PipelineCompiler {
       case Some(st) if st.keySet == Set("$merge") =>
         require(!pipeline.init.exists(_.contains("$merge")),
           "$merge must be the final stage")
+        // $merge's on-key match under a collation is ambiguous state
+        // mutation (WHICH case-variant of the key survives an upsert?)
+        // — reject loudly rather than matching silently case-sensitive
+        // while the rest of the pipeline folds
+        require(graft.query.QueryCompiler.activeCollation.value.isEmpty,
+          "$merge under an aggregate collation is not supported — the " +
+            "on-key match would need a canonical key representative " +
+            "for the stored table; normalize the key column (e.g. " +
+            "$toLower) before $merge instead")
         val d = doc(st("$merge"))
         // whenMatched is either a keyword or an UPDATE PIPELINE (Mongo:
         // a list of $addFields/$set/$project/$unset/$replaceRoot stages

@@ -792,6 +792,19 @@ class CollationSpec extends SparkSpec {
     assert(plain == Seq(0))
   }
 
+  test("$merge under an aggregate collation rejects loudly (the " +
+      "on-key upsert would need a canonical representative)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-collation8").toString
+    df.write.parquet(s"$dir/people.parquet")
+    val c = new graft.db.GraftSession(spark, dir).db("d").c("people")
+    val e = intercept[IllegalArgumentException] {
+      c.pipe(Seq(Map("$merge" -> Map("into" -> "out"))),
+        collation = Map("locale" -> "en", "strength" -> 2))
+    }
+    assert(e.getMessage.contains("$merge under an aggregate collation"))
+  }
+
   test("pipe(pipeline, collation): $match and $sort fold") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-collation2").toString
