@@ -605,6 +605,38 @@ class CollationSpec extends SparkSpec {
     assert(eq1("dělá", "dela") && eq1("dům", "dum") && !eq1("čaj", "caj"))
   }
 
+  test("tailored + numericOrdering: digit runs compare numerically on " +
+      "BOTH struct levels (column and literal twins agree)") {
+    val sv2n = Collation.parse(Map("locale" -> "sv", "strength" -> 2,
+      "numericOrdering" -> true))
+    val words = Seq("åker10", "åker2", "zon5", "ÅKER2").toDF("w")
+    val got = words.orderBy(sv2n.key(col("w")), col("w")).as[String]
+      .collect().toSeq
+    // z < å (tailored), and 2 < 10 inside the å group (numeric);
+    // ÅKER2/åker2 tie on both levels and fall to the raw tiebreak
+    assert(got == Seq("zon5", "ÅKER2", "åker2", "åker10"))
+    val hit = words.where(sv2n.key(col("w")) === sv2n.foldLit("Åker002"))
+      .as[String].collect().toSeq.sorted
+    assert(hit == Seq("ÅKER2", "åker2")) // zeros collate equal
+  }
+
+  test("backwards + caseLevel nest: (two-level struct, case bits) — " +
+      "foldLit mirrors the full shape") {
+    val spec = Collation.parse(Map("locale" -> "fr_CA", "strength" -> 2,
+      "caseLevel" -> true, "caseFirst" -> "upper"))
+    assert(spec.backwards && spec.caseLevel)
+    val words = Seq("Côté", "côté", "coté").toDF("w")
+    // primary+secondary equal for the Côté/côté pair; case level
+    // orders uppercase first (caseFirst upper); coté differs at the
+    // secondary (backwards-reversed) level
+    val got = words.orderBy(spec.key(col("w"))).as[String]
+      .collect().toSeq
+    assert(got == Seq("coté", "Côté", "côté"))
+    val hit = words.where(spec.key(col("w")) === spec.foldLit("Côté"))
+      .as[String].collect().toSeq
+    assert(hit == Seq("Côté"))
+  }
+
   test("sv/da secondary: đ << ð per CLDR (binary is the opposite)") {
     val sv2 = Collation.Spec("sv", 2)
     val da2 = Collation.Spec("da", 2)
