@@ -148,6 +148,30 @@ object Dedup {
     val obsOpt =
       if (maxShingleFreq != 0) Some(org.apache.spark.sql.Observation())
       else None
+    // spark.graft.jaccard.maxCandidatePairs: PRE-JOIN volume valve, ON
+    // BY DEFAULT (2e9; 0 disables), and it guards BOTH branches —
+    // maxShingleFreq = 0 keeps every stop-shingle, the configuration
+    // most prone to the blowup. In a saturated shingle space the
+    // self-join's candidate volume grows ~quadratically with the corpus
+    // (measured twice: the round-8 100x rehearsal produced ~3e11
+    // candidates and filled a 72 GB disk; the round-12 regenerated
+    // corpus died the same way at 5.3e9 candidates × ~24 B of join
+    // spill each on a 73 GB-free box — with the valve unset, nothing
+    // stood between the async density warning and the disk-full crash).
+    // The warning only fires when the query ENDS — too late — so the
+    // frequency aggregate runs EAGERLY (one cheap count-by-shingle job
+    // over the persisted narrow (id, hash) frame) and the job fails
+    // FAST with the named remedies.
+    val maxCand = df.sparkSession.conf
+      .getOption("spark.graft.jaccard.maxCandidatePairs")
+      .map(_.toLong).getOrElse(2000000000L)
+    def candidateValve(cand: Double): Unit =
+      if (cand > maxCand) throw new IllegalStateException(
+        f"ngramJaccardPairs: candidate volume $cand%.3g exceeds " +
+          s"spark.graft.jaccard.maxCandidatePairs=$maxCand — the " +
+          "shingle space is too dense for an exact all-pairs join " +
+          "at this scale. Use minhashLshPairs for near-dup " +
+          "candidates, lower maxShingleFreq, or raise the valve.")
     val filtered = tracked((
       if (maxShingleFreq != 0) {
         // the per-shingle cap joins in as a broadcast one-row frame: AUTO
@@ -202,41 +226,27 @@ object Dedup {
                   "near-dup candidates or lower maxShingleFreq.")
           }
         }(scala.concurrent.ExecutionContext.global)
-        // spark.graft.jaccard.maxCandidatePairs: PRE-JOIN volume valve,
-        // ON BY DEFAULT (2e9; 0 disables). In a saturated shingle space
-        // the self-join's candidate volume grows ~quadratically with the
-        // corpus (measured twice: the round-8 100x rehearsal produced
-        // ~3e11 candidates and filled a 72 GB disk; the round-12
-        // regenerated corpus died the same way at 5.3e9 candidates ×
-        // ~24 B of join spill each on a 73 GB-free box — with the valve
-        // unset, nothing stood between the warning and the disk-full
-        // crash). The async warning above only fires when the query
-        // ENDS — too late — so the frequency aggregate runs EAGERLY
-        // (one cheap count-by-shingle job over the narrow (id, hash)
-        // frame, reusing the persisted shingle frame) and the job fails
-        // FAST with the named remedies.
-        val maxCand = df.sparkSession.conf
-          .getOption("spark.graft.jaccard.maxCandidatePairs")
-          .map(_.toLong).getOrElse(2000000000L)
         if (maxCand > 0) {
           // fresh aggregate off the persisted shingle frame (NOT the
           // observed `freq` plan — its Observation must fire exactly once,
           // on the main query)
-          val volRow = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+          candidateValve(sh.groupBy("sh").agg(count(lit(1)).as("df"))
             .crossJoin(broadcast(capDf))
             .where(col("df") <= col("__cap"))
             .agg(coalesce(sum(col("df").cast("double") *
               (col("df") - 1) / 2), lit(0.0)).as("cand")).head()
-          val cand = volRow.getDouble(0)
-          if (cand > maxCand) throw new IllegalStateException(
-            f"ngramJaccardPairs: candidate volume $cand%.3g exceeds " +
-              s"spark.graft.jaccard.maxCandidatePairs=$maxCand — the " +
-              "shingle space is too dense for an exact all-pairs join " +
-              "at this scale. Use minhashLshPairs for near-dup " +
-              "candidates, lower maxShingleFreq, or raise the valve.")
+            .getDouble(0))
         }
         sh.join(freq.where(col("df") <= col("__cap")).select("sh"), "sh")
-      } else sh
+      } else {
+        if (maxCand > 0)
+          // uncapped branch: the SAME volume aggregate, no cap filter
+          candidateValve(sh.groupBy("sh").agg(count(lit(1)).as("df"))
+            .agg(coalesce(sum(col("df").cast("double") *
+              (col("df") - 1) / 2), lit(0.0)).as("cand")).head()
+            .getDouble(0))
+        sh
+      }
     ).persist()) // reused by sizes + both self-join sides: 3 consumers
     val sizes = filtered.groupBy("id").agg(count(lit(1)).as("sz"))
     val pairs = filtered.as("a")
@@ -653,13 +663,15 @@ object Dedup {
         col(idCol).as("id"), col(vecCol).as("v"),
         blockCol.map(col).getOrElse(lit(0)).as("blk"))
         .withColumn("nsq", sqrt(vec_dot(col("v"), col("v"))))
-      // same valve as the LSH path: with a FIXED block domain (e.g. a
-      // label column) block sizes grow linearly with the corpus and the
-      // within-block all-pairs join quadratically — the remedy is blocks
-      // that scale with the corpus (semDeDupKMeans cells, k ~ n/target)
+      // same valve family as the jaccard path, and ON BY DEFAULT for
+      // the same reason (2e9; 0 disables): with a FIXED block domain
+      // (e.g. a label column) block sizes grow linearly with the corpus
+      // and the within-block all-pairs join quadratically — the remedy
+      // is blocks that scale with the corpus (semDeDupKMeans cells,
+      // k ~ n/target)
       val maxCandB = df.sparkSession.conf
         .getOption("spark.graft.embed.maxCandidatePairs")
-        .map(_.toLong).getOrElse(0L)
+        .map(_.toLong).getOrElse(2000000000L)
       if (maxCandB > 0 && blockCol.isDefined) {
         val vol = base.groupBy("blk").agg(count(lit(1)).as("s"))
           .agg(coalesce(sum(col("s").cast("double") *
@@ -759,8 +771,9 @@ object Dedup {
             Similarity.hyperplaneBucket(col("v"), planes, d, t).as("bkt"))
         }: _*)).as("tb"))
         .select(col("id"), col("tb.t").as("t"), col("tb.bkt").as("bkt"))
-      // spark.graft.embed.maxCandidatePairs (> 0): PRE-JOIN volume valve,
-      // the [[ngramJaccardPairs]] pattern for the embedding family. With
+      // spark.graft.embed.maxCandidatePairs: PRE-JOIN volume valve, ON
+      // BY DEFAULT (2e9; 0 disables) like the jaccard valve — the same
+      // disk-full failure mode, the same family. With
       // 2^blockPlanes buckets per table, bucket occupancy grows linearly
       // with the corpus and per-bucket candidates quadratically — the
       // 100x rehearsal saturated the default 8-plane space (256 buckets,
@@ -772,7 +785,7 @@ object Dedup {
       // blocking (blockCol) bounds buckets by construction.
       val maxCand = df.sparkSession.conf
         .getOption("spark.graft.embed.maxCandidatePairs")
-        .map(_.toLong).getOrElse(0L)
+        .map(_.toLong).getOrElse(2000000000L)
       if (maxCand > 0) {
         val vol = bkts.groupBy("t", "bkt")
           .agg(count(lit(1)).as("s"))

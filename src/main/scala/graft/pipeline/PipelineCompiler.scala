@@ -2421,8 +2421,8 @@ object PipelineCompiler {
         val partCols = d.get("partitionBy").toSeq.map(expr2col)
           .map(c => collFold(df, c).getOrElse(c))
         val sortCols: Seq[Column] = d.get("sortBy").map(s => doc(s).toSeq.map {
-          case (k, 1) => col(k).asc
-          case (k, -1) => col(k).desc
+          case (k, 1) => collFold(df, col(k)).getOrElse(col(k)).asc
+          case (k, -1) => collFold(df, col(k)).getOrElse(col(k)).desc
           case (k, v) =>
             throw new IllegalArgumentException(s"$$fill sortBy $k: $v")
         }).getOrElse(Nil)
@@ -2558,6 +2558,18 @@ object PipelineCompiler {
           case other =>
             throw new IllegalArgumentException(s"partitionByFields: $other")
         }.getOrElse(Nil)
+        // $densify SYNTHESIZES rows carrying the partition VALUE, so a
+        // collation-folded partition has no canonical value to write
+        // (which case-variant does the synthesized row get?) — reject
+        // loudly rather than densifying case-variant partitions
+        // separately while the rest of the pipeline folds
+        require(graft.query.QueryCompiler.activeCollation.value.isEmpty ||
+            !parts.exists(pp => stringTyped(df, col(pp))),
+          "$densify with STRING partitionByFields under an aggregate " +
+            "collation is not supported — synthesized rows materialize " +
+            "the partition value, which has no canonical case-variant; " +
+            "normalize the partition column (e.g. $toLower) before " +
+            "$densify instead")
         val r = doc(d("range"))
         val step = r("step") match {
           case n: Number => n.longValue()
@@ -3020,8 +3032,9 @@ object PipelineCompiler {
     val withId = graft.ops.Checkpoints.truncate(
       df.withColumn("__gid", monotonically_increasing_id()))
     val startCol = expr2col(d("startWith"))
-    val startIsArray = df.select(startCol).schema.head.dataType
-      .isInstanceOf[org.apache.spark.sql.types.ArrayType]
+    val startType = df.select(startCol).schema.head.dataType
+    val startIsArray =
+      startType.isInstanceOf[org.apache.spark.sql.types.ArrayType]
     var frontier = withId.select(col("__gid"),
       (if (startIsArray) explode(startCol) else startCol).as("__to"))
       .where(col("__to").isNotNull).distinct()
@@ -3032,13 +3045,12 @@ object PipelineCompiler {
     // and stored docs stay RAW (the fold is comparison-only)
     val gFold = graft.query.QueryCompiler.activeCollation.value
       .filter { _ =>
-        def elemStr(t: org.apache.spark.sql.types.DataType): Boolean =
-          (t match {
-            case org.apache.spark.sql.types.ArrayType(e, _) => e
-            case x => x
-          }) == org.apache.spark.sql.types.StringType
+        val startElem = startType match {
+          case org.apache.spark.sql.types.ArrayType(e, _) => e
+          case x => x
+        }
         stringTyped(from, from(ct)) && stringTyped(from, from(cf)) &&
-          elemStr(df.select(startCol).schema.head.dataType)
+          startElem == org.apache.spark.sql.types.StringType
       }
     def gk(c: Column): Column = gFold.map(_.key(c)).getOrElse(c)
     // doc identity for the visited-set dedup: hash of the full document
@@ -3049,10 +3061,17 @@ object PipelineCompiler {
     var depth = 0
     var done = false
     while (!done && depth <= maxDepth) {
+      // dedup per (outer row, doc identity) WITHIN the generation: two
+      // collation-equal frontier variants ("A"/"a") both survive the
+      // raw-value frontier distinct and would each match the same
+      // from-doc — the visited anti-join only filters against PRIOR
+      // generations. (Value identity is the documented columnar stance,
+      // same as the $lookup array-side dedup.)
       val matched = fromKeyed.join(frontier,
           gk(fromKeyed("__ct")) === gk(frontier("__to")))
         .select(col("__gid"), col("__doc"), col("__dochash"), col("__cf"),
           lit(depth).as("__depth"))
+        .dropDuplicates("__gid", "__dochash")
       val newRows = (if (haveVisited)
           matched.join(visited.select(col("__gid").as("__vgid"),
               col("__dochash").as("__vhash")),
@@ -3180,9 +3199,11 @@ object PipelineCompiler {
           s"$$setWindowFields sortBy $k: $v")
       }
     }.getOrElse(Nil)
+    // string sortBy keys fold under the aggregate collation too (the
+    // same rule as pipeline $sort — ordering only, output untouched)
     val sortKeys: Seq[Column] = sortFields.map {
-      case (k, true) => col(k).asc
-      case (k, false) => col(k).desc
+      case (k, true) => collFold(df, col(k)).getOrElse(col(k)).asc
+      case (k, false) => collFold(df, col(k)).getOrElse(col(k)).desc
     }
     def base: WindowSpec = {
       val p = if (partCols.nonEmpty) Window.partitionBy(partCols: _*)

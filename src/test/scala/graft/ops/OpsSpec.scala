@@ -82,6 +82,14 @@ class DedupSpec extends SparkSpec {
       spark.conf.set("spark.graft.jaccard.maxCandidatePairs", "0")
       assert(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
         .count() == 3)
+      // the valve also guards the UNCAPPED branch (maxShingleFreq = 0
+      // keeps every stop-shingle — strictly more candidates)
+      spark.conf.set("spark.graft.jaccard.maxCandidatePairs", "1")
+      val e0 = intercept[IllegalStateException] {
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5,
+          maxShingleFreq = 0).count()
+      }
+      assert(e0.getMessage.contains("candidate volume"))
     } finally spark.conf.unset("spark.graft.jaccard.maxCandidatePairs")
   }
 

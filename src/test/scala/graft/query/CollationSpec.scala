@@ -837,6 +837,49 @@ class CollationSpec extends SparkSpec {
     assert(e.getMessage.contains("$merge under an aggregate collation"))
   }
 
+  test("collated $graphLookup: a doc reached through collation-equal " +
+      "frontier variants appears ONCE; window sortBy folds (rank " +
+      "ties); $densify string partitions reject") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-collation9").toString
+    // outer row starts from BOTH case variants of the same key
+    Seq((1L, Seq("A", "a"))).toDF("_id", "roots")
+      .write.parquet(s"$dir/seed.parquet")
+    Seq(("a", "top")).toDF("emp", "mgr")
+      .write.parquet(s"$dir/org.parquet")
+    val seed = new graft.db.GraftSession(spark, dir).db("d").c("seed")
+    val n = seed.pipe(
+      Seq(Map("$graphLookup" -> Map(
+        "from" -> "org", "startWith" -> "$roots",
+        "connectFromField" -> "mgr", "connectToField" -> "emp",
+        "as" -> "up")),
+        Map("$project" -> Map("n" -> Map("$size" -> "$up")))),
+      collation = Map("locale" -> "en", "strength" -> 2))
+      .select("n").as[Int].head()
+    assert(n == 1) // not 2: both variants fold to one traversal hit
+    // window sortBy folds: ALICE/alice tie under strength 2 → same rank
+    df.write.parquet(s"$dir/people.parquet")
+    val people = new graft.db.GraftSession(spark, dir).db("d").c("people")
+    val ranks = people.pipe(
+      Seq(Map("$match" -> Map("_id" -> Map("$in" -> Seq(1, 2, 4)))),
+        Map("$setWindowFields" -> Map(
+          "sortBy" -> Map("name" -> 1),
+          "output" -> Map("r" -> Map("$rank" -> Map.empty))))),
+      collation = Map("locale" -> "en", "strength" -> 2))
+      .orderBy("_id").select("r").as[Long].collect().toSeq
+    // Alice(1)/alice(2) tie at rank 1; bob(4) ranks 3 (rank skips)
+    assert(ranks == Seq(1L, 1L, 3L))
+    // $densify with a string partition under collation rejects loudly
+    val e = intercept[IllegalArgumentException] {
+      people.pipe(
+        Seq(Map("$densify" -> Map("field" -> "_id",
+          "partitionByFields" -> Seq("name"),
+          "range" -> Map("step" -> 1, "bounds" -> "partition")))),
+        collation = Map("locale" -> "en", "strength" -> 2)).collect()
+    }
+    assert(e.getMessage.contains("$densify"))
+  }
+
   test("pipe(pipeline, collation): $match and $sort fold") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-collation2").toString
