@@ -1594,6 +1594,66 @@ object SparkEntry {
         Map("$project" -> Map("doc_id" -> 1, "tag" -> 1))),
         Map("locale" -> "cs", "strength" -> 1))),
 
+    // lucene.turkish $search: Snowball Turkish stemming pairs the
+    // tailored tr collation with stemmed search (the last tailored
+    // locale with a published algorithmic stemmer — pl needs the
+    // dictionary-based Stempel). kitaplarım/kitaplar/kitabı meet on
+    // one stem through possessive/plural/accusative+devoicing chains;
+    // evdekiler/evde/evlerim meet through the -ki chain; the stop
+    // slot (ve/bu/bir/ile) never matches — nor does the stop query
+    // term ve
+    "q222_search_turkish_stemming" -> ((s, dir) => {
+      val w1 = Seq("kitaplarım", "kitaplar", "arabam", "gelmiş",
+        "kitabı")
+      val w2 = Seq("ve", "bu", "bir", "ile")
+      val w3 = Seq("evdekiler", "evde", "gözlerimde", "arabalar",
+        "evlerim")
+      val df = tbl(s, dir, "documents").where(col("doc_id") < 400)
+        .withColumn("rtext", concat_ws(" ",
+          element_at(typedlit(w1), (col("doc_id") % 5 + 1).cast("int")),
+          element_at(typedlit(w2),
+            ((col("doc_id") / 5).cast("long") % 4 + 1).cast("int")),
+          element_at(typedlit(w3),
+            ((col("doc_id") / 20).cast("long") % 5 + 1).cast("int"))))
+      graft.pipeline.PipelineCompiler.compile(Seq(
+        Map("$search" -> Map(
+          "analyzer" -> "lucene.turkish",
+          "compound" -> Map("filter" -> Seq(
+            Map("text" -> Map(
+              "query" -> "ve kitaplarımdan evdeki",
+              "path" -> "rtext")))))),
+        Map("$project" -> Map("doc_id" -> 1))))(df)
+        .orderBy("doc_id")
+    }),
+
+    // lucene.czech $search: the published Dolamic & Savoy light
+    // stemmer (Czech has no Snowball algorithm) — městech/města/město
+    // meet on one stem through case endings, praze/prahy/praha through
+    // the z→h palatalization normalization; the stop slot never
+    // matches, nor does the stop query term a
+    "q223_search_czech_stemming" -> ((s, dir) => {
+      val w1 = Seq("městech", "města", "pracovníci", "bratrova",
+        "město")
+      val w2 = Seq("a", "je", "na", "to")
+      val w3 = Seq("praze", "prahy", "ženách", "bratrův", "praha")
+      val df = tbl(s, dir, "documents").where(col("doc_id") < 400)
+        .withColumn("rtext", concat_ws(" ",
+          element_at(typedlit(w1), (col("doc_id") % 5 + 1).cast("int")),
+          element_at(typedlit(w2),
+            ((col("doc_id") / 5).cast("long") % 4 + 1).cast("int")),
+          element_at(typedlit(w3),
+            ((col("doc_id") / 20).cast("long") % 5 + 1).cast("int"))))
+      graft.pipeline.PipelineCompiler.compile(Seq(
+        Map("$search" -> Map(
+          "analyzer" -> "lucene.czech",
+          "compound" -> Map("filter" -> Seq(
+            Map("text" -> Map(
+              "query" -> "a městě praha",
+              "path" -> "rtext")))))),
+        Map("$project" -> Map("doc_id" -> 1))))(df)
+        .orderBy("doc_id")
+    }),
+
     // lucene.cjk bigram analysis: CJK text has no word separators, so
     // the analyzer matches on overlapping character bigrams (Lucene
     // CJKAnalyzer's published algorithm) — "数据处理" analyzes to
@@ -5409,6 +5469,30 @@ object SparkEntry {
         "abcčdefgh ijklmnopqrřsštuvwxyzž".zipWithIndex.collect {
           case (ch, i) if ch != ' ' => (0xE400 + i).toChar
         }.mkString + "'), doc_id"),
+
+    // honest-reduction (the q212 pattern): Snowball Turkish
+    // stem-equivalence reduces ON THIS FIXTURE to membership in the
+    // inflection groups whose stems match the analyzed query terms
+    // (kitap / ev); the stemmer itself is pinned by unit specs on
+    // hand-verified inflection families, the stop term (ve) must
+    // never match
+    "q222_search_turkish_stemming" ->
+      """SELECT doc_id FROM documents
+        |WHERE doc_id < 400 AND (
+        |  (doc_id % 5) IN (0, 1, 4)
+        |  OR ((doc_id // 20) % 5) IN (0, 1, 4))
+        |ORDER BY doc_id""".stripMargin,
+
+    // honest-reduction (the q212/q222 pattern): stem-equivalence
+    // reduces ON THIS FIXTURE to inflection-group membership (měst /
+    // prah); the stemmer is pinned by unit specs on published pairs,
+    // the stop term (a) must never match
+    "q223_search_czech_stemming" ->
+      """SELECT doc_id FROM documents
+        |WHERE doc_id < 400 AND (
+        |  (doc_id % 5) IN (0, 1, 4)
+        |  OR ((doc_id // 20) % 5) IN (0, 1, 4))
+        |ORDER BY doc_id""".stripMargin,
 
     // the oracle rebuilds the caseLevel struct key in SQL: primary =
     // lower(tag), case level = the per-letter bit pattern with the

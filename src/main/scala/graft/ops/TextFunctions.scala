@@ -567,6 +567,74 @@ object TextFunctions {
       .filter(t => t.nonEmpty && !RussianStopWords(t))
       .map(graft.functions.RussianSnowball.stem).toSeq
 
+  /** Lucene's published Turkish stop set (stopwords_tr.txt core). */
+  private[graft] val TurkishStopWords = Set(
+    "acaba", "ama", "aslında", "az", "bazı", "belki", "biri",
+    "birkaç", "birşey", "biz", "bu", "çok", "çünkü", "da", "daha",
+    "de", "defa", "diye", "eğer", "en", "gibi", "hem", "hep",
+    "hepsi", "her", "hiç", "için", "ile", "ise", "kez", "ki", "kim",
+    "mı", "mu", "mü", "nasıl", "ne", "neden", "nerde", "nerede",
+    "nereye", "niçin", "niye", "o", "sanki", "şey", "siz", "şu",
+    "tüm", "ve", "veya", "ya", "yani", "bir")
+
+  /** `lucene.turkish`-style analysis: the TURKISH case fold first
+    * (İ→i, I→ı — the tailored `tr` collation applies the identical
+    * fold, [[graft.query.Collation.Tailorings]]), then lowercase,
+    * split on non-alphanumeric runs, drop the Turkish stop set,
+    * Snowball-stem each token ([[graft.functions.TurkishSnowball]],
+    * a native expression). */
+  def turkishTokens(text: Column): Column =
+    transform(
+      filter(
+        split(lower(translate(text, "Iİ", "ıi")), "[^\\p{L}\\p{N}]+"),
+        t => t =!= lit("") && !t.isin(TurkishStopWords.toSeq: _*)),
+      t => graft.functions.TurkishStemFunctions.turkish_stem(t))
+
+  /** Driver-side twin of [[turkishTokens]]. */
+  def turkishTerms(q: String): Seq[String] =
+    q.replace('I', 'ı').replace('İ', 'i')
+      .toLowerCase(java.util.Locale.ROOT)
+      .split("[^\\p{L}\\p{N}]+")
+      .filter(t => t.nonEmpty && !TurkishStopWords(t))
+      .map(graft.functions.TurkishSnowball.stem).toSeq
+
+  /** Lucene's published Czech stop set (czech_stop.txt core). */
+  private[graft] val CzechStopWords = Set(
+    "a", "aby", "ale", "ani", "ano", "až", "bez", "bude", "by",
+    "byl", "byla", "byli", "bylo", "být", "co", "či", "do", "ho",
+    "i", "já", "jak", "jako", "je", "jeho", "jej", "její", "jejich",
+    "jen", "ještě", "ji", "již", "jsem", "jsme", "jsou", "jsi", "k",
+    "kam", "kde", "kdo", "když", "ke", "která", "které", "který",
+    "kteří", "má", "mezi", "mi", "mít", "můj", "může", "my", "na",
+    "nad", "nám", "ne", "nebo", "není", "nás", "náš", "než", "nic",
+    "nich", "ním", "o", "od", "ode", "on", "ona", "oni", "ono",
+    "pak", "po", "pod", "podle", "pokud", "pouze", "pro", "proč",
+    "proto", "protože", "před", "přes", "při", "s", "se", "si",
+    "své", "svůj", "ta", "tak", "také", "takže", "tato", "tedy",
+    "ten", "tento", "tím", "to", "toho", "tom", "tomto", "toto",
+    "tu", "ty", "tyto", "u", "už", "v", "vám", "více", "však",
+    "vy", "z", "za", "zde", "že")
+
+  /** `lucene.czech`-style analysis: lowercase, split on
+    * non-alphanumeric runs, drop the Czech stop set, light-stem each
+    * token ([[graft.functions.CzechStem]], a native expression —
+    * Czech has no Snowball algorithm, so the published Dolamic &
+    * Savoy light stemmer is the algorithmic option, the same one
+    * Lucene ships). */
+  def czechTokens(text: Column): Column =
+    transform(
+      filter(
+        split(lower(text), "[^\\p{L}\\p{N}]+"),
+        t => t =!= lit("") && !t.isin(CzechStopWords.toSeq: _*)),
+      t => graft.functions.CzechStemFunctions.czech_stem(t))
+
+  /** Driver-side twin of [[czechTokens]]. */
+  def czechTerms(q: String): Seq[String] =
+    q.toLowerCase(java.util.Locale.ROOT)
+      .split("[^\\p{L}\\p{N}]+")
+      .filter(t => t.nonEmpty && !CzechStopWords(t))
+      .map(graft.functions.CzechStem.stem).toSeq
+
   /** Language analyzers by `lucene.*` name: (document-token column
     * chain, driver-side query-term twin). The ONE registry every
     * dispatch site consults — `$search` text/phrase legs and `$text
@@ -587,6 +655,8 @@ object TextFunctions {
     "lucene.danish" -> ((danishTokens _, danishTerms _)),
     "lucene.norwegian" -> ((norwegianTokens _, norwegianTerms _)),
     "lucene.russian" -> ((russianTokens _, russianTerms _)),
+    "lucene.turkish" -> ((turkishTokens _, turkishTerms _)),
+    "lucene.czech" -> ((czechTokens _, czechTerms _)),
     "lucene.cjk" -> ((cjkTokens _, cjkTerms _)))
 
   /** In-order sloppy phrase occurrences: the number of start positions in

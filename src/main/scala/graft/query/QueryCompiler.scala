@@ -674,15 +674,18 @@ object QueryCompiler {
         case "da" => "danish"
         case "nb" | "no" => "norwegian"
         case "ru" => "russian"
+        case "tr" => "turkish"
+        case "cs" => "czech"
         case other => other
       }
       require(Set("none", "english", "french", "german", "spanish",
         "italian", "portuguese", "dutch", "swedish", "danish",
-        "norwegian", "russian")(lang),
+        "norwegian", "russian", "turkish", "czech")(lang),
         s"$$text.$$language: '$lang' unsupported (none/english/french/" +
           "german/spanish/italian/portuguese/dutch/swedish/danish/" +
-          "norwegian/russian — other languages need stemmers this " +
-          "engine does not model)")
+          "norwegian/russian/turkish/czech — other languages need " +
+          "stemmers this engine does not model; Polish stemming is " +
+          "dictionary-based (Stempel) and out of scope)")
       val cs = mm.get("$caseSensitive") match {
         case Some(b: Boolean) => b
         case Some(other) => throw new IllegalArgumentException(

@@ -1148,6 +1148,93 @@ class TextFunctionsSpec extends SparkSpec {
       stem("тест1") == "тест1")
   }
 
+  test("Turkish Snowball stemmer: published-algorithm pairs") {
+    import graft.functions.TurkishSnowball.stem
+    // noun case/possessive/plural chains meet kitap (final-b devoices)
+    assert(stem("kitaplar") == "kitap" && stem("kitabı") == "kitap" &&
+      stem("kitaplarım") == "kitap" &&
+      stem("kitaplarımdan") == "kitap" && stem("kitap") == "kitap")
+    // the -ki chain: evdeki → ev+de+ki; evdekiler strips plural first
+    assert(stem("evler") == "ev" && stem("evde") == "ev" &&
+      stem("evdeki") == "ev" && stem("evdekiler") == "ev" &&
+      stem("evinde") == "ev" && stem("evleri") == "ev" &&
+      stem("evim") == "ev")
+    // vowel-final stems: surface-ambiguous with the buffer-less
+    // dative (arab+a vs araba+ya), so the whole family normalizes one
+    // strip further and meets at the devoiced arap — the documented
+    // final-strip divergence that keeps possessive- and
+    // plural-stripped forms CONSISTENT (the published pass order
+    // splits them: arabalar→arap but arabam→araba)
+    assert(stem("arabam") == "arap" && stem("arabaya") == "arap" &&
+      stem("arabalar") == "arap" && stem("arabayla") == "arap" &&
+      stem("arabanın") == "arap" && stem("araba") == "arap" &&
+      stem("arabaydı") == "arap")
+    // nominal verb suffixes; -lAr+past marks a verb and stops noun
+    // stemming; -nUz requires the past/conditional that precedes it
+    assert(stem("geldi") == "gel" && stem("geldiler") == "gel" &&
+      stem("gelmiş") == "gel" && stem("geldiniz") == "gel")
+    // front-vowel harmony picks front suffix variants
+    assert(stem("gözlerimde") == "göz" && stem("gözler") == "göz")
+    // final ğ devoices to k
+    assert(stem("çocuğu") == "çocuk" && stem("çocuklar") == "çocuk")
+    // genitive under -ki: onunki → o
+    assert(stem("onunki") == "o")
+    // the REQUIRED continuation after -ndA/-nA keeps the bare
+    // locative from mis-routing: masada goes through -DA, masanda
+    // through -DA + possessive -n; the family meets at the
+    // final-stripped mas
+    assert(stem("masada") == "mas" && stem("masanda") == "mas" &&
+      stem("masa") == "mas")
+    // copula -DIr strips (ığdır → ığ → postlude ık)
+    assert(stem("ığdır") == "ık")
+    // one-syllable words and non-Turkish tokens pass through
+    assert(stem("ev") == "ev" && stem("ve") == "ve" &&
+      stem("a1b") == "a1b")
+  }
+
+  test("turkishTokens/turkishTerms: dotless-i fold, stops, stems " +
+      "meet their driver twins") {
+    // Turkish-cased input: İ folds to i and I to ı BEFORE lowercase
+    val trToks = one("Ve KİTAPLARIMDAN evdekiler")
+      .select(TextFunctions.turkishTokens($"text"))
+      .as[Seq[String]].head()
+    assert(trToks == Seq("kitap", "ev"))
+    assert(TextFunctions.turkishTerms("ve kitaplar evdeki") ==
+      Seq("kitap", "ev"))
+  }
+
+  test("Czech light stemmer (Dolamic & Savoy): published pairs") {
+    import graft.functions.CzechStem.stem
+    // case endings meet měst across -a/-o/-ech
+    assert(stem("města") == "měst" && stem("město") == "měst" &&
+      stem("městech") == "měst" && stem("městě") == "měst")
+    // palatalization normalizes: praze → praz → prah meets praha
+    assert(stem("praha") == "prah" && stem("prahy") == "prah" &&
+      stem("praze") == "prah")
+    // c → k: pracovníci meets pracovník
+    assert(stem("pracovníci") == "pracovník" &&
+      stem("pracovník") == "pracovník")
+    // the mobile -e- drop: matek → matk meets matka/matky
+    assert(stem("matka") == "matk" && stem("matky") == "matk" &&
+      stem("matek") == "matk")
+    // possessive -ův / -ov(a)
+    assert(stem("bratrův") == "bratr" && stem("bratrova") == "bratr")
+    // normalize runs unconditionally after the removal steps, as
+    // published (den contracts its mobile e even with no ending)
+    assert(stem("den") == "dn")
+    // ≤2-char words and non-Czech tokens pass through
+    assert(stem("na") == "na" && stem("a1b") == "a1b")
+  }
+
+  test("czechTokens/czechTerms: stops and stems meet their twins") {
+    val csToks = one("a města na praze")
+      .select(TextFunctions.czechTokens($"text"))
+      .as[Seq[String]].head()
+    assert(csToks == Seq("měst", "prah"))
+    assert(TextFunctions.czechTerms("je město praha") ==
+      Seq("měst", "prah"))
+  }
+
   test("russianTokens/russianTerms: stops and stems meet their " +
       "driver twins") {
     val ruToks = one("и в красивые книги бегала")
