@@ -1654,6 +1654,77 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // SEMANTIC decontamination: embedding-cosine leak detection against
+    // a benchmark set (the paraphrase complement of the n-gram q108 /
+    // bloom q151 decontamination) — benchmark side broadcast-small, one
+    // corpus scan, partial-agg before the exchange
+    "q224_semantic_decontamination" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      graft.ops.Decontaminate.semantic(
+        e.where(col("vec_id") >= 32), "vec_id", "embedding",
+        e.where(col("vec_id") < 32), "vec_id", "embedding",
+        threshold = 0.3)
+        .orderBy("vec_id")
+    }),
+
+    // cluster RESOLUTION: the retention policy over q50's duplicate
+    // clusters — keep the best-quality (longest, tie-break min id) doc
+    // per cluster instead of the arbitrary min-id representative;
+    // singletons survive as their own component
+    "q225_dedup_keep_best" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val clusters = Dedup.duplicateClusters(
+        Dedup.minhashLshPairs(docs, "doc_id", "text",
+          k = 3, numPerms = 12, bands = 4))
+      Dedup.resolveClusters(docs, clusters, "doc_id", "n_chars")
+        .select("doc_id", "component", "cluster_size")
+        .orderBy("doc_id")
+    }),
+
+    // per-domain quality percentile gate: each source keeps its own
+    // >= p50 rows (a global floor over-prunes clean domains); one
+    // aggregate broadcast back, the corpus never shuffles
+    "q226_domain_quality_filter" -> ((s, dir) =>
+      graft.ops.Curation.domainPercentileFilter(
+        tbl(s, dir, "documents"), "source", "n_chars", quantile = 0.5)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")),
+
+    // URL canonicalization dedup: trivially-distinct spellings of one
+    // resource (tracking params, case-varied host, default port,
+    // fragment, www., trailing slash) collide on the normalized key —
+    // one scan-fused regex chain + the one-shuffle exact dedup
+    "q227_url_dedup" -> ((s, dir) => {
+      val pre = Seq(
+        "https://Example.com/p", "https://example.com/p",
+        "https://example.com:443/p", "https://www.example.com/p",
+        "https://example.com/p", "https://other.org/p")
+      val suf = Seq(
+        "/b?utm_source=x&id=7", "/b?id=7", "/b?id=7#frag",
+        "/b/?id=7", "/b?id=8", "/c")
+      val df = tbl(s, dir, "documents").where(col("doc_id") < 360)
+        .withColumn("url", concat(
+          element_at(typedlit(pre), (col("doc_id") % 6 + 1).cast("int")),
+          (col("doc_id") / 6).cast("long").cast("string"),
+          element_at(typedlit(suf), (col("doc_id") % 6 + 1).cast("int"))))
+        .withColumn("url_canonical",
+          TextFunctions.normalizeUrl(col("url")))
+      Dedup.exact(df, Seq("url_canonical"), "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // incremental-ingest near-dup: the incoming shard (doc_id >= 200)
+    // dedups against the existing corpus (doc_id < 200) on the shared
+    // minhash band join — delta×corpus candidates only, never
+    // corpus×corpus
+    "q228_incremental_neardup" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      Dedup.minhashLshPairsBetween(
+        docs.where(col("doc_id") >= 200), docs.where(col("doc_id") < 200),
+        "doc_id", "text", k = 3, numPerms = 12, bands = 4)
+        .orderBy("new_id", "ref_id")
+    }),
+
     // lucene.cjk bigram analysis: CJK text has no word separators, so
     // the analyzer matches on overlapping character bigrams (Lucene
     // CJKAnalyzer's published algorithm) — "数据处理" analyzes to
@@ -5493,6 +5564,127 @@ object SparkEntry {
         |  (doc_id % 5) IN (0, 1, 4)
         |  OR ((doc_id // 20) % 5) IN (0, 1, 4))
         |ORDER BY doc_id""".stripMargin,
+
+    // brute-force cosine over the full bench×corpus product (the
+    // broadcast path IS exact, so the oracle is the plain definition)
+    "q224_semantic_decontamination" ->
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 32),
+         |c AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 32),
+         |p AS (
+         |  SELECT c.vec_id AS ia, b.vec_id AS ib,
+         |    c.embedding AS ea, b.embedding AS eb FROM c, b),
+         |${cosineCtes("p")}
+         |SELECT ia AS vec_id, count(*) AS matches, min(ib) AS first_bench
+         |FROM d WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.3
+         |GROUP BY ia ORDER BY vec_id""".stripMargin,
+
+    // the q50 component recursion, then argmax quality per component
+    // (n_chars DESC, doc_id ASC) with unclustered docs as singletons
+    "q225_dedup_keep_best" ->
+      s"""WITH RECURSIVE p AS (
+         |${minhashOracle(12, 4)}
+         |),
+         |und AS (SELECT id_a AS a, id_b AS b FROM p
+         |        UNION SELECT id_b, id_a FROM p),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM und
+         |  UNION
+         |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+         |comp AS (SELECT a AS id, LEAST(a, MIN(b)) AS component
+         |         FROM reach GROUP BY a),
+         |lab AS (
+         |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component,
+         |    d.n_chars
+         |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+         |r AS (
+         |  SELECT doc_id, component,
+         |    count(*) OVER (PARTITION BY component) AS cluster_size,
+         |    row_number() OVER (PARTITION BY component
+         |      ORDER BY n_chars DESC, doc_id) AS rn
+         |  FROM lab)
+         |SELECT doc_id, component, cluster_size FROM r WHERE rn = 1
+         |ORDER BY doc_id""".stripMargin,
+
+    // quantile_cont IS Spark's exact interpolated percentile (both
+    // evaluate at rank (n-1)*q with linear interpolation; integer
+    // scores make the midpoint exactly representable)
+    "q226_domain_quality_filter" ->
+      """WITH th AS (
+        |  SELECT source, quantile_cont(n_chars, 0.5) AS th
+        |  FROM documents GROUP BY source)
+        |SELECT d.doc_id, d.source, d.n_chars
+        |FROM documents d JOIN th ON th.source = d.source
+        |WHERE CAST(d.n_chars AS DOUBLE) >= th.th
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // the oracle runs the IDENTICAL normalization chain in RE2 (the
+    // Spark regexes deliberately avoid lookaround for this) — an
+    // independent re-implementation, then min-id per canonical key
+    "q227_url_dedup" ->
+      """WITH u AS (SELECT doc_id,
+        |  CASE doc_id % 6
+        |    WHEN 0 THEN 'https://Example.com/p' || (doc_id // 6)
+        |      || '/b?utm_source=x&id=7'
+        |    WHEN 1 THEN 'https://example.com/p' || (doc_id // 6)
+        |      || '/b?id=7'
+        |    WHEN 2 THEN 'https://example.com:443/p' || (doc_id // 6)
+        |      || '/b?id=7#frag'
+        |    WHEN 3 THEN 'https://www.example.com/p' || (doc_id // 6)
+        |      || '/b/?id=7'
+        |    WHEN 4 THEN 'https://example.com/p' || (doc_id // 6)
+        |      || '/b?id=8'
+        |    ELSE 'https://other.org/p' || (doc_id // 6) || '/c'
+        |  END AS url
+        |  FROM documents WHERE doc_id < 360),
+        |s1 AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS u
+        |  FROM u),
+        |s2 AS (SELECT doc_id, regexp_replace(u,
+        |  '([?&])(?i:utm_[a-z0-9_]+|fbclid|gclid|ref)=[^&]*', '\1',
+        |  'g') AS u FROM s1),
+        |s3 AS (SELECT doc_id, regexp_replace(regexp_replace(
+        |  regexp_replace(u, '&&+', '&', 'g'), '\?&', '?'),
+        |  '[?&]$', '') AS u FROM s2),
+        |s4 AS (SELECT doc_id,
+        |  lower(regexp_extract(u,
+        |    '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)) ||
+        |  regexp_replace(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', '')
+        |  AS u FROM s3),
+        |s5 AS (SELECT doc_id, regexp_replace(regexp_replace(u,
+        |  '^(http://[^/?#:]*):80([/?#]|$)', '\1\2'),
+        |  '^(https://[^/?#:]*):443([/?#]|$)', '\1\2') AS u FROM s4),
+        |s6 AS (SELECT doc_id,
+        |  regexp_replace(u, '^(https?://)www\.', '\1') AS u FROM s5),
+        |s7 AS (SELECT doc_id, regexp_replace(regexp_replace(u,
+        |  '/+\?', '?'), '/+$', '') AS u FROM s6)
+        |SELECT u AS url_canonical, min(doc_id) AS doc_id,
+        |  count(*) AS n_copies
+        |FROM s7 GROUP BY u ORDER BY doc_id""".stripMargin,
+
+    // the q19/q50 minhash machinery with the self-join's id ordering
+    // replaced by the frame split (new >= 200 vs ref < 200)
+    "q228_incremental_neardup" -> {
+      val numPerms = 12; val bands = 4; val rows = numPerms / bands
+      val minExprs = (0 until numPerms).map { i =>
+        s"MIN((h * ${2 * i + 3} + ${i.toLong * i + 1}) % 2147483647)" +
+          s" AS mh$i"
+      }.mkString(", ")
+      val bandSelects = (0 until bands).map { b =>
+        val cols = (0 until rows).map(r => s"mh${b * rows + r}::VARCHAR")
+        s"SELECT doc_id, $b AS band, concat_ws(',', " +
+          s"${cols.mkString(", ")}) AS sig FROM sigs"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $toksCte,
+         |$shingleCte,
+         |h AS (SELECT doc_id, ${sqlHash("sh")} AS h FROM sh),
+         |sigs AS (SELECT doc_id, $minExprs FROM h GROUP BY doc_id),
+         |bands AS ($bandSelects)
+         |SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS ref_id
+         |FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+         |WHERE a.doc_id >= 200 AND b.doc_id < 200
+         |ORDER BY new_id, ref_id""".stripMargin
+    },
 
     // the oracle rebuilds the caseLevel struct key in SQL: primary =
     // lower(tag), case level = the per-letter bit pattern with the

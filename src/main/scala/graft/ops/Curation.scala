@@ -38,4 +38,34 @@ object Curation {
       .drop("__curation_hash")
     Sampling.hashSample(deduped, idCol, sampleFraction, salt)
   }
+
+  /** PER-DOMAIN quality gate: keep rows whose `scoreCol` is at or
+    * above their own domain's `quantile` — a global floor
+    * over-prunes clean domains and under-prunes noisy ones (a p50
+    * academic-text doc and a p50 web-crawl doc are different animals),
+    * so pre-training mixes threshold per source.
+    *
+    * Shape at 100 TB: ONE aggregate computes every domain's threshold
+    * (domains are few — the threshold frame is broadcast back), then
+    * the filter is a scan-side predicate; the corpus itself never
+    * shuffles. `exact = true` uses the exact interpolated percentile
+    * (sort-based per domain inside the aggregate — fine up to the
+    * single-aggregate scale); `exact = false` uses
+    * `approx_percentile` (bounded-memory sketch, the 100 TB default —
+    * identical to exact below the sketch's `accuracy` distinct values,
+    * which the parity spec pins). */
+  def domainPercentileFilter(df: DataFrame, sourceCol: String,
+      scoreCol: String, quantile: Double,
+      exact: Boolean = true): DataFrame = {
+    require(quantile > 0 && quantile < 1,
+      s"domainPercentileFilter: quantile in (0,1), got $quantile")
+    val agg =
+      if (exact) percentile(col(scoreCol), lit(quantile))
+      else percentile_approx(col(scoreCol), lit(quantile), lit(10000))
+    val th = df.groupBy(col(sourceCol))
+      .agg(agg.cast("double").as("__th"))
+    df.join(broadcast(th), sourceCol)
+      .where(col(scoreCol).cast("double") >= col("__th"))
+      .drop("__th")
+  }
 }

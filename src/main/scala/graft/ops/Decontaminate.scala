@@ -116,4 +116,80 @@ object Decontaminate {
       .where(col("hits") >= minHits)
       .withColumnRenamed("__c_id", corpusId)
   }
+
+  /** SEMANTIC decontamination: corpus rows whose embedding has cosine
+    * similarity >= `threshold` against ANY benchmark embedding — the
+    * paraphrase-leak complement of the n-gram [[contamination]] (an
+    * eval question rewritten in different words shares no 8-gram but
+    * sits next to the original in embedding space). Returns
+    * (corpusId, matches, first_bench): how many benchmark vectors the
+    * row matched and the smallest offending benchmark id, the
+    * [[contamination]] output contract.
+    *
+    * Shape at 100 TB: benchmark sets are small next to the corpus, so
+    * up to `spark.graft.semdecon.broadcastLimit` (default 65536,
+    * bounded limit-probe, never a full count) the benchmark side
+    * BROADCASTS and every corpus row scores every benchmark vector in
+    * one scan — exact, no corpus shuffle, and the post-join aggregate
+    * partial-combines to at most one row per corpus doc before the
+    * exchange. ABOVE the limit the corpus×bench product becomes the
+    * scale-killer, so candidate generation switches to the multi-table
+    * hyperplane-LSH bucket equi-join ([[Similarity.hyperplaneBucket]],
+    * the q22/q24 machinery): both sides hash on SHARED deterministic
+    * planes, candidates meet on (table, bucket), and only candidates
+    * pay the exact cosine — approximate recall beyond the LSH
+    * guarantee, documented like [[Similarity.lshTopK]]. Both paths
+    * compare the identical cosine expression, so the spec can force
+    * the limit down and pin path parity on a recall-complete fixture. */
+  def semantic(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      bench: DataFrame, benchId: String, benchVec: String,
+      threshold: Double, nPlanes: Int = 12, tables: Int = 8,
+      dim: Int = 0): DataFrame = {
+    import graft.functions.VectorFunctions.vec_dot
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"semantic decontamination: threshold in (0, 1], got $threshold")
+    val b = bench.select(col(benchId).as("__b_id"),
+      col(benchVec).as("__bv"))
+      .withColumn("__bn", vec_dot(col("__bv"), col("__bv")))
+    val c = corpus.select(col(corpusId).as("__c_id"),
+      col(corpusVec).as("__cv"))
+      .withColumn("__cn", vec_dot(col("__cv"), col("__cv")))
+    def cos = {
+      val denom = sqrt(col("__cn")) * sqrt(col("__bn"))
+      when(denom === 0.0, lit(0.0))
+        .otherwise(vec_dot(col("__cv"), col("__bv")) / denom)
+    }
+    val broadcastLimit = corpus.sparkSession.conf
+      .getOption("spark.graft.semdecon.broadcastLimit")
+      .map(_.toLong).getOrElse(65536L)
+    val fewBench = broadcastLimit >= Int.MaxValue - 1 ||
+      bench.limit(broadcastLimit.toInt + 1).count() <= broadcastLimit
+    val pairs =
+      if (fewBench) c.join(broadcast(b))
+      else {
+        val d =
+          if (dim > 0) dim
+          else bench.select(size(col(benchVec))).head().getInt(0)
+        def withBuckets(df: DataFrame, vec: String): DataFrame =
+          df.select(col("*"), explode(array((0 until tables).map { t =>
+            struct(lit(t).as("t"), Similarity
+              .hyperplaneBucket(col(vec), nPlanes, d, t).as("bkt"))
+          }: _*)).as("tb"))
+            .select((df.columns.map(col) :+ col("tb.t").as("t") :+
+              col("tb.bkt").as("bkt")): _*)
+        // NARROW candidate ids first (the q22 lesson: never shuffle
+        // vectors per candidate pair), vectors join back after distinct
+        withBuckets(c.select("__c_id", "__cv"), "__cv")
+          .select("__c_id", "t", "bkt")
+          .join(withBuckets(b.select("__b_id", "__bv"), "__bv")
+            .select("__b_id", "t", "bkt"), Seq("t", "bkt"))
+          .select("__c_id", "__b_id").distinct()
+          .join(c, "__c_id").join(b, "__b_id")
+      }
+    pairs.where(cos >= threshold)
+      .groupBy("__c_id")
+      .agg(count(lit(1)).as("matches"), min("__b_id").as("first_bench"))
+      .withColumnRenamed("__c_id", corpusId)
+  }
 }

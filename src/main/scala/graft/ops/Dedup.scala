@@ -328,6 +328,43 @@ object Dedup {
       .distinct(), sigs)
   }
 
+  /** CROSS-FRAME MinHash LSH: near-dup candidates between an incoming
+    * shard and an existing reference corpus — the incremental-ingest
+    * form of [[minhashLshPairs]] (a daily crawl delta dedups against
+    * the accumulated corpus WITHOUT re-pairing the corpus against
+    * itself). Both sides hash with the SAME permutation constants, so
+    * a reference side whose signatures are precomputed and stored
+    * (the IVF-maintenance pattern) joins identically — recompute here
+    * is one scan over each side, never corpus×delta.
+    *
+    * Plan shape at 100 TB: band signatures from one struct-explode
+    * pass per side, candidates meet on the (band, sig) equi-join —
+    * the delta side is small, so AQE broadcasts it and the reference
+    * corpus never shuffles. Output: distinct (new_id, ref_id); rows
+    * whose new_id never appears are novel documents. */
+  def minhashLshPairsBetween(newDf: DataFrame, refDf: DataFrame,
+      idCol: String, textCol: String, k: Int = 3, numPerms: Int = 12,
+      bands: Int = 4): DataFrame = {
+    require(numPerms % bands == 0, "numPerms must be divisible by bands")
+    val rows = numPerms / bands
+    def banded(df: DataFrame, as: String): DataFrame = {
+      val sigs = minhashSignatures(df, idCol, textCol, k, numPerms)
+      val bandStructs = (0 until bands).map { b =>
+        val sigCols = (0 until rows).map(r => col(s"mh${b * rows + r}"))
+        struct(lit(b).as("band"),
+          concat_ws(",", sigCols.map(_.cast("string")): _*).as("sig"))
+      }
+      sigs.select(col("id").as(as),
+        explode(array(bandStructs: _*)).as("bs"))
+        .select(col(as), col("bs.band").as("band"),
+          col("bs.sig").as("sig"))
+    }
+    banded(newDf, "new_id")
+      .join(banded(refDf, "ref_id"), Seq("band", "sig"))
+      .select("new_id", "ref_id")
+      .distinct()
+  }
+
   /** SimHash near-duplicate pairs within `maxHamming` bit flips, using the
     * band trick: split the fingerprint into maxHamming+1 chunks — any pair
     * within the radius must agree exactly on at least one chunk (pigeonhole)
@@ -446,6 +483,41 @@ object Dedup {
     edges.unpersist(false)
     cachedFrames.remove(edges)
     labels.select(col("id"), col("lbl").as("component"))
+  }
+
+  /** Cluster RESOLUTION — the retention policy that turns
+    * [[duplicateClusters]] output into a deduplicated corpus: keep the
+    * BEST-quality document of every duplicate cluster (tie-break
+    * smallest id) instead of the arbitrary min-id representative, the
+    * standard refinement when near-dup groups mix a clean original
+    * with truncated/boilerplate-padded copies. Docs in no cluster are
+    * their own singleton component and always survive.
+    *
+    * Output: the surviving docs with all their columns plus
+    * `component` (cluster label) and `cluster_size` (how many docs the
+    * survivor stands for — `cluster_size - 1` were removed).
+    *
+    * Shape at 100 TB: one left join against the (id, component) label
+    * frame (corpus-shuffle on id — the labels are the small side and
+    * AQE broadcasts them when they fit) and ONE hash exchange on
+    * `component` shared by the two window functions (same partition
+    * key → one shuffle). Near-dup clusters are small by construction,
+    * so per-partition sorts are bounded; a pathological
+    * everything-is-one-cluster corpus concentrates one component in
+    * one task — that corpus is dedup-degenerate long before this
+    * operator (the pair valves upstream fail fast on it). */
+  def resolveClusters(docs: DataFrame, clusters: DataFrame,
+      idCol: String, qualityCol: String): DataFrame = {
+    val lab = clusters.select(col("id").as(idCol), col("component"))
+    val labeled = docs.join(lab, Seq(idCol), "left_outer")
+      .withColumn("component", coalesce(col("component"), col(idCol)))
+    val byComponent = Window.partitionBy("component")
+    labeled
+      .withColumn("cluster_size", count(lit(1)).over(byComponent))
+      .withColumn("__rn", row_number().over(
+        byComponent.orderBy(col(qualityCol).desc, col(idCol).asc)))
+      .where(col("__rn") === 1)
+      .drop("__rn")
   }
 
   /** Embedding cosine near-duplicates.

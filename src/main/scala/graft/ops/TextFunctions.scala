@@ -794,6 +794,32 @@ object TextFunctions {
   def urlDomains(text: Column): Column =
     regexp_extract_all(text, lit("https?://([^/\\s]+)"), lit(1))
 
+  /** Canonical URL for dedup keying — the crawl-pipeline
+    * normalization that makes trivially-distinct spellings of the same
+    * resource collide: strip the #fragment, drop tracking params
+    * (utm_*, fbclid, gclid, ref) with separator repair, lowercase the
+    * scheme+authority (path/query case is significant and kept), drop
+    * default ports (:80 http, :443 https), drop a leading www., strip
+    * trailing path slashes. Pure regexp_replace chain — scan-fused,
+    * codegen'd, no UDF — and every regex avoids lookaround so the
+    * DuckDB oracle (RE2) can run the identical chain. */
+  def normalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*", "")
+    val noTrack = regexp_replace(noFrag,
+      "([?&])(?i:utm_[a-z0-9_]+|fbclid|gclid|ref)=[^&]*", "$1")
+    val sepFix = regexp_replace(regexp_replace(regexp_replace(
+      noTrack, "&&+", "&"), "\\?&", "?"), "[?&]$", "")
+    val lowered = concat(
+      lower(regexp_extract(sepFix,
+        "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)),
+      regexp_replace(sepFix, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", ""))
+    val noPort = regexp_replace(regexp_replace(lowered,
+      "^(http://[^/?#:]*):80([/?#]|$)", "$1$2"),
+      "^(https://[^/?#:]*):443([/?#]|$)", "$1$2")
+    val noWww = regexp_replace(noPort, "^(https?://)www\\.", "$1")
+    regexp_replace(regexp_replace(noWww, "/+\\?", "?"), "/+$", "")
+  }
+
   /** Deterministic 60-bit hash of a string: first 15 hex digits of md5.
     * Reproducible in any engine with md5 (DuckDB: ('0x'||substr(md5(s),1,
     * 15))::BIGINT). */

@@ -382,6 +382,119 @@ class DataPipelineOpsSpec extends SparkSpec {
     assert(bloom == exact)
   }
 
+  test("minhashLshPairsBetween matches the self-join restricted to " +
+      "the frame split") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "an entirely different document about spark and scala"),
+      (11L, "the quick brown fox jumps over the lazy dog tonight"),
+      (12L, "another unrelated piece of text with its own words")
+    ).toDF("doc_id", "text")
+    val between = graft.ops.Dedup.minhashLshPairsBetween(
+      docs.where($"doc_id" >= 10), docs.where($"doc_id" < 10),
+      "doc_id", "text")
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(between == Seq((11L, 1L)))
+    val self = graft.ops.Dedup.minhashLshPairs(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toSeq
+      .map { case (a, b) => if (a >= 10) (a, b) else (b, a) }
+      .filter { case (n, r) => n >= 10 && r < 10 }.sorted
+    graft.ops.Dedup.releaseCaches()
+    assert(between == self)
+  }
+
+  test("normalizeUrl canonicalizes equivalent spellings and keeps " +
+      "significant parts") {
+    val in = Seq(
+      "https://Example.com/A/b?utm_source=x&id=7",     // tracking + case
+      "https://example.com:443/A/b?id=7#frag",         // port + fragment
+      "https://www.example.com/A/b/?id=7",             // www + slash
+      "http://example.com:80/A/b?id=7",                // http default port
+      "https://example.com/A/b?id=7&utm_b=2&gclid=z",  // trailing trackers
+      "https://example.com/A/b?pref=1",                // pref is NOT ref
+      "https://example.com:8443/A/B",                  // non-default port
+      "https://example.com:443"                        // port, no path
+    ).toDF("url")
+    val out = in.select(
+      graft.ops.TextFunctions.normalizeUrl($"url")).as[String]
+      .collect().toSeq
+    assert(out(0) == "https://example.com/A/b?id=7")
+    assert(out(1) == "https://example.com/A/b?id=7")
+    assert(out(2) == "https://example.com/A/b?id=7")
+    assert(out(3) == "http://example.com/A/b?id=7")
+    assert(out(4) == "https://example.com/A/b?id=7")
+    assert(out(5) == "https://example.com/A/b?pref=1")
+    assert(out(6) == "https://example.com:8443/A/B") // path case kept
+    assert(out(7) == "https://example.com")
+  }
+
+  test("domainPercentileFilter thresholds per domain; approx path " +
+      "matches exact below the sketch accuracy") {
+    // domain a: scores 1..5 (p50 = 3), domain b: 10..50 (p50 = 30) —
+    // a global p50 would keep ALL of b and one row of a
+    val df = Seq(
+      (1L, "a", 1L), (2L, "a", 2L), (3L, "a", 3L), (4L, "a", 4L),
+      (5L, "a", 5L), (6L, "b", 10L), (7L, "b", 20L), (8L, "b", 30L),
+      (9L, "b", 40L), (10L, "b", 50L)
+    ).toDF("doc_id", "source", "score")
+    val exact = graft.ops.Curation.domainPercentileFilter(
+      df, "source", "score", 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(exact == Seq(3L, 4L, 5L, 8L, 9L, 10L))
+    val approx = graft.ops.Curation.domainPercentileFilter(
+      df, "source", "score", 0.5, exact = false)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(approx == exact)
+  }
+
+  test("resolveClusters keeps the best-quality doc per cluster and " +
+      "passes singletons through") {
+    val docs = Seq(
+      (1L, "a", 10L), (2L, "a", 30L), (3L, "a", 30L), // cluster {1,2,3}
+      (4L, "b", 5L), // singleton
+      (5L, "c", 7L), (6L, "c", 2L) // cluster {5,6}
+    ).toDF("doc_id", "text", "n_chars")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L))
+      .toDF("id", "component")
+    val out = graft.ops.Dedup.resolveClusters(docs, clusters,
+      "doc_id", "n_chars")
+      .select("doc_id", "component", "cluster_size")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // 2 beats 3 on the id tie-break at equal quality, 1 loses on
+    // quality; 4 is its own singleton; 5 beats 6 on quality
+    assert(out == Seq((2L, 1L, 3L), (4L, 4L, 1L), (5L, 5L, 2L)))
+  }
+
+  test("semantic decontamination flags cosine-near corpus rows; LSH " +
+      "path matches the broadcast path on a recall-complete fixture") {
+    // corpus 1 duplicates bench 10 exactly (cosine 1), corpus 2 is its
+    // negation (cosine -1), corpus 3 is orthogonal, corpus 4 is a
+    // scaled copy of bench 11 (cosine 1 — scale-invariant)
+    val bench = Seq(
+      (10L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (11L, Array(0.0f, 1.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(-1.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 0.0f, 1.0f)),
+      (4L, Array(0.0f, 2.0f, 2.0f, 0.0f))).toDF("vec_id", "embedding")
+    val exact = Decontaminate.semantic(corpus, "vec_id", "embedding",
+      bench, "vec_id", "embedding", threshold = 0.9)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(exact == Seq((1L, 1L, 10L), (4L, 1L, 11L)))
+    // identical-direction vectors share every LSH bucket, so recall is
+    // complete on this fixture: forcing the limit below the bench size
+    // exercises the bucket-join path and must reproduce the broadcast
+    // path exactly
+    spark.conf.set("spark.graft.semdecon.broadcastLimit", "1")
+    try {
+      val lsh = Decontaminate.semantic(corpus, "vec_id", "embedding",
+        bench, "vec_id", "embedding", threshold = 0.9, dim = 4)
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(lsh == exact)
+    } finally spark.conf.unset("spark.graft.semdecon.broadcastLimit")
+  }
+
   test("contaminationBloom: empty benchmark yields empty result") {
     val corpus = Seq((1L, "some corpus text here")).toDF("doc_id", "text")
     val bench = Seq.empty[(Long, String)].toDF("doc_id", "text")
