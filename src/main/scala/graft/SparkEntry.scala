@@ -1725,6 +1725,22 @@ object SparkEntry {
         .orderBy("new_id", "ref_id")
     }),
 
+    // edit-distance (character-level) fuzzy dedup on short code fields
+    // via PassJoin segment blocking — typo/insert/delete variants of
+    // one product code meet within distance 1; the oracle is the
+    // BRUTE-FORCE levenshtein ground truth, so this also proves the
+    // blocking recall-complete on real data
+    "q229_fuzzy_dedup" -> ((s, dir) => {
+      val suf = Seq("-alpha", "-alphA", "-alpha7", "-alph", "-beta",
+        "-gamma")
+      val df = tbl(s, dir, "documents").where(col("doc_id") < 360)
+        .withColumn("code", concat(lit("prod"),
+          (col("doc_id") / 6).cast("long").cast("string"),
+          element_at(typedlit(suf), (col("doc_id") % 6 + 1).cast("int"))))
+      Dedup.editDistancePairs(df, "doc_id", "code", maxDist = 1)
+        .orderBy("id_a", "id_b")
+    }),
+
     // lucene.cjk bigram analysis: CJK text has no word separators, so
     // the analyzer matches on overlapping character bigrams (Lucene
     // CJKAnalyzer's published algorithm) — "数据处理" analyzes to
@@ -5685,6 +5701,21 @@ object SparkEntry {
          |WHERE a.doc_id >= 200 AND b.doc_id < 200
          |ORDER BY new_id, ref_id""".stripMargin
     },
+
+    // brute-force levenshtein over all id-ordered pairs (the length
+    // prefilter only skips pairs the distance bound already excludes)
+    "q229_fuzzy_dedup" ->
+      """WITH u AS (SELECT doc_id,
+        |  'prod' || (doc_id // 6) ||
+        |  CASE doc_id % 6 WHEN 0 THEN '-alpha' WHEN 1 THEN '-alphA'
+        |    WHEN 2 THEN '-alpha7' WHEN 3 THEN '-alph' WHEN 4 THEN '-beta'
+        |    ELSE '-gamma' END AS code
+        |  FROM documents WHERE doc_id < 360)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM u a JOIN u b ON a.doc_id < b.doc_id
+        |WHERE abs(len(a.code) - len(b.code)) <= 1
+        |  AND levenshtein(a.code, b.code) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // the oracle rebuilds the caseLevel struct key in SQL: primary =
     // lower(tag), case level = the per-letter bit pattern with the

@@ -365,6 +365,94 @@ object Dedup {
       .distinct()
   }
 
+  /** Edit-distance near-dup pairs: all (id_a, id_b) with
+    * levenshtein(s_a, s_b) <= `maxDist` — CHARACTER-level fuzz (typos,
+    * OCR noise, trailing junk) that the token-set family (jaccard/
+    * minhash/simhash) cannot see on short fields like titles, names,
+    * or product codes.
+    *
+    * Blocking is the published PassJoin segment scheme (Li, Deng, Feng
+    * — VLDB 2011): split every string into `maxDist`+1 contiguous
+    * balanced segments; at most `maxDist` edits cannot touch all of
+    * them, so any within-distance pair shares one segment EXACTLY,
+    * shifted by at most `maxDist`. The index side emits its d+1
+    * segments, the probe side emits the substrings a source of length
+    * l in [n-d, n+d] could have contributed (a ±d position window — a
+    * SUPERSET of PassJoin's tight multi-match window, trading a few
+    * extra candidates for a simpler plan), and candidates meet on the
+    * (segment index, source length, content) equi-join — never
+    * all-pairs. Exact levenshtein verifies candidates, so recall is
+    * complete and precision exact.
+    *
+    * Strings shorter than d+1 chars have no nonempty segment
+    * guarantee; they pair through one tiny constant-key bucket against
+    * strings of length <= 2d (anything longer is out of range by the
+    * length filter) — rare by construction on real fields, bounded by
+    * that length cap.
+    *
+    * Scale shape: two scans (segments, probes — explode factors
+    * (d+1) and at most (2d+1)²(d+1)), one narrow equi-join, distinct
+    * id pairs, then the levenshtein verify on candidates only. Skewed
+    * shared segments (common prefixes) concentrate buckets the way
+    * every LSH family here does — same remedy, longer segments via
+    * smaller d or pre-stripping boilerplate prefixes. */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int = 1): DataFrame = {
+    val d = maxDist
+    require(d >= 1 && d <= 4, s"editDistancePairs: maxDist in [1,4], got $d")
+    val base = df.select(col(idCol).as("id"), col(strCol).as("s"))
+      .where(col("s").isNotNull)
+      .withColumn("n", length(col("s")))
+    val parts = lit(d + 1)
+    // index side: the d+1 balanced segments of each string
+    val seg = base.where(col("n") >= d + 1)
+      .select(col("id"), col("s"), col("n"),
+        explode(sequence(lit(0), lit(d))).as("k"))
+      .withColumn("st", floor(col("k") * col("n") / parts).cast("int"))
+      .withColumn("en",
+        floor((col("k") + 1) * col("n") / parts).cast("int"))
+      .select(col("id").as("id_i"), col("n").as("l"), col("k"),
+        col("s").substr(col("st") + 1, col("en") - col("st")).as("sub"))
+    // probe side: substrings a length-l source's segment k could match
+    // in this string, for every l within ±d (n >= 1 keeps the probe
+    // sequence ascending — empty strings pair via the short bucket)
+    val probe = base.where(col("n") >= 1)
+      .select(col("id"), col("s"), col("n"),
+        explode(sequence(greatest(col("n") - d, lit(d + 1)),
+          col("n") + d)).as("l"))
+      .select(col("id"), col("s"), col("n"), col("l"),
+        explode(sequence(lit(0), lit(d))).as("k"))
+      .withColumn("st0", floor(col("k") * col("l") / parts).cast("int"))
+      .withColumn("slen",
+        (floor((col("k") + 1) * col("l") / parts) -
+          floor(col("k") * col("l") / parts)).cast("int"))
+      .select(col("id"), col("s"), col("n"), col("l"), col("k"),
+        col("st0"), col("slen"),
+        explode(sequence(lit(-d), lit(d))).as("sh"))
+      .withColumn("st", col("st0") + col("sh"))
+      .where(col("st") >= 0 && col("st") + col("slen") <= col("n"))
+      .select(col("id").as("id_p"), col("l"), col("k"),
+        col("s").substr(col("st") + 1, col("slen")).as("sub"))
+    val longCand = seg.join(probe, Seq("l", "k", "sub"))
+      .where(col("id_i") =!= col("id_p"))
+      .select(least(col("id_i"), col("id_p")).as("id_a"),
+        greatest(col("id_i"), col("id_p")).as("id_b"))
+    // short strings (< d+1 chars): constant-key bucket vs length <= 2d
+    val shorts = base.where(col("n") <= d)
+    val shortCand = shorts.as("a")
+      .join(base.where(col("n") <= 2 * d).as("b"),
+        abs(col("a.n") - col("b.n")) <= d &&
+          col("a.id") =!= col("b.id"))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+    val strsA = base.select(col("id").as("id_a"), col("s").as("__sa"))
+    val strsB = base.select(col("id").as("id_b"), col("s").as("__sb"))
+    longCand.unionByName(shortCand).distinct()
+      .join(strsA, "id_a").join(strsB, "id_b")
+      .where(levenshtein(col("__sa"), col("__sb")) <= d)
+      .select("id_a", "id_b")
+  }
+
   /** SimHash near-duplicate pairs within `maxHamming` bit flips, using the
     * band trick: split the fingerprint into maxHamming+1 chunks — any pair
     * within the radius must agree exactly on at least one chunk (pigeonhole)

@@ -403,6 +403,31 @@ class DataPipelineOpsSpec extends SparkSpec {
     assert(between == self)
   }
 
+  test("editDistancePairs matches brute-force levenshtein at d=1 and " +
+      "d=2 (segments, shifts, shorts, empties)") {
+    val docs = Seq(
+      (1L, "prod-alpha"), (2L, "prod-alphA"), (3L, "prod-alpha7"),
+      (4L, "prod-alph"), (5L, "prod-beta"), (6L, "x"), (7L, "xy"),
+      (8L, ""), (9L, "prod-alpha"), (10L, "entirely-else")
+    ).toDF("doc_id", "s")
+    for (d <- Seq(1, 2)) {
+      val got = graft.ops.Dedup.editDistancePairs(docs, "doc_id", "s", d)
+        .as[(Long, Long)].collect().toSeq.sorted
+      val brute = docs.as("a").crossJoin(docs.as("b"))
+        .where($"a.doc_id" < $"b.doc_id" &&
+          levenshtein($"a.s", $"b.s") <= d)
+        .select($"a.doc_id", $"b.doc_id")
+        .as[(Long, Long)].collect().toSeq.sorted
+      assert(got == brute, s"d=$d")
+      // sanity at d=1: the exact dup, the case sub, the insert, the
+      // delete, and the 1-apart shorts must all be present
+      if (d == 1) assert(got.contains((1L, 9L)) &&
+        got.contains((1L, 2L)) && got.contains((1L, 3L)) &&
+        got.contains((1L, 4L)) && got.contains((6L, 7L)) &&
+        got.contains((6L, 8L)))
+    }
+  }
+
   test("normalizeUrl canonicalizes equivalent spellings and keeps " +
       "significant parts") {
     val in = Seq(
