@@ -385,10 +385,13 @@ object Dedup {
     * complete and precision exact.
     *
     * Strings shorter than d+1 chars have no nonempty segment
-    * guarantee; they pair through one tiny constant-key bucket against
+    * guarantee; they pair through one tiny nested-loop bucket against
     * strings of length <= 2d (anything longer is out of range by the
-    * length filter) — rare by construction on real fields, bounded by
-    * that length cap.
+    * length filter). That branch only enters the plan when short
+    * strings EXIST (bounded limit-probe, the binaryAnnTopK pattern),
+    * and `spark.graft.editdist.shortBucketLimit` (default 10000, 0
+    * disables) fails fast with a remedy when the short side is large
+    * enough to make the product a scale risk.
     *
     * Scale shape: two scans (segments, probes — explode factors
     * (d+1) and at most (2d+1)²(d+1)), one narrow equi-join, distinct
@@ -437,17 +440,36 @@ object Dedup {
       .where(col("id_i") =!= col("id_p"))
       .select(least(col("id_i"), col("id_p")).as("id_a"),
         greatest(col("id_i"), col("id_p")).as("id_b"))
-    // short strings (< d+1 chars): constant-key bucket vs length <= 2d
+    // short strings (< d+1 chars): nested-loop bucket vs length <= 2d,
+    // entered only when shorts exist and valve-bounded
     val shorts = base.where(col("n") <= d)
-    val shortCand = shorts.as("a")
-      .join(base.where(col("n") <= 2 * d).as("b"),
-        abs(col("a.n") - col("b.n")) <= d &&
-          col("a.id") =!= col("b.id"))
-      .select(least(col("a.id"), col("b.id")).as("id_a"),
-        greatest(col("a.id"), col("b.id")).as("id_b"))
+    val shortLimit = df.sparkSession.conf
+      .getOption("spark.graft.editdist.shortBucketLimit")
+      .map(_.toLong).getOrElse(10000L)
+    // bounded probe (never a full count); 0 disables the valve AND the
+    // probe — the branch is then always planned, caller's choice
+    val nShort =
+      if (shortLimit <= 0 || shortLimit >= Int.MaxValue - 1) 1L
+      else shorts.limit(shortLimit.toInt + 1).count()
+    require(shortLimit <= 0 || nShort <= shortLimit,
+      s"editDistancePairs: more than $shortLimit strings shorter than " +
+        s"${d + 1} chars — the short-bucket product would dominate. " +
+        "Filter degenerate strings out first, or raise " +
+        "spark.graft.editdist.shortBucketLimit (0 disables the valve).")
+    val cand =
+      if (nShort == 0) longCand
+      else {
+        val shortCand = shorts.as("a")
+          .join(base.where(col("n") <= 2 * d).as("b"),
+            abs(col("a.n") - col("b.n")) <= d &&
+              col("a.id") =!= col("b.id"))
+          .select(least(col("a.id"), col("b.id")).as("id_a"),
+            greatest(col("a.id"), col("b.id")).as("id_b"))
+        longCand.unionByName(shortCand)
+      }
     val strsA = base.select(col("id").as("id_a"), col("s").as("__sa"))
     val strsB = base.select(col("id").as("id_b"), col("s").as("__sb"))
-    longCand.unionByName(shortCand).distinct()
+    cand.distinct()
       .join(strsA, "id_a").join(strsB, "id_b")
       .where(levenshtein(col("__sa"), col("__sb")) <= d)
       .select("id_a", "id_b")

@@ -138,6 +138,67 @@ class PlanSpec extends SparkSpec {
     assert(explain(brute).contains("BroadcastNestedLoopJoin"))
   }
 
+  test("semantic decontamination: broadcast path is the bounded " +
+      "product, LSH path has no nested loop") {
+    val e = graft.sources.Tables.table(spark, sf, "embeddings")
+    val bench = e.where(col("vec_id") < 8)
+    val corpus = e.where(col("vec_id") >= 8)
+    val broad = graft.ops.Decontaminate.semantic(corpus, "vec_id",
+      "embedding", bench, "vec_id", "embedding", threshold = 0.5)
+    // the deliberate bounded product: bench side broadcast
+    assert(explain(broad).contains("BroadcastNestedLoopJoin"))
+    spark.conf.set("spark.graft.semdecon.broadcastLimit", "1")
+    try {
+      val lsh = graft.ops.Decontaminate.semantic(corpus, "vec_id",
+        "embedding", bench, "vec_id", "embedding", threshold = 0.5,
+        dim = 64)
+      val plan = explain(lsh)
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        "above the limit, candidates must meet on the bucket equi-join")
+    } finally spark.conf.unset("spark.graft.semdecon.broadcastLimit")
+  }
+
+  test("editDistancePairs: no nested loop without short strings; the " +
+      "short bucket is probe-gated and valve-bounded") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), concat(lit("prod"),
+        col("doc_id").cast("string")).as("code"))
+    val plan = explain(
+      graft.ops.Dedup.editDistancePairs(docs, "doc_id", "code", 1))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      "no short strings -> the nested-loop branch must not be planned")
+    val withShorts = Seq((1L, "x"), (2L, "y"), (3L, "prod-long-code"))
+      .toDF("doc_id", "code")
+    assert(explain(graft.ops.Dedup.editDistancePairs(
+      withShorts, "doc_id", "code", 1))
+      .contains("BroadcastNestedLoopJoin"))
+    spark.conf.set("spark.graft.editdist.shortBucketLimit", "1")
+    try {
+      val err = intercept[IllegalArgumentException] {
+        graft.ops.Dedup.editDistancePairs(withShorts, "doc_id", "code", 1)
+      }
+      assert(err.getMessage.contains("shortBucketLimit"))
+    } finally spark.conf.unset("spark.graft.editdist.shortBucketLimit")
+  }
+
+  test("minhashLshPairsBetween: band equi-join, no nested loop; " +
+      "domainPercentileFilter: thresholds broadcast back") {
+    val docs = graft.sources.Tables.table(spark, sf, "documents")
+    val between = graft.ops.Dedup.minhashLshPairsBetween(
+      docs.where(col("doc_id") >= 200), docs.where(col("doc_id") < 200),
+      "doc_id", "text")
+    val p1 = explain(between)
+    assert(!p1.contains("BroadcastNestedLoopJoin") &&
+      !p1.contains("CartesianProduct"))
+    val filt = graft.ops.Curation.domainPercentileFilter(
+      docs, "source", "n_chars", 0.5)
+    assert(explain(filt).contains("BroadcastHashJoin"),
+      "per-domain thresholds must broadcast back, never shuffle the corpus")
+  }
+
   test("ivfTopK has no cartesian/nested-loop join (cell-key equi-joins only)") {
     val e = graft.sources.Tables.table(spark, sf, "embeddings")
     val df = graft.ops.Similarity.ivfTopK(e,
