@@ -714,7 +714,7 @@ class PipelineCompilerSpec extends SparkSpec {
     assert(multi == Seq(1L))
     val e = intercept[IllegalArgumentException] {
       PipelineCompiler.compile(Seq(
-        Map("$search" -> Map("analyzer" -> "lucene.turkish",
+        Map("$search" -> Map("analyzer" -> "lucene.finnish",
           "text" -> Map("query" -> "en", "path" -> "lang")))))(d)
     }
     assert(e.getMessage.contains("unsupported"))
@@ -2524,7 +2524,7 @@ class SearchStagesSpec extends graft.SparkSpec {
     assert(de.select("id").as[Long].collect().toSeq == Seq(1L))
     val e = intercept[IllegalArgumentException](
       PipelineCompiler.compile(Seq(
-        Map("$search" -> Map("analyzer" -> "lucene.turkish",
+        Map("$search" -> Map("analyzer" -> "lucene.finnish",
           "text" -> Map("query" -> "x", "path" -> "fr")))))(docs))
     assert(e.getMessage.contains("unsupported"))
   }
@@ -2753,7 +2753,7 @@ class SearchStagesSpec extends graft.SparkSpec {
     assert(phrase.select("id").as[Long].collect().toSet == Set(1L, 2L))
     // unknown analyzers still reject loudly
     val e = intercept[IllegalArgumentException](PipelineCompiler.compile(Seq(
-      Map("$search" -> Map("analyzer" -> "lucene.turkish",
+      Map("$search" -> Map("analyzer" -> "lucene.finnish",
         "text" -> Map("query" -> "x", "path" -> "txt")))))(docs))
     assert(e.getMessage.contains("unsupported"))
   }

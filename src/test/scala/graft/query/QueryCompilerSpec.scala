@@ -185,7 +185,7 @@ class QueryCompilerSpec extends SparkSpec {
     // unsupported language and caseSensitive+english reject loudly
     intercept[IllegalArgumentException] {
       QueryCompiler.compile(Map("$text" ->
-        Map("$search" -> "x", "$language" -> "turkish")))
+        Map("$search" -> "x", "$language" -> "finnish")))
     }
     intercept[IllegalArgumentException] {
       QueryCompiler.compile(Map("$text" -> Map("$search" -> "x",
