@@ -199,6 +199,23 @@ class PlanSpec extends SparkSpec {
       "per-domain thresholds must broadcast back, never shuffle the corpus")
   }
 
+  test("resolveClusters: both windows share ONE component exchange") {
+    import spark.implicits._
+    val docs = Seq((1L, "a", 10L), (2L, "a", 30L))
+      .toDF("doc_id", "text", "n_chars")
+    val clusters = Seq((1L, 1L), (2L, 1L)).toDF("id", "component")
+    val df = graft.ops.Dedup.resolveClusters(docs, clusters,
+      "doc_id", "n_chars")
+    val plan = explain(df)
+    // the cluster_size count and the quality row_number partition on
+    // the same key: one exchange feeds both Window nodes (the join
+    // itself broadcasts — no extra shuffle)
+    val exchanges = plan.linesIterator
+      .count(_.matches("^\\(\\d+\\) Exchange.*"))
+    assert(exchanges == 1,
+      s"expected one shuffle on component, got $exchanges:\n$plan")
+  }
+
   test("ivfTopK has no cartesian/nested-loop join (cell-key equi-joins only)") {
     val e = graft.sources.Tables.table(spark, sf, "embeddings")
     val df = graft.ops.Similarity.ivfTopK(e,
