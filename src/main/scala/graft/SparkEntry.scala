@@ -3908,7 +3908,11 @@ object SparkEntry {
 
   /** MinHash-LSH oracle generated from the same constants as
     * Dedup.minhashLshPairs (a_i=2i+3, b_i=i^2+1, M=2^31-1). */
-  private def minhashOracle(numPerms: Int, bands: Int): String = {
+  /** The WITH-body through `bands(doc_id, band, sig)` — the ONE SQL
+    * mirror of Dedup.minhashSignatures+bandFrame (permutation
+    * constants live here and in Dedup only); q19/q50/q225/q228 all
+    * build on it. */
+  private def minhashBandsCtes(numPerms: Int, bands: Int): String = {
     val rows = numPerms / bands
     val minExprs = (0 until numPerms).map { i =>
       s"MIN((h * ${2 * i + 3} + ${i.toLong * i + 1}) % 2147483647) AS mh$i"
@@ -3917,16 +3921,19 @@ object SparkEntry {
       val cols = (0 until rows).map(r => s"mh${b * rows + r}::VARCHAR")
       s"SELECT doc_id, $b AS band, concat_ws(',', ${cols.mkString(", ")}) AS sig FROM sigs"
     }.mkString("\nUNION ALL\n")
-    s"""WITH $toksCte,
+    s"""$toksCte,
        |$shingleCte,
        |h AS (SELECT doc_id, ${sqlHash("sh")} AS h FROM sh),
        |sigs AS (SELECT doc_id, $minExprs FROM h GROUP BY doc_id),
-       |bands AS ($bandSelects)
+       |bands AS ($bandSelects)""".stripMargin
+  }
+
+  private def minhashOracle(numPerms: Int, bands: Int): String =
+    s"""WITH ${minhashBandsCtes(numPerms, bands)}
        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |FROM bands a JOIN bands b
        |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
        |ORDER BY id_a, id_b""".stripMargin
-  }
 
   /** DuckDB mirror of TextFunctions.simhash(bits): raw 60-bit md5 token
     * hash reduced mod 2^bits, per-bit signed votes, positive bits set.
@@ -5656,51 +5663,38 @@ object SparkEntry {
         |  FROM documents WHERE doc_id < 360),
         |s1 AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS u
         |  FROM u),
-        |s2 AS (SELECT doc_id, regexp_replace(u,
-        |  '([?&])(?i:utm_[a-z0-9_]+|fbclid|gclid|ref)=[^&]*', '\1',
-        |  'g') AS u FROM s1),
-        |s3 AS (SELECT doc_id, regexp_replace(regexp_replace(
-        |  regexp_replace(u, '&&+', '&', 'g'), '\?&', '?'),
-        |  '[?&]$', '') AS u FROM s2),
+        |sp AS (SELECT doc_id, regexp_extract(u, '^([^?]*)', 1) AS p,
+        |  regexp_replace(u, '^[^?]*', '') AS q FROM s1),
+        |s2 AS (SELECT doc_id, p, regexp_replace(regexp_replace(
+        |  regexp_replace(regexp_replace(q,
+        |    '([?&])(?i:utm_[a-z0-9_]+|fbclid|gclid|ref)=[^&]*', '\1',
+        |    'g'), '&&+', '&', 'g'), '^\?&', '?'), '[?&]$', '') AS q
+        |  FROM sp),
+        |s3 AS (SELECT doc_id, regexp_replace(p, '/+$', '') AS p, q
+        |  FROM s2),
         |s4 AS (SELECT doc_id,
-        |  lower(regexp_extract(u,
+        |  lower(regexp_extract(p,
         |    '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)) ||
-        |  regexp_replace(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', '')
-        |  AS u FROM s3),
-        |s5 AS (SELECT doc_id, regexp_replace(regexp_replace(u,
-        |  '^(http://[^/?#:]*):80([/?#]|$)', '\1\2'),
-        |  '^(https://[^/?#:]*):443([/?#]|$)', '\1\2') AS u FROM s4),
+        |  regexp_replace(p, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', '')
+        |  AS p, q FROM s3),
+        |s5 AS (SELECT doc_id, regexp_replace(regexp_replace(p,
+        |  '^(http://[^/?#]*):80([/?#]|$)', '\1\2'),
+        |  '^(https://[^/?#]*):443([/?#]|$)', '\1\2') AS p, q FROM s4),
         |s6 AS (SELECT doc_id,
-        |  regexp_replace(u, '^(https?://)www\.', '\1') AS u FROM s5),
-        |s7 AS (SELECT doc_id, regexp_replace(regexp_replace(u,
-        |  '/+\?', '?'), '/+$', '') AS u FROM s6)
+        |  regexp_replace(p, '^(https?://)www\.', '\1') || q AS u
+        |  FROM s5)
         |SELECT u AS url_canonical, min(doc_id) AS doc_id,
         |  count(*) AS n_copies
-        |FROM s7 GROUP BY u ORDER BY doc_id""".stripMargin,
+        |FROM s6 GROUP BY u ORDER BY doc_id""".stripMargin,
 
     // the q19/q50 minhash machinery with the self-join's id ordering
     // replaced by the frame split (new >= 200 vs ref < 200)
-    "q228_incremental_neardup" -> {
-      val numPerms = 12; val bands = 4; val rows = numPerms / bands
-      val minExprs = (0 until numPerms).map { i =>
-        s"MIN((h * ${2 * i + 3} + ${i.toLong * i + 1}) % 2147483647)" +
-          s" AS mh$i"
-      }.mkString(", ")
-      val bandSelects = (0 until bands).map { b =>
-        val cols = (0 until rows).map(r => s"mh${b * rows + r}::VARCHAR")
-        s"SELECT doc_id, $b AS band, concat_ws(',', " +
-          s"${cols.mkString(", ")}) AS sig FROM sigs"
-      }.mkString("\nUNION ALL\n")
-      s"""WITH $toksCte,
-         |$shingleCte,
-         |h AS (SELECT doc_id, ${sqlHash("sh")} AS h FROM sh),
-         |sigs AS (SELECT doc_id, $minExprs FROM h GROUP BY doc_id),
-         |bands AS ($bandSelects)
+    "q228_incremental_neardup" ->
+      s"""WITH ${minhashBandsCtes(12, 4)}
          |SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS ref_id
          |FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
          |WHERE a.doc_id >= 200 AND b.doc_id < 200
-         |ORDER BY new_id, ref_id""".stripMargin
-    },
+         |ORDER BY new_id, ref_id""".stripMargin,
 
     // brute-force levenshtein over all id-ordered pairs (the length
     // prefilter only skips pairs the distance bound already excludes)

@@ -62,10 +62,15 @@ object Curation {
     val agg =
       if (exact) percentile(col(scoreCol), lit(quantile))
       else percentile_approx(col(scoreCol), lit(quantile), lit(10000))
-    val th = df.groupBy(col(sourceCol))
+    val th = df.groupBy(col(sourceCol).as("__src"))
       .agg(agg.cast("double").as("__th"))
-    df.join(broadcast(th), sourceCol)
+    // null-safe join: rows with a NULL domain form their own group
+    // (groupBy already aggregates them) — a plain equi-join would
+    // silently DELETE them, a quality gate dropping rows for a
+    // non-quality reason. Rows whose score is NULL do drop (NULL >=
+    // th is never true): no score is no evidence of quality.
+    df.join(broadcast(th), df(sourceCol) <=> th("__src"))
       .where(col(scoreCol).cast("double") >= col("__th"))
-      .drop("__th")
+      .drop("__src", "__th")
   }
 }

@@ -171,18 +171,13 @@ object Decontaminate {
         val d =
           if (dim > 0) dim
           else bench.select(size(col(benchVec))).head().getInt(0)
-        def withBuckets(df: DataFrame, vec: String): DataFrame =
-          df.select(col("*"), explode(array((0 until tables).map { t =>
-            struct(lit(t).as("t"), Similarity
-              .hyperplaneBucket(col(vec), nPlanes, d, t).as("bkt"))
-          }: _*)).as("tb"))
-            .select((df.columns.map(col) :+ col("tb.t").as("t") :+
-              col("tb.bkt").as("bkt")): _*)
         // NARROW candidate ids first (the q22 lesson: never shuffle
         // vectors per candidate pair), vectors join back after distinct
-        withBuckets(c.select("__c_id", "__cv"), "__cv")
+        Similarity.withAllTableBuckets(
+            c.select("__c_id", "__cv"), "__cv", tables, nPlanes, d)
           .select("__c_id", "t", "bkt")
-          .join(withBuckets(b.select("__b_id", "__bv"), "__bv")
+          .join(Similarity.withAllTableBuckets(
+              b.select("__b_id", "__bv"), "__bv", tables, nPlanes, d)
             .select("__b_id", "t", "bkt"), Seq("t", "bkt"))
           .select("__c_id", "__b_id").distinct()
           .join(c, "__c_id").join(b, "__b_id")

@@ -306,20 +306,31 @@ object Dedup {
     * come from ONE pass via a struct explode rather than a per-band union.
     * The persisted frame is registered for [[releaseCaches]]; call it after
     * materializing the result. Output: distinct (id_a, id_b), id_a < id_b. */
-  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, numPerms: Int = 12, bands: Int = 4): DataFrame = {
-    require(numPerms % bands == 0, "numPerms must be divisible by bands")
+  /** (id, band, sig) band-signature frame from a [[minhashSignatures]]
+    * output — THE band format: the self-join ([[minhashLshPairs]]) and
+    * the cross-frame join ([[minhashLshPairsBetween]]) both resolve
+    * here, so precomputed reference signatures can never drift from
+    * the format the delta side hashes with. */
+  private def bandFrame(sigs: DataFrame, numPerms: Int, bands: Int,
+      idAs: String): DataFrame = {
     val rows = numPerms / bands
-    val sigs = tracked(
-      minhashSignatures(df, idCol, textCol, k, numPerms).persist())
     val bandStructs = (0 until bands).map { b =>
       val sigCols = (0 until rows).map(r => col(s"mh${b * rows + r}"))
       struct(lit(b).as("band"),
         concat_ws(",", sigCols.map(_.cast("string")): _*).as("sig"))
     }
-    val banded = sigs.select(col("id"),
+    sigs.select(col("id").as(idAs),
       explode(array(bandStructs: _*)).as("bs"))
-      .select(col("id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      .select(col(idAs), col("bs.band").as("band"),
+        col("bs.sig").as("sig"))
+  }
+
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numPerms: Int = 12, bands: Int = 4): DataFrame = {
+    require(numPerms % bands == 0, "numPerms must be divisible by bands")
+    val sigs = tracked(
+      minhashSignatures(df, idCol, textCol, k, numPerms).persist())
+    val banded = bandFrame(sigs, numPerms, bands, "id")
     autoRelease(banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
@@ -346,19 +357,9 @@ object Dedup {
       idCol: String, textCol: String, k: Int = 3, numPerms: Int = 12,
       bands: Int = 4): DataFrame = {
     require(numPerms % bands == 0, "numPerms must be divisible by bands")
-    val rows = numPerms / bands
-    def banded(df: DataFrame, as: String): DataFrame = {
-      val sigs = minhashSignatures(df, idCol, textCol, k, numPerms)
-      val bandStructs = (0 until bands).map { b =>
-        val sigCols = (0 until rows).map(r => col(s"mh${b * rows + r}"))
-        struct(lit(b).as("band"),
-          concat_ws(",", sigCols.map(_.cast("string")): _*).as("sig"))
-      }
-      sigs.select(col("id").as(as),
-        explode(array(bandStructs: _*)).as("bs"))
-        .select(col(as), col("bs.band").as("band"),
-          col("bs.sig").as("sig"))
-    }
+    def banded(df: DataFrame, as: String): DataFrame = bandFrame(
+      minhashSignatures(df, idCol, textCol, k, numPerms),
+      numPerms, bands, as)
     banded(newDf, "new_id")
       .join(banded(refDf, "ref_id"), Seq("band", "sig"))
       .select("new_id", "ref_id")
@@ -446,15 +447,24 @@ object Dedup {
     val shortLimit = df.sparkSession.conf
       .getOption("spark.graft.editdist.shortBucketLimit")
       .map(_.toLong).getOrElse(10000L)
-    // bounded probe (never a full count); 0 disables the valve AND the
-    // probe — the branch is then always planned, caller's choice
+    // bounded probes (never a full count); 0 disables the valve AND
+    // the probes — the branch is then always planned, caller's choice.
+    // BOTH factors of the nested-loop product are probed: a passing
+    // shorts count against millions of <=2d-char partners is the same
+    // scale cliff from the other side.
+    val valveOff = shortLimit <= 0 || shortLimit >= Int.MaxValue - 1
     val nShort =
-      if (shortLimit <= 0 || shortLimit >= Int.MaxValue - 1) 1L
-      else shorts.limit(shortLimit.toInt + 1).count()
-    require(shortLimit <= 0 || nShort <= shortLimit,
-      s"editDistancePairs: more than $shortLimit strings shorter than " +
-        s"${d + 1} chars — the short-bucket product would dominate. " +
-        "Filter degenerate strings out first, or raise " +
+      if (valveOff) 1L else shorts.limit(shortLimit.toInt + 1).count()
+    val nPartner =
+      if (valveOff || nShort == 0) 0L
+      else base.where(col("n") <= 2 * d)
+        .limit(shortLimit.toInt + 1).count()
+    require(valveOff ||
+      (nShort <= shortLimit && nPartner <= shortLimit),
+      s"editDistancePairs: the short-string bucket (len <= $d vs " +
+        s"len <= ${2 * d}) exceeds $shortLimit rows on a side — its " +
+        "nested-loop product would dominate. Filter degenerate " +
+        "strings out first, or raise " +
         "spark.graft.editdist.shortBucketLimit (0 disables the valve).")
     val cand =
       if (nShort == 0) longCand
@@ -947,12 +957,9 @@ object Dedup {
         nRows = base.count()
         autoBlockPlanes(nRows, target)
       }
-      val bkts = base.select(col("id"),
-        explode(array((0 until blockTables).map { t =>
-          struct(lit(t).as("t"),
-            Similarity.hyperplaneBucket(col("v"), planes, d, t).as("bkt"))
-        }: _*)).as("tb"))
-        .select(col("id"), col("tb.t").as("t"), col("tb.bkt").as("bkt"))
+      val bkts = Similarity.withAllTableBuckets(
+        base.select("id", "v"), "v", blockTables, planes, d)
+        .select(col("id"), col("t"), col("bkt"))
       // spark.graft.embed.maxCandidatePairs: PRE-JOIN volume valve, ON
       // BY DEFAULT (2e9; 0 disables) like the jaccard valve — the same
       // disk-full failure mode, the same family. With

@@ -239,6 +239,21 @@ object Similarity {
       when(vec_dot(vec, plane) >= 0.0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** All `tables` hyperplane bucket ids in ONE scan pass (struct
+    * explode): the input columns plus (t, bkt) — ONE join on (table,
+    * bucket) instead of `tables` separate joins over re-scanned
+    * input. THE bucket-emission shape: [[lshTopK]], the embedding
+    * near-dup blocker, and semantic decontamination all resolve here,
+    * so the shared-plane candidate joins can never drift apart. */
+  def withAllTableBuckets(df: DataFrame, vecCol: String, tables: Int,
+      nPlanes: Int, dim: Int): DataFrame =
+    df.select(col("*"), explode(array((0 until tables).map { t =>
+      struct(lit(t).as("t"),
+        hyperplaneBucket(col(vecCol), nPlanes, dim, t).as("bkt"))
+    }: _*)).as("tb"))
+      .select((df.columns.map(col) :+ col("tb.t").as("t") :+
+        col("tb.bkt").as("bkt")): _*)
+
   /** Approximate top-k via multi-table hyperplane LSH: `tables`
     * independent hash tables of `nPlanes` bits; candidates share the
     * query's bucket in ANY table (union ∪ distinct), then exact cosine
@@ -254,15 +269,8 @@ object Similarity {
     val c = Partitioning.ensureMinPartitions(
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    // all tables' bucket ids in ONE scan pass (struct explode), ONE join on
-    // (table, bucket) — not `tables` separate joins over re-scanned input
     def withBuckets(df: DataFrame, vec: String): DataFrame =
-      df.select(col("*"), explode(array((0 until tables).map { t =>
-        struct(lit(t).as("t"),
-          hyperplaneBucket(col(vec), nPlanes, d, t).as("bkt"))
-      }: _*)).as("tb"))
-        .select((df.columns.map(col) :+ col("tb.t").as("t") :+
-          col("tb.bkt").as("bkt")): _*)
+      withAllTableBuckets(df, vec, tables, nPlanes, d)
     val candidates = withBuckets(c, "cv")
       .join(broadcast(withBuckets(q, "qv").select("query_id", "t", "bkt")),
         Seq("t", "bkt"))

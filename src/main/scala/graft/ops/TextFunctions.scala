@@ -805,19 +805,29 @@ object TextFunctions {
     * DuckDB oracle (RE2) can run the identical chain. */
   def normalizeUrl(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*", "")
-    val noTrack = regexp_replace(noFrag,
-      "([?&])(?i:utm_[a-z0-9_]+|fbclid|gclid|ref)=[^&]*", "$1")
-    val sepFix = regexp_replace(regexp_replace(regexp_replace(
-      noTrack, "&&+", "&"), "\\?&", "?"), "[?&]$", "")
+    // split at the FIRST '?': '&'/'=' are legal in paths, so the
+    // tracking-param strip and separator repair run on the query
+    // string only — a path like /a&ref=x/page is untouched
+    val path0 = regexp_extract(noFrag, "^([^?]*)", 1)
+    val query0 = regexp_replace(noFrag, "^[^?]*", "")
+    val query = regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(query0,
+        "([?&])(?i:utm_[a-z0-9_]+|fbclid|gclid|ref)=[^&]*", "$1"),
+      "&&+", "&"), "^\\?&", "?"), "[?&]$", "")
+    // scheme+authority fold; trailing path slashes drop at the PATH
+    // end (the path is path0's tail, so "/+$" on path0 is exact)
+    val path1 = regexp_replace(path0, "/+$", "")
     val lowered = concat(
-      lower(regexp_extract(sepFix,
+      lower(regexp_extract(path1,
         "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)),
-      regexp_replace(sepFix, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", ""))
+      regexp_replace(path1, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", ""))
+    // default ports: [^/?#]* (colons allowed) keeps userinfo
+    // authorities (user:pw@host:443) strippable
     val noPort = regexp_replace(regexp_replace(lowered,
-      "^(http://[^/?#:]*):80([/?#]|$)", "$1$2"),
-      "^(https://[^/?#:]*):443([/?#]|$)", "$1$2")
+      "^(http://[^/?#]*):80([/?#]|$)", "$1$2"),
+      "^(https://[^/?#]*):443([/?#]|$)", "$1$2")
     val noWww = regexp_replace(noPort, "^(https?://)www\\.", "$1")
-    regexp_replace(regexp_replace(noWww, "/+\\?", "?"), "/+$", "")
+    concat(noWww, query)
   }
 
   /** Deterministic 60-bit hash of a string: first 15 hex digits of md5.

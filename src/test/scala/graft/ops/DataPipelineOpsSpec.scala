@@ -438,7 +438,9 @@ class DataPipelineOpsSpec extends SparkSpec {
       "https://example.com/A/b?id=7&utm_b=2&gclid=z",  // trailing trackers
       "https://example.com/A/b?pref=1",                // pref is NOT ref
       "https://example.com:8443/A/B",                  // non-default port
-      "https://example.com:443"                        // port, no path
+      "https://example.com:443",                       // port, no path
+      "https://example.com/a&ref=x/page",              // '&ref=' in PATH
+      "https://user:pw@example.com:443/x"              // userinfo + port
     ).toDF("url")
     val out = in.select(
       graft.ops.TextFunctions.normalizeUrl($"url")).as[String]
@@ -451,21 +453,30 @@ class DataPipelineOpsSpec extends SparkSpec {
     assert(out(5) == "https://example.com/A/b?pref=1")
     assert(out(6) == "https://example.com:8443/A/B") // path case kept
     assert(out(7) == "https://example.com")
+    // '&'/'=' are legal in paths: the tracking strip and separator
+    // repair run on the query string ONLY
+    assert(out(8) == "https://example.com/a&ref=x/page")
+    // userinfo authorities still drop the default port
+    assert(out(9) == "https://user:pw@example.com/x")
   }
 
   test("domainPercentileFilter thresholds per domain; approx path " +
       "matches exact below the sketch accuracy") {
     // domain a: scores 1..5 (p50 = 3), domain b: 10..50 (p50 = 30) —
     // a global p50 would keep ALL of b and one row of a
+    // null sources form their OWN domain (p50 of 7,8,9 = 8) — a plain
+    // equi-join would silently delete them
     val df = Seq(
-      (1L, "a", 1L), (2L, "a", 2L), (3L, "a", 3L), (4L, "a", 4L),
-      (5L, "a", 5L), (6L, "b", 10L), (7L, "b", 20L), (8L, "b", 30L),
-      (9L, "b", 40L), (10L, "b", 50L)
+      (1L, Some("a"), 1L), (2L, Some("a"), 2L), (3L, Some("a"), 3L),
+      (4L, Some("a"), 4L), (5L, Some("a"), 5L), (6L, Some("b"), 10L),
+      (7L, Some("b"), 20L), (8L, Some("b"), 30L), (9L, Some("b"), 40L),
+      (10L, Some("b"), 50L), (11L, None, 7L), (12L, None, 8L),
+      (13L, None, 9L)
     ).toDF("doc_id", "source", "score")
     val exact = graft.ops.Curation.domainPercentileFilter(
       df, "source", "score", 0.5)
       .select("doc_id").as[Long].collect().sorted.toSeq
-    assert(exact == Seq(3L, 4L, 5L, 8L, 9L, 10L))
+    assert(exact == Seq(3L, 4L, 5L, 8L, 9L, 10L, 12L, 13L))
     val approx = graft.ops.Curation.domainPercentileFilter(
       df, "source", "score", 0.5, exact = false)
       .select("doc_id").as[Long].collect().sorted.toSeq
