@@ -194,6 +194,95 @@ object ScaleProbe {
           // grow quadratically with the factor, so any correct pair
           // enumerator looks super-linear on that data
           Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 12, 4).count()
+        case "editdist" =>
+          // PassJoin fuzzy dedup UNFIXTURED: q229's code construction
+          // with the doc_id filter LIFTED, so codes (and the
+          // (l, k, segment) bucket space) grow with the corpus. Shared
+          // "-alpha"-style tails concentrate buckets inside each length
+          // class — this measures that exponent and exercises the
+          // default-on candidate valve on real growth. cap >= 0
+          // overrides spark.graft.editdist.maxCandidatePairs.
+          import org.apache.spark.sql.functions._
+          if (cap >= 0) spark.conf.set(
+            "spark.graft.editdist.maxCandidatePairs", cap.toString)
+          val sufs = Seq("-alpha", "-alphA", "-alpha7", "-alph",
+            "-beta", "-gamma")
+          val coded = docs.withColumn("code", concat(lit("prod"),
+            (col("doc_id") / 6).cast("long").cast("string"),
+            element_at(typedlit(sufs),
+              (col("doc_id") % 6 + 1).cast("int"))))
+          try Dedup.editDistancePairs(coded, "doc_id", "code", 1).count()
+          finally spark.conf.unset(
+            "spark.graft.editdist.maxCandidatePairs")
+        case "urldedup" =>
+          // URL canonicalization dedup UNFIXTURED: q227's 8-variant
+          // construction over the WHOLE corpus — the normalize chain is
+          // scan-fused, dedup is one hash shuffle, so the exponent
+          // should track the scan.
+          import org.apache.spark.sql.functions._
+          import graft.ops.TextFunctions
+          val pres = Seq(
+            "https://Example.com/p", "https://example.com/p",
+            "https://example.com:443/p", "https://www.example.com/p",
+            "https://example.com/p", "https://example.com/p",
+            "https://example.com/p", "https://other.org/p")
+          val sufs = Seq(
+            "/b?utm_source=x&id=7&z=2", "/b?z=2&id=7",
+            "/b?id=7&z=2#frag", "/b/?id=7&z=2",
+            "/b?jsessionid=A9F3&id=7&z=2", "/b?id=8&z=2",
+            "/b?ref=main&id=7&z=2", "/c")
+          val urls = docs.withColumn("url", concat(
+            element_at(typedlit(pres), (col("doc_id") % 8 + 1).cast("int")),
+            (col("doc_id") / 8).cast("long").cast("string"),
+            element_at(typedlit(sufs), (col("doc_id") % 8 + 1).cast("int"))))
+            .withColumn("url_canonical",
+              TextFunctions.normalizeUrl(col("url")))
+          Dedup.exact(urls, Seq("url_canonical"), "doc_id").count()
+        case "deconrecall" =>
+          // Semantic-decontamination RECALL curve: plant deterministic
+          // near-copies of `cap` corpus vectors (default 512) as the
+          // benchmark side, compute exact ground truth on the broadcast
+          // path, then force the LSH path and measure recall per
+          // (tables, nPlanes). thr = cosine threshold (use >= 0.8:
+          // jittered copies sit ~0.99, random pairs far below).
+          import org.apache.spark.sql.functions._
+          val e = spark.read.parquet(s"$dir/embeddings.parquet")
+          val nb = if (cap > 0) cap.toInt else 512
+          // hash-conditioned ±5% jitter — the "paraphrase" analog, no
+          // rand() so runs are reproducible
+          val bench = e.orderBy("vec_id").limit(nb)
+            .select(col("vec_id").as("b_id"),
+              expr("transform(embedding, (x, i) -> x * (1.0 + " +
+                "((hash(vec_id * 131 + i) % 101) / 2020.0)))")
+                .as("b_vec"))
+          val t = if (thr > 0 && thr < 1) thr else 0.85
+          def flagged(limit: String): Set[Long] = {
+            spark.conf.set("spark.graft.semdecon.broadcastLimit", limit)
+            try graft.ops.Decontaminate.semantic(
+                e, "vec_id", "embedding", bench, "b_id", "b_vec",
+                threshold = t, dim = 64)
+              .select("vec_id").collect().map(_.getLong(0)).toSet
+            finally spark.conf.unset("spark.graft.semdecon.broadcastLimit")
+          }
+          val exact = flagged(Long.MaxValue.toString)
+          for (tb <- Seq(4, 8, 16); np <- Seq(8, 12, 16)) {
+            spark.conf.set("spark.graft.semdecon.broadcastLimit", "0")
+            val t1 = System.nanoTime()
+            val lsh =
+              try graft.ops.Decontaminate.semantic(
+                  e, "vec_id", "embedding", bench, "b_id", "b_vec",
+                  threshold = t, nPlanes = np, tables = tb, dim = 64)
+                .select("vec_id").collect().map(_.getLong(0)).toSet
+              finally spark.conf.unset(
+                "spark.graft.semdecon.broadcastLimit")
+            val recall =
+              if (exact.isEmpty) 1.0
+              else lsh.intersect(exact).size.toDouble / exact.size
+            println(f"[deconrecall] tables=$tb planes=$np thr=$t " +
+              f"exact=${exact.size} lsh=${lsh.size} recall=$recall%.4f " +
+              f"${(System.nanoTime() - t1) / 1e9}%.1f s")
+          }
+          exact.size.toLong
         case other => throw new IllegalArgumentException(other)
       }
       println(f"[scale] $op $dir ${(System.nanoTime() - t0) / 1e9}%.2f s" +

@@ -28,6 +28,27 @@ object SparkEntry {
   /** Unique memory-sink names so repeated runs (bench rounds) never share
     * a sink table. */
   private val streamCounter = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** q231 fixture: one unambiguous sentence per LangMarkers language
+    * (>= 7 of its own markers, <= 3 of any other language's), shared
+    * by the Spark query and the DuckDB oracle so both classify the
+    * identical text. */
+  private val LangIdSentences: Seq[(String, String)] = Seq(
+    "en" -> "the cat is in the garden and it is quiet",
+    "es" -> "el perro de la casa que veo en un parque",
+    "de" -> "der hund und die katze ist nicht ein problem zu haben",
+    "fr" -> "le chien et les chats dans un jardin est une joie",
+    "zh" -> "我 在 人 的 有 是 不 了",
+    "it" -> "il libro di storia che non leggo per una sera sono anche qui",
+    "pt" -> "não vejo uma casa mais bonita como também são dos meus",
+    "nl" -> "het huis een boom van hout dat niet zijn voor maar",
+    "sv" -> "och huset som är för stort med inte på taket",
+    "da" -> "og huset af træ det skal til ikke hvad også være der",
+    "no" -> "og huset av tre det står på ikke hva fra eller her",
+    "ru" -> "и я не знаю на что это как его для меня",
+    "tr" -> "bir ev ve bu bahçe için ile olarak daha çok güzel",
+    "cs" -> "je se na to že ale jsem tady jako pro tebe",
+    "pl" -> "nie wiem się to jest że do domu jak ale przez okno")
   private def coll(s: SparkSession, dir: String, name: String) =
     new GraftSession(s, dir).db("testdata").c(name)
 
@@ -1686,27 +1707,34 @@ object SparkEntry {
     // aggregate broadcast back, the corpus never shuffles
     "q226_domain_quality_filter" -> ((s, dir) =>
       graft.ops.Curation.domainPercentileFilter(
-        tbl(s, dir, "documents"), "source", "n_chars", quantile = 0.5)
+        tbl(s, dir, "documents"), "source", "n_chars", quantile = 0.5,
+        exact = true) // exact parity vs quantile_cont; library default
+                      // is the bounded-memory approx sketch
         .select("doc_id", "source", "n_chars")
         .orderBy("doc_id")),
 
     // URL canonicalization dedup: trivially-distinct spellings of one
-    // resource (tracking params, case-varied host, default port,
-    // fragment, www., trailing slash) collide on the normalized key —
-    // one scan-fused regex chain + the one-shuffle exact dedup
+    // resource (tracking/session params, param ORDER, case-varied
+    // host, default port, fragment, www., trailing slash) collide on
+    // the normalized key — one scan-fused regex/array chain + the
+    // one-shuffle exact dedup. Variants 5-7 stay distinct: a different
+    // param value, a kept `ref` param (meaningful, NOT a tracker), a
+    // different host.
     "q227_url_dedup" -> ((s, dir) => {
       val pre = Seq(
         "https://Example.com/p", "https://example.com/p",
         "https://example.com:443/p", "https://www.example.com/p",
+        "https://example.com/p", "https://example.com/p",
         "https://example.com/p", "https://other.org/p")
       val suf = Seq(
-        "/b?utm_source=x&id=7", "/b?id=7", "/b?id=7#frag",
-        "/b/?id=7", "/b?id=8", "/c")
+        "/b?utm_source=x&id=7&z=2", "/b?z=2&id=7", "/b?id=7&z=2#frag",
+        "/b/?id=7&z=2", "/b?jsessionid=A9F3&id=7&z=2", "/b?id=8&z=2",
+        "/b?ref=main&id=7&z=2", "/c")
       val df = tbl(s, dir, "documents").where(col("doc_id") < 360)
         .withColumn("url", concat(
-          element_at(typedlit(pre), (col("doc_id") % 6 + 1).cast("int")),
-          (col("doc_id") / 6).cast("long").cast("string"),
-          element_at(typedlit(suf), (col("doc_id") % 6 + 1).cast("int"))))
+          element_at(typedlit(pre), (col("doc_id") % 8 + 1).cast("int")),
+          (col("doc_id") / 8).cast("long").cast("string"),
+          element_at(typedlit(suf), (col("doc_id") % 8 + 1).cast("int"))))
         .withColumn("url_canonical",
           TextFunctions.normalizeUrl(col("url")))
       Dedup.exact(df, Seq("url_canonical"), "doc_id")
@@ -1721,6 +1749,24 @@ object SparkEntry {
       val docs = tbl(s, dir, "documents")
       Dedup.minhashLshPairsBetween(
         docs.where(col("doc_id") >= 200), docs.where(col("doc_id") < 200),
+        "doc_id", "text", k = 3, numPerms = 12, bands = 4)
+        .orderBy("new_id", "ref_id")
+    }),
+
+    // incremental ingest with a PERSISTED signature store: the ref
+    // corpus's band signatures are written once (partitioned by band,
+    // the IVF-store pattern) and each delta batch joins against the
+    // SAVED frame — per-batch cost scales with the delta, never a ref
+    // recompute; must produce exactly q228's pairs (same oracle)
+    "q230_incremental_precomputed" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val store = java.nio.file.Files
+        .createTempDirectory("graft-bandstore").toString
+      Dedup.minhashBandSignatures(docs.where(col("doc_id") < 200),
+          "doc_id", "text", k = 3, numPerms = 12, bands = 4)
+        .write.mode("overwrite").partitionBy("band").parquet(store)
+      Dedup.minhashLshPairsBetweenPrecomputed(
+        docs.where(col("doc_id") >= 200), s.read.parquet(store),
         "doc_id", "text", k = 3, numPerms = 12, bands = 4)
         .orderBy("new_id", "ref_id")
     }),
@@ -2479,6 +2525,23 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"),
           TextFunctions.langId(col("text")).as("predicted"))
         .orderBy("doc_id")),
+
+    // language ID over the FULL locale surface the engine analyzes/
+    // collates (15 languages incl. the da/no classic discriminators
+    // af/av, hvad/hva) — every language Curation.curate can gate now
+    // has markers, so no locale silently classifies "und"
+    "q231_langid_multilingual" -> ((s, dir) => {
+      val sents = LangIdSentences.map(_._2)
+      val expect = LangIdSentences.map(_._1)
+      tbl(s, dir, "documents").where(col("doc_id") < 450)
+        .withColumn("expected", element_at(typedlit(expect),
+          (col("doc_id") % 15 + 1).cast("int")))
+        .withColumn("mtext", element_at(typedlit(sents),
+          (col("doc_id") % 15 + 1).cast("int")))
+        .select(col("doc_id"), col("expected"),
+          TextFunctions.langId(col("mtext")).as("predicted"))
+        .orderBy("doc_id")
+    }),
 
     // quality scoring components + composite score
     "q26_quality" -> ((s, dir) => {
@@ -5638,7 +5701,7 @@ object SparkEntry {
         |  SELECT source, quantile_cont(n_chars, 0.5) AS th
         |  FROM documents GROUP BY source)
         |SELECT d.doc_id, d.source, d.n_chars
-        |FROM documents d JOIN th ON th.source = d.source
+        |FROM documents d JOIN th ON th.source IS NOT DISTINCT FROM d.source
         |WHERE CAST(d.n_chars AS DOUBLE) >= th.th
         |ORDER BY d.doc_id""".stripMargin,
 
@@ -5647,29 +5710,39 @@ object SparkEntry {
     // independent re-implementation, then min-id per canonical key
     "q227_url_dedup" ->
       """WITH u AS (SELECT doc_id,
-        |  CASE doc_id % 6
-        |    WHEN 0 THEN 'https://Example.com/p' || (doc_id // 6)
-        |      || '/b?utm_source=x&id=7'
-        |    WHEN 1 THEN 'https://example.com/p' || (doc_id // 6)
-        |      || '/b?id=7'
-        |    WHEN 2 THEN 'https://example.com:443/p' || (doc_id // 6)
-        |      || '/b?id=7#frag'
-        |    WHEN 3 THEN 'https://www.example.com/p' || (doc_id // 6)
-        |      || '/b/?id=7'
-        |    WHEN 4 THEN 'https://example.com/p' || (doc_id // 6)
-        |      || '/b?id=8'
-        |    ELSE 'https://other.org/p' || (doc_id // 6) || '/c'
+        |  CASE doc_id % 8
+        |    WHEN 0 THEN 'https://Example.com/p' || (doc_id // 8)
+        |      || '/b?utm_source=x&id=7&z=2'
+        |    WHEN 1 THEN 'https://example.com/p' || (doc_id // 8)
+        |      || '/b?z=2&id=7'
+        |    WHEN 2 THEN 'https://example.com:443/p' || (doc_id // 8)
+        |      || '/b?id=7&z=2#frag'
+        |    WHEN 3 THEN 'https://www.example.com/p' || (doc_id // 8)
+        |      || '/b/?id=7&z=2'
+        |    WHEN 4 THEN 'https://example.com/p' || (doc_id // 8)
+        |      || '/b?jsessionid=A9F3&id=7&z=2'
+        |    WHEN 5 THEN 'https://example.com/p' || (doc_id // 8)
+        |      || '/b?id=8&z=2'
+        |    WHEN 6 THEN 'https://example.com/p' || (doc_id // 8)
+        |      || '/b?ref=main&id=7&z=2'
+        |    ELSE 'https://other.org/p' || (doc_id // 8) || '/c'
         |  END AS url
         |  FROM documents WHERE doc_id < 360),
         |s1 AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS u
         |  FROM u),
         |sp AS (SELECT doc_id, regexp_extract(u, '^([^?]*)', 1) AS p,
         |  regexp_replace(u, '^[^?]*', '') AS q FROM s1),
-        |s2 AS (SELECT doc_id, p, regexp_replace(regexp_replace(
+        |s2a AS (SELECT doc_id, p, regexp_replace(regexp_replace(
         |  regexp_replace(regexp_replace(q,
-        |    '([?&])(?i:utm_[a-z0-9_]+|fbclid|gclid|ref)=[^&]*', '\1',
-        |    'g'), '&&+', '&', 'g'), '^\?&', '?'), '[?&]$', '') AS q
-        |  FROM sp),
+        |    '([?&])(?i:utm_[a-z0-9_]+|fbclid|gclid|jsessionid|phpsessid|sid)=[^&]*',
+        |    '\1', 'g'), '&&+', '&', 'g'), '^\?&', '?'), '[?&]$', '')
+        |  AS q FROM sp),
+        |s2 AS (SELECT doc_id, p,
+        |  CASE WHEN qb = '' THEN '' ELSE '?' ||
+        |    array_to_string(list_sort(string_split(qb, '&')), '&') END
+        |  AS q
+        |  FROM (SELECT doc_id, p, regexp_replace(q, '^\?', '') AS qb
+        |        FROM s2a)),
         |s3 AS (SELECT doc_id, regexp_replace(p, '/+$', '') AS p, q
         |  FROM s2),
         |s4 AS (SELECT doc_id,
@@ -5690,6 +5763,15 @@ object SparkEntry {
     // the q19/q50 minhash machinery with the self-join's id ordering
     // replaced by the frame split (new >= 200 vs ref < 200)
     "q228_incremental_neardup" ->
+      s"""WITH ${minhashBandsCtes(12, 4)}
+         |SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS ref_id
+         |FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+         |WHERE a.doc_id >= 200 AND b.doc_id < 200
+         |ORDER BY new_id, ref_id""".stripMargin,
+
+    // the signature-store path must produce exactly the recompute
+    // path's pairs — same oracle as q228
+    "q230_incremental_precomputed" ->
       s"""WITH ${minhashBandsCtes(12, 4)}
          |SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS ref_id
          |FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
@@ -6952,6 +7034,35 @@ object SparkEntry {
          |  CASE $cases ELSE 'und' END AS predicted
          |FROM documents d JOIN s ON s.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin
+    },
+
+    "q231_langid_multilingual" -> {
+      val textCase = LangIdSentences.zipWithIndex.map { case ((_, t), i) =>
+        s"WHEN $i THEN '$t'" }.mkString("\n    ")
+      val expCase = LangIdSentences.zipWithIndex.map { case ((l, _), i) =>
+        s"WHEN $i THEN '$l'" }.mkString(" ")
+      val scores = TextFunctions.LangMarkers.map { case (lang, ms) =>
+        val lst = ms.map(m => s"'$m'").mkString(", ")
+        s"len(list_filter(t, x -> list_contains([$lst], x))) AS s_$lang"
+      }.mkString(",\n  ")
+      val langs = TextFunctions.LangMarkers.map(_._1)
+      val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+      val total = langs.map("s_" + _).mkString(" + ")
+      val cases = langs.map(l =>
+        s"WHEN ($total) > 0 AND s_$l = $best THEN '$l'").mkString("\n    ")
+      s"""WITH f AS (SELECT doc_id,
+         |  CASE doc_id % 15 $expCase END AS expected,
+         |  CASE doc_id % 15
+         |    $textCase
+         |  END AS mtext
+         |  FROM documents WHERE doc_id < 450),
+         |s AS (SELECT doc_id, expected,
+         |  list_filter(string_split(mtext, ' '), x -> x <> '') AS t
+         |  FROM f),
+         |sc AS (SELECT doc_id, expected, $scores FROM s)
+         |SELECT doc_id, expected,
+         |  CASE $cases ELSE 'und' END AS predicted
+         |FROM sc ORDER BY doc_id""".stripMargin
     },
 
     "q26_quality" -> {

@@ -390,6 +390,19 @@ object TurkishSnowball {
     // corpus and the query, so inflection-family CONSISTENCY is the
     // property that matters — the final strip makes every family
     // member meet (arabam/arabalar/arabaya/araba all → arap).
+    //
+    // Reviewed and kept as-is: gating this strip on "an earlier
+    // suffix family fired" would be a NO-OP, not a precision fix —
+    // when neither pass stripped anything, nounSuffixes already tried
+    // and failed these same -(y)U/-(y)A marks in its last families
+    // (every earlier family returns a CHANGED word), so the strip
+    // below cannot fire on an untouched word. And BARE vowel-final
+    // nouns (araba, masa) lose their final vowel inside the single
+    // published pass anyway: the -(y)A mark's optional-y rule accepts
+    // a consonant-preceded final vowel, so the araba/arap conflation
+    // is the published algorithm's own behavior, not introduced by
+    // this strip (spec: "bare vowel-final nouns strip in the
+    // published single pass").
     val w3 = mYU(w2).orElse(mYA(w2)).map(cut(w2, _)).getOrElse(w2)
     postlude(w3)
   }

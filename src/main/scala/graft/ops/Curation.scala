@@ -48,15 +48,16 @@ object Curation {
     * Shape at 100 TB: ONE aggregate computes every domain's threshold
     * (domains are few — the threshold frame is broadcast back), then
     * the filter is a scan-side predicate; the corpus itself never
-    * shuffles. `exact = true` uses the exact interpolated percentile
-    * (sort-based per domain inside the aggregate — fine up to the
-    * single-aggregate scale); `exact = false` uses
-    * `approx_percentile` (bounded-memory sketch, the 100 TB default —
+    * shuffles. The DEFAULT `exact = false` uses `approx_percentile`
+    * (bounded-memory sketch — a hot domain with billions of distinct
+    * scores cannot OOM the aggregate, so it is the 100 TB default;
     * identical to exact below the sketch's `accuracy` distinct values,
-    * which the parity spec pins). */
+    * which the parity spec pins). `exact = true` buffers every
+    * per-domain value inside the aggregate for the exact interpolated
+    * percentile — parity/oracle work only. */
   def domainPercentileFilter(df: DataFrame, sourceCol: String,
       scoreCol: String, quantile: Double,
-      exact: Boolean = true): DataFrame = {
+      exact: Boolean = false): DataFrame = {
     require(quantile > 0 && quantile < 1,
       s"domainPercentileFilter: quantile in (0,1), got $quantile")
     val agg =

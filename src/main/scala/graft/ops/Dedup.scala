@@ -355,13 +355,51 @@ object Dedup {
     * whose new_id never appears are novel documents. */
   def minhashLshPairsBetween(newDf: DataFrame, refDf: DataFrame,
       idCol: String, textCol: String, k: Int = 3, numPerms: Int = 12,
+      bands: Int = 4): DataFrame =
+    minhashLshPairsBetweenPrecomputed(newDf,
+      minhashBandSignatures(refDf, idCol, textCol, k, numPerms, bands),
+      idCol, textCol, k, numPerms, bands)
+
+  /** The persistable (id, band, sig) band-signature frame of a corpus
+    * — [[minhashLshPairsBetween]]'s reference side, materialized.
+    * Incremental ingest is the cross-frame join's whole reason to
+    * exist, and recomputing the accumulated corpus's signatures every
+    * daily batch is the dominant per-batch cost at 100 TB: write this
+    * frame once (`.write.partitionBy("band").parquet(store)`, the
+    * IVF-maintenance store pattern), append each absorbed delta's
+    * bands, and feed it to [[minhashLshPairsBetweenPrecomputed]] —
+    * per-batch cost then scales with the DELTA, not the corpus.
+    * Same deterministic permutation constants as every minhash op
+    * here, so saved signatures can never drift from what a later
+    * session hashes. */
+  def minhashBandSignatures(df: DataFrame, idCol: String,
+      textCol: String, k: Int = 3, numPerms: Int = 12,
       bands: Int = 4): DataFrame = {
     require(numPerms % bands == 0, "numPerms must be divisible by bands")
-    def banded(df: DataFrame, as: String): DataFrame = bandFrame(
-      minhashSignatures(df, idCol, textCol, k, numPerms),
-      numPerms, bands, as)
-    banded(newDf, "new_id")
-      .join(banded(refDf, "ref_id"), Seq("band", "sig"))
+    bandFrame(minhashSignatures(df, idCol, textCol, k, numPerms),
+      numPerms, bands, "id")
+  }
+
+  /** CROSS-FRAME MinHash LSH against a PRECOMPUTED reference: the
+    * incoming shard hashes here (one scan, same permutation
+    * constants), the reference corpus arrives as a saved
+    * [[minhashBandSignatures]] frame — no reference-side text scan
+    * anywhere in the plan (PlanSpec-pinned). Candidates meet on the
+    * (band, sig) equi-join; the delta side is small, so AQE
+    * broadcasts it and the signature store never shuffles. Output:
+    * distinct (new_id, ref_id). */
+  def minhashLshPairsBetweenPrecomputed(newDf: DataFrame,
+      refBands: DataFrame, idCol: String, textCol: String, k: Int = 3,
+      numPerms: Int = 12, bands: Int = 4): DataFrame = {
+    require(numPerms % bands == 0, "numPerms must be divisible by bands")
+    require(Seq("id", "band", "sig").forall(refBands.columns.contains),
+      "minhashLshPairsBetweenPrecomputed: refBands needs (id, band, " +
+        s"sig) — a minhashBandSignatures frame; got " +
+        refBands.columns.mkString("(", ", ", ")"))
+    bandFrame(minhashSignatures(newDf, idCol, textCol, k, numPerms),
+      numPerms, bands, "new_id")
+      .join(refBands.select(col("id").as("ref_id"), col("band"),
+        col("sig")), Seq("band", "sig"))
       .select("new_id", "ref_id")
       .distinct()
   }
@@ -394,19 +432,27 @@ object Dedup {
     * disables) fails fast with a remedy when the short side is large
     * enough to make the product a scale risk.
     *
-    * Scale shape: two scans (segments, probes — explode factors
-    * (d+1) and at most (2d+1)²(d+1)), one narrow equi-join, distinct
-    * id pairs, then the levenshtein verify on candidates only. Skewed
-    * shared segments (common prefixes) concentrate buckets the way
-    * every LSH family here does — same remedy, longer segments via
-    * smaller d or pre-stripping boilerplate prefixes. */
+    * Scale shape: ONE source scan (the narrow (id, s, n) projection is
+    * persisted and re-read by the segment/probe/short/verify subplans
+    * and the valve probes), explode factors (d+1) on the segment side
+    * and at most (2d+1)²(d+1) on the probe side, one narrow equi-join,
+    * distinct id pairs, then the levenshtein verify on candidates only. Skewed
+    * shared segments (common prefixes/tails) concentrate buckets the
+    * way every LSH family here does — and like that family, a
+    * DEFAULT-ON valve (`spark.graft.editdist.maxCandidatePairs`, 2e9,
+    * 0 disables) measures the exact segment-join volume eagerly (two
+    * narrow aggregates over the persisted base) and fails fast with
+    * named remedies before the join can spill a disk full. */
   def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
       maxDist: Int = 1): DataFrame = {
     val d = maxDist
     require(d >= 1 && d <= 4, s"editDistancePairs: maxDist in [1,4], got $d")
-    val base = df.select(col(idCol).as("id"), col(strCol).as("s"))
+    // the narrow (id, s, n) projection feeds EIGHT subplans (segments,
+    // probes, shorts, short partners, both verify join-backs, two
+    // valve probes) — persist it once so the source scans once
+    val base = tracked(df.select(col(idCol).as("id"), col(strCol).as("s"))
       .where(col("s").isNotNull)
-      .withColumn("n", length(col("s")))
+      .withColumn("n", length(col("s"))).persist())
     val parts = lit(d + 1)
     // index side: the d+1 balanced segments of each string
     val seg = base.where(col("n") >= d + 1)
@@ -437,6 +483,34 @@ object Dedup {
       .where(col("st") >= 0 && col("st") + col("slen") <= col("n"))
       .select(col("id").as("id_p"), col("l"), col("k"),
         col("s").substr(col("st") + 1, col("slen")).as("sub"))
+    // spark.graft.editdist.maxCandidatePairs: PRE-JOIN volume valve on
+    // the segment equi-join, ON BY DEFAULT (2e9; 0 disables) — the
+    // jaccard-family lesson applied here. Shared tails concentrate
+    // (l, k, segment) buckets the way common prefixes concentrate
+    // shingle buckets (a corpus of "<anything>-v1" codes puts every
+    // same-length string in ONE "-v1" bucket, and the join degrades
+    // toward O(n²) inside the length class). The estimate is exact —
+    // Σ over buckets of |seg|·|probe| — computed from two narrow
+    // aggregates over the persisted base, so it fails FAST with named
+    // remedies instead of spilling the join to a disk-full crash.
+    val maxCand = df.sparkSession.conf
+      .getOption("spark.graft.editdist.maxCandidatePairs")
+      .map(_.toLong).getOrElse(2000000000L)
+    if (maxCand > 0) {
+      val candVol = seg.groupBy("l", "k", "sub")
+        .agg(count(lit(1)).as("__ns"))
+        .join(probe.groupBy("l", "k", "sub")
+          .agg(count(lit(1)).as("__np")), Seq("l", "k", "sub"))
+        .agg(coalesce(sum(col("__ns").cast("double") * col("__np")),
+          lit(0.0)).as("cand")).head().getDouble(0)
+      if (candVol > maxCand) throw new IllegalStateException(
+        f"editDistancePairs: segment-join candidate volume $candVol%.3g " +
+          s"exceeds spark.graft.editdist.maxCandidatePairs=$maxCand — " +
+          "shared prefixes/suffixes are concentrating the (length, " +
+          "segment) buckets. Strip common boilerplate from the strings " +
+          "first, run exact dedup before the fuzzy pass, lower maxDist, " +
+          "or raise the valve (0 disables).")
+    }
     val longCand = seg.join(probe, Seq("l", "k", "sub"))
       .where(col("id_i") =!= col("id_p"))
       .select(least(col("id_i"), col("id_p")).as("id_a"),
@@ -479,10 +553,10 @@ object Dedup {
       }
     val strsA = base.select(col("id").as("id_a"), col("s").as("__sa"))
     val strsB = base.select(col("id").as("id_b"), col("s").as("__sb"))
-    cand.distinct()
+    autoRelease(cand.distinct()
       .join(strsA, "id_a").join(strsB, "id_b")
       .where(levenshtein(col("__sa"), col("__sb")) <= d)
-      .select("id_a", "id_b")
+      .select("id_a", "id_b"), base)
   }
 
   /** SimHash near-duplicate pairs within `maxHamming` bit flips, using the

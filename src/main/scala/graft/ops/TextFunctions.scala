@@ -794,26 +794,49 @@ object TextFunctions {
   def urlDomains(text: Column): Column =
     regexp_extract_all(text, lit("https?://([^/\\s]+)"), lit(1))
 
+  /** Query params [[normalizeUrl]] strips by default: analytics
+    * trackers (utm_*, fbclid, gclid) and session ids (jsessionid,
+    * phpsessid, sid) — both vary per visit without changing the
+    * resource. `ref` is deliberately NOT on the list: it is a
+    * meaningful parameter on many sites (VCS hosts use ?ref=branch),
+    * so stripping it collides genuinely distinct resources — callers
+    * who know their corpus can pass a custom list. Entries are
+    * lookaround-free regex alternates matched case-insensitively
+    * against the param NAME. */
+  val DefaultTrackingParams: Seq[String] =
+    Seq("utm_[a-z0-9_]+", "fbclid", "gclid",
+      "jsessionid", "phpsessid", "sid")
+
   /** Canonical URL for dedup keying — the crawl-pipeline
     * normalization that makes trivially-distinct spellings of the same
-    * resource collide: strip the #fragment, drop tracking params
-    * (utm_*, fbclid, gclid, ref) with separator repair, lowercase the
+    * resource collide: strip the #fragment, drop tracking/session
+    * params ([[DefaultTrackingParams]]) with separator repair, SORT
+    * the surviving query params (param-order spellings of one
+    * resource are endemic in real crawls), lowercase the
     * scheme+authority (path/query case is significant and kept), drop
     * default ports (:80 http, :443 https), drop a leading www., strip
-    * trailing path slashes. Pure regexp_replace chain — scan-fused,
+    * trailing path slashes. Pure regexp/array algebra — scan-fused,
     * codegen'd, no UDF — and every regex avoids lookaround so the
     * DuckDB oracle (RE2) can run the identical chain. */
-  def normalizeUrl(url: Column): Column = {
+  def normalizeUrl(url: Column,
+      trackingParams: Seq[String] = DefaultTrackingParams): Column = {
     val noFrag = regexp_replace(url, "#.*", "")
     // split at the FIRST '?': '&'/'=' are legal in paths, so the
     // tracking-param strip and separator repair run on the query
     // string only — a path like /a&ref=x/page is untouched
     val path0 = regexp_extract(noFrag, "^([^?]*)", 1)
     val query0 = regexp_replace(noFrag, "^[^?]*", "")
-    val query = regexp_replace(regexp_replace(regexp_replace(
+    val stripped = regexp_replace(regexp_replace(regexp_replace(
       regexp_replace(query0,
-        "([?&])(?i:utm_[a-z0-9_]+|fbclid|gclid|ref)=[^&]*", "$1"),
+        s"([?&])(?i:${trackingParams.mkString("|")})=[^&]*", "$1"),
       "&&+", "&"), "^\\?&", "?"), "[?&]$", "")
+    // sort the surviving params: ?b=2&a=1 and ?a=1&b=2 are one key.
+    // Binary (codepoint) sort order — identical in Spark array_sort
+    // and DuckDB list_sort for the ASCII param strings of real URLs.
+    val qBody = regexp_replace(stripped, "^\\?", "")
+    val query = when(qBody === "", lit(""))
+      .otherwise(concat(lit("?"),
+        concat_ws("&", array_sort(split(qBody, "&")))))
     // scheme+authority fold; trailing path slashes drop at the PATH
     // end (the path is path0's tail, so "/+$" on path0 is exact)
     val path1 = regexp_replace(path0, "/+$", "")
@@ -864,13 +887,35 @@ object TextFunctions {
   // ---- language ID (stopword-marker heuristic) ----
 
   /** Marker function words per language; deterministic tie-break order is
-    * the Seq order (first wins on >=). */
+    * the Seq order (first wins on >=). Covers every locale the engine
+    * analyzes or collates (public stop-word lists, 8 high-frequency
+    * function words each), so `Curation.curate(targetLang = …)` can
+    * gate any of them. Closely-related pairs lean on their classic
+    * discriminators (da "af"/"hvad" vs no "av"/"hva"); shared words
+    * (og, ikke, na …) are fine — the SCORE comparison decides, and
+    * exact ties resolve to the earlier entry. Tokens are matched
+    * exactly (lowercase, space-split — [[tokens]]), no case folding. */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it"),
     "es" -> Seq("el", "la", "de", "que", "y", "los", "en", "un"),
     "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "zu"),
     "fr" -> Seq("le", "les", "et", "des", "un", "une", "est", "dans"),
-    "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我"))
+    "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我"),
+    "it" -> Seq("il", "di", "che", "non", "per", "una", "sono", "anche"),
+    "pt" -> Seq("não", "uma", "são", "mais", "como", "dos", "pela",
+      "também"),
+    "nl" -> Seq("het", "een", "van", "niet", "dat", "voor", "zijn",
+      "maar"),
+    "sv" -> Seq("och", "att", "som", "är", "för", "med", "inte", "på"),
+    "da" -> Seq("og", "af", "det", "til", "ikke", "hvad", "også",
+      "være"),
+    "no" -> Seq("og", "av", "det", "på", "ikke", "hva", "fra", "eller"),
+    "ru" -> Seq("и", "не", "на", "что", "это", "как", "его", "для"),
+    "tr" -> Seq("bir", "ve", "bu", "için", "ile", "olarak", "daha",
+      "çok"),
+    "cs" -> Seq("je", "se", "na", "že", "ale", "jsem", "jako", "pro"),
+    "pl" -> Seq("nie", "się", "jest", "że", "do", "jak", "ale",
+      "przez"))
 
   /** Count of tokens of `text` that appear in `markers`. */
   def markerScore(text: Column, markers: Seq[String]): Column =

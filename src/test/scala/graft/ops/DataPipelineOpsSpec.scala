@@ -428,6 +428,31 @@ class DataPipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("editDistancePairs candidate valve fails fast on concentrated " +
+      "segment buckets; 0 disables") {
+    // all same length with a shared 6-char tail: every string lands in
+    // ONE (l, k=1, "-alpha") bucket — the degenerate shape the valve
+    // exists for
+    val docs = (0 until 40).map(i => (i.toLong, f"p$i%03d-alpha"))
+      .toDF("doc_id", "s")
+    spark.conf.set("spark.graft.editdist.maxCandidatePairs", "100")
+    val ex = intercept[IllegalStateException] {
+      graft.ops.Dedup.editDistancePairs(docs, "doc_id", "s", 1).count()
+    }
+    assert(ex.getMessage.contains("maxCandidatePairs") &&
+      ex.getMessage.contains("boilerplate"))
+    spark.conf.set("spark.graft.editdist.maxCandidatePairs", "0")
+    try {
+      val n = graft.ops.Dedup.editDistancePairs(docs, "doc_id", "s", 1)
+        .count()
+      val brute = docs.as("a").crossJoin(docs.as("b"))
+        .where($"a.doc_id" < $"b.doc_id" &&
+          levenshtein($"a.s", $"b.s") <= 1).count()
+      assert(n == brute && brute > 0L)
+    } finally
+      spark.conf.unset("spark.graft.editdist.maxCandidatePairs")
+  }
+
   test("normalizeUrl canonicalizes equivalent spellings and keeps " +
       "significant parts") {
     val in = Seq(
@@ -440,7 +465,10 @@ class DataPipelineOpsSpec extends SparkSpec {
       "https://example.com:8443/A/B",                  // non-default port
       "https://example.com:443",                       // port, no path
       "https://example.com/a&ref=x/page",              // '&ref=' in PATH
-      "https://user:pw@example.com:443/x"              // userinfo + port
+      "https://user:pw@example.com:443/x",             // userinfo + port
+      "https://example.com/b?z=2&id=7",                // param ORDER
+      "https://example.com/b?JSESSIONID=A9&id=7&z=2",  // session id
+      "https://example.com/b?ref=main&id=7"            // ref is KEPT
     ).toDF("url")
     val out = in.select(
       graft.ops.TextFunctions.normalizeUrl($"url")).as[String]
@@ -458,6 +486,17 @@ class DataPipelineOpsSpec extends SparkSpec {
     assert(out(8) == "https://example.com/a&ref=x/page")
     // userinfo authorities still drop the default port
     assert(out(9) == "https://user:pw@example.com/x")
+    // surviving params SORT: ?z=2&id=7 and ?id=7&z=2 are one key
+    assert(out(10) == "https://example.com/b?id=7&z=2")
+    // session ids strip case-insensitively, like the trackers
+    assert(out(11) == "https://example.com/b?id=7&z=2")
+    // `ref` is meaningful (?ref=branch on VCS hosts) — NOT stripped by
+    // default; a custom tracker list can opt in
+    assert(out(12) == "https://example.com/b?id=7&ref=main")
+    val custom = in.select(graft.ops.TextFunctions.normalizeUrl($"url",
+      graft.ops.TextFunctions.DefaultTrackingParams :+ "ref"))
+      .as[String].collect().toSeq
+    assert(custom(12) == "https://example.com/b?id=7")
   }
 
   test("domainPercentileFilter thresholds per domain; approx path " +
@@ -474,11 +513,12 @@ class DataPipelineOpsSpec extends SparkSpec {
       (13L, None, 9L)
     ).toDF("doc_id", "source", "score")
     val exact = graft.ops.Curation.domainPercentileFilter(
-      df, "source", "score", 0.5)
+      df, "source", "score", 0.5, exact = true)
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(exact == Seq(3L, 4L, 5L, 8L, 9L, 10L, 12L, 13L))
+    // the library DEFAULT is the bounded-memory approx sketch
     val approx = graft.ops.Curation.domainPercentileFilter(
-      df, "source", "score", 0.5, exact = false)
+      df, "source", "score", 0.5)
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(approx == exact)
   }

@@ -1185,6 +1185,12 @@ class TextFunctionsSpec extends SparkSpec {
     // final-stripped mas
     assert(stem("masada") == "mas" && stem("masanda") == "mas" &&
       stem("masa") == "mas")
+    // bare vowel-final nouns strip in the published single pass (the
+    // -(y)A mark accepts a consonant-preceded final vowel) — the
+    // araba/arap conflation is published behavior, and the distinct
+    // word arap itself is a fixed point, so the conflation is
+    // one-directional and family-consistent
+    assert(stem("arap") == "arap")
     // copula -DIr strips (ığdır → ığ → postlude ık)
     assert(stem("ığdır") == "ık")
     // one-syllable words and non-Turkish tokens pass through
@@ -1329,6 +1335,34 @@ class TextFunctionsSpec extends SparkSpec {
       .select(TextFunctions.langId($"text")).as[String].head() == "es")
     assert(one("zzz qqq xxx")
       .select(TextFunctions.langId($"text")).as[String].head() == "und")
+  }
+
+  test("langId covers every analyzer/collation locale; ties break to " +
+      "the earlier LangMarkers entry") {
+    def id(t: String): String =
+      one(t).select(TextFunctions.langId($"text")).as[String].head()
+    // one distinctive phrase per added locale (the full-surface
+    // extension: Curation.curate(targetLang = "ru") must not classify
+    // Russian text "und" and drop the corpus)
+    assert(id("il libro che non leggo per una sera sono anche") == "it")
+    assert(id("não vejo uma casa mais bonita como também são") == "pt")
+    assert(id("het huis een boom van hout dat niet zijn maar") == "nl")
+    assert(id("och huset som är för stort med inte på") == "sv")
+    assert(id("og huset af træ til ikke hvad også være") == "da")
+    assert(id("og huset av tre på ikke hva fra eller") == "no")
+    assert(id("и я не знаю на что это как его для") == "ru")
+    assert(id("bir ev ve bu bahçe için ile olarak daha çok") == "tr")
+    assert(id("je se na to že ale jsem tady jako pro") == "cs")
+    assert(id("nie wiem się to jest że do jak ale przez") == "pl")
+    // da vs no: shared Scandinavian function words (og, det, ikke)
+    // tie 3-3 on a neutral phrase → the EARLIER entry (da) wins; the
+    // af/av + hvad/hva discriminators break real text apart
+    assert(id("og det ikke") == "da")
+    assert(id("og det ikke av hva") == "no")
+    // cs vs pl: "ale" is shared, but ž (U+017E) vs ż (U+017C) are
+    // distinct codepoints — "že" scores cs only, "że" pl only
+    assert(id("ale že") == "cs")
+    assert(id("ale że") == "pl")
   }
 
   test("quality score is bounded and favors stopword-rich text") {

@@ -448,6 +448,47 @@ class PlanSpec extends SparkSpec {
     assert("\\+- Exchange".r.findAllIn(gp).size == 1)
   }
 
+  test("precomputed-signature cross-frame minhash: no reference-side " +
+      "text scan in the plan") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.table(spark, sf, "documents")
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-bandstore-spec").toString
+    graft.ops.Dedup.minhashBandSignatures(
+        docs.where(col("doc_id") < 200), "doc_id", "text")
+      .write.mode("overwrite").partitionBy("band").parquet(store)
+    val df = graft.ops.Dedup.minhashLshPairsBetweenPrecomputed(
+      docs.where(col("doc_id") >= 200), spark.read.parquet(store),
+      "doc_id", "text")
+    val plan = explain(df)
+    // every documents scan is the DELTA side (pushed filter >= 200):
+    // the reference corpus arrives as the saved band frame, never as
+    // text — the whole point of the store is that a daily batch does
+    // not re-read 100 TB of ref text. (A second delta scan is fine:
+    // the band-partitioned store triggers a dynamic-partition-pruning
+    // subquery over the delta's bands, which prunes store partitions
+    // at scale and reuses the delta broadcast in the production
+    // big-store/small-delta shape.)
+    val sections = plan.split("\\(\\d+\\) Scan parquet")
+      .filter(_.contains("documents.parquet"))
+    assert(sections.nonEmpty && sections.forall(
+      _.contains("GreaterThanOrEqual(doc_id,200)")),
+      "a documents scan without the delta pushdown is a ref-side " +
+        "text re-scan")
+    assert(plan.contains("bandstore-spec"),
+      "saved band frame missing from the plan")
+    // the (band, sig) candidate join is an equi-join
+    assert(plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"))
+    // parity: the store path returns exactly the recompute path's pairs
+    val viaStore = df.as[(Long, Long)].collect().toSet
+    val recompute = graft.ops.Dedup.minhashLshPairsBetween(
+      docs.where(col("doc_id") >= 200), docs.where(col("doc_id") < 200),
+      "doc_id", "text").as[(Long, Long)].collect().toSet
+    assert(viaStore == recompute && viaStore.nonEmpty)
+  }
+
   test("bloom decontamination: might_contain filters the corpus scan side") {
     val docs = graft.sources.Tables.table(spark, sf, "documents")
     val df = graft.ops.Decontaminate.contaminationBloom(
