@@ -238,6 +238,36 @@ object ScaleProbe {
             .withColumn("url_canonical",
               TextFunctions.normalizeUrl(col("url")))
           Dedup.exact(urls, Seq("url_canonical"), "doc_id").count()
+        case "incrstore" =>
+          // Incremental-ingest evidence for the signature store: a
+          // FIXED 200-doc delta against the WHOLE corpus as reference
+          // (production orientation — q228/q230 invert it). (a) the
+          // recompute path hashes the ref corpus per batch; (b) the
+          // store amortizes that into one build, and the per-batch
+          // probe cost stops depending on corpus size.
+          import org.apache.spark.sql.functions._
+          val delta = docs.where(col("doc_id") < 200)
+          val t1 = System.nanoTime()
+          val nRecompute = Dedup.minhashLshPairsBetween(
+            delta, docs, "doc_id", "text", 3, 12, 4).count()
+          val tRec = (System.nanoTime() - t1) / 1e9
+          val store = java.nio.file.Files
+            .createTempDirectory("graft-bandstore-probe").toString
+          val t2 = System.nanoTime()
+          Dedup.minhashBandSignatures(docs, "doc_id", "text", 3, 12, 4)
+            .write.mode("overwrite").partitionBy("band").parquet(store)
+          val tBuild = (System.nanoTime() - t2) / 1e9
+          val t3 = System.nanoTime()
+          val nStore = Dedup.minhashLshPairsBetweenPrecomputed(
+            delta, spark.read.parquet(store), "doc_id", "text",
+            3, 12, 4).count()
+          val tProbe = (System.nanoTime() - t3) / 1e9
+          println(f"[incrstore] recompute=$tRec%.1f s " +
+            f"build_once=$tBuild%.1f s probe=$tProbe%.1f s " +
+            s"pairs=$nRecompute/$nStore")
+          require(nRecompute == nStore,
+            "store path diverged from recompute path")
+          nStore
         case "deconrecall" =>
           // Semantic-decontamination RECALL curve: plant deterministic
           // near-copies of `cap` corpus vectors (default 512) as the
@@ -265,7 +295,7 @@ object ScaleProbe {
             finally spark.conf.unset("spark.graft.semdecon.broadcastLimit")
           }
           val exact = flagged(Long.MaxValue.toString)
-          for (tb <- Seq(4, 8, 16); np <- Seq(8, 12, 16)) {
+          for (tb <- Seq(4, 8, 16); np <- Seq(4, 8, 12, 16)) {
             spark.conf.set("spark.graft.semdecon.broadcastLimit", "0")
             val t1 = System.nanoTime()
             val lsh =
