@@ -1771,6 +1771,74 @@ object SparkEntry {
         .orderBy("new_id", "ref_id")
     }),
 
+    // graded n-gram contamination: the share of each corpus doc's
+    // distinct 3-grams appearing anywhere in the benchmark split — the
+    // GPT-3/PaLM "dirty document" fraction (q108 gives the binary
+    // form); bench shingle set dedups once and broadcasts, corpus
+    // scans once
+    "q232_overlap_fraction" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      graft.ops.Decontaminate.overlapFraction(
+        docs.where(col("doc_id") >= 100), "doc_id", "text",
+        docs.where(col("doc_id") < 100), "text", n = 3)
+        .orderBy("doc_id")
+    }),
+
+    // minhash signature-agreement similarity estimate: threshold
+    // near-dups WITHOUT re-touching pair texts — est_jaccard =
+    // (#equal coordinates)/numPerms over the band-join candidates
+    "q233_minhash_estimate" -> ((s, dir) =>
+      Dedup.minhashJaccardEstimate(tbl(s, dir, "documents"),
+        "doc_id", "text", k = 3, numPerms = 12, bands = 4)
+        .orderBy("id_a", "id_b")),
+
+    // Johnson-Lindenstrauss random projection 64 -> 16 dims: the
+    // zero-fit distance-preserving reduction (deterministic +-1 sign
+    // matrix folded to codegen literals; the oracle regenerates the
+    // identical matrix from the same seed recipe)
+    "q234_random_projection" -> ((s, dir) =>
+      graft.ops.RandomProjection.project(
+        tbl(s, dir, "embeddings"), "embedding", "proj",
+        outDim = 16, dim = 64)
+        .select(col("vec_id"), posexplode(transform(col("proj"), x =>
+          x.cast("decimal(14,6)").cast("double"))).as(Seq("j", "coord")))
+        .orderBy("vec_id", "j")),
+
+    // WET-style HTML -> text extraction: script/style/comment blocks
+    // drop, tags strip, the six common entities decode (&amp; last),
+    // whitespace collapses — a lookaround-free regexp chain the RE2
+    // oracle replays verbatim
+    "q235_html_strip" -> ((s, dir) => {
+      val df = tbl(s, dir, "documents").where(col("doc_id") < 400)
+        .withColumn("html", concat(
+          lit("<html><head><style>p{color:red}</style>" +
+            "<script type=\"text/javascript\">var x=1 && 2;</script>" +
+            "</head><body><h1>Doc "),
+          col("doc_id").cast("string"),
+          lit("</h1><!-- hidden --><p>"), col("text"),
+          lit(" &amp; more &lt;tags&gt;&nbsp;&#39;quoted&#39;" +
+            "</p></body></html>")))
+      df.select(col("doc_id"),
+          TextFunctions.stripHtml(col("html")).as("clean"))
+        .orderBy("doc_id")
+    }),
+
+    // cross-document paragraph dedup (RefinedWeb-style): the shared
+    // footer survives only in its first corpus occurrence, rotating
+    // boilerplate in the first doc of each residue class, unique prose
+    // everywhere — min-(id, pos) winner per md5(paragraph), docs
+    // reassemble in order
+    "q236_paragraph_dedup" -> ((s, dir) => {
+      val rot = Seq("follow us on social media",
+        "all rights reserved worldwide", "contact support for help")
+      val df = tbl(s, dir, "documents")
+        .withColumn("mtext", concat_ws("\n\n", col("text"),
+          lit("subscribe to our newsletter today"),
+          element_at(typedlit(rot), (col("doc_id") % 3 + 1).cast("int"))))
+      Dedup.paragraphDedup(df, "doc_id", "mtext", sep = "\n\n")
+        .orderBy("doc_id")
+    }),
+
     // edit-distance (character-level) fuzzy dedup on short code fields
     // via PassJoin segment blocking — typo/insert/delete variants of
     // one product code meet within distance 1; the oracle is the
@@ -5777,6 +5845,109 @@ object SparkEntry {
          |FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
          |WHERE a.doc_id >= 200 AND b.doc_id < 200
          |ORDER BY new_id, ref_id""".stripMargin,
+
+    // independent replay: distinct corpus 3-grams LEFT join the
+    // deduped benchmark shingle set, fraction per doc
+    "q232_overlap_fraction" ->
+      s"""WITH $toksCte,
+         |$shingleCte,
+         |b AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 100),
+         |c AS (SELECT doc_id, sh FROM sh WHERE doc_id >= 100)
+         |SELECT c.doc_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         |  CAST(SUM(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_matched,
+         |  CAST(CAST(SUM(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END)
+         |    / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(18,9)) AS DOUBLE)
+         |    AS overlap_frac
+         |FROM c LEFT JOIN b ON b.sh = c.sh
+         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+
+    // the q19 band-join candidates, then the per-coordinate agreement
+    // count against the signature CTE — an independent estimate replay
+    "q233_minhash_estimate" -> {
+      val eq = (0 until 12).map(i =>
+        s"(CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH ${minhashBandsCtes(12, 4)},
+         |p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
+         |SELECT p.id_a, p.id_b,
+         |  CAST(CAST(($eq) / 12.0 AS DECIMAL(18,9)) AS DOUBLE)
+         |    AS est_jaccard
+         |FROM p JOIN sigs sa ON sa.doc_id = p.id_a
+         |JOIN sigs sb ON sb.doc_id = p.id_b
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    // the oracle regenerates the +-1 sign matrix from the same md5
+    // parity recipe (driver-folded literals on the Spark side) and
+    // sums in the identical index order
+    "q234_random_projection" -> {
+      val scale = 1.0 / math.sqrt(16.0)
+      val legs = (0 until 16).map { j =>
+        val row = graft.ops.RandomProjection.signRow(0, j, 64)
+        val dot = row.zipWithIndex.map { case (sgn, i) =>
+          s"CAST(embedding[${i + 1}] AS DOUBLE)*($sgn)" }.mkString(" + ")
+        s"SELECT vec_id, $j AS j, CAST(CAST(($dot) * $scale " +
+          s"AS DECIMAL(14,6)) AS DOUBLE) AS coord FROM embeddings"
+      }.mkString("\nUNION ALL\n")
+      s"""SELECT vec_id, j, coord FROM (
+         |$legs
+         |) ORDER BY vec_id, j""".stripMargin
+    },
+
+    // identical lookaround-free chain in RE2: script/style/comment
+    // blocks, tag strip, entity decode (&amp; last), whitespace fold
+    "q235_html_strip" ->
+      """WITH h AS (SELECT doc_id,
+        |  '<html><head><style>p{color:red}</style>' ||
+        |  '<script type="text/javascript">var x=1 && 2;</script>' ||
+        |  '</head><body><h1>Doc ' || doc_id ||
+        |  '</h1><!-- hidden --><p>' || text ||
+        |  ' &amp; more &lt;tags&gt;&nbsp;&#39;quoted&#39;' ||
+        |  '</p></body></html>' AS html
+        |  FROM documents WHERE doc_id < 400),
+        |s1 AS (SELECT doc_id, regexp_replace(html,
+        |  '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS c FROM h),
+        |s2 AS (SELECT doc_id, regexp_replace(c,
+        |  '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS c FROM s1),
+        |s3 AS (SELECT doc_id, regexp_replace(c,
+        |  '(?s)<!--.*?-->', ' ', 'g') AS c FROM s2),
+        |s4 AS (SELECT doc_id, regexp_replace(c,
+        |  '<[^>]*>', ' ', 'g') AS c FROM s3),
+        |s5 AS (SELECT doc_id, regexp_replace(regexp_replace(
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |  c, '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+        |  '&#39;', CHR(39), 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&',
+        |  'g') AS c FROM s4)
+        |SELECT doc_id,
+        |  trim(regexp_replace(c, '\s+', ' ', 'g')) AS clean
+        |FROM s5 ORDER BY doc_id""".stripMargin,
+
+    // paragraph-granularity replay: 1-based unnest with position,
+    // min-(doc, pos) winner per md5(paragraph), ordered reassembly
+    "q236_paragraph_dedup" ->
+      """WITH d AS (SELECT doc_id,
+        |  text || chr(10) || chr(10) ||
+        |  'subscribe to our newsletter today' || chr(10) || chr(10) ||
+        |  CASE doc_id % 3 WHEN 0 THEN 'follow us on social media'
+        |    WHEN 1 THEN 'all rights reserved worldwide'
+        |    ELSE 'contact support for help' END AS mtext
+        |  FROM documents),
+        |sp AS (SELECT doc_id,
+        |  string_split(mtext, chr(10) || chr(10)) AS parts FROM d),
+        |p AS (SELECT doc_id, i AS pos, parts[i] AS para
+        |  FROM sp, UNNEST(range(1, len(parts) + 1)) AS u(i)
+        |  WHERE trim(parts[i]) <> ''),
+        |k AS (SELECT doc_id, pos, para, row_number() OVER (
+        |    PARTITION BY md5(para) ORDER BY doc_id, pos) AS rk FROM p)
+        |SELECT doc_id,
+        |  string_agg(para, chr(10) || chr(10) ORDER BY pos) AS clean,
+        |  CAST(COUNT(*) AS BIGINT) AS n_kept
+        |FROM k WHERE rk = 1
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // brute-force levenshtein over all id-ordered pairs (the length
     // prefilter only skips pairs the distance bound already excludes)

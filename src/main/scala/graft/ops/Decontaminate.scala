@@ -52,6 +52,46 @@ object Decontaminate {
       .withColumnRenamed("__c_id", corpusId)
   }
 
+  /** Per-document contamination FRACTION: the share of a corpus doc's
+    * distinct word `n`-grams that appear anywhere in the benchmark —
+    * the GPT-3/PaLM-style graded "dirty document" score (policy
+    * thresholds like "drop when > 70% of 8-grams overlap"), where
+    * [[contamination]] gives the binary/count form. Returns
+    * (corpusId, n_shingles, n_matched, overlap_frac) for every corpus
+    * doc WITH at least one shingle (docs shorter than n tokens carry
+    * no n-gram evidence and are omitted — gate those on length
+    * instead). overlap_frac is decimal-rounded (18,9) so the DuckDB
+    * oracle hash-matches bit-for-bit.
+    *
+    * Shape at 100 TB: corpus shingles one scan + explode; the bench
+    * shingle SET dedups once (benchmarks are small — AQE broadcasts
+    * it); LEFT join + one aggregate keyed by corpus doc. Linear in
+    * corpus shingles, no pairwise work. */
+  def overlapFraction(
+      corpus: DataFrame, corpusId: String, corpusText: String,
+      bench: DataFrame, benchText: String, n: Int = 8): DataFrame = {
+    import TextFunctions.{shinglesOfTokens, tokens}
+    val c = corpus
+      .select(col(corpusId).as("__c_id"),
+        tokens(col(corpusText)).as("__toks"))
+      .select(col("__c_id"), explode(array_distinct(
+        shinglesOfTokens(col("__toks"), n))).as("__sh"))
+    val b = bench
+      .select(tokens(col(benchText)).as("__toks"))
+      .select(explode(array_distinct(
+        shinglesOfTokens(col("__toks"), n))).as("__sh"))
+      .distinct()
+      .withColumn("__hit", lit(1L))
+    c.join(b, Seq("__sh"), "left")
+      .groupBy("__c_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        coalesce(sum("__hit"), lit(0L)).as("n_matched"))
+      .withColumn("overlap_frac",
+        (col("n_matched").cast("double") / col("n_shingles"))
+          .cast("decimal(18,9)").cast("double"))
+      .withColumnRenamed("__c_id", corpusId)
+  }
+
   /** [[contamination]] with a Bloom-filter pre-filter on the corpus side
     * — the 100 TB shape when the benchmark set is NOT broadcast-small
     * (full eval-suite unions run to 10⁸ shingles, forcing the exact join

@@ -92,6 +92,43 @@ object Dedup {
       .withColumn(outCol, coalesce(col(outCol), lit("")))
   }
 
+  /** Cross-document PARAGRAPH dedup (the RefinedWeb/Falcon hygiene
+    * step, one granularity up from [[removeBoilerplateLines]]): every
+    * distinct paragraph keeps only its FIRST corpus occurrence
+    * (min (id, position) — deterministic) and later repeats drop, so
+    * shared boilerplate (footers, cookie banners, licence blocks)
+    * survives exactly once corpus-wide while unique prose is
+    * untouched. Documents reassemble from their surviving paragraphs
+    * in original order; docs whose every paragraph loses drop from
+    * the output (they WERE pure repeated boilerplate). Returns
+    * (idCol, outCol, n_kept).
+    *
+    * Shape at 100 TB: posexplode on the separator split, ONE hash
+    * exchange keyed by the paragraph's md5 (a window keeps the
+    * min-(id, pos) occurrence — fixed-width keys, no long-string
+    * comparisons in the sort), survivors re-group per doc (second
+    * exchange) and rejoin in position order. Two narrow shuffles
+    * total; cost is linear in total paragraphs. */
+  def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n\n", outCol: String = "clean"): DataFrame = {
+    val paras = df.select(col(idCol).as("__id"),
+        posexplode(split(col(textCol),
+          java.util.regex.Pattern.quote(sep)))
+          .as(Seq("__pos", "__para")))
+      .where(trim(col("__para")) =!= "")
+    val kept = paras
+      .withColumn("__rk", row_number().over(Window
+        .partitionBy(md5(col("__para"))).orderBy("__id", "__pos")))
+      .where(col("__rk") === 1)
+    kept.groupBy("__id")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("__pos"), col("__para")))),
+          e => e.getField("__para")), sep).as(outCol),
+        count(lit(1)).as("n_kept"))
+      .withColumnRenamed("__id", idCol)
+  }
+
   /** Exact dedup keeping full rows: survivor = first row per key ordered by
     * `orderCol` (window, one shuffle). */
   def exactRows(df: DataFrame, keyCols: Seq[String], orderCol: String)
@@ -353,6 +390,47 @@ object Dedup {
     * the delta side is small, so AQE broadcasts it and the reference
     * corpus never shuffles. Output: distinct (new_id, ref_id); rows
     * whose new_id never appears are novel documents. */
+  /** LSH candidate pairs WITH the signature-agreement similarity
+    * estimate: est_jaccard = (#equal minhash coordinates)/numPerms,
+    * the classic unbiased estimator of J(a,b) — so pipelines can
+    * THRESHOLD near-dups ("drop pairs above ~0.8") without ever
+    * touching the pair texts again (the expensive shingle-set verify
+    * [[ngramJaccardPairs]] pays). Recall is the band join's; the
+    * estimate's stderr is √(J(1-J)/numPerms) — raise numPerms for a
+    * tighter threshold, the cost is one wider aggregate.
+    *
+    * Shape at 100 TB: the [[minhashLshPairs]] band equi-join yields
+    * candidate ids; the persisted signature frame joins back narrow
+    * (two hash joins on id) — no text re-scan, no pairwise vector
+    * shuffle. est_jaccard is decimal-rounded (18,9) for oracle
+    * hash-parity. */
+  def minhashJaccardEstimate(df: DataFrame, idCol: String,
+      textCol: String, k: Int = 3, numPerms: Int = 12,
+      bands: Int = 4): DataFrame = {
+    require(numPerms % bands == 0, "numPerms must be divisible by bands")
+    val sigs = tracked(
+      minhashSignatures(df, idCol, textCol, k, numPerms).persist())
+    val banded = bandFrame(sigs, numPerms, bands, "id")
+    val pairs = banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    val sa = sigs.select(col("id").as("id_a") +:
+      (0 until numPerms).map(i => col(s"mh$i").as(s"__a$i")): _*)
+    val sb = sigs.select(col("id").as("id_b") +:
+      (0 until numPerms).map(i => col(s"mh$i").as(s"__b$i")): _*)
+    val eq = (0 until numPerms)
+      .map(i => when(col(s"__a$i") === col(s"__b$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    autoRelease(pairs.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("est_jaccard",
+        (eq.cast("double") / lit(numPerms.toDouble))
+          .cast("decimal(18,9)").cast("double"))
+      .select("id_a", "id_b", "est_jaccard"), sigs)
+  }
+
   def minhashLshPairsBetween(newDf: DataFrame, refDf: DataFrame,
       idCol: String, textCol: String, k: Int = 3, numPerms: Int = 12,
       bands: Int = 4): DataFrame =

@@ -853,6 +853,28 @@ object TextFunctions {
     concat(noWww, query)
   }
 
+  /** WET-style HTML → text extraction, the step between a raw crawl
+    * and every text operator here: drop <script>/<style> blocks and
+    * comments (non-greedy, case-insensitive), strip remaining tags,
+    * decode the six common entities (&amp; LAST so "&amp;lt;" decodes
+    * to the literal "&lt;", not "<"), collapse whitespace runs, trim.
+    * Pure regexp chain — scan-fused, codegen'd, and lookaround-free
+    * ((?is) flags + non-greedy are RE2-supported) so the DuckDB
+    * oracle replays the identical chain. */
+  def stripHtml(html: Column): Column = {
+    val noScript =
+      regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle =
+      regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]*>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) => regexp_replace(c, e, r) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Deterministic 60-bit hash of a string: first 15 hex digits of md5.
     * Reproducible in any engine with md5 (DuckDB: ('0x'||substr(md5(s),1,
     * 15))::BIGINT). */

@@ -681,4 +681,104 @@ class DataPipelineOpsSpec extends SparkSpec {
     assert(!w.getAs[Double]("bits_per_token").isNaN)
     assert(w.getAs[Double]("bits_per_token") > expected)
   }
+
+  test("overlapFraction: per-doc shingle share, short docs omitted") {
+    val corpus = Seq(
+      (10L, "a b c d e"),    // 3 trigrams, "a b c"+"b c d" in bench
+      (11L, "x y z w"),      // 2 trigrams, none in bench
+      (12L, "a b")           // < 3 tokens: no evidence, omitted
+    ).toDF("doc_id", "text")
+    val bench = Seq("a b c d q", "q b c d").toDF("text")
+    val out = Decontaminate.overlapFraction(
+      corpus, "doc_id", "text", bench, "text", n = 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (10L, 3L, 2L, BigDecimal(2.0 / 3).setScale(9,
+        BigDecimal.RoundingMode.HALF_UP).toDouble),
+      (11L, 2L, 0L, 0.0)))
+  }
+
+  test("minhashJaccardEstimate: exact dups estimate 1.0; candidates " +
+      "are the LSH pair set") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "entirely different words in this sentence appear here now"),
+      (4L, "the quick brown fox jumps over the lazy cat tonight")
+    ).toDF("doc_id", "text")
+    val est = Dedup.minhashJaccardEstimate(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(p => (p._1, p._2))
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toSeq.sorted
+    Dedup.releaseCaches()
+    assert(est.map(p => (p._1, p._2)) == pairs)
+    // identical docs agree on every coordinate
+    assert(est.find(p => p._1 == 1L && p._2 == 2L).exists(_._3 == 1.0))
+    // estimates are valid probabilities, and the near-dup (1,4) sits
+    // strictly between 0 and 1... or collides fully only if every
+    // permutation agrees — either way bounded
+    assert(est.forall(p => p._3 >= 0.0 && p._3 <= 1.0))
+  }
+
+  test("RandomProjection: deterministic, seed-sensitive, and " +
+      "JL-faithful on relative distances") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian()))).toDF("id", "v")
+    val p1 = RandomProjection.project(vecs, "v", "p", 16, 64)
+      .select("id", "p").as[(Long, Seq[Double])].collect().toMap
+    val p2 = RandomProjection.project(vecs, "v", "p", 16, 64)
+      .select("id", "p").as[(Long, Seq[Double])].collect().toMap
+    assert(p1 == p2) // same seed -> identical projection
+    val pSeed = RandomProjection.project(vecs, "v", "p", 16, 64, seed = 9)
+      .select("id", "p").as[(Long, Seq[Double])].collect().toMap
+    assert(p1(0L) != pSeed(0L)) // different seed -> different matrix
+    assert(p1.values.forall(_.length == 16))
+    // JL sanity: squared-norm preserved in expectation — the mean
+    // ratio ||p(v)||^2/||v||^2 over 40 gaussian vectors sits near 1
+    val orig = vecs.as[(Long, Seq[Double])].collect().toMap
+    val ratios = p1.keys.toSeq.map { k =>
+      val n0 = orig(k).map(x => x * x).sum
+      val n1 = p1(k).map(x => x * x).sum
+      n1 / n0
+    }
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.7 && mean < 1.3, s"mean norm ratio $mean")
+  }
+
+  test("stripHtml: blocks, tags, entities, whitespace") {
+    val in = Seq(
+      "<html><head><style>p{x}</style><script a=\"b\">if(1&&2)x();" +
+        "</script></head><body><h1>T</h1><!-- c --><p>hello" +
+        "   world</p></body></html>",
+      "two <script>a()</script> scripts <script>b()</script> here",
+      "&amp;lt; stays literal &lt; decodes &#39;q&#39; &nbsp;ok",
+      "no markup at all"
+    ).toDF("html")
+    val out = in.select(TextFunctions.stripHtml($"html")).as[String]
+      .collect().toSeq
+    assert(out(0) == "T hello world")
+    // non-greedy: prose BETWEEN two script blocks survives
+    assert(out(1) == "two scripts here")
+    // &amp;lt; -> literal "&lt;" (amp decodes LAST); &lt; -> "<"
+    assert(out(2) == "&lt; stays literal < decodes 'q' ok")
+    assert(out(3) == "no markup at all")
+  }
+
+  test("paragraphDedup: first corpus occurrence survives, docs " +
+      "reassemble in order, pure-boilerplate docs drop") {
+    val df = Seq(
+      (1L, "unique one\n\nshared footer\n\nunique two"),
+      (2L, "other prose\n\nshared footer"),
+      (3L, "shared footer"), // every paragraph loses -> doc drops
+      (4L, "shared footer\n\nlast doc prose")
+    ).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(df, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "unique one\n\nshared footer\n\nunique two", 3L),
+      (2L, "other prose", 1L),
+      (4L, "last doc prose", 1L)))
+  }
 }
