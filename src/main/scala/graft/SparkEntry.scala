@@ -1771,6 +1771,21 @@ object SparkEntry {
         .orderBy("new_id", "ref_id")
     }),
 
+    // language-ID confidence: best-minus-second marker margin next to
+    // the label — the ambiguous Scandinavian slot (og det ikke) lands
+    // margin 0 where its label alone reads as a confident "da"
+    "q237_langid_margin" -> ((s, dir) => {
+      val sents = LangIdSentences.map(_._2) :+ "og det ikke"
+      tbl(s, dir, "documents").where(col("doc_id") < 480)
+        .withColumn("mtext", element_at(typedlit(sents),
+          (col("doc_id") % 16 + 1).cast("int")))
+        .select(col("doc_id"),
+          TextFunctions.langId(col("mtext")).as("predicted"),
+          TextFunctions.langIdMargin(col("mtext")).cast("long")
+            .as("margin"))
+        .orderBy("doc_id")
+    }),
+
     // graded n-gram contamination: the share of each corpus doc's
     // distinct 3-grams appearing anywhere in the benchmark split — the
     // GPT-3/PaLM "dirty document" fraction (q108 gives the binary
@@ -5845,6 +5860,38 @@ object SparkEntry {
          |FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
          |WHERE a.doc_id >= 200 AND b.doc_id < 200
          |ORDER BY new_id, ref_id""".stripMargin,
+
+    // the q231 score replay plus the sorted-scores margin
+    "q237_langid_margin" -> {
+      val sents = LangIdSentences.map(_._2) :+ "og det ikke"
+      val textCase = sents.zipWithIndex.map { case (t, i) =>
+        s"WHEN $i THEN '$t'" }.mkString("\n    ")
+      val scores = TextFunctions.LangMarkers.map { case (lang, ms) =>
+        val lst = ms.map(m => s"'$m'").mkString(", ")
+        s"len(list_filter(t, x -> list_contains([$lst], x))) AS s_$lang"
+      }.mkString(",\n  ")
+      val langs = TextFunctions.LangMarkers.map(_._1)
+      val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+      val total = langs.map("s_" + _).mkString(" + ")
+      val cases = langs.map(l =>
+        s"WHEN ($total) > 0 AND s_$l = $best THEN '$l'").mkString("\n    ")
+      val lst = langs.map("s_" + _).mkString(", ")
+      s"""WITH f AS (SELECT doc_id,
+         |  CASE doc_id % 16
+         |    $textCase
+         |  END AS mtext
+         |  FROM documents WHERE doc_id < 480),
+         |s AS (SELECT doc_id,
+         |  list_filter(string_split(mtext, ' '), x -> x <> '') AS t
+         |  FROM f),
+         |sc AS (SELECT doc_id, $scores FROM s),
+         |m AS (SELECT doc_id, $total AS total,
+         |  CASE $cases ELSE 'und' END AS predicted,
+         |  list_sort([$lst], 'DESC') AS l FROM sc)
+         |SELECT doc_id, predicted,
+         |  CAST(l[1] - l[2] AS BIGINT) AS margin
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
 
     // independent replay: distinct corpus 3-grams LEFT join the
     // deduped benchmark shingle set, fraction per doc

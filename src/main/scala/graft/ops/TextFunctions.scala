@@ -945,15 +945,42 @@ object TextFunctions {
       .reduce(_ || _)))
 
   /** Predicted language code, "und" when no marker hits at all.
-    * Tie-break: LangMarkers order (first language with a maximal score). */
+    * Tie-break: LangMarkers order (first language with a maximal
+    * score — `array_position` finds the FIRST index of the max).
+    *
+    * PERF: the token array and the 15-language score array are each
+    * let-bound ONCE per row via the one-element-transform idiom
+    * ([[phraseOccurrences]]' trick) — the naive fold re-tokenized per
+    * language and re-evaluated every score in the total/best/when
+    * chain, which tripled q174's cost when the locale surface grew
+    * from 5 to 15 languages. */
   def langId(text: Column): Column = {
-    val scores = LangMarkers.map { case (lang, ms) => lang -> markerScore(text, ms) }
-    val total = scores.map(_._2).reduce(_ + _)
-    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    scores.foldRight(lit("und")) { case ((lang, s), els) =>
-      when(total > 0 && s === best, lit(lang)).otherwise(els)
-    }
+    val codes = LangMarkers.map(_._1)
+    element_at(transform(array(tokens(text)), toks => {
+      val scores = array(LangMarkers.map { case (_, ms) =>
+        size(filter(toks, t => t.isin(ms.map(m => m: Any): _*)))
+      }: _*)
+      element_at(transform(array(scores), sc =>
+        when(aggregate(sc, lit(0), (a, e) => a + e) > 0,
+          element_at(typedlit(codes),
+            array_position(sc, array_max(sc)).cast("int")))
+          .otherwise(lit("und"))), 1)
+    }), 1)
   }
+
+  /** Language-ID CONFIDENCE margin: best marker score minus
+    * second-best (0 on an exact tie, and 0 when nothing matches) —
+    * the gate real curation stacks put next to the label, since a
+    * da/no-style doc scoring 5/4 is a coin-flip the label alone
+    * hides. Same one-pass let-bound score array as [[langId]]. */
+  def langIdMargin(text: Column): Column =
+    element_at(transform(array(tokens(text)), toks => {
+      val scores = array(LangMarkers.map { case (_, ms) =>
+        size(filter(toks, t => t.isin(ms.map(m => m: Any): _*)))
+      }: _*)
+      element_at(transform(array(sort_array(scores, asc = false)),
+        sc => element_at(sc, 1) - element_at(sc, 2)), 1)
+    }), 1)
 
   // ---- quality scoring ----
 

@@ -113,6 +113,71 @@ object StreamingMigrations {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Continuous incremental near-dup against a PERSISTED signature
+    * store — the streaming face of [[graft.ops.Dedup.minhashBandSignatures]]
+    * / [[graft.ops.Dedup.minhashLshPairsBetweenPrecomputed]], i.e. the
+    * daily-crawl loop the incrstore probe measures: each arriving
+    * micro-batch (a) emits its near-dup pairs against everything
+    * absorbed BEFORE it (plus its own within-batch pairs) and (b)
+    * appends its band signatures to the store, so per-batch cost is
+    * the batch's own hash + one band equi-join against the store —
+    * never a corpus recompute.
+    *
+    * Pair output: (new_id, ref_id, within_batch) under
+    * `pairsPath/batch=N`; store layout `storePath/batch=N/band=B`
+    * (band-partitioned — the pruning layout
+    * [[graft.ops.Dedup.minhashBandSignatures]] prescribes). Both
+    * writes OVERWRITE their own `batch=` subdir, so a retried batch
+    * replaces its output instead of double-appending — exactly-once
+    * sinks under foreachBatch's at-least-once contract (the
+    * qualityFilterStream pattern). State is zero: the store IS the
+    * state, durable and shared. */
+  def incrementalNearDupStream(stream: DataFrame, idCol: String,
+      textCol: String, storePath: String, pairsPath: String,
+      checkpoint: String, k: Int = 3, numPerms: Int = 12,
+      bands: Int = 4)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val hadoop = new org.apache.hadoop.fs.Path(storePath)
+        val fs = hadoop.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        // prior bands = every batch dir EXCEPT this one (a retried
+        // batch must not dedup against its own half-written bands)
+        val priorDirs =
+          if (!fs.exists(hadoop)) Array.empty[String]
+          else fs.listStatus(hadoop)
+            .filter(s => s.isDirectory &&
+              s.getPath.getName.startsWith("batch=") &&
+              s.getPath.getName != s"batch=$batchId")
+            .map(_.getPath.toString)
+        val cross =
+          if (priorDirs.isEmpty)
+            spark.emptyDataFrame
+              .withColumn("new_id", lit(null).cast("long"))
+              .withColumn("ref_id", lit(null).cast("long"))
+              .limit(0)
+          else graft.ops.Dedup.minhashLshPairsBetweenPrecomputed(
+            batch, spark.read.parquet(priorDirs: _*),
+            idCol, textCol, k, numPerms, bands)
+        val within = graft.ops.Dedup.minhashLshPairs(
+            batch, idCol, textCol, k, numPerms, bands)
+          .select(col("id_a").as("new_id"), col("id_b").as("ref_id"))
+        cross.withColumn("within_batch", lit(false))
+          .unionByName(within.withColumn("within_batch", lit(true)))
+          .write.mode("overwrite").parquet(s"$pairsPath/batch=$batchId")
+        graft.ops.Dedup.minhashBandSignatures(
+            batch, idCol, textCol, k, numPerms, bands)
+          .write.mode("overwrite").partitionBy("band")
+          .parquet(s"$storePath/batch=$batchId")
+        graft.ops.Dedup.releaseCaches()
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Continuous ANN-index maintenance: each arriving embedding
     * micro-batch is assigned to its nearest IVF centroid (the scan-fused
     * literal-centroid compare of `Similarity.ivfAssign`) and appended to

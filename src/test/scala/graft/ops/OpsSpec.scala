@@ -1365,6 +1365,18 @@ class TextFunctionsSpec extends SparkSpec {
     assert(id("ale że") == "pl")
   }
 
+  test("langIdMargin: 0 on ties and no-evidence, positive when one " +
+      "language dominates") {
+    def m(t: String): Int =
+      one(t).select(TextFunctions.langIdMargin($"text")).as[Int].head()
+    assert(m("og det ikke") == 0)   // da/no exact tie — coin-flip label
+    assert(m("zzz qqq") == 0)       // no evidence at all
+    assert(m("the cat and the dog of it is in") > 0)
+    // margin = best - SECOND best, not best - 0: "the le" scores en 1
+    // and fr 1 -> tie, margin 0
+    assert(m("the le") == 0)
+  }
+
   test("quality score is bounded and favors stopword-rich text") {
     val hi = one("the cat is on the mat and it is good")
       .select(TextFunctions.qualityScore($"text")).as[Double].head()

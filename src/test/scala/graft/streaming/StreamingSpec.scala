@@ -76,6 +76,36 @@ class StreamingSpec extends SparkSpec {
     assert(out.where($"cat" === "done").count() == 6)
   }
 
+  test("incrementalNearDupStream: each batch pairs against the store " +
+      "then absorbs its bands") {
+    val tmp = Files.createTempDirectory("incr-stream").toString
+    val t = "the quick brown fox jumps over the lazy dog tonight"
+    val schema = Seq((1L, "x")).toDF("doc_id", "text").schema
+    // two single-file drops -> two micro-batches at 1 file/trigger
+    Seq((1L, t), (2L, t)).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$tmp/src")
+    Seq((3L, t),
+      (4L, "entirely different words appear in this other sentence now"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(s"$tmp/src")
+    StreamingMigrations.incrementalNearDupStream(
+      StreamingMigrations.readStream(spark, s"$tmp/src", schema,
+        maxFilesPerTrigger = Some(1)),
+      "doc_id", "text", s"$tmp/store", s"$tmp/pairs", s"$tmp/ck")
+      .awaitTermination(120000)
+    val pairs = spark.read.parquet(s"$tmp/pairs")
+      .select("new_id", "ref_id", "within_batch")
+      .as[(Long, Long, Boolean)].collect().toSet
+    // batch 0: 1-2 pair within the batch (store empty before it);
+    // batch 1: 3 hits both absorbed docs ACROSS the store, 4 is novel
+    assert(pairs == Set((1L, 2L, true), (3L, 1L, false), (3L, 2L, false)))
+    // the store holds every absorbed doc's bands, band-partitioned
+    val store = spark.read.parquet(s"$tmp/store")
+    assert(store.select("id").distinct().as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L, 3L, 4L))
+    assert(store.columns.contains("band") && store.columns.contains("sig"))
+  }
+
   test("streamingDedup keeps one row per key across duplicate arrivals") {
     val tmp = java.nio.file.Files.createTempDirectory("sdedup").toString
     val rows = Seq(
