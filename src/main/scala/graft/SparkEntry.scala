@@ -1799,6 +1799,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // WITHIN-doc repeated-line removal: nav menus/headers repeated in
+    // one page keep only their first occurrence; empty separator lines
+    // survive — zero shuffle, pure scan-local array algebra
+    "q239_line_dedup_in_doc" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .withColumn("mtext", concat_ws("\n",
+          lit("site navigation menu"), col("text"),
+          lit("site navigation menu"), lit(""),
+          lit("site navigation menu"), col("text"), lit("footer line")))
+        .select(col("doc_id"),
+          TextFunctions.dedupLinesInDoc(col("mtext")).as("clean"))
+        .orderBy("doc_id")),
+
+    // SURGICAL decontamination: leaked 3-gram windows cut out of the
+    // doc, clean tokens rejoin in order — fully-leaked docs come back
+    // as empty husks with n_tokens_kept = 0
+    "q238_redact_contaminated" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      graft.ops.Decontaminate.redactContaminated(
+        docs.where(col("doc_id") >= 100), "doc_id", "text",
+        docs.where(col("doc_id") < 100), "text", n = 3)
+        .orderBy("doc_id")
+    }),
+
     // minhash signature-agreement similarity estimate: threshold
     // near-dups WITHOUT re-touching pair texts — est_jaccard =
     // (#equal coordinates)/numPerms over the band-join candidates
@@ -5909,6 +5933,49 @@ object SparkEntry {
          |    AS overlap_frac
          |FROM c LEFT JOIN b ON b.sh = c.sh
          |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+
+    // DuckDB's 1-based index lambda replays the prefix check exactly
+    "q239_line_dedup_in_doc" ->
+      """WITH d AS (SELECT doc_id,
+        |  'site navigation menu' || chr(10) || text || chr(10) ||
+        |  'site navigation menu' || chr(10) || '' || chr(10) ||
+        |  'site navigation menu' || chr(10) || text || chr(10) ||
+        |  'footer line' AS mtext
+        |  FROM documents)
+        |SELECT doc_id, array_to_string(list_filter(
+        |  string_split(mtext, chr(10)),
+        |  (x, i) -> x = '' OR NOT list_contains(
+        |    string_split(mtext, chr(10))[1:i-1], x)), chr(10)) AS clean
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // positional window replay: 1-based starts, covered = [j, j+2],
+    // anti-join on (doc, pos), ordered reassembly, husks filled empty
+    "q238_redact_contaminated" ->
+      s"""WITH $toksCte,
+         |w AS (SELECT doc_id, i AS j, array_to_string(t[i:i+2], ' ')
+         |    AS sh
+         |  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+         |  WHERE len(t) >= 3),
+         |b AS (SELECT DISTINCT sh FROM w WHERE doc_id < 100),
+         |cw AS (SELECT doc_id, j FROM w
+         |  WHERE doc_id >= 100 AND sh IN (SELECT sh FROM b)),
+         |cov AS (SELECT DISTINCT doc_id, j + o AS pos
+         |  FROM cw, UNNEST(range(0, 3)) AS v(o)),
+         |tp AS (SELECT doc_id, i AS pos, t[i] AS tok
+         |  FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)
+         |  WHERE doc_id >= 100),
+         |k AS (SELECT tp.doc_id, tp.pos, tp.tok FROM tp
+         |  LEFT JOIN cov ON cov.doc_id = tp.doc_id AND cov.pos = tp.pos
+         |  WHERE cov.pos IS NULL),
+         |agg AS (SELECT doc_id,
+         |  string_agg(tok, ' ' ORDER BY pos) AS clean,
+         |  CAST(count(*) AS BIGINT) AS n_tokens_kept
+         |  FROM k GROUP BY doc_id)
+         |SELECT d.doc_id, COALESCE(agg.clean, '') AS clean,
+         |  CAST(COALESCE(agg.n_tokens_kept, 0) AS BIGINT)
+         |    AS n_tokens_kept
+         |FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+         |WHERE d.doc_id >= 100 ORDER BY d.doc_id""".stripMargin,
 
     // the q19 band-join candidates, then the per-coordinate agreement
     // count against the signature CTE — an independent estimate replay

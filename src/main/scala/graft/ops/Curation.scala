@@ -21,17 +21,25 @@ import org.apache.spark.sql.functions._
 object Curation {
 
   /** Run the cascade; returns surviving rows with the diagnostic columns
-    * `predicted_lang` and `quality`. */
+    * `predicted_lang` and `quality`. `minLangMargin` > 0 additionally
+    * requires the language label to WIN by that many marker hits
+    * ([[TextFunctions.langIdMargin]]) — a da/no coin-flip doc scoring
+    * 3/3 carries a confident-looking label the margin exposes; 0 (the
+    * default) keeps the historical label-only gate. */
   def curate(df: DataFrame, idCol: String, textCol: String,
       targetLang: String = "en", minQuality: Double = 0.0,
-      sampleFraction: Double = 1.0, salt: String = ""): DataFrame = {
+      sampleFraction: Double = 1.0, salt: String = "",
+      minLangMargin: Int = 0): DataFrame = {
     require(sampleFraction >= 0 && sampleFraction <= 1,
       s"curate: sampleFraction in [0,1], got $sampleFraction")
     val gated = df
       .withColumn("predicted_lang", TextFunctions.langId(col(textCol)))
       .withColumn("quality", TextFunctions.qualityScore(col(textCol)))
       .where(col("predicted_lang") === targetLang &&
-        col("quality") >= minQuality)
+        col("quality") >= minQuality &&
+        (if (minLangMargin > 0)
+          TextFunctions.langIdMargin(col(textCol)) >= minLangMargin
+        else lit(true)))
     val deduped = Dedup.exactRows(
       gated.withColumn("__curation_hash", md5(col(textCol))),
       Seq("__curation_hash"), idCol)

@@ -92,6 +92,61 @@ object Decontaminate {
       .withColumnRenamed("__c_id", corpusId)
   }
 
+  /** SURGICAL decontamination: instead of dropping a contaminated
+    * document ([[contamination]] + filter) or merely scoring it
+    * ([[overlapFraction]]), cut the leaked n-gram windows OUT and keep
+    * the rest — the right call for long documents where one quoted
+    * eval question should not cost a million clean tokens. Every
+    * token covered by ANY benchmark-matching n-gram window is
+    * removed; survivors rejoin space-separated in original order.
+    * Returns every corpus row as (corpusId, outCol, n_tokens_kept):
+    * clean docs pass through re-tokenized (token-joined text),
+    * fully-leaked docs come back as "" with 0 — callers decide
+    * whether to keep the husk.
+    *
+    * Shape at 100 TB: corpus windows explode once (positions ride
+    * along), the benchmark window set dedups once (broadcast-small),
+    * hits explode to covered positions, tokens anti-join covered on
+    * (doc, position), one per-doc aggregate reassembles. Linear in
+    * corpus tokens; no pairwise work. */
+  def redactContaminated(
+      corpus: DataFrame, corpusId: String, corpusText: String,
+      bench: DataFrame, benchText: String, n: Int = 8,
+      outCol: String = "clean"): DataFrame = {
+    import TextFunctions.{shinglesOfTokens, tokens}
+    val toks = corpus.select(col(corpusId).as("__id"),
+      tokens(col(corpusText)).as("__toks"))
+    // window start positions are 0-based via posexplode, aligned with
+    // the token positions below (shinglesOfTokens window i covers
+    // tokens [i, i+n-1])
+    val windows = toks.select(col("__id"),
+      posexplode(shinglesOfTokens(col("__toks"), n))
+        .as(Seq("__j", "__sh")))
+    val benchSet = bench
+      .select(tokens(col(benchText)).as("__toks"))
+      .select(explode(array_distinct(
+        shinglesOfTokens(col("__toks"), n))).as("__sh"))
+      .distinct()
+    val covered = windows.join(benchSet, "__sh")
+      .select(col("__id"),
+        explode(sequence(col("__j"), col("__j") + lit(n - 1)))
+          .as("__pos"))
+      .distinct()
+    val tokPos = toks.select(col("__id"),
+      posexplode(col("__toks")).as(Seq("__pos", "__tok")))
+    val kept = tokPos.join(covered, Seq("__id", "__pos"), "left_anti")
+      .groupBy("__id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("__pos"), col("__tok")))),
+        e => e.getField("__tok")), " ").as(outCol),
+        count(lit(1)).as("n_tokens_kept"))
+    corpus.select(col(corpusId).as("__id"))
+      .join(kept, Seq("__id"), "left")
+      .select(col("__id").as(corpusId),
+        coalesce(col(outCol), lit("")).as(outCol),
+        coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"))
+  }
+
   /** [[contamination]] with a Bloom-filter pre-filter on the corpus side
     * — the 100 TB shape when the benchmark set is NOT broadcast-small
     * (full eval-suite unions run to 10⁸ shingles, forcing the exact join

@@ -853,6 +853,26 @@ object TextFunctions {
     concat(noWww, query)
   }
 
+  /** WITHIN-document repeated-line removal — the intra-doc complement
+    * of [[graft.ops.Dedup.removeBoilerplateLines]] (cross-corpus) and
+    * [[graft.ops.Dedup.paragraphDedup]] (cross-corpus paragraphs):
+    * each non-empty line keeps its FIRST occurrence inside the
+    * document and later repeats drop (scraped nav menus and headers
+    * repeated per page, chat-log echoes). EMPTY lines always survive
+    * — collapsing blank separators would rewrite formatting, not
+    * remove noise. ZERO shuffle: pure scan-local array algebra
+    * (let-bound split, index-aware filter against the line's prefix —
+    * O(L²) per doc in LINE count, fine at real document sizes),
+    * codegen'd.  Spark filter indices are 0-based, so `slice(ls, 1,
+    * i)` is exactly the prefix before the current line. */
+  def dedupLinesInDoc(text: Column, delim: String = "\n"): Column = {
+    val q = java.util.regex.Pattern.quote(delim)
+    element_at(transform(array(split(text, q)), ls =>
+      array_join(filter(ls, (x, i) =>
+        x === lit("") || !exists(slice(ls, lit(1), i), y => y === x)),
+        delim)), 1)
+  }
+
   /** WET-style HTML → text extraction, the step between a raw crawl
     * and every text operator here: drop <script>/<style> blocks and
     * comments (non-greedy, case-insensitive), strip remaining tags,

@@ -766,6 +766,61 @@ class DataPipelineOpsSpec extends SparkSpec {
     assert(out(3) == "no markup at all")
   }
 
+  test("redactContaminated cuts covered windows, keeps husks, passes " +
+      "clean docs through") {
+    val corpus = Seq(
+      (10L, "keep one two three four keep2"), // middle trigram leaks
+      (11L, "totally clean text here"),
+      (12L, "one two three"),                 // fully leaked -> husk
+      (13L, "")                               // empty doc -> husk
+    ).toDF("doc_id", "text")
+    val bench = Seq("x one two three y").toDF("text")
+    val out = Decontaminate.redactContaminated(
+      corpus, "doc_id", "text", bench, "text", n = 3)
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    // doc 10: window "one two three" covers positions 1-3; "keep",
+    // "four", "keep2" survive (only the exact window is cut, not the
+    // whole doc)
+    assert(out == Seq(
+      (10L, "keep four keep2", 3L),
+      (11L, "totally clean text here", 4L),
+      (12L, "", 0L),
+      (13L, "", 0L)))
+  }
+
+  test("dedupLinesInDoc keeps first occurrences and empty separators") {
+    val out = Seq(
+      "nav\nbody text\nnav\n\nbody text\n\nfooter",
+      "a\na\na",
+      "",
+      "only one line"
+    ).toDF("text")
+      .select(TextFunctions.dedupLinesInDoc($"text")).as[String]
+      .collect().toSeq
+    // repeats drop, BOTH empty separators survive (formatting intact)
+    assert(out(0) == "nav\nbody text\n\n\nfooter")
+    assert(out(1) == "a")
+    assert(out(2) == "")
+    assert(out(3) == "only one line")
+  }
+
+  test("curate minLangMargin drops coin-flip labels the plain gate " +
+      "keeps") {
+    val df = Seq(
+      (1L, "og huset af træ det skal til ikke hvad også være der " +
+        "og det ikke og det"),                       // clearly da
+      (2L, "og det ikke og det ikke og det ikke og det ikke og det")
+      // da/no tie on every marker -> label "da", margin 0
+    ).toDF("doc_id", "text")
+    val loose = Curation.curate(df, "doc_id", "text", targetLang = "da")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(loose == Seq(1L, 2L))
+    val strict = Curation.curate(df, "doc_id", "text",
+      targetLang = "da", minLangMargin = 2)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(strict == Seq(1L))
+  }
+
   test("paragraphDedup: first corpus occurrence survives, docs " +
       "reassemble in order, pure-boilerplate docs drop") {
     val df = Seq(

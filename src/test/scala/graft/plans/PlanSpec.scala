@@ -489,6 +489,17 @@ class PlanSpec extends SparkSpec {
     assert(viaStore == recompute && viaStore.nonEmpty)
   }
 
+  test("paragraphDedup: two exchanges (paragraph hash, doc regroup), " +
+      "no join") {
+    val docs = graft.sources.Tables.table(spark, sf, "documents")
+    val plan = explain(graft.ops.Dedup.paragraphDedup(
+      docs, "doc_id", "text"))
+    assert("\\+- Exchange".r.findAllIn(plan).size == 2,
+      "paragraph dedup must cost exactly the md5-window exchange and " +
+        "the per-doc regroup")
+    assert(!plan.contains("Join"))
+  }
+
   test("bloom decontamination: might_contain filters the corpus scan side") {
     val docs = graft.sources.Tables.table(spark, sf, "documents")
     val df = graft.ops.Decontaminate.contaminationBloom(
