@@ -574,7 +574,18 @@ object Dedup {
     val maxCand = df.sparkSession.conf
       .getOption("spark.graft.editdist.maxCandidatePairs")
       .map(_.toLong).getOrElse(2000000000L)
-    if (maxCand > 0) {
+    // bounded pre-probe (the binaryAnnTopK pattern): when n rows make
+    // even the single-bucket WORST case — n(d+1) segment rows times
+    // n(2d+1)²(d+1) probe rows — fit under the valve, skip the
+    // estimate jobs entirely; a 360-row fixture then pays one narrow
+    // limit-probe instead of two exploded aggregations
+    val worstPerPair = (d + 1).toDouble * (2 * d + 1) * (2 * d + 1) *
+      (d + 1)
+    val safeN = math.sqrt(maxCand.toDouble / worstPerPair).toLong
+    val provablySmall = maxCand > 0 && safeN > 0 &&
+      safeN < Int.MaxValue - 1 &&
+      base.limit(safeN.toInt + 1).count() <= safeN
+    if (maxCand > 0 && !provablySmall) {
       val candVol = seg.groupBy("l", "k", "sub")
         .agg(count(lit(1)).as("__ns"))
         .join(probe.groupBy("l", "k", "sub")

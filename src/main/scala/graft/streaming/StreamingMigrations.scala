@@ -152,18 +152,18 @@ object StreamingMigrations {
               s.getPath.getName.startsWith("batch=") &&
               s.getPath.getName != s"batch=$batchId")
             .map(_.getPath.toString)
-        val cross =
-          if (priorDirs.isEmpty)
-            spark.emptyDataFrame
-              .withColumn("new_id", lit(null).cast("long"))
-              .withColumn("ref_id", lit(null).cast("long"))
-              .limit(0)
-          else graft.ops.Dedup.minhashLshPairsBetweenPrecomputed(
-            batch, spark.read.parquet(priorDirs: _*),
-            idCol, textCol, k, numPerms, bands)
         val within = graft.ops.Dedup.minhashLshPairs(
             batch, idCol, textCol, k, numPerms, bands)
           .select(col("id_a").as("new_id"), col("id_b").as("ref_id"))
+        val cross =
+          if (priorDirs.isEmpty)
+            // first batch: no store yet — an empty frame with the
+            // CALLER'S id type (a long-typed literal frame would fail
+            // the union on string-keyed corpora)
+            within.limit(0)
+          else graft.ops.Dedup.minhashLshPairsBetweenPrecomputed(
+            batch, spark.read.parquet(priorDirs: _*),
+            idCol, textCol, k, numPerms, bands)
         cross.withColumn("within_batch", lit(false))
           .unionByName(within.withColumn("within_batch", lit(true)))
           .write.mode("overwrite").parquet(s"$pairsPath/batch=$batchId")
