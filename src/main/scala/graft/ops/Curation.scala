@@ -47,6 +47,41 @@ object Curation {
     Sampling.hashSample(deduped, idCol, sampleFraction, salt)
   }
 
+  /** The CRAWL preset: raw (url, html) pages to a curated text
+    * corpus in one call, composed from the library's scan-fused
+    * primitives in the order real web pipelines run them —
+    *
+    *   HTML → text ([[TextFunctions.stripHtml]]) →
+    *   URL dedup (first fetch per [[TextFunctions.normalizeUrl]] key)
+    *   → language + margin + quality gates → content dedup →
+    *   deterministic sample — i.e. [[curate]] with the crawl-specific
+    *   front half bolted on. (Line/paragraph dedup belongs BEFORE
+    *   extraction flattens whitespace — run
+    *   [[Dedup.removeBoilerplateLines]]/[[Dedup.paragraphDedup]] on
+    *   structured text, not here: stripHtml folds newlines, so a
+    *   "line" no longer exists downstream of it.)
+    *
+    * Shape at 100 TB: extraction and every gate are codegen'd scan
+    * expressions; the URL dedup and the content dedup are the TWO
+    * hash shuffles (both one-exchange window dedups); the sample is
+    * hash math. Returns surviving rows keyed by `idCol` with
+    * `url_canonical`, `clean_text`, `predicted_lang`, `quality`
+    * diagnostic columns. */
+  def webCurate(df: DataFrame, idCol: String, urlCol: String,
+      htmlCol: String, targetLang: String = "en",
+      minQuality: Double = 0.0, minLangMargin: Int = 0,
+      sampleFraction: Double = 1.0, salt: String = ""): DataFrame = {
+    val extracted = df
+      .withColumn("url_canonical",
+        TextFunctions.normalizeUrl(col(urlCol)))
+      .withColumn("clean_text",
+        TextFunctions.stripHtml(col(htmlCol)))
+    val urlDeduped = Dedup.exactRows(
+      extracted, Seq("url_canonical"), idCol)
+    curate(urlDeduped, idCol, "clean_text", targetLang, minQuality,
+      sampleFraction, salt, minLangMargin)
+  }
+
   /** PER-DOMAIN quality gate: keep rows whose `scoreCol` is at or
     * above their own domain's `quantile` — a global floor
     * over-prunes clean domains and under-prunes noisy ones (a p50

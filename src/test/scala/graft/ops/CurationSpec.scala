@@ -31,4 +31,36 @@ class CurationSpec extends graft.SparkSpec {
     assert(Curation.curate(docs, "doc_id", "text", "en", 0.3, 0.0)
       .count() == 0)
   }
+
+  test("webCurate: extract, url-dedup, gate, content-dedup in one call") {
+    val body = "the quick brown fox and the lazy dog walked over the " +
+      "hill to see the other side of the fence and came back home"
+    val pages = Seq(
+      // same resource fetched twice (tracking param + www variant):
+      // min-id fetch survives the URL dedup
+      (1L, "https://example.com/a?utm_source=x",
+        s"<html><body><p>$body</p></body></html>"),
+      (2L, "https://www.example.com/a",
+        s"<html><body><p>$body</p></body></html>"),
+      // distinct URL but IDENTICAL extracted content: content dedup
+      (3L, "https://example.com/b",
+        s"<html><body><div>$body</div></body></html>"),
+      // distinct URL, German content: language gate
+      (4L, "https://example.com/de",
+        "<html><body>der hund und die katze und der vogel im haus " +
+          "und garten und der baum</body></html>"),
+      // distinct URL, junk content: quality gate
+      (5L, "https://example.com/junk",
+        "<html><body>the 1 2 3 4 5 6 7 8 9 0 @@@</body></html>")
+    ).toDF("page_id", "url", "html")
+    val out = Curation.webCurate(pages, "page_id", "url", "html",
+      targetLang = "en", minQuality = 0.3)
+    val kept = out.select("page_id").as[Long].collect().toSeq.sorted
+    assert(kept == Seq(1L))
+    val row = out.head()
+    assert(row.getString(row.fieldIndex("url_canonical")) ==
+      "https://example.com/a")
+    assert(row.getString(row.fieldIndex("clean_text")) == body)
+    assert(row.getString(row.fieldIndex("predicted_lang")) == "en")
+  }
 }
