@@ -1799,6 +1799,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // margin-based mutual-NN bitext mining (the LASER/CCMatrix
+    // recipe): pairs that are each other's nearest neighbor in BOTH
+    // directions and beat their own neighborhoods' average cosine —
+    // the ratio margin filters the hubs a plain threshold keeps
+    "q240_bitext_mining" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      Similarity.bitextMine(
+        e.where(col("vec_id") < 40),
+        e.where(col("vec_id") >= 40 && col("vec_id") < 80),
+        "vec_id", "embedding", k = 4, minMargin = 1.0)
+        .orderBy("a_id")
+    }),
+
     // WITHIN-doc repeated-line removal: nav menus/headers repeated in
     // one page keep only their first occurrence; empty separator lines
     // survive — zero shuffle, pure scan-local array algebra
@@ -5933,6 +5946,36 @@ object SparkEntry {
          |    AS overlap_frac
          |FROM c LEFT JOIN b ON b.sh = c.sh
          |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+
+    // independent replay: brute cross cosines, both rank directions,
+    // neighborhood averages, ratio margin — all in SQL windows
+    "q240_bitext_mining" ->
+      s"""WITH a AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id < 40),
+         |b AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id >= 40 AND vec_id < 80),
+         |p AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+         |  a.embedding AS ea, b.embedding AS eb FROM a, b),
+         |${cosineCtes("p")},
+         |s AS (SELECT ia AS a_id, ib AS b_id,
+         |  dot / (sqrt(na) * sqrt(nb)) AS cos FROM d),
+         |r AS (SELECT a_id, b_id, cos,
+         |  row_number() OVER (PARTITION BY a_id
+         |    ORDER BY cos DESC, b_id) AS rab,
+         |  row_number() OVER (PARTITION BY b_id
+         |    ORDER BY cos DESC, a_id) AS rba FROM s),
+         |av AS (SELECT a_id, b_id, cos, rab, rba,
+         |  avg(CASE WHEN rab <= 4 THEN cos END)
+         |    OVER (PARTITION BY a_id) AS avga,
+         |  avg(CASE WHEN rba <= 4 THEN cos END)
+         |    OVER (PARTITION BY b_id) AS avgb FROM r),
+         |m AS (SELECT a_id, b_id, cos,
+         |  cos / (avga / 2 + avgb / 2) AS margin
+         |  FROM av WHERE rab = 1 AND rba = 1)
+         |SELECT a_id, b_id,
+         |  CAST(CAST(cos AS DECIMAL(18,9)) AS DOUBLE) AS cos,
+         |  CAST(CAST(margin AS DECIMAL(18,9)) AS DOUBLE) AS margin
+         |FROM m WHERE margin >= 1.0 ORDER BY a_id""".stripMargin,
 
     // DuckDB's 1-based index lambda replays the prefix check exactly
     "q239_line_dedup_in_doc" ->

@@ -194,6 +194,61 @@ object Similarity {
       vecCol: String, k: Int, dupCeiling: Double = 0.95): DataFrame =
     rankedPairs(corpus, queries, idCol, vecCol, k, Some(dupCeiling))
 
+  /** Margin-based mutual-nearest-neighbor BITEXT mining (Artetxe &
+    * Schwenk 2019 — the LASER/CCMatrix recipe for parallel-corpus
+    * extraction): candidate translation pairs between two embedding
+    * corpora are pairs that are each other's NEAREST neighbor in both
+    * directions AND whose ratio margin
+    *
+    *   margin(x,y) = cos(x,y) / (avg_k cos(x, NN_k(x,B))/2 +
+    *                             avg_k cos(NN_k(y,A), y)/2)
+    *
+    * clears `minMargin` — the margin normalizes away hubness (vectors
+    * near everything score high against every candidate; dividing by
+    * each side's own neighborhood average restores contrast), which a
+    * plain cosine threshold cannot. Output: (a_id, b_id, cos, margin),
+    * both decimal-rounded (18,9) for oracle parity; ties in both
+    * rank directions break on id, so the mined set is deterministic.
+    *
+    * Shape: the cross scores compute once with the SMALLER side
+    * broadcast (pass the sentence batch as `b`); both rank windows
+    * and their neighborhood averages share that side's exchange
+    * (partitionBy a_id / b_id — two shuffles total). At full corpus
+    * × corpus scale, swap the candidate generation for the LSH bucket
+    * join ([[lshTopK]]'s machinery) exactly as [[hardNegatives]]
+    * documents — the margin/mutual math downstream is unchanged. */
+  def bitextMine(a: DataFrame, b: DataFrame, idCol: String,
+      vecCol: String, k: Int = 4, minMargin: Double = 1.0): DataFrame = {
+    require(k >= 1, s"bitextMine: k must be >= 1, got $k")
+    val av = Partitioning.ensureMinPartitions(
+      a.select(col(idCol).as("a_id"), col(vecCol).as("av"))
+        .withColumn("an", vec_dot(col("av"), col("av"))))
+    val bv = b.select(col(idCol).as("b_id"), col(vecCol).as("bv"))
+      .withColumn("bn", vec_dot(col("bv"), col("bv")))
+    val scored = av.join(broadcast(bv))
+      .withColumn("cos", cosineFromParts(
+        vec_dot(col("av"), col("bv")), col("an"), col("bn")))
+      .select("a_id", "b_id", "cos")
+    val wA = Window.partitionBy("a_id")
+      .orderBy(col("cos").desc, col("b_id").asc)
+    val wB = Window.partitionBy("b_id")
+      .orderBy(col("cos").desc, col("a_id").asc)
+    scored
+      .withColumn("rank_ab", row_number().over(wA))
+      .withColumn("avg_a", avg(when(col("rank_ab") <= k, col("cos")))
+        .over(Window.partitionBy("a_id")))
+      .withColumn("rank_ba", row_number().over(wB))
+      .withColumn("avg_b", avg(when(col("rank_ba") <= k, col("cos")))
+        .over(Window.partitionBy("b_id")))
+      .where(col("rank_ab") === 1 && col("rank_ba") === 1)
+      .withColumn("margin",
+        col("cos") / (col("avg_a") / 2 + col("avg_b") / 2))
+      .where(col("margin") >= minMargin)
+      .select(col("a_id"), col("b_id"),
+        col("cos").cast("decimal(18,9)").cast("double").as("cos"),
+        col("margin").cast("decimal(18,9)").cast("double").as("margin"))
+  }
+
   private def rankedPairs(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       maxCos: Option[Double]): DataFrame = {

@@ -766,6 +766,29 @@ class DataPipelineOpsSpec extends SparkSpec {
     assert(out(3) == "no markup at all")
   }
 
+  test("bitextMine: mutual-NN both ways, hubs excluded, margin gates") {
+    val a = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f, 0f)),
+      (3L, Array(0f, 0f, 1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val b = Seq(
+      (11L, Array(0.9f, 0.1f, 0f, 0f)),  // a1's translation
+      (12L, Array(0f, 0.9f, 0.1f, 0f)),  // a2's translation
+      (13L, Array(0.5f, 0.5f, 0.5f, 0.5f)) // hub: cos 0.5 with EVERY a
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.bitextMine(a, b, "vec_id", "embedding", k = 2)
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    // a3's nearest is the hub, but the hub's nearest is a1 — not
+    // mutual, so no pair for a3; the two real translations survive
+    // with margins well above 1
+    assert(out.map(p => (p._1, p._2)) == Seq((1L, 11L), (2L, 12L)))
+    assert(out.forall(_._4 > 1.4))
+    // a stricter margin floor empties the mined set
+    assert(Similarity.bitextMine(a, b, "vec_id", "embedding",
+      k = 2, minMargin = 2.0).count() == 0)
+  }
+
   test("redactContaminated cuts covered windows, keeps husks, passes " +
       "clean docs through") {
     val corpus = Seq(
