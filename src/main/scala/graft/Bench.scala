@@ -40,7 +40,12 @@ object Bench {
     // warmup: JIT + codegen + parquet footer caches, so the first measured
     // query isn't charged for session startup
     spark.range(5000000L).selectExpr("sum(id)").collect()
-    SparkEntry.queries.get("q12_agg_sum").foreach(_(spark, sfDir).count())
+    // tableFilter scale corpora (documents/embeddings-only dirs) lack
+    // lineitem — a missing warmup table must not kill the run
+    SparkEntry.queries.get("q12_agg_sum").foreach { q =>
+      try q(spark, sfDir).count()
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
     // The host VM has CPU-steal spikes that can inflate a single run
     // 10-50x, so: median over `rounds` repetitions, with the repetitions
     // INTERLEAVED (round-robin over all queries) rather than back-to-back —
