@@ -220,6 +220,21 @@ object Similarity {
   def bitextMine(a: DataFrame, b: DataFrame, idCol: String,
       vecCol: String, k: Int = 4, minMargin: Double = 1.0): DataFrame = {
     require(k >= 1, s"bitextMine: k must be >= 1, got $k")
+    // broadcast valve (the semdecon.broadcastLimit pattern, bounded
+    // limit-probe): a corpus-sized b would OOM the driver broadcast
+    // AND make the cross product the scale-killer — fail fast with
+    // the remedy instead
+    val bLimit = b.sparkSession.conf
+      .getOption("spark.graft.bitext.broadcastLimit")
+      .map(_.toLong).getOrElse(65536L)
+    if (bLimit > 0 && bLimit < Int.MaxValue - 1)
+      require(b.limit(bLimit.toInt + 1).count() <= bLimit,
+        s"bitextMine: side b exceeds " +
+          s"spark.graft.bitext.broadcastLimit=$bLimit rows — the " +
+          "brute cross product does not scale to corpus x corpus. " +
+          "Mine in bounded b-side batches, or generate candidates " +
+          "with the LSH bucket join (lshTopK machinery) and apply " +
+          "the margin math to those pairs; 0 disables the valve.")
     val av = Partitioning.ensureMinPartitions(
       a.select(col(idCol).as("a_id"), col(vecCol).as("av"))
         .withColumn("an", vec_dot(col("av"), col("av"))))

@@ -787,6 +787,15 @@ class DataPipelineOpsSpec extends SparkSpec {
     // a stricter margin floor empties the mined set
     assert(Similarity.bitextMine(a, b, "vec_id", "embedding",
       k = 2, minMargin = 2.0).count() == 0)
+    // broadcast valve: an over-limit b side fails fast with the remedy
+    spark.conf.set("spark.graft.bitext.broadcastLimit", "2")
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        Similarity.bitextMine(a, b, "vec_id", "embedding").count()
+      }
+      assert(ex.getMessage.contains("broadcastLimit") &&
+        ex.getMessage.contains("LSH"))
+    } finally spark.conf.unset("spark.graft.bitext.broadcastLimit")
   }
 
   test("redactContaminated cuts covered windows, keeps husks, passes " +
