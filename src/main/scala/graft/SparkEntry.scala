@@ -1799,6 +1799,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // incremental FUZZY dedup: the day's shard (doc_id >= 177, a
+    // split that cuts through a variant group) fuzzy-matches against
+    // the accumulated corpus on the directional PassJoin — ref
+    // segments indexed once, delta substrings probe them; oracle is
+    // the brute-force cross levenshtein, so blocking recall is proven
+    // complete across the frames
+    "q241_incremental_fuzzy" -> ((s, dir) => {
+      val suf = Seq("-alpha", "-alphA", "-alpha7", "-alph", "-beta",
+        "-gamma")
+      val df = tbl(s, dir, "documents").where(col("doc_id") < 360)
+        .withColumn("code", concat(lit("prod"),
+          (col("doc_id") / 6).cast("long").cast("string"),
+          element_at(typedlit(suf), (col("doc_id") % 6 + 1).cast("int"))))
+      Dedup.editDistancePairsBetween(
+        df.where(col("doc_id") >= 177), df.where(col("doc_id") < 177),
+        "doc_id", "code", maxDist = 1)
+        .orderBy("new_id", "ref_id")
+    }),
+
     // margin-based mutual-NN bitext mining (the LASER/CCMatrix
     // recipe): pairs that are each other's nearest neighbor in BOTH
     // directions and beat their own neighborhoods' average cosine —
@@ -5946,6 +5965,21 @@ object SparkEntry {
          |    AS overlap_frac
          |FROM c LEFT JOIN b ON b.sh = c.sh
          |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+
+    // brute-force cross levenshtein ground truth (proves the
+    // directional blocking recall-complete)
+    "q241_incremental_fuzzy" ->
+      """WITH u AS (SELECT doc_id,
+        |  'prod' || (doc_id // 6) ||
+        |  CASE doc_id % 6 WHEN 0 THEN '-alpha' WHEN 1 THEN '-alphA'
+        |    WHEN 2 THEN '-alpha7' WHEN 3 THEN '-alph' WHEN 4 THEN '-beta'
+        |    ELSE '-gamma' END AS code
+        |  FROM documents WHERE doc_id < 360)
+        |SELECT a.doc_id AS new_id, b.doc_id AS ref_id
+        |FROM u a JOIN u b ON a.doc_id >= 177 AND b.doc_id < 177
+        |WHERE abs(len(a.code) - len(b.code)) <= 1
+        |  AND levenshtein(a.code, b.code) <= 1
+        |ORDER BY new_id, ref_id""".stripMargin,
 
     // independent replay: brute cross cosines, both rank directions,
     // neighborhood averages, ratio margin — all in SQL windows

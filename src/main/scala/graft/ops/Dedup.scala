@@ -482,6 +482,52 @@ object Dedup {
       .distinct()
   }
 
+  /** PassJoin index side: the d+1 balanced segments of each string of
+    * a (id, s, n) base frame → (id_i, l, k, sub). */
+  private def edSegFrame(base: DataFrame, d: Int): DataFrame = {
+    val parts = lit(d + 1)
+    base.where(col("n") >= d + 1)
+      .select(col("id"), col("s"), col("n"),
+        explode(sequence(lit(0), lit(d))).as("k"))
+      .withColumn("st", floor(col("k") * col("n") / parts).cast("int"))
+      .withColumn("en",
+        floor((col("k") + 1) * col("n") / parts).cast("int"))
+      .select(col("id").as("id_i"), col("n").as("l"), col("k"),
+        col("s").substr(col("st") + 1, col("en") - col("st")).as("sub"))
+  }
+
+  /** PassJoin probe side: the substrings a length-l source's segment k
+    * could match in this string, for every l within ±d (n >= 1 keeps
+    * the probe sequence ascending — empty strings pair via the short
+    * bucket) → (id_p, l, k, sub). */
+  private def edProbeFrame(base: DataFrame, d: Int): DataFrame = {
+    val parts = lit(d + 1)
+    base.where(col("n") >= 1)
+      .select(col("id"), col("s"), col("n"),
+        explode(sequence(greatest(col("n") - d, lit(d + 1)),
+          col("n") + d)).as("l"))
+      .select(col("id"), col("s"), col("n"), col("l"),
+        explode(sequence(lit(0), lit(d))).as("k"))
+      .withColumn("st0", floor(col("k") * col("l") / parts).cast("int"))
+      .withColumn("slen",
+        (floor((col("k") + 1) * col("l") / parts) -
+          floor(col("k") * col("l") / parts)).cast("int"))
+      .select(col("id"), col("s"), col("n"), col("l"), col("k"),
+        col("st0"), col("slen"),
+        explode(sequence(lit(-d), lit(d))).as("sh"))
+      .withColumn("st", col("st0") + col("sh"))
+      .where(col("st") >= 0 && col("st") + col("slen") <= col("n"))
+      .select(col("id").as("id_p"), col("l"), col("k"),
+        col("s").substr(col("st") + 1, col("slen")).as("sub"))
+  }
+
+  /** (id, s, n) narrow base frame for the PassJoin family. */
+  private def edBase(df: DataFrame, idCol: String, strCol: String)
+      : DataFrame =
+    df.select(col(idCol).as("id"), col(strCol).as("s"))
+      .where(col("s").isNotNull)
+      .withColumn("n", length(col("s")))
+
   /** Edit-distance near-dup pairs: all (id_a, id_b) with
     * levenshtein(s_a, s_b) <= `maxDist` — CHARACTER-level fuzz (typos,
     * OCR noise, trailing junk) that the token-set family (jaccard/
@@ -528,39 +574,9 @@ object Dedup {
     // the narrow (id, s, n) projection feeds EIGHT subplans (segments,
     // probes, shorts, short partners, both verify join-backs, two
     // valve probes) — persist it once so the source scans once
-    val base = tracked(df.select(col(idCol).as("id"), col(strCol).as("s"))
-      .where(col("s").isNotNull)
-      .withColumn("n", length(col("s"))).persist())
-    val parts = lit(d + 1)
-    // index side: the d+1 balanced segments of each string
-    val seg = base.where(col("n") >= d + 1)
-      .select(col("id"), col("s"), col("n"),
-        explode(sequence(lit(0), lit(d))).as("k"))
-      .withColumn("st", floor(col("k") * col("n") / parts).cast("int"))
-      .withColumn("en",
-        floor((col("k") + 1) * col("n") / parts).cast("int"))
-      .select(col("id").as("id_i"), col("n").as("l"), col("k"),
-        col("s").substr(col("st") + 1, col("en") - col("st")).as("sub"))
-    // probe side: substrings a length-l source's segment k could match
-    // in this string, for every l within ±d (n >= 1 keeps the probe
-    // sequence ascending — empty strings pair via the short bucket)
-    val probe = base.where(col("n") >= 1)
-      .select(col("id"), col("s"), col("n"),
-        explode(sequence(greatest(col("n") - d, lit(d + 1)),
-          col("n") + d)).as("l"))
-      .select(col("id"), col("s"), col("n"), col("l"),
-        explode(sequence(lit(0), lit(d))).as("k"))
-      .withColumn("st0", floor(col("k") * col("l") / parts).cast("int"))
-      .withColumn("slen",
-        (floor((col("k") + 1) * col("l") / parts) -
-          floor(col("k") * col("l") / parts)).cast("int"))
-      .select(col("id"), col("s"), col("n"), col("l"), col("k"),
-        col("st0"), col("slen"),
-        explode(sequence(lit(-d), lit(d))).as("sh"))
-      .withColumn("st", col("st0") + col("sh"))
-      .where(col("st") >= 0 && col("st") + col("slen") <= col("n"))
-      .select(col("id").as("id_p"), col("l"), col("k"),
-        col("s").substr(col("st") + 1, col("slen")).as("sub"))
+    val base = tracked(edBase(df, idCol, strCol).persist())
+    val seg = edSegFrame(base, d)
+    val probe = edProbeFrame(base, d)
     // spark.graft.editdist.maxCandidatePairs: PRE-JOIN volume valve on
     // the segment equi-join, ON BY DEFAULT (2e9; 0 disables) — the
     // jaccard-family lesson applied here. Shared tails concentrate
@@ -646,6 +662,95 @@ object Dedup {
       .join(strsA, "id_a").join(strsB, "id_b")
       .where(levenshtein(col("__sa"), col("__sb")) <= d)
       .select("id_a", "id_b"), base)
+  }
+
+  /** CROSS-FRAME edit-distance near-dup: fuzzy matches between an
+    * incoming shard and an existing reference corpus — the
+    * incremental-ingest form of [[editDistancePairs]] (the
+    * [[minhashLshPairsBetween]] counterpart for short code/title
+    * fields). The PassJoin guarantee is DIRECTIONAL — any pair within
+    * `maxDist` contains one of the INDEX string's segments inside the
+    * probe string — so indexing the REFERENCE side's segments and
+    * probing the DELTA side's substrings is complete on its own; the
+    * only extra branch is reference strings shorter than d+1 chars
+    * (no segment guarantee), which pair through the valve-bounded
+    * nested-loop bucket against delta strings of length <= 2d
+    * (delta-shorts against longer references are already covered by
+    * the delta probes, whose l range starts at d+1). Same valves and
+    * probe gates as the self-join. Output: distinct (new_id, ref_id),
+    * exact-verified. */
+  def editDistancePairsBetween(newDf: DataFrame, refDf: DataFrame,
+      idCol: String, strCol: String, maxDist: Int = 1): DataFrame = {
+    val d = maxDist
+    require(d >= 1 && d <= 4,
+      s"editDistancePairsBetween: maxDist in [1,4], got $d")
+    val refBase = tracked(edBase(refDf, idCol, strCol).persist())
+    val newBase = tracked(edBase(newDf, idCol, strCol).persist())
+    val seg = edSegFrame(refBase, d)
+    val probe = edProbeFrame(newBase, d)
+    val maxCand = newDf.sparkSession.conf
+      .getOption("spark.graft.editdist.maxCandidatePairs")
+      .map(_.toLong).getOrElse(2000000000L)
+    val worstPerPair = (d + 1).toDouble * (2 * d + 1) * (2 * d + 1) *
+      (d + 1)
+    val safeN = math.sqrt(maxCand.toDouble / worstPerPair).toLong
+    val provablySmall = maxCand > 0 && safeN > 0 &&
+      safeN < Int.MaxValue - 1 &&
+      refBase.limit(safeN.toInt + 1).count() <= safeN &&
+      newBase.limit(safeN.toInt + 1).count() <= safeN
+    if (maxCand > 0 && !provablySmall) {
+      val candVol = seg.groupBy("l", "k", "sub")
+        .agg(count(lit(1)).as("__ns"))
+        .join(probe.groupBy("l", "k", "sub")
+          .agg(count(lit(1)).as("__np")), Seq("l", "k", "sub"))
+        .agg(coalesce(sum(col("__ns").cast("double") * col("__np")),
+          lit(0.0)).as("cand")).head().getDouble(0)
+      if (candVol > maxCand) throw new IllegalStateException(
+        f"editDistancePairsBetween: segment-join candidate volume " +
+          f"$candVol%.3g exceeds " +
+          s"spark.graft.editdist.maxCandidatePairs=$maxCand — shared " +
+          "prefixes/suffixes are concentrating the (length, segment) " +
+          "buckets. Strip common boilerplate first, exact-dedup the " +
+          "delta before the fuzzy pass, lower maxDist, or raise the " +
+          "valve (0 disables).")
+    }
+    val longCand = seg.join(probe, Seq("l", "k", "sub"))
+      .select(col("id_p").as("new_id"), col("id_i").as("ref_id"))
+    val shortLimit = newDf.sparkSession.conf
+      .getOption("spark.graft.editdist.shortBucketLimit")
+      .map(_.toLong).getOrElse(10000L)
+    val valveOff = shortLimit <= 0 || shortLimit >= Int.MaxValue - 1
+    val refShorts = refBase.where(col("n") <= d)
+    val nShort =
+      if (valveOff) 1L else refShorts.limit(shortLimit.toInt + 1).count()
+    val nPartner =
+      if (valveOff || nShort == 0) 0L
+      else newBase.where(col("n") <= 2 * d)
+        .limit(shortLimit.toInt + 1).count()
+    require(valveOff ||
+      (nShort <= shortLimit && nPartner <= shortLimit),
+      s"editDistancePairsBetween: the short-string bucket (ref len " +
+        s"<= $d vs delta len <= ${2 * d}) exceeds $shortLimit rows on " +
+        "a side — its nested-loop product would dominate. Filter " +
+        "degenerate strings out first, or raise " +
+        "spark.graft.editdist.shortBucketLimit (0 disables the valve).")
+    val cand =
+      if (nShort == 0) longCand
+      else {
+        val shortCand = refShorts.as("r")
+          .join(newBase.where(col("n") <= 2 * d).as("p"),
+            abs(col("r.n") - col("p.n")) <= d)
+          .select(col("p.id").as("new_id"), col("r.id").as("ref_id"))
+        longCand.unionByName(shortCand)
+      }
+    val strsN = newBase.select(col("id").as("new_id"),
+      col("s").as("__sn"))
+    val strsR = refBase.select(col("id").as("ref_id"),
+      col("s").as("__sr"))
+    autoRelease(cand.distinct()
+      .join(strsN, "new_id").join(strsR, "ref_id")
+      .where(levenshtein(col("__sn"), col("__sr")) <= d)
+      .select("new_id", "ref_id"), refBase, newBase)
   }
 
   /** SimHash near-duplicate pairs within `maxHamming` bit flips, using the

@@ -428,6 +428,31 @@ class DataPipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("editDistancePairsBetween matches brute cross levenshtein in " +
+      "both frame orientations (shorts, empties, d=1 and d=2)") {
+    val all = Seq(
+      (1L, "prod-alpha"), (2L, "prod-alphA"), (3L, "prod-alpha7"),
+      (4L, "prod-alph"), (5L, "prod-beta"), (6L, "x"), (7L, "xy"),
+      (8L, ""), (9L, "prod-alpha"), (10L, "entirely-else")
+    ).toDF("doc_id", "s")
+    val ref = all.where($"doc_id" < 6)
+    val neu = all.where($"doc_id" >= 6)
+    for (d <- Seq(1, 2); (a, b) <- Seq((neu, ref), (ref, neu))) {
+      val got = graft.ops.Dedup.editDistancePairsBetween(
+        a, b, "doc_id", "s", d)
+        .as[(Long, Long)].collect().toSeq.sorted
+      val brute = a.as("x").crossJoin(b.as("y"))
+        .where(levenshtein($"x.s", $"y.s") <= d)
+        .select($"x.doc_id", $"y.doc_id")
+        .as[(Long, Long)].collect().toSeq.sorted
+      assert(got == brute, s"d=$d")
+    }
+    // the delta's exact dup of a ref code crosses the frames
+    assert(graft.ops.Dedup.editDistancePairsBetween(
+      neu, ref, "doc_id", "s", 1)
+      .as[(Long, Long)].collect().toSet.contains((9L, 1L)))
+  }
+
   test("editDistancePairs candidate valve fails fast on concentrated " +
       "segment buckets; 0 disables") {
     // all same length with a shared 6-char tail: every string lands in
