@@ -878,6 +878,29 @@ class DataPipelineOpsSpec extends SparkSpec {
     assert(strict == Seq(1L))
   }
 
+  test("paragraphDedup invariants on a generated corpus: every " +
+      "surviving paragraph unique corpus-wide, all subsets of input") {
+    // deterministic pseudo-random corpus with heavy sharing: 60 docs,
+    // 3-6 paragraphs drawn from a 25-paragraph pool
+    val pool = (0 until 25).map(i => s"paragraph body number $i")
+    val docs = (0 until 60).map { d =>
+      val n = 3 + (d * 7) % 4
+      val paras = (0 until n).map(j => pool((d * 13 + j * 5) % 25))
+      (d.toLong, paras.mkString("\n\n"))
+    }.toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(docs, "doc_id", "text")
+      .as[(Long, String, Long)].collect()
+    val survivors = out.flatMap(_._2.split("\n\n"))
+    // no paragraph survives twice anywhere in the corpus
+    assert(survivors.length == survivors.distinct.length)
+    // survivors are exactly the distinct paragraphs the corpus used
+    val used = docs.as[(Long, String)].collect()
+      .flatMap(_._2.split("\n\n")).distinct.toSet
+    assert(survivors.toSet == used)
+    // n_kept sums to the distinct-paragraph count
+    assert(out.map(_._3).sum == used.size)
+  }
+
   test("paragraphDedup: first corpus occurrence survives, docs " +
       "reassemble in order, pure-boilerplate docs drop") {
     val df = Seq(

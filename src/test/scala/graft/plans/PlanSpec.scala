@@ -489,6 +489,27 @@ class PlanSpec extends SparkSpec {
     assert(viaStore == recompute && viaStore.nonEmpty)
   }
 
+  test("editDistancePairsBetween: segment equi-join, no nested loop " +
+      "when no short strings exist") {
+    import spark.implicits._
+    val mk = (0 until 300).map(i => (i.toLong, f"prod$i%04d-alpha"))
+      .toDF("doc_id", "code")
+    val df = graft.ops.Dedup.editDistancePairsBetween(
+      mk.where($"doc_id" >= 150), mk.where($"doc_id" < 150),
+      "doc_id", "code", 1)
+    val plan = explain(df)
+    // candidates meet on the (l, k, sub) equi-join; the short bucket
+    // must stay OUT of the plan when the bounded probe finds no
+    // short strings
+    assert(plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"))
+    // and the result is right (probe-gated fast path, d=1 digit pairs)
+    assert(df.count() > 0)
+  }
+
   test("paragraphDedup: two exchanges (paragraph hash, doc regroup), " +
       "no join") {
     val docs = graft.sources.Tables.table(spark, sf, "documents")
