@@ -489,6 +489,25 @@ class PlanSpec extends SparkSpec {
     assert(viaStore == recompute && viaStore.nonEmpty)
   }
 
+  test("minhashJaccardEstimate: one text scan — band join and both " +
+      "signature join-backs read the persisted frame") {
+    val docs = graft.sources.Tables.table(spark, sf, "documents")
+    val df = graft.ops.Dedup.minhashJaccardEstimate(
+      docs, "doc_id", "text")
+    val plan = explain(df)
+    // the signature frame is persisted: its four consumers (two band
+    // sides, two estimate join-backs) must read the cache, leaving
+    // exactly ONE parquet scan of the text in the plan
+    val docScans = plan.linesIterator.count(l =>
+      l.contains("Location") && l.contains("documents.parquet"))
+    assert(docScans <= 1,
+      s"expected at most 1 documents scan, got $docScans")
+    assert(plan.contains("InMemoryTableScan") ||
+      plan.contains("InMemoryRelation"),
+      "signature frame must be read from the persisted cache")
+    graft.ops.Dedup.releaseCaches()
+  }
+
   test("editDistancePairsBetween: segment equi-join, no nested loop " +
       "when no short strings exist") {
     import spark.implicits._

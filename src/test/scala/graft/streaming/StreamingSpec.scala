@@ -106,6 +106,36 @@ class StreamingSpec extends SparkSpec {
     assert(store.columns.contains("band") && store.columns.contains("sig"))
   }
 
+  test("streaming crawl dedup: normalizeUrl canonical key composes " +
+      "with streamingDedup — re-fetches and URL variants drop") {
+    val tmp = Files.createTempDirectory("crawl-dedup").toString
+    val rows = Seq(
+      (1L, "https://Example.com/a?utm_source=x", "2024-01-01 00:00:01"),
+      (2L, "https://www.example.com/a", "2024-01-01 00:00:02"), // variant
+      (3L, "https://example.com/b", "2024-01-01 00:00:03"))
+      .toDF("fetch_id", "url", "ts")
+      .withColumn("ts", $"ts".cast("timestamp"))
+    rows.write.parquet(s"$tmp/src")
+    rows.write.mode("append").parquet(s"$tmp/src") // full re-crawl
+    val withKey = StreamingMigrations.readStream(
+        spark, s"$tmp/src", rows.schema)
+      .withColumn("url_canonical",
+        graft.ops.TextFunctions.normalizeUrl($"url"))
+    StreamingMigrations.streamingDedup(withKey, "ts",
+        Seq("url_canonical"))
+      .writeStream.format("parquet")
+      .option("path", s"$tmp/out")
+      .option("checkpointLocation", s"$tmp/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    val out = spark.read.parquet(s"$tmp/out")
+    // 6 arrivals, 2 distinct resources: the tracking-param and www
+    // spellings of /a collide on the canonical key
+    assert(out.count() == 2)
+    assert(out.select("url_canonical").as[String].collect().sorted.toSeq
+      == Seq("https://example.com/a", "https://example.com/b"))
+  }
+
   test("streamingDedup keeps one row per key across duplicate arrivals") {
     val tmp = java.nio.file.Files.createTempDirectory("sdedup").toString
     val rows = Seq(
