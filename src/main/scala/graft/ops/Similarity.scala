@@ -244,6 +244,51 @@ object Similarity {
       .withColumn("cos", cosineFromParts(
         vec_dot(col("av"), col("bv")), col("an"), col("bn")))
       .select("a_id", "b_id", "cos")
+    marginMine(scored, k, minMargin)
+  }
+
+  /** LSH-candidate form of [[bitextMine]] — the corpus × corpus
+    * scale path: both sides hash on SHARED deterministic hyperplanes
+    * ([[withAllTableBuckets]], the q22/q224 machinery), candidates
+    * meet on the (table, bucket) equi-join, and the margin/mutual
+    * math runs over candidate cosines only. Recall beyond the LSH
+    * guarantee is approximate, and margins are computed within the
+    * candidate set (a missing far neighbor can only RAISE a margin
+    * denominator's complement — near-neighbors dominate the top-k
+    * average, so mined pairs track the exact path on separable
+    * corpora; the spec pins parity on one). NARROW id frames join
+    * buckets first, vectors join back after the distinct — the q22
+    * lesson. */
+  def bitextMineLsh(a: DataFrame, b: DataFrame, idCol: String,
+      vecCol: String, k: Int = 4, minMargin: Double = 1.0,
+      nPlanes: Int = 12, tables: Int = 8, dim: Int = 0): DataFrame = {
+    require(k >= 1, s"bitextMineLsh: k must be >= 1, got $k")
+    val d =
+      if (dim > 0) dim else a.select(size(col(vecCol))).head().getInt(0)
+    val av = Partitioning.ensureMinPartitions(
+      a.select(col(idCol).as("a_id"), col(vecCol).as("av"))
+        .withColumn("an", vec_dot(col("av"), col("av"))))
+    val bv = b.select(col(idCol).as("b_id"), col(vecCol).as("bv"))
+      .withColumn("bn", vec_dot(col("bv"), col("bv")))
+    val cand = withAllTableBuckets(
+        av.select("a_id", "av"), "av", tables, nPlanes, d)
+      .select("a_id", "t", "bkt")
+      .join(withAllTableBuckets(
+          bv.select("b_id", "bv"), "bv", tables, nPlanes, d)
+        .select("b_id", "t", "bkt"), Seq("t", "bkt"))
+      .select("a_id", "b_id").distinct()
+    val scored = cand.join(av, "a_id").join(bv, "b_id")
+      .withColumn("cos", cosineFromParts(
+        vec_dot(col("av"), col("bv")), col("an"), col("bn")))
+      .select("a_id", "b_id", "cos")
+    marginMine(scored, k, minMargin)
+  }
+
+  /** Mutual-rank-1 + ratio-margin tail shared by [[bitextMine]] and
+    * [[bitextMineLsh]]: both rank directions and their neighborhood
+    * averages share one exchange per side. */
+  private def marginMine(scored: DataFrame, k: Int,
+      minMargin: Double): DataFrame = {
     val wA = Window.partitionBy("a_id")
       .orderBy(col("cos").desc, col("b_id").asc)
     val wB = Window.partitionBy("b_id")

@@ -821,6 +821,14 @@ class DataPipelineOpsSpec extends SparkSpec {
       assert(ex.getMessage.contains("broadcastLimit") &&
         ex.getMessage.contains("LSH"))
     } finally spark.conf.unset("spark.graft.bitext.broadcastLimit")
+    // the LSH-candidate scale path mines the same PAIRS here (the
+    // true nearest neighbors collide in some table; margins are
+    // computed within candidates, so only the pair set is pinned)
+    val lsh = Similarity.bitextMineLsh(a, b, "vec_id", "embedding",
+      k = 2, minMargin = 1.0, nPlanes = 4, tables = 8, dim = 4)
+      .as[(Long, Long, Double, Double)].collect()
+      .map(p => (p._1, p._2)).toSet
+    assert(lsh == Set((1L, 11L), (2L, 12L)))
   }
 
   test("redactContaminated cuts covered windows, keeps husks, passes " +
