@@ -238,6 +238,59 @@ object ScaleProbe {
             .withColumn("url_canonical",
               TextFunctions.normalizeUrl(col("url")))
           Dedup.exact(urls, Seq("url_canonical"), "doc_id").count()
+        case "bitext" =>
+          // brute vs LSH margin mining, corpus split into halves:
+          // times both paths and reports pair agreement. Above the
+          // broadcast valve the brute path fails fast (by design) and
+          // only the LSH path runs.
+          import org.apache.spark.sql.functions._
+          val e = spark.read.parquet(s"$dir/embeddings.parquet")
+          // midpoint split: ScaleUp's strided copies land on BOTH
+          // sides, so replica siblings (the "true translations" here)
+          // cross the halves — an even/odd id split never does, the
+          // stride being a power of 10
+          val mid = e.agg(max("vec_id")).head().getLong(0) / 2
+          val h1 = e.where(col("vec_id") <= mid)
+          val h2 = e.where(col("vec_id") > mid)
+          // agreement is reported overall AND on the cos >= 0.8 subset
+          // (the TRUE-pair regime a bitext corpus cares about): on a
+          // replica corpus only sibling pairs are real translations —
+          // mutual-NN among the random mass is arbitrary either way
+          def mined(f: => org.apache.spark.sql.DataFrame)
+              : Option[(Set[(Long, Long)], Set[(Long, Long)])] =
+            try {
+              val rows = f.select("a_id", "b_id", "cos").collect()
+              Some((rows.map(r => (r.getLong(0), r.getLong(1))).toSet,
+                rows.filter(_.getDouble(2) >= 0.8)
+                  .map(r => (r.getLong(0), r.getLong(1))).toSet))
+            } catch {
+              case ex: IllegalArgumentException =>
+                println(s"[bitext] brute path valved: " +
+                  ex.getMessage.take(90))
+                None
+            }
+          val t1 = System.nanoTime()
+          val brutePairs = mined(graft.ops.Similarity.bitextMine(
+            h1, h2, "vec_id", "embedding", k = 4, minMargin = 1.0))
+          val tBrute = (System.nanoTime() - t1) / 1e9
+          val t2 = System.nanoTime()
+          val Some((lshAll, lshHi)) = mined(
+            graft.ops.Similarity.bitextMineLsh(
+              h1, h2, "vec_id", "embedding", k = 4, minMargin = 1.0,
+              nPlanes = 12, tables = 8, dim = 64))
+          val tLsh = (System.nanoTime() - t2) / 1e9
+          brutePairs match {
+            case Some((bAll, bHi)) =>
+              println(f"[bitext] brute=$tBrute%.1f s (${bAll.size} " +
+                f"pairs, ${bHi.size} hi-cos) lsh=$tLsh%.1f s " +
+                f"(${lshAll.size}, ${lshHi.size} hi-cos) " +
+                f"agree=${bAll.intersect(lshAll).size} " +
+                f"hi-cos agree=${bHi.intersect(lshHi).size}")
+            case None =>
+              println(f"[bitext] lsh=$tLsh%.1f s (${lshAll.size} " +
+                f"pairs, ${lshHi.size} hi-cos)")
+          }
+          lshAll.size.toLong
         case "incrstore" =>
           // Incremental-ingest evidence for the signature store: a
           // FIXED 200-doc delta against the WHOLE corpus as reference
