@@ -1831,6 +1831,20 @@ object SparkEntry {
         .orderBy("a_id")
     }),
 
+    // the bitext SCALE path, oracle-verified: shared-plane LSH bucket
+    // candidates (the q24 machinery), then the same mutual-rank +
+    // ratio-margin math — the oracle replays buckets, candidates, and
+    // windows bit-for-bit
+    "q242_bitext_lsh" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      Similarity.bitextMineLsh(
+        e.where(col("vec_id") < 40),
+        e.where(col("vec_id") >= 40 && col("vec_id") < 80),
+        "vec_id", "embedding", k = 4, minMargin = 1.0,
+        nPlanes = 8, tables = 8, dim = 64)
+        .orderBy("a_id")
+    }),
+
     // WITHIN-doc repeated-line removal: nav menus/headers repeated in
     // one page keep only their first occurrence; empty separator lines
     // survive — zero shuffle, pure scan-local array algebra
@@ -5965,6 +5979,49 @@ object SparkEntry {
          |    AS overlap_frac
          |FROM c LEFT JOIN b ON b.sh = c.sh
          |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+
+    // bucket replay via hyperBucketSql (bit-exact sign tests, the q24
+    // pattern), candidate equi-join, then the q240 margin windows
+    // over candidates only
+    "q242_bitext_lsh" -> {
+      def buckets(cte: String): String =
+        (0 until 8).map { t =>
+          s"SELECT vec_id, $t AS t, " +
+            s"${hyperBucketSql("embedding", t, 8, 64)} AS bkt FROM $cte"
+        }.mkString("\nUNION ALL\n")
+      s"""WITH a AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id < 40),
+         |b AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id >= 40 AND vec_id < 80),
+         |ba AS (${buckets("a")}),
+         |bb AS (${buckets("b")}),
+         |cand AS (SELECT DISTINCT ba.vec_id AS ia, bb.vec_id AS ib
+         |  FROM ba JOIN bb ON ba.t = bb.t AND ba.bkt = bb.bkt),
+         |p AS (SELECT cand.ia, cand.ib,
+         |  a.embedding AS ea, b.embedding AS eb
+         |  FROM cand JOIN a ON a.vec_id = cand.ia
+         |  JOIN b ON b.vec_id = cand.ib),
+         |${cosineCtes("p")},
+         |s AS (SELECT ia AS a_id, ib AS b_id,
+         |  dot / (sqrt(na) * sqrt(nb)) AS cos FROM d),
+         |r AS (SELECT a_id, b_id, cos,
+         |  row_number() OVER (PARTITION BY a_id
+         |    ORDER BY cos DESC, b_id) AS rab,
+         |  row_number() OVER (PARTITION BY b_id
+         |    ORDER BY cos DESC, a_id) AS rba FROM s),
+         |av AS (SELECT a_id, b_id, cos, rab, rba,
+         |  avg(CASE WHEN rab <= 4 THEN cos END)
+         |    OVER (PARTITION BY a_id) AS avga,
+         |  avg(CASE WHEN rba <= 4 THEN cos END)
+         |    OVER (PARTITION BY b_id) AS avgb FROM r),
+         |m AS (SELECT a_id, b_id, cos,
+         |  cos / (avga / 2 + avgb / 2) AS margin
+         |  FROM av WHERE rab = 1 AND rba = 1)
+         |SELECT a_id, b_id,
+         |  CAST(CAST(cos AS DECIMAL(18,9)) AS DOUBLE) AS cos,
+         |  CAST(CAST(margin AS DECIMAL(18,9)) AS DOUBLE) AS margin
+         |FROM m WHERE margin >= 1.0 ORDER BY a_id""".stripMargin
+    },
 
     // brute-force cross levenshtein ground truth (proves the
     // directional blocking recall-complete)
