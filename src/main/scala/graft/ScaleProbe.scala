@@ -321,6 +321,136 @@ object ScaleProbe {
           require(nRecompute == nStore,
             "store path diverged from recompute path")
           nStore
+        case "embedstore" =>
+          // Incremental-ingest evidence for the VECTOR bucket store
+          // (the incrstore probe applied to embeddings): a FIXED
+          // 200-vec delta against the whole corpus as reference.
+          // (a) the recompute path re-hashes every ref vector into
+          // tables×planes sign buckets per batch; (b) the store
+          // amortizes that into one build — the per-batch probe cost
+          // stops depending on corpus hashing. cap = blockPlanes
+          // (pinned, store discipline; default 12), thr = cosine
+          // threshold (use >= 0.85 on ScaleUp corpora — see `embed`).
+          import org.apache.spark.sql.functions._
+          val e = spark.read.parquet(s"$dir/embeddings.parquet")
+          val planes = if (cap > 0) cap.toInt else 12
+          val delta = e.where(col("vec_id") < 200)
+          val t1 = System.nanoTime()
+          val nRecompute = Dedup.embeddingNearDupBetween(
+            delta, e, "vec_id", "embedding", thr,
+            blockTables = 4, blockPlanes = planes, dim = 64).count()
+          val tRec = (System.nanoTime() - t1) / 1e9
+          val store = java.nio.file.Files
+            .createTempDirectory("graft-vecstore-probe").toString
+          val t2 = System.nanoTime()
+          Dedup.vectorBucketSignatures(e, "vec_id", "embedding",
+              blockTables = 4, blockPlanes = planes, dim = 64)
+            .write.mode("overwrite").partitionBy("t").parquet(store)
+          val tBuild = (System.nanoTime() - t2) / 1e9
+          val t3 = System.nanoTime()
+          val nStore = Dedup.embeddingNearDupBetweenPrecomputed(
+            delta, spark.read.parquet(store), e, "vec_id", "embedding",
+            thr, blockTables = 4, blockPlanes = planes, dim = 64)
+            .count()
+          val tProbe = (System.nanoTime() - t3) / 1e9
+          println(f"[embedstore] recompute=$tRec%.1f s " +
+            f"build_once=$tBuild%.1f s probe=$tProbe%.1f s " +
+            s"pairs=$nRecompute/$nStore planes=$planes")
+          require(nRecompute == nStore,
+            "store path diverged from recompute path")
+          nStore
+        case "mergeclusters" =>
+          // Incremental cluster-maintenance evidence: prior = the
+          // labeling of pairs among the first 80% of ids, delta = the
+          // remaining pairs. Full recompute re-propagates EVERY pair;
+          // the merge contracts the delta against prior labels and
+          // propagates the contracted graph only. Labels must match
+          // exactly. cap = split id (default 80% of max).
+          import org.apache.spark.sql.functions._
+          val pairs = Dedup.minhashLshPairs(
+            docs, "doc_id", "text", 3, 12, 4).persist()
+          val split =
+            if (cap > 0) cap
+            else docs.agg(max("doc_id")).head().getLong(0) * 4 / 5
+          val priorPairs = pairs
+            .where(col("id_a") < split && col("id_b") < split)
+          val deltaPairs = pairs
+            .where(col("id_a") >= split || col("id_b") >= split)
+          val nDelta = deltaPairs.count()
+          val t1 = System.nanoTime()
+          val full = Dedup.duplicateClusters(pairs)
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+          val tFull = (System.nanoTime() - t1) / 1e9
+          val prior = Dedup.duplicateClusters(priorPairs).persist()
+          prior.count() // materialize: the batch starts from labels
+          val t2 = System.nanoTime()
+          val merged = Dedup.mergeClusters(prior, deltaPairs)
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+          val tMerge = (System.nanoTime() - t2) / 1e9
+          pairs.unpersist(); prior.unpersist()
+          println(f"[mergeclusters] full=$tFull%.1f s " +
+            f"merge=$tMerge%.1f s delta_pairs=$nDelta " +
+            s"nodes=${full.size}/${merged.size}")
+          require(merged == full,
+            "merged labels diverged from full recompute")
+          full.size.toLong
+        case "bitextrecall" =>
+          // Bitext-mining RECALL/PRECISION curve on a planted-pair
+          // fixture (the deconrecall precedent applied to
+          // bitextMineLsh): side A = the first `cap` corpus vectors
+          // (default 200), side B = their hash-jittered copies (the
+          // planted "translations") plus cap/4 HUB distractors —
+          // near-copies of the corpus mean direction, similar to many
+          // A rows at once, the failure mode the ratio margin exists
+          // to kill. Ground truth = the brute path at the same
+          // (k, minMargin); thr = minMargin (default 1.0). Recall
+          // measures LSH candidate loss only — both paths share the
+          // margin math.
+          import org.apache.spark.sql.functions._
+          val e = spark.read.parquet(s"$dir/embeddings.parquet")
+          val nb = if (cap > 0) cap.toInt else 200
+          val margin = if (thr > 0.3) thr else 1.0
+          val aSide = e.orderBy("vec_id").limit(nb)
+            .select(col("vec_id"), col("embedding"))
+          val bPar = aSide.select(col("vec_id"),
+            expr("transform(embedding, (x, i) -> x * (1.0 + " +
+              "((hash(vec_id * 131 + i) % 101) / 2020.0)))")
+              .as("embedding"))
+          // corpus mean direction, folded to a literal (64 doubles of
+          // bounded driver state), hash-jittered per hub id
+          val mean = aSide
+            .select(posexplode(col("embedding")).as(Seq("i", "x")))
+            .groupBy("i").agg(avg("x").as("m")).orderBy("i")
+            .collect().map(_.getDouble(1))
+          val hubs = spark.range(math.max(1L, nb / 4))
+            .select((col("id") + 1000000L).as("vec_id"),
+              expr(s"transform(${mean.mkString("array(", ",", ")")}, " +
+                "(x, i) -> x * (1.0 + ((hash(id * 97 + i) % 101) / " +
+                "2020.0)))").as("embedding"))
+          val bSide = bPar.unionByName(hubs)
+          def mine(f: => org.apache.spark.sql.DataFrame)
+              : Set[(Long, Long)] =
+            f.select("a_id", "b_id").collect()
+              .map(r => (r.getLong(0), r.getLong(1))).toSet
+          val brute = mine(graft.ops.Similarity.bitextMine(
+            aSide, bSide, "vec_id", "embedding", k = 4,
+            minMargin = margin))
+          for (tb <- Seq(4, 8, 16); np <- Seq(4, 8, 12)) {
+            val t1 = System.nanoTime()
+            val lsh = mine(graft.ops.Similarity.bitextMineLsh(
+              aSide, bSide, "vec_id", "embedding", k = 4,
+              minMargin = margin, nPlanes = np, tables = tb, dim = 64))
+            val inter = lsh.intersect(brute).size
+            val recall =
+              if (brute.isEmpty) 1.0 else inter.toDouble / brute.size
+            val precision =
+              if (lsh.isEmpty) 1.0 else inter.toDouble / lsh.size
+            println(f"[bitextrecall] tables=$tb planes=$np " +
+              f"margin=$margin brute=${brute.size} lsh=${lsh.size} " +
+              f"recall=$recall%.4f precision=$precision%.4f " +
+              f"${(System.nanoTime() - t1) / 1e9}%.1f s")
+          }
+          brute.size.toLong
         case "deconrecall" =>
           // Semantic-decontamination RECALL curve: plant deterministic
           // near-copies of `cap` corpus vectors (default 512) as the

@@ -29,6 +29,32 @@ object SparkEntry {
     * a sink table. */
   private val streamCounter = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Scratch dirs for queries that exercise write-then-read machinery
+    * (stores, checkpoints, DDL targets). Fresh per invocation — a
+    * REUSED checkpoint dir would make AvailableNow skip data and a
+    * reused store would mix runs — but registered with ONE shutdown
+    * hook that removes them all at JVM exit, so bench's interleaved
+    * rounds stop leaking parquet stores into /tmp (r13 advice
+    * finding). */
+  private val scratchDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val scratchHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      scratchDirs.forEach { root =>
+        try {
+          java.nio.file.Files.walk(root)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+        } catch { case _: Throwable => () }
+      }
+    }))
+  private def scratchDir(prefix: String): java.nio.file.Path = {
+    scratchHook
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    scratchDirs.add(p)
+    p
+  }
+
   /** q231 fixture: one unambiguous sentence per LangMarkers language
     * (>= 7 of its own markers, <= 3 of any other language's), shared
     * by the Spark query and the DuckDB oracle so both classify the
@@ -57,7 +83,7 @@ object SparkEntry {
     * end-to-end through the orchestrator (deps, ledger, write-back) on a
     * temp copy of sf0.001 events. */
   def entry(spark: SparkSession): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-entry")
+    val tmp = scratchDir("graft-entry")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
       tmp.resolve("events.parquet"))
@@ -1760,8 +1786,7 @@ object SparkEntry {
     // recompute; must produce exactly q228's pairs (same oracle)
     "q230_incremental_precomputed" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents")
-      val store = java.nio.file.Files
-        .createTempDirectory("graft-bandstore").toString
+      val store = scratchDir("graft-bandstore").toString
       Dedup.minhashBandSignatures(docs.where(col("doc_id") < 200),
           "doc_id", "text", k = 3, numPerms = 12, bands = 4)
         .write.mode("overwrite").partitionBy("band").parquet(store)
@@ -1836,6 +1861,58 @@ object SparkEntry {
     // language + quality gates, and content dedup — the oracle
     // replays every stage (the q227 URL chain, the q235 HTML chain,
     // the q25 scores, the q26 quality formula, both dedup windows)
+    // incremental embedding ingest with a PERSISTED bucket store: the
+    // ref corpus's hyperplane buckets are written once (partitioned by
+    // table — the q230 store pattern applied to vectors) and the delta
+    // batch joins the SAVED frame; the ref side is never re-HASHED —
+    // its vectors only join back by id for the exact-cosine verify
+    "q244_embed_store_neardup" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val store = scratchDir("graft-vecstore").toString
+      Dedup.vectorBucketSignatures(e.where(col("vec_id") < 400),
+          "vec_id", "embedding", blockTables = 4, blockPlanes = 8,
+          dim = 64)
+        .write.mode("overwrite").partitionBy("t").parquet(store)
+      Dedup.embeddingNearDupBetweenPrecomputed(
+        e.where(col("vec_id") >= 400), s.read.parquet(store),
+        e.where(col("vec_id") < 400), "vec_id", "embedding",
+        threshold = 0.3, blockTables = 4, blockPlanes = 8, dim = 64)
+        .orderBy("new_id", "ref_id")
+    }),
+
+    // incremental cluster maintenance: batch-2 pairs fold into the
+    // batch-1 labeling by contracted label propagation (delta pairs +
+    // touched prior components only — untouched components never
+    // shuffle); the result must equal the full recompute over ALL
+    // pairs, so the oracle is q50's recursive-CTE components on the
+    // whole corpus
+    "q245_merge_clusters" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val all = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 12, 4)
+      val prior = Dedup.duplicateClusters(
+        all.where(col("id_a") < 250 && col("id_b") < 250))
+      Dedup.mergeClusters(prior,
+        all.where(col("id_a") >= 250 || col("id_b") >= 250))
+        .orderBy("id")
+    }),
+
+    // incremental simhash ingest with a PERSISTED chunk store: the ref
+    // corpus's (simhash, chunk, key) rows are written once and the
+    // delta joins the SAVED frame — even the hamming verify reads the
+    // store's fingerprint column, never ref text. Pigeonhole blocking
+    // is COMPLETE within the radius, so the oracle is brute hamming
+    "q246_simhash_store_neardup" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val store = scratchDir("graft-simstore").toString
+      Dedup.simhashChunkSignatures(docs.where(col("doc_id") < 200),
+          "doc_id", "text", bits = 60, maxHamming = 3)
+        .write.mode("overwrite").partitionBy("chunk").parquet(store)
+      Dedup.simhashNearDupBetweenPrecomputed(
+        docs.where(col("doc_id") >= 200), s.read.parquet(store),
+        "doc_id", "text", bits = 60, maxHamming = 3)
+        .orderBy("new_id", "ref_id")
+    }),
+
     "q243_web_curate" -> ((s, dir) => {
       val pre = Seq(
         "https://Example.com/p", "https://example.com/p",
@@ -2122,8 +2199,7 @@ object SparkEntry {
     // cell-partitioned store (probe-cell pruning at the file listing);
     // zero streaming state, idempotent per-batch dirs
     "q177_stream_ivf" -> ((s, dir) => {
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-sivf").toString
+      val tmp = scratchDir("graft-sivf").toString
       val emb = tbl(s, dir, "embeddings")
       emb.write.parquet(s"$tmp/src")
       graft.streaming.StreamingMigrations.ivfIndexMaintenance(
@@ -2235,8 +2311,7 @@ object SparkEntry {
     // and keep the positives — the train-once/filter-forever shape of
     // continuous data curation
     "q169_stream_quality" -> ((s, dir) => {
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-squal").toString
+      val tmp = scratchDir("graft-squal").toString
       val docs = tbl(s, dir, "documents")
       docs.write.parquet(s"$tmp/src")
       // the model table is read twice (threshold calibration + the
@@ -2288,8 +2363,7 @@ object SparkEntry {
     // (BucketingSpec pins the plan) — the storage-layout half of the
     // 100 TB shuffle story
     "q167_bucketed_join" -> ((s, dir) => {
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-bkt-q").toString
+      val tmp = scratchDir("graft-bkt-q").toString
       val lt = graft.ops.Bucketing.writeBucketed(
         tbl(s, dir, "lineitem").withColumn("k", col("l_orderkey")),
         "k", 8, tmp)
@@ -2920,7 +2994,7 @@ object SparkEntry {
     "q43_insert" -> ((s, dir) => {
       // seed with a Spark write: collections live in directory layout so
       // Insert can append files without rewriting the table
-      val tmp = java.nio.file.Files.createTempDirectory("graft-insert").toString
+      val tmp = scratchDir("graft-insert").toString
       tbl(s, dir, "nation").write.parquet(s"$tmp/nation.parquet")
       val c = new GraftSession(s, tmp).db("db").c("nation")
       val derived = tbl(s, dir, "nation")
@@ -2934,7 +3008,7 @@ object SparkEntry {
     // §2.1 DDL lifecycle: create with schema, insert twice, list, count,
     // drop — the environment state changes surface as a one-row result
     "q44_ddl" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-ddlq").toString
+      val tmp = scratchDir("graft-ddlq").toString
       val db = new GraftSession(s, tmp).db("d")
       val region = tbl(s, dir, "region")
       val c = db.createCollection("fresh", region.schema)
@@ -2978,7 +3052,7 @@ object SparkEntry {
     // Structured Streaming (readStream -> transform -> writeStream,
     // AvailableNow), proving batch/stream compilation can't drift
     "q47_streaming_migration" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-sstream").toString
+      val tmp = scratchDir("graft-sstream").toString
       val ev = tbl(s, dir, "events")
       ev.write.parquet(s"$tmp/src")
       val spec = SimpleMigration(
@@ -2996,7 +3070,7 @@ object SparkEntry {
     // dropDuplicatesWithinWatermark keeps one copy per event_id with
     // watermark-bounded state (AvailableNow, checkpointed)
     "q87_streaming_dedup" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-sdedup").toString
+      val tmp = scratchDir("graft-sdedup").toString
       val ev = tbl(s, dir, "events").select("event_id", "event_type", "ts")
       ev.write.parquet(s"$tmp/src")
       ev.write.mode("append").parquet(s"$tmp/src") // duplicate arrival
@@ -3556,7 +3630,7 @@ object SparkEntry {
     // §2.1 ListDatabaseNames (client/wrapper.go:21-23): a flat root holding
     // tables plus two multi-db subdirectories (an empty dir is not a db)
     "q55_list_databases" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-lsdb")
+      val tmp = scratchDir("graft-lsdb")
       val root = tmp.resolve("dbroot")
       java.nio.file.Files.createDirectory(root)
       val src = java.nio.file.Paths.get(s"$dir/region.parquet")
@@ -3633,7 +3707,7 @@ object SparkEntry {
     // derived from nation) as iterated checkpointed equi-joins; the oracle
     // is DuckDB's recursive CTE over the same derived edge table
     "q59_graph_lookup" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-graph")
+      val tmp = scratchDir("graft-graph")
       tbl(s, dir, "nation").select(
         col("n_nationkey").as("id"),
         when(col("n_nationkey") >= 5, col("n_nationkey") - 5).as("parent"))
@@ -3728,7 +3802,7 @@ object SparkEntry {
     // event-time tumbling window over a file stream (AvailableNow), complete
     // mode to a memory sink; oracle = the equivalent batch hour-bucket agg
     "q66_stream_rollup" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-swin").toString
+      val tmp = scratchDir("graft-swin").toString
       val ev = tbl(s, dir, "events")
       ev.write.parquet(s"$tmp/src")
       val name = s"graft_q66_${streamCounter.incrementAndGet()}"
@@ -4113,7 +4187,7 @@ object SparkEntry {
   /** Copy one table's parquet into a fresh temp root so write-back queries
     * never touch the shared (read-only) testdata. */
   private def tmpCopy(dir: String, table: String, prefix: String): String = {
-    val tmp = java.nio.file.Files.createTempDirectory(prefix)
+    val tmp = scratchDir(prefix)
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/$table.parquet"),
       tmp.resolve(s"$table.parquet"))
@@ -5921,7 +5995,7 @@ object SparkEntry {
         |  regexp_replace(u, '^[^?]*', '') AS q FROM s1),
         |s2a AS (SELECT doc_id, p, regexp_replace(regexp_replace(
         |  regexp_replace(regexp_replace(q,
-        |    '([?&])(?i:utm_[a-z0-9_]+|fbclid|gclid|jsessionid|phpsessid|sid)=[^&]*',
+        |    '([?&])(?i:utm_[a-z0-9_]+|fbclid|gclid|jsessionid|phpsessid)=[^&]*',
         |    '\1', 'g'), '&&+', '&', 'g'), '^\?&', '?'), '[?&]$', '')
         |  AS q FROM sp),
         |s2 AS (SELECT doc_id, p,
@@ -6017,6 +6091,54 @@ object SparkEntry {
     // every stage replayed: URL chain (q227), HTML chain (q235),
     // first-fetch window, marker scores (q25), quality formula (q26),
     // content-dedup window (q174) — assembled end-to-end
+    // pinned 8-plane/4-table buckets replayed with literal plane
+    // constants (the q22/q24 machinery), candidates split new >= 400
+    // vs ref < 400, exact-cosine verify — the store path must produce
+    // exactly what a from-scratch cross-frame run produces
+    "q244_embed_store_neardup" ->
+      s"""WITH raw AS (
+         |${lshBucketsCte(4, 8, 64)}),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+         |  FROM raw a JOIN raw b
+         |    ON a.t = b.t AND a.bkt = b.bkt
+         |   AND a.vec_id >= 400 AND b.vec_id < 400),
+         |p AS (
+         |  SELECT ia, ib, x.embedding AS ea, y.embedding AS eb FROM cand
+         |  JOIN embeddings x ON x.vec_id = ia
+         |  JOIN embeddings y ON y.vec_id = ib),
+         |${cosineCtes("p")}
+         |SELECT ia AS new_id, ib AS ref_id FROM d
+         |WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.3
+         |ORDER BY new_id, ref_id""".stripMargin,
+
+    // the merge must equal the FULL recompute: q50's recursive-CTE
+    // connected components over the complete pair set (both batches)
+    "q245_merge_clusters" ->
+      s"""WITH RECURSIVE p AS (
+         |${minhashOracle(12, 4)}
+         |),
+         |und AS (SELECT id_a AS a, id_b AS b FROM p
+         |        UNION SELECT id_b, id_a FROM p),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM und
+         |  UNION
+         |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
+         |SELECT a AS id, LEAST(a, MIN(b)) AS component
+         |FROM reach GROUP BY a ORDER BY id""".stripMargin,
+
+    // brute hamming over the fingerprints, directional (new >= 200 vs
+    // ref < 200) — pigeonhole chunk blocking is complete within the
+    // radius, so the store path must match the exhaustive join
+    "q246_simhash_store_neardup" ->
+      s"""WITH $toksCte,
+         |${simhashCtes(60)}
+         |SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS ref_id
+         |FROM sim a JOIN sim b
+         |  ON a.doc_id >= 200 AND b.doc_id < 200
+         | AND bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY new_id, ref_id""".stripMargin,
+
     "q243_web_curate" -> {
       val scores = TextFunctions.LangMarkers.map { case (lang, ms) =>
         val lst = ms.map(m => s"'$m'").mkString(", ")
@@ -6060,7 +6182,7 @@ object SparkEntry {
          |  regexp_replace(u, '^[^?]*', '') AS q FROM u1),
          |u2a AS (SELECT doc_id, html, p, regexp_replace(regexp_replace(
          |  regexp_replace(regexp_replace(q,
-         |    '([?&])(?i:utm_[a-z0-9_]+|fbclid|gclid|jsessionid|phpsessid|sid)=[^&]*',
+         |    '([?&])(?i:utm_[a-z0-9_]+|fbclid|gclid|jsessionid|phpsessid)=[^&]*',
          |    '\\1', 'g'), '&&+', '&', 'g'), '^\\?&', '?'), '[?&]$$', '')
          |  AS q FROM usp),
          |u2 AS (SELECT doc_id, html, p,

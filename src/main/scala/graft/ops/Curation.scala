@@ -97,7 +97,15 @@ object Curation {
     * identical to exact below the sketch's `accuracy` distinct values,
     * which the parity spec pins). `exact = true` buffers every
     * per-domain value inside the aggregate for the exact interpolated
-    * percentile — parity/oracle work only. */
+    * percentile — parity/oracle work only.
+    *
+    * BREAKING DEFAULT (r13): `exact` defaulted to `true` through r12;
+    * it is now `false` (the 100 TB posture). Once a domain's distinct
+    * score count exceeds the sketch accuracy (10000), the approx
+    * threshold can differ from the exact interpolated one and the
+    * survivor set shifts at the margin. Callers who pinned behavior on
+    * the old default pass `exact = true` explicitly — README "Release
+    * notes" carries the same warning. */
   def domainPercentileFilter(df: DataFrame, sourceCol: String,
       scoreCol: String, quantile: Double,
       exact: Boolean = false): DataFrame = {

@@ -263,9 +263,9 @@ object Decontaminate {
     val pairs =
       if (fewBench) c.join(broadcast(b))
       else {
-        val d =
-          if (dim > 0) dim
-          else bench.select(size(col(benchVec))).head().getInt(0)
+        val d = if (dim > 0) dim
+          else Similarity.probeDim(bench, benchVec)
+            .orElse(Similarity.probeDim(corpus, corpusVec)).getOrElse(1)
         // NARROW candidate ids first (the q22 lesson: never shuffle
         // vectors per candidate pair), vectors join back after distinct
         Similarity.withAllTableBuckets(
@@ -278,6 +278,63 @@ object Decontaminate {
           .join(c, "__c_id").join(b, "__b_id")
       }
     pairs.where(cos >= threshold)
+      .groupBy("__c_id")
+      .agg(count(lit(1)).as("matches"), min("__b_id").as("first_bench"))
+      .withColumnRenamed("__c_id", corpusId)
+  }
+
+  /** [[semantic]] against a PRECOMPUTED benchmark index — the q230
+    * signature-store pattern ([[graft.ops.Dedup.vectorBucketSignatures]])
+    * applied to decontamination's fixed side. The benchmark suite is
+    * the INVARIANT of a decontamination pipeline: every ingest batch
+    * checks against the same bench vectors, so re-hashing them into
+    * LSH buckets per batch is pure waste — save
+    * `Dedup.vectorBucketSignatures(bench, benchId, benchVec, tables,
+    * nPlanes, dim)` once and pass the saved frame here. Only the
+    * corpus batch hashes per call; `benchVectors` (the bench set
+    * itself, column-pruned to two columns) joins back by id for the
+    * exact-cosine verify. Same plane constants by construction, so
+    * this is bit-identical to the [[semantic]] LSH path — the parity
+    * spec pins it.
+    *
+    * Always the LSH shape (no broadcast-limit switch): a bench set
+    * small enough to broadcast has no reason to precompute — call
+    * [[semantic]]. Output matches [[semantic]]: (corpusId, matches,
+    * first_bench) for flagged corpus docs. */
+  def semanticPrecomputed(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      benchBuckets: DataFrame, benchVectors: DataFrame,
+      benchId: String, benchVec: String,
+      threshold: Double, nPlanes: Int = 12, tables: Int = 8,
+      dim: Int = 0): DataFrame = {
+    import graft.functions.VectorFunctions.vec_dot
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"semantic decontamination: threshold in (0, 1], got $threshold")
+    require(Seq("id", "t", "bkt").forall(benchBuckets.columns.contains),
+      "semanticPrecomputed: benchBuckets needs (id, t, bkt) — a " +
+        "Dedup.vectorBucketSignatures frame; got " +
+        benchBuckets.columns.mkString("(", ", ", ")"))
+    val d = if (dim > 0) dim
+      else Similarity.probeDim(corpus, corpusVec).getOrElse(1)
+    val c = corpus.select(col(corpusId).as("__c_id"),
+      col(corpusVec).as("__cv"))
+      .withColumn("__cn", vec_dot(col("__cv"), col("__cv")))
+    val b = benchVectors.select(col(benchId).as("__b_id"),
+      col(benchVec).as("__bv"))
+      .withColumn("__bn", vec_dot(col("__bv"), col("__bv")))
+    val cos = {
+      val denom = sqrt(col("__cn")) * sqrt(col("__bn"))
+      when(denom === 0.0, lit(0.0))
+        .otherwise(vec_dot(col("__cv"), col("__bv")) / denom)
+    }
+    Similarity.withAllTableBuckets(
+        c.select("__c_id", "__cv"), "__cv", tables, nPlanes, d)
+      .select("__c_id", "t", "bkt")
+      .join(benchBuckets.select(col("id").as("__b_id"), col("t"),
+        col("bkt")), Seq("t", "bkt"))
+      .select("__c_id", "__b_id").distinct()
+      .join(c, "__c_id").join(b, "__b_id")
+      .where(cos >= threshold)
       .groupBy("__c_id")
       .agg(count(lit(1)).as("matches"), min("__b_id").as("first_bench"))
       .withColumnRenamed("__c_id", corpusId)

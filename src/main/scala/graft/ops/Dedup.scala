@@ -764,10 +764,11 @@ object Dedup {
     * chunks come from ONE struct-explode pass over the fingerprint frame,
     * and the hamming verify runs BEFORE the distinct so only surviving
     * pairs shuffle through the dedup exchange. */
-  def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
-      bits: Int = 60, maxHamming: Int = 3): DataFrame = {
-    val fp = TextFunctions.simhash(df, idCol, textCol, bits)
-      .withColumnRenamed(idCol, "id")
+  /** The (id, simhash, chunk, key) pigeonhole-chunk frame shared by
+    * the self-join and cross-frame simhash paths — one struct-explode
+    * pass over the fingerprint frame. */
+  private def simhashChunkFrame(fp: DataFrame, bits: Int,
+      maxHamming: Int): DataFrame = {
     val chunks = maxHamming + 1
     val width = math.max(bits / chunks, 1)
     val chunkStructs = (0 until chunks).map { c =>
@@ -776,11 +777,17 @@ object Dedup {
       struct(lit(c).as("chunk"),
         expr(s"shiftright(simhash, $lo) & ${(1L << w) - 1}").as("key"))
     }
-    val chunked = fp
-      .select(col("id"), col("simhash"),
+    fp.select(col("id"), col("simhash"),
         explode(array(chunkStructs: _*)).as("ck"))
       .select(col("id"), col("simhash"),
         col("ck.chunk").as("chunk"), col("ck.key").as("key"))
+  }
+
+  def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
+      bits: Int = 60, maxHamming: Int = 3): DataFrame = {
+    val chunked = simhashChunkFrame(
+      TextFunctions.simhash(df, idCol, textCol, bits)
+        .withColumnRenamed(idCol, "id"), bits, maxHamming)
     chunked.as("a")
       .join(chunked.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") &&
@@ -788,6 +795,70 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
       .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** The persistable (id, simhash, chunk, key) chunk-signature frame
+    * of a corpus — [[simhashNearDupBetween]]'s reference side,
+    * materialized: the q230 store pattern ([[minhashBandSignatures]])
+    * for simhash. Unlike the embedding store, this one is
+    * SELF-SUFFICIENT: the fingerprint rides along with its chunks, so
+    * the cross-frame verify reads the store's own `simhash` column
+    * and the reference TEXT is never touched again — write once
+    * (`.write.partitionBy("chunk").parquet(store)`), append absorbed
+    * deltas, feed to [[simhashNearDupBetweenPrecomputed]]. Hashing is
+    * deterministic md5 arithmetic, so saved fingerprints never drift
+    * from a later session's. */
+  def simhashChunkSignatures(df: DataFrame, idCol: String,
+      textCol: String, bits: Int = 60, maxHamming: Int = 3)
+      : DataFrame =
+    simhashChunkFrame(
+      TextFunctions.simhash(df, idCol, textCol, bits)
+        .withColumnRenamed(idCol, "id"), bits, maxHamming)
+
+  /** Incremental cross-frame simhash near-dup: an incoming shard
+    * against an existing corpus — delta×corpus chunk equi-join, never
+    * corpus×corpus (the [[minhashLshPairsBetween]] /
+    * [[editDistancePairsBetween]] directional shape). Convenience
+    * form that fingerprints the reference here; production ingest
+    * saves [[simhashChunkSignatures]] once and calls
+    * [[simhashNearDupBetweenPrecomputed]]. */
+  def simhashNearDupBetween(newDf: DataFrame, refDf: DataFrame,
+      idCol: String, textCol: String, bits: Int = 60,
+      maxHamming: Int = 3): DataFrame =
+    simhashNearDupBetweenPrecomputed(newDf,
+      simhashChunkSignatures(refDf, idCol, textCol, bits, maxHamming),
+      idCol, textCol, bits, maxHamming)
+
+  /** CROSS-FRAME simhash near-dup against a PRECOMPUTED reference:
+    * the incoming shard fingerprints here (one scan), the reference
+    * arrives as a saved [[simhashChunkSignatures]] frame — no
+    * reference-side text scan OR fingerprint recompute anywhere in
+    * the plan (PlanSpec-pinned); even the hamming verify reads the
+    * store's `simhash` column. Candidates meet on the (chunk, key)
+    * equi-join (pigeonhole-COMPLETE within `maxHamming`, so unlike
+    * the LSH stores this one has exact recall); the verify runs
+    * BEFORE the distinct so only surviving pairs shuffle through the
+    * dedup exchange. Output: distinct (new_id, ref_id), hamming <=
+    * maxHamming. */
+  def simhashNearDupBetweenPrecomputed(newDf: DataFrame,
+      refChunks: DataFrame, idCol: String, textCol: String,
+      bits: Int = 60, maxHamming: Int = 3): DataFrame = {
+    require(Seq("id", "simhash", "chunk", "key")
+      .forall(refChunks.columns.contains),
+      "simhashNearDupBetweenPrecomputed: refChunks needs (id, " +
+        "simhash, chunk, key) — a simhashChunkSignatures frame; got " +
+        refChunks.columns.mkString("(", ", ", ")"))
+    simhashChunkSignatures(newDf, idCol, textCol, bits, maxHamming)
+      .select(col("id").as("new_id"), col("simhash").as("__ns"),
+        col("chunk"), col("key"))
+      .join(refChunks.select(col("id").as("ref_id"),
+        col("simhash").as("__rs"), col("chunk"), col("key")),
+        Seq("chunk", "key"))
+      .select(col("new_id"), col("ref_id"),
+        expr("bit_count(__ns ^ __rs)").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .select("new_id", "ref_id")
       .distinct()
   }
 
@@ -871,6 +942,82 @@ object Dedup {
     edges.unpersist(false)
     cachedFrames.remove(edges)
     labels.select(col("id"), col("lbl").as("component"))
+  }
+
+  /** INCREMENTAL duplicate-cluster maintenance: fold one batch's new
+    * near-dup pairs into an existing (id, component) labeling WITHOUT
+    * re-running [[duplicateClusters]] over the full accumulated pair
+    * set — the maintenance step a daily ingest pipeline runs after
+    * [[minhashLshPairsBetweenPrecomputed]] /
+    * [[embeddingNearDupBetweenPrecomputed]] emit their delta pairs.
+    * Recomputing components per batch is the most expensive query in
+    * the suite growing with corpus lifetime; this is bounded by the
+    * DELTA plus the prior components it touches.
+    *
+    * Correctness rests on [[duplicateClusters]]'s label invariant —
+    * component = MIN id of the cluster, which every producer here
+    * preserves (including this function, so batches chain). Each new
+    * pair endpoint CONTRACTS to its prior component root (left join;
+    * unlabeled nodes stay themselves): two prior members joined by a
+    * new pair become one contracted edge between their roots, so
+    * label propagation runs over roots ∪ new ids only — and since
+    * every prior member ≥ its root, min over contracted nodes = min
+    * over the merged member set, i.e. EXACTLY the label a full
+    * recompute over (prior pairs ∪ new pairs) assigns (the oracle
+    * query proves it on a planted multi-batch fixture).
+    *
+    * Shape at 100 TB: the contraction is two hash joins of the delta
+    * against the label frame; label propagation runs on the contracted
+    * graph (≤ 2·|delta| nodes); the relabel-back is ONE join of the
+    * prior labels against the tiny (touched root → new root) map —
+    * AQE broadcasts it. Prior components untouched by any new pair
+    * are never shuffled through propagation at all.
+    *
+    * Output: (id, component) over priorLabels' ids ∪ the new pairs'
+    * ids — the same contract as [[duplicateClusters]] run on the full
+    * union. */
+  def mergeClusters(priorLabels: DataFrame, newPairs: DataFrame,
+      idA: String = "id_a", idB: String = "id_b", maxIter: Int = 20,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(Seq("id", "component").forall(priorLabels.columns.contains),
+      "mergeClusters: priorLabels needs (id, component) — a " +
+        "duplicateClusters/mergeClusters frame; got " +
+        priorLabels.columns.mkString("(", ", ", ")"))
+    val prior = tracked(priorLabels.select(col("id"), col("component"))
+      .persist())
+    val e0 = newPairs.select(col(idA).as("__a"), col(idB).as("__b"))
+    val contracted = e0
+      .join(prior.select(col("id").as("__a"),
+        col("component").as("__ra")), Seq("__a"), "left_outer")
+      .join(prior.select(col("id").as("__b"),
+        col("component").as("__rb")), Seq("__b"), "left_outer")
+      .select(coalesce(col("__ra"), col("__a")).as("id_a"),
+        coalesce(col("__rb"), col("__b")).as("id_b"))
+      .where(col("id_a") =!= col("id_b"))
+    // propagation over the contracted delta graph only — its nodes
+    // are touched prior roots and genuinely-new ids
+    val sub = duplicateClusters(contracted, "id_a", "id_b", maxIter,
+      checkpointDir)
+    // (touched root -> merged root) map; untouched components fall
+    // through the left join unchanged. sub is checkpoint-materialized,
+    // so AQE sizes (and broadcasts) it from real statistics.
+    val relabel = sub.select(col("id").as("component"),
+      col("component").as("__newc"))
+    val updatedPrior = prior
+      .join(relabel, Seq("component"), "left_outer")
+      .select(col("id"),
+        coalesce(col("__newc"), col("component")).as("component"))
+    // ids first seen in this batch: their label comes straight from
+    // the contracted propagation (self-pair degenerates label as self)
+    val newIds = e0.select(col("__a").as("id"))
+      .unionByName(e0.select(col("__b").as("id")))
+      .distinct()
+      .join(prior.select("id"), Seq("id"), "left_anti")
+    val newLabels = newIds
+      .join(sub, Seq("id"), "left_outer")
+      .select(col("id"),
+        coalesce(col("component"), col("id")).as("component"))
+    autoRelease(updatedPrior.unionByName(newLabels), prior)
   }
 
   /** Cluster RESOLUTION — the retention policy that turns
@@ -1209,7 +1356,7 @@ object Dedup {
       }
     } else {
       val d = if (dim > 0) dim
-        else df.select(size(col(vecCol))).head().getInt(0)
+        else Similarity.probeDim(df, vecCol).getOrElse(1)
       val base = Partitioning.ensureMinPartitions(
         df.select(col(idCol).as("id"), col(vecCol).as("v")))
       // blockPlanes <= 0 (the default) = ADAPTIVE: size the bucket space
@@ -1313,6 +1460,133 @@ object Dedup {
           .select(col("id_a"), col("id_b"))
       }
     }
+  }
+
+  /** The persistable (id, t, bkt) hyperplane-bucket frame of an
+    * embedded corpus — [[embeddingNearDupBetween]]'s reference side,
+    * materialized: the q230 signature-store pattern
+    * ([[minhashBandSignatures]]) applied to VECTORS. Incremental
+    * ingest against an embedded 100 TB corpus re-paid `blockTables ×
+    * blockPlanes` literal-plane dot products over every reference
+    * vector on every batch; write this frame once
+    * (`.write.partitionBy("t").parquet(store)`), append each absorbed
+    * delta's buckets, and feed it to
+    * [[embeddingNearDupBetweenPrecomputed]] — the per-batch hash cost
+    * then scales with the DELTA. Plane constants are deterministic in
+    * (table, plane index) ([[Similarity.planeVector]]), so saved
+    * buckets can never drift from what a later session hashes.
+    *
+    * `blockPlanes` is REQUIRED (> 0), unlike [[embeddingNearDup]]'s
+    * corpus-adaptive default: a store must pin its bucket space — a
+    * parameter re-derived from a GROWING corpus would change between
+    * batches and silently stop matching saved buckets. Size it for
+    * the corpus's target size: planes ≈ log2(target rows /
+    * targetBucket) (see [[autoBlockPlanes]]). */
+  def vectorBucketSignatures(df: DataFrame, idCol: String,
+      vecCol: String, blockTables: Int = 4, blockPlanes: Int = 12,
+      dim: Int = 0): DataFrame = {
+    require(blockTables > 0 && blockPlanes > 0,
+      "vectorBucketSignatures: blockTables and blockPlanes must be " +
+        "explicit positives — a persisted store pins its bucket space " +
+        "(an adaptive parameter would drift as the corpus grows)")
+    val d = if (dim > 0) dim
+      else Similarity.probeDim(df, vecCol).getOrElse(1)
+    Similarity.withAllTableBuckets(
+        df.select(col(idCol).as("id"), col(vecCol).as("v")),
+        "v", blockTables, blockPlanes, d)
+      .select("id", "t", "bkt")
+  }
+
+  /** Incremental cross-frame embedding near-dup: an incoming shard
+    * against an existing reference corpus — [[minhashLshPairsBetween]]
+    * for vectors. Convenience form that hashes the reference here;
+    * production ingest saves [[vectorBucketSignatures]] once and calls
+    * [[embeddingNearDupBetweenPrecomputed]]. */
+  def embeddingNearDupBetween(newDf: DataFrame, refDf: DataFrame,
+      idCol: String, vecCol: String, threshold: Double,
+      blockTables: Int = 4, blockPlanes: Int = 12, dim: Int = 0)
+      : DataFrame =
+    embeddingNearDupBetweenPrecomputed(newDf,
+      vectorBucketSignatures(refDf, idCol, vecCol, blockTables,
+        blockPlanes, dim),
+      refDf.select(col(idCol), col(vecCol)),
+      idCol, vecCol, threshold, blockTables, blockPlanes, dim)
+
+  /** CROSS-FRAME embedding near-dup against a PRECOMPUTED reference:
+    * the incoming shard hashes here (one scan, same deterministic
+    * plane constants), the reference corpus arrives as a saved
+    * [[vectorBucketSignatures]] frame — no reference-side vector
+    * HASHING anywhere in the plan (PlanSpec-pinned: the only ref
+    * work is the candidate join-back below). Candidates meet on the
+    * (t, bkt) equi-join of NARROW id frames; `refVectors` — the saved
+    * corpus itself, column-pruned to (idCol, vecCol) — joins back BY
+    * ID for the exact-cosine verify, so vectors never ride the
+    * candidate shuffle (the q22 lesson) and only two columns of the
+    * reference are ever read.
+    *
+    * The [[embeddingNearDup]] candidate-volume valve applies
+    * (`spark.graft.embed.maxCandidatePairs`, default 2e9, 0 disables):
+    * cross-occupancy Σ_{t,bkt} n_new·n_ref over the two narrow bucket
+    * frames, failing fast with the remedy named — a saturated pinned
+    * bucket space means the store was sized for a smaller corpus and
+    * needs a rebuild at higher blockPlanes.
+    *
+    * Output: distinct (new_id, ref_id), cosine >= threshold. */
+  def embeddingNearDupBetweenPrecomputed(newDf: DataFrame,
+      refBuckets: DataFrame, refVectors: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, blockTables: Int = 4,
+      blockPlanes: Int = 12, dim: Int = 0): DataFrame = {
+    import graft.functions.VectorFunctions.vec_dot
+    require(Seq("id", "t", "bkt").forall(refBuckets.columns.contains),
+      "embeddingNearDupBetweenPrecomputed: refBuckets needs (id, t, " +
+        "bkt) — a vectorBucketSignatures frame; got " +
+        refBuckets.columns.mkString("(", ", ", ")"))
+    require(refVectors.columns.contains(idCol) &&
+      refVectors.columns.contains(vecCol),
+      s"embeddingNearDupBetweenPrecomputed: refVectors needs ($idCol, " +
+        s"$vecCol); got " + refVectors.columns.mkString("(", ", ", ")"))
+    val d = if (dim > 0) dim
+      else Similarity.probeDim(newDf, vecCol).getOrElse(1)
+    val newBkts = tracked(vectorBucketSignatures(newDf, idCol, vecCol,
+      blockTables, blockPlanes, d).persist())
+    val refB = refBuckets.select(col("id").as("ref_id"), col("t"),
+      col("bkt"))
+    val maxCand = newDf.sparkSession.conf
+      .getOption("spark.graft.embed.maxCandidatePairs")
+      .map(_.toLong).getOrElse(2000000000L)
+    if (maxCand > 0) {
+      val vol = newBkts.groupBy("t", "bkt").agg(count(lit(1)).as("sn"))
+        .join(refB.groupBy("t", "bkt").agg(count(lit(1)).as("sr")),
+          Seq("t", "bkt"))
+        .agg(coalesce(sum(col("sn").cast("double") *
+          col("sr").cast("double")), lit(0.0)).as("cand"))
+        .head().getDouble(0)
+      if (vol > maxCand) throw new IllegalStateException(
+        f"embeddingNearDupBetweenPrecomputed: candidate volume " +
+          f"$vol%.3g exceeds " +
+          s"spark.graft.embed.maxCandidatePairs=$maxCand — the " +
+          s"$blockPlanes-plane store bucket space is saturated at " +
+          "this corpus size. Rebuild the store with more blockPlanes " +
+          "(each plane halves bucket occupancy; size ~ " +
+          "log2(corpus/targetBucket)) or raise the valve.")
+    }
+    val cand = newBkts.select(col("id").as("new_id"), col("t"),
+        col("bkt"))
+      .join(refB, Seq("t", "bkt"))
+      .select("new_id", "ref_id")
+      .distinct()
+    val vn = newDf.select(col(idCol).as("new_id"),
+        col(vecCol).as("__vn"))
+      .withColumn("__nn", sqrt(vec_dot(col("__vn"), col("__vn"))))
+    val vr = refVectors.select(col(idCol).as("ref_id"),
+        col(vecCol).as("__vr"))
+      .withColumn("__nr", sqrt(vec_dot(col("__vr"), col("__vr"))))
+    val denom = col("__nn") * col("__nr")
+    autoRelease(cand.join(vn, "new_id").join(vr, "ref_id")
+      .withColumn("__cos", when(denom === 0.0, lit(0.0))
+        .otherwise(vec_dot(col("__vn"), col("__vr")) / denom))
+      .where(col("__cos") >= threshold)
+      .select("new_id", "ref_id"), newBkts)
   }
 
   /** Cross-document duplicate SPAN removal (Lee et al. 2021,

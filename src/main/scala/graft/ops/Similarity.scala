@@ -36,6 +36,16 @@ object Similarity {
 
   /** Cosine from a precomputed dot and squared norms (so norms are
     * computed once per row, not once per candidate pair). */
+  /** Empty-safe embedding-dimension probe: the first non-null
+    * vector's length, or None on an empty / all-null-vector frame —
+    * the eager `.head()` form threw NoSuchElementException on an
+    * empty input (r13 advice finding). Callers fall back to a
+    * 1-dimension pipeline, which on the empty input that triggered
+    * the fallback yields an empty result with the correct schema. */
+  private[ops] def probeDim(df: DataFrame, vecCol: String): Option[Int] =
+    df.select(size(col(vecCol)).as("__d")).where(col("__d").isNotNull)
+      .limit(1).collect().headOption.map(_.getInt(0))
+
   private def cosineFromParts(d: Column, nsqA: Column, nsqB: Column): Column = {
     val denom = sqrt(nsqA) * sqrt(nsqB)
     when(denom === 0.0, lit(0.0)).otherwise(d / denom)
@@ -263,8 +273,8 @@ object Similarity {
       vecCol: String, k: Int = 4, minMargin: Double = 1.0,
       nPlanes: Int = 12, tables: Int = 8, dim: Int = 0): DataFrame = {
     require(k >= 1, s"bitextMineLsh: k must be >= 1, got $k")
-    val d =
-      if (dim > 0) dim else a.select(size(col(vecCol))).head().getInt(0)
+    val d = if (dim > 0) dim
+      else probeDim(a, vecCol).orElse(probeDim(b, vecCol)).getOrElse(1)
     val av = Partitioning.ensureMinPartitions(
       a.select(col(idCol).as("a_id"), col(vecCol).as("av"))
         .withColumn("an", vec_dot(col("av"), col("av"))))
@@ -378,9 +388,9 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nPlanes: Int = 8, tables: Int = 8,
       dim: Int = 0): DataFrame = {
-    val d =
-      if (dim > 0) dim
-      else corpus.select(size(col(vecCol))).head().getInt(0)
+    val d = if (dim > 0) dim
+      else probeDim(corpus, vecCol).orElse(probeDim(queries, vecCol))
+        .getOrElse(1)
     val c = Partitioning.ensureMinPartitions(
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))

@@ -795,17 +795,29 @@ object TextFunctions {
     regexp_extract_all(text, lit("https?://([^/\\s]+)"), lit(1))
 
   /** Query params [[normalizeUrl]] strips by default: analytics
-    * trackers (utm_*, fbclid, gclid) and session ids (jsessionid,
-    * phpsessid, sid) — both vary per visit without changing the
-    * resource. `ref` is deliberately NOT on the list: it is a
-    * meaningful parameter on many sites (VCS hosts use ?ref=branch),
-    * so stripping it collides genuinely distinct resources — callers
-    * who know their corpus can pass a custom list. Entries are
-    * lookaround-free regex alternates matched case-insensitively
-    * against the param NAME. */
+    * trackers (utm_*, fbclid, gclid) and unambiguous session tokens
+    * (jsessionid, phpsessid) — both vary per visit without changing
+    * the resource. `ref` and `sid` are deliberately NOT on the list:
+    * both are genuine resource identifiers on many sites (VCS hosts
+    * use ?ref=branch; forums/news sites use ?sid=story-id), so
+    * stripping them collides genuinely DISTINCT resources — the
+    * false-collision failure a dedup key must never have. Callers
+    * whose corpus uses `sid` as a session token can pass a custom
+    * list with it added. Entries are lookaround-free regex alternates
+    * matched case-insensitively against the param NAME.
+    *
+    * CANONICALIZATION KEY VERSIONING: this list (and the
+    * [[normalizeUrl]] chain) define the dedup KEY — any change to
+    * either changes the keys a store persists. v1 (≤ r12) kept param
+    * order and stripped no session ids; v2 (r13) sorted params and
+    * stripped jsessionid/phpsessid/sid; v3 (r14, current) keeps `sid`.
+    * A persisted canonical-URL dedup store keyed with an older chain
+    * stops matching after an upgrade and MUST be rebuilt (re-key the
+    * stored URLs once) — README "Release notes" carries the same
+    * warning. */
   val DefaultTrackingParams: Seq[String] =
     Seq("utm_[a-z0-9_]+", "fbclid", "gclid",
-      "jsessionid", "phpsessid", "sid")
+      "jsessionid", "phpsessid")
 
   /** Canonical URL for dedup keying — the crawl-pipeline
     * normalization that makes trivially-distinct spellings of the same

@@ -143,14 +143,27 @@ object StreamingMigrations {
         val hadoop = new org.apache.hadoop.fs.Path(storePath)
         val fs = hadoop.getFileSystem(
           spark.sparkContext.hadoopConfiguration)
-        // prior bands = every batch dir EXCEPT this one (a retried
-        // batch must not dedup against its own half-written bands)
+        // prior bands = batch dirs with id STRICTLY BELOW this one —
+        // not merely "except this one". A retried batch must not dedup
+        // against its own half-written bands, AND a batch replayed
+        // after a checkpoint reset (batch ids restart at 0 while
+        // storePath retains old dirs) must not silently dedup against
+        // STALE higher-numbered batches and double-count pairs (r13
+        // advice finding). storePath and checkpoint are one unit of
+        // state: reset them TOGETHER or not at all — with a fresh
+        // checkpoint over a retained store, the < filter makes early
+        // replayed batches see fewer priors than the store holds,
+        // which is the loud-undercount failure, not the silent
+        // double-count one.
         val priorDirs =
           if (!fs.exists(hadoop)) Array.empty[String]
           else fs.listStatus(hadoop)
-            .filter(s => s.isDirectory &&
-              s.getPath.getName.startsWith("batch=") &&
-              s.getPath.getName != s"batch=$batchId")
+            .filter { s =>
+              val n = s.getPath.getName
+              s.isDirectory && n.startsWith("batch=") &&
+                scala.util.Try(n.stripPrefix("batch=").toLong)
+                  .toOption.exists(_ < batchId)
+            }
             .map(_.getPath.toString)
         val within = graft.ops.Dedup.minhashLshPairs(
             batch, idCol, textCol, k, numPerms, bands)
@@ -171,6 +184,83 @@ object StreamingMigrations {
             batch, idCol, textCol, k, numPerms, bands)
           .write.mode("overwrite").partitionBy("band")
           .parquet(s"$storePath/batch=$batchId")
+        graft.ops.Dedup.releaseCaches()
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** Continuous incremental EMBEDDING near-dup against a persisted
+    * bucket store — [[incrementalNearDupStream]] for vectors, the
+    * streaming face of [[graft.ops.Dedup.vectorBucketSignatures]] /
+    * [[graft.ops.Dedup.embeddingNearDupBetweenPrecomputed]]: each
+    * arriving micro-batch (a) emits cosine near-dup pairs against
+    * everything absorbed BEFORE it plus its own within-batch pairs and
+    * (b) appends its hyperplane buckets AND its (id, vector) rows to
+    * the store, so per-batch cost is the batch's own hashing + one
+    * (t, bkt) equi-join + a candidate-pruned vector join-back — the
+    * reference corpus is never re-hashed.
+    *
+    * Store layout: `storePath/buckets/batch=N` (partitioned by t —
+    * the [[graft.ops.Dedup.vectorBucketSignatures]] layout) and
+    * `storePath/vectors/batch=N` (the narrow (id, vec) sidecar the
+    * exact-cosine verify joins back by id). Pair output: (new_id,
+    * ref_id, within_batch) under `pairsPath/batch=N`. Every write
+    * OVERWRITES its own `batch=` subdir (idempotent under
+    * foreachBatch's at-least-once contract) and priors are batch ids
+    * STRICTLY BELOW the current one — reset storePath and checkpoint
+    * TOGETHER, they are one unit of state.
+    *
+    * `blockPlanes` is pinned by the caller (store discipline — see
+    * [[graft.ops.Dedup.vectorBucketSignatures]]): size it for the
+    * corpus's TARGET size, not the first batch's. */
+  def incrementalEmbeddingDedupStream(stream: DataFrame, idCol: String,
+      vecCol: String, storePath: String, pairsPath: String,
+      checkpoint: String, threshold: Double, blockTables: Int = 4,
+      blockPlanes: Int = 12, dim: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val bktRoot = new org.apache.hadoop.fs.Path(
+          s"$storePath/buckets")
+        val fs = bktRoot.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val priorIds =
+          if (!fs.exists(bktRoot)) Array.empty[String]
+          else fs.listStatus(bktRoot)
+            .filter { s =>
+              val n = s.getPath.getName
+              s.isDirectory && n.startsWith("batch=") &&
+                scala.util.Try(n.stripPrefix("batch=").toLong)
+                  .toOption.exists(_ < batchId)
+            }
+            .map(_.getPath.getName)
+        val within = graft.ops.Dedup.embeddingNearDup(
+            batch, idCol, vecCol, threshold,
+            blockTables = blockTables, blockPlanes = blockPlanes,
+            dim = dim)
+          .select(col("id_a").as("new_id"), col("id_b").as("ref_id"))
+        val cross =
+          if (priorIds.isEmpty) within.limit(0)
+          else graft.ops.Dedup.embeddingNearDupBetweenPrecomputed(
+            batch,
+            spark.read.parquet(
+              priorIds.map(n => s"$storePath/buckets/$n"): _*),
+            spark.read.parquet(
+              priorIds.map(n => s"$storePath/vectors/$n"): _*),
+            idCol, vecCol, threshold, blockTables, blockPlanes, dim)
+        cross.withColumn("within_batch", lit(false))
+          .unionByName(within.withColumn("within_batch", lit(true)))
+          .write.mode("overwrite").parquet(s"$pairsPath/batch=$batchId")
+        graft.ops.Dedup.vectorBucketSignatures(
+            batch, idCol, vecCol, blockTables, blockPlanes, dim)
+          .write.mode("overwrite").partitionBy("t")
+          .parquet(s"$storePath/buckets/batch=$batchId")
+        batch.select(col(idCol), col(vecCol))
+          .write.mode("overwrite")
+          .parquet(s"$storePath/vectors/batch=$batchId")
         graft.ops.Dedup.releaseCaches()
         ()
       }

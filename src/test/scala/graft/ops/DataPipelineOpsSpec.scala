@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkSpec
+import java.nio.file.Files
 import org.apache.spark.sql.functions._
 
 class DataPipelineOpsSpec extends SparkSpec {
@@ -493,7 +494,8 @@ class DataPipelineOpsSpec extends SparkSpec {
       "https://user:pw@example.com:443/x",             // userinfo + port
       "https://example.com/b?z=2&id=7",                // param ORDER
       "https://example.com/b?JSESSIONID=A9&id=7&z=2",  // session id
-      "https://example.com/b?ref=main&id=7"            // ref is KEPT
+      "https://example.com/b?ref=main&id=7",           // ref is KEPT
+      "https://example.com/story?sid=99241"            // sid is KEPT (r14)
     ).toDF("url")
     val out = in.select(
       graft.ops.TextFunctions.normalizeUrl($"url")).as[String]
@@ -518,10 +520,15 @@ class DataPipelineOpsSpec extends SparkSpec {
     // `ref` is meaningful (?ref=branch on VCS hosts) — NOT stripped by
     // default; a custom tracker list can opt in
     assert(out(12) == "https://example.com/b?id=7&ref=main")
+    // `sid` is a genuine resource id on many sites (forum/story ids)
+    // — kept by default since r14 (v3 keys); corpora that use it as a
+    // session token opt in below
+    assert(out(13) == "https://example.com/story?sid=99241")
     val custom = in.select(graft.ops.TextFunctions.normalizeUrl($"url",
-      graft.ops.TextFunctions.DefaultTrackingParams :+ "ref"))
+      graft.ops.TextFunctions.DefaultTrackingParams ++ Seq("ref", "sid")))
       .as[String].collect().toSeq
     assert(custom(12) == "https://example.com/b?id=7")
+    assert(custom(13) == "https://example.com/story")
   }
 
   test("domainPercentileFilter thresholds per domain; approx path " +
@@ -923,5 +930,145 @@ class DataPipelineOpsSpec extends SparkSpec {
       (1L, "unique one\n\nshared footer\n\nunique two", 3L),
       (2L, "other prose", 1L),
       (4L, "last doc prose", 1L)))
+  }
+
+  test("mergeClusters equals the full recompute and chains across " +
+      "batches") {
+    // batch 1: {1,2,3} one cluster, {10,11} another
+    val b1 = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val prior = Dedup.duplicateClusters(b1)
+    // batch 2: bridges the two prior clusters (3-10), adds an
+    // all-new cluster (20-21), an intra-component no-op (1-3), and a
+    // new member onto a prior cluster (11-30)
+    val b2 = Seq((3L, 10L), (20L, 21L), (1L, 3L), (11L, 30L))
+      .toDF("id_a", "id_b")
+    val merged = Dedup.mergeClusters(prior, b2)
+      .as[(Long, Long)].collect().toMap
+    val full = Dedup.duplicateClusters(b1.unionByName(b2))
+      .as[(Long, Long)].collect().toMap
+    assert(merged == full)
+    assert(merged(30L) == 1L && merged(11L) == 1L && merged(21L) == 20L)
+    // chains: a third batch folds into the MERGED labels (the output
+    // preserves the min-id invariant the contraction rests on)
+    val b3 = Seq((21L, 30L)).toDF("id_a", "id_b")
+    val merged3 = Dedup.mergeClusters(
+      Dedup.mergeClusters(prior, b2), b3)
+      .as[(Long, Long)].collect().toMap
+    val full3 = Dedup.duplicateClusters(
+      b1.unionByName(b2).unionByName(b3))
+      .as[(Long, Long)].collect().toMap
+    assert(merged3 == full3)
+    // empty prior: every pair node is new
+    val fromEmpty = Dedup.mergeClusters(prior.limit(0), b1)
+      .as[(Long, Long)].collect().toMap
+    assert(fromEmpty == prior.as[(Long, Long)].collect().toMap)
+  }
+
+  test("embeddingNearDupBetweenPrecomputed matches the from-scratch " +
+      "cross-frame run and the self-join restricted to the split") {
+    val vecs = Seq(
+      (1L, Array(1.0, 0.0, 0.0, 0.0)),
+      (2L, Array(2.0, 0.0, 0.0, 0.0)),    // same direction as 1
+      (3L, Array(0.0, 1.0, 0.0, 0.0)),
+      (11L, Array(3.0, 0.0, 0.0, 0.0)),   // delta: dup of 1/2
+      (12L, Array(0.0, 0.0, 1.0, 0.0))    // delta: novel
+    ).toDF("vec_id", "embedding")
+    val store = Files.createTempDirectory("vecstore-spec").toString
+    Dedup.vectorBucketSignatures(vecs.where($"vec_id" < 10),
+        "vec_id", "embedding", blockTables = 2, blockPlanes = 4,
+        dim = 4)
+      .write.mode("overwrite").partitionBy("t").parquet(store)
+    val viaStore = Dedup.embeddingNearDupBetweenPrecomputed(
+      vecs.where($"vec_id" >= 10), spark.read.parquet(store),
+      vecs.where($"vec_id" < 10), "vec_id", "embedding",
+      threshold = 0.9, blockTables = 2, blockPlanes = 4, dim = 4)
+      .as[(Long, Long)].collect().toSet
+    assert(viaStore == Set((11L, 1L), (11L, 2L)))
+    val recompute = Dedup.embeddingNearDupBetween(
+      vecs.where($"vec_id" >= 10), vecs.where($"vec_id" < 10),
+      "vec_id", "embedding", threshold = 0.9, blockTables = 2,
+      blockPlanes = 4, dim = 4)
+      .as[(Long, Long)].collect().toSet
+    Dedup.releaseCaches()
+    assert(viaStore == recompute)
+    // the store refuses an adaptive bucket space
+    intercept[IllegalArgumentException] {
+      Dedup.vectorBucketSignatures(vecs, "vec_id", "embedding",
+        blockTables = 2, blockPlanes = 0, dim = 4)
+    }
+  }
+
+  test("simhashNearDupBetweenPrecomputed matches brute directional " +
+      "hamming and never touches ref text") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "an entirely different document about spark and scala"),
+      (11L, "the quick brown fox jumps over the lazy dog tonight"),
+      (12L, "another unrelated piece of text with its own words")
+    ).toDF("doc_id", "text")
+    val store = Files.createTempDirectory("simstore-spec").toString
+    Dedup.simhashChunkSignatures(docs.where($"doc_id" < 10),
+        "doc_id", "text").write.mode("overwrite")
+      .partitionBy("chunk").parquet(store)
+    val viaStore = Dedup.simhashNearDupBetweenPrecomputed(
+      docs.where($"doc_id" >= 10), spark.read.parquet(store),
+      "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(viaStore == Set((11L, 1L)))
+    // brute directional ground truth over the fingerprints —
+    // pigeonhole blocking is complete within the radius
+    val fp = graft.ops.TextFunctions
+      .simhash(docs, "doc_id", "text", 60)
+      .as[(Long, Long)].collect().toMap
+    val brute = (for {
+      n <- fp.keys if n >= 10
+      r <- fp.keys if r < 10
+      if java.lang.Long.bitCount(fp(n) ^ fp(r)) <= 3
+    } yield (n, r)).toSet
+    assert(viaStore == brute)
+    assert(viaStore == Dedup.simhashNearDupBetween(
+      docs.where($"doc_id" >= 10), docs.where($"doc_id" < 10),
+      "doc_id", "text").as[(Long, Long)].collect().toSet)
+  }
+
+  test("semanticPrecomputed is bit-identical to semantic's LSH path") {
+    val corpus = Seq(
+      (1L, Array(1.0, 0.0, 0.0, 0.0)),
+      (2L, Array(0.0, 1.0, 0.0, 0.0)),
+      (3L, Array(0.7, 0.7, 0.0, 0.0))
+    ).toDF("doc_id", "embedding")
+    val bench = Seq(
+      (100L, Array(2.0, 0.0, 0.0, 0.0)),
+      (101L, Array(0.0, 0.0, 0.0, 1.0))
+    ).toDF("b_id", "b_vec")
+    val store = Files.createTempDirectory("decon-store").toString
+    Dedup.vectorBucketSignatures(bench, "b_id", "b_vec",
+        blockTables = 4, blockPlanes = 4, dim = 4)
+      .write.mode("overwrite").partitionBy("t").parquet(store)
+    val viaStore = graft.ops.Decontaminate.semanticPrecomputed(
+      corpus, "doc_id", "embedding", spark.read.parquet(store),
+      bench, "b_id", "b_vec", threshold = 0.9, nPlanes = 4,
+      tables = 4, dim = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    // force semantic onto its LSH path to compare like with like
+    spark.conf.set("spark.graft.semdecon.broadcastLimit", "1")
+    val lsh = try graft.ops.Decontaminate.semantic(
+      corpus, "doc_id", "embedding", bench, "b_id", "b_vec",
+      threshold = 0.9, nPlanes = 4, tables = 4, dim = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    finally spark.conf.unset("spark.graft.semdecon.broadcastLimit")
+    assert(viaStore == lsh && viaStore == Set((1L, 1L, 100L)))
+  }
+
+  test("empty-frame dim probes return empty results instead of " +
+      "throwing (r13 advice)") {
+    val empty = Seq.empty[(Long, Array[Double])]
+      .toDF("vec_id", "embedding")
+    assert(graft.ops.Similarity.bitextMineLsh(
+      empty, empty, "vec_id", "embedding").count() == 0)
+    assert(graft.ops.Similarity.lshTopK(
+      empty, empty, "vec_id", "embedding", k = 3).count() == 0)
+    assert(Dedup.embeddingNearDup(
+      empty, "vec_id", "embedding", 0.9, blockPlanes = 4).count() == 0)
   }
 }

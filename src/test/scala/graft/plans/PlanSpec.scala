@@ -489,6 +489,96 @@ class PlanSpec extends SparkSpec {
     assert(viaStore == recompute && viaStore.nonEmpty)
   }
 
+  test("precomputed bucket-store cross-frame embedding near-dup: no " +
+      "reference-side vector hashing in the plan") {
+    import spark.implicits._
+    val e = graft.sources.Tables.table(spark, sf, "embeddings")
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-vecstore-spec").toString
+    graft.ops.Dedup.vectorBucketSignatures(
+        e.where(col("vec_id") < 400), "vec_id", "embedding",
+        blockTables = 4, blockPlanes = 8, dim = 64)
+      .write.mode("overwrite").partitionBy("t").parquet(store)
+    val df = graft.ops.Dedup.embeddingNearDupBetweenPrecomputed(
+      e.where(col("vec_id") >= 400), spark.read.parquet(store),
+      e.where(col("vec_id") < 400), "vec_id", "embedding",
+      threshold = 0.3, blockTables = 4, blockPlanes = 8, dim = 64)
+    val plan = explain(df)
+    assert(plan.contains("vecstore-spec"),
+      "saved bucket frame missing from the plan")
+    // bucket emission is the struct-explode Generate: exactly ONE in
+    // the whole plan — the DELTA's. A second Generate would mean the
+    // reference corpus is re-paying tables×planes dot products per
+    // batch, the exact cost the store exists to eliminate. (The ref
+    // VECTORS legitimately appear once: the narrow (id, vec) join-back
+    // for the exact-cosine verify.)
+    val generates = plan.linesIterator.count(_.contains(") Generate"))
+    assert(generates == 1,
+      s"expected exactly 1 bucket-emission Generate (the delta's), " +
+        s"got $generates")
+    // the (t, bkt) candidate join is an equi-join
+    assert(plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"))
+    // parity: the store path returns exactly the recompute path's pairs
+    val viaStore = df.as[(Long, Long)].collect().toSet
+    val recompute = graft.ops.Dedup.embeddingNearDupBetween(
+      e.where(col("vec_id") >= 400), e.where(col("vec_id") < 400),
+      "vec_id", "embedding", threshold = 0.3, blockTables = 4,
+      blockPlanes = 8, dim = 64).as[(Long, Long)].collect().toSet
+    graft.ops.Dedup.releaseCaches()
+    assert(viaStore == recompute && viaStore.nonEmpty)
+  }
+
+  test("precomputed chunk-store cross-frame simhash: no " +
+      "reference-side text scan in the plan") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.table(spark, sf, "documents")
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-simstore-spec").toString
+    graft.ops.Dedup.simhashChunkSignatures(
+        docs.where(col("doc_id") < 200), "doc_id", "text")
+      .write.mode("overwrite").partitionBy("chunk").parquet(store)
+    val df = graft.ops.Dedup.simhashNearDupBetweenPrecomputed(
+      docs.where(col("doc_id") >= 200), spark.read.parquet(store),
+      "doc_id", "text")
+    val plan = explain(df)
+    // every documents scan is the DELTA side: the reference arrives
+    // as the saved chunk frame — even the hamming verify reads the
+    // store's own simhash column, so ref text appears NOWHERE
+    val sections = plan.split("\\(\\d+\\) Scan parquet")
+      .filter(_.contains("documents.parquet"))
+    assert(sections.nonEmpty && sections.forall(
+      _.contains("GreaterThanOrEqual(doc_id,200)")),
+      "a documents scan without the delta pushdown is a ref-side " +
+        "text re-scan")
+    assert(plan.contains("simstore-spec"),
+      "saved chunk frame missing from the plan")
+    val viaStore = df.as[(Long, Long)].collect().toSet
+    val recompute = graft.ops.Dedup.simhashNearDupBetween(
+      docs.where(col("doc_id") >= 200), docs.where(col("doc_id") < 200),
+      "doc_id", "text").as[(Long, Long)].collect().toSet
+    assert(viaStore == recompute)
+  }
+
+  test("mergeClusters relabels only the touched components of a " +
+      "10k-node prior from a 1-pair delta") {
+    import spark.implicits._
+    // large prior labeling, tiny delta: propagation input is the
+    // contracted delta graph — prior labels only appear in the
+    // contraction joins and the final relabel join
+    val prior = (0L until 10000L).map(i => (i, i - (i % 2)))
+      .toDF("id", "component")
+    val delta = Seq((4L, 7L)).toDF("id_a", "id_b")
+    val out = graft.ops.Dedup.mergeClusters(prior, delta)
+    // correctness of the touched component
+    val m = out.as[(Long, Long)].collect().toMap
+    assert(m(4L) == 4L && m(5L) == 4L && m(6L) == 4L && m(7L) == 4L)
+    assert(m(8L) == 8L && m(9L) == 8L && m(0L) == 0L)
+    assert(m.size == 10000)
+    graft.ops.Dedup.releaseCaches()
+  }
+
   test("minhashJaccardEstimate: one text scan — band join and both " +
       "signature join-backs read the persisted frame") {
     val docs = graft.sources.Tables.table(spark, sf, "documents")

@@ -106,6 +106,72 @@ class StreamingSpec extends SparkSpec {
     assert(store.columns.contains("band") && store.columns.contains("sig"))
   }
 
+  test("incrementalNearDupStream: a checkpoint reset over a retained " +
+      "store cannot dedup against stale higher-numbered batches") {
+    val tmp = Files.createTempDirectory("incr-reset").toString
+    val t = "the quick brown fox jumps over the lazy dog tonight"
+    val schema = Seq((1L, "x")).toDF("doc_id", "text").schema
+    Seq((1L, t)).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$tmp/src")
+    Seq((2L, t)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(s"$tmp/src")
+    def run(ck: String) = StreamingMigrations.incrementalNearDupStream(
+      StreamingMigrations.readStream(spark, s"$tmp/src", schema,
+        maxFilesPerTrigger = Some(1)),
+      "doc_id", "text", s"$tmp/store", s"$tmp/pairs", ck)
+      .awaitTermination(120000)
+    run(s"$tmp/ck")
+    val first = spark.read.parquet(s"$tmp/pairs")
+      .select("new_id", "ref_id", "within_batch")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(first == Set((2L, 1L, false)))
+    // checkpoint deleted, store retained: replayed batch ids restart
+    // at 0 while batch=0/batch=1 store dirs exist — priors are ids
+    // STRICTLY BELOW the replayed id, so batch 0 must NOT pair doc 1
+    // against the stale batch-1 bands (the silent double-count)
+    run(s"$tmp/ck2")
+    val replayed = spark.read.parquet(s"$tmp/pairs")
+      .select("new_id", "ref_id", "within_batch")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(replayed == first)
+  }
+
+  test("incrementalEmbeddingDedupStream: batches pair against the " +
+      "bucket store then absorb buckets + vectors") {
+    val tmp = Files.createTempDirectory("incr-embed").toString
+    val schema = Seq((1L, Array(1.0)))
+      .toDF("vec_id", "embedding").schema
+    // scale-invariant sign buckets: 2 = 2*1 collides with 1 exactly;
+    // 4 is orthogonal to everything absorbed
+    Seq((1L, Array(1.0, 0.0, 0.0, 0.0)),
+        (2L, Array(2.0, 0.0, 0.0, 0.0)))
+      .toDF("vec_id", "embedding")
+      .coalesce(1).write.parquet(s"$tmp/src")
+    Seq((3L, Array(3.0, 0.0, 0.0, 0.0)),
+        (4L, Array(0.0, 1.0, 0.0, 0.0)))
+      .toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("append").parquet(s"$tmp/src")
+    StreamingMigrations.incrementalEmbeddingDedupStream(
+      StreamingMigrations.readStream(spark, s"$tmp/src", schema,
+        maxFilesPerTrigger = Some(1)),
+      "vec_id", "embedding", s"$tmp/store", s"$tmp/pairs", s"$tmp/ck",
+      threshold = 0.9, blockTables = 2, blockPlanes = 4, dim = 4)
+      .awaitTermination(120000)
+    val pairs = spark.read.parquet(s"$tmp/pairs")
+      .select("new_id", "ref_id", "within_batch")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(pairs == Set((1L, 2L, true), (3L, 1L, false),
+      (3L, 2L, false)))
+    // store: every absorbed row's buckets (t-partitioned) + vectors
+    val bkts = spark.read.parquet(s"$tmp/store/buckets")
+    assert(bkts.select("id").distinct().as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L, 3L, 4L))
+    assert(bkts.columns.contains("t") && bkts.columns.contains("bkt"))
+    val vecs = spark.read.parquet(s"$tmp/store/vectors")
+    assert(vecs.select("vec_id").distinct().as[Long].collect()
+      .sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
   test("streaming crawl dedup: normalizeUrl canonical key composes " +
       "with streamingDedup — re-fetches and URL variants drop") {
     val tmp = Files.createTempDirectory("crawl-dedup").toString
