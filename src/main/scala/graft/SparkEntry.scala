@@ -1913,6 +1913,44 @@ object SparkEntry {
         .orderBy("new_id", "ref_id")
     }),
 
+    // the crawl preset's STRUCTURED entry point, hooks ON: within-doc
+    // line dedup (repeated nav menu) runs BEFORE cross-corpus
+    // paragraph dedup (shared footer survives once per residue class)
+    // which runs BEFORE the language/quality gates and content dedup
+    // — the one ordering the webCurate docstring warns users not to
+    // hand-compose; the oracle replays every stage in sequence
+    "q248_web_curate_structured" -> ((s, dir) => {
+      val shared = Seq("follow us on social media",
+        "all rights reserved worldwide", "contact support for help")
+      val df = tbl(s, dir, "documents").where(col("doc_id") < 240)
+        .withColumn("url", concat(lit("https://Example.com/s/"),
+          col("doc_id").cast("string"), lit("?utm_source=x&page=1")))
+        .withColumn("mtext", concat(
+          lit("site navigation menu\n"), col("text"),
+          lit("\nsite navigation menu\n\n"),
+          element_at(typedlit(shared), (col("doc_id") % 3 + 1).cast("int"))))
+      graft.ops.Curation.webCurateStructured(df, "doc_id", "url",
+        "mtext", targetLang = "en", minQuality = 0.3,
+        dedupLinesWithinDoc = true, dedupParagraphs = true)
+        .select("doc_id", "clean_text", "predicted_lang", "quality")
+        .orderBy("doc_id")
+    }),
+
+    // perceptual-hash image near-dup: deterministic 9x7 BMPs (REAL
+    // ImageIO decode, not the stub) where ids >= 100 perturb one pixel
+    // of their id-100 sibling — dHash flips at most two gradient bits,
+    // the pigeonhole-banded hamming join finds the planted pairs; the
+    // oracle replays the hash from the shared pixel formula
+    "q247_media_phash_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val media = tbl(s, dir, "documents").where(col("doc_id") < 200)
+        .select("doc_id").as[Long]
+        .map(id => (id, Multimodal.fixtureBmp(id)))
+        .toDF("media_id", "content")
+      Multimodal.mediaNearDup(media, maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
     "q243_web_curate" -> ((s, dir) => {
       val pre = Seq(
         "https://Example.com/p", "https://example.com/p",
@@ -6138,6 +6176,104 @@ object SparkEntry {
          |  ON a.doc_id >= 200 AND b.doc_id < 200
          | AND bit_count(xor(a.simhash, b.simhash)) <= 3
          |ORDER BY new_id, ref_id""".stripMargin,
+
+    // every hook stage replayed in the engine's order: line dedup
+    // (q239 chain) -> paragraph dedup (q236 chain) -> langId ->
+    // quality -> content dedup. The URL canon stage is a no-op on
+    // this fixture (all urls distinct) and not part of the output,
+    // so the oracle does not repeat the q227/q243 chain replay.
+    "q248_web_curate_structured" -> {
+      val scores = TextFunctions.LangMarkers.map { case (lang, ms) =>
+        val lst = ms.map(m => s"'$m'").mkString(", ")
+        s"len(list_filter(t, x -> list_contains([$lst], x))) AS s_$lang"
+      }.mkString(",\n  ")
+      val langs = TextFunctions.LangMarkers.map(_._1)
+      val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+      val total = langs.map("s_" + _).mkString(" + ")
+      val cases = langs.map(l =>
+        s"WHEN ($total) > 0 AND s_$l = $best THEN '$l'").mkString("\n    ")
+      val stop = TextFunctions.Stopwords.map(m => s"'$m'").mkString(", ")
+      s"""WITH d0 AS (SELECT doc_id, text,
+         |  'site navigation menu' || chr(10) || text || chr(10) ||
+         |  'site navigation menu' || chr(10) || chr(10) ||
+         |  CASE doc_id % 3 WHEN 0 THEN 'follow us on social media'
+         |    WHEN 1 THEN 'all rights reserved worldwide'
+         |    ELSE 'contact support for help' END AS mtext
+         |  FROM documents WHERE doc_id < 240),
+         |ld AS (SELECT doc_id, array_to_string(list_filter(
+         |    string_split(mtext, chr(10)),
+         |    (x, i) -> x = '' OR NOT list_contains(
+         |      string_split(mtext, chr(10))[1:i-1], x)), chr(10)) AS lt
+         |  FROM d0),
+         |sp AS (SELECT doc_id,
+         |  string_split(lt, chr(10) || chr(10)) AS parts FROM ld),
+         |p AS (SELECT doc_id, i AS pos, parts[i] AS para
+         |  FROM sp, UNNEST(range(1, len(parts) + 1)) AS u(i)
+         |  WHERE trim(parts[i]) <> ''),
+         |k AS (SELECT doc_id, pos, para, row_number() OVER (
+         |    PARTITION BY md5(para) ORDER BY doc_id, pos) AS rk FROM p),
+         |cl AS (SELECT doc_id,
+         |  string_agg(para, chr(10) || chr(10) ORDER BY pos) AS ct
+         |  FROM k WHERE rk = 1 GROUP BY doc_id),
+         |tk AS (SELECT doc_id, ct,
+         |  list_filter(string_split(ct, ' '), x -> x <> '') AS t
+         |  FROM cl),
+         |sc AS (SELECT doc_id, ct, t, $scores FROM tk),
+         |lg AS (SELECT doc_id, ct, t,
+         |  CASE $cases ELSE 'und' END AS predicted FROM sc),
+         |ql AS (SELECT doc_id, ct, predicted,
+         |  CAST(len(list_filter(t, x -> list_contains([$stop], x)))
+         |    AS DOUBLE) / greatest(CAST(len(t) AS DOUBLE), 1.0) * 0.4
+         |  + CAST(length(regexp_replace(ct, '[^A-Za-z]', '', 'g'))
+         |    AS DOUBLE) / greatest(CAST(length(ct) AS DOUBLE), 1.0)
+         |    * 0.4
+         |  + least(CAST(len(t) AS DOUBLE) / 100.0, 1.0) * 0.2
+         |  AS quality FROM lg),
+         |g AS (SELECT * FROM ql
+         |  WHERE predicted = 'en' AND quality >= 0.3),
+         |dd AS (SELECT *, row_number() OVER (
+         |  PARTITION BY md5(ct) ORDER BY doc_id) AS rn FROM g)
+         |SELECT doc_id, ct AS clean_text,
+         |  predicted AS predicted_lang, quality
+         |FROM dd WHERE rn = 1 ORDER BY doc_id""".stripMargin
+    },
+
+    // the dHash replayed from the pixel formula: 9x7 grayscale cells
+    // map 1:1 onto the 8x7 gradient grid, and r=g=b makes the
+    // luminance compare monotonic in the formula value — so the
+    // oracle never decodes an image, it rebuilds the 56-bit hash with
+    // integer sums and brute-joins on hamming
+    "q247_media_phash_neardup" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+        |px AS (
+        |  SELECT doc_id, u.x, w.y,
+    |    CASE WHEN doc_id >= 100
+        |           AND u.x = (doc_id % 100) % 9
+        |           AND w.y = (doc_id % 100) % 7
+        |      THEN (((doc_id % 100)*31
+        |             + u.x*(17 + (doc_id % 100) % 13 * 29)
+        |             + w.y*13) % 251 + 3) % 251
+        |      ELSE ((doc_id % 100)*31
+        |            + u.x*(17 + (doc_id % 100) % 13 * 29)
+        |            + w.y*13) % 251 END AS v
+        |  FROM d, UNNEST(range(0, 9)) u(x), UNNEST(range(0, 7)) w(y)),
+        |bits AS (
+        |  SELECT a.doc_id, (a.y * 8 + a.x) AS j,
+        |    CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+        |  FROM px a JOIN px b
+        |    ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
+        |  WHERE a.x < 8),
+        |ph AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN bit = 1
+        |      THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END) AS BIGINT)
+        |      AS phash
+        |  FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+        |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.phash, b.phash)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q243_web_curate" -> {
       val scores = TextFunctions.LangMarkers.map { case (lang, ms) =>

@@ -82,6 +82,58 @@ object Curation {
       sampleFraction, salt, minLangMargin)
   }
 
+  /** The crawl preset's STRUCTURED-TEXT entry point: for callers whose
+    * extraction (their own boilerplate-aware parser, a WET file, a
+    * pre-rendered text dump) already produced text WITH line/paragraph
+    * structure intact. [[webCurate]] cannot offer line/paragraph dedup
+    * hooks because [[TextFunctions.stripHtml]] folds newlines — a
+    * "line" no longer exists downstream of it; this entry point runs
+    * the hooks in the one order that is correct, so users stop
+    * hand-composing the ordering the [[webCurate]] docstring warns
+    * about:
+    *
+    *   URL canonical dedup (cheapest — drop re-fetches before paying
+    *   any text work) → within-doc line dedup
+    *   ([[TextFunctions.dedupLinesInDoc]], zero-shuffle) →
+    *   cross-corpus boilerplate line removal
+    *   ([[Dedup.removeBoilerplateLines]], `maxLineDocFreq` > 0) →
+    *   cross-corpus paragraph dedup ([[Dedup.paragraphDedup]]) →
+    *   language/margin/quality gates → content dedup → sample
+    *   (the [[curate]] tail).
+    *
+    * Note [[Dedup.paragraphDedup]] semantics carry over: a document
+    * whose every paragraph loses (pure repeated boilerplate) DROPS.
+    * All hooks default off — the preset then equals [[webCurate]]
+    * minus extraction. Returns survivors with `url_canonical`,
+    * `clean_text`, `predicted_lang`, `quality`. */
+  def webCurateStructured(df: DataFrame, idCol: String, urlCol: String,
+      textCol: String, targetLang: String = "en",
+      minQuality: Double = 0.0, minLangMargin: Int = 0,
+      sampleFraction: Double = 1.0, salt: String = "",
+      dedupLinesWithinDoc: Boolean = false, maxLineDocFreq: Long = 0,
+      dedupParagraphs: Boolean = false): DataFrame = {
+    val canon = df.withColumn("url_canonical",
+      TextFunctions.normalizeUrl(col(urlCol)))
+    val urlDeduped = Dedup.exactRows(canon, Seq("url_canonical"), idCol)
+    var t = urlDeduped.withColumn("clean_text", col(textCol))
+    if (dedupLinesWithinDoc)
+      t = t.withColumn("clean_text",
+        TextFunctions.dedupLinesInDoc(col("clean_text")))
+    if (maxLineDocFreq > 0)
+      t = Dedup.removeBoilerplateLines(t, idCol, "clean_text",
+          maxLineDocFreq, outCol = "__bl")
+        .drop("clean_text").withColumnRenamed("__bl", "clean_text")
+    if (dedupParagraphs) {
+      val deduped = Dedup.paragraphDedup(t, idCol, "clean_text",
+        outCol = "__pd")
+      t = t.drop("clean_text")
+        .join(deduped.select(col(idCol), col("__pd")), Seq(idCol))
+        .withColumnRenamed("__pd", "clean_text")
+    }
+    curate(t, idCol, "clean_text", targetLang, minQuality,
+      sampleFraction, salt, minLangMargin)
+  }
+
   /** PER-DOMAIN quality gate: keep rows whose `scoreCol` is at or
     * above their own domain's `quantile` — a global floor
     * over-prunes clean domains and under-prunes noisy ones (a p50

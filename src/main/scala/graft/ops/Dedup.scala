@@ -784,10 +784,24 @@ object Dedup {
   }
 
   def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
-      bits: Int = 60, maxHamming: Int = 3): DataFrame = {
-    val chunked = simhashChunkFrame(
+      bits: Int = 60, maxHamming: Int = 3): DataFrame =
+    hammingNearDup(
       TextFunctions.simhash(df, idCol, textCol, bits)
-        .withColumnRenamed(idCol, "id"), bits, maxHamming)
+        .withColumnRenamed(idCol, "id"),
+      "id", "simhash", bits, maxHamming)
+
+  /** Pigeonhole-banded hamming near-dup over ANY integer fingerprint
+    * frame — the [[simhashNearDup]] machinery with the fingerprint
+    * supplied by the caller: text simhash, perceptual image hash
+    * ([[Multimodal.perceptualHash]]), any ≤64-bit locality-sensitive
+    * code. Split into maxHamming+1 chunks, any pair within the radius
+    * agrees exactly on at least one chunk (COMPLETE recall), hamming
+    * verify pre-exchange. Output: distinct (id_a, id_b, hamming). */
+  def hammingNearDup(fp: DataFrame, idCol: String, hashCol: String,
+      bits: Int, maxHamming: Int): DataFrame = {
+    val chunked = simhashChunkFrame(
+      fp.select(col(idCol).as("id"), col(hashCol).as("simhash")),
+      bits, maxHamming)
     chunked.as("a")
       .join(chunked.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") &&

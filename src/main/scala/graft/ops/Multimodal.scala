@@ -1,5 +1,6 @@
 package graft.ops
 
+import java.awt.image.BufferedImage
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -208,4 +209,157 @@ object Multimodal {
         least(col("meta.width"), lit(maxW)).as("width"),
         least(col("meta.height"), lit(maxH)).as("height"),
         col("meta.n_frames").as("n_frames")))
+
+  // ---- Perceptual hashing (image near-dup) ----
+
+  /** dHash gradient grid: 8 horizontal compares per row × 7 rows = 56
+    * bits — deliberately INSIDE a non-negative SQL BIGINT (the
+    * textbook 8×8/64-bit form puts bit 63 in the sign, which a
+    * cross-engine oracle cannot rebuild with integer sums). */
+  val PHashGridW = 8
+  val PHashGridH = 7
+  val PHashBits: Int = PHashGridW * PHashGridH
+
+  /** Difference hash (dHash — Krawetz, "Kind of Like That",
+    * hackerfactor 2013; the standard cheap perceptual image hash):
+    * area-average the luminance onto a (gridW+1)×gridH grid, set bit
+    * y·8+x when the right cell is brighter than the left. Robust to
+    * rescaling/re-encoding, flips few bits under local edits — exactly
+    * the near-dup key an image-text corpus needs. A source already at
+    * 9×7 maps 1:1 onto the grid (no resample), which is what lets the
+    * DuckDB oracle replay the hash from a pixel formula alone. */
+  def dHashOf(img: BufferedImage): Long = {
+    val cw = PHashGridW + 1
+    val ch = PHashGridH
+    val w = img.getWidth; val h = img.getHeight
+    val sums = new Array[Double](cw * ch)
+    val counts = new Array[Long](cw * ch)
+    var y = 0
+    while (y < h) {
+      val cy = math.min(ch - 1, y * ch / h)
+      var x = 0
+      while (x < w) {
+        val cx = math.min(cw - 1, x * cw / w)
+        val rgb = img.getRGB(x, y)
+        val lum = 0.299 * ((rgb >> 16) & 0xff) +
+          0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+        sums(cy * cw + cx) += lum; counts(cy * cw + cx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    def cell(cx: Int, cy: Int): Double = {
+      val i = cy * cw + cx
+      if (counts(i) == 0) 0.0 else sums(i) / counts(i)
+    }
+    var bits = 0L
+    var cy = 0
+    while (cy < ch) {
+      var cx = 0
+      while (cx < PHashGridW) {
+        if (cell(cx + 1, cy) > cell(cx, cy))
+          bits |= 1L << (cy * PHashGridW + cx)
+        cx += 1
+      }
+      cy += 1
+    }
+    bits
+  }
+
+  /** Stub fingerprint for payloads that do not decode as images: the
+    * first 56 bits of md5(content) — deterministic and replayed by
+    * `('0x' || substr(md5(content), 1, 14))::BIGINT` in DuckDB, the
+    * [[DecodeStub]] contract for hashes. */
+  def stubHash(content: Array[Byte]): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(if (content == null) Array.emptyByteArray else content)
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (md(i) & 0xffL); i += 1 }
+    v
+  }
+
+  private val phashSchema = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("phash", LongType)))
+
+  /** (media_id, phash) fingerprints: real dHash when the payload
+    * decodes as an image, [[stubHash]] otherwise — per-partition
+    * batched decode, the [[extractFeatures]] shape. */
+  def perceptualHash(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(phashSchema)
+    media.select("media_id", "content").mapPartitions { rows =>
+      rows.grouped(64).flatMap { batch =>
+        batch.map { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          val h = ImageIoDecoder.decode(bytes) match {
+            case Some(img) => dHashOf(img)
+            case None => stubHash(bytes)
+          }
+          Row(r.getLong(0), h)
+        }
+      }
+    }(enc)
+  }
+
+  /** Image near-duplicate pairs: [[perceptualHash]] fingerprints into
+    * the pigeonhole-banded hamming join
+    * ([[graft.ops.Dedup.hammingNearDup]]) — the text corpus's banded
+    * dedup story applied to an image-text corpus. Decode cost is one
+    * linear scan; the pair work is chunk-key equi-joins with
+    * COMPLETE recall inside the radius. Output: distinct (id_a, id_b,
+    * hamming). */
+  def mediaNearDup(media: DataFrame, maxHamming: Int = 3): DataFrame =
+    Dedup.hammingNearDup(perceptualHash(media), "media_id", "phash",
+      PHashBits, maxHamming)
+
+  /** Deterministic 24-bit BMP encoder (bottom-up rows, 4-byte row
+    * padding — the uncompressed format JDK ImageIO always parses) for
+    * fixtures and specs: grayscale value v(x, y) in [0, 255] per
+    * pixel. 9×7 output decodes 1:1 onto the [[dHashOf]] grid. */
+  def grayBmp(w: Int, h: Int, v: (Int, Int) => Int): Array[Byte] = {
+    val rowBytes = (w * 3 + 3) / 4 * 4
+    val size = 54 + rowBytes * h
+    val b = java.nio.ByteBuffer.allocate(size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(size)
+      .putShort(0).putShort(0).putInt(54)
+    b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(rowBytes * h).putInt(2835).putInt(2835)
+      .putInt(0).putInt(0)
+    var y = h - 1
+    while (y >= 0) { // bottom-up storage: decoded row y == formula y
+      var x = 0
+      while (x < w) {
+        val g = (v(x, y) & 0xff).toByte
+        b.put(g).put(g).put(g)
+        x += 1
+      }
+      var pad = rowBytes - w * 3
+      while (pad > 0) { b.put(0.toByte); pad -= 1 }
+      y -= 1
+    }
+    b.array()
+  }
+
+  /** Planted-near-dup 9×7 image fixture for the q247 oracle: the base
+    * pattern depends on id % 100, ids >= 100 perturb ONE pixel of
+    * their id−100 sibling — at most two dHash gradient bits flip, so
+    * the sibling pair sits within hamming 2 while distinct bases
+    * differ almost everywhere. Grayscale pixels (r=g=b) make the
+    * luminance compare monotonic in the formula value, so the DuckDB
+    * oracle replays the hash from THIS formula without decoding
+    * anything. */
+  def fixtureBmp(id: Long): Array[Byte] = {
+    val base = (id % 100).toInt
+    // the x-stride depends on the BASE (not a constant): a constant
+    // stride gives every base the same gradient-sign pattern — dHash
+    // (by design!) collides images that differ only by a brightness
+    // shift, which is what b*31 alone is
+    grayBmp(PHashGridW + 1, PHashGridH, (x, y) => {
+      val v = (base * 31 + x * (17 + base % 13 * 29) + y * 13) % 251
+      if (id >= 100 && x == base % 9 && y == base % 7) (v + 3) % 251
+      else v
+    })
+  }
 }

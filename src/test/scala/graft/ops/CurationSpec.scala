@@ -63,4 +63,56 @@ class CurationSpec extends graft.SparkSpec {
     assert(row.getString(row.fieldIndex("clean_text")) == body)
     assert(row.getString(row.fieldIndex("predicted_lang")) == "en")
   }
+
+  test("webCurateStructured: hooks run in the one correct order — " +
+      "url dedup, line dedup, boilerplate lines, paragraphs, gates") {
+    val body1 = "the quick brown fox and the lazy dog walked over " +
+      "the hill to see the other side and came back home"
+    val body2 = "the small grey cat and the old red hen sat near " +
+      "the warm fire and watched the quiet rain fall down"
+    val menu = "home products about contact"
+    val footer = "all rights reserved"
+    def page(b: String) = s"$menu\n$b\n$menu\n\n$footer"
+    val pages = Seq(
+      (1L, "https://example.com/a?utm_source=x", page(body1)),
+      // same resource refetched: URL dedup drops it BEFORE text work
+      (2L, "https://www.example.com/a", page(body1)),
+      (3L, "https://example.com/b", page(body2)),
+      // pure boilerplate: its only paragraph loses to doc 1's footer
+      // -> the doc drops entirely (paragraphDedup semantics)
+      (4L, "https://example.com/c", footer)
+    ).toDF("page_id", "url", "text")
+    val out = Curation.webCurateStructured(pages, "page_id", "url",
+      "text", targetLang = "en", minQuality = 0.2,
+      dedupLinesWithinDoc = true, dedupParagraphs = true)
+      .select("page_id", "clean_text")
+      .as[(Long, String)].collect().toMap
+    assert(out.keySet == Set(1L, 3L))
+    // within-doc repeated menu line deduped; the shared footer
+    // paragraph survives once corpus-wide (doc 1, first occurrence);
+    // doc 3 keeps only its unique paragraph
+    assert(out(1L) == s"$menu\n$body1\n\n$footer")
+    assert(out(3L) == s"$menu\n$body2")
+    // hooks OFF: the preset reduces to url-dedup + gates + content
+    // dedup — doc 4's boilerplate-only page now survives or fails on
+    // the gates alone (here: passes lang, fails nothing) and repeats
+    // stay in the text
+    val plain = Curation.webCurateStructured(pages, "page_id", "url",
+      "text", targetLang = "en", minQuality = 0.0)
+      .select("page_id", "clean_text")
+      .as[(Long, String)].collect().toMap
+    assert(plain(1L) == page(body1))
+    // cross-corpus boilerplate hook AFTER url dedup: menu survives in
+    // 2 of the 3 remaining docs, footer in 3 — maxLineDocFreq = 1
+    // removes both everywhere; bodies survive, the boilerplate-only
+    // doc 4 empties out and drops at the paragraph stage
+    val noMenu = Curation.webCurateStructured(pages, "page_id", "url",
+      "text", targetLang = "en", minQuality = 0.2,
+      maxLineDocFreq = 1, dedupParagraphs = true)
+      .select("page_id", "clean_text")
+      .as[(Long, String)].collect().toMap
+    assert(noMenu.keySet == Set(1L, 3L))
+    assert(!noMenu.values.exists(_.contains(menu)))
+    assert(noMenu(1L).contains(body1) && noMenu(3L).contains(body2))
+  }
 }

@@ -1477,4 +1477,60 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeFeatures(bytes, 4).toSeq ==
       Multimodal.DecodeStub.features(bytes, 4).toSeq)
   }
+
+  test("dHash: brightness-shift invariant, local-edit tolerant, " +
+      "structurally-different images far apart") {
+    def img(v: (Int, Int) => Int) = Multimodal.ImageIoDecoder
+      .decode(Multimodal.grayBmp(9, 7, v)).get
+    // bounded base (max 146) so the +40 shift below cannot wrap a byte
+    val base = (x: Int, y: Int) => x * 13 + y * 7
+    val h0 = Multimodal.dHashOf(img(base))
+    // global brightness shift: identical hash (gradient SIGNS only)
+    val h1 = Multimodal.dHashOf(img((x, y) => base(x, y) + 40))
+    // one-pixel edit: at most 2 gradient bits
+    val h2 = Multimodal.dHashOf(img((x, y) =>
+      if (x == 4 && y == 3) base(x, y) + 30 else base(x, y)))
+    // reversed gradient: structurally different
+    val h3 = Multimodal.dHashOf(img((x, y) => 250 - base(x, y)))
+    assert(h0 == h1)
+    assert(java.lang.Long.bitCount(h0 ^ h2) <= 2)
+    assert(java.lang.Long.bitCount(h0 ^ h3) > 10)
+    // larger images area-average down to the same grid: a 2x upscale
+    // (pixel replication) preserves the hash
+    val big = Multimodal.ImageIoDecoder
+      .decode(Multimodal.grayBmp(18, 14, (x, y) => base(x / 2, y / 2)))
+      .get
+    assert(Multimodal.dHashOf(big) == h0)
+  }
+
+  test("mediaNearDup finds planted perceptual siblings via the " +
+      "banded hamming join; non-images take the md5 stub hash") {
+    import spark.implicits._
+    val media = (0L until 40L).toDF("media_id")
+      .as[Long].map(id => (id, Multimodal.fixtureBmp(id)))
+      .toDF("media_id", "content")
+    val pairs = Multimodal.mediaNearDup(media, maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // ids 0..19 are 20 distinct bases (no siblings yet): the planted
+    // pairs need ids >= 100 — none here, so only stride collisions
+    val media2 = ((0L until 20L) ++ (100L until 120L)).toDF("media_id")
+      .as[Long].map(id => (id, Multimodal.fixtureBmp(id)))
+      .toDF("media_id", "content")
+    val pairs2 = Multimodal.mediaNearDup(media2, maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    (0L until 20L).foreach { d =>
+      assert(pairs2.contains((d, d + 100L)),
+        s"planted sibling ($d, ${d + 100}) missing")
+    }
+    assert(pairs.forall { case (a, b) => a < b })
+    // stub path: deterministic md5-56 for non-image payloads
+    val txt = "not an image".getBytes
+    assert(Multimodal.stubHash(txt) == Multimodal.stubHash(txt))
+    assert(Multimodal.stubHash(txt) >= 0L)
+    val stubMedia = Seq((1L, txt), (2L, txt),
+      (3L, "different".getBytes)).toDF("media_id", "content")
+    val stubPairs = Multimodal.mediaNearDup(stubMedia, maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(stubPairs == Set((1L, 2L))) // identical bytes only
+  }
 }
