@@ -26,6 +26,12 @@ object ScaleProbe {
     val reps = if (args.length > 2) args(2).toInt else 3
     val cap = if (args.length > 3) args(3).toLong else -1L
     val thr = if (args.length > 4) args(4).toDouble else 0.3
+    // op-specific extra knob: bitextrecall jitter amplitude — the
+    // per-component factor is uniform in (1-amp, 1+amp), so planted
+    // pair cosine ≈ 1/sqrt(1 + amp²/3): 0.05 plants ~0.999 copies,
+    // 0.7 the ~0.93 "paraphrase" regime, 1.2 the ~0.82 boundary where
+    // LSH bucket-collision loss becomes visible
+    val amp = if (args.length > 5) args(5).toDouble else 0.05
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -414,7 +420,7 @@ object ScaleProbe {
             .select(col("vec_id"), col("embedding"))
           val bPar = aSide.select(col("vec_id"),
             expr("transform(embedding, (x, i) -> x * (1.0 + " +
-              "((hash(vec_id * 131 + i) % 101) / 2020.0)))")
+              s"((hash(vec_id * 131 + i) % 101) / 101.0 * $amp)))")
               .as("embedding"))
           // corpus mean direction, folded to a literal (64 doubles of
           // bounded driver state), hash-jittered per hub id

@@ -881,11 +881,18 @@ object Dedup {
     * [[minhashLshPairs]]/[[simhashNearDup]]/[[embeddingNearDup]] — "keep
     * one document per duplicate cluster").
     *
-    * Hash-min label propagation: every node starts labeled with its own id;
-    * each iteration propagates the minimum label across edges; converges in
-    * O(cluster diameter) iterations — near-dup clusters are shallow, so a
-    * handful. Each iteration is ONE shuffle join + ONE aggregate over the
-    * edge list, and each generation is truncated with an eager
+    * Hash-min label propagation WITH pointer jumping (path halving —
+    * the Shiloach-Vishkin ingredient): every node starts labeled with
+    * its own id; each iteration takes the minimum label across edges
+    * AND THEN adopts its label-node's own new label, doubling the
+    * propagation reach per round — convergence in O(log diameter)
+    * iterations, not O(diameter). The distinction is not academic:
+    * the 100× rehearsal corpus contains near-dup chains deeper than
+    * 20 hops, which the plain neighbor-min loop silently
+    * under-converged (caught r14 by the mergeClusters equivalence
+    * probe). Each iteration is one shuffle join + one aggregate over
+    * the edge list plus one label-keyed self-join, and each
+    * generation is truncated with an eager
     * checkpoint — without it the logical plan nests every previous
     * iteration and analysis time grows super-linearly (the standard
     * iterative-algorithm trap). No driver-side graph: only the
@@ -913,14 +920,32 @@ object Dedup {
       val nbrMin = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id")).agg(min("lbl").as("nlbl"))
+      val stepped = labels.withColumnRenamed("lbl", "old")
+        .join(nbrMin, Seq("id"), "left_outer")
+        .select(col("id"),
+          least(col("old"), coalesce(col("nlbl"), col("old"))).as("mid"),
+          col("old"))
+      // POINTER JUMP (path halving): a label is itself a node id, so
+      // every node additionally adopts its label-node's own stepped
+      // label. Neighbor-min alone reaches one hop per iteration —
+      // convergence in O(cluster diameter) rounds, which SILENTLY
+      // under-converged on the 100× rehearsal corpus (chains deeper
+      // than maxIter=20 — caught by the mergeClusters equivalence
+      // probe, whose contracted graph converged to the true min while
+      // the full graph had 32 labels still movable). The jump doubles
+      // effective reach per round: O(log diameter) iterations, so
+      // maxIter=20 now covers diameters to ~2^20 instead of 20.
+      val jump = stepped.select(col("id").as("__ln"),
+        col("mid").as("__jlbl"))
       // the changed-label count is observed INSIDE the checkpoint job
       // (CollectMetrics) — convergence costs no extra join/count job;
       // the eager checkpoint is the action that fills it
       val obs = org.apache.spark.sql.Observation()
-      val next = labels.withColumnRenamed("lbl", "old")
-        .join(nbrMin, Seq("id"), "left_outer")
+      val next = stepped
+        .join(jump, col("mid") === col("__ln"), "left_outer")
         .select(col("id"),
-          least(col("old"), coalesce(col("nlbl"), col("old"))).as("lbl"),
+          least(col("mid"), coalesce(col("__jlbl"), col("mid")))
+            .as("lbl"),
           col("old"))
         .observe(obs, sum(when(col("lbl") =!= col("old"), 1L)
           .otherwise(0L)).as("changed"))

@@ -1060,6 +1060,38 @@ class DataPipelineOpsSpec extends SparkSpec {
     assert(viaStore == lsh && viaStore == Set((1L, 1L, 100L)))
   }
 
+  test("bitextMineLsh boundary regime: more tables hold recall on " +
+      "0.8-cosine pairs where more planes collapse it") {
+    // planted parallel pairs at the ~0.82-cosine boundary (amp 1.2
+    // per-component jitter): the brute path is ground truth, both
+    // paths share the margin math, so the gap is pure LSH candidate
+    // loss. Deterministic (hash-seeded) — the SCALE.md curve's
+    // regime, pinned.
+    val a = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .orderBy("vec_id").limit(64)
+      .select($"vec_id", $"embedding")
+    val b = a.select($"vec_id",
+      expr("transform(embedding, (x, i) -> x * (1.0 + " +
+        "((hash(vec_id * 131 + i) % 101) / 101.0 * 1.2)))")
+        .as("embedding"))
+    def mined(np: Int, tb: Int): Set[(Long, Long)] =
+      graft.ops.Similarity.bitextMineLsh(a, b, "vec_id", "embedding",
+        k = 4, minMargin = 1.0, nPlanes = np, tables = tb, dim = 64)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val brute = graft.ops.Similarity.bitextMine(a, b, "vec_id",
+        "embedding", k = 4, minMargin = 1.0)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty)
+    def recall(s: Set[(Long, Long)]): Double =
+      s.intersect(brute).size.toDouble / brute.size
+    // coarse buckets, many tables: the bitext posture — recall holds
+    assert(recall(mined(np = 4, tb = 16)) >= 0.95)
+    // fine buckets, few tables: the NEAR-DUP posture — collapses on
+    // moderate-cosine pairs (the sizing mistake the curve warns about)
+    assert(recall(mined(np = 16, tb = 2)) <= 0.6)
+  }
+
   test("empty-frame dim probes return empty results instead of " +
       "throwing (r13 advice)") {
     val empty = Seq.empty[(Long, Array[Double])]
