@@ -935,18 +935,30 @@ object Dedup {
       // the full graph had 32 labels still movable). The jump doubles
       // effective reach per round: O(log diameter) iterations, so
       // maxIter=20 now covers diameters to ~2^20 instead of 20.
-      val jump = stepped.select(col("id").as("__ln"),
-        col("mid").as("__jlbl"))
+      // It starts at round 3: typical near-dup clusters are
+      // star/clique-shaped and converge in 2-3 plain rounds, so the
+      // common case never pays the extra label-keyed join — only
+      // graphs still moving by round 3 (deep chains, the 100× shape)
+      // buy the doubled reach, and for them 3 + log2(diameter)
+      // rounds still clears maxIter=20 up to ~2^17 diameters.
+      val jumping = it >= 2
       // the changed-label count is observed INSIDE the checkpoint job
       // (CollectMetrics) — convergence costs no extra join/count job;
       // the eager checkpoint is the action that fills it
       val obs = org.apache.spark.sql.Observation()
-      val next = stepped
-        .join(jump, col("mid") === col("__ln"), "left_outer")
-        .select(col("id"),
-          least(col("mid"), coalesce(col("__jlbl"), col("mid")))
-            .as("lbl"),
+      val next0 =
+        if (!jumping) stepped.select(col("id"), col("mid").as("lbl"),
           col("old"))
+        else {
+          val jump = stepped.select(col("id").as("__ln"),
+            col("mid").as("__jlbl"))
+          stepped.join(jump, col("mid") === col("__ln"), "left_outer")
+            .select(col("id"),
+              least(col("mid"), coalesce(col("__jlbl"), col("mid")))
+                .as("lbl"),
+              col("old"))
+        }
+      val next = next0
         .observe(obs, sum(when(col("lbl") =!= col("old"), 1L)
           .otherwise(0L)).as("changed"))
         .select("id", "lbl")

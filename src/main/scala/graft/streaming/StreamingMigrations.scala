@@ -268,6 +268,63 @@ object StreamingMigrations {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Continuous duplicate-cluster maintenance — the final stage of the
+    * fully-incremental dedup loop: [[incrementalNearDupStream]] /
+    * [[incrementalEmbeddingDedupStream]] emit per-batch pair files,
+    * and this stream folds each pair batch into a persisted
+    * (id, component) labeling via [[graft.ops.Dedup.mergeClusters]] —
+    * label propagation runs over the contracted DELTA graph only, so
+    * no batch ever re-runs connected components over the accumulated
+    * pair set (the q50-class cost the merge probe measured at 12× the
+    * merge path by the second decade).
+    *
+    * Labels are GENERATIONS: each batch writes the complete updated
+    * labeling to `labelsPath/batch=N` (overwriting its own subdir —
+    * idempotent on retry) and reads the HIGHEST generation strictly
+    * below its id as the prior, so a retried batch re-derives from
+    * the same prior it saw first. The first batch seeds with a full
+    * [[graft.ops.Dedup.duplicateClusters]] over its own pairs.
+    * Readers take the max-id generation; superseded generations are
+    * retention history (prune externally). At very large node counts
+    * the full-generation write is the simplicity/IO trade — the
+    * labels frame is two longs per ever-paired doc, orders of
+    * magnitude narrower than the corpus. Reset labelsPath and
+    * checkpoint TOGETHER — one unit of state. */
+  def clusterMaintenanceStream(pairs: DataFrame, idA: String,
+      idB: String, labelsPath: String, checkpoint: String,
+      maxIter: Int = 20)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    pairs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val root = new org.apache.hadoop.fs.Path(labelsPath)
+        val fs = root.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val prior =
+          if (!fs.exists(root)) None
+          else fs.listStatus(root)
+            .filter(_.isDirectory)
+            .flatMap(s => scala.util.Try(
+              s.getPath.getName.stripPrefix("batch=").toLong).toOption)
+            .filter(_ < batchId)
+            .sorted.lastOption
+        val labels = prior match {
+          case None =>
+            graft.ops.Dedup.duplicateClusters(batch, idA, idB, maxIter)
+          case Some(k) =>
+            graft.ops.Dedup.mergeClusters(
+              spark.read.parquet(s"$labelsPath/batch=$k"),
+              batch, idA, idB, maxIter)
+        }
+        labels.write.mode("overwrite")
+          .parquet(s"$labelsPath/batch=$batchId")
+        graft.ops.Dedup.releaseCaches()
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Continuous ANN-index maintenance: each arriving embedding
     * micro-batch is assigned to its nearest IVF centroid (the scan-fused
     * literal-centroid compare of `Similarity.ivfAssign`) and appended to

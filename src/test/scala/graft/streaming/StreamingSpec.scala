@@ -172,6 +172,40 @@ class StreamingSpec extends SparkSpec {
       .sorted.toSeq == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("clusterMaintenanceStream folds each pair batch into the " +
+      "persisted labeling — final generation equals the full " +
+      "recompute over all pairs") {
+    val tmp = Files.createTempDirectory("cluster-stream").toString
+    val schema = Seq((1L, 2L)).toDF("id_a", "id_b").schema
+    // batch 0: two separate clusters; batch 1: a bridge + a new node
+    val b1 = Seq((1L, 2L), (10L, 11L))
+    val b2 = Seq((2L, 10L), (11L, 30L))
+    b1.toDF("id_a", "id_b").coalesce(1).write.parquet(s"$tmp/src")
+    b2.toDF("id_a", "id_b").coalesce(1).write.mode("append")
+      .parquet(s"$tmp/src")
+    StreamingMigrations.clusterMaintenanceStream(
+      StreamingMigrations.readStream(spark, s"$tmp/src", schema,
+        maxFilesPerTrigger = Some(1)),
+      "id_a", "id_b", s"$tmp/labels", s"$tmp/ck")
+      .awaitTermination(120000)
+    val fs = new org.apache.hadoop.fs.Path(s"$tmp/labels")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gens = fs.listStatus(new org.apache.hadoop.fs.Path(
+        s"$tmp/labels")).map(_.getPath.getName)
+      .filter(_.startsWith("batch=")).sorted
+    assert(gens.toSeq == Seq("batch=0", "batch=1"))
+    val gen0 = spark.read.parquet(s"$tmp/labels/batch=0")
+      .as[(Long, Long)].collect().toMap
+    assert(gen0 == Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 10L))
+    val gen1 = spark.read.parquet(s"$tmp/labels/batch=1")
+      .as[(Long, Long)].collect().toMap
+    val full = graft.ops.Dedup.duplicateClusters(
+      (b1 ++ b2).toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(gen1 == full)
+    assert(gen1(30L) == 1L && gen1(10L) == 1L) // bridged to min id 1
+  }
+
   test("streaming crawl dedup: normalizeUrl canonical key composes " +
       "with streamingDedup — re-fetches and URL variants drop") {
     val tmp = Files.createTempDirectory("crawl-dedup").toString
