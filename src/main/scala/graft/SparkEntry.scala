@@ -1913,6 +1913,25 @@ object SparkEntry {
         .orderBy("new_id", "ref_id")
     }),
 
+    // the EMBEDDED-corpus curation preset, one call: LSH near-dup
+    // pairs (pinned 8-plane/4-table space) -> duplicate clusters ->
+    // keep best quality per cluster -> semantic decon vs the first 8
+    // vectors as benchmark -> deterministic 80% hash sample; the
+    // oracle replays every stage (buckets, cosine, recursive CC,
+    // keep-best window, brute decon, hash-sample arithmetic)
+    "q249_embed_curate" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+        .withColumn("quality", (col("vec_id") * 37 % 101).cast("long"))
+      graft.ops.Curation.embedCurate(e, "vec_id", "embedding",
+        "quality", dupThreshold = 0.3,
+        bench = Some((e.where(col("vec_id") < 8), "vec_id",
+          "embedding")),
+        deconThreshold = 0.5, blockTables = 4, blockPlanes = 8,
+        dim = 64, sampleFraction = 0.8)
+        .select("vec_id", "component", "cluster_size")
+        .orderBy("vec_id")
+    }),
+
     // the crawl preset's STRUCTURED entry point, hooks ON: within-doc
     // line dedup (repeated nav menu) runs BEFORE cross-corpus
     // paragraph dedup (shared footer survives once per residue class)
@@ -6176,6 +6195,63 @@ object SparkEntry {
          |  ON a.doc_id >= 200 AND b.doc_id < 200
          | AND bit_count(xor(a.simhash, b.simhash)) <= 3
          |ORDER BY new_id, ref_id""".stripMargin,
+
+    // every preset stage replayed: pinned-plane buckets (q22/q244
+    // machinery), exact-cosine pair verify, q50's recursive CC,
+    // q225's keep-best window, brute-cosine decon vs the bench slice
+    // (the broadcast path IS exact), q39's hash-sample arithmetic
+    "q249_embed_curate" ->
+      s"""WITH RECURSIVE raw AS (
+         |${lshBucketsCte(4, 8, 64)}),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+         |  FROM raw a JOIN raw b
+         |    ON a.t = b.t AND a.bkt = b.bkt AND a.vec_id < b.vec_id),
+         |pp AS (
+         |  SELECT ia, ib, x.embedding AS ea, y.embedding AS eb FROM cand
+         |  JOIN embeddings x ON x.vec_id = ia
+         |  JOIN embeddings y ON y.vec_id = ib),
+         |${cosineCtes("pp")},
+         |p AS (SELECT ia AS id_a, ib AS id_b FROM d
+         |  WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.3),
+         |und AS (SELECT id_a AS a, id_b AS b FROM p
+         |        UNION SELECT id_b, id_a FROM p),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM und
+         |  UNION
+         |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+         |comp AS (SELECT a AS id, LEAST(a, MIN(b)) AS component
+         |         FROM reach GROUP BY a),
+         |lab AS (
+         |  SELECT e.vec_id,
+         |    COALESCE(c.component, e.vec_id) AS component,
+         |    (e.vec_id * 37) % 101 AS q
+         |  FROM embeddings e LEFT JOIN comp c ON c.id = e.vec_id),
+         |r AS (
+         |  SELECT vec_id, component,
+         |    count(*) OVER (PARTITION BY component) AS cluster_size,
+         |    row_number() OVER (PARTITION BY component
+         |      ORDER BY q DESC, vec_id) AS rn
+         |  FROM lab),
+         |kept AS (SELECT vec_id, component, cluster_size FROM r
+         |  WHERE rn = 1),
+         |bp AS (
+         |  SELECT c.vec_id AS ia, b.vec_id AS ib,
+         |    c.embedding AS ea, b.embedding AS eb
+         |  FROM embeddings c, embeddings b WHERE b.vec_id < 8),
+         |d2 AS (SELECT ia, ib,
+         |  SUM(CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)) AS dot,
+         |  SUM(CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE)) AS na,
+         |  SUM(CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)) AS nb
+         |  FROM bp, UNNEST(range(1, len(ea) + 1)) AS u(i)
+         |  GROUP BY ia, ib),
+         |flag AS (SELECT DISTINCT ia AS vec_id FROM d2
+         |  WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.5)
+         |SELECT k.vec_id, k.component, k.cluster_size FROM kept k
+         |WHERE k.vec_id NOT IN (SELECT vec_id FROM flag)
+         |  AND ('0x' || substr(md5(k.vec_id::VARCHAR), 1, 15))::BIGINT
+         |      % 1000000 < 800000
+         |ORDER BY k.vec_id""".stripMargin,
 
     // every hook stage replayed in the engine's order: line dedup
     // (q239 chain) -> paragraph dedup (q236 chain) -> langId ->

@@ -82,6 +82,51 @@ object Curation {
       sampleFraction, salt, minLangMargin)
   }
 
+  /** The EMBEDDED-corpus curation preset — [[webCurate]] for a corpus
+    * whose unit of meaning is a vector (dataset distillation before
+    * pre-training/fine-tuning), composed from the library's embedding
+    * primitives in the order production pipelines run them:
+    *
+    *   near-dup pairs ([[Dedup.embeddingNearDup]], multi-table
+    *   hyperplane LSH + exact-cosine verify) → duplicate clusters
+    *   ([[Dedup.duplicateClusters]]) → keep the BEST-quality doc per
+    *   cluster ([[Dedup.resolveClusters]]) → semantic benchmark
+    *   decontamination ([[Decontaminate.semantic]], survivors within
+    *   `deconThreshold` cosine of any bench vector drop) →
+    *   deterministic hash sample.
+    *
+    * `bench = Some((frame, idCol, vecCol))` enables the decon stage;
+    * None skips it. `blockPlanes <= 0` keeps [[Dedup.embeddingNearDup]]'s
+    * corpus-adaptive bucket sizing (pin it for reproducibility / when
+    * feeding saved [[Dedup.vectorBucketSignatures]] stores upstream).
+    *
+    * Shape at 100 TB: the pair stage is the banded LSH equi-join
+    * (valved), clustering is the pointer-jumped propagation over the
+    * PAIR graph (narrow), keep-best is one shared component exchange,
+    * decon broadcasts a ≤65536-vector bench (LSH above), the sample is
+    * scan-side hash math. Output: surviving rows + `component` +
+    * `cluster_size`. */
+  def embedCurate(df: DataFrame, idCol: String, vecCol: String,
+      qualityCol: String, dupThreshold: Double,
+      bench: Option[(DataFrame, String, String)] = None,
+      deconThreshold: Double = 0.9, blockTables: Int = 4,
+      blockPlanes: Int = 0, dim: Int = 0,
+      sampleFraction: Double = 1.0, salt: String = ""): DataFrame = {
+    val pairs = Dedup.embeddingNearDup(df, idCol, vecCol, dupThreshold,
+      blockTables = blockTables, blockPlanes = blockPlanes, dim = dim)
+    val clusters = Dedup.duplicateClusters(pairs)
+    val kept = Dedup.resolveClusters(df, clusters, idCol, qualityCol)
+    val deconed = bench match {
+      case Some((b, bid, bvec)) =>
+        val flagged = Decontaminate.semantic(kept, idCol, vecCol,
+          b, bid, bvec, deconThreshold, dim = dim)
+          .select(col(idCol))
+        kept.join(flagged, Seq(idCol), "left_anti")
+      case None => kept
+    }
+    Sampling.hashSample(deconed, idCol, sampleFraction, salt)
+  }
+
   /** The crawl preset's STRUCTURED-TEXT entry point: for callers whose
     * extraction (their own boilerplate-aware parser, a WET file, a
     * pre-rendered text dump) already produced text WITH line/paragraph

@@ -115,4 +115,40 @@ class CurationSpec extends graft.SparkSpec {
     assert(!noMenu.values.exists(_.contains(menu)))
     assert(noMenu(1L).contains(body1) && noMenu(3L).contains(body2))
   }
+
+  test("embedCurate: cluster dedup keeps best quality, bench decon " +
+      "drops contaminated survivors, sample is deterministic") {
+    // 1 and 2 are one direction (cluster: keep best quality = 2);
+    // 3 is orthogonal and CLOSE to the bench vector (decon drops it);
+    // 4 is an untouched singleton
+    val corpus = Seq(
+      (1L, Array(1.0, 0.0, 0.0, 0.0), 5L),
+      (2L, Array(2.0, 0.0, 0.0, 0.0), 9L),
+      (3L, Array(0.0, 1.0, 0.0, 0.0), 7L),
+      (4L, Array(0.0, 0.0, 1.0, 0.0), 1L)
+    ).toDF("vec_id", "embedding", "quality")
+    val bench = Seq((100L, Array(0.0, 3.0, 0.0, 0.0)))
+      .toDF("b_id", "b_vec")
+    val out = Curation.embedCurate(corpus, "vec_id", "embedding",
+      "quality", dupThreshold = 0.9,
+      bench = Some((bench, "b_id", "b_vec")), deconThreshold = 0.9,
+      blockTables = 2, blockPlanes = 4, dim = 4)
+      .select("vec_id", "component", "cluster_size")
+      .as[(Long, Long, Long)].collect().toSet
+    graft.ops.Dedup.releaseCaches()
+    // 2 survives its cluster (quality 9 > 5) labeled by min id 1;
+    // 3 is decontaminated away; 4 is a singleton
+    assert(out == Set((2L, 1L, 2L), (4L, 4L, 1L)))
+    // bench = None skips decon; sampleFraction = 0 empties the output
+    val noDecon = Curation.embedCurate(corpus, "vec_id", "embedding",
+      "quality", dupThreshold = 0.9, blockTables = 2, blockPlanes = 4,
+      dim = 4)
+      .select("vec_id").as[Long].collect().toSet
+    graft.ops.Dedup.releaseCaches()
+    assert(noDecon == Set(2L, 3L, 4L))
+    assert(Curation.embedCurate(corpus, "vec_id", "embedding",
+      "quality", dupThreshold = 0.9, blockTables = 2, blockPlanes = 4,
+      dim = 4, sampleFraction = 0.0).count() == 0)
+    graft.ops.Dedup.releaseCaches()
+  }
 }
