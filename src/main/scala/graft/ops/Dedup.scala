@@ -881,18 +881,22 @@ object Dedup {
     * [[minhashLshPairs]]/[[simhashNearDup]]/[[embeddingNearDup]] — "keep
     * one document per duplicate cluster").
     *
-    * Hash-min label propagation WITH pointer jumping (path halving —
-    * the Shiloach-Vishkin ingredient): every node starts labeled with
-    * its own id; each iteration takes the minimum label across edges
-    * AND THEN adopts its label-node's own new label, doubling the
-    * propagation reach per round — convergence in O(log diameter)
-    * iterations, not O(diameter). The distinction is not academic:
-    * the 100× rehearsal corpus contains near-dup chains deeper than
-    * 20 hops, which the plain neighbor-min loop silently
-    * under-converged (caught r14 by the mergeClusters equivalence
-    * probe). Each iteration is one shuffle join + one aggregate over
-    * the edge list plus one label-keyed self-join, and each
-    * generation is truncated with an eager
+    * Min-based star contraction with full path compression (the
+    * Shiloach-Vishkin / MapReduce-CC family): each round derives the
+    * root→min-adjacent-root forest from the CURRENT contracted edge
+    * set, compresses that map to its tree bottoms with map-only
+    * self-joins, then relabels nodes and REWRITES THE EDGES through
+    * the compressed map (self-loops drop). Every min-forest tree
+    * contracts to one node per round, so the loop converges in
+    * O(log n) rounds regardless of id layout — plain neighbor-min
+    * propagation is O(diameter) and silently under-converged on the
+    * 100× rehearsal corpus's >20-hop chains (caught r14 by the
+    * mergeClusters equivalence probe; label-side pointer jumping
+    * stalls the same way on alternating-id chains, and uncompressed
+    * contraction shifts monotone-id chains without shrinking them —
+    * the in-loop comments walk the counterexamples). Each round is
+    * one aggregate + a few joins over the SHRINKING edge set, and
+    * every generation is truncated with an eager
     * checkpoint — without it the logical plan nests every previous
     * iteration and analysis time grows super-linearly (the standard
     * iterative-algorithm trap). No driver-side graph: only the
@@ -907,91 +911,111 @@ object Dedup {
   def duplicateClusters(pairs: DataFrame, idA: String = "id_a",
       idB: String = "id_b", maxIter: Int = 20,
       checkpointDir: Option[String] = None): DataFrame = {
-    val edges = tracked(pairs
+    val edges0 = pairs
       .select(col(idA).as("src"), col(idB).as("dst"))
       .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
-      .distinct().persist())
+      .where(col("src") =!= col("dst"))
+      .distinct()
+    // STAR CONTRACTION WITH FULL PATH COMPRESSION: each round
+    // (a) computes every current root's min-adjacent root — a
+    // functional forest pointing strictly toward smaller ids;
+    // (b) PATH-COMPRESSES that root map to its tree bottoms with
+    // cheap map-only self-joins (the map is root-sized, no edge data
+    // moves); (c) relabels nodes AND — the step plain label
+    // propagation lacks — REWRITES THE EDGES through the compressed
+    // map, dropping self-loops. Every min-forest tree contracts to
+    // ONE node per round, so surviving roots at least halve while
+    // edges remain: O(log n) outer rounds GUARANTEED, regardless of
+    // id layout.
+    //
+    // Why the strong form: plain neighbor-min floods one edge per
+    // round (O(diameter) — silently under-converged on the 100×
+    // rehearsal corpus); neighbor-min + pointer jumping over LABELS
+    // stalls the same way on alternating-id chains (replica/strided
+    // ids: pointer trees stay depth-1 at local minima while the true
+    // min crosses edges at flood speed — measured 24 rounds on the
+    // sf0.1 embedding pair graph); and UNCOMPRESSED contraction
+    // shifts monotone-id chains without shrinking them (edge (v,v+1)
+    // rewrites to (v-1,v) forever). Compressing the root map before
+    // applying it closes all three holes at once.
+    var e = Checkpoints.truncate(edges0, checkpointDir)
     var labels = Checkpoints.truncate(
-      edges.select(col("src").as("id")).distinct()
+      e.select(col("src").as("id")).distinct()
         .withColumn("lbl", col("id")), checkpointDir)
+    var remaining = e.limit(1).count()
     var it = 0
-    var converged = false
-    while (!converged && it < maxIter) {
-      val nbrMin = edges
-        .join(labels.withColumnRenamed("id", "dst"), "dst")
-        .groupBy(col("src").as("id")).agg(min("lbl").as("nlbl"))
-      val stepped = labels.withColumnRenamed("lbl", "old")
-        .join(nbrMin, Seq("id"), "left_outer")
-        .select(col("id"),
-          least(col("old"), coalesce(col("nlbl"), col("old"))).as("mid"),
-          col("old"))
-      // POINTER JUMP (path halving): a label is itself a node id, so
-      // every node additionally adopts its label-node's own stepped
-      // label. Neighbor-min alone reaches one hop per iteration —
-      // convergence in O(cluster diameter) rounds, which SILENTLY
-      // under-converged on the 100× rehearsal corpus (chains deeper
-      // than maxIter=20 — caught by the mergeClusters equivalence
-      // probe, whose contracted graph converged to the true min while
-      // the full graph had 32 labels still movable). The jump doubles
-      // effective reach per round: O(log diameter) iterations, so
-      // maxIter=20 now covers diameters to ~2^20 instead of 20.
-      // It starts at round 3: typical near-dup clusters are
-      // star/clique-shaped and converge in 2-3 plain rounds, so the
-      // common case never pays the extra label-keyed join — only
-      // graphs still moving by round 3 (deep chains, the 100× shape)
-      // buy the doubled reach, and for them 3 + log2(diameter)
-      // rounds still clears maxIter=20 up to ~2^17 diameters.
-      val jumping = it >= 2
-      // the changed-label count is observed INSIDE the checkpoint job
-      // (CollectMetrics) — convergence costs no extra join/count job;
-      // the eager checkpoint is the action that fills it
-      val obs = org.apache.spark.sql.Observation()
-      val next0 =
-        if (!jumping) stepped.select(col("id"), col("mid").as("lbl"),
-          col("old"))
-        else {
-          val jump = stepped.select(col("id").as("__ln"),
-            col("mid").as("__jlbl"))
-          stepped.join(jump, col("mid") === col("__ln"), "left_outer")
-            .select(col("id"),
-              least(col("mid"), coalesce(col("__jlbl"), col("mid")))
-                .as("lbl"),
-              col("old"))
-        }
-      val next = next0
-        .observe(obs, sum(when(col("lbl") =!= col("old"), 1L)
-          .otherwise(0L)).as("changed"))
-        .select("id", "lbl")
-      val nextCp = Checkpoints.truncate(next, checkpointDir)
-      // the checkpoint job has finished; the listener delivers the row
-      // asynchronously moments later — bounded wait, with a counting
-      // fallback in case the checkpoint action bypasses the listener
-      val changed = try {
-        val row = scala.concurrent.Await.result(obs.future,
-          scala.concurrent.duration.Duration(10, "seconds"))
-        if (row.isNullAt(0)) 0L else row.getLong(0)
-      } catch {
-        case _: java.util.concurrent.TimeoutException =>
-          nextCp.join(labels.withColumnRenamed("lbl", "old"), "id")
-            .where(col("lbl") =!= col("old")).count()
+    while (remaining > 0 && it < maxIter) {
+      // every edge endpoint is a CURRENT root (round-0 endpoints are
+      // self-labeled nodes; later rounds rewrite through the map)
+      // rlCp tracks the MATERIALIZED generation (release works only on
+      // the truncate output itself, not projections over it); rl is
+      // the (__r, __rl) view the joins consume
+      var rlCp = Checkpoints.truncate(
+        e.groupBy("src").agg(min("dst").as("nlbl"))
+          .select(col("src").as("__r"),
+            least(col("src"), col("nlbl")).as("__rl")), checkpointDir)
+      var rl = rlCp
+      // path compression: __rl <- rl(__rl) until the map is flat.
+      // Targets strictly decrease along chains and chain depth at
+      // least halves per composition, so <= ~log2(n) cheap rounds;
+      // depth-1 star maps (the common near-dup shape) exit after one
+      // no-op composition.
+      var inner = 0
+      var compressing = true
+      while (compressing && inner < 40) {
+        val hop = rl.select(col("__r").as("__rl"),
+          col("__rl").as("__rl2"))
+        val comp = rl.join(hop, Seq("__rl"), "left_outer")
+          .select(col("__r"),
+            coalesce(col("__rl2"), col("__rl")).as("__rl"),
+            col("__rl").as("__prev"))
+        val compCp = Checkpoints.truncate(comp, checkpointDir)
+        val moved = compCp.where(col("__rl") =!= col("__prev"))
+          .limit(1).count()
+        Checkpoints.release(rlCp)
+        rlCp = compCp
+        // a narrow select over the materialized frame — no second
+        // checkpoint needed, the lineage is one projection deep
+        rl = compCp.select("__r", "__rl")
+        compressing = moved > 0
+        inner += 1
       }
-      Checkpoints.release(labels) // superseded generation's storage
-      labels = nextCp
-      converged = changed == 0
+      val newLabels = labels
+        .join(rl, labels("lbl") === rl("__r"), "left_outer")
+        .select(labels("id"),
+          coalesce(col("__rl"), labels("lbl")).as("lbl"))
+      val lblCp = Checkpoints.truncate(newLabels, checkpointDir)
+      val relS = rl.select(col("__r").as("src"), col("__rl").as("__s"))
+      val relD = rl.select(col("__r").as("dst"), col("__rl").as("__d"))
+      val eNext = e
+        .join(relS, Seq("src"), "left_outer")
+        .join(relD, Seq("dst"), "left_outer")
+        .select(coalesce(col("__s"), col("src")).as("src"),
+          coalesce(col("__d"), col("dst")).as("dst"))
+        .where(col("src") =!= col("dst"))
+        .distinct()
+      val eCp = Checkpoints.truncate(eNext, checkpointDir)
+      Checkpoints.release(labels)
+      Checkpoints.release(e)
+      Checkpoints.release(rlCp)
+      labels = lblCp
+      e = eCp
+      // the edge frame is freshly materialized — the emptiness probe
+      // is a bounded limit(1) over the checkpointed data, not a full
+      // count job
+      remaining = e.limit(1).count()
       it += 1
     }
-    // a chain-shaped cluster with diameter > maxIter would exit here with
-    // labels still moving — surface it instead of returning silently-wrong
-    // components (raise maxIter; iterations needed = cluster diameter)
-    if (!converged)
+    // a graph still carrying contracted edges at maxIter would exit
+    // with split components — surface it instead of returning
+    // silently-wrong labels. Contraction halves the structure per
+    // round, so 20 covers ~2^20-deep shapes; hitting this means
+    // something degenerate, not merely a big corpus.
+    if (remaining > 0)
       org.apache.log4j.Logger.getLogger(getClass).warn(
-        s"duplicateClusters: label propagation did NOT converge in $maxIter " +
-          "iterations — components may be split; raise maxIter")
-    // the final labels are ALREADY materialized (eager checkpoint) and
-    // their lineage is truncated, so the edge cache can be released
-    // deterministically right here — no hook needed
-    edges.unpersist(false)
-    cachedFrames.remove(edges)
+        s"duplicateClusters: star contraction did NOT converge in " +
+          s"$maxIter rounds — components may be split; raise maxIter")
+    Checkpoints.release(e)
     labels.select(col("id"), col("lbl").as("component"))
   }
 
