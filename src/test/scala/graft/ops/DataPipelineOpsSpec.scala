@@ -932,6 +932,37 @@ class DataPipelineOpsSpec extends SparkSpec {
       (4L, "last doc prose", 1L)))
   }
 
+  test("duplicateClusters converges on the adversarial id layouts " +
+      "that broke each propagation variant") {
+    // each shape defeated one design in r14: monotone chains shift
+    // under naive contraction, alternating chains stall label-side
+    // pointer jumping, deep chains exceed plain neighbor-min's
+    // maxIter, stars + cliques are the common fast path — all must
+    // land on exact min-id components within the DEFAULT maxIter
+    def cc(edges: Seq[(Long, Long)]): Map[Long, Long] =
+      Dedup.duplicateClusters(edges.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+    // monotone path 0-1-2-...-120
+    val mono = (0L until 120L).map(i => (i, i + 1))
+    assert(cc(mono) == (0L to 120L).map(_ -> 0L).toMap)
+    // alternating-id path: 0-100-1-101-2-102-... (local minima every
+    // other hop — the pointer-jump staller)
+    val alt = (0L until 60L).flatMap(i =>
+      Seq((i, i + 100L), (i + 100L, i + 1L))).dropRight(1)
+    val altC = cc(alt)
+    assert(altC.values.toSet == Set(0L) && altC.size == 120)
+    // two chains bridged mid-way + a clique + singleton pair
+    val mixed = (0L until 30L).map(i => (i * 2, i * 2 + 2)) ++
+      (100L until 130L).map(i => (i, i + 1)) ++
+      Seq((30L, 115L)) ++
+      (for (a <- 200L until 205L; b <- a + 1 until 205L) yield (a, b)) ++
+      Seq((300L, 301L))
+    val m = cc(mixed)
+    assert(m(130L) == 0L && m(115L) == 0L && m(60L) == 0L)
+    assert((200L until 205L).forall(m(_) == 200L))
+    assert(m(301L) == 300L)
+  }
+
   test("mergeClusters equals the full recompute and chains across " +
       "batches") {
     // batch 1: {1,2,3} one cluster, {10,11} another
