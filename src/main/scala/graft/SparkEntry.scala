@@ -1970,6 +1970,28 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // incremental MEDIA ingest with a PERSISTED chunk store (the q246
+    // simhash-store story for images, where DECODE is the expensive
+    // step): the ref corpus's perceptual hashes are decoded + chunked
+    // ONCE into the store, and the delta batch (ids 200-299, one-pixel
+    // perturbations of bases 0-99) decodes only itself — the verify
+    // reads the store's fingerprint column, never ref pixels
+    "q250_media_store_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val media = tbl(s, dir, "documents").where(col("doc_id") < 300)
+        .select("doc_id").as[Long]
+        .map(id => (id, Multimodal.fixtureBmp(id)))
+        .toDF("media_id", "content")
+      val store = scratchDir("graft-mediastore").toString
+      Multimodal.mediaChunkSignatures(
+          media.where(col("media_id") < 200), maxHamming = 3)
+        .write.mode("overwrite").partitionBy("chunk").parquet(store)
+      Multimodal.mediaNearDupBetween(
+        media.where(col("media_id") >= 200), s.read.parquet(store),
+        maxHamming = 3)
+        .orderBy("new_id", "ref_id")
+    }),
+
     "q243_web_curate" -> ((s, dir) => {
       val pre = Seq(
         "https://Example.com/p", "https://example.com/p",
@@ -6350,6 +6372,42 @@ object SparkEntry {
         |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.phash, b.phash)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // the q247 pixel-formula hash replay extended to the delta ids,
+    // then brute DIRECTIONAL hamming (new >= 200 vs ref < 200) —
+    // pigeonhole chunk blocking is complete within the radius, so the
+    // store path must match the exhaustive join
+    "q250_media_store_neardup" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 300),
+        |px AS (
+        |  SELECT doc_id, u.x, w.y,
+        |    CASE WHEN doc_id >= 100
+        |           AND u.x = (doc_id % 100) % 9
+        |           AND w.y = (doc_id % 100) % 7
+        |      THEN (((doc_id % 100)*31
+        |             + u.x*(17 + (doc_id % 100) % 13 * 29)
+        |             + w.y*13) % 251 + 3) % 251
+        |      ELSE ((doc_id % 100)*31
+        |            + u.x*(17 + (doc_id % 100) % 13 * 29)
+        |            + w.y*13) % 251 END AS v
+        |  FROM d, UNNEST(range(0, 9)) u(x), UNNEST(range(0, 7)) w(y)),
+        |bits AS (
+        |  SELECT a.doc_id, (a.y * 8 + a.x) AS j,
+        |    CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+        |  FROM px a JOIN px b
+        |    ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
+        |  WHERE a.x < 8),
+        |ph AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN bit = 1
+        |      THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END) AS BIGINT)
+        |      AS phash
+        |  FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS new_id, b.doc_id AS ref_id,
+        |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+        |FROM ph a JOIN ph b ON a.doc_id >= 200 AND b.doc_id < 200
+        |WHERE bit_count(xor(a.phash, b.phash)) <= 3
+        |ORDER BY new_id, ref_id""".stripMargin,
 
     "q243_web_curate" -> {
       val scores = TextFunctions.LangMarkers.map { case (lang, ms) =>

@@ -316,6 +316,8 @@ object Decontaminate {
         benchBuckets.columns.mkString("(", ", ", ")"))
     val d = if (dim > 0) dim
       else Similarity.probeDim(corpus, corpusVec).getOrElse(1)
+    Dedup.requireStoreParams(benchBuckets, "semanticPrecomputed",
+      "p_tables" -> tables, "p_planes" -> nPlanes, "p_dim" -> d)
     val c = corpus.select(col(corpusId).as("__c_id"),
       col(corpusVec).as("__cv"))
       .withColumn("__cn", vec_dot(col("__cv"), col("__cv")))

@@ -51,6 +51,41 @@ object Dedup {
     hooked
   }
 
+  /** Store-parameter stamp/validate (r14 advice): every persistable
+    * signature store carries its build parameters as literal columns
+    * (`p_*`), and the precomputed faces REQUIRE them to match the
+    * call's parameters before joining — a store built under different
+    * chunking/banding/planes buckets the delta differently, and the
+    * equi-join would silently MISS pairs instead of failing. The check
+    * reads ONE store row (bounded probe — a full-store distinct would
+    * re-scan the store every batch); a store with MIXED parameters
+    * (batches appended under different settings) violates the store
+    * contract and is only probabilistically caught. Stores written
+    * before the stamp existed carry no `p_*` columns and skip the
+    * check (documented legacy escape — restamp by rebuilding). */
+  private[ops] def requireStoreParams(store: DataFrame, face: String,
+      expected: (String, Int)*): Unit = {
+    val present = expected.filter(p => store.columns.contains(p._1))
+    if (present.nonEmpty) {
+      store.select(present.map(p => col(p._1)): _*).limit(1).collect()
+        .headOption.foreach { r =>
+          present.zipWithIndex.foreach { case ((name, want), i) =>
+            val got = r.get(i) match {
+              case n: Number => n.intValue
+              case other => sys.error(
+                s"$face: store column $name is non-numeric ($other)")
+            }
+            require(got == want,
+              s"$face: the store was built with $name=$got but this " +
+                s"call uses $name=$want — the two would chunk/bucket " +
+                "differently and the candidate equi-join would " +
+                "silently miss pairs. Rebuild the store at the call's " +
+                "parameters, or call with the store's.")
+          }
+        }
+    }
+  }
+
   /** Exact dedup: one survivor (minimal `orderCol`) per distinct key, with
     * the duplicate count. A single hash-partitioned aggregate — the 100 TB
     * path is one shuffle on the (hashed) key. Dedup on hashKey(text) rather
@@ -456,6 +491,9 @@ object Dedup {
     require(numPerms % bands == 0, "numPerms must be divisible by bands")
     bandFrame(minhashSignatures(df, idCol, textCol, k, numPerms),
       numPerms, bands, "id")
+      .withColumn("p_k", lit(k))
+      .withColumn("p_perms", lit(numPerms))
+      .withColumn("p_bands", lit(bands))
   }
 
   /** CROSS-FRAME MinHash LSH against a PRECOMPUTED reference: the
@@ -474,6 +512,8 @@ object Dedup {
       "minhashLshPairsBetweenPrecomputed: refBands needs (id, band, " +
         s"sig) — a minhashBandSignatures frame; got " +
         refBands.columns.mkString("(", ", ", ")"))
+    requireStoreParams(refBands, "minhashLshPairsBetweenPrecomputed",
+      "p_k" -> k, "p_perms" -> numPerms, "p_bands" -> bands)
     bandFrame(minhashSignatures(newDf, idCol, textCol, k, numPerms),
       numPerms, bands, "new_id")
       .join(refBands.select(col("id").as("ref_id"), col("band"),
@@ -767,15 +807,20 @@ object Dedup {
   /** The (id, simhash, chunk, key) pigeonhole-chunk frame shared by
     * the self-join and cross-frame simhash paths — one struct-explode
     * pass over the fingerprint frame. */
-  private def simhashChunkFrame(fp: DataFrame, bits: Int,
+  private[ops] def simhashChunkFrame(fp: DataFrame, bits: Int,
       maxHamming: Int): DataFrame = {
     val chunks = maxHamming + 1
     val width = math.max(bits / chunks, 1)
     val chunkStructs = (0 until chunks).map { c =>
       val lo = c * width
       val w = if (c == chunks - 1) bits - lo else width
+      // w = 64 (bits=64, maxHamming=0): (1L << 64) - 1 wraps to 0 and
+      // would collapse every fingerprint into ONE bucket — an O(n²)
+      // candidate join instead of an exact-equality one (r14 advice).
+      // The unsigned-shift form is exact at every width up to 64.
+      val mask = if (w >= 64) -1L else (1L << w) - 1
       struct(lit(c).as("chunk"),
-        expr(s"shiftright(simhash, $lo) & ${(1L << w) - 1}").as("key"))
+        expr(s"shiftright(simhash, $lo) & $mask").as("key"))
     }
     fp.select(col("id"), col("simhash"),
         explode(array(chunkStructs: _*)).as("ck"))
@@ -826,9 +871,28 @@ object Dedup {
   def simhashChunkSignatures(df: DataFrame, idCol: String,
       textCol: String, bits: Int = 60, maxHamming: Int = 3)
       : DataFrame =
+    hammingChunkSignatures(
+      TextFunctions.simhash(df, idCol, textCol, bits),
+      idCol, "simhash", bits, maxHamming)
+
+  /** The persistable chunk-signature frame for ANY caller-supplied
+    * ≤64-bit fingerprint — [[simhashChunkSignatures]] with the
+    * fingerprinting step in the caller's hands (perceptual image
+    * hash, binary-quantized embeddings, any locality-sensitive
+    * code): the r15 generalization that lets the IMAGE pipeline
+    * persist its decode+hash work the way the text pipeline persists
+    * simhash (decode is the expensive step there — see
+    * [[Multimodal.mediaChunkSignatures]]). Output: (id, simhash,
+    * chunk, key, p_bits, p_maxh) — the fingerprint rides with its
+    * chunks (self-sufficient store) and the `p_*` stamp pins the
+    * chunking parameters ([[requireStoreParams]]). */
+  def hammingChunkSignatures(fp: DataFrame, idCol: String,
+      hashCol: String, bits: Int, maxHamming: Int): DataFrame =
     simhashChunkFrame(
-      TextFunctions.simhash(df, idCol, textCol, bits)
-        .withColumnRenamed(idCol, "id"), bits, maxHamming)
+      fp.select(col(idCol).as("id"), col(hashCol).as("simhash")),
+      bits, maxHamming)
+      .withColumn("p_bits", lit(bits))
+      .withColumn("p_maxh", lit(maxHamming))
 
   /** Incremental cross-frame simhash near-dup: an incoming shard
     * against an existing corpus — delta×corpus chunk equi-join, never
@@ -857,13 +921,49 @@ object Dedup {
     * maxHamming. */
   def simhashNearDupBetweenPrecomputed(newDf: DataFrame,
       refChunks: DataFrame, idCol: String, textCol: String,
-      bits: Int = 60, maxHamming: Int = 3): DataFrame = {
+      bits: Int = 60, maxHamming: Int = 3): DataFrame =
+    hammingBetweenPrecomputed(
+      TextFunctions.simhash(newDf, idCol, textCol, bits),
+      refChunks, idCol, "simhash", bits, maxHamming,
+      "simhashNearDupBetweenPrecomputed")
+      .select("new_id", "ref_id")
+      .distinct()
+
+  /** CROSS-FRAME hamming near-dup for CALLER-SUPPLIED fingerprints
+    * against a PRECOMPUTED reference — the [[simhashNearDupBetweenPrecomputed]]
+    * machinery with the fingerprinting step outside (the q246 story
+    * for fingerprints the library did not derive itself: perceptual
+    * image hashes, binary codes). `fpNew` is the delta's (id, hash)
+    * frame — the caller pays its own fingerprint cost exactly once;
+    * `refChunks` is a saved [[hammingChunkSignatures]] frame, and
+    * neither the reference fingerprints nor whatever produced them
+    * (image DECODE, in the media pipeline) are ever recomputed — the
+    * verify reads the store's own `simhash` column. Pigeonhole recall
+    * is EXACT within `maxHamming`. Output: distinct (new_id, ref_id,
+    * hamming). */
+  def hammingNearDupBetweenPrecomputed(fpNew: DataFrame,
+      refChunks: DataFrame, idCol: String, hashCol: String,
+      bits: Int, maxHamming: Int): DataFrame =
+    hammingBetweenPrecomputed(fpNew, refChunks, idCol, hashCol, bits,
+      maxHamming, "hammingNearDupBetweenPrecomputed")
+
+  /** Shared delta-chunks × store core of the two faces above: chunk
+    * the delta fingerprints here, equi-join the saved chunk frame on
+    * (chunk, key), hamming-verify BEFORE the distinct so only
+    * surviving pairs shuffle through the dedup exchange. */
+  private def hammingBetweenPrecomputed(fpNew: DataFrame,
+      refChunks: DataFrame, idCol: String, hashCol: String,
+      bits: Int, maxHamming: Int, face: String): DataFrame = {
     require(Seq("id", "simhash", "chunk", "key")
       .forall(refChunks.columns.contains),
-      "simhashNearDupBetweenPrecomputed: refChunks needs (id, " +
-        "simhash, chunk, key) — a simhashChunkSignatures frame; got " +
+      s"$face: refChunks needs (id, simhash, chunk, key) — a " +
+        "simhashChunkSignatures/hammingChunkSignatures frame; got " +
         refChunks.columns.mkString("(", ", ", ")"))
-    simhashChunkSignatures(newDf, idCol, textCol, bits, maxHamming)
+    requireStoreParams(refChunks, face,
+      "p_bits" -> bits, "p_maxh" -> maxHamming)
+    simhashChunkFrame(
+        fpNew.select(col(idCol).as("id"), col(hashCol).as("simhash")),
+        bits, maxHamming)
       .select(col("id").as("new_id"), col("simhash").as("__ns"),
         col("chunk"), col("key"))
       .join(refChunks.select(col("id").as("ref_id"),
@@ -872,7 +972,6 @@ object Dedup {
       .select(col("new_id"), col("ref_id"),
         expr("bit_count(__ns ^ __rs)").as("hamming"))
       .where(col("hamming") <= maxHamming)
-      .select("new_id", "ref_id")
       .distinct()
   }
 
@@ -905,9 +1004,14 @@ object Dedup {
     * cluster — the localCheckpoint fallback does not survive executor
     * loss (see [[Checkpoints.truncate]]).
     *
-    * Output: (id, component) for every node appearing in `pairs`, where
-    * component = the minimum id in the cluster (nodes with no duplicate
-    * never appear — union them back as their own component if needed). */
+    * Output: (id, component) for every node appearing in `pairs` —
+    * including nodes whose only appearance is a degenerate self-pair
+    * (x, x), which label as their own singleton component (r14 advice:
+    * the contraction loop filters self-pairs from the EDGE set, but
+    * the label seed keeps every endpoint, so the output contract stays
+    * "every node in pairs"). component = the minimum id in the
+    * cluster; nodes with no duplicate never appear — union them back
+    * as their own component if needed. */
   def duplicateClusters(pairs: DataFrame, idA: String = "id_a",
       idB: String = "id_b", maxIter: Int = 20,
       checkpointDir: Option[String] = None): DataFrame = {
@@ -939,8 +1043,13 @@ object Dedup {
     // rewrites to (v-1,v) forever). Compressing the root map before
     // applying it closes all three holes at once.
     var e = Checkpoints.truncate(edges0, checkpointDir)
+    // label seed = ALL pair endpoints (not edge endpoints): a node
+    // whose only pair is (x, x) has no surviving edge but still owes
+    // an output row per the contract above
     var labels = Checkpoints.truncate(
-      e.select(col("src").as("id")).distinct()
+      pairs.select(col(idA).as("id"))
+        .unionByName(pairs.select(col(idB).as("id")))
+        .distinct()
         .withColumn("lbl", col("id")), checkpointDir)
     var remaining = e.limit(1).count()
     var it = 0
@@ -1570,6 +1679,9 @@ object Dedup {
         df.select(col(idCol).as("id"), col(vecCol).as("v")),
         "v", blockTables, blockPlanes, d)
       .select("id", "t", "bkt")
+      .withColumn("p_tables", lit(blockTables))
+      .withColumn("p_planes", lit(blockPlanes))
+      .withColumn("p_dim", lit(d))
   }
 
   /** Incremental cross-frame embedding near-dup: an incoming shard
@@ -1622,6 +1734,9 @@ object Dedup {
         s"$vecCol); got " + refVectors.columns.mkString("(", ", ", ")"))
     val d = if (dim > 0) dim
       else Similarity.probeDim(newDf, vecCol).getOrElse(1)
+    requireStoreParams(refBuckets, "embeddingNearDupBetweenPrecomputed",
+      "p_tables" -> blockTables, "p_planes" -> blockPlanes,
+      "p_dim" -> d)
     val newBkts = tracked(vectorBucketSignatures(newDf, idCol, vecCol,
       blockTables, blockPlanes, d).persist())
     val refB = refBuckets.select(col("id").as("ref_id"), col("t"),
@@ -1657,11 +1772,19 @@ object Dedup {
         col(vecCol).as("__vr"))
       .withColumn("__nr", sqrt(vec_dot(col("__vr"), col("__vr"))))
     val denom = col("__nn") * col("__nr")
+    // final distinct (r14 advice): duplicate ids in refVectors/newDf
+    // (e.g. a vectors sidecar with a twice-appended batch) would emit
+    // duplicate (new_id, ref_id) rows from the vector join-back — the
+    // simhash face already dedups its output; match it. The candidate
+    // frame is distinct already, so with unique ids this exchange
+    // carries only qualifying pairs (output-bound, like the simhash
+    // path's post-verify distinct).
     autoRelease(cand.join(vn, "new_id").join(vr, "ref_id")
       .withColumn("__cos", when(denom === 0.0, lit(0.0))
         .otherwise(vec_dot(col("__vn"), col("__vr")) / denom))
       .where(col("__cos") >= threshold)
-      .select("new_id", "ref_id"), newBkts)
+      .select("new_id", "ref_id")
+      .distinct(), newBkts)
   }
 
   /** Cross-document duplicate SPAN removal (Lee et al. 2021,

@@ -313,6 +313,34 @@ object Multimodal {
     Dedup.hammingNearDup(perceptualHash(media), "media_id", "phash",
       PHashBits, maxHamming)
 
+  /** The persistable chunk-signature frame of a MEDIA corpus — the
+    * q246 simhash-store pattern applied to perceptual hashes, and the
+    * face that makes image ingest incremental: DECODE is the
+    * expensive step for images (one full raster pass per row), and
+    * [[mediaNearDup]] re-decodes the whole corpus per call. Write
+    * this frame once (`.write.partitionBy("chunk").parquet(store)`),
+    * append each absorbed delta's chunks, and feed it to
+    * [[mediaNearDupBetween]] — per-batch decode cost then scales
+    * with the DELTA. Self-sufficient: the fingerprint rides with its
+    * chunks, so the cross-frame verify never touches reference
+    * pixels. */
+  def mediaChunkSignatures(media: DataFrame, maxHamming: Int = 3)
+      : DataFrame =
+    Dedup.hammingChunkSignatures(perceptualHash(media), "media_id",
+      "phash", PHashBits, maxHamming)
+
+  /** Incremental cross-frame image near-dup: an incoming media shard
+    * against a PRECOMPUTED [[mediaChunkSignatures]] store — only the
+    * delta's payloads are decoded (PlanSpec-pinned: the plan's one
+    * decode `mapPartitions` is the delta's); candidates meet on the
+    * pigeonhole (chunk, key) equi-join with EXACT recall inside the
+    * radius, and the hamming verify reads the store's fingerprint.
+    * Output: distinct (new_id, ref_id, hamming). */
+  def mediaNearDupBetween(newMedia: DataFrame, refChunks: DataFrame,
+      maxHamming: Int = 3): DataFrame =
+    Dedup.hammingNearDupBetweenPrecomputed(perceptualHash(newMedia),
+      refChunks, "media_id", "phash", PHashBits, maxHamming)
+
   /** Deterministic 24-bit BMP encoder (bottom-up rows, 4-byte row
     * padding — the uncompressed format JDK ImageIO always parses) for
     * fixtures and specs: grayscale value v(x, y) in [0, 255] per

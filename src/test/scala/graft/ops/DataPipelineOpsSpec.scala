@@ -1134,4 +1134,74 @@ class DataPipelineOpsSpec extends SparkSpec {
     assert(Dedup.embeddingNearDup(
       empty, "vec_id", "embedding", 0.9, blockPlanes = 4).count() == 0)
   }
+
+  test("precomputed faces reject a store built under different " +
+      "parameters (r14 advice: silent pair loss -> loud failure)") {
+    val docs = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven"))
+      .toDF("doc_id", "text")
+    val vecs = Seq((1L, Array(1.0, 0.0)), (2L, Array(0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    // simhash: store at maxHamming=3, call at 2 → different chunking
+    val sim = Dedup.simhashChunkSignatures(docs, "doc_id", "text",
+      bits = 60, maxHamming = 3)
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.simhashNearDupBetweenPrecomputed(docs, sim, "doc_id",
+        "text", bits = 60, maxHamming = 2).collect()
+    }
+    assert(e1.getMessage.contains("p_maxh"))
+    // vectors: store at 4 planes, call at 8 → different bucket space
+    val vb = Dedup.vectorBucketSignatures(vecs, "vec_id", "embedding",
+      blockTables = 2, blockPlanes = 4, dim = 2)
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.embeddingNearDupBetweenPrecomputed(vecs, vb, vecs,
+        "vec_id", "embedding", 0.9, blockTables = 2, blockPlanes = 8,
+        dim = 2).collect()
+    }
+    assert(e2.getMessage.contains("p_planes"))
+    // minhash: store at 12 perms, call at 8
+    val mb = Dedup.minhashBandSignatures(docs, "doc_id", "text",
+      k = 3, numPerms = 12, bands = 4)
+    val e3 = intercept[IllegalArgumentException] {
+      Dedup.minhashLshPairsBetweenPrecomputed(docs, mb, "doc_id",
+        "text", k = 3, numPerms = 8, bands = 4).collect()
+    }
+    assert(e3.getMessage.contains("p_perms"))
+    // a legacy store WITHOUT the stamp columns skips the check
+    val legacy = sim.drop("p_bits", "p_maxh")
+    assert(Dedup.simhashNearDupBetweenPrecomputed(docs, legacy,
+      "doc_id", "text", bits = 60, maxHamming = 2).count() >= 0)
+    Dedup.releaseCaches()
+  }
+
+  test("duplicateClusters labels self-pair-only nodes as singleton " +
+      "components (r14 advice: output contract = every node in pairs)") {
+    val pairs = Seq((7L, 7L), (1L, 2L), (9L, 9L), (2L, 3L))
+      .toDF("id_a", "id_b")
+    val labels = Dedup.duplicateClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      7L -> 7L, 9L -> 9L))
+  }
+
+  test("hammingNearDup at bits=64 maxHamming=0 buckets on the full " +
+      "fingerprint, not one degenerate bucket (r14 advice mask wrap)") {
+    // ids 1/2 share a 64-bit fingerprint with bit 63 set (negative as
+    // a signed long — the wrap case); 3 differs in one bit
+    val fp = Seq((1L, java.lang.Long.MIN_VALUE | 5L),
+      (2L, java.lang.Long.MIN_VALUE | 5L),
+      (3L, java.lang.Long.MIN_VALUE | 4L)).toDF("id", "h")
+    val pairs = Dedup.hammingNearDup(fp, "id", "h", bits = 64,
+      maxHamming = 0).select("id_a", "id_b")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+    // and the single chunk key must be the fingerprint itself (one
+    // bucket per distinct value, not everything in bucket 0): a
+    // one-bucket plan would still emit (1,2) only, so pin the key
+    // width via the chunk frame's distinct key count
+    val keys = Dedup.simhashChunkFrame(
+      fp.select($"id", $"h".as("simhash")), bits = 64, maxHamming = 0)
+      .select("key").distinct().count()
+    assert(keys == 2)
+  }
 }

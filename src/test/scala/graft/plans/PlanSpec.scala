@@ -561,6 +561,43 @@ class PlanSpec extends SparkSpec {
     assert(viaStore == recompute)
   }
 
+  test("precomputed media chunk store: the plan decodes ONLY the " +
+      "delta — one mapPartitions, ref pixels never touched") {
+    import spark.implicits._
+    val mk = (0L until 300L).map(i =>
+      (i, graft.ops.Multimodal.fixtureBmp(i)))
+    val media = mk.toDF("media_id", "content")
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-mediastore-spec").toString
+    graft.ops.Multimodal.mediaChunkSignatures(
+        media.where(col("media_id") < 200))
+      .write.mode("overwrite").partitionBy("chunk").parquet(store)
+    val df = graft.ops.Multimodal.mediaNearDupBetween(
+      media.where(col("media_id") >= 200), spark.read.parquet(store))
+    val plan = explain(df)
+    assert(plan.contains("mediastore-spec"),
+      "saved chunk frame missing from the plan")
+    // decode is the mapPartitions (SerializeFromObject/MapPartitions
+    // pair): exactly ONE in the plan — the delta's. A second one
+    // would mean the reference corpus is re-DECODING per batch, the
+    // exact cost the store exists to eliminate.
+    val decodes = plan.linesIterator.count(_.contains(") MapPartitions"))
+    assert(decodes == 1,
+      s"expected exactly 1 decode MapPartitions (the delta's), got " +
+        s"$decodes")
+    // parity: the store path equals the self-join restricted to the
+    // directional split
+    val viaStore = df.select("new_id", "ref_id")
+      .as[(Long, Long)].collect().toSet
+    val full = graft.ops.Multimodal.mediaNearDup(media)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val directional = full.collect {
+      case (a, b) if a >= 200 && b < 200 => (a, b)
+      case (a, b) if b >= 200 && a < 200 => (b, a)
+    }
+    assert(viaStore == directional && viaStore.nonEmpty)
+  }
+
   test("mergeClusters relabels only the touched components of a " +
       "10k-node prior from a 1-pair delta") {
     import spark.implicits._
