@@ -17,7 +17,12 @@ import org.apache.spark.sql.SparkSession
   *  semdedupk (cap = k, 0 = adaptive default; thr = eps) |
   *  binaryann (cap = |queries|; thr 1 = force brute broadcast path,
   *  2 = force pigeonhole byte-block path, else the auto rule) |
-  *  pairs (near-dup pair-volume control)
+  *  pairs (near-dup pair-volume control) |
+  *  mergeop (fixture built ONCE, reps time only the merge; cap =
+  *  split id) | bitextstore (cap = planes, thr = minMargin) |
+  *  mediastore (image chunk store vs per-batch re-decode) |
+  *  curateincr (incremental curation batch vs one-shot union; cap =
+  *  planes, thr = dupThreshold — >= 0.85 on ScaleUp corpora)
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -41,6 +46,62 @@ object ScaleProbe {
     spark.range(5000000L).selectExpr("sum(id)").collect()
     import graft.ops.{Dedup, Sampling}
     def docs = spark.read.parquet(s"$dir/documents.parquet")
+    // ONE-TIME fixtures shared across reps (r14 ask 8: the 100x gate
+    // pays the OP per rep, not the fixture) — lazy, built on the
+    // first rep that uses them; rep 1's [scale] line therefore
+    // includes the build, use later reps for the op cost.
+    lazy val mergeFixture: (String, String, Long) = {
+      import org.apache.spark.sql.functions._
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-mergefix").toString
+      val tB = System.nanoTime()
+      Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 12, 4)
+        .write.mode("overwrite").parquet(s"$tmp/pairs")
+      val split =
+        if (cap > 0) cap
+        else docs.agg(max("doc_id")).head().getLong(0) * 4 / 5
+      val saved = spark.read.parquet(s"$tmp/pairs")
+      Dedup.duplicateClusters(saved
+          .where(col("id_a") < split && col("id_b") < split))
+        .write.mode("overwrite").parquet(s"$tmp/prior")
+      Dedup.releaseCaches()
+      println(f"[mergeop] fixture_once=" +
+        f"${(System.nanoTime() - tB) / 1e9}%.1f s split=$split")
+      (s"$tmp/pairs", s"$tmp/prior", split)
+    }
+    lazy val curateFixture: (String, String, String, Long) = {
+      import org.apache.spark.sql.functions._
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-curatefix").toString
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+        .withColumn("quality", (col("vec_id") * 37 % 101).cast("long"))
+      val planes = if (cap > 0) cap.toInt else 12
+      val split = e.agg(max("vec_id")).head().getLong(0) - 199
+      val ref = e.where(col("vec_id") < split)
+      val tB = System.nanoTime()
+      Dedup.vectorBucketSignatures(ref, "vec_id", "embedding",
+          blockTables = 4, blockPlanes = planes, dim = 64)
+        .write.mode("overwrite").partitionBy("t")
+        .parquet(s"$tmp/buckets")
+      val boot = graft.ops.Curation.embedCurateBootstrap(ref,
+        "vec_id", "embedding", "quality", dupThreshold = thr,
+        blockTables = 4, blockPlanes = planes, dim = 64)
+      boot.labels.write.mode("overwrite").parquet(s"$tmp/labels")
+      boot.resolved.write.mode("overwrite").parquet(s"$tmp/resolved")
+      Dedup.releaseCaches()
+      val tBoot = (System.nanoTime() - tB) / 1e9
+      // the one-shot preset on the UNION, once — the per-batch cost a
+      // non-incremental pipeline would re-pay
+      val t1 = System.nanoTime()
+      val nOne = graft.ops.Curation.embedCurate(e, "vec_id",
+        "embedding", "quality", dupThreshold = thr, blockTables = 4,
+        blockPlanes = planes, dim = 64).count()
+      Dedup.releaseCaches()
+      println(f"[curateincr] bootstrap_once=$tBoot%.1f s " +
+        f"oneshot=${(System.nanoTime() - t1) / 1e9}%.1f s " +
+        s"oneshot_rows=$nOne split=$split planes=$planes")
+      (s"$tmp/buckets", s"$tmp/labels", s"$tmp/resolved", split)
+    }
     for (_ <- 1 to reps) {
       val t0 = System.nanoTime()
       val n = op match {
@@ -502,6 +563,113 @@ object ScaleProbe {
               f"${(System.nanoTime() - t1) / 1e9}%.1f s")
           }
           exact.size.toLong
+        case "mergeop" =>
+          // the ask-8 variant of "mergeclusters": fixture (corpus
+          // pairs + prior labels) built ONCE (lazy, parquet-persisted),
+          // each rep times ONLY the merge — the per-batch number a
+          // production ingest actually pays
+          import org.apache.spark.sql.functions._
+          val (pairsPath, priorPath, split) = mergeFixture
+          val deltaPairs = spark.read.parquet(pairsPath)
+            .where(col("id_a") >= split || col("id_b") >= split)
+          val t1 = System.nanoTime()
+          val nOut = Dedup.mergeClusters(
+            spark.read.parquet(priorPath), deltaPairs).count()
+          println(f"[mergeop] merge=" +
+            f"${(System.nanoTime() - t1) / 1e9}%.1f s nodes=$nOut")
+          nOut
+        case "bitextstore" =>
+          // per-batch bitext cost: recompute (BOTH sides hashed per
+          // batch) vs the saved indexed-side bucket store. delta =
+          // first 200 vectors, indexed side = whole corpus; cap =
+          // planes (default 12), thr = minMargin (> 0.3, else 1.0).
+          import org.apache.spark.sql.functions._
+          val e = spark.read.parquet(s"$dir/embeddings.parquet")
+          val planes = if (cap > 0) cap.toInt else 12
+          val margin = if (thr > 0.3) thr else 1.0
+          val delta = e.where(col("vec_id") < 200)
+          val t1 = System.nanoTime()
+          val nRec = graft.ops.Similarity.bitextMineLsh(delta, e,
+            "vec_id", "embedding", k = 4, minMargin = margin,
+            nPlanes = planes, tables = 8, dim = 64).count()
+          val tRec = (System.nanoTime() - t1) / 1e9
+          val store = java.nio.file.Files
+            .createTempDirectory("graft-bitextstore-probe").toString
+          val t2 = System.nanoTime()
+          Dedup.vectorBucketSignatures(e, "vec_id", "embedding",
+              blockTables = 8, blockPlanes = planes, dim = 64)
+            .write.mode("overwrite").partitionBy("t").parquet(store)
+          val tBuild = (System.nanoTime() - t2) / 1e9
+          val t3 = System.nanoTime()
+          val nStore = graft.ops.Similarity.bitextMineLshPrecomputed(
+            delta, spark.read.parquet(store), e, "vec_id", "embedding",
+            k = 4, minMargin = margin, nPlanes = planes, tables = 8,
+            dim = 64).count()
+          val tProbe = (System.nanoTime() - t3) / 1e9
+          println(f"[bitextstore] recompute=$tRec%.1f s " +
+            f"build_once=$tBuild%.1f s probe=$tProbe%.1f s " +
+            s"pairs=$nRec/$nStore planes=$planes")
+          require(nRec == nStore,
+            "store path diverged from recompute path")
+          nStore
+        case "mediastore" =>
+          // image-ingest decode amortization: media = deterministic
+          // BMPs over doc ids (every row really decodes). Recompute
+          // re-decodes + re-chunks the ref corpus per batch; the chunk
+          // store pays that once.
+          import org.apache.spark.sql.functions._
+          import spark.implicits._
+          val media = docs.select("doc_id").as[Long]
+            .map(id => (id, graft.ops.Multimodal.fixtureBmp(id)))
+            .toDF("media_id", "content")
+          val delta = media.where(col("media_id") < 200)
+          val ref = media.where(col("media_id") >= 200)
+          val t1 = System.nanoTime()
+          val nRec = graft.ops.Multimodal.mediaNearDupBetween(delta,
+            graft.ops.Multimodal.mediaChunkSignatures(ref)).count()
+          val tRec = (System.nanoTime() - t1) / 1e9
+          val store = java.nio.file.Files
+            .createTempDirectory("graft-mediastore-probe").toString
+          val t2 = System.nanoTime()
+          graft.ops.Multimodal.mediaChunkSignatures(ref)
+            .write.mode("overwrite").partitionBy("chunk")
+            .parquet(store)
+          val tBuild = (System.nanoTime() - t2) / 1e9
+          val t3 = System.nanoTime()
+          val nStore = graft.ops.Multimodal.mediaNearDupBetween(
+            delta, spark.read.parquet(store)).count()
+          val tProbe = (System.nanoTime() - t3) / 1e9
+          println(f"[mediastore] recompute=$tRec%.1f s " +
+            f"build_once=$tBuild%.1f s probe=$tProbe%.1f s " +
+            s"pairs=$nRec/$nStore")
+          require(nRec == nStore,
+            "store path diverged from recompute path")
+          nStore
+        case "curateincr" =>
+          // the ask-1 flat-per-batch row: one 200-vector batch through
+          // the INCREMENTAL curation preset against the lazily-built
+          // prior state, vs the one-shot preset on the union (printed
+          // once by the fixture). cap = planes (pinned), thr =
+          // dupThreshold (use >= 0.85 on ScaleUp corpora).
+          import org.apache.spark.sql.functions._
+          val (storeP, labelsP, resolvedP, split) = curateFixture
+          val e = spark.read.parquet(s"$dir/embeddings.parquet")
+            .withColumn("quality",
+              (col("vec_id") * 37 % 101).cast("long"))
+          val planes = if (cap > 0) cap.toInt else 12
+          val t1 = System.nanoTime()
+          val st = graft.ops.Curation.embedCurateIncremental(
+            e.where(col("vec_id") >= split),
+            e.where(col("vec_id") < split),
+            spark.read.parquet(storeP), spark.read.parquet(labelsP),
+            spark.read.parquet(resolvedP), "vec_id", "embedding",
+            "quality", dupThreshold = thr, blockTables = 4,
+            blockPlanes = planes, dim = 64)
+          val nIncr = st.curated.count()
+          Dedup.releaseCaches()
+          println(f"[curateincr] incremental_batch=" +
+            f"${(System.nanoTime() - t1) / 1e9}%.1f s rows=$nIncr")
+          nIncr
         case other => throw new IllegalArgumentException(other)
       }
       println(f"[scale] $op $dir ${(System.nanoTime() - t0) / 1e9}%.2f s" +

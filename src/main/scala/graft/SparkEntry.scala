@@ -1728,6 +1728,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // INCREMENTAL keep-best resolve: batch-2 pairs fold into the
+    // batch-1 labeling (q245's mergeClusters), then ONLY the changed
+    // components re-elect survivors — untouched prior survivors pass
+    // through, new singletons ride in — and the result must equal the
+    // one-shot q225 keep-best over the full corpus (SHARED oracle)
+    "q252_resolve_incremental" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val all = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        k = 3, numPerms = 12, bands = 4)
+      val priorPairs = all.where(col("id_a") < 250 && col("id_b") < 250)
+      val deltaPairs = all.where(col("id_a") >= 250 || col("id_b") >= 250)
+      val priorLabels = Dedup.duplicateClusters(priorPairs)
+      val priorResolved = Dedup.resolveClusters(
+        docs.where(col("doc_id") < 250), priorLabels,
+        "doc_id", "n_chars")
+      val newLabels = Dedup.mergeClusters(priorLabels, deltaPairs)
+      Dedup.resolveClustersIncremental(docs,
+        docs.where(col("doc_id") >= 250), priorResolved, priorLabels,
+        newLabels, "doc_id", "n_chars")
+        .select("doc_id", "component", "cluster_size")
+        .orderBy("doc_id")
+    }),
+
     // per-domain quality percentile gate: each source keeps its own
     // >= p50 rows (a global floor over-prunes clean domains); one
     // aggregate broadcast back, the corpus never shuffles
@@ -1932,6 +1955,43 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // the INCREMENTAL embed-curation chain end-to-end, exactly as a
+    // production batch runs it: bootstrap on the ref slice (pinned
+    // planes), persist the bucket store + label/resolved state to
+    // parquet, then fold the delta batch through store-fed pairs ->
+    // mergeClusters -> incremental keep-best -> fresh-only decon ->
+    // sample. The output must equal the ONE-SHOT q249 preset on the
+    // union (shared oracle) — the equality the whole chain exists for
+    "q253_embed_curate_incremental" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+        .withColumn("quality", (col("vec_id") * 37 % 101).cast("long"))
+      val bench = Some((e.where(col("vec_id") < 8), "vec_id",
+        "embedding"))
+      val ref = e.where(col("vec_id") < 400)
+      val delta = e.where(col("vec_id") >= 400)
+      val boot = graft.ops.Curation.embedCurateBootstrap(ref,
+        "vec_id", "embedding", "quality", dupThreshold = 0.3,
+        bench = bench, deconThreshold = 0.5, blockTables = 4,
+        blockPlanes = 8, dim = 64, sampleFraction = 0.8)
+      val store = scratchDir("graft-curstore").toString
+      Dedup.vectorBucketSignatures(ref, "vec_id", "embedding",
+          blockTables = 4, blockPlanes = 8, dim = 64)
+        .write.mode("overwrite").partitionBy("t").parquet(store)
+      val labelsPath = scratchDir("graft-curlabels").toString
+      val resolvedPath = scratchDir("graft-curresolved").toString
+      boot.labels.write.mode("overwrite").parquet(labelsPath)
+      boot.resolved.write.mode("overwrite").parquet(resolvedPath)
+      graft.ops.Curation.embedCurateIncremental(delta, ref,
+        s.read.parquet(store), s.read.parquet(labelsPath),
+        s.read.parquet(resolvedPath), "vec_id", "embedding",
+        "quality", dupThreshold = 0.3, bench = bench,
+        deconThreshold = 0.5, blockTables = 4, blockPlanes = 8,
+        dim = 64, sampleFraction = 0.8)
+        .curated
+        .select("vec_id", "component", "cluster_size")
+        .orderBy("vec_id")
+    }),
+
     // the crawl preset's STRUCTURED entry point, hooks ON: within-doc
     // line dedup (repeated nav menu) runs BEFORE cross-corpus
     // paragraph dedup (shared footer survives once per residue class)
@@ -2030,6 +2090,26 @@ object SparkEntry {
       Similarity.bitextMineLsh(
         e.where(col("vec_id") < 40),
         e.where(col("vec_id") >= 40 && col("vec_id") < 80),
+        "vec_id", "embedding", k = 4, minMargin = 1.0,
+        nPlanes = 8, tables = 8, dim = 64)
+        .orderBy("a_id")
+    }),
+
+    // bitext mining against a PRECOMPUTED indexed side: the fixed
+    // corpus's hyperplane buckets are the SAME saved
+    // vectorBucketSignatures store q244 uses (one store format for
+    // dedup, decon, and bitext), the crawl batch hashes here, and the
+    // margin math runs over candidates only — must equal q242's
+    // recompute path bit for bit (shared oracle)
+    "q251_bitext_store" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val store = scratchDir("graft-bitextstore").toString
+      val indexed = e.where(col("vec_id") >= 40 && col("vec_id") < 80)
+      Dedup.vectorBucketSignatures(indexed, "vec_id", "embedding",
+          blockTables = 8, blockPlanes = 8, dim = 64)
+        .write.mode("overwrite").partitionBy("t").parquet(store)
+      Similarity.bitextMineLshPrecomputed(
+        e.where(col("vec_id") < 40), s.read.parquet(store), indexed,
         "vec_id", "embedding", k = 4, minMargin = 1.0,
         nPlanes = 8, tables = 8, dim = 64)
         .orderBy("a_id")
@@ -4459,6 +4539,136 @@ object SparkEntry {
        |FROM top ORDER BY vec_id""".stripMargin
   }
 
+  /** The q242 bitext-LSH replay, shared verbatim by q251: the store
+    * path must produce EXACTLY what the recompute path produces, so
+    * the two queries check against one oracle text — bucket replay
+    * via bit-exact sign tests, candidate equi-join, then the q240
+    * margin windows over candidates only. */
+  private def bitextLshOracle: String = {
+    def buckets(cte: String): String =
+      (0 until 8).map { t =>
+        s"SELECT vec_id, $t AS t, " +
+          s"${hyperBucketSql("embedding", t, 8, 64)} AS bkt FROM $cte"
+      }.mkString("\nUNION ALL\n")
+    s"""WITH a AS (SELECT vec_id, embedding FROM embeddings
+       |  WHERE vec_id < 40),
+       |b AS (SELECT vec_id, embedding FROM embeddings
+       |  WHERE vec_id >= 40 AND vec_id < 80),
+       |ba AS (${buckets("a")}),
+       |bb AS (${buckets("b")}),
+       |cand AS (SELECT DISTINCT ba.vec_id AS ia, bb.vec_id AS ib
+       |  FROM ba JOIN bb ON ba.t = bb.t AND ba.bkt = bb.bkt),
+       |p AS (SELECT cand.ia, cand.ib,
+       |  a.embedding AS ea, b.embedding AS eb
+       |  FROM cand JOIN a ON a.vec_id = cand.ia
+       |  JOIN b ON b.vec_id = cand.ib),
+       |${cosineCtes("p")},
+       |s AS (SELECT ia AS a_id, ib AS b_id,
+       |  dot / (sqrt(na) * sqrt(nb)) AS cos FROM d),
+       |r AS (SELECT a_id, b_id, cos,
+       |  row_number() OVER (PARTITION BY a_id
+       |    ORDER BY cos DESC, b_id) AS rab,
+       |  row_number() OVER (PARTITION BY b_id
+       |    ORDER BY cos DESC, a_id) AS rba FROM s),
+       |av AS (SELECT a_id, b_id, cos, rab, rba,
+       |  avg(CASE WHEN rab <= 4 THEN cos END)
+       |    OVER (PARTITION BY a_id) AS avga,
+       |  avg(CASE WHEN rba <= 4 THEN cos END)
+       |    OVER (PARTITION BY b_id) AS avgb FROM r),
+       |m AS (SELECT a_id, b_id, cos,
+       |  cos / (avga / 2 + avgb / 2) AS margin
+       |  FROM av WHERE rab = 1 AND rba = 1)
+       |SELECT a_id, b_id,
+       |  CAST(CAST(cos AS DECIMAL(18,9)) AS DOUBLE) AS cos,
+       |  CAST(CAST(margin AS DECIMAL(18,9)) AS DOUBLE) AS margin
+       |FROM m WHERE margin >= 1.0 ORDER BY a_id""".stripMargin
+  }
+
+  /** The q225 keep-best replay (recursive-CTE components + per-cluster
+    * window), shared verbatim by q252: the incremental resolve must
+    * produce EXACTLY the one-shot resolution of the full corpus. */
+  private def keepBestOracle: String =
+    s"""WITH RECURSIVE p AS (
+       |${minhashOracle(12, 4)}
+       |),
+       |und AS (SELECT id_a AS a, id_b AS b FROM p
+       |        UNION SELECT id_b, id_a FROM p),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM und
+       |  UNION
+       |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+       |comp AS (SELECT a AS id, LEAST(a, MIN(b)) AS component
+       |         FROM reach GROUP BY a),
+       |lab AS (
+       |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component,
+       |    d.n_chars
+       |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+       |r AS (
+       |  SELECT doc_id, component,
+       |    count(*) OVER (PARTITION BY component) AS cluster_size,
+       |    row_number() OVER (PARTITION BY component
+       |      ORDER BY n_chars DESC, doc_id) AS rn
+       |  FROM lab)
+       |SELECT doc_id, component, cluster_size FROM r WHERE rn = 1
+       |ORDER BY doc_id""".stripMargin
+
+  /** The q249 whole-preset replay (pinned-plane buckets, exact-cosine
+    * pairs, recursive CC, keep-best window, brute decon, hash-sample
+    * arithmetic), shared verbatim by q253: the incremental chain must
+    * produce EXACTLY the one-shot preset's output on the union. */
+  private def embedCurateOracle: String =
+    s"""WITH RECURSIVE raw AS (
+         |${lshBucketsCte(4, 8, 64)}),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+         |  FROM raw a JOIN raw b
+         |    ON a.t = b.t AND a.bkt = b.bkt AND a.vec_id < b.vec_id),
+         |pp AS (
+         |  SELECT ia, ib, x.embedding AS ea, y.embedding AS eb FROM cand
+         |  JOIN embeddings x ON x.vec_id = ia
+         |  JOIN embeddings y ON y.vec_id = ib),
+         |${cosineCtes("pp")},
+         |p AS (SELECT ia AS id_a, ib AS id_b FROM d
+         |  WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.3),
+         |und AS (SELECT id_a AS a, id_b AS b FROM p
+         |        UNION SELECT id_b, id_a FROM p),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM und
+         |  UNION
+         |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+         |comp AS (SELECT a AS id, LEAST(a, MIN(b)) AS component
+         |         FROM reach GROUP BY a),
+         |lab AS (
+         |  SELECT e.vec_id,
+         |    COALESCE(c.component, e.vec_id) AS component,
+         |    (e.vec_id * 37) % 101 AS q
+         |  FROM embeddings e LEFT JOIN comp c ON c.id = e.vec_id),
+         |r AS (
+         |  SELECT vec_id, component,
+         |    count(*) OVER (PARTITION BY component) AS cluster_size,
+         |    row_number() OVER (PARTITION BY component
+         |      ORDER BY q DESC, vec_id) AS rn
+         |  FROM lab),
+         |kept AS (SELECT vec_id, component, cluster_size FROM r
+         |  WHERE rn = 1),
+         |bp AS (
+         |  SELECT c.vec_id AS ia, b.vec_id AS ib,
+         |    c.embedding AS ea, b.embedding AS eb
+         |  FROM embeddings c, embeddings b WHERE b.vec_id < 8),
+         |d2 AS (SELECT ia, ib,
+         |  SUM(CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)) AS dot,
+         |  SUM(CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE)) AS na,
+         |  SUM(CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)) AS nb
+         |  FROM bp, UNNEST(range(1, len(ea) + 1)) AS u(i)
+         |  GROUP BY ia, ib),
+         |flag AS (SELECT DISTINCT ia AS vec_id FROM d2
+         |  WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.5)
+         |SELECT k.vec_id, k.component, k.cluster_size FROM kept k
+         |WHERE k.vec_id NOT IN (SELECT vec_id FROM flag)
+         |  AND ('0x' || substr(md5(k.vec_id::VARCHAR), 1, 15))::BIGINT
+         |      % 1000000 < 800000
+         |ORDER BY k.vec_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
 
     "q104_merge_pipeline" ->
@@ -6008,30 +6218,11 @@ object SparkEntry {
 
     // the q50 component recursion, then argmax quality per component
     // (n_chars DESC, doc_id ASC) with unclustered docs as singletons
-    "q225_dedup_keep_best" ->
-      s"""WITH RECURSIVE p AS (
-         |${minhashOracle(12, 4)}
-         |),
-         |und AS (SELECT id_a AS a, id_b AS b FROM p
-         |        UNION SELECT id_b, id_a FROM p),
-         |reach(a, b) AS (
-         |  SELECT a, b FROM und
-         |  UNION
-         |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
-         |comp AS (SELECT a AS id, LEAST(a, MIN(b)) AS component
-         |         FROM reach GROUP BY a),
-         |lab AS (
-         |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component,
-         |    d.n_chars
-         |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
-         |r AS (
-         |  SELECT doc_id, component,
-         |    count(*) OVER (PARTITION BY component) AS cluster_size,
-         |    row_number() OVER (PARTITION BY component
-         |      ORDER BY n_chars DESC, doc_id) AS rn
-         |  FROM lab)
-         |SELECT doc_id, component, cluster_size FROM r WHERE rn = 1
-         |ORDER BY doc_id""".stripMargin,
+    "q225_dedup_keep_best" -> keepBestOracle,
+
+    // the incremental resolve must equal the one-shot keep-best over
+    // the full corpus — SAME oracle text as q225 (shared helper)
+    "q252_resolve_incremental" -> keepBestOracle,
 
     // quantile_cont IS Spark's exact interpolated percentile (both
     // evaluate at rank (n-1)*q with linear interpolation; integer
@@ -6222,58 +6413,11 @@ object SparkEntry {
     // machinery), exact-cosine pair verify, q50's recursive CC,
     // q225's keep-best window, brute-cosine decon vs the bench slice
     // (the broadcast path IS exact), q39's hash-sample arithmetic
-    "q249_embed_curate" ->
-      s"""WITH RECURSIVE raw AS (
-         |${lshBucketsCte(4, 8, 64)}),
-         |cand AS (
-         |  SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
-         |  FROM raw a JOIN raw b
-         |    ON a.t = b.t AND a.bkt = b.bkt AND a.vec_id < b.vec_id),
-         |pp AS (
-         |  SELECT ia, ib, x.embedding AS ea, y.embedding AS eb FROM cand
-         |  JOIN embeddings x ON x.vec_id = ia
-         |  JOIN embeddings y ON y.vec_id = ib),
-         |${cosineCtes("pp")},
-         |p AS (SELECT ia AS id_a, ib AS id_b FROM d
-         |  WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.3),
-         |und AS (SELECT id_a AS a, id_b AS b FROM p
-         |        UNION SELECT id_b, id_a FROM p),
-         |reach(a, b) AS (
-         |  SELECT a, b FROM und
-         |  UNION
-         |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
-         |comp AS (SELECT a AS id, LEAST(a, MIN(b)) AS component
-         |         FROM reach GROUP BY a),
-         |lab AS (
-         |  SELECT e.vec_id,
-         |    COALESCE(c.component, e.vec_id) AS component,
-         |    (e.vec_id * 37) % 101 AS q
-         |  FROM embeddings e LEFT JOIN comp c ON c.id = e.vec_id),
-         |r AS (
-         |  SELECT vec_id, component,
-         |    count(*) OVER (PARTITION BY component) AS cluster_size,
-         |    row_number() OVER (PARTITION BY component
-         |      ORDER BY q DESC, vec_id) AS rn
-         |  FROM lab),
-         |kept AS (SELECT vec_id, component, cluster_size FROM r
-         |  WHERE rn = 1),
-         |bp AS (
-         |  SELECT c.vec_id AS ia, b.vec_id AS ib,
-         |    c.embedding AS ea, b.embedding AS eb
-         |  FROM embeddings c, embeddings b WHERE b.vec_id < 8),
-         |d2 AS (SELECT ia, ib,
-         |  SUM(CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)) AS dot,
-         |  SUM(CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE)) AS na,
-         |  SUM(CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)) AS nb
-         |  FROM bp, UNNEST(range(1, len(ea) + 1)) AS u(i)
-         |  GROUP BY ia, ib),
-         |flag AS (SELECT DISTINCT ia AS vec_id FROM d2
-         |  WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.5)
-         |SELECT k.vec_id, k.component, k.cluster_size FROM kept k
-         |WHERE k.vec_id NOT IN (SELECT vec_id FROM flag)
-         |  AND ('0x' || substr(md5(k.vec_id::VARCHAR), 1, 15))::BIGINT
-         |      % 1000000 < 800000
-         |ORDER BY k.vec_id""".stripMargin,
+    "q249_embed_curate" -> embedCurateOracle,
+
+    // the incremental chain (bootstrap on ref + one delta batch) must
+    // equal the one-shot preset on the union — SAME oracle as q249
+    "q253_embed_curate_incremental" -> embedCurateOracle,
 
     // every hook stage replayed in the engine's order: line dedup
     // (q239 chain) -> paragraph dedup (q236 chain) -> langId ->
@@ -6517,45 +6661,11 @@ object SparkEntry {
     // bucket replay via hyperBucketSql (bit-exact sign tests, the q24
     // pattern), candidate equi-join, then the q240 margin windows
     // over candidates only
-    "q242_bitext_lsh" -> {
-      def buckets(cte: String): String =
-        (0 until 8).map { t =>
-          s"SELECT vec_id, $t AS t, " +
-            s"${hyperBucketSql("embedding", t, 8, 64)} AS bkt FROM $cte"
-        }.mkString("\nUNION ALL\n")
-      s"""WITH a AS (SELECT vec_id, embedding FROM embeddings
-         |  WHERE vec_id < 40),
-         |b AS (SELECT vec_id, embedding FROM embeddings
-         |  WHERE vec_id >= 40 AND vec_id < 80),
-         |ba AS (${buckets("a")}),
-         |bb AS (${buckets("b")}),
-         |cand AS (SELECT DISTINCT ba.vec_id AS ia, bb.vec_id AS ib
-         |  FROM ba JOIN bb ON ba.t = bb.t AND ba.bkt = bb.bkt),
-         |p AS (SELECT cand.ia, cand.ib,
-         |  a.embedding AS ea, b.embedding AS eb
-         |  FROM cand JOIN a ON a.vec_id = cand.ia
-         |  JOIN b ON b.vec_id = cand.ib),
-         |${cosineCtes("p")},
-         |s AS (SELECT ia AS a_id, ib AS b_id,
-         |  dot / (sqrt(na) * sqrt(nb)) AS cos FROM d),
-         |r AS (SELECT a_id, b_id, cos,
-         |  row_number() OVER (PARTITION BY a_id
-         |    ORDER BY cos DESC, b_id) AS rab,
-         |  row_number() OVER (PARTITION BY b_id
-         |    ORDER BY cos DESC, a_id) AS rba FROM s),
-         |av AS (SELECT a_id, b_id, cos, rab, rba,
-         |  avg(CASE WHEN rab <= 4 THEN cos END)
-         |    OVER (PARTITION BY a_id) AS avga,
-         |  avg(CASE WHEN rba <= 4 THEN cos END)
-         |    OVER (PARTITION BY b_id) AS avgb FROM r),
-         |m AS (SELECT a_id, b_id, cos,
-         |  cos / (avga / 2 + avgb / 2) AS margin
-         |  FROM av WHERE rab = 1 AND rba = 1)
-         |SELECT a_id, b_id,
-         |  CAST(CAST(cos AS DECIMAL(18,9)) AS DOUBLE) AS cos,
-         |  CAST(CAST(margin AS DECIMAL(18,9)) AS DOUBLE) AS margin
-         |FROM m WHERE margin >= 1.0 ORDER BY a_id""".stripMargin
-    },
+    "q242_bitext_lsh" -> bitextLshOracle,
+
+    // the store path is bit-identical to the recompute path by
+    // construction — SAME oracle text as q242 (shared helper)
+    "q251_bitext_store" -> bitextLshOracle,
 
     // brute-force cross levenshtein ground truth (proves the
     // directional blocking recall-complete)

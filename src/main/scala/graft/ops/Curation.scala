@@ -118,15 +118,133 @@ object Curation {
       blockTables = blockTables, blockPlanes = blockPlanes, dim = dim)
     val clusters = Dedup.duplicateClusters(pairs)
     val kept = Dedup.resolveClusters(df, clusters, idCol, qualityCol)
-    val deconed = bench match {
-      case Some((b, bid, bvec)) =>
-        val flagged = Decontaminate.semantic(kept, idCol, vecCol,
-          b, bid, bvec, deconThreshold, dim = dim)
-          .select(col(idCol))
-        kept.join(flagged, Seq(idCol), "left_anti")
-      case None => kept
-    }
+    val deconed = deconGate(kept, idCol, vecCol, bench,
+      deconThreshold, dim)
     Sampling.hashSample(deconed, idCol, sampleFraction, salt)
+  }
+
+  /** The state an [[embedCurateIncremental]] chain carries between
+    * batches: `curated` = this round's preset output (post-decon,
+    * post-sample, with `component`/`cluster_size`); `labels` = the
+    * complete (id, component) frame over every ever-paired doc (the
+    * next batch's priorLabels); `resolved` = the post-decon PRE-sample
+    * survivor set (the next batch's priorResolved — sampling is a
+    * stateless deterministic hash filter re-applied per round, so it
+    * must not be baked into the carried survivor set). Persist
+    * `labels` and `resolved` per batch; `curated` is the sink. */
+  final case class EmbedCurateState(curated: DataFrame,
+    labels: DataFrame, resolved: DataFrame)
+
+  /** Shared decon gate: drop survivors within `deconThreshold` cosine
+    * of any bench vector; None passes through. */
+  private def deconGate(kept: DataFrame, idCol: String, vecCol: String,
+      bench: Option[(DataFrame, String, String)],
+      deconThreshold: Double, dim: Int): DataFrame = bench match {
+    case Some((b, bid, bvec)) =>
+      val flagged = Decontaminate.semantic(kept, idCol, vecCol,
+        b, bid, bvec, deconThreshold, dim = dim)
+        .select(col(idCol))
+      kept.join(flagged, Seq(idCol), "left_anti")
+    case None => kept
+  }
+
+  /** Batch-0 of an incremental embedded-corpus curation chain:
+    * [[embedCurate]] with the chain state exposed. `blockPlanes` must
+    * be explicit (> 0) — the chain's later batches join saved
+    * [[Dedup.vectorBucketSignatures]] stores, and a corpus-adaptive
+    * bucket space re-derived from a growing corpus would drift between
+    * batches (the store discipline). Size it for the corpus's TARGET
+    * size ([[Dedup.autoBlockPlanes]]). The caller persists
+    * `state.labels` / `state.resolved` and writes the batch's
+    * [[Dedup.vectorBucketSignatures]] + its doc rows to the store
+    * ([[graft.streaming.StreamingMigrations.embedCurateStream]]
+    * packages exactly that). */
+  def embedCurateBootstrap(df: DataFrame, idCol: String, vecCol: String,
+      qualityCol: String, dupThreshold: Double,
+      bench: Option[(DataFrame, String, String)] = None,
+      deconThreshold: Double = 0.9, blockTables: Int = 4,
+      blockPlanes: Int = 12, dim: Int = 0,
+      sampleFraction: Double = 1.0, salt: String = "")
+      : EmbedCurateState = {
+    require(blockPlanes > 0,
+      "embedCurateBootstrap: blockPlanes must be explicit (> 0) — " +
+        "the incremental chain joins saved bucket stores, and an " +
+        "adaptive space would drift between batches; size ~ " +
+        "log2(target corpus / targetBucket)")
+    val pairs = Dedup.embeddingNearDup(df, idCol, vecCol, dupThreshold,
+      blockTables = blockTables, blockPlanes = blockPlanes, dim = dim)
+    val labels = Dedup.duplicateClusters(pairs)
+    val kept = Dedup.resolveClusters(df, labels, idCol, qualityCol)
+    val resolved = deconGate(kept, idCol, vecCol, bench,
+      deconThreshold, dim)
+    EmbedCurateState(
+      Sampling.hashSample(resolved, idCol, sampleFraction, salt),
+      labels, resolved)
+  }
+
+  /** The INCREMENTAL embedded-corpus curation preset — the composition
+    * r14 left hand-assembled, packaged: one daily batch flows through
+    *
+    *   within-batch pairs (pinned-plane [[Dedup.embeddingNearDup]]) ∪
+    *   batch×corpus pairs ([[Dedup.embeddingNearDupBetweenPrecomputed]]
+    *   against the SAVED bucket store — ref vectors are never
+    *   re-hashed) → [[Dedup.mergeClusters]] (label propagation over
+    *   the contracted delta graph only) →
+    *   [[Dedup.resolveClustersIncremental]] (only changed components
+    *   re-elect survivors) → decon of the FRESH survivors only (ids
+    *   already in `priorResolved` passed the identical deterministic
+    *   gate in an earlier round) → deterministic hash sample.
+    *
+    * Returns the one-shot-equivalent state: `curated` over batches
+    * 1..N equals [[embedCurate]] run on the union (the q253 oracle
+    * proves it on a planted split), provided the chain holds its
+    * parameters constant — same planes/tables/threshold (the store
+    * stamp enforces those), same bench frame, same deconThreshold,
+    * same quality column. `refDocs` = the accumulated prior corpus
+    * (only changed-component members are actually read — the semi-join
+    * prunes at the scan); `refBuckets` = the saved
+    * [[Dedup.vectorBucketSignatures]] store of exactly those docs.
+    *
+    * Shape at 100 TB per batch: the delta hashes once; candidates meet
+    * the store on the (t, bkt) equi-join; mergeClusters touches the
+    * contracted delta graph + one broadcast relabel; the re-elect
+    * window runs over touched members only; decon scores fresh
+    * survivors only. No stage re-pays the accumulated corpus. */
+  def embedCurateIncremental(newDf: DataFrame, refDocs: DataFrame,
+      refBuckets: DataFrame, priorLabels: DataFrame,
+      priorResolved: DataFrame, idCol: String, vecCol: String,
+      qualityCol: String, dupThreshold: Double,
+      bench: Option[(DataFrame, String, String)] = None,
+      deconThreshold: Double = 0.9, blockTables: Int = 4,
+      blockPlanes: Int = 12, dim: Int = 0,
+      sampleFraction: Double = 1.0, salt: String = "")
+      : EmbedCurateState = {
+    val within = Dedup.embeddingNearDup(newDf, idCol, vecCol,
+      dupThreshold, blockTables = blockTables,
+      blockPlanes = blockPlanes, dim = dim)
+    val cross = Dedup.embeddingNearDupBetweenPrecomputed(newDf,
+      refBuckets, refDocs.select(col(idCol), col(vecCol)), idCol,
+      vecCol, dupThreshold, blockTables, blockPlanes, dim)
+      .toDF("id_a", "id_b")
+    val newLabels = Dedup.mergeClusters(priorLabels,
+      within.unionByName(cross))
+    val docs = refDocs.unionByName(newDf)
+    val resolved = Dedup.resolveClustersIncremental(docs, newDf,
+      priorResolved, priorLabels, newLabels, idCol, qualityCol)
+    // decon only survivors NEW to the survivor set: an id already in
+    // priorResolved passed this exact deterministic gate (same
+    // vector, same bench, same threshold — the chain contract) in an
+    // earlier round, so re-scoring it would re-scan the accumulated
+    // survivor set per batch for identical answers
+    val priorIds = priorResolved.select(col(idCol))
+    val fresh = resolved.join(priorIds, Seq(idCol), "left_anti")
+    val freshKept = deconGate(fresh, idCol, vecCol, bench,
+      deconThreshold, dim)
+    val newResolved = resolved.join(priorIds, Seq(idCol), "left_semi")
+      .unionByName(freshKept)
+    EmbedCurateState(
+      Sampling.hashSample(newResolved, idCol, sampleFraction, salt),
+      newLabels, newResolved)
   }
 
   /** The crawl preset's STRUCTURED-TEXT entry point: for callers whose

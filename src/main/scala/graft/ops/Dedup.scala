@@ -473,7 +473,7 @@ object Dedup {
       minhashBandSignatures(refDf, idCol, textCol, k, numPerms, bands),
       idCol, textCol, k, numPerms, bands)
 
-  /** The persistable (id, band, sig) band-signature frame of a corpus
+  /** The persistable (id, band, sig [, p_*]) band-signature frame of a corpus
     * — [[minhashLshPairsBetween]]'s reference side, materialized.
     * Incremental ingest is the cross-frame join's whole reason to
     * exist, and recomputing the accumulated corpus's signatures every
@@ -857,7 +857,7 @@ object Dedup {
       .distinct()
   }
 
-  /** The persistable (id, simhash, chunk, key) chunk-signature frame
+  /** The persistable (id, simhash, chunk, key [, p_*]) chunk-signature frame
     * of a corpus — [[simhashNearDupBetween]]'s reference side,
     * materialized: the q230 store pattern ([[minhashBandSignatures]])
     * for simhash. Unlike the embedding store, this one is
@@ -1237,6 +1237,90 @@ object Dedup {
         byComponent.orderBy(col(qualityCol).desc, col(idCol).asc)))
       .where(col("__rn") === 1)
       .drop("__rn")
+  }
+
+  /** INCREMENTAL keep-best resolution — the [[mergeClusters]] story
+    * for [[resolveClusters]], closing the last full-corpus pass in
+    * the incremental dedup loop: after a batch's delta pairs fold
+    * into the labeling, only the components that CHANGED re-elect
+    * their survivor; every untouched prior survivor passes through
+    * verbatim (component and cluster_size both still valid —
+    * [[mergeClusters]] never splits or shrinks a component, so an
+    * untouched label means untouched membership). Re-windowing the
+    * full corpus per batch re-shuffles 100 TB of docs to re-elect
+    * survivors that did not change — this is bounded by the touched
+    * components instead.
+    *
+    * Inputs: `docs` = the FULL accumulated corpus (prior + delta —
+    * only members of changed components are actually read: the
+    * member-id semi-join prunes at the scan, so feed an id-bucketed /
+    * partition-prunable table at scale); `newDocs` = this batch's
+    * rows (needed to pass brand-new SINGLETON docs through — they
+    * appear in no label frame); `priorResolved` = the previous
+    * [[resolveClusters]] / resolveClustersIncremental output over the
+    * prior corpus; `priorLabels`/`newLabels` = the (id, component)
+    * frames before/after [[mergeClusters]] (newLabels must cover
+    * every priorLabels id, which mergeClusters guarantees).
+    *
+    * Output: EXACTLY `resolveClusters(docs, newLabels)` on the full
+    * corpus (the oracle query and the spec prove it), built as
+    * passthrough ∪ re-elected ∪ new-singletons.
+    *
+    * Shape at 100 TB: the changed-component diff is one narrow
+    * label-frame join (two longs per ever-paired doc — orders of
+    * magnitude under the corpus); members of changed components are
+    * delta-bounded, so AQE broadcasts them into the docs semi-join
+    * and the priorResolved anti-join — both scan-side, no corpus
+    * shuffle; the ONE windowed exchange runs over touched members
+    * only. */
+  def resolveClustersIncremental(docs: DataFrame, newDocs: DataFrame,
+      priorResolved: DataFrame, priorLabels: DataFrame,
+      newLabels: DataFrame, idCol: String, qualityCol: String)
+      : DataFrame = {
+    require(Seq("id", "component").forall(newLabels.columns.contains) &&
+      Seq("id", "component").forall(priorLabels.columns.contains),
+      "resolveClustersIncremental: priorLabels/newLabels need (id, " +
+        "component) — duplicateClusters/mergeClusters frames")
+    require(priorResolved.columns.contains("component") &&
+      priorResolved.columns.contains("cluster_size"),
+      "resolveClustersIncremental: priorResolved must be a " +
+        "resolveClusters output (component, cluster_size columns)")
+    // components whose membership changed: ids new to the label frame
+    // or ids whose label moved — a merge relabels the larger-root
+    // side's members, and the surviving (smaller) root is exactly the
+    // moved ids' NEW component, so both halves of every merged
+    // cluster land in `changed`
+    val changed = newLabels.select(col("id"), col("component"))
+      .join(priorLabels
+        .select(col("id"), col("component").as("__pc")),
+        Seq("id"), "left_outer")
+      .where(col("__pc").isNull || col("component") =!= col("__pc"))
+      .select("component")
+      .distinct()
+    // members of changed components — delta-bounded, the frame every
+    // pruning join below broadcasts
+    val members = tracked(newLabels
+      .join(changed, Seq("component"), "left_semi")
+      .select(col("id"), col("component"))
+      .persist())
+    val touchedDocs = docs.join(
+      members.select(col("id").as(idCol)), Seq(idCol), "left_semi")
+    val reElected = resolveClusters(touchedDocs, members, idCol,
+      qualityCol)
+    // untouched survivors pass through verbatim; a touched cluster's
+    // prior survivor is by definition a current member and drops here
+    val passThrough = priorResolved.join(
+      members.select(col("id").as(idCol)), Seq(idCol), "left_anti")
+    // brand-new docs with no pairs at all: their own singletons (the
+    // resolveClusters contract for unlabeled docs)
+    val newSingles = newDocs
+      .join(newLabels.select(col("id").as(idCol)), Seq(idCol),
+        "left_anti")
+      .withColumn("component", col(idCol))
+      .withColumn("cluster_size", lit(1L))
+    autoRelease(
+      passThrough.unionByName(reElected).unionByName(newSingles),
+      members)
   }
 
   /** Embedding cosine near-duplicates.
@@ -1646,7 +1730,7 @@ object Dedup {
     }
   }
 
-  /** The persistable (id, t, bkt) hyperplane-bucket frame of an
+  /** The persistable (id, t, bkt [, p_*]) hyperplane-bucket frame of an
     * embedded corpus — [[embeddingNearDupBetween]]'s reference side,
     * materialized: the q230 signature-store pattern
     * ([[minhashBandSignatures]]) applied to VECTORS. Incremental

@@ -294,6 +294,66 @@ object Similarity {
     marginMine(scored, k, minMargin)
   }
 
+  /** [[bitextMineLsh]] against a PRECOMPUTED indexed side — the q244
+    * store pattern for bitext mining: the growing crawl side `a`
+    * hashes here (one scan, the shared deterministic plane
+    * constants), the fixed indexed corpus arrives as a saved
+    * [[graft.ops.Dedup.vectorBucketSignatures]] frame (the SAME
+    * (id, t, bkt) schema — one store format serves dedup, semantic
+    * decon, and bitext), and `refVectors` — the indexed corpus pruned
+    * to (idCol, vecCol) — joins back BY ID for the cosine scoring, so
+    * the indexed side's `tables × nPlanes` plane dot products are
+    * never re-paid per batch (PlanSpec-pinned: one bucket-emission
+    * Generate, the delta's). The margin/mutual math downstream is
+    * [[bitextMineLsh]]'s verbatim, so outputs are bit-identical to
+    * the recompute path.
+    *
+    * Store discipline carries over: `nPlanes`/`tables` must equal the
+    * store's build parameters (the `p_*` stamp is REQUIRED to match —
+    * a store hashed under a different space would silently miss
+    * candidate pairs). NOTE the margin caveat sharpens here: margins
+    * are computed within the candidate set, and the b-side
+    * neighborhood average only sees b-rows that share a bucket with
+    * THIS batch's a-rows — same contract as [[bitextMineLsh]] run on
+    * the batch, which this face must equal. */
+  def bitextMineLshPrecomputed(a: DataFrame, refBuckets: DataFrame,
+      refVectors: DataFrame, idCol: String, vecCol: String,
+      k: Int = 4, minMargin: Double = 1.0, nPlanes: Int = 12,
+      tables: Int = 8, dim: Int = 0): DataFrame = {
+    require(k >= 1, s"bitextMineLshPrecomputed: k must be >= 1, got $k")
+    require(Seq("id", "t", "bkt").forall(refBuckets.columns.contains),
+      "bitextMineLshPrecomputed: refBuckets needs (id, t, bkt) — a " +
+        "Dedup.vectorBucketSignatures frame; got " +
+        refBuckets.columns.mkString("(", ", ", ")"))
+    require(refVectors.columns.contains(idCol) &&
+      refVectors.columns.contains(vecCol),
+      s"bitextMineLshPrecomputed: refVectors needs ($idCol, $vecCol); " +
+        "got " + refVectors.columns.mkString("(", ", ", ")"))
+    val d = if (dim > 0) dim
+      else probeDim(a, vecCol).orElse(probeDim(refVectors, vecCol))
+        .getOrElse(1)
+    graft.ops.Dedup.requireStoreParams(refBuckets,
+      "bitextMineLshPrecomputed",
+      "p_tables" -> tables, "p_planes" -> nPlanes, "p_dim" -> d)
+    val av = Partitioning.ensureMinPartitions(
+      a.select(col(idCol).as("a_id"), col(vecCol).as("av"))
+        .withColumn("an", vec_dot(col("av"), col("av"))))
+    val bv = refVectors.select(col(idCol).as("b_id"),
+        col(vecCol).as("bv"))
+      .withColumn("bn", vec_dot(col("bv"), col("bv")))
+    val cand = withAllTableBuckets(
+        av.select("a_id", "av"), "av", tables, nPlanes, d)
+      .select("a_id", "t", "bkt")
+      .join(refBuckets.select(col("id").as("b_id"), col("t"),
+        col("bkt")), Seq("t", "bkt"))
+      .select("a_id", "b_id").distinct()
+    val scored = cand.join(av, "a_id").join(bv, "b_id")
+      .withColumn("cos", cosineFromParts(
+        vec_dot(col("av"), col("bv")), col("an"), col("bn")))
+      .select("a_id", "b_id", "cos")
+    marginMine(scored, k, minMargin)
+  }
+
   /** Mutual-rank-1 + ratio-margin tail shared by [[bitextMine]] and
     * [[bitextMineLsh]]: both rank directions and their neighborhood
     * averages share one exchange per side. */

@@ -325,6 +325,98 @@ object StreamingMigrations {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Continuous EMBEDDED-CORPUS CURATION — the full incremental
+    * preset as one stream: each arriving micro-batch flows through
+    * [[graft.ops.Curation.embedCurateIncremental]] (within-batch +
+    * batch×store pairs → mergeClusters → incremental keep-best →
+    * fresh-survivor decon → sample) against the state every previous
+    * batch persisted, and appends its own buckets + doc rows so the
+    * next batch sees it as reference. The first batch bootstraps via
+    * [[graft.ops.Curation.embedCurateBootstrap]].
+    *
+    * Store layout under `storePath`: `buckets/batch=N` (the
+    * [[graft.ops.Dedup.vectorBucketSignatures]] frame, partitioned by
+    * t), `docs/batch=N` (the batch's full rows — the refDocs side;
+    * only changed-component members are ever read back), and the
+    * label/resolved GENERATIONS `labels/batch=N` /
+    * `resolved/batch=N` (each batch reads the highest generation
+    * strictly below its id — the [[clusterMaintenanceStream]]
+    * pattern, so a retried batch re-derives from the same prior it
+    * saw first). Curated output lands under `outPath/batch=N`; every
+    * write overwrites its own subdir (idempotent under foreachBatch's
+    * at-least-once contract). Reset storePath and checkpoint
+    * TOGETHER — one unit of state. `bench`/`deconThreshold`/plane
+    * parameters must stay constant for the chain's life (the
+    * one-shot-equivalence contract; the store stamp enforces the
+    * plane space). */
+  def embedCurateStream(stream: DataFrame, idCol: String,
+      vecCol: String, qualityCol: String, dupThreshold: Double,
+      storePath: String, outPath: String, checkpoint: String,
+      bench: Option[(DataFrame, String, String)] = None,
+      deconThreshold: Double = 0.9, blockTables: Int = 4,
+      blockPlanes: Int = 12, dim: Int = 0,
+      sampleFraction: Double = 1.0, salt: String = "")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(storePath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        def gens(sub: String): Array[Long] = {
+          val p = new org.apache.hadoop.fs.Path(s"$storePath/$sub")
+          if (!fs.exists(p)) Array.empty
+          else fs.listStatus(p)
+            .filter(_.isDirectory)
+            .flatMap(s => scala.util.Try(
+              s.getPath.getName.stripPrefix("batch=").toLong).toOption)
+            .filter(_ < batchId)
+            .sorted
+        }
+        val priorGen = gens("labels").lastOption
+        val state = priorGen match {
+          case None =>
+            graft.ops.Curation.embedCurateBootstrap(batch, idCol,
+              vecCol, qualityCol, dupThreshold, bench, deconThreshold,
+              blockTables, blockPlanes, dim, sampleFraction, salt)
+          case Some(k) =>
+            val bucketDirs = gens("buckets")
+              .map(n => s"$storePath/buckets/batch=$n")
+            val docDirs = gens("docs")
+              .map(n => s"$storePath/docs/batch=$n")
+            graft.ops.Curation.embedCurateIncremental(batch,
+              spark.read.parquet(docDirs: _*),
+              spark.read.parquet(bucketDirs: _*),
+              spark.read.parquet(s"$storePath/labels/batch=$k"),
+              spark.read.parquet(s"$storePath/resolved/batch=$k"),
+              idCol, vecCol, qualityCol, dupThreshold, bench,
+              deconThreshold, blockTables, blockPlanes, dim,
+              sampleFraction, salt)
+        }
+        state.labels.write.mode("overwrite")
+          .parquet(s"$storePath/labels/batch=$batchId")
+        val resolvedPath = s"$storePath/resolved/batch=$batchId"
+        state.resolved.write.mode("overwrite").parquet(resolvedPath)
+        // curated = a deterministic hash filter over resolved: derive
+        // it from the JUST-WRITTEN parquet instead of state.curated —
+        // re-executing the resolved lineage a second time would
+        // re-pay the pair join and the re-elect window per batch
+        graft.ops.Sampling.hashSample(
+            spark.read.parquet(resolvedPath), idCol, sampleFraction,
+            salt)
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        graft.ops.Dedup.vectorBucketSignatures(batch, idCol, vecCol,
+            blockTables, blockPlanes, dim)
+          .write.mode("overwrite").partitionBy("t")
+          .parquet(s"$storePath/buckets/batch=$batchId")
+        batch.write.mode("overwrite")
+          .parquet(s"$storePath/docs/batch=$batchId")
+        graft.ops.Dedup.releaseCaches()
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Continuous ANN-index maintenance: each arriving embedding
     * micro-batch is assigned to its nearest IVF centroid (the scan-fused
     * literal-centroid compare of `Similarity.ivfAssign`) and appended to

@@ -151,4 +151,68 @@ class CurationSpec extends graft.SparkSpec {
       dim = 4, sampleFraction = 0.0).count() == 0)
     graft.ops.Dedup.releaseCaches()
   }
+
+  test("embedCurateIncremental chains three batches and equals the " +
+      "one-shot preset on the union at every step") {
+    // 4-dim scale-invariant sign buckets; dup families share a
+    // direction. Bench vector flags id 5 (and nothing else).
+    def df(rows: Seq[(Long, Array[Double], Long)]) =
+      rows.toDF("vec_id", "embedding", "quality")
+    val b0 = Seq(
+      (1L, Array(1.0, 0.0, 0.0, 0.0), 50L),
+      (2L, Array(2.0, 0.0, 0.0, 0.0), 70L),
+      (5L, Array(0.0, 1.0, 0.0, 0.0), 40L))
+    val b1 = Seq(
+      (11L, Array(3.0, 0.0, 0.0, 0.0), 90L), // joins {1,2}
+      (12L, Array(0.0, 0.0, 1.0, 0.0), 30L), // new cluster with 13
+      (13L, Array(0.0, 0.0, 2.0, 0.0), 20L))
+    val b2 = Seq(
+      (21L, Array(0.0, 0.0, 4.0, 0.0), 95L), // joins {12,13}
+      (22L, Array(0.0, 0.0, 0.0, 1.0), 60L)) // true singleton
+    val bench = Some((df(Seq((100L, Array(0.0, 2.0, 0.0, 0.0), 0L))),
+      "vec_id", "embedding"))
+    def oneShot(rows: Seq[(Long, Array[Double], Long)]) =
+      Curation.embedCurate(df(rows), "vec_id", "embedding", "quality",
+        dupThreshold = 0.9, bench = bench, deconThreshold = 0.9,
+        blockTables = 2, blockPlanes = 4, dim = 4)
+        .select("vec_id", "component", "cluster_size")
+        .as[(Long, Long, Long)].collect().toSet
+    def curated(st: Curation.EmbedCurateState) =
+      st.curated.select("vec_id", "component", "cluster_size")
+        .as[(Long, Long, Long)].collect().toSet
+    val boot = Curation.embedCurateBootstrap(df(b0), "vec_id",
+      "embedding", "quality", dupThreshold = 0.9, bench = bench,
+      deconThreshold = 0.9, blockTables = 2, blockPlanes = 4, dim = 4)
+    assert(curated(boot) == oneShot(b0))
+    def step(prior: Curation.EmbedCurateState,
+        refRows: Seq[(Long, Array[Double], Long)],
+        delta: Seq[(Long, Array[Double], Long)]) =
+      Curation.embedCurateIncremental(df(delta), df(refRows),
+        graft.ops.Dedup.vectorBucketSignatures(df(refRows), "vec_id",
+          "embedding", blockTables = 2, blockPlanes = 4, dim = 4),
+        prior.labels, prior.resolved, "vec_id", "embedding",
+        "quality", dupThreshold = 0.9, bench = bench,
+        deconThreshold = 0.9, blockTables = 2, blockPlanes = 4,
+        dim = 4)
+    val s1 = step(boot, b0, b1)
+    assert(curated(s1) == oneShot(b0 ++ b1))
+    val s2 = step(s1, b0 ++ b1, b2)
+    val want = oneShot(b0 ++ b1 ++ b2)
+    assert(curated(s2) == want)
+    // the expected end state, spelled out: 11 wins the {1,2,11}
+    // family, 21 wins the {12,13,21} family, 22 is a singleton,
+    // 5 deconed
+    assert(want == Set((11L, 1L, 3L), (21L, 12L, 3L), (22L, 22L, 1L)))
+    graft.ops.Dedup.releaseCaches()
+  }
+
+  test("embedCurateBootstrap refuses an adaptive bucket space") {
+    intercept[IllegalArgumentException] {
+      Curation.embedCurateBootstrap(
+        Seq((1L, Array(1.0), 1L)).toDF("vec_id", "embedding",
+          "quality"),
+        "vec_id", "embedding", "quality", dupThreshold = 0.9,
+        blockPlanes = 0, dim = 1)
+    }
+  }
 }

@@ -1184,6 +1184,141 @@ class DataPipelineOpsSpec extends SparkSpec {
       7L -> 7L, 9L -> 9L))
   }
 
+  test("resolveClustersIncremental equals the one-shot resolve across " +
+      "merge / growth / new-singleton / untouched cases, and chains") {
+    // prior corpus: clusters {1,2} and {5,6}, singletons 8, 9
+    // delta: 10 merges {1,2} with {5,6} (cross pair), 11 joins
+    // nothing (new singleton), 12+13 form a brand-new cluster;
+    // cluster {3,4} is untouched throughout
+    val docsAll = Seq(
+      (1L, 50L), (2L, 70L), (5L, 60L), (6L, 40L), (8L, 10L), (9L, 20L),
+      (3L, 5L), (4L, 9L),
+      (10L, 90L), (11L, 30L), (12L, 80L), (13L, 85L))
+      .toDF("doc_id", "quality")
+    val priorDocs = docsAll.where($"doc_id" < 10)
+    val newDocs = docsAll.where($"doc_id" >= 10)
+    val priorPairs = Seq((1L, 2L), (5L, 6L), (3L, 4L))
+      .toDF("id_a", "id_b")
+    val deltaPairs = Seq((2L, 10L), (10L, 5L), (12L, 13L))
+      .toDF("id_a", "id_b")
+    val priorLabels = Dedup.duplicateClusters(priorPairs)
+    val priorResolved = Dedup.resolveClusters(priorDocs, priorLabels,
+      "doc_id", "quality")
+    val newLabels = Dedup.mergeClusters(priorLabels, deltaPairs)
+    val incr = Dedup.resolveClustersIncremental(docsAll, newDocs,
+      priorResolved, priorLabels, newLabels, "doc_id", "quality")
+      .select("doc_id", "quality", "component", "cluster_size")
+    val oneShot = Dedup.resolveClusters(docsAll,
+      Dedup.duplicateClusters(
+        priorPairs.unionByName(deltaPairs)), "doc_id", "quality")
+      .select("doc_id", "quality", "component", "cluster_size")
+    val iSet = incr.as[(Long, Long, Long, Long)].collect().toSet
+    val oSet = oneShot.as[(Long, Long, Long, Long)].collect().toSet
+    assert(iSet == oSet)
+    // spot-check the cases: merged 5-cluster elects 10 (quality 90),
+    // untouched {3,4} keeps 4 (quality 9), 11 is a new singleton
+    assert(iSet.contains((10L, 90L, 1L, 5L)))
+    assert(iSet.contains((4L, 9L, 3L, 2L)))
+    assert(iSet.contains((11L, 30L, 11L, 1L)))
+    // CHAINS: a second delta over the incremental state still equals
+    // the one-shot over everything
+    val docs3 = docsAll.unionByName(Seq((30L, 99L)).toDF("doc_id",
+      "quality"))
+    val delta2 = Seq((30L, 8L)).toDF("id_a", "id_b")
+    val labels3 = Dedup.mergeClusters(newLabels, delta2)
+    val incr2 = Dedup.resolveClustersIncremental(docs3,
+      docs3.where($"doc_id" >= 30), incr, newLabels, labels3,
+      "doc_id", "quality")
+      .select("doc_id", "quality", "component", "cluster_size")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val oneShot2 = Dedup.resolveClusters(docs3,
+      Dedup.duplicateClusters(priorPairs.unionByName(deltaPairs)
+        .unionByName(delta2)), "doc_id", "quality")
+      .select("doc_id", "quality", "component", "cluster_size")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(incr2 == oneShot2)
+    assert(incr2.contains((30L, 99L, 8L, 2L)))
+    Dedup.releaseCaches()
+  }
+
+  test("property: duplicateClusters equals driver union-find on 120 " +
+      "random graphs (chains, stars, trees, cliques, strided/" +
+      "alternating/shuffled ids, self-pairs)") {
+    // the r14 lesson industrialized: the adversarial-layout regression
+    // spec pins the KNOWN killer graphs; this pins the unknown ones —
+    // ScalaCheck-seeded random shapes × random id layouts, all graphs
+    // namespaced into ONE contraction run (disjoint id ranges), ground
+    // truth = driver-side union-find over the same edge list
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val seeds = (0 until 120).map(i =>
+      Gen.long.apply(Gen.Parameters.default, Seed(777L + i)).get)
+    def buildGraph(seed: Long, offset: Long): Seq[(Long, Long)] = {
+      val rnd = new scala.util.Random(seed)
+      val n = 2 + rnd.nextInt(59)
+      val shape = rnd.nextInt(6)
+      val edges: Seq[(Int, Int)] = shape match {
+        case 0 => (0 until n - 1).map(i => (i, i + 1)) // chain
+        case 1 => (1 until n).map(i => (0, i)) // star
+        case 2 => (1 until n).map(i => (i / 2, i)) // binary tree
+        case 3 => // random unions (possibly disconnected)
+          (0 until n).map(_ => (rnd.nextInt(n), rnd.nextInt(n)))
+        case 4 => // two cliques + one bridge
+          val h = math.max(n / 4, 1)
+          (for { i <- 0 until h; j <- i + 1 until h } yield (i, j)) ++
+            (for { i <- h until 2 * h; j <- i + 1 until 2 * h }
+              yield (i, j)) ++ Seq((0, 2 * h - 1))
+        case _ => // chain + a degenerate self-pair
+          (0 until n - 1).map(i => (i, i + 1)) :+ (0, 0)
+      }
+      val layout: Int => Long = rnd.nextInt(5) match {
+        case 0 => i => i.toLong // monotone
+        case 1 => i => (n - 1 - i).toLong // reversed
+        case 2 => i => // alternating (the pointer-jump killer)
+          if (i % 2 == 0) i.toLong else 2L * n - i
+        case 3 => i => i.toLong * 7919 % (13L * n) // strided
+        case 4 => // random permutation
+          val p = rnd.shuffle((0 until n).toVector)
+          i => p(i).toLong
+      }
+      edges.map { case (a, b) =>
+        val (x, y) = (layout(a) + offset, layout(b) + offset)
+        if (rnd.nextBoolean()) (x, y) else (y, x) // random direction
+      }
+    }
+    val allEdges = seeds.zipWithIndex.flatMap { case (s, g) =>
+      buildGraph(s, g.toLong * 1000000L)
+    }
+    // driver-side union-find ground truth (path-halving + union by id)
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) {
+        val nxt = parent(c); parent(c) = r; c = nxt
+      }
+      r
+    }
+    allEdges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val want = parent.keys.map(k => k -> find(k)).toMap
+    val got = Dedup.duplicateClusters(
+      allEdges.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == want.size)
+    val bad = want.collect {
+      case (id, c) if got.get(id) != Some(c) => (id, c, got.get(id))
+    }
+    assert(bad.isEmpty,
+      s"${bad.size} mislabeled nodes, e.g. ${bad.take(5)}")
+  }
+
   test("hammingNearDup at bits=64 maxHamming=0 buckets on the full " +
       "fingerprint, not one degenerate bucket (r14 advice mask wrap)") {
     // ids 1/2 share a 64-bit fingerprint with bit 63 set (negative as

@@ -530,6 +530,44 @@ class PlanSpec extends SparkSpec {
     assert(viaStore == recompute && viaStore.nonEmpty)
   }
 
+  test("precomputed bucket-store bitext mining: one bucket-emission " +
+      "Generate (the crawl batch's) and parity with the recompute path") {
+    import spark.implicits._
+    val e = graft.sources.Tables.table(spark, sf, "embeddings")
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-bitextstore-spec").toString
+    val indexed = e.where(col("vec_id") >= 40 && col("vec_id") < 80)
+    graft.ops.Dedup.vectorBucketSignatures(indexed, "vec_id",
+        "embedding", blockTables = 8, blockPlanes = 8, dim = 64)
+      .write.mode("overwrite").partitionBy("t").parquet(store)
+    val df = graft.ops.Similarity.bitextMineLshPrecomputed(
+      e.where(col("vec_id") < 40), spark.read.parquet(store), indexed,
+      "vec_id", "embedding", k = 4, minMargin = 1.0,
+      nPlanes = 8, tables = 8, dim = 64)
+    val plan = explain(df)
+    assert(plan.contains("bitextstore-spec"),
+      "saved bucket frame missing from the plan")
+    // the indexed side's tables x planes dot products must never be
+    // re-paid: exactly one struct-explode Generate in the MAIN plan —
+    // the batch's. (A dynamic-partition-pruning Subquery section may
+    // repeat the batch's Generate to prune the t-partitioned store's
+    // file listing — that's delta-sized work that SAVES store I/O at
+    // scale, not a ref-side recompute.)
+    val generates = plan.split("Subquery:").head.linesIterator
+      .count(_.contains(") Generate"))
+    assert(generates == 1,
+      s"expected exactly 1 bucket-emission Generate (the batch's), " +
+        s"got $generates")
+    // bit-identical to the recompute path (same planes, same margin
+    // math over the same candidate set)
+    val viaStore = df.as[(Long, Long, Double, Double)].collect().toSet
+    val recompute = graft.ops.Similarity.bitextMineLsh(
+      e.where(col("vec_id") < 40), indexed, "vec_id", "embedding",
+      k = 4, minMargin = 1.0, nPlanes = 8, tables = 8, dim = 64)
+      .as[(Long, Long, Double, Double)].collect().toSet
+    assert(viaStore == recompute && viaStore.nonEmpty)
+  }
+
   test("precomputed chunk-store cross-frame simhash: no " +
       "reference-side text scan in the plan") {
     import spark.implicits._

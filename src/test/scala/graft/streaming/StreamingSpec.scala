@@ -206,6 +206,59 @@ class StreamingSpec extends SparkSpec {
     assert(gen1(30L) == 1L && gen1(10L) == 1L) // bridged to min id 1
   }
 
+  test("embedCurateStream: two batches through the incremental " +
+      "preset equal the one-shot embedCurate on the union") {
+    val tmp = Files.createTempDirectory("embed-curate-stream").toString
+    val schema = Seq((1L, Array(1.0), 1L))
+      .toDF("vec_id", "embedding", "quality").schema
+    val b0 = Seq(
+      (1L, Array(1.0, 0.0, 0.0, 0.0), 50L),
+      (2L, Array(2.0, 0.0, 0.0, 0.0), 70L),
+      (5L, Array(0.0, 1.0, 0.0, 0.0), 40L))
+    val b1 = Seq(
+      (11L, Array(3.0, 0.0, 0.0, 0.0), 90L), // joins {1,2}
+      (12L, Array(0.0, 0.0, 1.0, 0.0), 30L), // new cluster with 13
+      (13L, Array(0.0, 0.0, 2.0, 0.0), 20L))
+    b0.toDF("vec_id", "embedding", "quality")
+      .coalesce(1).write.parquet(s"$tmp/src")
+    b1.toDF("vec_id", "embedding", "quality")
+      .coalesce(1).write.mode("append").parquet(s"$tmp/src")
+    val bench = Some((
+      Seq((100L, Array(0.0, 2.0, 0.0, 0.0)))
+        .toDF("vec_id", "embedding"), "vec_id", "embedding"))
+    StreamingMigrations.embedCurateStream(
+      StreamingMigrations.readStream(spark, s"$tmp/src", schema,
+        maxFilesPerTrigger = Some(1)),
+      "vec_id", "embedding", "quality", dupThreshold = 0.9,
+      s"$tmp/store", s"$tmp/out", s"$tmp/ck", bench = bench,
+      deconThreshold = 0.9, blockTables = 2, blockPlanes = 4, dim = 4)
+      .awaitTermination(120000)
+    // the latest curated generation equals the one-shot preset
+    val streamed = spark.read.parquet(s"$tmp/out/batch=1")
+      .select("vec_id", "component", "cluster_size")
+      .as[(Long, Long, Long)].collect().toSet
+    val oneShot = graft.ops.Curation.embedCurate(
+      (b0 ++ b1).toDF("vec_id", "embedding", "quality"),
+      "vec_id", "embedding", "quality", dupThreshold = 0.9,
+      bench = bench, deconThreshold = 0.9, blockTables = 2,
+      blockPlanes = 4, dim = 4)
+      .select("vec_id", "component", "cluster_size")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed == oneShot)
+    assert(streamed == Set((11L, 1L, 3L), (12L, 12L, 2L)))
+    // store layout: buckets + docs absorbed per batch, label and
+    // resolved generations per batch
+    for (sub <- Seq("buckets", "docs", "labels", "resolved")) {
+      val fs = new org.apache.hadoop.fs.Path(s"$tmp/store/$sub")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val gens = fs.listStatus(new org.apache.hadoop.fs.Path(
+          s"$tmp/store/$sub")).map(_.getPath.getName)
+        .filter(_.startsWith("batch=")).sorted.toSeq
+      assert(gens == Seq("batch=0", "batch=1"), s"$sub: $gens")
+    }
+    graft.ops.Dedup.releaseCaches()
+  }
+
   test("streaming crawl dedup: normalizeUrl canonical key composes " +
       "with streamingDedup — re-fetches and URL variants drop") {
     val tmp = Files.createTempDirectory("crawl-dedup").toString
