@@ -23,6 +23,37 @@ import graft.ops.{Dedup, Decontaminate, Similarity, TextFunctions,
   */
 object SparkEntry {
 
+  /** The q243/q254 crawl fixture: synthetic (url, html) over the
+    * documents table — 8 URL variants per residue class (case, port,
+    * www, tracking params, session ids, fragments) and HTML with
+    * script/style/comment/entity traps. Shared by the one-shot and
+    * incremental crawl-preset queries so their SHARED oracle replays
+    * one construction. */
+  private def webCurateFixture(s: SparkSession, dir: String): DataFrame = {
+    val pre = Seq(
+      "https://Example.com/p", "https://example.com/p",
+      "https://example.com:443/p", "https://www.example.com/p",
+      "https://example.com/p", "https://example.com/p",
+      "https://example.com/p", "https://other.org/p")
+    val suf = Seq(
+      "/b?utm_source=x&id=7&z=2", "/b?z=2&id=7", "/b?id=7&z=2#frag",
+      "/b/?id=7&z=2", "/b?jsessionid=A9F3&id=7&z=2", "/b?id=8&z=2",
+      "/b?ref=main&id=7&z=2", "/c")
+    tbl(s, dir, "documents").where(col("doc_id") < 360)
+      .withColumn("url", concat(
+        element_at(typedlit(pre), (col("doc_id") % 8 + 1).cast("int")),
+        (col("doc_id") / 8).cast("long").cast("string"),
+        element_at(typedlit(suf), (col("doc_id") % 8 + 1).cast("int"))))
+      .withColumn("html", concat(
+        lit("<html><head><style>p{color:red}</style>" +
+          "<script type=\"text/javascript\">var x=1 && 2;</script>" +
+          "</head><body><h1>Doc "),
+        col("doc_id").cast("string"),
+        lit("</h1><!-- hidden --><p>"), col("text"),
+        lit(" &amp; more &lt;tags&gt;&nbsp;&#39;quoted&#39;" +
+          "</p></body></html>")))
+  }
+
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     graft.sources.Tables.table(s, dir, name)
   /** Unique memory-sink names so repeated runs (bench rounds) never share
@@ -2052,31 +2083,31 @@ object SparkEntry {
         .orderBy("new_id", "ref_id")
     }),
 
-    "q243_web_curate" -> ((s, dir) => {
-      val pre = Seq(
-        "https://Example.com/p", "https://example.com/p",
-        "https://example.com:443/p", "https://www.example.com/p",
-        "https://example.com/p", "https://example.com/p",
-        "https://example.com/p", "https://other.org/p")
-      val suf = Seq(
-        "/b?utm_source=x&id=7&z=2", "/b?z=2&id=7", "/b?id=7&z=2#frag",
-        "/b/?id=7&z=2", "/b?jsessionid=A9F3&id=7&z=2", "/b?id=8&z=2",
-        "/b?ref=main&id=7&z=2", "/c")
-      val df = tbl(s, dir, "documents").where(col("doc_id") < 360)
-        .withColumn("url", concat(
-          element_at(typedlit(pre), (col("doc_id") % 8 + 1).cast("int")),
-          (col("doc_id") / 8).cast("long").cast("string"),
-          element_at(typedlit(suf), (col("doc_id") % 8 + 1).cast("int"))))
-        .withColumn("html", concat(
-          lit("<html><head><style>p{color:red}</style>" +
-            "<script type=\"text/javascript\">var x=1 && 2;</script>" +
-            "</head><body><h1>Doc "),
-          col("doc_id").cast("string"),
-          lit("</h1><!-- hidden --><p>"), col("text"),
-          lit(" &amp; more &lt;tags&gt;&nbsp;&#39;quoted&#39;" +
-            "</p></body></html>")))
-      graft.ops.Curation.webCurate(df, "doc_id", "url", "html",
+    "q243_web_curate" -> ((s, dir) =>
+      graft.ops.Curation.webCurate(webCurateFixture(s, dir),
+        "doc_id", "url", "html", targetLang = "en", minQuality = 0.3)
+        .select("doc_id", "url_canonical", "predicted_lang", "quality")
+        .orderBy("doc_id")),
+
+    // the INCREMENTAL crawl chain: bootstrap on the first half of the
+    // q243 fixture (ids monotone across batches), persist the two key
+    // stores, fold the second half through the store anti-joins, and
+    // the UNION of the two curated batches must equal the one-shot
+    // q243 preset on the whole fixture (SHARED oracle)
+    "q254_web_curate_incremental" -> ((s, dir) => {
+      val df = webCurateFixture(s, dir)
+      val boot = graft.ops.Curation.webCurateBootstrap(
+        df.where(col("doc_id") < 180), "doc_id", "url", "html",
         targetLang = "en", minQuality = 0.3)
+      val urlKeys = scratchDir("graft-urlkeys").toString
+      val contentKeys = scratchDir("graft-contentkeys").toString
+      boot.newUrlKeys.write.mode("overwrite").parquet(urlKeys)
+      boot.newContentKeys.write.mode("overwrite").parquet(contentKeys)
+      val incr = graft.ops.Curation.webCurateIncremental(
+        df.where(col("doc_id") >= 180), s.read.parquet(urlKeys),
+        s.read.parquet(contentKeys), "doc_id", "url", "html",
+        targetLang = "en", minQuality = 0.3)
+      boot.curated.unionByName(incr.curated)
         .select("doc_id", "url_canonical", "predicted_lang", "quality")
         .orderBy("doc_id")
     }),
@@ -4669,6 +4700,115 @@ object SparkEntry {
          |      % 1000000 < 800000
          |ORDER BY k.vec_id""".stripMargin
 
+  /** The q243 crawl-preset replay (URL chain, HTML chain, first-fetch
+    * window, marker scores, quality formula, content-dedup window),
+    * shared verbatim by q254: the incremental chain must equal the
+    * one-shot preset on the union. */
+  private def webCurateOracle: String = {
+      val scores = TextFunctions.LangMarkers.map { case (lang, ms) =>
+        val lst = ms.map(m => s"'$m'").mkString(", ")
+        s"len(list_filter(t, x -> list_contains([$lst], x))) AS s_$lang"
+      }.mkString(",\n  ")
+      val langs = TextFunctions.LangMarkers.map(_._1)
+      val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+      val total = langs.map("s_" + _).mkString(" + ")
+      val cases = langs.map(l =>
+        s"WHEN ($total) > 0 AND s_$l = $best THEN '$l'").mkString("\n    ")
+      val stop = TextFunctions.Stopwords.map(m => s"'$m'").mkString(", ")
+      s"""WITH d0 AS (SELECT doc_id, text,
+         |  CASE doc_id % 8
+         |    WHEN 0 THEN 'https://Example.com/p' || (doc_id // 8)
+         |      || '/b?utm_source=x&id=7&z=2'
+         |    WHEN 1 THEN 'https://example.com/p' || (doc_id // 8)
+         |      || '/b?z=2&id=7'
+         |    WHEN 2 THEN 'https://example.com:443/p' || (doc_id // 8)
+         |      || '/b?id=7&z=2#frag'
+         |    WHEN 3 THEN 'https://www.example.com/p' || (doc_id // 8)
+         |      || '/b/?id=7&z=2'
+         |    WHEN 4 THEN 'https://example.com/p' || (doc_id // 8)
+         |      || '/b?jsessionid=A9F3&id=7&z=2'
+         |    WHEN 5 THEN 'https://example.com/p' || (doc_id // 8)
+         |      || '/b?id=8&z=2'
+         |    WHEN 6 THEN 'https://example.com/p' || (doc_id // 8)
+         |      || '/b?ref=main&id=7&z=2'
+         |    ELSE 'https://other.org/p' || (doc_id // 8) || '/c'
+         |  END AS url,
+         |  '<html><head><style>p{color:red}</style>' ||
+         |  '<script type="text/javascript">var x=1 && 2;</script>' ||
+         |  '</head><body><h1>Doc ' || doc_id ||
+         |  '</h1><!-- hidden --><p>' || text ||
+         |  ' &amp; more &lt;tags&gt;&nbsp;&#39;quoted&#39;' ||
+         |  '</p></body></html>' AS html
+         |  FROM documents WHERE doc_id < 360),
+         |u1 AS (SELECT doc_id, html,
+         |  regexp_replace(url, '#.*', '') AS u FROM d0),
+         |usp AS (SELECT doc_id, html,
+         |  regexp_extract(u, '^([^?]*)', 1) AS p,
+         |  regexp_replace(u, '^[^?]*', '') AS q FROM u1),
+         |u2a AS (SELECT doc_id, html, p, regexp_replace(regexp_replace(
+         |  regexp_replace(regexp_replace(q,
+         |    '([?&])(?i:utm_[a-z0-9_]+|fbclid|gclid|jsessionid|phpsessid)=[^&]*',
+         |    '\\1', 'g'), '&&+', '&', 'g'), '^\\?&', '?'), '[?&]$$', '')
+         |  AS q FROM usp),
+         |u2 AS (SELECT doc_id, html, p,
+         |  CASE WHEN qb = '' THEN '' ELSE '?' ||
+         |    array_to_string(list_sort(string_split(qb, '&')), '&') END
+         |  AS q
+         |  FROM (SELECT doc_id, html, p,
+         |        regexp_replace(q, '^\\?', '') AS qb FROM u2a)),
+         |u3 AS (SELECT doc_id, html,
+         |  regexp_replace(p, '/+$$', '') AS p, q FROM u2),
+         |u4 AS (SELECT doc_id, html,
+         |  lower(regexp_extract(p,
+         |    '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)) ||
+         |  regexp_replace(p, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', '')
+         |  AS p, q FROM u3),
+         |u5 AS (SELECT doc_id, html, regexp_replace(regexp_replace(p,
+         |  '^(http://[^/?#]*):80([/?#]|$$)', '\\1\\2'),
+         |  '^(https://[^/?#]*):443([/?#]|$$)', '\\1\\2') AS p, q FROM u4),
+         |u6 AS (SELECT doc_id, html,
+         |  regexp_replace(p, '^(https?://)www\\.', '\\1') || q AS canon
+         |  FROM u5),
+         |h1 AS (SELECT doc_id, canon, regexp_replace(html,
+         |  '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS c FROM u6),
+         |h2 AS (SELECT doc_id, canon, regexp_replace(c,
+         |  '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS c FROM h1),
+         |h3 AS (SELECT doc_id, canon, regexp_replace(c,
+         |  '(?s)<!--.*?-->', ' ', 'g') AS c FROM h2),
+         |h4 AS (SELECT doc_id, canon, regexp_replace(c,
+         |  '<[^>]*>', ' ', 'g') AS c FROM h3),
+         |h5 AS (SELECT doc_id, canon, regexp_replace(regexp_replace(
+         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |  c, '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+         |  '&#39;', CHR(39), 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&',
+         |  'g') AS c FROM h4),
+         |ex AS (SELECT doc_id, canon,
+         |  trim(regexp_replace(c, '\\s+', ' ', 'g')) AS ct FROM h5),
+         |ud AS (SELECT doc_id, canon, ct, row_number() OVER (
+         |  PARTITION BY canon ORDER BY doc_id) AS urn FROM ex),
+         |tk AS (SELECT doc_id, canon, ct,
+         |  list_filter(string_split(ct, ' '), x -> x <> '') AS t
+         |  FROM ud WHERE urn = 1),
+         |sc AS (SELECT doc_id, canon, ct, t, $scores FROM tk),
+         |lg AS (SELECT doc_id, canon, ct, t,
+         |  CASE $cases ELSE 'und' END AS predicted FROM sc),
+         |ql AS (SELECT doc_id, canon, ct, predicted,
+         |  CAST(len(list_filter(t, x -> list_contains([$stop], x)))
+         |    AS DOUBLE) / greatest(CAST(len(t) AS DOUBLE), 1.0) * 0.4
+         |  + CAST(length(regexp_replace(ct, '[^A-Za-z]', '', 'g'))
+         |    AS DOUBLE) / greatest(CAST(length(ct) AS DOUBLE), 1.0)
+         |    * 0.4
+         |  + least(CAST(len(t) AS DOUBLE) / 100.0, 1.0) * 0.2
+         |  AS quality FROM lg),
+         |g AS (SELECT * FROM ql
+         |  WHERE predicted = 'en' AND quality >= 0.3),
+         |dd AS (SELECT *, row_number() OVER (
+         |  PARTITION BY md5(ct) ORDER BY doc_id) AS rn FROM g)
+         |SELECT doc_id, canon AS url_canonical,
+         |  predicted AS predicted_lang, quality
+         |FROM dd WHERE rn = 1 ORDER BY doc_id""".stripMargin
+    }
+
   def oracleSql: Map[String, String] = Map(
 
     "q104_merge_pipeline" ->
@@ -6553,110 +6693,11 @@ object SparkEntry {
         |WHERE bit_count(xor(a.phash, b.phash)) <= 3
         |ORDER BY new_id, ref_id""".stripMargin,
 
-    "q243_web_curate" -> {
-      val scores = TextFunctions.LangMarkers.map { case (lang, ms) =>
-        val lst = ms.map(m => s"'$m'").mkString(", ")
-        s"len(list_filter(t, x -> list_contains([$lst], x))) AS s_$lang"
-      }.mkString(",\n  ")
-      val langs = TextFunctions.LangMarkers.map(_._1)
-      val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
-      val total = langs.map("s_" + _).mkString(" + ")
-      val cases = langs.map(l =>
-        s"WHEN ($total) > 0 AND s_$l = $best THEN '$l'").mkString("\n    ")
-      val stop = TextFunctions.Stopwords.map(m => s"'$m'").mkString(", ")
-      s"""WITH d0 AS (SELECT doc_id, text,
-         |  CASE doc_id % 8
-         |    WHEN 0 THEN 'https://Example.com/p' || (doc_id // 8)
-         |      || '/b?utm_source=x&id=7&z=2'
-         |    WHEN 1 THEN 'https://example.com/p' || (doc_id // 8)
-         |      || '/b?z=2&id=7'
-         |    WHEN 2 THEN 'https://example.com:443/p' || (doc_id // 8)
-         |      || '/b?id=7&z=2#frag'
-         |    WHEN 3 THEN 'https://www.example.com/p' || (doc_id // 8)
-         |      || '/b/?id=7&z=2'
-         |    WHEN 4 THEN 'https://example.com/p' || (doc_id // 8)
-         |      || '/b?jsessionid=A9F3&id=7&z=2'
-         |    WHEN 5 THEN 'https://example.com/p' || (doc_id // 8)
-         |      || '/b?id=8&z=2'
-         |    WHEN 6 THEN 'https://example.com/p' || (doc_id // 8)
-         |      || '/b?ref=main&id=7&z=2'
-         |    ELSE 'https://other.org/p' || (doc_id // 8) || '/c'
-         |  END AS url,
-         |  '<html><head><style>p{color:red}</style>' ||
-         |  '<script type="text/javascript">var x=1 && 2;</script>' ||
-         |  '</head><body><h1>Doc ' || doc_id ||
-         |  '</h1><!-- hidden --><p>' || text ||
-         |  ' &amp; more &lt;tags&gt;&nbsp;&#39;quoted&#39;' ||
-         |  '</p></body></html>' AS html
-         |  FROM documents WHERE doc_id < 360),
-         |u1 AS (SELECT doc_id, html,
-         |  regexp_replace(url, '#.*', '') AS u FROM d0),
-         |usp AS (SELECT doc_id, html,
-         |  regexp_extract(u, '^([^?]*)', 1) AS p,
-         |  regexp_replace(u, '^[^?]*', '') AS q FROM u1),
-         |u2a AS (SELECT doc_id, html, p, regexp_replace(regexp_replace(
-         |  regexp_replace(regexp_replace(q,
-         |    '([?&])(?i:utm_[a-z0-9_]+|fbclid|gclid|jsessionid|phpsessid)=[^&]*',
-         |    '\\1', 'g'), '&&+', '&', 'g'), '^\\?&', '?'), '[?&]$$', '')
-         |  AS q FROM usp),
-         |u2 AS (SELECT doc_id, html, p,
-         |  CASE WHEN qb = '' THEN '' ELSE '?' ||
-         |    array_to_string(list_sort(string_split(qb, '&')), '&') END
-         |  AS q
-         |  FROM (SELECT doc_id, html, p,
-         |        regexp_replace(q, '^\\?', '') AS qb FROM u2a)),
-         |u3 AS (SELECT doc_id, html,
-         |  regexp_replace(p, '/+$$', '') AS p, q FROM u2),
-         |u4 AS (SELECT doc_id, html,
-         |  lower(regexp_extract(p,
-         |    '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)) ||
-         |  regexp_replace(p, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', '')
-         |  AS p, q FROM u3),
-         |u5 AS (SELECT doc_id, html, regexp_replace(regexp_replace(p,
-         |  '^(http://[^/?#]*):80([/?#]|$$)', '\\1\\2'),
-         |  '^(https://[^/?#]*):443([/?#]|$$)', '\\1\\2') AS p, q FROM u4),
-         |u6 AS (SELECT doc_id, html,
-         |  regexp_replace(p, '^(https?://)www\\.', '\\1') || q AS canon
-         |  FROM u5),
-         |h1 AS (SELECT doc_id, canon, regexp_replace(html,
-         |  '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS c FROM u6),
-         |h2 AS (SELECT doc_id, canon, regexp_replace(c,
-         |  '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS c FROM h1),
-         |h3 AS (SELECT doc_id, canon, regexp_replace(c,
-         |  '(?s)<!--.*?-->', ' ', 'g') AS c FROM h2),
-         |h4 AS (SELECT doc_id, canon, regexp_replace(c,
-         |  '<[^>]*>', ' ', 'g') AS c FROM h3),
-         |h5 AS (SELECT doc_id, canon, regexp_replace(regexp_replace(
-         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-         |  c, '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
-         |  '&#39;', CHR(39), 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&',
-         |  'g') AS c FROM h4),
-         |ex AS (SELECT doc_id, canon,
-         |  trim(regexp_replace(c, '\\s+', ' ', 'g')) AS ct FROM h5),
-         |ud AS (SELECT doc_id, canon, ct, row_number() OVER (
-         |  PARTITION BY canon ORDER BY doc_id) AS urn FROM ex),
-         |tk AS (SELECT doc_id, canon, ct,
-         |  list_filter(string_split(ct, ' '), x -> x <> '') AS t
-         |  FROM ud WHERE urn = 1),
-         |sc AS (SELECT doc_id, canon, ct, t, $scores FROM tk),
-         |lg AS (SELECT doc_id, canon, ct, t,
-         |  CASE $cases ELSE 'und' END AS predicted FROM sc),
-         |ql AS (SELECT doc_id, canon, ct, predicted,
-         |  CAST(len(list_filter(t, x -> list_contains([$stop], x)))
-         |    AS DOUBLE) / greatest(CAST(len(t) AS DOUBLE), 1.0) * 0.4
-         |  + CAST(length(regexp_replace(ct, '[^A-Za-z]', '', 'g'))
-         |    AS DOUBLE) / greatest(CAST(length(ct) AS DOUBLE), 1.0)
-         |    * 0.4
-         |  + least(CAST(len(t) AS DOUBLE) / 100.0, 1.0) * 0.2
-         |  AS quality FROM lg),
-         |g AS (SELECT * FROM ql
-         |  WHERE predicted = 'en' AND quality >= 0.3),
-         |dd AS (SELECT *, row_number() OVER (
-         |  PARTITION BY md5(ct) ORDER BY doc_id) AS rn FROM g)
-         |SELECT doc_id, canon AS url_canonical,
-         |  predicted AS predicted_lang, quality
-         |FROM dd WHERE rn = 1 ORDER BY doc_id""".stripMargin
-    },
+    "q243_web_curate" -> webCurateOracle,
+
+    // the incremental crawl chain must equal the one-shot preset on
+    // the union — SAME oracle text as q243 (shared helper)
+    "q254_web_curate_incremental" -> webCurateOracle,
 
     // bucket replay via hyperBucketSql (bit-exact sign tests, the q24
     // pattern), candidate equi-join, then the q240 margin windows

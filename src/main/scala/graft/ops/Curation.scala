@@ -26,20 +26,28 @@ object Curation {
     * ([[TextFunctions.langIdMargin]]) — a da/no coin-flip doc scoring
     * 3/3 carries a confident-looking label the margin exposes; 0 (the
     * default) keeps the historical label-only gate. */
-  def curate(df: DataFrame, idCol: String, textCol: String,
-      targetLang: String = "en", minQuality: Double = 0.0,
-      sampleFraction: Double = 1.0, salt: String = "",
-      minLangMargin: Int = 0): DataFrame = {
-    require(sampleFraction >= 0 && sampleFraction <= 1,
-      s"curate: sampleFraction in [0,1], got $sampleFraction")
-    val gated = df
-      .withColumn("predicted_lang", TextFunctions.langId(col(textCol)))
+  /** The language + margin + quality gate shared by every curate
+    * face: scan-side codegen'd predicates, adds the
+    * `predicted_lang` / `quality` diagnostic columns. */
+  private def gateAndScore(df: DataFrame, textCol: String,
+      targetLang: String, minQuality: Double, minLangMargin: Int)
+      : DataFrame =
+    df.withColumn("predicted_lang", TextFunctions.langId(col(textCol)))
       .withColumn("quality", TextFunctions.qualityScore(col(textCol)))
       .where(col("predicted_lang") === targetLang &&
         col("quality") >= minQuality &&
         (if (minLangMargin > 0)
           TextFunctions.langIdMargin(col(textCol)) >= minLangMargin
         else lit(true)))
+
+  def curate(df: DataFrame, idCol: String, textCol: String,
+      targetLang: String = "en", minQuality: Double = 0.0,
+      sampleFraction: Double = 1.0, salt: String = "",
+      minLangMargin: Int = 0): DataFrame = {
+    require(sampleFraction >= 0 && sampleFraction <= 1,
+      s"curate: sampleFraction in [0,1], got $sampleFraction")
+    val gated = gateAndScore(df, textCol, targetLang, minQuality,
+      minLangMargin)
     val deduped = Dedup.exactRows(
       gated.withColumn("__curation_hash", md5(col(textCol))),
       Seq("__curation_hash"), idCol)
@@ -81,6 +89,95 @@ object Curation {
     curate(urlDeduped, idCol, "clean_text", targetLang, minQuality,
       sampleFraction, salt, minLangMargin)
   }
+
+  /** The state a [[webCurateIncremental]] chain carries between
+    * batches: `curated` = this batch's surviving rows (the sink);
+    * `newUrlKeys` / `newContentKeys` = the canonical-URL and
+    * content-hash keys this batch ADDS — append them to the
+    * respective stores ([[graft.streaming.StreamingMigrations.webCurateStream]]
+    * packages the appends). Keys are narrow single-column frames:
+    * `url_canonical` for every canon key first SEEN this batch
+    * (gate-dropped fetches included — a later re-fetch of a
+    * gate-dropped URL must still drop, the one-shot ordering), and
+    * `content_key` (md5 of clean text) for every GATED row. */
+  final case class WebCurateState(curated: DataFrame,
+    newUrlKeys: DataFrame, newContentKeys: DataFrame)
+
+  /** The INCREMENTAL crawl preset — [[webCurate]] for a daily crawl
+    * feed, the r15 companion of [[embedCurateIncremental]]: one batch
+    * of raw (url, html) pages flows through extraction, within-batch
+    * canonical-URL dedup, an anti-join against the accumulated URL-key
+    * store (re-fetches of anything ever seen drop), the language +
+    * margin + quality gates, within-batch content dedup, an anti-join
+    * against the accumulated content-key store, and the deterministic
+    * sample. Output over batches 1..N equals [[webCurate]] on the
+    * union (the q254 oracle proves it on a planted split) PROVIDED ids
+    * are monotone non-decreasing across batches — the one-shot keeps
+    * the MIN id per key, so an earlier batch must hold the smaller
+    * ids (crawl reality: fetch ids grow with time). Chain the returned
+    * key deltas into the stores; gates are stateless so no other state
+    * exists.
+    *
+    * Shape at 100 TB per batch: extraction and gates are codegen'd
+    * scan expressions on the DELTA only; the two within-batch dedups
+    * are delta-sized window exchanges; the two store anti-joins are
+    * key-store equi-joins (narrow fixed-width keys — hash-partitioned,
+    * prunable by key-range at the store layout's discretion); the
+    * accumulated corpus TEXT is never touched. */
+  def webCurateIncremental(newDf: DataFrame, priorUrlKeys: DataFrame,
+      priorContentKeys: DataFrame, idCol: String, urlCol: String,
+      htmlCol: String, targetLang: String = "en",
+      minQuality: Double = 0.0, minLangMargin: Int = 0,
+      sampleFraction: Double = 1.0, salt: String = "")
+      : WebCurateState = {
+    require(priorUrlKeys.columns.contains("url_canonical"),
+      "webCurateIncremental: priorUrlKeys needs (url_canonical); got " +
+        priorUrlKeys.columns.mkString("(", ", ", ")"))
+    require(priorContentKeys.columns.contains("content_key"),
+      "webCurateIncremental: priorContentKeys needs (content_key); " +
+        "got " + priorContentKeys.columns.mkString("(", ", ", ")"))
+    val extracted = newDf
+      .withColumn("url_canonical",
+        TextFunctions.normalizeUrl(col(urlCol)))
+      .withColumn("clean_text",
+        TextFunctions.stripHtml(col(htmlCol)))
+    val withinUrl = Dedup.exactRows(extracted, Seq("url_canonical"),
+      idCol)
+    val priorUrl = priorUrlKeys.select("url_canonical")
+    val urlFresh = withinUrl.join(priorUrl, Seq("url_canonical"),
+      "left_anti")
+    val gated = gateAndScore(urlFresh, "clean_text", targetLang,
+      minQuality, minLangMargin)
+      .withColumn("__content_key", md5(col("clean_text")))
+    val withinContent = Dedup.exactRows(gated, Seq("__content_key"),
+      idCol)
+    val priorContent = priorContentKeys.select(
+      col("content_key").as("__content_key"))
+    val contentFresh = withinContent.join(priorContent,
+      Seq("__content_key"), "left_anti")
+    val curated = Sampling.hashSample(
+      contentFresh.drop("__content_key"), idCol, sampleFraction, salt)
+    WebCurateState(curated,
+      withinUrl.select("url_canonical")
+        .join(priorUrl, Seq("url_canonical"), "left_anti"),
+      gated.select(col("__content_key").as("content_key")).distinct()
+        .join(priorContentKeys.select("content_key"),
+          Seq("content_key"), "left_anti"))
+  }
+
+  /** Batch-0 of a [[webCurateIncremental]] chain: the incremental face
+    * with empty key stores — provided so callers (and the streaming
+    * face) never hand-build empty single-column frames. */
+  def webCurateBootstrap(df: DataFrame, idCol: String, urlCol: String,
+      htmlCol: String, targetLang: String = "en",
+      minQuality: Double = 0.0, minLangMargin: Int = 0,
+      sampleFraction: Double = 1.0, salt: String = "")
+      : WebCurateState =
+    webCurateIncremental(df,
+      df.select(lit("").as("url_canonical")).limit(0),
+      df.select(lit("").as("content_key")).limit(0),
+      idCol, urlCol, htmlCol, targetLang, minQuality, minLangMargin,
+      sampleFraction, salt)
 
   /** The EMBEDDED-corpus curation preset — [[webCurate]] for a corpus
     * whose unit of meaning is a vector (dataset distillation before

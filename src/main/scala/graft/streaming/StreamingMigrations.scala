@@ -325,6 +325,124 @@ object StreamingMigrations {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Continuous CRAWL CURATION — the [[graft.ops.Curation.webCurateIncremental]]
+    * chain as one stream: each arriving (url, html) micro-batch runs
+    * extraction, within-batch + cross-batch canonical-URL dedup,
+    * gates, within-batch + cross-batch content dedup, and the sample,
+    * then appends ONLY its new keys to the two key stores — per-batch
+    * cost scales with the batch; the accumulated corpus text is never
+    * re-read. Store layout: `storePath/urlkeys/batch=N` and
+    * `storePath/contentkeys/batch=N` (narrow single-column frames);
+    * curated output under `outPath/batch=N`. Priors are batch ids
+    * STRICTLY BELOW the current one and every write overwrites its
+    * own subdir (idempotent on retry — the [[incrementalNearDupStream]]
+    * contract; reset storePath and checkpoint together). One-shot
+    * equivalence needs ids monotone across batches — see
+    * [[graft.ops.Curation.webCurateIncremental]]. */
+  def webCurateStream(stream: DataFrame, idCol: String,
+      urlCol: String, htmlCol: String, storePath: String,
+      outPath: String, checkpoint: String, targetLang: String = "en",
+      minQuality: Double = 0.0, minLangMargin: Int = 0,
+      sampleFraction: Double = 1.0, salt: String = "")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(storePath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        def priorDirs(sub: String): Array[String] = {
+          val p = new org.apache.hadoop.fs.Path(s"$storePath/$sub")
+          if (!fs.exists(p)) Array.empty
+          else fs.listStatus(p)
+            .filter { s =>
+              val n = s.getPath.getName
+              s.isDirectory && n.startsWith("batch=") &&
+                scala.util.Try(n.stripPrefix("batch=").toLong)
+                  .toOption.exists(_ < batchId)
+            }
+            .map(_.getPath.toString)
+        }
+        val (urlDirs, contentDirs) =
+          (priorDirs("urlkeys"), priorDirs("contentkeys"))
+        val state =
+          if (urlDirs.isEmpty)
+            graft.ops.Curation.webCurateBootstrap(batch, idCol,
+              urlCol, htmlCol, targetLang, minQuality, minLangMargin,
+              sampleFraction, salt)
+          else graft.ops.Curation.webCurateIncremental(batch,
+            spark.read.parquet(urlDirs: _*),
+            spark.read.parquet(contentDirs: _*),
+            idCol, urlCol, htmlCol, targetLang, minQuality,
+            minLangMargin, sampleFraction, salt)
+        state.curated.write.mode("overwrite")
+          .parquet(s"$outPath/batch=$batchId")
+        state.newUrlKeys.write.mode("overwrite")
+          .parquet(s"$storePath/urlkeys/batch=$batchId")
+        state.newContentKeys.write.mode("overwrite")
+          .parquet(s"$storePath/contentkeys/batch=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** Continuous incremental MEDIA near-dup against a persisted chunk
+    * store — [[incrementalNearDupStream]] for images, the streaming
+    * face of [[graft.ops.Multimodal.mediaChunkSignatures]] /
+    * [[graft.ops.Multimodal.mediaNearDupBetween]]: each arriving
+    * micro-batch of (media_id, content) rows decodes ONCE, emits its
+    * near-dup pairs against everything absorbed before it plus its
+    * own within-batch pairs, and appends its chunk signatures — the
+    * reference corpus is never re-DECODED (the expensive step for
+    * images). Pair output: (new_id, ref_id, within_batch) under
+    * `pairsPath/batch=N`; store layout `storePath/batch=N/chunk=C`.
+    * Same idempotent-overwrite / strictly-below-priors contract as
+    * every store stream here. */
+  def mediaDedupStream(stream: DataFrame, storePath: String,
+      pairsPath: String, checkpoint: String, maxHamming: Int = 3)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val root = new org.apache.hadoop.fs.Path(storePath)
+        val fs = root.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val priorDirs =
+          if (!fs.exists(root)) Array.empty[String]
+          else fs.listStatus(root)
+            .filter { s =>
+              val n = s.getPath.getName
+              s.isDirectory && n.startsWith("batch=") &&
+                scala.util.Try(n.stripPrefix("batch=").toLong)
+                  .toOption.exists(_ < batchId)
+            }
+            .map(_.getPath.toString)
+        // decode the batch ONCE: the fingerprints feed the store
+        // write, the within-batch join, and the cross-frame join
+        val fp = graft.ops.Multimodal.perceptualHash(batch).persist()
+        val within = graft.ops.Dedup.hammingNearDup(fp, "media_id",
+            "phash", graft.ops.Multimodal.PHashBits, maxHamming)
+          .select(col("id_a").as("new_id"), col("id_b").as("ref_id"),
+            col("hamming"))
+        val cross =
+          if (priorDirs.isEmpty) within.limit(0)
+          else graft.ops.Dedup.hammingNearDupBetweenPrecomputed(fp,
+            spark.read.parquet(priorDirs: _*), "media_id", "phash",
+            graft.ops.Multimodal.PHashBits, maxHamming)
+        cross.withColumn("within_batch", lit(false))
+          .unionByName(within.withColumn("within_batch", lit(true)))
+          .write.mode("overwrite").parquet(s"$pairsPath/batch=$batchId")
+        graft.ops.Dedup.hammingChunkSignatures(fp, "media_id",
+            "phash", graft.ops.Multimodal.PHashBits, maxHamming)
+          .write.mode("overwrite").partitionBy("chunk")
+          .parquet(s"$storePath/batch=$batchId")
+        fp.unpersist()
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Continuous EMBEDDED-CORPUS CURATION — the full incremental
     * preset as one stream: each arriving micro-batch flows through
     * [[graft.ops.Curation.embedCurateIncremental]] (within-batch +

@@ -206,6 +206,61 @@ class CurationSpec extends graft.SparkSpec {
     graft.ops.Dedup.releaseCaches()
   }
 
+  test("webCurateIncremental chains batches and equals the one-shot " +
+      "crawl preset on the union — url re-fetches and content dupes " +
+      "drop across batches") {
+    val en = "the quick brown fox and the lazy dog walked over the " +
+      "hill while the cat sat on the mat and the dog barked at the moon"
+    // batch 1: two url-variants of one page (within-batch url dedup),
+    // a unique page, and a german page (gate drop — its URL must
+    // still poison later re-fetches)
+    val b0 = Seq(
+      (1L, "https://Example.com/a?utm_source=x", s"<p>$en one</p>"),
+      (2L, "https://example.com/a", s"<p>$en one changed</p>"),
+      (3L, "https://example.com/b", s"<p>$en two</p>"),
+      (4L, "https://example.com/de",
+        "<p>der hund und die katze und der mond und die sonne der " +
+          "und die der und die der und die der und die</p>"))
+    // batch 2: a canonical re-fetch of /a (cross-batch url drop — 11
+    // canonicalizes to batch 1's key via utm stripping), a content
+    // dupe of /b under a new url (cross-batch content drop), and
+    // genuinely new pages
+    val b1 = Seq(
+      (11L, "https://example.com/a?utm_medium=z", s"<p>$en eleven</p>"),
+      (12L, "https://example.com/de?x=1",
+        s"<p>$en de refetch new content</p>"),
+      (13L, "https://example.com/c", s"<p>$en two</p>"),
+      (14L, "https://example.com/d", s"<p>$en fourteen</p>"))
+    // note 12's URL canon (/de?x=1) differs from 4's (/de) — only 11
+    // is a true canonical re-fetch (utm_medium strips away); 12
+    // survives on its own key
+    def df(rows: Seq[(Long, String, String)]) =
+      rows.toDF("doc_id", "url", "html")
+    def oneShot(rows: Seq[(Long, String, String)]) =
+      Curation.webCurate(df(rows), "doc_id", "url", "html",
+        targetLang = "en", minQuality = 0.2)
+        .select("doc_id").as[Long].collect().toSet
+    val boot = Curation.webCurateBootstrap(df(b0), "doc_id", "url",
+      "html", targetLang = "en", minQuality = 0.2)
+    assert(boot.curated.select("doc_id").as[Long].collect().toSet ==
+      oneShot(b0))
+    val incr = Curation.webCurateIncremental(df(b1), boot.newUrlKeys,
+      boot.newContentKeys, "doc_id", "url", "html",
+      targetLang = "en", minQuality = 0.2)
+    val union = boot.curated.unionByName(incr.curated)
+      .select("doc_id").as[Long].collect().toSet
+    assert(union == oneShot(b0 ++ b1))
+    // spelled out: 1 survives (min id of /a), 3 survives, 4 gated
+    // out; 11 drops (re-fetch of /a), 13 drops (content dupe of 3),
+    // 12 and 14 survive
+    assert(union == Set(1L, 3L, 12L, 14L))
+    // key deltas: batch 2 adds only its fresh keys
+    assert(incr.newUrlKeys.as[String].collect().toSet ==
+      Set("https://example.com/de?x=1", "https://example.com/c",
+        "https://example.com/d"))
+    assert(!union.contains(11L) && !union.contains(13L))
+  }
+
   test("embedCurateBootstrap refuses an adaptive bucket space") {
     intercept[IllegalArgumentException] {
       Curation.embedCurateBootstrap(

@@ -259,6 +259,74 @@ class StreamingSpec extends SparkSpec {
     graft.ops.Dedup.releaseCaches()
   }
 
+  test("webCurateStream: two crawl batches equal the one-shot preset " +
+      "on the union; key stores grow per batch") {
+    val tmp = Files.createTempDirectory("web-curate-stream").toString
+    val en = "the quick brown fox and the lazy dog walked over the " +
+      "hill while the cat sat on the mat and the dog barked at night"
+    val b0 = Seq(
+      (1L, "https://Example.com/a?utm_source=x", s"<p>$en one</p>"),
+      (3L, "https://example.com/b", s"<p>$en two</p>"))
+    val b1 = Seq(
+      (11L, "https://example.com/a", s"<p>$en eleven</p>"), // re-fetch
+      (13L, "https://example.com/c", s"<p>$en two</p>"),    // content dup
+      (14L, "https://example.com/d", s"<p>$en fourteen</p>"))
+    val schema = b0.toDF("doc_id", "url", "html").schema
+    b0.toDF("doc_id", "url", "html")
+      .coalesce(1).write.parquet(s"$tmp/src")
+    b1.toDF("doc_id", "url", "html")
+      .coalesce(1).write.mode("append").parquet(s"$tmp/src")
+    StreamingMigrations.webCurateStream(
+      StreamingMigrations.readStream(spark, s"$tmp/src", schema,
+        maxFilesPerTrigger = Some(1)),
+      "doc_id", "url", "html", s"$tmp/store", s"$tmp/out", s"$tmp/ck",
+      targetLang = "en", minQuality = 0.2)
+      .awaitTermination(120000)
+    val streamed = spark.read.parquet(s"$tmp/out")
+      .select("doc_id").as[Long].collect().toSet
+    val oneShot = graft.ops.Curation.webCurate(
+      (b0 ++ b1).toDF("doc_id", "url", "html"), "doc_id", "url",
+      "html", targetLang = "en", minQuality = 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamed == oneShot)
+    assert(streamed == Set(1L, 3L, 14L))
+    val urlKeys = spark.read.parquet(s"$tmp/store/urlkeys")
+      .select("url_canonical").as[String].collect().toSet
+    assert(urlKeys == Set("https://example.com/a",
+      "https://example.com/b", "https://example.com/c",
+      "https://example.com/d"))
+  }
+
+  test("mediaDedupStream: each batch decodes once, pairs against the " +
+      "chunk store, absorbs its fingerprint chunks") {
+    val tmp = Files.createTempDirectory("media-stream").toString
+    // fixtureBmp: ids >= 100 are one-pixel perturbations of id-100 —
+    // batch 0 holds bases {1, 2}, batch 1 their siblings {101} and a
+    // distinct base {50}
+    def media(ids: Seq[Long]) = ids
+      .map(id => (id, graft.ops.Multimodal.fixtureBmp(id)))
+      .toDF("media_id", "content")
+    val schema = media(Seq(1L)).schema
+    media(Seq(1L, 2L)).coalesce(1).write.parquet(s"$tmp/src")
+    media(Seq(101L, 50L)).coalesce(1).write.mode("append")
+      .parquet(s"$tmp/src")
+    StreamingMigrations.mediaDedupStream(
+      StreamingMigrations.readStream(spark, s"$tmp/src", schema,
+        maxFilesPerTrigger = Some(1)),
+      s"$tmp/store", s"$tmp/pairs", s"$tmp/ck", maxHamming = 3)
+      .awaitTermination(120000)
+    val pairs = spark.read.parquet(s"$tmp/pairs")
+      .select("new_id", "ref_id", "within_batch")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(pairs == Set((101L, 1L, false)))
+    // store: every absorbed fingerprint's chunks, parameter-stamped
+    val store = spark.read.parquet(s"$tmp/store")
+    assert(store.select("id").distinct().as[Long].collect().sorted
+      .toSeq == Seq(1L, 2L, 50L, 101L))
+    assert(store.columns.contains("p_bits") &&
+      store.columns.contains("p_maxh"))
+  }
+
   test("streaming crawl dedup: normalizeUrl canonical key composes " +
       "with streamingDedup — re-fetches and URL variants drop") {
     val tmp = Files.createTempDirectory("crawl-dedup").toString
