@@ -1897,6 +1897,28 @@ object SparkEntry {
         .orderBy("new_id", "ref_id")
     }),
 
+    // incremental fuzzy ingest with a PERSISTED segment store: the ref
+    // corpus's PassJoin segments (+ ridden strings — the store is
+    // self-sufficient, ref text never re-read) are written once
+    // partitioned by segment index, and the delta probes the SAVED
+    // frame — must produce exactly q241's pairs (same oracle)
+    "q255_fuzzy_store" -> ((s, dir) => {
+      val suf = Seq("-alpha", "-alphA", "-alpha7", "-alph", "-beta",
+        "-gamma")
+      val df = tbl(s, dir, "documents").where(col("doc_id") < 360)
+        .withColumn("code", concat(lit("prod"),
+          (col("doc_id") / 6).cast("long").cast("string"),
+          element_at(typedlit(suf), (col("doc_id") % 6 + 1).cast("int"))))
+      val store = scratchDir("graft-edstore").toString
+      Dedup.editDistanceSegmentStore(df.where(col("doc_id") < 177),
+          "doc_id", "code", maxDist = 1)
+        .write.mode("overwrite").partitionBy("k").parquet(store)
+      Dedup.editDistancePairsBetweenPrecomputed(
+        df.where(col("doc_id") >= 177), s.read.parquet(store),
+        "doc_id", "code", maxDist = 1)
+        .orderBy("new_id", "ref_id")
+    }),
+
     // margin-based mutual-NN bitext mining (the LASER/CCMatrix
     // recipe): pairs that are each other's nearest neighbor in BOTH
     // directions and beat their own neighborhoods' average cosine —
@@ -6707,6 +6729,21 @@ object SparkEntry {
     // the store path is bit-identical to the recompute path by
     // construction — SAME oracle text as q242 (shared helper)
     "q251_bitext_store" -> bitextLshOracle,
+
+    // the store path replays q241's pairs from saved segments — SAME
+    // oracle (shared helper would hide the q241 text; it is one string)
+    "q255_fuzzy_store" ->
+      """WITH u AS (SELECT doc_id,
+        |  'prod' || (doc_id // 6) ||
+        |  CASE doc_id % 6 WHEN 0 THEN '-alpha' WHEN 1 THEN '-alphA'
+        |    WHEN 2 THEN '-alpha7' WHEN 3 THEN '-alph' WHEN 4 THEN '-beta'
+        |    ELSE '-gamma' END AS code
+        |  FROM documents WHERE doc_id < 360)
+        |SELECT a.doc_id AS new_id, b.doc_id AS ref_id
+        |FROM u a JOIN u b ON a.doc_id >= 177 AND b.doc_id < 177
+        |WHERE abs(len(a.code) - len(b.code)) <= 1
+        |  AND levenshtein(a.code, b.code) <= 1
+        |ORDER BY new_id, ref_id""".stripMargin,
 
     // brute-force cross levenshtein ground truth (proves the
     // directional blocking recall-complete)

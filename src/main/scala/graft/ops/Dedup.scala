@@ -793,6 +793,143 @@ object Dedup {
       .select("new_id", "ref_id"), refBase, newBase)
   }
 
+  /** PassJoin segment STORE for the reference corpus: the persistable
+    * index side of [[editDistancePairsBetweenPrecomputed]] — build
+    * once at `maxDist`, write partitioned by `k`, and every delta
+    * batch joins the SAVED frame instead of re-segmenting 100 TB of
+    * reference strings per ingest (the q230/q244/q246 store story for
+    * the edit-distance family).
+    *
+    * SELF-SUFFICIENT like the simhash chunk store: the reference
+    * string `s` rides with its segments, so the exact-levenshtein
+    * verify reads the store and the reference corpus is NEVER
+    * re-scanned — at the price of (d+1)× string duplication, the
+    * right trade for the short code/title/name fields PassJoin is
+    * built for. Reference strings shorter than d+1 chars have no
+    * segment guarantee and ride as one `k = -1` row (`sub` null, `l`
+    * = length) so the store is complete on its own: the precomputed
+    * face replays the short-bucket branch from the store too.
+    *
+    * Schema: (id, l, k, sub, s, p_maxdist) — `p_maxdist` stamps the
+    * build parameter and the precomputed face REQUIRES it to match
+    * (segments built at a different d bucket differently and the
+    * equi-join would silently miss pairs). */
+  def editDistanceSegmentStore(refDf: DataFrame, idCol: String,
+      strCol: String, maxDist: Int = 1): DataFrame = {
+    val d = maxDist
+    require(d >= 1 && d <= 4,
+      s"editDistanceSegmentStore: maxDist in [1,4], got $d")
+    val base = edBase(refDf, idCol, strCol)
+    val parts = lit(d + 1)
+    val segs = base.where(col("n") >= d + 1)
+      .select(col("id"), col("s"), col("n"),
+        explode(sequence(lit(0), lit(d))).as("k"))
+      .withColumn("st", floor(col("k") * col("n") / parts).cast("int"))
+      .withColumn("en",
+        floor((col("k") + 1) * col("n") / parts).cast("int"))
+      .select(col("id"), col("n").as("l"), col("k"),
+        col("s").substr(col("st") + 1, col("en") - col("st")).as("sub"),
+        col("s"))
+    val shorts = base.where(col("n") <= d)
+      .select(col("id"), col("n").as("l"), lit(-1).as("k"),
+        lit(null).cast("string").as("sub"), col("s"))
+    segs.unionByName(shorts)
+      .withColumn("p_maxdist", lit(d))
+  }
+
+  /** CROSS-FRAME edit-distance near-dup against a PRECOMPUTED segment
+    * store ([[editDistanceSegmentStore]]): per-batch cost scales with
+    * the delta — the delta side segments/probes per call, the
+    * reference side is read back as saved (l, k, sub) rows and its
+    * strings ride the store into the verify, never a reference
+    * re-scan. Output is exactly [[editDistancePairsBetween]]'s
+    * distinct (new_id, ref_id), same valves (the candidate-volume
+    * estimate aggregates the SAVED segment frame — a narrow
+    * columnar scan — against the delta probes). */
+  def editDistancePairsBetweenPrecomputed(newDf: DataFrame,
+      refStore: DataFrame, idCol: String, strCol: String,
+      maxDist: Int = 1): DataFrame = {
+    val d = maxDist
+    require(d >= 1 && d <= 4,
+      s"editDistancePairsBetweenPrecomputed: maxDist in [1,4], got $d")
+    requireStoreParams(refStore, "editDistancePairsBetweenPrecomputed",
+      "p_maxdist" -> d)
+    val newBase = tracked(edBase(newDf, idCol, strCol).persist())
+    val seg = refStore.where(col("k") >= 0)
+      .select(col("id").as("id_i"), col("l"), col("k"), col("sub"),
+        col("s").as("__sr"))
+    val probe = edProbeFrame(newBase, d)
+    val maxCand = newDf.sparkSession.conf
+      .getOption("spark.graft.editdist.maxCandidatePairs")
+      .map(_.toLong).getOrElse(2000000000L)
+    val worstPerPair = (d + 1).toDouble * (2 * d + 1) * (2 * d + 1) *
+      (d + 1)
+    val safeN = math.sqrt(maxCand.toDouble / worstPerPair).toLong
+    // the store has up to d+1 rows per reference string, so bounding
+    // STORE rows under safeN is strictly tighter than bounding base
+    // rows — the small-fixture fast path stays safe
+    val provablySmall = maxCand > 0 && safeN > 0 &&
+      safeN < Int.MaxValue - 1 &&
+      refStore.limit(safeN.toInt + 1).count() <= safeN &&
+      newBase.limit(safeN.toInt + 1).count() <= safeN
+    if (maxCand > 0 && !provablySmall) {
+      val candVol = seg.groupBy("l", "k", "sub")
+        .agg(count(lit(1)).as("__ns"))
+        .join(probe.groupBy("l", "k", "sub")
+          .agg(count(lit(1)).as("__np")), Seq("l", "k", "sub"))
+        .agg(coalesce(sum(col("__ns").cast("double") * col("__np")),
+          lit(0.0)).as("cand")).head().getDouble(0)
+      if (candVol > maxCand) throw new IllegalStateException(
+        f"editDistancePairsBetweenPrecomputed: segment-join candidate " +
+          f"volume $candVol%.3g exceeds " +
+          s"spark.graft.editdist.maxCandidatePairs=$maxCand — shared " +
+          "prefixes/suffixes are concentrating the (length, segment) " +
+          "buckets. Strip common boilerplate first, exact-dedup the " +
+          "delta before the fuzzy pass, lower maxDist, or raise the " +
+          "valve (0 disables).")
+    }
+    val longCand = seg.join(probe, Seq("l", "k", "sub"))
+      .select(col("id_p").as("new_id"), col("id_i").as("ref_id"),
+        col("__sr"))
+    val shortLimit = newDf.sparkSession.conf
+      .getOption("spark.graft.editdist.shortBucketLimit")
+      .map(_.toLong).getOrElse(10000L)
+    val valveOff = shortLimit <= 0 || shortLimit >= Int.MaxValue - 1
+    val refShorts = refStore.where(col("k") < 0)
+      .select(col("id").as("ref_id"), col("l").as("__rn"),
+        col("s").as("__sr"))
+    val nShort =
+      if (valveOff) 1L else refShorts.limit(shortLimit.toInt + 1).count()
+    val nPartner =
+      if (valveOff || nShort == 0) 0L
+      else newBase.where(col("n") <= 2 * d)
+        .limit(shortLimit.toInt + 1).count()
+    require(valveOff ||
+      (nShort <= shortLimit && nPartner <= shortLimit),
+      s"editDistancePairsBetweenPrecomputed: the short-string bucket " +
+        s"(ref len <= $d vs delta len <= ${2 * d}) exceeds " +
+        s"$shortLimit rows on a side — its nested-loop product would " +
+        "dominate. Filter degenerate strings out first, or raise " +
+        "spark.graft.editdist.shortBucketLimit (0 disables the valve).")
+    val cand =
+      if (nShort == 0) longCand
+      else {
+        val shortCand = refShorts
+          .join(newBase.where(col("n") <= 2 * d).as("p"),
+            abs(col("__rn") - col("p.n")) <= d)
+          .select(col("p.id").as("new_id"), col("ref_id"), col("__sr"))
+        longCand.unionByName(shortCand)
+      }
+    val strsN = newBase.select(col("id").as("new_id"),
+      col("s").as("__sn"))
+    // __sr is functionally determined by ref_id, so deduping on the id
+    // pair keeps one ridden string per candidate
+    autoRelease(cand.dropDuplicates("new_id", "ref_id")
+      .join(strsN, "new_id")
+      .where(levenshtein(col("__sn"), col("__sr")) <= d)
+      .select("new_id", "ref_id"), newBase)
+  }
+
   /** SimHash near-duplicate pairs within `maxHamming` bit flips, using the
     * band trick: split the fingerprint into maxHamming+1 chunks — any pair
     * within the radius must agree exactly on at least one chunk (pigeonhole)
@@ -998,8 +1135,14 @@ object Dedup {
     * every generation is truncated with an eager
     * checkpoint — without it the logical plan nests every previous
     * iteration and analysis time grows super-linearly (the standard
-    * iterative-algorithm trap). No driver-side graph: only the
-    * per-iteration convergence count comes back. Pass `checkpointDir` (or
+    * iterative-algorithm trap). Graphs whose materialized edge set
+    * fits `spark.graft.clusters.driverEdgeLimit` (default 200k edges,
+    * bounded limit-probe, integral ids) short-circuit to driver
+    * union-find instead — label-identical, and it skips the loop's
+    * ~6-10 fixed checkpoint round-trips, the dominant latency for the
+    * small contracted graphs [[mergeClusters]] feeds here. Above the
+    * budget no driver-side graph exists: only the per-iteration
+    * convergence count comes back. Pass `checkpointDir` (or
     * set `spark.graft.checkpointDir`) to use RELIABLE checkpoints on a
     * cluster — the localCheckpoint fallback does not survive executor
     * loss (see [[Checkpoints.truncate]]).
@@ -1051,6 +1194,88 @@ object Dedup {
         .unionByName(pairs.select(col(idB).as("id")))
         .distinct()
         .withColumn("lbl", col("id")), checkpointDir)
+    // MICRO-GRAPH fast path (r15): a near-dup pair graph is usually
+    // tiny next to its corpus (it holds only ever-paired docs), and
+    // mergeClusters' CONTRACTED delta graphs are tinier still — but
+    // the distributed loop pays ~6-10 fixed checkpoint round-trips
+    // regardless of size, the dominant per-batch latency for small
+    // deltas. When the materialized edge set fits a bounded driver
+    // budget (`spark.graft.clusters.driverEdgeLimit` edges, default
+    // 200k ≈ 3 MB, plus 2× that for nodes — self-pair-only nodes have
+    // no edge, so the node frame is probed separately; 0 disables;
+    // both probes are bounded limit(n+1) counts over the ALREADY-
+    // checkpointed frames, so a big graph pays one early-exit scan,
+    // never a full count), solve it with driver union-find
+    // — label-identical to the contraction loop by construction (min
+    // id per component; the 120-graph property spec pins BOTH paths
+    // against the same ground truth). Bounded driver state, the
+    // centroid/codebook collect discipline — the corpus-sized frames
+    // (docs, labels of a 100 TB corpus) never come near the driver;
+    // above the budget the O(log n) distributed contraction below is
+    // the path, exactly as before. Integral ids only (the min must
+    // reproduce SQL's ordering; exotic id types take the loop).
+    val driverLimit = pairs.sparkSession.conf
+      .getOption("spark.graft.clusters.driverEdgeLimit")
+      .map(_.toLong).getOrElse(200000L)
+    val idType = {
+      import org.apache.spark.sql.types._
+      pairs.schema(idA).dataType
+    }
+    val integralId = {
+      import org.apache.spark.sql.types._
+      idType match {
+        case LongType | IntegerType | ShortType | ByteType => true
+        case _ => false
+      }
+    }
+    if (integralId && driverLimit > 0 &&
+        driverLimit < (Int.MaxValue - 1) / 2 &&
+        e.limit(driverLimit.toInt + 1).count() <= driverLimit &&
+        labels.limit(2 * driverLimit.toInt + 1).count() <=
+          2 * driverLimit) {
+      val edges = e.select(col("src").cast("long"),
+        col("dst").cast("long")).collect()
+      val nodes = labels.select(col("id").cast("long")).collect()
+        .map(_.getLong(0))
+      val parent = new java.util.HashMap[Long, java.lang.Long](
+        nodes.length * 2)
+      def find(x: Long): Long = {
+        var r = x
+        while ({ val p = parent.get(r); p != null && p != r }) r =
+          parent.get(r)
+        var c = x
+        while ({ val p = parent.get(c); p != null && p != c }) {
+          val nxt = parent.get(c); parent.put(c, r); c = nxt
+        }
+        r
+      }
+      edges.foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        if (parent.get(a) == null) parent.put(a, a)
+        if (parent.get(b) == null) parent.put(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) {
+          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+      }
+      val spark = pairs.sparkSession
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row](
+        nodes.length)
+      nodes.foreach { n =>
+        rows.add(org.apache.spark.sql.Row(n, find(n)))
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("component",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      val out = spark.createDataFrame(rows, schema)
+        .select(col("id").cast(idType).as("id"),
+          col("component").cast(idType).as("component"))
+      Checkpoints.release(labels)
+      Checkpoints.release(e)
+      return out
+    }
     var remaining = e.limit(1).count()
     var it = 0
     while (remaining > 0 && it < maxIter) {

@@ -454,6 +454,46 @@ class DataPipelineOpsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet.contains((9L, 1L)))
   }
 
+  test("editDistancePairsBetweenPrecomputed replays the Between face " +
+      "from a saved segment store (shorts ride as k=-1 rows; " +
+      "mismatched p_maxdist rejects loudly)") {
+    val all = Seq(
+      (1L, "prod-alpha"), (2L, "prod-alphA"), (3L, "prod-alpha7"),
+      (4L, "prod-alph"), (5L, "prod-beta"), (6L, "x"), (7L, "xy"),
+      (8L, ""), (9L, "prod-alpha"), (10L, "entirely-else")
+    ).toDF("doc_id", "s")
+    val ref = all.where($"doc_id" < 6 || $"doc_id" === 8L) // incl empty
+    val neu = all.where($"doc_id" >= 6 && $"doc_id" =!= 8L)
+    for (d <- Seq(1, 2); (a, b) <- Seq((neu, ref), (ref, neu))) {
+      val store = graft.ops.Dedup.editDistanceSegmentStore(
+        b, "doc_id", "s", d)
+      val got = graft.ops.Dedup.editDistancePairsBetweenPrecomputed(
+        a, store, "doc_id", "s", d)
+        .as[(Long, Long)].collect().toSeq.sorted
+      val want = graft.ops.Dedup.editDistancePairsBetween(
+        a, b, "doc_id", "s", d)
+        .as[(Long, Long)].collect().toSeq.sorted
+      assert(got == want, s"d=$d")
+      val brute = a.as("x").crossJoin(b.as("y"))
+        .where(levenshtein($"x.s", $"y.s") <= d)
+        .select($"x.doc_id", $"y.doc_id")
+        .as[(Long, Long)].collect().toSeq.sorted
+      assert(got == brute, s"d=$d vs brute")
+    }
+    // store built at d=1, call at d=2 → segment layouts differ; loud
+    val s1 = graft.ops.Dedup.editDistanceSegmentStore(
+      ref, "doc_id", "s", 1)
+    val ex = intercept[IllegalArgumentException] {
+      graft.ops.Dedup.editDistancePairsBetweenPrecomputed(
+        neu, s1, "doc_id", "s", 2).collect()
+    }
+    assert(ex.getMessage.contains("p_maxdist"))
+    // legacy store without the stamp skips the check
+    assert(graft.ops.Dedup.editDistancePairsBetweenPrecomputed(
+      neu, s1.drop("p_maxdist"), "doc_id", "s", 1).count() >= 0)
+    graft.ops.Dedup.releaseCaches()
+  }
+
   test("editDistancePairs candidate valve fails fast on concentrated " +
       "segment buckets; 0 disables") {
     // all same length with a shared 6-char tail: every string lands in
@@ -938,10 +978,17 @@ class DataPipelineOpsSpec extends SparkSpec {
     // under naive contraction, alternating chains stall label-side
     // pointer jumping, deep chains exceed plain neighbor-min's
     // maxIter, stars + cliques are the common fast path — all must
-    // land on exact min-id components within the DEFAULT maxIter
-    def cc(edges: Seq[(Long, Long)]): Map[Long, Long] =
-      Dedup.duplicateClusters(edges.toDF("id_a", "id_b"))
+    // land on exact min-id components within the DEFAULT maxIter.
+    // driverEdgeLimit=0 pins the DISTRIBUTED contraction loop (these
+    // fixtures are small enough that the r15 driver union-find fast
+    // path would otherwise absorb them and stop guarding the loop);
+    // the property spec below covers both regimes on random graphs
+    def cc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      spark.conf.set("spark.graft.clusters.driverEdgeLimit", "0")
+      try Dedup.duplicateClusters(edges.toDF("id_a", "id_b"))
         .as[(Long, Long)].collect().toMap
+      finally spark.conf.unset("spark.graft.clusters.driverEdgeLimit")
+    }
     // monotone path 0-1-2-...-120
     val mono = (0L until 120L).map(i => (i, i + 1))
     assert(cc(mono) == (0L to 120L).map(_ -> 0L).toMap)
@@ -1308,15 +1355,24 @@ class DataPipelineOpsSpec extends SparkSpec {
       }
     }
     val want = parent.keys.map(k => k -> find(k)).toMap
-    val got = Dedup.duplicateClusters(
+    // BOTH regimes against the same ground truth: the bounded
+    // driver union-find fast path (default limit covers this frame)
+    // and the distributed star-contraction loop (limit 0 forces it)
+    def run(): Map[Long, Long] = Dedup.duplicateClusters(
       allEdges.toDF("id_a", "id_b"))
       .as[(Long, Long)].collect().toMap
-    assert(got.size == want.size)
-    val bad = want.collect {
-      case (id, c) if got.get(id) != Some(c) => (id, c, got.get(id))
+    val viaDriver = run()
+    spark.conf.set("spark.graft.clusters.driverEdgeLimit", "0")
+    val viaLoop = try run()
+      finally spark.conf.unset("spark.graft.clusters.driverEdgeLimit")
+    for ((name, got) <- Seq("driver" -> viaDriver, "loop" -> viaLoop)) {
+      assert(got.size == want.size, s"$name: node-count mismatch")
+      val bad = want.collect {
+        case (id, c) if got.get(id) != Some(c) => (id, c, got.get(id))
+      }
+      assert(bad.isEmpty,
+        s"$name: ${bad.size} mislabeled nodes, e.g. ${bad.take(5)}")
     }
-    assert(bad.isEmpty,
-      s"${bad.size} mislabeled nodes, e.g. ${bad.take(5)}")
   }
 
   test("hammingNearDup at bits=64 maxHamming=0 buckets on the full " +

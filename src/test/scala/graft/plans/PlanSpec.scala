@@ -694,6 +694,49 @@ class PlanSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("precomputed segment-store cross-frame edit distance: no " +
+      "reference-side string scan in the plan") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.table(spark, sf, "documents")
+      .withColumn("code", concat(lit("prod"),
+        (col("doc_id") / 2).cast("long").cast("string"),
+        when(col("doc_id") % 2 === 0, lit("-a")).otherwise(lit("-b"))))
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-edstore-spec").toString
+    graft.ops.Dedup.editDistanceSegmentStore(
+        docs.where(col("doc_id") < 200), "doc_id", "code", 1)
+      .write.mode("overwrite").partitionBy("k").parquet(store)
+    val df = graft.ops.Dedup.editDistancePairsBetweenPrecomputed(
+      docs.where(col("doc_id") >= 200), spark.read.parquet(store),
+      "doc_id", "code", 1)
+    val plan = explain(df)
+    // every documents scan is the DELTA side (pushed filter >= 200):
+    // the ref corpus arrives as saved segments WITH its strings
+    // riding — the exact-levenshtein verify reads the store column,
+    // never ref text (the q246 self-sufficiency contract)
+    val sections = plan.split("\\(\\d+\\) Scan parquet")
+      .filter(_.contains("documents.parquet"))
+    assert(sections.nonEmpty && sections.forall(
+      _.contains("GreaterThanOrEqual(doc_id,200)")),
+      "a documents scan without the delta pushdown is a ref-side " +
+        "string re-scan")
+    assert(plan.contains("edstore-spec"),
+      "saved segment frame missing from the plan")
+    // candidates meet on the (l, k, sub) equi-join, never a loop
+    assert(plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"))
+    // parity: the store path returns exactly the recompute path's pairs
+    val viaStore = df.as[(Long, Long)].collect().toSet
+    val recompute = graft.ops.Dedup.editDistancePairsBetween(
+      docs.where(col("doc_id") >= 200), docs.where(col("doc_id") < 200),
+      "doc_id", "code", 1).as[(Long, Long)].collect().toSet
+    assert(viaStore == recompute && viaStore.nonEmpty)
+    graft.ops.Dedup.releaseCaches()
+  }
+
   test("paragraphDedup: two exchanges (paragraph hash, doc regroup), " +
       "no join") {
     val docs = graft.sources.Tables.table(spark, sf, "documents")
