@@ -388,6 +388,80 @@ object ScaleProbe {
           require(nRecompute == nStore,
             "store path diverged from recompute path")
           nStore
+        case "edstore" =>
+          // Incremental-ingest evidence for the PassJoin SEGMENT
+          // store: a FIXED 200-code delta against the WHOLE corpus as
+          // reference (the editdist probe's code construction). (a)
+          // the recompute path re-segments + re-persists the ref
+          // corpus per batch; (b) the store amortizes that into one
+          // build — the per-batch probe pays only the delta's probes
+          // against the saved (l, k, sub) frame, with the ref strings
+          // riding the store into the verify.
+          import org.apache.spark.sql.functions._
+          val sufs = Seq("-alpha", "-alphA", "-alpha7", "-alph",
+            "-beta", "-gamma")
+          val coded = docs.withColumn("code", concat(lit("prod"),
+            (col("doc_id") / 6).cast("long").cast("string"),
+            element_at(typedlit(sufs),
+              (col("doc_id") % 6 + 1).cast("int"))))
+          val delta = coded.where(col("doc_id") < 200)
+          val t1 = System.nanoTime()
+          val nRecompute = Dedup.editDistancePairsBetween(
+            delta, coded, "doc_id", "code", 1).count()
+          val tRec = (System.nanoTime() - t1) / 1e9
+          val store = java.nio.file.Files
+            .createTempDirectory("graft-edstore-probe").toString
+          val t2 = System.nanoTime()
+          Dedup.editDistanceSegmentStore(coded, "doc_id", "code", 1)
+            .write.mode("overwrite").partitionBy("k").parquet(store)
+          val tBuild = (System.nanoTime() - t2) / 1e9
+          val t3 = System.nanoTime()
+          val nStore = Dedup.editDistancePairsBetweenPrecomputed(
+            delta, spark.read.parquet(store), "doc_id", "code", 1)
+            .count()
+          val tProbe = (System.nanoTime() - t3) / 1e9
+          println(f"[edstore] recompute=$tRec%.1f s " +
+            f"build_once=$tBuild%.1f s probe=$tProbe%.1f s " +
+            s"pairs=$nRecompute/$nStore")
+          require(nRecompute == nStore,
+            "store path diverged from recompute path")
+          nStore
+        case "domgate" =>
+          // Incremental quality-gate evidence: FIXED 200-doc delta,
+          // prior = the rest of the corpus. (a) the one-shot exact
+          // gate on the union re-aggregates every prior batch's
+          // scores per ingest; (b) the incremental face merges the
+          // SAVED histogram sidecar with the delta's counts and gates
+          // the delta only — per-batch cost is delta-sized plus
+          // histogram-sized, never corpus-sized.
+          import org.apache.spark.sql.functions._
+          val delta = docs.where(col("doc_id") < 200)
+          val prior = docs.where(col("doc_id") >= 200)
+          val t1 = System.nanoTime()
+          val nOne = graft.ops.Curation.domainPercentileFilter(
+              prior.unionByName(delta), "source", "n_chars", 0.5,
+              exact = true)
+            .where(col("doc_id") < 200).count()
+          val tRec = (System.nanoTime() - t1) / 1e9
+          val store = java.nio.file.Files
+            .createTempDirectory("graft-histstore-probe").toString
+          val t2 = System.nanoTime()
+          graft.ops.Curation.domainScoreHistogram(prior, "source",
+              "n_chars")
+            .write.mode("overwrite").parquet(store)
+          val tBuild = (System.nanoTime() - t2) / 1e9
+          val t3 = System.nanoTime()
+          val nIncr = graft.ops.Curation
+            .domainPercentileFilterIncremental(delta,
+              spark.read.parquet(store), "source", "n_chars", 0.5)
+            .kept.count()
+          val tProbe = (System.nanoTime() - t3) / 1e9
+          println(f"[domgate] recompute=$tRec%.1f s " +
+            f"build_once=$tBuild%.1f s probe=$tProbe%.1f s " +
+            s"kept=$nOne/$nIncr")
+          require(nOne == nIncr,
+            "incremental gate diverged from the one-shot union gate")
+          nIncr
         case "embedstore" =>
           // Incremental-ingest evidence for the VECTOR bucket store
           // (the incrstore probe applied to embeddings): a FIXED

@@ -1793,6 +1793,26 @@ object SparkEntry {
         .select("doc_id", "source", "n_chars")
         .orderBy("doc_id")),
 
+    // INCREMENTAL per-domain quality gate: the prior corpus's exact
+    // per-(source, score) histogram is a saved mergeable sidecar; the
+    // delta batch merges its own counts in and gates itself under the
+    // UNION's exact percentile thresholds — equal to the one-shot
+    // q226 gate on the union restricted to the delta, with the prior
+    // corpus never re-read (thresholds come from histogram rows)
+    "q256_domain_gate_incremental" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val store = scratchDir("graft-histstore").toString
+      graft.ops.Curation.domainScoreHistogram(
+          docs.where(col("doc_id") < 300), "source", "n_chars")
+        .write.mode("overwrite").parquet(store)
+      graft.ops.Curation.domainPercentileFilterIncremental(
+        docs.where(col("doc_id") >= 300), s.read.parquet(store),
+        "source", "n_chars", quantile = 0.5)
+        .kept
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     // URL canonicalization dedup: trivially-distinct spellings of one
     // resource (tracking/session params, param ORDER, case-varied
     // host, default port, fragment, www., trailing slash) collide on
@@ -6396,6 +6416,17 @@ object SparkEntry {
         |SELECT d.doc_id, d.source, d.n_chars
         |FROM documents d JOIN th ON th.source IS NOT DISTINCT FROM d.source
         |WHERE CAST(d.n_chars AS DOUBLE) >= th.th
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // UNION thresholds (the full corpus), delta rows only — the
+    // incremental gate's contract; q226's replay plus the doc_id gate
+    "q256_domain_gate_incremental" ->
+      """WITH th AS (
+        |  SELECT source, quantile_cont(n_chars, 0.5) AS th
+        |  FROM documents GROUP BY source)
+        |SELECT d.doc_id, d.source, d.n_chars
+        |FROM documents d JOIN th ON th.source IS NOT DISTINCT FROM d.source
+        |WHERE d.doc_id >= 300 AND CAST(d.n_chars AS DOUBLE) >= th.th
         |ORDER BY d.doc_id""".stripMargin,
 
     // the oracle runs the IDENTICAL normalization chain in RE2 (the

@@ -439,4 +439,106 @@ object Curation {
       .where(col(scoreCol).cast("double") >= col("__th"))
       .drop("__src", "__th")
   }
+
+  /** Exact per-domain score HISTOGRAM — the persistable, mergeable
+    * state behind [[domainPercentileFilterIncremental]]: one row per
+    * (source, score) with its count. Exact percentiles of the corpus
+    * are a pure function of this table, and two batches' tables merge
+    * by key-summing ([[mergeScoreHistograms]]) — so a daily-ingest
+    * pipeline accumulates ONE bounded sidecar instead of re-shuffling
+    * 100 TB of prior batches to re-rank each new day (the q230/q244
+    * store economics applied to the quality gate).
+    *
+    * Size posture: |domains| × |distinct scores| rows. Integer-ish
+    * scores (lengths, token counts, 0-100 quality grades) keep it
+    * tiny; CONTINUOUS scores should be rounded to a grid first — the
+    * thresholds are then exact for the rounded score, the usual
+    * sketch trade stated honestly. Null scores drop (no evidence of
+    * quality — the gate's own contract); a null domain keeps its own
+    * group, matching the filter's null-safe join. */
+  def domainScoreHistogram(df: DataFrame, sourceCol: String,
+      scoreCol: String): DataFrame =
+    df.where(col(scoreCol).isNotNull)
+      .groupBy(col(sourceCol).as("source"),
+        col(scoreCol).cast("double").as("score"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Key-sum two or more score histograms into one (the merge half of
+    * the [[domainScoreHistogram]] contract). */
+  def mergeScoreHistograms(hists: DataFrame*): DataFrame = {
+    require(hists.nonEmpty, "mergeScoreHistograms: no inputs")
+    hists.map(_.select("source", "score", "cnt"))
+      .reduce(_.unionByName(_))
+      .groupBy("source", "score")
+      .agg(sum("cnt").as("cnt"))
+  }
+
+  /** Per-domain interpolated percentile thresholds from a score
+    * histogram — (source, __th), reproducing exact `percentile`
+    * semantics (sorted position q·(n−1), linear interpolation between
+    * the straddling order statistics) from counts alone: one window
+    * pass over HISTOGRAM rows (never corpus rows) for the cumulative
+    * counts, one aggregate to pick the straddling scores. */
+  def domainPercentileThresholds(hist: DataFrame, quantile: Double)
+      : DataFrame = {
+    require(quantile > 0 && quantile < 1,
+      s"domainPercentileThresholds: quantile in (0,1), got $quantile")
+    import org.apache.spark.sql.expressions.Window
+    val bySrc = Window.partitionBy("source")
+    val cumW = Window.partitionBy("source").orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("__n", sum("cnt").over(bySrc))
+      .withColumn("__cum", sum("cnt").over(cumW))
+      .withColumn("__prev", col("__cum") - col("cnt"))
+      .withColumn("__pos", lit(quantile) * (col("__n") - 1))
+      .withColumn("__j1", floor(col("__pos")))
+      .withColumn("__j2", ceil(col("__pos")))
+      .groupBy("source")
+      .agg(
+        max(when(col("__j1") >= col("__prev") &&
+          col("__j1") < col("__cum"), col("score"))).as("__v1"),
+        max(when(col("__j2") >= col("__prev") &&
+          col("__j2") < col("__cum"), col("score"))).as("__v2"),
+        max(col("__pos")).as("__p"), max(col("__j1")).as("__f"))
+      // v1 + (v2 - v1) * (pos - floor(pos)) — the exact-percentile
+      // interpolation, bit-for-bit (same operand order; integer
+      // positions collapse to v1 exactly in every engine)
+      .select(col("source"),
+        (col("__v1") + (col("__v2") - col("__v1")) *
+          (col("__p") - col("__f"))).as("__th"))
+  }
+
+  /** The kept delta plus the histogram to carry into the next batch. */
+  final case class DomainGateState(kept: DataFrame, hist: DataFrame)
+
+  /** INCREMENTAL per-domain quality percentile gate: gate ONLY the
+    * new batch, with thresholds computed over the WHOLE corpus seen
+    * so far — the accumulated [[domainScoreHistogram]] sidecar plus
+    * this batch's own scores. `kept` equals
+    * [[domainPercentileFilter]] (exact) on the UNION restricted to
+    * the delta's rows; prior batches' keep decisions stand as made
+    * under their era's thresholds (the production reality for an
+    * append-only corpus — re-gate retroactively by re-running the
+    * one-shot when the contract requires it).
+    *
+    * Per-batch cost: one delta-sized aggregate, one histogram-sized
+    * merge + window, one broadcast join back onto the delta — the
+    * prior corpus is never re-read. */
+  def domainPercentileFilterIncremental(newDf: DataFrame,
+      priorHist: DataFrame, sourceCol: String, scoreCol: String,
+      quantile: Double): DomainGateState = {
+    require(quantile > 0 && quantile < 1,
+      s"domainPercentileFilterIncremental: quantile in (0,1), " +
+        s"got $quantile")
+    val hist = mergeScoreHistograms(priorHist,
+      domainScoreHistogram(newDf, sourceCol, scoreCol))
+    val th = domainPercentileThresholds(hist, quantile)
+      .withColumnRenamed("source", "__src")
+    val kept = newDf.join(broadcast(th),
+        newDf(sourceCol) <=> th("__src"))
+      .where(col(scoreCol).cast("double") >= col("__th"))
+      .drop("__src", "__th")
+    DomainGateState(kept, hist)
+  }
 }

@@ -270,4 +270,60 @@ class CurationSpec extends graft.SparkSpec {
         blockPlanes = 0, dim = 1)
     }
   }
+
+  test("domainPercentileFilterIncremental: histogram thresholds equal " +
+      "the exact one-shot gate on the union (delta rows), at " +
+      "interpolating quantiles, across chained batches, with null " +
+      "domains and null scores") {
+    import spark.implicits._
+    import graft.ops.Curation
+    // three domains (one null), varied sizes so q*(n-1) interpolates;
+    // a null score rides in domain a (must drop, not poison)
+    val rows = Seq[(Long, Option[String], Option[Int])](
+      (1L, Some("a"), Some(10)), (2L, Some("a"), Some(20)),
+      (3L, Some("a"), Some(30)), (4L, Some("a"), Some(40)),
+      (5L, Some("a"), None),
+      (6L, Some("b"), Some(5)), (7L, Some("b"), Some(7)),
+      (8L, Some("b"), Some(11)), (9L, Some("b"), Some(13)),
+      (10L, Some("b"), Some(17)), (11L, Some("b"), Some(19)),
+      (12L, None, Some(100)), (13L, None, Some(200)),
+      (14L, None, Some(300)),
+      // the second batch grows every domain and adds a NEW domain
+      (21L, Some("a"), Some(25)), (22L, Some("a"), Some(35)),
+      (23L, Some("b"), Some(6)), (24L, Some("b"), Some(23)),
+      (25L, None, Some(150)), (26L, Some("c"), Some(1)),
+      (27L, Some("c"), Some(2)), (28L, Some("c"), Some(3)),
+      // third batch
+      (31L, Some("a"), Some(15)), (32L, Some("c"), Some(4)),
+      (33L, None, Some(50)))
+      .toDF("doc_id", "source", "score")
+    for (q <- Seq(0.25, 0.5, 0.6, 0.9)) {
+      val b1 = rows.where($"doc_id" < 20)
+      val b2 = rows.where($"doc_id" >= 20 && $"doc_id" < 30)
+      val b3 = rows.where($"doc_id" >= 30)
+      val h1 = Curation.domainScoreHistogram(b1, "source", "score")
+      val s2 = Curation.domainPercentileFilterIncremental(
+        b2, h1, "source", "score", q)
+      val s3 = Curation.domainPercentileFilterIncremental(
+        b3, s2.hist, "source", "score", q)
+      // each batch's kept set == the one-shot EXACT gate over
+      // everything seen so far, restricted to that batch's ids
+      val union2 = rows.where($"doc_id" < 30)
+      val want2 = Curation.domainPercentileFilter(union2, "source",
+        "score", q, exact = true)
+        .where($"doc_id" >= 20).select("doc_id")
+        .as[Long].collect().toSet
+      assert(s2.kept.select("doc_id").as[Long].collect().toSet ==
+        want2, s"q=$q batch2")
+      val want3 = Curation.domainPercentileFilter(rows, "source",
+        "score", q, exact = true)
+        .where($"doc_id" >= 30).select("doc_id")
+        .as[Long].collect().toSet
+      assert(s3.kept.select("doc_id").as[Long].collect().toSet ==
+        want3, s"q=$q batch3")
+      // the carried histogram stays exact: count preserved per domain
+      val histN = s3.hist.agg(sum("cnt")).head().getLong(0)
+      assert(histN == rows.where($"score".isNotNull).count())
+    }
+  }
 }
