@@ -462,6 +462,43 @@ object ScaleProbe {
           require(nOne == nIncr,
             "incremental gate diverged from the one-shot union gate")
           nIncr
+        case "bm25store" =>
+          // Index-once/query-many evidence for the lexical index: one
+          // 3-term query. (a) the one-shot path re-tokenizes the
+          // WHOLE corpus per query; (b) the saved postings store
+          // reads only the terms' bucket partitions + the stats row.
+          // Ranked doc ids must agree exactly (scores can differ in
+          // the last ulp across aggregation orders, so parity checks
+          // ids + matched counts).
+          import org.apache.spark.sql.functions._
+          import graft.ops.TextSearch
+          val terms = Seq("data", "query", "spark")
+          val t1 = System.nanoTime()
+          val oneShot = TextSearch.bm25(docs, "doc_id", "text",
+            terms, k = 20).select("doc_id", "matched").collect()
+          val tRec = (System.nanoTime() - t1) / 1e9
+          val store = java.nio.file.Files
+            .createTempDirectory("graft-bm25-probe").toString
+          val t2 = System.nanoTime()
+          val idx = TextSearch.bm25Index(docs, "doc_id", "text")
+          idx.postings.write.mode("overwrite").partitionBy("bkt")
+            .parquet(s"$store/postings")
+          idx.stats.write.mode("overwrite").parquet(s"$store/stats")
+          val tBuild = (System.nanoTime() - t2) / 1e9
+          val t3 = System.nanoTime()
+          val saved = TextSearch.Bm25Index(
+            spark.read.parquet(s"$store/postings"),
+            spark.read.parquet(s"$store/stats"))
+          val viaStore = TextSearch.bm25Precomputed(saved, "doc_id",
+            terms, k = 20).select("doc_id", "matched").collect()
+          val tProbe = (System.nanoTime() - t3) / 1e9
+          println(f"[bm25store] recompute=$tRec%.1f s " +
+            f"build_once=$tBuild%.1f s probe=$tProbe%.1f s " +
+            s"top20=${oneShot.length}/${viaStore.length}")
+          require(oneShot.map(_.getLong(0)).toSeq ==
+            viaStore.map(_.getLong(0)).toSeq,
+            "store ranking diverged from the one-shot ranking")
+          viaStore.length.toLong
         case "embedstore" =>
           // Incremental-ingest evidence for the VECTOR bucket store
           // (the incrstore probe applied to embeddings): a FIXED

@@ -4400,6 +4400,36 @@ object SparkEntry {
           col("matched"))
         .orderBy(col("score").desc, col("doc_id"))),
 
+    // BM25 against a PERSISTED term-bucketed postings index built in
+    // TWO appended batches (index once / append daily / query many):
+    // postings append under their bkt partitions, the one-row stats
+    // sidecar key-sums, and scoring reads ONLY the query terms'
+    // bucket partitions + the sidecar — never corpus text. Must equal
+    // the one-shot q85 scoring (same oracle).
+    "q257_bm25_store" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val store = scratchDir("graft-bm25store").toString
+      val b1 = TextSearch.bm25Index(
+        docs.where(col("doc_id") < 300), "doc_id", "text")
+      val b2 = TextSearch.bm25Index(
+        docs.where(col("doc_id") >= 300), "doc_id", "text")
+      b1.postings.write.mode("overwrite").partitionBy("bkt")
+        .parquet(s"$store/postings")
+      b2.postings.write.mode("append").partitionBy("bkt")
+        .parquet(s"$store/postings")
+      b1.stats.write.mode("overwrite").parquet(s"$store/stats")
+      b2.stats.write.mode("append").parquet(s"$store/stats")
+      val idx = TextSearch.Bm25Index(
+        s.read.parquet(s"$store/postings"),
+        TextSearch.mergeBm25Stats(s.read.parquet(s"$store/stats")))
+      TextSearch.bm25Precomputed(idx, "doc_id",
+        Seq("data", "query", "spark"), k = 20)
+        .select(col("doc_id"),
+          col("score").cast("decimal(18,9)").cast("double").as("score"),
+          col("matched"))
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
     // TF-IDF top terms per document: one explode + one (doc,term) aggregate
     // + one term-keyed window — df/N over the WHOLE corpus, output filtered
     "q82_tfidf" -> ((s, dir) =>
@@ -8054,6 +8084,41 @@ object SparkEntry {
     },
 
     "q85_bm25" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM tk),
+        |hits AS (
+        |  SELECT doc_id, dl, term, COUNT(*) AS tf FROM toks
+        |  WHERE term IN ('data', 'query', 'spark')
+        |  GROUP BY doc_id, dl, term),
+        |wd AS (
+        |  SELECT doc_id, dl, term, tf,
+        |    COUNT(*) OVER (PARTITION BY term) AS df
+        |  FROM hits),
+        |stats AS (
+        |  SELECT COUNT(*) AS n_docs, avg(CAST(len(t) AS DOUBLE)) AS avgdl
+        |  FROM tk),
+        |sc AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CAST(
+        |      ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * 2.2)
+        |      / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+        |      AS DECIMAL(28,12))) AS DOUBLE) AS score,
+        |    COUNT(*) AS matched
+        |  FROM wd, stats GROUP BY doc_id)
+        |SELECT doc_id, CAST(CAST(score AS DECIMAL(18,9)) AS DOUBLE) AS score,
+        |  matched
+        |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // the two-batch appended index scores exactly like the one-shot
+    // pass — SAME replay as q85 (postings/stats are a pure refactor
+    // of the same math; the decimal(18,9) cast absorbs the batch-sum
+    // association of avgdl, which Spark's own partial aggregation
+    // does not fix either)
+    "q257_bm25_store" ->
       """WITH tk AS (
         |  SELECT doc_id,
         |    list_filter(string_split(text, ' '), x -> x <> '') AS t

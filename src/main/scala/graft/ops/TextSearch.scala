@@ -58,4 +58,93 @@ object TextSearch {
     val ranked = scored.orderBy(col("score").desc, col(idCol).asc)
     if (k > 0) ranked.limit(k) else ranked
   }
+
+  /** A persisted lexical index: term-bucketed postings plus a one-row
+    * mergeable stats sidecar — the "index once, query many, append
+    * daily" face of [[bm25]]. */
+  final case class Bm25Index(postings: DataFrame, stats: DataFrame)
+
+  /** Build the index for a corpus (or a DELTA batch of new documents —
+    * the postings frame is append-only by construction and the stats
+    * row merges by summing, so daily ingest appends postings under
+    * their `bkt` partitions and key-sums the sidecar via
+    * [[mergeBm25Stats]]; no prior-corpus re-read).
+    *
+    * Postings: (term, idCol, tf, dl, bkt, p_buckets) with
+    * `bkt = pmod(hash(term), buckets)` — write partitioned by `bkt`
+    * so a query's terms prune to their buckets' partitions instead of
+    * scanning the full posting list (the band/chunk-store pattern for
+    * text). `p_buckets` is stamped and [[bm25Precomputed]] requires it
+    * to match: postings bucketed under a different modulus would
+    * silently miss every term whose bucket moved. Stats:
+    * (n_docs, sum_dl) — `sum_dl` rather than avgdl so two batches'
+    * rows merge exactly. */
+  def bm25Index(df: DataFrame, idCol: String, textCol: String,
+      buckets: Int = 256): Bm25Index = {
+    require(buckets > 0, s"bm25Index: buckets > 0, got $buckets")
+    val toks = TextFunctions.tokens(col(textCol))
+    val postings = df.select(col(idCol), size(toks).as("dl"),
+        explode(toks).as("term"))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("bkt", pmod(hash(col("term")), lit(buckets)))
+      .withColumn("p_buckets", lit(buckets))
+    // n_dl (non-null doc lengths) rides separately from n_docs: avg()
+    // skips null-text docs while count(*) keeps them, and the
+    // precomputed face must reproduce the one-shot's avgdl exactly
+    val stats = df.agg(count(lit(1)).as("n_docs"),
+      sum(size(toks).cast("double")).as("sum_dl"),
+      count(size(toks)).as("n_dl"))
+    Bm25Index(postings, stats)
+  }
+
+  /** Key-sum two or more one-row stats sidecars. */
+  def mergeBm25Stats(stats: DataFrame*): DataFrame = {
+    require(stats.nonEmpty, "mergeBm25Stats: no inputs")
+    stats.map(_.select("n_docs", "sum_dl", "n_dl"))
+      .reduce(_.unionByName(_))
+      .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"),
+        sum("n_dl").as("n_dl"))
+  }
+
+  /** BM25 scoring against a SAVED index — bit-identical to [[bm25]]
+    * on the indexed corpus (same hits, same window df, same decimal-
+    * sum discipline), but the corpus text is NEVER read: the plan
+    * touches only the query terms' bucket partitions of the postings
+    * store plus the one-row stats sidecar. Per-query cost is
+    * hit-sized, independent of corpus size — the retrieval posture a
+    * 100 TB corpus actually needs (re-tokenizing everything per query
+    * is the recompute column the store eliminates). */
+  def bm25Precomputed(index: Bm25Index, idCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      k: Int = 0, buckets: Int = 256): DataFrame = {
+    require(terms.nonEmpty, "bm25Precomputed: empty query")
+    graft.ops.Dedup.requireStoreParams(index.postings,
+      "bm25Precomputed", "p_buckets" -> buckets)
+    // bucket pruning first: pmod(hash(lit(term))) is foldable, so
+    // Catalyst collapses each disjunct to `bkt = <const>` and the
+    // partition filter prunes the saved frame to the terms' buckets
+    // (never a hand-rolled driver-side hash — it must be THE engine
+    // hash or a moved bucket silently loses the term)
+    val bktPred = terms.map(t => col("bkt") ===
+      pmod(hash(lit(t)), lit(buckets))).reduce(_ || _)
+    val hits = index.postings.where(bktPred)
+      .where(col("term").isin(terms: _*))
+      .select(col(idCol), col("dl"), col("term"), col("tf"))
+    val stats = index.stats.select(col("n_docs"),
+      (col("sum_dl") / col("n_dl")).as("avgdl"))
+    val scored = hits
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+      .join(broadcast(stats))
+      .withColumn("idf", log(lit(1.0) +
+        (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("w", col("idf") * (col("tf") * lit(k1 + 1)) /
+        (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") /
+          col("avgdl"))))
+      .groupBy(idCol)
+      .agg(sum(col("w").cast("decimal(28,12)")).cast("double").as("score"),
+        count(lit(1)).as("matched"))
+    val ranked = scored.orderBy(col("score").desc, col(idCol).asc)
+    if (k > 0) ranked.limit(k) else ranked
+  }
 }

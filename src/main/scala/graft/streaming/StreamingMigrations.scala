@@ -386,6 +386,57 @@ object StreamingMigrations {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Continuous incremental per-domain quality gate — the streaming
+    * face of [[graft.ops.Curation.domainPercentileFilterIncremental]]:
+    * each micro-batch writes its own exact (source, score, cnt)
+    * histogram generation under `storePath/batch=N` and gates itself
+    * under thresholds computed over every PRIOR generation plus its
+    * own counts (the corpus-so-far percentile — prior batches' rows
+    * are never re-read, only their bounded histograms). Kept rows
+    * land under `outPath/batch=N`. Same idempotent-overwrite /
+    * strictly-below-batchId prior contract as every store stream
+    * here, so a retried batch re-gates identically. */
+  def domainGateStream(stream: DataFrame, sourceCol: String,
+      scoreCol: String, storePath: String, outPath: String,
+      checkpoint: String, quantile: Double)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(storePath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val root = new org.apache.hadoop.fs.Path(storePath)
+        val priorDirs: Array[String] =
+          if (!fs.exists(root)) Array.empty
+          else fs.listStatus(root)
+            .filter { s =>
+              val n = s.getPath.getName
+              s.isDirectory && n.startsWith("batch=") &&
+                scala.util.Try(n.stripPrefix("batch=").toLong)
+                  .toOption.exists(_ < batchId)
+            }
+            .map(_.getPath.toString)
+        val priorHist =
+          if (priorDirs.isEmpty)
+            graft.ops.Curation.domainScoreHistogram(batch.limit(0),
+              sourceCol, scoreCol)
+          else spark.read.parquet(priorDirs: _*)
+        val state = graft.ops.Curation.domainPercentileFilterIncremental(
+          batch, priorHist, sourceCol, scoreCol, quantile)
+        state.kept.write.mode("overwrite")
+          .parquet(s"$outPath/batch=$batchId")
+        // append THIS batch's generation only (state.hist is the
+        // merge — writing it would double-count on the next batch)
+        graft.ops.Curation.domainScoreHistogram(batch, sourceCol,
+            scoreCol)
+          .write.mode("overwrite")
+          .parquet(s"$storePath/batch=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Continuous incremental MEDIA near-dup against a persisted chunk
     * store — [[incrementalNearDupStream]] for images, the streaming
     * face of [[graft.ops.Multimodal.mediaChunkSignatures]] /

@@ -300,6 +300,38 @@ class DataPipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("bm25Precomputed over a two-batch appended index equals the " +
+      "one-shot scoring; mismatched p_buckets rejects; stats sidecar " +
+      "merges exactly") {
+    val c1 = corpus.where($"doc_id" <= 1)
+    val c2 = corpus.where($"doc_id" > 1)
+    val i1 = TextSearch.bm25Index(c1, "doc_id", "text", buckets = 16)
+    val i2 = TextSearch.bm25Index(c2, "doc_id", "text", buckets = 16)
+    val idx = TextSearch.Bm25Index(
+      i1.postings.unionByName(i2.postings),
+      TextSearch.mergeBm25Stats(i1.stats, i2.stats))
+    val got = TextSearch.bm25Precomputed(idx, "doc_id",
+      Seq("apple", "cherry"), buckets = 16)
+      .as[(Long, Double, Long)].collect().toSeq.sortBy(_._1)
+    val want = TextSearch.bm25(corpus, "doc_id", "text",
+      Seq("apple", "cherry"))
+      .as[(Long, Double, Long)].collect().toSeq.sortBy(_._1)
+    assert(got.map(_._1) == want.map(_._1) &&
+      got.map(_._3) == want.map(_._3))
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g._2 - w._2) < 1e-12, s"doc ${g._1}") }
+    // top-k through the store face
+    assert(TextSearch.bm25Precomputed(idx, "doc_id",
+      Seq("apple", "cherry"), k = 1, buckets = 16).count() == 1)
+    // index bucketed at 16, queried at 32 → a moved bucket would
+    // silently lose terms; must reject loudly instead
+    val ex = intercept[IllegalArgumentException] {
+      TextSearch.bm25Precomputed(idx, "doc_id", Seq("apple"),
+        buckets = 32).collect()
+    }
+    assert(ex.getMessage.contains("p_buckets"))
+  }
+
   test("topTerms is deterministic with term-asc tie-break") {
     val top = TfIdf.topTerms(corpus, "doc_id", "text", 1)
       .select("doc_id", "term").as[(Long, String)].collect().toMap

@@ -694,6 +694,40 @@ class PlanSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("precomputed bm25 postings store: no corpus scan, query terms " +
+      "prune to their bucket partitions") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.table(spark, sf, "documents")
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-bm25-spec").toString
+    val idx = graft.ops.TextSearch.bm25Index(docs, "doc_id", "text")
+    idx.postings.write.mode("overwrite").partitionBy("bkt")
+      .parquet(s"$store/postings")
+    idx.stats.write.mode("overwrite").parquet(s"$store/stats")
+    val saved = graft.ops.TextSearch.Bm25Index(
+      spark.read.parquet(s"$store/postings"),
+      spark.read.parquet(s"$store/stats"))
+    val df = graft.ops.TextSearch.bm25Precomputed(saved, "doc_id",
+      Seq("data", "spark"), k = 10)
+    val plan = explain(df)
+    // the whole point of the index: scoring never reads corpus text
+    assert(!plan.contains("documents.parquet"),
+      "scoring a saved index must not scan the corpus")
+    // pmod(hash(lit)) folds to a literal, so the bucket disjunction
+    // lands in PartitionFilters and prunes the postings store
+    val postingsScan = plan.split("\\(\\d+\\) Scan parquet")
+      .find(s => s.contains("bm25-spec") && s.contains("/postings"))
+    assert(postingsScan.exists(s => s.contains("PartitionFilters") &&
+      s.contains("bkt")), "bucket partition pruning missing")
+    // and the scoring is right end-to-end
+    val viaStore = df.as[(Long, Double, Long)].collect().toSet
+    val oneShot = graft.ops.TextSearch.bm25(docs, "doc_id", "text",
+      Seq("data", "spark"), k = 10)
+      .as[(Long, Double, Long)].collect().toSet
+    assert(viaStore.map(r => (r._1, r._3)) ==
+      oneShot.map(r => (r._1, r._3)) && viaStore.nonEmpty)
+  }
+
   test("precomputed segment-store cross-frame edit distance: no " +
       "reference-side string scan in the plan") {
     import spark.implicits._

@@ -297,6 +297,49 @@ class StreamingSpec extends SparkSpec {
       "https://example.com/d"))
   }
 
+  test("domainGateStream: each batch gates under the corpus-so-far " +
+      "percentile from accumulated histogram generations") {
+    val tmp = Files.createTempDirectory("domain-gate-stream").toString
+    val b0 = Seq((1L, "a", 10), (2L, "a", 20), (3L, "a", 30),
+      (4L, "b", 5), (5L, "b", 15))
+    val b1 = Seq((11L, "a", 25), (12L, "a", 5), (13L, "b", 40),
+      (14L, "c", 7))
+    val schema = b0.toDF("doc_id", "source", "score").schema
+    b0.toDF("doc_id", "source", "score")
+      .coalesce(1).write.parquet(s"$tmp/src")
+    b1.toDF("doc_id", "source", "score")
+      .coalesce(1).write.mode("append").parquet(s"$tmp/src")
+    StreamingMigrations.domainGateStream(
+      StreamingMigrations.readStream(spark, s"$tmp/src", schema,
+        maxFilesPerTrigger = Some(1)),
+      "source", "score", s"$tmp/store", s"$tmp/out", s"$tmp/ck",
+      quantile = 0.5)
+      .awaitTermination(120000)
+    // batch 0 gates under its own p50; batch 1 under the UNION's p50
+    // — each equals the one-shot exact gate over rows-so-far
+    // restricted to the batch
+    for ((ids, union, lo) <- Seq(
+        (b0, b0, 0L), (b1, b0 ++ b1, 10L))) {
+      val batchIds = ids.map(_._1).toSet
+      val got = spark.read.parquet(s"$tmp/out")
+        .where($"doc_id".isin(batchIds.toSeq: _*))
+        .select("doc_id").as[Long].collect().toSet
+      val want = graft.ops.Curation.domainPercentileFilter(
+        union.toDF("doc_id", "source", "score"), "source", "score",
+        0.5, exact = true)
+        .where($"doc_id".isin(batchIds.toSeq: _*))
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == want, s"batch starting at $lo")
+    }
+    // the store carries one bounded generation per batch
+    val gens = spark.read.parquet(s"$tmp/store")
+      .select(org.apache.spark.sql.functions.input_file_name())
+      .distinct().collect()
+      .map(_.getString(0)).map(p => p.substring(p.indexOf("batch=")))
+      .map(_.takeWhile(_ != '/')).toSet
+    assert(gens == Set("batch=0", "batch=1"))
+  }
+
   test("mediaDedupStream: each batch decodes once, pairs against the " +
       "chunk store, absorbs its fingerprint chunks") {
     val tmp = Files.createTempDirectory("media-stream").toString
