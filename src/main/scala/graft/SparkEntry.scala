@@ -4439,6 +4439,31 @@ object SparkEntry {
           col("tfidf").cast("decimal(18,9)").cast("double").as("tfidf"),
           col("rank").cast("long").as("rank"))
         .orderBy("doc_id", "rank")),
+
+    // TF-IDF top terms for a DELTA batch under the UNION's document
+    // frequencies, from the SAVED postings index (one store format
+    // serves BM25 retrieval and term weighting): df = saved per-term
+    // row counts + the delta's own, N = sidecar + delta — corpus
+    // text is never re-read. Equal to the one-shot topTerms on the
+    // union restricted to the delta's docs.
+    "q258_tfidf_incremental" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val store = scratchDir("graft-tfidfstore").toString
+      val idx = TextSearch.bm25Index(
+        docs.where(col("doc_id") < 300), "doc_id", "text")
+      idx.postings.write.mode("overwrite").partitionBy("bkt")
+        .parquet(s"$store/postings")
+      idx.stats.write.mode("overwrite").parquet(s"$store/stats")
+      TfIdf.topTermsPrecomputed(
+        docs.where(col("doc_id") >= 300 && col("doc_id") < 400),
+        TextSearch.Bm25Index(s.read.parquet(s"$store/postings"),
+          s.read.parquet(s"$store/stats")),
+        "doc_id", "text", 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          col("tfidf").cast("decimal(18,9)").cast("double").as("tfidf"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("doc_id", "rank")
+    }),
   )
 
   /** Deterministic 64-dim query vector for q75 (tenths — exact doubles
@@ -8253,6 +8278,36 @@ object SparkEntry {
         |SELECT doc_id, term, tf, df,
         |  CAST(CAST(tfidf AS DECIMAL(18,9)) AS DOUBLE) AS tfidf, rank
         |FROM r WHERE rank <= 3 AND doc_id < 30
+        |ORDER BY doc_id, rank""".stripMargin,
+
+    // q82's replay over the UNION (docs < 400 = indexed 0-299 plus
+    // the 300-399 delta), output restricted to the delta — union
+    // statistics, delta rows: the incremental face's contract
+    "q258_tfidf_incremental" ->
+      """WITH docs4 AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 400),
+        |toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+        |  FROM docs4),
+        |tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+        |wd AS (
+        |  SELECT doc_id, term, tf, COUNT(*) OVER (PARTITION BY term) AS df
+        |  FROM tf),
+        |n AS (SELECT COUNT(*) AS n_docs FROM docs4),
+        |sc AS (
+        |  SELECT doc_id, term, tf, df,
+        |    tf * (ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)) + 1.0) AS tfidf
+        |  FROM wd, n),
+        |r AS (
+        |  SELECT doc_id, term, tf, df, tfidf,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY tfidf DESC, term) AS rank
+        |  FROM sc)
+        |SELECT doc_id, term, tf, df,
+        |  CAST(CAST(tfidf AS DECIMAL(18,9)) AS DOUBLE) AS tfidf, rank
+        |FROM r WHERE rank <= 3 AND doc_id >= 300
         |ORDER BY doc_id, rank""".stripMargin,
 
     "q25_langid" -> {

@@ -43,4 +43,55 @@ object TfIdf {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= n)
   }
+
+  /** TF-IDF for a DELTA batch of NEW documents under the UNION
+    * corpus's statistics, from a saved postings index
+    * ([[TextSearch.bm25Index]] — one store format serves retrieval
+    * and term weighting): per-term document frequency is the saved
+    * postings' per-term row count (a narrow columnar aggregate over
+    * the term column — corpus TEXT is never re-read) plus the
+    * delta's own contribution, and N is the stats sidecar's count
+    * plus the delta's. Equal to [[tfidf]] on the union restricted to
+    * the delta's documents, under the append-only contract (delta ids
+    * disjoint from indexed ids — an id in both would double-count
+    * df). Per-batch cost: delta-sized tokenize + a vocab-bounded
+    * aggregate, independent of corpus text size. */
+  def tfidfPrecomputed(newDf: DataFrame, index: TextSearch.Bm25Index,
+      idCol: String, textCol: String): DataFrame = {
+    val deltaTf = newDf
+      .select(col(idCol), explode(TextFunctions.tokens(col(textCol)))
+        .as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val deltaDf = deltaTf.groupBy("term")
+      .agg(count(lit(1)).as("__df_new"))
+    val refDf = index.postings.groupBy("term")
+      .agg(count(lit(1)).as("__df_ref"))
+    val dfAll = deltaDf.join(refDf, Seq("term"), "left")
+      .select(col("term"),
+        (col("__df_new") + coalesce(col("__df_ref"), lit(0L)))
+          .as("df"))
+    val totals = index.stats.select(col("n_docs").as("__n_ref"))
+      .join(newDf.agg(count(lit(1)).as("__n_new")))
+    deltaTf.join(dfAll, "term")
+      .join(broadcast(totals))
+      .withColumn("tfidf", col("tf") *
+        (log((col("__n_ref") + col("__n_new") + 1).cast("double") /
+          (col("df") + 1)) + 1.0))
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        col("tfidf"))
+  }
+
+  /** [[topTerms]] for a delta batch from the saved index — top `n`
+    * terms per NEW document under union statistics, same
+    * deterministic tie-break. */
+  def topTermsPrecomputed(newDf: DataFrame,
+      index: TextSearch.Bm25Index, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("tfidf").desc, col("term").asc)
+    tfidfPrecomputed(newDf, index, idCol, textCol)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= n)
+  }
 }

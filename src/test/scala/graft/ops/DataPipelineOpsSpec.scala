@@ -332,6 +332,29 @@ class DataPipelineOpsSpec extends SparkSpec {
     assert(ex.getMessage.contains("p_buckets"))
   }
 
+  test("tfidfPrecomputed + topTermsPrecomputed: delta scored under " +
+      "UNION statistics from the saved index equals the one-shot on " +
+      "the union restricted to the delta") {
+    val ref = corpus.where($"doc_id" <= 2)
+    val delta = corpus.where($"doc_id" > 2)
+    val idx = TextSearch.bm25Index(ref, "doc_id", "text", buckets = 8)
+    val got = TfIdf.tfidfPrecomputed(delta, idx, "doc_id", "text")
+      .select("doc_id", "term", "tf", "df", "tfidf")
+      .as[(Long, String, Long, Long, Double)].collect().toSet
+    val want = TfIdf.tfidf(corpus, "doc_id", "text")
+      .where($"doc_id" > 2)
+      .select("doc_id", "term", "tf", "df", "tfidf")
+      .as[(Long, String, Long, Long, Double)].collect().toSet
+    assert(got == want && got.nonEmpty)
+    val gotTop = TfIdf.topTermsPrecomputed(delta, idx, "doc_id",
+      "text", 2).select("doc_id", "term", "rank")
+      .as[(Long, String, Int)].collect().toSet
+    val wantTop = TfIdf.topTerms(corpus, "doc_id", "text", 2)
+      .where($"doc_id" > 2).select("doc_id", "term", "rank")
+      .as[(Long, String, Int)].collect().toSet
+    assert(gotTop == wantTop && gotTop.nonEmpty)
+  }
+
   test("topTerms is deterministic with term-asc tie-break") {
     val top = TfIdf.topTerms(corpus, "doc_id", "text", 1)
       .select("doc_id", "term").as[(Long, String)].collect().toMap
