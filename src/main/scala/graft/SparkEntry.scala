@@ -3019,6 +3019,28 @@ object SparkEntry {
           TextFunctions.langId(col("text")).as("predicted"))
         .orderBy("doc_id")),
 
+    // corpus data card: per-source counts, exact length quantiles,
+    // content-dup rate, dominant predicted language + share — two
+    // keyed aggregates + one window argmax, nothing corpus-collected
+    "q259_corpus_report" -> ((s, dir) =>
+      graft.ops.Curation.corpusReport(tbl(s, dir, "documents"),
+        "doc_id", "text", "source")
+        .select(col("source"), col("n_docs"), col("n_empty"),
+          col("total_chars"),
+          col("chars_p25").cast("decimal(18,6)").cast("double")
+            .as("chars_p25"),
+          col("chars_p50").cast("decimal(18,6)").cast("double")
+            .as("chars_p50"),
+          col("chars_p75").cast("decimal(18,6)").cast("double")
+            .as("chars_p75"),
+          col("distinct_texts"),
+          col("dup_rate").cast("decimal(18,9)").cast("double")
+            .as("dup_rate"),
+          col("top_lang"),
+          col("top_lang_share").cast("decimal(18,9)").cast("double")
+            .as("top_lang_share"))
+        .orderBy("source")),
+
     // language ID over the FULL locale surface the engine analyzes/
     // collates (15 languages incl. the da/no classic discriminators
     // af/av, hvad/hva) — every language Curation.curate can gate now
@@ -8326,6 +8348,57 @@ object SparkEntry {
          |  CASE $cases ELSE 'und' END AS predicted
          |FROM documents d JOIN s ON s.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin
+    },
+
+    // the data card replayed: q25's langId argmax per doc -> per-
+    // source top-lang window; quantile_cont for the exact percentile
+    // (the q226 parity); md5 distinct for the dup rate
+    "q259_corpus_report" -> {
+      val scores = TextFunctions.LangMarkers.map { case (lang, ms) =>
+        val lst = ms.map(m => s"'$m'").mkString(", ")
+        s"len(list_filter(t, x -> list_contains([$lst], x))) AS s_$lang"
+      }.mkString(",\n  ")
+      val langs = TextFunctions.LangMarkers.map(_._1)
+      val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+      val total = langs.map("s_" + _).mkString(" + ")
+      val cases = langs.map(l =>
+        s"WHEN ($total) > 0 AND s_$l = $best THEN '$l'").mkString("\n    ")
+      s"""WITH $toksCte,
+         |s AS (SELECT doc_id, $scores FROM toks),
+         |pl AS (
+         |  SELECT d.doc_id, d.source,
+         |    CASE $cases ELSE 'und' END AS lang
+         |  FROM documents d JOIN s ON s.doc_id = d.doc_id
+         |  WHERE d.text IS NOT NULL),
+         |lc AS (SELECT source, lang, COUNT(*) AS n
+         |  FROM pl GROUP BY source, lang),
+         |tl AS (SELECT source, lang AS top_lang, n,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY n DESC, lang) AS r
+         |  FROM lc),
+         |st AS (
+         |  SELECT source, COUNT(*) AS n_docs,
+         |    COUNT(CASE WHEN text IS NULL OR text = '' THEN 1 END)
+         |      AS n_empty,
+         |    COALESCE(CAST(SUM(len(text)) AS BIGINT), 0) AS total_chars,
+         |    quantile_cont(len(text), 0.25) AS chars_p25,
+         |    quantile_cont(len(text), 0.5) AS chars_p50,
+         |    quantile_cont(len(text), 0.75) AS chars_p75,
+         |    COUNT(DISTINCT md5(text)) AS distinct_texts
+         |  FROM documents GROUP BY source)
+         |SELECT st.source, st.n_docs, st.n_empty, st.total_chars,
+         |  CAST(CAST(st.chars_p25 AS DECIMAL(18,6)) AS DOUBLE) AS chars_p25,
+         |  CAST(CAST(st.chars_p50 AS DECIMAL(18,6)) AS DOUBLE) AS chars_p50,
+         |  CAST(CAST(st.chars_p75 AS DECIMAL(18,6)) AS DOUBLE) AS chars_p75,
+         |  st.distinct_texts,
+         |  CAST(CAST(1.0 - CAST(st.distinct_texts AS DOUBLE) / st.n_docs
+         |    AS DECIMAL(18,9)) AS DOUBLE) AS dup_rate,
+         |  tl.top_lang,
+         |  CAST(CAST(CAST(tl.n AS DOUBLE) / st.n_docs
+         |    AS DECIMAL(18,9)) AS DOUBLE) AS top_lang_share
+         |FROM st LEFT JOIN tl
+         |  ON tl.source IS NOT DISTINCT FROM st.source AND tl.r = 1
+         |ORDER BY st.source""".stripMargin
     },
 
     "q231_langid_multilingual" -> {

@@ -509,6 +509,56 @@ object Curation {
           (col("__p") - col("__f"))).as("__th"))
   }
 
+  /** One-call corpus PROFILE (the "data card" pass a pipeline runs
+    * before touching anything): one row per source with document
+    * counts, exact character-length quantiles, the content-hash
+    * duplication rate, and the dominant predicted language with its
+    * share — the numbers that decide which domains get gated, deduped
+    * harder, or dropped.
+    *
+    * Plan at 100 TB: two keyed aggregates over one corpus scan each —
+    * per-source stats (count/sum/percentile/distinct-hash, all
+    * partial-aggregating) and per-(source, predicted_lang) counts
+    * reduced to an argmax by one window over the tiny per-source lang
+    * table — joined source-keyed; nothing collects, nothing is
+    * quadratic. `exact = false` (default true here, unlike the gate:
+    * a report is usually run once) switches the quantiles to the
+    * bounded-memory approx sketch. Null/empty texts count in `n_docs`
+    * and `n_empty` but not in lengths or hashes. */
+  def corpusReport(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, exact: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val len = length(col(textCol))
+    def q(p: Double) =
+      (if (exact) percentile(len, lit(p))
+       else percentile_approx(len, lit(p), lit(10000)))
+        .cast("double")
+    val stats = df.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col(textCol).isNull || col(textCol) === "", 1))
+          .as("n_empty"),
+        coalesce(sum(len.cast("long")), lit(0L)).as("total_chars"),
+        q(0.25).as("chars_p25"), q(0.5).as("chars_p50"),
+        q(0.75).as("chars_p75"),
+        count_distinct(md5(col(textCol))).as("distinct_texts"))
+    val langCounts = df.where(col(textCol).isNotNull)
+      .groupBy(col(sourceCol).as("source"),
+        TextFunctions.langId(col(textCol)).as("top_lang"))
+      .agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("__n").desc, col("top_lang").asc)
+    val top = langCounts
+      .withColumn("__r", row_number().over(w))
+      .where(col("__r") === 1)
+      .drop("__r")
+    stats.join(top, Seq("source"), "left")
+      .withColumn("dup_rate", lit(1.0) -
+        col("distinct_texts").cast("double") / col("n_docs"))
+      .withColumn("top_lang_share",
+        col("__n").cast("double") / col("n_docs"))
+      .drop("__n")
+  }
+
   /** The kept delta plus the histogram to carry into the next batch. */
   final case class DomainGateState(kept: DataFrame, hist: DataFrame)
 

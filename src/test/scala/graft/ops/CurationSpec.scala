@@ -271,6 +271,42 @@ class CurationSpec extends graft.SparkSpec {
     }
   }
 
+  test("corpusReport: per-source data card — counts, exact quantiles, " +
+      "dup rate, dominant language with share; nulls and empties " +
+      "counted but not measured") {
+    import graft.ops.Curation
+    val en1 = "the quick brown fox and the lazy dog now" // 40 chars
+    val en2 = "a cat sat on the mat with the hat ok"     // 36 chars
+    val de1 = "der hund und die katze sind nicht da"     // 36 chars
+    assert(en1.length == 40 && en2.length == 36 && de1.length == 36)
+    val rows = Seq[(Long, String, Option[String])](
+      (1L, "a", Some(en1)), (2L, "a", Some(en1)), // dup pair
+      (3L, "a", Some(en2)), (4L, "a", Some(de1)),
+      (5L, "a", None), // null text
+      (6L, "b", Some(de1)), (7L, "b", Some("")) // empty text
+    ).toDF("doc_id", "source", "text")
+    // columns: source, n_docs, n_empty, total_chars, p25, p50, p75,
+    //          distinct_texts, top_lang, dup_rate, top_lang_share
+    val r = Curation.corpusReport(rows, "doc_id", "text", "source")
+      .collect().map(x => x.getString(0) -> x).toMap
+    val a = r("a")
+    assert(a.getLong(1) == 5 && a.getLong(2) == 1) // n_docs, n_empty
+    assert(a.getLong(3) == 40L + 40 + 36 + 36)     // total_chars
+    // lengths [36,36,40,40]: p50 interpolates to 38.0
+    assert(a.getDouble(5) == 38.0)
+    assert(a.getDouble(4) == 36.0 && a.getDouble(6) == 40.0)
+    assert(a.getLong(7) == 3)                      // distinct_texts
+    assert(a.getString(8) == "en")                 // 2 en docs > 1 de
+    assert(math.abs(a.getDouble(9) - (1.0 - 3.0 / 5)) < 1e-12)
+    assert(math.abs(a.getDouble(10) - 3.0 / 5) < 1e-12) // en1,en1,en2
+    val b = r("b")
+    assert(b.getLong(1) == 2 && b.getLong(2) == 1)
+    // empty string hashes (md5("") is a value): de1 + "" = 2 distinct
+    assert(b.getLong(7) == 2)
+    // de:1 vs und:1 ("" classifies und) — tie breaks lang-asc to de
+    assert(b.getString(8) == "de")
+  }
+
   test("domainPercentileFilterIncremental: histogram thresholds equal " +
       "the exact one-shot gate on the union (delta rows), at " +
       "interpolating quantiles, across chained batches, with null " +
