@@ -4452,6 +4452,29 @@ object SparkEntry {
         .orderBy(col("score").desc, col("doc_id"))
     }),
 
+    // hybrid retrieval for ONE query: BM25 lexical leg from the SAVED
+    // postings index (corpus text never read at query time) + exact-
+    // cosine vector leg over the embedding sidecar, RRF-fused — the
+    // RAG-retrieval preset over a curated corpus
+    "q260_hybrid_search" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val e = tbl(s, dir, "embeddings")
+      val store = scratchDir("graft-hybstore").toString
+      val idx = TextSearch.bm25Index(docs, "doc_id", "text")
+      idx.postings.write.mode("overwrite").partitionBy("bkt")
+        .parquet(s"$store/postings")
+      idx.stats.write.mode("overwrite").parquet(s"$store/stats")
+      graft.ops.Hybrid.hybridSearch(
+        TextSearch.Bm25Index(s.read.parquet(s"$store/postings"),
+          s.read.parquet(s"$store/stats")),
+        "doc_id", Seq("data", "query", "spark"),
+        e, "vec_id", "embedding", q75Vec, k = 15)
+        .select(col("neighbor_id"),
+          col("score").cast("decimal(18,9)").cast("double").as("score"),
+          col("fused_rank"))
+        .orderBy("fused_rank")
+    }),
+
     // TF-IDF top terms per document: one explode + one (doc,term) aggregate
     // + one term-keyed window — df/N over the WHOLE corpus, output filtered
     "q82_tfidf" -> ((s, dir) =>
@@ -8159,6 +8182,67 @@ object SparkEntry {
         |SELECT doc_id, CAST(CAST(score AS DECIMAL(18,9)) AS DOUBLE) AS score,
         |  matched
         |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // both legs replayed (q85's BM25 chain -> ranks; q75's literal-
+    // vector cosine -> ranks) then the q88 RRF decimal-sum fusion
+    "q260_hybrid_search" -> {
+      val normQ = math.sqrt(q75Vec.map(x => x * x).sum)
+      s"""WITH tk AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+         |  FROM documents),
+         |toks AS (
+         |  SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM tk),
+         |hits AS (
+         |  SELECT doc_id, dl, term, COUNT(*) AS tf FROM toks
+         |  WHERE term IN ('data', 'query', 'spark')
+         |  GROUP BY doc_id, dl, term),
+         |wd AS (
+         |  SELECT doc_id, dl, term, tf,
+         |    COUNT(*) OVER (PARTITION BY term) AS df
+         |  FROM hits),
+         |stats AS (
+         |  SELECT COUNT(*) AS n_docs, avg(CAST(len(t) AS DOUBLE)) AS avgdl
+         |  FROM tk),
+         |lexsc AS (
+         |  SELECT doc_id,
+         |    CAST(SUM(CAST(
+         |      ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * 2.2)
+         |      / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+         |      AS DECIMAL(28,12))) AS DOUBLE) AS score
+         |  FROM wd, stats GROUP BY doc_id),
+         |lex AS (
+         |  SELECT doc_id AS neighbor_id,
+         |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+         |  FROM lexsc),
+         |vecs AS (SELECT vec_id,
+         |  (${litDotSql("embedding", q75Vec)})
+         |  / (sqrt(${selfDotSql("embedding", 64)}) * $normQ) AS cos
+         |  FROM embeddings),
+         |vec AS (
+         |  SELECT vec_id AS neighbor_id,
+         |    row_number() OVER (ORDER BY cos DESC, vec_id) AS rank
+         |  FROM vecs),
+         |u AS (
+         |  SELECT neighbor_id, rank FROM lex WHERE rank <= 30
+         |  UNION ALL
+         |  SELECT neighbor_id, rank FROM vec WHERE rank <= 30),
+         |f AS (
+         |  SELECT neighbor_id,
+         |    CAST(SUM(CAST(1.0 / (rank + 60) AS DECIMAL(28,12)))
+         |      AS DOUBLE) AS score
+         |  FROM u GROUP BY neighbor_id),
+         |o AS (
+         |  SELECT neighbor_id, score,
+         |    CAST(row_number() OVER (
+         |      ORDER BY score DESC, neighbor_id) AS INT) AS fused_rank
+         |  FROM f)
+         |SELECT neighbor_id,
+         |  CAST(CAST(score AS DECIMAL(18,9)) AS DOUBLE) AS score,
+         |  fused_rank
+         |FROM o WHERE fused_rank <= 15
+         |ORDER BY fused_rank""".stripMargin
+    },
 
     // the two-batch appended index scores exactly like the one-shot
     // pass — SAME replay as q85 (postings/stats are a pure refactor

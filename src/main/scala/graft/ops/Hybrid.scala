@@ -34,4 +34,47 @@ object Hybrid {
     fused.withColumn("fused_rank", row_number().over(w))
       .where(col("fused_rank") <= k)
   }
+
+  /** One-call hybrid retrieval for a single query: the BM25 lexical
+    * leg served from a SAVED postings index
+    * ([[TextSearch.bm25Precomputed]] — corpus text never re-read) and
+    * an exact-cosine vector leg over the embedding sidecar, fused
+    * with [[rrfFuse]]. The RAG-retrieval shape over a curated corpus:
+    * at 100 TB the lexical leg reads the query terms' bucket
+    * partitions, the vector leg is the one corpus-scan the exact
+    * ranking genuinely needs (swap in lshTopK/ivfTopK for the ANN
+    * path), and fusion is rank-arithmetic over two top-`legK` lists.
+    *
+    * `legK` (default 2k) is each leg's shortlist depth; ids must be
+    * comparable across the two frames (the embedding sidecar's id =
+    * the document id). Output: (neighbor_id, score, fused_rank),
+    * top `k`. */
+  def hybridSearch(index: graft.ops.TextSearch.Bm25Index,
+      docIdCol: String, terms: Seq[String], vectors: DataFrame,
+      vecIdCol: String, vecCol: String, queryVec: Seq[Double],
+      k: Int, k0: Int = 60, legK: Int = 0, buckets: Int = 256)
+      : DataFrame = {
+    require(k > 0, s"hybridSearch: k > 0, got $k")
+    require(queryVec.nonEmpty, "hybridSearch: empty query vector")
+    val kk = if (legK > 0) legK else 2 * k
+    // lexical leg: the store face's deterministic ordering as ranks
+    // (a global window over kk already-limited rows — bounded)
+    val lex = TextSearch.bm25Precomputed(index, docIdCol, terms,
+        k = kk, buckets = buckets)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col(docIdCol).asc)))
+      .select(lit(-1L).as("query_id"),
+        col(docIdCol).cast("long").as("neighbor_id"), col("rank"))
+    // vector leg: exact cosine in DOUBLE (cast once — float literals
+    // widened per-row would diverge from the replayed double math);
+    // query id -1 can never collide with a corpus id, so the
+    // self-exclusion join condition is vacuous
+    val dv = vectors.select(col(vecIdCol),
+      col(vecCol).cast("array<double>").as(vecCol))
+    val qDf = vectors.sparkSession.range(1)
+      .select(lit(-1L).as(vecIdCol), typedlit(queryVec).as(vecCol))
+    val vec = Similarity.bruteForceTopK(dv, qDf, vecIdCol, vecCol, kk)
+    rrfFuse(Seq(lex, vec), k, k0)
+      .select("neighbor_id", "score", "fused_rank")
+  }
 }

@@ -332,6 +332,38 @@ class DataPipelineOpsSpec extends SparkSpec {
     assert(ex.getMessage.contains("p_buckets"))
   }
 
+  test("hybridSearch: store-served BM25 leg + exact-cosine vector " +
+      "leg fuse to the same ranking as hand-composed rrfFuse") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)), (2L, Array(0.8f, 0.6f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val qv = Seq(1.0, 0.1, 0.0)
+    val idx = TextSearch.bm25Index(corpus, "doc_id", "text",
+      buckets = 8)
+    val got = graft.ops.Hybrid.hybridSearch(idx, "doc_id",
+      Seq("apple", "cherry"), vecs, "vec_id", "embedding", qv,
+      k = 3, buckets = 8)
+      .select("neighbor_id", "fused_rank")
+      .as[(Long, Int)].collect().toSet
+    // hand-composed legs (the q88 shape): bm25 ranks + brute ranks
+    val lexRank = TextSearch.bm25(corpus, "doc_id", "text",
+      Seq("apple", "cherry"))
+      .orderBy($"score".desc, $"doc_id")
+      .collect().map(_.getLong(0)).zipWithIndex
+      .map { case (id, i) => (-1L, id, i + 1) }
+      .toSeq.toDF("query_id", "neighbor_id", "rank")
+    val dv = vecs.select($"vec_id",
+      $"embedding".cast("array<double>").as("embedding"))
+    val q = spark.range(1).select(lit(-1L).as("vec_id"),
+      typedlit(qv).as("embedding"))
+    val vecRank = Similarity.bruteForceTopK(dv, q, "vec_id",
+      "embedding", 6)
+    val want = graft.ops.Hybrid.rrfFuse(Seq(lexRank, vecRank), 3)
+      .select("neighbor_id", "fused_rank")
+      .as[(Long, Int)].collect().toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("tfidfPrecomputed + topTermsPrecomputed: delta scored under " +
       "UNION statistics from the saved index equals the one-shot on " +
       "the union restricted to the delta") {
