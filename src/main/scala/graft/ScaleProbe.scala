@@ -499,6 +499,40 @@ object ScaleProbe {
             viaStore.map(_.getLong(0)).toSeq,
             "store ranking diverged from the one-shot ranking")
           viaStore.length.toLong
+        case "ivfstore" =>
+          // Index-once evidence for IVF ANN: 8 fixed queries, 16
+          // fixed centroids. (a) ivfTopK re-assigns the WHOLE corpus
+          // to cells per query batch; (b) the saved cell index is
+          // assigned once and queries read only their probed cells.
+          import org.apache.spark.sql.functions._
+          import graft.ops.Similarity
+          val e = spark.read.parquet(s"$dir/embeddings.parquet")
+          val cents = e.where(col("vec_id") < 16)
+          val queries = e.where(col("vec_id") < 8)
+          val t1 = System.nanoTime()
+          val viaFull = Similarity.ivfTopK(e, queries, "vec_id",
+            "embedding", cents, k = 10, nprobe = 4).collect()
+          val tRec = (System.nanoTime() - t1) / 1e9
+          val store = java.nio.file.Files
+            .createTempDirectory("graft-ivf-probe").toString
+          val t2 = System.nanoTime()
+          Similarity.ivfCellSignatures(e, "vec_id", "embedding", cents)
+            .write.mode("overwrite").partitionBy("cell").parquet(store)
+          val tBuild = (System.nanoTime() - t2) / 1e9
+          val t3 = System.nanoTime()
+          val viaStore = Similarity.ivfTopKPrecomputed(queries,
+            spark.read.parquet(store), "vec_id", "embedding", cents,
+            k = 10, nprobe = 4).collect()
+          val tProbe = (System.nanoTime() - t3) / 1e9
+          println(f"[ivfstore] recompute=$tRec%.1f s " +
+            f"build_once=$tBuild%.1f s probe=$tProbe%.1f s " +
+            s"rows=${viaFull.length}/${viaStore.length}")
+          require(viaFull.map(r => (r.getLong(0), r.getLong(1),
+              r.getInt(2))).toSet ==
+            viaStore.map(r => (r.getLong(0), r.getLong(1),
+              r.getInt(2))).toSet,
+            "store path diverged from recompute path")
+          viaStore.length.toLong
         case "embedstore" =>
           // Incremental-ingest evidence for the VECTOR bucket store
           // (the incrstore probe applied to embeddings): a FIXED

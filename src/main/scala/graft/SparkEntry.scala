@@ -4203,6 +4203,23 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF ANN against a PERSISTED cell-partitioned index (the q244
+    // store story for vector search): assignments + vectors + self-
+    // dots are written once partitioned by cell, queries probe and
+    // read ONLY their cells' partitions, the corpus is never
+    // re-assigned or re-read — must equal q74 exactly (same oracle)
+    "q261_ivf_store" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val cents = e.where(col("vec_id") < 16)
+      val store = scratchDir("graft-ivfstore").toString
+      Similarity.ivfCellSignatures(e, "vec_id", "embedding", cents)
+        .write.mode("overwrite").partitionBy("cell").parquet(store)
+      Similarity.ivfTopKPrecomputed(e.where(col("vec_id") < 8),
+        s.read.parquet(store), "vec_id", "embedding", cents,
+        k = 10, nprobe = 4)
+        .orderBy("query_id", "rank")
+    }),
+
     // $vectorSearch pipeline stage: literal query vector folded into the
     // scan, TakeOrdered top-limit — no join anywhere in the plan
     // $vectorSearch with index-level binary quantization: hamming
@@ -4639,6 +4656,41 @@ object SparkEntry {
 
   /** Flat (left-associated, ascending-index) dot product against literal
     * constants — the exact FP evaluation order of FloatVecDot. */
+  // the IVF replay: brute assignment, probes, cell candidates, exact
+  // cosine re-rank — shared by q74 (recompute) and q261 (saved index)
+  private lazy val ivfOracle: String =
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+       |pc AS (
+       |  SELECT e.vec_id AS ia, c.cid AS ib, e.embedding AS ea, c.cv AS eb
+       |  FROM embeddings e CROSS JOIN cents c),
+       |dc AS (SELECT ia, ib,
+       |  SUM(CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)) AS dot,
+       |  SUM(CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE)) AS na,
+       |  SUM(CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)) AS nb
+       |  FROM pc, UNNEST(range(1, len(ea)+1)) AS u(i)
+       |  GROUP BY ia, ib),
+       |asgn AS (SELECT ia, ib AS cell,
+       |  row_number() OVER (PARTITION BY ia
+       |    ORDER BY dot/(sqrt(na)*sqrt(nb)) DESC, ib ASC) AS rn FROM dc),
+       |cellof AS (SELECT ia AS nid, cell FROM asgn WHERE rn = 1),
+       |probes AS (SELECT ia AS qid, cell FROM asgn WHERE ia < 8 AND rn <= 4),
+       |cand AS (
+       |  SELECT p.qid AS ia, c.nid AS ib FROM probes p
+       |  JOIN cellof c ON c.cell = p.cell AND c.nid <> p.qid),
+       |p AS (
+       |  SELECT ia, ib, x.embedding AS ea, y.embedding AS eb FROM cand
+       |  JOIN embeddings x ON x.vec_id = ia
+       |  JOIN embeddings y ON y.vec_id = ib),
+       |${cosineCtes("p")},
+       |r AS (
+       |  SELECT ia AS query_id, ib AS neighbor_id,
+       |    CAST(row_number() OVER (
+       |      PARTITION BY ia ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, ib) AS INT) AS rank
+       |  FROM d)
+       |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
+
   private def litDotSql(vecExpr: String, v: Seq[Double]): String =
     v.zipWithIndex.map { case (p, i) =>
       s"CAST($vecExpr[${i + 1}] AS DOUBLE)*($p)" }.mkString(" + ")
@@ -7961,38 +8013,11 @@ object SparkEntry {
          |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 10
          |ORDER BY query_id, rank""".stripMargin,
 
-    "q74_ann_ivf" ->
-      s"""WITH cents AS (
-         |  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
-         |pc AS (
-         |  SELECT e.vec_id AS ia, c.cid AS ib, e.embedding AS ea, c.cv AS eb
-         |  FROM embeddings e CROSS JOIN cents c),
-         |dc AS (SELECT ia, ib,
-         |  SUM(CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)) AS dot,
-         |  SUM(CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE)) AS na,
-         |  SUM(CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)) AS nb
-         |  FROM pc, UNNEST(range(1, len(ea)+1)) AS u(i)
-         |  GROUP BY ia, ib),
-         |asgn AS (SELECT ia, ib AS cell,
-         |  row_number() OVER (PARTITION BY ia
-         |    ORDER BY dot/(sqrt(na)*sqrt(nb)) DESC, ib ASC) AS rn FROM dc),
-         |cellof AS (SELECT ia AS nid, cell FROM asgn WHERE rn = 1),
-         |probes AS (SELECT ia AS qid, cell FROM asgn WHERE ia < 8 AND rn <= 4),
-         |cand AS (
-         |  SELECT p.qid AS ia, c.nid AS ib FROM probes p
-         |  JOIN cellof c ON c.cell = p.cell AND c.nid <> p.qid),
-         |p AS (
-         |  SELECT ia, ib, x.embedding AS ea, y.embedding AS eb FROM cand
-         |  JOIN embeddings x ON x.vec_id = ia
-         |  JOIN embeddings y ON y.vec_id = ib),
-         |${cosineCtes("p")},
-         |r AS (
-         |  SELECT ia AS query_id, ib AS neighbor_id,
-         |    CAST(row_number() OVER (
-         |      PARTITION BY ia ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, ib) AS INT) AS rank
-         |  FROM d)
-         |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 10
-         |ORDER BY query_id, rank""".stripMargin,
+    "q74_ann_ivf" -> ivfOracle,
+
+    // the saved-index path is bit-identical to the recompute path by
+    // construction — SAME replay as q74 (shared helper)
+    "q261_ivf_store" -> ivfOracle,
 
     // the query signature is packed at oracle-build time with the same
     // 32-bit-word rule the engine uses; hamming + rescore recomputed

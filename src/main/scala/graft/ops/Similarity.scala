@@ -514,14 +514,36 @@ object Similarity {
     * `centroids` must be broadcast-small (they are collected to the driver
     * and embedded as literals, exactly like the LSH plane constants).
     * Output: (query_id, neighbor_id, rank). */
+  /** Collect a broadcast-small centroid frame to sorted driver
+    * literals (the LSH-plane constant discipline). */
+  private def collectCentroids(centroids: DataFrame, idCol: String,
+      vecCol: String): Seq[(Long, Array[Double])] =
+    centroids.select(col(idCol).cast("long"),
+        col(vecCol).cast("array<double>"))
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+
+  /** Deterministic stamp of a centroid SET (ids + components): the
+    * store-parameter check for the IVF index — assignments built
+    * under different centroids partition space differently and the
+    * cell equi-join would silently miss neighbors. */
+  private def centroidStamp(cents: Seq[(Long, Array[Double])]): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val buf = java.nio.ByteBuffer.allocate(8)
+    cents.foreach { case (id, v) =>
+      buf.clear(); buf.putLong(id); md.update(buf.array())
+      v.foreach { x =>
+        buf.clear(); buf.putDouble(x); md.update(buf.array())
+      }
+    }
+    java.nio.ByteBuffer.wrap(md.digest(), 0, 4).getInt & 0x7fffffff
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, centroids: DataFrame, k: Int, nprobe: Int = 4)
       : DataFrame = {
-    val cents: Seq[(Long, Array[Double])] =
-      centroids.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-        .collect().toSeq
-        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-        .sortBy(_._1)
+    val cents = collectCentroids(centroids, idCol, vecCol)
     require(cents.nonEmpty, "ivfTopK: empty centroid set")
     // corpus → its single nearest cell (argmax via array_max on structs)
     val c = Partitioning.ensureMinPartitions(
@@ -542,6 +564,66 @@ object Similarity {
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos",
         cosineFromParts(vec_dot(col("qv"), col("cv")), col("qn"), col("cn")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
+  /** The persistable IVF INDEX: every corpus vector's cell assignment
+    * with the vector and its self-dot riding — write partitioned by
+    * `cell` and [[ivfTopKPrecomputed]] reads ONLY the probed cells'
+    * partitions (the q244 store story for ANN: the per-query path
+    * stops re-assigning 100 TB of vectors). SELF-SUFFICIENT: the
+    * ridden (vec, cn) serve the exact-cosine re-rank, so the corpus
+    * is never re-read at query time. `p_centstamp` stamps the
+    * centroid set; the query face requires it to match. (The
+    * streaming assignment face,
+    * [[graft.streaming.StreamingMigrations.ivfIndexMaintenance]],
+    * writes [[ivfAssign]]'s row-preserving shape — run new batches
+    * through THIS builder when feeding the query store, the
+    * centroids pinned, so cn and the stamp ride along.) */
+  def ivfCellSignatures(corpus: DataFrame, idCol: String,
+      vecCol: String, centroids: DataFrame): DataFrame = {
+    val cents = collectCentroids(centroids, idCol, vecCol)
+    require(cents.nonEmpty, "ivfCellSignatures: empty centroid set")
+    corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("cell",
+        -array_max(cellScores(col("vec"), cents)).getField("nid"))
+      .withColumn("cn", vec_dot(col("vec"), col("vec")))
+      .withColumn("p_centstamp", lit(centroidStamp(cents)))
+  }
+
+  /** IVF ANN search against the SAVED index ([[ivfCellSignatures]]):
+    * identical output to [[ivfTopK]] — query probing, cell equi-join,
+    * exact cosine re-rank — but the corpus side arrives as saved
+    * (id, cell, vec, cn) rows, with the probed cells pruning the
+    * store's partitions. Per-query cost scales with probed-cell
+    * occupancy, never corpus size. */
+  def ivfTopKPrecomputed(queries: DataFrame, store: DataFrame,
+      idCol: String, vecCol: String, centroids: DataFrame, k: Int,
+      nprobe: Int = 4): DataFrame = {
+    val cents = collectCentroids(centroids, idCol, vecCol)
+    require(cents.nonEmpty, "ivfTopKPrecomputed: empty centroid set")
+    graft.ops.Dedup.requireStoreParams(store, "ivfTopKPrecomputed",
+      "p_centstamp" -> centroidStamp(cents))
+    // NO cast on the ridden vector: [[ivfTopK]] dots the raw column
+    // type, and bit-parity with it requires identical operand types
+    val c = store.select(col("id").as("neighbor_id"),
+      col("vec").as("cv"), col("cell"), col("cn"))
+    val q = queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("qv"))
+      .withColumn("qn", vec_dot(col("qv"), col("qv")))
+      .withColumn("probe", explode(slice(
+        reverse(array_sort(cellScores(col("qv"), cents))), 1, nprobe)))
+      .withColumn("cell", -col("probe").getField("nid"))
+      .drop("probe")
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        cosineFromParts(vec_dot(col("qv"), col("cv")), col("qn"),
+          col("cn")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))

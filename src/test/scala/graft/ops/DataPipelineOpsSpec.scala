@@ -332,6 +332,36 @@ class DataPipelineOpsSpec extends SparkSpec {
     assert(ex.getMessage.contains("p_buckets"))
   }
 
+  test("ivfTopKPrecomputed equals ivfTopK from a saved cell index; " +
+      "a different centroid set rejects loudly") {
+    val rnd = new scala.util.Random(42)
+    val vecs = (0L until 60L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val cents = vecs.where($"vec_id" < 6)
+    val queries = vecs.where($"vec_id" >= 50)
+    val store = Similarity.ivfCellSignatures(vecs, "vec_id",
+      "embedding", cents)
+    val got = Similarity.ivfTopKPrecomputed(queries, store, "vec_id",
+      "embedding", cents, k = 5, nprobe = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    val want = Similarity.ivfTopK(vecs, queries, "vec_id",
+      "embedding", cents, k = 5, nprobe = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == want && got.nonEmpty)
+    // index built under centroids {0..5}, queried under {0..6}:
+    // different partition of space — must reject, not silently miss
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.ivfTopKPrecomputed(queries, store, "vec_id",
+        "embedding", vecs.where($"vec_id" < 7), k = 5).collect()
+    }
+    assert(ex.getMessage.contains("p_centstamp"))
+    // legacy store without the stamp skips the check
+    assert(Similarity.ivfTopKPrecomputed(queries,
+      store.drop("p_centstamp"), "vec_id", "embedding", cents,
+      k = 5).count() > 0)
+  }
+
   test("hybridSearch: store-served BM25 leg + exact-cosine vector " +
       "leg fuse to the same ranking as hand-composed rrfFuse") {
     val vecs = Seq(

@@ -694,6 +694,45 @@ class PlanSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("precomputed IVF cell store: the query plan reads the saved " +
+      "index and the query rows only — no corpus re-assignment") {
+    import spark.implicits._
+    val e = graft.sources.Tables.table(spark, sf, "embeddings")
+    val cents = e.where(col("vec_id") < 16)
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-ivf-spec").toString
+    graft.ops.Similarity.ivfCellSignatures(e, "vec_id", "embedding",
+        cents)
+      .write.mode("overwrite").partitionBy("cell").parquet(store)
+    val df = graft.ops.Similarity.ivfTopKPrecomputed(
+      e.where(col("vec_id") < 8), spark.read.parquet(store),
+      "vec_id", "embedding", cents, k = 10, nprobe = 4)
+    val plan = explain(df)
+    // every embeddings scan is the QUERY side (pushed filter < 8):
+    // the corpus arrives as the saved cell-partitioned index with its
+    // vectors riding — never re-assigned, never re-read. (The
+    // centroid frame is collected to driver literals at PLAN BUILD,
+    // so it leaves no scan in the final plan.)
+    val sections = plan.split("\\(\\d+\\) Scan parquet")
+      .filter(_.contains("embeddings.parquet"))
+    assert(sections.nonEmpty && sections.forall(
+      _.contains("LessThan(vec_id,8)")),
+      "an embeddings scan without the query pushdown is a corpus " +
+        "re-read")
+    assert(plan.contains("ivf-spec"),
+      "saved cell index missing from the plan")
+    // candidates meet on the cell equi-join, never a loop
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"))
+    // parity end-to-end
+    val viaStore = df.as[(Long, Long, Int)].collect().toSet
+    val recompute = graft.ops.Similarity.ivfTopK(e,
+      e.where(col("vec_id") < 8), "vec_id", "embedding", cents,
+      k = 10, nprobe = 4).as[(Long, Long, Int)].collect().toSet
+    assert(viaStore == recompute && viaStore.nonEmpty)
+  }
+
   test("precomputed bm25 postings store: no corpus scan, query terms " +
       "prune to their bucket partitions") {
     import spark.implicits._
