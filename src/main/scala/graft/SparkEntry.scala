@@ -4474,7 +4474,9 @@ object SparkEntry {
     // cosine vector leg over the embedding sidecar, RRF-fused — the
     // RAG-retrieval preset over a curated corpus
     "q260_hybrid_search" -> ((s, dir) => {
-      val docs = tbl(s, dir, "documents")
+      // lexical corpus bounded: q257 already pays the full-corpus
+      // index build; this query demonstrates the FUSION preset
+      val docs = tbl(s, dir, "documents").where(col("doc_id") < 1000)
       val e = tbl(s, dir, "embeddings")
       val store = scratchDir("graft-hybstore").toString
       val idx = TextSearch.bm25Index(docs, "doc_id", "text")
@@ -8215,7 +8217,7 @@ object SparkEntry {
       s"""WITH tk AS (
          |  SELECT doc_id,
          |    list_filter(string_split(text, ' '), x -> x <> '') AS t
-         |  FROM documents),
+         |  FROM documents WHERE doc_id < 1000),
          |toks AS (
          |  SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM tk),
          |hits AS (
