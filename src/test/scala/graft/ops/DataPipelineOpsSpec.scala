@@ -571,6 +571,75 @@ class DataPipelineOpsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet.contains((9L, 1L)))
   }
 
+  test("property: PassJoin faces equal brute levenshtein on 100+ " +
+      "random strings (small alphabet forces segment collisions; " +
+      "self, Between, and store faces; d=1 and d=2)") {
+    // the star-contraction lesson industrialized for the edit-distance
+    // family: random strings over {a,b} with lengths 0..8 concentrate
+    // every segment bucket and hit every boundary (shorts, empties,
+    // equal strings, off-by-one lengths)
+    val rnd = new scala.util.Random(4242)
+    val strs = (0L until 110L).map { i =>
+      val n = rnd.nextInt(9)
+      (i, (0 until n).map(_ => if (rnd.nextBoolean()) 'a' else 'b')
+        .mkString)
+    }
+    val df = strs.toDF("doc_id", "s")
+    def lev(a: String, b: String): Int = {
+      val m = Array.tabulate(a.length + 1, b.length + 1) {
+        (i, j) => if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        m(i)(j) = math.min(math.min(m(i - 1)(j), m(i)(j - 1)) + 1,
+          m(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      m(a.length)(b.length)
+    }
+    for (d <- Seq(1, 2)) {
+      val brute = (for {
+        (ia, sa) <- strs; (ib, sb) <- strs
+        if ia < ib && lev(sa, sb) <= d
+      } yield (ia, ib)).toSet
+      val self = graft.ops.Dedup.editDistancePairs(df, "doc_id", "s", d)
+        .as[(Long, Long)].collect().toSet
+      assert(self == brute, s"self d=$d")
+      val refD = df.where($"doc_id" < 60)
+      val newD = df.where($"doc_id" >= 60)
+      val bruteX = (for {
+        (ia, sa) <- strs.filter(_._1 >= 60)
+        (ib, sb) <- strs.filter(_._1 < 60)
+        if lev(sa, sb) <= d
+      } yield (ia, ib)).toSet
+      val between = graft.ops.Dedup.editDistancePairsBetween(
+        newD, refD, "doc_id", "s", d)
+        .as[(Long, Long)].collect().toSet
+      assert(between == bruteX, s"between d=$d")
+      val store = graft.ops.Dedup.editDistanceSegmentStore(
+        refD, "doc_id", "s", d)
+      val viaStore = graft.ops.Dedup.editDistancePairsBetweenPrecomputed(
+        newD, store, "doc_id", "s", d)
+        .as[(Long, Long)].collect().toSet
+      assert(viaStore == bruteX, s"store d=$d")
+    }
+    graft.ops.Dedup.releaseCaches()
+  }
+
+  test("property: hammingNearDup equals brute popcount pairs on " +
+      "random codes (bits 16 and 64, radius 0..3)") {
+    val rnd = new scala.util.Random(777)
+    for (bits <- Seq(16, 64); maxH <- Seq(0, 1, 3)) {
+      val mask = if (bits == 64) -1L else (1L << bits) - 1
+      val codes = (0L until 80L).map(i => (i, rnd.nextLong() & mask))
+      val brute = (for {
+        (ia, ca) <- codes; (ib, cb) <- codes
+        if ia < ib && java.lang.Long.bitCount(ca ^ cb) <= maxH
+      } yield (ia, ib)).toSet
+      val got = graft.ops.Dedup.hammingNearDup(
+        codes.toDF("id", "code"), "id", "code", bits, maxH)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(got == brute, s"bits=$bits maxH=$maxH " +
+        s"(got ${got.size}, want ${brute.size})")
+    }
+  }
+
   test("editDistancePairsBetweenPrecomputed replays the Between face " +
       "from a saved segment store (shorts ride as k=-1 rows; " +
       "mismatched p_maxdist rejects loudly)") {
