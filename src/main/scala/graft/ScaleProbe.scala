@@ -533,6 +533,44 @@ object ScaleProbe {
               r.getInt(2))).toSet,
             "store path diverged from recompute path")
           viaStore.length.toLong
+        case "pqstore" =>
+          // Encode-once evidence for the PQ code table: 8 fixed
+          // queries. (a) pqTopK re-encodes the WHOLE corpus (m·k
+          // sub-cosines per vector) per query batch; (b) the saved
+          // code table is scanned as a few bytes per vector.
+          import org.apache.spark.sql.functions._
+          import graft.ops.Quantize
+          val e = spark.read.parquet(s"$dir/embeddings.parquet")
+          val cb = Quantize.pqCodebooks(e, "vec_id", "embedding",
+            dim = 64, m = 4, k = 16, iters = 2)
+          val queries = e.where(col("vec_id") < 8)
+          val t1 = System.nanoTime()
+          val viaFull = Quantize.pqTopK(e, queries, "vec_id",
+            "embedding", cb, dim = 64, m = 4, k = 10)
+            .select("query_id", "neighbor_id", "rank").collect()
+          val tRec = (System.nanoTime() - t1) / 1e9
+          val store = java.nio.file.Files
+            .createTempDirectory("graft-pq-probe").toString
+          val t2 = System.nanoTime()
+          Quantize.pqCodeSignatures(e, "vec_id", "embedding", cb,
+              dim = 64, m = 4)
+            .write.mode("overwrite").parquet(store)
+          val tBuild = (System.nanoTime() - t2) / 1e9
+          val t3 = System.nanoTime()
+          val viaStore = Quantize.pqTopKPrecomputed(queries,
+            spark.read.parquet(store), "vec_id", "embedding", cb,
+            dim = 64, m = 4, k = 10)
+            .select("query_id", "neighbor_id", "rank").collect()
+          val tProbe = (System.nanoTime() - t3) / 1e9
+          println(f"[pqstore] recompute=$tRec%.1f s " +
+            f"build_once=$tBuild%.1f s probe=$tProbe%.1f s " +
+            s"rows=${viaFull.length}/${viaStore.length}")
+          require(viaFull.map(r => (r.getLong(0), r.getLong(1),
+              r.getInt(2))).toSet ==
+            viaStore.map(r => (r.getLong(0), r.getLong(1),
+              r.getInt(2))).toSet,
+            "store path diverged from recompute path")
+          viaStore.length.toLong
         case "embedstore" =>
           // Incremental-ingest evidence for the VECTOR bucket store
           // (the incrstore probe applied to embeddings): a FIXED

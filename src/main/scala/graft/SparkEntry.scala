@@ -2842,6 +2842,28 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // PQ ADC against a PERSISTED code table: the corpus is encoded
+    // once (m·k sub-cosines per vector) into saved (id, codes) rows
+    // a few bytes wide, and each query batch scores the SAVED codes
+    // through its LUT — never a corpus re-encode or float re-read.
+    // Must equal q153 exactly (same oracle)
+    "q262_pq_store" -> ((s, dir) => {
+      import s.implicits._
+      val emb = tbl(s, dir, "embeddings")
+      val cb = Quantize.pqCodebooks(emb, "vec_id", "embedding",
+        dim = 64, m = 2, k = 4, iters = 2)
+      val store = scratchDir("graft-pqstore").toString
+      Quantize.pqCodeSignatures(emb, "vec_id", "embedding", cb,
+          dim = 64, m = 2)
+        .write.mode("overwrite").parquet(store)
+      val qdf = Seq((-1L, q75Vec)).toDF("vec_id", "embedding")
+      Quantize.pqTopKPrecomputed(qdf, s.read.parquet(store),
+        "vec_id", "embedding", cb, dim = 64, m = 2, k = 10)
+        .select(col("neighbor_id").as("vec_id"),
+          col("score").cast("decimal(18,6)").cast("double").as("score"))
+        .orderBy("vec_id")
+    }),
+
     // Mongo 8.1 $score stage: expression-valued score meta with
     // minMaxScaler normalization over the current result set (1-row
     // min/max broadcast) and a weight — read back via {$meta: "score"}
@@ -6017,6 +6039,10 @@ object SparkEntry {
     "q151_bloom_decontam" -> decontamSql,
 
     "q153_ann_pq" -> pqOracleSql,
+
+    // the saved code table scores exactly like the in-line encode —
+    // SAME replay as q153 (shared helper)
+    "q262_pq_store" -> pqOracleSql,
 
     "q159_search_morelikethis" ->
       """WITH tk AS (

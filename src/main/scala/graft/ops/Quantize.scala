@@ -221,4 +221,73 @@ object Quantize {
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "score", "rank")
   }
+
+  /** Deterministic stamp of a PQ configuration (codebook contents +
+    * dim + m): assignments encoded under different codebooks score
+    * nonsense through a mismatched LUT — the store-parameter check
+    * for the code table. */
+  private def codebookStamp(cb: Map[Int, Seq[Array[Double]]],
+      dim: Int, m: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val buf = java.nio.ByteBuffer.allocate(8)
+    buf.putInt(dim); buf.putInt(m); md.update(buf.array())
+    cb.toSeq.sortBy(_._1).foreach { case (j, cents) =>
+      buf.clear(); buf.putInt(j); buf.putInt(cents.length)
+      md.update(buf.array())
+      cents.foreach { cv =>
+        cv.foreach { x =>
+          buf.clear(); buf.putDouble(x); md.update(buf.array())
+        }
+      }
+    }
+    java.nio.ByteBuffer.wrap(md.digest(), 0, 4).getInt & 0x7fffffff
+  }
+
+  /** The persistable PQ CODE TABLE: [[pqEncode]]'s (id, codes) with
+    * the codebook-configuration stamp riding — the materialized
+    * index a 100 TB ADC search actually scans. Encoding costs m·k
+    * sub-cosines per vector; [[pqTopKPrecomputed]] reads the saved
+    * codes instead of re-paying that per query batch. */
+  def pqCodeSignatures(corpus: DataFrame, idCol: String,
+      vecCol: String, codebooks: DataFrame, dim: Int, m: Int)
+      : DataFrame = {
+    val cb = collectCodebooks(codebooks)
+    pqEncode(corpus, idCol, vecCol, codebooks, dim, m)
+      .withColumn("p_pqstamp", lit(codebookStamp(cb, dim, m)))
+  }
+
+  /** ADC top-k against the SAVED code table ([[pqCodeSignatures]]):
+    * identical output to [[pqTopK]] — same LUT, same element_at
+    * scoring, same tie-breaks — but the corpus side arrives as saved
+    * codes (a few bytes per vector), never re-encoded and never
+    * re-read as floats. `p_pqstamp` must match the query-side
+    * codebooks or the call rejects loudly. */
+  def pqTopKPrecomputed(queries: DataFrame, codeStore: DataFrame,
+      idCol: String, vecCol: String, codebooks: DataFrame, dim: Int,
+      m: Int, k: Int): DataFrame = {
+    val cb = collectCodebooks(codebooks)
+    val sub = dim / m
+    graft.ops.Dedup.requireStoreParams(codeStore, "pqTopKPrecomputed",
+      "p_pqstamp" -> codebookStamp(cb, dim, m))
+    val enc = Partitioning.ensureMinPartitions(
+      codeStore.select(col(idCol).as("neighbor_id"), col("codes")))
+    val qv = col(vecCol).cast("array<double>")
+    val q = queries.select(col(idCol).as("query_id"),
+      array((0 until m).map(j =>
+        array(cb(j).map(cv =>
+          vec_dot(slice(qv, j * sub + 1, sub), typedlit(cv))): _*)): _*)
+        .as("__lut"))
+    val score = (0 until m).map(j =>
+      element_at(element_at(col("__lut"), j + 1),
+        (element_at(col("codes"), j + 1) + 1).cast("int")))
+      .reduce(_ + _)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    enc.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", score)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "score", "rank")
+  }
 }

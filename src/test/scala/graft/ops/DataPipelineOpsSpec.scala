@@ -362,6 +362,40 @@ class DataPipelineOpsSpec extends SparkSpec {
       k = 5).count() > 0)
   }
 
+  test("pqTopKPrecomputed equals pqTopK from a saved code table; " +
+      "codes encoded under different codebooks reject loudly") {
+    val rnd = new scala.util.Random(99)
+    val vecs = (0L until 50L).map(i =>
+      (i, Array.fill(8)(rnd.nextDouble() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val cb = Quantize.pqCodebooks(vecs, "vec_id", "embedding",
+      dim = 8, m = 2, k = 3, iters = 2)
+    val queries = vecs.where($"vec_id" < 3)
+    val store = Quantize.pqCodeSignatures(vecs, "vec_id",
+      "embedding", cb, dim = 8, m = 2)
+    val got = Quantize.pqTopKPrecomputed(queries, store, "vec_id",
+      "embedding", cb, dim = 8, m = 2, k = 5)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val want = Quantize.pqTopK(vecs, queries, "vec_id", "embedding",
+      cb, dim = 8, m = 2, k = 5)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == want && got.nonEmpty)
+    // different training set -> different centroids -> different stamp
+    val cb2 = Quantize.pqCodebooks(vecs.where($"vec_id" < 30),
+      "vec_id", "embedding", dim = 8, m = 2, k = 3, iters = 2)
+    val ex = intercept[IllegalArgumentException] {
+      Quantize.pqTopKPrecomputed(queries, store, "vec_id",
+        "embedding", cb2, dim = 8, m = 2, k = 5).collect()
+    }
+    assert(ex.getMessage.contains("p_pqstamp"))
+    // legacy store without the stamp skips the check
+    assert(Quantize.pqTopKPrecomputed(queries,
+      store.drop("p_pqstamp"), "vec_id", "embedding", cb,
+      dim = 8, m = 2, k = 5).count() > 0)
+  }
+
   test("hybridSearch: store-served BM25 leg + exact-cosine vector " +
       "leg fuse to the same ranking as hand-composed rrfFuse") {
     val vecs = Seq(
