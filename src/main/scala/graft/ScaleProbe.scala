@@ -533,6 +533,46 @@ object ScaleProbe {
               r.getInt(2))).toSet,
             "store path diverged from recompute path")
           viaStore.length.toLong
+        case "reportstore" =>
+          // Data-card refresh economics: FIXED 200-doc delta, prior =
+          // the rest. (a) the one-shot card re-reads every batch's
+          // TEXT per refresh (langId + md5 + lengths over the whole
+          // corpus); (b) the incremental card merges three bounded-
+          // width sidecars with the delta's and derives from counts.
+          import org.apache.spark.sql.functions._
+          val delta = docs.where(col("doc_id") < 200)
+          val prior = docs.where(col("doc_id") >= 200)
+          val t1 = System.nanoTime()
+          val full = graft.ops.Curation.corpusReport(
+            prior.unionByName(delta), "doc_id", "text", "source")
+            .collect()
+          val tRec = (System.nanoTime() - t1) / 1e9
+          val store = java.nio.file.Files
+            .createTempDirectory("graft-report-probe").toString
+          val t2 = System.nanoTime()
+          val sc0 = graft.ops.Curation.corpusReportSidecars(prior,
+            "doc_id", "text", "source")
+          sc0.lenHist.write.mode("overwrite").parquet(s"$store/len")
+          sc0.langCounts.write.mode("overwrite").parquet(s"$store/lang")
+          sc0.hashes.write.mode("overwrite").parquet(s"$store/hash")
+          val tBuild = (System.nanoTime() - t2) / 1e9
+          val t3 = System.nanoTime()
+          val incr = graft.ops.Curation.corpusReportIncremental(delta,
+            graft.ops.Curation.CorpusReportState(
+              spark.read.parquet(s"$store/len"),
+              spark.read.parquet(s"$store/lang"),
+              spark.read.parquet(s"$store/hash")),
+            "doc_id", "text", "source")._1.collect()
+          val tProbe = (System.nanoTime() - t3) / 1e9
+          println(f"[reportstore] recompute=$tRec%.1f s " +
+            f"build_once=$tBuild%.1f s probe=$tProbe%.1f s " +
+            s"rows=${full.length}/${incr.length}")
+          def key(r: org.apache.spark.sql.Row) = r.toSeq.map {
+            case d: Double => f"$d%.9f"; case x => String.valueOf(x)
+          }.mkString("|")
+          require(full.map(key).toSet == incr.map(key).toSet,
+            "incremental card diverged from the one-shot card")
+          incr.length.toLong
         case "pqstore" =>
           // Encode-once evidence for the PQ code table: 8 fixed
           // queries. (a) pqTopK re-encodes the WHOLE corpus (m·k

@@ -4516,6 +4516,42 @@ object SparkEntry {
         .orderBy("fused_rank")
     }),
 
+    // the data card WITHOUT re-reading the corpus: prior batches live
+    // as three mergeable sidecars (length histogram, lang counts,
+    // distinct content hashes — persisted), the delta merges in, and
+    // the card derives from counts alone — equal to the one-shot
+    // q259 report on the union (same oracle)
+    "q263_report_incremental" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val store = scratchDir("graft-reportstore").toString
+      val s1 = graft.ops.Curation.corpusReportSidecars(
+        docs.where(col("doc_id") < 300), "doc_id", "text", "source")
+      s1.lenHist.write.mode("overwrite").parquet(s"$store/len")
+      s1.langCounts.write.mode("overwrite").parquet(s"$store/lang")
+      s1.hashes.write.mode("overwrite").parquet(s"$store/hash")
+      val prior = graft.ops.Curation.CorpusReportState(
+        s.read.parquet(s"$store/len"), s.read.parquet(s"$store/lang"),
+        s.read.parquet(s"$store/hash"))
+      graft.ops.Curation.corpusReportIncremental(
+        docs.where(col("doc_id") >= 300), prior, "doc_id", "text",
+        "source")._1
+        .select(col("source"), col("n_docs"), col("n_empty"),
+          col("total_chars"),
+          col("chars_p25").cast("decimal(18,6)").cast("double")
+            .as("chars_p25"),
+          col("chars_p50").cast("decimal(18,6)").cast("double")
+            .as("chars_p50"),
+          col("chars_p75").cast("decimal(18,6)").cast("double")
+            .as("chars_p75"),
+          col("distinct_texts"),
+          col("dup_rate").cast("decimal(18,9)").cast("double")
+            .as("dup_rate"),
+          col("top_lang"),
+          col("top_lang_share").cast("decimal(18,9)").cast("double")
+            .as("top_lang_share"))
+        .orderBy("source")
+    }),
+
     // TF-IDF top terms per document: one explode + one (doc,term) aggregate
     // + one term-keyed window — df/N over the WHOLE corpus, output filtered
     "q82_tfidf" -> ((s, dir) =>
@@ -4680,6 +4716,58 @@ object SparkEntry {
 
   /** Flat (left-associated, ascending-index) dot product against literal
     * constants — the exact FP evaluation order of FloatVecDot. */
+  // the data-card replay: q25's langId argmax per doc -> per-source
+  // top-lang window; quantile_cont for the exact percentile (the
+  // q226 parity); md5 distinct for the dup rate — shared by q259
+  // (one-shot) and q263 (sidecar-derived on the union)
+  private lazy val corpusReportOracle: String = {
+    val scores = TextFunctions.LangMarkers.map { case (lang, ms) =>
+      val lst = ms.map(m => s"'$m'").mkString(", ")
+      s"len(list_filter(t, x -> list_contains([$lst], x))) AS s_$lang"
+    }.mkString(",\n  ")
+    val langs = TextFunctions.LangMarkers.map(_._1)
+    val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+    val total = langs.map("s_" + _).mkString(" + ")
+    val cases = langs.map(l =>
+      s"WHEN ($total) > 0 AND s_$l = $best THEN '$l'").mkString("\n    ")
+    s"""WITH $toksCte,
+       |s AS (SELECT doc_id, $scores FROM toks),
+       |pl AS (
+       |  SELECT d.doc_id, d.source,
+       |    CASE $cases ELSE 'und' END AS lang
+       |  FROM documents d JOIN s ON s.doc_id = d.doc_id
+       |  WHERE d.text IS NOT NULL),
+       |lc AS (SELECT source, lang, COUNT(*) AS n
+       |  FROM pl GROUP BY source, lang),
+       |tl AS (SELECT source, lang AS top_lang, n,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY n DESC, lang) AS r
+       |  FROM lc),
+       |st AS (
+       |  SELECT source, COUNT(*) AS n_docs,
+       |    COUNT(CASE WHEN text IS NULL OR text = '' THEN 1 END)
+       |      AS n_empty,
+       |    COALESCE(CAST(SUM(len(text)) AS BIGINT), 0) AS total_chars,
+       |    quantile_cont(len(text), 0.25) AS chars_p25,
+       |    quantile_cont(len(text), 0.5) AS chars_p50,
+       |    quantile_cont(len(text), 0.75) AS chars_p75,
+       |    COUNT(DISTINCT md5(text)) AS distinct_texts
+       |  FROM documents GROUP BY source)
+       |SELECT st.source, st.n_docs, st.n_empty, st.total_chars,
+       |  CAST(CAST(st.chars_p25 AS DECIMAL(18,6)) AS DOUBLE) AS chars_p25,
+       |  CAST(CAST(st.chars_p50 AS DECIMAL(18,6)) AS DOUBLE) AS chars_p50,
+       |  CAST(CAST(st.chars_p75 AS DECIMAL(18,6)) AS DOUBLE) AS chars_p75,
+       |  st.distinct_texts,
+       |  CAST(CAST(1.0 - CAST(st.distinct_texts AS DOUBLE) / st.n_docs
+       |    AS DECIMAL(18,9)) AS DOUBLE) AS dup_rate,
+       |  tl.top_lang,
+       |  CAST(CAST(CAST(tl.n AS DOUBLE) / st.n_docs
+       |    AS DECIMAL(18,9)) AS DOUBLE) AS top_lang_share
+       |FROM st LEFT JOIN tl
+       |  ON tl.source IS NOT DISTINCT FROM st.source AND tl.r = 1
+       |ORDER BY st.source""".stripMargin
+  }
+
   // the IVF replay: brute assignment, probes, cell candidates, exact
   // cosine re-rank — shared by q74 (recompute) and q261 (saved index)
   private lazy val ivfOracle: String =
@@ -8490,53 +8578,11 @@ object SparkEntry {
     // the data card replayed: q25's langId argmax per doc -> per-
     // source top-lang window; quantile_cont for the exact percentile
     // (the q226 parity); md5 distinct for the dup rate
-    "q259_corpus_report" -> {
-      val scores = TextFunctions.LangMarkers.map { case (lang, ms) =>
-        val lst = ms.map(m => s"'$m'").mkString(", ")
-        s"len(list_filter(t, x -> list_contains([$lst], x))) AS s_$lang"
-      }.mkString(",\n  ")
-      val langs = TextFunctions.LangMarkers.map(_._1)
-      val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
-      val total = langs.map("s_" + _).mkString(" + ")
-      val cases = langs.map(l =>
-        s"WHEN ($total) > 0 AND s_$l = $best THEN '$l'").mkString("\n    ")
-      s"""WITH $toksCte,
-         |s AS (SELECT doc_id, $scores FROM toks),
-         |pl AS (
-         |  SELECT d.doc_id, d.source,
-         |    CASE $cases ELSE 'und' END AS lang
-         |  FROM documents d JOIN s ON s.doc_id = d.doc_id
-         |  WHERE d.text IS NOT NULL),
-         |lc AS (SELECT source, lang, COUNT(*) AS n
-         |  FROM pl GROUP BY source, lang),
-         |tl AS (SELECT source, lang AS top_lang, n,
-         |    row_number() OVER (PARTITION BY source
-         |      ORDER BY n DESC, lang) AS r
-         |  FROM lc),
-         |st AS (
-         |  SELECT source, COUNT(*) AS n_docs,
-         |    COUNT(CASE WHEN text IS NULL OR text = '' THEN 1 END)
-         |      AS n_empty,
-         |    COALESCE(CAST(SUM(len(text)) AS BIGINT), 0) AS total_chars,
-         |    quantile_cont(len(text), 0.25) AS chars_p25,
-         |    quantile_cont(len(text), 0.5) AS chars_p50,
-         |    quantile_cont(len(text), 0.75) AS chars_p75,
-         |    COUNT(DISTINCT md5(text)) AS distinct_texts
-         |  FROM documents GROUP BY source)
-         |SELECT st.source, st.n_docs, st.n_empty, st.total_chars,
-         |  CAST(CAST(st.chars_p25 AS DECIMAL(18,6)) AS DOUBLE) AS chars_p25,
-         |  CAST(CAST(st.chars_p50 AS DECIMAL(18,6)) AS DOUBLE) AS chars_p50,
-         |  CAST(CAST(st.chars_p75 AS DECIMAL(18,6)) AS DOUBLE) AS chars_p75,
-         |  st.distinct_texts,
-         |  CAST(CAST(1.0 - CAST(st.distinct_texts AS DOUBLE) / st.n_docs
-         |    AS DECIMAL(18,9)) AS DOUBLE) AS dup_rate,
-         |  tl.top_lang,
-         |  CAST(CAST(CAST(tl.n AS DOUBLE) / st.n_docs
-         |    AS DECIMAL(18,9)) AS DOUBLE) AS top_lang_share
-         |FROM st LEFT JOIN tl
-         |  ON tl.source IS NOT DISTINCT FROM st.source AND tl.r = 1
-         |ORDER BY st.source""".stripMargin
-    },
+    "q259_corpus_report" -> corpusReportOracle,
+
+    // sidecar-derived card == one-shot card on the union — SAME
+    // replay as q259 (shared helper)
+    "q263_report_incremental" -> corpusReportOracle,
 
     "q231_langid_multilingual" -> {
       val textCase = LangIdSentences.zipWithIndex.map { case ((_, t), i) =>

@@ -559,6 +559,140 @@ object Curation {
       .drop("__n")
   }
 
+  /** The three mergeable sidecars [[corpusReportIncremental]] carries
+    * between batches: per-(source, length) counts, per-(source,
+    * predicted-lang) counts, and the distinct (source, content-hash)
+    * pairs. The hash sidecar is the only corpus-CARDINALITY one, but
+    * at 16 md5 bytes per distinct text it is ~3 orders of magnitude
+    * narrower than the corpus it summarizes — re-deriving the dup
+    * rate from it instead of re-reading text is the whole point. */
+  final case class CorpusReportState(lenHist: DataFrame,
+      langCounts: DataFrame, hashes: DataFrame)
+
+  /** Build one batch's report sidecars (merge = key-sum the two count
+    * frames, distinct-union the hash frame — [[corpusReportIncremental]]
+    * does both). Null texts count under length/lang NULL-skipping
+    * exactly as [[corpusReport]] does: lengths and langs skip them,
+    * `n_docs`/`n_empty` come from the length histogram plus the
+    * separate empty counter riding in `lenHist` as `n_all`/`n_empty`
+    * per (source): one extra tiny aggregate. */
+  def corpusReportSidecars(df: DataFrame, idCol: String,
+      textCol: String, sourceCol: String): CorpusReportState = {
+    val len = length(col(textCol))
+    val lenHist = df.groupBy(col(sourceCol).as("source"),
+        len.as("len"))
+      .agg(count(lit(1)).as("cnt"),
+        count(when(col(textCol).isNull || col(textCol) === "", 1))
+          .as("n_empty"))
+    val langCounts = df.where(col(textCol).isNotNull)
+      .groupBy(col(sourceCol).as("source"),
+        TextFunctions.langId(col(textCol)).as("lang"))
+      .agg(count(lit(1)).as("cnt"))
+    val hashes = df.where(col(textCol).isNotNull)
+      .select(col(sourceCol).as("source"),
+        md5(col(textCol)).as("h"))
+      .distinct()
+    CorpusReportState(lenHist, langCounts, hashes)
+  }
+
+  /** [[corpusReport]] for an append-only corpus WITHOUT re-reading
+    * it: merge the prior batches' sidecars with the new batch's and
+    * derive the card from counts alone — exact equality with the
+    * one-shot report on the union (quantiles via the same
+    * interpolated order statistics the histogram thresholds use,
+    * dup rate from the distinct-hash union, dominant language from
+    * the key-summed lang counts). Returns the refreshed card plus
+    * the merged sidecars to carry forward.
+    *
+    * Per-batch cost: delta-sized aggregates plus sidecar-sized
+    * merges. The hash sidecar is distinct-text cardinality (16-byte
+    * rows); the other two are |sources|×|distinct lengths or langs|. */
+  def corpusReportIncremental(newDf: DataFrame, prior: CorpusReportState,
+      idCol: String, textCol: String, sourceCol: String)
+      : (DataFrame, CorpusReportState) = {
+    import org.apache.spark.sql.expressions.Window
+    val delta = corpusReportSidecars(newDf, idCol, textCol, sourceCol)
+    val lenHist = prior.lenHist.select("source", "len", "cnt", "n_empty")
+      .unionByName(delta.lenHist.select("source", "len", "cnt",
+        "n_empty"))
+      .groupBy("source", "len")
+      .agg(sum("cnt").as("cnt"), sum("n_empty").as("n_empty"))
+    val langCounts = prior.langCounts.select("source", "lang", "cnt")
+      .unionByName(delta.langCounts.select("source", "lang", "cnt"))
+      .groupBy("source", "lang")
+      .agg(sum("cnt").as("cnt"))
+    val hashes = prior.hashes.select("source", "h")
+      .unionByName(delta.hashes.select("source", "h"))
+      .distinct()
+    // per-source scalars from the length histogram: n_docs counts ALL
+    // rows (null lengths included — they land as a len-NULL histogram
+    // row), lengths/quantiles skip the null row like the one-shot's
+    // aggregates skip null texts
+    val bySrc = Window.partitionBy("source")
+    val cumW = Window.partitionBy("source").orderBy("len")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def interp(q: Double, tag: String): Seq[org.apache.spark.sql.Column] = {
+      Seq(
+        max(when(col(s"__j1_$tag") >= col("__prev") &&
+          col(s"__j1_$tag") < col("__cum"), col("len").cast("double")))
+          .as(s"__v1_$tag"),
+        max(when(col(s"__j2_$tag") >= col("__prev") &&
+          col(s"__j2_$tag") < col("__cum"), col("len").cast("double")))
+          .as(s"__v2_$tag"),
+        max(col(s"__p_$tag")).as(s"__pp_$tag"),
+        max(col(s"__j1_$tag")).as(s"__f_$tag"))
+    }
+    val nonNull = lenHist.where(col("len").isNotNull)
+      .withColumn("__n", sum("cnt").over(bySrc))
+      .withColumn("__cum", sum("cnt").over(cumW))
+      .withColumn("__prev", col("__cum") - col("cnt"))
+    val withPos = Seq(0.25 -> "a", 0.5 -> "b", 0.75 -> "c")
+      .foldLeft(nonNull) { case (d, (q, t)) =>
+        d.withColumn(s"__p_$t", lit(q) * (col("__n") - 1))
+          .withColumn(s"__j1_$t", floor(col(s"__p_$t")))
+          .withColumn(s"__j2_$t", ceil(col(s"__p_$t")))
+      }
+    val aggs = Seq(0.25 -> "a", 0.5 -> "b", 0.75 -> "c")
+      .flatMap { case (q, t) => interp(q, t) } :+
+      coalesce(sum(col("len").cast("long") * col("cnt")), lit(0L))
+        .as("total_chars")
+    val quant = withPos.groupBy("source")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("source"), col("total_chars"),
+        (col("__v1_a") + (col("__v2_a") - col("__v1_a")) *
+          (col("__pp_a") - col("__f_a"))).as("chars_p25"),
+        (col("__v1_b") + (col("__v2_b") - col("__v1_b")) *
+          (col("__pp_b") - col("__f_b"))).as("chars_p50"),
+        (col("__v1_c") + (col("__v2_c") - col("__v1_c")) *
+          (col("__pp_c") - col("__f_c"))).as("chars_p75"))
+    val counts = lenHist.groupBy("source")
+      .agg(sum("cnt").as("n_docs"), sum("n_empty").as("n_empty"))
+    val distinctTexts = hashes.groupBy("source")
+      .agg(count(lit(1)).as("distinct_texts"))
+    val topW = Window.partitionBy("source")
+      .orderBy(col("cnt").desc, col("lang").asc)
+    val top = langCounts.withColumn("__r", row_number().over(topW))
+      .where(col("__r") === 1)
+      .select(col("source"), col("lang").as("top_lang"),
+        col("cnt").as("__n"))
+    val report = counts
+      .join(quant, Seq("source"), "left")
+      .join(distinctTexts, Seq("source"), "left")
+      .join(top, Seq("source"), "left")
+      .withColumn("distinct_texts",
+        coalesce(col("distinct_texts"), lit(0L)))
+      .withColumn("total_chars",
+        coalesce(col("total_chars"), lit(0L)))
+      .withColumn("dup_rate", lit(1.0) -
+        col("distinct_texts").cast("double") / col("n_docs"))
+      .withColumn("top_lang_share",
+        col("__n").cast("double") / col("n_docs"))
+      .select("source", "n_docs", "n_empty", "total_chars",
+        "chars_p25", "chars_p50", "chars_p75", "distinct_texts",
+        "top_lang", "dup_rate", "top_lang_share")
+    (report, CorpusReportState(lenHist, langCounts, hashes))
+  }
+
   /** The kept delta plus the histogram to carry into the next batch. */
   final case class DomainGateState(kept: DataFrame, hist: DataFrame)
 

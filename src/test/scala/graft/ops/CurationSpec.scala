@@ -307,6 +307,45 @@ class CurationSpec extends graft.SparkSpec {
     assert(b.getString(8) == "de")
   }
 
+  test("corpusReportIncremental: the card derived from merged " +
+      "sidecars equals the one-shot report on the union, chained " +
+      "across three batches") {
+    import graft.ops.Curation
+    val en1 = "the quick brown fox and the lazy dog now"
+    val en2 = "a cat sat on the mat with the hat ok"
+    val de1 = "der hund und die katze sind nicht da"
+    val rows = Seq[(Long, String, Option[String])](
+      (1L, "a", Some(en1)), (2L, "a", Some(en1)),
+      (3L, "a", Some(en2)), (4L, "a", Some(de1)), (5L, "a", None),
+      (6L, "b", Some(de1)), (7L, "b", Some("")),
+      (11L, "a", Some(en2)), (12L, "c", Some(en1)),
+      (13L, "b", Some(de1)), (14L, "b", Some("x")),
+      (21L, "a", Some("yo")), (22L, "c", Some(de1)), (23L, "c", None))
+      .toDF("doc_id", "source", "text")
+    val b1 = rows.where($"doc_id" < 10)
+    val b2 = rows.where($"doc_id" >= 10 && $"doc_id" < 20)
+    val b3 = rows.where($"doc_id" >= 20)
+    val s1 = Curation.corpusReportSidecars(b1, "doc_id", "text",
+      "source")
+    val (r2, s2) = Curation.corpusReportIncremental(b2, s1, "doc_id",
+      "text", "source")
+    val (r3, _) = Curation.corpusReportIncremental(b3, s2, "doc_id",
+      "text", "source")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("source", "n_docs", "n_empty", "total_chars",
+        "chars_p25", "chars_p50", "chars_p75", "distinct_texts",
+        "top_lang", "dup_rate", "top_lang_share")
+        .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    val want2 = norm(Curation.corpusReport(
+      rows.where($"doc_id" < 20), "doc_id", "text", "source"))
+    val got2 = norm(r2)
+    assert(got2 == want2, s"batch2: $got2 vs $want2")
+    val want3 = norm(Curation.corpusReport(rows, "doc_id", "text",
+      "source"))
+    val got3 = norm(r3)
+    assert(got3 == want3, s"batch3: $got3 vs $want3")
+  }
+
   test("domainPercentileFilterIncremental: histogram thresholds equal " +
       "the exact one-shot gate on the union (delta rows), at " +
       "interpolating quantiles, across chained batches, with null " +
