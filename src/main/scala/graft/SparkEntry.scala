@@ -4516,6 +4516,34 @@ object SparkEntry {
         .orderBy("fused_rank")
     }),
 
+    // hybrid retrieval with BOTH legs index-served (the deployed
+    // shape): lexical from the saved postings' bucket partitions,
+    // vector from the saved IVF cell index — the corpus is neither
+    // re-tokenized nor re-assigned at query time
+    "q264_hybrid_ivf" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").where(col("doc_id") < 1000)
+      val e = tbl(s, dir, "embeddings")
+      val cents = e.where(col("vec_id") < 16)
+      val store = scratchDir("graft-hybivf").toString
+      val idx = TextSearch.bm25Index(docs, "doc_id", "text")
+      idx.postings.write.mode("overwrite").partitionBy("bkt")
+        .parquet(s"$store/postings")
+      idx.stats.write.mode("overwrite").parquet(s"$store/stats")
+      Similarity.ivfCellSignatures(e, "vec_id", "embedding", cents)
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$store/cells")
+      graft.ops.Hybrid.hybridSearchIvf(
+        TextSearch.Bm25Index(s.read.parquet(s"$store/postings"),
+          s.read.parquet(s"$store/stats")),
+        "doc_id", Seq("data", "query", "spark"),
+        s.read.parquet(s"$store/cells"), "vec_id", "embedding",
+        cents, q75Vec, k = 15)
+        .select(col("neighbor_id"),
+          col("score").cast("decimal(18,9)").cast("double").as("score"),
+          col("fused_rank"))
+        .orderBy("fused_rank")
+    }),
+
     // the data card WITHOUT re-reading the corpus: prior batches live
     // as three mergeable sidecars (length histogram, lang counts,
     // distinct content hashes — persisted), the delta merges in, and
@@ -8323,6 +8351,95 @@ object SparkEntry {
         |SELECT doc_id, CAST(CAST(score AS DECIMAL(18,9)) AS DOUBLE) AS score,
         |  matched
         |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // both legs replayed with the VECTOR leg through the IVF
+    // machinery: brute corpus cell assignment (q74's asgn), the
+    // literal query's probe cells, candidates from probed cells only,
+    // exact cosine ranks within candidates, then the q88 RRF fusion
+    "q264_hybrid_ivf" -> {
+      val normQ = math.sqrt(q75Vec.map(x => x * x).sum)
+      s"""WITH tk AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+         |  FROM documents WHERE doc_id < 1000),
+         |toks AS (
+         |  SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM tk),
+         |hits AS (
+         |  SELECT doc_id, dl, term, COUNT(*) AS tf FROM toks
+         |  WHERE term IN ('data', 'query', 'spark')
+         |  GROUP BY doc_id, dl, term),
+         |wd AS (
+         |  SELECT doc_id, dl, term, tf,
+         |    COUNT(*) OVER (PARTITION BY term) AS df
+         |  FROM hits),
+         |stats AS (
+         |  SELECT COUNT(*) AS n_docs, avg(CAST(len(t) AS DOUBLE)) AS avgdl
+         |  FROM tk),
+         |lexsc AS (
+         |  SELECT doc_id,
+         |    CAST(SUM(CAST(
+         |      ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * 2.2)
+         |      / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+         |      AS DECIMAL(28,12))) AS DOUBLE) AS score
+         |  FROM wd, stats GROUP BY doc_id),
+         |lex AS (
+         |  SELECT doc_id AS neighbor_id,
+         |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+         |  FROM lexsc),
+         |cents AS (
+         |  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+         |  WHERE vec_id < 16),
+         |pc AS (
+         |  SELECT e.vec_id AS ia, c.cid AS ib, e.embedding AS ea,
+         |    c.cv AS eb
+         |  FROM embeddings e CROSS JOIN cents c),
+         |dc AS (SELECT ia, ib,
+         |  SUM(CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)) AS dot,
+         |  SUM(CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE)) AS na,
+         |  SUM(CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)) AS nb
+         |  FROM pc, UNNEST(range(1, len(ea)+1)) AS u(i)
+         |  GROUP BY ia, ib),
+         |asgn AS (SELECT ia, ib AS cell,
+         |  row_number() OVER (PARTITION BY ia
+         |    ORDER BY dot/(sqrt(na)*sqrt(nb)) DESC, ib ASC) AS rn FROM dc),
+         |cellof AS (SELECT ia AS nid, cell FROM asgn WHERE rn = 1),
+         |qp AS (SELECT cid AS cell,
+         |    row_number() OVER (ORDER BY
+         |      (${litDotSql("cv", q75Vec)})
+         |      / (sqrt(${selfDotSql("cv", 64)}) * $normQ) DESC, cid)
+         |      AS rn
+         |  FROM cents),
+         |cand AS (
+         |  SELECT c.nid FROM qp JOIN cellof c ON c.cell = qp.cell
+         |  WHERE qp.rn <= 4),
+         |vs AS (SELECT vec_id,
+         |  (${litDotSql("embedding", q75Vec)})
+         |  / (sqrt(${selfDotSql("embedding", 64)}) * $normQ) AS cos
+         |  FROM embeddings WHERE vec_id IN (SELECT nid FROM cand)),
+         |vec AS (
+         |  SELECT vec_id AS neighbor_id,
+         |    row_number() OVER (ORDER BY cos DESC, vec_id) AS rank
+         |  FROM vs),
+         |u AS (
+         |  SELECT neighbor_id, rank FROM lex WHERE rank <= 30
+         |  UNION ALL
+         |  SELECT neighbor_id, rank FROM vec WHERE rank <= 30),
+         |f AS (
+         |  SELECT neighbor_id,
+         |    CAST(SUM(CAST(1.0 / (rank + 60) AS DECIMAL(28,12)))
+         |      AS DOUBLE) AS score
+         |  FROM u GROUP BY neighbor_id),
+         |o AS (
+         |  SELECT neighbor_id, score,
+         |    CAST(row_number() OVER (
+         |      ORDER BY score DESC, neighbor_id) AS INT) AS fused_rank
+         |  FROM f)
+         |SELECT neighbor_id,
+         |  CAST(CAST(score AS DECIMAL(18,9)) AS DOUBLE) AS score,
+         |  fused_rank
+         |FROM o WHERE fused_rank <= 15
+         |ORDER BY fused_rank""".stripMargin
+    },
 
     // both legs replayed (q85's BM25 chain -> ranks; q75's literal-
     // vector cosine -> ranks) then the q88 RRF decimal-sum fusion

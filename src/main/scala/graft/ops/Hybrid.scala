@@ -57,14 +57,6 @@ object Hybrid {
     require(k > 0, s"hybridSearch: k > 0, got $k")
     require(queryVec.nonEmpty, "hybridSearch: empty query vector")
     val kk = if (legK > 0) legK else 2 * k
-    // lexical leg: the store face's deterministic ordering as ranks
-    // (a global window over kk already-limited rows — bounded)
-    val lex = TextSearch.bm25Precomputed(index, docIdCol, terms,
-        k = kk, buckets = buckets)
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("score").desc, col(docIdCol).asc)))
-      .select(lit(-1L).as("query_id"),
-        col(docIdCol).cast("long").as("neighbor_id"), col("rank"))
     // vector leg: exact cosine in DOUBLE (cast once — float literals
     // widened per-row would diverge from the replayed double math);
     // query id -1 can never collide with a corpus id, so the
@@ -74,7 +66,47 @@ object Hybrid {
     val qDf = vectors.sparkSession.range(1)
       .select(lit(-1L).as(vecIdCol), typedlit(queryVec).as(vecCol))
     val vec = Similarity.bruteForceTopK(dv, qDf, vecIdCol, vecCol, kk)
-    rrfFuse(Seq(lex, vec), k, k0)
+    rrfFuse(Seq(lexLeg(index, docIdCol, terms, kk, buckets), vec),
+        k, k0)
+      .select("neighbor_id", "score", "fused_rank")
+  }
+
+  /** The lexical leg shared by both hybrid presets: the store face's
+    * deterministic ordering as ranks (a global window over kk
+    * already-limited rows — bounded). */
+  private def lexLeg(index: graft.ops.TextSearch.Bm25Index,
+      docIdCol: String, terms: Seq[String], kk: Int, buckets: Int)
+      : DataFrame =
+    TextSearch.bm25Precomputed(index, docIdCol, terms, k = kk,
+        buckets = buckets)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col(docIdCol).asc)))
+      .select(lit(-1L).as("query_id"),
+        col(docIdCol).cast("long").as("neighbor_id"), col("rank"))
+
+  /** [[hybridSearch]] with BOTH legs index-served — the shape a
+    * 100 TB retrieval stack actually deploys: the lexical leg reads
+    * the query terms' bucket partitions of the saved postings, the
+    * vector leg probes the saved IVF cell index
+    * ([[Similarity.ivfTopKPrecomputed]] — corpus never re-assigned
+    * or re-read), and RRF fuses the two top-`legK` lists. The vector
+    * leg is approximate exactly as IVF is (recall depends on nprobe/
+    * centroid quality); swap [[hybridSearch]] back in when the exact
+    * ranking is worth a corpus scan. */
+  def hybridSearchIvf(index: graft.ops.TextSearch.Bm25Index,
+      docIdCol: String, terms: Seq[String], ivfStore: DataFrame,
+      vecIdCol: String, vecCol: String, centroids: DataFrame,
+      queryVec: Seq[Double], k: Int, k0: Int = 60, legK: Int = 0,
+      nprobe: Int = 4, buckets: Int = 256): DataFrame = {
+    require(k > 0, s"hybridSearchIvf: k > 0, got $k")
+    require(queryVec.nonEmpty, "hybridSearchIvf: empty query vector")
+    val kk = if (legK > 0) legK else 2 * k
+    val qDf = ivfStore.sparkSession.range(1)
+      .select(lit(-1L).as(vecIdCol), typedlit(queryVec).as(vecCol))
+    val vec = Similarity.ivfTopKPrecomputed(qDf, ivfStore, vecIdCol,
+      vecCol, centroids, kk, nprobe)
+    rrfFuse(Seq(lexLeg(index, docIdCol, terms, kk, buckets), vec),
+        k, k0)
       .select("neighbor_id", "score", "fused_rank")
   }
 }

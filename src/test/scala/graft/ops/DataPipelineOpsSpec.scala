@@ -428,6 +428,39 @@ class DataPipelineOpsSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("hybridSearchIvf: both legs index-served — equals rrfFuse of " +
+      "the bm25 ranks and the IVF-store ranks") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (1L until 40L).map(i =>
+      (i, Array.fill(6)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val cents = vecs.where($"vec_id" < 5)
+    val ivfStore = Similarity.ivfCellSignatures(vecs, "vec_id",
+      "embedding", cents)
+    val qv = Seq(0.5, -0.2, 0.8, 0.0, 0.1, -0.4)
+    val idx = TextSearch.bm25Index(corpus, "doc_id", "text",
+      buckets = 8)
+    val got = graft.ops.Hybrid.hybridSearchIvf(idx, "doc_id",
+      Seq("apple", "cherry"), ivfStore, "vec_id", "embedding",
+      cents, qv, k = 4, nprobe = 2, buckets = 8)
+      .select("neighbor_id", "fused_rank")
+      .as[(Long, Int)].collect().toSet
+    val lexRank = TextSearch.bm25(corpus, "doc_id", "text",
+      Seq("apple", "cherry"))
+      .orderBy($"score".desc, $"doc_id")
+      .collect().map(_.getLong(0)).zipWithIndex
+      .map { case (id, i) => (-1L, id, i + 1) }
+      .toSeq.toDF("query_id", "neighbor_id", "rank")
+    val q = spark.range(1).select(lit(-1L).as("vec_id"),
+      typedlit(qv).as("embedding"))
+    val vecRank = Similarity.ivfTopKPrecomputed(q, ivfStore,
+      "vec_id", "embedding", cents, k = 8, nprobe = 2)
+    val want = graft.ops.Hybrid.rrfFuse(Seq(lexRank, vecRank), 4)
+      .select("neighbor_id", "fused_rank")
+      .as[(Long, Int)].collect().toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("tfidfPrecomputed + topTermsPrecomputed: delta scored under " +
       "UNION statistics from the saved index equals the one-shot on " +
       "the union restricted to the delta") {
