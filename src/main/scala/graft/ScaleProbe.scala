@@ -22,7 +22,13 @@ import org.apache.spark.sql.SparkSession
   *  split id) | bitextstore (cap = planes, thr = minMargin) |
   *  mediastore (image chunk store vs per-batch re-decode) |
   *  curateincr (incremental curation batch vs one-shot union; cap =
-  *  planes, thr = dupThreshold — >= 0.85 on ScaleUp corpora)
+  *  planes, thr = dupThreshold — >= 0.85 on ScaleUp corpora) |
+  *  edstore (PassJoin segment store vs per-batch ref re-segment) |
+  *  domgate (histogram-sidecar quality gate vs one-shot union gate) |
+  *  bm25store (postings index vs per-query corpus re-tokenize) |
+  *  ivfstore (saved cell index vs per-query corpus re-assignment) |
+  *  pqstore (saved code table vs per-query corpus re-encode) |
+  *  reportstore (sidecar-derived data card vs one-shot re-read)
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
