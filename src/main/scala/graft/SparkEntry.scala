@@ -86,6 +86,20 @@ object SparkEntry {
     p
   }
 
+  /** Partitioned store write, clustered by the partition column first
+    * (r15, guide §6): a `partitionBy(c)` write from N shuffle tasks
+    * opens up to N parquet writers PER partition value — 32 tasks ×
+    * 256 bm25 buckets is ~8k tiny files per store write, and the
+    * read-back pays the footer/open cost again. One hash exchange on
+    * the partition column makes each value land in exactly one task:
+    * one file per partition value, the layout a 100 TB store wants
+    * (bigger files, fewer of them; key-prunable reads unchanged). */
+  private def storeWrite(df: org.apache.spark.sql.DataFrame,
+      partCol: String, path: String,
+      mode: String = "overwrite"): Unit =
+    df.repartition(col(partCol)).write.mode(mode)
+      .partitionBy(partCol).parquet(path)
+
   /** q231 fixture: one unambiguous sentence per LangMarkers language
     * (>= 7 of its own markers, <= 3 of any other language's), shared
     * by the Spark query and the DuckDB oracle so both classify the
@@ -1766,8 +1780,11 @@ object SparkEntry {
     // one-shot q225 keep-best over the full corpus (SHARED oracle)
     "q252_resolve_incremental" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents")
+      // persisted: the fixture splits this ONE pair frame into prior
+      // and delta halves consumed by four downstream stages — without
+      // the persist each stage re-runs the LSH band join
       val all = Dedup.minhashLshPairs(docs, "doc_id", "text",
-        k = 3, numPerms = 12, bands = 4)
+        k = 3, numPerms = 12, bands = 4).persist()
       val priorPairs = all.where(col("id_a") < 250 && col("id_b") < 250)
       val deltaPairs = all.where(col("id_a") >= 250 || col("id_b") >= 250)
       val priorLabels = Dedup.duplicateClusters(priorPairs)
@@ -1861,9 +1878,10 @@ object SparkEntry {
     "q230_incremental_precomputed" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents")
       val store = scratchDir("graft-bandstore").toString
-      Dedup.minhashBandSignatures(docs.where(col("doc_id") < 200),
-          "doc_id", "text", k = 3, numPerms = 12, bands = 4)
-        .write.mode("overwrite").partitionBy("band").parquet(store)
+      storeWrite(Dedup.minhashBandSignatures(
+        docs.where(col("doc_id") < 200),
+        "doc_id", "text", k = 3, numPerms = 12, bands = 4),
+        "band", store)
       Dedup.minhashLshPairsBetweenPrecomputed(
         docs.where(col("doc_id") >= 200), s.read.parquet(store),
         "doc_id", "text", k = 3, numPerms = 12, bands = 4)
@@ -1930,9 +1948,9 @@ object SparkEntry {
           (col("doc_id") / 6).cast("long").cast("string"),
           element_at(typedlit(suf), (col("doc_id") % 6 + 1).cast("int"))))
       val store = scratchDir("graft-edstore").toString
-      Dedup.editDistanceSegmentStore(df.where(col("doc_id") < 177),
-          "doc_id", "code", maxDist = 1)
-        .write.mode("overwrite").partitionBy("k").parquet(store)
+      storeWrite(Dedup.editDistanceSegmentStore(
+        df.where(col("doc_id") < 177), "doc_id", "code", maxDist = 1),
+        "k", store)
       Dedup.editDistancePairsBetweenPrecomputed(
         df.where(col("doc_id") >= 177), s.read.parquet(store),
         "doc_id", "code", maxDist = 1)
@@ -1965,10 +1983,10 @@ object SparkEntry {
     "q244_embed_store_neardup" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
       val store = scratchDir("graft-vecstore").toString
-      Dedup.vectorBucketSignatures(e.where(col("vec_id") < 400),
-          "vec_id", "embedding", blockTables = 4, blockPlanes = 8,
-          dim = 64)
-        .write.mode("overwrite").partitionBy("t").parquet(store)
+      storeWrite(Dedup.vectorBucketSignatures(
+        e.where(col("vec_id") < 400),
+        "vec_id", "embedding", blockTables = 4, blockPlanes = 8,
+        dim = 64), "t", store)
       Dedup.embeddingNearDupBetweenPrecomputed(
         e.where(col("vec_id") >= 400), s.read.parquet(store),
         e.where(col("vec_id") < 400), "vec_id", "embedding",
@@ -1984,7 +2002,10 @@ object SparkEntry {
     // whole corpus
     "q245_merge_clusters" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents")
+      // persisted: prior and delta filters below both consume this one
+      // pair frame — one LSH band join instead of two
       val all = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 12, 4)
+        .persist()
       val prior = Dedup.duplicateClusters(
         all.where(col("id_a") < 250 && col("id_b") < 250))
       Dedup.mergeClusters(prior,
@@ -2000,9 +2021,9 @@ object SparkEntry {
     "q246_simhash_store_neardup" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents")
       val store = scratchDir("graft-simstore").toString
-      Dedup.simhashChunkSignatures(docs.where(col("doc_id") < 200),
-          "doc_id", "text", bits = 60, maxHamming = 3)
-        .write.mode("overwrite").partitionBy("chunk").parquet(store)
+      storeWrite(Dedup.simhashChunkSignatures(
+        docs.where(col("doc_id") < 200),
+        "doc_id", "text", bits = 60, maxHamming = 3), "chunk", store)
       Dedup.simhashNearDupBetweenPrecomputed(
         docs.where(col("doc_id") >= 200), s.read.parquet(store),
         "doc_id", "text", bits = 60, maxHamming = 3)
@@ -2047,9 +2068,9 @@ object SparkEntry {
         bench = bench, deconThreshold = 0.5, blockTables = 4,
         blockPlanes = 8, dim = 64, sampleFraction = 0.8)
       val store = scratchDir("graft-curstore").toString
-      Dedup.vectorBucketSignatures(ref, "vec_id", "embedding",
-          blockTables = 4, blockPlanes = 8, dim = 64)
-        .write.mode("overwrite").partitionBy("t").parquet(store)
+      storeWrite(Dedup.vectorBucketSignatures(ref, "vec_id",
+        "embedding", blockTables = 4, blockPlanes = 8, dim = 64),
+        "t", store)
       val labelsPath = scratchDir("graft-curlabels").toString
       val resolvedPath = scratchDir("graft-curresolved").toString
       boot.labels.write.mode("overwrite").parquet(labelsPath)
@@ -2116,9 +2137,9 @@ object SparkEntry {
         .map(id => (id, Multimodal.fixtureBmp(id)))
         .toDF("media_id", "content")
       val store = scratchDir("graft-mediastore").toString
-      Multimodal.mediaChunkSignatures(
-          media.where(col("media_id") < 200), maxHamming = 3)
-        .write.mode("overwrite").partitionBy("chunk").parquet(store)
+      storeWrite(Multimodal.mediaChunkSignatures(
+        media.where(col("media_id") < 200), maxHamming = 3),
+        "chunk", store)
       Multimodal.mediaNearDupBetween(
         media.where(col("media_id") >= 200), s.read.parquet(store),
         maxHamming = 3)
@@ -2178,9 +2199,9 @@ object SparkEntry {
       val e = tbl(s, dir, "embeddings")
       val store = scratchDir("graft-bitextstore").toString
       val indexed = e.where(col("vec_id") >= 40 && col("vec_id") < 80)
-      Dedup.vectorBucketSignatures(indexed, "vec_id", "embedding",
-          blockTables = 8, blockPlanes = 8, dim = 64)
-        .write.mode("overwrite").partitionBy("t").parquet(store)
+      storeWrite(Dedup.vectorBucketSignatures(indexed, "vec_id",
+        "embedding", blockTables = 8, blockPlanes = 8, dim = 64),
+        "t", store)
       Similarity.bitextMineLshPrecomputed(
         e.where(col("vec_id") < 40), s.read.parquet(store), indexed,
         "vec_id", "embedding", k = 4, minMargin = 1.0,
@@ -4234,8 +4255,9 @@ object SparkEntry {
       val e = tbl(s, dir, "embeddings")
       val cents = e.where(col("vec_id") < 16)
       val store = scratchDir("graft-ivfstore").toString
-      Similarity.ivfCellSignatures(e, "vec_id", "embedding", cents)
-        .write.mode("overwrite").partitionBy("cell").parquet(store)
+      storeWrite(
+        Similarity.ivfCellSignatures(e, "vec_id", "embedding", cents),
+        "cell", store)
       Similarity.ivfTopKPrecomputed(e.where(col("vec_id") < 8),
         s.read.parquet(store), "vec_id", "embedding", cents,
         k = 10, nprobe = 4)
@@ -4474,10 +4496,9 @@ object SparkEntry {
         docs.where(col("doc_id") < 300), "doc_id", "text")
       val b2 = TextSearch.bm25Index(
         docs.where(col("doc_id") >= 300), "doc_id", "text")
-      b1.postings.write.mode("overwrite").partitionBy("bkt")
-        .parquet(s"$store/postings")
-      b2.postings.write.mode("append").partitionBy("bkt")
-        .parquet(s"$store/postings")
+      storeWrite(b1.postings, "bkt", s"$store/postings")
+      storeWrite(b2.postings, "bkt", s"$store/postings",
+        mode = "append")
       b1.stats.write.mode("overwrite").parquet(s"$store/stats")
       b2.stats.write.mode("append").parquet(s"$store/stats")
       val idx = TextSearch.Bm25Index(
@@ -4502,8 +4523,7 @@ object SparkEntry {
       val e = tbl(s, dir, "embeddings")
       val store = scratchDir("graft-hybstore").toString
       val idx = TextSearch.bm25Index(docs, "doc_id", "text")
-      idx.postings.write.mode("overwrite").partitionBy("bkt")
-        .parquet(s"$store/postings")
+      storeWrite(idx.postings, "bkt", s"$store/postings")
       idx.stats.write.mode("overwrite").parquet(s"$store/stats")
       graft.ops.Hybrid.hybridSearch(
         TextSearch.Bm25Index(s.read.parquet(s"$store/postings"),
@@ -4526,12 +4546,11 @@ object SparkEntry {
       val cents = e.where(col("vec_id") < 16)
       val store = scratchDir("graft-hybivf").toString
       val idx = TextSearch.bm25Index(docs, "doc_id", "text")
-      idx.postings.write.mode("overwrite").partitionBy("bkt")
-        .parquet(s"$store/postings")
+      storeWrite(idx.postings, "bkt", s"$store/postings")
       idx.stats.write.mode("overwrite").parquet(s"$store/stats")
-      Similarity.ivfCellSignatures(e, "vec_id", "embedding", cents)
-        .write.mode("overwrite").partitionBy("cell")
-        .parquet(s"$store/cells")
+      storeWrite(
+        Similarity.ivfCellSignatures(e, "vec_id", "embedding", cents),
+        "cell", s"$store/cells")
       graft.ops.Hybrid.hybridSearchIvf(
         TextSearch.Bm25Index(s.read.parquet(s"$store/postings"),
           s.read.parquet(s"$store/stats")),
@@ -4601,8 +4620,7 @@ object SparkEntry {
       val store = scratchDir("graft-tfidfstore").toString
       val idx = TextSearch.bm25Index(
         docs.where(col("doc_id") < 300), "doc_id", "text")
-      idx.postings.write.mode("overwrite").partitionBy("bkt")
-        .parquet(s"$store/postings")
+      storeWrite(idx.postings, "bkt", s"$store/postings")
       idx.stats.write.mode("overwrite").parquet(s"$store/stats")
       TfIdf.topTermsPrecomputed(
         docs.where(col("doc_id") >= 300 && col("doc_id") < 400),

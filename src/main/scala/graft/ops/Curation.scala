@@ -141,14 +141,21 @@ object Curation {
         TextFunctions.normalizeUrl(col(urlCol)))
       .withColumn("clean_text",
         TextFunctions.stripHtml(col(htmlCol)))
-    val withinUrl = Dedup.exactRows(extracted, Seq("url_canonical"),
-      idCol)
+    // persisted (r15, guide §2.4): `withinUrl` feeds the fresh-URL
+    // anti-join AND the returned URL-key delta; `gated` feeds the
+    // content dedup AND the returned content-key delta — without the
+    // persists the extraction + gate scan chain (normalizeUrl +
+    // stripHtml + langId + quality, all regex-heavy) re-evaluates once
+    // per consumer. Both frames are delta-bounded.
+    val withinUrl = Dedup.trackedPersist(
+      Dedup.exactRows(extracted, Seq("url_canonical"), idCol))
     val priorUrl = priorUrlKeys.select("url_canonical")
     val urlFresh = withinUrl.join(priorUrl, Seq("url_canonical"),
       "left_anti")
-    val gated = gateAndScore(urlFresh, "clean_text", targetLang,
-      minQuality, minLangMargin)
-      .withColumn("__content_key", md5(col("clean_text")))
+    val gated = Dedup.trackedPersist(
+      gateAndScore(urlFresh, "clean_text", targetLang,
+        minQuality, minLangMargin)
+        .withColumn("__content_key", md5(col("clean_text"))))
     val withinContent = Dedup.exactRows(gated, Seq("__content_key"),
       idCol)
     val priorContent = priorContentKeys.select(
@@ -157,7 +164,8 @@ object Curation {
       Seq("__content_key"), "left_anti")
     val curated = Sampling.hashSample(
       contentFresh.drop("__content_key"), idCol, sampleFraction, salt)
-    WebCurateState(curated,
+    WebCurateState(
+      Dedup.releaseOnMaterialize(curated, withinUrl, gated),
       withinUrl.select("url_canonical")
         .join(priorUrl, Seq("url_canonical"), "left_anti"),
       gated.select(col("__content_key").as("content_key")).distinct()
@@ -238,10 +246,16 @@ object Curation {
       bench: Option[(DataFrame, String, String)],
       deconThreshold: Double, dim: Int): DataFrame = bench match {
     case Some((b, bid, bvec)) =>
-      val flagged = Decontaminate.semantic(kept, idCol, vecCol,
+      // persisted (r15, guide §2.4): `kept` is consumed TWICE — scored
+      // against the bench AND anti-joined against the flags — and it is
+      // usually a fresh resolveClusters plan (a corpus window) whose
+      // upstream would otherwise evaluate once per consumer
+      val k = Dedup.trackedPersist(kept)
+      val flagged = Decontaminate.semantic(k, idCol, vecCol,
         b, bid, bvec, deconThreshold, dim = dim)
         .select(col(idCol))
-      kept.join(flagged, Seq(idCol), "left_anti")
+      Dedup.releaseOnMaterialize(
+        k.join(flagged, Seq(idCol), "left_anti"), k)
     case None => kept
   }
 
@@ -326,8 +340,11 @@ object Curation {
     val newLabels = Dedup.mergeClusters(priorLabels,
       within.unionByName(cross))
     val docs = refDocs.unionByName(newDf)
-    val resolved = Dedup.resolveClustersIncremental(docs, newDf,
-      priorResolved, priorLabels, newLabels, idCol, qualityCol)
+    // persisted (r15, guide §2.4): the incremental resolve output is
+    // consumed twice below (fresh anti-join + pass-through semi-join)
+    val resolved = Dedup.trackedPersist(
+      Dedup.resolveClustersIncremental(docs, newDf,
+        priorResolved, priorLabels, newLabels, idCol, qualityCol))
     // decon only survivors NEW to the survivor set: an id already in
     // priorResolved passed this exact deterministic gate (same
     // vector, same bench, same threshold — the chain contract) in an
@@ -340,7 +357,9 @@ object Curation {
     val newResolved = resolved.join(priorIds, Seq(idCol), "left_semi")
       .unionByName(freshKept)
     EmbedCurateState(
-      Sampling.hashSample(newResolved, idCol, sampleFraction, salt),
+      Dedup.releaseOnMaterialize(
+        Sampling.hashSample(newResolved, idCol, sampleFraction, salt),
+        resolved),
       newLabels, newResolved)
   }
 

@@ -181,11 +181,18 @@ object Decontaminate {
         .select(col(as), explode(array_distinct(
           shinglesOfTokens(col("__toks"), n))).as("__sh"))
     val b0 = shingleSide(bench, benchId, benchText, "__b_id")
-    val b =
+    // persisted (r15, guide §2.4): the bench shingle frame is consumed
+    // TWICE — once by the Bloom aggregate below (an eager `.head`) and
+    // once by the exact join — and with maxBenchDf > 0 each evaluation
+    // pays the doc-frequency window's shuffle; the persist makes the
+    // Bloom build materialize it for the join to reuse. Bench sets are
+    // small next to the corpus (the premise of decontamination), so
+    // the cached frame is bounded.
+    val b = Dedup.trackedPersist(
       if (maxBenchDf > 0L)
         b0.withColumn("__df", count(lit(1)).over(Window.partitionBy("__sh")))
           .where(col("__df") <= maxBenchDf).drop("__df")
-      else b0
+      else b0)
     val numBits = math.ceil(-expectedBenchShingles * math.log(fpp) /
       (math.log(2) * math.log(2))).toLong
     val bloomBytes = b
@@ -203,13 +210,14 @@ object Decontaminate {
       else c0.where(ColumnBridge.column(BloomFilterMightContain(
         Literal(bloomBytes),
         ColumnBridge.expression(hash60(col("__sh"))))))
-    c.join(b, "__sh")
-      .groupBy("__c_id")
-      .agg(countDistinct("__sh").as("hits"),
-        countDistinct("__b_id").as("bench_docs"),
-        min("__b_id").as("first_bench"))
-      .where(col("hits") >= minHits)
-      .withColumnRenamed("__c_id", corpusId)
+    Dedup.releaseOnMaterialize(
+      c.join(b, "__sh")
+        .groupBy("__c_id")
+        .agg(countDistinct("__sh").as("hits"),
+          countDistinct("__b_id").as("bench_docs"),
+          min("__b_id").as("first_bench"))
+        .where(col("hits") >= minHits)
+        .withColumnRenamed("__c_id", corpusId), b)
   }
 
   /** SEMANTIC decontamination: corpus rows whose embedding has cosine

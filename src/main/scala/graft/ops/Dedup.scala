@@ -24,6 +24,13 @@ object Dedup {
   private val cachedFrames =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
   private def tracked(df: DataFrame): DataFrame = { cachedFrames.add(df); df }
+  /** Persist + track under [[releaseCaches]] — the shared-subplan reuse
+    * discipline for sibling ops packages (Decontaminate, Curation). */
+  private[ops] def trackedPersist(df: DataFrame): DataFrame =
+    tracked(df.persist())
+  /** [[autoRelease]] for sibling ops packages. */
+  private[ops] def releaseOnMaterialize(result: DataFrame,
+      supports: DataFrame*): DataFrame = autoRelease(result, supports: _*)
   /** Unpersist every intermediate frame persisted by Dedup operators.
     * Call after the returned pair frames have been materialized. */
   def releaseCaches(): Unit = {
@@ -981,17 +988,22 @@ object Dedup {
     * verify pre-exchange. Output: distinct (id_a, id_b, hamming). */
   def hammingNearDup(fp: DataFrame, idCol: String, hashCol: String,
       bits: Int, maxHamming: Int): DataFrame = {
-    val chunked = simhashChunkFrame(
+    // persisted (r15, guide §2.4): the chunk frame is BOTH sides of the
+    // self-join below, and without the persist the fingerprint subplan
+    // evaluates once per side — for media fingerprints that is a second
+    // full image-decode pass, for simhash a second text-hash scan (the
+    // same reason minhashLshPairs persists its signature frame).
+    val chunked = tracked(simhashChunkFrame(
       fp.select(col(idCol).as("id"), col(hashCol).as("simhash")),
-      bits, maxHamming)
-    chunked.as("a")
+      bits, maxHamming).persist())
+    autoRelease(chunked.as("a")
       .join(chunked.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
       .where(col("hamming") <= maxHamming)
-      .distinct()
+      .distinct(), chunked)
   }
 
   /** The persistable (id, simhash, chunk, key [, p_*]) chunk-signature frame
@@ -1158,9 +1170,96 @@ object Dedup {
   def duplicateClusters(pairs: DataFrame, idA: String = "id_a",
       idB: String = "id_b", maxIter: Int = 20,
       checkpointDir: Option[String] = None): DataFrame = {
-    val edges0 = pairs
-      .select(col(idA).as("src"), col(idB).as("dst"))
-      .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+    val driverLimit = pairs.sparkSession.conf
+      .getOption("spark.graft.clusters.driverEdgeLimit")
+      .map(_.toLong).getOrElse(200000L)
+    val idType = {
+      import org.apache.spark.sql.types._
+      pairs.schema(idA).dataType
+    }
+    val integralId = {
+      import org.apache.spark.sql.types._
+      idType match {
+        case LongType | IntegerType | ShortType | ByteType => true
+        case _ => false
+      }
+    }
+    // MICRO-GRAPH fast path (r15): a near-dup pair graph is usually
+    // tiny next to its corpus (it holds only ever-paired docs), and
+    // mergeClusters' CONTRACTED delta graphs are tinier still — but
+    // the distributed loop pays ~6-10 fixed checkpoint round-trips
+    // regardless of size, the dominant per-batch latency for small
+    // deltas. ONE bounded limit(n+1) collect of the DISTINCT raw pair
+    // rows (`spark.graft.clusters.driverEdgeLimit`, default 200k rows
+    // ≈ 3 MB; nodes ≤ 2× that by construction; 0 disables) yields
+    // nodes (all endpoints — self-pair-only nodes included) AND edges
+    // (src ≠ dst rows) in a single job with a single evaluation of the
+    // upstream pair plan; a big graph pays one early-exit scan, never
+    // a full count, then takes the distributed loop below. Driver
+    // union-find is label-identical to the contraction loop by
+    // construction (min id per component; the 120-graph property spec
+    // pins BOTH paths against the same ground truth). Bounded driver
+    // state, the centroid/codebook collect discipline — corpus-sized
+    // frames never come near the driver. Integral ids only (the min
+    // must reproduce SQL's ordering; exotic id types take the loop).
+    val fastPairs: Array[org.apache.spark.sql.Row] =
+      if (integralId && driverLimit > 0 &&
+          driverLimit < (Int.MaxValue - 1) / 2)
+        pairs.select(col(idA).cast("long").as("src"),
+            col(idB).cast("long").as("dst"))
+          .distinct().limit(driverLimit.toInt + 1).collect()
+      else null
+    if (fastPairs != null && fastPairs.length <= driverLimit) {
+      val parent = new java.util.HashMap[Long, java.lang.Long](
+        fastPairs.length * 4)
+      def find(x: Long): Long = {
+        var r = x
+        while ({ val p = parent.get(r); p != null && p != r }) r =
+          parent.get(r)
+        var c = x
+        while ({ val p = parent.get(c); p != null && p != c }) {
+          val nxt = parent.get(c); parent.put(c, r); c = nxt
+        }
+        r
+      }
+      fastPairs.foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        if (parent.get(a) == null) parent.put(a, a)
+        if (parent.get(b) == null) parent.put(b, b)
+        if (a != b) {
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) {
+            if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+          }
+        }
+      }
+      val spark = pairs.sparkSession
+      val nodes = parent.keySet().toArray(new Array[java.lang.Long](0))
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row](
+        nodes.length)
+      nodes.foreach { n =>
+        rows.add(org.apache.spark.sql.Row(n.longValue(),
+          find(n.longValue())))
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("component",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      return spark.createDataFrame(rows, schema)
+        .select(col("id").cast(idType).as("id"),
+          col("component").cast(idType).as("component"))
+    }
+    // materialize the RAW pair frame ONCE (r15, guide §2.4): edges and
+    // the label seed both derive from `pairs`, and deriving each
+    // directly would evaluate the whole upstream pair plan (usually an
+    // LSH band join) twice — once per truncate. The raw frame is two
+    // id columns, the narrowest possible materialization of it.
+    val p0 = Checkpoints.truncate(
+      pairs.select(col(idA).as("src"), col(idB).as("dst")),
+      checkpointDir)
+    val edges0 = p0
+      .unionByName(p0.select(col("dst").as("src"), col("src").as("dst")))
       .where(col("src") =!= col("dst"))
       .distinct()
     // STAR CONTRACTION WITH FULL PATH COMPRESSION: each round
@@ -1185,97 +1284,16 @@ object Dedup {
     // shifts monotone-id chains without shrinking them (edge (v,v+1)
     // rewrites to (v-1,v) forever). Compressing the root map before
     // applying it closes all three holes at once.
-    var e = Checkpoints.truncate(edges0, checkpointDir)
     // label seed = ALL pair endpoints (not edge endpoints): a node
     // whose only pair is (x, x) has no surviving edge but still owes
     // an output row per the contract above
-    var labels = Checkpoints.truncate(
-      pairs.select(col(idA).as("id"))
-        .unionByName(pairs.select(col(idB).as("id")))
-        .distinct()
-        .withColumn("lbl", col("id")), checkpointDir)
-    // MICRO-GRAPH fast path (r15): a near-dup pair graph is usually
-    // tiny next to its corpus (it holds only ever-paired docs), and
-    // mergeClusters' CONTRACTED delta graphs are tinier still — but
-    // the distributed loop pays ~6-10 fixed checkpoint round-trips
-    // regardless of size, the dominant per-batch latency for small
-    // deltas. When the materialized edge set fits a bounded driver
-    // budget (`spark.graft.clusters.driverEdgeLimit` edges, default
-    // 200k ≈ 3 MB, plus 2× that for nodes — self-pair-only nodes have
-    // no edge, so the node frame is probed separately; 0 disables;
-    // both probes are bounded limit(n+1) counts over the ALREADY-
-    // checkpointed frames, so a big graph pays one early-exit scan,
-    // never a full count), solve it with driver union-find
-    // — label-identical to the contraction loop by construction (min
-    // id per component; the 120-graph property spec pins BOTH paths
-    // against the same ground truth). Bounded driver state, the
-    // centroid/codebook collect discipline — the corpus-sized frames
-    // (docs, labels of a 100 TB corpus) never come near the driver;
-    // above the budget the O(log n) distributed contraction below is
-    // the path, exactly as before. Integral ids only (the min must
-    // reproduce SQL's ordering; exotic id types take the loop).
-    val driverLimit = pairs.sparkSession.conf
-      .getOption("spark.graft.clusters.driverEdgeLimit")
-      .map(_.toLong).getOrElse(200000L)
-    val idType = {
-      import org.apache.spark.sql.types._
-      pairs.schema(idA).dataType
-    }
-    val integralId = {
-      import org.apache.spark.sql.types._
-      idType match {
-        case LongType | IntegerType | ShortType | ByteType => true
-        case _ => false
-      }
-    }
-    if (integralId && driverLimit > 0 &&
-        driverLimit < (Int.MaxValue - 1) / 2 &&
-        e.limit(driverLimit.toInt + 1).count() <= driverLimit &&
-        labels.limit(2 * driverLimit.toInt + 1).count() <=
-          2 * driverLimit) {
-      val edges = e.select(col("src").cast("long"),
-        col("dst").cast("long")).collect()
-      val nodes = labels.select(col("id").cast("long")).collect()
-        .map(_.getLong(0))
-      val parent = new java.util.HashMap[Long, java.lang.Long](
-        nodes.length * 2)
-      def find(x: Long): Long = {
-        var r = x
-        while ({ val p = parent.get(r); p != null && p != r }) r =
-          parent.get(r)
-        var c = x
-        while ({ val p = parent.get(c); p != null && p != c }) {
-          val nxt = parent.get(c); parent.put(c, r); c = nxt
-        }
-        r
-      }
-      edges.foreach { row =>
-        val (a, b) = (row.getLong(0), row.getLong(1))
-        if (parent.get(a) == null) parent.put(a, a)
-        if (parent.get(b) == null) parent.put(b, b)
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) {
-          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
-        }
-      }
-      val spark = pairs.sparkSession
-      val rows = new java.util.ArrayList[org.apache.spark.sql.Row](
-        nodes.length)
-      nodes.foreach { n =>
-        rows.add(org.apache.spark.sql.Row(n, find(n)))
-      }
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("id",
-          org.apache.spark.sql.types.LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("component",
-          org.apache.spark.sql.types.LongType, nullable = false)))
-      val out = spark.createDataFrame(rows, schema)
-        .select(col("id").cast(idType).as("id"),
-          col("component").cast(idType).as("component"))
-      Checkpoints.release(labels)
-      Checkpoints.release(e)
-      return out
-    }
+    val labels0 = p0.select(col("src").as("id"))
+      .unionByName(p0.select(col("dst").as("id")))
+      .distinct()
+      .withColumn("lbl", col("id"))
+    var e = Checkpoints.truncate(edges0, checkpointDir)
+    var labels = Checkpoints.truncate(labels0, checkpointDir)
+    Checkpoints.release(p0)
     var remaining = e.limit(1).count()
     var it = 0
     while (remaining > 0 && it < maxIter) {
@@ -1394,7 +1412,12 @@ object Dedup {
         priorLabels.columns.mkString("(", ", ", ")"))
     val prior = tracked(priorLabels.select(col("id"), col("component"))
       .persist())
-    val e0 = newPairs.select(col(idA).as("__a"), col(idB).as("__b"))
+    // persist the delta pair frame (r15, guide §2.4): it feeds BOTH the
+    // contraction below and the new-ids anti-join at the end — without
+    // the persist the upstream delta pair plan (usually an LSH join)
+    // evaluates once per consumer
+    val e0 = tracked(newPairs
+      .select(col(idA).as("__a"), col(idB).as("__b")).persist())
     val contracted = e0
       .join(prior.select(col("id").as("__a"),
         col("component").as("__ra")), Seq("__a"), "left_outer")
@@ -1426,7 +1449,7 @@ object Dedup {
       .join(sub, Seq("id"), "left_outer")
       .select(col("id"),
         coalesce(col("component"), col("id")).as("component"))
-    autoRelease(updatedPrior.unionByName(newLabels), prior)
+    autoRelease(updatedPrior.unionByName(newLabels), prior, e0)
   }
 
   /** Cluster RESOLUTION — the retention policy that turns
@@ -1510,12 +1533,18 @@ object Dedup {
       priorResolved.columns.contains("cluster_size"),
       "resolveClustersIncremental: priorResolved must be a " +
         "resolveClusters output (component, cluster_size columns)")
+    // persist the new label frame (r15, guide §2.4): it has THREE
+    // consumers below (the changed-diff, the members semi-join, the
+    // new-singleton anti-join) and is usually a fresh mergeClusters
+    // plan whose upstream would otherwise evaluate once per consumer
+    val nl = tracked(newLabels.select(col("id"), col("component"))
+      .persist())
     // components whose membership changed: ids new to the label frame
     // or ids whose label moved — a merge relabels the larger-root
     // side's members, and the surviving (smaller) root is exactly the
     // moved ids' NEW component, so both halves of every merged
     // cluster land in `changed`
-    val changed = newLabels.select(col("id"), col("component"))
+    val changed = nl.select(col("id"), col("component"))
       .join(priorLabels
         .select(col("id"), col("component").as("__pc")),
         Seq("id"), "left_outer")
@@ -1524,7 +1553,7 @@ object Dedup {
       .distinct()
     // members of changed components — delta-bounded, the frame every
     // pruning join below broadcasts
-    val members = tracked(newLabels
+    val members = tracked(nl
       .join(changed, Seq("component"), "left_semi")
       .select(col("id"), col("component"))
       .persist())
@@ -1539,13 +1568,13 @@ object Dedup {
     // brand-new docs with no pairs at all: their own singletons (the
     // resolveClusters contract for unlabeled docs)
     val newSingles = newDocs
-      .join(newLabels.select(col("id").as(idCol)), Seq(idCol),
+      .join(nl.select(col("id").as(idCol)), Seq(idCol),
         "left_anti")
       .withColumn("component", col(idCol))
       .withColumn("cluster_size", lit(1L))
     autoRelease(
       passThrough.unionByName(reElected).unionByName(newSingles),
-      members)
+      members, nl)
   }
 
   /** Embedding cosine near-duplicates.

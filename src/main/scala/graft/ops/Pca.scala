@@ -215,10 +215,15 @@ object Pca {
   def project(df: DataFrame, embCol: String, model: Model,
       outCol: String = "pca", whiten: Boolean = false): DataFrame = {
     val x = col(embCol).cast("array<double>")
-    val muLit = array(model.mean.map(lit): _*)
+    // typedlit, not array(lit...): one array-typed literal per vector
+    // instead of d Literal children — at d = 64 components the
+    // per-element form put 64×65 literal nodes in the plan, and
+    // analysis + codegen time on the resulting tree dominated the
+    // (tiny) execution at bench scale (r15, guide §7.3 plan bloat)
+    val muLit = typedlit(model.mean.toSeq)
     val centered = zip_with(x, muLit, (a, b) => a - b)
     val coords = model.components.zipWithIndex.map { case (comp, i) =>
-      val cLit = array(comp.map(lit): _*)
+      val cLit = typedlit(comp.toSeq)
       val raw = aggregate(zip_with(centered, cLit, (a, b) => a * b),
         lit(0.0), (acc, e) => acc + e)
       if (!whiten) raw

@@ -41,7 +41,9 @@ object RandomProjection {
     val x = col(vecCol).cast("array<double>")
     val scale = 1.0 / math.sqrt(outDim.toDouble)
     val coords = (0 until outDim).map { j =>
-      val rLit = array(signRow(seed, j, dim).map(lit): _*)
+      // typedlit: one array literal per row, not `dim` Literal children
+      // — plan size and codegen time, the Pca.project rationale (r15)
+      val rLit = typedlit(signRow(seed, j, dim).toSeq)
       aggregate(zip_with(x, rLit, (a, b) => a * b),
         lit(0.0), (acc, e) => acc + e) * lit(scale)
     }

@@ -275,11 +275,16 @@ object Similarity {
     require(k >= 1, s"bitextMineLsh: k must be >= 1, got $k")
     val d = if (dim > 0) dim
       else probeDim(a, vecCol).orElse(probeDim(b, vecCol)).getOrElse(1)
-    val av = Partitioning.ensureMinPartitions(
+    // persisted (r15, guide §2.4): each side feeds its bucket emission
+    // AND the cosine join-back — without the persist each side's scan
+    // + norm runs twice. Mining sides are bounded by contract (the
+    // brute face valves b; the LSH face exists for batch × corpus).
+    val av = Dedup.trackedPersist(Partitioning.ensureMinPartitions(
       a.select(col(idCol).as("a_id"), col(vecCol).as("av"))
-        .withColumn("an", vec_dot(col("av"), col("av"))))
-    val bv = b.select(col(idCol).as("b_id"), col(vecCol).as("bv"))
-      .withColumn("bn", vec_dot(col("bv"), col("bv")))
+        .withColumn("an", vec_dot(col("av"), col("av")))))
+    val bv = Dedup.trackedPersist(
+      b.select(col(idCol).as("b_id"), col(vecCol).as("bv"))
+        .withColumn("bn", vec_dot(col("bv"), col("bv"))))
     val cand = withAllTableBuckets(
         av.select("a_id", "av"), "av", tables, nPlanes, d)
       .select("a_id", "t", "bkt")
@@ -291,7 +296,7 @@ object Similarity {
       .withColumn("cos", cosineFromParts(
         vec_dot(col("av"), col("bv")), col("an"), col("bn")))
       .select("a_id", "b_id", "cos")
-    marginMine(scored, k, minMargin)
+    Dedup.releaseOnMaterialize(marginMine(scored, k, minMargin), av, bv)
   }
 
   /** [[bitextMineLsh]] against a PRECOMPUTED indexed side — the q244
@@ -335,9 +340,13 @@ object Similarity {
     graft.ops.Dedup.requireStoreParams(refBuckets,
       "bitextMineLshPrecomputed",
       "p_tables" -> tables, "p_planes" -> nPlanes, "p_dim" -> d)
-    val av = Partitioning.ensureMinPartitions(
+    // persisted (r15, guide §2.4): the batch side feeds its bucket
+    // emission AND the cosine join-back; it is delta-bounded by the
+    // face's contract. The indexed side stays unpersisted — it is
+    // corpus-sized and only joins back BY ID.
+    val av = Dedup.trackedPersist(Partitioning.ensureMinPartitions(
       a.select(col(idCol).as("a_id"), col(vecCol).as("av"))
-        .withColumn("an", vec_dot(col("av"), col("av"))))
+        .withColumn("an", vec_dot(col("av"), col("av")))))
     val bv = refVectors.select(col(idCol).as("b_id"),
         col(vecCol).as("bv"))
       .withColumn("bn", vec_dot(col("bv"), col("bv")))
@@ -351,7 +360,7 @@ object Similarity {
       .withColumn("cos", cosineFromParts(
         vec_dot(col("av"), col("bv")), col("an"), col("bn")))
       .select("a_id", "b_id", "cos")
-    marginMine(scored, k, minMargin)
+    Dedup.releaseOnMaterialize(marginMine(scored, k, minMargin), av)
   }
 
   /** Mutual-rank-1 + ratio-margin tail shared by [[bitextMine]] and
