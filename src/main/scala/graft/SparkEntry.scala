@@ -96,9 +96,17 @@ object SparkEntry {
     * (bigger files, fewer of them; key-prunable reads unchanged). */
   private def storeWrite(df: org.apache.spark.sql.DataFrame,
       partCol: String, path: String,
-      mode: String = "overwrite"): Unit =
-    df.repartition(col(partCol)).write.mode(mode)
+      mode: String = "overwrite"): Unit = {
+    // EXPLICIT partition count: a bare repartition(col) lets AQE
+    // coalesce the (small) exchange to one task, which then writes
+    // every partition dir serially — measured 2.5x slower than the
+    // un-clustered write it was meant to fix. An explicit count is
+    // respected by AQE: values spread over the session's shuffle
+    // parallelism, each value still landing in exactly one task.
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    df.repartition(n, col(partCol)).write.mode(mode)
       .partitionBy(partCol).parquet(path)
+  }
 
   /** q231 fixture: one unambiguous sentence per LangMarkers language
     * (>= 7 of its own markers, <= 3 of any other language's), shared

@@ -182,7 +182,9 @@ object StreamingMigrations {
           .write.mode("overwrite").parquet(s"$pairsPath/batch=$batchId")
         graft.ops.Dedup.minhashBandSignatures(
             batch, idCol, textCol, k, numPerms, bands)
-          .repartition(org.apache.spark.sql.functions.col("band"))
+          .repartition(batch.sparkSession.sessionState.conf
+            .numShufflePartitions,
+            org.apache.spark.sql.functions.col("band"))
           .write.mode("overwrite").partitionBy("band")
           .parquet(s"$storePath/batch=$batchId")
         graft.ops.Dedup.releaseCaches()
@@ -257,7 +259,9 @@ object StreamingMigrations {
           .write.mode("overwrite").parquet(s"$pairsPath/batch=$batchId")
         graft.ops.Dedup.vectorBucketSignatures(
             batch, idCol, vecCol, blockTables, blockPlanes, dim)
-          .repartition(org.apache.spark.sql.functions.col("t"))
+          .repartition(batch.sparkSession.sessionState.conf
+            .numShufflePartitions,
+            org.apache.spark.sql.functions.col("t"))
           .write.mode("overwrite").partitionBy("t")
           .parquet(s"$storePath/buckets/batch=$batchId")
         batch.select(col(idCol), col(vecCol))
@@ -487,7 +491,9 @@ object StreamingMigrations {
           .write.mode("overwrite").parquet(s"$pairsPath/batch=$batchId")
         graft.ops.Dedup.hammingChunkSignatures(fp, "media_id",
             "phash", graft.ops.Multimodal.PHashBits, maxHamming)
-          .repartition(org.apache.spark.sql.functions.col("chunk"))
+          .repartition(batch.sparkSession.sessionState.conf
+            .numShufflePartitions,
+            org.apache.spark.sql.functions.col("chunk"))
           .write.mode("overwrite").partitionBy("chunk")
           .parquet(s"$storePath/batch=$batchId")
         fp.unpersist()
@@ -578,7 +584,9 @@ object StreamingMigrations {
           .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
         graft.ops.Dedup.vectorBucketSignatures(batch, idCol, vecCol,
             blockTables, blockPlanes, dim)
-          .repartition(org.apache.spark.sql.functions.col("t"))
+          .repartition(batch.sparkSession.sessionState.conf
+            .numShufflePartitions,
+            org.apache.spark.sql.functions.col("t"))
           .write.mode("overwrite").partitionBy("t")
           .parquet(s"$storePath/buckets/batch=$batchId")
         batch.write.mode("overwrite")
@@ -606,7 +614,9 @@ object StreamingMigrations {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.ops.Similarity
           .ivfAssign(batch, idCol, vecCol, centroids)
-          .repartition(org.apache.spark.sql.functions.col("centroid_id"))
+          .repartition(batch.sparkSession.sessionState.conf
+            .numShufflePartitions,
+            org.apache.spark.sql.functions.col("centroid_id"))
           .write.mode("overwrite").partitionBy("centroid_id")
           .parquet(s"$outPath/batch=$batchId")
         ()
