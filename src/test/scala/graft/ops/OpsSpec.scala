@@ -189,8 +189,14 @@ class DedupSpec extends SparkSpec {
   test("duplicateClusters with a reliable checkpoint dir writes RDD checkpoints") {
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
-    val comp = Dedup.duplicateClusters(pairs, checkpointDir = Some(ckpt))
-      .as[(Long, Long)].collect().toMap
+    // driverEdgeLimit=0 pins the DISTRIBUTED contraction loop — the
+    // checkpoint contract under test; the micro-graph driver fast path
+    // (the default for a 3-pair graph) has nothing to checkpoint.
+    spark.conf.set("spark.graft.clusters.driverEdgeLimit", "0")
+    val comp =
+      try Dedup.duplicateClusters(pairs, checkpointDir = Some(ckpt))
+        .as[(Long, Long)].collect().toMap
+      finally spark.conf.unset("spark.graft.clusters.driverEdgeLimit")
     assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
     // reliable checkpoints land as rdd-* dirs under the given path
     def rddDirs(f: java.io.File): Int =
@@ -214,6 +220,7 @@ class DedupSpec extends SparkSpec {
     val ckpt = java.nio.file.Files
       .createTempDirectory("graft-ckpt-conf").toString
     spark.conf.set(Checkpoints.ConfKey, ckpt)
+    spark.conf.set("spark.graft.clusters.driverEdgeLimit", "0")
     try {
       val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L))
         .toDF("id_a", "id_b")
@@ -221,7 +228,10 @@ class DedupSpec extends SparkSpec {
       assert(comp.length == 5)
       assert(new java.io.File(ckpt).listFiles().nonEmpty,
         s"nothing checkpointed under $ckpt")
-    } finally spark.conf.unset(Checkpoints.ConfKey)
+    } finally {
+      spark.conf.unset(Checkpoints.ConfKey)
+      spark.conf.unset("spark.graft.clusters.driverEdgeLimit")
+    }
   }
 
   test("kmeansGrouped matches independent per-group kmeans fits") {
