@@ -23,8 +23,14 @@ object ProfileProbe {
     val done = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String, Double)]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
+        // callSite.short is empty under SQL executions; the last stage's
+        // name carries the action call site ("collect at Dedup.scala:1210")
         val cs = Option(js.properties)
-          .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("")
+          .flatMap(p => Option(p.getProperty("callSite.short")))
+          .filter(_.nonEmpty)
+          .orElse(js.stageInfos.lastOption.map(si =>
+            s"${si.name} [${js.stageInfos.size} stages]"))
+          .getOrElse("")
         live.put(js.jobId, (js.time, cs))
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {

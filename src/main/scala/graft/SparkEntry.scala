@@ -2076,9 +2076,10 @@ object SparkEntry {
         bench = bench, deconThreshold = 0.5, blockTables = 4,
         blockPlanes = 8, dim = 64, sampleFraction = 0.8)
       val store = scratchDir("graft-curstore").toString
-      storeWrite(Dedup.vectorBucketSignatures(ref, "vec_id",
-        "embedding", blockTables = 4, blockPlanes = 8, dim = 64),
-        "t", store)
+      // r16: the bootstrap state carries the ref bucket frame it
+      // already hashed (and persisted) for its own pair join — write
+      // that instead of re-hashing the ref vectors (VERDICT r15 next-1)
+      storeWrite(boot.buckets, "t", store)
       val labelsPath = scratchDir("graft-curlabels").toString
       val resolvedPath = scratchDir("graft-curresolved").toString
       boot.labels.write.mode("overwrite").parquet(labelsPath)
@@ -2586,12 +2587,19 @@ object SparkEntry {
       val thr = Classifier.scoreAgainst(docs, "doc_id", "text",
           model, prior)
         .agg(median(col("score") / col("n_tokens"))).head().getDouble(0)
-      graft.streaming.StreamingMigrations.qualityFilterStream(
-        graft.streaming.StreamingMigrations.readStream(
-          s, s"$tmp/src", docs.schema),
-        "doc_id", "text", model, prior,
-        s"$tmp/out", s"$tmp/ckpt",
-        minScorePerToken = thr).awaitTermination()
+      // r16: per-batch scoring-join/agg partitions sized from the
+      // source (no state store here, but the same fixed-cost rule —
+      // see StreamingMigrations.statePartitionsFor)
+      graft.streaming.StreamingMigrations.withShufflePartitions(s,
+        graft.streaming.StreamingMigrations.statePartitionsFor(
+          s, s"$tmp/src")) {
+        graft.streaming.StreamingMigrations.qualityFilterStream(
+          graft.streaming.StreamingMigrations.readStream(
+            s, s"$tmp/src", docs.schema),
+          "doc_id", "text", model, prior,
+          s"$tmp/out", s"$tmp/ckpt",
+          minScorePerToken = thr).awaitTermination()
+      }
       s.read.parquet(s"$tmp/out")
         .select(col("doc_id"), col("n_tokens"),
           col("score").cast("decimal(18,9)").cast("double").as("score"))
@@ -2882,8 +2890,13 @@ object SparkEntry {
       val cb = Quantize.pqCodebooks(emb, "vec_id", "embedding",
         dim = 64, m = 2, k = 4, iters = 2)
       val store = scratchDir("graft-pqstore").toString
+      // r16 (guide §6): REBALANCE before the write — AQE coalesces the
+      // code table to advisory-size output files (one file at bench
+      // scale instead of up-to-32 tiny ones, ~128 MB files at 100 TB)
+      // rather than inheriting the scan/session task count
       Quantize.pqCodeSignatures(emb, "vec_id", "embedding", cb,
           dim = 64, m = 2)
+        .hint("rebalance")
         .write.mode("overwrite").parquet(store)
       val qdf = Seq((-1L, q75Vec)).toDF("vec_id", "embedding")
       Quantize.pqTopKPrecomputed(qdf, s.read.parquet(store),
@@ -3382,15 +3395,23 @@ object SparkEntry {
       // watermark wider than the events table's full ts span: if the
       // duplicated files ever split across AvailableNow micro-batches,
       // late copies must still dedup rather than drop as late data
-      graft.streaming.StreamingMigrations.streamingDedup(
-        graft.streaming.StreamingMigrations.readStream(
-          s, s"$tmp/src", ev.schema), "ts", Seq("event_id"),
-        watermark = "3650 days")
-        .writeStream.format("parquet")
-        .option("path", s"$tmp/out")
-        .option("checkpointLocation", s"$tmp/ckpt")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start().awaitTermination()
+      // r16: state partitions sized from the source (one state store
+      // per partition pays load/commit per batch whatever the data —
+      // see StreamingMigrations.statePartitionsFor; session conf
+      // restored after the stream)
+      graft.streaming.StreamingMigrations.withShufflePartitions(s,
+        graft.streaming.StreamingMigrations.statePartitionsFor(
+          s, s"$tmp/src")) {
+        graft.streaming.StreamingMigrations.streamingDedup(
+          graft.streaming.StreamingMigrations.readStream(
+            s, s"$tmp/src", ev.schema), "ts", Seq("event_id"),
+          watermark = "3650 days")
+          .writeStream.format("parquet")
+          .option("path", s"$tmp/out")
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start().awaitTermination()
+      }
       s.read.parquet(s"$tmp/out")
         .select("event_id", "event_type").orderBy("event_id")
     }),
@@ -4115,13 +4136,19 @@ object SparkEntry {
         .readStream(s, s"$tmp/src", ev.schema)
         .withColumn("ok", col("event_type") =!= "error")
         .withColumn("dur", col("event_id") % 1000)
-      graft.streaming.StreamingMigrations
-        .windowedRollup(stream, "ts", Seq("event_type"), "ok", "dur",
-          windowLen = "1 hour", watermark = "2 hours")
-        .writeStream.format("memory").queryName(name)
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start().awaitTermination()
+      // r16: state partitions sized from the source (the windowed agg
+      // is the stateful stage; see StreamingMigrations.statePartitionsFor)
+      graft.streaming.StreamingMigrations.withShufflePartitions(s,
+        graft.streaming.StreamingMigrations.statePartitionsFor(
+          s, s"$tmp/src")) {
+        graft.streaming.StreamingMigrations
+          .windowedRollup(stream, "ts", Seq("event_type"), "ok", "dur",
+            windowLen = "1 hour", watermark = "2 hours")
+          .writeStream.format("memory").queryName(name)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start().awaitTermination()
+      }
       s.table(name)
         .select(col("window.start").as("ts_hour"), col("event_type"),
           col("succeeded"), col("failed"), col("duration_ns"))

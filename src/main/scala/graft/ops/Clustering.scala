@@ -192,18 +192,29 @@ object Clustering {
     for (_ <- 1 to iters) {
       val assigned =
         withNearestCentroid(data, "__v", centSeq, "centroid_id")
-      // component-wise mean via exact decimal sums (partitioning-invariant)
-      val fresh: Map[Long, Array[Double]] = assigned
+      // component-wise mean via exact decimal sums (partitioning-invariant).
+      // ONE exchange per Lloyd step (r16, guide §2.4): the per-(cell, dim)
+      // means — k·dim bounded rows, the driver-state class this loop
+      // already lives in — collect directly and assemble into arrays
+      // driver-side; the former second groupBy (collect_list + array_sort
+      // per cell) was a second full shuffle per iteration for what is a
+      // driver-side regroup of a few thousand rows. Values and positional
+      // order are identical by construction (posexplode emits contiguous
+      // 0-based positions, so filling by index = the old pos-sorted list).
+      val meanRows = assigned
         .select(col("centroid_id"), posexplode(col("__v"))
           .as(Seq("pos", "x")))
         .groupBy("centroid_id", "pos")
         .agg((sum(col("x").cast("decimal(28,12)")).cast("double") /
           count(lit(1))).as("m"))
-        .groupBy("centroid_id")
-        .agg(transform(array_sort(collect_list(struct(col("pos"),
-          col("m")))), e => e.getField("m")).as("centroid"))
-        .collect().toSeq
-        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+        .collect()
+      val fresh: Map[Long, Array[Double]] = meanRows
+        .groupBy(_.getLong(0))
+        .map { case (cid, rs) =>
+          val arr = new Array[Double](rs.map(_.getInt(1)).max + 1)
+          rs.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+          cid -> arr
+        }
       // empty cells keep their previous centroid
       centSeq = centSeq.map { case (cid, old) =>
         (cid, fresh.getOrElse(cid, old)) }
@@ -266,18 +277,23 @@ object Clustering {
         when(col("__g") === g, e).otherwise(acc)
       }
       val assigned = data.withColumn("centroid_id", assign)
-      val fresh: Map[(Int, Long), Array[Double]] = assigned
+      // ONE exchange per Lloyd step (r16): collect the |groups|·k·dim
+      // bounded (group, cell, dim) means and assemble arrays driver-side
+      // — same rationale and identical values/order as kmeansSeq above
+      val meanRows = assigned
         .select(col("__g"), col("centroid_id"),
           posexplode(col("__v")).as(Seq("pos", "x")))
         .groupBy("__g", "centroid_id", "pos")
         .agg((sum(col("x").cast("decimal(28,12)")).cast("double") /
           count(lit(1))).as("m"))
-        .groupBy("__g", "centroid_id")
-        .agg(transform(array_sort(collect_list(struct(col("pos"),
-          col("m")))), e => e.getField("m")).as("centroid"))
-        .collect().toSeq
-        .map(r => (r.getInt(0), r.getLong(1)) ->
-          r.getSeq[Double](2).toArray).toMap
+        .collect()
+      val fresh: Map[(Int, Long), Array[Double]] = meanRows
+        .groupBy(r => (r.getInt(0), r.getLong(1)))
+        .map { case (key, rs) =>
+          val arr = new Array[Double](rs.map(_.getInt(2)).max + 1)
+          rs.foreach(r => arr(r.getInt(2)) = r.getDouble(3))
+          key -> arr
+        }
       // empty cells keep their previous centroid
       cm = cm.map { case (g, cs) =>
         g -> cs.map { case (cid, old) =>

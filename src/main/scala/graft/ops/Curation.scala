@@ -141,21 +141,14 @@ object Curation {
         TextFunctions.normalizeUrl(col(urlCol)))
       .withColumn("clean_text",
         TextFunctions.stripHtml(col(htmlCol)))
-    // persisted (r15, guide §2.4): `withinUrl` feeds the fresh-URL
-    // anti-join AND the returned URL-key delta; `gated` feeds the
-    // content dedup AND the returned content-key delta — without the
-    // persists the extraction + gate scan chain (normalizeUrl +
-    // stripHtml + langId + quality, all regex-heavy) re-evaluates once
-    // per consumer. Both frames are delta-bounded.
-    val withinUrl = Dedup.trackedPersist(
-      Dedup.exactRows(extracted, Seq("url_canonical"), idCol))
+    val withinUrl = Dedup.exactRows(extracted, Seq("url_canonical"),
+      idCol)
     val priorUrl = priorUrlKeys.select("url_canonical")
     val urlFresh = withinUrl.join(priorUrl, Seq("url_canonical"),
       "left_anti")
-    val gated = Dedup.trackedPersist(
-      gateAndScore(urlFresh, "clean_text", targetLang,
-        minQuality, minLangMargin)
-        .withColumn("__content_key", md5(col("clean_text"))))
+    val gated = gateAndScore(urlFresh, "clean_text", targetLang,
+      minQuality, minLangMargin)
+      .withColumn("__content_key", md5(col("clean_text")))
     val withinContent = Dedup.exactRows(gated, Seq("__content_key"),
       idCol)
     val priorContent = priorContentKeys.select(
@@ -164,13 +157,21 @@ object Curation {
       Seq("__content_key"), "left_anti")
     val curated = Sampling.hashSample(
       contentFresh.drop("__content_key"), idCol, sampleFraction, salt)
+    // r16: the key deltas are PROJECTIONS of frames already on the
+    // curated path — `urlFresh` is exactly "withinUrl's one row per
+    // canonical URL, minus prior keys", and `contentFresh` is exactly
+    // "gated's one row per content key, minus prior keys" — so the
+    // former standalone delta plans (a second anti-join each, plus a
+    // distinct on the content side) were re-derivations of the same
+    // sets. With the delta plans folded in, every returned frame
+    // shares one lineage, and the r15 persists of `withinUrl`/`gated`
+    // (which measured q254 1.25× SLOWER at both core counts — the
+    // cache materialization cost more than the delta-sized re-scan
+    // they saved) come out entirely.
     WebCurateState(
-      Dedup.releaseOnMaterialize(curated, withinUrl, gated),
-      withinUrl.select("url_canonical")
-        .join(priorUrl, Seq("url_canonical"), "left_anti"),
-      gated.select(col("__content_key").as("content_key")).distinct()
-        .join(priorContentKeys.select("content_key"),
-          Seq("content_key"), "left_anti"))
+      curated,
+      urlFresh.select("url_canonical"),
+      contentFresh.select(col("__content_key").as("content_key")))
   }
 
   /** Batch-0 of a [[webCurateIncremental]] chain: the incremental face
@@ -235,10 +236,14 @@ object Curation {
     * next batch's priorLabels); `resolved` = the post-decon PRE-sample
     * survivor set (the next batch's priorResolved — sampling is a
     * stateless deterministic hash filter re-applied per round, so it
-    * must not be baked into the carried survivor set). Persist
-    * `labels` and `resolved` per batch; `curated` is the sink. */
+    * must not be baked into the carried survivor set); `buckets` =
+    * THIS batch's [[Dedup.vectorBucketSignatures]] frame (r16 — the
+    * chain hashes each batch exactly once: the same persisted frame
+    * fed the batch's pair joins, and the caller appends it to the
+    * bucket store instead of re-hashing). Persist `labels`,
+    * `resolved` and `buckets` per batch; `curated` is the sink. */
   final case class EmbedCurateState(curated: DataFrame,
-    labels: DataFrame, resolved: DataFrame)
+    labels: DataFrame, resolved: DataFrame, buckets: DataFrame)
 
   /** Shared decon gate: drop survivors within `deconThreshold` cosine
     * of any bench vector; None passes through. */
@@ -282,15 +287,23 @@ object Curation {
         "the incremental chain joins saved bucket stores, and an " +
         "adaptive space would drift between batches; size ~ " +
         "log2(target corpus / targetBucket)")
-    val pairs = Dedup.embeddingNearDup(df, idCol, vecCol, dupThreshold,
-      blockTables = blockTables, blockPlanes = blockPlanes, dim = dim)
+    // hash the batch ONCE (r16, guide §2.4): the same persisted bucket
+    // frame feeds the pair stage's candidate join AND the caller's
+    // bucket-store write (q253/embedCurateStream previously re-ran the
+    // blockTables × blockPlanes plane dot products over the batch for
+    // the store append)
+    val buckets = Dedup.trackedPersist(Dedup.vectorBucketSignatures(
+      df, idCol, vecCol, blockTables, blockPlanes, dim))
+    val pairs = Dedup.embeddingNearDupLsh(df, idCol, vecCol,
+      dupThreshold, blockTables, blockPlanes, dim,
+      sharedBuckets = Some(buckets))
     val labels = Dedup.duplicateClusters(pairs)
     val kept = Dedup.resolveClusters(df, labels, idCol, qualityCol)
     val resolved = deconGate(kept, idCol, vecCol, bench,
       deconThreshold, dim)
     EmbedCurateState(
       Sampling.hashSample(resolved, idCol, sampleFraction, salt),
-      labels, resolved)
+      labels, resolved, buckets)
   }
 
   /** The INCREMENTAL embedded-corpus curation preset — the composition
@@ -330,10 +343,18 @@ object Curation {
       blockPlanes: Int = 12, dim: Int = 0,
       sampleFraction: Double = 1.0, salt: String = "")
       : EmbedCurateState = {
-    val within = Dedup.embeddingNearDup(newDf, idCol, vecCol,
-      dupThreshold, blockTables = blockTables,
-      blockPlanes = blockPlanes, dim = dim)
-    val cross = Dedup.embeddingNearDupBetweenPrecomputed(newDf,
+    // hash the delta ONCE (r16, guide §2.4): one persisted bucket
+    // frame serves the within-batch pair join, the batch×store
+    // candidate join, AND the caller's store append (previously three
+    // separate plane-hash evaluations of the same delta vectors)
+    val deltaBuckets = Dedup.trackedPersist(
+      Dedup.vectorBucketSignatures(newDf, idCol, vecCol, blockTables,
+        blockPlanes, dim))
+    val within = Dedup.embeddingNearDupLsh(newDf, idCol, vecCol,
+      dupThreshold, blockTables, blockPlanes, dim,
+      sharedBuckets = Some(deltaBuckets))
+    val cross = Dedup.embeddingNearDupBetweenImpl(newDf,
+      Some(deltaBuckets),
       refBuckets, refDocs.select(col(idCol), col(vecCol)), idCol,
       vecCol, dupThreshold, blockTables, blockPlanes, dim)
       .toDF("id_a", "id_b")
@@ -360,7 +381,7 @@ object Curation {
       Dedup.releaseOnMaterialize(
         Sampling.hashSample(newResolved, idCol, sampleFraction, salt),
         resolved),
-      newLabels, newResolved)
+      newLabels, newResolved, deltaBuckets)
   }
 
   /** The crawl preset's STRUCTURED-TEXT entry point: for callers whose

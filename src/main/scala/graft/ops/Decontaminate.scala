@@ -180,19 +180,25 @@ object Decontaminate {
       df.select(col(id).as(as), tokens(col(text)).as("__toks"))
         .select(col(as), explode(array_distinct(
           shinglesOfTokens(col("__toks"), n))).as("__sh"))
-    val b0 = shingleSide(bench, benchId, benchText, "__b_id")
-    // persisted (r15, guide §2.4): the bench shingle frame is consumed
-    // TWICE — once by the Bloom aggregate below (an eager `.head`) and
-    // once by the exact join — and with maxBenchDf > 0 each evaluation
-    // pays the doc-frequency window's shuffle; the persist makes the
-    // Bloom build materialize it for the join to reuse. Bench sets are
-    // small next to the corpus (the premise of decontamination), so
-    // the cached frame is bounded.
-    val b = Dedup.trackedPersist(
+    // persisted (r15/r16, guide §2.4): the bench shingle frame is
+    // consumed TWICE — once by the Bloom aggregate below (an eager
+    // `.head`) and once by the exact join — so the tokenize + shingle
+    // explode (the CPU-heavy part) is cached and computed once. Bench
+    // sets are small next to the corpus (the premise of
+    // decontamination), so the cached frame is bounded. r16 moved the
+    // persist BELOW the doc-frequency window: caching the window's
+    // OUTPUT (r15) cost the exact join its hash-partitioning-by-__sh
+    // — the join re-shuffled the AQE-coalesced cached frame, two extra
+    // Exchanges and a measured 1.4× on q151 — while caching the
+    // window's INPUT keeps the join side exchange-free exactly as the
+    // pre-r15 plan, minus the duplicated shingle scan.
+    val b0 = Dedup.trackedPersist(
+      shingleSide(bench, benchId, benchText, "__b_id"))
+    val b =
       if (maxBenchDf > 0L)
         b0.withColumn("__df", count(lit(1)).over(Window.partitionBy("__sh")))
           .where(col("__df") <= maxBenchDf).drop("__df")
-      else b0)
+      else b0
     val numBits = math.ceil(-expectedBenchShingles * math.log(fpp) /
       (math.log(2) * math.log(2))).toLong
     val bloomBytes = b
@@ -217,7 +223,7 @@ object Decontaminate {
           countDistinct("__b_id").as("bench_docs"),
           min("__b_id").as("first_bench"))
         .where(col("hits") >= minHits)
-        .withColumnRenamed("__c_id", corpusId), b)
+        .withColumnRenamed("__c_id", corpusId), b0)
   }
 
   /** SEMANTIC decontamination: corpus rows whose embedding has cosine

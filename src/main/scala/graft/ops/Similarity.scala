@@ -275,16 +275,20 @@ object Similarity {
     require(k >= 1, s"bitextMineLsh: k must be >= 1, got $k")
     val d = if (dim > 0) dim
       else probeDim(a, vecCol).orElse(probeDim(b, vecCol)).getOrElse(1)
-    // persisted (r15, guide §2.4): each side feeds its bucket emission
-    // AND the cosine join-back — without the persist each side's scan
-    // + norm runs twice. Mining sides are bounded by contract (the
-    // brute face valves b; the LSH face exists for batch × corpus).
+    // persisted (r15, guide §2.4): side `a` feeds its bucket emission
+    // AND the cosine join-back — without the persist its scan + norm
+    // runs twice. Side `a` is the batch side, bounded by the face's
+    // contract. Side `b` is the CORPUS side and stays UNPERSISTED
+    // (r16, guide §5 — don't cache what is cheaper to recompute): at
+    // scale a MEMORY_AND_DISK copy of every corpus vector+norm buys
+    // back only one narrow scan + dot product, and the r15 persist
+    // measured q242 +22% even at bench scale. Same rule as the
+    // Precomputed face below, whose indexed side never persists.
     val av = Dedup.trackedPersist(Partitioning.ensureMinPartitions(
       a.select(col(idCol).as("a_id"), col(vecCol).as("av"))
         .withColumn("an", vec_dot(col("av"), col("av")))))
-    val bv = Dedup.trackedPersist(
-      b.select(col(idCol).as("b_id"), col(vecCol).as("bv"))
-        .withColumn("bn", vec_dot(col("bv"), col("bv"))))
+    val bv = b.select(col(idCol).as("b_id"), col(vecCol).as("bv"))
+      .withColumn("bn", vec_dot(col("bv"), col("bv")))
     val cand = withAllTableBuckets(
         av.select("a_id", "av"), "av", tables, nPlanes, d)
       .select("a_id", "t", "bkt")
@@ -296,7 +300,7 @@ object Similarity {
       .withColumn("cos", cosineFromParts(
         vec_dot(col("av"), col("bv")), col("an"), col("bn")))
       .select("a_id", "b_id", "cos")
-    Dedup.releaseOnMaterialize(marginMine(scored, k, minMargin), av, bv)
+    Dedup.releaseOnMaterialize(marginMine(scored, k, minMargin), av)
   }
 
   /** [[bitextMineLsh]] against a PRECOMPUTED indexed side — the q244

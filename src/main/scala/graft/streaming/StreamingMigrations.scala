@@ -57,6 +57,47 @@ object StreamingMigrations {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** SCALE-ADAPTIVE state/shuffle partition count for a stateful
+    * stream over a file source (r16, guide §2.2/§2.5 — partitioning
+    * derived from data, not from a constant tuned for one host): a
+    * stateful operator creates one state store per shuffle partition
+    * and pays its load/commit per micro-batch REGARDLESS of data, so
+    * partitions far in excess of the input are pure fixed cost — while
+    * the count is PINNED into the checkpoint at first start, so it
+    * must be right before the query runs. Rule: one partition per
+    * `targetBytes` (64 MB) of source data, never more than the
+    * session's configured parallelism — at 100 TB the min() leaves the
+    * cluster admin's `spark.sql.shuffle.partitions` in charge; on a
+    * small source it stops 32 near-empty state stores from costing
+    * more than the data. `spark.graft.streaming.statePartitions`
+    * overrides the rule outright. */
+  def statePartitionsFor(spark: SparkSession, srcPath: String,
+      targetBytes: Long = 64L << 20): Int =
+    spark.conf.getOption("spark.graft.streaming.statePartitions")
+      .map(_.toInt).getOrElse {
+        val p = new org.apache.hadoop.fs.Path(srcPath)
+        val bytes =
+          try p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .getContentSummary(p).getLength
+          catch { case scala.util.control.NonFatal(_) => Long.MaxValue }
+        val bySize = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
+        math.min(
+          spark.sessionState.conf.numShufflePartitions.toLong,
+          bySize).toInt
+      }
+
+  /** Run `f` with `spark.sql.shuffle.partitions` pinned to `n`,
+    * restoring the prior value after — the session-conf scope for
+    * starting a stateful stream under [[statePartitionsFor]]'s count
+    * (the setting binds into the stream's checkpoint at start). */
+  def withShufflePartitions[T](spark: SparkSession, n: Int)(f: => T): T = {
+    val prior = spark.conf.get("spark.sql.shuffle.partitions",
+      spark.sessionState.conf.numShufflePartitions.toString)
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try f
+    finally spark.conf.set("spark.sql.shuffle.partitions", prior)
+  }
+
   /** Watermarks require an instant (`TimestampType`); parquet written
     * without UTC adjustment (e.g. pandas µs timestamps) reads as
     * `TimestampNTZType`, which `withWatermark` rejects outright
@@ -582,8 +623,10 @@ object StreamingMigrations {
             spark.read.parquet(resolvedPath), idCol, sampleFraction,
             salt)
           .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
-        graft.ops.Dedup.vectorBucketSignatures(batch, idCol, vecCol,
-            blockTables, blockPlanes, dim)
+        // r16: the state carries the batch's (persisted) bucket frame —
+        // the same one that fed the pair joins — so the store append
+        // reads the cache instead of re-running the plane hash
+        state.buckets
           .repartition(batch.sparkSession.sessionState.conf
             .numShufflePartitions,
             org.apache.spark.sql.functions.col("t"))
