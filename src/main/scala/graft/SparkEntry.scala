@@ -96,16 +96,20 @@ object SparkEntry {
     * (bigger files, fewer of them; key-prunable reads unchanged). */
   private def storeWrite(df: org.apache.spark.sql.DataFrame,
       partCol: String, path: String,
-      mode: String = "overwrite"): Unit = {
+      mode: String = "overwrite",
+      preClustered: Boolean = false): Unit = {
     // EXPLICIT partition count: a bare repartition(col) lets AQE
     // coalesce the (small) exchange to one task, which then writes
     // every partition dir serially — measured 2.5x slower than the
     // un-clustered write it was meant to fix. An explicit count is
     // respected by AQE: values spread over the session's shuffle
     // parallelism, each value still landing in exactly one task.
+    // preClustered (r16): frames whose producer already hash-clustered
+    // by the partition column (bm25Index postings) skip the redundant
+    // second exchange.
     val n = df.sparkSession.sessionState.conf.numShufflePartitions
-    df.repartition(n, col(partCol)).write.mode(mode)
-      .partitionBy(partCol).parquet(path)
+    val out = if (preClustered) df else df.repartition(n, col(partCol))
+    out.write.mode(mode).partitionBy(partCol).parquet(path)
   }
 
   /** q231 fixture: one unambiguous sentence per LangMarkers language
@@ -4531,9 +4535,10 @@ object SparkEntry {
         docs.where(col("doc_id") < 300), "doc_id", "text")
       val b2 = TextSearch.bm25Index(
         docs.where(col("doc_id") >= 300), "doc_id", "text")
-      storeWrite(b1.postings, "bkt", s"$store/postings")
+      storeWrite(b1.postings, "bkt", s"$store/postings",
+        preClustered = true)
       storeWrite(b2.postings, "bkt", s"$store/postings",
-        mode = "append")
+        mode = "append", preClustered = true)
       b1.stats.write.mode("overwrite").parquet(s"$store/stats")
       b2.stats.write.mode("append").parquet(s"$store/stats")
       val idx = TextSearch.Bm25Index(
@@ -4558,7 +4563,8 @@ object SparkEntry {
       val e = tbl(s, dir, "embeddings")
       val store = scratchDir("graft-hybstore").toString
       val idx = TextSearch.bm25Index(docs, "doc_id", "text")
-      storeWrite(idx.postings, "bkt", s"$store/postings")
+      storeWrite(idx.postings, "bkt", s"$store/postings",
+        preClustered = true)
       idx.stats.write.mode("overwrite").parquet(s"$store/stats")
       graft.ops.Hybrid.hybridSearch(
         TextSearch.Bm25Index(s.read.parquet(s"$store/postings"),
@@ -4581,7 +4587,8 @@ object SparkEntry {
       val cents = e.where(col("vec_id") < 16)
       val store = scratchDir("graft-hybivf").toString
       val idx = TextSearch.bm25Index(docs, "doc_id", "text")
-      storeWrite(idx.postings, "bkt", s"$store/postings")
+      storeWrite(idx.postings, "bkt", s"$store/postings",
+        preClustered = true)
       idx.stats.write.mode("overwrite").parquet(s"$store/stats")
       storeWrite(
         Similarity.ivfCellSignatures(e, "vec_id", "embedding", cents),
@@ -4655,7 +4662,8 @@ object SparkEntry {
       val store = scratchDir("graft-tfidfstore").toString
       val idx = TextSearch.bm25Index(
         docs.where(col("doc_id") < 300), "doc_id", "text")
-      storeWrite(idx.postings, "bkt", s"$store/postings")
+      storeWrite(idx.postings, "bkt", s"$store/postings",
+        preClustered = true)
       idx.stats.write.mode("overwrite").parquet(s"$store/stats")
       TfIdf.topTermsPrecomputed(
         docs.where(col("doc_id") >= 300 && col("doc_id") < 400),

@@ -251,6 +251,9 @@ object Dedup {
           "shingle space is too dense for an exact all-pairs join " +
           "at this scale. Use minhashLshPairs for near-dup " +
           "candidates, lower maxShingleFreq, or raise the valve.")
+    // set in the capped branch: the persisted per-shingle frequency
+    // frame, released with the other supports once `out` materializes
+    var freqCache: Option[DataFrame] = None
     val filtered = tracked((
       if (maxShingleFreq != 0) {
         // the per-shingle cap joins in as a broadcast one-row frame: AUTO
@@ -265,10 +268,23 @@ object Dedup {
             .select(lit(maxShingleFreq).as("__cap"))
         // the dropped-stop-shingle count is OBSERVED inside the frequency
         // aggregate (CollectMetrics) and logged asynchronously when the
-        // query materializes — no extra counting pass
+        // query materializes — no extra counting pass.
+        // freqP persisted (r16, guide §2.4): the eager valve below and
+        // the main query's stop-shingle filter both need this per-shingle
+        // doc-frequency aggregate — r15 computed it TWICE (the valve ran
+        // a "fresh aggregate off the persisted shingle frame" to keep the
+        // Observation single-fire), i.e. two full shuffles of the corpus
+        // shingle-hash stream per call. Persisting the aggregate OUTPUT
+        // (distinct-shingle-sized, well under the shingle stream) lets
+        // the valve materialize it once; the Observation attaches ON TOP
+        // of the cache, so it still fires exactly once — on the main
+        // query, over the identical rows.
         val obs = obsOpt.get
-        val freq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+        val freqP = tracked(sh.groupBy("sh").agg(count(lit(1)).as("df"))
           .crossJoin(broadcast(capDf))
+          .persist())
+        freqCache = Some(freqP)
+        val freq = freqP
           .observe(obs, sum(when(col("df") > col("__cap"), 1L)
             .otherwise(0L)).as("dropped"),
             max(col("__cap")).as("cap"),
@@ -306,11 +322,11 @@ object Dedup {
           }
         }(scala.concurrent.ExecutionContext.global)
         if (maxCand > 0) {
-          // fresh aggregate off the persisted shingle frame (NOT the
-          // observed `freq` plan — its Observation must fire exactly once,
-          // on the main query)
-          candidateValve(sh.groupBy("sh").agg(count(lit(1)).as("df"))
-            .crossJoin(broadcast(capDf))
+          // the valve aggregates over the PERSISTED frequency frame (not
+          // the observed plan — the Observation must fire exactly once,
+          // on the main query), materializing the cache the main query's
+          // filter join then reuses
+          candidateValve(freqP
             .where(col("df") <= col("__cap"))
             .agg(coalesce(sum(col("df").cast("double") *
               (col("df") - 1) / 2), lit(0.0)).as("cand")).head()
@@ -352,7 +368,7 @@ object Dedup {
         col("inter").cast("double") /
           (col("size_a") + col("size_b") - col("inter")).cast("double"))
       .where(col("jaccard") >= threshold)
-    (autoRelease(out, sh, filtered), obsOpt)
+    (autoRelease(out, (Seq(sh, filtered) ++ freqCache): _*), obsOpt)
   }
 
   /** MinHash signatures: for permutation i, h_i(doc) = min over shingles of

@@ -83,11 +83,25 @@ object TextSearch {
       buckets: Int = 256): Bm25Index = {
     require(buckets > 0, s"bm25Index: buckets > 0, got $buckets")
     val toks = TextFunctions.tokens(col(textCol))
+    // ONE exchange for the whole build (r16, guide §2.4): the token
+    // stream is hash-clustered by its STORE bucket up front, and the
+    // (doc, term) aggregate runs inside those partitions — bkt is a
+    // function of term, so adding it to the group keys changes nothing
+    // while letting the aggregate reuse the bucket partitioning
+    // (HashPartitioning(bkt) satisfies the clustered distribution).
+    // r15 shuffled the token stream twice per build: once for the
+    // aggregate's own (doc, dl, term) exchange, once re-clustering the
+    // result by bkt for the partitioned store write. The explicit
+    // partition count keeps AQE from collapsing the write to one task
+    // (the storeWrite lesson).
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
     val postings = df.select(col(idCol), size(toks).as("dl"),
         explode(toks).as("term"))
-      .groupBy(col(idCol), col("dl"), col("term"))
-      .agg(count(lit(1)).as("tf"))
       .withColumn("bkt", pmod(hash(col("term")), lit(buckets)))
+      .repartition(n, col("bkt"))
+      .groupBy(col(idCol), col("dl"), col("term"), col("bkt"))
+      .agg(count(lit(1)).as("tf"))
+      .select(col(idCol), col("dl"), col("term"), col("tf"), col("bkt"))
       .withColumn("p_buckets", lit(buckets))
     // n_dl (non-null doc lengths) rides separately from n_docs: avg()
     // skips null-text docs while count(*) keeps them, and the
