@@ -188,9 +188,12 @@ object Pca {
         col(vecCol).as("cv")), "cv", model, "cpc"))
     val qp = project(queries.select(col(idCol).as("query_id"),
       col(vecCol).as("qv")), "qv", model, "qpc")
-    val d2 = aggregate(
-      zip_with(col("cpc"), col("qpc"), (a, b) => (a - b) * (a - b)),
-      lit(0.0), (acc, e) => acc + e)
+    // native codegen'd squared distance (r16): identical index-ordered
+    // math to aggregate(zip_with(.., (a,b) => (a-b)*(a-b)), 0.0, _+_),
+    // evaluated once per candidate pair — the interpreted-HOF form walked
+    // 2 lambdas × k' elements per pair (the FloatVecDot rationale)
+    val d2 = graft.functions.VectorFunctions.vec_sqdist(
+      col("cpc"), col("qpc"))
     val coarseW = Window.partitionBy("query_id")
       .orderBy(col("__d2").asc, col("neighbor_id").asc)
     val cand = cp.join(broadcast(qp), col("query_id") =!= col("neighbor_id"))
@@ -215,23 +218,30 @@ object Pca {
   def project(df: DataFrame, embCol: String, model: Model,
       outCol: String = "pca", whiten: Boolean = false): DataFrame = {
     val x = col(embCol).cast("array<double>")
-    // typedlit, not array(lit...): one array-typed literal per vector
-    // instead of d Literal children — at d = 64 components the
-    // per-element form put 64×65 literal nodes in the plan, and
-    // analysis + codegen time on the resulting tree dominated the
-    // (tiny) execution at bench scale (r15, guide §7.3 plan bloat)
-    val muLit = typedlit(model.mean.toSeq)
-    val centered = zip_with(x, muLit, (a, b) => a - b)
-    val coords = model.components.zipWithIndex.map { case (comp, i) =>
-      val cLit = typedlit(comp.toSeq)
-      val raw = aggregate(zip_with(centered, cLit, (a, b) => a * b),
-        lit(0.0), (acc, e) => acc + e)
-      if (!whiten) raw
-      else {
+    if (!whiten) {
+      // ONE native plan node for the whole k×d projection (r16): the
+      // per-coordinate aggregate(zip_with(centered, cLit)) trees carried
+      // k copies of the centering subtree (CollapseProject inlines it),
+      // so every row paid k·d interpreted HOF lambdas + k+1 array
+      // allocations, and plan analysis walked k aggregate trees.
+      // VecMatProject keeps the identical index-ordered fold arithmetic
+      // and zip_with null semantics — see its scaladoc.
+      df.withColumn(outCol, graft.functions.VectorFunctions
+        .vec_mat_project(x, Some(model.mean.toSeq),
+          model.components.map(_.toSeq).toSeq))
+    } else {
+      // whiten path (no declared query uses it): the original
+      // per-coordinate form, typedlit literals (r15, plan-bloat fix)
+      val muLit = typedlit(model.mean.toSeq)
+      val centered = zip_with(x, muLit, (a, b) => a - b)
+      val coords = model.components.zipWithIndex.map { case (comp, i) =>
+        val cLit = typedlit(comp.toSeq)
+        val raw = aggregate(zip_with(centered, cLit, (a, b) => a * b),
+          lit(0.0), (acc, e) => acc + e)
         val ev = model.eigenvalues(i)
         if (ev > 1e-12) raw / lit(math.sqrt(ev)) else lit(0.0)
       }
+      df.withColumn(outCol, array(coords: _*))
     }
-    df.withColumn(outCol, array(coords: _*))
   }
 }

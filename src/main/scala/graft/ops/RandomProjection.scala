@@ -40,13 +40,13 @@ object RandomProjection {
       s"RandomProjection: outDim/dim must be positive, got $outDim/$dim")
     val x = col(vecCol).cast("array<double>")
     val scale = 1.0 / math.sqrt(outDim.toDouble)
-    val coords = (0 until outDim).map { j =>
-      // typedlit: one array literal per row, not `dim` Literal children
-      // — plan size and codegen time, the Pca.project rationale (r15)
-      val rLit = typedlit(signRow(seed, j, dim).toSeq)
-      aggregate(zip_with(x, rLit, (a, b) => a * b),
-        lit(0.0), (acc, e) => acc + e) * lit(scale)
-    }
-    df.withColumn(outCol, array(coords: _*))
+    // ONE native plan node for the outDim×dim sign projection (r16):
+    // same index-ordered fold + trailing `* scale` arithmetic as the
+    // per-coordinate aggregate(zip_with) form, without its outDim·dim
+    // interpreted lambdas per row — the Pca.project rationale
+    val rows = (0 until outDim).map(j => signRow(seed, j, dim).toSeq)
+    df.withColumn(outCol, graft.functions.VectorFunctions
+      .vec_mat_project(x, None, rows,
+        Some(Seq.fill(outDim)(scale))))
   }
 }

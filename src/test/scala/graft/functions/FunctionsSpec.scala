@@ -23,6 +23,87 @@ class FunctionsSpec extends SparkSpec {
     assert(native == lambda && native == 4.0)
   }
 
+  test("vec_sqdist matches the lambda form bit-for-bit, incl. null cases") {
+    val rnd = new scala.util.Random(41)
+    def v(n: Int) = Array.fill(n)(rnd.nextDouble() * 10 - 5)
+    val rows: Seq[(Array[java.lang.Double], Array[java.lang.Double])] = Seq(
+      (v(16).map(Double.box), v(16).map(Double.box)),
+      (v(16).map(Double.box), v(12).map(Double.box)),      // ragged
+      (v(8).map(Double.box),
+        (v(7).map(Double.box) :+ (null: java.lang.Double))), // null elem
+      (null, v(16).map(Double.box))                          // null array
+    )
+    val df = rows.toDF("a", "b")
+    val lambda = df.select(aggregate(
+      zip_with($"a", $"b", (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, e) => acc + e)).collect().map(r =>
+        if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    val native = df.select(VectorFunctions.vec_sqdist($"a", $"b"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(native.toSeq == lambda.toSeq)
+    assert(native(0).isDefined && native.drop(1).forall(_.isEmpty))
+  }
+
+  test("vec_mat_project matches the per-coordinate lambda form bit-for-bit") {
+    val rnd = new scala.util.Random(43)
+    val d = 24; val k = 6
+    val mu = Array.fill(d)(rnd.nextDouble() - 0.5)
+    val mat = Array.fill(k)(Array.fill(d)(rnd.nextDouble() * 2 - 1))
+    val scale = 1.0 / math.sqrt(k.toDouble)
+    def v(n: Int) = Array.fill(n)(rnd.nextDouble() * 10 - 5)
+    val rows: Seq[Tuple1[Array[java.lang.Double]]] = Seq(
+      Tuple1(v(d).map(Double.box)),
+      Tuple1(v(d).map(Double.box)),
+      Tuple1(v(d - 3).map(Double.box)),                      // ragged
+      Tuple1(v(d - 1).map(Double.box) :+ (null: java.lang.Double)),
+      Tuple1(null)                                           // null array
+    )
+    val df = rows.toDF("x")
+    def collectArr(c: org.apache.spark.sql.Column): Seq[Seq[Option[Double]]] =
+      df.select(c.as("p")).collect().map { r =>
+        r.getSeq[Any](0).map {
+          case null => None
+          case x: Double => Some(x)
+        }.toSeq
+      }.toSeq
+    // centered, unscaled (the Pca.project shape)
+    val muLit = typedlit(mu.toSeq)
+    val centered = zip_with($"x", muLit, (a, b) => a - b)
+    val lambdaCentered = collectArr(array(mat.map { comp =>
+      aggregate(zip_with(centered, typedlit(comp.toSeq), (a, b) => a * b),
+        lit(0.0), (acc, e) => acc + e)
+    }.toIndexedSeq: _*))
+    val nativeCentered = collectArr(VectorFunctions.vec_mat_project(
+      $"x", Some(mu.toSeq), mat.map(_.toSeq).toSeq))
+    assert(nativeCentered == lambdaCentered)
+    // uncentered + post-scale (the RandomProjection.project shape)
+    val lambdaScaled = collectArr(array(mat.map { comp =>
+      aggregate(zip_with($"x", typedlit(comp.toSeq), (a, b) => a * b),
+        lit(0.0), (acc, e) => acc + e) * lit(scale)
+    }.toIndexedSeq: _*))
+    val nativeScaled = collectArr(VectorFunctions.vec_mat_project(
+      $"x", None, mat.map(_.toSeq).toSeq, Some(Seq.fill(k)(scale))))
+    assert(nativeScaled == lambdaScaled)
+    // sanity: the two clean rows project to k finite coords
+    assert(nativeCentered.take(2).forall(r =>
+      r.size == k && r.forall(_.isDefined)))
+  }
+
+  test("vec_mat_project on float arrays equals the cast-to-double lambda") {
+    val rnd = new scala.util.Random(47)
+    val d = 8; val k = 3
+    val mat = Array.fill(k)(Array.fill(d)(rnd.nextDouble() * 2 - 1))
+    val df = Seq(Tuple1(Array.fill(d)(rnd.nextFloat()))).toDF("x")
+    val xd = $"x".cast("array<double>")
+    val lambda = df.select(array(mat.map { comp =>
+      aggregate(zip_with(xd, typedlit(comp.toSeq), (a, b) => a * b),
+        lit(0.0), (acc, e) => acc + e)
+    }.toIndexedSeq: _*)).collect().head.getSeq[Double](0)
+    val native = df.select(VectorFunctions.vec_mat_project(
+      xd, None, mat.map(_.toSeq).toSeq)).collect().head.getSeq[Double](0)
+    assert(native == lambda)
+  }
+
   test("vec_dot rejects non-array inputs") {
     // a fresh session: Spark 4 posts even failed ANALYSIS to the session
     // listener bus, and the shared session's ObservationManager listener
