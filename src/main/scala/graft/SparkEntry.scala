@@ -112,6 +112,27 @@ object SparkEntry {
     out.write.mode(mode).partitionBy(partCol).parquet(path)
   }
 
+  /** Runs INDEPENDENT write actions concurrently (guide §2.6 "overlap
+    * independent jobs"): Spark's FIFO scheduler back-fills the earlier
+    * action's straggler tail with the later actions' tasks, and the
+    * driver-side planning gaps overlap instead of serializing — at any
+    * scale the fixture pays max(writes), not sum(writes). Only for
+    * actions with no ordering dependency: distinct output paths and no
+    * read-after-write between them (an append after an overwrite of the
+    * SAME path stays sequential — see the bm25 store). Every action
+    * completes before return (first failure rethrown), so read-backs
+    * after the call see fully committed stores; shared persisted
+    * upstream frames are safe (the block manager computes each cached
+    * partition once and blocks the other readers). Results unchanged —
+    * this reorders nothing observable. */
+  private def concurrently(actions: (() => Unit)*): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fs = actions.map(a => Future(a()))
+    fs.foreach(Await.result(_, Duration.Inf))
+  }
+
   /** q231 fixture: one unambiguous sentence per LangMarkers language
     * (>= 7 of its own markers, <= 3 of any other language's), shared
     * by the Spark query and the DuckDB oracle so both classify the
@@ -2083,11 +2104,13 @@ object SparkEntry {
       // r16: the bootstrap state carries the ref bucket frame it
       // already hashed (and persisted) for its own pair join — write
       // that instead of re-hashing the ref vectors (VERDICT r15 next-1)
-      storeWrite(boot.buckets, "t", store)
       val labelsPath = scratchDir("graft-curlabels").toString
       val resolvedPath = scratchDir("graft-curresolved").toString
-      boot.labels.write.mode("overwrite").parquet(labelsPath)
-      boot.resolved.write.mode("overwrite").parquet(resolvedPath)
+      // three independent store writes overlapped (guide §2.6)
+      concurrently(
+        () => storeWrite(boot.buckets, "t", store),
+        () => boot.labels.write.mode("overwrite").parquet(labelsPath),
+        () => boot.resolved.write.mode("overwrite").parquet(resolvedPath))
       graft.ops.Curation.embedCurateIncremental(delta, ref,
         s.read.parquet(store), s.read.parquet(labelsPath),
         s.read.parquet(resolvedPath), "vec_id", "embedding",
@@ -2177,8 +2200,11 @@ object SparkEntry {
         targetLang = "en", minQuality = 0.3)
       val urlKeys = scratchDir("graft-urlkeys").toString
       val contentKeys = scratchDir("graft-contentkeys").toString
-      boot.newUrlKeys.write.mode("overwrite").parquet(urlKeys)
-      boot.newContentKeys.write.mode("overwrite").parquet(contentKeys)
+      // two independent key-store writes overlapped (guide §2.6)
+      concurrently(
+        () => boot.newUrlKeys.write.mode("overwrite").parquet(urlKeys),
+        () => boot.newContentKeys.write.mode("overwrite")
+          .parquet(contentKeys))
       val incr = graft.ops.Curation.webCurateIncremental(
         df.where(col("doc_id") >= 180), s.read.parquet(urlKeys),
         s.read.parquet(contentKeys), "doc_id", "url", "html",
@@ -4535,12 +4561,17 @@ object SparkEntry {
         docs.where(col("doc_id") < 300), "doc_id", "text")
       val b2 = TextSearch.bm25Index(
         docs.where(col("doc_id") >= 300), "doc_id", "text")
-      storeWrite(b1.postings, "bkt", s"$store/postings",
-        preClustered = true)
-      storeWrite(b2.postings, "bkt", s"$store/postings",
-        mode = "append", preClustered = true)
-      b1.stats.write.mode("overwrite").parquet(s"$store/stats")
-      b2.stats.write.mode("append").parquet(s"$store/stats")
+      // per-batch phases: postings and stats land in DIFFERENT dirs, so
+      // each batch's two writes overlap (guide §2.6); batch 2's appends
+      // stay AFTER batch 1's overwrites of the same paths
+      concurrently(
+        () => storeWrite(b1.postings, "bkt", s"$store/postings",
+          preClustered = true),
+        () => b1.stats.write.mode("overwrite").parquet(s"$store/stats"))
+      concurrently(
+        () => storeWrite(b2.postings, "bkt", s"$store/postings",
+          mode = "append", preClustered = true),
+        () => b2.stats.write.mode("append").parquet(s"$store/stats"))
       val idx = TextSearch.Bm25Index(
         s.read.parquet(s"$store/postings"),
         TextSearch.mergeBm25Stats(s.read.parquet(s"$store/stats")))
@@ -4563,9 +4594,11 @@ object SparkEntry {
       val e = tbl(s, dir, "embeddings")
       val store = scratchDir("graft-hybstore").toString
       val idx = TextSearch.bm25Index(docs, "doc_id", "text")
-      storeWrite(idx.postings, "bkt", s"$store/postings",
-        preClustered = true)
-      idx.stats.write.mode("overwrite").parquet(s"$store/stats")
+      // postings + stats land in different dirs: overlap (guide §2.6)
+      concurrently(
+        () => storeWrite(idx.postings, "bkt", s"$store/postings",
+          preClustered = true),
+        () => idx.stats.write.mode("overwrite").parquet(s"$store/stats"))
       graft.ops.Hybrid.hybridSearch(
         TextSearch.Bm25Index(s.read.parquet(s"$store/postings"),
           s.read.parquet(s"$store/stats")),
@@ -4587,12 +4620,14 @@ object SparkEntry {
       val cents = e.where(col("vec_id") < 16)
       val store = scratchDir("graft-hybivf").toString
       val idx = TextSearch.bm25Index(docs, "doc_id", "text")
-      storeWrite(idx.postings, "bkt", s"$store/postings",
-        preClustered = true)
-      idx.stats.write.mode("overwrite").parquet(s"$store/stats")
-      storeWrite(
-        Similarity.ivfCellSignatures(e, "vec_id", "embedding", cents),
-        "cell", s"$store/cells")
+      // three independent index writes overlapped (guide §2.6)
+      concurrently(
+        () => storeWrite(idx.postings, "bkt", s"$store/postings",
+          preClustered = true),
+        () => idx.stats.write.mode("overwrite").parquet(s"$store/stats"),
+        () => storeWrite(
+          Similarity.ivfCellSignatures(e, "vec_id", "embedding", cents),
+          "cell", s"$store/cells"))
       graft.ops.Hybrid.hybridSearchIvf(
         TextSearch.Bm25Index(s.read.parquet(s"$store/postings"),
           s.read.parquet(s"$store/stats")),
@@ -4615,9 +4650,12 @@ object SparkEntry {
       val store = scratchDir("graft-reportstore").toString
       val s1 = graft.ops.Curation.corpusReportSidecars(
         docs.where(col("doc_id") < 300), "doc_id", "text", "source")
-      s1.lenHist.write.mode("overwrite").parquet(s"$store/len")
-      s1.langCounts.write.mode("overwrite").parquet(s"$store/lang")
-      s1.hashes.write.mode("overwrite").parquet(s"$store/hash")
+      // three independent sidecar writes overlapped (guide §2.6)
+      concurrently(
+        () => s1.lenHist.write.mode("overwrite").parquet(s"$store/len"),
+        () => s1.langCounts.write.mode("overwrite")
+          .parquet(s"$store/lang"),
+        () => s1.hashes.write.mode("overwrite").parquet(s"$store/hash"))
       val prior = graft.ops.Curation.CorpusReportState(
         s.read.parquet(s"$store/len"), s.read.parquet(s"$store/lang"),
         s.read.parquet(s"$store/hash"))
@@ -4662,9 +4700,11 @@ object SparkEntry {
       val store = scratchDir("graft-tfidfstore").toString
       val idx = TextSearch.bm25Index(
         docs.where(col("doc_id") < 300), "doc_id", "text")
-      storeWrite(idx.postings, "bkt", s"$store/postings",
-        preClustered = true)
-      idx.stats.write.mode("overwrite").parquet(s"$store/stats")
+      // postings + stats land in different dirs: overlap (guide §2.6)
+      concurrently(
+        () => storeWrite(idx.postings, "bkt", s"$store/postings",
+          preClustered = true),
+        () => idx.stats.write.mode("overwrite").parquet(s"$store/stats"))
       TfIdf.topTermsPrecomputed(
         docs.where(col("doc_id") >= 300 && col("doc_id") < 400),
         TextSearch.Bm25Index(s.read.parquet(s"$store/postings"),
