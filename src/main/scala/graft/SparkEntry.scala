@@ -2663,12 +2663,18 @@ object SparkEntry {
     // 100 TB shuffle story
     "q167_bucketed_join" -> ((s, dir) => {
       val tmp = scratchDir("graft-bkt-q").toString
-      val lt = graft.ops.Bucketing.writeBucketed(
-        tbl(s, dir, "lineitem").withColumn("k", col("l_orderkey")),
-        "k", 8, tmp)
-      val rt = graft.ops.Bucketing.writeBucketed(
-        tbl(s, dir, "orders").withColumn("k", col("o_orderkey")),
-        "k", 8, tmp)
+      // the two bucketed fixture tables are independent (distinct
+      // generated names/dirs): overlap their write jobs (guide §2.6);
+      // Await in concurrently() orders the assignments before the join
+      var lt: String = null
+      var rt: String = null
+      concurrently(
+        () => lt = graft.ops.Bucketing.writeBucketed(
+          tbl(s, dir, "lineitem").withColumn("k", col("l_orderkey")),
+          "k", 8, tmp),
+        () => rt = graft.ops.Bucketing.writeBucketed(
+          tbl(s, dir, "orders").withColumn("k", col("o_orderkey")),
+          "k", 8, tmp))
       graft.ops.Bucketing.bucketedEquiJoin(s, lt, rt, "k")
         .groupBy("o_orderpriority")
         // exact decimal arithmetic end-to-end: price and discount each
